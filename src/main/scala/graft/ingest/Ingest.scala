@@ -1,0 +1,158 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ledger.Ledger
+import graft.model.Task
+import graft.schema.SchemaEvolution
+
+/** The ingest pipeline: the reference's whole lifecycle
+  * (index.js:15–99 `loadCreatedFiles`) re-expressed as Spark batch ETL.
+  *
+  * Per task: list+glob candidate files (P2) → anti-join the ledger (J1) →
+  * sniff headers (S2) → evolve the destination schema (right-append floats,
+  * SO2) → one permissive multi-file CSV read (S3; the multi-URI load job) →
+  * append to the DAY-partitioned destination (S4) → append the ledger (S5).
+  *
+  * Stages up to the read are driver-side planning over file *metadata*; the
+  * read/write is the only distributed work. One `csv(paths:_*)` read
+  * amortizes scheduling over the whole batch exactly like the reference
+  * packs many sourceUris into one load job (BucketToBigQuery.js:340) — and
+  * Spark has no 10k-files-per-job limit.
+  */
+object Ingest {
+
+  /** Recursively list files under `root` and keep those matching any task
+    * glob. Listing is a metadata operation (no data read); at cluster scale
+    * the listing itself is parallelized by Spark's InMemoryFileIndex when
+    * the paths go straight into `spark.read`, but we need the explicit list
+    * for the ledger anti-join, mirroring the reference's event-URI stream.
+    */
+  def listCandidates(
+      spark: SparkSession, root: String, globs: Seq[String]): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    val it = fs.listFiles(rootPath, /*recursive=*/ true)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      if (Glob.matchesAny(globs, p) ||
+          Glob.matchesAny(globs, st.getPath.toString)) out += st.getPath.toString
+    }
+    out.toSeq.sorted
+  }
+
+  /** CSV read with the reference load-job contract
+    * (BucketToBigQuery.js:329–349):
+    *  - `skipLeadingRows:1`      → header=true
+    *  - `allowJaggedRows:true`   → PERMISSIVE mode null-pads short rows
+    *  - `allowQuotedNewlines`    → multiLine=true
+    *  - `ignoreUnknownValues`    → extra trailing cells tolerated
+    *  - `maxBadRecords:0`        → structurally corrupt rows are surfaced
+    *    via a corrupt-record column the caller may assert empty.
+    */
+  def readCsv(
+      spark: SparkSession, schema: StructType, uris: Seq[String]): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("enforceSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(uris: _*)
+
+  /** Align a frame to the (possibly wider) destination schema: pad missing
+    * trailing columns with typed nulls; never reorder (readme.md:25).
+    */
+  def alignTo(df: DataFrame, dest: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val cols = dest.fields.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  private def destExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Current destination schema if the table exists (minus the partition
+    * directory column we add on write).
+    */
+  def destSchema(spark: SparkSession, destPath: String): Option[StructType] =
+    if (!destExists(spark, destPath)) None
+    else Some(StructType(spark.read.parquet(destPath)
+      .schema.fields.filterNot(_.name == PartitionCol)))
+
+  /** Name of the derived DAY-partition directory column (the reference uses
+    * BigQuery DAY time-partitioning on the field itself,
+    * BucketToBigQuery.js:350–354; on parquet we materialize the date).
+    */
+  val PartitionCol = "p_date"
+
+  final case class LoadResult(
+      destPath: String,
+      loadedFiles: Seq[String],
+      schema: StructType,
+      partitionField: Option[String],
+      rows: Long)
+
+  /** Run one task end-to-end. `sourceRoot` is the storage root the globs
+    * apply under; `warehouseRoot` is where `<dataset>/<table>` lives.
+    */
+  def loadTask(
+      spark: SparkSession, task: Task,
+      sourceRoot: String, warehouseRoot: String): LoadResult = {
+    val destPath = s"$warehouseRoot/${task.dataset}/${task.table}"
+    val ledgerPath = s"$warehouseRoot/${task.dataset}/${task.ledgerTable}"
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // 1. candidates (P2) minus ledger (J1)
+    val candidates = listCandidates(spark, sourceRoot, task.sources)
+    val files = Ledger.filterNew(spark, ledgerPath, candidates)
+    if (files.isEmpty)
+      return LoadResult(destPath, Nil,
+        destSchema(spark, destPath).getOrElse(task.declaredSchema), None, 0L)
+
+    // 2. sniff (S2) + evolve (SO2): longest of first/last file headers
+    val headers = CsvSniffer.longestHeaders(conf, files)
+    val base = destSchema(spark, destPath).getOrElse(task.declaredSchema)
+    val evolved = SchemaEvolution.sniffedSchema(base, headers)
+
+    // 3. partition field: explicit > inferred over first 5 (F1)
+    val partField = SchemaEvolution.effectivePartitionField(
+      task.timePartitioningField, task.timePartitioningFieldSet, evolved)
+
+    // 4. the distributed part: one multi-file read, one partitioned write
+    val df = alignTo(readCsv(spark, evolved, files), evolved)
+    val writer = partField match {
+      case Some(f) =>
+        df.withColumn(PartitionCol, to_date(col(f)))
+          .write.mode("append").partitionBy(PartitionCol)
+      case None => df.write.mode("append")
+    }
+    writer.parquet(destPath)
+
+    // 5. ledger AFTER the write action returns (fixes reference quirk ST5
+    //    where files were ledgered before their load job completed,
+    //    BucketToBigQuery.js:361–374)
+    Ledger.markImported(spark, ledgerPath, files)
+
+    val rows = spark.read.parquet(destPath).count()
+    LoadResult(destPath, files, evolved, partField, rows)
+  }
+
+  /** Read a destination table back, reconciling old narrow files with the
+    * evolved wide schema (parquet mergeSchema).
+    */
+  def readDest(spark: SparkSession, destPath: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(destPath)
+}
