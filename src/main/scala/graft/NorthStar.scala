@@ -1,11 +1,318 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** North-star extension queries (dedup, similarity search, text analysis,
-  * multimodal) — populated module by module; see operators/ and functions/.
+import graft.functions.{TextAnalysis => TA, VectorOps}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+
+/** North-star extension queries: the LLM-training-data-pipeline surface —
+  * text analysis, exact + near dedup (MinHash/LSH, SimHash, n-gram
+  * Jaccard), embedding similarity search (brute force + LSH), multimodal
+  * metadata — each with a DuckDB oracle reproducing the exact same
+  * deterministic hashes/arithmetic (md5-derived 60-bit integers; fixed-
+  * order double folds).
   */
 object NorthStar {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.t(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis -------------------------------------------------
+    "q19_text_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TA.punctCount(col("text")).as("n_punct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q20_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TA.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q21_quality_score" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        round(TA.qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup ---------------------------------------------------------
+    "q22_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDupGroups(docs(s, dir)).orderBy(col("fingerprint"))
+    }),
+
+    "q23_minhash_signatures" -> ((s, dir) => {
+      Dedup.signatures(docs(s, dir))
+        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q24_minhash_dup_pairs" -> ((s, dir) => {
+      Dedup.minhashDupPairs(docs(s, dir), 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q25_jaccard_dup_pairs" -> ((s, dir) => {
+      Dedup.jaccardDupPairs(docs(s, dir), 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q26_simhash" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q27_simhash_dup_pairs" -> ((s, dir) => {
+      Dedup.simhashDupPairs(docs(s, dir), maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- similarity search --------------------------------------------
+    "q28_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnBruteForce(e, e.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    "q29_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnLsh(e, e.filter(col("vec_id") < 5), k = 5, nPlanes = 4)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    "q30_embedding_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, nPlanes = 4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q31_vector_stats" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("label"),
+          VectorOps.norm2(col("embedding")).as("norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("norm").cast("decimal(18,9)")).cast("double")
+            / count(lit(1))).as("avg_norm"))
+        .orderBy(col("label"))
+    }),
+
+    // ---- multimodal ----------------------------------------------------
+    "q32_multimodal_meta" -> ((s, dir) => {
+      Multimodal.mediaMetadata(s, docs(s, dir)).orderBy(col("media_id"))
+    }))
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  /** Shared DuckDB CTE fragments (must mirror the Spark expressions above
+    * operation-for-operation; see Dedup/TextAnalysis scaladoc).
+    */
+  private val toksCte =
+    "toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)"
+
+  private val shinglesCte =
+    """sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                 i -> array_to_string(t[i:i+2], ' ')))
+          ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks)"""
+
+  private val sigCte =
+    """sig AS (SELECT doc_id,
+        list_transform(generate_series(0, 15), sd ->
+          list_min(list_transform(s, sg ->
+            CAST(('0x' || substr(md5(CAST(sd AS VARCHAR) || ':' || sg), 1, 15)) AS BIGINT))))
+          AS sig
+        FROM sh)"""
+
+  private val bandsCte =
+    """bands AS (SELECT doc_id, sig,
+        unnest(list_transform(generate_series(0, 3), b ->
+          md5(array_to_string(sig[b*4+1 : b*4+4], ',') || ':' || CAST(b AS VARCHAR))))
+          AS bkey
+        FROM sig)"""
+
+  private val candCte =
+    """cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
+  /** fixed-order double fold dot product of two list columns (1..64). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def cosSql(q: String, c: String): String =
+    s"round(${dotSql(q, c)} / (${normSql(q)} * ${normSql(c)}), 6)"
+
+  /** hyperplane LSH bucket over 4 deterministic LCG planes. */
+  private def bucketSql(v: String): String =
+    s"""list_sum(list_transform(generate_series(0, 3), p ->
+        CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+          i -> CAST($v[i] AS DOUBLE) *
+               (CAST((p*64 + (i-1)) * 2654435761 % 4294967296 AS DOUBLE) / 2147483648.0 - 1.0)),
+          (x, y) -> x + y) >= 0
+        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))"""
+
+  private val stopwordSql: Map[String, String] =
+    TA.Stopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+
+  private def hitsSql(l: String): String =
+    s"len(list_intersect(list_distinct(t), ${stopwordSql(l)}))"
+
+  def oracles: Map[String, String] = Map(
+    "q19_text_stats" ->
+      s"""WITH $toksCte
+         SELECT doc_id, length(text) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+           len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS n_punct
+         FROM toks JOIN documents USING (doc_id) ORDER BY doc_id""",
+    "q20_lang_id" ->
+      s"""WITH $toksCte,
+         hits AS (SELECT doc_id,
+           ${hitsSql("en")} AS s_en, ${hitsSql("es")} AS s_es,
+           ${hitsSql("de")} AS s_de, ${hitsSql("fr")} AS s_fr,
+           ${hitsSql("zh")} AS s_zh
+         FROM toks)
+         SELECT doc_id, lang,
+           CASE
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+             WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+             ELSE 'und' END AS lang_pred
+         FROM hits JOIN documents USING (doc_id) ORDER BY doc_id""",
+    "q21_quality_score" ->
+      s"""WITH $toksCte,
+         m AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS ntok,
+           ${hitsSql("en")} AS stop_hits,
+           len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS npunct,
+           length(text) AS nchar,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS nws
+         FROM toks JOIN documents USING (doc_id))
+         SELECT doc_id, round(
+           (CAST(stop_hits AS DOUBLE) / CAST(ntok AS DOUBLE)) * 0.5
+           + (CASE WHEN CAST(nws AS DOUBLE) / CAST(ntok AS DOUBLE) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           + (0.2 - least(CAST(npunct AS DOUBLE) / CAST(nchar AS DOUBLE) * 2.0, 0.2)),
+           6) AS quality
+         FROM m ORDER BY doc_id""",
+    "q22_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "q23_minhash_signatures" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte
+         SELECT doc_id, array_to_string(sig, ',') AS sig_csv
+         FROM sig ORDER BY doc_id""",
+    "q24_minhash_dup_pairs" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte
+         SELECT a_id, b_id,
+           CAST(len(list_filter(generate_series(1, 16),
+             i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 AS est_jaccard
+         FROM cand JOIN sig sa ON sa.doc_id = a_id
+                   JOIN sig sb ON sb.doc_id = b_id
+         WHERE CAST(len(list_filter(generate_series(1, 16),
+             i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.4
+         ORDER BY a_id, b_id""",
+    "q25_jaccard_dup_pairs" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte
+         SELECT a_id, b_id, round(j, 6) AS jaccard FROM (
+           SELECT a_id, b_id,
+             CAST(len(list_intersect(ja.s, jb.s)) AS DOUBLE)
+               / len(list_distinct(ja.s || jb.s)) AS j
+           FROM cand JOIN sh ja ON ja.doc_id = a_id
+                     JOIN sh jb ON jb.doc_id = b_id)
+         WHERE j >= 0.8 ORDER BY a_id, b_id""",
+    "q26_simhash" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id, list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS th FROM toks)
+         SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), i ->
+           CASE WHEN list_sum(list_transform(th, h ->
+             CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+         FROM th ORDER BY doc_id""",
+    "q27_simhash_dup_pairs" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id, list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS th FROM toks),
+         shh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), i ->
+           CASE WHEN list_sum(list_transform(th, h ->
+             CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh FROM th),
+         blk AS (SELECT doc_id, sh,
+           unnest(list_transform(generate_series(0, 3), b ->
+             CAST(b AS VARCHAR) || ':' || CAST((sh >> (b*15)) % 32768 AS VARCHAR))) AS bkey
+           FROM shh),
+         pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.sh, b.sh)) AS hamming
+           FROM blk a JOIN blk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+         ORDER BY a_id, b_id""",
+    "q28_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+         j AS (SELECT query_id, e.vec_id AS neighbor_id,
+             ${cosSql("qv", "e.embedding")} AS cosine
+           FROM embeddings e JOIN q ON e.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
+         SELECT query_id, rn, neighbor_id, cosine FROM r
+         WHERE rn <= 10 ORDER BY query_id, rn""",
+    "q29_knn_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+           FROM b WHERE vec_id < 5),
+         j AS (SELECT query_id, c.vec_id AS neighbor_id,
+             ${cosSql("qv", "c.embedding")} AS cosine
+           FROM b c JOIN q USING (bucket) WHERE c.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
+         SELECT query_id, rn, neighbor_id, cosine FROM r
+         WHERE rn <= 5 ORDER BY query_id, rn""",
+    "q30_embedding_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+           FROM embeddings)
+         SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+           ${cosSql("a.embedding", "b2.embedding")} AS cosine
+         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         WHERE ${cosSql("a.embedding", "b2.embedding")} >= 0.4
+         ORDER BY a_id, b_id""",
+    "q31_vector_stats" ->
+      s"""WITH n AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)
+         SELECT label, count(*) AS n,
+           CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_norm
+         FROM n GROUP BY label ORDER BY label""",
+    "q32_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(16 + CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT) % 1024 AS INT) AS width,
+         CAST(16 + CAST(('0x' || substr(md5(text), 9, 7)) AS BIGINT) % 1024 AS INT) AS height,
+         CAST(1 + octet_length(encode(text)) % 30 AS INT) AS n_frames,
+         (['jpeg','png','webp'])[CAST(CAST(('0x' || substr(md5(text), 32, 1)) AS BIGINT) % 3 AS INT) + 1] AS format
+         FROM documents ORDER BY media_id""")
 }

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact
+  * (fingerprint groupBy), MinHash+LSH near-dup, SimHash near-dup, and exact
+  * n-gram Jaccard over LSH-restricted candidate pairs.
+  *
+  * Scale posture (100 TB): nothing here compares all pairs. Candidate
+  * generation is LSH banding — explode each doc into `Bands` band keys,
+  * shuffle by band key, and only join within buckets. The band join is a
+  * plain equi-join, so Catalyst shuffles both sides on the key and AQE
+  * handles skewed buckets. Everything row-local (shingles, signatures) is
+  * built-in higher-order functions — codegen'd, no UDFs, no driver
+  * collects.
+  *
+  * Determinism: all hashes derive from md5 (identical across engines); the
+  * 60-bit prefix of the md5 hex fits a signed long, so the same SQL
+  * reproduces signatures bit-for-bit in DuckDB (see NorthStar oracles).
+  */
+object Dedup {
+
+  /** 60-bit hash: first 15 hex chars of md5, as a long. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // -------------------------------------------------------------- exact
+
+  /** Exact-dedup summary: one row per distinct normalized-text fingerprint
+    * with the surviving (minimum) doc id and the group size. groupBy on the
+    * md5 key — a single hash-partitioned aggregation, the canonical
+    * shuffle-once exact dedup at any scale.
+    */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+        col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ------------------------------------------------------------ MinHash
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+  val ShingleN = 3
+
+  /** Distinct word 3-gram shingles; docs shorter than N tokens fall back to
+    * the whole normalized text as a single shingle (so tiny docs still
+    * dedup exactly).
+    */
+  def shingleSet(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= ShingleN,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - ShingleN),
+        i => concat_ws(" ", slice(toks, i + 1, lit(ShingleN))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: for seed s in 0..NumHashes-1, the minimum of
+    * hash60(s ":" shingle) over the shingle set. One row-local pass,
+    * no shuffle.
+    */
+  def minhashSignature(shingles: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      s => array_min(transform(shingles,
+        sh => hash60(concat(s.cast("string"), lit(":"), sh)))))
+
+  /** LSH band keys: md5 over each contiguous RowsPerBand-slice of the
+    * signature (+ band index). Two docs share a band key iff that slice
+    * matches exactly.
+    */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => md5(concat(
+        concat_ws(",", slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))),
+        lit(":"), b.cast("string"))))
+
+  /** doc_id, shingles, sig for a documents frame. */
+  def signatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleSet(col(textCol))
+    docs.select(col(idCol).as("doc_id"), sh.as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles")))
+  }
+
+  /** Candidate near-dup pairs via LSH banding: explode band keys, self-join
+    * on the key (shuffle by band key — bucket-local work only), keep
+    * a_id < b_id, dedup pairs that collide in multiple bands.
+    */
+  def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs
+      .select(col("doc_id"), col("sig"), col("shingles"),
+        explode(bandKeys(col("sig"))).as("bkey"))
+    val a = banded.select(col("bkey"), col("doc_id").as("a_id"),
+      col("sig").as("a_sig"), col("shingles").as("a_sh"))
+    val b = banded.select(col("bkey"), col("doc_id").as("b_id"),
+      col("sig").as("b_sig"), col("shingles").as("b_sh"))
+    a.join(b, Seq("bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sig", "b_sig", "a_sh", "b_sh")
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing minhash
+    * components.
+    */
+  def estJaccard(aSig: Column, bSig: Column): Column =
+    size(filter(zip_with(aSig, bSig, (x, y) => x === y), b => b))
+      .cast("double") / NumHashes
+
+  /** MinHash near-dup pairs with estimated Jaccard >= threshold. */
+  def minhashDupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    lshCandidatePairs(signatures(docs))
+      .select(col("a_id"), col("b_id"),
+        estJaccard(col("a_sig"), col("b_sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+
+  /** Exact n-gram Jaccard over the LSH candidates (verification pass of the
+    * classic two-stage near-dedup): |A ∩ B| / |A ∪ B| on shingle sets.
+    */
+  def jaccardDupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    lshCandidatePairs(signatures(docs))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  // ------------------------------------------------------------ SimHash
+
+  val SimHashBits = 60
+  val SimHashBlocks = 4
+  val BitsPerBlock: Int = SimHashBits / SimHashBlocks
+
+  /** 60-bit SimHash over the (multiplicity-preserving) token stream: bit i
+    * is set iff the sum over tokens of ±1 (sign of bit i of the token's
+    * hash60) is positive. Row-local, one aggregate per bit — stays in
+    * whole-stage codegen.
+    */
+  def simhash(text: Column): Column = {
+    val th = transform(TextAnalysis.tokens(text), t => hash60(t))
+    (0 until SimHashBits).map { i =>
+      val cnt = aggregate(th, lit(0L),
+        (acc, h) => acc + when((shiftright(h, i) % 2) === 1, lit(1L))
+          .otherwise(lit(-1L)))
+      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, blocked by
+    * the pigeonhole principle: split the hash into SimHashBlocks blocks —
+    * any pair within distance SimHashBlocks-1 must agree exactly on at
+    * least one block, so the join key is (block index, block value).
+    */
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming < SimHashBlocks,
+      s"blocking only guarantees recall for hamming < $SimHashBlocks")
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("sh"))
+    // block keys are built per-block on the driver (block count is a
+    // constant), so the shift amounts stay literal and codegen'd
+    val keys = array((0 until SimHashBlocks).map { b =>
+      concat(lit(s"$b:"),
+        (shiftright(col("sh"), b * BitsPerBlock) % (1 << BitsPerBlock))
+          .cast("string"))
+    }: _*)
+    val blocked = hashed.select(col("doc_id"), col("sh"),
+      explode(keys).as("bkey"))
+    val a = blocked.select(col("bkey"), col("doc_id").as("a_id"),
+      col("sh").as("a_sh"))
+    val b = blocked.select(col("bkey"), col("doc_id").as("b_id"),
+      col("sh").as("b_sh"))
+    a.join(b, Seq("bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

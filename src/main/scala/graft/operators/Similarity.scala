@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, same semantics:
+  *  - [[knnBruteForce]]: the correctness baseline — broadcast the (small)
+  *    query set against every candidate, rank by cosine. At scale this is
+  *    one pass over the corpus per query batch, no shuffle of the big side
+  *    (queries broadcast), then a per-query top-k via window — the right
+  *    plan when the query set is small and the corpus is the 100 TB side.
+  *  - [[knnLsh]]: the ANN scale path — random-hyperplane (sign) LSH
+  *    restricts candidates to the query's bucket before ranking; the join
+  *    becomes an equi-join on bucket id, so candidate generation shuffles
+  *    only by bucket and never forms the full cross product.
+  *
+  * Arithmetic is a fixed-order double fold (VectorOps), reproducible
+  * bit-for-bit in the DuckDB oracle.
+  */
+object Similarity {
+
+  /** cosine rounded for engine-portable output. */
+  def cos6(a: Column, b: Column): Column =
+    round(VectorOps.cosine(a, b), 6)
+
+  private def ranked(joined: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Exact top-k neighbors for each query vector (excluding self). */
+  def knnBruteForce(vectors: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"))
+    val c = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val joined = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cos6(col("q_vec"), col("c_vec")))
+    ranked(joined, k)
+  }
+
+  /** Approximate top-k: only candidates in the query's hyperplane bucket
+    * are ranked. `nPlanes` controls bucket granularity (2^nPlanes buckets).
+    */
+  def knnLsh(vectors: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val planes = VectorOps.deterministicPlanes(nPlanes, dim)
+    def withBucket(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        VectorOps.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val q = withBucket(queries, "query_id", "q_vec")
+    val c = withBucket(vectors, "neighbor_id", "c_vec")
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cos6(col("q_vec"), col("c_vec")))
+    ranked(joined, k)
+  }
+
+  /** Near-duplicate vector pairs: same LSH bucket AND cosine >= threshold.
+    * The bucket equi-join keeps this linear-ish in corpus size (bucket-
+    * local pairs only) instead of the quadratic all-pairs join.
+    */
+  def nearDupPairs(vectors: DataFrame, threshold: Double, nPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val planes = VectorOps.deterministicPlanes(nPlanes, dim)
+    val b = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorOps.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("a_id"),
+      col("vec").as("a_vec"))
+    val r = b.select(col("bucket"), col("id").as("b_id"),
+      col("vec").as("b_vec"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cos6(col("a_vec"), col("b_vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}
