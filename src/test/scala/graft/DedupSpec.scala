@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 0
+    (2L, "THE  quick   brown fox jumps over the lazy dog"), // exact dup of 0 (normalized)
+    (3L, "completely different text about spark engines and parquet files"),
+    (4L, "ab")                                             // shorter than shingle width
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized fingerprint") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length == 4) // 0 and 2 collapse
+    val dupGroup = groups.find(_.getLong(2) == 2).get
+    assert(dupGroup.getLong(1) == 0L) // keep_id = min
+  }
+
+  test("minhash signature is deterministic and NumHashes wide") {
+    val sigs = Dedup.signatures(docs).select("doc_id", "sig")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L).length == Dedup.NumHashes)
+    assert(sigs(0L) == sigs(2L)) // identical shingle sets → identical sig
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("LSH banding finds near-dups without all-pairs compare") {
+    val pairs = Dedup.minhashDupPairs(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // near-dup pair surfaces
+    assert(pairs.contains((0L, 2L))) // exact dup too
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc: no pair
+  }
+
+  test("exact jaccard confirms near-dup and scores identical docs 1.0") {
+    val j = Dedup.jaccardDupPairs(docs, 0.1)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((0L, 2L)) == 1.0)
+    assert(j((0L, 1L)) > 0.5 && j((0L, 1L)) < 1.0)
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, others far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) == 0)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(3L)))
+  }
+
+  test("simhash block join returns pairs under the hamming cap") {
+    val pairs = Dedup.simhashDupPairs(docs, maxHamming = 3)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("short docs fall back to whole-text shingle") {
+    val sigs = Dedup.signatures(docs).filter(col("doc_id") === 4L)
+      .select("shingles").as[Seq[String]].head()
+    assert(sigs == Seq("ab"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Ingest
+import graft.ledger.Ledger
+import graft.model.Manifest
+
+/** End-to-end ingest: fixtures through glob → ledger → sniff → evolve →
+  * partitioned write, replay safety, jagged rows.
+  */
+class IngestSpec extends SparkSpec {
+
+  private val manifestJson =
+    """{
+      "project": "t",
+      "tasks": [{
+        "sources": ["**/in/**/*.csv"],
+        "dataset": "ds",
+        "table": "sensors",
+        "fields": [
+          {"name": "timestamp",  "type": "timestamp"},
+          {"name": "utc_offset", "type": "float"},
+          {"name": "location",   "type": "string"}
+        ]
+      }]
+    }"""
+
+  test("ingest end-to-end: evolve, partition, ledger replay, jagged rows") {
+    val root = tmpDir("ingest_")
+    val src = new java.io.File(s"$root/in/2026")
+    src.mkdirs()
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(src, name))
+      try w.write(body) finally w.close()
+    }
+    write("a.csv",
+      "timestamp,utc_offset,location,t1\n" +
+        "2026-01-01 00:00:00,1.0,x,10.5\n" +
+        "2026-01-02 00:00:00,1.0,y,11.5\n")
+
+    val task = Manifest.parse(manifestJson).tasks.head
+    // partition field inferred (manifest omits it) via likelyTimestamp
+    val r1 = Ingest.loadTask(spark, task, root, s"$root/wh")
+    assert(r1.loadedFiles.length == 1)
+    assert(r1.partitionField.contains("timestamp"))
+    assert(r1.rows == 2)
+    // DAY partition dirs exist (partition pruning surface at scale)
+    val partDirs = new java.io.File(r1.destPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(partDirs.toSeq == Seq("p_date=2026-01-01", "p_date=2026-01-02"))
+
+    // replay: no-op
+    val r2 = Ingest.loadTask(spark, task, root, s"$root/wh")
+    assert(r2.loadedFiles.isEmpty && r2.rows == 0)
+
+    // wider + jagged file: v2 column appears; short row null-padded
+    // (allowJaggedRows contract, reference BucketToBigQuery.js:336)
+    write("b.csv",
+      "timestamp,utc_offset,location,t1,t2\n" +
+        "2026-01-03 00:00:00,2.0,z,12.5,99.0\n" +
+        "2026-01-03 01:00:00,2.0,z,13.5\n")
+    val r3 = Ingest.loadTask(spark, task, root, s"$root/wh")
+    assert(r3.loadedFiles.length == 1)
+    assert(r3.schema.fieldNames.toSeq ==
+      Seq("timestamp", "utc_offset", "location", "t1", "t2"))
+
+    val dest = Ingest.readDest(spark, r1.destPath)
+    assert(dest.count() == 4)
+    // old rows read as null in the evolved column (mergeSchema)
+    assert(dest.filter(col("t2").isNull).count() == 3)
+    // jagged short row null-padded, not dropped
+    assert(dest.filter(col("t1") === 13.5 && col("t2").isNull).count() == 1)
+
+    // ledger has exactly the two files
+    assert(Ledger.importedUris(spark, s"$root/wh/ds/sensors_imported")
+      .count() == 2)
+  }
+
+  test("incompatible headers are a hard error (reference :291)") {
+    val root = tmpDir("ingest_bad_")
+    val src = new java.io.File(s"$root/in")
+    src.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(src, "bad.csv"))
+    try w.write("timestamp,WRONG,location\n2026-01-01 00:00:00,1.0,x\n")
+    finally w.close()
+    val task = Manifest.parse(manifestJson).tasks.head
+    intercept[graft.schema.SchemaEvolution.SchemaMismatchException] {
+      Ingest.loadTask(spark, task, root, s"$root/wh")
+    }
+  }
+}

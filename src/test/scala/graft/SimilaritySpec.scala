@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private val vectors = Seq(
+    (0L, vec(1, 0, 0, 0)), (1L, vec(0.9, 0.1, 0, 0)),
+    (2L, vec(0, 1, 0, 0)), (3L, vec(-1, 0, 0, 0)),
+    (4L, vec(0.95, 0.05, 0, 0))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val row = Seq((vec(1, 2, 3, 0), vec(1, 2, 3, 0), vec(-1, -2, -3, 0),
+      vec(3, -1.5, 0, 0)))
+      .toDF("a", "b", "neg", "orth")
+      .select(
+        round(VectorOps.cosine(col("a"), col("b")), 9).as("same"),
+        round(VectorOps.cosine(col("a"), col("neg")), 9).as("opp"),
+        round(VectorOps.cosine(col("a"), col("orth")), 9).as("orth"))
+      .head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) == -1.0)
+    assert(row.getDouble(2) == 0.0)
+  }
+
+  test("brute-force knn ranks by cosine desc with id tiebreak, excludes self") {
+    val out = Similarity.knnBruteForce(
+      vectors, vectors.filter(col("vec_id") === 0), k = 3)
+      .select("rn", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(4L, 1L, 2L)) // by cosine to (1,0,0,0)
+  }
+
+  test("near-dup pairs finds the close cluster only") {
+    // 64-dim vectors for the deterministic planes
+    val dim = 64
+    def unit(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val base = unit(7)
+    val nearCopy = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }
+    val vecs = Seq((0L, base), (1L, nearCopy), (2L, unit(8)), (3L, unit(9)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, threshold = 0.99, nPlanes = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("lsh knn only ranks bucket-mates (subset of brute-force candidates)") {
+    val dim = 64
+    val rnd = new scala.util.Random(1)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val lsh = Similarity.knnLsh(vecs, q, k = 5, nPlanes = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    val brute = Similarity.knnBruteForce(vecs, q, k = 49)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.nonEmpty)
+  }
+}
