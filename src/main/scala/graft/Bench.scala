@@ -10,14 +10,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warmup: pay session/codegen/parquet-footer/AQE startup outside the
+    // timers — includes a shuffle+join+sort so exchange machinery is warm
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").write
+          .format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    try {
+      import org.apache.spark.sql.functions._
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").count().orderBy("c_mktsegment")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces full materialization of every output column —
+      // count() would let Catalyst prune projection-only work and
+      // under-report map-heavy queries.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -35,9 +35,14 @@ object NorthStar {
     }),
 
     "q20_lang_id" -> ((s, dir) => {
-      docs(s, dir).select(
-        col("doc_id"), col("lang"),
-        TA.langIdHeuristic(col("text")).as("lang_pred"))
+      // tokenize once behind an exchange barrier; the argmax references
+      // the token array ~15x and must not re-split the text each time
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(TA.tokens(col("text"))).as("toks"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TA.langIdFromTokens(col("toks")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
@@ -71,9 +76,7 @@ object NorthStar {
     }),
 
     "q26_simhash" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        Dedup.simhash(col("text")).as("simhash"))
-        .orderBy(col("doc_id"))
+      Dedup.simhashed(docs(s, dir)).orderBy(col("doc_id"))
     }),
 
     "q27_simhash_dup_pairs" -> ((s, dir) => {
@@ -132,12 +135,16 @@ object NorthStar {
         FROM toks)"""
 
   private val sigCte =
-    """sig AS (SELECT doc_id,
+    """hs AS (SELECT doc_id,
+        list_transform(s, sg ->
+          CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT)) AS hl
+        FROM sh),
+      sig AS (SELECT doc_id,
         list_transform(generate_series(0, 15), sd ->
-          list_min(list_transform(s, sg ->
-            CAST(('0x' || substr(md5(CAST(sd AS VARCHAR) || ':' || sg), 1, 15)) AS BIGINT))))
+          list_min(list_transform(hl, h ->
+            ((2*sd + 1) * (h % 2147483648) + 10007*sd) % 2147483647)))
           AS sig
-        FROM sh)"""
+        FROM hs)"""
 
   private val bandsCte =
     """bands AS (SELECT doc_id, sig,

@@ -54,16 +54,20 @@ object TextAnalysis {
 
   /** Language-ID: argmax of per-language stopword overlap, first language
     * (in `order`) wins ties, "und" (undetermined) when no overlap at all.
+    *
+    * Takes the DISTINCT TOKEN ARRAY, not the text: the hit expression is
+    * referenced ~3x per language, so callers must materialize the token
+    * array (exchange barrier) or pay repeated tokenization per reference.
     */
+  def langIdFromTokens(
+      distinctToks: Column,
+      order: Seq[String] = Seq("en", "es", "de", "fr", "zh")): Column =
+    graft.plans.TextHashExprs.langId(distinctToks, order, Stopwords)
+
   def langIdHeuristic(
       text: Column,
-      order: Seq[String] = Seq("en", "es", "de", "fr", "zh")): Column = {
-    val scores = order.map(l => l -> stopwordHits(text, Stopwords(l)))
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
-      when(s === best && s > 0, lit(l)).otherwise(rest)
-    }
-  }
+      order: Seq[String] = Seq("en", "es", "de", "fr", "zh")): Column =
+    langIdFromTokens(array_distinct(tokens(text)), order)
 
   /** Quality-scoring signals (ratios are exact IEEE doubles of integer
     * counts, so they reproduce bit-for-bit in any engine).

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
+import graft.plans.TextHashExprs
 
 /** Deduplication operators for the LLM-data-pipeline surface: exact
   * (fingerprint groupBy), MinHash+LSH near-dup, SimHash near-dup, and exact
@@ -53,23 +54,20 @@ object Dedup {
     * the whole normalized text as a single shingle (so tiny docs still
     * dedup exactly).
     */
-  def shingleSet(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= ShingleN,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - ShingleN),
-        i => concat_ws(" ", slice(toks, i + 1, lit(ShingleN))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  def shingleSet(text: Column): Column =
+    TextHashExprs.shingles(TextAnalysis.tokens(text), ShingleN)
 
-  /** MinHash signature: for seed s in 0..NumHashes-1, the minimum of
-    * hash60(s ":" shingle) over the shingle set. One row-local pass,
-    * no shuffle.
+  /** Parametrized MinHash over pre-computed shingle hashes: ONE md5 per
+    * shingle (the expensive part, done upstream), then NumHashes cheap
+    * integer hash functions derived from it:
+    *   h_i(x) = ((2i+1) * (hash60(x) mod 2^31) + 10007*i) mod (2^31 - 1)
+    * Signature component i = min over shingles of h_i. All-integer
+    * arithmetic, identical in any engine (see NorthStar oracle).
     */
-  def minhashSignature(shingles: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      s => array_min(transform(shingles,
-        sh => hash60(concat(s.cast("string"), lit(":"), sh)))))
+  val MinhashMod = 2147483647L // 2^31 - 1
+
+  def minhashSignature(shingleHashes: Column): Column =
+    TextHashExprs.minhashSig(shingleHashes, NumHashes)
 
   /** LSH band keys: md5 over each contiguous RowsPerBand-slice of the
     * signature (+ band index). Two docs share a band key iff that slice
@@ -81,12 +79,22 @@ object Dedup {
         concat_ws(",", slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))),
         lit(":"), b.cast("string"))))
 
-  /** doc_id, shingles, sig for a documents frame. */
+  /** doc_id, shingles, sig for a documents frame.
+    *
+    * The repartition between md5-hashing and signature derivation is a
+    * deliberate materialization barrier: without it the shingle/md5
+    * expression tree gets inlined into the signature lambda and the band-
+    * key generator (both evaluated outside whole-stage codegen per band/
+    * seed) — observed >100x slowdown at sf0.1. One small shuffle of
+    * (doc_id, shingles, hashes) buys single-evaluation of the md5 work.
+    */
   def signatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val sh = shingleSet(col(textCol))
     docs.select(col(idCol).as("doc_id"), sh.as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles")))
+      .withColumn("hs", TextHashExprs.md5Prefix60Array(col("shingles")))
+      .repartition(col("doc_id"))
+      .withColumn("sig", minhashSignature(col("hs")))
   }
 
   /** Candidate near-dup pairs via LSH banding: explode band keys, self-join
@@ -94,14 +102,21 @@ object Dedup {
     * a_id < b_id, dedup pairs that collide in multiple bands.
     */
   def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    // Barrier on the band key: both sides of the self-join below share
+    // this exact subtree, so ReuseExchange computes it once and the join
+    // reads the same shuffle output twice. The merge hint keeps AQE from
+    // broadcasting one side (which would break the reuse and recompute the
+    // whole signature pipeline) — and a sort-merge bucket join is also the
+    // plan this takes on a real cluster where neither side is small.
     val banded = sigs
       .select(col("doc_id"), col("sig"), col("shingles"),
         explode(bandKeys(col("sig"))).as("bkey"))
+      .repartition(col("bkey"))
     val a = banded.select(col("bkey"), col("doc_id").as("a_id"),
       col("sig").as("a_sig"), col("shingles").as("a_sh"))
     val b = banded.select(col("bkey"), col("doc_id").as("b_id"),
       col("sig").as("b_sig"), col("shingles").as("b_sh"))
-    a.join(b, Seq("bkey"))
+    a.hint("merge").join(b.hint("merge"), Seq("bkey"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "a_sig", "b_sig", "a_sh", "b_sh")
       .dropDuplicates("a_id", "b_id")
@@ -143,15 +158,28 @@ object Dedup {
     * hash60) is positive. Row-local, one aggregate per bit — stays in
     * whole-stage codegen.
     */
-  def simhash(text: Column): Column = {
-    val th = transform(TextAnalysis.tokens(text), t => hash60(t))
-    (0 until SimHashBits).map { i =>
-      val cnt = aggregate(th, lit(0L),
-        (acc, h) => acc + when((shiftright(h, i) % 2) === 1, lit(1L))
-          .otherwise(lit(-1L)))
-      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash(text: Column): Column =
+    simhashFromHashes(
+      TextHashExprs.md5Prefix60Array(TextAnalysis.tokens(text)))
+
+  /** doc_id, simhash for a documents frame, with the materialization
+    * barrier between token md5-hashing and the 60 bit-sum aggregates
+    * (without it each bit aggregate re-evaluates the md5 array — 60x).
+    */
+  def simhashed(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextHashExprs.md5Prefix60Array(TextAnalysis.tokens(col(textCol)))
+        .as("th"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), simhashFromHashes(col("th")).as("simhash"))
+
+  /** SimHash from a pre-materialized per-token hash array (use this after
+    * an exchange barrier so the md5 work is evaluated once, not once per
+    * bit).
+    */
+  def simhashFromHashes(th: Column): Column =
+    TextHashExprs.simhash(th, SimHashBits)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, blocked by
     * the pigeonhole principle: split the hash into SimHashBlocks blocks —
@@ -162,8 +190,8 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming < SimHashBlocks,
       s"blocking only guarantees recall for hamming < $SimHashBlocks")
-    val hashed = docs.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("sh"))
+    val hashed = simhashed(docs, textCol, idCol)
+      .withColumnRenamed("simhash", "sh")
     // block keys are built per-block on the driver (block count is a
     // constant), so the shift amounts stay literal and codegen'd
     val keys = array((0 until SimHashBlocks).map { b =>
@@ -173,11 +201,12 @@ object Dedup {
     }: _*)
     val blocked = hashed.select(col("doc_id"), col("sh"),
       explode(keys).as("bkey"))
+      .repartition(col("bkey"))
     val a = blocked.select(col("bkey"), col("doc_id").as("a_id"),
       col("sh").as("a_sh"))
     val b = blocked.select(col("bkey"), col("doc_id").as("b_id"),
       col("sh").as("b_sh"))
-    a.join(b, Seq("bkey"))
+    a.hint("merge").join(b.hint("merge"), Seq("bkey"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))

@@ -24,9 +24,13 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  /** cosine rounded for engine-portable output. */
+  /** cosine rounded for engine-portable output. Uses the codegen'd native
+    * expression — bit-identical to VectorOps.cosine for equal-length
+    * arrays, but one fused loop per row instead of three interpreted
+    * higher-order folds.
+    */
   def cos6(a: Column, b: Column): Column =
-    round(VectorOps.cosine(a, b), 6)
+    round(graft.plans.CosineSimilarityExpr.cosine(a, b), 6)
 
   private def ranked(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -75,13 +79,17 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = 64
     val planes = VectorOps.deterministicPlanes(nPlanes, dim)
+    // Exchange barrier on the bucket: both self-join sides share the
+    // subtree, so the bucket computation runs once (ReuseExchange) and the
+    // join reads the shuffle output twice.
     val b = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
       VectorOps.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      .repartition(col("bucket"))
     val l = b.select(col("bucket"), col("id").as("a_id"),
       col("vec").as("a_vec"))
     val r = b.select(col("bucket"), col("id").as("b_id"),
       col("vec").as("b_vec"))
-    l.join(r, Seq("bucket"))
+    l.hint("merge").join(r.hint("merge"), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         cos6(col("a_vec"), col("b_vec")).as("cosine"))
