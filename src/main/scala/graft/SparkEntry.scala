@@ -253,6 +253,30 @@ object SparkEntry {
         .filter(col("event_type") === "signup")
         .select(col("event_id"), col("user_id"))
       batch.union(batch).distinct().orderBy(col("event_id"))
+    }),
+
+    // P1/F5/A2: the reference's notification pipeline — base64 JSON
+    // payloads decoded (from_json∘unbase64), OBJECT_FINALIZE +
+    // storage#object filters, first-wins dedup by selfLink
+    // (BucketToBigQuery.js:212–221). Payloads synthesized
+    // deterministically from the events table, then round-tripped through
+    // real base64+JSON.
+    "q33_notification_decode" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val kind = when(col("user_id") % 7 === 0, lit("storage#notAnObject"))
+        .otherwise(lit("storage#object"))
+      val selfLink = concat(lit("gs://b/o"), (col("user_id") % 50).cast("string"))
+      val objName = concat(lit("o"), (col("user_id") % 50).cast("string"))
+      val payload = base64(to_json(struct(
+        kind.as("kind"), selfLink.as("selfLink"),
+        lit("b").as("bucket"), objName.as("name"))).cast("binary"))
+      val evType = when(col("event_id") % 3 === 0, lit("OBJECT_FINALIZE"))
+        .otherwise(lit("OBJECT_METADATA_UPDATE"))
+      graft.ingest.Events.finalizedObjects(
+        ev.select(col("event_id"), col("ts"), evType.as("eventType"),
+          payload.as("data")),
+        "eventType", "data", Seq(col("ts"), col("event_id")))
+        .orderBy(col("selfLink"))
     }))
 
   /** For each key in queries: equivalent ANSI SQL runnable by DuckDB on the
@@ -363,5 +387,20 @@ object SparkEntry {
            SELECT event_id, user_id FROM events WHERE event_type = 'signup'
            UNION ALL
            SELECT event_id, user_id FROM events WHERE event_type = 'signup')
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    "q33_notification_decode" ->
+      """WITH e AS (SELECT event_id, ts,
+           CASE WHEN event_id % 3 = 0 THEN 'OBJECT_FINALIZE'
+                ELSE 'OBJECT_METADATA_UPDATE' END AS et,
+           CASE WHEN user_id % 7 = 0 THEN 'storage#notAnObject'
+                ELSE 'storage#object' END AS kind,
+           'gs://b/o' || CAST(user_id % 50 AS VARCHAR) AS selfLink,
+           'o' || CAST(user_id % 50 AS VARCHAR) AS name
+         FROM events),
+         f AS (SELECT selfLink, 'b' AS bucket, name,
+             row_number() OVER (PARTITION BY selfLink
+               ORDER BY ts, event_id) AS rn
+           FROM e WHERE et = 'OBJECT_FINALIZE' AND kind = 'storage#object')
+         SELECT selfLink, bucket, name FROM f WHERE rn = 1
+         ORDER BY selfLink""")
 }

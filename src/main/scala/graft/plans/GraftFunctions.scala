@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.TextAnalysis
+
+/** SQL registration of the graft native expressions, so `spark.sql` users
+  * get the same operators as the Column API:
+  *
+  *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+  *   SELECT graft_simhash(graft_md5_60(split(lower(text), '\\s+'))) ...
+  *
+  * Two entry points: [[GraftFunctions.register]] for an existing session,
+  * and [[GraftExtensions]] for `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> { args =>
+      require(args.length == 2, "graft_cosine(a, b)")
+      CosineSimilarityExpr(args(0), args(1))
+    },
+    "graft_shingles" -> { args =>
+      require(args.length == 2, "graft_shingles(tokens, n)")
+      TextHashExprs.ShinglesExpr(args(0), intArg(args(1), "graft_shingles"))
+    },
+    "graft_md5_60" -> { args =>
+      require(args.length == 1, "graft_md5_60(arr)")
+      TextHashExprs.Md5Prefix60ArrayExpr(args(0))
+    },
+    "graft_minhash_sig" -> { args =>
+      require(args.length == 2, "graft_minhash_sig(hashes, k)")
+      TextHashExprs.MinHashSigExpr(args(0), intArg(args(1), "graft_minhash_sig"))
+    },
+    "graft_simhash" -> { args =>
+      require(args.length == 2, "graft_simhash(hashes, bits)")
+      TextHashExprs.SimHashExpr(args(0), intArg(args(1), "graft_simhash"))
+    },
+    "graft_lang_id" -> { args =>
+      require(args.length == 1, "graft_lang_id(tokens)")
+      TextHashExprs.LangIdExpr(args(0),
+        Seq("en", "es", "de", "fr", "zh"), TextAnalysis.Stopwords)
+    })
+
+  /** Register into a live session's function registry. */
+  def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, b)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans.TextHashExprs", name), b))
+    }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Task
+
+/** Streaming mode of the ingest pipeline.
+  *
+  * The reference is micro-batch by construction: PubSub OBJECT_FINALIZE
+  * notifications pulled periodically, files loaded once each, acks after
+  * load (reference readme.md:19-20, BucketToBigQuery.js:99-121; SURVEY
+  * §2.9). Structured Streaming's file source subsumes that whole
+  * notification+ledger mechanism: the checkpoint's seen-files log IS the
+  * ledger, discovery by listing replaces notifications, and
+  * Trigger.AvailableNow reproduces the reference's "drain everything
+  * currently there, then stop" batch cadence.
+  *
+  * Scale posture: `maxFilesPerTrigger` bounds micro-batch size (the
+  * reference's 1000-events-per-run cap); event-time DAY partitioning on
+  * write means late files land in their correct partitions with no
+  * watermark needed (ST3) — and when a watermarked windowed aggregate IS
+  * wanted, [[windowedChannelStats]] below shows the shape.
+  */
+object StreamingIngest {
+
+  /** Start a streaming load of a task's CSV sources into the destination,
+    * Trigger.AvailableNow (drain-and-stop, the reference's cadence).
+    */
+  def start(
+      spark: SparkSession,
+      task: Task,
+      schema: StructType,
+      sourceDir: String,
+      warehouseRoot: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val destPath = s"$warehouseRoot/${task.dataset}/${task.table}"
+    val partField = graft.schema.SchemaEvolution.effectivePartitionField(
+      task.timePartitioningField, task.timePartitioningFieldSet, schema)
+
+    val src = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(sourceDir)
+
+    val withPart = partField match {
+      case Some(f) => src.withColumn(graft.ingest.Ingest.PartitionCol,
+        to_date(col(f)))
+      case None => src
+    }
+
+    val writer = withPart.writeStream
+      .format("parquet")
+      .option("path", destPath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+    partField.fold(writer)(_ =>
+      writer.partitionBy(graft.ingest.Ingest.PartitionCol)).start()
+  }
+
+  /** Watermarked tumbling-window aggregate over a streaming frame — the
+    * per-day/per-key channel statistics the reference delegates to the
+    * warehouse, expressed as a stream (SURVEY §2.9 "not required for
+    * parity", provided as the streaming-analytics surface).
+    */
+  def windowedChannelStats(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_value"),
+        avg(col(valueCol)).as("avg_value"))
+}
