@@ -57,15 +57,38 @@ object Ingest {
     *    via a corrupt-record column the caller may assert empty.
     */
   def readCsv(
-      spark: SparkSession, schema: StructType, uris: Seq[String]): DataFrame =
-    spark.read
-      .schema(schema)
+      spark: SparkSession, schema: StructType, uris: Seq[String],
+      strict: Boolean = true): DataFrame = {
+    val corrupt = "_graft_corrupt"
+    val readSchema = StructType(schema.fields :+
+      StructField(corrupt, org.apache.spark.sql.types.StringType))
+    val df = spark.read
+      .schema(readSchema)
       .option("header", "true")
       .option("multiLine", "true")
       .option("mode", "PERMISSIVE")
       .option("enforceSchema", "true")
+      .option("columnNameOfCorruptRecord", corrupt)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(uris: _*)
+    if (!strict) df.drop(corrupt)
+    else {
+      // maxBadRecords:0 contract (reference BucketToBigQuery.js:339) with
+      // the allowJaggedRows carve-out: Spark marks BOTH short rows and
+      // garbage rows as corrupt, but jagged rows still parse their leading
+      // fields — so "bad" = corrupt AND first declared field unparseable.
+      // The raise_error is woven into the FIRST OUTPUT column (a dropped
+      // guard column would be pruned away and never evaluate); it fails
+      // the load on the first bad row during the single write pass.
+      val f0 = schema.fields.head
+      val checked = when(
+        col(corrupt).isNotNull && col(f0.name).isNull,
+        raise_error(concat(lit("[graft] maxBadRecords=0: corrupt row: "),
+          col(corrupt))).cast(f0.dataType))
+        .otherwise(col(f0.name)).as(f0.name)
+      df.select(checked +: schema.fields.tail.map(f => col(f.name)): _*)
+    }
+  }
 
   /** Align a frame to the (possibly wider) destination schema: pad missing
     * trailing columns with typed nulls; never reorder (readme.md:25).

@@ -40,4 +40,14 @@ object Views {
         (localTime(col(tsCol), col(offsetCol)).as("local_time")
           +: rest.map(col).toSeq): _*)
   }
+
+  /** Register the `_ordered` view in the session catalog under
+    * `<table>_ordered` (the reference's view-creation surface,
+    * readme.md:43: "CREATE VIEW `<dataset>.<table>_ordered` ...").
+    */
+  def registerOrderedView(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      df: DataFrame): Unit =
+    localTimeOrdered(df).createOrReplaceTempView(s"${table}_ordered")
 }

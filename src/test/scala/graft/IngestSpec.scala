@@ -77,6 +77,50 @@ class IngestSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("maxBadRecords=0: garbage rows fail the load, jagged rows pass") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("strict_")
+    val f = new java.io.File(dir, "x.csv")
+    val schema = StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("v", DoubleType)))
+    def write(body: String): Unit = {
+      val w = new java.io.PrintWriter(f)
+      try w.write(body) finally w.close()
+    }
+    // jagged short row: fine under allowJaggedRows
+    write("timestamp,v\n2026-01-01 00:00:00,1.5\n2026-01-02 00:00:00\n")
+    val ok = graft.ingest.Ingest.readCsv(spark, schema,
+      Seq(f.getAbsolutePath))
+    assert(ok.count() == 2)
+    assert(ok.filter(org.apache.spark.sql.functions.col("v").isNull)
+      .count() == 1)
+    // garbage line (unparseable first field): strict mode must throw
+    write("timestamp,v\nTOTAL GARBAGE NOT A ROW\n2026-01-01 00:00:00,1.5\n")
+    val e = intercept[Exception] {
+      // collect (not count) — count() would prune the guarded column away,
+      // exactly like the destination write that materializes every column
+      graft.ingest.Ingest.readCsv(spark, schema,
+        Seq(f.getAbsolutePath)).collect()
+    }
+    assert(e.getMessage.contains("maxBadRecords") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxBadRecords")))
+    // non-strict: garbage row comes through null-padded
+    assert(graft.ingest.Ingest.readCsv(spark, schema,
+      Seq(f.getAbsolutePath), strict = false).count() == 2)
+  }
+
+  test("ordered view registers in the session catalog as <table>_ordered") {
+    import spark.implicits._
+    val df = Seq(("2026-01-01 00:00:00", 2.0, 7.5))
+      .toDF("timestamp", "utc_offset", "v")
+      .withColumn("timestamp", col("timestamp").cast("timestamp"))
+    graft.views.Views.registerOrderedView(spark, "sensors", df)
+    val out = spark.sql("SELECT * FROM sensors_ordered")
+    assert(out.columns.toSeq == Seq("local_time", "v"))
+    assert(out.head().getTimestamp(0).toString == "2026-01-01 02:00:00.0")
+  }
+
   test("incompatible headers are a hard error (reference :291)") {
     val root = tmpDir("ingest_bad_")
     val src = new java.io.File(s"$root/in")
