@@ -116,6 +116,30 @@ object NorthStar {
     // ---- multimodal ----------------------------------------------------
     "q32_multimodal_meta" -> ((s, dir) => {
       Multimodal.mediaMetadata(s, docs(s, dir)).orderBy(col("media_id"))
+    }),
+
+    // Multiprobe ANN: probe the query bucket + all hamming-1 buckets —
+    // recall recovery for sign-LSH without extra hash tables.
+    "q35_knn_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnLshMultiprobe(e, e.filter(col("vec_id") < 5), k = 5,
+        nPlanes = 4)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // As-of join (time-series alignment; no native Spark join type) —
+    // verified against DuckDB's native ASOF JOIN. For each purchase, the
+    // most recent click at-or-before it per user.
+    "q34_asof_join" -> ((s, dir) => {
+      val ev = SparkEntry.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value")) // unique per (key, ts)
+      graft.operators.AsofJoin.asofJoin(
+        purchases, clicks, Seq("user_id"), "ts", Seq("click_value"))
+        .orderBy(col("event_id"))
     }))
 
   // ---- oracle SQL ------------------------------------------------------
@@ -313,6 +337,30 @@ object NorthStar {
          SELECT label, count(*) AS n,
            CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_norm
          FROM n GROUP BY label ORDER BY label""",
+    "q35_knn_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv,
+             unnest([bucket] || list_transform(generate_series(0, 3),
+               p -> xor(bucket, CAST(1 AS BIGINT) << p))) AS bucket
+           FROM b WHERE vec_id < 5),
+         j AS (SELECT query_id, c.vec_id AS neighbor_id,
+             ${cosSql("qv", "c.embedding")} AS cosine
+           FROM b c JOIN q USING (bucket) WHERE c.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
+         SELECT query_id, rn, neighbor_id, cosine FROM r
+         WHERE rn <= 5 ORDER BY query_id, rn""",
+    "q34_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, max(value) AS click_value FROM events
+           WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts, c.click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id,
          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-stress harness: replicates the sf0.1 corpus REPL times with
+  * per-replica perturbation (every token interleaved with a replica tag →
+  * replicas are NOT near-dups of each other; planted near-dup pairs stay
+  * near-dups within each replica) and times the heavy operators at
+  * 20x-100x the verification scale. This is the evidence that the LSH
+  * plans hold as N grows — run with:
+  *   SPARK_GRAFT_STRESS_REPL=20 sbt "runMain graft.Stress"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val repl = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPL", "20").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nDocs0 = docs0.count()
+
+    val docs = (0 until repl).map { i =>
+      docs0.select(
+        (col("doc_id") + lit(i.toLong * nDocs0)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"$$1r$i")).as("text"))
+    }.reduce(_ unionByName _)
+    val emb = (0 until repl).map { i =>
+      emb0.select(
+        (col("vec_id") + lit(i.toLong * 2000)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"),
+           x => x + lit(i * 0.001f))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS $name%-28s $dt%8.2f s")
+    }
+    def timeCount(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS $name%-28s $dt%8.2f s  rows=$n")
+    }
+
+    println(s"STRESS corpus: ${repl}x -> ${nDocs0 * repl} docs, " +
+      s"${2000 * repl} vectors")
+    time("signatures")(Dedup.signatures(docs))
+    timeCount("minhash_pairs")(Dedup.minhashDupPairs(docs, 0.5))
+    timeCount("minhash_pairs_capped")(
+      Dedup.minhashDupPairs(
+        Dedup.representatives(docs), 0.5))
+    timeCount("jaccard_pairs")(Dedup.jaccardDupPairs(docs, 0.8))
+    timeCount("simhash_pairs")(Dedup.simhashDupPairs(docs, 3))
+    timeCount("knn_brute_5q")(Similarity.knnBruteForce(
+      emb, emb.filter(col("vec_id") < 5), 10))
+    timeCount("knn_lsh_5q")(Similarity.knnLsh(
+      emb, emb.filter(col("vec_id") < 5), 10, nPlanes = 6))
+    timeCount("embedding_neardup")(
+      Similarity.nearDupPairs(emb, 0.9, nPlanes = 6))
+    spark.stop()
+  }
+}

@@ -97,21 +97,55 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("hs")))
   }
 
+  /** One representative doc per normalized-text fingerprint (min id wins).
+    *
+    * Run this BEFORE near-dup at scale: real corpora carry huge exact-
+    * duplicate clusters, and every doc in such a cluster lands in the SAME
+    * LSH band buckets — a k-dup cluster alone makes k^2/2 candidate pairs.
+    * Collapsing exact dups first caps that blowup at its source (the
+    * groups are recoverable from [[exactDupGroups]]).
+    */
+  def representatives(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Candidate near-dup pairs via LSH banding: explode band keys, self-join
     * on the key (shuffle by band key — bucket-local work only), keep
     * a_id < b_id, dedup pairs that collide in multiple bands.
+    *
+    * `maxBucketSize > 0` drops band buckets larger than the cap before the
+    * join — the standard guard against degenerate buckets (boilerplate
+    * headers, templated docs) whose pair count would otherwise be
+    * quadratic. Dropped buckets are near-certain exact-dup clusters;
+    * handle those with [[representatives]] + [[exactDupGroups]] first.
     */
-  def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, maxBucketSize: Int = 0): DataFrame = {
     // Barrier on the band key: both sides of the self-join below share
     // this exact subtree, so ReuseExchange computes it once and the join
     // reads the same shuffle output twice. The merge hint keeps AQE from
     // broadcasting one side (which would break the reuse and recompute the
     // whole signature pipeline) — and a sort-merge bucket join is also the
     // plan this takes on a real cluster where neither side is small.
-    val banded = sigs
+    val exploded = sigs
       .select(col("doc_id"), col("sig"), col("shingles"),
         explode(bandKeys(col("sig"))).as("bkey"))
       .repartition(col("bkey"))
+    val banded =
+      if (maxBucketSize <= 0) exploded
+      else {
+        import org.apache.spark.sql.expressions.Window
+        exploded
+          .withColumn("_bn",
+            count(lit(1)).over(Window.partitionBy(col("bkey"))))
+          .filter(col("_bn") <= maxBucketSize)
+          .drop("_bn")
+      }
     val a = banded.select(col("bkey"), col("doc_id").as("a_id"),
       col("sig").as("a_sig"), col("shingles").as("a_sh"))
     val b = banded.select(col("bkey"), col("doc_id").as("b_id"),
@@ -187,7 +221,8 @@ object Dedup {
     * least one block, so the join key is (block index, block value).
     */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucketSize: Int = 0): DataFrame = {
     require(maxHamming < SimHashBlocks,
       s"blocking only guarantees recall for hamming < $SimHashBlocks")
     val hashed = simhashed(docs, textCol, idCol)
@@ -199,9 +234,22 @@ object Dedup {
         (shiftright(col("sh"), b * BitsPerBlock) % (1 << BitsPerBlock))
           .cast("string"))
     }: _*)
-    val blocked = hashed.select(col("doc_id"), col("sh"),
+    val exploded = hashed.select(col("doc_id"), col("sh"),
       explode(keys).as("bkey"))
       .repartition(col("bkey"))
+    // same degenerate-bucket guard as lshCandidatePairs: a block value
+    // shared by k docs yields k^2/2 pairs — cap it (boilerplate/templated
+    // corpora make single blocks collapse)
+    val blocked =
+      if (maxBucketSize <= 0) exploded
+      else {
+        import org.apache.spark.sql.expressions.Window
+        exploded
+          .withColumn("_bn",
+            count(lit(1)).over(Window.partitionBy(col("bkey"))))
+          .filter(col("_bn") <= maxBucketSize)
+          .drop("_bn")
+      }
     val a = blocked.select(col("bkey"), col("doc_id").as("a_id"),
       col("sh").as("a_sh"))
     val b = blocked.select(col("bkey"), col("doc_id").as("b_id"),

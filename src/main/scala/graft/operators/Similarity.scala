@@ -71,6 +71,31 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** Multiprobe ANN: like [[knnLsh]] but each query also probes the
+    * nPlanes buckets at Hamming distance 1 from its own (flip one
+    * hyperplane sign) — the standard recall fix for sign-LSH without
+    * building more hash tables. Candidates grow ~(nPlanes+1)x per query;
+    * the corpus side is still bucket-partitioned, queries broadcast.
+    */
+  def knnLshMultiprobe(vectors: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val planes = VectorOps.deterministicPlanes(nPlanes, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      VectorOps.hyperplaneBucket(col(vecCol), planes).as("qbucket"))
+      .withColumn("bucket", explode(array(
+        col("qbucket") +: (0 until nPlanes).map(p =>
+          col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
+    val c = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      VectorOps.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cos6(col("q_vec"), col("c_vec")))
+    ranked(joined, k)
+  }
+
   /** Near-duplicate vector pairs: same LSH bucket AND cosine >= threshold.
     * The bucket equi-join keeps this linear-ish in corpus size (bucket-
     * local pairs only) instead of the quadratic all-pairs join.

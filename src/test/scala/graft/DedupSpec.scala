@@ -63,6 +63,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 == 0))
   }
 
+  test("representatives collapses exact-dup clusters to the min id") {
+    val reps = Dedup.representatives(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reps == Set(0L, 1L, 3L, 4L)) // doc 2 collapses into doc 0
+  }
+
+  test("maxBucketSize drops degenerate buckets") {
+    val cloned = docs.union(docs.withColumn("doc_id", col("doc_id") + 100))
+      .union(docs.withColumn("doc_id", col("doc_id") + 200))
+    val sigs = Dedup.signatures(cloned)
+    val unbounded = Dedup.lshCandidatePairs(sigs).count()
+    val capped = Dedup.lshCandidatePairs(sigs, maxBucketSize = 2).count()
+    assert(capped < unbounded) // 3x-cloned docs exceed the cap and drop
+  }
+
   test("short docs fall back to whole-text shingle") {
     val sigs = Dedup.signatures(docs).filter(col("doc_id") === 4L)
       .select("shingles").as[Seq[String]].head()

@@ -15,6 +15,11 @@ for t in ["region","nation","customer","supplier","part","orders",
 def canon(df):
     df = df[sorted(df.columns)]
     def norm(v):
+        try:
+            if pd.isna(v):
+                return None  # NaN/NaT are not self-equal in tuple compare
+        except (TypeError, ValueError):
+            pass
         if isinstance(v, float):
             return round(v, 6)
         return v
