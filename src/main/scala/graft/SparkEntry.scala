@@ -255,6 +255,42 @@ object SparkEntry {
       batch.union(batch).distinct().orderBy(col("event_id"))
     }),
 
+    // Sessionization: per-user session windows with a 30-min inactivity
+    // gap (Spark's session_window; oracle = gaps-and-islands SQL). The
+    // stateful-streaming shape of SURVEY §2.9 run as batch.
+    "q36_sessionize" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          col("w.start").as("session_start"),
+          col("w.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // Equi+range join (window attribution): for each purchase, count and
+    // sum the same user's clicks in the 2 hours before it. The range
+    // predicate rides the user_id equi-join — no interval explosion.
+    "q37_window_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") <= col("ts") &&
+            col("c_ts") > col("ts") - expr("INTERVAL 2 HOURS"), "left")
+        .groupBy(col("event_id"), col("user_id"), col("ts"))
+        .agg(count(col("c_ts")).as("n_clicks"),
+          sum(dec(col("c_value"))).cast("double").as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // P1/F5/A2: the reference's notification pipeline — base64 JSON
     // payloads decoded (from_json∘unbase64), OBJECT_FINALIZE +
     // storage#object filters, first-wins dedup by selfLink
@@ -388,6 +424,35 @@ object SparkEntry {
            UNION ALL
            SELECT event_id, user_id FROM events WHERE event_type = 'signup')
          ORDER BY event_id""",
+    "q36_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+         FROM events),
+         s AS (SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM o)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "q37_window_attribution" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+           count(c.c_ts) AS n_clicks,
+           CAST(sum(CAST(c.c_value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts, value AS c_value
+               FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.c_user AND c.c_ts <= p.ts
+              AND c.c_ts > p.ts - INTERVAL 2 HOUR
+         GROUP BY p.event_id, p.user_id, p.ts
+         ORDER BY p.event_id""",
     "q33_notification_decode" ->
       """WITH e AS (SELECT event_id, ts,
            CASE WHEN event_id % 3 = 0 THEN 'OBJECT_FINALIZE'
