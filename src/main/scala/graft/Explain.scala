@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Plan inspection tool.
+  *
+  *   runMain graft.Explain <query>   — full formatted physical plan
+  *   runMain graft.Explain all       — one-line plan audit per query:
+  *     exchanges, join strategies, scan pushdown, red flags (cartesian
+  *     products, non-broadcast tiny dims)
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -7,8 +16,29 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
-    df.explain("formatted")
+    val dir = "/root/testdata/sf0.001"
+    args.headOption match {
+      case Some("all") | None =>
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try {
+            val plan = fn(spark, dir).queryExecution.executedPlan.toString
+            def n(pat: String) = pat.r.findAllIn(plan).length
+            val flags = Seq(
+              if (n("CartesianProduct") > 0) "CARTESIAN!" else "",
+              if (n("BroadcastNestedLoopJoin") > 0) "BNLJ!" else "")
+              .filter(_.nonEmpty).mkString(",")
+            println(f"AUDIT $name%-28s exch=${n("Exchange")}%d " +
+              f"bhj=${n("BroadcastHashJoin")}%d smj=${n("SortMergeJoin")}%d " +
+              f"gen=${n("Generate")}%d sorts=${n("(?m)^\\s*\\+?-? ?\\*?\\(?\\d*\\)? ?Sort ")}%d " +
+              (if (flags.nonEmpty) s" $flags" else ""))
+          } catch {
+            case e: Throwable =>
+              println(s"AUDIT $name FAILED: ${e.getMessage.take(60)}")
+          }
+        }
+      case Some(q) =>
+        SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended session configuration for the graft engine.
+  *
+  * These are the settings the operators are designed against; all are
+  * standard Spark knobs (no custom extensions required — the SQL function
+  * surface is optional via [[graft.plans.GraftFunctions.register]]).
+  */
+object GraftSession {
+
+  /** Apply graft-recommended configs to a builder.
+    *
+    * @param shufflePartitions baseline shuffle width — size to ~2-3x total
+    *   executor cores; AQE coalesces down, so err high at scale
+    */
+  def builder(
+      master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC") // reference contract
+      // AQE: runtime re-planning, partition coalescing, skew-join splits —
+      // the band/bucket self-joins rely on the skew handling
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scans: 128MB split targets keep partitions executor-memory-sized
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+
+  /** Build + register the graft SQL functions. */
+  def create(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    graft.plans.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -118,6 +118,31 @@ object NorthStar {
       Multimodal.mediaMetadata(s, docs(s, dir)).orderBy(col("media_id"))
     }),
 
+    // Rolling-hash document fingerprint (Rabin–Karp over token hashes):
+    // order-sensitive, incrementally maintainable, SQL-reproducible.
+    "q38_rolling_fingerprint" -> ((s, dir) => {
+      import graft.plans.TextHashExprs
+      docs(s, dir).select(col("doc_id"),
+        TextHashExprs.rollingHash(
+          TextHashExprs.md5Prefix60Array(TA.tokens(col("text"))))
+          .as("rhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // KMV distinct sketch (typed Aggregator): deterministic approximate
+    // distinct users per event type + the exact count for comparison.
+    "q39_kmv_distinct" -> ((s, dir) => {
+      import graft.operators.{Dedup, KmvSketch}
+      SparkEntry.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          Dedup.hash60(col("user_id").cast("string")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(
+          KmvSketch.approxDistinct6(col("h"), 64).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // Multiprobe ANN: probe the query bucket + all hamming-1 buckets —
     // recall recovery for sign-LSH without extra hash tables.
     "q35_knn_multiprobe" -> ((s, dir) => {
@@ -337,6 +362,33 @@ object NorthStar {
          SELECT label, count(*) AS n,
            CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_norm
          FROM n GROUP BY label ORDER BY label""",
+    "q38_rolling_fingerprint" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id, list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
+           AS th FROM toks)
+         SELECT doc_id,
+           list_reduce(th, (x, y) -> (x * 1000003 + y) % 2147483647) AS rhash
+         FROM th ORDER BY doc_id""",
+    "q39_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+         FROM events),
+         r AS (SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS nd
+         FROM h),
+         x AS (SELECT event_type, max(nd) AS nd,
+             max(CASE WHEN rn = 64 THEN hv END) AS kth
+           FROM r GROUP BY event_type),
+         e AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+           FROM events GROUP BY event_type)
+         SELECT x.event_type,
+           round(CASE WHEN x.nd < 64 THEN CAST(x.nd AS DOUBLE)
+             ELSE 63.0 * power(2.0, 60) / CAST(x.kth AS DOUBLE) END, 6)
+             AS approx_users,
+           e.exact_users
+         FROM x JOIN e USING (event_type) ORDER BY event_type""",
     "q35_knn_multiprobe" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
            FROM embeddings),

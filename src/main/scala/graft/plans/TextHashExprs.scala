@@ -193,6 +193,32 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** array<long> -> long: order-sensitive polynomial rolling hash
+    * (Rabin–Karp) over pre-modded element hashes:
+    *   acc_0 = 0;  acc_{i+1} = (acc_i * 1000003 + (h_i mod P)) mod P,
+    * P = 2^31 - 1. A document fingerprint that, unlike the md5 whole-text
+    * fingerprint, is incrementally maintainable over windows/streams and
+    * reproducible in plain SQL integer arithmetic.
+    */
+  case class RollingHashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val m = hs.numElements()
+      val P = 2147483647L
+      var acc = 0L
+      var i = 0
+      while (i < m) {
+        acc = (acc * 1000003L + (hs.getLong(i) % P)) % P
+        i += 1
+      }
+      acc
+    }
+    override protected def withNewChildInternal(c: Expression): RollingHashExpr =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------- Column helpers
 
   def shingles(tokens: Column, n: Int): Column =
@@ -210,4 +236,7 @@ object TextHashExprs {
   def langId(tokens: Column, order: Seq[String],
       stopwords: Map[String, Seq[String]]): Column =
     Bridge.column(LangIdExpr(Bridge.expression(tokens), order, stopwords))
+
+  def rollingHash(hashes: Column): Column =
+    Bridge.column(RollingHashExpr(Bridge.expression(hashes)))
 }
