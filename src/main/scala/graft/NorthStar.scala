@@ -118,6 +118,30 @@ object NorthStar {
       Multimodal.mediaMetadata(s, docs(s, dir)).orderBy(col("media_id"))
     }),
 
+    // Pivot: day x event-type count matrix (fixed column set; absent
+    // cells zero-filled to match the oracle's FILTER counts).
+    "q40_pivot_daily_types" -> ((s, dir) => {
+      SparkEntry.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("day"))
+    }),
+
+    // Multimodal feature extraction: decode + resize + frame-sample +
+    // fake embedding in ONE partition-wise pass; probe dims + transforms
+    // verified against the md5-arithmetic oracle.
+    "q41_media_features" -> ((s, dir) => {
+      Multimodal.mediaFeatures(s, docs(s, dir))
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("n_frames"), col("frame_ids"),
+          round(element_at(col("feature"), 1), 6).as("f0"),
+          round(element_at(col("feature"), 4), 6).as("f3"),
+          round(element_at(col("feature"), 8), 6).as("f7"))
+        .orderBy(col("media_id"))
+    }),
+
     // Rolling-hash document fingerprint (Rabin–Karp over token hashes):
     // order-sensitive, incrementally maintainable, SQL-reproducible.
     "q38_rolling_fingerprint" -> ((s, dir) => {
@@ -362,6 +386,33 @@ object NorthStar {
          SELECT label, count(*) AS n,
            CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_norm
          FROM n GROUP BY label ORDER BY label""",
+    "q40_pivot_daily_types" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY day""",
+    "q41_media_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+           md5(text) AS h, octet_length(encode(text)) AS nb FROM documents),
+         d AS (SELECT media_id, kind,
+           CAST(16 + CAST(('0x' || substr(h, 1, 7)) AS BIGINT) % 1024 AS INT) AS width,
+           CAST(16 + CAST(('0x' || substr(h, 9, 7)) AS BIGINT) % 1024 AS INT) AS height,
+           CAST(1 + nb % 30 AS INT) AS n_frames, h FROM m)
+         SELECT media_id, kind, width, height,
+           CAST(greatest(1, floor(width * (256.0 / greatest(width, height)))) AS INT) AS out_w,
+           CAST(greatest(1, floor(height * (256.0 / greatest(width, height)))) AS INT) AS out_h,
+           n_frames,
+           array_to_string(list_sort(list_distinct(list_transform(
+             generate_series(0, 3), j -> (j * n_frames) // 4))), ',')
+             AS frame_ids,
+           round(CAST(('0x' || substr(h, 1, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0, 6) AS f0,
+           round(CAST(('0x' || substr(h, 13, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0, 6) AS f3,
+           round(CAST(('0x' || substr(h, 29, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0, 6) AS f7
+         FROM d ORDER BY media_id""",
     "q38_rolling_fingerprint" ->
       s"""WITH $toksCte,
          th AS (SELECT doc_id, list_transform(t, tok ->

@@ -64,6 +64,57 @@ object Multimodal {
     }
   }
 
+  /** Full feature row: decode metadata + derived transforms, all from one
+    * pass over the payload (decode once, derive everything — the shape a
+    * real codec pipeline wants, since opening the media is the expensive
+    * part).
+    */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      out_w: Int,        // resize-to-fit-256 stub
+      out_h: Int,
+      n_frames: Int,
+      frame_ids: String, // 4 evenly-spaced sampled frame indices, csv
+      feature: Array[Double]) // 8-dim fake embedding from payload md5
+
+  /** STUB feature extraction: resize dims, frame sampling, and an 8-dim
+    * "embedding" — all deterministic arithmetic over the md5/byte-length,
+    * so the whole pipeline is oracle-reproducible. A real deployment
+    * replaces the bodies with codec/model calls; signatures and the
+    * partition-wise driver stay.
+    */
+  def extractStub(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+    val meta = decodeStub(id, kind, payload)
+    val scale = 256.0 / math.max(meta.width, meta.height)
+    val outW = math.max(1, math.floor(meta.width * scale).toInt)
+    val outH = math.max(1, math.floor(meta.height * scale).toInt)
+    val frames = (0 until 4).map(j => (j * meta.n_frames) / 4).distinct
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val feature = Array.tabulate(8) { d =>
+      java.lang.Long.parseLong(hex.substring(4 * d, 4 * d + 4), 16)
+        .toDouble / 65536.0 * 2.0 - 1.0
+    }
+    MediaFeatures(id, kind, meta.width, meta.height, outW, outH,
+      meta.n_frames, frames.mkString(","), feature)
+  }
+
+  /** Partition-wise feature extraction (same batching rationale as
+    * [[decode]]).
+    */
+  def extract(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => extractStub(r.media_id, r.kind, r.payload))
+    }
+  }
+
+  def mediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    extract(syntheticMedia(spark, docs)).toDF()
+
   /** Build a synthetic media table from the documents table: the UTF-8
     * bytes of the text as payload (a stand-in for image bytes), kind
     * round-robins over media types. Keeps everything deterministic.

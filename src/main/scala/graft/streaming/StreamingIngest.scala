@@ -65,6 +65,37 @@ object StreamingIngest {
       writer.partitionBy(graft.ingest.Ingest.PartitionCol)).start()
   }
 
+  /** Streaming first-seen filter — the ledger's effectively-once semantics
+    * as a row-level stateful operator: for each key, emit only the first
+    * record ever seen; per-key state is one boolean, kept in the state
+    * store across micro-batches. This is `uniqBy` (reference
+    * BucketToBigQuery.js:221) extended across batches via
+    * `flatMapGroupsWithState` — the custom-state shape
+    * (`KeyValueGroupedDataset`) for anything the built-in
+    * `dropDuplicates` watermark eviction can't express.
+    *
+    * State is O(distinct keys); at scale pair with a watermark-based
+    * `dropDuplicates` for bounded state unless keys are genuinely finite
+    * (file URIs, entity ids).
+    */
+  def firstSeen[K: org.apache.spark.sql.Encoder,
+      V: org.apache.spark.sql.Encoder](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, V])
+      : org.apache.spark.sql.Dataset[V] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    grouped.flatMapGroupsWithState[Boolean, V](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          rows.take(1) // first within the batch wins, rest deduped
+        }
+    }
+  }
+
   /** Watermarked tumbling-window aggregate over a streaming frame — the
     * per-day/per-key channel statistics the reference delegates to the
     * warehouse, expressed as a stream (SURVEY §2.9 "not required for

@@ -55,6 +55,29 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out.filter(col("p_date") === "2026-01-01").count() == 2)
   }
 
+  test("firstSeen: stateful cross-batch dedup emits each key once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val in = MemoryStream[(String, Int)]
+    val out = StreamingIngest.firstSeen(
+      in.toDS().groupByKey(_._1))
+    val q = out.writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(("a", 1), ("a", 2), ("b", 3))
+      q.processAllAvailable()
+      // second batch replays a and adds c — only c comes through
+      in.addData(("a", 9), ("c", 4), ("c", 5))
+      q.processAllAvailable()
+      val rows = spark.table("first_seen").as[(String, Int)]
+        .collect().sortBy(_._1)
+      assert(rows.toSeq == Seq(("a", 1), ("b", 3), ("c", 4)))
+    } finally q.stop()
+  }
+
   test("windowed channel stats: tumbling window with watermark (batch-run)") {
     import spark.implicits._
     val df = Seq(
