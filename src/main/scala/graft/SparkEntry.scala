@@ -255,6 +255,36 @@ object SparkEntry {
       batch.union(batch).distinct().orderBy(col("event_id"))
     }),
 
+    // Correlated-aggregate join (TPC-H Q17 shape): lineitems below 20% of
+    // their part's average quantity. The "scalar subquery per row" is
+    // decorrelated into one grouped agg + equi-join; the comparison is
+    // rewritten exact (qty*5*cnt < sum) so no float average is compared.
+    "q42_below_avg_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgq = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_q"),
+          count(lit(1)).as("cnt_q"))
+      li.join(broadcast(t(s, dir, "part"))
+            .filter(col("p_brand") === "Brand#13"),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgq, col("l_partkey") === col("pk"))
+        .filter(dec(col("l_quantity")) * 5 * col("cnt_q") < col("sum_q"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"))
+    }),
+
+    // Correlated EXISTS (TPC-H Q4 shape): order-priority counts for
+    // orders having at least one deeply-discounted item — EXISTS becomes
+    // a left-semi join under decorrelation.
+    "q43_priority_discounted" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_discount") > 0.05),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Sessionization: per-user session windows with a 30-min inactivity
     // gap (Spark's session_window; oracle = gaps-and-islands SQL). The
     // stateful-streaming shape of SURVEY §2.9 run as batch.
@@ -424,6 +454,21 @@ object SparkEntry {
            UNION ALL
            SELECT event_id, user_id FROM events WHERE event_type = 'signup')
          ORDER BY event_id""",
+    "q42_below_avg_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#13'
+         JOIN (SELECT l_partkey AS pk,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q,
+                 count(*) AS cnt_q
+               FROM lineitem GROUP BY 1) a ON pk = l_partkey
+         WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_q < sum_q""",
+    "q43_priority_discounted" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "q36_sessionize" ->
       """WITH o AS (SELECT user_id, ts, value,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
