@@ -176,6 +176,15 @@ object NorthStar {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // IVF ANN: coarse quantizer (16 cells) + inverted lists + 2-cell
+    // probing — the second scale path beside sign-LSH.
+    "q44_knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnIvf(e, e.filter(col("vec_id") < 5), k = 5,
+        nCentroids = 16, nProbe = 2)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // As-of join (time-series alignment; no native Spark join type) —
     // verified against DuckDB's native ASOF JOIN. For each purchase, the
     // most recent click at-or-before it per user.
@@ -440,6 +449,29 @@ object NorthStar {
              AS approx_users,
            e.exact_users
          FROM x JOIN e USING (event_type) ORDER BY event_type""",
+    "q44_knn_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+           WHERE vec_id < 16),
+         sc AS (SELECT e.vec_id, e.embedding, c.cid,
+             ${dotSql("e.embedding", "c.ce")} /
+               (${normSql("e.embedding")} * ${normSql("c.ce")}) AS s
+           FROM embeddings e CROSS JOIN c),
+         cell AS (SELECT vec_id AS neighbor_id, embedding AS cv, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         qp AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, cid) AS rn FROM sc WHERE vec_id < 5)
+           WHERE rn <= 2),
+         j AS (SELECT query_id, neighbor_id,
+             ${cosSql("qv", "cv")} AS cosine
+           FROM cell JOIN qp USING (cid)
+           WHERE neighbor_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
+         SELECT query_id, rn, neighbor_id, cosine FROM r
+         WHERE rn <= 5 ORDER BY query_id, rn""",
     "q35_knn_multiprobe" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
            FROM embeddings),

@@ -96,6 +96,44 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the first
+    * `nCentroids` vectors serve as centroids), every vector assigned to
+    * its max-cosine cell (the inverted lists), and each query probing its
+    * `nProbe` nearest cells. All relational: one broadcast cross-join
+    * against the tiny centroid set for assignment, then an equi-join on
+    * cell id — candidate generation never forms the full cross product,
+    * and the cell assignment is computed once and reusable as a
+    * materialized index table at scale.
+    */
+  def knnIvf(vectors: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = vectors.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+    def scoreCells(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .crossJoin(broadcast(cents))
+        .withColumn("s",
+          graft.plans.CosineSimilarityExpr.cosine(col(vec), col("ce")))
+    // inverted lists: each vector in exactly one cell (raw-cosine argmax,
+    // centroid id tiebreak)
+    val wv = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("s").desc, col("cid"))
+    val cells = scoreCells(vectors, "neighbor_id", "c_vec")
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("cid"), col("neighbor_id"), col("c_vec"))
+    // queries probe their nProbe nearest cells
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("cid"))
+    val probes = scoreCells(queries, "query_id", "q_vec")
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("cid"), col("query_id"), col("q_vec"))
+    val joined = cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cos6(col("q_vec"), col("c_vec")))
+    ranked(joined, k)
+  }
+
   /** Near-duplicate vector pairs: same LSH bucket AND cosine >= threshold.
     * The bucket equi-join keeps this linear-ish in corpus size (bucket-
     * local pairs only) instead of the quadratic all-pairs join.
