@@ -75,6 +75,16 @@ object NorthStar {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // The dedup PRODUCT: the surviving corpus after near-dedup — every
+    // doc except the larger-id member of each verified near-dup pair
+    // (exact dups have Jaccard 1.0, so they fall out of the same pass).
+    "q45_dedup_corpus" -> ((s, dir) => {
+      val drop = Dedup.jaccardDupPairs(docs(s, dir), 0.8)
+        .select(col("b_id").as("doc_id")).distinct()
+      docs(s, dir).join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q26_simhash" -> ((s, dir) => {
       Dedup.simhashed(docs(s, dir)).orderBy(col("doc_id"))
     }),
@@ -332,6 +342,16 @@ object NorthStar {
            FROM cand JOIN sh ja ON ja.doc_id = a_id
                      JOIN sh jb ON jb.doc_id = b_id)
          WHERE j >= 0.8 ORDER BY a_id, b_id""",
+    "q45_dedup_corpus" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
+         pairs AS (SELECT a_id, b_id,
+             CAST(len(list_intersect(ja.s, jb.s)) AS DOUBLE)
+               / len(list_distinct(ja.s || jb.s)) AS j
+           FROM cand JOIN sh ja ON ja.doc_id = a_id
+                     JOIN sh jb ON jb.doc_id = b_id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= 0.8)
+         ORDER BY doc_id""",
     "q26_simhash" ->
       s"""WITH $toksCte,
          th AS (SELECT doc_id, list_transform(t, tok ->
