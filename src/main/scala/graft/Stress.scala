@@ -58,8 +58,33 @@ object Stress {
       println(f"STRESS $name%-28s $dt%8.2f s  rows=$n")
     }
 
+    // relational core at REPL x sf0.1 (~6M lineitem rows at 10x):
+    // pricing-summary agg, fact-fact join + agg, window top-1
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val or0 = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = (0 until repl).map(i => li0.withColumn("l_orderkey",
+      col("l_orderkey") + lit(i.toLong * 10000000L))).reduce(_ unionByName _)
+    val or = (0 until repl).map(i => or0.withColumn("o_orderkey",
+      col("o_orderkey") + lit(i.toLong * 10000000L))).reduce(_ unionByName _)
+
     println(s"STRESS corpus: ${repl}x -> ${nDocs0 * repl} docs, " +
-      s"${2000 * repl} vectors")
+      s"${2000 * repl} vectors, ~${600000L * repl} lineitem rows")
+    timeCount("q1_agg")(
+      li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          count(lit(1)).as("n")))
+    timeCount("fact_join_agg")(
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          count(lit(1)).as("n")))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    timeCount("window_top1")(
+      or.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1))
     time("signatures")(Dedup.signatures(docs))
     timeCount("minhash_pairs")(Dedup.minhashDupPairs(docs, 0.5))
     timeCount("minhash_pairs_capped")(
