@@ -128,12 +128,45 @@ object Ingest {
       partitionField: Option[String],
       rows: Long)
 
-  /** Run one task end-to-end. `sourceRoot` is the storage root the globs
-    * apply under; `warehouseRoot` is where `<dataset>/<table>` lives.
+  /** The planning product — everything `loadTask` decides before touching
+    * data. Returned verbatim by [[planTask]] (the reference's DRY_RUN
+    * surface, index.js:79-80: print the generated load-job config instead
+    * of executing it).
     */
-  def loadTask(
+  final case class LoadPlan(
+      jobId: String,
+      destPath: String,
+      ledgerPath: String,
+      files: Seq[String],
+      schema: StructType,
+      partitionField: Option[String]) {
+    def render: String =
+      s"""jobId:     $jobId
+         |dest:      $destPath
+         |ledger:    $ledgerPath
+         |partition: ${partitionField.getOrElse("(none)")}
+         |schema:    ${schema.fields.map(f =>
+               s"${f.name}:${f.dataType.simpleString}").mkString(", ")}
+         |files:     ${files.mkString("\n           ")}""".stripMargin
+  }
+
+  /** Deterministic job id: prefix + UTC stamp + task table (24-hour clock;
+    * the reference's 12-hour `hh` stamp, BucketToBigQuery.js:225, is a
+    * documented quirk we do not reproduce — ids are identifiers, not
+    * behavior).
+    */
+  def jobId(task: Task, prefix: String = "graft__"): String =
+    prefix + java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmssSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now()) + "_" + task.table
+
+  /** Planning only — list, ledger-filter, sniff, evolve, infer partition —
+    * no data read beyond the 4 KB header probes, no writes.
+    */
+  def planTask(
       spark: SparkSession, task: Task,
-      sourceRoot: String, warehouseRoot: String): LoadResult = {
+      sourceRoot: String, warehouseRoot: String): LoadPlan = {
     val destPath = s"$warehouseRoot/${task.dataset}/${task.table}"
     val ledgerPath = s"$warehouseRoot/${task.dataset}/${task.ledgerTable}"
     val conf = spark.sparkContext.hadoopConfiguration
@@ -142,8 +175,8 @@ object Ingest {
     val candidates = listCandidates(spark, sourceRoot, task.sources)
     val files = Ledger.filterNew(spark, ledgerPath, candidates)
     if (files.isEmpty)
-      return LoadResult(destPath, Nil,
-        destSchema(spark, destPath).getOrElse(task.declaredSchema), None, 0L)
+      return LoadPlan(jobId(task), destPath, ledgerPath, Nil,
+        destSchema(spark, destPath).getOrElse(task.declaredSchema), None)
 
     // 2. sniff (S2) + evolve (SO2): longest of first/last file headers
     val headers = CsvSniffer.longestHeaders(conf, files)
@@ -153,24 +186,41 @@ object Ingest {
     // 3. partition field: explicit > inferred over first 5 (F1)
     val partField = SchemaEvolution.effectivePartitionField(
       task.timePartitioningField, task.timePartitioningFieldSet, evolved)
+    LoadPlan(jobId(task), destPath, ledgerPath, files, evolved, partField)
+  }
+
+  /** Run one task end-to-end. `sourceRoot` is the storage root the globs
+    * apply under; `warehouseRoot` is where `<dataset>/<table>` lives.
+    */
+  def loadTask(
+      spark: SparkSession, task: Task,
+      sourceRoot: String, warehouseRoot: String): LoadResult = {
+    val plan = planTask(spark, task, sourceRoot, warehouseRoot)
+    if (plan.files.isEmpty)
+      return LoadResult(plan.destPath, Nil, plan.schema, None, 0L)
 
     // 4. the distributed part: one multi-file read, one partitioned write
-    val df = alignTo(readCsv(spark, evolved, files), evolved)
-    val writer = partField match {
+    val df = alignTo(readCsv(spark, plan.schema, plan.files), plan.schema)
+    val writer = plan.partitionField match {
       case Some(f) =>
         df.withColumn(PartitionCol, to_date(col(f)))
           .write.mode("append").partitionBy(PartitionCol)
       case None => df.write.mode("append")
     }
-    writer.parquet(destPath)
+    writer.parquet(plan.destPath)
 
     // 5. ledger AFTER the write action returns (fixes reference quirk ST5
     //    where files were ledgered before their load job completed,
     //    BucketToBigQuery.js:361–374)
-    Ledger.markImported(spark, ledgerPath, files)
+    Ledger.markImported(spark, plan.ledgerPath, plan.files)
 
-    val rows = spark.read.parquet(destPath).count()
-    LoadResult(destPath, files, evolved, partField, rows)
+    val rows = spark.read.parquet(plan.destPath).count()
+    // metric log lines, the reference's observability surface
+    // (`METRIC B2BQ.*`, index.js:55-98)
+    println(s"METRIC graft.files_loaded=${plan.files.length} " +
+      s"graft.rows_total=$rows job=${plan.jobId}")
+    LoadResult(plan.destPath, plan.files, plan.schema,
+      plan.partitionField, rows)
   }
 
   /** Read a destination table back, reconciling old narrow files with the

@@ -121,6 +121,24 @@ class IngestSpec extends SparkSpec {
     assert(out.head().getTimestamp(0).toString == "2026-01-01 02:00:00.0")
   }
 
+  test("planTask is a side-effect-free dry run (reference DRY_RUN)") {
+    val root = tmpDir("plan_")
+    val src = new java.io.File(s"$root/in"); src.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(src, "a.csv"))
+    try w.write("timestamp,utc_offset,location,t1\n2026-01-01 00:00:00,1.0,x,9.9\n")
+    finally w.close()
+    val task = Manifest.parse(manifestJson).tasks.head
+    val plan = graft.ingest.Ingest.planTask(spark, task, root, s"$root/wh")
+    assert(plan.files.length == 1)
+    assert(plan.partitionField.contains("timestamp"))
+    assert(plan.schema.fieldNames.toSeq ==
+      Seq("timestamp", "utc_offset", "location", "t1"))
+    assert(plan.jobId.startsWith("graft__"))
+    assert(plan.render.contains("a.csv"))
+    // nothing was written: no destination, no ledger
+    assert(!new java.io.File(s"$root/wh").exists())
+  }
+
   test("incompatible headers are a hard error (reference :291)") {
     val root = tmpDir("ingest_bad_")
     val src = new java.io.File(s"$root/in")
