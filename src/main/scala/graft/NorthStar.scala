@@ -85,6 +85,25 @@ object NorthStar {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // The curation capstone: the corpus a training pipeline would keep —
+    // English, above the quality bar, and not a near-duplicate victim.
+    // Composes lang-ID, quality scoring, and LSH+Jaccard dedup in one
+    // declarative pipeline Catalyst plans end-to-end.
+    "q46_curated_corpus" -> ((s, dir) => {
+      val drop = Dedup.jaccardDupPairs(docs(s, dir), 0.8)
+        .select(col("b_id").as("doc_id")).distinct()
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          array_distinct(TA.tokens(col("text"))).as("toks"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          TA.langIdFromTokens(col("toks")).as("lang_pred"),
+          round(TA.qualityScore(col("text")), 6).as("quality"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
+
     "q26_simhash" -> ((s, dir) => {
       Dedup.simhashed(docs(s, dir)).orderBy(col("doc_id"))
     }),
@@ -342,6 +361,44 @@ object NorthStar {
            FROM cand JOIN sh ja ON ja.doc_id = a_id
                      JOIN sh jb ON jb.doc_id = b_id)
          WHERE j >= 0.8 ORDER BY a_id, b_id""",
+    "q46_curated_corpus" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
+         pairs AS (SELECT a_id, b_id,
+             CAST(len(list_intersect(ja.s, jb.s)) AS DOUBLE)
+               / len(list_distinct(ja.s || jb.s)) AS j
+           FROM cand JOIN sh ja ON ja.doc_id = a_id
+                     JOIN sh jb ON jb.doc_id = b_id),
+         hits AS (SELECT doc_id,
+           ${hitsSql("en")} AS s_en, ${hitsSql("es")} AS s_es,
+           ${hitsSql("de")} AS s_de, ${hitsSql("fr")} AS s_fr,
+           ${hitsSql("zh")} AS s_zh
+         FROM toks),
+         m AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS ntok,
+           ${hitsSql("en")} AS stop_hits,
+           len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS npunct,
+           length(text) AS nchar,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS nws
+         FROM toks JOIN documents USING (doc_id)),
+         scored AS (SELECT h.doc_id,
+           CASE
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+             WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+             ELSE 'und' END AS lang_pred,
+           round(
+             (CAST(stop_hits AS DOUBLE) / CAST(ntok AS DOUBLE)) * 0.5
+             + (CASE WHEN CAST(nws AS DOUBLE) / CAST(ntok AS DOUBLE)
+                 BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+             + (0.2 - least(CAST(npunct AS DOUBLE) / CAST(nchar AS DOUBLE) * 2.0, 0.2)),
+             6) AS quality
+         FROM hits h JOIN m USING (doc_id))
+         SELECT doc_id, lang_pred, quality FROM scored
+         WHERE lang_pred = 'en' AND quality >= 0.3
+           AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= 0.8)
+         ORDER BY doc_id""",
     "q45_dedup_corpus" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
          pairs AS (SELECT a_id, b_id,
