@@ -255,6 +255,37 @@ object SparkEntry {
       batch.union(batch).distinct().orderBy(col("event_id"))
     }),
 
+    // lag: per-user inter-event gaps in exact integer microseconds.
+    "q47_event_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ntile: order-value quartiles with full tiebreaks.
+    "q48_order_quartiles" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .select(col("o_orderkey"), col("quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // percent_rank + cume_dist per event type (exact integer-ratio math).
+    "q49_value_percentiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select(col("event_id"), col("event_type"), col("pr"), col("cd"))
+        .orderBy(col("event_id"))
+    }),
+
     // Correlated-aggregate join (TPC-H Q17 shape): lineitems below 20% of
     // their part's average quantity. The "scalar subquery per row" is
     // decorrelated into one grouped agg + equi-join; the comparison is
@@ -454,6 +485,22 @@ object SparkEntry {
            UNION ALL
            SELECT event_id, user_id FROM events WHERE event_type = 'signup')
          ORDER BY event_id""",
+    "q47_event_gaps" ->
+      """SELECT event_id, user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS gap_us
+         FROM events ORDER BY event_id""",
+    "q48_order_quartiles" ->
+      """SELECT o_orderkey, ntile(4) OVER (
+           ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+         FROM orders ORDER BY o_orderkey""",
+    "q49_value_percentiles" ->
+      """SELECT event_id, event_type,
+         round(percent_rank() OVER (PARTITION BY event_type
+           ORDER BY value, event_id), 6) AS pr,
+         round(cume_dist() OVER (PARTITION BY event_type
+           ORDER BY value, event_id), 6) AS cd
+         FROM events ORDER BY event_id""",
     "q42_below_avg_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
            AS avg_yearly
