@@ -255,6 +255,27 @@ object SparkEntry {
       batch.union(batch).distinct().orderBy(col("event_id"))
     }),
 
+    // SO: INTERSECT (completes the set-op family beside union/except).
+    "q50_click_and_purchase_users" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // first_value/last_value over an explicit unbounded frame.
+    "q51_first_last_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .withColumn("first_v", first(col("value")).over(w))
+        .withColumn("last_v", last(col("value")).over(w))
+        .select(col("user_id"), col("first_v"), col("last_v")).distinct()
+        .orderBy(col("user_id"))
+    }),
+
     // lag: per-user inter-event gaps in exact integer microseconds.
     "q47_event_gaps" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -485,6 +506,20 @@ object SparkEntry {
            UNION ALL
            SELECT event_id, user_id FROM events WHERE event_type = 'signup')
          ORDER BY event_id""",
+    "q50_click_and_purchase_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "q51_first_last_value" ->
+      """SELECT DISTINCT user_id,
+         first_value(value) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+         last_value(value) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+         FROM events ORDER BY user_id""",
     "q47_event_gaps" ->
       """SELECT event_id, user_id,
          epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
