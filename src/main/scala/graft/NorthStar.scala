@@ -21,6 +21,15 @@ object NorthStar {
   private def emb(s: SparkSession, dir: String): DataFrame =
     SparkEntry.t(s, dir, "embeddings")
 
+  /** Single source of truth for thresholds used by BOTH the Spark query and
+    * its DuckDB oracle — interpolated into the SQL below so the two sides
+    * cannot drift (a 0.5-vs-0.4 drift here once passed only because no test
+    * pair landed in the gap).
+    */
+  private val MinhashDupThreshold = 0.5
+  private val JaccardDupThreshold = 0.8
+  private val EmbNearDupThreshold = 0.4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis -------------------------------------------------
@@ -65,12 +74,12 @@ object NorthStar {
     }),
 
     "q24_minhash_dup_pairs" -> ((s, dir) => {
-      Dedup.minhashDupPairs(docs(s, dir), 0.5)
+      Dedup.minhashDupPairs(docs(s, dir), MinhashDupThreshold)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
     "q25_jaccard_dup_pairs" -> ((s, dir) => {
-      Dedup.jaccardDupPairs(docs(s, dir), 0.8)
+      Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -79,7 +88,7 @@ object NorthStar {
     // doc except the larger-id member of each verified near-dup pair
     // (exact dups have Jaccard 1.0, so they fall out of the same pass).
     "q45_dedup_corpus" -> ((s, dir) => {
-      val drop = Dedup.jaccardDupPairs(docs(s, dir), 0.8)
+      val drop = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold)
         .select(col("b_id").as("doc_id")).distinct()
       docs(s, dir).join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -90,7 +99,7 @@ object NorthStar {
     // Composes lang-ID, quality scoring, and LSH+Jaccard dedup in one
     // declarative pipeline Catalyst plans end-to-end.
     "q46_curated_corpus" -> ((s, dir) => {
-      val drop = Dedup.jaccardDupPairs(docs(s, dir), 0.8)
+      val drop = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold)
         .select(col("b_id").as("doc_id")).distinct()
       docs(s, dir)
         .select(col("doc_id"), col("text"),
@@ -127,7 +136,8 @@ object NorthStar {
     }),
 
     "q30_embedding_neardup" -> ((s, dir) => {
-      Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, nPlanes = 4)
+      Similarity.nearDupPairs(emb(s, dir), threshold = EmbNearDupThreshold,
+        nPlanes = 4)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -350,7 +360,7 @@ object NorthStar {
          FROM cand JOIN sig sa ON sa.doc_id = a_id
                    JOIN sig sb ON sb.doc_id = b_id
          WHERE CAST(len(list_filter(generate_series(1, 16),
-             i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.4
+             i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= $MinhashDupThreshold
          ORDER BY a_id, b_id""",
     "q25_jaccard_dup_pairs" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte
@@ -360,7 +370,7 @@ object NorthStar {
                / len(list_distinct(ja.s || jb.s)) AS j
            FROM cand JOIN sh ja ON ja.doc_id = a_id
                      JOIN sh jb ON jb.doc_id = b_id)
-         WHERE j >= 0.8 ORDER BY a_id, b_id""",
+         WHERE j >= $JaccardDupThreshold ORDER BY a_id, b_id""",
     "q46_curated_corpus" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
          pairs AS (SELECT a_id, b_id,
@@ -397,7 +407,7 @@ object NorthStar {
          FROM hits h JOIN m USING (doc_id))
          SELECT doc_id, lang_pred, quality FROM scored
          WHERE lang_pred = 'en' AND quality >= 0.3
-           AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= 0.8)
+           AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
          ORDER BY doc_id""",
     "q45_dedup_corpus" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
@@ -407,7 +417,7 @@ object NorthStar {
            FROM cand JOIN sh ja ON ja.doc_id = a_id
                      JOIN sh jb ON jb.doc_id = b_id)
          SELECT doc_id FROM documents
-         WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= 0.8)
+         WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
          ORDER BY doc_id""",
     "q26_simhash" ->
       s"""WITH $toksCte,
@@ -465,7 +475,7 @@ object NorthStar {
          SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
            ${cosSql("a.embedding", "b2.embedding")} AS cosine
          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         WHERE ${cosSql("a.embedding", "b2.embedding")} >= 0.4
+         WHERE ${cosSql("a.embedding", "b2.embedding")} >= $EmbNearDupThreshold
          ORDER BY a_id, b_id""",
     "q31_vector_stats" ->
       s"""WITH n AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)

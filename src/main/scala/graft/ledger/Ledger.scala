@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   * granular and the anti-join re-dedups duplicate ledger rows exactly like
   * the reference's `SELECT DISTINCT uri` (BucketToBigQuery.js:386), so
   * non-transactional parquet appends are safe at file granularity. The
-  * anti-join broadcasts whichever side is small (usually the candidate
-  * batch), so it costs one scan of the ledger and no shuffle of the big side.
+  * anti-join carries NO broadcast hint: the ledger grows without bound, and
+  * a LEFT ANTI join can only broadcast its right (ledger) side — forcing
+  * that would ship the whole ledger to every task forever. Size stats + AQE
+  * broadcast it only while it is genuinely small, then fall back to a
+  * shuffled join keyed on uri.
   */
 object Ledger {
 
@@ -47,11 +50,11 @@ object Ledger {
     read(spark, ledgerPath).select("uri").distinct()
 
   /** The anti-join (J1): candidate URIs minus already-imported URIs.
-    * `candidates` is a single-column `uri` DataFrame.
+    * `candidates` is a single-column `uri` DataFrame. Deliberately no
+    * broadcast hint — see the scale-posture note above.
     */
   def newFiles(candidates: DataFrame, ledger: DataFrame): DataFrame =
-    candidates.join(
-      broadcast(ledger.select("uri").distinct()), Seq("uri"), "left_anti")
+    candidates.join(ledger.select("uri").distinct(), Seq("uri"), "left_anti")
 
   /** Driver-side convenience for planning: which of these file URIs are new. */
   def filterNew(

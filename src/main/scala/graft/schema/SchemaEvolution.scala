@@ -51,8 +51,11 @@ object SchemaEvolution {
 
   /** Schema for a task with declared fields plus sniffed extras
     * (BucketToBigQuery.js:301–313). With no declared fields, everything is
-    * sniffed: first column timestamp-ish names stay string — the reference
-    * types ALL sniffed columns float (:310–313); we keep that contract.
+    * sniffed and typed float (the reference types ALL sniffed columns float,
+    * :310–313; we keep that contract). A sniffed-only table therefore never
+    * has a timestamp-typed column — [[inferPartitionField]] is type-
+    * restricted so such tables load unpartitioned instead of failing a
+    * `to_date(DOUBLE)` at write time.
     */
   def sniffedSchema(
       declared: StructType, incomingNames: Seq[String]): StructType =
@@ -73,10 +76,16 @@ object SchemaEvolution {
     timestampNames.contains(name.toLowerCase.replaceAll("[-_ ]", ""))
 
   /** Infer the partition field: first of the first 5 fields whose name is
-    * likely a timestamp (BucketToBigQuery.js:314–319 `_.slice(fields,0,5)`).
+    * likely a timestamp (BucketToBigQuery.js:314–319 `_.slice(fields,0,5)`)
+    * AND whose declared type can actually partition by day. The type
+    * restriction is ours: the reference would happily pick a float column
+    * named `timestamp` and fail the load job downstream — here a sniffed
+    * (all-float) table simply loads unpartitioned.
     */
   def inferPartitionField(schema: StructType): Option[String] =
-    schema.fields.take(5).map(_.name).find(likelyTimestamp)
+    schema.fields.take(5)
+      .filter(f => f.dataType == TimestampType || f.dataType == DateType)
+      .map(_.name).find(likelyTimestamp)
 
   /** Decide the effective partition field for a task: explicit wins; absent
     * → inferred; explicit null → none.

@@ -139,6 +139,92 @@ class IngestSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/wh").exists())
   }
 
+  test("declared-fields-empty manifest: all-sniffed (float) table loads " +
+      "UNPARTITIONED instead of failing to_date on a double column") {
+    val root = tmpDir("sniffonly_")
+    val src = new java.io.File(s"$root/in"); src.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(src, "a.csv"))
+    // first column is NAMED like a timestamp but (per the reference's
+    // all-sniffed-columns-are-float contract) is typed double — the old
+    // inference picked it as partition field and the load threw
+    try w.write("timestamp,v1\n1.5,10.0\n2.5,11.0\n")
+    finally w.close()
+    val task = Manifest.parse(
+      """{"project":"t","tasks":[{"sources":["**/in/**/*.csv"],
+         "dataset":"ds","table":"sniffed"}]}""".replaceAll("\n", ""))
+      .tasks.head
+    assert(task.fields.isEmpty)
+    val r = Ingest.loadTask(spark, task, root, s"$root/wh")
+    assert(r.rows == 2)
+    assert(r.partitionField.isEmpty)
+    assert(r.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.DoubleType))
+    // no partition dirs — plain files only
+    assert(!new java.io.File(r.destPath).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("p_date=")))
+  }
+
+  test("manifest authentication: parse, gs-style indirection resolve, " +
+      "Hadoop conf wiring (reference index.js:27–35)") {
+    import graft.model.Authentication
+    val root = tmpDir("auth_")
+    val keyFile = new java.io.File(root, "key.json")
+    val w = new java.io.PrintWriter(keyFile)
+    try w.write(
+      """{"type":"service_account","project_id":"p1",
+         "private_key_id":"kid1","private_key":"PEM","client_email":"sa@p1"}""")
+    finally w.close()
+
+    // empty {} authentication ≡ absent (reference deletes it)
+    assert(Manifest.parse(
+      """{"project":"t","authentication":{},"tasks":[]}""")
+      .authentication.isEmpty)
+
+    // keyFilename via a storage URI → fetched and inlined as credentials
+    val m = Manifest.parse(
+      s"""{"project":"t",
+          "authentication":{"keyFilename":"file://${keyFile.getAbsolutePath}",
+                            "projectId":"p1"},
+          "tasks":[]}""")
+    val auth = m.authentication.get
+    assert(auth.keyFilename.contains(s"file://${keyFile.getAbsolutePath}"))
+    val resolved = Authentication.resolve(spark, auth)
+    assert(resolved.keyFilename.isEmpty)
+    assert(resolved.credentials.get("client_email") == "sa@p1")
+
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    Authentication.applyTo(resolved, conf)
+    assert(conf.get("fs.gs.auth.service.account.email") == "sa@p1")
+    assert(conf.get("fs.gs.auth.service.account.private.key") == "PEM")
+    assert(conf.get("fs.gs.project.id") == "p1")
+
+    // a LOCAL keyFilename passes through to the connector's keyfile conf
+    val local = Authentication.resolve(spark,
+      Authentication(Some("/tmp/k.json"), None, Map.empty))
+    assert(local.keyFilename.contains("/tmp/k.json"))
+    val conf2 = new org.apache.hadoop.conf.Configuration(false)
+    Authentication.applyTo(local, conf2)
+    assert(conf2.get("fs.gs.auth.service.account.json.keyfile") == "/tmp/k.json")
+  }
+
+  test("ledger anti-join never forces a broadcast of the ledger side") {
+    import spark.implicits._
+    // with auto-broadcast off, a forced hint would still produce a
+    // BroadcastExchange; its absence proves the plan lets stats/AQE decide
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = Seq("a", "b", "c").toDF("uri")
+      val ledger = Seq("b").toDF("uri")
+        .withColumn("imported_at", current_timestamp())
+      val nf = Ledger.newFiles(cand, ledger)
+      assert(nf.as[String].collect().sorted.toSeq == Seq("a", "c"))
+      val plan = nf.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"ledger side must not be force-broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("incompatible headers are a hard error (reference :291)") {
     val root = tmpDir("ingest_bad_")
     val src = new java.io.File(s"$root/in")

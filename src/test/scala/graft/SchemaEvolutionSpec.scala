@@ -49,14 +49,27 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(!likelyTimestamp("updated_at"))
   }
 
+  private def ts(names: String*): StructType =
+    StructType(names.map(n => StructField(n, TimestampType, nullable = true)))
+
   test("inferPartitionField only scans the first 5 fields") {
-    assert(inferPartitionField(st("a", "b", "time")).contains("time"))
+    assert(inferPartitionField(ts("a", "b", "time")).contains("time"))
     assert(inferPartitionField(
-      st("a", "b", "c", "d", "e", "timestamp")).isEmpty)
+      ts("a", "b", "c", "d", "e", "timestamp")).isEmpty)
+  }
+
+  test("inferPartitionField is type-restricted: a float column named like " +
+      "a timestamp never partitions (sniffed-only tables load unpartitioned)") {
+    // st() types everything double — the all-sniffed case; the old behavior
+    // picked "timestamp" by name and failed to_date(DOUBLE) at load time
+    assert(inferPartitionField(st("timestamp", "v")).isEmpty)
+    assert(inferPartitionField(StructType(Seq(
+      StructField("created_at", DateType),
+      StructField("v", DoubleType)))).contains("created_at"))
   }
 
   test("effectivePartitionField: explicit wins, explicit null disables") {
-    val s = st("timestamp", "v")
+    val s = ts("timestamp", "v")
     assert(effectivePartitionField(Some("v"), explicitlySet = true, s)
       .contains("v"))
     assert(effectivePartitionField(None, explicitlySet = true, s).isEmpty)
