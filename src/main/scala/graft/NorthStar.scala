@@ -30,6 +30,31 @@ object NorthStar {
   private val JaccardDupThreshold = 0.8
   private val EmbNearDupThreshold = 0.4
 
+  /** ANN geometry, shared by queries and oracles. 12-bit codes x 4 tables
+    * = 2^14 composite (table,bucket) join keys — the shuffle parallelism
+    * the candidate joins have at scale. On this synthetic testdata
+    * (isotropic vectors, max pairwise cosine ~0.51) the buckets are
+    * near-singleton, so the LSH queries legitimately return few rows —
+    * recall at this operating point is the trained-IVF path's job (q44).
+    */
+  private val AnnBits = 12
+  private val AnnTables = 4
+
+  /** Degenerate-bucket cap for the embedding near-dup self-join — far above
+    * any testdata bucket (max occupancy ~13) so results stay exact, but a
+    * boilerplate/zero-vector cluster at scale cannot go quadratic.
+    */
+  private val AnnBucketCap = 1000
+
+  /** Degenerate-band cap for the MinHash/SimHash candidate joins — same
+    * rationale as [[AnnBucketCap]]: far above any testdata band bucket, so
+    * CORRECTNESS output is unchanged, but a templated-boilerplate cluster
+    * at scale is dropped instead of going quadratic (those clusters are
+    * exact-dup-like; [[graft.operators.Dedup.representatives]] +
+    * `exactDupGroups` own them).
+    */
+  private val DedupBucketCap = 1000
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis -------------------------------------------------
@@ -74,12 +99,14 @@ object NorthStar {
     }),
 
     "q24_minhash_dup_pairs" -> ((s, dir) => {
-      Dedup.minhashDupPairs(docs(s, dir), MinhashDupThreshold)
+      Dedup.minhashDupPairs(docs(s, dir), MinhashDupThreshold,
+        maxBucketSize = DedupBucketCap)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
     "q25_jaccard_dup_pairs" -> ((s, dir) => {
-      Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold)
+      Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold,
+        maxBucketSize = DedupBucketCap)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -88,7 +115,8 @@ object NorthStar {
     // doc except the larger-id member of each verified near-dup pair
     // (exact dups have Jaccard 1.0, so they fall out of the same pass).
     "q45_dedup_corpus" -> ((s, dir) => {
-      val drop = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold)
+      val drop = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold,
+        maxBucketSize = DedupBucketCap)
         .select(col("b_id").as("doc_id")).distinct()
       docs(s, dir).join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -99,7 +127,8 @@ object NorthStar {
     // Composes lang-ID, quality scoring, and LSH+Jaccard dedup in one
     // declarative pipeline Catalyst plans end-to-end.
     "q46_curated_corpus" -> ((s, dir) => {
-      val drop = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold)
+      val drop = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold,
+        maxBucketSize = DedupBucketCap)
         .select(col("b_id").as("doc_id")).distinct()
       docs(s, dir)
         .select(col("doc_id"), col("text"),
@@ -118,7 +147,8 @@ object NorthStar {
     }),
 
     "q27_simhash_dup_pairs" -> ((s, dir) => {
-      Dedup.simhashDupPairs(docs(s, dir), maxHamming = 3)
+      Dedup.simhashDupPairs(docs(s, dir), maxHamming = 3,
+        maxBucketSize = DedupBucketCap)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -131,13 +161,14 @@ object NorthStar {
 
     "q29_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.knnLsh(e, e.filter(col("vec_id") < 5), k = 5, nPlanes = 4)
+      Similarity.knnLsh(e, e.filter(col("vec_id") < 5), k = 5,
+        nPlanes = AnnBits, nTables = AnnTables)
         .orderBy(col("query_id"), col("rn"))
     }),
 
     "q30_embedding_neardup" -> ((s, dir) => {
       Similarity.nearDupPairs(emb(s, dir), threshold = EmbNearDupThreshold,
-        nPlanes = 4)
+        nPlanes = AnnBits, nTables = AnnTables, maxBucketSize = AnnBucketCap)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -211,7 +242,7 @@ object NorthStar {
     "q35_knn_multiprobe" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.knnLshMultiprobe(e, e.filter(col("vec_id") < 5), k = 5,
-        nPlanes = 4)
+        nPlanes = AnnBits, nTables = AnnTables)
         .orderBy(col("query_id"), col("rn"))
     }),
 
@@ -288,14 +319,24 @@ object NorthStar {
   private def cosSql(q: String, c: String): String =
     s"round(${dotSql(q, c)} / (${normSql(q)} * ${normSql(c)}), 6)"
 
-  /** hyperplane LSH bucket over 4 deterministic LCG planes. */
-  private def bucketSql(v: String): String =
-    s"""list_sum(list_transform(generate_series(0, 3), p ->
+  /** Per-(row, table) sign-LSH bucket — mirror of HyperplaneBucketsExpr:
+    * table `t`'s bucket is the sign-bit integer over planes
+    * `t*AnnBits .. t*AnnBits+AnnBits-1`, plane coefficients from the same
+    * LCG (global plane index p, dim d: ((p*64+d)*2654435761 mod 2^32)/2^31-1).
+    */
+  private def bucketSql(v: String, t: String): String =
+    s"""list_sum(list_transform(generate_series(0, ${AnnBits - 1}), j ->
         CASE WHEN list_reduce(list_transform(generate_series(1, 64),
           i -> CAST($v[i] AS DOUBLE) *
-               (CAST((p*64 + (i-1)) * 2654435761 % 4294967296 AS DOUBLE) / 2147483648.0 - 1.0)),
+               (CAST((($t*$AnnBits + j)*64 + (i-1)) * 2654435761 % 4294967296 AS DOUBLE) / 2147483648.0 - 1.0)),
           (x, y) -> x + y) >= 0
-        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))"""
+        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))"""
+
+  /** (vec_id, t, bucket) for every row x table — the composite LSH key. */
+  private val tableBucketsCte =
+    s"""tb AS (SELECT vec_id, t, ${bucketSql("embedding", "t")} AS bucket
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, ${AnnTables - 1})) AS t))"""
 
   private val stopwordSql: Map[String, String] =
     TA.Stopwords.map { case (l, ws) =>
@@ -457,25 +498,29 @@ object NorthStar {
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 10 ORDER BY query_id, rn""",
     "q29_knn_lsh" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
-           FROM b WHERE vec_id < 5),
-         j AS (SELECT query_id, c.vec_id AS neighbor_id,
-             ${cosSql("qv", "c.embedding")} AS cosine
-           FROM b c JOIN q USING (bucket) WHERE c.vec_id <> query_id),
+      s"""WITH $tableBucketsCte,
+         q AS (SELECT vec_id AS query_id, t, bucket FROM tb WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT query_id, c.vec_id AS neighbor_id
+           FROM tb c JOIN q USING (t, bucket) WHERE c.vec_id <> query_id),
+         j AS (SELECT query_id, neighbor_id,
+             ${cosSql("qe.embedding", "ce.embedding")} AS cosine
+           FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+                     JOIN embeddings ce ON ce.vec_id = neighbor_id),
          r AS (SELECT query_id, neighbor_id, cosine,
              row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 5 ORDER BY query_id, rn""",
     "q30_embedding_neardup" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
-           FROM embeddings)
-         SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
-           ${cosSql("a.embedding", "b2.embedding")} AS cosine
-         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         WHERE ${cosSql("a.embedding", "b2.embedding")} >= $EmbNearDupThreshold
+      s"""WITH $tableBucketsCte,
+         cand AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+           FROM tb a JOIN tb b2 USING (t, bucket)
+           WHERE a.vec_id < b2.vec_id)
+         SELECT a_id, b_id,
+           ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+         FROM cand JOIN embeddings ea ON ea.vec_id = a_id
+                   JOIN embeddings eb ON eb.vec_id = b_id
+         WHERE ${cosSql("ea.embedding", "eb.embedding")} >= $EmbNearDupThreshold
          ORDER BY a_id, b_id""",
     "q31_vector_stats" ->
       s"""WITH n AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)
@@ -560,15 +605,19 @@ object NorthStar {
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 5 ORDER BY query_id, rn""",
     "q35_knn_multiprobe" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, embedding AS qv,
-             unnest([bucket] || list_transform(generate_series(0, 3),
-               p -> xor(bucket, CAST(1 AS BIGINT) << p))) AS bucket
-           FROM b WHERE vec_id < 5),
-         j AS (SELECT query_id, c.vec_id AS neighbor_id,
-             ${cosSql("qv", "c.embedding")} AS cosine
-           FROM b c JOIN q USING (bucket) WHERE c.vec_id <> query_id),
+      s"""WITH $tableBucketsCte,
+         q AS (SELECT query_id, t,
+             unnest([bucket] || list_transform(
+               generate_series(0, ${AnnBits - 1}),
+               j -> xor(bucket, CAST(1 AS BIGINT) << j))) AS bucket
+           FROM (SELECT vec_id AS query_id, t, bucket FROM tb
+                 WHERE vec_id < 5)),
+         cand AS (SELECT DISTINCT query_id, c.vec_id AS neighbor_id
+           FROM tb c JOIN q USING (t, bucket) WHERE c.vec_id <> query_id),
+         j AS (SELECT query_id, neighbor_id,
+             ${cosSql("qe.embedding", "ce.embedding")} AS cosine
+           FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+                     JOIN embeddings ce ON ce.vec_id = neighbor_id),
          r AS (SELECT query_id, neighbor_id, cosine,
              row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) AS rn FROM j)

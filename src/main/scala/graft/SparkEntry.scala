@@ -287,11 +287,50 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    // ntile: order-value quartiles with full tiebreaks.
+    // ntile: order-value quartiles with full tiebreaks — DISTRIBUTED.
+    // A bare Window.orderBy(...) ntile funnels every row through ONE task
+    // ("Moving all data to a single partition"); instead:
+    //  (1) coarse cut-points from percentile_approx split the ordering
+    //      domain into B ordered range buckets (the cuts only partition
+    //      the work — ranks stay exact whatever the cuts are);
+    //  (2) one tiny grouped count per bucket → each bucket's global rank
+    //      offset (B rows to the driver, broadcast back as literals);
+    //  (3) global rank = offset + per-bucket row_number, and the quartile
+    //      is exact ntile arithmetic over the total count.
+    // Scales: the heavy pass is a B-way hash shuffle + per-bucket sort;
+    // size B to the cluster (32 here ~ one bucket per core at local[32]).
     "q48_order_quartiles" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("quartile", ntile(4).over(w))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val nBuckets = 32
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+      val cutsDesc = o.agg(percentile_approx(col("o_totalprice"),
+          typedLit(probs), lit(10000)).as("c"))
+        .head().getSeq[Double](0).reverse
+      // bucket = #cuts strictly above the price → bucket 0 holds the top
+      // prices; rows equal to a cut land in the higher-price bucket, so
+      // bucket order agrees with the (price desc, key) sort order
+      val bkt = size(filter(typedLit(cutsDesc),
+        c => col("o_totalprice") < c))
+      val counts = o.select(bkt.as("bkt")).groupBy("bkt").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = counts.values.sum
+      val offsets: Map[Int, Long] = (0 until nBuckets).map { i =>
+        i -> (0 until i).map(j => counts.getOrElse(j, 0L)).sum
+      }.toMap
+      val base = n / 4
+      val rem = n % 4
+      def cum(i: Int): Long = i * base + math.min(i.toLong, rem)
+      val w = Window.partitionBy(col("bkt"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("bkt", bkt)
+        .withColumn("rn", row_number().over(w).cast("long")
+          + element_at(typedLit(offsets), col("bkt")))
+        .withColumn("quartile",
+          when(col("rn") <= cum(1), 1)
+            .when(col("rn") <= cum(2), 2)
+            .when(col("rn") <= cum(3), 3)
+            .otherwise(4))
         .select(col("o_orderkey"), col("quartile"))
         .orderBy(col("o_orderkey"))
     }),

@@ -115,9 +115,20 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Candidate near-dup pairs via LSH banding: explode band keys, self-join
-    * on the key (shuffle by band key — bucket-local work only), keep
-    * a_id < b_id, dedup pairs that collide in multiple bands.
+  /** Candidate near-dup id pairs via LSH banding: explode band keys,
+    * self-join on the key (shuffle by band key — bucket-local work only),
+    * keep a_id < b_id, dedup pairs that collide in multiple bands.
+    *
+    * SLIM by design: only `(doc_id, bkey)` rides the `Bands`-times-exploded
+    * band exchange — at corpus scale the dominant network cost of this
+    * operator is that exchange, and carrying signatures + shingle arrays
+    * through it multiplies the shuffled bytes by ~4x the corpus text. The
+    * per-pair payloads (signatures for the estimate, shingles for exact
+    * Jaccard) are re-joined BY ID against the surviving candidate pairs —
+    * a vastly smaller set than the banded rows. The payload branch re-derives
+    * from the same `sigs` plan; that trades a second map-side pass over
+    * local data for a 4x cut of exchange bytes, the right trade when the
+    * network, not CPU, is the 100 TB bottleneck.
     *
     * `maxBucketSize > 0` drops band buckets larger than the cap before the
     * join — the standard guard against degenerate buckets (boilerplate
@@ -133,8 +144,7 @@ object Dedup {
     // whole signature pipeline) — and a sort-merge bucket join is also the
     // plan this takes on a real cluster where neither side is small.
     val exploded = sigs
-      .select(col("doc_id"), col("sig"), col("shingles"),
-        explode(bandKeys(col("sig"))).as("bkey"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bkey"))
       .repartition(col("bkey"))
     val banded =
       if (maxBucketSize <= 0) exploded
@@ -146,14 +156,23 @@ object Dedup {
           .filter(col("_bn") <= maxBucketSize)
           .drop("_bn")
       }
-    val a = banded.select(col("bkey"), col("doc_id").as("a_id"),
-      col("sig").as("a_sig"), col("shingles").as("a_sh"))
-    val b = banded.select(col("bkey"), col("doc_id").as("b_id"),
-      col("sig").as("b_sig"), col("shingles").as("b_sh"))
+    val a = banded.select(col("bkey"), col("doc_id").as("a_id"))
+    val b = banded.select(col("bkey"), col("doc_id").as("b_id"))
     a.hint("merge").join(b.hint("merge"), Seq("bkey"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sig", "b_sig", "a_sh", "b_sh")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Join one payload column of `sigs` onto both sides of an id-pair frame
+    * (the re-join leg of the slim banding above).
+    */
+  private def joinPayload(
+      pairs: DataFrame, sigs: DataFrame, payloadCol: String,
+      aName: String, bName: String): DataFrame = {
+    val av = sigs.select(col("doc_id").as("a_id"), col(payloadCol).as(aName))
+    val bv = sigs.select(col("doc_id").as("b_id"), col(payloadCol).as(bName))
+    pairs.join(av, Seq("a_id")).join(bv, Seq("b_id"))
   }
 
   /** Estimated Jaccard from two signatures: fraction of agreeing minhash
@@ -163,23 +182,35 @@ object Dedup {
     size(filter(zip_with(aSig, bSig, (x, y) => x === y), b => b))
       .cast("double") / NumHashes
 
-  /** MinHash near-dup pairs with estimated Jaccard >= threshold. */
-  def minhashDupPairs(docs: DataFrame, threshold: Double): DataFrame =
-    lshCandidatePairs(signatures(docs))
+  /** MinHash near-dup pairs with estimated Jaccard >= threshold. Only the
+    * 16-long signatures are re-joined as payload — shingles never leave
+    * their partition.
+    */
+  def minhashDupPairs(docs: DataFrame, threshold: Double,
+      maxBucketSize: Int = 0): DataFrame = {
+    val sigs = signatures(docs)
+    joinPayload(lshCandidatePairs(sigs, maxBucketSize), sigs,
+      "sig", "a_sig", "b_sig")
       .select(col("a_id"), col("b_id"),
         estJaccard(col("a_sig"), col("b_sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
 
   /** Exact n-gram Jaccard over the LSH candidates (verification pass of the
-    * classic two-stage near-dedup): |A ∩ B| / |A ∪ B| on shingle sets.
+    * classic two-stage near-dedup): |A ∩ B| / |A ∪ B| on shingle sets,
+    * shingles joined by id onto the surviving pairs only.
     */
-  def jaccardDupPairs(docs: DataFrame, threshold: Double): DataFrame =
-    lshCandidatePairs(signatures(docs))
+  def jaccardDupPairs(docs: DataFrame, threshold: Double,
+      maxBucketSize: Int = 0): DataFrame = {
+    val sigs = signatures(docs)
+    joinPayload(lshCandidatePairs(sigs, maxBucketSize), sigs,
+      "shingles", "a_sh", "b_sh")
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   // ------------------------------------------------------------ SimHash
 

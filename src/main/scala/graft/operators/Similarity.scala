@@ -53,45 +53,59 @@ object Similarity {
     ranked(joined, k)
   }
 
-  /** Approximate top-k: only candidates in the query's hyperplane bucket
-    * are ranked. `nPlanes` controls bucket granularity (2^nPlanes buckets).
+  /** (table, bucket) candidate keys for every row: `nTables` sign-LSH
+    * tables of `nPlanes` bits each, computed by the codegen'd
+    * [[graft.plans.HyperplaneBucketsExpr]] in one fused pass. The composite
+    * key space is `nTables * 2^nPlanes` — that is the join parallelism at
+    * scale — while the OR over tables keeps recall that a single long code
+    * would destroy.
+    */
+  private def withTableBuckets(df: DataFrame, idCol: String, vecCol: String,
+      id: String, vec: String, nPlanes: Int, nTables: Int): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).as(vec),
+      posexplode(graft.plans.HyperplaneBucketsExpr
+        .buckets(col(vecCol), nPlanes, nTables)).as(Seq("t", "bucket")))
+
+  /** Approximate top-k: only candidates sharing a `(table, bucket)` key
+    * with the query are ranked. `nPlanes` controls per-table granularity
+    * (2^nPlanes buckets/table); `nTables` is the OR-amplification width.
     */
   def knnLsh(vectors: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
-    val planes = VectorOps.deterministicPlanes(nPlanes, dim)
-    def withBucket(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        VectorOps.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val q = withBucket(queries, "query_id", "q_vec")
-    val c = withBucket(vectors, "neighbor_id", "c_vec")
-    val joined = c.join(broadcast(q), Seq("bucket"))
+      nTables: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = withTableBuckets(queries, idCol, vecCol, "query_id", "q_vec",
+      nPlanes, nTables)
+    val c = withTableBuckets(vectors, idCol, vecCol, "neighbor_id", "c_vec",
+      nPlanes, nTables)
+    val joined = c.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair can collide in several tables — candidates are a set
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cos6(col("q_vec"), col("c_vec")))
     ranked(joined, k)
   }
 
-  /** Multiprobe ANN: like [[knnLsh]] but each query also probes the
-    * nPlanes buckets at Hamming distance 1 from its own (flip one
-    * hyperplane sign) — the standard recall fix for sign-LSH without
-    * building more hash tables. Candidates grow ~(nPlanes+1)x per query;
-    * the corpus side is still bucket-partitioned, queries broadcast.
+  /** Multiprobe ANN: like [[knnLsh]] but each query also probes, per
+    * table, the nPlanes buckets at Hamming distance 1 from its own (flip
+    * one hyperplane sign) — the standard recall fix for sign-LSH without
+    * more hash tables. Candidates grow ~(nPlanes+1)x per query; the corpus
+    * side stays (table,bucket)-partitioned, queries broadcast.
     */
   def knnLshMultiprobe(vectors: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int, idCol: String = "vec_id",
+      nPlanes: Int, nTables: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
-    val planes = VectorOps.deterministicPlanes(nPlanes, dim)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      VectorOps.hyperplaneBucket(col(vecCol), planes).as("qbucket"))
+    val q = withTableBuckets(queries, idCol, vecCol, "query_id", "q_vec",
+      nPlanes, nTables)
+      .withColumnRenamed("bucket", "qbucket")
       .withColumn("bucket", explode(array(
         col("qbucket") +: (0 until nPlanes).map(p =>
           col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
-    val c = vectors.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"),
-      VectorOps.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val joined = c.join(broadcast(q), Seq("bucket"))
+      .drop("qbucket")
+    val c = withTableBuckets(vectors, idCol, vecCol, "neighbor_id", "c_vec",
+      nPlanes, nTables)
+    val joined = c.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cos6(col("q_vec"), col("c_vec")))
     ranked(joined, k)
   }
@@ -134,26 +148,47 @@ object Similarity {
     ranked(joined, k)
   }
 
-  /** Near-duplicate vector pairs: same LSH bucket AND cosine >= threshold.
-    * The bucket equi-join keeps this linear-ish in corpus size (bucket-
-    * local pairs only) instead of the quadratic all-pairs join.
+  /** Near-duplicate vector pairs: same `(table, bucket)` key in ANY table
+    * AND cosine >= threshold. The composite equi-join keeps this linear-ish
+    * in corpus size (bucket-local pairs only) instead of the quadratic
+    * all-pairs join.
+    *
+    * Scale guards (both off by default so small-data results are exact):
+    *  - `maxBucketSize > 0` drops (table,bucket) groups larger than the cap
+    *    before the self-join — a degenerate bucket (e.g. a zero-vector
+    *    cluster) otherwise contributes size^2/2 pairs on one join key;
+    *  - the band shuffle is SLIM: only (id, t, bucket) flows through the
+    *    exploded exchange, and the two 64-float payloads are re-joined by
+    *    id after pair dedup — not carried nTables-wide through the shuffle.
     */
   def nearDupPairs(vectors: DataFrame, threshold: Double, nPlanes: Int,
+      nTables: Int = 1, maxBucketSize: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
-    val planes = VectorOps.deterministicPlanes(nPlanes, dim)
-    // Exchange barrier on the bucket: both self-join sides share the
-    // subtree, so the bucket computation runs once (ReuseExchange) and the
-    // join reads the shuffle output twice.
-    val b = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      VectorOps.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-      .repartition(col("bucket"))
-    val l = b.select(col("bucket"), col("id").as("a_id"),
-      col("vec").as("a_vec"))
-    val r = b.select(col("bucket"), col("id").as("b_id"),
-      col("vec").as("b_vec"))
-    l.hint("merge").join(r.hint("merge"), Seq("bucket"))
+    // Exchange barrier on the composite key: both self-join sides share
+    // the subtree, so the bucket computation runs once (ReuseExchange) and
+    // the join reads the shuffle output twice.
+    val exploded = withTableBuckets(vectors, idCol, vecCol, "id", "vec",
+      nPlanes, nTables)
+      .select(col("id"), col("t"), col("bucket")) // slim: no vector payload
+      .repartition(col("t"), col("bucket"))
+    val b =
+      if (maxBucketSize <= 0) exploded
+      else {
+        exploded
+          .withColumn("_bn", count(lit(1))
+            .over(Window.partitionBy(col("t"), col("bucket"))))
+          .filter(col("_bn") <= maxBucketSize)
+          .drop("_bn")
+      }
+    val l = b.select(col("t"), col("bucket"), col("id").as("a_id"))
+    val r = b.select(col("t"), col("bucket"), col("id").as("b_id"))
+    val pairs = l.hint("merge").join(r.hint("merge"), Seq("t", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val av = vectors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val bv = vectors.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    pairs.join(av, Seq("a_id")).join(bv, Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         cos6(col("a_vec"), col("b_vec")).as("cosine"))
       .filter(col("cosine") >= threshold)

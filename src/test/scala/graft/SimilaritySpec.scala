@@ -55,6 +55,66 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("native HyperplaneBucketsExpr == composed hyperplaneBucket fold " +
+      "(single table), and multi-table slices use consecutive plane blocks") {
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // table 0 of an L-table expr == the single-table expr == the composed
+    // higher-order-function fold over deterministicPlanes
+    val planes8 = VectorOps.deterministicPlanes(8, dim)
+    val rows = vecs.select(
+      VectorOps.hyperplaneBucket(col("embedding"), planes8).as("composed"),
+      graft.plans.HyperplaneBucketsExpr.bucket(col("embedding"), 8)
+        .as("native1"),
+      graft.plans.HyperplaneBucketsExpr.buckets(col("embedding"), 8, 3)
+        .as("nativeL"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getSeq[Long](2).head == r.getLong(0))
+      assert(r.getSeq[Long](2).length == 3)
+    }
+    // table 1 must equal a single-table run over planes 8..15: check via
+    // the composed fold with plane offset — planes for global index p use
+    // (p*dim + d), so table 1's planes are deterministicPlanes(16,dim).drop(8)
+    val planes16 = VectorOps.deterministicPlanes(16, dim).drop(8)
+    val r2 = vecs.select(
+      VectorOps.hyperplaneBucket(col("embedding"), planes16).as("composed"),
+      element_at(graft.plans.HyperplaneBucketsExpr
+        .buckets(col("embedding"), 8, 2), 2).as("native"))
+      .collect()
+    r2.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("multi-table nearDupPairs with cap + payload re-join finds the " +
+      "close cluster; candidate union over tables is deduped") {
+    val dim = 64
+    def unit(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val base = unit(7)
+    val nearCopy = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }
+    val vecs = Seq((0L, base), (1L, nearCopy), (2L, unit(8)), (3L, unit(9)))
+      .toDF("vec_id", "embedding")
+    // a near-identical pair agrees in EVERY table — result must still be
+    // the single deduped pair, and the cap (well above bucket sizes) must
+    // not drop it
+    val pairs = Similarity.nearDupPairs(vecs, threshold = 0.99,
+      nPlanes = 4, nTables = 4, maxBucketSize = 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((0L, 1L)))
+    // cap = 1 drops every 2+ bucket — the pair must vanish, not error
+    val capped = Similarity.nearDupPairs(vecs, threshold = 0.99,
+      nPlanes = 1, nTables = 1, maxBucketSize = 1)
+      .count()
+    assert(capped == 0)
+  }
+
   test("lsh knn only ranks bucket-mates (subset of brute-force candidates)") {
     val dim = 64
     val rnd = new scala.util.Random(1)
