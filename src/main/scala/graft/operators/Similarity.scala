@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
-
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths, same semantics:
@@ -110,36 +108,115 @@ object Similarity {
     ranked(joined, k)
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the first
-    * `nCentroids` vectors serve as centroids), every vector assigned to
-    * its max-cosine cell (the inverted lists), and each query probing its
-    * `nProbe` nearest cells. All relational: one broadcast cross-join
-    * against the tiny centroid set for assignment, then an equi-join on
-    * cell id — candidate generation never forms the full cross product,
-    * and the cell assignment is computed once and reusable as a
-    * materialized index table at scale.
+  /** IVF-style ANN with a TRAINED coarse quantizer: `trainIters` Lloyd
+    * (k-means) iterations over a deterministic sample refine the first-
+    * `nCentroids`-vectors seed, then every vector is assigned to its
+    * max-cosine cell (the inverted lists) and each query probes its
+    * `nProbe` nearest cells. All relational: training cross-joins the
+    * SAMPLE (bounded, driver-chosen) against the tiny broadcast centroid
+    * set; assignment is one broadcast cross-join + per-id argmax; candidate
+    * generation is an equi-join on cell id — never the full cross product.
+    * The cell assignment is computed once and reusable as a materialized
+    * index table at scale.
+    *
+    * Determinism (oracle-reproducible, see NorthStar q44): centroid means
+    * are per-dimension double folds in sample-id order; assignment argmax
+    * ties break by centroid id; empty cells keep their previous centroid.
+    * Per-iteration centroids are collected to the driver (nCentroids x dim
+    * doubles) and re-broadcast as literals, so the plan depth stays flat.
     */
-  def knnIvf(vectors: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int, nProbe: Int, idCol: String = "vec_id",
+  /** Train the IVF coarse quantizer: `trainIters` Lloyd (k-means)
+    * iterations over the deterministic `idCol < trainSample` sample,
+    * seeded with the first `nCentroids` vectors. Returns the (cid, ce)
+    * centroid frame (ce is array<double>). 0 iterations = the raw seeds.
+    *
+    * Determinism (oracle-reproducible): centroid means are per-dimension
+    * double folds in sample-id order; assignment argmax ties break by
+    * centroid id; empty cells keep their previous centroid. Per-iteration
+    * centroids are collected to the driver (nCentroids x dim doubles) and
+    * re-broadcast as literals, so plan depth stays flat.
+    */
+  def ivfCentroids(vectors: DataFrame, nCentroids: Int, trainIters: Int,
+      trainSample: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = vectors.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
-    def scoreCells(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .crossJoin(broadcast(cents))
-        .withColumn("s",
-          graft.plans.CosineSimilarityExpr.cosine(col(vec), col("ce")))
-    // inverted lists: each vector in exactly one cell (raw-cosine argmax,
-    // centroid id tiebreak)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def toD(c: Column): Column = transform(c, _.cast("double"))
+    val seeds: Seq[(Int, Seq[Double])] = vectors
+      .filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("int").as("cid"), toD(col(vecCol)).as("ce"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+      .toSeq
+    val sample = vectors.filter(col(idCol) < trainSample)
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"))
+    var cents = seeds
+    var it = 0
+    while (it < trainIters) {
+      val centsDf = cents.toDF("cid", "ce")
+      val wS = Window.partitionBy(col("sid"))
+        .orderBy(col("s").desc, col("cid"))
+      val assigned = sample.crossJoin(broadcast(centsDf))
+        .withColumn("s", graft.plans.CosineSimilarityExpr
+          .cosine(col("sv"), col("ce")))
+        .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
+        .select(col("cid"), col("sid"), col("sv"))
+      // per-(cell, dim) mean as an id-ordered sequential double fold —
+      // the exact arithmetic the DuckDB oracle replays
+      val means: Map[Int, Seq[Double]] = assigned
+        .select(col("cid"), col("sid"),
+          posexplode(toD(col("sv"))).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("cnt"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("sid"), col("v")))),
+              x => x.getField("v")),
+            lit(0.0), (acc, x) => acc + x).as("sm"))
+        .select(col("cid"), col("pos"), (col("sm") / col("cnt")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      cents = cents.map { case (cid, prev) =>
+        cid -> means.getOrElse(cid, prev) }
+      it += 1
+    }
+    cents.toDF("cid", "ce")
+  }
+
+  /** The inverted lists: every vector assigned to its max-cosine centroid
+    * cell (cid tiebreak). At scale this is the index you materialize once
+    * and reuse across query batches.
+    */
+  def ivfIndex(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = vectors.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("s", graft.plans.CosineSimilarityExpr
+        .cosine(col("c_vec"), col("ce")))
     val wv = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("s").desc, col("cid"))
-    val cells = scoreCells(vectors, "neighbor_id", "c_vec")
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+    scored.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
       .select(col("cid"), col("neighbor_id"), col("c_vec"))
+  }
+
+  def knnIvf(vectors: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, trainIters: Int = 2,
+      trainSample: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents2 =
+      ivfCentroids(vectors, nCentroids, trainIters, trainSample, idCol, vecCol)
+
+    // ---- assign + probe + rank against the trained centroids ----
+    val cells = ivfIndex(vectors, cents2, idCol, vecCol)
     // queries probe their nProbe nearest cells
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("cid"))
-    val probes = scoreCells(queries, "query_id", "q_vec")
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cents2))
+      .withColumn("s",
+        graft.plans.CosineSimilarityExpr.cosine(col("q_vec"), col("ce")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select(col("cid"), col("query_id"), col("q_vec"))
     val joined = cells.join(broadcast(probes), Seq("cid"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native cosine similarity over two `array<float>` columns.
   *
@@ -23,6 +23,18 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Element accessor per side: arrays may be float (raw embeddings) or
+    * double (e.g. trained centroids) — mixed inputs supported.
+    */
+  private def isFloatSide(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine expects array<float|double>, got $other")
+  }
+  private lazy val leftIsFloat = isFloatSide(left)
+  private lazy val rightIsFloat = isFloatSide(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -32,8 +44,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       nx += xi * xi
       ny += yi * yi
@@ -52,12 +64,16 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val getX = if (leftIsFloat) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val getY = if (rightIsFloat) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $a.getFloat($i);
-          double $yi = (double) $b.getFloat($i);
+          double $xi = $getX;
+          double $yi = $getY;
           $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
         }
         ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

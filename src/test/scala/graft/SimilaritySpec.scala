@@ -115,6 +115,47 @@ class SimilaritySpec extends SparkSpec {
     assert(capped == 0)
   }
 
+  test("IVF Lloyd training improves probe recall on CLUSTERED data " +
+      "(the case the trained quantizer exists for)") {
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian()))
+    // ids 0..19 cluster 0, 20..39 cluster 1, 40..59 cluster 2 — so the
+    // first-4-vectors seed is blind to clusters 1 and 2
+    val vecs = (0L until 60L).map { i =>
+      val c = centers((i / 20).toInt)
+      (i, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id").isin(5L, 25L, 45L))
+    def recall(trainIters: Int): Int = {
+      val got = Similarity.knnIvf(vecs, queries, k = 5, nCentroids = 4,
+        nProbe = 1, trainIters = trainIters, trainSample = 60)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = Similarity.knnBruteForce(vecs, queries, k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      want.map { case (q, w) =>
+        got.get(q).map(g => (g & w).size).getOrElse(0) }.sum
+    }
+    // the all-cluster-0 seed crams clusters 1 and 2 into foreign cells:
+    // recall survives (their vectors land TOGETHER), but the probed
+    // inverted lists are bloated — the per-query scan cost at scale.
+    // Training must even out the lists without giving up recall.
+    def maxCell(trainIters: Int): Long =
+      Similarity.ivfIndex(vecs,
+        Similarity.ivfCentroids(vecs, nCentroids = 4,
+          trainIters = trainIters, trainSample = 60))
+        .groupBy("cid").count().agg(max("count")).as[Long].head()
+    val (untrainedMax, trainedMax) = (maxCell(0), maxCell(2))
+    assert(trainedMax < untrainedMax,
+      s"training should balance inverted lists: max cell " +
+        s"$untrainedMax -> $trainedMax")
+    assert(recall(2) >= recall(0),
+      "training must not cost recall on clustered data")
+    assert(recall(2) >= 12) // >= 80% of 15
+  }
+
   test("lsh knn only ranks bucket-mates (subset of brute-force candidates)") {
     val dim = 64
     val rnd = new scala.util.Random(1)
