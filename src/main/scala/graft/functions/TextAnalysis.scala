@@ -98,15 +98,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (distinct), the unit of Jaccard/MinHash dedup. */
+  /** Word n-gram shingles (distinct), the unit of Jaccard/MinHash dedup.
+    * Docs shorter than n tokens fall back to the single whole-text shingle
+    * — the same contract as the native
+    * [[graft.plans.TextHashExprs.ShinglesExpr]] (so tiny docs still dedup
+    * exactly instead of vanishing from the candidate space).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(
+    val grams = array_distinct(
       filter(
         transform(
           sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => when(size(toks) >= n,
             concat_ws(" ", slice(toks, i + 1, lit(n))))),
         s => s.isNotNull))
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(grams)
   }
 }

@@ -75,14 +75,25 @@ object Ingest {
     else {
       // maxBadRecords:0 contract (reference BucketToBigQuery.js:339) with
       // the allowJaggedRows carve-out: Spark marks BOTH short rows and
-      // garbage rows as corrupt, but jagged rows still parse their leading
-      // fields — so "bad" = corrupt AND first declared field unparseable.
+      // garbage rows as corrupt. A row is BAD (fails the load) iff
+      //  - it is structurally FULL (cell count >= declared fields) yet
+      //    still failed to parse — a type error or quote breakage in a
+      //    complete row is real corruption, not jaggedness; or
+      //  - its first declared field is unparseable — even a short row must
+      //    lead with valid data.
+      // Short rows with parseable leading cells pass (allowJaggedRows).
+      // The cell count is a delimiter split of the raw record — exact for
+      // unquoted rows; a quoted-comma row only reaches this test when it
+      // ALSO failed the real parser, so over-counting there just fails a
+      // row that was already broken.
       // The raise_error is woven into the FIRST OUTPUT column (a dropped
       // guard column would be pruned away and never evaluate); it fails
       // the load on the first bad row during the single write pass.
       val f0 = schema.fields.head
+      val structurallyFull =
+        size(split(col(corrupt), ",")) >= schema.fields.length
       val checked = when(
-        col(corrupt).isNotNull && col(f0.name).isNull,
+        col(corrupt).isNotNull && (structurallyFull || col(f0.name).isNull),
         raise_error(concat(lit("[graft] maxBadRecords=0: corrupt row: "),
           col(corrupt))).cast(f0.dataType))
         .otherwise(col(f0.name)).as(f0.name)
@@ -120,6 +131,42 @@ object Ingest {
     * BucketToBigQuery.js:350–354; on parquet we materialize the date).
     */
   val PartitionCol = "p_date"
+
+  /** Destination abstraction — the reference's destination is a managed
+    * warehouse table (BucketToBigQuery.js:341–354); ours defaults to a
+    * DAY-partitioned parquet layout, but a BigQuery-connector, Delta or
+    * Iceberg sink drops in here without touching the pipeline: `loadTask`
+    * only ever calls [[append]] after planning and [[readBack]] for the
+    * row-count metric.
+    */
+  trait DestinationSink {
+    /** Append `df` to `destPath`, partitioned by `partitionField`'s DAY
+      * when present. MUST be atomic-or-append-only per call: the ledger is
+      * written only after this returns (ST5 fix).
+      */
+    def append(df: DataFrame, destPath: String,
+        partitionField: Option[String]): Unit
+    /** Read the destination back (schema-reconciling across old narrow and
+      * new wide files).
+      */
+    def readBack(spark: SparkSession, destPath: String): DataFrame
+  }
+
+  /** Default sink: DAY-partitioned parquet directories. */
+  object ParquetSink extends DestinationSink {
+    override def append(df: DataFrame, destPath: String,
+        partitionField: Option[String]): Unit = {
+      val writer = partitionField match {
+        case Some(f) =>
+          df.withColumn(PartitionCol, to_date(col(f)))
+            .write.mode("append").partitionBy(PartitionCol)
+        case None => df.write.mode("append")
+      }
+      writer.parquet(destPath)
+    }
+    override def readBack(spark: SparkSession, destPath: String): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(destPath)
+  }
 
   final case class LoadResult(
       destPath: String,
@@ -194,27 +241,22 @@ object Ingest {
     */
   def loadTask(
       spark: SparkSession, task: Task,
-      sourceRoot: String, warehouseRoot: String): LoadResult = {
+      sourceRoot: String, warehouseRoot: String,
+      sink: DestinationSink = ParquetSink): LoadResult = {
     val plan = planTask(spark, task, sourceRoot, warehouseRoot)
     if (plan.files.isEmpty)
       return LoadResult(plan.destPath, Nil, plan.schema, None, 0L)
 
     // 4. the distributed part: one multi-file read, one partitioned write
     val df = alignTo(readCsv(spark, plan.schema, plan.files), plan.schema)
-    val writer = plan.partitionField match {
-      case Some(f) =>
-        df.withColumn(PartitionCol, to_date(col(f)))
-          .write.mode("append").partitionBy(PartitionCol)
-      case None => df.write.mode("append")
-    }
-    writer.parquet(plan.destPath)
+    sink.append(df, plan.destPath, plan.partitionField)
 
     // 5. ledger AFTER the write action returns (fixes reference quirk ST5
     //    where files were ledgered before their load job completed,
     //    BucketToBigQuery.js:361–374)
     Ledger.markImported(spark, plan.ledgerPath, plan.files)
 
-    val rows = spark.read.parquet(plan.destPath).count()
+    val rows = sink.readBack(spark, plan.destPath).count()
     // metric log lines, the reference's observability surface
     // (`METRIC B2BQ.*`, index.js:55-98)
     println(s"METRIC graft.files_loaded=${plan.files.length} " +
@@ -227,5 +269,5 @@ object Ingest {
     * evolved wide schema (parquet mergeSchema).
     */
   def readDest(spark: SparkSession, destPath: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(destPath)
+    ParquetSink.readBack(spark, destPath)
 }

@@ -108,6 +108,43 @@ class IngestSpec extends SparkSpec {
     // non-strict: garbage row comes through null-padded
     assert(graft.ingest.Ingest.readCsv(spark, schema,
       Seq(f.getAbsolutePath), strict = false).count() == 2)
+    // STRUCTURALLY FULL row with an unparseable typed cell: that is real
+    // corruption, not jaggedness — must fail even though the FIRST field
+    // parses fine (the old first-field-only check let this through)
+    write("timestamp,v\n2026-01-01 00:00:00,NOT_A_NUMBER\n")
+    val e2 = intercept[Exception] {
+      graft.ingest.Ingest.readCsv(spark, schema,
+        Seq(f.getAbsolutePath)).collect()
+    }
+    assert(e2.getMessage.contains("maxBadRecords") ||
+      Option(e2.getCause).exists(_.getMessage.contains("maxBadRecords")))
+  }
+
+  test("loadTask writes through a pluggable DestinationSink") {
+    import graft.ingest.Ingest
+    val root = tmpDir("sink_")
+    val src = new java.io.File(s"$root/in"); src.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(src, "a.csv"))
+    try w.write(
+      "timestamp,utc_offset,location\n2026-01-01 00:00:00,1.0,x\n")
+    finally w.close()
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    val sink = new Ingest.DestinationSink {
+      override def append(df: org.apache.spark.sql.DataFrame,
+          destPath: String, partitionField: Option[String]): Unit = {
+        calls += s"append:$partitionField"
+        Ingest.ParquetSink.append(df, destPath, partitionField)
+      }
+      override def readBack(s: org.apache.spark.sql.SparkSession,
+          destPath: String): org.apache.spark.sql.DataFrame = {
+        calls += "readBack"
+        Ingest.ParquetSink.readBack(s, destPath)
+      }
+    }
+    val task = Manifest.parse(manifestJson).tasks.head
+    val r = Ingest.loadTask(spark, task, root, s"$root/wh", sink)
+    assert(r.rows == 1)
+    assert(calls.toSeq == Seq("append:Some(timestamp)", "readBack"))
   }
 
   test("ordered view registers in the session catalog as <table>_ordered") {

@@ -52,6 +52,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sh == Seq("a b c", "b c d", "c d a", "d a b"))
   }
 
+  test("composed shingles == native ShinglesExpr, including the tiny-doc " +
+      "whole-text fallback") {
+    import graft.plans.TextHashExprs
+    val texts = Seq("a b c d a b c d", "a b", "one", "  ",
+      "x y z").toDF("text")
+    val rows = texts.select(
+      TextAnalysis.shingles(col("text"), 3).as("composed"),
+      TextHashExprs.shingles(TextAnalysis.tokens(col("text")), 3)
+        .as("native"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (c, n) => assert(c == n) }
+  }
+
   test("quality score stays in a sane range and rewards real text") {
     val scores = Seq(
       "the quick brown fox jumps over the lazy dog and it is a fine day",
