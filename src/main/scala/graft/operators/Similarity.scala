@@ -248,15 +248,7 @@ object Similarity {
       nPlanes, nTables)
       .select(col("id"), col("t"), col("bucket")) // slim: no vector payload
       .repartition(col("t"), col("bucket"))
-    val b =
-      if (maxBucketSize <= 0) exploded
-      else {
-        exploded
-          .withColumn("_bn", count(lit(1))
-            .over(Window.partitionBy(col("t"), col("bucket"))))
-          .filter(col("_bn") <= maxBucketSize)
-          .drop("_bn")
-      }
+    val b = Dedup.dropOversized(exploded, Seq("t", "bucket"), maxBucketSize)
     val l = b.select(col("t"), col("bucket"), col("id").as("a_id"))
     val r = b.select(col("t"), col("bucket"), col("id").as("b_id"))
     val pairs = l.hint("merge").join(r.hint("merge"), Seq("t", "bucket"))
