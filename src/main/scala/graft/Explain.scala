@@ -25,7 +25,12 @@ object Explain {
             def n(pat: String) = pat.r.findAllIn(plan).length
             val flags = Seq(
               if (n("CartesianProduct") > 0) "CARTESIAN!" else "",
-              if (n("BroadcastNestedLoopJoin") > 0) "BNLJ!" else "")
+              if (n("BroadcastNestedLoopJoin") > 0) "BNLJ!" else "",
+              // a Window over a SinglePartition exchange funnels every row
+              // through one task (the q48 trap); single-row global aggs
+              // legitimately use SinglePartition but have no Window
+              if (n("Exchange SinglePartition") > 0 && n("Window") > 0)
+                "1PART-WINDOW!" else "")
               .filter(_.nonEmpty).mkString(",")
             println(f"AUDIT $name%-28s exch=${n("Exchange")}%d " +
               f"bhj=${n("BroadcastHashJoin")}%d smj=${n("SortMergeJoin")}%d " +

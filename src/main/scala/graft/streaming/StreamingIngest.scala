@@ -65,6 +65,47 @@ object StreamingIngest {
       writer.partitionBy(graft.ingest.Ingest.PartitionCol)).start()
   }
 
+  /** Notification-driven STREAMING ingest: the topic is a Spark-readable
+    * stream of JSON notification rows `(eventType, data, seq)` (a drop
+    * directory here; Kafka or a PubSub bridge in production). Each
+    * micro-batch runs the full relational decode → glob-match → ledger →
+    * load pipeline via [[graft.ingest.NotificationIngest.loadNotified]] in
+    * `foreachBatch` — so discovery is O(new notifications) (no listing),
+    * and the LEDGER (not only the checkpoint) provides effectively-once
+    * per file: replayed or duplicated notifications are anti-joined away
+    * even if the checkpoint is lost.
+    */
+  def startNotified(
+      spark: SparkSession,
+      task: Task,
+      notificationsDir: String,
+      warehouseRoot: String,
+      checkpointDir: String,
+      scheme: String = "gs://",
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val notifSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("eventType",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("data",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType)))
+    spark.readStream
+      .schema(notifSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(notificationsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ingest.NotificationIngest.loadNotified(
+          spark, task, batch, warehouseRoot,
+          orderCols = Seq(col("seq")), scheme = scheme)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming first-seen filter — the ledger's effectively-once semantics
     * as a row-level stateful operator: for each key, emit only the first
     * record ever seen; per-key state is one boolean, kept in the state

@@ -98,4 +98,46 @@ class NotificationIngestSpec extends SparkSpec {
       orderCols = Seq(col("seq")), scheme = "file://")
     assert(r3.loadedFiles.isEmpty && r3.rows == 0)
   }
+
+  test("STREAMING notification ingest: drop-directory topic, AvailableNow " +
+      "drain, ledger dedup across restarts") {
+    val root = tmpDir("notifstream_")
+    val src = new java.io.File(s"$root/in"); src.mkdirs()
+    val topic = new java.io.File(s"$root/topic"); topic.mkdirs()
+    def writeCsv(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(src, name))
+      try w.write(body) finally w.close()
+    }
+    writeCsv("a.csv",
+      "timestamp,utc_offset,location\n2026-01-01 00:00:00,1.0,x\n")
+    writeCsv("b.csv",
+      "timestamp,utc_offset,location\n2026-01-02 00:00:00,1.0,y\n")
+    val bucket = s"$root/in"
+    def publish(file: String, names: Seq[(String, Long)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(topic, file))
+      try names.foreach { case (n, seq) =>
+        val json = s"""{"kind":"storage#object","selfLink":"$bucket/$n",""" +
+          s""""bucket":"$bucket","name":"$n"}"""
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(json.getBytes("UTF-8"))
+        w.println(
+          s"""{"eventType":"OBJECT_FINALIZE","data":"$b64","seq":$seq}""")
+      } finally w.close()
+    }
+    val task = Manifest.parse(manifestJson).tasks.head
+
+    publish("batch1.json", Seq(("a.csv", 1L)))
+    graft.streaming.StreamingIngest.startNotified(spark, task,
+      topic.getAbsolutePath, s"$root/wh", s"$root/ckpt", scheme = "file://")
+      .awaitTermination()
+    assert(Ingest.readDest(spark, s"$root/wh/ds/sensors").count() == 1)
+
+    // second drop: a.csv re-notified (ledger drops it) + b.csv new;
+    // FRESH checkpoint to prove the ledger alone dedups across restarts
+    publish("batch2.json", Seq(("a.csv", 2L), ("b.csv", 3L)))
+    graft.streaming.StreamingIngest.startNotified(spark, task,
+      topic.getAbsolutePath, s"$root/wh", s"$root/ckpt2", scheme = "file://")
+      .awaitTermination()
+    assert(Ingest.readDest(spark, s"$root/wh/ds/sensors").count() == 2)
+  }
 }
