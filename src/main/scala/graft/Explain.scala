@@ -41,6 +41,21 @@ object Explain {
               println(s"AUDIT $name FAILED: ${e.getMessage.take(60)}")
           }
         }
+      case Some("final") =>
+        // post-execution ADAPTIVE plan: AQE exchange/stage reuse only
+        // appears at runtime, so the static plan under-reports reuse
+        val q = args(1)
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.collect() // execute THIS QueryExecution so AQE finalizes it
+        val full = df.queryExecution.executedPlan.toString
+        // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+        // count only the section that actually ran
+        val plan = full.split("== Initial Plan ==").head
+        println(full)
+        def n(pat: String) = pat.r.findAllIn(plan).length
+        println(s"FINAL $q scans=${n("FileScan parquet")} " +
+          s"reused=${n("ReusedExchange")} exch=${n("Exchange")} " +
+          s"stages=${n("ShuffleQueryStage")}")
       case Some(q) =>
         SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -91,7 +91,14 @@ object Dedup {
   def signatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val sh = shingleSet(col(textCol))
-    docs.select(col(idCol).as("doc_id"), sh.as("shingles"))
+    // The up-front isnotnull filter is load-bearing for plan REUSE: the
+    // downstream self-join pushes IsNotNull(doc_id) into its two sides but
+    // not into the bucket-guard or payload branches, and that one-filter
+    // difference breaks canonical equality — each branch then recomputes
+    // this whole md5 pipeline. With the filter here, every consumer's
+    // subtree canonicalizes identically and AQE reuses ONE shuffle stage.
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), sh.as("shingles"))
       .withColumn("hs", TextHashExprs.md5Prefix60Array(col("shingles")))
       .repartition(col("doc_id"))
       .withColumn("sig", minhashSignature(col("hs")))
