@@ -271,6 +271,74 @@ object NorthStar {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- training-data preparation ------------------------------------
+    // Deterministic hash sampling: the production method for corpus
+    // sampling — NOT rand()-based sampleBy, whose output changes across
+    // runs/retries. Keep ~30% per language via the same md5-60-bit hash
+    // both engines compute; fully reproducible and cluster-stable.
+    "q53_stratified_sample" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(pmod(Dedup.hash60(concat(lit("smp:"),
+          col("doc_id").cast("string"))), lit(10)) < 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    // Train/val/test split assignment: salted-hash bucketing into
+    // 80/10/10 — deterministic per doc, independent of partitioning, the
+    // standard reproducible split for training corpora.
+    "q54_dataset_split" -> ((s, dir) => {
+      val bucket = pmod(Dedup.hash60(concat(lit("split:"),
+        col("doc_id").cast("string"))), lit(100))
+      docs(s, dir)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    // Per-source deterministic top-k sampling (source-balanced corpus
+    // mixing): keep the k hash-smallest docs per source — one window per
+    // source partition, no global sort, no RNG.
+    "q55_source_topk_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Dedup.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 100)
+        .select(col("source"), col("doc_id"), col("rn"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
+    // Token-budget sequence packing (greedy-by-order approximation): per
+    // language, docs in id order accumulate token counts; bin = running
+    // total div budget. The distributed form of packing documents into
+    // fixed-token training sequences — one window per language, then a
+    // per-bin rollup. (Exact first-fit packing is inherently sequential;
+    // cumulative-quota binning is the scalable standard.)
+    "q56_token_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512L
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        // greatest(...,1): a leading empty doc (cum=0) must not produce
+        // bin -1; double division + floor is identical in both engines
+        .withColumn("bin",
+          floor((greatest(col("cum"), lit(1L)) - 1) / lit(budget.toDouble)))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     // As-of join (time-series alignment; no native Spark join type) —
     // verified against DuckDB's native ASOF JOIN. For each purchase, the
     // most recent click at-or-before it per user.
@@ -682,6 +750,38 @@ object NorthStar {
                ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 5 ORDER BY query_id, rn""",
+    "q53_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled FROM documents
+         WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 3
+         GROUP BY lang ORDER BY lang""",
+    "q54_dataset_split" ->
+      """WITH b AS (SELECT lang,
+           CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bk
+         FROM documents)
+         SELECT CASE WHEN bk < 80 THEN 'train'
+                     WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+           lang, count(*) AS n
+         FROM b GROUP BY 1, 2 ORDER BY split, lang""",
+    "q55_source_topk_sample" ->
+      """SELECT source, doc_id, rn FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY
+               CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+               doc_id) AS rn
+           FROM documents) WHERE rn <= 100 ORDER BY source, rn""",
+    "q56_token_packing" ->
+      s"""WITH $toksCte,
+         n AS (SELECT d.lang, d.doc_id,
+             CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(t.t) END AS n_tokens
+           FROM documents d JOIN toks t USING (doc_id)),
+         c AS (SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM n)
+         SELECT lang,
+           CAST(floor((greatest(cum, 1) - 1) / 512.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
     "q34_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),

@@ -209,6 +209,18 @@ object SparkEntry {
         .orderBy(col("returnflag"), col("linestatus"))
     }),
 
+    // CUBE: all grouping-set combinations (completes the rollup family).
+    "q57_cube_flag_status" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
     // Partition-pruning shape: event-time range scan + per-day agg (ST3 —
     // rows land by event time; readers prune by it).
     "q15_daily_type_stats" -> ((s, dir) => {
@@ -536,6 +548,11 @@ object SparkEntry {
          count(*) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q57_cube_flag_status" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+         coalesce(l_linestatus, '(all)') AS linestatus, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
     "q15_daily_type_stats" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, count(*) AS n,
