@@ -49,6 +49,17 @@ object GraftFunctions {
       require(args.length == 1, "graft_lang_id(tokens)")
       TextHashExprs.LangIdExpr(args(0),
         Seq("en", "es", "de", "fr", "zh"), TextAnalysis.Stopwords)
+    },
+    "graft_lsh_buckets" -> { args =>
+      require(args.length == 3, "graft_lsh_buckets(vec, bitsPerTable, nTables)")
+      HyperplaneBucketsExpr(args(0),
+        intArg(args(1), "graft_lsh_buckets"),
+        intArg(args(2), "graft_lsh_buckets"))
+    },
+    "graft_kmv_distinct" -> { args =>
+      require(args.length == 2, "graft_kmv_distinct(hash60, k)")
+      graft.operators.KmvSketch.KmvDistinctAgg(args(0),
+        intArg(args(1), "graft_kmv_distinct")).toAggregateExpression()
     })
 
   /** Register into a live session's function registry. */

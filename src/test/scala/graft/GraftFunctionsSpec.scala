@@ -33,6 +33,28 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getString(4) == "en")
   }
 
+  test("SQL surface: graft_lsh_buckets and graft_kmv_distinct") {
+    GraftFunctions.register(spark)
+    // buckets: SQL == Column API, nTables-long array
+    val vecs = (0L until 20L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    vecs.createOrReplaceTempView("v")
+    val sqlB = spark.sql(
+      "SELECT vec_id, graft_lsh_buckets(embedding, 8, 3) AS b FROM v")
+      .as[(Long, Seq[Long])].collect().toMap
+    val colB = vecs.select(col("vec_id"),
+      graft.plans.HyperplaneBucketsExpr.buckets(col("embedding"), 8, 3)
+        .as("b")).as[(Long, Seq[Long])].collect().toMap
+    assert(sqlB == colB)
+    // KMV as a SQL aggregate: exact below k, grouped
+    val est = spark.sql(
+      """SELECT graft_kmv_distinct(graft_md5_60(array(CAST(id AS STRING)))[0], 64)
+         FROM range(40)""").head().getDouble(0)
+    assert(est == 40.0)
+  }
+
   test("literal-arg validation errors are clear") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
