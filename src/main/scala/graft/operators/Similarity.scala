@@ -152,13 +152,11 @@ object Similarity {
     var cents = seeds
     var it = 0
     while (it < trainIters) {
-      val centsDf = cents.toDF("cid", "ce")
-      val wS = Window.partitionBy(col("sid"))
-        .orderBy(col("s").desc, col("cid"))
-      val assigned = sample.crossJoin(broadcast(centsDf))
-        .withColumn("s", graft.plans.CosineSimilarityExpr
-          .cosine(col("sv"), col("ce")))
-        .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
+      // row-local nearest-centroid assignment (narrow, codegen'd) — same
+      // argmax/tiebreak contract as a (cosine DESC, cid) row_number
+      val assigned = sample.withColumn("cid",
+        graft.plans.ArgmaxCosineExpr.assign(col("sv"),
+          cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
         .select(col("cid"), col("sid"), col("sv"))
       // per-(cell, dim) mean as an id-ordered sequential double fold —
       // the exact arithmetic the DuckDB oracle replays
@@ -186,18 +184,22 @@ object Similarity {
   /** The inverted lists: every vector assigned to its max-cosine centroid
     * cell (cid tiebreak). At scale this is the index you materialize once
     * and reuse across query batches.
+    *
+    * The assignment is a NARROW codegen'd projection
+    * ([[graft.plans.ArgmaxCosineExpr]] against the driver-resident
+    * centroid set) — not a crossJoin + window, which would explode the
+    * corpus k-fold through a shuffle just to pick one row back per vector.
     */
   def ivfIndex(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = vectors.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("c_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("s", graft.plans.CosineSimilarityExpr
-        .cosine(col("c_vec"), col("ce")))
-    val wv = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("s").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-      .select(col("cid"), col("neighbor_id"), col("c_vec"))
+    val cents = centroids
+      .select(col("cid").cast("int"), col("ce"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    vectors.select(
+      graft.plans.ArgmaxCosineExpr.assign(col(vecCol),
+        cents.map(_._1), cents.map(_._2)).as("cid"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
   }
 
   def knnIvf(vectors: DataFrame, queries: DataFrame, k: Int,
