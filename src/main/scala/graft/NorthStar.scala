@@ -83,14 +83,12 @@ object NorthStar {
     }),
 
     "q20_lang_id" -> ((s, dir) => {
-      // tokenize once behind an exchange barrier; the argmax references
-      // the token array ~15x and must not re-split the text each time
+      // LangIdExpr is ONE native expression evaluating its token-array
+      // child once per row — no exchange barrier needed (the barrier was
+      // for the composed argmax that referenced the array ~15x)
       docs(s, dir)
         .select(col("doc_id"), col("lang"),
-          array_distinct(TA.tokens(col("text"))).as("toks"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), col("lang"),
-          TA.langIdFromTokens(col("toks")).as("lang_pred"))
+          TA.langIdHeuristic(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
@@ -145,11 +143,8 @@ object NorthStar {
         maxBucketSize = DedupBucketCap)
         .select(col("b_id").as("doc_id")).distinct()
       docs(s, dir)
-        .select(col("doc_id"), col("text"),
-          array_distinct(TA.tokens(col("text"))).as("toks"))
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
-          TA.langIdFromTokens(col("toks")).as("lang_pred"),
+          TA.langIdHeuristic(col("text")).as("lang_pred"),
           round(TA.qualityScore(col("text")), 6).as("quality"))
         .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
         .join(drop, Seq("doc_id"), "left_anti")
