@@ -234,6 +234,11 @@ object Dedup {
   val SimHashBits = 60
   val SimHashBlocks = 4
   val BitsPerBlock: Int = SimHashBits / SimHashBlocks
+  // Scale note: 4 blocks of 15 bits is the minimal-block (= maxHamming+1)
+  // configuration, which maximizes bits/block and so minimizes candidate
+  // pairs (~n^2/2^15 per block). Pushing further needs a WIDER hash
+  // (e.g. 2x md5-60 for 120 bits -> 4x30-bit blocks); the 60-bit size here
+  // is what stays bit-reproducible in the cross-engine oracle.
 
   /** 60-bit SimHash over the (multiplicity-preserving) token stream: bit i
     * is set iff the sum over tokens of ±1 (sign of bit i of the token's
