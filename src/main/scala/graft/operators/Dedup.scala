@@ -168,7 +168,10 @@ object Dedup {
     * banded row just to discover nothing is oversized (measured 2-4x on
     * the 20x stress corpus). The aggregate is map-side-combined on the
     * same partitioning as its input, so the common all-clear case costs
-    * one cheap pass.
+    * one cheap pass. No broadcast hint on the oversized side: it is
+    * normally EMPTY (AQE folds the anti-join away entirely) but on an
+    * adversarial corpus it is unbounded — runtime stats pick the strategy,
+    * the same rule as the ledger anti-join.
     */
   private[operators] def dropOversized(
       df: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame =
@@ -178,7 +181,7 @@ object Dedup {
       val oversized = df.groupBy(keys: _*).count()
         .filter(col("count") > maxBucketSize)
         .select(keyCols.head, keyCols.tail: _*)
-      df.join(broadcast(oversized), keyCols, "left_anti")
+      df.join(oversized, keyCols, "left_anti")
     }
 
   /** Join one payload column of `sigs` onto both sides of an id-pair frame
