@@ -266,6 +266,22 @@ object NorthStar {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // Incremental near-dedup: candidates touching a NEW ingest batch
+    // (new-vs-corpus + new-vs-new) — the per-batch form that avoids the
+    // full corpus self-join on every load. Semantics proven equal to the
+    // batch recompute restricted to the batch (DedupSpec), which is
+    // exactly what the oracle computes.
+    "q58_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      Dedup.incrementalJaccardDupPairs(batch, corpus, JaccardDupThreshold,
+        maxBucketSize = DedupBucketCap)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ---- training-data preparation ------------------------------------
     // Deterministic hash sampling: the production method for corpus
     // sampling — NOT rand()-based sampleBy, whose output changes across
@@ -745,6 +761,17 @@ object NorthStar {
                ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 5 ORDER BY query_id, rn""",
+    "q58_incremental_dedup" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte
+         SELECT a_id, b_id, round(j, 6) AS jaccard FROM (
+           SELECT a_id, b_id,
+             CAST(len(list_intersect(ja.s, jb.s)) AS DOUBLE)
+               / len(list_distinct(ja.s || jb.s)) AS j
+           FROM cand JOIN sh ja ON ja.doc_id = a_id
+                     JOIN sh jb ON jb.doc_id = b_id)
+         WHERE j >= $JaccardDupThreshold
+           AND (a_id % 10 = 0 OR b_id % 10 = 0)
+         ORDER BY a_id, b_id""",
     "q53_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled FROM documents
          WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 3

@@ -195,6 +195,61 @@ object Dedup {
     pairs.join(av, Seq("a_id")).join(bv, Seq("b_id"))
   }
 
+  /** INCREMENTAL near-dedup: candidate id pairs that TOUCH a new batch —
+    * new-vs-corpus plus new-vs-new — instead of re-running the full
+    * corpus self-join on every ingest. Cost scales with |new| x bucket
+    * occupancy, not |corpus|^2: the corpus side contributes only its slim
+    * (doc_id, bkey) band index (at scale, persist `signatures()` once and
+    * append per batch — this function only reads id+sig from it).
+    *
+    * Pair identity matches the batch recompute exactly: (min id, max id),
+    * so `incrementalCandidatePairs(new, corpus)` ==
+    * `lshCandidatePairs(corpus ∪ new)` restricted to pairs with a member
+    * in `new` (asserted by DedupSpec). Ids must be disjoint across the
+    * two frames (the ingest ledger guarantees that).
+    */
+  def incrementalCandidatePairs(
+      newSigs: DataFrame, corpusSigs: DataFrame,
+      maxBucketSize: Int = 0): DataFrame = {
+    def bands(sigs: DataFrame, isNew: Boolean): DataFrame =
+      sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("bkey"))
+        .withColumn("_new", lit(isNew))
+    val all = bands(newSigs, isNew = true)
+      .unionByName(bands(corpusSigs, isNew = false))
+      .repartition(col("bkey"))
+    // cap applies to the COMBINED bucket — a bucket already degenerate in
+    // the corpus must not explode against every new doc either
+    val banded = dropOversized(all, Seq("bkey"), maxBucketSize)
+    val a = banded.select(col("bkey"), col("doc_id").as("a_id"),
+      col("_new").as("a_new"))
+    val b = banded.select(col("bkey"), col("doc_id").as("b_id"),
+      col("_new").as("b_new"))
+    a.hint("merge").join(b.hint("merge"), Seq("bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_new") || col("b_new")) // only pairs touching the batch
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Incremental exact-Jaccard near-dup pairs touching `newDocs`:
+    * the per-ingest-batch form of [[jaccardDupPairs]].
+    */
+  def incrementalJaccardDupPairs(
+      newDocs: DataFrame, corpus: DataFrame, threshold: Double,
+      maxBucketSize: Int = 0): DataFrame = {
+    val newSigs = signatures(newDocs)
+    val corpusSigs = signatures(corpus)
+    val pairs =
+      incrementalCandidatePairs(newSigs, corpusSigs, maxBucketSize)
+    val payload = newSigs.unionByName(corpusSigs)
+    joinPayload(pairs, payload, "shingles", "a_sh", "b_sh")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Estimated Jaccard from two signatures: fraction of agreeing minhash
     * components.
     */

@@ -83,4 +83,35 @@ class DedupSpec extends SparkSpec {
       .select("shingles").as[Seq[String]].head()
     assert(sigs == Seq("ab"))
   }
+
+  test("incremental candidate pairs == full recompute restricted to the " +
+      "new batch (the per-ingest near-dedup contract)") {
+    val corpus = docs // ids 0-4
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // near 0/1/2
+      (11L, "entirely novel content with no relatives anywhere here at all"),
+      (12L, "completely different text about spark engines and parquet files")
+    ).toDF("doc_id", "text") // 12 is an exact dup of 3
+
+    val full = Dedup.lshCandidatePairs(
+      Dedup.signatures(corpus.unionByName(batch)))
+      .as[(Long, Long)].collect().toSet
+    val newIds = Set(10L, 11L, 12L)
+    val touching = full.filter(p => newIds(p._1) || newIds(p._2))
+
+    val inc = Dedup.incrementalCandidatePairs(
+      Dedup.signatures(batch), Dedup.signatures(corpus))
+      .as[(Long, Long)].collect().toSet
+    assert(inc == touching)
+    assert(inc.nonEmpty) // 12<->3 must collide at minimum
+
+    // the verified-Jaccard form agrees with the batch recompute too
+    val incJ = Dedup.incrementalJaccardDupPairs(batch, corpus, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val fullJ = Dedup.jaccardDupPairs(corpus.unionByName(batch), 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    assert(incJ == fullJ)
+    assert(incJ.contains((3L, 12L)))
+  }
 }
