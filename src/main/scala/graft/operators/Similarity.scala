@@ -264,4 +264,43 @@ object Similarity {
         cos6(col("a_vec"), col("b_vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** INCREMENTAL embedding near-dup: pairs touching a NEW vector batch —
+    * new-vs-corpus plus new-vs-new — via the multi-table bucket index of
+    * the combined set, instead of re-running the corpus self-join per
+    * ingest (the vector analog of
+    * [[graft.operators.Dedup.incrementalCandidatePairs]]; same combined-
+    * bucket cap semantics, same (min,max) pair identity, ids must be
+    * disjoint). Result == `nearDupPairs(corpus ∪ new)` restricted to
+    * pairs with a member in `new` (SimilaritySpec).
+    */
+  def incrementalNearDupPairs(newVectors: DataFrame, corpus: DataFrame,
+      threshold: Double, nPlanes: Int, nTables: Int = 1,
+      maxBucketSize: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def slim(df: DataFrame, isNew: Boolean): DataFrame =
+      withTableBuckets(df, idCol, vecCol, "id", "vec", nPlanes, nTables)
+        .select(col("id"), col("t"), col("bucket"),
+          lit(isNew).as("_new"))
+    val all = slim(newVectors, isNew = true)
+      .unionByName(slim(corpus, isNew = false))
+      .repartition(col("t"), col("bucket"))
+    val b = Dedup.dropOversized(all, Seq("t", "bucket"), maxBucketSize)
+    val l = b.select(col("t"), col("bucket"), col("id").as("a_id"),
+      col("_new").as("a_new"))
+    val r = b.select(col("t"), col("bucket"), col("id").as("b_id"),
+      col("_new").as("b_new"))
+    val pairs = l.hint("merge").join(r.hint("merge"), Seq("t", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_new") || col("b_new"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val union = newVectors.unionByName(corpus)
+    val av = union.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val bv = union.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    pairs.join(av, Seq("a_id")).join(bv, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cos6(col("a_vec"), col("b_vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -156,6 +156,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(2) >= 12) // >= 80% of 15
   }
 
+  test("incremental near-dup == full recompute restricted to the batch") {
+    val dim = 64
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.zipWithIndex.map { case (x, i) =>
+        if (i < 2) x + 0.01f else x }
+    val bases = Array.fill(6)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // corpus ids 0-5; batch ids 10-12 where 10 is a near-dup of corpus 0
+    // and 11/12 are near-dups of each other
+    val corpus = (0L until 6L).map(i => (i, bases(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val extra = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val batch = Seq((10L, jitter(bases(0))), (11L, extra),
+      (12L, jitter(extra))).toDF("vec_id", "embedding")
+    val full = Similarity.nearDupPairs(corpus.unionByName(batch), 0.99,
+      nPlanes = 4, nTables = 3, maxBucketSize = 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val newIds = Set(10L, 11L, 12L)
+    val inc = Similarity.incrementalNearDupPairs(batch, corpus, 0.99,
+      nPlanes = 4, nTables = 3, maxBucketSize = 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(inc == full.filter(p => newIds(p._1) || newIds(p._2)))
+    assert(inc.contains((0L, 10L)) && inc.contains((11L, 12L)))
+  }
+
   test("lsh knn only ranks bucket-mates (subset of brute-force candidates)") {
     val dim = 64
     val rnd = new scala.util.Random(1)
