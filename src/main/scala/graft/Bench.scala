@@ -62,17 +62,25 @@ object Bench {
         // noop sink: forces full materialization of every output column —
         // count() would let Catalyst prune projection-only work and
         // under-report map-heavy queries.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-            errors(name) = msg
-            System.err.println(s"[bench] $name FAILED: $msg")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch {
+            case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              errors(name) = msg
+              System.err.println(s"[bench] $name FAILED: $msg")
+              false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      // min over SUCCESSFUL reps only — a fast failure must not stand in
+      // for a slow success (only when every rep failed does the failure
+      // time count, so the query still shows up in the total)
+      val good = times.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else times.map(_._2).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

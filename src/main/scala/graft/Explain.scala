@@ -44,7 +44,10 @@ object Explain {
       case Some("final") =>
         // post-execution ADAPTIVE plan: AQE exchange/stage reuse only
         // appears at runtime, so the static plan under-reports reuse
-        val q = args(1)
+        val q = args.lift(1).getOrElse {
+          System.err.println("usage: graft.Explain final <query>")
+          spark.stop(); return
+        }
         val df = SparkEntry.queries(q)(spark, dir)
         df.collect() // execute THIS QueryExecution so AQE finalizes it
         val full = df.queryExecution.executedPlan.toString

@@ -63,6 +63,12 @@ object Stress {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS $name%-28s $dt%8.2f s  rows=$n")
     }
+    // diagnostics — ONLY when explicitly named via SPARK_GRAFT_STRESS_ONLY
+    // (warm reruns + uncapped ablations; the uncapped variants are the
+    // quadratic blowup the production caps exist to avoid, so a default
+    // stress run must not pay for them)
+    def diag(name: String)(df: => DataFrame): Unit =
+      if (only.nonEmpty) timeCount(name)(df)
 
     // relational core at REPL x sf0.1 (~6M lineitem rows at 10x):
     // pricing-summary agg, fact-fact join + agg, window top-1
@@ -95,7 +101,7 @@ object Stress {
     // production operating point: slim band shuffle + degenerate-bucket cap
     timeCount("minhash_pairs")(
       Dedup.minhashDupPairs(docs, 0.5, maxBucketSize = 1000))
-    timeCount("minhash_pairs_uncapped")(Dedup.minhashDupPairs(docs, 0.5))
+    diag("minhash_pairs_uncapped")(Dedup.minhashDupPairs(docs, 0.5))
     timeCount("minhash_pairs_precollapse")(
       Dedup.minhashDupPairs(
         Dedup.representatives(docs), 0.5, maxBucketSize = 1000))
@@ -113,16 +119,14 @@ object Stress {
     timeCount("embedding_neardup")(
       Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 4,
         maxBucketSize = 1000))
-    // diagnostics (opt in via SPARK_GRAFT_STRESS_ONLY): warm reruns and
-    // ablations separating run-order warmup from real operator cost
-    timeCount("minhash_pairs_capped_rerun")(
+    diag("minhash_pairs_capped_rerun")(
       Dedup.minhashDupPairs(docs, 0.5, maxBucketSize = 1000))
-    timeCount("embedding_neardup_uncapped")(
+    diag("embedding_neardup_uncapped")(
       Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 4))
-    timeCount("embedding_neardup_1table")(
+    diag("embedding_neardup_1table")(
       Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 1,
         maxBucketSize = 1000))
-    timeCount("embedding_neardup_rerun")(
+    diag("embedding_neardup_rerun")(
       Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 4,
         maxBucketSize = 1000))
     spark.stop()

@@ -74,26 +74,33 @@ object Ingest {
     if (!strict) df.drop(corrupt)
     else {
       // maxBadRecords:0 contract (reference BucketToBigQuery.js:339) with
-      // the allowJaggedRows carve-out: Spark marks BOTH short rows and
-      // garbage rows as corrupt. A row is BAD (fails the load) iff
-      //  - it is structurally FULL (cell count >= declared fields) yet
-      //    still failed to parse — a type error or quote breakage in a
-      //    complete row is real corruption, not jaggedness; or
-      //  - its first declared field is unparseable — even a short row must
-      //    lead with valid data.
+      // the allowJaggedRows + ignoreUnknownValues carve-outs: Spark marks
+      // short rows, long rows AND garbage rows all as corrupt. A corrupt
+      // row is BAD (fails the load) iff
+      //  - its first declared field is unparseable — even a short row
+      //    must lead with valid data; or
+      //  - it is structurally FULL (cell count >= declared fields) AND
+      //    some declared field is still null — a type error inside a
+      //    complete row is real corruption. A full corrupt row with every
+      //    field parsed is the extra-trailing-cells case
+      //    (ignoreUnknownValues) and passes.
       // Short rows with parseable leading cells pass (allowJaggedRows).
-      // The cell count is a delimiter split of the raw record — exact for
-      // unquoted rows; a quoted-comma row only reaches this test when it
-      // ALSO failed the real parser, so over-counting there just fails a
-      // row that was already broken.
+      // The cell count is a delimiter split of the raw record with quoted
+      // sections blanked first, so a quoted comma inside a short jagged
+      // row does not inflate the count past the schema width.
       // The raise_error is woven into the FIRST OUTPUT column (a dropped
       // guard column would be pruned away and never evaluate); it fails
       // the load on the first bad row during the single write pass.
       val f0 = schema.fields.head
-      val structurallyFull =
-        size(split(col(corrupt), ",")) >= schema.fields.length
+      val cells = size(split(
+        regexp_replace(col(corrupt), "\"[^\"]*\"", "Q"), ","))
+      val structurallyFull = cells >= schema.fields.length
+      val someFieldNull = schema.fields
+        .map(f => col(f.name).isNull)
+        .reduce(_ || _)
       val checked = when(
-        col(corrupt).isNotNull && (structurallyFull || col(f0.name).isNull),
+        col(corrupt).isNotNull &&
+          (col(f0.name).isNull || (structurallyFull && someFieldNull)),
         raise_error(concat(lit("[graft] maxBadRecords=0: corrupt row: "),
           col(corrupt))).cast(f0.dataType))
         .otherwise(col(f0.name)).as(f0.name)

@@ -68,7 +68,11 @@ case class ArgmaxCosineExpr(
         nx += xi * xi
         i += 1
       }
-      val s = dot / (math.sqrt(nx) * centroidNorms(c))
+      var s = dot / (math.sqrt(nx) * centroidNorms(c))
+      // NaN (zero-norm vector or centroid) must sort FIRST, matching both
+      // Spark's and DuckDB's ORDER BY DESC total order where NaN is the
+      // largest value — plain Java > would silently skip it instead
+      if (s.isNaN) s = Double.PositiveInfinity
       // strict > keeps the first (smallest-cid) winner on ties — the
       // row_number (cosine DESC, cid ASC) contract; cids are sorted asc
       if (s > bestS) { bestS = s; bestCid = cids(c) }
@@ -108,6 +112,7 @@ case class ArgmaxCosineExpr(
             $dot += $xi * $ce[$i]; $nx += $xi * $xi;
           }
           double $s = $dot / (java.lang.Math.sqrt($nx) * $normsRef[$c]);
+          if (Double.isNaN($s)) $s = Double.POSITIVE_INFINITY;
           if ($s > $bestS) { $bestS = $s; $bestCid = $cidsRef[$c]; }
         }
         ${ev.value} = $bestCid;

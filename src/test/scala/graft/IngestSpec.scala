@@ -118,6 +118,24 @@ class IngestSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("maxBadRecords") ||
       Option(e2.getCause).exists(_.getMessage.contains("maxBadRecords")))
+    // EXTRA trailing cells (ignoreUnknownValues contract): every declared
+    // field parses — tolerated, not corruption
+    write("timestamp,v\n2026-01-01 00:00:00,1.5,EXTRA,MORE\n")
+    val extra = graft.ingest.Ingest.readCsv(spark, schema,
+      Seq(f.getAbsolutePath)).collect()
+    assert(extra.length == 1 && extra.head.getDouble(1) == 1.5)
+    // short jagged row whose present cell holds a QUOTED comma: the raw
+    // comma count exceeds the schema width, but it is still a short row
+    // and must pass under allowJaggedRows
+    val schema3 = StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("name", StringType),
+      StructField("v", DoubleType)))
+    write("timestamp,name,v\n2026-01-01 00:00:00,\"x,y\"\n")
+    val quoted = graft.ingest.Ingest.readCsv(spark, schema3,
+      Seq(f.getAbsolutePath)).collect()
+    assert(quoted.length == 1 && quoted.head.getString(1) == "x,y"
+      && quoted.head.isNullAt(2))
   }
 
   test("loadTask writes through a pluggable DestinationSink") {

@@ -156,6 +156,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(2) >= 12) // >= 80% of 15
   }
 
+  test("argmax-cosine: NaN (zero-norm side) sorts FIRST like ORDER BY " +
+      "DESC in both engines, smallest cid wins among NaNs") {
+    import graft.plans.ArgmaxCosineExpr
+    val cids = Array(0, 1)
+    // centroid 0 is zero-norm -> cosine NaN against every vector: the
+    // (cosine DESC, cid) contract assigns EVERYTHING to it
+    val degenerate = Array(Array.fill(4)(0.0), Array(1.0, 0.0, 0.0, 0.0))
+    val vecs = Seq((7L, Array(1f, 0f, 0f, 0f)), (8L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = vecs.select(
+      ArgmaxCosineExpr.assign(col("embedding"), cids, degenerate).as("cid"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 0))
+    // zero-norm VECTOR against healthy centroids: all scores NaN ->
+    // smallest cid
+    val healthy = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val zv = Seq((9L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    assert(zv.select(ArgmaxCosineExpr.assign(col("embedding"), cids, healthy)
+      .as("cid")).as[Int].head() == 0)
+  }
+
   test("incremental near-dup == full recompute restricted to the batch") {
     val dim = 64
     val rnd = new scala.util.Random(3)
