@@ -24,6 +24,38 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(est1 - 5000) / 5000.0 < 0.35) // k=64 → ~12% stderr
   }
 
+  test("property: buffer insert/merge == sorted-distinct-take-k reference " +
+      "under random values, duplicates and partition splits") {
+    import graft.operators.KmvSketch.KmvBuffer
+    val k = 16
+    (0 until 200).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(120)
+      // small value range → plenty of duplicates; keep positive like hash60
+      val values = Array.fill(n)(rnd.nextInt(80).toLong + 1)
+      val reference = values.distinct.sorted.take(k).toSeq
+
+      // single buffer, sequential inserts
+      val b1 = new KmvBuffer(k)
+      values.foreach(b1.insert)
+      assert(b1.arr.take(b1.n).toSeq == reference, s"seed=$seed sequential")
+
+      // random split into up to 4 partial buffers, merged in random order
+      val parts = Array.fill(1 + rnd.nextInt(4))(new KmvBuffer(k))
+      values.foreach(v => parts(rnd.nextInt(parts.length)).insert(v))
+      val merged = new KmvBuffer(k)
+      rnd.shuffle(parts.toSeq).foreach(merged.mergeFrom)
+      assert(merged.arr.take(merged.n).toSeq == reference, s"seed=$seed merged")
+
+      // serde round-trip via the aggregate's wire format
+      val agg = graft.operators.KmvSketch.KmvDistinctAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), k)
+      val rt = agg.deserialize(agg.serialize(merged))
+      assert(rt.arr.take(rt.n).toSeq == reference, s"seed=$seed serde")
+      assert(rt.estimate == merged.estimate)
+    }
+  }
+
   test("duplicates do not change the sketch state") {
     def est(df: org.apache.spark.sql.DataFrame) =
       df.select(Dedup.hash60(col("u")).as("h"))
