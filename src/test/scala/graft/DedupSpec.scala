@@ -84,6 +84,34 @@ class DedupSpec extends SparkSpec {
     assert(sigs == Seq("ab"))
   }
 
+  test("property: incremental == restricted full recompute over random " +
+      "corpora and random batch splits") {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // 24 docs with heavy phrase overlap so band collisions are plentiful
+      val all = (0L until 24L).map { i =>
+        val base = Array.fill(6 + rnd.nextInt(6))(words(rnd.nextInt(4)))
+        val tail = Array.fill(rnd.nextInt(4))(words(rnd.nextInt(words.length)))
+        (i, (base ++ tail).mkString(" "))
+      }
+      val isNew = all.map { case (id, _) => id -> rnd.nextBoolean() }.toMap
+      val corpus = all.filterNot(d => isNew(d._1)).toDF("doc_id", "text")
+      val batch = all.filter(d => isNew(d._1)).toDF("doc_id", "text")
+      if (batch.count() > 0 && corpus.count() > 0) {
+        val full = Dedup.lshCandidatePairs(
+          Dedup.signatures(all.toDF("doc_id", "text")))
+          .as[(Long, Long)].collect().toSet
+        val expected = full.filter(p => isNew(p._1) || isNew(p._2))
+        val inc = Dedup.incrementalCandidatePairs(
+          Dedup.signatures(batch), Dedup.signatures(corpus))
+          .as[(Long, Long)].collect().toSet
+        assert(inc == expected, s"seed=$seed")
+      }
+    }
+  }
+
   test("incremental candidate pairs == full recompute restricted to the " +
       "new batch (the per-ingest near-dedup contract)") {
     val corpus = docs // ids 0-4
