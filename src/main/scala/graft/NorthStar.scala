@@ -266,6 +266,15 @@ object NorthStar {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // kNN graph: approximate top-3 neighbors for EVERY vector (corpus-vs-
+    // corpus — no broadcastable query side). The primitive under semantic
+    // clustering and connected-component dedup.
+    "q59_knn_graph" -> ((s, dir) => {
+      Similarity.knnGraph(emb(s, dir), k = 3,
+        nPlanes = AnnBits, nTables = AnnTables, maxBucketSize = AnnBucketCap)
+        .orderBy(col("vec_id"), col("rn"))
+    }),
+
     // Incremental near-dedup: candidates touching a NEW ingest batch
     // (new-vs-corpus + new-vs-new) — the per-batch form that avoids the
     // full corpus self-join on every load. Semantics proven equal to the
@@ -761,6 +770,20 @@ object NorthStar {
                ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 5 ORDER BY query_id, rn""",
+    "q59_knn_graph" ->
+      s"""WITH $tableBucketsCte,
+         cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM tb a JOIN tb b USING (t, bucket)
+           WHERE a.vec_id <> b.vec_id),
+         j AS (SELECT a_id, b_id,
+             ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+           FROM cand JOIN embeddings ea ON ea.vec_id = a_id
+                     JOIN embeddings eb ON eb.vec_id = b_id),
+         r AS (SELECT a_id, b_id, cosine,
+             row_number() OVER (PARTITION BY a_id
+               ORDER BY cosine DESC, b_id) AS rn FROM j)
+         SELECT a_id AS vec_id, rn, b_id AS neighbor_id, cosine FROM r
+         WHERE rn <= 3 ORDER BY vec_id, rn""",
     "q58_incremental_dedup" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte
          SELECT a_id, b_id, round(j, 6) AS jaccard FROM (

@@ -265,6 +265,42 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** kNN GRAPH: approximate top-k neighbors for EVERY vector — the
+    * corpus-vs-corpus case where broadcasting a query set is impossible.
+    * Candidates come from the multi-table (table,bucket) self-join (slim:
+    * ids only through the exchange, payloads re-joined), then a per-id
+    * top-k window. This is the primitive under semantic clustering /
+    * connected-component dedup at corpus scale: cost is bucket-local
+    * pairs, never the n^2 cross product, and the shuffle parallelism is
+    * the nTables * 2^nPlanes composite key space.
+    */
+  def knnGraph(vectors: DataFrame, k: Int, nPlanes: Int, nTables: Int = 1,
+      maxBucketSize: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val exploded = withTableBuckets(vectors, idCol, vecCol, "id", "vec",
+      nPlanes, nTables)
+      .select(col("id"), col("t"), col("bucket"))
+      .repartition(col("t"), col("bucket"))
+    val b = Dedup.dropOversized(exploded, Seq("t", "bucket"), maxBucketSize)
+    val l = b.select(col("t"), col("bucket"), col("id").as("a_id"))
+    val r = b.select(col("t"), col("bucket"), col("id").as("b_id"))
+    // directed pairs (both orientations — each side ranks its own top-k)
+    val pairs = l.hint("merge").join(r.hint("merge"), Seq("t", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val av = vectors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val bv = vectors.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    val scored = pairs.join(av, Seq("a_id")).join(bv, Seq("b_id"))
+      .withColumn("cosine", cos6(col("a_vec"), col("b_vec")))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("a_id").as(idCol), col("rn"),
+        col("b_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** INCREMENTAL embedding near-dup: pairs touching a NEW vector batch —
     * new-vs-corpus plus new-vs-new — via the multi-table bucket index of
     * the combined set, instead of re-running the corpus self-join per
