@@ -321,15 +321,23 @@ object NorthStar {
     }),
 
     // Per-source deterministic top-k sampling (source-balanced corpus
-    // mixing): keep the k hash-smallest docs per source — one window per
-    // source partition, no global sort, no RNG.
+    // mixing): keep the k hash-smallest docs per source. TWO-PHASE so one
+    // giant source never funnels through a single task: local top-k per
+    // (source, doc_id mod P) subgroup — P-way parallel and exact, since
+    // the global top-k is contained in the union of subgroup top-ks —
+    // then the final top-k over the <= P*k survivors per source.
     "q55_source_topk_sample" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val k = 100
+      val p = 32
       val h = Dedup.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+      val sub = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(p)))
+        .orderBy(col("h"), col("doc_id"))
       val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
       docs(s, dir).select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("srn", row_number().over(sub)).filter(col("srn") <= k)
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 100)
+        .filter(col("rn") <= k)
         .select(col("source"), col("doc_id"), col("rn"))
         .orderBy(col("source"), col("rn"))
     }),
@@ -337,19 +345,37 @@ object NorthStar {
     // Token-budget sequence packing (greedy-by-order approximation): per
     // language, docs in id order accumulate token counts; bin = running
     // total div budget. The distributed form of packing documents into
-    // fixed-token training sequences — one window per language, then a
-    // per-bin rollup. (Exact first-fit packing is inherently sequential;
-    // cumulative-quota binning is the scalable standard.)
+    // fixed-token training sequences. (Exact first-fit packing is
+    // inherently sequential; cumulative-quota binning is the scalable
+    // standard.) The prefix sum is TWO-PHASE like q48's ranking: id-range
+    // chunks accumulate locally and add a per-(lang, chunk) offset from
+    // one tiny aggregated pass — no language ever funnels its whole
+    // corpus through a single cumsum task.
     "q56_token_packing" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 512L
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
+      val base = docs(s, dir)
         .select(col("lang"), col("doc_id"),
           TA.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+      // deterministic ordered chunking of the id domain
+      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      val span = math.max(1L, maxId / 32 + 1)
+      val chunk = (col("doc_id") / span).cast("long")
+      // per-(lang, chunk) totals -> cumulative offset of preceding chunks
+      val totals = base.groupBy(col("lang"), chunk.as("chunk"))
+        .agg(sum(col("n_tokens")).as("tok")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val offsets: Map[String, Long] = totals.keys.map { case (lang, c) =>
+        s"$lang:$c" -> (0L until c).map(j =>
+          totals.getOrElse((lang, j), 0L)).sum
+      }.toMap
+      val w = Window.partitionBy(col("lang"), col("chunk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("chunk", chunk)
+        .withColumn("cum", sum(col("n_tokens")).over(w)
+          + element_at(typedLit(offsets),
+            concat(col("lang"), lit(":"), col("chunk").cast("string"))))
         // greatest(...,1): a leading empty doc (cum=0) must not produce
         // bin -1; double division + floor is identical in both engines
         .withColumn("bin",
