@@ -123,9 +123,11 @@ object NorthStar {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // The dedup PRODUCT: the surviving corpus after near-dedup — every
-    // doc except the larger-id member of each verified near-dup pair
-    // (exact dups have Jaccard 1.0, so they fall out of the same pass).
+    // Pair-level survivorship (greedy: drop the larger-id member of each
+    // verified near-dup pair). Kept as the cheap single-pass baseline; the
+    // PRINCIPLED decision is cluster-level — see q60_dup_clusters /
+    // q63_cluster_survivors, which close the chain case (A~B, B~C, A≁C)
+    // this query over-drops.
     "q45_dedup_corpus" -> ((s, dir) => {
       val drop = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold,
         maxBucketSize = DedupBucketCap)
@@ -149,6 +151,27 @@ object NorthStar {
         .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
         .join(drop, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
+    }),
+
+    // Transitive-closure dedup clusters: distributed connected components
+    // (alternating large-star/small-star min-id propagation, O(log n)
+    // shuffle rounds of a slim (u, v) edge list) over the verified
+    // near-dup pairs. Oracle = DuckDB recursive CTE reachability + min.
+    "q60_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold,
+        maxBucketSize = DedupBucketCap)
+      Dedup.dupClusters(pairs).orderBy(col("doc_id"))
+    }),
+
+    // Cluster survivorship: keep exactly ONE representative (min id) per
+    // near-dup cluster — the decision a real 100 TB curation run ships,
+    // replacing q45's greedy pair-drop.
+    "q63_cluster_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardDupPairs(d, JaccardDupThreshold,
+        maxBucketSize = DedupBucketCap)
+      Dedup.clusterSurvivors(d, pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
     "q26_simhash" -> ((s, dir) => {
@@ -439,6 +462,31 @@ object NorthStar {
     """cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
 
+  /** Verified-pair + connected-component CTE chain (DuckDB recursive CTE
+    * reachability; component rep = min reachable id). Mirror of
+    * [[graft.operators.Dedup.dupClusters]] over
+    * [[graft.operators.Dedup.jaccardDupPairs]] — the CTE computes full
+    * transitive closure, affordable at oracle scale only; the Spark side is
+    * the O(log n) star-contraction algorithm.
+    */
+  private def clusterCte(threshold: Double): String =
+    s"""$toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
+       pairs AS (SELECT a_id, b_id FROM (
+           SELECT a_id, b_id,
+             CAST(len(list_intersect(ja.s, jb.s)) AS DOUBLE)
+               / len(list_distinct(ja.s || jb.s)) AS j
+           FROM cand JOIN sh ja ON ja.doc_id = a_id
+                     JOIN sh jb ON jb.doc_id = b_id)
+         WHERE j >= $threshold),
+       e AS (SELECT a_id AS eu, b_id AS ev FROM pairs
+             UNION SELECT b_id, a_id FROM pairs),
+       nn AS (SELECT DISTINCT eu AS id FROM e),
+       reach(id, r) AS (
+         SELECT id, id FROM nn
+         UNION
+         SELECT reach.id, e.ev FROM reach JOIN e ON reach.r = e.eu),
+       assign AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)"""
+
   /** fixed-order double fold dot product of two list columns (1..64). */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
@@ -623,6 +671,15 @@ object NorthStar {
                      JOIN sh jb ON jb.doc_id = b_id)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
+         ORDER BY doc_id""",
+    "q60_dup_clusters" ->
+      s"""WITH RECURSIVE ${clusterCte(JaccardDupThreshold)}
+         SELECT id AS doc_id, rep AS cluster_rep FROM assign
+         ORDER BY doc_id""",
+    "q63_cluster_survivors" ->
+      s"""WITH RECURSIVE ${clusterCte(JaccardDupThreshold)}
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM assign WHERE id <> rep)
          ORDER BY doc_id""",
     "q26_simhash" ->
       s"""WITH $toksCte,

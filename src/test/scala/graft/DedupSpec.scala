@@ -84,6 +84,62 @@ class DedupSpec extends SparkSpec {
     assert(sigs == Seq("ab"))
   }
 
+  test("dupClusters: chain A~B, B~C merges into one cluster with min rep") {
+    // the case greedy pair-drop gets wrong: A≁C directly, yet all three are
+    // one component
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters: empty pair set yields empty assignment") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.dupClusters(empty).isEmpty)
+    assert(Dedup.dupClusters(empty).columns.toSeq ==
+      Seq("doc_id", "cluster_rep"))
+  }
+
+  test("property: dupClusters matches union-find and is invariant under " +
+      "edge order, direction, and duplication") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // sparse random graph over 40 nodes: many multi-node chains/components
+      val edges = Seq.fill(30)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFind(edges)
+      // permute order, flip direction randomly, duplicate some edges
+      val mangled = rnd.shuffle(edges ++ edges.take(8))
+        .map(e => if (rnd.nextBoolean()) e.swap else e)
+      val got = Dedup.dupClusters(mangled.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("clusterSurvivors keeps exactly one doc per near-dup cluster") {
+    // docs 0, 1, 2 chain into one cluster (0~1 near, 0~2 exact); survivor
+    // must be the min id only — greedy pair-drop would also keep nothing
+    // extra here, but the cluster path additionally names the rep
+    val pairs = Dedup.jaccardDupPairs(docs, 0.5)
+    val kept = Dedup.clusterSurvivors(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
   test("property: incremental == restricted full recompute over random " +
       "corpora and random batch splits") {
     val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
