@@ -157,9 +157,58 @@ object Ingest {
       * new wide files).
       */
     def readBack(spark: SparkSession, destPath: String): DataFrame
+
+    /** CRASH-IDEMPOTENT append: replaying the same `writeId` after a crash
+      * anywhere between this call and [[finishCommit]] must leave the
+      * destination with exactly one copy of the rows. Default delegates to
+      * the plain append — correct for sinks whose backend is natively
+      * idempotent by job id (a BigQuery load job with a fixed jobId, a
+      * Delta/Iceberg commit with a txn app id); [[ParquetSink]] overrides
+      * with a stage-manifest-publish protocol.
+      */
+    def stagedAppend(df: DataFrame, destPath: String,
+        partitionField: Option[String], writeId: String,
+        sourceUris: Seq[String]): Unit =
+      append(df, destPath, partitionField)
+
+    /** Roll crashed attempts forward or back before planning a new write.
+      * `committed(uris)` answers whether an attempt's source files are all
+      * in the ledger (= the attempt committed and only its cleanup was
+      * lost).
+      */
+    def recover(spark: SparkSession, destPath: String,
+        committed: Seq[String] => Boolean): Unit = ()
+
+    /** Drop the attempt's commit record once the ledger append succeeded. */
+    def finishCommit(spark: SparkSession, destPath: String,
+        writeId: String): Unit = ()
   }
 
-  /** Default sink: DAY-partitioned parquet directories. */
+  /** Default sink: DAY-partitioned parquet directories.
+    *
+    * Parquet has no multi-file transaction, so the crash-idempotent path
+    * ([[stagedAppend]]) implements one: write the batch OVERWRITE-mode into
+    * a hidden per-writeId staging dir, record a write-ahead manifest
+    * (source URIs + target file names) there, then publish by renaming
+    * each staged file to a `<writeId>-` prefixed name inside the
+    * destination layout. The staging dir doubles as the commit-pending
+    * marker until [[finishCommit]] removes it after the ledger append.
+    * [[recover]] resolves leftovers: attempt ledgered → roll forward
+    * (delete the marker), not ledgered → roll back (delete the published
+    * `<writeId>-` files listed in the manifest). Every window is covered:
+    *  - crash mid-stage: overwrite-mode restage discards the partial dir;
+    *  - crash mid-publish: rollback deletes whatever subset was renamed;
+    *  - crash between publish and ledger: rollback, replay re-publishes;
+    *  - crash between ledger and cleanup: roll forward, no re-load (the
+    *    planner's anti-join already excludes the files).
+    * Published-but-unledgered rows are reader-visible until the next run
+    * recovers — the documented gap vs a real table format (Delta/Iceberg
+    * close it with an atomic commit log and drop in via this same trait).
+    * The reference has the MIRROR flaw with loss instead of duplication:
+    * it ledgers files before the load job completes
+    * (BucketToBigQuery.js:361–374), so a crash in between drops them
+    * forever.
+    */
   object ParquetSink extends DestinationSink {
     override def append(df: DataFrame, destPath: String,
         partitionField: Option[String]): Unit = {
@@ -173,6 +222,125 @@ object Ingest {
     }
     override def readBack(spark: SparkSession, destPath: String): DataFrame =
       spark.read.option("mergeSchema", "true").parquet(destPath)
+
+    private val ManifestFile = "_graft_manifest"
+
+    /** `<parent>/.staging_<table>/<writeId>` — dot-prefixed sibling of the
+      * destination, so no parquet read of the warehouse ever lists it.
+      */
+    private def stagingDir(destPath: String, writeId: String): Path = {
+      val dest = new Path(destPath)
+      new Path(new Path(dest.getParent, s".staging_${dest.getName}"), writeId)
+    }
+
+    private def fsOf(spark: SparkSession, p: Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def listFilesRec(fs: org.apache.hadoop.fs.FileSystem,
+        dir: Path): Seq[Path] = {
+      val it = fs.listFiles(dir, /*recursive=*/ true)
+      val buf = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) buf += it.next().getPath
+      buf.toSeq
+    }
+
+    override def stagedAppend(df: DataFrame, destPath: String,
+        partitionField: Option[String], writeId: String,
+        sourceUris: Seq[String]): Unit = {
+      val spark = df.sparkSession
+      val staging = stagingDir(destPath, writeId)
+      val fs = fsOf(spark, staging)
+      // 1. stage, OVERWRITE mode: a partial dir from a crashed earlier
+      //    attempt of this writeId is discarded wholesale
+      val writer = partitionField match {
+        case Some(f) =>
+          df.withColumn(PartitionCol, to_date(col(f)))
+            .write.mode("overwrite").partitionBy(PartitionCol)
+        case None => df.write.mode("overwrite")
+      }
+      writer.parquet(staging.toString)
+      // 2. write-ahead manifest: source URIs + dest-relative target names,
+      //    recorded BEFORE any rename so rollback knows every possible
+      //    published path
+      val stagingQ = fs.makeQualified(staging).toString
+      val staged = listFilesRec(fs, staging)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .map(p => fs.makeQualified(p).toString.stripPrefix(stagingQ + "/"))
+        .sorted
+      val targets = staged.zipWithIndex.map { case (rel, i) =>
+        val dir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case k  => rel.substring(0, k + 1)
+        }
+        (rel, s"$dir$writeId-$i.parquet")
+      }
+      val manifest = (sourceUris.map("uri\t" + _) ++
+        targets.map { case (_, t) => "target\t" + t }).mkString("\n")
+      val out = fs.create(new Path(staging, ManifestFile), true)
+      try out.write(manifest.getBytes("UTF-8")) finally out.close()
+      // 3. publish: rename into the destination layout under writeId-
+      //    deterministic names (defensive pre-delete — a half-published
+      //    attempt this writeId is re-run only after recover() rolled it
+      //    back, but renames must never silently no-op)
+      val dest = new Path(destPath)
+      targets.foreach { case (rel, tgt) =>
+        val target = new Path(dest, tgt)
+        fs.mkdirs(target.getParent)
+        if (fs.exists(target)) fs.delete(target, false)
+        require(fs.rename(new Path(staging, rel), target),
+          s"[graft] publish rename failed: $rel -> $target")
+      }
+      // staging dir (with manifest) survives as the commit-pending marker
+    }
+
+    override def recover(spark: SparkSession, destPath: String,
+        committed: Seq[String] => Boolean): Unit = {
+      val dest = new Path(destPath)
+      val root = new Path(dest.getParent, s".staging_${dest.getName}")
+      val fs = fsOf(spark, root)
+      if (!fs.exists(root)) return
+      fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+        val attempt = st.getPath
+        val mf = new Path(attempt, ManifestFile)
+        if (!fs.exists(mf)) {
+          // crashed before the manifest: nothing was published
+          fs.delete(attempt, true)
+        } else {
+          val lines = {
+            val in = fs.open(mf)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().toList
+            finally in.close()
+          }
+          val uris = lines.collect { case l if l.startsWith("uri\t") =>
+            l.substring(4) }
+          val targets = lines.collect { case l if l.startsWith("target\t") =>
+            l.substring(7) }
+          if (!committed(uris)) {
+            // uncommitted: delete whatever subset got published
+            targets.foreach(t => fs.delete(new Path(dest, t), false))
+            println(s"METRIC graft.recover.rolled_back=1 " +
+              s"write=${attempt.getName} files=${targets.length}")
+          } else {
+            println(s"METRIC graft.recover.rolled_forward=1 " +
+              s"write=${attempt.getName}")
+          }
+          fs.delete(attempt, true)
+        }
+      }
+      // drop the (now empty) staging root so the dataset dir stays clean
+      if (fs.listStatus(root).isEmpty) fs.delete(root, true)
+    }
+
+    override def finishCommit(spark: SparkSession, destPath: String,
+        writeId: String): Unit = {
+      val staging = stagingDir(destPath, writeId)
+      val fs = fsOf(spark, staging)
+      fs.delete(staging, true)
+      val root = staging.getParent
+      if (fs.exists(root) && fs.listStatus(root).isEmpty)
+        fs.delete(root, true)
+    }
   }
 
   final case class LoadResult(
@@ -194,6 +362,16 @@ object Ingest {
       files: Seq[String],
       schema: StructType,
       partitionField: Option[String]) {
+    /** REPLAY-STABLE write identity: a crash-replayed plan over the same
+      * still-unledgered file set derives the same id, so the staged-commit
+      * protocol can deduplicate it. Derived from dest + sorted file list —
+      * NOT from [[jobId]], whose timestamp changes per attempt.
+      */
+    def writeId: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update((destPath +: files.sorted).mkString("\n").getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
     def render: String =
       s"""jobId:     $jobId
          |dest:      $destPath
@@ -256,20 +434,32 @@ object Ingest {
   /** Execute a plan: one multi-file read, one partitioned append, ledger
     * AFTER the write action returns (fixes reference quirk ST5 where files
     * were ledgered before their load job completed,
-    * BucketToBigQuery.js:361–374).
+    * BucketToBigQuery.js:361–374) — and crash-IDEMPOTENT on top: leftover
+    * attempts are rolled forward/back against the ledger before writing,
+    * and the write itself goes through the sink's staged-commit protocol
+    * keyed by the replay-stable [[LoadPlan.writeId]], so a replay after a
+    * crash anywhere in the sequence neither loses nor duplicates rows.
     */
   def executePlan(
       spark: SparkSession, plan: LoadPlan,
       sink: DestinationSink = ParquetSink): LoadResult = {
+    // 3b. resolve crashed attempts FIRST (even when this run has no new
+    // files — a crash after the ledger append still needs its marker swept)
+    sink.recover(spark, plan.destPath,
+      uris => Ledger.filterNew(spark, plan.ledgerPath, uris).isEmpty)
     if (plan.files.isEmpty)
       return LoadResult(plan.destPath, Nil, plan.schema, None, 0L)
 
-    // 4. the distributed part: one multi-file read, one partitioned write
+    // 4. the distributed part: one multi-file read, one staged-idempotent
+    //    partitioned publish
     val df = alignTo(readCsv(spark, plan.schema, plan.files), plan.schema)
-    sink.append(df, plan.destPath, plan.partitionField)
+    sink.stagedAppend(df, plan.destPath, plan.partitionField,
+      plan.writeId, plan.files)
 
-    // 5. ledger AFTER the write action returns (ST5)
+    // 5. ledger AFTER the write action returns (ST5), then drop the
+    //    commit-pending marker
     Ledger.markImported(spark, plan.ledgerPath, plan.files)
+    sink.finishCommit(spark, plan.destPath, plan.writeId)
 
     val rows = sink.readBack(spark, plan.destPath).count()
     // metric log lines, the reference's observability surface

@@ -165,6 +165,86 @@ class IngestSpec extends SparkSpec {
     assert(calls.toSeq == Seq("append:Some(timestamp)", "readBack"))
   }
 
+  test("crash between dest write and ledger append: replay does not " +
+      "duplicate rows (idempotent staged commit)") {
+    val root = tmpDir("crash_")
+    val src = new java.io.File(s"$root/in"); src.mkdirs()
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(src, name))
+      try w.write(body) finally w.close()
+    }
+    write("a.csv",
+      "timestamp,utc_offset,location\n" +
+        "2026-01-01 00:00:00,1.0,x\n2026-01-02 00:00:00,1.0,y\n")
+    val task = Manifest.parse(manifestJson).tasks.head
+
+    // crash AFTER the destination publish, BEFORE the ledger append — the
+    // window the reference mirrors with data LOSS (BucketToBigQuery.js:361)
+    object CrashAfterWrite extends Ingest.DestinationSink {
+      override def append(df: org.apache.spark.sql.DataFrame, p: String,
+          f: Option[String]): Unit = Ingest.ParquetSink.append(df, p, f)
+      override def readBack(s: org.apache.spark.sql.SparkSession, p: String) =
+        Ingest.ParquetSink.readBack(s, p)
+      override def stagedAppend(df: org.apache.spark.sql.DataFrame,
+          p: String, f: Option[String], id: String,
+          uris: Seq[String]): Unit = {
+        Ingest.ParquetSink.stagedAppend(df, p, f, id, uris)
+        throw new RuntimeException("simulated crash before ledger append")
+      }
+      override def recover(s: org.apache.spark.sql.SparkSession, p: String,
+          c: Seq[String] => Boolean): Unit =
+        Ingest.ParquetSink.recover(s, p, c)
+      override def finishCommit(s: org.apache.spark.sql.SparkSession,
+          p: String, id: String): Unit =
+        Ingest.ParquetSink.finishCommit(s, p, id)
+    }
+    intercept[RuntimeException] {
+      Ingest.loadTask(spark, task, root, s"$root/wh", CrashAfterWrite)
+    }
+    // rows were published (dirty-visible until recovery) but NOT ledgered
+    assert(Ledger.importedUris(spark, s"$root/wh/ds/sensors_imported")
+      .count() == 0)
+
+    // replay with a healthy sink: rollback + re-publish → exactly one copy
+    val r = Ingest.loadTask(spark, task, root, s"$root/wh")
+    assert(r.loadedFiles.length == 1)
+    assert(r.rows == 2, "replay after crash must not duplicate rows")
+    assert(Ingest.readDest(spark, r.destPath).count() == 2)
+    // commit record swept
+    assert(!new java.io.File(s"$root/wh/ds/.staging_sensors").exists())
+
+    // crash AFTER the ledger append, BEFORE marker cleanup: the attempt is
+    // committed; recovery must roll FORWARD (keep rows), never delete them
+    write("b.csv",
+      "timestamp,utc_offset,location\n2026-01-03 00:00:00,1.0,z\n")
+    object CrashAfterLedger extends Ingest.DestinationSink {
+      override def append(df: org.apache.spark.sql.DataFrame, p: String,
+          f: Option[String]): Unit = Ingest.ParquetSink.append(df, p, f)
+      override def readBack(s: org.apache.spark.sql.SparkSession, p: String) =
+        Ingest.ParquetSink.readBack(s, p)
+      override def stagedAppend(df: org.apache.spark.sql.DataFrame,
+          p: String, f: Option[String], id: String, uris: Seq[String]): Unit =
+        Ingest.ParquetSink.stagedAppend(df, p, f, id, uris)
+      override def recover(s: org.apache.spark.sql.SparkSession, p: String,
+          c: Seq[String] => Boolean): Unit =
+        Ingest.ParquetSink.recover(s, p, c)
+      override def finishCommit(s: org.apache.spark.sql.SparkSession,
+          p: String, id: String): Unit =
+        throw new RuntimeException("simulated crash before marker cleanup")
+    }
+    intercept[RuntimeException] {
+      Ingest.loadTask(spark, task, root, s"$root/wh", CrashAfterLedger)
+    }
+    assert(new java.io.File(s"$root/wh/ds/.staging_sensors").exists())
+    // replay: no new files; recovery sweeps the committed marker, rows stay
+    val r2 = Ingest.loadTask(spark, task, root, s"$root/wh")
+    assert(r2.loadedFiles.isEmpty)
+    assert(Ingest.readDest(spark, r.destPath).count() == 3)
+    assert(!new java.io.File(s"$root/wh/ds/.staging_sensors").exists())
+    assert(Ledger.importedUris(spark, s"$root/wh/ds/sensors_imported")
+      .count() == 2)
+  }
+
   test("ordered view registers in the session catalog as <table>_ordered") {
     import spark.implicits._
     val df = Seq(("2026-01-01 00:00:00", 2.0, 7.5))
