@@ -100,6 +100,38 @@ object NorthStar {
     }),
 
     // ---- dedup ---------------------------------------------------------
+    // C4/Gopher corpus quality rules: the published repetition + format
+    // filter set as per-doc metrics and pass flags. Flags compare ROUNDED
+    // metrics so both engines decide identically at the thresholds.
+    "q61_quality_rules" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        round(TA.duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
+        round(TA.duplicateParagraphFraction(col("text")), 6)
+          .as("dup_para_frac"),
+        round(TA.duplicateLineCharFraction(col("text")), 6)
+          .as("dup_line_char_frac"),
+        round(TA.topBigramCharFraction(col("text")), 6)
+          .as("top_bigram_char_frac"),
+        round(TA.symbolToWordRatio(col("text")), 6).as("symbol_word_ratio"),
+        round(TA.bulletLineFraction(col("text")), 6).as("bullet_line_frac"),
+        round(TA.ellipsisLineFraction(col("text")), 6)
+          .as("ellipsis_line_frac"),
+        round(TA.alphaWordFraction(col("text")), 6).as("alpha_word_frac"))
+        .withColumn("passes_repetition",
+          col("dup_line_frac") <= TA.DupLineFracMax &&
+            col("dup_para_frac") <= TA.DupParaFracMax &&
+            col("dup_line_char_frac") <= TA.DupLineCharFracMax &&
+            col("top_bigram_char_frac") <= TA.TopBigramCharFracMax)
+        .withColumn("passes_format",
+          col("symbol_word_ratio") <= TA.SymbolWordRatioMax &&
+            col("bullet_line_frac") <= TA.BulletLineFracMax &&
+            col("ellipsis_line_frac") <= TA.EllipsisLineFracMax &&
+            col("alpha_word_frac") >= TA.AlphaWordFracMin)
+        .orderBy(col("doc_id"))
+    }),
+
     "q22_exact_dedup" -> ((s, dir) => {
       Dedup.exactDupGroups(docs(s, dir)).orderBy(col("fingerprint"))
     }),
@@ -137,9 +169,10 @@ object NorthStar {
     }),
 
     // The curation capstone: the corpus a training pipeline would keep —
-    // English, above the quality bar, and not a near-duplicate victim.
-    // Composes lang-ID, quality scoring, and LSH+Jaccard dedup in one
-    // declarative pipeline Catalyst plans end-to-end.
+    // English, above the quality bar, passing the Gopher repetition +
+    // format rules (q61), and not a near-duplicate victim. Composes
+    // lang-ID, quality scoring, published quality rules, and LSH+Jaccard
+    // dedup in one declarative pipeline Catalyst plans end-to-end.
     "q46_curated_corpus" -> ((s, dir) => {
       val drop = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold,
         maxBucketSize = DedupBucketCap)
@@ -147,9 +180,26 @@ object NorthStar {
       docs(s, dir)
         .select(col("doc_id"),
           TA.langIdHeuristic(col("text")).as("lang_pred"),
-          round(TA.qualityScore(col("text")), 6).as("quality"))
-        .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
+          round(TA.qualityScore(col("text")), 6).as("quality"),
+          round(TA.duplicateLineFraction(col("text")), 6).as("dlf"),
+          round(TA.duplicateParagraphFraction(col("text")), 6).as("dpf"),
+          round(TA.duplicateLineCharFraction(col("text")), 6).as("dlcf"),
+          round(TA.topBigramCharFraction(col("text")), 6).as("tbcf"),
+          round(TA.symbolToWordRatio(col("text")), 6).as("swr"),
+          round(TA.bulletLineFraction(col("text")), 6).as("blf"),
+          round(TA.ellipsisLineFraction(col("text")), 6).as("elf"),
+          round(TA.alphaWordFraction(col("text")), 6).as("awf"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.3 &&
+          col("dlf") <= TA.DupLineFracMax &&
+          col("dpf") <= TA.DupParaFracMax &&
+          col("dlcf") <= TA.DupLineCharFracMax &&
+          col("tbcf") <= TA.TopBigramCharFracMax &&
+          col("swr") <= TA.SymbolWordRatioMax &&
+          col("blf") <= TA.BulletLineFracMax &&
+          col("elf") <= TA.EllipsisLineFracMax &&
+          col("awf") >= TA.AlphaWordFracMin)
         .join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -462,6 +512,84 @@ object NorthStar {
     """cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
 
+  /** Gopher/C4 quality-rule metrics per doc (requires `toks`). The folds
+    * the Spark side computes row-locally (sorted run-length aggregates) are
+    * computed relationally here via unnest + group-count — same values.
+    */
+  private val qualityRulesCte =
+    """qlines AS (SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+           x -> length(x) > 0) AS ls
+       FROM documents),
+      qparas AS (SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\n\s*\n'),
+           x -> trim(x)), x -> length(x) > 0) AS ps
+       FROM documents),
+      qlx AS (SELECT doc_id, unnest(ls) AS l FROM qlines),
+      qlc AS (SELECT doc_id, l, count(*) AS c FROM qlx GROUP BY 1, 2),
+      qdlc AS (SELECT doc_id,
+         coalesce(sum(CASE WHEN c >= 2 THEN c * length(l) ELSE 0 END), 0)
+           AS dup_chars,
+         coalesce(sum(c * length(l)), 0) AS tot_chars
+       FROM qlc GROUP BY 1),
+      qbg AS (SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1])) AS g
+       FROM toks WHERE len(t) >= 2),
+      qbgc AS (SELECT doc_id, max(c * length(g)) AS best FROM (
+         SELECT doc_id, g, count(*) AS c FROM qbg GROUP BY 1, 2)
+       GROUP BY 1),
+      qm AS (SELECT d.doc_id,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(t.t) END AS ntok,
+         length(d.text) AS nchar,
+         len(regexp_extract_all(d.text, '#|\.\.\.')) AS nsym,
+         t.t AS t, ql.ls AS ls, qp.ps AS ps,
+         coalesce(dl.dup_chars, 0) AS dup_chars,
+         coalesce(dl.tot_chars, 0) AS tot_chars,
+         coalesce(bb.best, 0) AS best
+       FROM documents d
+       JOIN toks t USING (doc_id)
+       JOIN qlines ql USING (doc_id)
+       JOIN qparas qp USING (doc_id)
+       LEFT JOIN qdlc dl USING (doc_id)
+       LEFT JOIN qbgc bb USING (doc_id)),
+      qr AS (SELECT doc_id, ntok,
+         round(CASE WHEN len(ls) = 0 THEN 0.0
+           ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END, 6)
+           AS dup_line_frac,
+         round(CASE WHEN len(ps) = 0 THEN 0.0
+           ELSE 1.0 - CAST(len(list_distinct(ps)) AS DOUBLE) / len(ps) END, 6)
+           AS dup_para_frac,
+         round(CASE WHEN tot_chars = 0 THEN 0.0
+           ELSE CAST(dup_chars AS DOUBLE) / tot_chars END, 6)
+           AS dup_line_char_frac,
+         round(CASE WHEN nchar = 0 THEN 0.0
+           ELSE CAST(best AS DOUBLE) / nchar END, 6) AS top_bigram_char_frac,
+         round(CASE WHEN ntok = 0 THEN 0.0
+           ELSE CAST(nsym AS DOUBLE) / ntok END, 6) AS symbol_word_ratio,
+         round(CASE WHEN len(ls) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(ls, x -> left(x, 1) = '-'
+             OR left(x, 1) = '*' OR left(x, 1) = '•')) AS DOUBLE)
+             / len(ls) END, 6) AS bullet_line_frac,
+         round(CASE WHEN len(ls) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(ls, x -> right(x, 3) = '...'))
+             AS DOUBLE) / len(ls) END, 6) AS ellipsis_line_frac,
+         round(CASE WHEN ntok = 0 THEN 0.0
+           ELSE CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+             AS DOUBLE) / ntok END, 6) AS alpha_word_frac
+       FROM qm)"""
+
+  import graft.functions.{TextAnalysis => TAC}
+  private val rulePassSql =
+    s"""dup_line_frac <= ${TAC.DupLineFracMax}
+       AND dup_para_frac <= ${TAC.DupParaFracMax}
+       AND dup_line_char_frac <= ${TAC.DupLineCharFracMax}
+       AND top_bigram_char_frac <= ${TAC.TopBigramCharFracMax}
+       AND symbol_word_ratio <= ${TAC.SymbolWordRatioMax}
+       AND bullet_line_frac <= ${TAC.BulletLineFracMax}
+       AND ellipsis_line_frac <= ${TAC.EllipsisLineFracMax}
+       AND alpha_word_frac >= ${TAC.AlphaWordFracMin}"""
+
   /** Verified-pair + connected-component CTE chain (DuckDB recursive CTE
     * reachability; component rep = min reachable id). Mirror of
     * [[graft.operators.Dedup.dupClusters]] over
@@ -597,6 +725,21 @@ object NorthStar {
            + (0.2 - least(CAST(npunct AS DOUBLE) / CAST(nchar AS DOUBLE) * 2.0, 0.2)),
            6) AS quality
          FROM m ORDER BY doc_id""",
+    "q61_quality_rules" ->
+      s"""WITH $toksCte, $qualityRulesCte
+         SELECT doc_id, ntok AS n_tokens, dup_line_frac, dup_para_frac,
+           dup_line_char_frac, top_bigram_char_frac, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           (dup_line_frac <= ${TAC.DupLineFracMax}
+             AND dup_para_frac <= ${TAC.DupParaFracMax}
+             AND dup_line_char_frac <= ${TAC.DupLineCharFracMax}
+             AND top_bigram_char_frac <= ${TAC.TopBigramCharFracMax})
+             AS passes_repetition,
+           (symbol_word_ratio <= ${TAC.SymbolWordRatioMax}
+             AND bullet_line_frac <= ${TAC.BulletLineFracMax}
+             AND ellipsis_line_frac <= ${TAC.EllipsisLineFracMax}
+             AND alpha_word_frac >= ${TAC.AlphaWordFracMin}) AS passes_format
+         FROM qr ORDER BY doc_id""",
     "q22_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
          min(doc_id) AS keep_id, count(*) AS n_dups
@@ -625,7 +768,7 @@ object NorthStar {
                      JOIN sh jb ON jb.doc_id = b_id)
          WHERE j >= $JaccardDupThreshold ORDER BY a_id, b_id""",
     "q46_curated_corpus" ->
-      s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
+      s"""WITH $toksCte, $qualityRulesCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
          pairs AS (SELECT a_id, b_id,
              CAST(len(list_intersect(ja.s, jb.s)) AS DOUBLE)
                / len(list_distinct(ja.s || jb.s)) AS j
@@ -658,8 +801,10 @@ object NorthStar {
              + (0.2 - least(CAST(npunct AS DOUBLE) / CAST(nchar AS DOUBLE) * 2.0, 0.2)),
              6) AS quality
          FROM hits h JOIN m USING (doc_id))
-         SELECT doc_id, lang_pred, quality FROM scored
+         SELECT s.doc_id, s.lang_pred, s.quality
+         FROM scored s JOIN qr USING (doc_id)
          WHERE lang_pred = 'en' AND quality >= 0.3
+           AND $rulePassSql
            AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
          ORDER BY doc_id""",
     "q45_dedup_corpus" ->

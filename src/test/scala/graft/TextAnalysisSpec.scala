@@ -65,6 +65,52 @@ class TextAnalysisSpec extends SparkSpec {
     rows.foreach { case (c, n) => assert(c == n) }
   }
 
+  test("Gopher repetition rules: duplicate line/para and top-bigram " +
+      "fractions computed by the sorted folds") {
+    import graft.functions.{TextAnalysis => TA}
+    val docs = Seq(
+      (1L, "a normal line of english text\nand a different second line"),
+      (2L, "dup line\ndup line\ndup line\nunique"),
+      (3L, "spam spam spam spam spam spam"),
+      (4L, "para one\n\npara one\n\npara two")
+    ).toDF("doc_id", "text")
+    val m = docs.select(col("doc_id"),
+      TA.duplicateLineFraction(col("text")).as("dlf"),
+      TA.duplicateParagraphFraction(col("text")).as("dpf"),
+      TA.duplicateLineCharFraction(col("text")).as("dlcf"),
+      TA.topBigramCharFraction(col("text")).as("tbcf"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(m(1L)._1 == 0.0 && m(1L)._3 == 0.0)
+    assert(m(2L)._1 == 0.5)                   // 4 lines, 2 distinct
+    assert(m(2L)._3 == 24.0 / 30.0)           // 3x"dup line"(8) over 30
+    assert(m(4L)._2 == 1.0 - 2.0 / 3.0)       // 3 paras, 2 distinct
+    // "spam spam" x5 covers 5*9=45 of 29 chars — way past any threshold
+    assert(m(3L)._4 == 45.0 / 29.0)
+  }
+
+  test("Gopher format rules: symbol ratio, bullet/ellipsis lines, alpha " +
+      "words") {
+    import graft.functions.{TextAnalysis => TA}
+    val docs = Seq(
+      (1L, "- one\n- two\n- three"),
+      (2L, "trailing off...\nand again...\nbut not here"),
+      (3L, "### markdown #soup... of # symbols"),
+      (4L, "1 2 3 4 real words here")
+    ).toDF("doc_id", "text")
+    val m = docs.select(col("doc_id"),
+      TA.bulletLineFraction(col("text")).as("blf"),
+      TA.ellipsisLineFraction(col("text")).as("elf"),
+      TA.symbolToWordRatio(col("text")).as("swr"),
+      TA.alphaWordFraction(col("text")).as("awf"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(m(1L)._1 == 1.0)                   // every line bulleted
+    assert(m(2L)._2 == 2.0 / 3.0)             // 2 of 3 lines end in ...
+    assert(m(3L)._3 == 6.0 / 6.0)             // 5x'#' + 1x'...' over 6 tokens
+    assert(m(4L)._4 == 3.0 / 7.0)             // digits aren't alpha words
+  }
+
   test("quality score stays in a sane range and rewards real text") {
     val scores = Seq(
       "the quick brown fox jumps over the lazy dog and it is a fine day",
