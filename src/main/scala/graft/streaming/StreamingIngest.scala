@@ -106,6 +106,98 @@ object StreamingIngest {
       .start()
   }
 
+  // ---- streaming CURATED ingest (near-dedup in the ingest path) --------
+
+  private def readCorpus(spark: SparkSession, corpusDir: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(corpusDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** One text-curation step: near-dedup a new document batch against the
+    * already-curated corpus via the INCREMENTAL candidate index
+    * ([[graft.operators.Dedup.incrementalJaccardDupPairs]] — cost scales
+    * with |batch| x bucket occupancy, never |corpus|^2), append the
+    * survivors to the corpus and the verified dup pairs to the victim log.
+    *
+    * First-wins contract: ingest assigns MONOTONICALLY increasing doc ids
+    * (the ledger already guarantees disjointness), so the larger pair
+    * member `b_id` is always the newer doc — dropping `b_id` keeps the
+    * established corpus stable and makes the final corpus equal the batch
+    * recompute's survivor set (StreamingIngestSpec proves it across
+    * batches). The pair frame is localCheckpoint'ed so the two appends
+    * below never scan `corpusDir` while writing into it.
+    */
+  def curateDocBatch(spark: SparkSession, batch: DataFrame,
+      corpusDir: String, victimLogDir: Option[String],
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): Unit = {
+    if (batch.isEmpty) return
+    val corpus = readCorpus(spark, corpusDir, batch.schema)
+    val pairs = graft.operators.Dedup
+      .incrementalJaccardDupPairs(batch, corpus, threshold, maxBucketSize)
+      .localCheckpoint()
+    val victims = pairs.select(col("b_id").as("doc_id")).distinct()
+    victimLogDir.foreach(d =>
+      pairs.write.mode("append").parquet(d))
+    batch.join(victims, Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(corpusDir)
+  }
+
+  /** Vector-side curation step: same shape over embeddings via
+    * [[graft.operators.Similarity.incrementalNearDupPairs]] (multi-table
+    * sign-LSH candidate index, cosine-verified).
+    */
+  def curateVectorBatch(spark: SparkSession, batch: DataFrame,
+      corpusDir: String, victimLogDir: Option[String],
+      threshold: Double, nPlanes: Int, nTables: Int = 1,
+      maxBucketSize: Int = 1000): Unit = {
+    if (batch.isEmpty) return
+    val corpus = readCorpus(spark, corpusDir, batch.schema)
+    val pairs = graft.operators.Similarity
+      .incrementalNearDupPairs(batch, corpus, threshold, nPlanes, nTables,
+        maxBucketSize)
+      .localCheckpoint()
+    val victims = pairs.select(col("b_id").as("vec_id")).distinct()
+    victimLogDir.foreach(d =>
+      pairs.write.mode("append").parquet(d))
+    batch.join(victims, Seq("vec_id"), "left_anti")
+      .write.mode("append").parquet(corpusDir)
+  }
+
+  /** Streaming CURATED ingest end-to-end: a drop directory of JSON-lines
+    * documents `(doc_id, text)` drains through `foreachBatch` where each
+    * micro-batch is incrementally near-deduped against the curated corpus
+    * before being appended — the pipeline a real training-data ingest runs,
+    * composed from the same operators the batch queries use. The
+    * checkpoint gives exactly-once per input file; the per-batch dedup
+    * gives first-wins per near-dup cluster across the whole stream.
+    */
+  def startCurated(
+      spark: SparkSession,
+      docsDir: String,
+      schema: StructType,
+      corpusDir: String,
+      victimLogDir: Option[String],
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateDocBatch(spark, batch, corpusDir, victimLogDir,
+          threshold, maxBucketSize)
+      }
+      .start()
+
   /** Streaming first-seen filter — the ledger's effectively-once semantics
     * as a row-level stateful operator: for each key, emit only the first
     * record ever seen; per-key state is one boolean, kept in the state

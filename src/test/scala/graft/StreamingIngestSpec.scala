@@ -55,6 +55,79 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out.filter(col("p_date") === "2026-01-01").count() == 2)
   }
 
+  test("streaming curated ingest: cross-batch near-dups dropped, corpus " +
+      "== full-recompute survivors") {
+    import spark.implicits._
+    val root = tmpDir("curated_")
+    val drop = new java.io.File(s"$root/drop"); drop.mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def writeJson(name: String, docs: Seq[(Long, String)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(drop, name))
+      try docs.foreach { case (id, t) =>
+        w.println(s"""{"doc_id":$id,"text":"$t"}""")
+      } finally w.close()
+    }
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val batch1 = Seq(
+      0L -> base,
+      1L -> "completely different content about spark engines parquet files and scala pipelines",
+      2L -> "yet another unrelated document mentioning warehouses ledgers and streams")
+    val batch2 = Seq(
+      10L -> ((1 to 29).map(i => s"word$i").mkString(" ") + " changed"),
+      11L -> batch1(1)._2, // exact dup of doc 1 (cross-batch)
+      12L -> "novel content that only appears in the second batch of the stream",
+      13L -> "novel content that only appears in the second batch of the stream")
+
+    writeJson("b1.json", batch1)
+    StreamingIngest.startCurated(spark, s"$root/drop", docSchema,
+      s"$root/corpus", Some(s"$root/victims"), s"$root/ck")
+      .awaitTermination(120000)
+    writeJson("b2.json", batch2)
+    StreamingIngest.startCurated(spark, s"$root/drop", docSchema,
+      s"$root/corpus", Some(s"$root/victims"), s"$root/ck")
+      .awaitTermination(120000)
+
+    val kept = spark.read.schema(docSchema).parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    // full recompute over everything that ever arrived
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val fullVictims = graft.operators.Dedup.jaccardDupPairs(all, 0.8)
+      .select("b_id").as[Long].collect().toSet
+    val fullSurvivors =
+      (batch1 ++ batch2).map(_._1).toSet -- fullVictims
+    assert(kept == fullSurvivors)
+    assert(kept == Set(0L, 1L, 2L, 12L)) // 10 near-0, 11 dup-1, 13 dup-12
+    // victim log carries the verified pairs with their jaccard
+    val logged = spark.read.parquet(s"$root/victims")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(logged == Set((0L, 10L), (1L, 11L), (12L, 13L)))
+  }
+
+  test("vector curation step: embedding near-dups dropped against the " +
+      "corpus, first batch wins") {
+    import spark.implicits._
+    val root = tmpDir("vcurated_")
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => if (i < 2) x + 0.01f else x }
+    val bases = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val b1 = (0L until 4L).map(i => (i, bases(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val novel = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val b2 = Seq((10L, jitter(bases(1))), (11L, novel), (12L, jitter(novel)))
+      .toDF("vec_id", "embedding")
+    StreamingIngest.curateVectorBatch(spark, b1, s"$root/corpus", None,
+      threshold = 0.99, nPlanes = 4, nTables = 3)
+    StreamingIngest.curateVectorBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"), threshold = 0.99, nPlanes = 4, nTables = 3)
+    val kept = spark.read.parquet(s"$root/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 11L)) // 10 dups corpus 1; 12 dups 11
+  }
+
   test("firstSeen: stateful cross-batch dedup emits each key once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
