@@ -339,6 +339,23 @@ object NorthStar {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // IVF-PQ codes (q44's coarse quantizer + residual product
+    // quantization, deterministic data-point codebooks): the codes-only
+    // relation a 100 TB ANN corpus stores hot — 64 floats become 8 small
+    // codes + a cell id. The oracle replays every residual subtraction and
+    // per-subvector argmin in SQL.
+    "q62_pq_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.ivfCentroids(e, nCentroids = 16,
+        trainIters = IvfIters, trainSample = IvfSample)
+      val cb = Similarity.pqCodebooks(e, cents, nSub = 8, codebookSize = 16,
+        seedOffset = 16)
+      Similarity.pqIndex(e, cents, cb)
+        .select(col("vec_id"), col("cid"),
+          concat_ws(",", col("codes")).as("codes_csv"))
+        .orderBy(col("vec_id"))
+    }),
+
     // kNN graph: approximate top-3 neighbors for EVERY vector (corpus-vs-
     // corpus — no broadcastable query side). The primitive under semantic
     // clustering and connected-component dedup.
@@ -979,6 +996,43 @@ object NorthStar {
                ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 5 ORDER BY query_id, rn""",
+    "q62_pq_codes" ->
+      s"""WITH seeds AS (SELECT CAST(vec_id AS INT) AS cid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+           FROM embeddings WHERE vec_id < 16),
+         samp AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+           WHERE vec_id < $IvfSample)${lloydChainSql(IvfIters)._1},
+         cells AS (SELECT vec_id, cv, cid FROM (
+             SELECT e.vec_id, e.embedding AS cv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${dotSql("e.embedding", "c.ce")} /
+                   (${normSql("e.embedding")} * ${normSql("c.ce")}) DESC,
+                 c.cid) AS rn
+             FROM embeddings e CROSS JOIN ${lloydChainSql(IvfIters)._2} c)
+           WHERE rn = 1),
+         res AS (SELECT l.vec_id, l.cid,
+             list_transform(generate_series(1, 64),
+               i -> CAST(l.cv[i] AS DOUBLE) - s.ce[i]) AS r
+           FROM cells l JOIN ${lloydChainSql(IvfIters)._2} s USING (cid)),
+         ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+         rsub AS (SELECT vec_id, cid, m, r[m*8+1 : m*8+8] AS rv
+           FROM res CROSS JOIN ms),
+         cbk AS (SELECT CAST(vec_id - 16 AS INT) AS cbk_k, m, rv AS cbv
+           FROM rsub WHERE vec_id >= 16 AND vec_id < 32),
+         dist AS (SELECT t.vec_id, t.m, c.cbk_k,
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> (t.rv[i] - c.cbv[i]) * (t.rv[i] - c.cbv[i])),
+               (x, y) -> x + y) AS d
+           FROM rsub t JOIN cbk c USING (m)),
+         code AS (SELECT vec_id, m, cbk_k AS code FROM (
+             SELECT vec_id, m, cbk_k, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY d, cbk_k) AS rn FROM dist)
+           WHERE rn = 1)
+         SELECT r.vec_id, r.cid,
+           array_to_string(list(c.code ORDER BY c.m), ',') AS codes_csv
+         FROM (SELECT DISTINCT vec_id, cid FROM res) r JOIN code c USING (vec_id)
+         GROUP BY r.vec_id, r.cid
+         ORDER BY r.vec_id""",
     "q35_knn_multiprobe" ->
       s"""WITH $tableBucketsCte,
          q AS (SELECT query_id, t,

@@ -339,4 +339,168 @@ object Similarity {
         cos6(col("a_vec"), col("b_vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ------------------------------------------------------ IVF-PQ (ADC)
+
+  /** Per-vector RESIDUAL against its assigned coarse centroid:
+    * `(id, cid, residual: array<double>)`. The narrow assignment is the
+    * codegen'd [[graft.plans.ArgmaxCosineExpr]]; the centroid frame is
+    * broadcast (nCentroids rows).
+    */
+  def ivfResiduals(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val idx = ivfIndex(vectors, centroids, idCol, vecCol)
+    idx.join(
+      broadcast(centroids.select(col("cid").cast("int").as("cid"),
+        col("ce"))), Seq("cid"))
+      .select(col("neighbor_id").as(idCol), col("cid"),
+        zip_with(transform(col("c_vec"), _.cast("double")), col("ce"),
+          (a, b) => a - b).as("residual"))
+  }
+
+  /** PQ codebooks over residual space, deterministic data-point seeds (the
+    * same convention as the IVF centroid seeds, so the DuckDB oracle can
+    * reproduce every code): codebook m's entry k is subvector m of the
+    * residual of seed vector `seedOffset + k`. Pass the coarse-quantizer's
+    * nCentroids as `seedOffset`: vectors 0..nCentroids-1 ARE the centroid
+    * seeds, so their residuals are exactly zero — sampling them would
+    * collapse the codebook into identical zero entries. The collect is
+    * bounded by codebookSize — driver state is (nSub x codebookSize x
+    * dim/nSub) doubles, broadcast back as a literal.
+    */
+  def pqCodebooks(vectors: DataFrame, centroids: DataFrame, nSub: Int,
+      codebookSize: Int, seedOffset: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val res = ivfResiduals(
+      vectors.filter(col(idCol) >= seedOffset &&
+        col(idCol) < seedOffset + codebookSize), centroids, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("residual"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(res.nonEmpty, "pqCodebooks: empty seed sample")
+    val dim = res.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subvectors")
+    val ds = dim / nSub
+    Array.tabulate(nSub)(m => res.map(_.slice(m * ds, m * ds + ds)))
+  }
+
+  /** Encode a residual into its `nSub` PQ codes: per subvector, the index
+    * of the L2-nearest codebook entry (first index wins ties — the same
+    * rule as the oracle's `ORDER BY d, k`). Composed higher-order folds;
+    * callers MUST materialize the residual behind an exchange first
+    * ([[pqIndex]] does) or the residual tree is re-evaluated per
+    * (subvector, codebook-entry).
+    */
+  def pqEncode(residual: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val nSub = cb.length
+    val kk = cb(0).length
+    val ds = cb(0)(0).length
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(nSub - 1)), m => {
+      val sub = slice(residual, m * ds + 1, lit(ds))
+      val cbm = element_at(cbLit, m + 1)
+      aggregate(sequence(lit(0), lit(kk - 1)),
+        struct(lit(Double.MaxValue).as("best"), lit(-1).as("bk")),
+        (acc, j) => {
+          val entry = element_at(cbm, j + 1)
+          val d = aggregate(sequence(lit(1), lit(ds)), lit(0.0),
+            (s, i) => s + (element_at(sub, i) - element_at(entry, i)) *
+              (element_at(sub, i) - element_at(entry, i)))
+          when(d < acc.getField("best"),
+            struct(d.as("best"), j.cast("int").as("bk"))).otherwise(acc)
+        },
+        acc => acc.getField("bk"))
+    })
+  }
+
+  /** The PQ index: `(id, cid, codes)` — the relation a 100 TB ANN corpus
+    * actually stores hot. 64 floats (256 B) per vector become nSub=8
+    * 1-byte-range codes + a cell id; the raw vectors stay in cold storage
+    * and are only re-joined for the final refine step of a query. The
+    * `repartition(id)` is the materialization barrier that makes the
+    * residual evaluate ONCE before the (nSub x codebookSize)-way encode
+    * fold (same pattern as Dedup.signatures — measured >100x on composed
+    * HOF pipelines without it).
+    */
+  def pqIndex(vectors: DataFrame, centroids: DataFrame,
+      cb: Array[Array[Array[Double]]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfResiduals(vectors, centroids, idCol, vecCol)
+      .repartition(col(idCol))
+      .select(col(idCol), col("cid"),
+        pqEncode(col("residual"), cb).as("codes"))
+
+  /** Asymmetric-distance (ADC) approximate inner product of a query
+    * against a PQ-coded vector: dot(q, centroid) is supplied by the caller
+    * (per probed cell); this adds sum over subvectors of
+    * dot(q_m, codebook[m][code_m]).
+    */
+  private def adcResidualDot(qVec: Column, codes: Column,
+      cb: Array[Array[Array[Double]]]): Column = {
+    val nSub = cb.length
+    val ds = cb(0)(0).length
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0), (s, m) => {
+      val entry = element_at(element_at(cbLit, m + 1),
+        element_at(codes, m + 1) + 1)
+      s + aggregate(sequence(lit(1), lit(ds)), lit(0.0),
+        (s2, i) => s2 + element_at(qVec, m * ds + i).cast("double") *
+          element_at(entry, i))
+    })
+  }
+
+  /** IVF-PQ ANN with exact refine: probe `nProbe` cells, score their
+    * inverted lists by ADC approximate inner product over the CODES-ONLY
+    * index (the memory-side half of the 100 TB ANN story — the scan never
+    * touches raw vectors), keep `refineFactor * k` candidates per query,
+    * then re-join exact vectors for those few and rank by exact cosine.
+    *
+    * Plan shape: index ⨝ broadcast(probes) on cid (the only big relation
+    * is the slim code index), ADC as a row-local fold, one per-query
+    * window over ~refineFactor*k*nProbe rows, then an id equi-join against
+    * the vector table for the short refine list.
+    */
+  def knnIvfPq(vectors: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2, nSub: Int = 8,
+      codebookSize: Int = 16, refineFactor: Int = 4, trainIters: Int = 0,
+      trainSample: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents =
+      ivfCentroids(vectors, nCentroids, trainIters, trainSample, idCol, vecCol)
+    val cb = pqCodebooks(vectors, cents, nSub, codebookSize,
+      seedOffset = nCentroids, idCol = idCol, vecCol = vecCol)
+    val index = pqIndex(vectors, cents, cb, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val dim = nSub * cb(0)(0).length
+    // queries probe their nProbe nearest cells, carrying dot(q, centroid)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cents.select(col("cid").cast("int").as("cid"),
+        col("ce"))))
+      .withColumn("s",
+        graft.plans.CosineSimilarityExpr.cosine(col("q_vec"), col("ce")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .withColumn("dqc", aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+        (s, i) => s + element_at(col("q_vec"), i).cast("double") *
+          element_at(col("ce"), i)))
+      .select(col("cid"), col("query_id"), col("q_vec"), col("dqc"))
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        col("dqc") + adcResidualDot(col("q_vec"), col("codes"), cb))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = scored.withColumn("arn", row_number().over(wr))
+      .filter(col("arn") <= refineFactor * k)
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"))
+    // exact refine over the short list only
+    val exact = cand.join(
+      vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      Seq("neighbor_id"))
+      .withColumn("cosine", cos6(col("q_vec"), col("c_vec")))
+    ranked(exact, k)
+  }
 }

@@ -177,6 +177,65 @@ class SimilaritySpec extends SparkSpec {
       .as("cid")).as[Int].head() == 0)
   }
 
+  test("IVF-PQ: codes-only ADC + exact refine loses little recall vs " +
+      "IVF-flat on clustered data") {
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0L until 60L).map { i =>
+      val c = centers((i / 20).toInt)
+      (i, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id").isin(5L, 25L, 45L))
+    def recallOf(got: org.apache.spark.sql.DataFrame): Int = {
+      val g = got.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = Similarity.knnBruteForce(vecs, queries, k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      want.map { case (q, w) =>
+        g.get(q).map(x => (x & w).size).getOrElse(0) }.sum
+    }
+    val flat = recallOf(Similarity.knnIvf(vecs, queries, k = 5,
+      nCentroids = 4, nProbe = 2, trainIters = 0, trainSample = 60))
+    val pq = recallOf(Similarity.knnIvfPq(vecs, queries, k = 5,
+      nCentroids = 4, nProbe = 2, nSub = 8, codebookSize = 12,
+      refineFactor = 4, trainIters = 0, trainSample = 60))
+    assert(pq >= flat - 2,
+      s"IVF-PQ recall $pq fell too far below IVF-flat $flat")
+    assert(pq >= 10) // >= 2/3 of 15 in absolute terms
+  }
+
+  test("PQ codes: deterministic, bounded range, exact-zero residual for " +
+      "codebook seeds against their own entry") {
+    val dim = 64
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(vecs, nCentroids = 4,
+      trainIters = 0, trainSample = 30)
+    // codebook sample starts PAST the centroid seeds (ids 0..3 have
+    // exactly-zero residuals — sampling them would collapse the codebook)
+    val cb = Similarity.pqCodebooks(vecs, cents, nSub = 8, codebookSize = 8,
+      seedOffset = 4)
+    assert(cb.length == 8 && cb(0).length == 8 && cb(0)(0).length == 8)
+    val idx = Similarity.pqIndex(vecs, cents, cb)
+    val codes = idx.select("vec_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 30)
+    assert(codes.values.forall(cs =>
+      cs.length == 8 && cs.forall(c => c >= 0 && c < 8)))
+    // a codebook seed's residual IS entry k in every subspace — its code
+    // must be itself (distance exactly 0, no closer entry exists)
+    (0 until 8).foreach(j =>
+      assert(codes(4L + j) == Seq.fill(8)(j), s"seed ${4 + j}"))
+    // deterministic across recomputation
+    val again = Similarity.pqIndex(vecs, cents, cb)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(again == codes)
+  }
+
   test("incremental near-dup == full recompute restricted to the batch") {
     val dim = 64
     val rnd = new scala.util.Random(3)
