@@ -104,21 +104,24 @@ object NorthStar {
     // filter set as per-doc metrics and pass flags. Flags compare ROUNDED
     // metrics so both engines decide identically at the thresholds.
     "q61_quality_rules" -> ((s, dir) => {
-      docs(s, dir).select(
-        col("doc_id"),
-        TA.tokenCount(col("text")).as("n_tokens"),
-        round(TA.duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
-        round(TA.duplicateParagraphFraction(col("text")), 6)
-          .as("dup_para_frac"),
-        round(TA.duplicateLineCharFraction(col("text")), 6)
-          .as("dup_line_char_frac"),
-        round(TA.topBigramCharFraction(col("text")), 6)
-          .as("top_bigram_char_frac"),
-        round(TA.symbolToWordRatio(col("text")), 6).as("symbol_word_ratio"),
-        round(TA.bulletLineFraction(col("text")), 6).as("bullet_line_frac"),
-        round(TA.ellipsisLineFraction(col("text")), 6)
-          .as("ellipsis_line_frac"),
-        round(TA.alphaWordFraction(col("text")), 6).as("alpha_word_frac"))
+      // ONE native pass per doc (QualityRulesExpr); the repartition is the
+      // materialization barrier so the 9-field fan-out + flags below read
+      // the struct instead of re-running the pass per field
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.plans.QualityRulesExpr.rules(col("text")).as("qr"))
+        .repartition(col("doc_id"))
+        .select(
+          col("doc_id"),
+          col("qr.n_tokens").as("n_tokens"),
+          round(col("qr.dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("qr.dup_para_frac"), 6).as("dup_para_frac"),
+          round(col("qr.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("qr.top_bigram_char_frac"), 6).as("top_bigram_char_frac"),
+          round(col("qr.symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("qr.bullet_line_frac"), 6).as("bullet_line_frac"),
+          round(col("qr.ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
+          round(col("qr.alpha_word_frac"), 6).as("alpha_word_frac"))
         .withColumn("passes_repetition",
           col("dup_line_frac") <= TA.DupLineFracMax &&
             col("dup_para_frac") <= TA.DupParaFracMax &&
@@ -181,23 +184,17 @@ object NorthStar {
         .select(col("doc_id"),
           TA.langIdHeuristic(col("text")).as("lang_pred"),
           round(TA.qualityScore(col("text")), 6).as("quality"),
-          round(TA.duplicateLineFraction(col("text")), 6).as("dlf"),
-          round(TA.duplicateParagraphFraction(col("text")), 6).as("dpf"),
-          round(TA.duplicateLineCharFraction(col("text")), 6).as("dlcf"),
-          round(TA.topBigramCharFraction(col("text")), 6).as("tbcf"),
-          round(TA.symbolToWordRatio(col("text")), 6).as("swr"),
-          round(TA.bulletLineFraction(col("text")), 6).as("blf"),
-          round(TA.ellipsisLineFraction(col("text")), 6).as("elf"),
-          round(TA.alphaWordFraction(col("text")), 6).as("awf"))
+          graft.plans.QualityRulesExpr.rules(col("text")).as("qr"))
+        .repartition(col("doc_id")) // materialize qr once (see q61)
         .filter(col("lang_pred") === "en" && col("quality") >= 0.3 &&
-          col("dlf") <= TA.DupLineFracMax &&
-          col("dpf") <= TA.DupParaFracMax &&
-          col("dlcf") <= TA.DupLineCharFracMax &&
-          col("tbcf") <= TA.TopBigramCharFracMax &&
-          col("swr") <= TA.SymbolWordRatioMax &&
-          col("blf") <= TA.BulletLineFracMax &&
-          col("elf") <= TA.EllipsisLineFracMax &&
-          col("awf") >= TA.AlphaWordFracMin)
+          round(col("qr.dup_line_frac"), 6) <= TA.DupLineFracMax &&
+          round(col("qr.dup_para_frac"), 6) <= TA.DupParaFracMax &&
+          round(col("qr.dup_line_char_frac"), 6) <= TA.DupLineCharFracMax &&
+          round(col("qr.top_bigram_char_frac"), 6) <= TA.TopBigramCharFracMax &&
+          round(col("qr.symbol_word_ratio"), 6) <= TA.SymbolWordRatioMax &&
+          round(col("qr.bullet_line_frac"), 6) <= TA.BulletLineFracMax &&
+          round(col("qr.ellipsis_line_frac"), 6) <= TA.EllipsisLineFracMax &&
+          round(col("qr.alpha_word_frac"), 6) >= TA.AlphaWordFracMin)
         .join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang_pred"), col("quality"))
         .orderBy(col("doc_id"))

@@ -338,19 +338,31 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
+    // one-job convergence fingerprint: (count, order-independent XOR of
+    // per-edge hashes — xor, not sum, which overflows under ANSI). A
+    // changed edge set changes the fingerprint with overwhelming
+    // probability; a freak collision would only stop iteration early, and
+    // the downstream oracle-checked output would expose it — vs.
+    // count+exceptAll this halves the per-iteration job count and drops a
+    // shuffle.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var edges = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var converged = edges.isEmpty
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // multiset equality via one count + one anti-check; both run over the
-      // checkpointed (id, id) edge lists, so each is a single slim job
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
       edges = next
       iter += 1
     }

@@ -301,6 +301,50 @@ object Similarity {
         col("b_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** ANN operating-point telemetry: per-table bucket occupancy and
+    * candidate-pair volume for the (nPlanes, nTables, maxBucketSize)
+    * geometry — the numbers that tell an operator whether the LSH
+    * configuration fits the corpus BEFORE running the pair join. Returns
+    * one row per table `(t, n_buckets, max_bucket, candidate_pairs,
+    * dropped_buckets, dropped_rows)` and prints them in the
+    * `METRIC graft.*` log-line convention (the reference's observability
+    * surface, index.js:55-98).
+    *
+    * Cost: ONE pass over the slim (id, t, bucket) index + a per-(t,bucket)
+    * count — candidate volume is computed as sum n*(n-1)/2 from the
+    * counts, NOT by materializing the pair join. Safe to run on the full
+    * 100 TB corpus as a planning probe.
+    */
+  def annTelemetry(vectors: DataFrame, nPlanes: Int, nTables: Int = 1,
+      maxBucketSize: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val counts = withTableBuckets(vectors, idCol, vecCol, "id", "vec",
+      nPlanes, nTables)
+      .groupBy(col("t"), col("bucket")).count()
+    val dropped = (c: Column) =>
+      if (maxBucketSize > 0) c > maxBucketSize else lit(false)
+    val perTable = counts.groupBy(col("t")).agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("count")).as("max_bucket"),
+      sum(when(dropped(col("count")), lit(0L))
+        .otherwise(shiftright(col("count") * (col("count") - 1), 1)))
+        .as("candidate_pairs"),
+      sum(when(dropped(col("count")), lit(1L)).otherwise(lit(0L)))
+        .as("dropped_buckets"),
+      sum(when(dropped(col("count")), col("count")).otherwise(lit(0L)))
+        .as("dropped_rows"))
+      .orderBy(col("t"))
+    perTable.collect().foreach { r =>
+      println(s"METRIC graft.ann.table=${r.get(0)} " +
+        s"graft.ann.n_buckets=${r.get(1)} " +
+        s"graft.ann.max_bucket=${r.get(2)} " +
+        s"graft.ann.candidate_pairs=${r.get(3)} " +
+        s"graft.ann.dropped_buckets=${r.get(4)} " +
+        s"graft.ann.dropped_rows=${r.get(5)}")
+    }
+    perTable
+  }
+
   /** INCREMENTAL embedding near-dup: pairs touching a NEW vector batch —
     * new-vs-corpus plus new-vs-new — via the multi-table bucket index of
     * the combined set, instead of re-running the corpus self-join per
@@ -429,7 +473,7 @@ object Similarity {
     ivfResiduals(vectors, centroids, idCol, vecCol)
       .repartition(col(idCol))
       .select(col(idCol), col("cid"),
-        pqEncode(col("residual"), cb).as("codes"))
+        graft.plans.PqEncodeExpr.encode(col("residual"), cb).as("codes"))
 
   /** Asymmetric-distance (ADC) approximate inner product of a query
     * against a PQ-coded vector: dot(q, centroid) is supplied by the caller

@@ -234,6 +234,39 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.pqIndex(vecs, cents, cb)
       .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
     assert(again == codes)
+    // native codegen encoder == composed fold (same tie rule)
+    val composed = Similarity.ivfResiduals(vecs, cents)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        Similarity.pqEncode(col("residual"), cb).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(composed == codes)
+  }
+
+  test("annTelemetry: per-table occupancy and candidate volume match the " +
+      "pair join it predicts, caps zero out oversized buckets") {
+    val dim = 64
+    val rnd = new scala.util.Random(2)
+    val vecs = (0L until 12L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val t = Similarity.annTelemetry(vecs, nPlanes = 1, nTables = 1)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(t.length == 1)
+    val (_, nBuckets, maxBucket, candPairs, dropB, dropR) = t.head
+    assert(nBuckets >= 1 && nBuckets <= 2)     // 1-bit LSH: two buckets
+    assert(maxBucket <= 12 && dropB == 0 && dropR == 0)
+    // the predicted candidate volume IS the pair-join size at nTables=1
+    val actualPairs = Similarity.nearDupPairs(vecs, threshold = -1.0,
+      nPlanes = 1, nTables = 1).count()
+    assert(candPairs == actualPairs)
+    // cap=1: every multi-occupant bucket is dropped — zero candidates,
+    // dropped counters carry what was excluded
+    val capped = Similarity.annTelemetry(vecs, nPlanes = 1, nTables = 1,
+      maxBucketSize = 1)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().head
+    assert(capped._4 == 0)
+    assert(capped._5 >= 1 && capped._6 >= capped._5)
   }
 
   test("incremental near-dup == full recompute restricted to the batch") {

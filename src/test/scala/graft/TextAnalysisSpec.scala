@@ -111,6 +111,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(4L)._4 == 3.0 / 7.0)             // digits aren't alpha words
   }
 
+  test("native QualityRulesExpr == composed TextAnalysis metrics, " +
+      "edge cases included") {
+    import graft.functions.{TextAnalysis => TA}
+    import graft.plans.QualityRulesExpr
+    val docs = Seq(
+      (1L, "a normal line of english text\nand a different second line"),
+      (2L, "dup line\ndup line\ndup line\nunique"),
+      (3L, "spam spam spam spam spam spam"),
+      (4L, "para one\n\npara one\n\npara two"),
+      (5L, "- one\n* two\n• three"),
+      (6L, "trailing off...\nand again...\nplain"),
+      (7L, "### markdown #soup... of # symbols"),
+      (8L, "1 2 3 4 real words here"),
+      (9L, "   "),                      // spaces only: zero tokens
+      (10L, "single"),                  // one token: no bigrams
+      (11L, "line with cr\r\nnext line") // \r must survive space-only trim
+    ).toDF("doc_id", "text")
+    val rows = docs.select(
+      QualityRulesExpr.rules(col("text")).as("qr"),
+      TA.tokenCount(col("text")).as("c_ntok"),
+      TA.duplicateLineFraction(col("text")).as("c_dlf"),
+      TA.duplicateParagraphFraction(col("text")).as("c_dpf"),
+      TA.duplicateLineCharFraction(col("text")).as("c_dlcf"),
+      TA.topBigramCharFraction(col("text")).as("c_tbcf"),
+      TA.symbolToWordRatio(col("text")).as("c_swr"),
+      TA.bulletLineFraction(col("text")).as("c_blf"),
+      TA.ellipsisLineFraction(col("text")).as("c_elf"),
+      TA.alphaWordFraction(col("text")).as("c_awf"),
+      col("doc_id")).collect()
+    rows.foreach { r =>
+      val qr = r.getStruct(0)
+      val id = r.getLong(10)
+      assert(qr.getInt(0) == r.getInt(1), s"n_tokens doc $id")
+      Seq(1 -> 2, 2 -> 3, 3 -> 4, 4 -> 5, 5 -> 6, 6 -> 7, 7 -> 8, 8 -> 9)
+        .foreach { case (qi, ci) =>
+          assert(qr.getDouble(qi) == r.getDouble(ci),
+            s"field $qi doc $id: native ${qr.getDouble(qi)} " +
+              s"composed ${r.getDouble(ci)}")
+        }
+    }
+  }
+
   test("quality score stays in a sane range and rewards real text") {
     val scores = Seq(
       "the quick brown fox jumps over the lazy dog and it is a fine day",
