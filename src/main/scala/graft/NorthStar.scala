@@ -221,8 +221,25 @@ object NorthStar {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Exact-substring span dedup: 8-token windows shared across distinct
+    // docs (boilerplate segments inside otherwise-unique documents — what
+    // a curation run strips rather than dropping whole docs).
+    "q64_shared_spans" -> ((s, dir) => {
+      Dedup.sharedSpans(docs(s, dir), w = 8, minDocs = 2)
+        .orderBy(col("span_hash"))
+    }),
+
     "q26_simhash" -> ((s, dir) => {
       Dedup.simhashed(docs(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    // 120-bit wide SimHash pairs — the documented scale lever over q27's
+    // 60-bit hash: 4x30-bit pigeonhole blocks cut degenerate candidate
+    // growth from ~n^2/2^15 to ~n^2/2^30 per block, still bit-exact in SQL.
+    "q65_simhash_wide_pairs" -> ((s, dir) => {
+      Dedup.simhashWideDupPairs(docs(s, dir), maxHamming = 3,
+        maxBucketSize = DedupBucketCap)
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     "q27_simhash_dup_pairs" -> ((s, dir) => {
@@ -840,6 +857,20 @@ object NorthStar {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM assign WHERE id <> rep)
          ORDER BY doc_id""",
+    "q64_shared_spans" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id, list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
+           AS th FROM toks),
+         wh AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(th) - 7),
+             i -> list_reduce(th[i:i+7],
+               (x, y) -> (x * 1000003 + y) % 2147483647))) AS span_hash
+           FROM th WHERE len(th) >= 8)
+         SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occ
+         FROM wh GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY span_hash""",
     "q26_simhash" ->
       s"""WITH $toksCte,
          th AS (SELECT doc_id, list_transform(t, tok ->
@@ -863,6 +894,36 @@ object NorthStar {
            FROM shh),
          pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
              bit_count(xor(a.sh, b.sh)) AS hamming
+           FROM blk a JOIN blk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+         ORDER BY a_id, b_id""",
+    "q65_simhash_wide_pairs" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id,
+           list_transform(t, tok ->
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS th1,
+           list_transform(t, tok ->
+             CAST(('0x' || substr(md5(tok || '#2'), 1, 15)) AS BIGINT)) AS th2
+           FROM toks),
+         shh AS (SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 59), i ->
+             CASE WHEN list_sum(list_transform(th1, h ->
+               CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh1,
+           CAST(list_sum(list_transform(generate_series(0, 59), i ->
+             CASE WHEN list_sum(list_transform(th2, h ->
+               CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh2
+           FROM th),
+         blk AS (SELECT doc_id, sh1, sh2,
+           unnest(['0:' || CAST((sh1 >> 0) % 1073741824 AS VARCHAR),
+                   '1:' || CAST((sh1 >> 30) % 1073741824 AS VARCHAR),
+                   '2:' || CAST((sh2 >> 0) % 1073741824 AS VARCHAR),
+                   '3:' || CAST((sh2 >> 30) % 1073741824 AS VARCHAR)]) AS bkey
+           FROM shh),
+         pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.sh1, b.sh1)) + bit_count(xor(a.sh2, b.sh2))
+               AS hamming
            FROM blk a JOIN blk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
          ORDER BY a_id, b_id""",

@@ -287,6 +287,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---------------------------------------------- exact-substring spans
+
+  /** Shared w-token SPANS across documents — the exact-substring dedup
+    * summary (the primitive behind "dedup at the sequence level", Lee et
+    * al., Deduplicating Training Data Makes Language Models Better): every
+    * w-token window's Rabin–Karp fingerprint
+    * ([[graft.plans.TextHashExprs.WindowedRollingHashExpr]]), aggregated to
+    * the fingerprints occurring in >= `minDocs` distinct documents, with
+    * occurrence counts. Near-dup operators (MinHash/SimHash) see documents;
+    * this sees boilerplate SEGMENTS inside otherwise-distinct documents —
+    * licenses, headers, templated paragraphs — the spans a curation run
+    * strips rather than dropping whole docs.
+    *
+    * Scale posture: the explode is one row per token occurrence — the
+    * inherent cost of substring-level dedup (the alternative is a
+    * distributed suffix array). The rows are slim (id, long); map-side
+    * partial aggregation collapses within-partition repeats before the one
+    * hash shuffle on span_hash; fingerprints are uniform so the shuffle
+    * has no intrinsic skew (a boilerplate span with millions of
+    * occurrences arrives pre-combined per map partition).
+    */
+  def sharedSpans(docs: DataFrame, w: Int, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextHashExprs.md5Prefix60Array(TextAnalysis.tokens(col(textCol)))
+          .as("th"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextHashExprs.windowedRollingHash(col("th"), w))
+          .as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
   // ------------------------------------------- connected-component clusters
 
   /** Transitive-closure dedup clusters over verified near-dup pairs:
@@ -426,6 +462,64 @@ object Dedup {
     */
   def simhashFromHashes(th: Column): Column =
     TextHashExprs.simhash(th, SimHashBits)
+
+  // ---- wide (120-bit) simhash: the documented scale lever --------------
+
+  /** doc_id, (sh1, sh2) — a 120-bit SimHash as two 60-bit halves over
+    * independently-salted token hashes (md5(tok), md5(tok || "#2")). The
+    * wider hash is THE lever the 60-bit configuration documents: with 120
+    * bits, hamming<=3 blocking uses 4 blocks of THIRTY bits, so degenerate
+    * candidate growth drops from ~n^2/2^15 to ~n^2/2^30 per block — 32k x
+    * fewer block collisions on a random corpus — while staying bit-exactly
+    * reproducible in the cross-engine oracle (two md5 prefixes).
+    */
+  def simhashedWide(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      TextHashExprs.md5Prefix60Array(toks).as("th1"),
+      TextHashExprs.md5Prefix60Array(
+        transform(toks, t => concat(t, lit("#2")))).as("th2"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        simhashFromHashes(col("th1")).as("sh1"),
+        simhashFromHashes(col("th2")).as("sh2"))
+  }
+
+  /** Near-dup pairs under 120-bit SimHash hamming <= maxHamming (< 4),
+    * pigeonhole-blocked on four 30-bit blocks (two per half). Same guard
+    * and join shape as [[simhashDupPairs]]; COMPLETE for hamming <= 3 by
+    * the pigeonhole principle (DedupSpec proves equality with the brute-
+    * force pair set on a random fixture).
+    */
+  def simhashWideDupPairs(docs: DataFrame, maxHamming: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucketSize: Int = 0): DataFrame = {
+    require(maxHamming < 4,
+      "4x30-bit blocking only guarantees recall for hamming < 4")
+    val hashed = simhashedWide(docs, textCol, idCol)
+    val blockMod = 1L << 30
+    val keys = array((0 until 4).map { b =>
+      val half = if (b < 2) col("sh1") else col("sh2")
+      concat(lit(s"$b:"),
+        (shiftright(half, (b % 2) * 30) % blockMod).cast("string"))
+    }: _*)
+    val exploded = hashed.select(col("doc_id"), col("sh1"), col("sh2"),
+      explode(keys).as("bkey"))
+      .repartition(col("bkey"))
+    val blocked = dropOversized(exploded, Seq("bkey"), maxBucketSize)
+    val a = blocked.select(col("bkey"), col("doc_id").as("a_id"),
+      col("sh1").as("a_sh1"), col("sh2").as("a_sh2"))
+    val b = blocked.select(col("bkey"), col("doc_id").as("b_id"),
+      col("sh1").as("b_sh1"), col("sh2").as("b_sh2"))
+    a.hint("merge").join(b.hint("merge"), Seq("bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("a_sh1").bitwiseXOR(col("b_sh1"))) +
+          bit_count(col("a_sh2").bitwiseXOR(col("b_sh2")))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, blocked by
     * the pigeonhole principle: split the hash into SimHashBlocks blocks —

@@ -219,6 +219,41 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** array<long> -> array<long>: the [[RollingHashExpr]] polynomial hash of
+    * EVERY w-element window (n-w+1 hashes; empty when n < w) — the span
+    * fingerprints under exact-substring dedup (shared w-token spans across
+    * documents). One fused O(n*w) pass per row; the window slide could be
+    * O(1) via the modular inverse of 1000003 mod P, but at w<=16 the naive
+    * inner loop is already memory-bound and stays oracle-identical to
+    * DuckDB's list_reduce over each slice.
+    */
+  case class WindowedRollingHashExpr(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val P = 2147483647L
+      if (n < w) return new GenericArrayData(Array.empty[Long])
+      val out = new Array[Long](n - w + 1)
+      var i = 0
+      while (i <= n - w) {
+        var acc = 0L
+        var j = i
+        while (j < i + w) {
+          acc = (acc * 1000003L + (hs.getLong(j) % P)) % P
+          j += 1
+        }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(
+        c: Expression): WindowedRollingHashExpr = copy(child = c)
+  }
+
   // ------------------------------------------------------- Column helpers
 
   def shingles(tokens: Column, n: Int): Column =
@@ -239,4 +274,7 @@ object TextHashExprs {
 
   def rollingHash(hashes: Column): Column =
     Bridge.column(RollingHashExpr(Bridge.expression(hashes)))
+
+  def windowedRollingHash(hashes: Column, w: Int): Column =
+    Bridge.column(WindowedRollingHashExpr(Bridge.expression(hashes), w))
 }

@@ -63,6 +63,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 == 0))
   }
 
+  test("wide 120-bit simhash: exact dups distance 0; 4x30-bit blocking is " +
+      "COMPLETE for hamming <= 3 (equals brute force on a random fixture)") {
+    val words = Array("red", "green", "blue", "cyan", "teal", "plum",
+      "gold", "gray", "jade", "rust")
+    val rnd = new scala.util.Random(9)
+    // heavy word reuse drives simhashes close together -> real candidates
+    val rdocs = (0L until 20L).map { i =>
+      (i, Array.fill(8 + rnd.nextInt(5))(words(rnd.nextInt(4))).mkString(" "))
+    } :+ (100L -> "the quick brown fox jumps over the lazy dog") :+
+      (101L -> "THE  quick  brown fox jumps over the lazy dog")
+    val df = rdocs.toDF("doc_id", "text")
+    val got = Dedup.simhashWideDupPairs(df, maxHamming = 3)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Int)].collect()
+    // normalized-identical docs agree on all 120 bits
+    assert(got.exists(p => p._1 == 100L && p._2 == 101L && p._3 == 0))
+    // completeness: blocked pairs == brute-force pairs at hamming <= 3
+    val hashes = Dedup.simhashedWide(df)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (ai, a1, a2) <- hashes; (bi, b1, b2) <- hashes if ai < bi
+      d = java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+      if d <= 3
+    } yield (ai, bi, d)).toSet
+    assert(got.toSet == brute)
+    assert(brute.size >= 2) // fixture actually exercises the join
+  }
+
   test("representatives collapses exact-dup clusters to the min id") {
     val reps = Dedup.representatives(docs)
       .select("doc_id").as[Long].collect().toSet
@@ -82,6 +110,40 @@ class DedupSpec extends SparkSpec {
     val sigs = Dedup.signatures(docs).filter(col("doc_id") === 4L)
       .select("shingles").as[Seq[String]].head()
     assert(sigs == Seq("ab"))
+  }
+
+  test("sharedSpans finds the boilerplate window shared across distinct " +
+      "docs; windowed hash matches the whole-doc rolling hash") {
+    import graft.plans.TextHashExprs
+    val boiler = "this license text is identical in every single document here"
+    val spanDocs = Seq(
+      (1L, s"$boiler plus unique tail alpha beta"),
+      (2L, s"different head gamma delta $boiler"),
+      (3L, "completely unrelated text with no shared spans at all in it " +
+        "whatsoever today")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(spanDocs, w = 8, minDocs = 2)
+      .select("span_hash", "n_docs", "n_occ")
+      .as[(Long, Long, Long)].collect()
+    // the 10-token boilerplate yields 3 shared 8-token windows, each in
+    // docs 1 and 2 exactly once
+    assert(spans.length == 3)
+    assert(spans.forall { case (_, nd, no) => nd == 2 && no == 2 })
+    // a w-window hash over the FULL token array equals RollingHashExpr of
+    // exactly that slice (same seed/mod conventions)
+    val th = spanDocs.filter(col("doc_id") === 3L)
+      .select(TextHashExprs.md5Prefix60Array(
+        graft.functions.TextAnalysis.tokens(col("text"))).as("th"))
+    val windowed = th.select(
+      TextHashExprs.windowedRollingHash(col("th"), 5).as("wh"),
+      TextHashExprs.rollingHash(slice(col("th"), 1, 5)).as("first5"),
+      size(col("th")).as("n"))
+      .head()
+    assert(windowed.getSeq[Long](0).length == windowed.getInt(2) - 4)
+    assert(windowed.getSeq[Long](0).head == windowed.getLong(1))
+    // sub-window docs produce no spans
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(tiny, w = 8).count() == 0)
   }
 
   test("dupClusters: chain A~B, B~C merges into one cluster with min rep") {
