@@ -233,6 +233,17 @@ object NorthStar {
       Dedup.simhashed(docs(s, dir)).orderBy(col("doc_id"))
     }),
 
+    // Decontamination: corpus docs sharing any 8-token span with a probe
+    // "benchmark" slice (doc_id % 50 == 0) — the train/test-overlap check
+    // run before a corpus ships.
+    "q66_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminatedDocs(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // 120-bit wide SimHash pairs — the documented scale lever over q27's
     // 60-bit hash: 4x30-bit pigeonhole blocks cut degenerate candidate
     // growth from ~n^2/2^15 to ~n^2/2^30 per block, still bit-exact in SQL.
@@ -897,6 +908,22 @@ object NorthStar {
            FROM blk a JOIN blk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
          ORDER BY a_id, b_id""",
+    "q66_contamination" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id, list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
+           AS th FROM toks),
+         wh0 AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(th) - 7),
+             i -> list_reduce(th[i:i+7],
+               (x, y) -> (x * 1000003 + y) % 2147483647))) AS span_hash
+           FROM th WHERE len(th) >= 8),
+         wh AS (SELECT DISTINCT doc_id, span_hash FROM wh0),
+         p AS (SELECT DISTINCT span_hash FROM wh WHERE doc_id % 50 = 0),
+         c AS (SELECT doc_id, span_hash FROM wh WHERE doc_id % 50 <> 0)
+         SELECT doc_id, count(*) AS n_shared_spans
+         FROM c JOIN p USING (span_hash)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q65_simhash_wide_pairs" ->
       s"""WITH $toksCte,
          th AS (SELECT doc_id,

@@ -323,6 +323,37 @@ object Dedup {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
 
+  /** DECONTAMINATION: corpus documents sharing at least one w-token span
+    * with a probe set (an eval benchmark, a holdout split) — the
+    * train/test-overlap detector every serious training pipeline runs
+    * before shipping a corpus. Returns (doc_id, n_shared_spans) for every
+    * contaminated corpus doc.
+    *
+    * Scale posture: the probe side reduces to a DISTINCT span-hash set
+    * (benchmark-sized — thousands of docs → ~10^6 longs), which AQE
+    * broadcasts; the corpus side is the same slim one-row-per-token
+    * explode as [[sharedSpans]] with per-partition dedup before the join,
+    * so the corpus is never shuffled — one map-side hash-join pass +
+    * a doc_id aggregation of the (tiny) hit set.
+    */
+  def contaminatedDocs(corpus: DataFrame, probes: DataFrame, w: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def spans(df: DataFrame): DataFrame =
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          TextHashExprs.md5Prefix60Array(TextAnalysis.tokens(col(textCol)))
+            .as("th"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(TextHashExprs.windowedRollingHash(col("th"), w))
+            .as("span_hash"))
+        .dropDuplicates("doc_id", "span_hash")
+    val probeSpans = spans(probes).select(col("span_hash")).distinct()
+    spans(corpus).join(probeSpans, Seq("span_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   // ------------------------------------------- connected-component clusters
 
   /** Transitive-closure dedup clusters over verified near-dup pairs:

@@ -146,6 +146,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.sharedSpans(tiny, w = 8).count() == 0)
   }
 
+  test("contaminatedDocs flags corpus docs sharing a span with the probe " +
+      "set, counts distinct shared spans once") {
+    val bench = "what is the capital of france the answer is paris obviously"
+    val corpus = Seq(
+      (1L, s"some training document that quotes: $bench and continues on"),
+      (2L, "a perfectly clean training document with original content only"),
+      (3L, s"$bench $bench") // contaminated doc repeating the span
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, bench)).toDF("doc_id", "text")
+    val got = Dedup.contaminatedDocs(corpus, probes, w = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 3L)) // doc 2 is clean
+    // 11-token probe -> 4 distinct 8-token windows; doc 3's repetition
+    // must not double-count (distinct spans per doc)
+    assert(got(1L) == 4)
+    assert(got(3L) >= 4)
+  }
+
   test("dupClusters: chain A~B, B~C merges into one cluster with min rep") {
     // the case greedy pair-drop gets wrong: A≁C directly, yet all three are
     // one component
