@@ -129,6 +129,25 @@ object Stress {
     diag("embedding_neardup_rerun")(
       Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 4,
         maxBucketSize = 1000))
+    // round-5 operators at the same scale
+    timeCount("dup_clusters")(Dedup.dupClusters(
+      Dedup.jaccardDupPairs(docs, 0.8, maxBucketSize = 1000)))
+    timeCount("shared_spans")(Dedup.sharedSpans(docs, w = 8))
+    timeCount("simhash_wide_pairs")(
+      Dedup.simhashWideDupPairs(docs, 3, maxBucketSize = 1000))
+    timeCount("contamination")(Dedup.contaminatedDocs(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), w = 8))
+    timeCount("quality_rules")(
+      docs.select(col("doc_id"),
+        graft.plans.QualityRulesExpr.rules(col("text")).as("qr"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("qr.*")))
+    diag("pq_index")({
+      val cents = Similarity.ivfCentroids(emb, 16, 0, 256)
+      val cb = Similarity.pqCodebooks(emb, cents, 8, 16, seedOffset = 16)
+      Similarity.pqIndex(emb, cents, cb)
+    })
     spark.stop()
   }
 }
