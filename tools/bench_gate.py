@@ -6,7 +6,10 @@ equal code.
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
         2>/dev/null | grep '"metric"' > /tmp/bench_new.json
-    python3 tools/bench_gate.py bench_out.json /tmp/bench_new.json [ratio]
+    python3 tools/bench_gate.py bench_ref.json /tmp/bench_new.json [ratio]
+
+bench_ref.json is the committed reference line (graft.Bench also writes its
+line to bench_out.json, but that path is gitignored by the driver).
 
 Both inputs are the one-line {"metric":"total",...,"queries":{...}} JSON the
 bench prints. Default gate ratio is 1.5x per query; total is gated at the
