@@ -402,31 +402,82 @@ object Similarity {
           (a, b) => a - b).as("residual"))
   }
 
-  /** PQ codebooks over residual space, deterministic data-point seeds (the
+  /** PQ codebooks over residual space: deterministic data-point seeds (the
     * same convention as the IVF centroid seeds, so the DuckDB oracle can
-    * reproduce every code): codebook m's entry k is subvector m of the
-    * residual of seed vector `seedOffset + k`. Pass the coarse-quantizer's
-    * nCentroids as `seedOffset`: vectors 0..nCentroids-1 ARE the centroid
-    * seeds, so their residuals are exactly zero — sampling them would
-    * collapse the codebook into identical zero entries. The collect is
-    * bounded by codebookSize — driver state is (nSub x codebookSize x
-    * dim/nSub) doubles, broadcast back as a literal.
+    * reproduce every code) optionally refined by `trainIters` per-subspace
+    * Lloyd iterations over the bounded `trainSample` residual sample.
+    * Codebook m's seed entry k is subvector m of the residual of vector
+    * `seedOffset + k`. Pass the coarse-quantizer's nCentroids as
+    * `seedOffset`: vectors 0..nCentroids-1 ARE the centroid seeds, so
+    * their residuals are exactly zero — sampling them would collapse the
+    * codebook into identical zero entries. The collect is bounded by
+    * max(codebookSize, trainSample) — driver state is small and the
+    * result is broadcast back as a literal. The shipped q62 operating
+    * point is trainIters=0 (oracle-reproducible data-point codebooks, the
+    * IvfIters=0 precedent); training is the quality lever for corpora
+    * with residual structure.
     */
   def pqCodebooks(vectors: DataFrame, centroids: DataFrame, nSub: Int,
-      codebookSize: Int, seedOffset: Int = 0, idCol: String = "vec_id",
+      codebookSize: Int, seedOffset: Int = 0, trainIters: Int = 0,
+      trainSample: Int = 256, idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val sampleEnd = seedOffset + math.max(codebookSize, trainSample)
     val res = ivfResiduals(
-      vectors.filter(col(idCol) >= seedOffset &&
-        col(idCol) < seedOffset + codebookSize), centroids, idCol, vecCol)
+      vectors.filter(col(idCol) >= seedOffset && col(idCol) < sampleEnd),
+      centroids, idCol, vecCol)
       .select(col(idCol).cast("long"), col("residual"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    require(res.nonEmpty, "pqCodebooks: empty seed sample")
+    require(res.length >= codebookSize, "pqCodebooks: sample too small")
     val dim = res.head.length
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subvectors")
     val ds = dim / nSub
-    Array.tabulate(nSub)(m => res.map(_.slice(m * ds, m * ds + ds)))
+    val seeds = Array.tabulate(nSub)(m =>
+      res.take(codebookSize).map(_.slice(m * ds, m * ds + ds)))
+    if (trainIters == 0) return seeds
+    // per-subspace Lloyd over the bounded residual sample — driver-side by
+    // design (the sample IS driver-bounded, like ivfCentroids' per-
+    // iteration means): assign first-wins to the L2-nearest entry,
+    // recompute entry means in sample order, empty entries keep their
+    // previous value. k-means error on the sample is monotonically
+    // non-increasing (SimilaritySpec asserts it).
+    val sample = Array.tabulate(nSub)(m =>
+      res.map(_.slice(m * ds, m * ds + ds)))
+    val cb = seeds.map(_.map(_.clone()))
+    var it = 0
+    while (it < trainIters) {
+      var m = 0
+      while (m < nSub) {
+        val sums = Array.fill(codebookSize)(new Array[Double](ds))
+        val counts = new Array[Int](codebookSize)
+        sample(m).foreach { sv =>
+          var bestD = Double.MaxValue; var bestK = -1; var k = 0
+          while (k < codebookSize) {
+            var d = 0.0; var i = 0
+            while (i < ds) {
+              val diff = sv(i) - cb(m)(k)(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; bestK = k }
+            k += 1
+          }
+          counts(bestK) += 1
+          var i = 0
+          while (i < ds) { sums(bestK)(i) += sv(i); i += 1 }
+        }
+        var k = 0
+        while (k < codebookSize) {
+          if (counts(k) > 0) {
+            var i = 0
+            while (i < ds) { cb(m)(k)(i) = sums(k)(i) / counts(k); i += 1 }
+          }
+          k += 1
+        }
+        m += 1
+      }
+      it += 1
+    }
+    cb
   }
 
   /** Encode a residual into its `nSub` PQ codes: per subvector, the index

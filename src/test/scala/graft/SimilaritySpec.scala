@@ -269,6 +269,45 @@ class SimilaritySpec extends SparkSpec {
     assert(capped._5 >= 1 && capped._6 >= capped._5)
   }
 
+  test("trained PQ codebooks: per-subspace Lloyd reduces sample " +
+      "quantization error (k-means monotonicity)") {
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0L until 60L).map { i =>
+      val c = centers((i / 20).toInt)
+      (i, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(vecs, nCentroids = 4,
+      trainIters = 0, trainSample = 60)
+    val sample = Similarity.ivfResiduals(
+      vecs.filter(col("vec_id") >= 4 && col("vec_id") < 60), cents)
+      .select(col("vec_id"), col("residual"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    def errOf(cb: Array[Array[Array[Double]]]): Double = {
+      val ds = dim / cb.length
+      sample.map { r =>
+        cb.indices.map { m =>
+          cb(m).map { e =>
+            (0 until ds).map { i =>
+              val d = r(m * ds + i) - e(i); d * d }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val cb0 = Similarity.pqCodebooks(vecs, cents, nSub = 8,
+      codebookSize = 8, seedOffset = 4, trainIters = 0, trainSample = 56)
+    val cb2 = Similarity.pqCodebooks(vecs, cents, nSub = 8,
+      codebookSize = 8, seedOffset = 4, trainIters = 2, trainSample = 56)
+    assert(errOf(cb2) <= errOf(cb0))
+    assert(errOf(cb2) < errOf(cb0) * 0.99,
+      "Lloyd from data-point seeds should strictly improve on this fixture")
+    // trained codebooks still drive a working index (codes in range)
+    val idx = Similarity.pqIndex(vecs, cents, cb2)
+      .select("codes").as[Seq[Int]].collect()
+    assert(idx.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 8)))
+  }
+
   test("incremental near-dup == full recompute restricted to the batch") {
     val dim = 64
     val rnd = new scala.util.Random(3)
