@@ -378,33 +378,39 @@ object Dedup {
     * `checkpoint`-to-reliable-storage on a real cluster, where an executor
     * loss would otherwise replay the whole chain).
     */
+  /** large-star: every node links its LARGER neighbors to the minimum of
+    * its closed neighborhood. Shuffle key: edge endpoint u. Every exchange
+    * in this plan carries exactly the (u, v) long pair — the input frame
+    * has no other columns to carry (DedupSpec asserts the schema + plan).
+    */
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(m, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** small-star: orient every edge (larger -> smaller); every node links
+    * its smaller neighbors AND ITSELF to the minimum smaller neighbor.
+    */
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(m, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   def dupClusters(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
-    // large-star: every node links its LARGER neighbors to the minimum of
-    // its closed neighborhood. Shuffle key: edge endpoint u.
-    def largeStar(edges: DataFrame): DataFrame = {
-      val sym = edges.unionByName(
-        edges.select(col("v").as("u"), col("u").as("v")))
-      val m = sym.groupBy(col("u"))
-        .agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      sym.join(m, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-    }
-    // small-star: orient every edge (larger -> smaller); every node links
-    // its smaller neighbors AND ITSELF to the minimum smaller neighbor.
-    def smallStar(edges: DataFrame): DataFrame = {
-      val oriented = edges.select(
-        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-      oriented.join(m, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(m.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-    }
     // one-job convergence fingerprint: (count, order-independent XOR of
     // per-edge hashes — xor, not sum, which overflows under ANSI). A
     // changed edge set changes the fingerprint with overwhelming

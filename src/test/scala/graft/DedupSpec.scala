@@ -210,6 +210,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters iteration shuffles are (u, v)-slim: star steps emit " +
+      "exactly the two long edge columns and exchange nothing wider") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    Seq(Dedup.largeStar(edges), Dedup.smallStar(edges)).foreach { step =>
+      // schema IS the shuffle payload: a frame of two longs cannot
+      // exchange anything wider
+      assert(step.schema.map(f => (f.name, f.dataType.simpleString)) ==
+        Seq("u" -> "bigint", "v" -> "bigint"))
+      val plan = step.queryExecution.executedPlan.toString
+      // every hashpartitioning key in the plan is one of the two edge
+      // endpoints — no payload column ever becomes a shuffle key either
+      "hashpartitioning\\(([a-z]+)#".r.findAllMatchIn(plan).foreach(mm =>
+        assert(Set("u", "v", "m", "mn").contains(mm.group(1)), plan))
+    }
+  }
+
   test("clusterSurvivors keeps exactly one doc per near-dup cluster") {
     // docs 0, 1, 2 chain into one cluster (0~1 near, 0~2 exact); survivor
     // must be the min id only — greedy pair-drop would also keep nothing
