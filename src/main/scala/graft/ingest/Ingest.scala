@@ -175,9 +175,22 @@ object Ingest {
       * `committed(uris)` answers whether an attempt's source files are all
       * in the ledger (= the attempt committed and only its cleanup was
       * lost).
+      *
+      * SINGLE-WRITER CONTRACT: recovery cannot distinguish a crashed
+      * attempt from a live concurrent one by inspection alone — the
+      * reference has the same constraint (one scheduler invocation per
+      * bucket, readme.md run cadence). Callers must ensure at most one
+      * loader per destination; `minAttemptAgeMs` is the defense-in-depth
+      * backstop for imperfect schedulers: attempts whose newest activity
+      * is younger than this are SKIPPED (left for the next run) rather
+      * than swept, so an overlapping in-flight publish is never deleted
+      * mid-write. 0 (the default) sweeps everything — correct under the
+      * strict single-writer cadence where any leftover is by definition
+      * crashed.
       */
     def recover(spark: SparkSession, destPath: String,
-        committed: Seq[String] => Boolean): Unit = ()
+        committed: Seq[String] => Boolean,
+        minAttemptAgeMs: Long = 0L): Unit = ()
 
     /** Drop the attempt's commit record once the ledger append succeeded. */
     def finishCommit(spark: SparkSession, destPath: String,
@@ -294,15 +307,26 @@ object Ingest {
     }
 
     override def recover(spark: SparkSession, destPath: String,
-        committed: Seq[String] => Boolean): Unit = {
+        committed: Seq[String] => Boolean,
+        minAttemptAgeMs: Long = 0L): Unit = {
       val dest = new Path(destPath)
       val root = new Path(dest.getParent, s".staging_${dest.getName}")
       val fs = fsOf(spark, root)
       if (!fs.exists(root)) return
+      val now = System.currentTimeMillis()
       fs.listStatus(root).filter(_.isDirectory).foreach { st =>
         val attempt = st.getPath
         val mf = new Path(attempt, ManifestFile)
-        if (!fs.exists(mf)) {
+        // in-flight guard (see trait scaladoc): newest activity inside the
+        // attempt — a mid-stage writer touches files continuously, so a
+        // young mtime anywhere means "possibly alive"; skip, don't sweep
+        val newestMs = (st.getModificationTime +:
+          listFilesRec(fs, attempt).map(p =>
+            fs.getFileStatus(p).getModificationTime)).max
+        if (minAttemptAgeMs > 0 && now - newestMs < minAttemptAgeMs) {
+          println(s"METRIC graft.recover.skipped_inflight=1 " +
+            s"write=${attempt.getName} age_ms=${now - newestMs}")
+        } else if (!fs.exists(mf)) {
           // crashed before the manifest: nothing was published
           fs.delete(attempt, true)
         } else {
@@ -442,11 +466,13 @@ object Ingest {
     */
   def executePlan(
       spark: SparkSession, plan: LoadPlan,
-      sink: DestinationSink = ParquetSink): LoadResult = {
+      sink: DestinationSink = ParquetSink,
+      recoverMinAgeMs: Long = 0L): LoadResult = {
     // 3b. resolve crashed attempts FIRST (even when this run has no new
     // files — a crash after the ledger append still needs its marker swept)
     sink.recover(spark, plan.destPath,
-      uris => Ledger.filterNew(spark, plan.ledgerPath, uris).isEmpty)
+      uris => Ledger.filterNew(spark, plan.ledgerPath, uris).isEmpty,
+      recoverMinAgeMs)
     if (plan.files.isEmpty)
       return LoadResult(plan.destPath, Nil, plan.schema, None, 0L)
 
@@ -476,8 +502,10 @@ object Ingest {
   def loadTask(
       spark: SparkSession, task: Task,
       sourceRoot: String, warehouseRoot: String,
-      sink: DestinationSink = ParquetSink): LoadResult =
-    executePlan(spark, planTask(spark, task, sourceRoot, warehouseRoot), sink)
+      sink: DestinationSink = ParquetSink,
+      recoverMinAgeMs: Long = 0L): LoadResult =
+    executePlan(spark, planTask(spark, task, sourceRoot, warehouseRoot),
+      sink, recoverMinAgeMs)
 
   /** Read a destination table back, reconciling old narrow files with the
     * evolved wide schema (parquet mergeSchema).

@@ -334,7 +334,11 @@ object Similarity {
       sum(when(dropped(col("count")), col("count")).otherwise(lit(0L)))
         .as("dropped_rows"))
       .orderBy(col("t"))
-    perTable.collect().foreach { r =>
+    // one pass: collect the (nTables)-row result, print, and return a
+    // local-relation frame — callers consuming the return value must not
+    // re-run the full corpus-index aggregation
+    val rows = perTable.collect()
+    rows.foreach { r =>
       println(s"METRIC graft.ann.table=${r.get(0)} " +
         s"graft.ann.n_buckets=${r.get(1)} " +
         s"graft.ann.max_bucket=${r.get(2)} " +
@@ -342,7 +346,8 @@ object Similarity {
         s"graft.ann.dropped_buckets=${r.get(4)} " +
         s"graft.ann.dropped_rows=${r.get(5)}")
     }
-    perTable
+    vectors.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), perTable.schema)
   }
 
   /** INCREMENTAL embedding near-dup: pairs touching a NEW vector batch —
@@ -559,12 +564,17 @@ object Similarity {
   def knnIvfPq(vectors: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 2, nSub: Int = 8,
       codebookSize: Int = 16, refineFactor: Int = 4, trainIters: Int = 0,
-      trainSample: Int = 256, idCol: String = "vec_id",
+      trainSample: Int = 256, pqTrainIters: Int = 0,
+      pqTrainSample: Int = 256, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // trainIters/trainSample drive the IVF coarse quantizer;
+    // pqTrainIters/pqTrainSample drive the per-subspace PQ-codebook Lloyd
+    // loop — two distinct training procedures, two knob pairs
     val cents =
       ivfCentroids(vectors, nCentroids, trainIters, trainSample, idCol, vecCol)
     val cb = pqCodebooks(vectors, cents, nSub, codebookSize,
-      seedOffset = nCentroids, idCol = idCol, vecCol = vecCol)
+      seedOffset = nCentroids, trainIters = pqTrainIters,
+      trainSample = pqTrainSample, idCol = idCol, vecCol = vecCol)
     val index = pqIndex(vectors, cents, cb, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id")
     val dim = nSub * cb(0)(0).length

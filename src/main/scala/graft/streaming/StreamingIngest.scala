@@ -117,6 +117,27 @@ object StreamingIngest {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Ids already adjudicated by earlier (possibly crashed) batch attempts:
+    * corpus members plus victim-log `b_id`s. Filtering the incoming batch
+    * against this set makes [[curateDocBatch]]/[[curateVectorBatch]]
+    * IDEMPOTENT under foreachBatch replay — a replayed micro-batch whose
+    * docs were already appended (either side) reduces to the empty set, so
+    * the at-least-once foreachBatch contract composes to effectively-once
+    * output without a staged-commit protocol.
+    */
+  private def adjudicatedIds(spark: SparkSession, corpus: DataFrame,
+      victimLogDir: Option[String], idCol: String): DataFrame = {
+    val corpusIds = corpus.select(col(idCol))
+    val victimIds = victimLogDir.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.parquet(d).select(col("b_id").as(idCol))
+      else corpusIds.limit(0)
+    }.getOrElse(corpusIds.limit(0))
+    corpusIds.unionByName(victimIds)
+  }
+
   /** One text-curation step: near-dedup a new document batch against the
     * already-curated corpus via the INCREMENTAL candidate index
     * ([[graft.operators.Dedup.incrementalJaccardDupPairs]] — cost scales
@@ -128,21 +149,33 @@ object StreamingIngest {
     * member `b_id` is always the newer doc — dropping `b_id` keeps the
     * established corpus stable and makes the final corpus equal the batch
     * recompute's survivor set (StreamingIngestSpec proves it across
-    * batches). The pair frame is localCheckpoint'ed so the two appends
+    * batches). The frames are localCheckpoint'ed so the two appends
     * below never scan `corpusDir` while writing into it.
+    *
+    * Replay-idempotent: the batch is first anti-joined against
+    * [[adjudicatedIds]] (corpus ∪ victim log), so a foreachBatch replay
+    * after a crash re-adjudicates only the not-yet-persisted remainder —
+    * fully-processed replays are no-ops, and a crash between the victim-log
+    * append and the corpus append resumes with exactly the survivor side
+    * (already-logged victims are filtered out, so no duplicate log rows).
     */
   def curateDocBatch(spark: SparkSession, batch: DataFrame,
       corpusDir: String, victimLogDir: Option[String],
       threshold: Double = 0.8, maxBucketSize: Int = 1000): Unit = {
     if (batch.isEmpty) return
     val corpus = readCorpus(spark, corpusDir, batch.schema)
+    val fresh = batch
+      .join(adjudicatedIds(spark, corpus, victimLogDir, "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return
     val pairs = graft.operators.Dedup
-      .incrementalJaccardDupPairs(batch, corpus, threshold, maxBucketSize)
+      .incrementalJaccardDupPairs(fresh, corpus, threshold, maxBucketSize)
       .localCheckpoint()
     val victims = pairs.select(col("b_id").as("doc_id")).distinct()
     victimLogDir.foreach(d =>
       pairs.write.mode("append").parquet(d))
-    batch.join(victims, Seq("doc_id"), "left_anti")
+    fresh.join(victims, Seq("doc_id"), "left_anti")
       .write.mode("append").parquet(corpusDir)
   }
 
@@ -156,14 +189,19 @@ object StreamingIngest {
       maxBucketSize: Int = 1000): Unit = {
     if (batch.isEmpty) return
     val corpus = readCorpus(spark, corpusDir, batch.schema)
+    val fresh = batch
+      .join(adjudicatedIds(spark, corpus, victimLogDir, "vec_id"),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return
     val pairs = graft.operators.Similarity
-      .incrementalNearDupPairs(batch, corpus, threshold, nPlanes, nTables,
+      .incrementalNearDupPairs(fresh, corpus, threshold, nPlanes, nTables,
         maxBucketSize)
       .localCheckpoint()
     val victims = pairs.select(col("b_id").as("vec_id")).distinct()
     victimLogDir.foreach(d =>
       pairs.write.mode("append").parquet(d))
-    batch.join(victims, Seq("vec_id"), "left_anti")
+    fresh.join(victims, Seq("vec_id"), "left_anti")
       .write.mode("append").parquet(corpusDir)
   }
 
@@ -171,9 +209,15 @@ object StreamingIngest {
     * documents `(doc_id, text)` drains through `foreachBatch` where each
     * micro-batch is incrementally near-deduped against the curated corpus
     * before being appended — the pipeline a real training-data ingest runs,
-    * composed from the same operators the batch queries use. The
-    * checkpoint gives exactly-once per input file; the per-batch dedup
-    * gives first-wins per near-dup cluster across the whole stream.
+    * composed from the same operators the batch queries use.
+    *
+    * Delivery semantics: foreachBatch is AT-LEAST-ONCE (a crash after the
+    * parquet appends but before the checkpoint commit replays the
+    * micro-batch); [[curateDocBatch]]'s adjudicated-id anti-join makes the
+    * replay a no-op, so the composition is effectively-once per document —
+    * checkpoint for file-level progress, id-keyed idempotence for the
+    * output. The per-batch dedup gives first-wins per near-dup cluster
+    * across the whole stream.
     */
   def startCurated(
       spark: SparkSession,

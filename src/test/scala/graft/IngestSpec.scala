@@ -192,8 +192,8 @@ class IngestSpec extends SparkSpec {
         throw new RuntimeException("simulated crash before ledger append")
       }
       override def recover(s: org.apache.spark.sql.SparkSession, p: String,
-          c: Seq[String] => Boolean): Unit =
-        Ingest.ParquetSink.recover(s, p, c)
+          c: Seq[String] => Boolean, minAgeMs: Long): Unit =
+        Ingest.ParquetSink.recover(s, p, c, minAgeMs)
       override def finishCommit(s: org.apache.spark.sql.SparkSession,
           p: String, id: String): Unit =
         Ingest.ParquetSink.finishCommit(s, p, id)
@@ -226,8 +226,8 @@ class IngestSpec extends SparkSpec {
           p: String, f: Option[String], id: String, uris: Seq[String]): Unit =
         Ingest.ParquetSink.stagedAppend(df, p, f, id, uris)
       override def recover(s: org.apache.spark.sql.SparkSession, p: String,
-          c: Seq[String] => Boolean): Unit =
-        Ingest.ParquetSink.recover(s, p, c)
+          c: Seq[String] => Boolean, minAgeMs: Long): Unit =
+        Ingest.ParquetSink.recover(s, p, c, minAgeMs)
       override def finishCommit(s: org.apache.spark.sql.SparkSession,
           p: String, id: String): Unit =
         throw new RuntimeException("simulated crash before marker cleanup")
@@ -243,6 +243,38 @@ class IngestSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/wh/ds/.staging_sensors").exists())
     assert(Ledger.importedUris(spark, s"$root/wh/ds/sensors_imported")
       .count() == 2)
+  }
+
+  test("recover leaves young (possibly in-flight) attempts untouched: " +
+      "minAttemptAgeMs guard") {
+    import graft.ingest.Ingest
+    import spark.implicits._
+    val root = tmpDir("inflight_")
+    val dest = s"$root/wh/ds/t"
+    val df = Seq((1L, "x")).toDF("id", "s")
+    Ingest.ParquetSink.stagedAppend(df, dest, None, "w1", Seq("gs://b/a.csv"))
+    def published = new java.io.File(dest).listFiles.toSeq
+      .map(_.getName).filter(_.startsWith("w1-"))
+    val staging = new java.io.File(s"$root/wh/ds/.staging_t")
+    assert(published.nonEmpty && staging.exists)
+    val hourMs = 3600 * 1000L
+    // the attempt is seconds old: with the guard on, recover must treat it
+    // as possibly in-flight and leave BOTH the published files and the
+    // commit-pending marker alone (the concurrent-writer protection)
+    Ingest.ParquetSink.recover(spark, dest, _ => false,
+      minAttemptAgeMs = hourMs)
+    assert(published.nonEmpty && staging.exists)
+    // age every file in the attempt past the guard: now it is by
+    // definition crashed -> rolled back (uncommitted) and swept
+    def ageTree(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 2 * hourMs)
+      Option(f.listFiles).foreach(_.foreach(ageTree))
+    }
+    ageTree(staging)
+    Ingest.ParquetSink.recover(spark, dest, _ => false,
+      minAttemptAgeMs = hourMs)
+    assert(published.isEmpty, "aged uncommitted attempt must roll back")
+    assert(!staging.exists)
   }
 
   test("ordered view registers in the session catalog as <table>_ordered") {

@@ -105,6 +105,68 @@ class StreamingIngestSpec extends SparkSpec {
     assert(logged == Set((0L, 10L), (1L, 11L), (12L, 13L)))
   }
 
+  test("curateDocBatch replay is a no-op: at-least-once foreachBatch " +
+      "composes to effectively-once output") {
+    import spark.implicits._
+    val root = tmpDir("replay_")
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val near = (1 to 29).map(i => s"word$i").mkString(" ") + " changed"
+    val b1 = Seq(0L -> base,
+      1L -> "completely different content about engines and pipelines")
+      .toDF("doc_id", "text")
+    val b2 = Seq(10L -> near,
+      11L -> "novel content only present in the second micro batch")
+      .toDF("doc_id", "text")
+    StreamingIngest.curateDocBatch(spark, b1, s"$root/corpus",
+      Some(s"$root/victims"))
+    StreamingIngest.curateDocBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"))
+    def corpusIds = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    def victimRows = spark.read.parquet(s"$root/victims").count()
+    assert(corpusIds == Set(0L, 1L, 11L)) // 10 near-dups corpus doc 0
+    assert(victimRows == 1L)
+    // wholesale replay of b2 (crash after checkpoint-uncommitted batch):
+    // every doc is already adjudicated -> nothing appends anywhere
+    StreamingIngest.curateDocBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"))
+    assert(corpusIds == Set(0L, 1L, 11L))
+    assert(victimRows == 1L)
+    // replay of b1 (docs all in corpus) is likewise a no-op
+    StreamingIngest.curateDocBatch(spark, b1, s"$root/corpus",
+      Some(s"$root/victims"))
+    assert(corpusIds == Set(0L, 1L, 11L))
+    assert(victimRows == 1L)
+  }
+
+  test("curateDocBatch partial-crash resume: victims logged but survivors " +
+      "unappended -> replay appends survivors only, no duplicate log rows") {
+    import spark.implicits._
+    val root = tmpDir("partial_")
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val near = (1 to 29).map(i => s"word$i").mkString(" ") + " changed"
+    val b1 = Seq(0L -> base).toDF("doc_id", "text")
+    StreamingIngest.curateDocBatch(spark, b1, s"$root/corpus",
+      Some(s"$root/victims"))
+    val b2 = Seq(10L -> near,
+      11L -> "a fully novel survivor document").toDF("doc_id", "text")
+    // emulate the crash window: the victim-log append completed, the
+    // corpus append did not (exactly what curateDocBatch writes, stopped
+    // half-way)
+    val corpus = spark.read.parquet(s"$root/corpus")
+    graft.operators.Dedup
+      .incrementalJaccardDupPairs(b2, corpus, 0.8, 1000)
+      .write.mode("append").parquet(s"$root/victims")
+    assert(spark.read.parquet(s"$root/victims").count() == 1L)
+    // replayed batch: victim 10 filtered (already logged), survivor 11
+    // appended exactly once
+    StreamingIngest.curateDocBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"))
+    assert(spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 11L))
+    assert(spark.read.parquet(s"$root/victims").count() == 1L)
+  }
+
   test("vector curation step: embedding near-dups dropped against the " +
       "corpus, first batch wins") {
     import spark.implicits._
