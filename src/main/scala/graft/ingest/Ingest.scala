@@ -187,6 +187,15 @@ object Ingest {
       * mid-write. 0 (the default) sweeps everything — correct under the
       * strict single-writer cadence where any leftover is by definition
       * crashed.
+      *
+      * CLOCK ASSUMPTION: "age" compares this driver's
+      * `System.currentTimeMillis` against FILE mtimes stamped by the
+      * store (object stores stamp server-side; directory mtimes are
+      * synthetic and not advanced by renames). `minAttemptAgeMs` must
+      * therefore exceed the worst-case driver↔store clock skew PLUS the
+      * writer's longest heartbeat gap — [[ParquetSink.stagedAppend]]
+      * rewrites a `.heartbeat` file every 64 publish renames precisely so
+      * that gap is bounded by a few renames, not the whole publish.
       */
     def recover(spark: SparkSession, destPath: String,
         committed: Seq[String] => Boolean,
@@ -249,11 +258,17 @@ object Ingest {
     private def fsOf(spark: SparkSession, p: Path) =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    /** One recursive listing, statuses kept: `fs.listFiles` already yields
+      * `LocatedFileStatus` with modification times, so callers that need
+      * mtimes (recover's in-flight guard) read them here instead of paying
+      * an O(files) extra getFileStatus RPC round-trip per attempt.
+      */
     private def listFilesRec(fs: org.apache.hadoop.fs.FileSystem,
-        dir: Path): Seq[Path] = {
+        dir: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
       val it = fs.listFiles(dir, /*recursive=*/ true)
-      val buf = scala.collection.mutable.ArrayBuffer[Path]()
-      while (it.hasNext) buf += it.next().getPath
+      val buf =
+        scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
+      while (it.hasNext) buf += it.next()
       buf.toSeq
     }
 
@@ -276,7 +291,7 @@ object Ingest {
       //    recorded BEFORE any rename so rollback knows every possible
       //    published path
       val stagingQ = fs.makeQualified(staging).toString
-      val staged = listFilesRec(fs, staging)
+      val staged = listFilesRec(fs, staging).map(_.getPath)
         .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
         .map(p => fs.makeQualified(p).toString.stripPrefix(stagingQ + "/"))
         .sorted
@@ -296,7 +311,17 @@ object Ingest {
       //    attempt this writeId is re-run only after recover() rolled it
       //    back, but renames must never silently no-op)
       val dest = new Path(destPath)
-      targets.foreach { case (rel, tgt) =>
+      val heartbeat = new Path(staging, ".heartbeat")
+      targets.zipWithIndex.foreach { case ((rel, tgt), i) =>
+        // Renames only REMOVE files from the attempt dir, so on object
+        // stores (synthetic directory mtimes) a long publish would stop
+        // advancing recover()'s freshness signal. Rewriting a heartbeat
+        // file every few renames keeps the newest mtime current, so a
+        // publish of any length stays inside the in-flight guard.
+        if (i % 64 == 0) {
+          val hb = fs.create(heartbeat, true)
+          try hb.write(i) finally hb.close()
+        }
         val target = new Path(dest, tgt)
         fs.mkdirs(target.getParent)
         if (fs.exists(target)) fs.delete(target, false)
@@ -321,8 +346,7 @@ object Ingest {
         // attempt — a mid-stage writer touches files continuously, so a
         // young mtime anywhere means "possibly alive"; skip, don't sweep
         val newestMs = (st.getModificationTime +:
-          listFilesRec(fs, attempt).map(p =>
-            fs.getFileStatus(p).getModificationTime)).max
+          listFilesRec(fs, attempt).map(_.getModificationTime)).max
         if (minAttemptAgeMs > 0 && now - newestMs < minAttemptAgeMs) {
           println(s"METRIC graft.recover.skipped_inflight=1 " +
             s"write=${attempt.getName} age_ms=${now - newestMs}")

@@ -131,8 +131,17 @@ object StreamingIngest {
     val victimIds = victimLogDir.map { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Explicit one-column schema: a crash during the very first
+      // victim-log write can leave the dir with only _temporary/ (no
+      // committed data file), where schema INFERENCE throws — which would
+      // wedge exactly the replay path this anti-join protects. With the
+      // schema given, an empty listing is just an empty relation, and on
+      // the happy path Spark prunes the read to the one column anyway.
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "b_id", corpus.schema(idCol).dataType)))
       if (fs.exists(p))
-        spark.read.parquet(d).select(col("b_id").as(idCol))
+        spark.read.schema(vSchema).parquet(d).select(col("b_id").as(idCol))
       else corpusIds.limit(0)
     }.getOrElse(corpusIds.limit(0))
     corpusIds.unionByName(victimIds)

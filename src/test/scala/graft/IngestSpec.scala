@@ -277,6 +277,42 @@ class IngestSpec extends SparkSpec {
     assert(!staging.exists)
   }
 
+  test("minAttemptAgeMs must absorb store-vs-driver clock skew: a " +
+      "future-stamped mtime keeps the attempt in-flight until the margin " +
+      "covers the skew") {
+    import graft.ingest.Ingest
+    import spark.implicits._
+    val root = tmpDir("skew_")
+    val dest = s"$root/wh/ds/t"
+    Ingest.ParquetSink.stagedAppend(Seq((1L, "x")).toDF("id", "s"),
+      dest, None, "w1", Seq("gs://b/a.csv"))
+    val staging = new java.io.File(s"$root/wh/ds/.staging_t")
+    val hourMs = 3600 * 1000L
+    // every file is long dead EXCEPT one whose mtime the "object store"
+    // stamped 10 min ahead of the driver clock (skew): now - newestMs is
+    // negative, so ANY positive guard treats the attempt as in-flight —
+    // the attempt survives sweeps until the skewed stamp falls behind
+    // now - minAttemptAgeMs. This is the documented assumption: the
+    // margin must exceed worst-case skew, or crashed attempts linger.
+    def ageTree(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 2 * hourMs)
+      Option(f.listFiles).foreach(_.foreach(ageTree))
+    }
+    ageTree(staging)
+    // skew the manifest (a file recover's listing definitely sees — local
+    // ChecksumFileSystem hides .crc shadows)
+    val skewed = new java.io.File(
+      staging.listFiles.find(_.isDirectory).get, "_graft_manifest")
+    assert(skewed.isFile)
+    skewed.setLastModified(System.currentTimeMillis() + 10 * 60 * 1000L)
+    Ingest.ParquetSink.recover(spark, dest, _ => false,
+      minAttemptAgeMs = 1L)
+    assert(staging.exists, "skewed-young attempt must be skipped, not swept")
+    // guard OFF (0 = strict single-writer cadence) ignores age entirely
+    Ingest.ParquetSink.recover(spark, dest, _ => false, minAttemptAgeMs = 0L)
+    assert(!staging.exists)
+  }
+
   test("ordered view registers in the session catalog as <table>_ordered") {
     import spark.implicits._
     val df = Seq(("2026-01-01 00:00:00", 2.0, 7.5))

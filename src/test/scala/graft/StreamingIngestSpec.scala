@@ -139,6 +139,22 @@ class StreamingIngestSpec extends SparkSpec {
     assert(victimRows == 1L)
   }
 
+  test("curateDocBatch survives a victim-log dir with no committed data " +
+      "file (crash during the first log write leaves only _temporary/)") {
+    import spark.implicits._
+    val root = tmpDir("emptyvlog_")
+    // existing dir, hidden debris only — schema inference would throw here;
+    // the explicit b_id schema must read it as empty instead
+    val vdir = new java.io.File(s"$root/victims")
+    assert(new java.io.File(vdir, "_temporary/0").mkdirs())
+    val b1 = Seq(0L -> "a perfectly ordinary first document",
+      1L -> "a second unrelated document about engines").toDF("doc_id", "text")
+    StreamingIngest.curateDocBatch(spark, b1, s"$root/corpus",
+      Some(s"$root/victims"))
+    assert(spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 1L))
+  }
+
   test("curateDocBatch partial-crash resume: victims logged but survivors " +
       "unappended -> replay appends survivors only, no duplicate log rows") {
     import spark.implicits._
