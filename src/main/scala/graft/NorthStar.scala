@@ -173,14 +173,16 @@ object NorthStar {
 
     // The curation capstone: the corpus a training pipeline would keep —
     // English, above the quality bar, passing the Gopher repetition +
-    // format rules (q61), and not a near-duplicate victim. Composes
-    // lang-ID, quality scoring, published quality rules, and LSH+Jaccard
-    // dedup in one declarative pipeline Catalyst plans end-to-end.
+    // format rules (q61), PII-free (q67's scan as a gate), and not a
+    // near-duplicate victim. Composes lang-ID, quality scoring, published
+    // quality rules, PII scan, and LSH+Jaccard dedup in one declarative
+    // pipeline Catalyst plans end-to-end.
     "q46_curated_corpus" -> ((s, dir) => {
       val drop = Dedup.jaccardDupPairs(docs(s, dir), JaccardDupThreshold,
         maxBucketSize = DedupBucketCap)
         .select(col("b_id").as("doc_id")).distinct()
       docs(s, dir)
+        .filter(graft.functions.Pii.piiTotal(col("text")) === 0)
         .select(col("doc_id"),
           TA.langIdHeuristic(col("text")).as("lang_pred"),
           round(TA.qualityScore(col("text")), 6).as("quality"),
@@ -241,6 +243,21 @@ object NorthStar {
       Dedup.contaminatedDocs(
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0), w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scan + redaction (graft.functions.Pii): per-class hit counts
+    // under sequential adjudication plus the md5 of the fully redacted
+    // text. The synthetic documents are PII-free word salad, so the query
+    // PLANTS deterministic PII (doc_id-derived emails/IPs/SSNs/cards/
+    // phones on modular slices — mirrored verbatim in the oracle SQL) and
+    // the hash compare then proves detection, class adjudication, and
+    // redaction byte-for-byte.
+    "q67_pii_scan" -> ((s, dir) => {
+      import graft.functions.Pii
+      val aug = piiAugmented(docs(s, dir))
+      aug.select(col("doc_id") +: Pii.scanColumns(col("aug_text")) :+
+        md5(Pii.redact(col("aug_text"))).as("redacted_md5"): _*)
         .orderBy(col("doc_id"))
     }),
 
@@ -720,6 +737,67 @@ object NorthStar {
         FROM embeddings
         CROSS JOIN (SELECT unnest(generate_series(0, ${AnnTables - 1})) AS t))"""
 
+  /** Deterministic PII planting for q67 (both sides must build the exact
+    * same augmented text; modular slices overlap so some docs carry
+    * several classes and doc 0 carries all five).
+    */
+  private def piiAugmented(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def pad(m: Int, w: Int) = lpad((id % m).cast("string"), w, "0")
+    d.withColumn("aug_text", concat(
+      col("text"),
+      when(id % 7 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" host 10."), (id % 200).cast("string"),
+        lit(".0."), (id % 250).cast("string"))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" ssn 123-45-"), pad(10000, 4)))
+        .otherwise(lit("")),
+      when(id % 13 === 0, concat(lit(" card 4111-1111-1111-"), pad(10000, 4)))
+        .otherwise(lit("")),
+      when(id % 17 === 0, concat(lit(" call +1-555-"), pad(1000, 3),
+        lit("-0199"))).otherwise(lit(""))))
+  }
+
+  /** SQL mirror of [[piiAugmented]] as `(doc_id, t0)`. */
+  private val piiAugCte =
+    """pii0 AS (SELECT doc_id, text
+       || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+            || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+            || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+            || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+       || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       || CASE WHEN doc_id % 13 = 0 THEN ' card 4111-1111-1111-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       || CASE WHEN doc_id % 17 = 0 THEN ' call +1-555-'
+            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+            ELSE '' END AS t0
+       FROM documents)"""
+
+  /** The sequential-adjudication chain of [[graft.functions.Pii]] in SQL:
+    * step i counts class i on `t(i-1)` and emits `t(i)` with it redacted,
+    * exactly the fold [[graft.functions.Pii.scanColumns]] builds — so the
+    * two engines claim overlapping candidates identically. Input CTE must
+    * provide `(doc_id, t0)`; output CTE `pii` has the per-class counts,
+    * `n_pii`, and `redacted`.
+    */
+  private val piiChainSql: String = {
+    val cls = graft.functions.Pii.Classes
+    val steps = cls.zipWithIndex.map { case ((name, pat, tok), i) =>
+      val carried = cls.take(i).map(c => s"n_${c._1}, ").mkString
+      s"""pii${i + 1} AS (SELECT doc_id, $carried
+         len(regexp_extract_all(t$i, '$pat')) AS n_$name,
+         regexp_replace(t$i, '$pat', '$tok', 'g') AS t${i + 1}
+         FROM pii$i)"""
+    }
+    val total = cls.map(c => s"n_${c._1}").mkString(" + ")
+    (steps :+
+      s"""pii AS (SELECT doc_id, ${cls.map(c => s"n_${c._1}").mkString(", ")},
+         $total AS n_pii, t${cls.size} AS redacted FROM pii${cls.size})""")
+      .mkString(",\n")
+  }
+
   private val stopwordSql: Map[String, String] =
     TA.Stopwords.map { case (l, ws) =>
       l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -811,6 +889,8 @@ object NorthStar {
          WHERE j >= $JaccardDupThreshold ORDER BY a_id, b_id""",
     "q46_curated_corpus" ->
       s"""WITH $toksCte, $qualityRulesCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
+         pii0 AS (SELECT doc_id, text AS t0 FROM documents),
+         $piiChainSql,
          pairs AS (SELECT a_id, b_id,
              CAST(len(list_intersect(ja.s, jb.s)) AS DOUBLE)
                / len(list_distinct(ja.s || jb.s)) AS j
@@ -847,6 +927,7 @@ object NorthStar {
          FROM scored s JOIN qr USING (doc_id)
          WHERE lang_pred = 'en' AND quality >= 0.3
            AND $rulePassSql
+           AND doc_id NOT IN (SELECT doc_id FROM pii WHERE n_pii > 0)
            AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
          ORDER BY doc_id""",
     "q45_dedup_corpus" ->
@@ -965,6 +1046,12 @@ object NorthStar {
                ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 10 ORDER BY query_id, rn""",
+    "q67_pii_scan" ->
+      s"""WITH $piiAugCte,
+         $piiChainSql
+         SELECT doc_id, n_email, n_ipv4, n_ssn, n_cc, n_phone, n_pii,
+           md5(redacted) AS redacted_md5
+         FROM pii ORDER BY doc_id""",
     "q29_knn_lsh" ->
       s"""WITH $tableBucketsCte,
          q AS (SELECT vec_id AS query_id, t, bucket FROM tb WHERE vec_id < 5),

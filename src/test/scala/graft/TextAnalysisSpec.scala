@@ -10,6 +10,63 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def one(text: String) = Seq(text).toDF("text")
 
+  private def piiScan(text: String): (Map[String, Int], String) = {
+    import graft.functions.Pii
+    val row = one(text).select(
+      Pii.scanColumns(col("text")) :+ Pii.redact(col("text")).as("red"): _*)
+      .head()
+    val names = Pii.Classes.map(c => s"n_${c._1}")
+    (names.zipWithIndex.map { case (n, i) => n -> row.getInt(i) }.toMap,
+      row.getString(row.length - 1))
+  }
+
+  test("PII scan: each class detected, counted, and redacted") {
+    val (counts, red) = piiScan(
+      "mail a.user+tag@sub.example.org or bob@x.io, host 192.168.0.1, " +
+        "ssn 123-45-6789, card 4111-1111-1111-1234, call +1-555-123-4567")
+    assert(counts("n_email") == 2)
+    assert(counts("n_ipv4") == 1)
+    assert(counts("n_ssn") == 1)
+    assert(counts("n_cc") == 1)
+    assert(counts("n_phone") == 1)
+    assert(red == "mail <EMAIL> or <EMAIL>, host <IP>, ssn <SSN>, " +
+      "card <CC>, call <PHONE>")
+  }
+
+  test("PII adjudication order: an SSN is claimed by the SSN class, " +
+      "never counted again by the looser phone pattern") {
+    val (counts, red) = piiScan("ids 123-45-6789 and 987-65-4321 only")
+    assert(counts("n_ssn") == 2 && counts("n_phone") == 0)
+    assert(red == "ids <SSN> and <SSN> only")
+    // and a 4-4-4-4 card is cc, not phone
+    val (c2, _) = piiScan("pay 1234-5678-9012-3456 now")
+    assert(c2("n_cc") == 1 && c2("n_phone") == 0)
+  }
+
+  test("PII redaction is idempotent: tokens match no class") {
+    import graft.functions.Pii
+    val texts = Seq(
+      "x@y.com 10.0.0.1 123-45-6789 4111-1111-1111-1111 (555) 123-4567",
+      "no pii at all in this perfectly clean sentence",
+      "")
+    val df = texts.toDF("text").select(
+      Pii.redact(col("text")).as("r1"),
+      Pii.redact(Pii.redact(col("text"))).as("r2"),
+      Pii.piiTotal(Pii.redact(col("text"))).as("n"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(r.getLong(2) == 0L)
+    }
+  }
+
+  test("PII total gates clean docs through and dirty docs out") {
+    import graft.functions.Pii
+    val df = Seq(1 -> "clean text", 2 -> "write to me@example.com")
+      .toDF("id", "text")
+      .filter(Pii.piiTotal(col("text")) === 0)
+    assert(df.select("id").as[Int].collect().toSeq == Seq(1))
+  }
+
   test("token counting: whitespace runs, empty text") {
     val df = one("  The quick   brown\tfox  ")
       .select(TextAnalysis.tokenCount(col("text")).as("n"))
