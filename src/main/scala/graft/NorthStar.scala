@@ -261,6 +261,18 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM perplexity scoring (graft.operators.LmFilter): a
+    // hash-bucketed bigram LM trained corpus-wide in one groupBy, every
+    // doc scored by average negative log-prob, thresholded into the
+    // passes_lm gate. Oracle reproduces the identical bucket hashes,
+    // add-one smoothing, and the rounded-decimal log fold.
+    "q68_lm_perplexity" -> ((s, dir) => {
+      import graft.operators.LmFilter
+      LmFilter.scoreDocs(docs(s, dir))
+        .withColumn("passes_lm", col("log_ppl") <= LmFilter.LogPplMax)
+        .orderBy(col("doc_id"))
+    }),
+
     // 120-bit wide SimHash pairs — the documented scale lever over q27's
     // 60-bit hash: 4x30-bit pigeonhole blocks cut degenerate candidate
     // growth from ~n^2/2^15 to ~n^2/2^30 per block, still bit-exact in SQL.
@@ -1046,6 +1058,32 @@ object NorthStar {
                ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 10 ORDER BY query_id, rn""",
+    "q68_lm_perplexity" -> {
+      val n = graft.operators.LmFilter.DefaultBuckets
+      s"""WITH $toksCte,
+         bg AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS gram
+           FROM toks WHERE len(t) >= 2),
+         bb AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % $n AS bgb,
+             CAST(('0x' || substr(md5(split_part(gram, ' ', 1)), 1, 15))
+               AS BIGINT) % $n AS ctb
+           FROM bg),
+         mb AS (SELECT bgb, count(*) AS c_bg FROM bb GROUP BY bgb),
+         mc AS (SELECT ctb, count(*) AS c_ctx FROM bb GROUP BY ctb),
+         sc AS (SELECT doc_id,
+             round(ln(CAST(c_bg + 1 AS DOUBLE) / CAST(c_ctx + $n AS DOUBLE)),
+               6) AS logp
+           FROM bb JOIN mb USING (bgb) JOIN mc USING (ctb)),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
+             round(-(CAST(sum(CAST(logp AS DECIMAL(18,9))) AS DOUBLE)
+               / count(*)), 6) AS log_ppl
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, log_ppl,
+           log_ppl <= ${graft.operators.LmFilter.LogPplMax} AS passes_lm
+         FROM agg ORDER BY doc_id"""
+    },
     "q67_pii_scan" ->
       s"""WITH $piiAugCte,
          $piiChainSql

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextAnalysis => TA}
+
+/** CCNet-style n-gram LM quality filtering: train hash-bucketed bigram
+  * counts corpus-wide, score every document by its average per-bigram
+  * negative log-probability (log-perplexity), and gate on a threshold —
+  * the second filter stage (after heuristic rules) of essentially every
+  * post-C4 corpus pipeline (Wenzek et al., "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data", which scores with a
+  * 5-gram KenLM; the hash-bucketed bigram model here is the same operator
+  * shape with a bounded, shuffle-friendly model).
+  *
+  * Model = two count tables over HASH BUCKETS, not raw n-grams:
+  * `bucket(g) = md5prefix60(g) mod nBuckets`. Bucketing bounds the model
+  * at `nBuckets` rows regardless of corpus size — the CCNet trick that
+  * makes the model broadcastable at 100 TB (2^20 buckets x 16 B ≈ 16 MB)
+  * while collisions only smooth counts, never lose them. Training is ONE
+  * groupBy per table (map-side partial aggregation); scoring is two
+  * broadcast joins plus a per-doc aggregate — no corpus self-join
+  * anywhere, cost linear in total token count.
+  *
+  * Smoothing: add-one over the bucket space,
+  * `P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + nBuckets)` — deterministic
+  * integer counts, so the only float ops are one exact IEEE division and
+  * one `ln` per bigram, rounded to 6 dp BEFORE the per-doc sum, which is
+  * folded in DECIMAL(18,9) (exact, order-independent) — the oracle
+  * determinism recipe every query here uses.
+  */
+object LmFilter {
+
+  /** Demo-scale bucket space; raise to 2^20+ on a real corpus. */
+  val DefaultBuckets: Int = 1 << 16
+
+  /** Rounded-log-perplexity gate used by q68's `passes_lm` flag — set at
+    * the corpus median (~7.63–7.66 at sf0.001–0.01) so the flag actually
+    * partitions the synthetic corpus; a production run calibrates this
+    * per-corpus exactly as CCNet does (tail percentile of the score).
+    */
+  val LogPplMax: Double = 7.65
+
+  /** 60-bit md5 prefix as BIGINT — same mapping as the oracle's
+    * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`.
+    */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exploded bigram occurrences (multiplicity KEPT — these are LM counts,
+    * not shingle sets): `(doc_id, bgb, ctb)` = bigram bucket + context
+    * (first-word) bucket. Docs with fewer than 2 tokens have no bigrams
+    * and are excluded — a scored corpus filters them with the length rules
+    * (q61) instead.
+    */
+  def docBigramBuckets(docs: DataFrame, nBuckets: Int = DefaultBuckets)
+      : DataFrame = {
+    val t = TA.tokens(col("text"))
+    val grams = transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    docs
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"),
+        (h60(col("gram")) % nBuckets).as("bgb"),
+        (h60(substring_index(col("gram"), " ", 1)) % nBuckets).as("ctb"))
+  }
+
+  /** Bucketed bigram counts — the model numerator table (≤ nBuckets rows). */
+  def bigramModel(bg: DataFrame): DataFrame =
+    bg.groupBy(col("bgb")).agg(count(lit(1)).as("c_bg"))
+
+  /** Bucketed context (unigram-prefix) counts — the denominator table. */
+  def contextModel(bg: DataFrame): DataFrame =
+    bg.groupBy(col("ctb")).agg(count(lit(1)).as("c_ctx"))
+
+  /** Score `docs` against a model trained on `trainDocs` (defaults to
+    * self-scoring, the corpus-filter configuration): per doc, the bigram
+    * count and `log_ppl` = -(1/n) Σ round6(ln P(w2|w1)).
+    */
+  def scoreDocs(docs: DataFrame, trainDocs: DataFrame = null,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val train = Option(trainDocs).getOrElse(docs)
+    val bgTrain = docBigramBuckets(train, nBuckets)
+    val bg = if (train eq docs) bgTrain else docBigramBuckets(docs, nBuckets)
+    // LEFT joins: bigrams/contexts unseen in training coalesce to count 0
+    // (the add-one floor). Under self-scoring every bucket is present, so
+    // this is exactly the oracle's inner `JOIN USING`.
+    bg
+      .join(broadcast(bigramModel(bgTrain)), Seq("bgb"), "left")
+      .join(broadcast(contextModel(bgTrain)), Seq("ctb"), "left")
+      .select(col("doc_id"),
+        round(log((coalesce(col("c_bg"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("c_ctx"), lit(0L)) + nBuckets).cast("double")), 6)
+          .as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp").cast("decimal(18,9)")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("s").cast("double") / col("n_bigrams")), 6)
+          .as("log_ppl"))
+  }
+
+  /** The curation gate: keep documents whose log-perplexity under the
+    * corpus LM is at most `maxLogPpl` (semi join on the score — composes
+    * with the q46 pipeline as an optional stage after the quality rules).
+    * Docs without bigrams are dropped (unscorable).
+    */
+  def filterByPerplexity(docs: DataFrame, maxLogPpl: Double = LogPplMax,
+      trainDocs: DataFrame = null, nBuckets: Int = DefaultBuckets)
+      : DataFrame =
+    docs.join(
+      scoreDocs(docs, trainDocs, nBuckets)
+        .filter(col("log_ppl") <= maxLogPpl)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+}
