@@ -261,6 +261,20 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // Real merge-table BPE tokenization (native BpeTokenizeExpr, priority
+    // merge loop; oracle replays the rank-order fold — equivalent on the
+    // topologically consistent fixture table): pretoken count, true BPE
+    // token count, and the md5 of the full token stream.
+    "q69_bpe_tokens" -> ((s, dir) => {
+      import graft.functions.Bpe
+      val toks = Bpe.tokens(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        TA.bpeishTokenCount(col("text")).as("n_pretokens"),
+        size(toks).as("n_bpe"),
+        md5(concat_ws(" ", toks)).as("stream_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style LM perplexity scoring (graft.operators.LmFilter): a
     // hash-bucketed bigram LM trained corpus-wide in one groupBy, every
     // doc scored by average negative log-prob, thresholded into the
@@ -498,9 +512,13 @@ object NorthStar {
     "q56_token_packing" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 512L
+      // REAL token accounting (r7): counts come from the merge-table BPE
+      // tokenizer, not the whitespace approximation — bins now reflect
+      // what a training shard would actually cost.
       val base = docs(s, dir)
         .select(col("lang"), col("doc_id"),
-          TA.tokenCount(col("text")).as("n_tokens"))
+          graft.functions.Bpe.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
       // deterministic ordered chunking of the id domain
       val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
       val span = math.max(1L, maxId / 32 + 1)
@@ -810,6 +828,37 @@ object NorthStar {
       .mkString(",\n")
   }
 
+  /** DuckDB replay of the native BPE tokenizer
+    * ([[graft.plans.BpeExpr]]): per pretoken, encode each symbol
+    * SELF-DELIMITED as `(sym)` and fold the merge table over the string
+    * IN RANK ORDER — one left-to-right non-overlapping `replace` per
+    * merge (merges encoded 'a|b'; pattern `(a)(b)` -> `(ab)`). The
+    * self-delimited form is load-bearing: with a shared separator
+    * (` a b ` style) consecutive occurrences overlap at the shared
+    * delimiter and `replace` silently skips every second merge — `(c)(a)
+    * (c)(a)` has no shared characters, so one pass merges all
+    * occurrences exactly like the merge loop's scan. Equivalent to the
+    * Spark side's priority merge loop because [[graft.functions.Bpe
+    * .DemoMerges]] is topologically consistent (see BpeExpr scaladoc;
+    * BpeSpec fuzz-asserts the equivalence).
+    * Emits `bpe(doc_id, toks)` with the final token stream.
+    */
+  private val bpeCte: String = {
+    val mergeList = graft.functions.Bpe.DemoMerges
+      .map { case (a, b) => s"'$a|$b'" }.mkString("[", ", ", "]")
+    s"""bpe AS (SELECT doc_id,
+        flatten(list_transform(
+          regexp_extract_all(text, '${TA.BpeishPattern}'),
+          w -> string_split(trim(list_reduce(
+            [array_to_string(list_transform(
+                generate_series(1, length(w)), i -> '(' || w[i] || ')'), '')]
+              || $mergeList,
+            (acc, m) -> replace(acc,
+              '(' || replace(m, '|', ')(') || ')',
+              '(' || replace(m, '|', '') || ')')), '()'), ')(')))
+        AS toks FROM documents)"""
+  }
+
   private val stopwordSql: Map[String, String] =
     TA.Stopwords.map { case (l, ws) =>
       l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1058,6 +1107,14 @@ object NorthStar {
                ORDER BY cosine DESC, neighbor_id) AS rn FROM j)
          SELECT query_id, rn, neighbor_id, cosine FROM r
          WHERE rn <= 10 ORDER BY query_id, rn""",
+    "q69_bpe_tokens" ->
+      s"""WITH $bpeCte
+         SELECT doc_id,
+           len(regexp_extract_all(text, '${TA.BpeishPattern}'))
+             AS n_pretokens,
+           len(toks) AS n_bpe,
+           md5(array_to_string(toks, ' ')) AS stream_md5
+         FROM bpe JOIN documents USING (doc_id) ORDER BY doc_id""",
     "q68_lm_perplexity" -> {
       val n = graft.operators.LmFilter.DefaultBuckets
       s"""WITH $toksCte,
@@ -1307,10 +1364,9 @@ object NorthStar {
                doc_id) AS rn
            FROM documents) WHERE rn <= 100 ORDER BY source, rn""",
     "q56_token_packing" ->
-      s"""WITH $toksCte,
-         n AS (SELECT d.lang, d.doc_id,
-             CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(t.t) END AS n_tokens
-           FROM documents d JOIN toks t USING (doc_id)),
+      s"""WITH $bpeCte,
+         n AS (SELECT d.lang, d.doc_id, len(b.toks) AS n_tokens
+           FROM documents d JOIN bpe b USING (doc_id)),
          c AS (SELECT lang, doc_id, n_tokens,
              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Bpe, TextAnalysis}
+
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def toks(text: String): Seq[String] =
+    Seq(text).toDF("text")
+      .select(Bpe.tokens(col("text")).as("t"))
+      .head().getSeq[String](0)
+
+  test("priority merge loop builds up multi-level merges") {
+    // the: (t,h) then (th,e); scanner: (a,n),(e,r),(s,c),(sc,an) by rank
+    assert(toks("the scanner") == Seq("the", "scan", "n", "er"))
+    assert(toks("table query window") ==
+      Seq("table", "query", "window"))
+    assert(toks("") == Seq.empty)
+  }
+
+  test("pretokenization: letter runs, digit runs, single symbols") {
+    // win | 32 | . | dll | ! -> win; 3,2; .; d,l,l; !
+    assert(toks("win32.dll!") ==
+      Seq("win", "3", "2", ".", "d", "l", "l", "!"))
+    assert(Seq("win32.dll!").toDF("text")
+      .select(Bpe.tokenCount(col("text"))).head().getInt(0) == 8)
+  }
+
+  /** The oracle's rank-order fold: symbols self-delimited as `(sym)` so
+    * consecutive pair occurrences share no characters, one left-to-right
+    * non-overlapping replace per merge — mirrors the DuckDB
+    * `list_reduce` replay byte-for-byte.
+    */
+  private def sequentialBpe(text: String): Seq[String] = {
+    val pat = TextAnalysis.BpeishPattern.r
+    pat.findAllIn(text).flatMap { w =>
+      val s0 = w.toCharArray.map(c => s"($c)").mkString
+      val merged = Bpe.DemoMerges.foldLeft(s0) { case (s, (a, b)) =>
+        s.replace(s"($a)($b)", s"($a$b)")
+      }
+      merged.stripPrefix("(").stripSuffix(")").split("\\)\\(").toSeq
+    }.toSeq
+  }
+
+  test("priority loop == rank-order fold on the topologically consistent " +
+      "fixture table (the oracle-equivalence invariant)") {
+    val corpusWords = Seq("the", "scanner", "table", "batch", "query",
+      "window", "data", "join", "key", "value", "scan", "row", "thethe",
+      "tabatable", "ananan", "scscan", "winwind", "xyzzy")
+    val rnd = new scala.util.Random(42)
+    val alphabet = "theansciorlvbqudjwky".toCharArray
+    val fuzz = (1 to 200).map(_ =>
+      (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val texts = (corpusWords ++ fuzz).mkString(" ") ::
+      corpusWords.map(w => s"$w, $w!").toList
+    texts.foreach { t =>
+      assert(toks(t) == sequentialBpe(t), s"diverged on: $t")
+    }
+  }
+
+  test("java replace is leftmost non-overlapping: 'aaa' under (a,a)") {
+    // both algorithms must merge leftmost-first: a a a -> (aa) a
+    val merges = Seq(("a", "a"))
+    val out = Seq("aaa").toDF("text")
+      .select(graft.plans.BpeExpr.tokenize(col("text"), merges,
+        TextAnalysis.BpeishPattern).as("t"))
+      .head().getSeq[String](0)
+    assert(out == Seq("aa", "a"))
+  }
+}
