@@ -139,6 +139,44 @@ object Ingest {
     */
   val PartitionCol = "p_date"
 
+  /** Shard directory column written by [[DestinationSink.shardedWrite]]. */
+  val ShardCol = "shard"
+
+  /** Deterministic token-budget shard assignment (the two-phase
+    * cumulative-offset pattern of q56, generalized): adds [[ShardCol]]
+    * such that rows ordered by `orderCol` pack greedily into
+    * `tokenBudget`-sized bins. Exactly equal to a sequential single-pass
+    * packing, computed with one tiny O(nChunks) driver collect plus one
+    * chunk-partitioned window — no global single-task cumsum.
+    */
+  def assignShards(df: DataFrame, tokenCol: String, orderCol: String,
+      tokenBudget: Long, nChunks: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val bounds = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return df.withColumn(ShardCol, lit(0L))
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (maxId - minId) / nChunks + 1)
+    def chunkOf(c: org.apache.spark.sql.Column) =
+      ((c.cast("long") - minId) / span).cast("long")
+    val totals = df.groupBy(chunkOf(col(orderCol)).as("chunk"))
+      .agg(sum(col(tokenCol).cast("long")).as("tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets: Map[Long, Long] = totals.keys.map { c =>
+      c -> (0L until c).map(j => totals.getOrElse(j, 0L)).sum
+    }.toMap
+    val w = Window.partitionBy(col("__chunk")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__chunk", chunkOf(col(orderCol)))
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w)
+        + element_at(typedLit(offsets), col("__chunk")))
+      .withColumn(ShardCol,
+        floor((greatest(col("__cum"), lit(1L)) - 1)
+          / lit(tokenBudget.toDouble)).cast("long"))
+      .drop("__chunk", "__cum")
+  }
+
   /** Destination abstraction — the reference's destination is a managed
     * warehouse table (BucketToBigQuery.js:341–354); ours defaults to a
     * DAY-partitioned parquet layout, but a BigQuery-connector, Delta or
@@ -204,6 +242,49 @@ object Ingest {
     /** Drop the attempt's commit record once the ledger append succeeded. */
     def finishCommit(spark: SparkSession, destPath: String,
         writeId: String): Unit = ()
+
+    /** TRAINING-SHARD WRITE — the terminal operator of a curation run:
+      * pack `df` into token-budget-bounded shards, deterministically, and
+      * write one output file per shard (`destPath/shard=NNNNN/`).
+      *
+      * Shard assignment is the q56 two-phase cumulative pattern: the
+      * `orderCol` domain is cut into range chunks, per-chunk token totals
+      * (a tiny O(chunks) collect) give each chunk a starting offset, and
+      * a per-chunk window cumsum plus that offset yields every row's
+      * global cumulative token count — no single-task global cumsum, so
+      * the assignment scales to any corpus while staying EXACTLY the
+      * sequential greedy packing. `shard = floor((cum-1)/budget)`; when
+      * no document exceeds the budget, every shard's total is < 2x budget
+      * (a row is packed wholly into the shard its cumulative end falls
+      * in), and oversized documents get their own shard(s) rather than
+      * failing.
+      *
+      * DETERMINISM CONTRACT: `orderCol` must be a unique key (doc id);
+      * assignment is then a pure function of (orderCol, tokenCol), stable
+      * across reruns and cluster sizes — IngestSpec asserts equality of
+      * two independent writes. The final exchange hashes on the shard id
+      * so each shard is written by one task as one file.
+      */
+    def shardedWrite(df: DataFrame, destPath: String, tokenCol: String,
+        orderCol: String, tokenBudget: Long, nChunks: Int = 32): Unit = {
+      val sharded = Ingest.assignShards(df, tokenCol, orderCol,
+        tokenBudget, nChunks)
+      sharded
+        .repartition(col(Ingest.ShardCol))
+        .sortWithinPartitions(col(Ingest.ShardCol), col(orderCol))
+        .write.mode("overwrite").partitionBy(Ingest.ShardCol)
+        .parquet(destPath)
+      val spark = df.sparkSession
+      val stats = spark.read.parquet(destPath)
+        .groupBy(col(Ingest.ShardCol))
+        .agg(count(lit(1)).as("n"), sum(col(tokenCol)).as("tok"))
+        .agg(count(lit(1)), avg(col("tok")), max(col("tok")), sum(col("n")))
+        .head()
+      println(s"METRIC graft.shards=${stats.getLong(0)} " +
+        s"graft.shard_fill_avg=${stats.getDouble(1)} " +
+        s"graft.shard_fill_max=${stats.getLong(2)} " +
+        s"graft.shard_docs=${stats.getLong(3)} budget=$tokenBudget")
+    }
   }
 
   /** Default sink: DAY-partitioned parquet directories.

@@ -313,6 +313,66 @@ class IngestSpec extends SparkSpec {
     assert(!staging.exists)
   }
 
+  test("shardedWrite: token budgets bounded, assignment deterministic, " +
+      "readback complete, one file per shard") {
+    import spark.implicits._
+    val root = tmpDir("shards_")
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 400L).map(i => (i, 1 + rnd.nextInt(99)))
+      .toDF("doc_id", "n_tokens")
+    val budget = 512L
+    Ingest.ParquetSink.shardedWrite(docs, s"$root/sh1", "n_tokens",
+      "doc_id", budget)
+    val back = spark.read.parquet(s"$root/sh1")
+    // complete: every doc exactly once
+    assert(back.count() == 400L)
+    assert(back.select("doc_id").distinct().count() == 400L)
+    // budget bound: no doc exceeds the budget, so every shard < 2x budget,
+    // and every shard but the last is at least half full (greedy packing)
+    val fills = back.groupBy("shard")
+      .agg(sum("n_tokens").as("tok")).select("shard", "tok")
+      .as[(Long, Long)].collect().toMap
+    assert(fills.values.forall(_ < 2 * budget), s"overfull shard: $fills")
+    val lastShard = fills.keys.max
+    assert(fills.filter(_._1 != lastShard).values.forall(_ > budget / 2))
+    // shards cover a contiguous range 0..max
+    assert(fills.keys.toSeq.sorted == (0L to lastShard))
+    // deterministic: an independent rerun assigns identically
+    Ingest.ParquetSink.shardedWrite(docs.repartition(7), s"$root/sh2",
+      "n_tokens", "doc_id", budget)
+    val a1 = back.select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    val a2 = spark.read.parquet(s"$root/sh2")
+      .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    assert(a1 == a2)
+    // exactly the sequential greedy packing
+    val seq = docs.orderBy("doc_id").as[(Long, Int)].collect()
+      .scanLeft(0L) { case (cum, (_, n)) => cum + n }.drop(1)
+      .map(cum => (math.max(cum, 1) - 1) / budget)
+    val byId = a1.toSeq.sortBy(_._1).map(_._2)
+    assert(byId == seq.toSeq)
+    // one data file per shard dir
+    val shardDirs = new java.io.File(s"$root/sh1").listFiles
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      assert(d.listFiles.count(_.getName.endsWith(".parquet")) == 1,
+        s"expected one file in ${d.getName}")
+    }
+  }
+
+  test("shardedWrite: a document larger than the budget gets its own " +
+      "shard without failing") {
+    import spark.implicits._
+    val root = tmpDir("bigdoc_")
+    val docs = Seq((0L, 100), (1L, 5000), (2L, 100)).toDF("doc_id", "n_tokens")
+    Ingest.ParquetSink.shardedWrite(docs, s"$root/sh", "n_tokens",
+      "doc_id", 512L)
+    val got = spark.read.parquet(s"$root/sh")
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(got(1L) != got(0L) && got(1L) != got(2L),
+      s"oversized doc must sit alone: $got")
+  }
+
   test("ordered view registers in the session catalog as <table>_ordered") {
     import spark.implicits._
     val df = Seq(("2026-01-01 00:00:00", 2.0, 7.5))
