@@ -30,6 +30,12 @@ object NorthStar {
   private val JaccardDupThreshold = 0.8
   private val EmbNearDupThreshold = 0.4
 
+  /** Semantic-dedup cosine bar: far below the near-dup threshold (the
+    * point of SemDeDup — prune REDUNDANT, not identical, vectors), set
+    * where it prunes ~1/3 of this isotropic corpus within cells.
+    */
+  private val SemanticDupThreshold = 0.3
+
   /** ANN geometry, shared by queries and oracles. 12-bit codes x 4 tables
     * = 2^14 composite (table,bucket) join keys — the shuffle parallelism
     * the candidate joins have at scale. On this synthetic testdata
@@ -405,6 +411,17 @@ object NorthStar {
         nCentroids = 16, nProbe = 2,
         trainIters = IvfIters, trainSample = IvfSample)
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // Semantic dedup (SemDeDup): IVF cells + within-cell cosine pruning,
+    // keep the min id per redundant pair. The oracle replays the cell
+    // assignment (argmax cosine, cid tiebreak) and the per-cell pair
+    // filter with a NOT IN over dropped ids.
+    "q70_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticSurvivors(emb(s, dir),
+        threshold = SemanticDupThreshold, nCentroids = 16,
+        trainIters = IvfIters, trainSample = IvfSample)
+        .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
     // IVF-PQ codes (q44's coarse quantizer + residual product
@@ -1231,6 +1248,27 @@ object NorthStar {
              AS approx_users,
            e.exact_users
          FROM x JOIN e USING (event_type) ORDER BY event_type""",
+    "q70_semantic_dedup" ->
+      s"""WITH seeds AS (SELECT CAST(vec_id AS INT) AS cid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+           FROM embeddings WHERE vec_id < 16),
+         samp AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+           WHERE vec_id < $IvfSample)${lloydChainSql(IvfIters)._1},
+         cells AS (SELECT vec_id, cv, cid FROM (
+             SELECT e.vec_id, e.embedding AS cv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${dotSql("e.embedding", "c.ce")} /
+                   (${normSql("e.embedding")} * ${normSql("c.ce")}) DESC,
+                 c.cid) AS rn
+             FROM embeddings e CROSS JOIN ${lloydChainSql(IvfIters)._2} c)
+           WHERE rn = 1),
+         drop AS (SELECT DISTINCT b.vec_id AS b_id
+           FROM cells a JOIN cells b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE ${cosSql("a.cv", "b.cv")} >= $SemanticDupThreshold)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT b_id FROM drop)
+         ORDER BY vec_id""",
     "q44_knn_ivf" ->
       s"""WITH seeds AS (SELECT CAST(vec_id AS INT) AS cid,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce

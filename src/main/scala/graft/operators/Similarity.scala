@@ -265,6 +265,59 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SEMANTIC DEDUP (SemDeDup shape — Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus into IVF cells, compute cosine
+    * pairs ONLY WITHIN each cell, and drop every vector that is
+    * semantically redundant with a lower-id cell-mate at `threshold`.
+    * Near-dup LSH (q30) catches near-identical vectors; this catches
+    * semantically redundant ones at a much lower threshold, because the
+    * cell restriction keeps the pair space per-cell (sum of cellSize^2
+    * over cells ≈ n^2/nCentroids), never the global n^2 — the published
+    * SemDeDup cost model. Raising nCentroids at scale keeps cells
+    * bounded; `maxCellSize` guards any degenerate cell exactly like the
+    * LSH bucket caps.
+    *
+    * Returns verified pairs `(cid, a_id, b_id, cosine)`. House shuffle
+    * discipline: the cell self-join carries slim (cid, id) rows only;
+    * the 64-float payloads re-join by id afterwards.
+    */
+  def semanticDupPairs(vectors: DataFrame, threshold: Double,
+      nCentroids: Int, trainIters: Int = 0, trainSample: Int = 256,
+      maxCellSize: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents =
+      ivfCentroids(vectors, nCentroids, trainIters, trainSample, idCol, vecCol)
+    val slim = ivfIndex(vectors, cents, idCol, vecCol)
+      .select(col("cid"), col("neighbor_id").as("id"))
+      .repartition(col("cid"))
+    val capped = Dedup.dropOversized(slim, Seq("cid"), maxCellSize)
+    val l = capped.select(col("cid"), col("id").as("a_id"))
+    val r = capped.select(col("cid"), col("id").as("b_id"))
+    val pairs = l.hint("merge").join(r.hint("merge"), Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+    val av = vectors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val bv = vectors.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    pairs.join(av, Seq("a_id")).join(bv, Seq("b_id"))
+      .select(col("cid"), col("a_id"), col("b_id"),
+        cos6(col("a_vec"), col("b_vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The pruning decision: keep every vector with no lower-id semantic
+    * duplicate in its cell (min-id-wins greedy, the same survivorship
+    * contract as q45's pair-level dedup).
+    */
+  def semanticSurvivors(vectors: DataFrame, threshold: Double,
+      nCentroids: Int, trainIters: Int = 0, trainSample: Int = 256,
+      maxCellSize: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val drop = semanticDupPairs(vectors, threshold, nCentroids, trainIters,
+      trainSample, maxCellSize, idCol, vecCol)
+      .select(col("b_id").as(idCol)).distinct()
+    vectors.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** kNN GRAPH: approximate top-k neighbors for EVERY vector — the
     * corpus-vs-corpus case where broadcasting a query set is impossible.
     * Candidates come from the multi-table (table,bucket) self-join (slim:

@@ -156,6 +156,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(2) >= 12) // >= 80% of 15
   }
 
+  test("semantic dedup on a clustered fixture: within-cell redundant " +
+      "members pruned, min id survives, cross-cluster pairs untouched") {
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian()))
+    def jitter(b: Array[Double]) =
+      b.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+    // seeds 0..2 = the three cluster bases, 3 = an isolated random vector;
+    // 4,5 redundant with base 0; 6,7 with base 1; 8 with base 2;
+    // 9 = another isolated vector
+    val vecs = (Seq(
+      0L -> bases(0).map(_.toFloat), 1L -> bases(1).map(_.toFloat),
+      2L -> bases(2).map(_.toFloat),
+      3L -> Array.fill(dim)(rnd.nextGaussian().toFloat)) ++ Seq(
+      4L -> jitter(bases(0)), 5L -> jitter(bases(0)),
+      6L -> jitter(bases(1)), 7L -> jitter(bases(1)),
+      8L -> jitter(bases(2)),
+      9L -> Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDupPairs(vecs, threshold = 0.9,
+      nCentroids = 4, trainIters = 0, trainSample = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 4L), (0L, 5L), (4L, 5L), (1L, 6L), (1L, 7L),
+      (6L, 7L), (2L, 8L)), s"got $pairs")
+    val kept = Similarity.semanticSurvivors(vecs, threshold = 0.9,
+      nCentroids = 4, trainIters = 0, trainSample = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 9L))
+    // cell cap: capping below the biggest cell size suppresses its pairs
+    val capped = Similarity.semanticDupPairs(vecs, threshold = 0.9,
+      nCentroids = 4, trainIters = 0, trainSample = 10, maxCellSize = 2)
+      .count()
+    assert(capped < pairs.size)
+  }
+
   test("argmax-cosine: NaN (zero-norm side) sorts FIRST like ORDER BY " +
       "DESC in both engines, smallest cid wins among NaNs") {
     import graft.plans.ArgmaxCosineExpr
