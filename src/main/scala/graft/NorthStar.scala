@@ -1135,15 +1135,15 @@ object NorthStar {
     "q68_lm_perplexity" -> {
       val n = graft.operators.LmFilter.DefaultBuckets
       s"""WITH $toksCte,
-         bg AS (SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i + 1])) AS gram
-           FROM toks WHERE len(t) >= 2),
+         th AS (SELECT doc_id, list_transform(t, tok ->
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
+             AS th FROM toks),
          bb AS (SELECT doc_id,
-             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % $n AS bgb,
-             CAST(('0x' || substr(md5(split_part(gram, ' ', 1)), 1, 15))
-               AS BIGINT) % $n AS ctb
-           FROM bg),
+             unnest(list_transform(generate_series(1, len(th) - 1),
+               i -> (th[i] * 1000003 + th[i + 1]) % 2147483647 % $n)) AS bgb,
+             unnest(list_transform(generate_series(1, len(th) - 1),
+               i -> th[i] % $n)) AS ctb
+           FROM th WHERE len(th) >= 2),
          mb AS (SELECT bgb, count(*) AS c_bg FROM bb GROUP BY bgb),
          mc AS (SELECT ctb, count(*) AS c_ctx FROM bb GROUP BY ctb),
          sc AS (SELECT doc_id,
