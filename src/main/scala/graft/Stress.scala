@@ -148,6 +148,68 @@ object Stress {
       val cb = Similarity.pqCodebooks(emb, cents, 8, 16, seedOffset = 16)
       Similarity.pqIndex(emb, cents, cb)
     })
+    // round-7 operators at the same scale
+    timeCount("pii_scan")(
+      docs.select(col("doc_id") +:
+        graft.functions.Pii.scanColumns(col("text")): _*))
+    timeCount("lm_perplexity")(
+      graft.operators.LmFilter.scoreDocs(docs))
+    timeCount("bpe_tokens")(
+      docs.select(col("doc_id"),
+        size(graft.functions.Bpe.tokens(col("text"))).as("n")))
+    // nCentroids MUST scale with the corpus (cells ~n/nCentroids; pair
+    // cost ~n^2/nCentroids): 256 cells keeps 40k vectors at ~160/cell.
+    // The 16-cell diag below is the measured ablation of ignoring that —
+    // 2.5k-vector cells -> ~50M in-cell pairs -> 785 s at 20x.
+    timeCount("semantic_dedup")(
+      Similarity.semanticSurvivors(emb, threshold = 0.3, nCentroids = 256,
+        maxCellSize = 100000))
+    diag("semantic_dedup_16cells")(
+      Similarity.semanticSurvivors(emb, threshold = 0.3, nCentroids = 16,
+        maxCellSize = 100000))
+
+    // STREAMING CURATION LADDER: feed the replicated corpus through
+    // curateDocBatch (the exact function startCurated's foreachBatch
+    // runs) in bounded micro-batches against a GROWING corpus, with a
+    // mid-ladder crash replay. Proves (a) per-batch cost tracks
+    // batch x bucket-occupancy plus one linear corpus-index pass — never
+    // corpus^2; (b) the adjudicated-id anti-join makes a replayed batch a
+    // no-op at scale, not just in the unit fixture.
+    if (enabled("curated")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_curated_").toString
+      val corpusDir = s"$root/corpus"
+      val victimsDir = s"$root/victims"
+      val batches = 10
+      val n = nDocs0 * repl
+      val per = n / batches
+      def batchDf(b: Int) = docs
+        .filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
+      (0 until batches).foreach { b =>
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.curateDocBatch(
+          spark, batchDf(b), corpusDir, Some(victimsDir),
+          threshold = 0.8, maxBucketSize = 1000)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val sz = spark.read.parquet(corpusDir).count()
+        println(f"STRESS curated_batch_$b%-14s $dt%8.2f s  corpus=$sz")
+        if (b == batches / 2) {
+          // crash replay mid-ladder: the previous batch again, verbatim
+          val c0 = sz
+          val t1 = System.nanoTime()
+          graft.streaming.StreamingIngest.curateDocBatch(
+            spark, batchDf(b), corpusDir, Some(victimsDir),
+            threshold = 0.8, maxBucketSize = 1000)
+          val rt = (System.nanoTime() - t1) / 1e9
+          val c1 = spark.read.parquet(corpusDir).count()
+          require(c1 == c0, s"replay must be a no-op: $c0 -> $c1")
+          println(f"STRESS curated_replay       $rt%8.2f s  corpus=$c1 (no-op ok)")
+        }
+      }
+      val victims = spark.read.parquet(victimsDir).count()
+      println(s"STRESS curated_done: corpus=" +
+        s"${spark.read.parquet(corpusDir).count()} victims=$victims")
+    }
     spark.stop()
   }
 }
