@@ -208,6 +208,42 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // The FULL curation pipeline — q46's capstone plus the CCNet LM gate
+    // (the optional second filter stage): English, quality bar, Gopher
+    // rules, PII-free, LM log-perplexity at or under the corpus-median
+    // threshold, and not a near-dup victim. Every stage's oracle CTE
+    // composes into one SQL statement — the whole pipeline is
+    // hash-verified end-to-end.
+    "q71_curated_lm" -> ((s, dir) => {
+      import graft.operators.LmFilter
+      val d = docs(s, dir)
+      val drop = Dedup.jaccardDupPairs(d, JaccardDupThreshold,
+        maxBucketSize = DedupBucketCap)
+        .select(col("b_id").as("doc_id")).distinct()
+      val lmKeep = LmFilter.scoreDocs(d)
+        .filter(col("log_ppl") <= LmFilter.LogPplMax)
+        .select(col("doc_id"))
+      d.filter(graft.functions.Pii.piiTotal(col("text")) === 0)
+        .select(col("doc_id"),
+          TA.langIdHeuristic(col("text")).as("lang_pred"),
+          round(TA.qualityScore(col("text")), 6).as("quality"),
+          graft.plans.QualityRulesExpr.rules(col("text")).as("qr"))
+        .repartition(col("doc_id"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.3 &&
+          round(col("qr.dup_line_frac"), 6) <= TA.DupLineFracMax &&
+          round(col("qr.dup_para_frac"), 6) <= TA.DupParaFracMax &&
+          round(col("qr.dup_line_char_frac"), 6) <= TA.DupLineCharFracMax &&
+          round(col("qr.top_bigram_char_frac"), 6) <= TA.TopBigramCharFracMax &&
+          round(col("qr.symbol_word_ratio"), 6) <= TA.SymbolWordRatioMax &&
+          round(col("qr.bullet_line_frac"), 6) <= TA.BulletLineFracMax &&
+          round(col("qr.ellipsis_line_frac"), 6) <= TA.EllipsisLineFracMax &&
+          round(col("qr.alpha_word_frac"), 6) >= TA.AlphaWordFracMin)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .join(lmKeep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Transitive-closure dedup clusters: distributed connected components
     // (alternating large-star/small-star min-id propagation, O(log n)
     // shuffle rounds of a slim (u, v) edge list) over the verified
@@ -876,6 +912,37 @@ object NorthStar {
         AS toks FROM documents)"""
   }
 
+  /** SQL replay of [[graft.operators.LmFilter.scoreDocs]] (self-scored):
+    * token-hash arrays, rolling-hash bigram buckets, the two bucketed
+    * count tables, add-one smoothing, and the rounded-then-decimal log
+    * fold. Expects `toks`; emits `lmagg(doc_id, n_bigrams, log_ppl)` —
+    * log_ppl deliberately UNROUNDED (the decimal sum and IEEE division
+    * are bit-identical across engines; an explicit round(x, 6) is not,
+    * its tie-breaking differs — one sf0.1 doc proved it).
+    */
+  private val lmCtes: String = {
+    val n = graft.operators.LmFilter.DefaultBuckets
+    s"""th AS (SELECT doc_id, list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
+           AS th FROM toks),
+       bb AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(th) - 1),
+             i -> (th[i] * 1000003 + th[i + 1]) % 2147483647 % $n)) AS bgb,
+           unnest(list_transform(generate_series(1, len(th) - 1),
+             i -> th[i] % $n)) AS ctb
+         FROM th WHERE len(th) >= 2),
+       mb AS (SELECT bgb, count(*) AS c_bg FROM bb GROUP BY bgb),
+       mc AS (SELECT ctb, count(*) AS c_ctx FROM bb GROUP BY ctb),
+       sc AS (SELECT doc_id,
+           round(ln(CAST(c_bg + 1 AS DOUBLE) / CAST(c_ctx + $n AS DOUBLE)),
+             6) AS logp
+         FROM bb JOIN mb USING (bgb) JOIN mc USING (ctb)),
+       lmagg AS (SELECT doc_id, count(*) AS n_bigrams,
+           -(CAST(sum(CAST(logp AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*)) AS log_ppl
+         FROM sc GROUP BY doc_id)"""
+  }
+
   private val stopwordSql: Map[String, String] =
     TA.Stopwords.map { case (l, ws) =>
       l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1008,6 +1075,52 @@ object NorthStar {
            AND doc_id NOT IN (SELECT doc_id FROM pii WHERE n_pii > 0)
            AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
          ORDER BY doc_id""",
+    "q71_curated_lm" ->
+      s"""WITH $toksCte, $qualityRulesCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
+         pii0 AS (SELECT doc_id, text AS t0 FROM documents),
+         $piiChainSql,
+         $lmCtes,
+         pairs AS (SELECT a_id, b_id,
+             CAST(len(list_intersect(ja.s, jb.s)) AS DOUBLE)
+               / len(list_distinct(ja.s || jb.s)) AS j
+           FROM cand JOIN sh ja ON ja.doc_id = a_id
+                     JOIN sh jb ON jb.doc_id = b_id),
+         hits AS (SELECT doc_id,
+           ${hitsSql("en")} AS s_en, ${hitsSql("es")} AS s_es,
+           ${hitsSql("de")} AS s_de, ${hitsSql("fr")} AS s_fr,
+           ${hitsSql("zh")} AS s_zh
+         FROM toks),
+         m AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS ntok,
+           ${hitsSql("en")} AS stop_hits,
+           len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS npunct,
+           length(text) AS nchar,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS nws
+         FROM toks JOIN documents USING (doc_id)),
+         scored AS (SELECT h.doc_id,
+           CASE
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+             WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+             ELSE 'und' END AS lang_pred,
+           round(
+             (CAST(stop_hits AS DOUBLE) / CAST(ntok AS DOUBLE)) * 0.5
+             + (CASE WHEN CAST(nws AS DOUBLE) / CAST(ntok AS DOUBLE)
+                 BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+             + (0.2 - least(CAST(npunct AS DOUBLE) / CAST(nchar AS DOUBLE) * 2.0, 0.2)),
+             6) AS quality
+         FROM hits h JOIN m USING (doc_id))
+         SELECT s.doc_id, s.lang_pred, s.quality
+         FROM scored s JOIN qr USING (doc_id)
+         WHERE lang_pred = 'en' AND quality >= 0.3
+           AND $rulePassSql
+           AND doc_id NOT IN (SELECT doc_id FROM pii WHERE n_pii > 0)
+           AND doc_id IN (SELECT doc_id FROM lmagg
+             WHERE log_ppl <= ${graft.operators.LmFilter.LogPplMax})
+           AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
+         ORDER BY doc_id""",
     "q45_dedup_corpus" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
          pairs AS (SELECT a_id, b_id,
@@ -1132,32 +1245,12 @@ object NorthStar {
            len(toks) AS n_bpe,
            md5(array_to_string(toks, ' ')) AS stream_md5
          FROM bpe JOIN documents USING (doc_id) ORDER BY doc_id""",
-    "q68_lm_perplexity" -> {
-      val n = graft.operators.LmFilter.DefaultBuckets
+    "q68_lm_perplexity" ->
       s"""WITH $toksCte,
-         th AS (SELECT doc_id, list_transform(t, tok ->
-             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
-             AS th FROM toks),
-         bb AS (SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(th) - 1),
-               i -> (th[i] * 1000003 + th[i + 1]) % 2147483647 % $n)) AS bgb,
-             unnest(list_transform(generate_series(1, len(th) - 1),
-               i -> th[i] % $n)) AS ctb
-           FROM th WHERE len(th) >= 2),
-         mb AS (SELECT bgb, count(*) AS c_bg FROM bb GROUP BY bgb),
-         mc AS (SELECT ctb, count(*) AS c_ctx FROM bb GROUP BY ctb),
-         sc AS (SELECT doc_id,
-             round(ln(CAST(c_bg + 1 AS DOUBLE) / CAST(c_ctx + $n AS DOUBLE)),
-               6) AS logp
-           FROM bb JOIN mb USING (bgb) JOIN mc USING (ctb)),
-         agg AS (SELECT doc_id, count(*) AS n_bigrams,
-             round(-(CAST(sum(CAST(logp AS DECIMAL(18,9))) AS DOUBLE)
-               / count(*)), 6) AS log_ppl
-           FROM sc GROUP BY doc_id)
+         $lmCtes
          SELECT doc_id, n_bigrams, log_ppl,
            log_ppl <= ${graft.operators.LmFilter.LogPplMax} AS passes_lm
-         FROM agg ORDER BY doc_id"""
-    },
+         FROM lmagg ORDER BY doc_id""",
     "q67_pii_scan" ->
       s"""WITH $piiAugCte,
          $piiChainSql

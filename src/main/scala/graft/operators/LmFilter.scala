@@ -113,9 +113,12 @@ object LmFilter {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("logp").cast("decimal(18,9)")).as("s"))
+      // NO explicit round on the final average: the decimal sum and the
+      // IEEE division are bit-identical in both engines, but round(x, 6)
+      // tie-breaking is not (one sf0.1 doc landed exactly on a 5e-7
+      // boundary) — emit the raw double and let any consumer quantize.
       .select(col("doc_id"), col("n_bigrams"),
-        round(-(col("s").cast("double") / col("n_bigrams")), 6)
-          .as("log_ppl"))
+        (-(col("s").cast("double") / col("n_bigrams"))).as("log_ppl"))
   }
 
   /** The curation gate: keep documents whose log-perplexity under the

@@ -285,10 +285,25 @@ object Similarity {
   def semanticDupPairs(vectors: DataFrame, threshold: Double,
       nCentroids: Int, trainIters: Int = 0, trainSample: Int = 256,
       maxCellSize: Int = 0, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    semanticDupPairsBarriered(vectors.repartition(col(idCol)), threshold,
+      nCentroids, trainIters, trainSample, maxCellSize, idCol, vecCol)
+
+  /** Body over an ALREADY-BARRIERED input. The public entry points
+    * repartition `vectors` on the id first because this pipeline consumes
+    * the input repeatedly (centroid seeds, cell assignment, both payload
+    * re-joins, the survivor anti-join): every consumer re-derives an
+    * unbarriered upstream — with an expensive one (a 20-way perturbed
+    * union at the 20x stress corpus) that measured 69 s vs 5 s with the
+    * single materialized exchange feeding all consumers via
+    * ReuseExchange. Same lesson as q61/q68, join edition.
+    */
+  private def semanticDupPairsBarriered(v: DataFrame, threshold: Double,
+      nCentroids: Int, trainIters: Int, trainSample: Int,
+      maxCellSize: Int, idCol: String, vecCol: String): DataFrame = {
     val cents =
-      ivfCentroids(vectors, nCentroids, trainIters, trainSample, idCol, vecCol)
-    val slim = ivfIndex(vectors, cents, idCol, vecCol)
+      ivfCentroids(v, nCentroids, trainIters, trainSample, idCol, vecCol)
+    val slim = ivfIndex(v, cents, idCol, vecCol)
       .select(col("cid"), col("neighbor_id").as("id"))
       .repartition(col("cid"))
     val capped = Dedup.dropOversized(slim, Seq("cid"), maxCellSize)
@@ -296,8 +311,8 @@ object Similarity {
     val r = capped.select(col("cid"), col("id").as("b_id"))
     val pairs = l.hint("merge").join(r.hint("merge"), Seq("cid"))
       .filter(col("a_id") < col("b_id"))
-    val av = vectors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val bv = vectors.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    val av = v.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val bv = v.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
     pairs.join(av, Seq("a_id")).join(bv, Seq("b_id"))
       .select(col("cid"), col("a_id"), col("b_id"),
         cos6(col("a_vec"), col("b_vec")).as("cosine"))
@@ -312,10 +327,11 @@ object Similarity {
       nCentroids: Int, trainIters: Int = 0, trainSample: Int = 256,
       maxCellSize: Int = 0, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val drop = semanticDupPairs(vectors, threshold, nCentroids, trainIters,
-      trainSample, maxCellSize, idCol, vecCol)
+    val v = vectors.repartition(col(idCol))
+    val drop = semanticDupPairsBarriered(v, threshold, nCentroids,
+      trainIters, trainSample, maxCellSize, idCol, vecCol)
       .select(col("b_id").as(idCol)).distinct()
-    vectors.join(drop, Seq(idCol), "left_anti")
+    v.join(drop, Seq(idCol), "left_anti")
   }
 
   /** kNN GRAPH: approximate top-k neighbors for EVERY vector — the
