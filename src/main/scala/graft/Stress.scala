@@ -210,6 +210,33 @@ object Stress {
       println(s"STRESS curated_done: corpus=" +
         s"${spark.read.parquet(corpusDir).count()} victims=$victims")
     }
+    // Same ladder with the PERSISTED band index: per-batch cost should
+    // stay flat-ish as the corpus grows (batch bands + slim index join +
+    // touched-partner verify), instead of the linear corpus re-index the
+    // recompute path pays.
+    if (enabled("curated_idx")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_curated_idx_").toString
+      val n = nDocs0 * repl
+      val batches = 10
+      val per = n / batches
+      def batchDf(b: Int) = docs
+        .filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
+      (0 until batches).foreach { b =>
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.curateDocBatch(
+          spark, batchDf(b), s"$root/corpus", Some(s"$root/victims"),
+          threshold = 0.8, maxBucketSize = 1000,
+          indexDir = Some(s"$root/index"))
+        val dt = (System.nanoTime() - t0) / 1e9
+        val sz = spark.read.parquet(s"$root/corpus").count()
+        println(f"STRESS curated_idx_batch_$b%-10s $dt%8.2f s  corpus=$sz")
+      }
+      println(s"STRESS curated_idx_done: corpus=" +
+        s"${spark.read.parquet(s"$root/corpus").count()} victims=" +
+        s"${spark.read.parquet(s"$root/victims").count()} index_rows=" +
+        s"${spark.read.parquet(s"$root/index").count()}")
+    }
     spark.stop()
   }
 }

@@ -231,6 +231,65 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** The slim `(doc_id, bkey)` band-index rows for `docs` — the relation
+    * a PERSISTENT candidate index stores per corpus member, appended once
+    * per survivor batch instead of re-derived from the whole corpus every
+    * batch (see [[incrementalJaccardDupPairsIndexed]]).
+    */
+  def bandIndexRows(docs: DataFrame): DataFrame =
+    signatures(docs)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bkey"))
+
+  /** [[incrementalJaccardDupPairs]] against a PERSISTED corpus band index
+    * — the production form of streaming curation. The per-batch cost
+    * drops from O(corpus) (tokenize+shingle+minhash the whole corpus to
+    * rebuild its bands) to:
+    *   - signatures over the BATCH only;
+    *   - one slim bkey join of batch bands against the stored index
+    *     (batch x bucket occupancy);
+    *   - signatures over just the TOUCHED corpus partners (semi-join by
+    *     candidate id) for the exact-Jaccard verify.
+    * `corpusIndex` must equal `bandIndexRows(corpus)` (DedupSpec asserts
+    * the equivalence of the two paths under exactly that contract; the
+    * streaming writer maintains it transactionally).
+    */
+  def incrementalJaccardDupPairsIndexed(
+      newDocs: DataFrame, corpus: DataFrame, corpusIndex: DataFrame,
+      threshold: Double, maxBucketSize: Int = 0): DataFrame = {
+    val newSigs = signatures(newDocs)
+    val newBands = newSigs
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bkey"))
+      .withColumn("_new", lit(true))
+    val all = newBands
+      .unionByName(corpusIndex.select(col("doc_id"), col("bkey"))
+        .withColumn("_new", lit(false)))
+      .repartition(col("bkey"))
+    val banded = dropOversized(all, Seq("bkey"), maxBucketSize)
+    val a = banded.select(col("bkey"), col("doc_id").as("a_id"),
+      col("_new").as("a_new"))
+    val b = banded.select(col("bkey"), col("doc_id").as("b_id"),
+      col("_new").as("b_new"))
+    val pairs = a.hint("merge").join(b.hint("merge"), Seq("bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_new") || col("b_new"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+      .localCheckpoint() // consumed twice (touched-id semi + verify join)
+    // exact-Jaccard verify: shingles from the batch side are already in
+    // hand; the corpus side re-derives them ONLY for candidate partners
+    val touched = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val corpusTouchedSigs =
+      signatures(corpus.join(touched, Seq("doc_id"), "left_semi"))
+    val payload = newSigs.unionByName(corpusTouchedSigs)
+    joinPayload(pairs, payload, "shingles", "a_sh", "b_sh")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Incremental exact-Jaccard near-dup pairs touching `newDocs`:
     * the per-ingest-batch form of [[jaccardDupPairs]].
     */

@@ -167,10 +167,19 @@ object StreamingIngest {
     * fully-processed replays are no-ops, and a crash between the victim-log
     * append and the corpus append resumes with exactly the survivor side
     * (already-logged victims are filtered out, so no duplicate log rows).
+    *
+    * With `indexDir` set, the corpus band index is PERSISTED and appended
+    * per batch instead of re-derived from the whole corpus every batch —
+    * the per-batch cost drops from O(corpus) to O(batch x occupancy +
+    * touched partners) (see
+    * [[graft.operators.Dedup.incrementalJaccardDupPairsIndexed]]); append
+    * order (victims -> index -> corpus) plus a doc_id anti-join keeps
+    * every crash window replay-safe, see the inline note.
     */
   def curateDocBatch(spark: SparkSession, batch: DataFrame,
       corpusDir: String, victimLogDir: Option[String],
-      threshold: Double = 0.8, maxBucketSize: Int = 1000): Unit = {
+      threshold: Double = 0.8, maxBucketSize: Int = 1000,
+      indexDir: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val corpus = readCorpus(spark, corpusDir, batch.schema)
     val fresh = batch
@@ -178,14 +187,55 @@ object StreamingIngest {
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return
-    val pairs = graft.operators.Dedup
-      .incrementalJaccardDupPairs(fresh, corpus, threshold, maxBucketSize)
-      .localCheckpoint()
+    val pairs = (indexDir match {
+      case Some(d) =>
+        graft.operators.Dedup.incrementalJaccardDupPairsIndexed(
+          fresh, corpus, readIndex(spark, d, batch.schema("doc_id").dataType),
+          threshold, maxBucketSize)
+      case None =>
+        graft.operators.Dedup
+          .incrementalJaccardDupPairs(fresh, corpus, threshold, maxBucketSize)
+    }).localCheckpoint()
     val victims = pairs.select(col("b_id").as("doc_id")).distinct()
     victimLogDir.foreach(d =>
       pairs.write.mode("append").parquet(d))
-    fresh.join(victims, Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(corpusDir)
+    val survivors = fresh.join(victims, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // INDEX BEFORE CORPUS: a crash in between leaves index rows for docs
+    // not yet in the corpus; the replay re-adjudicates those docs (they
+    // are not in adjudicatedIds), reaches the same survivor verdict under
+    // the single-writer contract, skips the already-present index rows
+    // via the anti-join below, and completes the corpus append. The
+    // reverse order would strand corpus docs WITHOUT index rows — and
+    // since corpus members are adjudicated, no replay would ever repair
+    // the index, silently blinding all future candidate joins to them.
+    indexDir.foreach { d =>
+      val existing = readIndex(spark, d, batch.schema("doc_id").dataType)
+        .select(col("doc_id")).distinct()
+      graft.operators.Dedup.bandIndexRows(survivors)
+        .join(existing, Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(d)
+    }
+    survivors.write.mode("append").parquet(corpusDir)
+  }
+
+  /** The persisted corpus band index (see
+    * [[graft.operators.Dedup.incrementalJaccardDupPairsIndexed]]) with an
+    * explicit schema — the same crash-debris lesson as the victim log:
+    * a dir holding only _temporary/ must read as empty, not throw on
+    * schema inference.
+    */
+  private def readIndex(spark: SparkSession, dir: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("bkey",
+        org.apache.spark.sql.types.StringType)))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Vector-side curation step: same shape over embeddings via
@@ -237,7 +287,8 @@ object StreamingIngest {
       checkpointDir: String,
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery =
+      maxFilesPerTrigger: Int = 1000,
+      indexDir: Option[String] = None): StreamingQuery =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -247,7 +298,7 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         curateDocBatch(spark, batch, corpusDir, victimLogDir,
-          threshold, maxBucketSize)
+          threshold, maxBucketSize, indexDir)
       }
       .start()
 

@@ -293,5 +293,26 @@ class DedupSpec extends SparkSpec {
       .filter(p => newIds(p._1) || newIds(p._2))
     assert(incJ == fullJ)
     assert(incJ.contains((3L, 12L)))
+
+    // the PERSISTED-INDEX form agrees as well, under its contract
+    // corpusIndex == bandIndexRows(corpus) — and with pairs + jaccard
+    // values, not just ids
+    val idxJ = Dedup.incrementalJaccardDupPairsIndexed(
+      batch, corpus, Dedup.bandIndexRows(corpus), 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    val incJFull = Dedup.incrementalJaccardDupPairs(batch, corpus, 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(idxJ == incJFull)
+    // index rows with extra docs NOT in the corpus payload (the
+    // crash-between-index-and-corpus window) must not produce pairs that
+    // fail verification — they drop at the payload join
+    val idxWithOrphan = Dedup.bandIndexRows(corpus)
+      .unionByName(Dedup.bandIndexRows(batch))
+    val idxJ2 = Dedup.incrementalJaccardDupPairsIndexed(
+      batch, corpus, idxWithOrphan, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(idxJ2 == incJ)
   }
 }

@@ -139,6 +139,68 @@ class StreamingIngestSpec extends SparkSpec {
     assert(victimRows == 1L)
   }
 
+  test("curateDocBatch with a PERSISTED band index: same corpus as the " +
+      "recompute path, index tracks corpus membership, replays are no-ops") {
+    import spark.implicits._
+    val root = tmpDir("idxcur_")
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val near = (1 to 29).map(i => s"word$i").mkString(" ") + " changed"
+    val b1 = Seq(0L -> base,
+      1L -> "completely different content about engines and pipelines")
+      .toDF("doc_id", "text")
+    val b2 = Seq(10L -> near,
+      11L -> "novel content only present in the second micro batch")
+      .toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame) =
+      StreamingIngest.curateDocBatch(spark, b, s"$root/corpus",
+        Some(s"$root/victims"), indexDir = Some(s"$root/index"))
+    run(b1); run(b2)
+    def corpusIds = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    def indexIds = spark.read.parquet(s"$root/index")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(corpusIds == Set(0L, 1L, 11L)) // same verdicts as unindexed test
+    assert(indexIds == corpusIds, "index rows must track corpus membership")
+    // index content equals a fresh derivation from the corpus
+    val stored = spark.read.parquet(s"$root/index")
+      .select("doc_id", "bkey").as[(Long, String)].collect().toSet
+    val derived = graft.operators.Dedup
+      .bandIndexRows(spark.read.parquet(s"$root/corpus"))
+      .as[(Long, String)].collect().toSet
+    assert(stored == derived)
+    // wholesale replays: no-ops on corpus, victims AND index
+    val vRows = spark.read.parquet(s"$root/victims").count()
+    val iRows = spark.read.parquet(s"$root/index").count()
+    run(b2); run(b1)
+    assert(corpusIds == Set(0L, 1L, 11L))
+    assert(spark.read.parquet(s"$root/victims").count() == vRows)
+    assert(spark.read.parquet(s"$root/index").count() == iRows)
+  }
+
+  test("indexed curation crash window: index appended but corpus append " +
+      "lost -> replay repairs the corpus without duplicating index rows") {
+    import spark.implicits._
+    val root = tmpDir("idxcrash_")
+    val b1 = Seq(0L -> "an established corpus document about pipelines")
+      .toDF("doc_id", "text")
+    StreamingIngest.curateDocBatch(spark, b1, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/index"))
+    // emulate the window: batch 2's survivor index rows landed, corpus
+    // append did not (exactly what curateDocBatch writes, stopped between
+    // the index and corpus appends)
+    val b2 = Seq(20L -> "a fully novel second document about tokenizers")
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.bandIndexRows(b2)
+      .write.mode("append").parquet(s"$root/index")
+    val iRows = spark.read.parquet(s"$root/index").count()
+    StreamingIngest.curateDocBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/index"))
+    assert(spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 20L))
+    assert(spark.read.parquet(s"$root/index").count() == iRows,
+      "replay must not duplicate the already-appended index rows")
+  }
+
   test("curateDocBatch survives a victim-log dir with no committed data " +
       "file (crash during the first log write leaves only _temporary/)") {
     import spark.implicits._
