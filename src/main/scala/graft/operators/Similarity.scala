@@ -458,6 +458,59 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** The slim `(id, t, bucket)` rows of the multi-table sign-LSH index —
+    * what a PERSISTENT vector candidate index stores per corpus member
+    * (the vector analog of [[graft.operators.Dedup.bandIndexRows]]).
+    */
+  def bucketIndexRows(vectors: DataFrame, nPlanes: Int, nTables: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    withTableBuckets(vectors, idCol, vecCol, "id", "vec", nPlanes, nTables)
+      .select(col("id"), col("t"), col("bucket"))
+
+  /** [[incrementalNearDupPairs]] against a PERSISTED corpus bucket index:
+    * skips re-hashing the whole corpus (nTables x nPlanes x dim
+    * multiplications per vector — the dominant per-batch cost) and joins
+    * the batch's buckets against the stored slim rows; the cosine verify
+    * reads corpus payloads only for touched candidate partners.
+    * `corpusIndex` must equal `bucketIndexRows(corpus, nPlanes, nTables)`
+    * (same geometry!) — SimilaritySpec asserts path equality under that
+    * contract.
+    */
+  def incrementalNearDupPairsIndexed(newVectors: DataFrame,
+      corpus: DataFrame, corpusIndex: DataFrame, threshold: Double,
+      nPlanes: Int, nTables: Int = 1, maxBucketSize: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val newSlim =
+      withTableBuckets(newVectors, idCol, vecCol, "id", "vec", nPlanes,
+        nTables)
+        .select(col("id"), col("t"), col("bucket"), lit(true).as("_new"))
+    val all = newSlim
+      .unionByName(corpusIndex.select(col("id"), col("t"), col("bucket"))
+        .withColumn("_new", lit(false)))
+      .repartition(col("t"), col("bucket"))
+    val b = Dedup.dropOversized(all, Seq("t", "bucket"), maxBucketSize)
+    val l = b.select(col("t"), col("bucket"), col("id").as("a_id"),
+      col("_new").as("a_new"))
+    val r = b.select(col("t"), col("bucket"), col("id").as("b_id"),
+      col("_new").as("b_new"))
+    val pairs = l.hint("merge").join(r.hint("merge"), Seq("t", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_new") || col("b_new"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+      .localCheckpoint() // consumed twice (touched-id semi + verify join)
+    val touched = pairs.select(col("a_id").as(idCol))
+      .unionByName(pairs.select(col("b_id").as(idCol))).distinct()
+    val payload = newVectors.unionByName(
+      corpus.join(touched, Seq(idCol), "left_semi"))
+    val av = payload.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val bv = payload.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    pairs.join(av, Seq("a_id")).join(bv, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cos6(col("a_vec"), col("b_vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // ------------------------------------------------------ IVF-PQ (ADC)
 
   /** Per-vector RESIDUAL against its assigned coarse centroid:

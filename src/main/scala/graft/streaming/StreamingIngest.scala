@@ -245,7 +245,7 @@ object StreamingIngest {
   def curateVectorBatch(spark: SparkSession, batch: DataFrame,
       corpusDir: String, victimLogDir: Option[String],
       threshold: Double, nPlanes: Int, nTables: Int = 1,
-      maxBucketSize: Int = 1000): Unit = {
+      maxBucketSize: Int = 1000, indexDir: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val corpus = readCorpus(spark, corpusDir, batch.schema)
     val fresh = batch
@@ -253,15 +253,47 @@ object StreamingIngest {
         Seq("vec_id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return
-    val pairs = graft.operators.Similarity
-      .incrementalNearDupPairs(fresh, corpus, threshold, nPlanes, nTables,
-        maxBucketSize)
-      .localCheckpoint()
+    val pairs = (indexDir match {
+      case Some(d) =>
+        graft.operators.Similarity.incrementalNearDupPairsIndexed(
+          fresh, corpus,
+          readVecIndex(spark, d, batch.schema("vec_id").dataType),
+          threshold, nPlanes, nTables, maxBucketSize)
+      case None =>
+        graft.operators.Similarity.incrementalNearDupPairs(
+          fresh, corpus, threshold, nPlanes, nTables, maxBucketSize)
+    }).localCheckpoint()
     val victims = pairs.select(col("b_id").as("vec_id")).distinct()
     victimLogDir.foreach(d =>
       pairs.write.mode("append").parquet(d))
-    fresh.join(victims, Seq("vec_id"), "left_anti")
-      .write.mode("append").parquet(corpusDir)
+    val survivors = fresh.join(victims, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    // same victims -> index -> corpus ordering + anti-join as the doc path
+    indexDir.foreach { d =>
+      val existing =
+        readVecIndex(spark, d, batch.schema("vec_id").dataType)
+          .select(col("id")).distinct()
+      graft.operators.Similarity
+        .bucketIndexRows(survivors, nPlanes, nTables)
+        .join(existing, Seq("id"), "left_anti")
+        .write.mode("append").parquet(d)
+    }
+    survivors.write.mode("append").parquet(corpusDir)
+  }
+
+  /** Persisted vector bucket index, explicit schema (crash-debris safe). */
+  private def readVecIndex(spark: SparkSession, dir: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      StructField("id", idType),
+      StructField("t", IntegerType),
+      StructField("bucket", LongType)))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Streaming CURATED ingest end-to-end: a drop directory of JSON-lines

@@ -366,6 +366,24 @@ class SimilaritySpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(inc == full.filter(p => newIds(p._1) || newIds(p._2)))
     assert(inc.contains((0L, 10L)) && inc.contains((11L, 12L)))
+    // PERSISTED-INDEX form agrees under its contract (same geometry),
+    // including cosines; orphan index rows (crash window) change nothing
+    val idx = Similarity.bucketIndexRows(corpus, nPlanes = 4, nTables = 3)
+    val got = Similarity.incrementalNearDupPairsIndexed(batch, corpus, idx,
+      0.99, nPlanes = 4, nTables = 3, maxBucketSize = 100)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Similarity.incrementalNearDupPairs(batch, corpus, 0.99,
+      nPlanes = 4, nTables = 3, maxBucketSize = 100)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    val withOrphans = idx.unionByName(
+      Similarity.bucketIndexRows(batch, nPlanes = 4, nTables = 3))
+    val got2 = Similarity.incrementalNearDupPairsIndexed(batch, corpus,
+      withOrphans, 0.99, nPlanes = 4, nTables = 3, maxBucketSize = 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got2 == inc)
   }
 
   test("lsh knn only ranks bucket-mates (subset of brute-force candidates)") {

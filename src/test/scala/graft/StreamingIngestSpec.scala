@@ -266,6 +266,23 @@ class StreamingIngestSpec extends SparkSpec {
     val kept = spark.read.parquet(s"$root/corpus")
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(0L, 1L, 2L, 3L, 11L)) // 10 dups corpus 1; 12 dups 11
+    // the PERSISTED-INDEX path reaches the same corpus, maintains
+    // id-consistent index rows, and replays as a no-op
+    val iroot = tmpDir("vcurated_idx_")
+    def runIdx(b: org.apache.spark.sql.DataFrame) =
+      StreamingIngest.curateVectorBatch(spark, b, s"$iroot/corpus",
+        Some(s"$iroot/victims"), threshold = 0.99, nPlanes = 4,
+        nTables = 3, indexDir = Some(s"$iroot/index"))
+    runIdx(b1); runIdx(b2)
+    def ikept = spark.read.parquet(s"$iroot/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ikept == kept)
+    assert(spark.read.parquet(s"$iroot/index")
+      .select("id").distinct().as[Long].collect().toSet == kept)
+    val iRows = spark.read.parquet(s"$iroot/index").count()
+    runIdx(b2)
+    assert(ikept == kept)
+    assert(spark.read.parquet(s"$iroot/index").count() == iRows)
   }
 
   test("firstSeen: stateful cross-batch dedup emits each key once") {
