@@ -63,6 +63,39 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("trained merge table: learns the dominant words, is topologically " +
+      "consistent, and compresses the training corpus") {
+    // fully fusing the+table+scan takes exactly 9 merges (2+4+3, no
+    // shared intermediates), and every unfused dominant pair counts 50 >
+    // the rare words' 5 — so 9 merges fuse the dominant words and cannot
+    // touch the rare ones
+    val corpus = Seq.fill(50)("the table scan")
+      .union(Seq.fill(5)("zq xv")).toDF("text")
+    val trained = Bpe.trainMerges(corpus, nMerges = 9)
+    assert(trained.size == 9)
+    // topological consistency: every part is a char or an earlier output
+    val outputs = scala.collection.mutable.Set[String]()
+    trained.foreach { case (a, b) =>
+      assert(a.length == 1 || outputs.contains(a), s"inconsistent part $a")
+      assert(b.length == 1 || outputs.contains(b), s"inconsistent part $b")
+      outputs += a + b
+    }
+    // the dominant words end up as single tokens
+    val toksOf = Seq("the table scan").toDF("text")
+      .select(graft.plans.BpeExpr.tokenize(col("text"), trained,
+        TextAnalysis.BpeishPattern))
+      .head().getSeq[String](0)
+    assert(toksOf == Seq("the", "table", "scan"), s"got $toksOf")
+    // rare words stay character-level
+    val rare = Seq("zq").toDF("text")
+      .select(graft.plans.BpeExpr.tokenize(col("text"), trained,
+        TextAnalysis.BpeishPattern))
+      .head().getSeq[String](0)
+    assert(rare == Seq("z", "q"))
+    // determinism: retraining yields the identical table
+    assert(Bpe.trainMerges(corpus, nMerges = 9) == trained)
+  }
+
   test("java replace is leftmost non-overlapping: 'aaa' under (a,a)") {
     // both algorithms must merge leftmost-first: a a a -> (aa) a
     val merges = Seq(("a", "a"))
