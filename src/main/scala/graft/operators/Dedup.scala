@@ -654,4 +654,83 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxHamming)
   }
+
+  // --------------------------------------------- segment (paragraph) dedup
+
+  /** CCNet-style corpus-level duplicate-segment removal (Wenzek et al.:
+    * CCNet hashes each PARAGRAPH and keeps one global copy, stripping
+    * boilerplate headers/footers shared across pages; C4's three-sentence
+    * span rule is the same operator). The unit here is a run of
+    * `segTokens` whitespace tokens (a "paragraph" for corpora without
+    * line structure; pass the natural separator split upstream when the
+    * corpus has real paragraphs): each doc is cut into NON-overlapping
+    * segments, every segment is 60-bit-hashed, and for each hash seen
+    * more than once only the globally-first occurrence (minimum
+    * `(doc_id, segpos)`) survives. Docs are reassembled from their
+    * surviving segments in position order.
+    *
+    * Scale posture: the only corpus-wide exchanges are (1) one groupBy on
+    * the 60-bit segment hash producing the ≤|distinct| `(h, first)` table
+    * — filtered to hashes with count > 1, i.e. the boilerplate minority —
+    * and (2) one equi-join of segment rows against that table (broadcast
+    * it via `broadcastDups` when the boilerplate table is known small;
+    * CCNet reports ~70% of paragraphs removed on raw CC, so the default
+    * is a shuffle join). Reassembly groups each doc's own segments —
+    * partition-local after the doc_id shuffle, state bounded by the
+    * largest single doc. No driver collect, no self-join.
+    *
+    * Hash collisions (2^-60) conflate two distinct segments; both engines
+    * group on the same hash, so results stay comparable (the same
+    * trade-off every LSH operator here documents).
+    */
+  def segmentRows(docs: DataFrame, segTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val k = segTokens
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("t"))
+      // non-overlapping k-token windows via one higher-order transform —
+      // no per-token explode; the last (possibly short) remainder is its
+      // own segment. tokens() never yields an empty array (empty text →
+      // [""]), so sequence() bounds are always ascending.
+      .select(col("doc_id"),
+        expr(s"""transform(
+            sequence(0, cast(ceil(size(t) / $k.0d) as int) - 1),
+            i -> concat_ws(' ', slice(t, i * $k + 1, $k)))""").as("segs"))
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("segpos", "seg")))
+      .withColumn("h", hash60(col("seg")))
+  }
+
+  /** Per-doc result of duplicate-segment removal: segment counts plus the
+    * md5 of the reassembled (cleaned) text — the hash stands in for the
+    * text so the result stays slim at any doc size.
+    */
+  def removeDuplicateSegments(docs: DataFrame, segTokens: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id",
+      broadcastDups: Boolean = false): DataFrame = {
+    val segs = segmentRows(docs, segTokens, textCol, idCol)
+    val dupFirst = segs
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("segpos"))).as("first"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("first"))
+    val dups = if (broadcastDups) broadcast(dupFirst) else dupFirst
+    segs
+      .join(dups, Seq("h"), "left")
+      .withColumn("kept", col("first").isNull ||
+        (col("first.doc_id") === col("doc_id") &&
+          col("first.segpos") === col("segpos")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("segpos"), col("seg"))))),
+            s => s.getField("seg"))).as("cleaned"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_removed"),
+        md5(col("cleaned")).as("cleaned_md5"))
+  }
 }
