@@ -244,6 +244,15 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style corpus-level duplicate-segment removal: every 4-token
+    // segment hashed corpus-wide, only the globally-first copy of each
+    // repeated segment survives, docs reassembled from survivors. Oracle
+    // recomputes the same 60-bit md5 segment hashes + first-wins window.
+    "q72_segment_dedup" -> ((s, dir) => {
+      Dedup.removeDuplicateSegments(docs(s, dir), segTokens = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // Transitive-closure dedup clusters: distributed connected components
     // (alternating large-star/small-star min-id propagation, O(log n)
     // shuffle rounds of a slim (u, v) edge list) over the verified
@@ -598,6 +607,21 @@ object NorthStar {
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy(col("lang"), col("bin"))
+    }),
+
+    // Deterministic SHUFFLED shard assignment: the production shard
+    // writer's i.i.d. mode — docs packed greedily in md5(doc_id) order so
+    // every shard is an unbiased corpus sample, yet the assignment is a
+    // pure function of the ids (bit-identical across runs and cluster
+    // sizes). Oracle recomputes the same hash order + running-sum packing.
+    "q73_shuffled_shards" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ingest.Ingest.assignShards(base, "n_tokens", "doc_id",
+        tokenBudget = 4096L, shuffled = true)
+        .select(col("doc_id"), col("n_tokens"),
+          col(graft.ingest.Ingest.ShardCol))
+        .orderBy(col("doc_id"))
     }),
 
     // As-of join (time-series alignment; no native Spark join type) —
@@ -1121,6 +1145,31 @@ object NorthStar {
              WHERE log_ppl <= ${graft.operators.LmFilter.LogPplMax})
            AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
          ORDER BY doc_id""",
+    "q72_segment_dedup" ->
+      s"""WITH $toksCte,
+         segs AS (SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(t) / 4.0) AS INT) - 1))
+               AS segpos, t
+           FROM toks),
+         hashed AS (SELECT doc_id, segpos,
+             array_to_string(t[segpos*4+1 : segpos*4+4], ' ') AS seg
+           FROM segs),
+         marked AS (SELECT doc_id, segpos, seg,
+             count(*) OVER (PARTITION BY
+               CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)) AS c,
+             row_number() OVER (PARTITION BY
+               CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)
+               ORDER BY doc_id, segpos) AS rn
+           FROM hashed)
+         SELECT doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN c = 1 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN c = 1 OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(string_agg(
+             CASE WHEN c = 1 OR rn = 1 THEN seg END, ' ' ORDER BY segpos),
+             '')) AS cleaned_md5
+         FROM marked GROUP BY doc_id ORDER BY doc_id""",
     "q45_dedup_corpus" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
          pairs AS (SELECT a_id, b_id,
@@ -1506,6 +1555,21 @@ object NorthStar {
            CAST(floor((greatest(cum, 1) - 1) / 512.0) AS BIGINT) AS bin,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
+    "q73_shuffled_shards" ->
+      """WITH n AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+             AS n_tokens,
+           CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+             1, 15)) AS BIGINT) AS k
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM n)
+         SELECT doc_id, n_tokens,
+           CAST(floor((greatest(cum, 1) - 1) / 4096.0) AS BIGINT) AS shard
+         FROM c ORDER BY doc_id""",
     "q34_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),

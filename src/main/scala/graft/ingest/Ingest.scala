@@ -149,32 +149,56 @@ object Ingest {
     * packing, computed with one tiny O(nChunks) driver collect plus one
     * chunk-partitioned window — no global single-task cumsum.
     */
+  /** Pseudo-random but fully deterministic packing key for
+    * `shuffled = true` shard assignment: a 60-bit md5-derived hash of the
+    * order column. Uniform over the key space, so the same range-chunk +
+    * per-chunk-window machinery applies unchanged — and a pure function
+    * of the doc id, so reruns produce identical shards.
+    */
+  private[graft] def shuffleKey(orderCol: org.apache.spark.sql.Column) =
+    graft.operators.Dedup.hash60(
+      concat(lit("shard:"), orderCol.cast("string")))
+
   def assignShards(df: DataFrame, tokenCol: String, orderCol: String,
-      tokenBudget: Long, nChunks: Int = 32): DataFrame = {
+      tokenBudget: Long, nChunks: Int = 32,
+      shuffled: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokenBudget > 0, "tokenBudget must be positive")
-    val bounds = df.agg(min(col(orderCol)).cast("long"),
-      max(col(orderCol)).cast("long")).head()
+    // i.i.d. shard mode: pack in md5-hash order of the id instead of
+    // corpus order, so every shard is an unbiased sample of the corpus
+    // (training shards must be i.i.d., not source/time-clustered). The
+    // hash is the range/packing key; orderCol stays the tie-break, so
+    // assignment remains exactly the sequential greedy packing of the
+    // shuffled sequence.
+    val work =
+      if (shuffled) df.withColumn("__shufkey", shuffleKey(col(orderCol)))
+      else df
+    val rangeName = if (shuffled) "__shufkey" else orderCol
+    val orderCols =
+      if (shuffled) Seq(col("__shufkey"), col(orderCol))
+      else Seq(col(orderCol))
+    val bounds = work.agg(min(col(rangeName)).cast("long"),
+      max(col(rangeName)).cast("long")).head()
     if (bounds.isNullAt(0)) return df.withColumn(ShardCol, lit(0L))
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, (maxId - minId) / nChunks + 1)
     def chunkOf(c: org.apache.spark.sql.Column) =
       ((c.cast("long") - minId) / span).cast("long")
-    val totals = df.groupBy(chunkOf(col(orderCol)).as("chunk"))
+    val totals = work.groupBy(chunkOf(col(rangeName)).as("chunk"))
       .agg(sum(col(tokenCol).cast("long")).as("tok")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val offsets: Map[Long, Long] = totals.keys.map { c =>
       c -> (0L until c).map(j => totals.getOrElse(j, 0L)).sum
     }.toMap
-    val w = Window.partitionBy(col("__chunk")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__chunk")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__chunk", chunkOf(col(orderCol)))
+    work.withColumn("__chunk", chunkOf(col(rangeName)))
       .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w)
         + element_at(typedLit(offsets), col("__chunk")))
       .withColumn(ShardCol,
         floor((greatest(col("__cum"), lit(1L)) - 1)
           / lit(tokenBudget.toDouble)).cast("long"))
-      .drop("__chunk", "__cum")
+      .drop("__chunk", "__cum", "__shufkey")
   }
 
   /** Destination abstraction — the reference's destination is a managed
@@ -266,12 +290,21 @@ object Ingest {
       * so each shard is written by one task as one file.
       */
     def shardedWrite(df: DataFrame, destPath: String, tokenCol: String,
-        orderCol: String, tokenBudget: Long, nChunks: Int = 32): Unit = {
+        orderCol: String, tokenBudget: Long, nChunks: Int = 32,
+        shuffled: Boolean = false): Unit = {
       val sharded = Ingest.assignShards(df, tokenCol, orderCol,
-        tokenBudget, nChunks)
+        tokenBudget, nChunks, shuffled)
+      // shuffled mode also shuffles WITHIN the shard file (training reads
+      // shards sequentially, so in-file order matters as much as shard
+      // membership); the key is recomputed — deterministic either way
+      val fileOrder =
+        if (shuffled)
+          Seq(col(Ingest.ShardCol), Ingest.shuffleKey(col(orderCol)),
+            col(orderCol))
+        else Seq(col(Ingest.ShardCol), col(orderCol))
       sharded
         .repartition(col(Ingest.ShardCol))
-        .sortWithinPartitions(col(Ingest.ShardCol), col(orderCol))
+        .sortWithinPartitions(fileOrder: _*)
         .write.mode("overwrite").partitionBy(Ingest.ShardCol)
         .parquet(destPath)
       val spark = df.sparkSession

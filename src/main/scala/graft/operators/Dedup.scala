@@ -685,14 +685,17 @@ object Dedup {
     */
   def segmentRows(docs: DataFrame, segTokens: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
     val k = segTokens
     docs
       .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("t"))
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("t"))
       // non-overlapping k-token windows via one higher-order transform —
       // no per-token explode; the last (possibly short) remainder is its
       // own segment. tokens() never yields an empty array (empty text →
-      // [""]), so sequence() bounds are always ascending.
+      // [""]) and NULL text is coalesced to '' first (size(NULL) is -1
+      // under legacy sizeOfNull, which would flip sequence() descending),
+      // so sequence() bounds are always ascending.
       .select(col("doc_id"),
         expr(s"""transform(
             sequence(0, cast(ceil(size(t) / $k.0d) as int) - 1),
@@ -703,11 +706,17 @@ object Dedup {
 
   /** Per-doc result of duplicate-segment removal: segment counts plus the
     * md5 of the reassembled (cleaned) text — the hash stands in for the
-    * text so the result stays slim at any doc size.
+    * text so the result stays slim at any doc size. The reassembly is the
+    * NORMALIZED text (tokens() lowercases and collapses whitespace before
+    * segmenting), so `cleaned_md5` verifies the keep/drop decisions, not
+    * the original byte stream; pass `emitCleaned = true` to also get the
+    * reassembled `cleaned` column back for pipeline use (at the cost of
+    * carrying full text through the final aggregation).
     */
   def removeDuplicateSegments(docs: DataFrame, segTokens: Int = 4,
       textCol: String = "text", idCol: String = "doc_id",
-      broadcastDups: Boolean = false): DataFrame = {
+      broadcastDups: Boolean = false,
+      emitCleaned: Boolean = false): DataFrame = {
     val segs = segmentRows(docs, segTokens, textCol, idCol)
     val dupFirst = segs
       .groupBy(col("h"))
@@ -729,8 +738,10 @@ object Dedup {
             array_sort(collect_list(
               when(col("kept"), struct(col("segpos"), col("seg"))))),
             s => s.getField("seg"))).as("cleaned"))
-      .select(col("doc_id"), col("n_segs"), col("n_kept"),
-        (col("n_segs") - col("n_kept")).as("n_removed"),
-        md5(col("cleaned")).as("cleaned_md5"))
+      .select(
+        Seq(col("doc_id"), col("n_segs"), col("n_kept"),
+          (col("n_segs") - col("n_kept")).as("n_removed"),
+          md5(col("cleaned")).as("cleaned_md5")) ++
+        (if (emitCleaned) Seq(col("cleaned")) else Nil): _*)
   }
 }

@@ -315,4 +315,40 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(idxJ2 == incJ)
   }
+
+  test("segment dedup: first-wins keep/drop, remainder, NULL and empty text") {
+    val segDocs = Seq(
+      (0L, "a b c d e"),   // 3 segs at k=2: "a b", "c d", remainder "e"
+      (1L, "a b x y"),     // "a b" is a cross-doc dup of (0,0) → removed
+      (2L, "a b a b"),     // within-doc dup: BOTH copies lose to (0,0)
+      (3L, null.asInstanceOf[String]), // NULL text → one "" segment, kept
+      (4L, "")             // "" segment again → loses to (3,0)
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSegments(segDocs, segTokens = 2,
+      emitCleaned = true)
+      .select("doc_id", "n_segs", "n_kept", "n_removed", "cleaned")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 3L, 3L, 0L, "a b c d e")))
+    assert(out(1L) == ((1L, 2L, 1L, 1L, "x y")))
+    assert(out(2L) == ((2L, 2L, 0L, 2L, "")))  // all segments removed
+    assert(out(3L) == ((3L, 1L, 1L, 0L, "")))  // NULL text: ONE phantom-free seg
+    assert(out(4L) == ((4L, 1L, 0L, 1L, "")))
+    // slim variant hashes the same reassembly it would have emitted
+    val md5s = Dedup.removeDuplicateSegments(segDocs, segTokens = 2)
+      .select("doc_id", "cleaned_md5").as[(Long, String)].collect().toMap
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5s(1L) == md5hex("x y"))
+    assert(md5s(2L) == md5hex(""))
+    // broadcast path is behavior-identical
+    val bc = Dedup.removeDuplicateSegments(segDocs, segTokens = 2,
+      broadcastDups = true)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(bc == out.map { case (k, v) => k -> v._3 })
+    intercept[IllegalArgumentException] {
+      Dedup.segmentRows(segDocs, segTokens = 0)
+    }
+  }
 }

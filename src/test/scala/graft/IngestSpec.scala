@@ -360,6 +360,50 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("shardedWrite shuffled: i.i.d. packing keeps bounds, stays " +
+      "deterministic, and equals greedy packing of the hash-shuffled order") {
+    import spark.implicits._
+    val root = tmpDir("shufshards_")
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 400L).map(i => (i, 1 + rnd.nextInt(99)))
+      .toDF("doc_id", "n_tokens")
+    val budget = 512L
+    Ingest.ParquetSink.shardedWrite(docs, s"$root/sh1", "n_tokens",
+      "doc_id", budget, shuffled = true)
+    val back = spark.read.parquet(s"$root/sh1")
+    assert(back.count() == 400L)
+    val fills = back.groupBy("shard")
+      .agg(sum("n_tokens").as("tok")).select("shard", "tok")
+      .as[(Long, Long)].collect().toMap
+    // same packing bounds as ordered mode
+    assert(fills.values.forall(_ < 2 * budget), s"overfull shard: $fills")
+    assert(fills.keys.toSeq.sorted == (0L to fills.keys.max))
+    // deterministic across an independent rerun with different physical
+    // partitioning
+    Ingest.ParquetSink.shardedWrite(docs.repartition(7), s"$root/sh2",
+      "n_tokens", "doc_id", budget, shuffled = true)
+    val a1 = back.select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    val a2 = spark.read.parquet(s"$root/sh2")
+      .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    assert(a1 == a2)
+    // EXACTLY the sequential greedy packing of the md5-shuffled sequence
+    val hashed = docs.select(col("doc_id"),
+        Ingest.shuffleKey(col("doc_id")).as("k"), col("n_tokens"))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._2, r._1))
+    val cums = hashed.scanLeft(0L) { case (cum, (_, _, n)) => cum + n }.drop(1)
+    val expected = hashed.zip(cums)
+      .map { case ((id, _, _), cum) => id -> (math.max(cum, 1) - 1) / budget }
+      .toSet
+    assert(a1 == expected)
+    // it actually shuffles: shard 0 is NOT the first docs of the corpus
+    val shard0 = a1.filter(_._2 == 0L).map(_._1)
+    assert(shard0.max > 50L, s"shard 0 looks corpus-ordered: $shard0")
+    // and each doc's assignment differs from ordered mode somewhere
+    val ordered = Ingest.assignShards(docs, "n_tokens", "doc_id", budget)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    assert(a1 != ordered)
+  }
+
   test("shardedWrite: a document larger than the budget gets its own " +
       "shard without failing") {
     import spark.implicits._
