@@ -75,6 +75,12 @@ object NorthStar {
   private val IvfIters = 0
   private val IvfSample = 256
 
+  /** Fraction of (scorable) docs the calibrated LM gate keeps in q71 —
+    * interpolated into the oracle SQL so both engines derive the same
+    * rank cutoff.
+    */
+  private val LmKeepPct = 0.5
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis -------------------------------------------------
@@ -220,8 +226,14 @@ object NorthStar {
       val drop = Dedup.jaccardDupPairs(d, JaccardDupThreshold,
         maxBucketSize = DedupBucketCap)
         .select(col("b_id").as("doc_id")).distinct()
-      val lmKeep = LmFilter.scoreDocs(d)
-        .filter(col("log_ppl") <= LmFilter.LogPplMax)
+      // CALIBRATED gate (r8): the cutoff is the corpus' own LmKeepPct
+      // rank score, not a hardcoded constant — exactly CCNet's
+      // per-corpus percentile calibration. Exact rank semantics make the
+      // threshold a data value both engines agree on bit-for-bit.
+      val scored = LmFilter.scoreDocs(d)
+      val thr = LmFilter.calibrateThreshold(scored, LmKeepPct)
+      val lmKeep = scored
+        .filter(col("log_ppl") <= thr)
         .select(col("doc_id"))
       d.filter(graft.functions.Pii.piiTotal(col("text")) === 0)
         .select(col("doc_id"),
@@ -410,6 +422,19 @@ object NorthStar {
           round(element_at(col("feature"), 1), 6).as("f0"),
           round(element_at(col("feature"), 4), 6).as("f3"),
           round(element_at(col("feature"), 8), 6).as("f7"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL image-header decode: payloads with planted PNG/JPEG headers
+    // yield their actual parsed dimensions (probeImage reads IHDR / walks
+    // to SOF); unparseable payloads degrade to the deterministic stub.
+    // The oracle derives the planted dims from the id formula and the
+    // fallback dims from the md5 stub formula — asserting the probe
+    // recovered exactly what was planted.
+    "q74_media_probe" -> ((s, dir) => {
+      Multimodal.decode(Multimodal.plantedMedia(s, docs(s, dir))).toDF()
+        .select(col("media_id"), col("format"), col("width"),
+          col("height"), col("n_frames"))
         .orderBy(col("media_id"))
     }),
 
@@ -1142,7 +1167,10 @@ object NorthStar {
            AND $rulePassSql
            AND doc_id NOT IN (SELECT doc_id FROM pii WHERE n_pii > 0)
            AND doc_id IN (SELECT doc_id FROM lmagg
-             WHERE log_ppl <= ${graft.operators.LmFilter.LogPplMax})
+             WHERE log_ppl <= (SELECT max(log_ppl) FROM (
+               SELECT log_ppl FROM lmagg ORDER BY log_ppl
+               LIMIT (SELECT CAST(greatest(1, ceil($LmKeepPct * count(*)))
+                 AS BIGINT) FROM lmagg))))
            AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
          ORDER BY doc_id""",
     "q72_segment_dedup" ->
@@ -1579,6 +1607,20 @@ object NorthStar {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    "q74_media_probe" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'png'
+              WHEN doc_id % 4 = 1 THEN 'jpeg'
+              ELSE (['jpeg','png','webp'])[CAST(CAST(('0x' || substr(md5(text), 32, 1)) AS BIGINT) % 3 AS INT) + 1] END AS format,
+         CASE WHEN doc_id % 4 = 0 THEN CAST(16 + doc_id % 1024 AS INT)
+              WHEN doc_id % 4 = 1 THEN CAST(16 + (3 * doc_id) % 2048 AS INT)
+              ELSE CAST(16 + CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT) % 1024 AS INT) END AS width,
+         CASE WHEN doc_id % 4 = 0 THEN CAST(16 + (7 * doc_id) % 1024 AS INT)
+              WHEN doc_id % 4 = 1 THEN CAST(16 + (5 * doc_id) % 2048 AS INT)
+              ELSE CAST(16 + CAST(('0x' || substr(md5(text), 9, 7)) AS BIGINT) % 1024 AS INT) END AS height,
+         CASE WHEN doc_id % 4 <= 1 THEN 1
+              ELSE CAST(1 + octet_length(encode(text)) % 30 AS INT) END AS n_frames
+         FROM documents ORDER BY media_id""",
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id,
          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

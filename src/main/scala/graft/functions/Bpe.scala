@@ -62,6 +62,33 @@ object Bpe {
     * [[graft.plans.BpeExpr.BpeTokenizeExpr]] faithfully (BpeSpec asserts
     * consistency of trained tables).
     */
+  /** Persist a merge table as a tiny (rank, left, right) parquet — a
+    * production tokenizer is trained ONCE and shipped as a versioned
+    * artifact, not retrained per run. The table is driver-sized by
+    * construction (nMerges rows), so the single-file write is the right
+    * shape.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table saved by [[saveMerges]], rank order restored —
+    * the result plugs straight into [[tokens]]/[[tokenCount]] (the
+    * in-plan literal is rebuilt from it, same broadcast-vocabulary
+    * pattern as a freshly trained table).
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).select("rank", "left", "right")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   def trainMerges(docs: org.apache.spark.sql.DataFrame, nMerges: Int,
       maxVocab: Int = 10000, textCol: String = "text")
       : Seq[(String, String)] = {

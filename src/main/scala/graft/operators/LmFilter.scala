@@ -121,6 +121,42 @@ object LmFilter {
         (-(col("s").cast("double") / col("n_bigrams"))).as("log_ppl"))
   }
 
+  /** CCNet-style per-corpus threshold calibration: the cutoff that keeps
+    * the best-scored `pct` of documents (CCNet computes per-language
+    * percentiles of the KenLM score; this is that operator for one
+    * corpus/language slice — call once per slice for the full recipe).
+    *
+    * EXACT rank semantics — the threshold is the `ceil(pct*n)`-th
+    * smallest score, a data value — rather than an interpolated or
+    * sketched quantile, so an oracle engine reproduces it bit-for-bit
+    * (`percentile_approx`'s GK sketch is not cross-engine
+    * deterministic). Distributed as a range-partitioned sort +
+    * `zipWithIndex` (two jobs, no SinglePartition funnel, nothing wider
+    * than the score column shuffles); use [[calibrateThresholdApprox]]
+    * when a sketched cutoff is acceptable (single aggregate, no sort).
+    */
+  def calibrateThreshold(scored: DataFrame, pct: Double,
+      scoreCol: String = "log_ppl"): Double = {
+    require(pct > 0 && pct <= 1, s"pct must be in (0, 1], got $pct")
+    val n = scored.count()
+    require(n > 0, "cannot calibrate on an empty score table")
+    val k = math.max(1L, math.ceil(pct * n).toLong)
+    scored.select(col(scoreCol).cast("double").as(scoreCol))
+      .orderBy(col(scoreCol))
+      .rdd.zipWithIndex()
+      .filter(_._2 == k - 1).map(_._1.getDouble(0)).first()
+  }
+
+  /** Sketched calibration for the 100 TB path: one
+    * `percentile_approx` aggregate, no sort. Within the sketch accuracy
+    * of [[calibrateThreshold]]; NOT oracle-reproducible across engines.
+    */
+  def calibrateThresholdApprox(scored: DataFrame, pct: Double,
+      scoreCol: String = "log_ppl", accuracy: Int = 10000): Double =
+    scored.agg(
+      percentile_approx(col(scoreCol), lit(pct), lit(accuracy)))
+      .head().getDouble(0)
+
   /** The curation gate: keep documents whose log-perplexity under the
     * corpus LM is at most `maxLogPpl` (semi join on the score — composes
     * with the q46 pipeline as an optional stage after the quality rules).

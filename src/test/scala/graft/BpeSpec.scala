@@ -96,6 +96,29 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMerges(corpus, nMerges = 9) == trained)
   }
 
+  test("merge-table save/load round-trip: table identical, tokenize " +
+      "through the loaded table == tokenize through the original") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_").toString
+    // demo table AND a freshly trained table (empty strings, unicode-ish
+    // symbols, single chars all survive the parquet round trip)
+    val corpus = Seq("the cat sat", "the bat", "scan the table")
+      .toDF("text")
+    for (table <- Seq(Bpe.DemoMerges, Bpe.trainMerges(corpus, nMerges = 7))) {
+      Bpe.saveMerges(spark, table, s"$dir/m")
+      val loaded = Bpe.loadMerges(spark, s"$dir/m")
+      assert(loaded == table)
+      val texts = Seq("the query windows scan", "tables батч 123!").toDF("text")
+      val orig = texts.select(Bpe.tokens(col("text"), table).as("t"))
+        .as[Seq[String]].collect().toSeq
+      val viaLoad = texts.select(Bpe.tokens(col("text"), loaded).as("t"))
+        .as[Seq[String]].collect().toSeq
+      assert(viaLoad == orig)
+    }
+    // empty table round-trips to an empty table (schema preserved)
+    Bpe.saveMerges(spark, Seq.empty, s"$dir/empty")
+    assert(Bpe.loadMerges(spark, s"$dir/empty") == Seq.empty)
+  }
+
   test("java replace is leftmost non-overlapping: 'aaa' under (a,a)") {
     // both algorithms must merge leftmost-first: a a a -> (aa) a
     val merges = Seq(("a", "a"))

@@ -48,4 +48,37 @@ class LmFilterSpec extends SparkSpec {
       .select("doc_id", "log_ppl").as[(Long, Double)].collect().toMap
     assert(s(100L) < s(101L))
   }
+
+  test("calibrateThreshold: exact rank cutoff, gate keeps ~pct of docs") {
+    // toy score table with known order statistics
+    val toy = (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("doc_id", "log_ppl")
+    assert(LmFilter.calibrateThreshold(toy, 0.3) == 3.0)  // ceil(3)=3rd
+    assert(LmFilter.calibrateThreshold(toy, 0.25) == 3.0) // ceil(2.5)=3rd
+    assert(LmFilter.calibrateThreshold(toy, 1.0) == 10.0)
+    assert(LmFilter.calibrateThreshold(toy, 0.05) == 1.0) // k floors at 1
+    intercept[IllegalArgumentException] {
+      LmFilter.calibrateThreshold(toy, 0.0)
+    }
+    // on the real corpus: the threshold IS the k-th order statistic, and
+    // the gate keeps exactly the scores <= it (this fixture's 8 identical
+    // docs all tie AT the cutoff — ties keep together, by design)
+    val scored = LmFilter.scoreDocs(corpus, nBuckets = 1 << 16)
+    val all = scored.select("log_ppl").as[Double].collect().sorted
+    val k = math.ceil(0.5 * all.length).toInt
+    val thr = LmFilter.calibrateThreshold(scored, 0.5)
+    assert(thr == all(k - 1), s"thr=$thr, expected ${all(k - 1)}")
+    val kept = scored.filter(col("log_ppl") <= thr).count()
+    assert(kept == all.count(_ <= thr).toLong)
+    assert(kept >= k) // never keeps fewer than the target rank
+    // a tie-free table keeps EXACTLY ceil(pct*n)
+    val distinct = (1 to 40).map(i => (i.toLong, i * 0.37))
+      .toDF("doc_id", "log_ppl")
+    val thrD = LmFilter.calibrateThreshold(distinct, 0.3)
+    assert(distinct.filter(col("log_ppl") <= thrD).count() == 12L)
+    // the sketched variant lands within a rank or two on this tiny table
+    val approx = LmFilter.calibrateThresholdApprox(distinct, 0.3)
+    val keptApprox = distinct.filter(col("log_ppl") <= approx).count()
+    assert(math.abs(keptApprox - 12L) <= 2)
+  }
 }
