@@ -167,6 +167,26 @@ object Stress {
     diag("semantic_dedup_16cells")(
       Similarity.semanticSurvivors(emb, threshold = 0.3, nCentroids = 16,
         maxCellSize = 100000))
+    // IVF-PQ RECALL at the shipped stress operating point (nCentroids
+    // scaled with the corpus like semantic_dedup; nProbe keeps the same
+    // 1/32 probed-cell fraction as q44's 2-of-16 wait — 8/256): recall@10
+    // vs brute force over 25 queries, the accuracy/cost trade as a
+    // RECORDED number rather than an sf0.1-only spec assertion.
+    if (enabled("ivfpq_recall")) {
+      val t0 = System.nanoTime()
+      val qs = emb.filter(col("vec_id") < 25)
+      val brute = Similarity.knnBruteForce(emb, qs, 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.knnIvfPq(emb, qs, 10, nCentroids = 256,
+        nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = brute.join(ivf, Seq("query_id", "neighbor_id")).count()
+      val tot = brute.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS ivfpq_recall@10       $dt%8.2f s  " +
+        f"recall=${hit.toDouble / tot}%.4f ($hit/$tot, " +
+        "nCentroids=256 nProbe=8 refine=4)")
+    }
 
     // STREAMING CURATION LADDER: feed the replicated corpus through
     // curateDocBatch (the exact function startCurated's foreachBatch

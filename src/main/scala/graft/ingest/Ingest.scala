@@ -338,8 +338,11 @@ object Ingest {
     *  - crash between ledger and cleanup: roll forward, no re-load (the
     *    planner's anti-join already excludes the files).
     * Published-but-unledgered rows are reader-visible until the next run
-    * recovers — the documented gap vs a real table format (Delta/Iceberg
-    * close it with an atomic commit log and drop in via this same trait).
+    * recovers — the documented gap vs a real table format. [[ManifestSink]]
+    * CLOSES it through this same trait with an atomic manifest log
+    * (readers see only committed file sets); choose it when readers may
+    * race the loader, ParquetSink when plain directory-listing
+    * compatibility matters.
     * The reference has the MIRROR flaw with loss instead of duplication:
     * it ledgers files before the load job completes
     * (BucketToBigQuery.js:361–374), so a crash in between drops them

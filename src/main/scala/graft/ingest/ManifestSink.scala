@@ -1,0 +1,245 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-format destination sink: a minimal atomic manifest log (the core
+  * mechanism of Delta/Iceberg, hand-rolled because no table-format jars
+  * ship in this environment) that CLOSES the [[Ingest.ParquetSink]]
+  * dirty-read window. ParquetSink's documented gap: between publish and
+  * ledger append, published-but-unledgered files are visible to any
+  * directory-listing reader. Here readers never list directories — they
+  * read exactly the files enumerated by committed manifests under
+  * `dest/_log/`, and a write becomes visible in ONE atomic metadata op
+  * (temp-write + rename of the manifest file), so a reader sees either
+  * none of a batch or all of it, never a partial or uncommitted state.
+  *
+  * Layout:
+  * {{{
+  *   dest/_log/000000000000__<writeId>.manifest   // committed versions
+  *   dest/[p_date=YYYY-MM-DD/]<writeId>-<i>.parquet
+  *   <parent>/.staging_<table>/<writeId>/         // commit-pending marker
+  * }}}
+  *
+  * Protocol (same [[Ingest.DestinationSink]] seam and crash windows as
+  * ParquetSink — the pipeline code does not change):
+  *  1. stage the batch OVERWRITE-mode into the attempt dir;
+  *  2. record the write-ahead manifest (source URIs + target names) in
+  *     staging;
+  *  3. move data files into the destination layout — INVISIBLE, because
+  *     nothing reads unlisted files;
+  *  4. COMMIT: write the manifest to `_log/.tmp_<writeId>`, rename to
+  *     `<version>__<writeId>.manifest` (rename is atomic on HDFS/local;
+  *     an object-store deployment swaps in a putIfAbsent here, exactly
+  *     as Delta's LogStore does);
+  *  5. ledger append (caller), then [[finishCommit]] drops the staging
+  *     marker.
+  *
+  * [[recover]] is O(crashed attempts), driven by leftover staging dirs:
+  * no log entry → delete the moved files named by the write-ahead
+  * manifest (nothing was ever visible); log entry but not ledgered →
+  * delete the LOG ENTRY first (readers lose the batch in one atomic op),
+  * then the files, then staging — replay re-publishes; log entry and
+  * ledgered → roll forward, staging only. Version numbers are
+  * max-seen + 1 under the trait's single-writer contract; gaps from
+  * rolled-back entries are harmless (ordering, not contiguity, is the
+  * invariant).
+  */
+object ManifestSink extends Ingest.DestinationSink {
+
+  private val LogDir = "_log"
+  private val WaManifest = "_graft_manifest"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stagingRoot(destPath: String): Path = {
+    val dest = new Path(destPath)
+    new Path(dest.getParent, s".staging_${dest.getName}")
+  }
+
+  private def stagingDir(destPath: String, writeId: String): Path =
+    new Path(stagingRoot(destPath), writeId)
+
+  private def logPath(destPath: String): Path =
+    new Path(new Path(destPath), LogDir)
+
+  /** Committed manifests in version order. */
+  private def manifests(fs: FileSystem, destPath: String): Seq[Path] = {
+    val lp = logPath(destPath)
+    if (!fs.exists(lp)) Seq.empty
+    else fs.listStatus(lp).map(_.getPath)
+      .filter(_.getName.endsWith(".manifest"))
+      .sortBy(_.getName).toSeq
+  }
+
+  private def writeIdOf(mf: Path): String =
+    mf.getName.stripSuffix(".manifest").split("__").last
+
+  private def readManifest(fs: FileSystem, mf: Path)
+      : (Seq[String], Seq[String]) = {
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    (lines.collect { case l if l.startsWith("uri\t") => l.substring(4) },
+      lines.collect { case l if l.startsWith("target\t") => l.substring(7) })
+  }
+
+  private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def listFilesRec(fs: FileSystem, dir: Path)
+      : Seq[LocatedFileStatus] = {
+    val it = fs.listFiles(dir, /*recursive=*/ true)
+    val buf = scala.collection.mutable.ArrayBuffer[LocatedFileStatus]()
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  /** Plain append = staged protocol under a fresh random id, committed
+    * immediately (still atomic-in, per the trait contract).
+    */
+  override def append(df: DataFrame, destPath: String,
+      partitionField: Option[String]): Unit = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    stagedAppend(df, destPath, partitionField, id, Seq.empty)
+    finishCommit(df.sparkSession, destPath, id)
+  }
+
+  /** Read exactly the committed file set — never a directory listing, so
+    * in-flight or rolled-back files are structurally invisible. basePath
+    * keeps the partition-directory column inference of the listing read.
+    */
+  override def readBack(spark: SparkSession, destPath: String): DataFrame = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val files = manifests(fs, destPath)
+      .flatMap(mf => readManifest(fs, mf)._2)
+      .map(rel => new Path(dest, rel).toString)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true")
+      .option("basePath", destPath).parquet(files: _*)
+  }
+
+  override def stagedAppend(df: DataFrame, destPath: String,
+      partitionField: Option[String], writeId: String,
+      sourceUris: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    // defensive replay no-op: a live log entry for this writeId means the
+    // attempt committed AND was ledgered (recover() rolls back unledgered
+    // entries before any replan), so there is nothing to redo
+    if (manifests(fs, destPath).exists(m => writeIdOf(m) == writeId)) return
+    val staging = stagingDir(destPath, writeId)
+    // 1. stage, overwrite mode: a partial dir from a crashed earlier
+    //    attempt of this writeId is discarded wholesale
+    val writer = partitionField match {
+      case Some(f) =>
+        df.withColumn(Ingest.PartitionCol, to_date(col(f)))
+          .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+      case None => df.write.mode("overwrite")
+    }
+    writer.parquet(staging.toString)
+    // 2. write-ahead manifest (rollback map for a crash mid-move)
+    val stagingQ = fs.makeQualified(staging).toString
+    val staged = listFilesRec(fs, staging).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map(p => fs.makeQualified(p).toString.stripPrefix(stagingQ + "/"))
+      .sorted
+    val targets = staged.zipWithIndex.map { case (rel, i) =>
+      val dir = rel.lastIndexOf('/') match {
+        case -1 => ""
+        case k  => rel.substring(0, k + 1)
+      }
+      (rel, s"$dir$writeId-$i.parquet")
+    }
+    val body = (sourceUris.map("uri\t" + _) ++
+      targets.map { case (_, t) => "target\t" + t }).mkString("\n")
+    writeFile(fs, new Path(staging, WaManifest), body)
+    // 3. move into the destination layout — invisible until the commit
+    //    (heartbeat every 64 renames, same freshness contract as
+    //    ParquetSink: renames only REMOVE staging files, so a long move
+    //    phase must keep its newest mtime current for recover()'s guard)
+    val heartbeat = new Path(staging, ".heartbeat")
+    targets.zipWithIndex.foreach { case ((rel, tgt), i) =>
+      if (i % 64 == 0) writeFile(fs, heartbeat, i.toString)
+      val target = new Path(dest, tgt)
+      fs.mkdirs(target.getParent)
+      if (fs.exists(target)) fs.delete(target, false)
+      require(fs.rename(new Path(staging, rel), target),
+        s"[graft] manifest-sink move failed: $rel -> $target")
+    }
+    // 4. THE COMMIT: one atomic rename makes the whole batch visible
+    val lp = logPath(destPath)
+    fs.mkdirs(lp)
+    val version = manifests(fs, destPath)
+      .map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L) + 1
+    val tmp = new Path(lp, s".tmp_$writeId")
+    writeFile(fs, tmp, body)
+    val fin = new Path(lp, f"$version%012d__$writeId.manifest")
+    require(fs.rename(tmp, fin),
+      s"[graft] manifest commit failed: $fin already exists?")
+    // staging dir survives as the commit-pending marker
+  }
+
+  override def recover(spark: SparkSession, destPath: String,
+      committed: Seq[String] => Boolean,
+      minAttemptAgeMs: Long = 0L): Unit = {
+    val root = stagingRoot(destPath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    val now = System.currentTimeMillis()
+    val dest = new Path(destPath)
+    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      val attempt = st.getPath
+      val writeId = attempt.getName
+      val newestMs = (st.getModificationTime +:
+        listFilesRec(fs, attempt).map(_.getModificationTime)).max
+      if (minAttemptAgeMs > 0 && now - newestMs < minAttemptAgeMs) {
+        println(s"METRIC graft.recover.skipped_inflight=1 " +
+          s"write=$writeId age_ms=${now - newestMs}")
+      } else manifests(fs, destPath).find(m => writeIdOf(m) == writeId) match {
+        case Some(mf) =>
+          val (uris, targets) = readManifest(fs, mf)
+          if (!committed(uris)) {
+            // committed to the table but not the ledger: un-publish in ONE
+            // atomic op (drop the log entry), then sweep the now-invisible
+            // files; replay re-publishes the batch
+            fs.delete(mf, false)
+            targets.foreach(t => fs.delete(new Path(dest, t), false))
+            println(s"METRIC graft.recover.rolled_back=1 " +
+              s"write=$writeId files=${targets.length}")
+          } else {
+            println(s"METRIC graft.recover.rolled_forward=1 write=$writeId")
+          }
+          fs.delete(attempt, true)
+        case None =>
+          // crashed before the commit: nothing was ever visible; sweep any
+          // files the move phase got to (named by the write-ahead manifest)
+          val wa = new Path(attempt, WaManifest)
+          if (fs.exists(wa)) {
+            val (_, targets) = readManifest(fs, wa)
+            targets.foreach(t => fs.delete(new Path(dest, t), false))
+          }
+          fs.delete(attempt, true)
+      }
+    }
+    if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
+  }
+
+  override def finishCommit(spark: SparkSession, destPath: String,
+      writeId: String): Unit = {
+    val staging = stagingDir(destPath, writeId)
+    val fs = fsOf(spark, staging)
+    fs.delete(staging, true)
+    val root = staging.getParent
+    if (fs.exists(root) && fs.listStatus(root).isEmpty)
+      fs.delete(root, true)
+  }
+}

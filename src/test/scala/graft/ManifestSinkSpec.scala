@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{Ingest, ManifestSink}
+import graft.ledger.Ledger
+import graft.model.Manifest
+
+/** The manifest-log sink must mirror every ParquetSink crash case AND
+  * close the dirty-read window: a reader between the data-file moves and
+  * the manifest commit sees NOTHING (ParquetSink exposes the moved files
+  * there), and a batch becomes visible in one atomic metadata op.
+  */
+class ManifestSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val manifestJson =
+    """{
+      "project": "t",
+      "tasks": [{
+        "sources": ["**/in/**/*.csv"],
+        "dataset": "ds",
+        "table": "sensors",
+        "fields": [
+          {"name": "timestamp",  "type": "timestamp"},
+          {"name": "utc_offset", "type": "float"},
+          {"name": "location",   "type": "string"}
+        ]
+      }]
+    }"""
+
+  private def writeCsv(dir: java.io.File, name: String, body: String): Unit = {
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, name))
+    try w.write(body) finally w.close()
+  }
+
+  test("loadTask through ManifestSink: rows land atomically, ledger " +
+      "replay is a no-op, log versions are ordered") {
+    val root = tmpDir("msink_")
+    writeCsv(new java.io.File(s"$root/in"), "a.csv",
+      "timestamp,utc_offset,location\n" +
+        "2026-01-01 00:00:00,1.0,x\n2026-01-02 00:00:00,1.0,y\n")
+    val task = Manifest.parse(manifestJson).tasks.head
+    val r = Ingest.loadTask(spark, task, root, s"$root/wh", ManifestSink)
+    assert(r.rows == 2)
+    assert(ManifestSink.readBack(spark, r.destPath).count() == 2)
+    // replay: ledger filters everything, no new commit
+    val r2 = Ingest.loadTask(spark, task, root, s"$root/wh", ManifestSink)
+    assert(r2.loadedFiles.isEmpty)
+    assert(ManifestSink.readBack(spark, r.destPath).count() == 2)
+    // second batch appends a second, higher-versioned manifest
+    writeCsv(new java.io.File(s"$root/in"), "b.csv",
+      "timestamp,utc_offset,location\n2026-01-03 00:00:00,1.0,z\n")
+    val r3 = Ingest.loadTask(spark, task, root, s"$root/wh", ManifestSink)
+    assert(r3.rows == 3)
+    val log = new java.io.File(s"$root/wh/ds/sensors/_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest")).sorted
+    assert(log.length == 2)
+    assert(log(0).takeWhile(_.isDigit).toLong <
+      log(1).takeWhile(_.isDigit).toLong)
+    // partition-directory column survives the explicit-file-list read
+    assert(ManifestSink.readBack(spark, r.destPath)
+      .select(Ingest.PartitionCol).distinct().count() == 3)
+  }
+
+  test("THE WINDOW IS CLOSED: moved-but-uncommitted files are invisible " +
+      "to readers; recover sweeps them; replay lands exactly one copy") {
+    val root = tmpDir("msinkwin_")
+    val dest = s"$root/wh/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    ManifestSink.stagedAppend(df, dest, None, "w1", Seq("gs://b/f1"))
+    // emulate a crash between the move phase and the manifest commit by
+    // deleting the just-committed log entry (staging + moved data files
+    // remain — byte-identical to dying at step 3.5)
+    val logDir = new java.io.File(s"$dest/_log")
+    logDir.listFiles().filter(_.getName.endsWith(".manifest"))
+      .foreach(f => assert(f.delete()))
+    // data files ARE on disk under dest...
+    val moved = new java.io.File(dest).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(moved.nonEmpty, "move phase must have placed files")
+    // ...but a manifest reader sees NOTHING (ParquetSink's dirty window)
+    assert(ManifestSink.readBack(spark, dest).count() == 0)
+    // recover (nothing ledgered) sweeps the invisible files + staging
+    ManifestSink.recover(spark, dest, _ => false)
+    assert(new java.io.File(dest).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 0)
+    assert(!new java.io.File(s"$root/wh/.staging_t").exists())
+    // replay publishes exactly one copy
+    ManifestSink.stagedAppend(df, dest, None, "w1", Seq("gs://b/f1"))
+    ManifestSink.finishCommit(spark, dest, "w1")
+    assert(ManifestSink.readBack(spark, dest).count() == 2)
+  }
+
+  test("crash between manifest commit and ledger append: rollback drops " +
+      "the batch atomically (log entry first), replay does not duplicate") {
+    val root = tmpDir("msinkledg_")
+    writeCsv(new java.io.File(s"$root/in"), "a.csv",
+      "timestamp,utc_offset,location\n" +
+        "2026-01-01 00:00:00,1.0,x\n2026-01-02 00:00:00,1.0,y\n")
+    val task = Manifest.parse(manifestJson).tasks.head
+    object CrashAfterCommit extends Ingest.DestinationSink {
+      override def append(df: org.apache.spark.sql.DataFrame, p: String,
+          f: Option[String]): Unit = ManifestSink.append(df, p, f)
+      override def readBack(s: org.apache.spark.sql.SparkSession, p: String) =
+        ManifestSink.readBack(s, p)
+      override def stagedAppend(df: org.apache.spark.sql.DataFrame,
+          p: String, f: Option[String], id: String,
+          uris: Seq[String]): Unit = {
+        ManifestSink.stagedAppend(df, p, f, id, uris)
+        throw new RuntimeException("simulated crash before ledger append")
+      }
+      override def recover(s: org.apache.spark.sql.SparkSession, p: String,
+          c: Seq[String] => Boolean, minAgeMs: Long): Unit =
+        ManifestSink.recover(s, p, c, minAgeMs)
+      override def finishCommit(s: org.apache.spark.sql.SparkSession,
+          p: String, id: String): Unit =
+        ManifestSink.finishCommit(s, p, id)
+    }
+    intercept[RuntimeException] {
+      Ingest.loadTask(spark, task, root, s"$root/wh", CrashAfterCommit)
+    }
+    // the batch COMMITTED to the table (atomically visible — that is the
+    // design; it is a consistent state, not a partial one)...
+    val dest = s"$root/wh/ds/sensors"
+    assert(ManifestSink.readBack(spark, dest).count() == 2)
+    // ...but not to the ledger
+    assert(Ledger.importedUris(spark, s"$root/wh/ds/sensors_imported")
+      .count() == 0)
+    // replay with the healthy sink: recover un-publishes, then republishes
+    val r = Ingest.loadTask(spark, task, root, s"$root/wh", ManifestSink)
+    assert(r.rows == 2, "replay must not duplicate")
+    assert(ManifestSink.readBack(spark, dest).count() == 2)
+    assert(new java.io.File(s"$dest/_log").listFiles()
+      .count(_.getName.endsWith(".manifest")) == 1)
+    assert(!new java.io.File(s"$root/wh/ds/.staging_sensors").exists())
+  }
+
+  test("crash after ledger append, before marker cleanup: recover rolls " +
+      "forward and keeps the rows") {
+    val root = tmpDir("msinkfwd_")
+    val dest = s"$root/wh/t"
+    val df = Seq((1L, "a")).toDF("id", "v")
+    ManifestSink.stagedAppend(df, dest, None, "w9", Seq("gs://b/f9"))
+    // ledger says committed; staging marker still present
+    assert(new java.io.File(s"$root/wh/.staging_t/w9").exists())
+    ManifestSink.recover(spark, dest, _ => true)
+    assert(ManifestSink.readBack(spark, dest).count() == 1)
+    assert(!new java.io.File(s"$root/wh/.staging_t").exists())
+    // replaying the same writeId after its commit survived is a no-op
+    ManifestSink.stagedAppend(df, dest, None, "w9", Seq("gs://b/f9"))
+    assert(ManifestSink.readBack(spark, dest).count() == 1)
+  }
+
+  test("schema evolution across commits: explicit-file-list read still " +
+      "merges narrow and wide files") {
+    val root = tmpDir("msinksch_")
+    val dest = s"$root/wh/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("id", "v"), dest, None)
+    ManifestSink.append(
+      Seq((2L, "b", 9.5)).toDF("id", "v", "extra"), dest, None)
+    val back = ManifestSink.readBack(spark, dest)
+    assert(back.columns.toSet == Set("id", "v", "extra"))
+    assert(back.count() == 2)
+    assert(back.filter(col("id") === 1L).select("extra").head().isNullAt(0))
+  }
+}
