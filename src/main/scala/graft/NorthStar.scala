@@ -265,6 +265,22 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-LANGUAGE calibrated LM gate — the full CCNet recipe (per-language
+    // score percentiles): one exact rank cutoff per language from a single
+    // per-group window pass, then the gate keeps each language's best half.
+    // Oracle reproduces the same per-group k-th order statistic in SQL.
+    "q75_lm_lang_calibrated" -> ((s, dir) => {
+      import graft.operators.LmFilter
+      val d = docs(s, dir)
+      val scored = LmFilter.scoreDocs(d)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val thr = LmFilter.calibrateThresholds(scored, LmKeepPct, "lang")
+      scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("log_ppl") <= col("threshold"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Transitive-closure dedup clusters: distributed connected components
     // (alternating large-star/small-star min-id propagation, O(log n)
     // shuffle rounds of a slim (u, v) edge list) over the verified
@@ -1173,6 +1189,19 @@ object NorthStar {
                  AS BIGINT) FROM lmagg))))
            AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
          ORDER BY doc_id""",
+    "q75_lm_lang_calibrated" ->
+      s"""WITH $toksCte,
+         $lmCtes,
+         sl AS (SELECT l.doc_id, d.lang, l.log_ppl
+           FROM lmagg l JOIN documents d USING (doc_id)),
+         r AS (SELECT doc_id, lang, log_ppl,
+             row_number() OVER (PARTITION BY lang ORDER BY log_ppl) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM sl),
+         thr AS (SELECT lang, log_ppl AS t FROM r
+           WHERE rn = greatest(1, CAST(ceil($LmKeepPct * n) AS BIGINT)))
+         SELECT s.doc_id, s.lang FROM sl s JOIN thr USING (lang)
+         WHERE s.log_ppl <= thr.t ORDER BY doc_id""",
     "q72_segment_dedup" ->
       s"""WITH $toksCte,
          segs AS (SELECT doc_id,

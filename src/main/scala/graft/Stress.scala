@@ -157,6 +157,24 @@ object Stress {
     timeCount("bpe_tokens")(
       docs.select(col("doc_id"),
         size(graft.functions.Bpe.tokens(col("text"))).as("n")))
+    // round-8 operators at the same scale
+    timeCount("segment_dedup")(
+      Dedup.removeDuplicateSegments(docs, segTokens = 4))
+    diag("segment_dedup_bcast")(
+      Dedup.removeDuplicateSegments(docs, segTokens = 4,
+        broadcastDups = true))
+    timeCount("shuffled_shards")(
+      graft.ingest.Ingest.assignShards(
+        docs.select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_tokens")),
+        "n_tokens", "doc_id", tokenBudget = 4096L, shuffled = true))
+    timeCount("lm_lang_calibrate")(
+      graft.operators.LmFilter.calibrateThresholds(
+        graft.operators.LmFilter.scoreDocs(docs)
+          .join(docs.select(col("doc_id"),
+            (col("doc_id") % 5).as("lang")), Seq("doc_id")),
+        0.5, "lang"))
     // nCentroids MUST scale with the corpus (cells ~n/nCentroids; pair
     // cost ~n^2/nCentroids): 256 cells keeps 40k vectors at ~160/cell.
     // The 16-cell diag below is the measured ablation of ignoring that —

@@ -147,6 +147,28 @@ object LmFilter {
       .filter(_._2 == k - 1).map(_._1.getDouble(0)).first()
   }
 
+  /** Per-GROUP calibration — the full CCNet recipe (per-language score
+    * percentiles, Wenzek et al. §4.3): one exact rank cutoff per group,
+    * as a (group, threshold) table to gate with. Fully distributed: one
+    * per-group window rank + per-group count (the window partitions by
+    * group, so no global funnel; the k-th ORDER STATISTIC is unique even
+    * when ties make row_number's choice among equal scores arbitrary).
+    * NULL groups are the caller's problem — slice before calibrating.
+    */
+  def calibrateThresholds(scored: DataFrame, pct: Double,
+      groupCol: String, scoreCol: String = "log_ppl"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pct > 0 && pct <= 1, s"pct must be in (0, 1], got $pct")
+    val wr = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val wn = Window.partitionBy(col(groupCol))
+    scored
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(lit(pct) * col("__n"))).cast("int"))
+      .select(col(groupCol), col(scoreCol).cast("double").as("threshold"))
+  }
+
   /** Sketched calibration for the 100 TB path: one
     * `percentile_approx` aggregate, no sort. Within the sketch accuracy
     * of [[calibrateThreshold]]; NOT oracle-reproducible across engines.

@@ -81,4 +81,24 @@ class LmFilterSpec extends SparkSpec {
     val keptApprox = distinct.filter(col("log_ppl") <= approx).count()
     assert(math.abs(keptApprox - 12L) <= 2)
   }
+
+  test("calibrateThresholds: one exact per-group cutoff, gate keeps each " +
+      "group's best pct") {
+    // two groups with disjoint, known score ladders
+    val toy = ((1 to 10).map(i => ("en", i.toLong, i * 1.0)) ++
+      (1 to 4).map(i => ("de", 100L + i, 50.0 + i)))
+      .toDF("lang", "doc_id", "log_ppl")
+    val thr = LmFilter.calibrateThresholds(toy, 0.5, "lang")
+      .as[(String, Double)].collect().toMap
+    assert(thr == Map("en" -> 5.0, "de" -> 52.0))
+    // per-group gate keeps exactly ceil(pct * groupN) on tie-free scores
+    val kept = toy.join(LmFilter.calibrateThresholds(toy, 0.5, "lang")
+        .withColumnRenamed("threshold", "t"), Seq("lang"))
+      .filter(col("log_ppl") <= col("t"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("en" -> 5L, "de" -> 2L))
+    // matches the single-group calibration when there is one group
+    val en = toy.filter(col("lang") === "en")
+    assert(thr("en") == LmFilter.calibrateThreshold(en, 0.5))
+  }
 }
