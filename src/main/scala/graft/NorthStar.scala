@@ -265,6 +265,15 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // Within-doc repetition removal (Gopher cleaning transform): only the
+    // first occurrence of each distinct 4-token segment survives INSIDE
+    // each doc — entirely row-local, zero shuffle. Oracle replays the
+    // same first-occurrence scan with DuckDB list HOFs.
+    "q76_repeated_segments" -> ((s, dir) => {
+      Dedup.removeRepeatedSegments(docs(s, dir), segTokens = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-LANGUAGE calibrated LM gate — the full CCNet recipe (per-language
     // score percentiles): one exact rank cutoff per language from a single
     // per-group window pass, then the gate keeps each language's best half.
@@ -1189,6 +1198,25 @@ object NorthStar {
                  AS BIGINT) FROM lmagg))))
            AND doc_id NOT IN (SELECT b_id FROM pairs WHERE j >= $JaccardDupThreshold)
          ORDER BY doc_id""",
+    "q76_repeated_segments" ->
+      s"""WITH $toksCte,
+         segs AS (SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(t) / 4.0) AS INT) - 1),
+               i -> array_to_string(t[(i*4+1):(i*4+4)], ' ')) AS segs
+           FROM toks),
+         ki AS (SELECT doc_id, segs,
+             list_filter(generate_series(1, len(segs)),
+               i -> coalesce(list_position(segs[1:i-1], segs[i]), 0) = 0)
+               AS ki
+           FROM segs)
+         SELECT doc_id,
+           CAST(len(segs) AS BIGINT) AS n_segs,
+           CAST(len(ki) AS BIGINT) AS n_kept,
+           CAST(len(segs) - len(ki) AS BIGINT) AS n_removed,
+           md5(array_to_string(list_transform(ki, i -> segs[i]), ' '))
+             AS cleaned_md5
+         FROM ki ORDER BY doc_id""",
     "q75_lm_lang_calibrated" ->
       s"""WITH $toksCte,
          $lmCtes,

@@ -160,6 +160,8 @@ object Stress {
     // round-8 operators at the same scale
     timeCount("segment_dedup")(
       Dedup.removeDuplicateSegments(docs, segTokens = 4))
+    timeCount("repeated_segments")(
+      Dedup.removeRepeatedSegments(docs, segTokens = 4))
     diag("segment_dedup_bcast")(
       Dedup.removeDuplicateSegments(docs, segTokens = 4,
         broadcastDups = true))

@@ -704,6 +704,45 @@ object Dedup {
       .withColumn("h", hash60(col("seg")))
   }
 
+  /** WITHIN-DOC repetition removal (the Gopher/C4 cleaning transform that
+    * strips a document's own repeated spans, vs [[removeDuplicateSegments]]
+    * which dedups across the corpus): each doc is cut into the same
+    * non-overlapping `segTokens`-token segments and only the FIRST
+    * occurrence of each distinct segment survives, in position order.
+    *
+    * Scale posture: entirely ROW-LOCAL — one higher-order-function pass
+    * per document, no shuffle, no join, no state beyond the row. The
+    * per-doc cost is O(nSegs² · segLen) worst case (the first-occurrence
+    * scan), bounded by the document length, which is exactly the budget a
+    * map-only cleaning pass owns. Same output shape as the corpus-level
+    * operator so the two compose/gate interchangeably.
+    */
+  def removeRepeatedSegments(docs: DataFrame, segTokens: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val k = segTokens
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("t"))
+      .select(col("doc_id"),
+        expr(s"""transform(
+            sequence(0, cast(ceil(size(t) / $k.0d) as int) - 1),
+            i -> concat_ws(' ', slice(t, i * $k + 1, $k)))""").as("segs"))
+      // keep index i iff segs[i] does not occur among segs[0..i-1]
+      // (array_position is 1-based over the length-i prefix slice; 0 =
+      // absent). Spark [] indexing is 0-based; slice() is 1-based.
+      .select(col("doc_id"), col("segs"),
+        expr("""filter(sequence(0, size(segs) - 1),
+            i -> array_position(slice(segs, 1, i), segs[i]) = 0)""")
+          .as("ki"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        size(col("ki")).cast("long").as("n_kept"),
+        (size(col("segs")) - size(col("ki"))).cast("long").as("n_removed"),
+        md5(expr("concat_ws(' ', transform(ki, i -> segs[i]))"))
+          .as("cleaned_md5"))
+  }
+
   /** Per-doc result of duplicate-segment removal: segment counts plus the
     * md5 of the reassembled (cleaned) text — the hash stands in for the
     * text so the result stays slim at any doc size. The reassembly is the

@@ -351,4 +351,28 @@ class DedupSpec extends SparkSpec {
       Dedup.segmentRows(segDocs, segTokens = 0)
     }
   }
+
+  test("within-doc repetition removal: first occurrence survives, other " +
+      "docs' segments are irrelevant, NULL text safe") {
+    val segDocs = Seq(
+      (0L, "a b c d a b"),  // k=2: [a b][c d][a b] → third seg removed
+      (1L, "a b x y"),      // "a b" seen in doc 0 — IRRELEVANT here: kept
+      (2L, "a b a b a b"),  // two repeats removed
+      (3L, null.asInstanceOf[String]) // one "" segment, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSegments(segDocs, segTokens = 2)
+      .select("doc_id", "n_segs", "n_kept", "n_removed", "cleaned_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L) == ((0L, 3L, 2L, 1L, md5hex("a b c d"))))
+    assert(out(1L) == ((1L, 2L, 2L, 0L, md5hex("a b x y"))))
+    assert(out(2L) == ((2L, 3L, 1L, 2L, md5hex("a b"))))
+    assert(out(3L) == ((3L, 1L, 1L, 0L, md5hex(""))))
+    intercept[IllegalArgumentException] {
+      Dedup.removeRepeatedSegments(segDocs, segTokens = -1)
+    }
+  }
 }
