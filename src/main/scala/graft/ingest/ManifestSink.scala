@@ -113,16 +113,60 @@ object ManifestSink extends Ingest.DestinationSink {
   /** Read exactly the committed file set — never a directory listing, so
     * in-flight or rolled-back files are structurally invisible. basePath
     * keeps the partition-directory column inference of the listing read.
+    * The file list is DEDUPED, which makes [[compact]] safe to race: a
+    * reader that sees both the snapshot manifest and not-yet-deleted old
+    * entries still reads each file once.
     */
-  override def readBack(spark: SparkSession, destPath: String): DataFrame = {
+  override def readBack(spark: SparkSession, destPath: String): DataFrame =
+    readVersion(spark, destPath, Long.MaxValue)
+
+  /** SNAPSHOT (time-travel) read: the table as of commit `version`
+    * (inclusive) — the union of files from manifests with version ≤ N.
+    * [[compact]] collapses history, so after a compaction only the
+    * snapshot version and later are reachable (the Delta-checkpoint
+    * trade, without retaining the tail).
+    */
+  def readVersion(spark: SparkSession, destPath: String,
+      version: Long): DataFrame = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     val files = manifests(fs, destPath)
+      .filter(_.getName.takeWhile(_.isDigit).toLong <= version)
       .flatMap(mf => readManifest(fs, mf)._2)
+      .distinct
       .map(rel => new Path(dest, rel).toString)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.option("mergeSchema", "true")
       .option("basePath", destPath).parquet(files: _*)
+  }
+
+  /** Collapse the committed log into ONE snapshot manifest (the log grows
+    * a file per commit; O(commits) driver-side listing cost on every read
+    * eventually wants this). Crash-safe without a lock: the snapshot (the
+    * union of every committed target, deduped) commits FIRST via the same
+    * atomic rename, so a crash mid-cleanup leaves old entries whose files
+    * the deduped readBack counts once; re-running compact finishes the
+    * cleanup. Source-URI lines are carried over so [[recover]]'s
+    * ledgered-check still works for the collapsed history.
+    */
+  def compact(spark: SparkSession, destPath: String): Unit = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val old = manifests(fs, destPath)
+    if (old.length <= 1) return
+    val parsed = old.map(mf => readManifest(fs, mf))
+    val body = (parsed.flatMap(_._1).distinct.map("uri\t" + _) ++
+      parsed.flatMap(_._2).distinct.map("target\t" + _)).mkString("\n")
+    val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
+    val lp = logPath(destPath)
+    val tmp = new Path(lp, s".tmp_compact_$version")
+    writeFile(fs, tmp, body)
+    val fin = new Path(lp, f"$version%012d__compact.manifest")
+    require(fs.rename(tmp, fin),
+      s"[graft] compaction commit failed: $fin already exists?")
+    old.foreach(mf => fs.delete(mf, false))
+    println(s"METRIC graft.compacted_manifests=${old.length} " +
+      s"snapshot_version=$version")
   }
 
   override def stagedAppend(df: DataFrame, destPath: String,
