@@ -1047,6 +1047,27 @@ object NorthStar {
 
   private val lmCtes: String = lmCtesFrom("toks")
 
+  /** Shared 4-token corpus-level segment-dedup CTE chain (q72 + q77):
+    * segment rows, 60-bit hashes, and the first-wins keep/drop marks —
+    * ONE copy so the two oracles cannot desynchronize on segmentation or
+    * hash semantics.
+    */
+  private val segDedupCtes: String =
+    """segs AS (SELECT doc_id,
+           unnest(generate_series(0, CAST(ceil(len(t) / 4.0) AS INT) - 1))
+             AS segpos, t
+         FROM toks),
+       hashed AS (SELECT doc_id, segpos,
+           array_to_string(t[segpos*4+1 : segpos*4+4], ' ') AS seg
+         FROM segs),
+       marked AS (SELECT doc_id, segpos, seg,
+           count(*) OVER (PARTITION BY
+             CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)) AS c,
+           row_number() OVER (PARTITION BY
+             CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)
+             ORDER BY doc_id, segpos) AS rn
+         FROM hashed)"""
+
   private val stopwordSql: Map[String, String] =
     TA.Stopwords.map { case (l, ws) =>
       l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1230,20 +1251,7 @@ object NorthStar {
          ORDER BY doc_id""",
     "q77_cleaned_lm" ->
       s"""WITH $toksCte,
-         segs AS (SELECT doc_id,
-             unnest(generate_series(0, CAST(ceil(len(t) / 4.0) AS INT) - 1))
-               AS segpos, t
-           FROM toks),
-         hashed AS (SELECT doc_id, segpos,
-             array_to_string(t[segpos*4+1 : segpos*4+4], ' ') AS seg
-           FROM segs),
-         marked AS (SELECT doc_id, segpos, seg,
-             count(*) OVER (PARTITION BY
-               CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)) AS c,
-             row_number() OVER (PARTITION BY
-               CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)
-               ORDER BY doc_id, segpos) AS rn
-           FROM hashed),
+         $segDedupCtes,
          cleaned AS (SELECT doc_id,
              coalesce(string_agg(
                CASE WHEN c = 1 OR rn = 1 THEN seg END, ' '
@@ -1296,20 +1304,7 @@ object NorthStar {
          WHERE s.log_ppl <= thr.t ORDER BY doc_id""",
     "q72_segment_dedup" ->
       s"""WITH $toksCte,
-         segs AS (SELECT doc_id,
-             unnest(generate_series(0, CAST(ceil(len(t) / 4.0) AS INT) - 1))
-               AS segpos, t
-           FROM toks),
-         hashed AS (SELECT doc_id, segpos,
-             array_to_string(t[segpos*4+1 : segpos*4+4], ' ') AS seg
-           FROM segs),
-         marked AS (SELECT doc_id, segpos, seg,
-             count(*) OVER (PARTITION BY
-               CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)) AS c,
-             row_number() OVER (PARTITION BY
-               CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)
-               ORDER BY doc_id, segpos) AS rn
-           FROM hashed)
+         $segDedupCtes
          SELECT doc_id, count(*) AS n_segs,
            CAST(sum(CASE WHEN c = 1 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_kept,

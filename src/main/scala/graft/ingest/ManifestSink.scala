@@ -146,19 +146,41 @@ object ManifestSink extends Ingest.DestinationSink {
     * union of every committed target, deduped) commits FIRST via the same
     * atomic rename, so a crash mid-cleanup leaves old entries whose files
     * the deduped readBack counts once; re-running compact finishes the
-    * cleanup. Source-URI lines are carried over so [[recover]]'s
-    * ledgered-check still works for the collapsed history.
+    * cleanup. Compaction REFUSES to run while staged attempts are pending
+    * (see body) — recover() resolves attempts by the writeId in manifest
+    * FILENAMES, which compaction collapses away; source-URI lines are
+    * still carried into the snapshot for audit, but they are not what
+    * recovery keys on.
     */
   def compact(spark: SparkSession, destPath: String): Unit = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
+    // REFUSE while any staged attempt is pending: recover() resolves an
+    // attempt by finding the manifest whose filename carries its writeId,
+    // and compaction collapses those names away — running it here would
+    // make a committed-but-unledgered attempt look 'never committed' and
+    // recover would delete files the snapshot still references. Run
+    // recover + finishCommit first; compaction is maintenance, not a
+    // correctness step, so skipping is always safe.
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.compact.skipped_pending_attempts=1 dest=$destPath")
+      return
+    }
+    val lp = logPath(destPath)
+    // sweep stale .tmp_* debris from crashed commits/compactions (never
+    // readable — manifests() filters on the .manifest suffix — but junk
+    // accumulates otherwise)
+    if (fs.exists(lp))
+      fs.listStatus(lp).map(_.getPath)
+        .filter(_.getName.startsWith(".tmp_"))
+        .foreach(p => fs.delete(p, false))
     val old = manifests(fs, destPath)
     if (old.length <= 1) return
     val parsed = old.map(mf => readManifest(fs, mf))
     val body = (parsed.flatMap(_._1).distinct.map("uri\t" + _) ++
       parsed.flatMap(_._2).distinct.map("target\t" + _)).mkString("\n")
     val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
-    val lp = logPath(destPath)
     val tmp = new Path(lp, s".tmp_compact_$version")
     writeFile(fs, tmp, body)
     val fin = new Path(lp, f"$version%012d__compact.manifest")
@@ -266,11 +288,14 @@ object ManifestSink extends Ingest.DestinationSink {
         case None =>
           // crashed before the commit: nothing was ever visible; sweep any
           // files the move phase got to (named by the write-ahead manifest)
+          // plus the orphan commit-tmp if the crash hit between its write
+          // and the rename
           val wa = new Path(attempt, WaManifest)
           if (fs.exists(wa)) {
             val (_, targets) = readManifest(fs, wa)
             targets.foreach(t => fs.delete(new Path(dest, t), false))
           }
+          fs.delete(new Path(logPath(destPath), s".tmp_$writeId"), false)
           fs.delete(attempt, true)
       }
     }

@@ -39,12 +39,19 @@ object Multimodal {
 
   /** REAL pure-JVM image header probe — no codec dependency: PNG IHDR
     * (PNG spec / RFC 2083 §11.2.2: 8-byte signature, IHDR width/height
-    * big-endian at offsets 16/20), JPEG SOF (ITU T.81 §B.2.2: walk the
+    * big-endian at offsets 16/20) and JPEG SOF (ITU T.81 §B.2.2: walk the
     * marker segments to the first start-of-frame; height at +5, width at
-    * +7), GIF logical screen descriptor (GIF89a §18: little-endian at
-    * 6/8). Returns `(format, width, height)`, or None for anything
+    * +7). Returns `(format, width, height)`, or None for anything
     * truncated, corrupt, or not an image — callers fall back to the
     * deterministic stub, so a poison payload can never fail the pipeline.
+    *
+    * Deliberately LIMITED to formats whose magic bytes cannot occur in
+    * text (PNG's 0x89 prefix and JPEG's 0xFF D8 are invalid UTF-8 text
+    * starts): an ASCII-magic format like GIF ("GIF89a...") is
+    * indistinguishable from a document DISCUSSING that format, and a
+    * false positive here would silently replace stub metadata with
+    * text-derived garbage. Extend per-format only for columns known to
+    * carry trusted binary payloads.
     */
   def probeImage(p: Array[Byte]): Option[(String, Int, Int)] = {
     def u8(i: Int) = p(i) & 0xff
@@ -78,10 +85,6 @@ object Multimodal {
         }
       }
       None
-    } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
-        p(3) == '8') {
-      val (w, h) = (u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8))
-      if (w > 0 && h > 0) Some(("gif", w, h)) else None
     } else None
   }
 

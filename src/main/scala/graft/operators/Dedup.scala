@@ -683,26 +683,34 @@ object Dedup {
     * group on the same hash, so results stay comparable (the same
     * trade-off every LSH operator here documents).
     */
-  def segmentRows(docs: DataFrame, segTokens: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** (doc_id, segs) — each doc cut into non-overlapping `segTokens`-token
+    * segment strings via one higher-order transform (no per-token
+    * explode); the last (possibly short) remainder is its own segment.
+    * tokens() never yields an empty array (empty text → [""]) and NULL
+    * text is coalesced to '' first (size(NULL) is -1 under legacy
+    * sizeOfNull, which would flip sequence() descending), so sequence()
+    * bounds are always ascending. SINGLE source of the segmentation
+    * expression — segmentRows (→ q72/q77) and removeRepeatedSegments
+    * (→ q76) must agree on segment boundaries byte-for-byte.
+    */
+  private def docSegs(docs: DataFrame, segTokens: Int,
+      textCol: String, idCol: String): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
     val k = segTokens
     docs
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("t"))
-      // non-overlapping k-token windows via one higher-order transform —
-      // no per-token explode; the last (possibly short) remainder is its
-      // own segment. tokens() never yields an empty array (empty text →
-      // [""]) and NULL text is coalesced to '' first (size(NULL) is -1
-      // under legacy sizeOfNull, which would flip sequence() descending),
-      // so sequence() bounds are always ascending.
       .select(col("doc_id"),
         expr(s"""transform(
             sequence(0, cast(ceil(size(t) / $k.0d) as int) - 1),
             i -> concat_ws(' ', slice(t, i * $k + 1, $k)))""").as("segs"))
+  }
+
+  def segmentRows(docs: DataFrame, segTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docSegs(docs, segTokens, textCol, idCol)
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("segpos", "seg")))
       .withColumn("h", hash60(col("seg")))
-  }
 
   /** WITHIN-DOC repetition removal (the Gopher/C4 cleaning transform that
     * strips a document's own repeated spans, vs [[removeDuplicateSegments]]
@@ -719,15 +727,7 @@ object Dedup {
     */
   def removeRepeatedSegments(docs: DataFrame, segTokens: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
-    val k = segTokens
-    docs
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("t"))
-      .select(col("doc_id"),
-        expr(s"""transform(
-            sequence(0, cast(ceil(size(t) / $k.0d) as int) - 1),
-            i -> concat_ws(' ', slice(t, i * $k + 1, $k)))""").as("segs"))
+    docSegs(docs, segTokens, textCol, idCol)
       // keep index i iff segs[i] does not occur among segs[0..i-1]
       // (array_position is 1-based over the length-i prefix slice; 0 =
       // absent). Spark [] indexing is 0-based; slice() is 1-based.

@@ -139,7 +139,11 @@ object LmFilter {
       scoreCol: String = "log_ppl"): Double = {
     require(pct > 0 && pct <= 1, s"pct must be in (0, 1], got $pct")
     val n = scored.count()
-    require(n > 0, "cannot calibrate on an empty score table")
+    // empty score table (every doc unscorable): "keep the best pct of
+    // nothing" = keep nothing — a -Inf cutoff no score passes, NOT a
+    // throw (a gated pipeline over a degenerate corpus slice must yield
+    // an empty result, not abort)
+    if (n == 0) return Double.NegativeInfinity
     val k = math.max(1L, math.ceil(pct * n).toLong)
     scored.select(col(scoreCol).cast("double").as(scoreCol))
       .orderBy(col(scoreCol))

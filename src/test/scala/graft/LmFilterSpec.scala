@@ -60,6 +60,12 @@ class LmFilterSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LmFilter.calibrateThreshold(toy, 0.0)
     }
+    // empty score table -> keep-nothing cutoff, not a throw (the gated
+    // pipeline must yield an empty result on a degenerate corpus slice)
+    val thrEmpty = LmFilter.calibrateThreshold(
+      toy.filter(col("log_ppl") < 0), 0.5)
+    assert(thrEmpty == Double.NegativeInfinity)
+    assert(toy.filter(col("log_ppl") <= thrEmpty).count() == 0)
     // on the real corpus: the threshold IS the k-th order statistic, and
     // the gate keeps exactly the scores <= it (this fixture's 8 identical
     // docs all tie AT the cutoff — ties keep together, by design)

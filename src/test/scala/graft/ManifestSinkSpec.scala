@@ -199,6 +199,31 @@ class ManifestSinkSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == before)
   }
 
+  test("compact refuses while a staged attempt is pending — the committed " +
+      "write stays recoverable by writeId") {
+    val root = tmpDir("msinkcmp_")
+    val dest = s"$root/wh/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("id", "v"), dest, None)
+    // w2 commits its manifest but crashes before finishCommit: staging
+    // marker pending
+    ManifestSink.stagedAppend(Seq((2L, "b")).toDF("id", "v"), dest, None,
+      "w2", Seq("gs://b/f2"))
+    val logDir = new java.io.File(s"$dest/_log")
+    def entries = logDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".manifest")).sorted.toSeq
+    assert(entries.length == 2)
+    // compaction must refuse (collapsing w2's manifest name would make
+    // recover misclassify it as never-committed and delete its files)
+    ManifestSink.compact(spark, dest)
+    assert(entries.length == 2, "compact must skip while attempts pend")
+    // recover rolls w2 forward (ledgered), THEN compaction may run
+    ManifestSink.recover(spark, dest, _ => true)
+    ManifestSink.compact(spark, dest)
+    assert(entries.length == 1)
+    assert(ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("schema evolution across commits: explicit-file-list read still " +
       "merges narrow and wide files") {
     val root = tmpDir("msinksch_")

@@ -37,10 +37,11 @@ class MultimodalSpec extends SparkSpec {
       .contains(("png", 640, 480)))
     assert(Multimodal.probeImage(Multimodal.jpegBytes(1920, 1080))
       .contains(("jpeg", 1920, 1080)))
-    // GIF89a logical screen descriptor, little-endian 320x200
-    val gif = "GIF89a".getBytes("US-ASCII") ++
-      Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0x00, 0x00, 0x00)
-    assert(Multimodal.probeImage(gif).contains(("gif", 320, 200)))
+    // ASCII-magic formats are deliberately NOT probed: a text doc that
+    // merely starts with a GIF header string must hit the stub, never be
+    // misread as an image (the false-positive class the probe excludes)
+    val gifText = "GIF89a is an image format from 1989".getBytes("UTF-8")
+    assert(Multimodal.probeImage(gifText).isEmpty)
     // rejects: truncated PNG (cut before IHDR dims), JPEG with no SOF,
     // zero-dim PNG, plain text, empty
     assert(Multimodal.probeImage(Multimodal.pngBytes(640, 480).take(20)).isEmpty)
