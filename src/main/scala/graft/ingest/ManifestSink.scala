@@ -130,7 +130,16 @@ object ManifestSink extends Ingest.DestinationSink {
       version: Long): DataFrame = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val files = manifests(fs, destPath)
+    val all = manifests(fs, destPath)
+    if (all.isEmpty) return spark.emptyDataFrame
+    // guard against compacted-away history: a version below the oldest
+    // surviving manifest would otherwise return an empty DataFrame that is
+    // indistinguishable from "table was empty at that version"
+    val minV = all.map(_.getName.takeWhile(_.isDigit).toLong).min
+    require(version >= minV,
+      s"[graft] readVersion($version): history before v$minV was " +
+        s"compacted away; earliest readable snapshot is v$minV")
+    val files = all
       .filter(_.getName.takeWhile(_.isDigit).toLong <= version)
       .flatMap(mf => readManifest(fs, mf)._2)
       .distinct
@@ -193,8 +202,78 @@ object ManifestSink extends Ingest.DestinationSink {
 
   override def stagedAppend(df: DataFrame, destPath: String,
       partitionField: Option[String], writeId: String,
-      sourceUris: Seq[String]): Unit = {
+      sourceUris: Seq[String]): Unit =
+    stageMoveCommit(df.sparkSession, destPath, writeId, sourceUris) {
+      staging =>
+        // 1. stage, overwrite mode: a partial dir from a crashed earlier
+        //    attempt of this writeId is discarded wholesale
+        val writer = partitionField match {
+          case Some(f) =>
+            df.withColumn(Ingest.PartitionCol, to_date(col(f)))
+              .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+          case None => df.write.mode("overwrite")
+        }
+        writer.parquet(staging.toString)
+    }
+
+  /** TRAINING-SHARD WRITE, made ATOMIC (the trait default writes plain
+    * parquet straight into destPath — dirty-read-exposed and invisible to
+    * [[readBack]]): shard assignment and in-file ordering are identical to
+    * [[Ingest.DestinationSink.shardedWrite]], but the shard files are
+    * staged and committed through the manifest log, so readers see the
+    * whole shard set or none of it, [[readBack]]/[[readVersion]] enumerate
+    * the shards (the `shard=NNNNN/` directory column is recovered via
+    * basePath partition inference), and a mid-write crash leaves nothing
+    * visible — [[recover]] sweeps the staged attempt. Each call commits
+    * ONE log version; a shard commit carries no source URIs, so
+    * `recover`'s `committed(Nil)` is vacuously true and a crash between
+    * commit and cleanup rolls forward, never back.
+    */
+  override def shardedWrite(df: DataFrame, destPath: String,
+      tokenCol: String, orderCol: String, tokenBudget: Long,
+      nChunks: Int, shuffled: Boolean): Unit = {
     val spark = df.sparkSession
+    val sharded = Ingest.assignShards(df, tokenCol, orderCol,
+      tokenBudget, nChunks, shuffled)
+    val fileOrder =
+      if (shuffled)
+        Seq(col(Ingest.ShardCol), Ingest.shuffleKey(col(orderCol)),
+          col(orderCol))
+      else Seq(col(Ingest.ShardCol), col(orderCol))
+    val writeId =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    stageMoveCommit(spark, destPath, writeId, Seq.empty) { staging =>
+      sharded
+        .repartition(col(Ingest.ShardCol))
+        .sortWithinPartitions(fileOrder: _*)
+        .write.mode("overwrite").partitionBy(Ingest.ShardCol)
+        .parquet(staging.toString)
+    }
+    finishCommit(spark, destPath, writeId)
+    // fill metrics from the assignment (readBack would also count rows
+    // from earlier commits to the same destination)
+    val stats = sharded
+      .groupBy(col(Ingest.ShardCol))
+      .agg(count(lit(1)).as("n"), sum(col(tokenCol)).as("tok"))
+      .agg(count(lit(1)), avg(col("tok")), max(col("tok")), sum(col("n")))
+      .head()
+    println(s"METRIC graft.shards=${stats.getLong(0)} " +
+      s"graft.shard_fill_avg=${stats.getDouble(1)} " +
+      s"graft.shard_fill_max=${stats.getLong(2)} " +
+      s"graft.shard_docs=${stats.getLong(3)} budget=$tokenBudget " +
+      s"committed_write=$writeId")
+  }
+
+  /** Shared staged-commit protocol (steps 1–4 of the object scaladoc):
+    * `stage` materializes the batch into the attempt dir in whatever
+    * layout the caller wants (date-partitioned, shard-partitioned, flat);
+    * everything after — write-ahead manifest, move into the destination,
+    * atomic log commit — is layout-agnostic, keyed only on the staged
+    * file names.
+    */
+  private def stageMoveCommit(spark: SparkSession, destPath: String,
+      writeId: String, sourceUris: Seq[String])
+      (stage: Path => Unit): Unit = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     // defensive replay no-op: a live log entry for this writeId means the
@@ -202,15 +281,7 @@ object ManifestSink extends Ingest.DestinationSink {
     // entries before any replan), so there is nothing to redo
     if (manifests(fs, destPath).exists(m => writeIdOf(m) == writeId)) return
     val staging = stagingDir(destPath, writeId)
-    // 1. stage, overwrite mode: a partial dir from a crashed earlier
-    //    attempt of this writeId is discarded wholesale
-    val writer = partitionField match {
-      case Some(f) =>
-        df.withColumn(Ingest.PartitionCol, to_date(col(f)))
-          .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
-      case None => df.write.mode("overwrite")
-    }
-    writer.parquet(staging.toString)
+    stage(staging)
     // 2. write-ahead manifest (rollback map for a crash mid-move)
     val stagingQ = fs.makeQualified(staging).toString
     val staged = listFilesRec(fs, staging).map(_.getPath)

@@ -224,6 +224,108 @@ class ManifestSinkSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("shardedWrite through ManifestSink: shards commit atomically and " +
+      "are visible to readBack; assignment identical to the plain sink") {
+    val root = tmpDir("msinkshw_")
+    val dest = s"$root/wh/shards"
+    val docs = (1L to 200L).map(i => (i, 10L + i % 17))
+      .toDF("doc_id", "n_tokens")
+    ManifestSink.shardedWrite(docs, dest, "n_tokens", "doc_id",
+      tokenBudget = 128)
+    // exactly one committed log version; the attempt marker is gone
+    assert(new java.io.File(s"$dest/_log").listFiles()
+      .count(_.getName.endsWith(".manifest")) == 1)
+    assert(!new java.io.File(s"$root/wh/.staging_shards").exists())
+    // readBack enumerates the shard files AND recovers the shard=NNN
+    // directory column via basePath partition inference
+    val back = ManifestSink.readBack(spark, dest)
+    assert(back.count() == 200)
+    assert(back.columns.contains(Ingest.ShardCol))
+    // interchangeable with the plain sink: same deterministic assignment
+    Ingest.ParquetSink.shardedWrite(docs, s"$root/plain", "n_tokens",
+      "doc_id", tokenBudget = 128)
+    val viaLog = back
+      .select(col("doc_id"), col(Ingest.ShardCol).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val viaPlain = spark.read.parquet(s"$root/plain")
+      .select(col("doc_id"), col(Ingest.ShardCol).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaLog == viaPlain)
+  }
+
+  test("shardedWrite crash mid-write: nothing visible to readBack, " +
+      "recover cleans the staged attempt, retry lands one copy") {
+    val root = tmpDir("msinkshcr_")
+    val dest = s"$root/wh/shards"
+    // poison a PAYLOAD column (not the token/order columns assignShards
+    // aggregates driver-side) so the failure fires inside the staged
+    // parquet write — a genuine crash mid-shard-write
+    val poison = udf((i: Long) =>
+      if (i == 150L) throw new RuntimeException("simulated media death")
+      else s"doc$i")
+    val docs = spark.range(1, 201)
+      .select(col("id").as("doc_id"), (lit(10L) + col("id") % 17)
+        .as("n_tokens"), poison(col("id")).as("text"))
+    intercept[Exception] {
+      ManifestSink.shardedWrite(docs, dest, "n_tokens", "doc_id",
+        tokenBudget = 128)
+    }
+    // no commit, so a manifest reader sees NOTHING
+    assert(ManifestSink.readBack(spark, dest).count() == 0)
+    // recover sweeps whatever the crash left (Spark's aborted stage write
+    // may have deleted its own partial output already — both states are
+    // legal crash states and both must clean to the same place)
+    ManifestSink.recover(spark, dest, _ => false)
+    assert(!new java.io.File(s"$root/wh/.staging_shards").exists())
+    assert(ManifestSink.readBack(spark, dest).count() == 0)
+    // a crash LATER in the protocol — shard files moved into dest, no log
+    // commit yet: fabricate the attempt state (write-ahead manifest + a
+    // moved orphan), recover must delete the invisible file and the marker
+    val attempt = new java.io.File(s"$root/wh/.staging_shards/wX")
+    attempt.mkdirs()
+    val orphan = new java.io.File(s"$dest/shard=0")
+    orphan.mkdirs()
+    val orphanFile = new java.io.File(orphan, "wX-0.parquet")
+    assert(orphanFile.createNewFile())
+    val wa = new java.io.PrintWriter(
+      new java.io.File(attempt, "_graft_manifest"))
+    try wa.write("target\tshard=0/wX-0.parquet") finally wa.close()
+    assert(ManifestSink.readBack(spark, dest).count() == 0)
+    ManifestSink.recover(spark, dest, _ => false)
+    assert(!orphanFile.exists(), "recover must sweep moved-but-uncommitted"
+      + " shard files")
+    assert(!new java.io.File(s"$root/wh/.staging_shards").exists())
+    // healthy retry publishes exactly one copy
+    val healthy = spark.range(1, 201)
+      .select(col("id").as("doc_id"),
+        (lit(10L) + col("id") % 17).as("n_tokens"),
+        concat(lit("doc"), col("id")).as("text"))
+    ManifestSink.shardedWrite(healthy, dest, "n_tokens", "doc_id",
+      tokenBudget = 128)
+    assert(ManifestSink.readBack(spark, dest).count() == 200)
+  }
+
+  test("readVersion refuses versions compacted away instead of returning " +
+      "a silently-empty table") {
+    val root = tmpDir("msinkrv_")
+    val dest = s"$root/wh/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("id", "v"), dest, None)
+    ManifestSink.append(Seq((2L, "b")).toDF("id", "v"), dest, None)
+    ManifestSink.append(Seq((3L, "c")).toDF("id", "v"), dest, None)
+    ManifestSink.compact(spark, dest) // survivors: only snapshot v3
+    val err = intercept[IllegalArgumentException] {
+      ManifestSink.readVersion(spark, dest, 1L)
+    }
+    assert(err.getMessage.contains("compacted away"))
+    // the snapshot version itself (and later) still reads fine
+    assert(ManifestSink.readVersion(spark, dest, 3L)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(ManifestSink.readBack(spark, dest).count() == 3)
+    // a table with no commits at all is legitimately empty, not an error
+    assert(ManifestSink.readVersion(spark, s"$root/wh/nothing", 0L)
+      .count() == 0)
+  }
+
   test("schema evolution across commits: explicit-file-list read still " +
       "merges narrow and wide files") {
     val root = tmpDir("msinksch_")
