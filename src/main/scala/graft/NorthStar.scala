@@ -487,6 +487,17 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // REAL PNG PIXEL decode: full PNGs (deflated IDAT, all five scanline
+    // filter types) are decoded via Inflater + per-scanline unfilter and
+    // reduced to channel stats; the planted pixel rule base_c + x + 2y is
+    // closed-form, so the oracle asserts the decode byte-for-byte without
+    // touching an image library.
+    "q78_pixel_stats" -> ((s, dir) => {
+      Multimodal.pixelStats(Multimodal.plantedPixelMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // Rolling-hash document fingerprint (Rabin–Karp over token hashes):
     // order-sensitive, incrementally maintainable, SQL-reproducible.
     "q38_rolling_fingerprint" -> ((s, dir) => {
@@ -1736,6 +1747,15 @@ object NorthStar {
               ELSE CAST(16 + CAST(('0x' || substr(md5(text), 9, 7)) AS BIGINT) % 1024 AS INT) END AS height,
          CASE WHEN doc_id % 4 <= 1 THEN 1
               ELSE CAST(1 + octet_length(encode(text)) % 30 AS INT) END AS n_frames
+         FROM documents ORDER BY media_id""",
+    "q78_pixel_stats" ->
+      """SELECT doc_id AS media_id,
+         CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+         CAST(doc_id % 97 + 10.5 AS DOUBLE) AS mean_r,
+         CAST((3 * doc_id) % 89 + 10.5 AS DOUBLE) AS mean_g,
+         CAST((7 * doc_id) % 83 + 10.5 AS DOUBLE) AS mean_b,
+         CAST(doc_id % 97 AS INT) AS min_r,
+         CAST(doc_id % 97 + 21 AS INT) AS max_r
          FROM documents ORDER BY media_id""",
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -113,6 +113,181 @@ object Multimodal {
     b.array()
   }
 
+  /** REAL pure-JVM PNG PIXEL decode — no codec dependency, just the spec
+    * (RFC 2083): chunk walk → IDAT concat → `java.util.zip.Inflater` →
+    * per-scanline unfilter (all five filter types: None/Sub/Up/Average/
+    * Paeth, §6). Supports the common 8-bit non-interlaced color types —
+    * grayscale (0, 1 ch), truecolor (2, 3 ch), truecolor+alpha (4 ch).
+    * Returns `(width, height, channels, pixels)` with pixels row-major
+    * channel-interleaved, or None for anything else (palette, 16-bit,
+    * Adam7, truncated, corrupt) — callers fall back to the md5 stub, so a
+    * poison payload can never fail the batch. A decompressed-size guard
+    * (64 MiB) bounds memory against zip-bomb payloads; real deployments
+    * size it to the largest legitimate asset.
+    */
+  def decodePixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    def u8(i: Int) = p(i) & 0xff
+    def be32(i: Int) =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 45 || !PngSig.indices.forall(i => u8(i) == PngSig(i)))
+      return None
+    var i = 8
+    var w = 0; var h = 0; var channels = 0
+    var sawIhdr = false; var done = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!done && i + 12 <= p.length) {
+      val len = be32(i)
+      if (len < 0 || i + 12 + len > p.length) return None
+      val typ = new String(p, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(i + 8); h = be32(i + 12)
+          val (depth, color) = (u8(i + 16), u8(i + 17))
+          val (comp, filt, interlace) = (u8(i + 18), u8(i + 19), u8(i + 20))
+          if (depth != 8 || comp != 0 || filt != 0 || interlace != 0)
+            return None
+          channels = color match {
+            case 0 => 1
+            case 2 => 3
+            case 6 => 4
+            case _ => return None
+          }
+          if (w <= 0 || h <= 0 ||
+              (h.toLong * (1L + w.toLong * channels)) > (1L << 26))
+            return None
+          sawIhdr = true
+        case "IDAT" => idat.write(p, i + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary chunks are skippable by definition
+      }
+      i += 12 + len
+    }
+    if (!sawIhdr || idat.size == 0) return None
+    val stride = w * channels
+    val expect = h * (1 + stride)
+    val raw = new Array[Byte](expect)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < expect && !inf.finished()) {
+        val n = inf.inflate(raw, off, expect - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated stream
+        off += n
+      }
+      if (off != expect) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter (RFC 2083 §6.3–6.6): each reconstructed byte depends on the
+    // already-reconstructed left/up/upper-left neighbours
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val est = a + b - c
+      val (pa, pb, pc) =
+        (math.abs(est - a), math.abs(est - b), math.abs(est - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      val ro = y * (1 + stride) + 1
+      val oo = y * stride
+      var j = 0
+      while (j < stride) {
+        val x = raw(ro + j) & 0xff
+        val left = if (j >= channels) out(oo + j - channels) & 0xff else 0
+        val up = if (y > 0) out(oo - stride + j) & 0xff else 0
+        val ul =
+          if (y > 0 && j >= channels) out(oo - stride + j - channels) & 0xff
+          else 0
+        val recon = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => x + paeth(left, up, ul)
+        }
+        out(oo + j) = (recon & 0xff).toByte
+        j += 1
+      }
+      y += 1
+    }
+    Some((w, h, channels, out))
+  }
+
+  /** Full well-formed PNG with KNOWN pixel content for planting in tests
+    * and oracle queries: 8-bit truecolor, deflated IDAT, correct CRCs,
+    * and the scanline filter CYCLING through all five types (None on row
+    * 0, then Sub/Up/Average/Paeth by row) so a decode exercises every
+    * unfilter path — the payload is what a real encoder could emit.
+    */
+  private[graft] def pngPixelBytes(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val channels = 3
+    val stride = w * channels
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val est = a + b - c
+      val (pa, pb, pc) =
+        (math.abs(est - a), math.abs(est - b), math.abs(est - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte](h * (1 + stride))
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var o = 0
+    for (y <- 0 until h) {
+      for (x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        cur(x * 3) = r & 0xff; cur(x * 3 + 1) = g & 0xff
+        cur(x * 3 + 2) = b & 0xff
+      }
+      val ft = if (y == 0) 0 else 1 + ((y - 1) % 4) // Sub/Up/Average/Paeth
+      raw(o) = ft.toByte; o += 1
+      for (j <- 0 until stride) {
+        val left = if (j >= channels) cur(j - channels) else 0
+        val up = if (y > 0) prev(j) else 0
+        val ul = if (y > 0 && j >= channels) prev(j - channels) else 0
+        val v = ft match {
+          case 0 => cur(j)
+          case 1 => cur(j) - left
+          case 2 => cur(j) - up
+          case 3 => cur(j) - (left + up) / 2
+          case 4 => cur(j) - paeth(left, up, ul)
+        }
+        raw(o) = (v & 0xff).toByte; o += 1
+      }
+      Array.copy(cur, 0, prev, 0, stride)
+    }
+    val defl = new java.util.zip.Deflater()
+    val bos = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(tb).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", bos.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** STUB decoder: deterministic fake metadata from the payload bytes.
     * A real deployment swaps this body for the codec call; the signature
     * (bytes in, typed meta out) and the partition-wise driver below are the
@@ -129,7 +304,7 @@ object Multimodal {
   }
 
   /** REAL-first decode: parse the actual image header when the payload is
-    * a recognizable PNG/JPEG/GIF (still image → n_frames = 1), fall back
+    * a recognizable PNG/JPEG (still image → n_frames = 1), fall back
     * to the deterministic stub otherwise — corrupt or unknown payloads
     * degrade to fake-but-stable metadata instead of failing the batch.
     */
@@ -166,13 +341,52 @@ object Multimodal {
       out_h: Int,
       n_frames: Int,
       frame_ids: String, // 4 evenly-spaced sampled frame indices, csv
-      feature: Array[Double]) // 8-dim fake embedding from payload md5
+      feature: Array[Double]) // 8-dim embedding: content stats when the
+                              // payload pixel-decodes, md5 stub otherwise
 
-  /** STUB feature extraction: resize dims, frame sampling, and an 8-dim
-    * "embedding" — all deterministic arithmetic over the md5/byte-length,
-    * so the whole pipeline is oracle-reproducible. A real deployment
-    * replaces the bodies with codec/model calls; signatures and the
-    * partition-wise driver stay.
+  /** 8-dim CONTENT-derived feature from decoded pixels: per-channel
+    * mean and std (grayscale replicated across RGB, alpha ignored), an
+    * aspect-ratio dim, and the bright-pixel fraction. Cheap, deterministic
+    * and genuinely content-based — the slot a learned-encoder call takes
+    * in a real deployment.
+    */
+  private def pixelFeature(w: Int, h: Int, channels: Int,
+      px: Array[Byte]): Array[Double] = {
+    val n = w * h
+    val sum = new Array[Long](3)
+    val sumSq = new Array[Long](3)
+    var bright = 0L
+    var i = 0
+    while (i < n) {
+      var lum = 0
+      var c = 0
+      while (c < 3) {
+        val v = px(i * channels + math.min(c, channels - 1)) & 0xff
+        sum(c) += v; sumSq(c) += v.toLong * v; lum += v
+        c += 1
+      }
+      if (lum > 3 * 128) bright += 1
+      i += 1
+    }
+    val out = new Array[Double](8)
+    var c = 0
+    while (c < 3) {
+      val mean = sum(c).toDouble / n
+      out(c) = mean / 128.0 - 1.0
+      out(3 + c) = math.sqrt(math.max(0.0,
+        sumSq(c).toDouble / n - mean * mean)) / 128.0
+      c += 1
+    }
+    out(6) = 2.0 * w / (w + h) - 1.0
+    out(7) = bright.toDouble / n
+    out
+  }
+
+  /** Feature extraction: resize dims, frame sampling, and an 8-dim
+    * embedding — CONTENT-derived ([[pixelFeature]]) when the payload is a
+    * decodable PNG, md5-arithmetic stub otherwise, so every payload gets a
+    * deterministic oracle-reproducible feature and a real model call has
+    * exactly one seam to fill.
     */
   def extractStub(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
     val meta = decodeMeta(id, kind, payload)
@@ -180,11 +394,15 @@ object Multimodal {
     val outW = math.max(1, math.floor(meta.width * scale).toInt)
     val outH = math.max(1, math.floor(meta.height * scale).toInt)
     val frames = (0 until 4).map(j => (j * meta.n_frames) / 4).distinct
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
-    val feature = Array.tabulate(8) { d =>
-      java.lang.Long.parseLong(hex.substring(4 * d, 4 * d + 4), 16)
-        .toDouble / 65536.0 * 2.0 - 1.0
+    val feature = decodePixels(payload) match {
+      case Some((w, h, channels, px)) => pixelFeature(w, h, channels, px)
+      case None =>
+        val md = MessageDigest.getInstance("MD5")
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        Array.tabulate(8) { d =>
+          java.lang.Long.parseLong(hex.substring(4 * d, 4 * d + 4), 16)
+            .toDouble / 65536.0 * 2.0 - 1.0
+        }
     }
     MediaFeatures(id, kind, meta.width, meta.height, outW, outH,
       meta.n_frames, frames.mkString(","), feature)
@@ -239,6 +457,67 @@ object Multimodal {
           16 + ((5 * r.media_id) % 2048).toInt))
         case _ => r
       }
+    }
+  }
+
+  /** Per-image channel statistics from a REAL pixel decode — rows only
+    * for payloads [[decodePixels]] accepts with ≥3 channels. Sums are
+    * exact longs and means are exact sums/n, so the output hash-compares
+    * stably against a closed-form SQL oracle.
+    */
+  final case class PixelStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      min_r: Int,
+      max_r: Int)
+
+  def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePixels(r.payload).collect {
+          case (w, h, channels, px) if channels >= 3 =>
+            val n = w * h
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var mn = 255; var mx = 0
+            var i = 0
+            while (i < n) {
+              val r0 = px(i * channels) & 0xff
+              sr += r0
+              sg += px(i * channels + 1) & 0xff
+              sb += px(i * channels + 2) & 0xff
+              if (r0 < mn) mn = r0
+              if (r0 > mx) mx = r0
+              i += 1
+            }
+            PixelStats(r.media_id, w, h, sr.toDouble / n, sg.toDouble / n,
+              sb.toDouble / n, mn, mx)
+        }
+      }
+    }
+  }
+
+  /** [[syntheticMedia]] where EVERY doc gets a full real PNG (8×8 RGB,
+    * deflated, filter types cycling over all five per scanline) whose
+    * pixel values are the closed form `channelBase + x + 2·y` with
+    * per-channel bases derived from the id — bases are < 97 so no value
+    * wraps past 255 and a SQL oracle can assert the decoded stats
+    * (mean = base + 10.5 over the 8×8 grid, min = base, max = base + 21)
+    * without parsing a single byte.
+    */
+  def plantedPixelMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val br = (id % 97).toInt
+      val bg = ((3 * id) % 89).toInt
+      val bb = ((7 * id) % 83).toInt
+      MediaRow(id, "image", pngPixelBytes(8, 8,
+        (x, y) => (br + x + 2 * y, bg + x + 2 * y, bb + x + 2 * y)))
     }
   }
 }

@@ -75,4 +75,66 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) == ((1L, "jpeg", 19, 21)))      // id 1: w=16+3, h=16+5
     assert(Seq("jpeg", "png", "webp").contains(got(2L)._2)) // stub fallback
   }
+
+  test("decodePixels: full deflate round-trip recovers every pixel " +
+      "through all five scanline filters; junk degrades to None") {
+    // 16 rows: filter cycle None,Sub,Up,Average,Paeth runs 4 times
+    val w = 11; val h = 16 // non-multiple-of-anything width
+    def rule(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 31 + y * 7) % 256, (x * 13 + y * 101) % 256, (x + y * 3) % 256)
+    val png = Multimodal.pngPixelBytes(w, h, rule)
+    val Some((dw, dh, channels, px)) = Multimodal.decodePixels(png)
+    assert((dw, dh, channels) == ((w, h, 3)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rule(x, y)
+      assert((px((y * w + x) * 3) & 0xff) == r, s"r at ($x,$y) filter ${
+        if (y == 0) 0 else 1 + ((y - 1) % 4)}")
+      assert((px((y * w + x) * 3 + 1) & 0xff) == g)
+      assert((px((y * w + x) * 3 + 2) & 0xff) == b)
+    }
+    // the header probe agrees with the pixel decode
+    assert(Multimodal.probeImage(png).contains(("png", w, h)))
+    // rejects: header-only PNG (no IDAT), truncated IDAT, text, empty
+    assert(Multimodal.decodePixels(Multimodal.pngBytes(8, 8)).isEmpty)
+    assert(Multimodal.decodePixels(png.dropRight(30)).isEmpty)
+    assert(Multimodal.decodePixels("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodePixels(Array.empty[Byte]).isEmpty)
+  }
+
+  test("pixelStats + content-based feature: decoded stats match the " +
+      "planted closed form; undecodable payloads keep the md5 feature") {
+    val docs = Seq((5L, "a"), (12L, "b"), (193L, "c"))
+      .toDF("doc_id", "text")
+    val stats = Multimodal
+      .pixelStats(Multimodal.plantedPixelMedia(spark, docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.size == 3)
+    for (id <- Seq(5L, 12L, 193L)) {
+      val s = stats(id)
+      assert((s.width, s.height) == ((8, 8)))
+      assert(s.mean_r == (id % 97) + 10.5)
+      assert(s.mean_g == ((3 * id) % 89) + 10.5)
+      assert(s.mean_b == ((7 * id) % 83) + 10.5)
+      assert(s.min_r == (id % 97).toInt)
+      assert(s.max_r == (id % 97).toInt + 21)
+    }
+    // content-based feature: flat mid-gray image → means ≈ 0 after the
+    // /128-1 normalization, stds 0, bright fraction 0 (lum == 384 is not
+    // > 384)
+    val flat = Multimodal.pngPixelBytes(4, 4, (_, _) => (128, 128, 128))
+    val f = Multimodal.extractStub(1L, "image", flat).feature
+    assert(f.take(3).forall(_ == 0.0) && f.slice(3, 6).forall(_ == 0.0))
+    assert(f(6) == 0.0 && f(7) == 0.0)
+    // undecodable payload → exactly the md5 stub feature (oracle
+    // reproducibility for q41's text payloads is unchanged)
+    val junk = "not an image".getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(junk).map("%02x".format(_)).mkString
+    val expected = Array.tabulate(8) { d =>
+      java.lang.Long.parseLong(hex.substring(4 * d, 4 * d + 4), 16)
+        .toDouble / 65536.0 * 2.0 - 1.0
+    }
+    assert(Multimodal.extractStub(2L, "image", junk).feature
+      .sameElements(expected))
+  }
 }
