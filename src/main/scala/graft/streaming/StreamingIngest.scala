@@ -117,6 +117,27 @@ object StreamingIngest {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Read a curation-side table through a [[graft.ingest.Ingest
+    * .DestinationSink]], normalized to `schema`: a missing or
+    * never-committed table is an empty relation WITH the schema (the
+    * sink's bare readBack returns a column-less frame there, which would
+    * break the anti-joins), and a committed table is projected onto the
+    * schema's columns so sink-side extras (partition dirs) never leak
+    * into the curation joins.
+    */
+  private def readVia(spark: SparkSession,
+      sink: graft.ingest.Ingest.DestinationSink, dir: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df =
+      if (fs.exists(p)) sink.readBack(spark, dir) else spark.emptyDataFrame
+    if (df.columns.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else df.select(schema.fieldNames.toSeq.map(col): _*)
+  }
+
   /** Ids already adjudicated by earlier (possibly crashed) batch attempts:
     * corpus members plus victim-log `b_id`s. Filtering the incoming batch
     * against this set makes [[curateDocBatch]]/[[curateVectorBatch]]
@@ -126,11 +147,10 @@ object StreamingIngest {
     * output without a staged-commit protocol.
     */
   private def adjudicatedIds(spark: SparkSession, corpus: DataFrame,
-      victimLogDir: Option[String], idCol: String): DataFrame = {
+      victimLogDir: Option[String], idCol: String,
+      sink: Option[graft.ingest.Ingest.DestinationSink]): DataFrame = {
     val corpusIds = corpus.select(col(idCol))
     val victimIds = victimLogDir.map { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // Explicit one-column schema: a crash during the very first
       // victim-log write can leave the dir with only _temporary/ (no
       // committed data file), where schema INFERENCE throws — which would
@@ -140,9 +160,17 @@ object StreamingIngest {
       val vSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(
           "b_id", corpus.schema(idCol).dataType)))
-      if (fs.exists(p))
-        spark.read.schema(vSchema).parquet(d).select(col("b_id").as(idCol))
-      else corpusIds.limit(0)
+      sink match {
+        case Some(s) =>
+          readVia(spark, s, d, vSchema).select(col("b_id").as(idCol))
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p))
+            spark.read.schema(vSchema).parquet(d)
+              .select(col("b_id").as(idCol))
+          else corpusIds.limit(0)
+      }
     }.getOrElse(corpusIds.limit(0))
     corpusIds.unionByName(victimIds)
   }
@@ -175,30 +203,48 @@ object StreamingIngest {
     * [[graft.operators.Dedup.incrementalJaccardDupPairsIndexed]]); append
     * order (victims -> index -> corpus) plus a doc_id anti-join keeps
     * every crash window replay-safe, see the inline note.
+    *
+    * With `sink = Some(ManifestSink)`, every append (victims, index,
+    * corpus) COMMITS ATOMICALLY through the manifest log and every read
+    * goes through the committed file set — a reader of the curated corpus
+    * never sees a partially-written micro-batch (the plain path's moved
+    * files become listing-visible one task at a time), and a crash
+    * mid-append leaves readers on the exact pre-batch snapshot. The
+    * replay logic is UNCHANGED: id-keyed idempotence handles
+    * at-least-once delivery either way; the sink only upgrades what a
+    * concurrent reader can observe mid-batch.
     */
   def curateDocBatch(spark: SparkSession, batch: DataFrame,
       corpusDir: String, victimLogDir: Option[String],
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
-      indexDir: Option[String] = None): Unit = {
+      indexDir: Option[String] = None,
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None): Unit = {
     if (batch.isEmpty) return
-    val corpus = readCorpus(spark, corpusDir, batch.schema)
+    def append(df: DataFrame, dir: String): Unit = sink match {
+      case Some(s) => s.append(df, dir, None)
+      case None    => df.write.mode("append").parquet(dir)
+    }
+    val corpus = sink match {
+      case Some(s) => readVia(spark, s, corpusDir, batch.schema)
+      case None    => readCorpus(spark, corpusDir, batch.schema)
+    }
     val fresh = batch
-      .join(adjudicatedIds(spark, corpus, victimLogDir, "doc_id"),
+      .join(adjudicatedIds(spark, corpus, victimLogDir, "doc_id", sink),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return
     val pairs = (indexDir match {
       case Some(d) =>
         graft.operators.Dedup.incrementalJaccardDupPairsIndexed(
-          fresh, corpus, readIndex(spark, d, batch.schema("doc_id").dataType),
+          fresh, corpus,
+          readIndex(spark, d, batch.schema("doc_id").dataType, sink),
           threshold, maxBucketSize)
       case None =>
         graft.operators.Dedup
           .incrementalJaccardDupPairs(fresh, corpus, threshold, maxBucketSize)
     }).localCheckpoint()
     val victims = pairs.select(col("b_id").as("doc_id")).distinct()
-    victimLogDir.foreach(d =>
-      pairs.write.mode("append").parquet(d))
+    victimLogDir.foreach(d => append(pairs, d))
     val survivors = fresh.join(victims, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     // INDEX BEFORE CORPUS: a crash in between leaves index rows for docs
@@ -210,13 +256,13 @@ object StreamingIngest {
     // since corpus members are adjudicated, no replay would ever repair
     // the index, silently blinding all future candidate joins to them.
     indexDir.foreach { d =>
-      val existing = readIndex(spark, d, batch.schema("doc_id").dataType)
-        .select(col("doc_id")).distinct()
-      graft.operators.Dedup.bandIndexRows(survivors)
-        .join(existing, Seq("doc_id"), "left_anti")
-        .write.mode("append").parquet(d)
+      val existing =
+        readIndex(spark, d, batch.schema("doc_id").dataType, sink)
+          .select(col("doc_id")).distinct()
+      append(graft.operators.Dedup.bandIndexRows(survivors)
+        .join(existing, Seq("doc_id"), "left_anti"), d)
     }
-    survivors.write.mode("append").parquet(corpusDir)
+    append(survivors, corpusDir)
   }
 
   /** The persisted corpus band index (see
@@ -226,16 +272,21 @@ object StreamingIngest {
     * schema inference.
     */
   private def readIndex(spark: SparkSession, dir: String,
-      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+      idType: org.apache.spark.sql.types.DataType,
+      sink: Option[graft.ingest.Ingest.DestinationSink]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", idType),
       org.apache.spark.sql.types.StructField("bkey",
         org.apache.spark.sql.types.StringType)))
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    sink match {
+      case Some(s) => readVia(spark, s, dir, schema)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Vector-side curation step: same shape over embeddings via
@@ -245,11 +296,19 @@ object StreamingIngest {
   def curateVectorBatch(spark: SparkSession, batch: DataFrame,
       corpusDir: String, victimLogDir: Option[String],
       threshold: Double, nPlanes: Int, nTables: Int = 1,
-      maxBucketSize: Int = 1000, indexDir: Option[String] = None): Unit = {
+      maxBucketSize: Int = 1000, indexDir: Option[String] = None,
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None): Unit = {
     if (batch.isEmpty) return
-    val corpus = readCorpus(spark, corpusDir, batch.schema)
+    def append(df: DataFrame, dir: String): Unit = sink match {
+      case Some(s) => s.append(df, dir, None)
+      case None    => df.write.mode("append").parquet(dir)
+    }
+    val corpus = sink match {
+      case Some(s) => readVia(spark, s, corpusDir, batch.schema)
+      case None    => readCorpus(spark, corpusDir, batch.schema)
+    }
     val fresh = batch
-      .join(adjudicatedIds(spark, corpus, victimLogDir, "vec_id"),
+      .join(adjudicatedIds(spark, corpus, victimLogDir, "vec_id", sink),
         Seq("vec_id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return
@@ -257,43 +316,46 @@ object StreamingIngest {
       case Some(d) =>
         graft.operators.Similarity.incrementalNearDupPairsIndexed(
           fresh, corpus,
-          readVecIndex(spark, d, batch.schema("vec_id").dataType),
+          readVecIndex(spark, d, batch.schema("vec_id").dataType, sink),
           threshold, nPlanes, nTables, maxBucketSize)
       case None =>
         graft.operators.Similarity.incrementalNearDupPairs(
           fresh, corpus, threshold, nPlanes, nTables, maxBucketSize)
     }).localCheckpoint()
     val victims = pairs.select(col("b_id").as("vec_id")).distinct()
-    victimLogDir.foreach(d =>
-      pairs.write.mode("append").parquet(d))
+    victimLogDir.foreach(d => append(pairs, d))
     val survivors = fresh.join(victims, Seq("vec_id"), "left_anti")
       .localCheckpoint()
     // same victims -> index -> corpus ordering + anti-join as the doc path
     indexDir.foreach { d =>
       val existing =
-        readVecIndex(spark, d, batch.schema("vec_id").dataType)
+        readVecIndex(spark, d, batch.schema("vec_id").dataType, sink)
           .select(col("id")).distinct()
-      graft.operators.Similarity
+      append(graft.operators.Similarity
         .bucketIndexRows(survivors, nPlanes, nTables)
-        .join(existing, Seq("id"), "left_anti")
-        .write.mode("append").parquet(d)
+        .join(existing, Seq("id"), "left_anti"), d)
     }
-    survivors.write.mode("append").parquet(corpusDir)
+    append(survivors, corpusDir)
   }
 
   /** Persisted vector bucket index, explicit schema (crash-debris safe). */
   private def readVecIndex(spark: SparkSession, dir: String,
-      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+      idType: org.apache.spark.sql.types.DataType,
+      sink: Option[graft.ingest.Ingest.DestinationSink]): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     val schema = org.apache.spark.sql.types.StructType(Seq(
       StructField("id", idType),
       StructField("t", IntegerType),
       StructField("bucket", LongType)))
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    sink match {
+      case Some(s) => readVia(spark, s, dir, schema)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Streaming CURATED ingest end-to-end: a drop directory of JSON-lines
@@ -320,7 +382,9 @@ object StreamingIngest {
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000,
       maxFilesPerTrigger: Int = 1000,
-      indexDir: Option[String] = None): StreamingQuery =
+      indexDir: Option[String] = None,
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None)
+      : StreamingQuery =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -330,7 +394,7 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         curateDocBatch(spark, batch, corpusDir, victimLogDir,
-          threshold, maxBucketSize, indexDir)
+          threshold, maxBucketSize, indexDir, sink)
       }
       .start()
 

@@ -245,6 +245,79 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/victims").count() == 1L)
   }
 
+  test("curated ingest through ManifestSink: batches commit atomically, " +
+      "a crash before the corpus commit leaves the pre-batch snapshot, " +
+      "replay converges") {
+    import spark.implicits._
+    import graft.ingest.{Ingest, ManifestSink}
+    val root = tmpDir("curatoms_")
+    val sink: Option[Ingest.DestinationSink] = Some(ManifestSink)
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val near = (1 to 29).map(i => s"word$i").mkString(" ") + " changed"
+    val novel = "novel content only present in the second micro batch"
+    val b1 = Seq(0L -> base,
+      1L -> "completely different content about engines and pipelines")
+      .toDF("doc_id", "text")
+    val b2 = Seq(10L -> near, 11L -> novel).toDF("doc_id", "text")
+    def corpusIds = ManifestSink.readBack(spark, s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    StreamingIngest.curateDocBatch(spark, b1, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/idx"), sink = sink)
+    assert(corpusIds == Set(0L, 1L))
+    StreamingIngest.curateDocBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/idx"), sink = sink)
+    assert(corpusIds == Set(0L, 1L, 11L)) // 10 near-dups corpus doc 0
+    assert(ManifestSink.readBack(spark, s"$root/victims").count() == 1)
+    // replay idempotence is preserved through the sink
+    StreamingIngest.curateDocBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/idx"), sink = sink)
+    assert(corpusIds == Set(0L, 1L, 11L))
+    // CRASH between the victim/index appends and the corpus append: the
+    // wrapper sink dies exactly where a real driver could. Readers of the
+    // corpus must see the unchanged pre-batch snapshot — not a partial
+    // batch (the plain path's listing readers see moved files one task at
+    // a time).
+    object CrashBeforeCorpus extends Ingest.DestinationSink {
+      override def append(df: org.apache.spark.sql.DataFrame, dir: String,
+          pf: Option[String]): Unit = {
+        if (dir.endsWith("/corpus"))
+          throw new RuntimeException("simulated crash before corpus commit")
+        ManifestSink.append(df, dir, pf)
+      }
+      override def readBack(s: org.apache.spark.sql.SparkSession,
+          dir: String) = ManifestSink.readBack(s, dir)
+    }
+    val b3 = Seq(20L -> (novel + " extra"), // near-dup of corpus doc 11
+      21L -> "completely fresh text unseen anywhere in the stream so far")
+      .toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      StreamingIngest.curateDocBatch(spark, b3, s"$root/corpus",
+        Some(s"$root/victims"), indexDir = Some(s"$root/idx"),
+        sink = Some(CrashBeforeCorpus))
+    }
+    assert(corpusIds == Set(0L, 1L, 11L), "pre-batch snapshot must hold")
+    assert(ManifestSink.readBack(spark, s"$root/victims").count() == 2,
+      "the victim append before the crash committed atomically")
+    // moved-but-uncommitted debris (a mid-append crash state) is invisible
+    // to manifest readers even though a listing reader would count it
+    Seq(99L -> "phantom row from a crashed append").toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/orphan_src")
+    val part = new java.io.File(s"$root/orphan_src").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$root/corpus/deadbeef-0.parquet").toPath)
+    assert(spark.read.parquet(s"$root/corpus")
+      .filter(col("doc_id") === 99L).count() == 1,
+      "a listing reader DOES see the debris — that is the open window")
+    assert(!corpusIds.contains(99L), "the manifest reader does not")
+    // replay with the healthy sink completes the batch: victim-logged 20
+    // stays excluded, survivor 21 lands
+    StreamingIngest.curateDocBatch(spark, b3, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/idx"), sink = sink)
+    assert(corpusIds == Set(0L, 1L, 11L, 21L))
+    assert(ManifestSink.readBack(spark, s"$root/victims").count() == 2)
+  }
+
   test("vector curation step: embedding near-dups dropped against the " +
       "corpus, first batch wins") {
     import spark.implicits._
