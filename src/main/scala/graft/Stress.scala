@@ -177,6 +177,24 @@ object Stress {
           .join(docs.select(col("doc_id"),
             (col("doc_id") % 5).as("lang")), Seq("doc_id")),
         0.5, "lang"))
+    // round-10: the q77 capstone at ladder scale — segment dedup → LM
+    // re-score on the CLEANED text → corpus-calibrated gate, the most
+    // expensive bench query. Same localCheckpoint placement as the query
+    // (calibration's build actions would otherwise re-run the dedup +
+    // scoring DAGs 3-4x).
+    if (enabled("cleaned_lm")) {
+      val t0 = System.nanoTime()
+      val cleaned = Dedup.removeDuplicateSegments(docs, segTokens = 4,
+        emitCleaned = true)
+        .select(col("doc_id"), col("n_removed"), col("cleaned").as("text"))
+        .localCheckpoint()
+      val scored = graft.operators.LmFilter.scoreDocs(cleaned)
+        .localCheckpoint()
+      val thr = graft.operators.LmFilter.calibrateThreshold(scored, 0.5)
+      val kept = scored.filter(col("log_ppl") <= thr).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS cleaned_lm            $dt%8.2f s  kept=$kept")
+    }
     // nCentroids MUST scale with the corpus (cells ~n/nCentroids; pair
     // cost ~n^2/nCentroids): 256 cells keeps 40k vectors at ~160/cell.
     // The 16-cell diag below is the measured ablation of ignoring that —
