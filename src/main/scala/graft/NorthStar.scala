@@ -498,6 +498,16 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // REAL WAV/PCM decode: RIFF chunk walk + int16 sample extraction,
+    // reduced to per-clip amplitude stats; planted samples follow the
+    // closed form base + (i mod 17), so the oracle asserts the decode
+    // (incl. exact Σs²) in pure SQL.
+    "q79_audio_stats" -> ((s, dir) => {
+      Multimodal.audioStats(Multimodal.plantedAudioMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // Rolling-hash document fingerprint (Rabin–Karp over token hashes):
     // order-sensitive, incrementally maintainable, SQL-reproducible.
     "q38_rolling_fingerprint" -> ((s, dir) => {
@@ -1756,6 +1766,17 @@ object NorthStar {
          CAST((7 * doc_id) % 83 + 10.5 AS DOUBLE) AS mean_b,
          CAST(doc_id % 97 AS INT) AS min_r,
          CAST(doc_id % 97 + 21 AS INT) AS max_r
+         FROM documents ORDER BY media_id""",
+    "q79_audio_stats" ->
+      """SELECT doc_id AS media_id,
+         CAST(8000 AS INT) AS sample_rate,
+         CAST(1 AS INT) AS n_channels,
+         CAST(170 AS BIGINT) AS n_samples,
+         CAST(doc_id % 1000 + 8 AS DOUBLE) AS mean_amp,
+         CAST(doc_id % 1000 AS INT) AS min_amp,
+         CAST(doc_id % 1000 + 16 AS INT) AS max_amp,
+         CAST(170 * (doc_id % 1000) * (doc_id % 1000)
+           + 2720 * (doc_id % 1000) + 14960 AS BIGINT) AS sum_sq
          FROM documents ORDER BY media_id""",
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id,

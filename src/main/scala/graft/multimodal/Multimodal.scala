@@ -501,6 +501,84 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM WAV/PCM decode — RIFF chunk walk to the `fmt ` and
+    * `data` chunks, 16-bit integer PCM only (the overwhelmingly common
+    * case), little-endian samples returned channel-interleaved. Returns
+    * `(sampleRate, channels, samples)` or None for anything else
+    * (float/24-bit/compressed WAV, truncated, not RIFF).
+    *
+    * Unlike the header probes ([[probeImage]] deliberately excludes
+    * ASCII magics), accepting RIFF's ASCII magic is safe HERE because the
+    * decode is fully structural: a text document mentioning "RIFF" would
+    * also need a well-formed fmt chunk (PCM format code, consistent
+    * block-align) and an in-bounds data chunk to be misread, at which
+    * point it IS a WAV file.
+    */
+  def decodeWav(p: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, s: String) =
+      s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (p.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var i = 12
+    var rate = 0; var channels = 0; var blockAlign = 0
+    var fmtOk = false
+    var samples: Array[Short] = null
+    while (samples == null && i + 8 <= p.length) {
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz > p.length) return None
+      if (ascii(i, "fmt ")) {
+        if (sz < 16) return None
+        val audioFormat = le16(i + 8)
+        channels = le16(i + 10)
+        rate = le32(i + 12)
+        blockAlign = le16(i + 20)
+        val bits = le16(i + 22)
+        if (audioFormat != 1 || bits != 16 || channels < 1 ||
+            channels > 8 || rate <= 0 || blockAlign != 2 * channels)
+          return None
+        fmtOk = true
+      } else if (ascii(i, "data")) {
+        if (!fmtOk) return None // fmt must precede data (spec ordering)
+        if (sz > (1 << 26) || sz % 2 != 0) return None
+        val n = sz / 2
+        val out = new Array[Short](n)
+        var k = 0
+        while (k < n) {
+          out(k) = le16(i + 8 + 2 * k).toShort
+          k += 1
+        }
+        samples = out
+      }
+      i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned (pad byte)
+    }
+    if (samples == null) None else Some((rate, channels, samples))
+  }
+
+  /** Well-formed 16-bit PCM WAV with KNOWN samples for planting (correct
+    * RIFF/fmt/data sizes — a real encoder's output for the same samples).
+    */
+  private[graft] def wavBytes(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataSz = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSz)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1.toShort)                       // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels * 2)         // byte rate
+    b.putShort((channels * 2).toShort)          // block align
+    b.putShort(16.toShort)                      // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSz)
+    samples.foreach(s => b.putShort(s))
+    b.array()
+  }
+
   /** [[syntheticMedia]] where EVERY doc gets a full real PNG (8×8 RGB,
     * deflated, filter types cycling over all five per scanline) whose
     * pixel values are the closed form `channelBase + x + 2·y` with
@@ -518,6 +596,62 @@ object Multimodal {
       val bb = ((7 * id) % 83).toInt
       MediaRow(id, "image", pngPixelBytes(8, 8,
         (x, y) => (br + x + 2 * y, bg + x + 2 * y, bb + x + 2 * y)))
+    }
+  }
+
+  /** Per-clip PCM statistics from a REAL WAV decode — the audio analogue
+    * of [[PixelStats]]. Sums are exact longs over int16 samples; mean is
+    * sum/n, so the output hash-compares stably against a closed-form SQL
+    * oracle.
+    */
+  final case class AudioStats(
+      media_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      n_samples: Long,
+      mean_amp: Double,
+      min_amp: Int,
+      max_amp: Int,
+      sum_sq: Long)
+
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.payload).map { case (rate, channels, samples) =>
+          var sum = 0L; var sumSq = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var i = 0
+          while (i < samples.length) {
+            val v: Int = samples(i)
+            sum += v; sumSq += v.toLong * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val n = samples.length
+          AudioStats(r.media_id, rate, channels, n.toLong,
+            if (n == 0) 0.0 else sum.toDouble / n,
+            if (n == 0) 0 else mn, if (n == 0) 0 else mx, sumSq)
+        }
+      }
+    }
+  }
+
+  /** [[syntheticMedia]] where EVERY doc gets a real 16-bit PCM WAV
+    * (8 kHz mono, 170 samples) whose sample values are the closed form
+    * `base + (i mod 17)` with `base = id mod 1000` — 170 is a multiple of
+    * 17, so over the clip mean = base + 8, min = base, max = base + 16,
+    * and Σs² = 170·base² + 2720·base + 14960 exactly, all expressible in
+    * a SQL oracle.
+    */
+  def plantedAudioMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val base = (id % 1000).toInt
+      val samples = Array.tabulate(170)(i => (base + i % 17).toShort)
+      MediaRow(id, "audio", wavBytes(8000, 1, samples))
     }
   }
 }

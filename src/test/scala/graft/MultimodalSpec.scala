@@ -137,4 +137,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.extractStub(2L, "image", junk).feature
       .sameElements(expected))
   }
+
+  test("decodeWav: RIFF round-trip recovers samples (mono + stereo, " +
+      "negative amplitudes, odd-size pad chunks); junk degrades to None") {
+    val mono = Array.tabulate(340)(i => ((i % 17) - 8).toShort)
+    val wav = Multimodal.wavBytes(8000, 1, mono)
+    val Some((rate, ch, got)) = Multimodal.decodeWav(wav)
+    assert((rate, ch) == ((8000, 1)))
+    assert(got.sameElements(mono))
+    // stereo, interleaved
+    val stereo = Array.tabulate(64)(i =>
+      (if (i % 2 == 0) 1000 + i else -1000 - i).toShort)
+    val Some((_, ch2, got2)) = Multimodal.decodeWav(
+      Multimodal.wavBytes(44100, 2, stereo))
+    assert(ch2 == 2 && got2.sameElements(stereo))
+    // an unknown odd-sized chunk before data must be skipped with its pad
+    // byte (RIFF word alignment)
+    val base = Multimodal.wavBytes(8000, 1, mono)
+    val extra = java.nio.ByteBuffer
+      .allocate(base.length + 10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 36)                    // RIFF..fmt chunk
+    extra.put("LIST".getBytes("US-ASCII")).putInt(1).put(7.toByte)
+      .put(0.toByte)                          // odd chunk + pad
+    extra.put(base, 36, base.length - 36)     // data chunk
+    // fix the RIFF size field for the inserted 10 bytes
+    extra.putInt(4, base.length - 8 + 10)
+    val Some((_, _, got3)) = Multimodal.decodeWav(extra.array())
+    assert(got3.sameElements(mono))
+    // rejects: text, truncated data, float WAV (format code 3), empty
+    assert(Multimodal.decodeWav(
+      "RIFF is a container format from 1991".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWav(wav.dropRight(10)).isEmpty)
+    val floatWav = Multimodal.wavBytes(8000, 1, mono)
+    floatWav(20) = 3 // audioFormat = IEEE float
+    assert(Multimodal.decodeWav(floatWav).isEmpty)
+    assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
+  }
+
+  test("audioStats: decoded PCM stats match the planted closed form") {
+    import spark.implicits._
+    val docs = Seq((3L, "a"), (999L, "b"), (1001L, "c"))
+      .toDF("doc_id", "text")
+    val stats = Multimodal
+      .audioStats(Multimodal.plantedAudioMedia(spark, docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.size == 3)
+    for (id <- Seq(3L, 999L, 1001L)) {
+      val s = stats(id)
+      val b = (id % 1000).toInt
+      assert((s.sample_rate, s.n_channels, s.n_samples) == ((8000, 1, 170L)))
+      assert(s.mean_amp == b + 8.0)
+      assert(s.min_amp == b && s.max_amp == b + 16)
+      assert(s.sum_sq == 170L * b * b + 2720L * b + 14960L)
+    }
+  }
 }
