@@ -508,6 +508,17 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // REAL AVI video-header probe: RIFF → LIST hdrl → avih gives the
+    // true frame count and dimensions (the n_frames a frame-sampling
+    // pipeline keys on); planted headers carry closed-form values.
+    "q80_video_probe" -> ((s, dir) => {
+      Multimodal.decode(Multimodal.plantedVideoMedia(s, docs(s, dir)))
+        .toDF()
+        .select(col("media_id"), col("format"), col("width"),
+          col("height"), col("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
     // Rolling-hash document fingerprint (Rabin–Karp over token hashes):
     // order-sensitive, incrementally maintainable, SQL-reproducible.
     "q38_rolling_fingerprint" -> ((s, dir) => {
@@ -1777,6 +1788,12 @@ object NorthStar {
          CAST(doc_id % 1000 + 16 AS INT) AS max_amp,
          CAST(170 * (doc_id % 1000) * (doc_id % 1000)
            + 2720 * (doc_id % 1000) + 14960 AS BIGINT) AS sum_sq
+         FROM documents ORDER BY media_id""",
+    "q80_video_probe" ->
+      """SELECT doc_id AS media_id, 'avi' AS format,
+         CAST(160 + (11 * doc_id) % 1280 AS INT) AS width,
+         CAST(120 + (13 * doc_id) % 720 AS INT) AS height,
+         CAST(1 + doc_id % 3000 AS INT) AS n_frames
          FROM documents ORDER BY media_id""",
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id,

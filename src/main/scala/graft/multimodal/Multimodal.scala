@@ -303,16 +303,21 @@ object Multimodal {
       1 + (payload.length % 30), f)
   }
 
-  /** REAL-first decode: parse the actual image header when the payload is
-    * a recognizable PNG/JPEG (still image → n_frames = 1), fall back
-    * to the deterministic stub otherwise — corrupt or unknown payloads
-    * degrade to fake-but-stable metadata instead of failing the batch.
+  /** REAL-first decode: parse the actual media header when the payload is
+    * a recognizable PNG/JPEG (still image → n_frames = 1) or AVI (frame
+    * count from the avih header), fall back to the deterministic stub
+    * otherwise — corrupt or unknown payloads degrade to fake-but-stable
+    * metadata instead of failing the batch.
     */
   def decodeMeta(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
     probeImage(payload) match {
       case Some((fmt, w, h)) =>
         MediaMeta(id, kind, payload.length.toLong, w, h, 1, fmt)
-      case None => decodeStub(id, kind, payload)
+      case None => probeAvi(payload) match {
+        case Some((w, h, frames)) =>
+          MediaMeta(id, kind, payload.length.toLong, w, h, frames, "avi")
+        case None => decodeStub(id, kind, payload)
+      }
     }
 
   /** Decode a media Dataset partition-wise. One decoder per partition: the
@@ -557,6 +562,70 @@ object Multimodal {
     if (samples == null) None else Some((rate, channels, samples))
   }
 
+  /** REAL AVI video-header probe — RIFF form `AVI ` → `LIST hdrl` →
+    * `avih` main header (OpenDML/VfW layout: dwMicroSecPerFrame at +0,
+    * dwTotalFrames at +16, dwWidth/dwHeight at +32/+36). Returns
+    * `(width, height, totalFrames)`, or None unless the full structure
+    * parses with sane values — the same structural-validation argument as
+    * [[decodeWav]] makes the ASCII magic safe.
+    */
+  def probeAvi(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le32(i: Int) =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, s: String) =
+      s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (p.length < 12 + 12 + 8 + 56 || !ascii(0, "RIFF") ||
+        !ascii(8, "AVI ")) return None
+    var i = 12
+    while (i + 8 <= p.length) {
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz > p.length) return None
+      if (ascii(i, "LIST") && sz >= 4 + 8 + 56 && ascii(i + 8, "hdrl")) {
+        // walk the list body for the avih chunk
+        var j = i + 12
+        val end = i + 8 + sz
+        while (j + 8 <= end) {
+          val csz = le32(j + 4)
+          if (csz < 0 || j + 8 + csz > end) return None
+          if (ascii(j, "avih")) {
+            if (csz < 56) return None
+            val frames = le32(j + 8 + 16)
+            val (w, h) = (le32(j + 8 + 32), le32(j + 8 + 36))
+            return if (w > 0 && h > 0 && frames > 0) Some((w, h, frames))
+            else None
+          }
+          j += 8 + csz + (csz & 1)
+        }
+        return None
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** Minimal well-formed AVI header (RIFF `AVI ` + `LIST hdrl` + `avih`)
+    * for planting known video metadata — header-only, like [[pngBytes]]:
+    * [[probeAvi]] reads exactly what a production prober would without
+    * decoding frames.
+    */
+  private[graft] def aviBytes(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(12 + 12 + 8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(12 + 8 + 56 + 4)
+    b.put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+    b.put("hdrl".getBytes("US-ASCII"))
+    b.put("avih".getBytes("US-ASCII")).putInt(56)
+    b.putInt(33367)        // dwMicroSecPerFrame (~29.97 fps)
+    b.putInt(0).putInt(0).putInt(0)
+    b.putInt(nFrames)      // dwTotalFrames
+    b.putInt(0).putInt(1).putInt(0)
+    b.putInt(w).putInt(h)  // dwWidth, dwHeight
+    b.putInt(0).putInt(0).putInt(0).putInt(0)
+    b.array()
+  }
+
   /** Well-formed 16-bit PCM WAV with KNOWN samples for planting (correct
     * RIFF/fmt/data sizes — a real encoder's output for the same samples).
     */
@@ -652,6 +721,21 @@ object Multimodal {
       val base = (id % 1000).toInt
       val samples = Array.tabulate(170)(i => (base + i % 17).toShort)
       MediaRow(id, "audio", wavBytes(8000, 1, samples))
+    }
+  }
+
+  /** [[syntheticMedia]] where EVERY doc gets a real AVI header whose
+    * dimensions and frame count are closed-form functions of the id —
+    * the video analogue of [[plantedMedia]]'s planted image headers.
+    */
+  def plantedVideoMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      MediaRow(id, "video", aviBytes(
+        160 + ((11 * id) % 1280).toInt,
+        120 + ((13 * id) % 720).toInt,
+        1 + (id % 3000).toInt))
     }
   }
 }

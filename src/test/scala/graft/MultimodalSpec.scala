@@ -174,6 +174,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
   }
 
+  test("probeAvi: real header parses through LIST hdrl to avih; " +
+      "structural junk and text degrade to the stub in decodeMeta") {
+    assert(Multimodal.probeAvi(Multimodal.aviBytes(640, 480, 2997))
+      .contains((640, 480, 2997)))
+    // decodeMeta routes an AVI payload to the real probe
+    val meta = Multimodal.decodeMeta(4L, "video",
+      Multimodal.aviBytes(1280, 720, 120))
+    assert((meta.format, meta.width, meta.height, meta.n_frames) ==
+      (("avi", 1280, 720, 120)))
+    // a WAV is RIFF but not an AVI form — rejected here, decoded there
+    val wav = Multimodal.wavBytes(8000, 1, Array.tabulate(17)(_.toShort))
+    assert(Multimodal.probeAvi(wav).isEmpty)
+    // text mentioning RIFF, truncated header, zero-dim video → stub
+    val riffText = "RIFF AVI files were common in the 1990s".getBytes("UTF-8")
+    assert(Multimodal.probeAvi(riffText).isEmpty)
+    assert(Multimodal.decodeMeta(5L, "video", riffText) ==
+      Multimodal.decodeStub(5L, "video", riffText))
+    assert(Multimodal.probeAvi(
+      Multimodal.aviBytes(640, 480, 2997).dropRight(20)).isEmpty)
+    assert(Multimodal.probeAvi(Multimodal.aviBytes(0, 480, 10)).isEmpty)
+  }
+
   test("audioStats: decoded PCM stats match the planted closed form") {
     import spark.implicits._
     val docs = Seq((3L, "a"), (999L, "b"), (1001L, "c"))
