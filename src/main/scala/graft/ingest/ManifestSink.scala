@@ -51,6 +51,19 @@ object ManifestSink extends Ingest.DestinationSink {
   private val LogDir = "_log"
   private val WaManifest = "_graft_manifest"
 
+  /** Per-destination monitor for the version-claim critical section.
+    * Local-filesystem rename OVERWRITES an existing target (POSIX
+    * rename(2)), so same-JVM concurrent committers must serialize
+    * in-process; across JVMs on HDFS the rename-fails-if-exists
+    * semantics plus the retry loop carry the contract, and an
+    * object-store deployment swaps in putIfAbsent.
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def commitLock(destPath: String): Object =
+    commitLocks.computeIfAbsent(destPath, _ => new Object)
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -193,8 +206,10 @@ object ManifestSink extends Ingest.DestinationSink {
     val tmp = new Path(lp, s".tmp_compact_$version")
     writeFile(fs, tmp, body)
     val fin = new Path(lp, f"$version%012d__compact.manifest")
-    require(fs.rename(tmp, fin),
-      s"[graft] compaction commit failed: $fin already exists?")
+    commitLock(destPath).synchronized {
+      require(fs.rename(tmp, fin),
+        s"[graft] compaction commit failed: $fin already exists?")
+    }
     old.foreach(mf => fs.delete(mf, false))
     println(s"METRIC graft.compacted_manifests=${old.length} " +
       s"snapshot_version=$version")
@@ -311,18 +326,78 @@ object ManifestSink extends Ingest.DestinationSink {
       require(fs.rename(new Path(staging, rel), target),
         s"[graft] manifest-sink move failed: $rel -> $target")
     }
-    // 4. THE COMMIT: one atomic rename makes the whole batch visible
+    // 4. THE COMMIT: one atomic rename makes the whole batch visible.
+    //    Version conflicts (a concurrent appender committed the same
+    //    number first — rename-to-existing fails atomically, exactly
+    //    Delta's LogStore putIfAbsent contract) retry at the next free
+    //    version, so APPENDS from concurrent writers serialize safely;
+    //    the single-writer contract remains for recover()/compact(),
+    //    which cannot distinguish a crashed attempt from a live one.
     val lp = logPath(destPath)
     fs.mkdirs(lp)
-    val version = manifests(fs, destPath)
-      .map(_.getName.takeWhile(_.isDigit).toLong)
-      .maxOption.getOrElse(-1L) + 1
     val tmp = new Path(lp, s".tmp_$writeId")
     writeFile(fs, tmp, body)
-    val fin = new Path(lp, f"$version%012d__$writeId.manifest")
-    require(fs.rename(tmp, fin),
-      s"[graft] manifest commit failed: $fin already exists?")
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      commitLock(destPath).synchronized {
+        val version = manifests(fs, destPath)
+          .map(_.getName.takeWhile(_.isDigit).toLong)
+          .maxOption.getOrElse(-1L) + 1
+        val fin = new Path(lp, f"$version%012d__$writeId.manifest")
+        committed = fs.rename(tmp, fin)
+      }
+      attempt += 1
+      if (!committed) {
+        require(fs.exists(tmp) && attempt < 1000,
+          s"[graft] manifest commit failed for $writeId after $attempt " +
+            "attempts (tmp file lost or log dir unwritable)")
+        println(s"METRIC graft.commit.version_conflict_retry=1 " +
+          s"write=$writeId attempt=$attempt")
+      }
+    }
     // staging dir survives as the commit-pending marker
+  }
+
+  /** MAINTENANCE: delete data files not referenced by any committed
+    * manifest and untouched for `retentionMs` — the stranded debris of
+    * rolled-back or fabricated crash states that [[recover]] has no
+    * write-ahead manifest for (Delta's VACUUM, same retention rationale:
+    * an in-flight reader may still hold pre-compaction file lists, and
+    * the age guard keeps a mid-move attempt's files safe even if the
+    * staging check races). REFUSES while staged attempts are pending,
+    * like [[compact]]. Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, destPath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return 0L
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.vacuum.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return 0L
+    }
+    val referenced = manifests(fs, destPath)
+      .flatMap(mf => readManifest(fs, mf)._2).toSet
+    val destQ = fs.makeQualified(dest).toString
+    val now = System.currentTimeMillis()
+    var removed = 0L
+    listFilesRec(fs, dest).foreach { st =>
+      val rel = fs.makeQualified(st.getPath).toString
+        .stripPrefix(destQ + "/")
+      val inLog = rel.startsWith(LogDir + "/")
+      val hidden = st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith(".")
+      if (!inLog && !hidden && !referenced.contains(rel) &&
+          now - st.getModificationTime >= retentionMs) {
+        fs.delete(st.getPath, false)
+        removed += 1
+      }
+    }
+    println(s"METRIC graft.vacuumed_files=$removed dest=$destPath")
+    removed
   }
 
   override def recover(spark: SparkSession, destPath: String,

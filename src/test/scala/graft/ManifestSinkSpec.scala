@@ -326,6 +326,67 @@ class ManifestSinkSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("concurrent appenders serialize: every commit gets a distinct " +
+      "version and no batch is lost") {
+    val root = tmpDir("msinkconc_")
+    val dest = s"$root/wh/t"
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 2).foreach { k =>
+            ManifestSink.append(
+              Seq((t * 10L + k, s"w$t-$k")).toDF("id", "v"), dest, None)
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent appends must not fail: $errors")
+    val log = new java.io.File(s"$dest/_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest"))
+    assert(log.length == 8, "one committed manifest per append")
+    val versions = log.map(_.takeWhile(_.isDigit).toLong).sorted.toSeq
+    assert(versions == versions.distinct, "versions must be unique")
+    assert(ManifestSink.readBack(spark, dest).count() == 8)
+  }
+
+  test("vacuum: unreferenced aged debris is deleted, committed files and " +
+      "fresh debris survive, pending attempts block the sweep") {
+    val root = tmpDir("msinkvac_")
+    val dest = s"$root/wh/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("id", "v"), dest, None)
+    // stranded debris: a rolled-back write's file nobody references
+    val debris = new java.io.File(s"$dest/deadbeef-0.parquet")
+    assert(debris.createNewFile())
+    // fresh debris (age 0) survives any reasonable retention
+    assert(ManifestSink.vacuum(spark, dest,
+      retentionMs = 60000) == 0L)
+    assert(debris.exists())
+    // aged debris goes; committed data stays readable
+    assert(debris.setLastModified(System.currentTimeMillis() - 120000))
+    assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 1L)
+    assert(!debris.exists())
+    assert(ManifestSink.readBack(spark, dest).count() == 1)
+    // aged COMMITTED files are never touched
+    val t0 = System.currentTimeMillis() - 240000
+    new java.io.File(dest).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(t0)))
+    assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 0L)
+    assert(ManifestSink.readBack(spark, dest).count() == 1)
+    // a pending staged attempt blocks the sweep entirely (its moved files
+    // are referenced only by the write-ahead manifest until commit)
+    val attempt = new java.io.File(s"$root/wh/.staging_t/wP")
+    attempt.mkdirs()
+    val aged = new java.io.File(s"$dest/wP-0.parquet")
+    assert(aged.createNewFile() && aged.setLastModified(t0))
+    assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 0L)
+    assert(aged.exists())
+    attempt.delete()
+    assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 1L)
+  }
+
   test("schema evolution across commits: explicit-file-list read still " +
       "merges narrow and wide files") {
     val root = tmpDir("msinksch_")
