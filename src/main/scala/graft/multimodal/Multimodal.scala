@@ -117,10 +117,11 @@ object Multimodal {
     * (RFC 2083): chunk walk → IDAT concat → `java.util.zip.Inflater` →
     * per-scanline unfilter (all five filter types: None/Sub/Up/Average/
     * Paeth, §6). Supports the common 8-bit non-interlaced color types —
-    * grayscale (0, 1 ch), truecolor (2, 3 ch), truecolor+alpha (4 ch).
+    * grayscale (0, 1 ch), truecolor (2, 3 ch), indexed-palette (3,
+    * expanded through the PLTE chunk to 3 ch), truecolor+alpha (4 ch).
     * Returns `(width, height, channels, pixels)` with pixels row-major
-    * channel-interleaved, or None for anything else (palette, 16-bit,
-    * Adam7, truncated, corrupt) — callers fall back to the md5 stub, so a
+    * channel-interleaved, or None for anything else (16-bit, Adam7,
+    * truncated, corrupt) — callers fall back to the md5 stub, so a
     * poison payload can never fail the batch. A decompressed-size guard
     * (64 MiB) bounds memory against zip-bomb payloads; real deployments
     * size it to the largest legitimate asset.
@@ -133,7 +134,8 @@ object Multimodal {
     if (p.length < 45 || !PngSig.indices.forall(i => u8(i) == PngSig(i)))
       return None
     var i = 8
-    var w = 0; var h = 0; var channels = 0
+    var w = 0; var h = 0; var channels = 0; var paletted = false
+    var palette: Array[Byte] = null
     var sawIhdr = false; var done = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!done && i + 12 <= p.length) {
@@ -151,6 +153,7 @@ object Multimodal {
           channels = color match {
             case 0 => 1
             case 2 => 3
+            case 3 => paletted = true; 1 // 1 index byte/px in the stream
             case 6 => 4
             case _ => return None
           }
@@ -158,6 +161,9 @@ object Multimodal {
               (h.toLong * (1L + w.toLong * channels)) > (1L << 26))
             return None
           sawIhdr = true
+        case "PLTE" =>
+          if (len % 3 != 0 || len == 0 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len)
         case "IDAT" => idat.write(p, i + 8, len)
         case "IEND" => done = true
         case _      => () // ancillary chunks are skippable by definition
@@ -165,6 +171,7 @@ object Multimodal {
       i += 12 + len
     }
     if (!sawIhdr || idat.size == 0) return None
+    if (paletted && palette == null) return None
     val stride = w * channels
     val expect = h * (1 + stride)
     val raw = new Array[Byte](expect)
@@ -217,7 +224,23 @@ object Multimodal {
       }
       y += 1
     }
-    Some((w, h, channels, out))
+    if (!paletted) Some((w, h, channels, out))
+    else {
+      // expand PLTE indices to interleaved RGB; an out-of-range index
+      // means the file lies about its palette — reject, don't guess
+      val nColors = palette.length / 3
+      val rgb = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < w * h) {
+        val idx = out(k) & 0xff
+        if (idx >= nColors) return None
+        rgb(k * 3) = palette(idx * 3)
+        rgb(k * 3 + 1) = palette(idx * 3 + 1)
+        rgb(k * 3 + 2) = palette(idx * 3 + 2)
+        k += 1
+      }
+      Some((w, h, 3, rgb))
+    }
   }
 
   /** Full well-formed PNG with KNOWN pixel content for planting in tests
@@ -263,6 +286,28 @@ object Multimodal {
       }
       Array.copy(cur, 0, prev, 0, stride)
     }
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      pngChunk("IHDR", pngIhdr(w, h, colorType = 2)) ++
+      pngChunk("IDAT", deflateBytes(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  private def pngIhdr(w: Int, h: Int, colorType: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val tb = typ.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(tb).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     val bos = new java.io.ByteArrayOutputStream()
     try {
@@ -270,22 +315,38 @@ object Multimodal {
       val buf = new Array[Byte](8192)
       while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
     } finally defl.end()
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val tb = typ.getBytes("US-ASCII")
-      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
-      bb.putInt(data.length).put(tb).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(data)
-      bb.putInt(crc.getValue.toInt)
-      bb.array()
+    bos.toByteArray
+  }
+
+  /** Indexed-palette PNG (color type 3) with known content for tests:
+    * scanlines of palette indices (filter cycle None/Sub/Up), PLTE from
+    * the given colors.
+    */
+  private[graft] def pngPaletteBytes(w: Int, h: Int,
+      palette: Array[Byte], idx: (Int, Int) => Int): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.nonEmpty)
+    val raw = new Array[Byte](h * (1 + w))
+    var o = 0
+    for (y <- 0 until h) {
+      val ft = y % 3
+      raw(o) = ft.toByte; o += 1
+      // filters work over the RECONSTRUCTED neighbours, which for index
+      // samples are just the generator's values
+      for (x <- 0 until w) {
+        val v = idx(x, y) & 0xff
+        val enc = ft match {
+          case 0 => v
+          case 1 => v - (if (x > 0) idx(x - 1, y) & 0xff else 0)
+          case 2 => v - (if (y > 0) idx(x, y - 1) & 0xff else 0)
+        }
+        raw(o) = (enc & 0xff).toByte; o += 1
+      }
     }
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h)
-      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
-      .array()
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", bos.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+      pngChunk("IHDR", pngIhdr(w, h, colorType = 3)) ++
+      pngChunk("PLTE", palette) ++
+      pngChunk("IDAT", deflateBytes(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
   }
 
   /** STUB decoder: deterministic fake metadata from the payload bytes.

@@ -101,6 +101,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePixels(Array.empty[Byte]).isEmpty)
   }
 
+  test("decodePixels: indexed-palette PNGs expand through PLTE to RGB; " +
+      "out-of-range indices are rejected") {
+    // 4-color palette, 6x5 image, index = (x + y) % 4
+    val palette = Array[Byte](
+      10, 20, 30,   40, 50, 60,   70, 80, 90,   100, 110, 120)
+    val png = Multimodal.pngPaletteBytes(6, 5, palette,
+      (x, y) => (x + y) % 4)
+    val Some((w, h, ch, px)) = Multimodal.decodePixels(png)
+    assert((w, h, ch) == ((6, 5, 3)))
+    for (y <- 0 until 5; x <- 0 until 6) {
+      val c = (x + y) % 4
+      assert(px((y * 6 + x) * 3) == palette(c * 3))
+      assert(px((y * 6 + x) * 3 + 1) == palette(c * 3 + 1))
+      assert(px((y * 6 + x) * 3 + 2) == palette(c * 3 + 2))
+    }
+    // pixelStats consumes the expanded RGB like any truecolor image
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "image", png)).toDS()
+    val s = Multimodal.pixelStats(media).collect().head
+    assert((s.width, s.height) == ((6, 5)))
+    // a file whose indices exceed its palette is corrupt → None, and
+    // decodeMeta still resolves the header (probe) rather than failing
+    val bad = Multimodal.pngPaletteBytes(4, 4, palette.take(6), // 2 colors
+      (x, y) => (x + y) % 4)                                    // idx up to 3
+    assert(Multimodal.decodePixels(bad).isEmpty)
+    assert(Multimodal.probeImage(bad).contains(("png", 4, 4)))
+  }
+
   test("pixelStats + content-based feature: decoded stats match the " +
       "planted closed form; undecodable payloads keep the md5 feature") {
     val docs = Seq((5L, "a"), (12L, "b"), (193L, "c"))
