@@ -508,6 +508,17 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // REAL thumbnail: decode → exact box-filter downsample (8x8 → 4x4)
+    // → channel stats. The resized min/max (base+1.5 / base+19.5) differ
+    // from the full-resolution ones (base / base+21), so the oracle
+    // asserts the box filter arithmetic, not just the decode.
+    "q81_thumbnail_stats" -> ((s, dir) => {
+      Multimodal.thumbnailStats(
+        Multimodal.plantedPixelMedia(s, docs(s, dir)), 4, 4)
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // REAL AVI video-header probe: RIFF → LIST hdrl → avih gives the
     // true frame count and dimensions (the n_frames a frame-sampling
     // pipeline keys on); planted headers carry closed-form values.
@@ -1788,6 +1799,15 @@ object NorthStar {
          CAST(doc_id % 1000 + 16 AS INT) AS max_amp,
          CAST(170 * (doc_id % 1000) * (doc_id % 1000)
            + 2720 * (doc_id % 1000) + 14960 AS BIGINT) AS sum_sq
+         FROM documents ORDER BY media_id""",
+    "q81_thumbnail_stats" ->
+      """SELECT doc_id AS media_id,
+         CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+         CAST(doc_id % 97 + 10.5 AS DOUBLE) AS mean_r,
+         CAST((3 * doc_id) % 89 + 10.5 AS DOUBLE) AS mean_g,
+         CAST((7 * doc_id) % 83 + 10.5 AS DOUBLE) AS mean_b,
+         CAST(doc_id % 97 + 1.5 AS DOUBLE) AS min_r,
+         CAST(doc_id % 97 + 19.5 AS DOUBLE) AS max_r
          FROM documents ORDER BY media_id""",
     "q80_video_probe" ->
       """SELECT doc_id AS media_id, 'avi' AS format,

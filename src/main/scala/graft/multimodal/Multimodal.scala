@@ -785,6 +785,89 @@ object Multimodal {
     }
   }
 
+  /** REAL box-filter downsample over decoded pixels — the actual
+    * implementation behind the resize-to-fit transform the feature row
+    * models ([[MediaFeatures.out_w]]/`out_h`): every output pixel is the
+    * exact mean of its covering input box (boxes from integer floor
+    * mapping, so they tile the input exactly). Output stays Double to
+    * keep the means exact — the shape a model-input normalizer consumes
+    * anyway.
+    */
+  def resizeBox(w: Int, h: Int, channels: Int, px: Array[Byte],
+      outW: Int, outH: Int): Array[Double] = {
+    require(outW > 0 && outH > 0 && outW <= w && outH <= h,
+      "resizeBox downsamples only")
+    val out = new Array[Double](outW * outH * channels)
+    var j = 0
+    while (j < outH) {
+      val y0 = j * h / outH; val y1 = (j + 1) * h / outH
+      var i = 0
+      while (i < outW) {
+        val x0 = i * w / outW; val x1 = (i + 1) * w / outW
+        var c = 0
+        while (c < channels) {
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              sum += px((y * w + x) * channels + c) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          out((j * outW + i) * channels + c) =
+            sum.toDouble / ((y1 - y0) * (x1 - x0))
+          c += 1
+        }
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Channel statistics of the REAL thumbnail ([[decodePixels]] →
+    * [[resizeBox]]) — resized min/max differ from the full-resolution
+    * stats, so an oracle on these asserts the box filter itself.
+    */
+  final case class ThumbStats(
+      media_id: Long,
+      out_w: Int,
+      out_h: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      min_r: Double,
+      max_r: Double)
+
+  def thumbnailStats(media: Dataset[MediaRow], outW: Int,
+      outH: Int): Dataset[ThumbStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePixels(r.payload).collect {
+          case (w, h, channels, px)
+              if channels >= 3 && outW <= w && outH <= h =>
+            val t = resizeBox(w, h, channels, px, outW, outH)
+            val n = outW * outH
+            var sr = 0.0; var sg = 0.0; var sb = 0.0
+            var mn = Double.MaxValue; var mx = Double.MinValue
+            var i = 0
+            while (i < n) {
+              val r0 = t(i * channels)
+              sr += r0; sg += t(i * channels + 1); sb += t(i * channels + 2)
+              if (r0 < mn) mn = r0
+              if (r0 > mx) mx = r0
+              i += 1
+            }
+            ThumbStats(r.media_id, outW, outH, sr / n, sg / n, sb / n,
+              mn, mx)
+        }
+      }
+    }
+  }
+
   /** [[syntheticMedia]] where EVERY doc gets a real AVI header whose
     * dimensions and frame count are closed-form functions of the id —
     * the video analogue of [[plantedMedia]]'s planted image headers.

@@ -202,6 +202,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
   }
 
+  test("resizeBox + thumbnailStats: exact box means, uneven boxes tile, " +
+      "downsample-only guard") {
+    // 8x8 gradient v = x + 2y → 4x4 thumb value = 2i + 4j + 1.5 exactly
+    val png = Multimodal.pngPixelBytes(8, 8,
+      (x, y) => (x + 2 * y, x + 2 * y, x + 2 * y))
+    val Some((w, h, ch, px)) = Multimodal.decodePixels(png)
+    val t = Multimodal.resizeBox(w, h, ch, px, 4, 4)
+    for (j <- 0 until 4; i <- 0 until 4)
+      assert(t((j * 4 + i) * 3) == 2 * i + 4 * j + 1.5)
+    // uneven ratio (8 → 3): boxes 0..2,2..5,5..8 tile the input exactly
+    val t3 = Multimodal.resizeBox(w, h, ch, px, 3, 1)
+    assert(t3.length == 9)
+    assert(t3(0) == (for (y <- 0 until 8; x <- 0 until 2)
+      yield x + 2 * y).sum / 16.0)
+    // guard: upsampling is not this operator
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeBox(w, h, ch, px, 16, 16)
+    }
+    // dataset path matches the q81 closed form
+    import spark.implicits._
+    val docs = Seq((7L, "a"), (42L, "b")).toDF("doc_id", "text")
+    val stats = Multimodal.thumbnailStats(
+      Multimodal.plantedPixelMedia(spark, docs), 4, 4)
+      .collect().map(s => s.media_id -> s).toMap
+    for (id <- Seq(7L, 42L)) {
+      val s = stats(id)
+      val b = (id % 97).toInt
+      assert(s.mean_r == b + 10.5)
+      assert(s.min_r == b + 1.5 && s.max_r == b + 19.5)
+    }
+  }
+
   test("probeAvi: real header parses through LIST hdrl to avih; " +
       "structural junk and text degrade to the stub in decodeMeta") {
     assert(Multimodal.probeAvi(Multimodal.aviBytes(640, 480, 2997))
