@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ingest.{Ingest, ManifestSink}
 import graft.operators.{Dedup, Similarity}
 
 /** Scale-stress harness: replicates the sf0.1 corpus REPL times with
@@ -195,6 +196,47 @@ object Stress {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS cleaned_lm            $dt%8.2f s  kept=$kept")
     }
+    // round-10: multimodal decode ladder — every doc gets a REAL planted
+    // payload (full deflated PNG / PCM WAV) and the partition-wise
+    // decode reduces it to stats; measures generate+decode, both
+    // map-only, so the ladder should scale linearly with docs
+    if (enabled("media")) {
+      import graft.multimodal.Multimodal
+      timeCount("media_pixel")(
+        Multimodal.pixelStats(Multimodal.plantedPixelMedia(spark, docs))
+          .toDF())
+      timeCount("media_thumb")(
+        Multimodal.thumbnailStats(
+          Multimodal.plantedPixelMedia(spark, docs), 4, 4).toDF())
+      timeCount("media_audio")(
+        Multimodal.audioStats(Multimodal.plantedAudioMedia(spark, docs))
+          .toDF())
+    }
+    // round-10: training-shard write — the ATOMIC manifest-log commit
+    // path vs the plain directory path at corpus scale (same assignment;
+    // the delta is staging + move + log commit)
+    if (enabled("sharded_write")) {
+      val tokens = docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_shards_").toString
+      def timeIt(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"STRESS $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      timeIt("sharded_write_plain")(
+        Ingest.ParquetSink.shardedWrite(tokens, s"$root/plain",
+          "n_tokens", "doc_id", tokenBudget = 4096L))
+      timeIt("sharded_write_manifest")(
+        ManifestSink.shardedWrite(tokens, s"$root/ms",
+          "n_tokens", "doc_id", tokenBudget = 4096L))
+      val (np, nm) = (spark.read.parquet(s"$root/plain").count(),
+        ManifestSink.readBack(spark, s"$root/ms").count())
+      require(np == nm, s"shard row counts must agree: $np vs $nm")
+      println(s"STRESS sharded_write_done rows=$np")
+    }
     // nCentroids MUST scale with the corpus (cells ~n/nCentroids; pair
     // cost ~n^2/nCentroids): 256 cells keeps 40k vectors at ~160/cell.
     // The 16-cell diag below is the measured ablation of ignoring that —
@@ -267,6 +309,33 @@ object Stress {
       val victims = spark.read.parquet(victimsDir).count()
       println(s"STRESS curated_done: corpus=" +
         s"${spark.read.parquet(corpusDir).count()} victims=$victims")
+    }
+    // round-10: the curation ladder THROUGH ManifestSink — per-batch
+    // atomic visibility of victim/index/corpus appends; the delta vs the
+    // plain 'curated' ladder is the staging+move+commit overhead per
+    // batch (three commits instead of three bare parquet appends)
+    if (enabled("curated_ms")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_curated_ms_").toString
+      val corpusDir = s"$root/corpus"
+      val batches = 10
+      val n = nDocs0 * repl
+      val per = n / batches
+      def batchDf(b: Int) = docs
+        .filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
+      (0 until batches).foreach { b =>
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.curateDocBatch(
+          spark, batchDf(b), corpusDir, Some(s"$root/victims"),
+          threshold = 0.8, maxBucketSize = 1000,
+          sink = Some(ManifestSink))
+        val dt = (System.nanoTime() - t0) / 1e9
+        val sz = ManifestSink.readBack(spark, corpusDir).count()
+        println(f"STRESS curated_ms_batch_$b%-11s $dt%8.2f s  corpus=$sz")
+      }
+      println(s"STRESS curated_ms_done: corpus=" +
+        s"${ManifestSink.readBack(spark, corpusDir).count()} victims=" +
+        s"${ManifestSink.readBack(spark, s"$root/victims").count()}")
     }
     // Same ladder with the PERSISTED band index: per-batch cost should
     // stay flat-ish as the corpus grows (batch bands + slim index join +
