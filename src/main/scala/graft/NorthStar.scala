@@ -519,6 +519,16 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // REAL GIF/LZW decode: the full pipeline (screen descriptor → global
+    // color table → per-frame LZW stream → palette expansion) with the
+    // frame count from the actual image descriptors; planted GIFs carry
+    // genuine LZW-compressed data with closed-form pixel stats.
+    "q82_gif_stats" -> ((s, dir) => {
+      Multimodal.gifStats(Multimodal.plantedGifMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // REAL AVI video-header probe: RIFF → LIST hdrl → avih gives the
     // true frame count and dimensions (the n_frames a frame-sampling
     // pipeline keys on); planted headers carry closed-form values.
@@ -1808,6 +1818,14 @@ object NorthStar {
          CAST((7 * doc_id) % 83 + 10.5 AS DOUBLE) AS mean_b,
          CAST(doc_id % 97 + 1.5 AS DOUBLE) AS min_r,
          CAST(doc_id % 97 + 19.5 AS DOUBLE) AS max_r
+         FROM documents ORDER BY media_id""",
+    "q82_gif_stats" ->
+      """SELECT doc_id AS media_id,
+         CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+         CAST(1 + doc_id % 4 AS INT) AS n_frames,
+         CAST(doc_id % 200 + 7.5 AS DOUBLE) AS mean_r,
+         CAST(doc_id % 200 AS INT) AS min_r,
+         CAST(doc_id % 200 + 15 AS INT) AS max_r
          FROM documents ORDER BY media_id""",
     "q80_video_probe" ->
       """SELECT doc_id AS media_id, 'avi' AS format,

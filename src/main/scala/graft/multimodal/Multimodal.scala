@@ -377,7 +377,14 @@ object Multimodal {
       case None => probeAvi(payload) match {
         case Some((w, h, frames)) =>
           MediaMeta(id, kind, payload.length.toLong, w, h, frames, "avi")
-        case None => decodeStub(id, kind, payload)
+        case None => decodeGif(payload) match {
+          // full decode, not a header probe — the LZW stream must parse,
+          // so the ASCII magic cannot false-positive on text (the reason
+          // probeImage excludes GIF)
+          case Some((w, h, frames, _)) =>
+            MediaMeta(id, kind, payload.length.toLong, w, h, frames, "gif")
+          case None => decodeStub(id, kind, payload)
+        }
       }
     }
 
@@ -623,6 +630,296 @@ object Multimodal {
     if (samples == null) None else Some((rate, channels, samples))
   }
 
+  /** REAL GIF decode — pure-JVM LZW: logical-screen descriptor + global
+    * color table, image descriptors walked for the frame count, and the
+    * FIRST frame's LZW stream decoded (variable code width per the spec:
+    * after each dictionary add, width grows when the next code no longer
+    * fits, capped at 12 bits) and expanded through its color table to
+    * interleaved RGB. Returns `(width, height, nFrames, firstFrameRGB)`.
+    *
+    * GIF's ASCII magic ("GIF89a") is exactly the false-positive class
+    * [[probeImage]] excludes for header-only probing — here the LZW
+    * stream must DECODE to width×height pixels with in-range color
+    * indices, so a text document discussing GIFs cannot pass. Interlaced,
+    * local-color-table-less-with-no-GCT, and >8-bit-code files return
+    * None; callers fall back to the stub.
+    */
+  def decodeGif(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (p.length < 13) return None
+    val hdr = new String(p, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val w = le16(6); val h = le16(8)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    val packed = u8(10)
+    var gct: Array[Byte] = null
+    var i = 13
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 0x07) // entries
+      if (i + 3 * n > p.length) return None
+      gct = java.util.Arrays.copyOfRange(p, i, i + 3 * n)
+      i += 3 * n
+    }
+    var frames = 0
+    var first: Array[Byte] = null
+    while (i < p.length) {
+      u8(i) match {
+        case 0x3b => // trailer
+          return if (frames > 0 && first != null)
+            Some((w, h, frames, first)) else None
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < p.length && u8(i) != 0) {
+            i += 1 + u8(i)
+            if (i > p.length) return None
+          }
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > p.length) return None
+          val (fw, fh) = (le16(i + 5), le16(i + 7))
+          val fpacked = u8(i + 9)
+          if ((fpacked & 0x40) != 0) return None // interlaced: out of scope
+          i += 10
+          var table = gct
+          if ((fpacked & 0x80) != 0) {
+            val n = 2 << (fpacked & 0x07)
+            if (i + 3 * n > p.length) return None
+            table = java.util.Arrays.copyOfRange(p, i, i + 3 * n)
+            i += 3 * n
+          }
+          if (table == null) return None
+          if (i >= p.length) return None
+          val minCode = u8(i); i += 1
+          if (minCode < 2 || minCode > 8) return None
+          // gather the LZW payload from the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < p.length && u8(i) != 0) {
+            val bl = u8(i)
+            if (i + 1 + bl > p.length) return None
+            data.write(p, i + 1, bl)
+            i += 1 + bl
+          }
+          if (i >= p.length) return None
+          i += 1 // block terminator
+          frames += 1
+          if (first == null) {
+            val idxs = lzwDecode(data.toByteArray, minCode, fw * fh)
+              .getOrElse(return None)
+            val nColors = table.length / 3
+            val rgb = new Array[Byte](fw * fh * 3)
+            var k = 0
+            while (k < fw * fh) {
+              val c = idxs(k) & 0xff
+              if (c >= nColors) return None
+              rgb(k * 3) = table(c * 3)
+              rgb(k * 3 + 1) = table(c * 3 + 1)
+              rgb(k * 3 + 2) = table(c * 3 + 2)
+              k += 1
+            }
+            // frame dims must match the screen for the flat RGB contract
+            if (fw != w || fh != h) return None
+            first = rgb
+          }
+        case _ => return None
+      }
+    }
+    None // no trailer: truncated
+  }
+
+  /** GIF-variant LZW decode (LSB-first bit packing, CLEAR/EOI codes,
+    * width grows after a dictionary add fills the current code space,
+    * 12-bit cap). Returns exactly `expect` indices or None.
+    */
+  private def lzwDecode(d: Array[Byte], minCode: Int,
+      expect: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](expect)
+    var outN = 0
+    // dictionary as prefix links: suffix byte + prefix code per entry
+    val maxDict = 1 << 12
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Byte](maxDict)
+    var dictSize = eoi + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var acc = 0L; var nBits = 0; var pos = 0
+    val scratch = new Array[Byte](maxDict)
+    def emit(code: Int): Boolean = { // expand a code to output
+      var c = code; var n = 0
+      while (c >= clear + 2) { // walk the prefix chain
+        scratch(n) = suffix(c); n += 1; c = prefix(c)
+        if (n >= maxDict) return false
+      }
+      scratch(n) = c.toByte; n += 1 // root literal
+      if (outN + n > expect) return false
+      var k = n - 1
+      while (k >= 0) { out(outN) = scratch(k); outN += 1; k -= 1 }
+      true
+    }
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      c.toByte
+    }
+    while (pos < d.length || nBits >= codeSize) {
+      while (nBits < codeSize && pos < d.length) {
+        acc |= (d(pos) & 0xffL) << nBits; nBits += 8; pos += 1
+      }
+      if (nBits < codeSize) return None // truncated mid-code
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>= codeSize; nBits -= codeSize
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outN == expect) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > dictSize || (code == dictSize && dictSize >= maxDict))
+          return None
+        val cur =
+          if (code < dictSize) code
+          else { // KwKwK case: code == dictSize, entry being defined
+            prefix(dictSize) = prev; suffix(dictSize) = firstByteOf(prev)
+            dictSize += 1
+            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+            if (!emit(dictSize - 1)) return None
+            prev = dictSize - 1
+            -1
+          }
+        if (cur >= 0) {
+          if (!emit(cur)) return None
+          if (dictSize < maxDict) {
+            prefix(dictSize) = prev; suffix(dictSize) = firstByteOf(cur)
+            dictSize += 1
+            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = cur
+        }
+      }
+      if (outN == expect) return Some(out) // EOI may follow; accept
+    }
+    None
+  }
+
+  /** Real GIF with KNOWN pixel content for planting: genuine LZW
+    * compression (dictionary strings, KwKwK cases included), with a
+    * CLEAR emitted whenever the dictionary would force a code-width
+    * increase — valid GIF (clears are legal anywhere) that sidesteps the
+    * encoder/decoder width-transition off-by-one zone entirely; the
+    * decoder's width-growth path is exercised separately by a
+    * hand-packed stream in the spec. `nFrames` image descriptors share
+    * the frame data (the animated-GIF shape without per-frame GCE
+    * timing).
+    */
+  private[graft] def gifBytes(w: Int, h: Int, palette: Array[Byte],
+      idx: (Int, Int) => Int, nFrames: Int = 1): Array[Byte] = {
+    val nColors = palette.length / 3
+    require(palette.length % 3 == 0 && nColors >= 2 && nColors <= 256 &&
+      (nColors & (nColors - 1)) == 0, "palette must be a power of two")
+    val sizeBits = 31 - Integer.numberOfLeadingZeros(nColors) // log2
+    val minCode = math.max(2, sizeBits)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val pix = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = idx(x, y)
+      require(c >= 0 && c < nColors, s"index $c out of palette")
+      pix(y * w + x) = c
+    }
+    // LZW encode (LSB-first bit packing)
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    val codeSize = minCode + 1 // constant: we clear before it would grow
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nBits; nBits += codeSize
+      while (nBits >= 8) {
+        bits.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = eoi + 1
+    emit(clear)
+    var cur = pix(0)
+    var k = 1
+    while (k < pix.length) {
+      val px = pix(k)
+      val key = (cur << 8) | px
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        dict.put(key, nextCode); nextCode += 1
+        if (nextCode == (1 << codeSize)) { // next add would widen: reset
+          emit(clear); dict.clear(); nextCode = eoi + 1
+        }
+        cur = px
+      }
+      k += 1
+    }
+    emit(cur); emit(eoi)
+    if (nBits > 0) bits.write((acc & 0xff).toInt)
+    val lzw = bits.toByteArray
+    // assemble the file
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | ((sizeBits - 1) & 7) << 4 | ((sizeBits - 1) & 7)) // GCT
+    out.write(0); out.write(0) // background, aspect
+    out.write(palette, 0, palette.length)
+    for (_ <- 0 until nFrames) {
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(minCode)
+      var off = 0
+      while (off < lzw.length) {
+        val bl = math.min(255, lzw.length - off)
+        out.write(bl); out.write(lzw, off, bl)
+        off += bl
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** First-frame channel stats + REAL frame count from a GIF decode —
+    * same exactness contract as [[PixelStats]].
+    */
+  final case class GifStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      mean_r: Double,
+      min_r: Int,
+      max_r: Int)
+
+  def gifStats(media: Dataset[MediaRow]): Dataset[GifStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeGif(r.payload).map { case (w, h, frames, px) =>
+          val n = w * h
+          var sum = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < n) {
+            val v = px(i * 3) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          GifStats(r.media_id, w, h, frames, sum.toDouble / n, mn, mx)
+        }
+      }
+    }
+  }
+
   /** REAL AVI video-header probe — RIFF form `AVI ` → `LIST hdrl` →
     * `avih` main header (OpenDML/VfW layout: dwMicroSecPerFrame at +0,
     * dwTotalFrames at +16, dwWidth/dwHeight at +32/+36). Returns
@@ -865,6 +1162,23 @@ object Multimodal {
               mn, mx)
         }
       }
+    }
+  }
+
+  /** [[syntheticMedia]] where EVERY doc gets a real LZW-compressed GIF:
+    * 4-color palette `(base + 5c)` per channel with `base = id mod 200`,
+    * index rule `(x + y) mod 4` over 8×8 (each color exactly 16 times →
+    * first-frame mean_r = base + 7.5, min = base, max = base + 15), and
+    * `1 + id mod 4` frames — all closed-form for the oracle.
+    */
+  def plantedGifMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val base = (id % 200).toInt
+      val palette = Array.tabulate(12)(i => (base + 5 * (i / 3)).toByte)
+      MediaRow(id, "image", gifBytes(8, 8, palette,
+        (x, y) => (x + y) % 4, nFrames = 1 + (id % 4).toInt))
     }
   }
 

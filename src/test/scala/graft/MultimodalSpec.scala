@@ -256,6 +256,75 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeAvi(Multimodal.aviBytes(0, 480, 10)).isEmpty)
   }
 
+  test("decodeGif: LZW round-trip (dictionary strings, KwKwK, clears), " +
+      "hand-packed width-growth stream, frame counting, junk rejection") {
+    // round-trip through the real encoder: varied pattern forces clears
+    val pal = Array.tabulate(12)(i => (10 * (i / 3) + i % 3 + 1).toByte)
+    val gif = Multimodal.gifBytes(8, 8, pal, (x, y) => (x + y) % 4)
+    val Some((w, h, frames, px)) = Multimodal.decodeGif(gif)
+    assert((w, h, frames) == ((8, 8, 1)))
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      assert(px((y * 8 + x) * 3 + c) == pal(((x + y) % 4) * 3 + c))
+    // uniform image: encoder emits just-created codes → decoder KwKwK
+    val uni = Multimodal.gifBytes(8, 8, pal, (_, _) => 2)
+    val Some((_, _, _, upx)) = Multimodal.decodeGif(uni)
+    assert(upx.grouped(3).forall(p =>
+      p(0) == pal(6) && p(1) == pal(7) && p(2) == pal(8)))
+    // multi-frame: descriptors counted, first frame decoded
+    val anim = Multimodal.gifBytes(8, 8, pal, (x, y) => (x + y) % 4,
+      nFrames = 3)
+    assert(Multimodal.decodeGif(anim).map(_._3).contains(3))
+    // HAND-PACKED stream exercising the width transition the encoder
+    // avoids: codes (0,1,2,3,0 | EOI) with minCode=2 — after reading
+    // code 3 the dict holds 8 entries == 1<<3, so codes 4 and 5 read at
+    // width 4 (spec convention). LSB-first packing of
+    // (0,3b)(1,3b)(2,3b)(3,4b)(0,4b)(EOI=5,4b) = 0x88 0x06 0x0A.
+    val g = new java.io.ByteArrayOutputStream()
+    g.write("GIF89a".getBytes("US-ASCII"))
+    g.write(Array[Byte](5, 0, 1, 0))          // 5x1 screen
+    g.write(0x91); g.write(0); g.write(0)     // GCT, 4 entries
+    g.write(Array.tabulate(12)(i => (10 * (i / 3) + i % 3).toByte))
+    g.write(0x2c)
+    g.write(Array[Byte](0, 0, 0, 0, 5, 0, 1, 0, 0)) // descriptor
+    g.write(2)                                 // min LZW code size
+    g.write(3); g.write(Array[Byte](0x88.toByte, 0x06, 0x0a))
+    g.write(0); g.write(0x3b)
+    val Some((hw, hh, hf, hpx)) = Multimodal.decodeGif(g.toByteArray)
+    assert((hw, hh, hf) == ((5, 1, 1)))
+    val wantIdx = Seq(0, 1, 2, 3, 0)
+    for (k <- 0 until 5; c <- 0 until 3)
+      assert(hpx(k * 3 + c) == (10 * wantIdx(k) + c).toByte)
+    // decodeMeta: a real GIF resolves with its true frame count; TEXT
+    // starting with the GIF magic structurally fails the LZW decode and
+    // falls back to the stub — the false-positive class is closed by the
+    // full decode, not by excluding the format
+    val meta = Multimodal.decodeMeta(9L, "image", anim)
+    assert((meta.format, meta.width, meta.n_frames) == (("gif", 8, 3)))
+    val gifText = "GIF89a is an image format from 1989".getBytes("UTF-8")
+    assert(Multimodal.decodeMeta(9L, "image", gifText) ==
+      Multimodal.decodeStub(9L, "image", gifText))
+    // rejects: truncated stream, missing trailer, empty
+    assert(Multimodal.decodeGif(gif.dropRight(4)).isEmpty)
+    assert(Multimodal.decodeGif(Array.empty[Byte]).isEmpty)
+  }
+
+  test("gifStats: planted LZW GIFs match the closed form incl. frames") {
+    import spark.implicits._
+    val docs = Seq((6L, "a"), (123L, "b"), (999L, "c"))
+      .toDF("doc_id", "text")
+    val stats = Multimodal
+      .gifStats(Multimodal.plantedGifMedia(spark, docs))
+      .collect().map(s => s.media_id -> s).toMap
+    for (id <- Seq(6L, 123L, 999L)) {
+      val s = stats(id)
+      val b = (id % 200).toInt
+      assert((s.width, s.height) == ((8, 8)))
+      assert(s.n_frames == 1 + (id % 4).toInt)
+      assert(s.mean_r == b + 7.5)
+      assert(s.min_r == b && s.max_r == b + 15)
+    }
+  }
+
   test("audioStats: decoded PCM stats match the planted closed form") {
     import spark.implicits._
     val docs = Seq((3L, "a"), (999L, "b"), (1001L, "c"))
