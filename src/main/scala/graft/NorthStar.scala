@@ -519,6 +519,16 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // REAL baseline-JPEG decode: marker walk → canonical Huffman →
+    // differential DC across MCUs → dequant → full IDCT; planted
+    // coefficients are quant multiples so the decoded grayscale is exact
+    // and the oracle is closed-form.
+    "q83_jpeg_stats" -> ((s, dir) => {
+      Multimodal.jpegStats(Multimodal.plantedJpegMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // REAL GIF/LZW decode: the full pipeline (screen descriptor → global
     // color table → per-frame LZW stream → palette expansion) with the
     // frame count from the actual image descriptors; planted GIFs carry
@@ -1818,6 +1828,13 @@ object NorthStar {
          CAST((7 * doc_id) % 83 + 10.5 AS DOUBLE) AS mean_b,
          CAST(doc_id % 97 + 1.5 AS DOUBLE) AS min_r,
          CAST(doc_id % 97 + 19.5 AS DOUBLE) AS max_r
+         FROM documents ORDER BY media_id""",
+    "q83_jpeg_stats" ->
+      """SELECT doc_id AS media_id,
+         CAST(32 AS INT) AS width, CAST(8 AS INT) AS height,
+         CAST(doc_id % 100 + 43 AS DOUBLE) AS mean_g,
+         CAST(doc_id % 100 + 28 AS INT) AS min_g,
+         CAST(doc_id % 100 + 58 AS INT) AS max_g
          FROM documents ORDER BY media_id""",
     "q82_gif_stats" ->
       """SELECT doc_id AS media_id,

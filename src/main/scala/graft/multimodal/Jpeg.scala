@@ -1,0 +1,369 @@
+package graft.multimodal
+
+/** Pure-JVM baseline JPEG codec (ITU T.81 sequential DCT), scoped to the
+  * tractable-and-exact subset: 8-bit GRAYSCALE, one scan, no subsampling,
+  * no restart intervals. Color and progressive files return None from
+  * [[decodeGray]] (callers fall back to the header probe + stub), which
+  * keeps every shipped claim honest: what decodes, decodes for real —
+  * markers, canonical Huffman tables, differential DC, AC run-length,
+  * zigzag, dequantization and the full 2-D IDCT.
+  *
+  * The IDCT here is the textbook direct form (O(64²) per block) — correct
+  * first; a production build swaps in the separable/AAN fast path without
+  * touching anything else in this file.
+  */
+object Jpeg {
+
+  /** zigzag index -> natural (row-major) position, T.81 Figure A.6. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman table (T.81 Annex C): 16 length counts + symbols
+    * in code order.
+    */
+  private final class HuffTable(counts: Array[Int], symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(length: Int, code: Int): Int =
+      symbols(valPtr(length) + code - minCode(length))
+  }
+
+  /** MSB-first entropy-coded-segment reader with 0xFF00 unstuffing. */
+  private final class BitReader(d: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var bad = false
+    def nextBit(): Int = {
+      if (nBits == 0) {
+        if (pos >= d.length) { bad = true; return 0 }
+        var b = d(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= d.length) { bad = true; return 0 }
+          val m = d(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed literal FF
+          else { bad = true; return 0 } // a real marker: scan ended early
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def decode(t: HuffTable): Int = {
+      var code = nextBit()
+      var l = 1
+      while (l <= 16) {
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l) &&
+            code >= t.minCode(l))
+          return t.symbol(l, code)
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      bad = true; 0
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map the s received bits to the signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline grayscale JPEG to `(width, height, pixels)`;
+    * None for anything outside the supported subset or structurally
+    * broken.
+    */
+  def decodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u8(i: Int) = p(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var w = 0; var h = 0; var compQ = -1
+    var scanDc = -1; var scanAc = -1
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (i + 4 > p.length || u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      val len = be16(i + 2)
+      if (len < 2 || i + 2 + len > p.length) return None
+      val seg = i + 4
+      val segEnd = i + 2 + len
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var j = seg
+          while (j < segEnd) {
+            val pq = u8(j) >> 4; val tq = u8(j) & 15
+            if (pq != 0 || tq > 3 || j + 65 > segEnd) return None
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(ZigZag(k)) = u8(j + 1 + k); k += 1 }
+            qt(tq) = t
+            j += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var j = seg
+          while (j < segEnd) {
+            if (j + 17 > segEnd) return None
+            val tc = u8(j) >> 4; val th = u8(j) & 15
+            if (tc > 1 || th > 3) return None
+            val counts = Array.tabulate(16)(k => u8(j + 1 + k))
+            val n = counts.sum
+            if (n == 0 || n > 256 || j + 17 + n > segEnd) return None
+            val syms = Array.tabulate(n)(k => u8(j + 17 + k))
+            val t = new HuffTable(counts, syms)
+            if (tc == 0) dcT(th) = t else acT(th) = t
+            j += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if (u8(seg) != 8) return None // precision
+          h = be16(seg + 1); w = be16(seg + 3)
+          val ncomp = u8(seg + 5)
+          if (ncomp != 1) return None // grayscale-only scope
+          if (u8(seg + 7) != 0x11) return None // 1x1 sampling
+          compQ = u8(seg + 8)
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline frame types: out of scope
+        case 0xdd => return None // restart intervals: out of scope
+        case 0xda => // SOS
+          if (u8(seg) != 1) return None
+          scanDc = u8(seg + 2) >> 4; scanAc = u8(seg + 2) & 15
+          scanStart = segEnd
+        case _ => () // APPn/COM/etc: skip
+      }
+      i = segEnd
+    }
+    if (w == 0 || compQ < 0 || qt(compQ) == null ||
+        dcT(scanDc) == null || acT(scanAc) == null) return None
+    val q = qt(compQ)
+    val dc = dcT(scanDc); val ac = acT(scanAc)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new Array[Byte](w * h)
+    val r = new BitReader(p, scanStart)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coef, 0)
+        // DC: category + extend bits, differentially coded
+        val t = r.decode(dc)
+        if (t > 11 || r.bad) return None
+        pred += extend(r.receive(t), t)
+        coef(0) = pred * q(0)
+        // AC: run-length of zigzag coefficients
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = r.decode(ac)
+          if (r.bad) return None
+          val run = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true
+          } else {
+            k += run
+            if (k > 63) return None
+            coef(ZigZag(k)) = extend(r.receive(s), s) * q(ZigZag(k))
+            k += 1
+          }
+        }
+        if (r.bad) return None
+        idctBlock(coef, out, w, h, bx * 8, by * 8)
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Direct 2-D type-III DCT (T.81 A.3.3) + level shift + clamp, written
+    * into the image at (ox, oy) with edge clipping.
+    */
+  private def idctBlock(coef: Array[Int], out: Array[Byte], w: Int,
+      h: Int, ox: Int, oy: Int): Unit = {
+    var y = 0
+    while (y < 8 && oy + y < h) {
+      var x = 0
+      while (x < 8 && ox + x < w) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) 0.7071067811865476 else 1.0
+              val cv = if (v == 0) 0.7071067811865476 else 1.0
+              sum += cu * cv * c *
+                math.cos((2 * x + 1) * u * math.Pi / 16) *
+                math.cos((2 * y + 1) * v * math.Pi / 16)
+            }
+            u += 1
+          }
+          v += 1
+        }
+        val s = math.round(sum / 4).toInt + 128
+        out((oy + y) * w + ox + x) =
+          (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // ---- encoder (for planting known content in tests/oracles) -----------
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    def put(code: Int, length: Int): Unit = {
+      var l = length - 1
+      while (l >= 0) {
+        acc = (acc << 1) | ((code >> l) & 1); nBits += 1
+        if (nBits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // stuffing
+          acc = 0; nBits = 0
+        }
+        l -= 1
+      }
+    }
+    def flushWithOnes(): Unit =
+      if (nBits > 0) { put(0x7f, 8 - nBits) } // pad bits (1s per spec)
+  }
+
+  // simple valid custom tables: DC = 12 categories as 4-bit codes;
+  // AC = {EOB, 0x01, 0x11, 0xF0} as 3-bit codes
+  private val DcCounts =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcSyms = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val AcCounts =
+    Array(0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcSyms = Array(0x00, 0x01, 0x11, 0xf0)
+
+  private def huffCodes(counts: Array[Int],
+      syms: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    for (l <- 1 to 16) {
+      for (_ <- 0 until counts(l - 1)) {
+        m(syms(k)) = (code, l); k += 1; code += 1
+      }
+      code <<= 1
+    }
+    m.toMap
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode an 8-bit grayscale image as a real baseline JPEG. `blocks`
+    * supplies each 8x8 block's coefficient array in NATURAL order,
+    * PRE-quantization (the encoder divides by the quant table, so planted
+    * values should be multiples of it for exactness). The quant table is
+    * flat `quant` everywhere.
+    */
+  private[graft] def encodeGray(w: Int, h: Int, quant: Int,
+      blocks: (Int, Int) => Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16(2 + 65); out.write(0) // DQT, table 0
+    for (_ <- 0 until 64) out.write(quant)
+    marker(0xc0); be16(8 + 3); out.write(8) // SOF0
+    be16(h); be16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // comp 1, 1x1, qtable 0
+    def dht(tc: Int, counts: Array[Int], syms: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 17 + syms.length); out.write(tc << 4)
+      counts.foreach(out.write); syms.foreach(out.write)
+    }
+    dht(0, DcCounts, DcSyms)
+    dht(1, AcCounts, AcSyms)
+    marker(0xda); be16(6 + 2); out.write(1) // SOS
+    out.write(1); out.write(0x00) // comp 1: DC table 0, AC table 0
+    out.write(0); out.write(63); out.write(0) // spectral selection
+    val dcCodes = huffCodes(DcCounts, DcSyms)
+    val acCodes = huffCodes(AcCounts, AcSyms)
+    val bits = new BitWriter(out)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    var pred = 0
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      val c = blocks(bx, by)
+      require(c.length == 64, "64 natural-order coefficients per block")
+      val dcQ = {
+        require(c(0) % quant == 0, "plant DC as a multiple of quant")
+        c(0) / quant
+      }
+      val diff = dcQ - pred
+      pred = dcQ
+      val s = category(diff)
+      require(s <= 11, "DC category out of range")
+      val (code, len) = dcCodes(s)
+      bits.put(code, len)
+      if (s > 0)
+        bits.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      // AC: only the patterns our table can express — zigzag index 1
+      // (symbol 0x01/0x11-style) or nothing; everything else must be 0
+      var k = 1
+      var emitted = false
+      if (c(ZigZag(1)) != 0) {
+        require(c(ZigZag(1)) % quant == 0, "plant AC as quant multiple")
+        val v = c(ZigZag(1)) / quant
+        val sa = category(v)
+        require(sa == 1, "encoder AC table covers size-1 coefficients")
+        val (ac1, al1) = acCodes(0x01)
+        bits.put(ac1, al1)
+        bits.put(if (v < 0) v + (1 << sa) - 1 else v, sa)
+        k = 2
+        emitted = true
+      }
+      var j = k
+      while (j < 64) {
+        require(c(ZigZag(j)) == 0,
+          "planting encoder only expresses DC + first zigzag AC")
+        j += 1
+      }
+      val (eob, el) = acCodes(0x00)
+      bits.put(eob, el)
+    }
+    bits.flushWithOnes()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

@@ -467,16 +467,19 @@ object Multimodal {
     val outW = math.max(1, math.floor(meta.width * scale).toInt)
     val outH = math.max(1, math.floor(meta.height * scale).toInt)
     val frames = (0 until 4).map(j => (j * meta.n_frames) / 4).distinct
-    val feature = decodePixels(payload) match {
-      case Some((w, h, channels, px)) => pixelFeature(w, h, channels, px)
-      case None =>
+    val feature = decodePixels(payload)
+      .map { case (w, h, channels, px) => pixelFeature(w, h, channels, px) }
+      .orElse(Jpeg.decodeGray(payload).map { case (w, h, px) =>
+        pixelFeature(w, h, 1, px) // gray replicates across RGB dims
+      })
+      .getOrElse {
         val md = MessageDigest.getInstance("MD5")
         val hex = md.digest(payload).map("%02x".format(_)).mkString
         Array.tabulate(8) { d =>
           java.lang.Long.parseLong(hex.substring(4 * d, 4 * d + 4), 16)
             .toDouble / 65536.0 * 2.0 - 1.0
         }
-    }
+      }
     MediaFeatures(id, kind, meta.width, meta.height, outW, outH,
       meta.n_frames, frames.mkString(","), feature)
   }
@@ -1162,6 +1165,61 @@ object Multimodal {
               mn, mx)
         }
       }
+    }
+  }
+
+  /** Grayscale stats from a REAL baseline-JPEG decode ([[Jpeg.decodeGray]]
+    * — markers, Huffman, differential DC, dequant, full IDCT); same
+    * exactness contract as [[PixelStats]] (planted coefficients are
+    * quant multiples, so the IDCT output is exact integers).
+    */
+  final case class JpegStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      mean_g: Double,
+      min_g: Int,
+      max_g: Int)
+
+  def jpegStats(media: Dataset[MediaRow]): Dataset[JpegStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Jpeg.decodeGray(r.payload).map { case (w, h, px) =>
+          var sum = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < px.length) {
+            val v = px(i) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          JpegStats(r.media_id, w, h, sum.toDouble / px.length, mn, mx)
+        }
+      }
+    }
+  }
+
+  /** [[syntheticMedia]] where EVERY doc gets a real baseline JPEG
+    * (grayscale 32×8 = four 8×8 MCUs, flat quant 8): block b is flat at
+    * `base + 28 + 10·b` with `base = id mod 100` (planted via DC
+    * coefficients `8·(base + 10·b − 100)`, all quant multiples and all
+    * within the un-clamped range, so the decode is exact and the DC
+    * prediction chain is exercised across blocks) → mean = base + 43,
+    * min = base + 28, max = base + 58.
+    */
+  def plantedJpegMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val base = (id % 100).toInt
+      MediaRow(id, "image", Jpeg.encodeGray(32, 8, quant = 8,
+        (bx, _) => {
+          val c = new Array[Int](64)
+          c(0) = 8 * (base + 10 * bx - 100)
+          c
+        }))
     }
   }
 

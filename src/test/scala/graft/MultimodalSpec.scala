@@ -308,6 +308,63 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGif(Array.empty[Byte]).isEmpty)
   }
 
+  test("Jpeg.decodeGray: DC prediction across MCUs is exact, an AC " +
+      "coefficient IDCTs correctly, unsupported/broken files reject") {
+    import graft.multimodal.Jpeg
+    // 32x8, 4 flat blocks at 40,50,60,70 via the DC chain
+    val jpg = Jpeg.encodeGray(32, 8, quant = 8, (bx, _) => {
+      val c = new Array[Int](64); c(0) = 8 * (10 * bx - 88); c
+    })
+    val Some((w, h, px)) = Jpeg.decodeGray(jpg)
+    assert((w, h) == ((32, 8)))
+    for (y <- 0 until 8; x <- 0 until 32)
+      assert((px(y * 32 + x) & 0xff) == 40 + 10 * (x / 8),
+        s"block pixel at ($x,$y)")
+    // one AC coefficient (natural position 1 = F(v=0,u=1), value 8):
+    // f(x,y) = (1/4)·C(0)·C(1)·8·cos((2x+1)π/16) — assert against the
+    // spec formula directly
+    val acJpg = Jpeg.encodeGray(8, 8, quant = 8, (_, _) => {
+      val c = new Array[Int](64); c(0) = 0; c(1) = 8; c
+    })
+    val Some((_, _, apx)) = Jpeg.decodeGray(acJpg)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val expect = math.round(
+        0.7071067811865476 * 8 * math.cos((2 * x + 1) * math.Pi / 16) / 4
+      ).toInt + 128
+      assert((apx(y * 8 + x) & 0xff) == expect, s"AC pixel ($x,$y)")
+    }
+    // rejects: the 3-component header-probe fixture (color: out of the
+    // grayscale decode scope — probeImage still reads its dims), text,
+    // truncated scan, empty
+    assert(Jpeg.decodeGray(Multimodal.jpegBytes(64, 32)).isEmpty)
+    assert(Multimodal.probeImage(Multimodal.jpegBytes(64, 32))
+      .contains(("jpeg", 64, 32)))
+    assert(Jpeg.decodeGray("not a jpeg".getBytes("UTF-8")).isEmpty)
+    assert(Jpeg.decodeGray(jpg.dropRight(6)).isEmpty)
+    assert(Jpeg.decodeGray(Array.empty[Byte]).isEmpty)
+    // content-based feature path: a decodable JPEG no longer gets the
+    // md5 stub feature (flat gray at 128-ish → near-zero mean dims)
+    val flat = Jpeg.encodeGray(8, 8, quant = 8, (_, _) => new Array[Int](64))
+    val f = Multimodal.extractStub(3L, "image", flat).feature
+    assert(f.take(3).forall(_ == 0.0) && f.slice(3, 6).forall(_ == 0.0))
+  }
+
+  test("jpegStats: planted baseline JPEGs match the closed form") {
+    import spark.implicits._
+    val docs = Seq((4L, "a"), (55L, "b"), (199L, "c"))
+      .toDF("doc_id", "text")
+    val stats = Multimodal
+      .jpegStats(Multimodal.plantedJpegMedia(spark, docs))
+      .collect().map(s => s.media_id -> s).toMap
+    for (id <- Seq(4L, 55L, 199L)) {
+      val s = stats(id)
+      val b = (id % 100).toInt
+      assert((s.width, s.height) == ((32, 8)))
+      assert(s.mean_g == b + 43.0)
+      assert(s.min_g == b + 28 && s.max_g == b + 58)
+    }
+  }
+
   test("gifStats: planted LZW GIFs match the closed form incl. frames") {
     import spark.implicits._
     val docs = Seq((6L, "a"), (123L, "b"), (999L, "c"))
