@@ -211,6 +211,12 @@ object Stress {
       timeCount("media_audio")(
         Multimodal.audioStats(Multimodal.plantedAudioMedia(spark, docs))
           .toDF())
+      timeCount("media_jpeg")(
+        Multimodal.jpegStats(Multimodal.plantedJpegMedia(spark, docs))
+          .toDF())
+      timeCount("media_gif")(
+        Multimodal.gifStats(Multimodal.plantedGifMedia(spark, docs))
+          .toDF())
     }
     // round-10: training-shard write — the ATOMIC manifest-log commit
     // path vs the plain directory path at corpus scale (same assignment;
