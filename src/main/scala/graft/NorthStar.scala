@@ -519,6 +519,17 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // COLOR baseline-JPEG decode: interleaved YCbCr 4:4:4 MCUs with
+    // per-component DC predictors + JFIF conversion; neutral planted
+    // chroma makes R = G = B = Y exact, so the oracle survives the
+    // color matrix while the 3-component path is fully exercised.
+    "q84_jpeg_color" -> ((s, dir) => {
+      Multimodal.jpegColorStats(
+        Multimodal.plantedColorJpegMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // REAL baseline-JPEG decode: marker walk → canonical Huffman →
     // differential DC across MCUs → dequant → full IDCT; planted
     // coefficients are quant multiples so the decoded grayscale is exact
@@ -1828,6 +1839,15 @@ object NorthStar {
          CAST((7 * doc_id) % 83 + 10.5 AS DOUBLE) AS mean_b,
          CAST(doc_id % 97 + 1.5 AS DOUBLE) AS min_r,
          CAST(doc_id % 97 + 19.5 AS DOUBLE) AS max_r
+         FROM documents ORDER BY media_id""",
+    "q84_jpeg_color" ->
+      """SELECT doc_id AS media_id,
+         CAST(32 AS INT) AS width, CAST(8 AS INT) AS height,
+         CAST(doc_id % 100 + 43 AS DOUBLE) AS mean_r,
+         CAST(doc_id % 100 + 43 AS DOUBLE) AS mean_g,
+         CAST(doc_id % 100 + 43 AS DOUBLE) AS mean_b,
+         CAST(doc_id % 100 + 28 AS INT) AS min_r,
+         CAST(doc_id % 100 + 58 AS INT) AS max_r
          FROM documents ORDER BY media_id""",
     "q83_jpeg_stats" ->
       """SELECT doc_id AS media_id,

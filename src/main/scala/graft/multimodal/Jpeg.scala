@@ -1,12 +1,13 @@
 package graft.multimodal
 
 /** Pure-JVM baseline JPEG codec (ITU T.81 sequential DCT), scoped to the
-  * tractable-and-exact subset: 8-bit GRAYSCALE, one scan, no subsampling,
-  * no restart intervals. Color and progressive files return None from
-  * [[decodeGray]] (callers fall back to the header probe + stub), which
-  * keeps every shipped claim honest: what decodes, decodes for real —
-  * markers, canonical Huffman tables, differential DC, AC run-length,
-  * zigzag, dequantization and the full 2-D IDCT.
+  * tractable-and-exact subset: 8-bit grayscale or interleaved YCbCr
+  * 4:4:4 color (JFIF matrix), one scan, no subsampling, no restart
+  * intervals. Subsampled/progressive files return None (callers fall
+  * back to the header probe + stub), which keeps every shipped claim
+  * honest: what decodes, decodes for real — markers, canonical Huffman
+  * tables, per-component differential DC, AC run-length, zigzag,
+  * dequantization and the full 2-D IDCT.
   *
   * The IDCT here is the textbook direct form (O(64²) per block) — correct
   * first; a production build swaps in the separable/AAN fast path without
@@ -95,11 +96,16 @@ object Jpeg {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline grayscale JPEG to `(width, height, pixels)`;
-    * None for anything outside the supported subset or structurally
-    * broken.
+  /** Decode a baseline grayscale JPEG to `(width, height, pixels)`. */
+  def decodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decode(p).collect { case (w, h, 1, px) => (w, h, px) }
+
+  /** Decode a baseline JPEG to `(width, height, channels, pixels)` —
+    * grayscale (1 ch) or interleaved YCbCr 4:4:4 color (3 ch, converted
+    * to RGB with the JFIF matrix). Subsampled, progressive and
+    * restart-interval files return None.
     */
-  def decodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  def decode(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     def u8(i: Int) = p(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
@@ -107,8 +113,11 @@ object Jpeg {
     val qt = new Array[Array[Int]](4)
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
-    var w = 0; var h = 0; var compQ = -1
-    var scanDc = -1; var scanAc = -1
+    var w = 0; var h = 0; var ncomp = 0
+    var compQ: Array[Int] = null  // per-component quant selector
+    var compId: Array[Int] = null // per-component id (SOF order)
+    var scanDc: Array[Int] = null // per-component table ids (SOF order)
+    var scanAc: Array[Int] = null
     var scanStart = -1
     while (scanStart < 0) {
       if (i + 4 > p.length || u8(i) != 0xff) return None
@@ -146,66 +155,101 @@ object Jpeg {
         case 0xc0 => // SOF0 baseline
           if (u8(seg) != 8) return None // precision
           h = be16(seg + 1); w = be16(seg + 3)
-          val ncomp = u8(seg + 5)
-          if (ncomp != 1) return None // grayscale-only scope
-          if (u8(seg + 7) != 0x11) return None // 1x1 sampling
-          compQ = u8(seg + 8)
+          ncomp = u8(seg + 5)
+          if (ncomp != 1 && ncomp != 3) return None
+          if (seg + 6 + 3 * ncomp > segEnd) return None
+          compId = new Array[Int](ncomp); compQ = new Array[Int](ncomp)
+          for (c <- 0 until ncomp) {
+            compId(c) = u8(seg + 6 + 3 * c)
+            if (u8(seg + 7 + 3 * c) != 0x11) return None // 4:4:4 only
+            compQ(c) = u8(seg + 8 + 3 * c)
+          }
           if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
           return None // non-baseline frame types: out of scope
         case 0xdd => return None // restart intervals: out of scope
         case 0xda => // SOS
-          if (u8(seg) != 1) return None
-          scanDc = u8(seg + 2) >> 4; scanAc = u8(seg + 2) & 15
+          if (ncomp == 0 || u8(seg) != ncomp) return None
+          scanDc = new Array[Int](ncomp); scanAc = new Array[Int](ncomp)
+          for (c <- 0 until ncomp) {
+            val sel = u8(seg + 1 + 2 * c)
+            val sofIdx = compId.indexOf(sel)
+            if (sofIdx < 0) return None
+            scanDc(sofIdx) = u8(seg + 2 + 2 * c) >> 4
+            scanAc(sofIdx) = u8(seg + 2 + 2 * c) & 15
+          }
           scanStart = segEnd
         case _ => () // APPn/COM/etc: skip
       }
       i = segEnd
     }
-    if (w == 0 || compQ < 0 || qt(compQ) == null ||
-        dcT(scanDc) == null || acT(scanAc) == null) return None
-    val q = qt(compQ)
-    val dc = dcT(scanDc); val ac = acT(scanAc)
+    if (w == 0) return None
+    for (c <- 0 until ncomp)
+      if (qt(compQ(c)) == null || dcT(scanDc(c)) == null ||
+          acT(scanAc(c)) == null) return None
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val out = new Array[Byte](w * h)
+    val planes = Array.fill(ncomp)(new Array[Byte](w * h))
     val r = new BitReader(p, scanStart)
     val coef = new Array[Int](64)
-    var pred = 0
+    val pred = new Array[Int](ncomp)
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
-        java.util.Arrays.fill(coef, 0)
-        // DC: category + extend bits, differentially coded
-        val t = r.decode(dc)
-        if (t > 11 || r.bad) return None
-        pred += extend(r.receive(t), t)
-        coef(0) = pred * q(0)
-        // AC: run-length of zigzag coefficients
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = r.decode(ac)
-          if (r.bad) return None
-          val run = rs >> 4; val s = rs & 15
-          if (s == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true
-          } else {
-            k += run
-            if (k > 63) return None
-            coef(ZigZag(k)) = extend(r.receive(s), s) * q(ZigZag(k))
-            k += 1
+        var c = 0
+        while (c < ncomp) { // interleaved MCU: one block per component
+          val q = qt(compQ(c))
+          java.util.Arrays.fill(coef, 0)
+          // DC: category + extend bits, differentially coded per comp
+          val t = r.decode(dcT(scanDc(c)))
+          if (t > 11 || r.bad) return None
+          pred(c) += extend(r.receive(t), t)
+          coef(0) = pred(c) * q(0)
+          // AC: run-length of zigzag coefficients
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = r.decode(acT(scanAc(c)))
+            if (r.bad) return None
+            val run = rs >> 4; val s = rs & 15
+            if (s == 0) {
+              if (run == 15) k += 16 // ZRL
+              else eob = true
+            } else {
+              k += run
+              if (k > 63) return None
+              coef(ZigZag(k)) = extend(r.receive(s), s) * q(ZigZag(k))
+              k += 1
+            }
           }
+          if (r.bad) return None
+          idctBlock(coef, planes(c), w, h, bx * 8, by * 8)
+          c += 1
         }
-        if (r.bad) return None
-        idctBlock(coef, out, w, h, bx * 8, by * 8)
         bx += 1
       }
       by += 1
     }
-    Some((w, h, out))
+    if (ncomp == 1) Some((w, h, 1, planes(0)))
+    else {
+      // JFIF YCbCr -> RGB, rounded and clamped
+      val out = new Array[Byte](w * h * 3)
+      var k = 0
+      def clamp(v: Long): Byte =
+        (if (v < 0) 0 else if (v > 255) 255 else v.toInt).toByte
+      while (k < w * h) {
+        val y = planes(0)(k) & 0xff
+        val cb = (planes(1)(k) & 0xff) - 128
+        val cr = (planes(2)(k) & 0xff) - 128
+        out(k * 3) = clamp(math.round(y + 1.402 * cr))
+        out(k * 3 + 1) =
+          clamp(math.round(y - 0.344136 * cb - 0.714136 * cr))
+        out(k * 3 + 2) = clamp(math.round(y + 1.772 * cb))
+        k += 1
+      }
+      Some((w, h, 3, out))
+    }
   }
 
   /** Direct 2-D type-III DCT (T.81 A.3.3) + level shift + clamp, written
@@ -292,46 +336,58 @@ object Jpeg {
     s
   }
 
-  /** Encode an 8-bit grayscale image as a real baseline JPEG. `blocks`
-    * supplies each 8x8 block's coefficient array in NATURAL order,
-    * PRE-quantization (the encoder divides by the quant table, so planted
-    * values should be multiples of it for exactness). The quant table is
-    * flat `quant` everywhere.
+  /** Encode an 8-bit grayscale image as a real baseline JPEG (see
+    * [[encodeBaseline]]).
     */
   private[graft] def encodeGray(w: Int, h: Int, quant: Int,
-      blocks: (Int, Int) => Array[Int]): Array[Byte] = {
+      blocks: (Int, Int) => Array[Int]): Array[Byte] =
+    encodeBaseline(w, h, quant, 1, (_, bx, by) => blocks(bx, by))
+
+  /** Encode a real baseline JPEG with `ncomp` components (1 = grayscale,
+    * 3 = interleaved YCbCr 4:4:4). `blocks(comp, bx, by)` supplies each
+    * 8x8 block's coefficient array in NATURAL order, PRE-quantization
+    * (the encoder divides by the quant table, so planted values should
+    * be multiples of it for exactness). The quant table is flat `quant`
+    * everywhere; all components share the same Huffman tables (legal,
+    * and what the simple planting needs).
+    */
+  private[graft] def encodeBaseline(w: Int, h: Int, quant: Int,
+      ncomp: Int, blocks: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    require(ncomp == 1 || ncomp == 3, "1 or 3 components")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     marker(0xd8) // SOI
     marker(0xdb); be16(2 + 65); out.write(0) // DQT, table 0
     for (_ <- 0 until 64) out.write(quant)
-    marker(0xc0); be16(8 + 3); out.write(8) // SOF0
-    be16(h); be16(w); out.write(1)
-    out.write(1); out.write(0x11); out.write(0) // comp 1, 1x1, qtable 0
+    marker(0xc0); be16(8 + 3 * ncomp); out.write(8) // SOF0
+    be16(h); be16(w); out.write(ncomp)
+    for (c <- 1 to ncomp) {
+      out.write(c); out.write(0x11); out.write(0) // id, 1x1, qtable 0
+    }
     def dht(tc: Int, counts: Array[Int], syms: Array[Int]): Unit = {
       marker(0xc4); be16(2 + 17 + syms.length); out.write(tc << 4)
       counts.foreach(out.write); syms.foreach(out.write)
     }
     dht(0, DcCounts, DcSyms)
     dht(1, AcCounts, AcSyms)
-    marker(0xda); be16(6 + 2); out.write(1) // SOS
-    out.write(1); out.write(0x00) // comp 1: DC table 0, AC table 0
+    marker(0xda); be16(6 + 2 * ncomp); out.write(ncomp) // SOS
+    for (c <- 1 to ncomp) { out.write(c); out.write(0x00) }
     out.write(0); out.write(63); out.write(0) // spectral selection
     val dcCodes = huffCodes(DcCounts, DcSyms)
     val acCodes = huffCodes(AcCounts, AcSyms)
     val bits = new BitWriter(out)
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    var pred = 0
-    for (by <- 0 until bh; bx <- 0 until bw) {
-      val c = blocks(bx, by)
+    val pred = new Array[Int](ncomp)
+    for (by <- 0 until bh; bx <- 0 until bw; comp <- 0 until ncomp) {
+      val c = blocks(comp, bx, by)
       require(c.length == 64, "64 natural-order coefficients per block")
       val dcQ = {
         require(c(0) % quant == 0, "plant DC as a multiple of quant")
         c(0) / quant
       }
-      val diff = dcQ - pred
-      pred = dcQ
+      val diff = dcQ - pred(comp)
+      pred(comp) = dcQ
       val s = category(diff)
       require(s <= 11, "DC category out of range")
       val (code, len) = dcCodes(s)
@@ -339,9 +395,8 @@ object Jpeg {
       if (s > 0)
         bits.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
       // AC: only the patterns our table can express — zigzag index 1
-      // (symbol 0x01/0x11-style) or nothing; everything else must be 0
+      // (symbol 0x01) or nothing; everything else must be 0
       var k = 1
-      var emitted = false
       if (c(ZigZag(1)) != 0) {
         require(c(ZigZag(1)) % quant == 0, "plant AC as quant multiple")
         val v = c(ZigZag(1)) / quant
@@ -351,7 +406,6 @@ object Jpeg {
         bits.put(ac1, al1)
         bits.put(if (v < 0) v + (1 << sa) - 1 else v, sa)
         k = 2
-        emitted = true
       }
       var j = k
       while (j < 64) {

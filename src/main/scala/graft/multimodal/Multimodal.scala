@@ -551,29 +551,70 @@ object Multimodal {
       min_r: Int,
       max_r: Int)
 
+  private def rgbStats(id: Long, w: Int, h: Int, channels: Int,
+      px: Array[Byte]): PixelStats = {
+    val n = w * h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = 255; var mx = 0
+    var i = 0
+    while (i < n) {
+      val r0 = px(i * channels) & 0xff
+      sr += r0
+      sg += px(i * channels + 1) & 0xff
+      sb += px(i * channels + 2) & 0xff
+      if (r0 < mn) mn = r0
+      if (r0 > mx) mx = r0
+      i += 1
+    }
+    PixelStats(id, w, h, sr.toDouble / n, sg.toDouble / n,
+      sb.toDouble / n, mn, mx)
+  }
+
   def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         decodePixels(r.payload).collect {
           case (w, h, channels, px) if channels >= 3 =>
-            val n = w * h
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var mn = 255; var mx = 0
-            var i = 0
-            while (i < n) {
-              val r0 = px(i * channels) & 0xff
-              sr += r0
-              sg += px(i * channels + 1) & 0xff
-              sb += px(i * channels + 2) & 0xff
-              if (r0 < mn) mn = r0
-              if (r0 > mx) mx = r0
-              i += 1
-            }
-            PixelStats(r.media_id, w, h, sr.toDouble / n, sg.toDouble / n,
-              sb.toDouble / n, mn, mx)
+            rgbStats(r.media_id, w, h, channels, px)
         }
       }
+    }
+  }
+
+  /** RGB channel stats from a COLOR baseline-JPEG decode
+    * ([[Jpeg.decode]] — interleaved YCbCr 4:4:4 MCUs, per-component DC
+    * prediction, JFIF color conversion).
+    */
+  def jpegColorStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Jpeg.decode(r.payload).collect {
+          case (w, h, 3, px) => rgbStats(r.media_id, w, h, 3, px)
+        }
+      }
+    }
+  }
+
+  /** [[plantedJpegMedia]]'s COLOR sibling: interleaved YCbCr 4:4:4 with
+    * the same per-block luma ladder and NEUTRAL chroma (Cb = Cr = 128 →
+    * the JFIF matrix reduces to R = G = B = Y exactly, so the closed
+    * form survives the color conversion while the full 3-component MCU
+    * path is exercised).
+    */
+  def plantedColorJpegMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val base = (id % 100).toInt
+      MediaRow(id, "image", Jpeg.encodeBaseline(32, 8, quant = 8, 3,
+        (comp, bx, _) => {
+          val c = new Array[Int](64)
+          // luma carries the ladder; chroma planes sit at 128 (DC 0)
+          if (comp == 0) c(0) = 8 * (base + 10 * bx - 100)
+          c
+        }))
     }
   }
 

@@ -349,6 +349,43 @@ class MultimodalSpec extends SparkSpec {
     assert(f.take(3).forall(_ == 0.0) && f.slice(3, 6).forall(_ == 0.0))
   }
 
+  test("Jpeg.decode color: interleaved 4:4:4 MCUs, per-component DC " +
+      "chains, JFIF conversion — neutral chroma gives R=G=B=Y exactly") {
+    import graft.multimodal.Jpeg
+    // neutral chroma: gray ladder survives the color matrix untouched
+    val neutral = Jpeg.encodeBaseline(32, 8, quant = 8, 3,
+      (comp, bx, _) => {
+        val c = new Array[Int](64)
+        if (comp == 0) c(0) = 8 * (10 * bx - 88) // Y = 40,50,60,70
+        c
+      })
+    val Some((w, h, ch, px)) = Jpeg.decode(neutral)
+    assert((w, h, ch) == ((32, 8, 3)))
+    for (y <- 0 until 8; x <- 0 until 32; c <- 0 until 3)
+      assert((px((y * 32 + x) * 3 + c) & 0xff) == 40 + 10 * (x / 8),
+        s"channel $c at ($x,$y)")
+    // non-neutral chroma: assert against the JFIF matrix directly
+    // (flat Y=128, Cb=128+16, Cr=128-8 over one block)
+    val tinted = Jpeg.encodeBaseline(8, 8, quant = 8, 3,
+      (comp, _, _) => {
+        val c = new Array[Int](64)
+        c(0) = comp match { case 0 => 0; case 1 => 8 * 16; case 2 => -8 * 8 }
+        c
+      })
+    val Some((_, _, _, tpx)) = Jpeg.decode(tinted)
+    val er = math.round(128 + 1.402 * -8).toInt
+    val eg = math.round(128 - 0.344136 * 16 - 0.714136 * -8).toInt
+    val eb = math.round(128 + 1.772 * 16).toInt
+    for (k <- 0 until 64) {
+      assert((tpx(k * 3) & 0xff) == er)
+      assert((tpx(k * 3 + 1) & 0xff) == eg)
+      assert((tpx(k * 3 + 2) & 0xff) == eb)
+    }
+    // the gray path still routes through the same machinery
+    assert(Jpeg.decode(Jpeg.encodeGray(8, 8, 8,
+      (_, _) => new Array[Int](64))).exists(_._3 == 1))
+  }
+
   test("jpegStats: planted baseline JPEGs match the closed form") {
     import spark.implicits._
     val docs = Seq((4L, "a"), (55L, "b"), (199L, "c"))
