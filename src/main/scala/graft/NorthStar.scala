@@ -519,6 +519,17 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // 4:2:0 SUBSAMPLED baseline-JPEG decode — the layout virtually all
+    // real-world JPEGs use: 16x16 MCUs of four luma + two chroma blocks,
+    // chroma upsampled by replication; neutral flat chroma keeps the
+    // luma ladder exact through the full subsampled pipeline.
+    "q85_jpeg_420" -> ((s, dir) => {
+      Multimodal.jpegColorStats(
+        Multimodal.planted420JpegMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // COLOR baseline-JPEG decode: interleaved YCbCr 4:4:4 MCUs with
     // per-component DC predictors + JFIF conversion; neutral planted
     // chroma makes R = G = B = Y exact, so the oracle survives the
@@ -1839,6 +1850,15 @@ object NorthStar {
          CAST((7 * doc_id) % 83 + 10.5 AS DOUBLE) AS mean_b,
          CAST(doc_id % 97 + 1.5 AS DOUBLE) AS min_r,
          CAST(doc_id % 97 + 19.5 AS DOUBLE) AS max_r
+         FROM documents ORDER BY media_id""",
+    "q85_jpeg_420" ->
+      """SELECT doc_id AS media_id,
+         CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+         CAST(doc_id % 100 + 30 AS DOUBLE) AS mean_r,
+         CAST(doc_id % 100 + 30 AS DOUBLE) AS mean_g,
+         CAST(doc_id % 100 + 30 AS DOUBLE) AS mean_b,
+         CAST(doc_id % 100 + 20 AS INT) AS min_r,
+         CAST(doc_id % 100 + 40 AS INT) AS max_r
          FROM documents ORDER BY media_id""",
     "q84_jpeg_color" ->
       """SELECT doc_id AS media_id,

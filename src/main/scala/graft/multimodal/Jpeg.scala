@@ -101,8 +101,11 @@ object Jpeg {
     decode(p).collect { case (w, h, 1, px) => (w, h, px) }
 
   /** Decode a baseline JPEG to `(width, height, channels, pixels)` —
-    * grayscale (1 ch) or interleaved YCbCr 4:4:4 color (3 ch, converted
-    * to RGB with the JFIF matrix). Subsampled, progressive and
+    * grayscale (1 ch) or interleaved YCbCr color (3 ch, converted to RGB
+    * with the JFIF matrix). Sampling factors 1 and 2 are supported per
+    * component, which covers the layouts that exist in practice — 4:4:4,
+    * 4:2:0 (the dominant one: luma 2x2, chroma 1x1 per MCU) and 4:2:2 —
+    * with chroma upsampled by sample replication. Progressive and
     * restart-interval files return None.
     */
   def decode(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
@@ -115,6 +118,8 @@ object Jpeg {
     val acT = new Array[HuffTable](4)
     var w = 0; var h = 0; var ncomp = 0
     var compQ: Array[Int] = null  // per-component quant selector
+    var compH: Array[Int] = null  // per-component sampling factors
+    var compV: Array[Int] = null
     var compId: Array[Int] = null // per-component id (SOF order)
     var scanDc: Array[Int] = null // per-component table ids (SOF order)
     var scanAc: Array[Int] = null
@@ -159,9 +164,13 @@ object Jpeg {
           if (ncomp != 1 && ncomp != 3) return None
           if (seg + 6 + 3 * ncomp > segEnd) return None
           compId = new Array[Int](ncomp); compQ = new Array[Int](ncomp)
+          compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
           for (c <- 0 until ncomp) {
             compId(c) = u8(seg + 6 + 3 * c)
-            if (u8(seg + 7 + 3 * c) != 0x11) return None // 4:4:4 only
+            compH(c) = u8(seg + 7 + 3 * c) >> 4
+            compV(c) = u8(seg + 7 + 3 * c) & 15
+            if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return None
             compQ(c) = u8(seg + 8 + 3 * c)
           }
           if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
@@ -188,65 +197,88 @@ object Jpeg {
     for (c <- 0 until ncomp)
       if (qt(compQ(c)) == null || dcT(scanDc(c)) == null ||
           acT(scanAc(c)) == null) return None
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val planes = Array.fill(ncomp)(new Array[Byte](w * h))
+    val hmax = compH.max; val vmax = compV.max
+    val mcuW = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcuH = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component plane dims (A.1.1: ceil(dim * sampling / max))
+    val pw = Array.tabulate(ncomp)(c => (w * compH(c) + hmax - 1) / hmax)
+    val ph = Array.tabulate(ncomp)(c => (h * compV(c) + vmax - 1) / vmax)
+    val planes = Array.tabulate(ncomp)(c => new Array[Byte](pw(c) * ph(c)))
     val r = new BitReader(p, scanStart)
     val coef = new Array[Int](64)
     val pred = new Array[Int](ncomp)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
         var c = 0
-        while (c < ncomp) { // interleaved MCU: one block per component
+        while (c < ncomp) { // interleaved MCU: hi x vi blocks per comp
           val q = qt(compQ(c))
-          java.util.Arrays.fill(coef, 0)
-          // DC: category + extend bits, differentially coded per comp
-          val t = r.decode(dcT(scanDc(c)))
-          if (t > 11 || r.bad) return None
-          pred(c) += extend(r.receive(t), t)
-          coef(0) = pred(c) * q(0)
-          // AC: run-length of zigzag coefficients
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = r.decode(acT(scanAc(c)))
-            if (r.bad) return None
-            val run = rs >> 4; val s = rs & 15
-            if (s == 0) {
-              if (run == 15) k += 16 // ZRL
-              else eob = true
-            } else {
-              k += run
-              if (k > 63) return None
-              coef(ZigZag(k)) = extend(r.receive(s), s) * q(ZigZag(k))
-              k += 1
+          var v = 0
+          while (v < compV(c)) {
+            var u = 0
+            while (u < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              // DC: category + extend bits, differential per component
+              val t = r.decode(dcT(scanDc(c)))
+              if (t > 11 || r.bad) return None
+              pred(c) += extend(r.receive(t), t)
+              coef(0) = pred(c) * q(0)
+              // AC: run-length of zigzag coefficients
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = r.decode(acT(scanAc(c)))
+                if (r.bad) return None
+                val run = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  coef(ZigZag(k)) = extend(r.receive(s), s) * q(ZigZag(k))
+                  k += 1
+                }
+              }
+              if (r.bad) return None
+              idctBlock(coef, planes(c), pw(c), ph(c),
+                (mx * compH(c) + u) * 8, (my * compV(c) + v) * 8)
+              u += 1
             }
+            v += 1
           }
-          if (r.bad) return None
-          idctBlock(coef, planes(c), w, h, bx * 8, by * 8)
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     if (ncomp == 1) Some((w, h, 1, planes(0)))
     else {
-      // JFIF YCbCr -> RGB, rounded and clamped
+      // JFIF YCbCr -> RGB, rounded and clamped; subsampled chroma is
+      // upsampled by sample replication (x*hi/hmax maps 1:1 when the
+      // component is full-resolution)
       val out = new Array[Byte](w * h * 3)
-      var k = 0
       def clamp(v: Long): Byte =
         (if (v < 0) 0 else if (v > 255) 255 else v.toInt).toByte
-      while (k < w * h) {
-        val y = planes(0)(k) & 0xff
-        val cb = (planes(1)(k) & 0xff) - 128
-        val cr = (planes(2)(k) & 0xff) - 128
-        out(k * 3) = clamp(math.round(y + 1.402 * cr))
-        out(k * 3 + 1) =
-          clamp(math.round(y - 0.344136 * cb - 0.714136 * cr))
-        out(k * 3 + 2) = clamp(math.round(y + 1.772 * cb))
-        k += 1
+      def sample(c: Int, x: Int, y: Int): Int =
+        planes(c)((y * compV(c) / vmax) * pw(c) + x * compH(c) / hmax) & 0xff
+      var y0 = 0
+      while (y0 < h) {
+        var x0 = 0
+        while (x0 < w) {
+          val k = y0 * w + x0
+          val y = sample(0, x0, y0)
+          val cb = sample(1, x0, y0) - 128
+          val cr = sample(2, x0, y0) - 128
+          out(k * 3) = clamp(math.round(y + 1.402 * cr))
+          out(k * 3 + 1) =
+            clamp(math.round(y - 0.344136 * cb - 0.714136 * cr))
+          out(k * 3 + 2) = clamp(math.round(y + 1.772 * cb))
+          x0 += 1
+        }
+        y0 += 1
       }
       Some((w, h, 3, out))
     }
@@ -352,8 +384,10 @@ object Jpeg {
     * and what the simple planting needs).
     */
   private[graft] def encodeBaseline(w: Int, h: Int, quant: Int,
-      ncomp: Int, blocks: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+      ncomp: Int, blocks: (Int, Int, Int) => Array[Int],
+      subsample420: Boolean = false): Array[Byte] = {
     require(ncomp == 1 || ncomp == 3, "1 or 3 components")
+    require(!subsample420 || ncomp == 3, "4:2:0 needs color")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -363,7 +397,9 @@ object Jpeg {
     marker(0xc0); be16(8 + 3 * ncomp); out.write(8) // SOF0
     be16(h); be16(w); out.write(ncomp)
     for (c <- 1 to ncomp) {
-      out.write(c); out.write(0x11); out.write(0) // id, 1x1, qtable 0
+      out.write(c)
+      out.write(if (subsample420 && c == 1) 0x22 else 0x11)
+      out.write(0) // qtable 0
     }
     def dht(tc: Int, counts: Array[Int], syms: Array[Int]): Unit = {
       marker(0xc4); be16(2 + 17 + syms.length); out.write(tc << 4)
@@ -377,9 +413,24 @@ object Jpeg {
     val dcCodes = huffCodes(DcCounts, DcSyms)
     val acCodes = huffCodes(AcCounts, AcSyms)
     val bits = new BitWriter(out)
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    // one MCU = one block per comp (4:4:4) or 4 luma + 2 chroma (4:2:0);
+    // the flat list below enumerates (comp, plane-bx, plane-by) in the
+    // exact interleave order the decoder consumes
+    val mcuSpan = if (subsample420) 16 else 8
+    val mw = (w + mcuSpan - 1) / mcuSpan
+    val mh = (h + mcuSpan - 1) / mcuSpan
+    val order = for {
+      my <- 0 until mh
+      mx <- 0 until mw
+      comp <- 0 until ncomp
+      v <- 0 until (if (subsample420 && comp == 0) 2 else 1)
+      u <- 0 until (if (subsample420 && comp == 0) 2 else 1)
+    } yield {
+      if (subsample420 && comp == 0) (comp, mx * 2 + u, my * 2 + v)
+      else (comp, mx, my)
+    }
     val pred = new Array[Int](ncomp)
-    for (by <- 0 until bh; bx <- 0 until bw; comp <- 0 until ncomp) {
+    for ((comp, bx, by) <- order) {
       val c = blocks(comp, bx, by)
       require(c.length == 64, "64 natural-order coefficients per block")
       val dcQ = {

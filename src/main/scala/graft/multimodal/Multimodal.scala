@@ -1264,6 +1264,27 @@ object Multimodal {
     }
   }
 
+  /** [[plantedColorJpegMedia]]'s 4:2:0 sibling — the dominant real-world
+    * JPEG layout (luma 2x2 + chroma 1x1 per MCU): a 32×16 image is two
+    * 16×16 MCUs of four luma blocks each, planted at
+    * `base + 20 + 4·bx + 8·by` with neutral subsampled chroma (flat
+    * chroma upsamples exactly, so R = G = B = Y survives end to end) →
+    * mean = base + 30, min = base + 20, max = base + 40.
+    */
+  def planted420JpegMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val base = (id % 100).toInt
+      MediaRow(id, "image", Jpeg.encodeBaseline(32, 16, quant = 8, 3,
+        (comp, bx, by) => {
+          val c = new Array[Int](64)
+          if (comp == 0) c(0) = 8 * (base + 20 + 4 * bx + 8 * by - 128)
+          c
+        }, subsample420 = true))
+    }
+  }
+
   /** [[syntheticMedia]] where EVERY doc gets a real LZW-compressed GIF:
     * 4-color palette `(base + 5c)` per channel with `base = id mod 200`,
     * index rule `(x + y) mod 4` over 8×8 (each color exactly 16 times →

@@ -386,6 +386,47 @@ class MultimodalSpec extends SparkSpec {
       (_, _) => new Array[Int](64))).exists(_._3 == 1))
   }
 
+  test("Jpeg.decode 4:2:0: subsampled MCU geometry, chroma replication, " +
+      "non-multiple-of-8 dims clip correctly") {
+    import graft.multimodal.Jpeg
+    // 32x16 = two 16x16 MCUs; luma ladder per block, neutral chroma
+    val j420 = Jpeg.encodeBaseline(32, 16, quant = 8, 3,
+      (comp, bx, by) => {
+        val c = new Array[Int](64)
+        if (comp == 0) c(0) = 8 * (40 + 4 * bx + 8 * by - 128)
+        c
+      }, subsample420 = true)
+    val Some((w, h, ch, px)) = Jpeg.decode(j420)
+    assert((w, h, ch) == ((32, 16, 3)))
+    for (y <- 0 until 16; x <- 0 until 32; c <- 0 until 3)
+      assert((px((y * 32 + x) * 3 + c) & 0xff) == 40 + 4 * (x / 8) + 8 * (y / 8),
+        s"channel $c at ($x,$y)")
+    // tinted flat subsampled chroma replicates through the upsample
+    val tinted = Jpeg.encodeBaseline(16, 16, quant = 8, 3,
+      (comp, _, _) => {
+        val c = new Array[Int](64)
+        c(0) = comp match { case 0 => 0; case 1 => 8 * 16; case 2 => -8 * 8 }
+        c
+      }, subsample420 = true)
+    val Some((_, _, _, tpx)) = Jpeg.decode(tinted)
+    val er = math.round(128 + 1.402 * -8).toInt
+    val eb = math.round(128 + 1.772 * 16).toInt
+    for (k <- 0 until 256) {
+      assert((tpx(k * 3) & 0xff) == er)
+      assert((tpx(k * 3 + 2) & 0xff) == eb)
+    }
+    // gray 12x10: 2x2 blocks, right/bottom blocks clipped to the image
+    val clipped = Jpeg.encodeGray(12, 10, quant = 8, (bx, by) => {
+      val c = new Array[Int](64)
+      c(0) = 8 * (10 * (bx + 2 * by) - 60) // blocks at 68,78,88,98
+      c
+    })
+    val Some((cw, chh, cpx)) = Jpeg.decodeGray(clipped)
+    assert((cw, chh) == ((12, 10)))
+    for (y <- 0 until 10; x <- 0 until 12)
+      assert((cpx(y * 12 + x) & 0xff) == 68 + 10 * (x / 8 + 2 * (y / 8)))
+  }
+
   test("jpegStats: planted baseline JPEGs match the closed form") {
     import spark.implicits._
     val docs = Seq((4L, "a"), (55L, "b"), (199L, "c"))
