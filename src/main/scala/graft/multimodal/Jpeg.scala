@@ -90,6 +90,24 @@ object Jpeg {
       }
       bad = true; 0
     }
+    /** Byte-align and consume the next restart marker, scanning past pad
+      * bytes (incl. a stuffed FF00 the 1-bit padding can produce).
+      * Returns the marker's low nibble (0-7), or -1 on anything else.
+      */
+    def restartMarker(): Int = {
+      nBits = 0 // discard pad bits
+      while (pos + 1 < d.length) {
+        val b = d(pos) & 0xff
+        if (b != 0xff) { pos += 1 } // pad byte
+        else {
+          val m = d(pos + 1) & 0xff
+          if (m == 0x00) pos += 2 // stuffed FF pad
+          else if (m >= 0xd0 && m <= 0xd7) { pos += 2; return m - 0xd0 }
+          else return -1
+        }
+      }
+      -1
+    }
   }
 
   /** T.81 F.2.2.1 EXTEND: map the s received bits to the signed value. */
@@ -124,6 +142,7 @@ object Jpeg {
     var scanDc: Array[Int] = null // per-component table ids (SOF order)
     var scanAc: Array[Int] = null
     var scanStart = -1
+    var restartInterval = 0
     while (scanStart < 0) {
       if (i + 4 > p.length || u8(i) != 0xff) return None
       val m = u8(i + 1)
@@ -177,7 +196,9 @@ object Jpeg {
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
           return None // non-baseline frame types: out of scope
-        case 0xdd => return None // restart intervals: out of scope
+        case 0xdd => // DRI: restart every n MCUs
+          if (len != 4) return None
+          restartInterval = be16(seg)
         case 0xda => // SOS
           if (ncomp == 0 || u8(seg) != ncomp) return None
           scanDc = new Array[Int](ncomp); scanAc = new Array[Int](ncomp)
@@ -207,10 +228,19 @@ object Jpeg {
     val r = new BitReader(p, scanStart)
     val coef = new Array[Int](64)
     val pred = new Array[Int](ncomp)
+    var mcuDone = 0
     var my = 0
     while (my < mcuH) {
       var mx = 0
       while (mx < mcuW) {
+        // restart boundary: byte-align, consume RSTn (cycling 0-7),
+        // reset every DC predictor (T.81 F.2.1.3.1)
+        if (restartInterval > 0 && mcuDone > 0 &&
+            mcuDone % restartInterval == 0) {
+          val m = r.restartMarker()
+          if (m != (mcuDone / restartInterval - 1) % 8) return None
+          java.util.Arrays.fill(pred, 0)
+        }
         var c = 0
         while (c < ncomp) { // interleaved MCU: hi x vi blocks per comp
           val q = qt(compQ(c))
@@ -250,6 +280,7 @@ object Jpeg {
           }
           c += 1
         }
+        mcuDone += 1
         mx += 1
       }
       my += 1
@@ -338,6 +369,9 @@ object Jpeg {
     }
     def flushWithOnes(): Unit =
       if (nBits > 0) { put(0x7f, 8 - nBits) } // pad bits (1s per spec)
+    def restart(m: Int): Unit = {
+      flushWithOnes(); out.write(0xff); out.write(0xd0 + m)
+    }
   }
 
   // simple valid custom tables: DC = 12 categories as 4-bit codes;
@@ -385,7 +419,8 @@ object Jpeg {
     */
   private[graft] def encodeBaseline(w: Int, h: Int, quant: Int,
       ncomp: Int, blocks: (Int, Int, Int) => Array[Int],
-      subsample420: Boolean = false): Array[Byte] = {
+      subsample420: Boolean = false,
+      restartInterval: Int = 0): Array[Byte] = {
     require(ncomp == 1 || ncomp == 3, "1 or 3 components")
     require(!subsample420 || ncomp == 3, "4:2:0 needs color")
     val out = new java.io.ByteArrayOutputStream()
@@ -407,6 +442,9 @@ object Jpeg {
     }
     dht(0, DcCounts, DcSyms)
     dht(1, AcCounts, AcSyms)
+    if (restartInterval > 0) { // DRI
+      marker(0xdd); be16(4); be16(restartInterval)
+    }
     marker(0xda); be16(6 + 2 * ncomp); out.write(ncomp) // SOS
     for (c <- 1 to ncomp) { out.write(c); out.write(0x00) }
     out.write(0); out.write(63); out.write(0) // spectral selection
@@ -419,9 +457,10 @@ object Jpeg {
     val mcuSpan = if (subsample420) 16 else 8
     val mw = (w + mcuSpan - 1) / mcuSpan
     val mh = (h + mcuSpan - 1) / mcuSpan
-    val order = for {
+    val mcus: Seq[Seq[(Int, Int, Int)]] = for {
       my <- 0 until mh
       mx <- 0 until mw
+    } yield for {
       comp <- 0 until ncomp
       v <- 0 until (if (subsample420 && comp == 0) 2 else 1)
       u <- 0 until (if (subsample420 && comp == 0) 2 else 1)
@@ -430,7 +469,17 @@ object Jpeg {
       else (comp, mx, my)
     }
     val pred = new Array[Int](ncomp)
-    for ((comp, bx, by) <- order) {
+    val flatOrder = mcus.zipWithIndex.flatMap { case (mcu, m) =>
+      // restart boundary marker interleaved as a pseudo-block
+      if (restartInterval > 0 && m > 0 && m % restartInterval == 0)
+        Seq((-1, (m / restartInterval - 1) % 8, 0)) ++ mcu
+      else mcu
+    }
+    for ((comp, bx, by) <- flatOrder) {
+      if (comp == -1) {
+        bits.restart(bx)
+        java.util.Arrays.fill(pred, 0)
+      } else {
       val c = blocks(comp, bx, by)
       require(c.length == 64, "64 natural-order coefficients per block")
       val dcQ = {
@@ -466,6 +515,7 @@ object Jpeg {
       }
       val (eob, el) = acCodes(0x00)
       bits.put(eob, el)
+      }
     }
     bits.flushWithOnes()
     marker(0xd9) // EOI

@@ -427,6 +427,41 @@ class MultimodalSpec extends SparkSpec {
       assert((cpx(y * 12 + x) & 0xff) == 68 + 10 * (x / 8 + 2 * (y / 8)))
   }
 
+  test("Jpeg restart intervals: DRI + RSTn resets the DC chain per " +
+      "interval, wrong marker sequence rejects") {
+    import graft.multimodal.Jpeg
+    // gray 32x8 = 4 MCUs, restart after every MCU: 3 RST markers, DC
+    // predictor reset at each — values must still round-trip exactly
+    val jpg = Jpeg.encodeBaseline(32, 8, quant = 8, 1,
+      (_, bx, _) => {
+        val c = new Array[Int](64); c(0) = 8 * (10 * bx - 88); c
+      }, restartInterval = 1)
+    assert(jpg.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 &&
+        (p(1) & 0xff) <= 0xd7) == 3)
+    val Some((w, h, px)) = Jpeg.decodeGray(jpg)
+    assert((w, h) == ((32, 8)))
+    for (y <- 0 until 8; x <- 0 until 32)
+      assert((px(y * 32 + x) & 0xff) == 40 + 10 * (x / 8))
+    // 4:2:0 color with restarts composes with the subsampled MCU loop
+    val j420 = Jpeg.encodeBaseline(32, 16, quant = 8, 3,
+      (comp, bx, by) => {
+        val c = new Array[Int](64)
+        if (comp == 0) c(0) = 8 * (40 + 4 * bx + 8 * by - 128)
+        c
+      }, subsample420 = true, restartInterval = 1)
+    val Some((_, _, _, cpx)) = Jpeg.decode(j420)
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert((cpx((y * 32 + x) * 3) & 0xff) == 40 + 4 * (x / 8) + 8 * (y / 8))
+    // a restart marker out of sequence is structural corruption
+    val broken = jpg.clone()
+    val at = broken.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd0)
+    assert(at > 0)
+    broken(at + 1) = 0xd5.toByte
+    assert(Jpeg.decodeGray(broken).isEmpty)
+  }
+
   test("jpegStats: planted baseline JPEGs match the closed form") {
     import spark.implicits._
     val docs = Seq((4L, "a"), (55L, "b"), (199L, "c"))
