@@ -684,8 +684,9 @@ object Multimodal {
     * GIF's ASCII magic ("GIF89a") is exactly the false-positive class
     * [[probeImage]] excludes for header-only probing — here the LZW
     * stream must DECODE to width×height pixels with in-range color
-    * indices, so a text document discussing GIFs cannot pass. Interlaced,
-    * local-color-table-less-with-no-GCT, and >8-bit-code files return
+    * indices, so a text document discussing GIFs cannot pass. Interlaced
+    * frames are de-interlaced through the four-pass row map;
+    * local-color-table-less-with-no-GCT and >8-bit-code files return
     * None; callers fall back to the stub.
     */
   def decodeGif(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
@@ -723,7 +724,7 @@ object Multimodal {
           if (i + 10 > p.length) return None
           val (fw, fh) = (le16(i + 5), le16(i + 7))
           val fpacked = u8(i + 9)
-          if ((fpacked & 0x40) != 0) return None // interlaced: out of scope
+          val interlaced = (fpacked & 0x40) != 0
           i += 10
           var table = gct
           if ((fpacked & 0x80) != 0) {
@@ -748,8 +749,20 @@ object Multimodal {
           i += 1 // block terminator
           frames += 1
           if (first == null) {
-            val idxs = lzwDecode(data.toByteArray, minCode, fw * fh)
+            val stored = lzwDecode(data.toByteArray, minCode, fw * fh)
               .getOrElse(return None)
+            // interlaced frames store rows in the four GIF passes
+            // (8/8, 8/8+4, 4/4+2, 2/2+1) — map back to display order
+            val idxs =
+              if (!interlaced) stored
+              else {
+                val order = (0 until fh by 8) ++ (4 until fh by 8) ++
+                  (2 until fh by 4) ++ (1 until fh by 2)
+                val t = new Array[Byte](fw * fh)
+                for ((actual, k) <- order.zipWithIndex)
+                  System.arraycopy(stored, k * fw, t, actual * fw, fw)
+                t
+              }
             val nColors = table.length / 3
             val rgb = new Array[Byte](fw * fh * 3)
             var k = 0
@@ -861,7 +874,8 @@ object Multimodal {
     * timing).
     */
   private[graft] def gifBytes(w: Int, h: Int, palette: Array[Byte],
-      idx: (Int, Int) => Int, nFrames: Int = 1): Array[Byte] = {
+      idx: (Int, Int) => Int, nFrames: Int = 1,
+      interlaced: Boolean = false): Array[Byte] = {
     val nColors = palette.length / 3
     require(palette.length % 3 == 0 && nColors >= 2 && nColors <= 256 &&
       (nColors & (nColors - 1)) == 0, "palette must be a power of two")
@@ -869,11 +883,15 @@ object Multimodal {
     val minCode = math.max(2, sizeBits)
     val clear = 1 << minCode
     val eoi = clear + 1
+    val rowOrder =
+      if (!interlaced) 0 until h
+      else (0 until h by 8) ++ (4 until h by 8) ++
+        (2 until h by 4) ++ (1 until h by 2)
     val pix = new Array[Int](w * h)
-    for (y <- 0 until h; x <- 0 until w) {
+    for ((y, row) <- rowOrder.zipWithIndex; x <- 0 until w) {
       val c = idx(x, y)
       require(c >= 0 && c < nColors, s"index $c out of palette")
-      pix(y * w + x) = c
+      pix(row * w + x) = c
     }
     // LZW encode (LSB-first bit packing)
     val bits = new java.io.ByteArrayOutputStream()
@@ -917,7 +935,8 @@ object Multimodal {
     out.write(0); out.write(0) // background, aspect
     out.write(palette, 0, palette.length)
     for (_ <- 0 until nFrames) {
-      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h)
+      out.write(if (interlaced) 0x40 else 0)
       out.write(minCode)
       var off = 0
       while (off < lzw.length) {

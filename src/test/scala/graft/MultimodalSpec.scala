@@ -294,6 +294,16 @@ class MultimodalSpec extends SparkSpec {
     val wantIdx = Seq(0, 1, 2, 3, 0)
     for (k <- 0 until 5; c <- 0 until 3)
       assert(hpx(k * 3 + c) == (10 * wantIdx(k) + c).toByte)
+    // INTERLACED frame: rows stored in the four GIF passes come back in
+    // display order through the de-interlace map (h=10 exercises all
+    // four pass strides with a non-multiple height)
+    val il = Multimodal.gifBytes(7, 10, pal, (x, y) => (x * 3 + y) % 4,
+      interlaced = true)
+    val Some((iw, ih, _, ipx)) = Multimodal.decodeGif(il)
+    assert((iw, ih) == ((7, 10)))
+    for (y <- 0 until 10; x <- 0 until 7; c <- 0 until 3)
+      assert(ipx((y * 7 + x) * 3 + c) == pal(((x * 3 + y) % 4) * 3 + c),
+        s"deinterlaced pixel ($x,$y)")
     // decodeMeta: a real GIF resolves with its true frame count; TEXT
     // starting with the GIF magic structurally fails the LZW decode and
     // falls back to the stub — the false-positive class is closed by the
