@@ -1,9 +1,9 @@
 package graft.multimodal
 
-/** Pure-JVM baseline JPEG codec (ITU T.81 sequential DCT), scoped to the
-  * tractable-and-exact subset: 8-bit grayscale or interleaved YCbCr
-  * 4:4:4 color (JFIF matrix), one scan, no subsampling, no restart
-  * intervals. Subsampled/progressive files return None (callers fall
+/** Pure-JVM baseline JPEG codec (ITU T.81 sequential DCT): 8-bit
+  * grayscale or interleaved YCbCr color (JFIF matrix) with 4:4:4,
+  * 4:2:2 and 4:2:0 subsampling, one scan, and DRI/RSTn restart
+  * intervals. Progressive (SOF2) files return None (callers fall
   * back to the header probe + stub), which keeps every shipped claim
   * honest: what decodes, decodes for real — markers, canonical Huffman
   * tables, per-component differential DC, AC run-length, zigzag,
@@ -123,8 +123,9 @@ object Jpeg {
     * with the JFIF matrix). Sampling factors 1 and 2 are supported per
     * component, which covers the layouts that exist in practice — 4:4:4,
     * 4:2:0 (the dominant one: luma 2x2, chroma 1x1 per MCU) and 4:2:2 —
-    * with chroma upsampled by sample replication. Progressive and
-    * restart-interval files return None.
+    * with chroma upsampled by sample replication. Restart intervals
+    * (DRI/RSTn) are consumed with per-marker DC reset. Progressive
+    * (SOF2) files return None.
     */
   def decode(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     def u8(i: Int) = p(i) & 0xff
@@ -177,6 +178,7 @@ object Jpeg {
             j += 17 + n
           }
         case 0xc0 => // SOF0 baseline
+          if (seg + 6 > segEnd) return None // truncated frame header
           if (u8(seg) != 8) return None // precision
           h = be16(seg + 1); w = be16(seg + 3)
           ncomp = u8(seg + 5)
@@ -200,7 +202,10 @@ object Jpeg {
           if (len != 4) return None
           restartInterval = be16(seg)
         case 0xda => // SOS
+          if (seg + 1 > segEnd) return None // truncated scan header
           if (ncomp == 0 || u8(seg) != ncomp) return None
+          // component selectors + Ss/Se/Ah-Al must fit the segment
+          if (seg + 1 + 2 * ncomp + 3 > segEnd) return None
           scanDc = new Array[Int](ncomp); scanAc = new Array[Int](ncomp)
           for (c <- 0 until ncomp) {
             val sel = u8(seg + 1 + 2 * c)

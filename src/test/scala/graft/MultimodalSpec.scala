@@ -352,6 +352,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Jpeg.decodeGray("not a jpeg".getBytes("UTF-8")).isEmpty)
     assert(Jpeg.decodeGray(jpg.dropRight(6)).isEmpty)
     assert(Jpeg.decodeGray(Array.empty[Byte]).isEmpty)
+    // HEADER truncation (not just scan-tail): a SOF0 whose declared
+    // segment length leaves no room for the frame header must reject,
+    // not throw — the poison-payload contract is None, never an
+    // exception (the segment bytes after the length simply don't exist)
+    assert(Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc0.toByte, 0x00, 0x02)).isEmpty)
+    // SOF0 length covers the fixed header but not the per-component
+    // bytes it declares
+    assert(Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc0.toByte, 0x00, 0x08,
+      8, 0, 8, 0, 8, 1)).isEmpty)
+    // SOS whose declared length can't hold its component selectors +
+    // spectral-selection bytes
+    val sosTrunc = {
+      // keep everything up to the SOS marker, then a length-3 SOS that
+      // holds only the component count
+      val at = jpg.sliding(2).indexWhere(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+      assert(at > 0)
+      jpg.take(at + 2) ++ Array[Byte](0x00, 0x03, 0x01)
+    }
+    assert(Jpeg.decode(sosTrunc).isEmpty)
     // content-based feature path: a decodable JPEG no longer gets the
     // md5 stub feature (flat gray at 128-ish → near-zero mean dims)
     val flat = Jpeg.encodeGray(8, 8, quant = 8, (_, _) => new Array[Int](64))
