@@ -541,6 +541,23 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // CONTENT-derived embedding for EVERY decodable payload class: one
+    // mixed planting (color-JPEG / GIF / WAV / raw text by id mod 4)
+    // routes through the feature seam — JPEG and GIF pixels through
+    // pixelFeature, WAV samples through audioFeature, and the md5 stub
+    // survives ONLY on the text arm. The oracle derives all 8 dims of
+    // all four classes from the id formulas (every dim is bit-exact:
+    // power-of-two pixel counts and an exactly-dividing sample count
+    // keep the means/variances closed-form).
+    "q86_content_embed" -> ((s, dir) => {
+      Multimodal.extract(Multimodal.plantedContentMedia(s, docs(s, dir)))
+        .toDF()
+        .select((col("media_id") +:
+          (0 until 8).map(d =>
+            round(element_at(col("feature"), d + 1), 6).as(s"f$d"))): _*)
+        .orderBy(col("media_id"))
+    }),
+
     // REAL baseline-JPEG decode: marker walk → canonical Huffman →
     // differential DC across MCUs → dequant → full IDCT; planted
     // coefficients are quant multiples so the decoded grayscale is exact
@@ -1869,6 +1886,71 @@ object NorthStar {
          CAST(doc_id % 100 + 28 AS INT) AS min_r,
          CAST(doc_id % 100 + 58 AS INT) AS max_r
          FROM documents ORDER BY media_id""",
+    "q86_content_embed" ->
+      """WITH jf AS (SELECT doc_id AS media_id,
+           CAST(doc_id % 100 AS DOUBLE) AS b FROM documents
+           WHERE doc_id % 4 = 0),
+         jpeg AS (SELECT media_id,
+           (b + 43.0) / 128.0 - 1.0 AS f0,
+           (b + 43.0) / 128.0 - 1.0 AS f1,
+           (b + 43.0) / 128.0 - 1.0 AS f2,
+           sqrt(125.0) / 128.0 AS f3,
+           sqrt(125.0) / 128.0 AS f4,
+           sqrt(125.0) / 128.0 AS f5,
+           2.0 * 32.0 / 40.0 - 1.0 AS f6,
+           (CASE WHEN b + 28 > 128 THEN 64 ELSE 0 END
+            + CASE WHEN b + 38 > 128 THEN 64 ELSE 0 END
+            + CASE WHEN b + 48 > 128 THEN 64 ELSE 0 END
+            + CASE WHEN b + 58 > 128 THEN 64 ELSE 0 END) / 256.0 AS f7
+           FROM jf),
+         gf AS (SELECT doc_id AS media_id,
+           CAST(doc_id % 200 AS DOUBLE) AS b FROM documents
+           WHERE doc_id % 4 = 1),
+         gif AS (SELECT media_id,
+           (b + 7.5) / 128.0 - 1.0 AS f0,
+           (b + 7.5) / 128.0 - 1.0 AS f1,
+           (b + 7.5) / 128.0 - 1.0 AS f2,
+           sqrt(31.25) / 128.0 AS f3,
+           sqrt(31.25) / 128.0 AS f4,
+           sqrt(31.25) / 128.0 AS f5,
+           0.0 AS f6,
+           (CASE WHEN b > 128 THEN 16 ELSE 0 END
+            + CASE WHEN b + 5 > 128 THEN 16 ELSE 0 END
+            + CASE WHEN b + 10 > 128 THEN 16 ELSE 0 END
+            + CASE WHEN b + 15 > 128 THEN 16 ELSE 0 END) / 64.0 AS f7
+           FROM gf),
+         wf AS (SELECT doc_id AS media_id,
+           CAST(doc_id % 1000 AS DOUBLE) AS b FROM documents
+           WHERE doc_id % 4 = 2),
+         wav AS (SELECT media_id,
+           (b + 8.0) / 32768.0 AS f0,
+           sqrt(24.0) / 32768.0 AS f1,
+           (b + 8.0) / 32768.0 AS f2,
+           b / 32768.0 AS f3,
+           (b + 16.0) / 32768.0 AS f4,
+           0.0 AS f5,
+           0.125 AS f6,
+           170.0 / 8170.0 AS f7
+           FROM wf),
+         sf AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents
+           WHERE doc_id % 4 = 3),
+         stub AS (SELECT media_id,
+           CAST(('0x' || substr(h, 1, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0 AS f0,
+           CAST(('0x' || substr(h, 5, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0 AS f1,
+           CAST(('0x' || substr(h, 9, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0 AS f2,
+           CAST(('0x' || substr(h, 13, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0 AS f3,
+           CAST(('0x' || substr(h, 17, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0 AS f4,
+           CAST(('0x' || substr(h, 21, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0 AS f5,
+           CAST(('0x' || substr(h, 25, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0 AS f6,
+           CAST(('0x' || substr(h, 29, 4)) AS BIGINT) / 65536.0 * 2.0 - 1.0 AS f7
+           FROM sf),
+         u AS (SELECT * FROM jpeg UNION ALL SELECT * FROM gif
+           UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM stub)
+         SELECT media_id,
+           round(f0, 6) AS f0, round(f1, 6) AS f1, round(f2, 6) AS f2,
+           round(f3, 6) AS f3, round(f4, 6) AS f4, round(f5, 6) AS f5,
+           round(f6, 6) AS f6, round(f7, 6) AS f7
+         FROM u ORDER BY media_id""",
     "q83_jpeg_stats" ->
       """SELECT doc_id AS media_id,
          CAST(32 AS INT) AS width, CAST(8 AS INT) AS height,

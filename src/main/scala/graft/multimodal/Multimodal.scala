@@ -455,11 +455,52 @@ object Multimodal {
     out
   }
 
+  /** 8-dim CONTENT-derived feature from decoded PCM samples — the audio
+    * analogue of [[pixelFeature]]: amplitude mean, std and mean-abs
+    * (int16-range normalized), min, max, strict zero-crossing fraction
+    * (consecutive-sample products < 0), a channel-count dim, and the
+    * clip duration squashed to (0,1) as n/(n + rate) = dur/(dur + 1 s).
+    * Every dim is exact closed-form arithmetic over the samples, so a
+    * SQL oracle can reproduce it from a planted sample rule.
+    */
+  private def audioFeature(rate: Int, channels: Int,
+      samples: Array[Short]): Array[Double] = {
+    val out = new Array[Double](8)
+    val n = samples.length
+    out(6) = channels / 8.0 // decodeWav caps channels at 8
+    out(7) = n.toDouble / (n + rate)
+    if (n == 0) return out
+    var sum = 0L; var sumSq = 0L; var sumAbs = 0L
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var crossings = 0L
+    var i = 0
+    while (i < n) {
+      val v: Int = samples(i)
+      sum += v; sumSq += v.toLong * v; sumAbs += math.abs(v)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (i > 0 && samples(i - 1).toLong * v < 0) crossings += 1
+      i += 1
+    }
+    val mean = sum.toDouble / n
+    out(0) = mean / 32768.0
+    out(1) = math.sqrt(math.max(0.0,
+      sumSq.toDouble / n - mean * mean)) / 32768.0
+    out(2) = sumAbs.toDouble / n / 32768.0
+    out(3) = mn / 32768.0
+    out(4) = mx / 32768.0
+    out(5) = if (n < 2) 0.0 else crossings.toDouble / (n - 1)
+    out
+  }
+
   /** Feature extraction: resize dims, frame sampling, and an 8-dim
-    * embedding — CONTENT-derived ([[pixelFeature]]) when the payload is a
-    * decodable PNG, md5-arithmetic stub otherwise, so every payload gets a
-    * deterministic oracle-reproducible feature and a real model call has
-    * exactly one seam to fill.
+    * embedding — CONTENT-derived for every payload class the repo can
+    * decode (PNG via [[decodePixels]], gray/color baseline JPEG via
+    * [[Jpeg.decode]], GIF first-frame pixels via [[decodeGif]], WAV/PCM
+    * samples via [[decodeWav]] → [[audioFeature]]); the md5-arithmetic
+    * stub remains ONLY for genuinely undecodable bytes, so every payload
+    * gets a deterministic oracle-reproducible feature and a real learned
+    * encoder has exactly one seam to fill.
     */
   def extractStub(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
     val meta = decodeMeta(id, kind, payload)
@@ -469,8 +510,14 @@ object Multimodal {
     val frames = (0 until 4).map(j => (j * meta.n_frames) / 4).distinct
     val feature = decodePixels(payload)
       .map { case (w, h, channels, px) => pixelFeature(w, h, channels, px) }
-      .orElse(Jpeg.decodeGray(payload).map { case (w, h, px) =>
-        pixelFeature(w, h, 1, px) // gray replicates across RGB dims
+      .orElse(Jpeg.decode(payload).map { case (w, h, channels, px) =>
+        pixelFeature(w, h, channels, px) // gray replicates across RGB dims
+      })
+      .orElse(decodeGif(payload).map { case (w, h, _, px) =>
+        pixelFeature(w, h, 3, px) // first frame, palette-expanded RGB
+      })
+      .orElse(decodeWav(payload).map { case (rate, channels, samples) =>
+        audioFeature(rate, channels, samples)
       })
       .getOrElse {
         val md = MessageDigest.getInstance("MD5")
@@ -1319,6 +1366,49 @@ object Multimodal {
       MediaRow(id, "image", gifBytes(8, 8, palette,
         (x, y) => (x + y) % 4, nFrames = 1 + (id % 4).toInt))
     }
+  }
+
+  /** [[syntheticMedia]] with a MIXED planting that exercises every real
+    * decoder behind the feature seam ([[extractStub]]), by `media_id % 4`:
+    *
+    *   - 0 → color baseline JPEG ([[plantedColorJpegMedia]]'s 32×8 form:
+    *     R = G = B ∈ {base+28+10·b} with base = id mod 100),
+    *   - 1 → LZW GIF ([[plantedGifMedia]]'s 8×8 form: R = G = B ∈
+    *     {base+5·c} with base = id mod 200, 1 + id mod 4 frames),
+    *   - 2 → 16-bit PCM WAV ([[plantedAudioMedia]]'s 8 kHz mono clip:
+    *     samples base + (i mod 17), base = id mod 1000),
+    *   - 3 → the raw text bytes (undecodable → md5 stub fallback),
+    *
+    * so a SQL oracle can assert the CONTENT-derived feature of every
+    * class from the id formulas alone.
+    */
+  def plantedContentMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        (id % 4) match {
+          case 0 =>
+            val base = (id % 100).toInt
+            MediaRow(id, "image", Jpeg.encodeBaseline(32, 8, quant = 8, 3,
+              (comp, bx, _) => {
+                val c = new Array[Int](64)
+                if (comp == 0) c(0) = 8 * (base + 10 * bx - 100)
+                c
+              }))
+          case 1 =>
+            val base = (id % 200).toInt
+            val palette = Array.tabulate(12)(i => (base + 5 * (i / 3)).toByte)
+            MediaRow(id, "image", gifBytes(8, 8, palette,
+              (x, y) => (x + y) % 4, nFrames = 1 + (id % 4).toInt))
+          case 2 =>
+            val base = (id % 1000).toInt
+            val samples = Array.tabulate(170)(i => (base + i % 17).toShort)
+            MediaRow(id, "audio", wavBytes(8000, 1, samples))
+          case _ =>
+            MediaRow(id, "image", text.getBytes("UTF-8"))
+        }
+      }
   }
 
   /** [[syntheticMedia]] where EVERY doc gets a real AVI header whose

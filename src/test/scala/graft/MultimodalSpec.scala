@@ -527,6 +527,57 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("extractStub feature seam: every decodable class gets a CONTENT-" +
+      "derived embedding; the md5 stub survives only on undecodable bytes") {
+    import graft.multimodal.Jpeg
+    import spark.implicits._
+    // end-to-end through the mixed planting: ids 8/5/6/7 hit the four
+    // arms (jpeg/gif/wav/text)
+    val docs = Seq((8L, "jpeg arm"), (5L, "gif arm"), (6L, "wav arm"),
+      (7L, "text arm")).toDF("doc_id", "text")
+    val feats = Multimodal.extract(Multimodal.plantedContentMedia(spark, docs))
+      .collect().map(f => f.media_id -> f.feature).toMap
+    // color JPEG (base 8): R=G=B in {36,46,56,66}, each 64 of 256 px
+    val j = feats(8L)
+    assert(j.take(3).forall(_ == (8 + 43.0) / 128.0 - 1.0))
+    assert(j.slice(3, 6).forall(_ == math.sqrt(125.0) / 128.0))
+    assert(j(6) == 2.0 * 32 / 40 - 1.0) // aspect dim (not exactly 0.6!)
+    assert(j(7) == 0.0) // max pixel 66 <= 128: none bright
+    // GIF (base 5): R=G=B in {5,10,15,20}, each 16 of 64 px
+    val g = feats(5L)
+    assert(g.take(3).forall(_ == (5 + 7.5) / 128.0 - 1.0))
+    assert(g.slice(3, 6).forall(_ == math.sqrt(31.25) / 128.0))
+    assert(g(6) == 0.0 && g(7) == 0.0)
+    // WAV (base 6): samples 6..22, each value 10 of 170
+    val a = feats(6L)
+    assert(a(0) == 14.0 / 32768.0 && a(2) == 14.0 / 32768.0)
+    assert(a(1) == math.sqrt(24.0) / 32768.0)
+    assert(a(3) == 6.0 / 32768.0 && a(4) == 22.0 / 32768.0)
+    assert(a(5) == 0.0) // all non-negative: no strict sign change
+    assert(a(6) == 0.125 && a(7) == 170.0 / 8170.0)
+    // text arm: exactly the md5 stub
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("text arm".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(feats(7L).sameElements(Array.tabulate(8) { d =>
+      java.lang.Long.parseLong(hex.substring(4 * d, 4 * d + 4), 16)
+        .toDouble / 65536.0 * 2.0 - 1.0
+    }))
+    // zero-crossing dim: an alternating-sign stereo clip crosses at
+    // every step → f5 = 1.0, mean 0 within rounding of the pair sums
+    val alt = Array.tabulate(64)(i =>
+      (if (i % 2 == 0) 500 else -500).toShort)
+    val f = Multimodal.extractStub(9L, "audio",
+      Multimodal.wavBytes(44100, 2, alt)).feature
+    assert(f(0) == 0.0 && f(5) == 1.0)
+    assert(f(3) == -500.0 / 32768.0 && f(4) == 500.0 / 32768.0)
+    assert(f(6) == 0.25 && f(7) == 64.0 / (64 + 44100))
+    // a gray JPEG still routes through the (now unified) Jpeg.decode arm
+    val flat = Jpeg.encodeGray(8, 8, 8, (_, _) => new Array[Int](64))
+    val gray = Multimodal.extractStub(10L, "image", flat).feature
+    assert(gray.take(6).forall(_ == 0.0))
+  }
+
   test("audioStats: decoded PCM stats match the planted closed form") {
     import spark.implicits._
     val docs = Seq((3L, "a"), (999L, "b"), (1001L, "c"))
