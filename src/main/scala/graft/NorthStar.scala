@@ -541,6 +541,19 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // PROGRESSIVE (SOF2) JPEG decode: the q84 color fixture re-encoded
+    // as a multi-scan successive-approximation file (DC first pass at
+    // Al=1, DC refinement bits, per-component AC scans with EOB runs
+    // spanning blocks). Matching q84's closed form against THIS planting
+    // proves the Annex-G machinery end to end: the pixel values only
+    // come out right if every scan composes correctly.
+    "q87_jpeg_progressive" -> ((s, dir) => {
+      Multimodal.jpegColorStats(
+        Multimodal.plantedProgressiveJpegMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // CONTENT-derived embedding for EVERY decodable payload class: one
     // mixed planting (color-JPEG / GIF / WAV / raw text by id mod 4)
     // routes through the feature seam — JPEG and GIF pixels through
@@ -1878,6 +1891,15 @@ object NorthStar {
          CAST(doc_id % 100 + 40 AS INT) AS max_r
          FROM documents ORDER BY media_id""",
     "q84_jpeg_color" ->
+      """SELECT doc_id AS media_id,
+         CAST(32 AS INT) AS width, CAST(8 AS INT) AS height,
+         CAST(doc_id % 100 + 43 AS DOUBLE) AS mean_r,
+         CAST(doc_id % 100 + 43 AS DOUBLE) AS mean_g,
+         CAST(doc_id % 100 + 43 AS DOUBLE) AS mean_b,
+         CAST(doc_id % 100 + 28 AS INT) AS min_r,
+         CAST(doc_id % 100 + 58 AS INT) AS max_r
+         FROM documents ORDER BY media_id""",
+    "q87_jpeg_progressive" ->
       """SELECT doc_id AS media_id,
          CAST(32 AS INT) AS width, CAST(8 AS INT) AS height,
          CAST(doc_id % 100 + 43 AS DOUBLE) AS mean_r,

@@ -1368,6 +1368,28 @@ object Multimodal {
     }
   }
 
+  /** [[plantedColorJpegMedia]]'s PROGRESSIVE sibling: the exact same
+    * 32×8 color content (luma ladder base + 28 + 10·b, neutral chroma)
+    * re-encoded as a multi-scan SOF2 file — DC first pass at Al = 1,
+    * DC refinement bits, and per-component AC scans whose EOB runs span
+    * all four blocks — so an oracle asserting q84's closed form against
+    * THIS planting proves the full Annex-G successive-approximation
+    * decode, not the baseline path.
+    */
+  def plantedProgressiveJpegMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val base = (id % 100).toInt
+      MediaRow(id, "image", Jpeg.encodeProgressive(32, 8, quant = 8, 3,
+        (comp, bx, _) => {
+          val c = new Array[Int](64)
+          if (comp == 0) c(0) = 8 * (base + 10 * bx - 100)
+          c
+        }))
+    }
+  }
+
   /** [[syntheticMedia]] with a MIXED planting that exercises every real
     * decoder behind the feature seam ([[extractStub]]), by `media_id % 4`:
     *

@@ -494,6 +494,82 @@ class MultimodalSpec extends SparkSpec {
     assert(Jpeg.decodeGray(broken).isEmpty)
   }
 
+  test("Jpeg progressive: multi-scan successive approximation recovers " +
+      "exact pixels — odd DC values need the refinement bit, AC " +
+      "coefficients arrive shifted + corrected, EOB runs span blocks") {
+    import graft.multimodal.Jpeg
+    // gray 32x8 with ODD quantized DC values (-87,-77,-67,-57): the
+    // Al=1 first pass alone would be off by one — pixels are exact only
+    // if the DC refinement scan lands
+    val odd = Jpeg.encodeProgressive(32, 8, quant = 8, 1,
+      (_, bx, _) => {
+        val c = new Array[Int](64); c(0) = 8 * (10 * bx - 87); c
+      })
+    val Some((w, h, ch, px)) = Jpeg.decode(odd)
+    assert((w, h, ch) == ((32, 8, 1)))
+    for (y <- 0 until 8; x <- 0 until 32)
+      assert((px(y * 32 + x) & 0xff) == 41 + 10 * (x / 8),
+        s"progressive pixel ($x,$y)")
+    // progressive == baseline on identical planted content (color)
+    def blocks(comp: Int, bx: Int, by: Int): Array[Int] = {
+      val c = new Array[Int](64)
+      if (comp == 0) c(0) = 8 * (10 * bx - 88)
+      if (comp == 2) c(0) = 8 * 16
+      c
+    }
+    val prog = Jpeg.decode(Jpeg.encodeProgressive(32, 8, 8, 3, blocks))
+    val base = Jpeg.decode(Jpeg.encodeBaseline(32, 8, 8, 3, blocks))
+    assert(prog.isDefined && base.isDefined)
+    assert(prog.get._4.sameElements(base.get._4))
+    // a nonzero AC coefficient (±2·quant) travels through the Al=1
+    // first scan + correction-bit refinement run; assert against the
+    // IDCT formula directly (DC=0, AC at natural position 1 = 16)
+    val acProg = Jpeg.encodeProgressive(8, 8, 8, 1,
+      (_, _, _) => { val c = new Array[Int](64); c(1) = 16; c })
+    val Some((_, _, _, apx)) = Jpeg.decode(acProg)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val expect = math.round(
+        0.7071067811865476 * 16 * math.cos((2 * x + 1) * math.Pi / 16) / 4
+      ).toInt + 128
+      assert((apx(y * 8 + x) & 0xff) == expect, s"prog AC pixel ($x,$y)")
+    }
+    // mixed: AC only in block 2 of 4 — splits the EOB run on both sides
+    val mixed = Jpeg.encodeProgressive(32, 8, 8, 1,
+      (_, bx, _) => {
+        val c = new Array[Int](64)
+        c(0) = 8 * (10 * bx - 88)
+        if (bx == 2) c(1) = -16
+        c
+      })
+    val Some((_, _, _, mpx)) = Jpeg.decode(mixed)
+    for (y <- 0 until 8; x <- 0 until 32) {
+      val dc = 40 + 10 * (x / 8)
+      val ac = if (x / 8 == 2)
+        math.round(0.7071067811865476 * -16 *
+          math.cos((2 * (x % 8) + 1) * math.Pi / 16) / 4).toInt
+      else 0
+      assert((mpx(y * 32 + x) & 0xff) == dc + ac, s"mixed pixel ($x,$y)")
+    }
+    // restart intervals inside progressive scans: markers cycle per
+    // scan, DC predictors and EOB runs reset
+    val rst = Jpeg.encodeProgressive(32, 8, 8, 1,
+      (_, bx, _) => {
+        val c = new Array[Int](64); c(0) = 8 * (10 * bx - 87); c
+      }, restartInterval = 1)
+    val Some((_, _, _, rpx)) = Jpeg.decode(rst)
+    for (y <- 0 until 8; x <- 0 until 32)
+      assert((rpx(y * 32 + x) & 0xff) == 41 + 10 * (x / 8))
+    // rejects: truncated mid-scan, missing EOI, empty band edge cases
+    assert(Jpeg.decode(odd.dropRight(6)).isEmpty)
+    assert(Jpeg.decode(odd.dropRight(2)).isEmpty) // EOI cut off
+    // the feature seam now derives content features from progressive
+    // payloads too (flat mid-gray → zero mean/std dims)
+    val flat = Jpeg.encodeProgressive(8, 8, 8, 1,
+      (_, _, _) => new Array[Int](64))
+    val f = Multimodal.extractStub(11L, "image", flat).feature
+    assert(f.take(6).forall(_ == 0.0))
+  }
+
   test("jpegStats: planted baseline JPEGs match the closed form") {
     import spark.implicits._
     val docs = Seq((4L, "a"), (55L, "b"), (199L, "c"))
