@@ -61,8 +61,14 @@ object ManifestSink extends Ingest.DestinationSink {
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def commitLock(destPath: String): Object =
-    commitLocks.computeIfAbsent(destPath, _ => new Object)
+  /** Key on the fully-qualified URI so equivalent spellings of one
+    * destination (trailing slash, `file:/x` vs `/x`, relative path) share
+    * a single monitor — distinct keys would silently defeat the same-JVM
+    * serialization above.
+    */
+  private def commitLock(fs: FileSystem, destPath: String): Object =
+    commitLocks.computeIfAbsent(
+      fs.makeQualified(new Path(destPath)).toString, _ => new Object)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -206,7 +212,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val tmp = new Path(lp, s".tmp_compact_$version")
     writeFile(fs, tmp, body)
     val fin = new Path(lp, f"$version%012d__compact.manifest")
-    commitLock(destPath).synchronized {
+    commitLock(fs, destPath).synchronized {
       require(fs.rename(tmp, fin),
         s"[graft] compaction commit failed: $fin already exists?")
     }
@@ -340,7 +346,7 @@ object ManifestSink extends Ingest.DestinationSink {
     var attempt = 0
     var committed = false
     while (!committed) {
-      commitLock(destPath).synchronized {
+      commitLock(fs, destPath).synchronized {
         val version = manifests(fs, destPath)
           .map(_.getName.takeWhile(_.isDigit).toLong)
           .maxOption.getOrElse(-1L) + 1

@@ -196,6 +196,7 @@ object Jpeg {
             if (compH(c) < 1 || compH(c) > 2 ||
                 compV(c) < 1 || compV(c) > 2) return None
             compQ(c) = u8(seg + 8 + 3 * c)
+            if (compQ(c) > 3) return None // qt has 4 slots (B.2.2)
           }
           if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
         case 0xc2 => // SOF2 progressive: hand the whole file to Annex G
@@ -218,6 +219,9 @@ object Jpeg {
             if (sofIdx < 0) return None
             scanDc(sofIdx) = u8(seg + 2 + 2 * c) >> 4
             scanAc(sofIdx) = u8(seg + 2 + 2 * c) & 15
+            // table ids are 4-bit on the wire but the slot arrays have 4
+            // entries (B.2.3) — reject instead of indexing out of bounds
+            if (scanDc(sofIdx) > 3 || scanAc(sofIdx) > 3) return None
           }
           scanStart = segEnd
         case _ => () // APPn/COM/etc: skip
@@ -449,6 +453,7 @@ object Jpeg {
             if (compH(c) < 1 || compH(c) > 2 ||
                 compV(c) < 1 || compV(c) > 2) return None
             compQ(c) = u8(seg + 8 + 3 * c)
+            if (compQ(c) > 3) return None // qt has 4 slots (B.2.2)
           }
           if (w <= 0 || h <= 0 || w.toLong * h > (1L << 22)) return None
           hmax = compH.max; vmax = compV.max
@@ -479,6 +484,9 @@ object Jpeg {
             scanComp(j) = idx
             scanDc(j) = u8(seg + 2 + 2 * j) >> 4
             scanAc(j) = u8(seg + 2 + 2 * j) & 15
+            // 4-bit wire ids vs 4-entry slot arrays (B.2.3): reject here
+            // rather than index dcT/acT out of bounds below
+            if (scanDc(j) > 3 || scanAc(j) > 3) return None
           }
           val ss = u8(seg + 1 + 2 * ns)
           val se = u8(seg + 2 + 2 * ns)

@@ -374,6 +374,25 @@ class MultimodalSpec extends SparkSpec {
       jpg.take(at + 2) ++ Array[Byte](0x00, 0x03, 0x01)
     }
     assert(Jpeg.decode(sosTrunc).isEmpty)
+    // table SELECTORS are 4-bit on the wire but the slot arrays hold 4
+    // entries: a file claiming quant table 4 or DC/AC table 4 must
+    // reject at parse, not AIOOBE at qt(compQ)/dcT(scanDc) lookup
+    def marker(b: Array[Byte], m: Int): Int = {
+      val at = b.sliding(2).indexWhere(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+      assert(at > 0); at
+    }
+    def patched(b: Array[Byte], idx: Int, v: Int): Array[Byte] = {
+      val c = b.clone(); c(idx) = v.toByte; c
+    }
+    // SOF0: FFC0 len(2) prec h(2) w(2) ncomp id HV Tq → Tq at sof+12
+    assert(Jpeg.decode(patched(jpg, marker(jpg, 0xc0) + 12, 4)).isEmpty)
+    // SOS: FFDA len(2) ns sel TdTa → TdTa at sos+6; 0x40 = DC table 4
+    assert(Jpeg.decode(patched(jpg, marker(jpg, 0xda) + 6, 0x40)).isEmpty)
+    val prog = Jpeg.encodeProgressive(8, 8, quant = 8, 1,
+      (_, _, _) => { val c = new Array[Int](64); c(0) = 8; c })
+    assert(Jpeg.decode(patched(prog, marker(prog, 0xc2) + 12, 4)).isEmpty)
+    assert(Jpeg.decode(patched(prog, marker(prog, 0xda) + 6, 0x40)).isEmpty)
     // content-based feature path: a decodable JPEG no longer gets the
     // md5 stub feature (flat gray at 128-ish → near-zero mean dims)
     val flat = Jpeg.encodeGray(8, 8, quant = 8, (_, _) => new Array[Int](64))
