@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,13 +111,47 @@ object ManifestSink extends Ingest.DestinationSink {
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  private def listFilesRec(fs: FileSystem, dir: Path)
-      : Seq[LocatedFileStatus] = {
-    val it = fs.listFiles(dir, /*recursive=*/ true)
-    val buf = scala.collection.mutable.ArrayBuffer[LocatedFileStatus]()
-    while (it.hasNext) buf += it.next()
-    buf.toSeq
-  }
+  /** The destination as a java.nio path when it lives on the `file:`
+    * scheme, None otherwise — the switch for the local fast paths below.
+    */
+  private def localRoot(fs: FileSystem, p: Path)
+      : Option[java.nio.file.Path] =
+    if (fs.getScheme == "file")
+      Some(java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath))
+    else None
+
+  /** Recursive file listing as (path, mtimeMs). Goes through the Hadoop
+    * FileSystem API — HDFS batches a listing into a few RPCs, object
+    * stores into LIST pages — EXCEPT on the `file:` scheme, which gets a
+    * java.nio walk: without libhadoop, Hadoop's local FileStatus shells
+    * out `ls -ld` PER FILE to load permissions
+    * (DeprecatedRawLocalFileStatus.loadPermissionInfo), turning a
+    * 1.3k-file staging listing into ~10 s of process forks.
+    */
+  private def listFilesRec(fs: FileSystem, dir: Path): Seq[(Path, Long)] =
+    localRoot(fs, dir) match {
+      case Some(root) =>
+        if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+        else {
+          val stream = java.nio.file.Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.iterator().asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p))
+              .map(p => (new Path(p.toUri),
+                java.nio.file.Files.getLastModifiedTime(p).toMillis))
+              .toVector
+          } finally stream.close()
+        }
+      case None =>
+        val it = fs.listFiles(dir, /*recursive=*/ true)
+        val buf = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
+        while (it.hasNext) {
+          val st = it.next()
+          buf += ((st.getPath, st.getModificationTime))
+        }
+        buf.toSeq
+    }
 
   /** Plain append = staged protocol under a fresh random id, committed
     * immediately (still atomic-in, per the trait contract).
@@ -302,10 +336,18 @@ object ManifestSink extends Ingest.DestinationSink {
     // entries before any replan), so there is nothing to redo
     if (manifests(fs, destPath).exists(m => writeIdOf(m) == writeId)) return
     val staging = stagingDir(destPath, writeId)
+    var t0 = System.nanoTime()
+    def phase(name: String): Unit = {
+      val t1 = System.nanoTime()
+      println(f"METRIC graft.sink.${name}_secs=${(t1 - t0) / 1e9}%.3f " +
+        s"write=$writeId")
+      t0 = t1
+    }
     stage(staging)
+    phase("stage")
     // 2. write-ahead manifest (rollback map for a crash mid-move)
     val stagingQ = fs.makeQualified(staging).toString
-    val staged = listFilesRec(fs, staging).map(_.getPath)
+    val staged = listFilesRec(fs, staging).map(_._1)
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .map(p => fs.makeQualified(p).toString.stripPrefix(stagingQ + "/"))
       .sorted
@@ -319,19 +361,38 @@ object ManifestSink extends Ingest.DestinationSink {
     val body = (sourceUris.map("uri\t" + _) ++
       targets.map { case (_, t) => "target\t" + t }).mkString("\n")
     writeFile(fs, new Path(staging, WaManifest), body)
+    phase("wa_manifest")
     // 3. move into the destination layout — invisible until the commit
     //    (heartbeat every 64 renames, same freshness contract as
     //    ParquetSink: renames only REMOVE staging files, so a long move
     //    phase must keep its newest mtime current for recover()'s guard)
     val heartbeat = new Path(staging, ".heartbeat")
-    targets.zipWithIndex.foreach { case ((rel, tgt), i) =>
-      if (i % 64 == 0) writeFile(fs, heartbeat, i.toString)
-      val target = new Path(dest, tgt)
-      fs.mkdirs(target.getParent)
-      if (fs.exists(target)) fs.delete(target, false)
-      require(fs.rename(new Path(staging, rel), target),
-        s"[graft] manifest-sink move failed: $rel -> $target")
+    (localRoot(fs, staging), localRoot(fs, dest)) match {
+      case (Some(sroot), Some(droot)) =>
+        // local fast path: one atomic REPLACE_EXISTING move per file and
+        // one createDirectories per DISTINCT parent — the Hadoop local fs
+        // forks a process per exists/mkdirs/rename status check (see
+        // [[listFilesRec]]), ~4 ms/file that the nio calls don't pay
+        val made = scala.collection.mutable.HashSet.empty[java.nio.file.Path]
+        targets.zipWithIndex.foreach { case ((rel, tgt), i) =>
+          if (i % 64 == 0) writeFile(fs, heartbeat, i.toString)
+          val to = droot.resolve(tgt)
+          if (made.add(to.getParent))
+            java.nio.file.Files.createDirectories(to.getParent)
+          java.nio.file.Files.move(sroot.resolve(rel), to,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      case _ =>
+        targets.zipWithIndex.foreach { case ((rel, tgt), i) =>
+          if (i % 64 == 0) writeFile(fs, heartbeat, i.toString)
+          val target = new Path(dest, tgt)
+          fs.mkdirs(target.getParent)
+          if (fs.exists(target)) fs.delete(target, false)
+          require(fs.rename(new Path(staging, rel), target),
+            s"[graft] manifest-sink move failed: $rel -> $target")
+        }
     }
+    phase("move")
     // 4. THE COMMIT: one atomic rename makes the whole batch visible.
     //    Version conflicts (a concurrent appender committed the same
     //    number first — rename-to-existing fails atomically, exactly
@@ -362,6 +423,7 @@ object ManifestSink extends Ingest.DestinationSink {
           s"write=$writeId attempt=$attempt")
       }
     }
+    phase("commit")
     // staging dir survives as the commit-pending marker
   }
 
@@ -390,15 +452,13 @@ object ManifestSink extends Ingest.DestinationSink {
     val destQ = fs.makeQualified(dest).toString
     val now = System.currentTimeMillis()
     var removed = 0L
-    listFilesRec(fs, dest).foreach { st =>
-      val rel = fs.makeQualified(st.getPath).toString
-        .stripPrefix(destQ + "/")
+    listFilesRec(fs, dest).foreach { case (p, mtime) =>
+      val rel = fs.makeQualified(p).toString.stripPrefix(destQ + "/")
       val inLog = rel.startsWith(LogDir + "/")
-      val hidden = st.getPath.getName.startsWith("_") ||
-        st.getPath.getName.startsWith(".")
+      val hidden = p.getName.startsWith("_") || p.getName.startsWith(".")
       if (!inLog && !hidden && !referenced.contains(rel) &&
-          now - st.getModificationTime >= retentionMs) {
-        fs.delete(st.getPath, false)
+          now - mtime >= retentionMs) {
+        fs.delete(p, false)
         removed += 1
       }
     }
@@ -418,7 +478,7 @@ object ManifestSink extends Ingest.DestinationSink {
       val attempt = st.getPath
       val writeId = attempt.getName
       val newestMs = (st.getModificationTime +:
-        listFilesRec(fs, attempt).map(_.getModificationTime)).max
+        listFilesRec(fs, attempt).map(_._2)).max
       if (minAttemptAgeMs > 0 && now - newestMs < minAttemptAgeMs) {
         println(s"METRIC graft.recover.skipped_inflight=1 " +
           s"write=$writeId age_ms=${now - newestMs}")
