@@ -399,4 +399,136 @@ class ManifestSinkSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.filter(col("id") === 1L).select("extra").head().isNullAt(0))
   }
+
+  test("property: random append/crash/compact/vacuum/recover schedules " +
+      "never expose a partial batch, never lose a ledgered commit newer " +
+      "than the compaction floor, and every surviving version reads as " +
+      "the exact prefix of its log") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    // ops: Append(crashWindow) with window 0 = clean commit,
+    // 1 = crash after move before log commit, 2 = committed to the log
+    // but never ledgered, 3 = committed + ledgered but crashed before the
+    // staging marker cleanup; Compact / Vacuum / Recover as themselves
+    val opGen: Gen[Int] = Gen.frequency(
+      6 -> Gen.choose(0, 3), // Append windows
+      2 -> Gen.const(10),    // Compact
+      1 -> Gen.const(11),    // Vacuum
+      2 -> Gen.const(12))    // Recover
+    val schedGen = Gen.listOfN(6, opGen)
+
+    (0 until 10).foreach { case i =>
+      val sched = schedGen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(Nil)
+      val root = tmpDir(s"msinkprop${i}_")
+      val dest = s"$root/wh/t"
+      val ledgered = scala.collection.mutable.Set[String]()
+      // model mirrors of the real state: (version, writeId, batch ids)
+      var logModel = Vector.empty[(Long, String, Set[Long])]
+      var pending = Map.empty[String, Int] // writeId -> crash window
+      var nextBatch = 0
+
+      def ids(b: Int): Set[Long] = Set(b * 10L, b * 10L + 1, b * 10L + 2)
+      def actualVersion(writeId: String): Long = {
+        val f = new java.io.File(s"$dest/_log").listFiles()
+          .map(_.getName).filter(_.endsWith(".manifest"))
+          .find(_.stripSuffix(".manifest").split("__").last == writeId)
+        assert(f.isDefined, s"schedule $i: no log entry for $writeId")
+        f.get.takeWhile(_.isDigit).toLong
+      }
+      def readIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        // an empty table reads as spark.emptyDataFrame (no columns)
+        if (!df.columns.contains("id")) Set.empty
+        else df.select("id").as[Long].collect().toSet
+      def check(where: String): Unit = {
+        val visible = logModel.flatMap(_._3).toSet
+        assert(readIds(ManifestSink.readBack(spark, dest)) == visible,
+          s"schedule $i after $where: readBack != committed union")
+      }
+      def survivingVersions(): Set[Long] =
+        Option(new java.io.File(s"$dest/_log").listFiles())
+          .map(_.toSeq).getOrElse(Nil)
+          .map(_.getName).filter(_.endsWith(".manifest"))
+          .map(_.takeWhile(_.isDigit).toLong).toSet
+      // recover must drop exactly the committed-unledgered entries and
+      // keep every ledgered one — predicted, then asserted against the
+      // real log (mirroring the real log here would mask a recover bug)
+      def applyRecover(where: String): Unit = {
+        ManifestSink.recover(spark, dest,
+          uris => uris.forall(ledgered.contains))
+        val rolledBack = pending.collect { case (id, 2) => id }.toSet
+        logModel = logModel.filterNot(e => rolledBack.contains(e._2))
+        assert(survivingVersions() == logModel.map(_._1).toSet,
+          s"schedule $i after $where: surviving log != predicted " +
+            "(rolled-back window-2 entries gone, everything else kept)")
+        pending = Map.empty
+      }
+
+      sched.zipWithIndex.foreach { case (op, k) =>
+        op match {
+          case w if w <= 3 => // Append under crash window w
+            val b = nextBatch; nextBatch += 1
+            val writeId = f"p$i%02db$b%02d"
+            val uri = s"gs://src/batch$b"
+            val df = ids(b).toSeq.sorted
+              .map(id => (id, s"b$b")).toDF("id", "v")
+            ManifestSink.stagedAppend(df, dest, None, writeId, Seq(uri))
+            w match {
+              case 0 =>
+                ledgered += uri
+                ManifestSink.finishCommit(spark, dest, writeId)
+                logModel :+= ((actualVersion(writeId), writeId, ids(b)))
+              case 1 => // un-commit: drop the log entry, leave staging
+                val v = actualVersion(writeId)
+                val mf = new java.io.File(s"$dest/_log",
+                  f"$v%012d__$writeId.manifest")
+                assert(mf.delete())
+                pending += (writeId -> 1)
+              case 2 => // committed, unledgered, staging left
+                logModel :+= ((actualVersion(writeId), writeId, ids(b)))
+                pending += (writeId -> 2)
+              case 3 => // committed AND ledgered, staging left
+                ledgered += uri
+                logModel :+= ((actualVersion(writeId), writeId, ids(b)))
+                pending += (writeId -> 3)
+            }
+          case 10 =>
+            ManifestSink.compact(spark, dest)
+            if (pending.isEmpty && logModel.length > 1) {
+              val v = logModel.map(_._1).max + 1
+              logModel =
+                Vector((v, "compact", logModel.flatMap(_._3).toSet))
+            } // else refused (pending) or no-op (<=1 manifest)
+            assert(survivingVersions() == logModel.map(_._1).toSet,
+              s"schedule $i: compact left an unpredicted log state")
+          case 11 =>
+            ManifestSink.vacuum(spark, dest, retentionMs = 0L)
+            // never changes committed content (refuses while pending;
+            // otherwise only unreferenced debris goes)
+          case 12 =>
+            applyRecover(s"op#$k")
+        }
+        check(s"op#$k($op)")
+      }
+
+      // settle: recover everything, then the version ladder must read as
+      // exact prefixes, and the floor must refuse reads below it
+      applyRecover("final recover")
+      check("final recover")
+      logModel.map(_._1).foreach { v =>
+        val expect = logModel.filter(_._1 <= v).flatMap(_._3).toSet
+        assert(readIds(ManifestSink.readVersion(spark, dest, v)) == expect,
+          s"schedule $i: readVersion($v) is not the exact prefix")
+      }
+      logModel.map(_._1).minOption.foreach { floor =>
+        if (floor > 0) {
+          val err = intercept[IllegalArgumentException] {
+            ManifestSink.readVersion(spark, dest, floor - 1)
+          }
+          assert(err.getMessage.contains("compacted away"))
+        }
+      }
+    }
+  }
 }
