@@ -259,19 +259,77 @@ object Stress {
     // vs brute force over 25 queries, the accuracy/cost trade as a
     // RECORDED number rather than an sf0.1-only spec assertion.
     if (enabled("ivfpq_recall")) {
-      val t0 = System.nanoTime()
       val qs = emb.filter(col("vec_id") < 25)
       val brute = Similarity.knnBruteForce(emb, qs, 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val ivf = Similarity.knnIvfPq(emb, qs, 10, nCentroids = 256,
-        nProbe = 8)
-        .select(col("query_id"), col("neighbor_id"))
-      val hit = brute.join(ivf, Seq("query_id", "neighbor_id")).count()
+        .select(col("query_id"), col("neighbor_id")).cache()
       val tot = brute.count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"STRESS ivfpq_recall@10       $dt%8.2f s  " +
-        f"recall=${hit.toDouble / tot}%.4f ($hit/$tot, " +
-        "nCentroids=256 nProbe=8 refine=4)")
+      def recallRow(tag: String, nProbe: Int, refine: Int,
+          iters: Int): Unit = {
+        val t0 = System.nanoTime()
+        val ivf = Similarity.knnIvfPq(emb, qs, 10, nCentroids = 256,
+          nProbe = nProbe, refineFactor = refine, trainIters = iters,
+          pqTrainIters = iters)
+          .select(col("query_id"), col("neighbor_id"))
+        val hit = brute.join(ivf, Seq("query_id", "neighbor_id")).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS $tag%-26s $dt%8.2f s  " +
+          f"recall=${hit.toDouble / tot}%.4f ($hit/$tot, " +
+          f"nCentroids=256 nProbe=$nProbe refine=$refine " +
+          f"trainIters=$iters pqTrainIters=$iters)")
+      }
+      // shipped q62 operating point: nProbe=8 + 4x ADC re-rank saturates
+      // recall even with data-point codebooks (trainIters = 0)
+      recallRow("ivfpq_recall@10", nProbe = 8, refine = 4, iters = 0)
+      brute.unpersist()
+      // TRAINING LADDER at a deliberately TIGHT point (nProbe=2, no
+      // refine re-rank) where codebook quality is the binding constraint:
+      // the measured curve for the Lloyd-rounds lever knnIvfPq's scaladoc
+      // promises — trainIters for the IVF coarse quantizer AND
+      // pqTrainIters for the per-subspace PQ codebooks. Ground truth must
+      // be the DISTINCT base vectors, not the replica corpus: replicas
+      // differ by a constant shift far below PQ granularity, so untrained
+      // data-point codebooks tie all 19 replicas of a query exactly and
+      // the id-ascending tiebreak happens to equal the true cosine order
+      // (replica i has the larger id AND the smaller cosine) — an
+      // artificial recall=1.0 that Lloyd-averaged entries then 'lose' by
+      // breaking the tie (~10/19). Distinct-vector ground truth measures
+      // codebook quality, not tie luck.
+      val base = emb.filter(col("vec_id") < 2000)
+      val bruteBase = Similarity.knnBruteForce(base, qs, 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      val totBase = bruteBase.count()
+      for (iters <- Seq(0, 2, 5)) {
+        val t0 = System.nanoTime()
+        val ivf = Similarity.knnIvfPq(base, qs, 10, nCentroids = 64,
+          nProbe = 2, refineFactor = 1, trainIters = iters,
+          trainSample = 1024, pqTrainIters = iters, pqTrainSample = 1024)
+          .select(col("query_id"), col("neighbor_id"))
+        val hit = bruteBase.join(ivf, Seq("query_id", "neighbor_id"))
+          .count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS ivfpq_tight@10_t$iters%-14s $dt%8.2f s  " +
+          f"recall=${hit.toDouble / totBase}%.4f ($hit/$totBase, " +
+          f"base corpus 2000, nCentroids=64 nProbe=2 refine=1 " +
+          f"trainIters=$iters pqTrainIters=$iters)")
+      }
+      // which lever DOES bind at the tight point — widen the probe vs
+      // deepen the exact re-rank, one at a time from the t0 baseline
+      def leverRow(tag: String, nProbe: Int, refine: Int): Unit = {
+        val t0p = System.nanoTime()
+        val got = Similarity.knnIvfPq(base, qs, 10, nCentroids = 64,
+          nProbe = nProbe, refineFactor = refine, trainIters = 0,
+          pqTrainIters = 0)
+          .select(col("query_id"), col("neighbor_id"))
+        val hitP = bruteBase.join(got, Seq("query_id", "neighbor_id"))
+          .count()
+        println(f"STRESS $tag%-26s ${(System.nanoTime() - t0p) / 1e9}%8.2f" +
+          f" s  recall=${hitP.toDouble / totBase}%.4f ($hitP/$totBase, " +
+          f"base corpus 2000, nCentroids=64 nProbe=$nProbe " +
+          f"refine=$refine trainIters=0)")
+      }
+      leverRow("ivfpq_tight@10_probe4", nProbe = 4, refine = 1)
+      leverRow("ivfpq_tight@10_refine4", nProbe = 2, refine = 4)
+      bruteBase.unpersist()
     }
 
     // STREAMING CURATION LADDER: feed the replicated corpus through
