@@ -554,6 +554,24 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // IMAGE NEAR-DUP over content features — the curation use case the
+    // feature seam exists for: visually-identical pairs planted as
+    // byte-distinct encodings (PNG vs baseline JPEG of the same pixels)
+    // that no byte-level dedup can pair, detected by the LSH near-dup
+    // operator over extractStub's content-derived embeddings at cosine
+    // threshold 1.0. Exactly one pair per planted doc survives; the
+    // closed form is the (2·id, 2·id+1) planting rule itself.
+    "q88_image_near_dup" -> ((s, dir) => {
+      val feats = Multimodal.extract(
+        Multimodal.plantedDualEncodingMedia(s, docs(s, dir)))
+        .toDF()
+        .select(col("media_id").as("vec_id"),
+          transform(col("feature"), x => x.cast("float")).as("embedding"))
+      Similarity.nearDupPairs(feats, threshold = 1.0, nPlanes = 8,
+        nTables = 2)
+        .orderBy(col("a_id"))
+    }),
+
     // CONTENT-derived embedding for EVERY decodable payload class: one
     // mixed planting (color-JPEG / GIF / WAV / raw text by id mod 4)
     // routes through the feature seam — JPEG and GIF pixels through
@@ -1908,6 +1926,11 @@ object NorthStar {
          CAST(doc_id % 100 + 28 AS INT) AS min_r,
          CAST(doc_id % 100 + 58 AS INT) AS max_r
          FROM documents ORDER BY media_id""",
+    "q88_image_near_dup" ->
+      """SELECT CAST(doc_id * 2 AS BIGINT) AS a_id,
+         CAST(doc_id * 2 + 1 AS BIGINT) AS b_id,
+         CAST(1.0 AS DOUBLE) AS cosine
+         FROM documents WHERE doc_id < 100 ORDER BY a_id""",
     "q86_content_embed" ->
       """WITH jf AS (SELECT doc_id AS media_id,
            CAST(doc_id % 100 AS DOUBLE) AS b FROM documents

@@ -1390,6 +1390,42 @@ object Multimodal {
     }
   }
 
+  /** VISUALLY-IDENTICAL, BYTE-DISTINCT media pairs — the image near-dup
+    * fixture: for each doc_id < 100, the SAME 32×8 grayscale content
+    * (left half at 28 + 2·id, right half at 228) encoded TWICE, as a
+    * truecolor PNG (media_id = 2·id) and as a baseline JPEG
+    * (media_id = 2·id + 1). The byte payloads share no structure — an
+    * exact/byte-hash dedup cannot pair them — but both decode to
+    * identical pixels, so the content-derived [[extractStub]] features
+    * are exactly equal and a cosine threshold of 1.0 pairs precisely the
+    * two encodings of each doc. Cross-doc features stay separated: mean
+    * rises with id while std falls, so adjacent ids sit ≥ ~1e-4 apart in
+    * cosine — far outside the 6-decimal rounding edge. Bounded to 100
+    * docs ON PURPOSE: the pair geometry is the fixture; the operator
+    * under test ([[graft.operators.Similarity.nearDupPairs]]) carries
+    * the scale story (stress-tested at 40k vectors).
+    */
+  def plantedDualEncodingMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+      .as[Long].flatMap { id =>
+        val v1 = 28 + 2 * id.toInt
+        val v2 = 228
+        val png = pngPixelBytes(32, 8, (x, _) => {
+          val v = if (x < 16) v1 else v2; (v, v, v)
+        })
+        val jpg = Jpeg.encodeBaseline(32, 8, quant = 8, 1,
+          (_, bx, _) => {
+            val c = new Array[Int](64)
+            c(0) = 8 * ((if (bx < 2) v1 else v2) - 128)
+            c
+          })
+        Seq(MediaRow(2 * id, "image", png),
+          MediaRow(2 * id + 1, "image", jpg))
+      }
+  }
+
   /** [[syntheticMedia]] with a MIXED planting that exercises every real
     * decoder behind the feature seam ([[extractStub]]), by `media_id % 4`:
     *
