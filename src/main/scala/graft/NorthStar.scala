@@ -572,6 +572,31 @@ object NorthStar {
         .orderBy(col("a_id"))
     }),
 
+    // PERCEPTUAL IMAGE HASH (dHash) over every doc: decode the planted
+    // PNG, box-downsample to the 9x8 grid with exact integer sums, and
+    // emit the 64-bit difference hash. The planting repeats the doc id's
+    // 7-bit code across the 9 bit positions per code bit, so the oracle
+    // is a mask-multiplier sum over the id's bits — every box compare in
+    // the decoder must land for any doc to match.
+    "q89_image_dhash" -> ((s, dir) => {
+      Multimodal.dhashMedia(
+        Multimodal.plantedDhashMedia(s, docs(s, dir)))
+        .orderBy(col("media_id"))
+    }),
+
+    // dHash NEAR-DUP: byte-distinct image pairs whose hashes differ by
+    // exactly 2 bits, paired by the generic pigeonhole hamming operator
+    // (maxHamming+1 blocks, exact bit_count verify). The 7-bit
+    // repetition code keeps cross-doc hamming >= 7, so the pair set is
+    // exactly the planting rule.
+    "q90_dhash_near_dup" -> ((s, dir) => {
+      val hashed = Multimodal.dhashMedia(
+        Multimodal.plantedDhashPairMedia(s, docs(s, dir)))
+      Dedup.hammingDupPairs(hashed, maxHamming = 4,
+        idCol = "media_id", hashCol = "dhash")
+        .orderBy(col("a_id"))
+    }),
+
     // CONTENT-derived embedding for EVERY decodable payload class: one
     // mixed planting (color-JPEG / GIF / WAV / raw text by id mod 4)
     // routes through the feature seam — JPEG and GIF pixels through
@@ -1926,6 +1951,22 @@ object NorthStar {
          CAST(doc_id % 100 + 28 AS INT) AS min_r,
          CAST(doc_id % 100 + 58 AS INT) AS max_r
          FROM documents ORDER BY media_id""",
+    "q89_image_dhash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(((doc_id >> 0) & 1) * 72624976668147841
+            + ((doc_id >> 1) & 1) * 145249953336295682
+            + ((doc_id >> 2) & 1) * 290499906672591364
+            + ((doc_id >> 3) & 1) * 580999813345182728
+            + ((doc_id >> 4) & 1) * 1161999626690365456
+            + ((doc_id >> 5) & 1) * 2323999253380730912
+            + ((doc_id >> 6) & 1) * 4647998506761461824 AS BIGINT)
+           AS dhash
+         FROM documents ORDER BY media_id""",
+    "q90_dhash_near_dup" ->
+      """SELECT CAST(doc_id * 2 AS BIGINT) AS a_id,
+         CAST(doc_id * 2 + 1 AS BIGINT) AS b_id,
+         CAST(2 AS INT) AS hamming
+         FROM documents WHERE doc_id < 100 ORDER BY a_id""",
     "q88_image_near_dup" ->
       """SELECT CAST(doc_id * 2 AS BIGINT) AS a_id,
          CAST(doc_id * 2 + 1 AS BIGINT) AS b_id,

@@ -104,7 +104,8 @@ object Ingest {
         raise_error(concat(lit("[graft] maxBadRecords=0: corrupt row: "),
           col(corrupt))).cast(f0.dataType))
         .otherwise(col(f0.name)).as(f0.name)
-      df.select(checked +: schema.fields.tail.map(f => col(f.name)): _*)
+      df.select(
+        checked +: schema.fields.tail.toIndexedSeq.map(f => col(f.name)): _*)
     }
   }
 

@@ -502,20 +502,26 @@ object Multimodal {
     * gets a deterministic oracle-reproducible feature and a real learned
     * encoder has exactly one seam to fill.
     */
+  /** Decode any still-image payload class the repo handles to
+    * `(width, height, channels, pixels)`: PNG ([[decodePixels]]), then
+    * baseline/progressive JPEG ([[Jpeg.decode]] — grayscale comes back
+    * 1-channel), then GIF first frame ([[decodeGif]], palette-expanded
+    * RGB). None for anything else.
+    */
+  def decodeAnyPixels(
+      payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    decodePixels(payload)
+      .orElse(Jpeg.decode(payload))
+      .orElse(decodeGif(payload).map { case (w, h, _, px) => (w, h, 3, px) })
+
   def extractStub(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
     val meta = decodeMeta(id, kind, payload)
     val scale = 256.0 / math.max(meta.width, meta.height)
     val outW = math.max(1, math.floor(meta.width * scale).toInt)
     val outH = math.max(1, math.floor(meta.height * scale).toInt)
     val frames = (0 until 4).map(j => (j * meta.n_frames) / 4).distinct
-    val feature = decodePixels(payload)
+    val feature = decodeAnyPixels(payload)
       .map { case (w, h, channels, px) => pixelFeature(w, h, channels, px) }
-      .orElse(Jpeg.decode(payload).map { case (w, h, channels, px) =>
-        pixelFeature(w, h, channels, px) // gray replicates across RGB dims
-      })
-      .orElse(decodeGif(payload).map { case (w, h, _, px) =>
-        pixelFeature(w, h, 3, px) // first frame, palette-expanded RGB
-      })
       .orElse(decodeWav(payload).map { case (rate, channels, samples) =>
         audioFeature(rate, channels, samples)
       })
@@ -1424,6 +1430,129 @@ object Multimodal {
         Seq(MediaRow(2 * id, "image", png),
           MediaRow(2 * id + 1, "image", jpg))
       }
+  }
+
+  /** 64-bit DIFFERENCE HASH (dHash) — the standard perceptual image hash
+    * production image-dedup pipelines key on (robust to re-encoding,
+    * resizing and small pixel noise, unlike any byte hash): grayscale
+    * box-downsample to a 9×8 grid, bit `y·8 + x` set iff box (x+1, y) is
+    * brighter than box (x, y). All arithmetic is exact integers so a SQL
+    * oracle can replay it: luma is the truncated (r+g+b)/3 (identity on
+    * grayscale), boxes tile `[x·w/9, (x+1)·w/9)` like [[resizeBox]], and
+    * brightness compares cross-multiplied box SUMS (`s₁·n₀ > s₀·n₁`) so
+    * uneven boxes never need fractional means. Downsample-only: images
+    * smaller than 9×8 return None.
+    */
+  def dhash64(payload: Array[Byte]): Option[Long] =
+    decodeAnyPixels(payload).flatMap { case (w, h, channels, px) =>
+      if (w < 9 || h < 8) None
+      else {
+        val sums = Array.ofDim[Long](8, 9)
+        val counts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < 8) {
+          val y0 = y * h / 8; val y1 = (y + 1) * h / 8
+          var x = 0
+          while (x < 9) {
+            val x0 = x * w / 9; val x1 = (x + 1) * w / 9
+            var s = 0L
+            var yy = y0
+            while (yy < y1) {
+              var xx = x0
+              while (xx < x1) {
+                val i = (yy * w + xx) * channels
+                val lum =
+                  if (channels < 3) px(i) & 0xff
+                  else ((px(i) & 0xff) + (px(i + 1) & 0xff) +
+                    (px(i + 2) & 0xff)) / 3
+                s += lum
+                xx += 1
+              }
+              yy += 1
+            }
+            sums(y)(x) = s
+            counts(y)(x) = (y1 - y0).toLong * (x1 - x0)
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          val yy = k / 8; val xx = k % 8
+          if (sums(yy)(xx + 1) * counts(yy)(xx) >
+              sums(yy)(xx) * counts(yy)(xx + 1))
+            hash |= 1L << k
+          k += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** Partition-wise dHash over a media table → `(media_id, dhash)`;
+    * undecodable or too-small payloads get a null hash.
+    */
+  def dhashMedia(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => (r.media_id, dhash64(r.payload)))
+    }.toDF("media_id", "dhash")
+  }
+
+  /** dHash fixture over EVERY doc: an 18×16 truecolor PNG whose 9×8 box
+    * means follow a ±6 difference chain planted from the doc id — bit k
+    * of the resulting dHash is bit `k mod 7` of `doc_id` (the 7-bit id
+    * code repeated across 9 positions; bit 63 stays 0), so the oracle is
+    * `Σ_p ((doc_id >> p) & 1) · (M₀ << p)` with M₀ = Σ_c 2^{7c} =
+    * 72624976668147841. The 7-bit repetition code also gives pairwise
+    * hamming ≥ 9 between distinct low-7-bit ids — the separation the
+    * near-dup fixture ([[plantedDhashPairMedia]]) relies on.
+    */
+  def plantedDhashMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      MediaRow(id, "image", dhashPlantPng(id, Set.empty))
+    }
+  }
+
+  /** [[plantedDhashMedia]]'s NEAR-DUP sibling, bounded to doc_id < 100:
+    * per doc, payload A (media 2·id) carries the doc's dHash code and
+    * payload B (media 2·id + 1) the same code with bits 0 and 31 flipped
+    * — visually near-identical, byte-distinct, hamming exactly 2. Cross
+    * pairings stay ≥ 7 (code distance 9 minus the 2 flips), so a
+    * hamming ≤ 4 pairing returns exactly the planting rule.
+    */
+  def plantedDhashPairMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+      .as[Long].flatMap { id =>
+        Seq(MediaRow(2 * id, "image", dhashPlantPng(id, Set.empty)),
+          MediaRow(2 * id + 1, "image", dhashPlantPng(id, Set(0, 31))))
+      }
+  }
+
+  /** The 18×16 planting both dHash fixtures share: box (x, y) is a flat
+    * 2×2 pixel block at `m(x, y)`, built left-to-right per row as
+    * `m(0) = 128`, `m(x+1) = m(x) ± 6` by the planted bit `y·8 + x`
+    * (bit = id's bit `k mod 7` for k ≤ 62, 0 at k = 63, XOR-flipped at
+    * the given positions). Values stay within [80, 176].
+    */
+  private def dhashPlantPng(id: Long, flip: Set[Int]): Array[Byte] = {
+    def bit(k: Int): Boolean = {
+      val base = k < 63 && ((id >> (k % 7)) & 1) == 1
+      if (flip.contains(k)) !base else base
+    }
+    val m = Array.ofDim[Int](8, 9)
+    for (y <- 0 until 8) {
+      m(y)(0) = 128
+      for (x <- 0 until 8)
+        m(y)(x + 1) = m(y)(x) + (if (bit(y * 8 + x)) 6 else -6)
+    }
+    pngPixelBytes(18, 16, (px, py) => {
+      val v = m(py / 2)(px / 2); (v, v, v)
+    })
   }
 
   /** [[syntheticMedia]] with a MIXED planting that exercises every real

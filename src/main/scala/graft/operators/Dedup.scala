@@ -655,6 +655,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** GENERIC 64-bit hamming near-dup pairs — the pairing stage for any
+    * per-row 64-bit fingerprint (perceptual image hashes like dHash,
+    * external SimHashes, feature sign-sketches). Pigeonhole blocking with
+    * `maxHamming + 1` blocks: a pair within the distance budget must
+    * agree exactly on at least one block, so candidates are
+    * (block index, block value) groups and the exact `bit_count` XOR
+    * verifies. Same shuffle discipline as [[simhashDupPairs]]: the
+    * exploded exchange carries (id, hash, key) only, oversized buckets
+    * are capped, and rows with a null hash (undecodable payloads) drop
+    * out before blocking. Returns `(a_id, b_id, hamming)`.
+    *
+    * Block values mask with bitwiseAND (not `%`): the high block reaches
+    * bit 63, where a sign-preserving remainder would split one bit
+    * pattern into two keys and break the pigeonhole recall guarantee.
+    */
+  def hammingDupPairs(hashed: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", hashCol: String = "hash",
+      maxBucketSize: Int = 0): DataFrame = {
+    val nBlocks = maxHamming + 1
+    // ceil-division blocking leaves every block >= 1 bit only while
+    // nBlocks <= 32 (beyond that trailing blocks would be empty and the
+    // pigeonhole guarantee would silently break)
+    require(maxHamming >= 0 && nBlocks <= 32,
+      "need 0 <= maxHamming <= 31")
+    val per = (64 + nBlocks - 1) / nBlocks
+    val h = hashed
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("hid"), col(hashCol).as("hh"))
+    val keys = array((0 until nBlocks).map { b =>
+      val lo = b * per
+      val width = math.min(per, 64 - lo)
+      val block =
+        if (lo == 0 && width == 64) col("hh")
+        else shiftrightunsigned(col("hh"), lo)
+          .bitwiseAND(lit((1L << width) - 1))
+      concat(lit(s"$b:"), block.cast("string"))
+    }: _*)
+    val exploded = h.select(col("hid"), col("hh"),
+      explode(keys).as("bkey"))
+      .repartition(col("bkey"))
+    val blocked = dropOversized(exploded, Seq("bkey"), maxBucketSize)
+    val a = blocked.select(col("bkey"), col("hid").as("a_id"),
+      col("hh").as("a_hh"))
+    val b = blocked.select(col("bkey"), col("hid").as("b_id"),
+      col("hh").as("b_hh"))
+    a.hint("merge").join(b.hint("merge"), Seq("bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hh").bitwiseXOR(col("b_hh"))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // --------------------------------------------- segment (paragraph) dedup
 
   /** CCNet-style corpus-level duplicate-segment removal (Wenzek et al.:

@@ -589,6 +589,61 @@ class MultimodalSpec extends SparkSpec {
     assert(f.take(6).forall(_ == 0.0))
   }
 
+  test("dhash64 + hammingDupPairs: box-exact difference hash, re-encoding " +
+      "invariance, pigeonhole pairing at the planted distances") {
+    import graft.multimodal.{Jpeg, Multimodal}
+    import graft.operators.Dedup
+    // hand-computable 9x8 fixture: 18x16 PNG, box (x,y) flat at
+    // 100 + 10x for every row -> every left-to-right compare rises ->
+    // all 64 bits set
+    val rising = Multimodal.pngPixelBytes(18, 16,
+      (x, _) => { val v = 100 + 10 * (x / 2); (v, v, v) })
+    assert(Multimodal.dhash64(rising).contains(-1L))
+    // falling boxes -> no bits
+    val falling = Multimodal.pngPixelBytes(18, 16,
+      (x, _) => { val v = 180 - 10 * (x / 2); (v, v, v) })
+    assert(Multimodal.dhash64(falling).contains(0L))
+    // RE-ENCODING INVARIANCE — the property a perceptual hash exists
+    // for: the same box content as a byte-distinct baseline JPEG (36x8:
+    // 4-px boxes spanning block boundaries, uneven right box) hashes
+    // close to the PNG planting of identical pixels
+    val jpgRising = Jpeg.encodeBaseline(40, 8, quant = 8, 1,
+      (_, bx, _) => {
+        val c = new Array[Int](64); c(0) = 8 * (100 + 20 * bx - 128); c
+      })
+    val pngSame = Multimodal.pngPixelBytes(40, 8,
+      (x, _) => { val v = 100 + 20 * (x / 8); (v, v, v) })
+    assert(Multimodal.dhash64(jpgRising) == Multimodal.dhash64(pngSame),
+      "same pixels, different encodings, same dHash")
+    // too small to downsample -> None; undecodable -> None
+    assert(Multimodal.dhash64(
+      Multimodal.pngPixelBytes(8, 8, (_, _) => (1, 1, 1))).isEmpty)
+    assert(Multimodal.dhash64("not an image".getBytes("UTF-8")).isEmpty)
+    // pairing: planted hashes at hamming 0 (dup), 2 (near-dup), and the
+    // 7-bit-code floor (>= 9, never paired at maxHamming 4); a null hash
+    // row (undecodable payload) must drop out silently
+    import spark.implicits._
+    val hashed = Seq(
+      (1L, Some(0x0123456789abcdefL)),
+      (2L, Some(0x0123456789abcdefL)), // hamming 0 vs 1
+      (3L, Some(0x0123456789abcdefL ^ (1L << 63) ^ 1L)), // hamming 2,
+      // incl. the sign bit: the bitwiseAND block mask must keep the
+      // high block's key identical across the sign flip
+      (4L, Some(0x76543210fedcba98L)), // far from everything
+      (5L, None)
+    ).toDF("media_id", "dhash")
+    val pairs = Dedup.hammingDupPairs(hashed, maxHamming = 4,
+      idCol = "media_id", hashCol = "dhash")
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)))
+    // maxHamming 0 exercises the single-block fast path
+    val exact = Dedup.hammingDupPairs(hashed, maxHamming = 0,
+      idCol = "media_id", hashCol = "dhash").collect()
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+  }
+
   test("jpegStats: planted baseline JPEGs match the closed form") {
     import spark.implicits._
     val docs = Seq((4L, "a"), (55L, "b"), (199L, "c"))
