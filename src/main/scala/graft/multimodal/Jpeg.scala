@@ -11,9 +11,10 @@ package graft.multimodal
   * AC run-length, EOB runs, refinement bits, zigzag, dequantization
   * and the full 2-D IDCT.
   *
-  * The IDCT here is the textbook direct form (O(64²) per block) — correct
-  * first; a production build swaps in the separable/AAN fast path without
-  * touching anything else in this file.
+  * The IDCT is the SEPARABLE factored form over a precomputed
+  * scaled-cosine basis (two 8-term passes per output, no trig in the
+  * loop, all-zero coefficient rows skipped); the AAN butterfly would cut
+  * the multiply count further without touching anything else here.
   */
 object Jpeg {
 
@@ -686,28 +687,56 @@ object Jpeg {
   /** Direct 2-D type-III DCT (T.81 A.3.3) + level shift + clamp, written
     * into the image at (ox, oy) with edge clipping.
     */
+  /** Precomputed scaled-cosine basis `T(x)(u) = cu·cos((2x+1)uπ/16)`
+    * (cu = 1/√2 at u = 0) — shared by both separable IDCT passes.
+    */
+  private val IdctT: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    (if (u == 0) 0.7071067811865476 else 1.0) *
+      math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+
+  /** SEPARABLE 2-D type-III DCT (T.81 A.3.3, factored row/column passes
+    * over the precomputed [[IdctT]] basis — 8 terms per output per pass
+    * instead of the direct form's 64, and no trig calls in the loop) +
+    * level shift + clamp, written into the image at (ox, oy) with edge
+    * clipping. All-zero coefficient rows are skipped in both passes, so
+    * the dominant DC-only block costs ~2 passes over one row.
+    */
   private def idctBlock(coef: Array[Int], out: Array[Byte], w: Int,
       h: Int, ox: Int, oy: Int): Unit = {
+    val tmp = new Array[Double](64) // row pass result, [v][x]
+    val rowNz = new Array[Boolean](8)
+    var v = 0
+    while (v < 8) {
+      var any = false
+      var u = 0
+      while (u < 8) { if (coef(v * 8 + u) != 0) any = true; u += 1 }
+      if (any) {
+        rowNz(v) = true
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var uu = 0
+          while (uu < 8) {
+            val c = coef(v * 8 + uu)
+            if (c != 0) s += IdctT(x)(uu) * c
+            uu += 1
+          }
+          tmp(v * 8 + x) = s
+          x += 1
+        }
+      }
+      v += 1
+    }
     var y = 0
     while (y < 8 && oy + y < h) {
       var x = 0
       while (x < 8 && ox + x < w) {
         var sum = 0.0
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            val c = coef(v * 8 + u)
-            if (c != 0) {
-              val cu = if (u == 0) 0.7071067811865476 else 1.0
-              val cv = if (v == 0) 0.7071067811865476 else 1.0
-              sum += cu * cv * c *
-                math.cos((2 * x + 1) * u * math.Pi / 16) *
-                math.cos((2 * y + 1) * v * math.Pi / 16)
-            }
-            u += 1
-          }
-          v += 1
+        var vv = 0
+        while (vv < 8) {
+          if (rowNz(vv)) sum += IdctT(y)(vv) * tmp(vv * 8 + x)
+          vv += 1
         }
         val s = math.round(sum / 4).toInt + 128
         out((oy + y) * w + ox + x) =
