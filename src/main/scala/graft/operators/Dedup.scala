@@ -672,7 +672,44 @@ object Dedup {
     */
   def hammingDupPairs(hashed: DataFrame, maxHamming: Int,
       idCol: String = "doc_id", hashCol: String = "hash",
+      maxBucketSize: Int = 0): DataFrame =
+    hammingPairsCore(
+      hashed.filter(col(hashCol).isNotNull)
+        .select(col(idCol).as("hid"), col(hashCol).as("hh"),
+          lit(true).as("_new")),
+      maxHamming, maxBucketSize)
+
+  /** INCREMENTAL [[hammingDupPairs]]: pairs touching the new batch only
+    * (batch-batch and batch-corpus; corpus-corpus pairs were adjudicated
+    * when those rows arrived). The corpus side needs nothing but its
+    * stored `(id, hash)` rows — an 8-byte fingerprint IS its own slim
+    * index, so unlike the vector path there is no separate bucket-index
+    * relation to persist; re-deriving block keys from stored hashes is a
+    * handful of shifts per row, not a dim-length projection.
+    */
+  def incrementalHammingDupPairs(newHashes: DataFrame,
+      corpusHashes: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", hashCol: String = "hash",
       maxBucketSize: Int = 0): DataFrame = {
+    def slim(df: DataFrame, isNew: Boolean): DataFrame =
+      df.filter(col(hashCol).isNotNull)
+        .select(col(idCol).as("hid"), col(hashCol).as("hh"),
+          lit(isNew).as("_new"))
+    hammingPairsCore(
+      slim(newHashes, isNew = true)
+        .unionByName(slim(corpusHashes, isNew = false)),
+      maxHamming, maxBucketSize)
+  }
+
+  /** Shared blocking + verify for the hamming pairers: rows are
+    * `(hid, hh, _new)`; only pairs with at least one `_new` side
+    * survive. Block values mask with bitwiseAND (not `%`): the high
+    * block reaches bit 63, where a sign-preserving remainder would split
+    * one bit pattern into two keys and break the pigeonhole recall
+    * guarantee.
+    */
+  private def hammingPairsCore(h: DataFrame, maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     // ceil-division blocking leaves every block >= 1 bit only while
     // nBlocks <= 32 (beyond that trailing blocks would be empty and the
@@ -680,9 +717,6 @@ object Dedup {
     require(maxHamming >= 0 && nBlocks <= 32,
       "need 0 <= maxHamming <= 31")
     val per = (64 + nBlocks - 1) / nBlocks
-    val h = hashed
-      .filter(col(hashCol).isNotNull)
-      .select(col(idCol).as("hid"), col(hashCol).as("hh"))
     val keys = array((0 until nBlocks).map { b =>
       val lo = b * per
       val width = math.min(per, 64 - lo)
@@ -692,16 +726,17 @@ object Dedup {
           .bitwiseAND(lit((1L << width) - 1))
       concat(lit(s"$b:"), block.cast("string"))
     }: _*)
-    val exploded = h.select(col("hid"), col("hh"),
+    val exploded = h.select(col("hid"), col("hh"), col("_new"),
       explode(keys).as("bkey"))
       .repartition(col("bkey"))
     val blocked = dropOversized(exploded, Seq("bkey"), maxBucketSize)
     val a = blocked.select(col("bkey"), col("hid").as("a_id"),
-      col("hh").as("a_hh"))
+      col("hh").as("a_hh"), col("_new").as("a_new"))
     val b = blocked.select(col("bkey"), col("hid").as("b_id"),
-      col("hh").as("b_hh"))
+      col("hh").as("b_hh"), col("_new").as("b_new"))
     a.hint("merge").join(b.hint("merge"), Seq("bkey"))
       .filter(col("a_id") < col("b_id"))
+      .filter(col("a_new") || col("b_new"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_hh").bitwiseXOR(col("b_hh"))).as("hamming"))
       .dropDuplicates("a_id", "b_id")

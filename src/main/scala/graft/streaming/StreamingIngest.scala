@@ -338,6 +338,67 @@ object StreamingIngest {
     append(survivors, corpusDir)
   }
 
+  /** IMAGE-modality curation step: incremental PERCEPTUAL dedup via
+    * [[graft.multimodal.Multimodal.dhash64]] + the pigeonhole hamming
+    * pairer — catches re-encoded / recompressed / renamed copies of
+    * corpus images that byte-level ids and hashes cannot pair. The batch
+    * is `(media_id, kind, payload)`; the curated corpus persists
+    * `(media_id, kind, payload, dhash)` so later batches and replays
+    * pair against STORED hashes without re-decoding one corpus image
+    * (the 8-byte fingerprint IS its own slim index — no separate
+    * bucket-index relation, unlike the vector path). Protocol mirrors
+    * [[curateDocBatch]]: adjudicated-id anti-join makes a replayed batch
+    * a no-op, victim pairs are logged, survivors append atomically when
+    * a `sink` is given. Undecodable payloads hash null and always
+    * survive — there is no perceptual basis to dedup them.
+    */
+  def curateMediaBatch(spark: SparkSession, batch: DataFrame,
+      corpusDir: String, victimLogDir: Option[String],
+      maxHamming: Int, maxBucketSize: Int = 1000,
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None): Unit = {
+    import spark.implicits._
+    if (batch.isEmpty) return
+    def append(df: DataFrame, dir: String): Unit = sink match {
+      case Some(s) => s.append(df, dir, None)
+      case None    => df.write.mode("append").parquet(dir)
+    }
+    val corpusSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("dhash",
+        org.apache.spark.sql.types.LongType)))
+    val corpus = (sink match {
+      case Some(s) => readVia(spark, s, corpusDir, corpusSchema)
+      case None    => readCorpus(spark, corpusDir, corpusSchema)
+    }).localCheckpoint()
+    val fresh = batch
+      .join(adjudicatedIds(spark, corpus, victimLogDir, "media_id", sink),
+        Seq("media_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return
+    // hash once per batch payload; the corpus side reuses stored hashes
+    val freshHashed = fresh.join(
+      graft.multimodal.Multimodal.dhashMedia(
+        fresh.select(col("media_id"), col("kind"), col("payload"))
+          .as[graft.multimodal.Multimodal.MediaRow]),
+      Seq("media_id"))
+      .localCheckpoint()
+    val pairs = graft.operators.Dedup.incrementalHammingDupPairs(
+      freshHashed.select(col("media_id"), col("dhash")),
+      corpus.select(col("media_id"), col("dhash")),
+      maxHamming, idCol = "media_id", hashCol = "dhash",
+      maxBucketSize = maxBucketSize)
+      .localCheckpoint()
+    val victims = pairs.select(col("b_id").as("media_id")).distinct()
+    victimLogDir.foreach(d => append(pairs, d))
+    append(freshHashed.join(victims, Seq("media_id"), "left_anti"),
+      corpusDir)
+  }
+
   /** Persisted vector bucket index, explicit schema (crash-debris safe). */
   private def readVecIndex(spark: SparkSession, dir: String,
       idType: org.apache.spark.sql.types.DataType,

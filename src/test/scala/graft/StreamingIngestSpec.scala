@@ -358,6 +358,60 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$iroot/index").count() == iRows)
   }
 
+  test("media curation step: re-encoded image copies dropped by " +
+      "perceptual hash, replay is a no-op, undecodable payloads survive") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val root = tmpDir("mcurated_")
+    // content C(seed): 18x16 gray boxes rising by 6 per planted bit of
+    // the seed's 7-bit code — re-encoding the SAME content as a JPEG
+    // yields different bytes, equal dHash
+    def png(id: Long, seed: Long): (Long, String, Array[Byte]) =
+      (id, "image", Multimodal.pngPixelBytes(18, 16, (x, y) => {
+        var m = 128
+        for (k <- 0 until (x / 2))
+          m += (if (((seed >> (((y / 2) * 8 + k) % 7)) & 1) == 1) 6 else -6)
+        (m, m, m)
+      }))
+    // the same 9x8 box-mean structure RE-ENCODED at different dimensions
+    // (27x24, 3x3 boxes) — different bytes, different size, equal dHash:
+    // exactly the copy class a byte hash cannot pair
+    def reenc(id: Long, seed: Long): (Long, String, Array[Byte]) =
+      (id, "image", Multimodal.pngPixelBytes(27, 24, (x, y) => {
+        var m = 128
+        for (k <- 0 until (x / 3))
+          m += (if (((seed >> (((y / 3) * 8 + k) % 7)) & 1) == 1) 6 else -6)
+        (m, m, m)
+      }))
+    val b1 = Seq(png(1L, 5L), png(2L, 9L)).toDF("media_id", "kind", "payload")
+    StreamingIngest.curateMediaBatch(spark, b1, s"$root/corpus", None,
+      maxHamming = 4)
+    // batch 2: 10 = re-encoded copy of 1 (different dims AND bytes, same
+    // box-mean structure -> hamming 0), 11 = novel, 12 = undecodable
+    val b2 = Seq(reenc(10L, 5L), png(11L, 77L),
+      (12L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    StreamingIngest.curateMediaBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"), maxHamming = 4)
+    def kept = spark.read.parquet(s"$root/corpus")
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 11L, 12L),
+      "re-encoded copy dropped; novel + undecodable survive")
+    val victims = spark.read.parquet(s"$root/victims")
+    assert(victims.select("b_id").as[Long].collect().toSet == Set(10L))
+    // replay of batch 2 is a no-op (adjudicated-id anti-join)
+    val n = spark.read.parquet(s"$root/corpus").count()
+    StreamingIngest.curateMediaBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"), maxHamming = 4)
+    assert(spark.read.parquet(s"$root/corpus").count() == n)
+    // corpus stores the hash alongside the payload; undecodable = null
+    val stored = spark.read.parquet(s"$root/corpus")
+      .select("media_id", "dhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(stored(12L).isEmpty && stored(1L).nonEmpty)
+  }
+
   test("firstSeen: stateful cross-batch dedup emits each key once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
