@@ -217,6 +217,18 @@ object Stress {
       timeCount("media_gif")(
         Multimodal.gifStats(Multimodal.plantedGifMedia(spark, docs))
           .toDF())
+      // r11: perceptual hash — PNG encode+decode+9x8 box dHash per doc
+      timeCount("media_dhash")(
+        Multimodal.dhashMedia(Multimodal.plantedDhashMedia(spark, docs)))
+      // hamming pairing at corpus scale over NEAR-UNIFORM hashes (the
+      // planted-code corpus is 128 distinct values — degenerate for
+      // pairing; xxhash64 of the text is the honest blocking shape:
+      // 5 x 13-bit blocks, ~n/8192 rows per block value)
+      timeCount("dhash_pairs")(
+        Dedup.hammingDupPairs(
+          docs.select(col("doc_id"), xxhash64(col("text")).as("h")),
+          maxHamming = 4, idCol = "doc_id", hashCol = "h",
+          maxBucketSize = 1000))
     }
     // round-10: training-shard write — the ATOMIC manifest-log commit
     // path vs the plain directory path at corpus scale (same assignment;
