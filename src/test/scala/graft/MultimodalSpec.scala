@@ -644,6 +644,54 @@ class MultimodalSpec extends SparkSpec {
       Seq((1L, 2L)))
   }
 
+  test("fuzz: corrupted media payloads never throw — every decoder " +
+      "returns None or a decoded value under random mutation") {
+    import graft.multimodal.{Jpeg, Multimodal}
+    val rnd = new scala.util.Random(42)
+    // seed payloads: one of each class the decoders accept
+    val seeds: Seq[Array[Byte]] = Seq(
+      Multimodal.pngPixelBytes(18, 16, (x, y) => (x * 7, y * 9, 128)),
+      Jpeg.encodeBaseline(32, 8, quant = 8, 1, (_, bx, _) => {
+        val c = new Array[Int](64); c(0) = 8 * (10 * bx - 88); c
+      }),
+      Jpeg.encodeBaseline(32, 16, quant = 8, 3, (comp, bx, by) => {
+        val c = new Array[Int](64)
+        if (comp == 0) c(0) = 8 * (4 * bx + 8 * by - 60); c
+      }, subsample420 = true, restartInterval = 1),
+      Jpeg.encodeProgressive(32, 8, quant = 8, 1, (_, bx, _) => {
+        val c = new Array[Int](64); c(0) = 8 * (10 * bx - 87); c
+      }),
+      Multimodal.gifBytes(8, 8,
+        Array.tabulate(12)(i => (i * 20).toByte), (x, y) => (x + y) % 4,
+        nFrames = 2),
+      Multimodal.wavBytes(8000, 1, Array.tabulate(100)(_.toShort)))
+    def mutate(p: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
+      case 0 => // flip 1-4 random bytes
+        val c = p.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        }
+        c
+      case 1 => p.take(rnd.nextInt(p.length)) // truncate anywhere
+      case 2 => // splice two payloads
+        val o = seeds(rnd.nextInt(seeds.length))
+        p.take(rnd.nextInt(p.length)) ++ o.drop(rnd.nextInt(o.length))
+      case 3 => // random garbage with a real magic prefix
+        p.take(rnd.nextInt(16)) ++
+          Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+    }
+    (0 until 500).foreach { i =>
+      val m = mutate(seeds(i % seeds.length))
+      // must not throw — None or a decoded value are both acceptable
+      Multimodal.decodeAnyPixels(m)
+      Multimodal.decodeWav(m)
+      Multimodal.probeAvi(m)
+      Multimodal.probeImage(m)
+      Multimodal.dhash64(m)
+      Multimodal.extractStub(i.toLong, "image", m)
+    }
+  }
+
   test("jpegStats: planted baseline JPEGs match the closed form") {
     import spark.implicits._
     val docs = Seq((4L, "a"), (55L, "b"), (199L, "c"))
