@@ -498,6 +498,18 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // ADAM7 INTERLACED PNG decode: the q78 fixture re-encoded as the
+    // seven-pass progressive layout (byte-distinct files, identical
+    // pixels). Hitting q78's closed form from THIS planting proves each
+    // pass unfilters as an independent sub-image and every pixel lands
+    // on its exact (x0 + c·dx, y0 + r·dy) grid position.
+    "q91_png_interlaced" -> ((s, dir) => {
+      Multimodal.pixelStats(
+        Multimodal.plantedInterlacedPixelMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // REAL WAV/PCM decode: RIFF chunk walk + int16 sample extraction,
     // reduced to per-clip amplitude stats; planted samples follow the
     // closed form base + (i mod 17), so the oracle asserts the decode
@@ -1896,6 +1908,15 @@ object NorthStar {
               ELSE CAST(1 + octet_length(encode(text)) % 30 AS INT) END AS n_frames
          FROM documents ORDER BY media_id""",
     "q78_pixel_stats" ->
+      """SELECT doc_id AS media_id,
+         CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+         CAST(doc_id % 97 + 10.5 AS DOUBLE) AS mean_r,
+         CAST((3 * doc_id) % 89 + 10.5 AS DOUBLE) AS mean_g,
+         CAST((7 * doc_id) % 83 + 10.5 AS DOUBLE) AS mean_b,
+         CAST(doc_id % 97 AS INT) AS min_r,
+         CAST(doc_id % 97 + 21 AS INT) AS max_r
+         FROM documents ORDER BY media_id""",
+    "q91_png_interlaced" ->
       """SELECT doc_id AS media_id,
          CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
          CAST(doc_id % 97 + 10.5 AS DOUBLE) AS mean_r,

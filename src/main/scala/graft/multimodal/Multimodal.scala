@@ -116,11 +116,14 @@ object Multimodal {
   /** REAL pure-JVM PNG PIXEL decode — no codec dependency, just the spec
     * (RFC 2083): chunk walk → IDAT concat → `java.util.zip.Inflater` →
     * per-scanline unfilter (all five filter types: None/Sub/Up/Average/
-    * Paeth, §6). Supports the common 8-bit non-interlaced color types —
-    * grayscale (0, 1 ch), truecolor (2, 3 ch), indexed-palette (3,
-    * expanded through the PLTE chunk to 3 ch), truecolor+alpha (4 ch).
+    * Paeth, §6), both progressive-display layouts (non-interlaced and
+    * Adam7 seven-pass interlaced, §2.6 — each pass unfiltered as an
+    * independent sub-image, then scattered to its (x0 + c·dx, y0 + r·dy)
+    * grid positions). Supports the common 8-bit color types — grayscale
+    * (0, 1 ch), truecolor (2, 3 ch), indexed-palette (3, expanded
+    * through the PLTE chunk to 3 ch), truecolor+alpha (4 ch).
     * Returns `(width, height, channels, pixels)` with pixels row-major
-    * channel-interleaved, or None for anything else (16-bit, Adam7,
+    * channel-interleaved, or None for anything else (16-bit,
     * truncated, corrupt) — callers fall back to the md5 stub, so a
     * poison payload can never fail the batch. A decompressed-size guard
     * (64 MiB) bounds memory against zip-bomb payloads; real deployments
@@ -135,6 +138,7 @@ object Multimodal {
       return None
     var i = 8
     var w = 0; var h = 0; var channels = 0; var paletted = false
+    var adam7 = false
     var palette: Array[Byte] = null
     var sawIhdr = false; var done = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -148,8 +152,9 @@ object Multimodal {
           w = be32(i + 8); h = be32(i + 12)
           val (depth, color) = (u8(i + 16), u8(i + 17))
           val (comp, filt, interlace) = (u8(i + 18), u8(i + 19), u8(i + 20))
-          if (depth != 8 || comp != 0 || filt != 0 || interlace != 0)
+          if (depth != 8 || comp != 0 || filt != 0 || interlace > 1)
             return None
+          adam7 = interlace == 1
           channels = color match {
             case 0 => 1
             case 2 => 3
@@ -173,7 +178,23 @@ object Multimodal {
     if (!sawIhdr || idat.size == 0) return None
     if (paletted && palette == null) return None
     val stride = w * channels
-    val expect = h * (1 + stride)
+    // Adam7 pass grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass; a pass
+    // is empty when the image is too small to contain any of its lattice
+    // points, and empty passes contribute no scanlines (not even filter
+    // bytes) to the stream
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (adam7) Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Array((0, 0, 1, 1))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val expect = passes.map { pp =>
+      val (pwp, php) = passDims(pp)
+      if (pwp == 0 || php == 0) 0 else php * (1 + pwp * channels)
+    }.sum
     val raw = new Array[Byte](expect)
     val inf = new java.util.zip.Inflater()
     try {
@@ -197,32 +218,70 @@ object Multimodal {
         (math.abs(est - a), math.abs(est - b), math.abs(est - c))
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    val out = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (1 + stride)) & 0xff
-      if (ft > 4) return None
-      val ro = y * (1 + stride) + 1
-      val oo = y * stride
-      var j = 0
-      while (j < stride) {
-        val x = raw(ro + j) & 0xff
-        val left = if (j >= channels) out(oo + j - channels) & 0xff else 0
-        val up = if (y > 0) out(oo - stride + j) & 0xff else 0
-        val ul =
-          if (y > 0 && j >= channels) out(oo - stride + j - channels) & 0xff
-          else 0
-        val recon = ft match {
-          case 0 => x
-          case 1 => x + left
-          case 2 => x + up
-          case 3 => x + (left + up) / 2
-          case 4 => x + paeth(left, up, ul)
+    // unfilter one (sub-)image of pw x ph pixels starting at raw(off);
+    // left/up/upper-left neighbours are WITHIN the sub-image (each Adam7
+    // pass filters as an independent image)
+    def unfilterInto(off: Int, pw: Int, ph: Int,
+        img: Array[Byte]): Boolean = {
+      val st = pw * channels
+      var y = 0
+      while (y < ph) {
+        val ft = raw(off + y * (1 + st)) & 0xff
+        if (ft > 4) return false
+        val ro = off + y * (1 + st) + 1
+        val oo = y * st
+        var j = 0
+        while (j < st) {
+          val x = raw(ro + j) & 0xff
+          val left = if (j >= channels) img(oo + j - channels) & 0xff else 0
+          val up = if (y > 0) img(oo - st + j) & 0xff else 0
+          val ul =
+            if (y > 0 && j >= channels) img(oo - st + j - channels) & 0xff
+            else 0
+          val recon = ft match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + (left + up) / 2
+            case 4 => x + paeth(left, up, ul)
+          }
+          img(oo + j) = (recon & 0xff).toByte
+          j += 1
         }
-        out(oo + j) = (recon & 0xff).toByte
-        j += 1
+        y += 1
       }
-      y += 1
+      true
+    }
+    val out = new Array[Byte](h * stride)
+    if (!adam7) {
+      if (!unfilterInto(0, w, h, out)) return None
+    } else {
+      var off = 0
+      var pi = 0
+      while (pi < passes.length) {
+        val (x0, y0, dx, dy) = passes(pi)
+        val (pwp, php) = passDims(passes(pi))
+        if (pwp > 0 && php > 0) {
+          val img = new Array[Byte](php * pwp * channels)
+          if (!unfilterInto(off, pwp, php, img)) return None
+          var r = 0
+          while (r < php) {
+            var c = 0
+            while (c < pwp) {
+              val src = (r * pwp + c) * channels
+              val dst = ((y0 + r * dy) * w + (x0 + c * dx)) * channels
+              var ch = 0
+              while (ch < channels) {
+                out(dst + ch) = img(src + ch); ch += 1
+              }
+              c += 1
+            }
+            r += 1
+          }
+          off += php * (1 + pwp * channels)
+        }
+        pi += 1
+      }
     }
     if (!paletted) Some((w, h, channels, out))
     else {
@@ -250,52 +309,67 @@ object Multimodal {
     * unfilter path — the payload is what a real encoder could emit.
     */
   private[graft] def pngPixelBytes(w: Int, h: Int,
-      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      px: (Int, Int) => (Int, Int, Int),
+      interlaced: Boolean = false): Array[Byte] = {
     val channels = 3
-    val stride = w * channels
     def paeth(a: Int, b: Int, c: Int): Int = {
       val est = a + b - c
       val (pa, pb, pc) =
         (math.abs(est - a), math.abs(est - b), math.abs(est - c))
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    val raw = new Array[Byte](h * (1 + stride))
-    val prev = new Array[Int](stride)
-    val cur = new Array[Int](stride)
-    var o = 0
-    for (y <- 0 until h) {
-      for (x <- 0 until w) {
-        val (r, g, b) = px(x, y)
-        cur(x * 3) = r & 0xff; cur(x * 3 + 1) = g & 0xff
-        cur(x * 3 + 2) = b & 0xff
-      }
-      val ft = if (y == 0) 0 else 1 + ((y - 1) % 4) // Sub/Up/Average/Paeth
-      raw(o) = ft.toByte; o += 1
-      for (j <- 0 until stride) {
-        val left = if (j >= channels) cur(j - channels) else 0
-        val up = if (y > 0) prev(j) else 0
-        val ul = if (y > 0 && j >= channels) prev(j - channels) else 0
-        val v = ft match {
-          case 0 => cur(j)
-          case 1 => cur(j) - left
-          case 2 => cur(j) - up
-          case 3 => cur(j) - (left + up) / 2
-          case 4 => cur(j) - paeth(left, up, ul)
+    val out = new java.io.ByteArrayOutputStream()
+    // write one independently-filtered sub-image whose pixel (c, r) is
+    // the full-image pixel (x0 + c·dx, y0 + r·dy); the non-interlaced
+    // stream is the single identity pass
+    def writePass(x0: Int, y0: Int, dx: Int, dy: Int): Unit = {
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw == 0 || ph == 0) return
+      val st = pw * channels
+      val prev = new Array[Int](st)
+      val cur = new Array[Int](st)
+      for (r <- 0 until ph) {
+        for (c <- 0 until pw) {
+          val (pr, pg, pb) = px(x0 + c * dx, y0 + r * dy)
+          cur(c * 3) = pr & 0xff; cur(c * 3 + 1) = pg & 0xff
+          cur(c * 3 + 2) = pb & 0xff
         }
-        raw(o) = (v & 0xff).toByte; o += 1
+        val ft = if (r == 0) 0 else 1 + ((r - 1) % 4) // Sub/Up/Avg/Paeth
+        out.write(ft)
+        for (j <- 0 until st) {
+          val left = if (j >= channels) cur(j - channels) else 0
+          val up = if (r > 0) prev(j) else 0
+          val ul = if (r > 0 && j >= channels) prev(j - channels) else 0
+          val v = ft match {
+            case 0 => cur(j)
+            case 1 => cur(j) - left
+            case 2 => cur(j) - up
+            case 3 => cur(j) - (left + up) / 2
+            case 4 => cur(j) - paeth(left, up, ul)
+          }
+          out.write(v & 0xff)
+        }
+        Array.copy(cur, 0, prev, 0, st)
       }
-      Array.copy(cur, 0, prev, 0, stride)
     }
+    if (!interlaced) writePass(0, 0, 1, 1)
+    else for ((x0, y0, dx, dy) <- Seq((0, 0, 8, 8), (4, 0, 8, 8),
+        (0, 4, 4, 8), (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+        (0, 1, 1, 2)))
+      writePass(x0, y0, dx, dy)
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
-      pngChunk("IHDR", pngIhdr(w, h, colorType = 2)) ++
-      pngChunk("IDAT", deflateBytes(raw)) ++
+      pngChunk("IHDR", pngIhdr(w, h, colorType = 2,
+        interlace = if (interlaced) 1 else 0)) ++
+      pngChunk("IDAT", deflateBytes(out.toByteArray)) ++
       pngChunk("IEND", Array.emptyByteArray)
   }
 
-  private def pngIhdr(w: Int, h: Int, colorType: Int): Array[Byte] =
+  private def pngIhdr(w: Int, h: Int, colorType: Int,
+      interlace: Int = 0): Array[Byte] =
     java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
       .put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
 
   private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
     val tb = typ.getBytes("US-ASCII")
@@ -1139,6 +1213,25 @@ object Multimodal {
       val bb = ((7 * id) % 83).toInt
       MediaRow(id, "image", pngPixelBytes(8, 8,
         (x, y) => (br + x + 2 * y, bg + x + 2 * y, bb + x + 2 * y)))
+    }
+  }
+
+  /** [[plantedPixelMedia]] re-encoded ADAM7 INTERLACED: byte-distinct
+    * files carrying the identical pixel rule, so matching q78's closed
+    * form against THIS planting proves the seven-pass de-interlace
+    * scatters every pixel to its exact grid position (an 8x8 image
+    * populates all seven passes: 1+1+2+4+8+16+32 = 64 pixels).
+    */
+  def plantedInterlacedPixelMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val br = (id % 97).toInt
+      val bg = ((3 * id) % 89).toInt
+      val bb = ((7 * id) % 83).toInt
+      MediaRow(id, "image", pngPixelBytes(8, 8,
+        (x, y) => (br + x + 2 * y, bg + x + 2 * y, bb + x + 2 * y),
+        interlaced = true))
     }
   }
 

@@ -101,6 +101,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePixels(Array.empty[Byte]).isEmpty)
   }
 
+  test("decodePixels: Adam7 interlaced PNGs de-interlace to the exact " +
+      "pixel grid across image shapes; truncated interlaced data rejects") {
+    def rule(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 31 + y * 7) % 256, (x * 13 + y * 101) % 256, (x + y * 3) % 256)
+    // shapes chosen so passes go empty (1x1: only pass 1; 5x3: passes 2
+    // and 4 empty in x or populated partially) and so every pass has
+    // multi-row sub-images (16x16, 11x16)
+    for ((w, h) <- Seq((1, 1), (2, 2), (5, 3), (8, 8), (11, 16),
+        (16, 16), (9, 10))) {
+      val inter = Multimodal.pngPixelBytes(w, h, rule, interlaced = true)
+      val plain = Multimodal.pngPixelBytes(w, h, rule)
+      assert(!java.util.Arrays.equals(inter, plain),
+        s"interlaced encoding must be byte-distinct at ${w}x$h")
+      val Some((dw, dh, ch, px)) = Multimodal.decodePixels(inter)
+      assert((dw, dh, ch) == ((w, h, 3)), s"dims at ${w}x$h")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = rule(x, y)
+        assert((px((y * w + x) * 3) & 0xff) == r, s"r at ($x,$y) ${w}x$h")
+        assert((px((y * w + x) * 3 + 1) & 0xff) == g)
+        assert((px((y * w + x) * 3 + 2) & 0xff) == b)
+      }
+    }
+    val big = Multimodal.pngPixelBytes(16, 16, rule, interlaced = true)
+    assert(Multimodal.decodePixels(big.dropRight(40)).isEmpty)
+    // interlace byte > 1 is not a legal layout
+    val bad = big.clone()
+    // IHDR interlace flag lives at fixed offset 8(sig)+8(len+type)+12
+    bad(8 + 8 + 12) = 2
+    assert(Multimodal.decodePixels(bad).isEmpty)
+  }
+
   test("decodePixels: indexed-palette PNGs expand through PLTE to RGB; " +
       "out-of-range indices are rejected") {
     // 4-color palette, 6x5 image, index = (x + y) % 4
