@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis => TA, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, HeavyHitters, Similarity, TextRank}
 
 /** North-star extension queries: the LLM-training-data-pipeline surface —
   * text analysis, exact + near dedup (MinHash/LSH, SimHash, n-gram
@@ -356,6 +356,44 @@ object NorthStar {
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0), w = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // BLOOM-prefiltered decontamination: identical exact semantics to
+    // q66 (the confirm join removes every bloom false positive — the
+    // oracle is the same plain exact SQL), on a different benchmark
+    // slice. What changes is the scale regime: the benchmark span set
+    // broadcasts as a ~1.2 B/item bloom instead of 8 B/item longs and
+    // prunes corpus spans map-side before the join.
+    "q93_bloom_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomContaminatedDocs(
+        d.filter(col("doc_id") % 40 =!= 0),
+        d.filter(col("doc_id") % 40 === 0), w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // HEAVY-HITTER tokens: per-partition Misra-Gries nomination (bounded
+    // k counters, provably a superset of every token at >= minFrac of
+    // corpus volume) + one exact confirm pass — output is EXACT, so the
+    // oracle is the plain exact GROUP BY the sketch exists to avoid
+    // running over a web-scale vocabulary.
+    "q92_heavy_tokens" -> ((s, dir) => {
+      HeavyHitters.heavyTokens(docs(s, dir), minFrac = 0.02)
+    }),
+
+    // TF-IDF top terms per document with the RATIONAL (log-free) RSJ
+    // idf — every float op is IEEE-deterministic cross-engine, so the
+    // scores hash-compare against DuckDB computing the same expression.
+    "q94_tfidf_terms" -> ((s, dir) => {
+      TextRank.tfidfTopTerms(docs(s, dir), topK = 3)
+    }),
+
+    // BM25 ranked retrieval over a fixed 4-term query: row-local tf/dl,
+    // one scalar-stats broadcast, explicit left-to-right score addition
+    // (the double sum order is part of the contract), global top-20.
+    "q95_bm25_topk" -> ((s, dir) => {
+      TextRank.bm25(docs(s, dir),
+        terms = Seq("join", "hash", "scan", "slow"), topK = 20)
     }),
 
     // PII scan + redaction (graft.functions.Pii): per-class hit counts
@@ -1559,6 +1597,72 @@ object NorthStar {
          SELECT doc_id, count(*) AS n_shared_spans
          FROM c JOIN p USING (span_hash)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q93_bloom_decontamination" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id, list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
+           AS th FROM toks),
+         wh0 AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(th) - 7),
+             i -> list_reduce(th[i:i+7],
+               (x, y) -> (x * 1000003 + y) % 2147483647))) AS span_hash
+           FROM th WHERE len(th) >= 8),
+         wh AS (SELECT DISTINCT doc_id, span_hash FROM wh0),
+         p AS (SELECT DISTINCT span_hash FROM wh WHERE doc_id % 40 = 0),
+         c AS (SELECT doc_id, span_hash FROM wh WHERE doc_id % 40 <> 0)
+         SELECT doc_id, count(*) AS n_shared_spans
+         FROM c JOIN p USING (span_hash)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q92_heavy_tokens" ->
+      s"""WITH $toksCte,
+         tok AS (SELECT unnest(t) AS token FROM toks
+           WHERE len(t) > 0),
+         tok2 AS (SELECT token FROM tok WHERE token <> ''),
+         tot AS (SELECT count(*) AS total FROM tok2),
+         cnt AS (SELECT token, count(*) AS n FROM tok2 GROUP BY token)
+         SELECT token, n FROM cnt, tot
+         WHERE n >= ceil(0.02 * total)
+         ORDER BY n DESC, token""",
+    "q94_tfidf_terms" ->
+      s"""WITH $toksCte,
+         tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token <> '' GROUP BY doc_id, token),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         d AS (SELECT count(*) AS nd FROM documents),
+         sc AS (SELECT doc_id, token, tf, df,
+           tf * ((CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5)) AS score
+           FROM tf JOIN dfq USING (token), d),
+         rk AS (SELECT doc_id, token, tf, df, score,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, token) AS rnk FROM sc)
+         SELECT doc_id, token, tf, df, round(score, 6) AS score, rnk
+         FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q95_bm25_topk" ->
+      s"""WITH $toksCte,
+         base AS (SELECT doc_id, t AS toks,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+             AS DOUBLE) AS dl
+           FROM toks JOIN documents USING (doc_id)),
+         stats AS (SELECT count(*) AS d,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+           sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_join,
+           sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_hash,
+           sum(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS df_scan,
+           sum(CASE WHEN list_contains(toks, 'slow') THEN 1 ELSE 0 END) AS df_slow
+           FROM base),
+         scored AS (SELECT doc_id, ${Seq("join", "hash", "scan", "slow")
+             .map(t => s"""((d - df_$t + 0.5) / (df_$t + 0.5))
+              * ((CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * (1.2 + 1))
+                / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+                   + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))) AS c_$t""")
+             .mkString(",\n           ")}
+           FROM base, stats)
+         SELECT doc_id,
+           round(c_join + c_hash + c_scan + c_slow, 6) AS score
+         FROM scored
+         WHERE c_join + c_hash + c_scan + c_slow > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
     "q65_simhash_wide_pairs" ->
       s"""WITH $toksCte,
          th AS (SELECT doc_id,

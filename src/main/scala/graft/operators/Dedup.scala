@@ -413,6 +413,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_spans"))
   }
 
+  /** [[contaminatedDocs]] with a BLOOM-FILTER prefilter on the corpus
+    * side — same exact output (the final equi-join removes every bloom
+    * false positive), different scale regime: when the benchmark span
+    * set is too large to broadcast as exact longs (~8 B each), its Bloom
+    * filter at `fpp` costs ~1.2 B/item and prunes the corpus spans
+    * MAP-SIDE to `hits + fpp·|corpus spans|` rows before any join. The
+    * exact-confirm join then runs over that residue only, so the pattern
+    * stays exact while the broadcast shrinks ~7x and the join input by
+    * `~1/fpp`. This is the sketch-prefilter + exact-confirm shape every
+    * operator here uses for approximate structures (LSH → Jaccard,
+    * IVF → exact cosine): the sketch bounds work, the confirm pass
+    * guarantees the answer.
+    */
+  def bloomContaminatedDocs(corpus: DataFrame, probes: DataFrame, w: Int,
+      fpp: Double = 0.01, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def spans(df: DataFrame): DataFrame =
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          TextHashExprs.md5Prefix60Array(TextAnalysis.tokens(col(textCol)))
+            .as("th"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(TextHashExprs.windowedRollingHash(col("th"), w))
+            .as("span_hash"))
+        .dropDuplicates("doc_id", "span_hash")
+    // benchmark-sized: re-deriving it for the confirm join is cheaper
+    // than pinning executor storage for a query-shaped API
+    val probeSpans = spans(probes).select(col("span_hash")).distinct()
+    val nProbe = math.max(1L, probeSpans.count())
+    val bloom = probeSpans.stat.bloomFilter("span_hash", nProbe, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((h: Long) => bc.value.mightContainLong(h))
+    spans(corpus)
+      .where(mightContain(col("span_hash"))) // map-side sketch prune
+      .join(probeSpans, Seq("span_hash")) // exact confirm
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   // ------------------------------------------- connected-component clusters
 
   /** Transitive-closure dedup clusters over verified near-dup pairs:

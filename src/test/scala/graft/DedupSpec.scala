@@ -164,6 +164,27 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) >= 4)
   }
 
+  test("bloomContaminatedDocs is exactly contaminatedDocs (the confirm " +
+      "join removes every bloom false positive)") {
+    val bench = "what is the capital of france the answer is paris obviously"
+    val corpus = Seq(
+      (1L, s"some training document that quotes: $bench and continues on"),
+      (2L, "a perfectly clean training document with original content only"),
+      (3L, s"$bench $bench"),
+      (4L, "another clean doc whose spans must survive a sloppy bloom " +
+        "filter because the exact confirm join rejects false positives")
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, bench)).toDF("doc_id", "text")
+    val exact = Dedup.contaminatedDocs(corpus, probes, w = 8)
+      .as[(Long, Long)].collect().toMap
+    // fpp = 0.4 makes false positives near-certain on the clean docs'
+    // spans; output must still equal the exact operator bit-for-bit
+    val bloom = Dedup.bloomContaminatedDocs(corpus, probes, w = 8,
+      fpp = 0.4).as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+    assert(exact.keySet == Set(1L, 3L))
+  }
+
   test("dupClusters: chain A~B, B~C merges into one cluster with min rep") {
     // the case greedy pair-drop gets wrong: A≁C directly, yet all three are
     // one component
