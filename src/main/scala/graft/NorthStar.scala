@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis => TA, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, HeavyHitters, Similarity, TextRank}
+import graft.operators.{Corpus, Dedup, HeavyHitters, Similarity, TextRank}
 
 /** North-star extension queries: the LLM-training-data-pipeline surface —
   * text analysis, exact + near dedup (MinHash/LSH, SimHash, n-gram
@@ -29,6 +29,18 @@ object NorthStar {
   private val MinhashDupThreshold = 0.5
   private val JaccardDupThreshold = 0.8
   private val EmbNearDupThreshold = 0.4
+
+  /** Mixture-sampling keep rates (q97), shared with the oracle as exact
+    * integer thresholds out of 1e6. 'de' is deliberately absent so the
+    * default-rate path is exercised by the oracle too.
+    */
+  private val MixtureRates =
+    Map("en" -> 0.9, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.25)
+  private val MixtureDefaultRate = 0.35
+  private def mixtureThresholdSql: String =
+    "CASE lang " + MixtureRates.toSeq.sortBy(_._1).map { case (l, r) =>
+      s"WHEN '$l' THEN ${math.round(r * 1e6)}"
+    }.mkString(" ") + s" ELSE ${math.round(MixtureDefaultRate * 1e6)} END"
 
   /** Semantic-dedup cosine bar: far below the near-dup threshold (the
     * point of SemDeDup — prune REDUNDANT, not identical, vectors), set
@@ -394,6 +406,31 @@ object NorthStar {
     "q95_bm25_topk" -> ((s, dir) => {
       TextRank.bm25(docs(s, dir),
         terms = Seq("join", "hash", "scan", "slow"), topK = 20)
+    }),
+
+    // GPT-style sequence packing: concatenate all docs' tokens in doc_id
+    // order, chunk into 512-token training contexts; one row per
+    // (context, doc) overlap. The distributed two-phase prefix sum (no
+    // single-partition window) must land the exact same integer offsets
+    // as the oracle's plain window cumsum.
+    "q96_context_packing" -> ((s, dir) => {
+      Corpus.packContexts(docs(s, dir), contextLen = 512)
+    }),
+
+    // Deterministic domain-mixture sampling: per-language keep rates
+    // decided by an integer md5 threshold on doc_id — reproducible
+    // run-to-run and engine-to-engine, zero shuffle.
+    "q97_mixture_sample" -> ((s, dir) => {
+      Corpus.mixtureSample(docs(s, dir), MixtureRates, MixtureDefaultRate)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Inverted index with bounded posting lists: exact df, first-20
+    // postings cut by rank-then-truncate BEFORE any list materializes
+    // (a stopword costs 20 slots, not a corpus-sized array).
+    "q98_inverted_index" -> ((s, dir) => {
+      TextRank.invertedIndex(docs(s, dir), minDf = 5, maxPostings = 20)
     }),
 
     // PII scan + redaction (graft.functions.Pii): per-class hit counts
@@ -1663,6 +1700,44 @@ object NorthStar {
          FROM scored
          WHERE c_join + c_hash + c_scan + c_slow > 0
          ORDER BY score DESC, doc_id LIMIT 20""",
+    "q96_context_packing" ->
+      s"""WITH $toksCte,
+         base AS (SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+             AS BIGINT) AS n
+           FROM toks JOIN documents USING (doc_id)),
+         nz AS (SELECT doc_id, n FROM base WHERE n > 0),
+         off AS (SELECT doc_id, n,
+           CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start FROM nz),
+         ch AS (SELECT doc_id, n, start,
+           unnest(generate_series(start // 512, (start + n - 1) // 512))
+             AS chunk_id FROM off)
+         SELECT chunk_id, doc_id,
+           least((chunk_id + 1) * 512, start + n)
+             - greatest(chunk_id * 512, start) AS n_tokens
+         FROM ch ORDER BY chunk_id, doc_id""",
+    "q97_mixture_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 1000000 < ($mixtureThresholdSql)
+         ORDER BY doc_id""",
+    "q98_inverted_index" ->
+      s"""WITH $toksCte,
+         pairs0 AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         p2 AS (SELECT DISTINCT doc_id, token FROM pairs0
+           WHERE token <> ''),
+         dfq AS (SELECT token, count(*) AS df FROM p2 GROUP BY token),
+         rk AS (SELECT token, doc_id,
+           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+           FROM p2),
+         pl AS (SELECT token,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
+           FROM rk WHERE rn <= 20 GROUP BY token)
+         SELECT token, df, postings FROM dfq JOIN pl USING (token)
+         WHERE df >= 5 ORDER BY token""",
     "q65_simhash_wide_pairs" ->
       s"""WITH $toksCte,
          th AS (SELECT doc_id,

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus-assembly operators for training-data preparation: packing
+  * documents into fixed-length training contexts and deterministic
+  * domain-mixture sampling.
+  */
+object Corpus {
+
+  /** GPT-style sequence packing: concatenate all documents' tokens in
+    * `idCol` order and chunk the stream into consecutive contexts of
+    * `contextLen` tokens. Returns one row per (context, document) overlap:
+    * `(chunk_id, doc_id, n_tokens)` — the loader's map of which documents
+    * contribute how many tokens to which training context. Zero-token
+    * documents occupy no context and are absent.
+    *
+    * The global running offset is the scale problem: a bare
+    * `Window.orderBy(doc_id)` funnels the corpus through ONE partition
+    * (the q48 trap). Instead the classic two-phase prefix sum:
+    * range-partition by doc_id, per-partition token totals (collect is
+    * ≤ numPartitions rows), broadcast the partition prefix offsets back,
+    * and run the cumulative sum per-partition. Every shuffled row is
+    * `(doc_id, n)` — two longs — regardless of corpus width, and no
+    * single-partition stage exists at any size. The slim (doc_id, n, pid)
+    * frame is localCheckpoint'ed so the sampled range boundaries cannot
+    * drift between the offset job and the packing job.
+    */
+  def packContexts(docs: DataFrame, contextLen: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
+      .where(col("n") > 0)
+      .repartitionByRange(p, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val perPid = ranged.groupBy(col("pid"))
+      .agg(sum(col("n")).as("pn"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = perPid.map(_._1)
+      .zip(perPid.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "pid_off"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = lit(contextLen.toLong)
+    ranged.join(offDf, Seq("pid"))
+      .withColumn("start",
+        col("pid_off") + coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"start div $contextLen"),
+        expr(s"(start + n - 1) div $contextLen"))))
+      .select(col("chunk_id"), col("doc_id"),
+        (least((col("chunk_id") + 1) * c, col("start") + col("n"))
+          - greatest(col("chunk_id") * c, col("start"))).as("n_tokens"))
+      .orderBy(col("chunk_id"), col("doc_id"))
+  }
+
+  /** Deterministic domain-mixture sampling: keep each document with
+    * per-stratum probability `rates(stratum)` (else `defaultRate`),
+    * decided by a 60-bit md5 hash of the document id — no RNG state, so
+    * the sample is reproducible run-to-run, engine-to-engine, and stable
+    * under corpus repartitioning (the properties `df.sample` lacks).
+    * This is the mixture-reweighting step of every LLM data recipe:
+    * upsample high-quality domains, downsample the crawl tail.
+    *
+    * Scale posture: one map-side filter — the hash, the rate lookup
+    * (broadcast of a |strata|-row table), and the compare are row-local;
+    * no shuffle at all. Rates are applied as exact integer thresholds out
+    * of 1e6, so the decision arithmetic is integer-only and
+    * oracle-reproducible.
+    */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double, strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = broadcast(rates.toSeq
+      .map { case (s, r) => (s, math.round(r * 1e6)) }
+      .toDF(strataCol, "thr"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % lit(1000000L)
+    docs.join(rateDf, Seq(strataCol), "left")
+      .where(bucket < coalesce(col("thr"), lit(math.round(defaultRate * 1e6))))
+      .drop("thr")
+  }
+}

@@ -93,4 +93,41 @@ object TextRank {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Inverted index with BOUNDED posting lists: for every token with
+    * document frequency ≥ `minDf`, the exact df plus the first
+    * `maxPostings` doc ids (ascending) as a comma-joined string.
+    *
+    * Scale posture: the rank-then-truncate order matters — postings are
+    * cut to `maxPostings` by a per-token `row_number` BEFORE any list is
+    * materialized, so a stopword appearing in every document costs
+    * `maxPostings` list slots, not a corpus-sized array in one
+    * aggregation buffer (the naive `collect_list` then `slice` builds
+    * the full list first and dies exactly on the tokens an index is most
+    * queried for). Df is aggregated separately from the full pair set —
+    * counts, not lists, so it stays exact at any df. Every shuffled row
+    * is `(token, doc_id)` or `(token, count)`.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 2,
+      maxPostings: Int = 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+    val dfreq = pairs.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val rn = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val postings = pairs
+      .withColumn("rn", row_number().over(rn))
+      .where(col("rn") <= maxPostings)
+      .groupBy(col("token"))
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("postings"))
+    dfreq.where(col("df") >= minDf)
+      .join(postings, Seq("token"))
+      .select(col("token"), col("df"), col("postings"))
+      .orderBy(col("token"))
+  }
 }

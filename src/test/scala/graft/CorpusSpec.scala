@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("packContexts: two-phase prefix sum equals the sequential pack") {
+    // 9 docs, irregular lengths, contextLen 8 — spans single and multiple
+    // chunks, exact-boundary fits, and an empty doc that must vanish
+    val lens = Seq(3L, 8L, 1L, 0L, 13L, 5L, 2L, 16L, 4L)
+    val docsDf = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n.toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Corpus.packContexts(docsDf, contextLen = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    // sequential reference: walk docs in id order, fill chunks of 8
+    var off = 0L
+    val want = lens.zipWithIndex.filter(_._1 > 0).flatMap { case (n, i) =>
+      val start = off; off += n
+      (start / 8 to (start + n - 1) / 8).map { c =>
+        (c, i.toLong,
+          math.min((c + 1) * 8, start + n) - math.max(c * 8, start))
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // conservation: every token lands in exactly one chunk slot
+    assert(got.map(_._3).sum == lens.sum)
+    // no chunk over capacity
+    val perChunk = got.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(perChunk.values.forall(_ <= 8))
+    // all chunks except the last are exactly full
+    val lastChunk = perChunk.keys.max
+    assert(perChunk.filter(_._1 != lastChunk).values.forall(_ == 8))
+  }
+
+  test("property: packContexts conserves tokens and fills chunks for " +
+      "random corpora") {
+    val lensGen = Gen.listOfN(30, Gen.choose(0L, 20L))
+    for (seed <- 0 until 10) {
+      val lens = lensGen(Gen.Parameters.default, Seed(seed.toLong)).get
+      val docsDf = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n.toInt)("x").mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Corpus.packContexts(docsDf, contextLen = 7)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got.map(_._3).sum == lens.sum, s"seed=$seed lost tokens")
+      val perChunk = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      if (perChunk.nonEmpty) {
+        val last = perChunk.keys.max
+        assert(perChunk.filter(_._1 != last).values.forall(_ == 7),
+          s"seed=$seed has an underfull non-final chunk")
+        assert(perChunk.values.forall(_ <= 7), s"seed=$seed overfull chunk")
+        assert(perChunk.keys.min == 0L)
+      }
+    }
+  }
+
+  test("mixtureSample keeps exactly the md5-threshold rows per stratum") {
+    val docsDf = (0L until 400L)
+      .map(i => (i, s"text $i", Seq("en", "fr", "zh", "de")(
+        (i % 4).toInt), s"src${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rates = Map("en" -> 0.9, "fr" -> 0.5, "zh" -> 0.25)
+    val got = Corpus.mixtureSample(docsDf, rates, defaultRate = 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val want = (0L until 400L).filter { i =>
+      val lang = Seq("en", "fr", "zh", "de")((i % 4).toInt)
+      bucket(i) < math.round(rates.getOrElse(lang, 0.1) * 1e6)
+    }.toSet
+    assert(got == want)
+    // rate ordering sanity: en keeps more than zh, de (default 0.1) least
+    val byLang = docsDf.join(got.toSeq.toDF("doc_id"), Seq("doc_id"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") > byLang("zh"))
+    assert(byLang.getOrElse("de", 0L) <= byLang("zh"))
+  }
+
+  test("mixtureSample is stable under repartitioning (no RNG state)") {
+    val docsDf = (0L until 100L)
+      .map(i => (i, "t", if (i % 2 == 0) "en" else "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val a = Corpus.mixtureSample(docsDf, Map("en" -> 0.5), 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.mixtureSample(docsDf.repartition(13), Map("en" -> 0.5), 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+}

@@ -68,4 +68,21 @@ class TextRankSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(got.map(_._1) == Seq(1L))
   }
+
+  test("invertedIndex: exact df, postings rank-truncated before " +
+      "aggregation, numeric doc order") {
+    // 'tok' in 12 docs (df 12, postings cut to 5); doc ids chosen so a
+    // lexicographic sort would misorder (2 < 10 numerically, not as text)
+    val ids = Seq(2L, 10L, 9L, 100L, 11L, 3L, 40L, 5L, 1L, 30L, 7L, 20L)
+    val corpus = ids.map(i => (i, "tok tok common"))
+      .toDF("doc_id", "text")
+      .union(Seq((500L, "rare solo")).toDF("doc_id", "text"))
+    val got = TextRank.invertedIndex(corpus, minDf = 2, maxPostings = 5)
+      .as[(String, Long, String)].collect()
+      .map { case (t, df, p) => t -> ((df, p)) }.toMap
+    assert(got("tok") == ((12L, "1,2,3,5,7")))   // df exact, first 5 by id
+    assert(got("common") == ((12L, "1,2,3,5,7")))
+    assert(!got.contains("rare"))                // df 1 < minDf
+    assert(!got.contains("solo"))
+  }
 }
