@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis => TA, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Corpus, Dedup, HeavyHitters, Similarity, TextRank}
+import graft.operators.{Classifier, Corpus, Dedup, HeavyHitters, Similarity, TextRank}
 
 /** North-star extension queries: the LLM-training-data-pipeline surface —
   * text analysis, exact + near dedup (MinHash/LSH, SimHash, n-gram
@@ -431,6 +431,16 @@ object NorthStar {
     // (a stopword costs 20 slots, not a corpus-sized array).
     "q98_inverted_index" -> ((s, dir) => {
       TextRank.invertedIndex(docs(s, dir), minDf = 5, maxPostings = 20)
+    }),
+
+    // fastText-style hashing-trick linear classifier: per-doc quality
+    // score as ONE row-local HOF aggregate over the token array —
+    // integer-only md5 arithmetic, zero shuffle, no broadcast. The
+    // md5-derived weights are a deterministic stand-in for a trained
+    // model with the same cost shape.
+    "q99_hash_classifier" -> ((s, dir) => {
+      Classifier.scoreDocs(docs(s, dir), nBuckets = 4096, seed = "w")
+        .orderBy(col("doc_id"))
     }),
 
     // PII scan + redaction (graft.functions.Pii): per-class hit counts
@@ -1738,6 +1748,17 @@ object NorthStar {
            FROM rk WHERE rn <= 20 GROUP BY token)
          SELECT token, df, postings FROM dfq JOIN pl USING (token)
          WHERE df >= 5 ORDER BY token""",
+    "q99_hash_classifier" ->
+      s"""WITH $toksCte,
+         sc AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+             list_filter(t, x -> x <> ''),
+             x -> CAST(('0x' || substr(md5('w:' || CAST(
+                    CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 4096
+                    AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)), 0)
+           AS BIGINT) AS score
+           FROM toks)
+         SELECT doc_id, score, CAST(score >= 0 AS INT) AS kept
+         FROM sc ORDER BY doc_id""",
     "q65_simhash_wide_pairs" ->
       s"""WITH $toksCte,
          th AS (SELECT doc_id,
