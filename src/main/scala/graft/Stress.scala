@@ -178,6 +178,22 @@ object Stress {
           .join(docs.select(col("doc_id"),
             (col("doc_id") % 5).as("lang")), Seq("doc_id")),
         0.5, "lang"))
+    // round-11 text/corpus operators at the same scale
+    timeCount("heavy_tokens")(
+      graft.operators.HeavyHitters.heavyTokens(docs, minFrac = 0.001))
+    timeCount("tfidf_terms")(
+      graft.operators.TextRank.tfidfTopTerms(docs, topK = 3))
+    timeCount("inverted_index")(
+      graft.operators.TextRank.invertedIndex(docs, minDf = 5,
+        maxPostings = 20))
+    timeCount("pack_contexts")(
+      graft.operators.Corpus.packContexts(docs, contextLen = 512))
+    timeCount("mixture_sample")(
+      graft.operators.Corpus.mixtureSample(
+        docs.withColumn("lang", (col("doc_id") % 5).cast("string")),
+        Map("0" -> 0.9, "1" -> 0.5, "2" -> 0.25), 0.35))
+    timeCount("hash_classifier")(
+      graft.operators.Classifier.scoreDocs(docs))
     // round-10: the q77 capstone at ladder scale — segment dedup → LM
     // re-score on the CLEANED text → corpus-calibrated gate, the most
     // expensive bench query. Same localCheckpoint placement as the query
