@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis => TA, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Classifier, Corpus, Dedup, HeavyHitters, Similarity, TextRank}
+import graft.operators.{Classifier, Corpus, Dedup, HeavyHitters, Similarity, TextRank, TopK}
 
 /** North-star extension queries: the LLM-training-data-pipeline surface —
   * text analysis, exact + near dedup (MinHash/LSH, SimHash, n-gram
@@ -441,6 +441,21 @@ object NorthStar {
     "q99_hash_classifier" -> ((s, dir) => {
       Classifier.scoreDocs(docs(s, dir), nBuckets = 4096, seed = "w")
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact top-k per group via the native bounded-buffer aggregate
+    // (TopK.TopKAgg): map-side partial top-k, at most k pairs per group
+    // per partition cross the shuffle — no window, no per-group global
+    // sort. Top-5 longest documents per language, ties by doc_id.
+    "q100_topk_agg" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("lang"), col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n"))
+      base.groupBy(col("lang"))
+        .agg(TopK.topK(col("n"), col("doc_id"), 5).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"), col("col.score").as("n_tokens"))
+        .orderBy(col("lang"), col("rank"))
     }),
 
     // PII scan + redaction (graft.functions.Pii): per-class hit counts
@@ -1759,6 +1774,17 @@ object NorthStar {
            FROM toks)
          SELECT doc_id, score, CAST(score >= 0 AS INT) AS kept
          FROM sc ORDER BY doc_id""",
+    "q100_topk_agg" ->
+      s"""WITH $toksCte,
+         base AS (SELECT lang, doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+             AS BIGINT) AS n
+           FROM toks JOIN documents USING (doc_id)),
+         rk AS (SELECT lang, doc_id, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, doc_id)
+             AS rank FROM base)
+         SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n AS n_tokens
+         FROM rk WHERE rank <= 5 ORDER BY lang, rank""",
     "q65_simhash_wide_pairs" ->
       s"""WITH $toksCte,
          th AS (SELECT doc_id,
