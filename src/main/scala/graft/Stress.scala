@@ -194,6 +194,25 @@ object Stress {
         Map("0" -> 0.9, "1" -> 0.5, "2" -> 0.25), 0.35))
     timeCount("hash_classifier")(
       graft.operators.Classifier.scoreDocs(docs))
+    // native bounded-buffer top-k vs the window-rank idiom it replaces
+    // (same result set; the window sorts every row of every group)
+    val topkBase = docs.select((col("doc_id") % 5).as("g"), col("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col("text"))
+        .cast("long").as("n"))
+    timeCount("topk_agg")(
+      topkBase.groupBy(col("g"))
+        .agg(graft.operators.TopK.topK(col("n"), col("doc_id"), 5).as("top"))
+        .select(col("g"), explode(col("top"))))
+    timeCount("topk_window")({
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("n").desc, col("doc_id"))
+      topkBase.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    })
+    diag("topk_agg_rerun")(
+      topkBase.groupBy(col("g"))
+        .agg(graft.operators.TopK.topK(col("n"), col("doc_id"), 5).as("top"))
+        .select(col("g"), explode(col("top"))))
     // round-10: the q77 capstone at ladder scale — segment dedup → LM
     // re-score on the CLEANED text → corpus-calibrated gate, the most
     // expensive bench query. Same localCheckpoint placement as the query
