@@ -752,15 +752,21 @@ object Dedup {
   private def hammingPairsCore(h: DataFrame, maxHamming: Int,
       maxBucketSize: Int): DataFrame = {
     val nBlocks = maxHamming + 1
-    // ceil-division blocking leaves every block >= 1 bit only while
-    // nBlocks <= 32 (beyond that trailing blocks would be empty and the
-    // pigeonhole guarantee would silently break)
-    require(maxHamming >= 0 && nBlocks <= 32,
-      "need 0 <= maxHamming <= 31")
-    val per = (64 + nBlocks - 1) / nBlocks
+    // even bit distribution: the first (64 mod nBlocks) blocks get
+    // ceil(64/nBlocks) bits, the rest floor(64/nBlocks) — every block
+    // spans >= 1 real bit for any nBlocks <= 64, so the pigeonhole
+    // guarantee holds for the whole parameter range (naive ceil-division
+    // offsets would run past bit 63 for e.g. nBlocks = 9, leaving
+    // zero-width trailing blocks and silently losing recall)
+    require(maxHamming >= 0 && nBlocks <= 64,
+      "need 0 <= maxHamming <= 63")
+    val baseW = 64 / nBlocks
+    val extra = 64 % nBlocks
+    val widths = (0 until nBlocks).map(b => if (b < extra) baseW + 1 else baseW)
+    val offsets = widths.scanLeft(0)(_ + _)
     val keys = array((0 until nBlocks).map { b =>
-      val lo = b * per
-      val width = math.min(per, 64 - lo)
+      val lo = offsets(b)
+      val width = widths(b)
       val block =
         if (lo == 0 && width == 64) col("hh")
         else shiftrightunsigned(col("hh"), lo)

@@ -63,9 +63,15 @@ object HeavyHitters {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = math.max(8, math.ceil(2.0 / minFrac).toInt)
+    // materialize the token stream ONCE: the sketch pass, the total
+    // count, and the confirm aggregation are three separate jobs, and
+    // without a barrier a nondeterministic source could show each a
+    // different stream, voiding the superset guarantee (and tokenization
+    // would run 3x regardless)
     val toks = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
+      .localCheckpoint()
     val candidates = toks.as[String]
       .mapPartitions(it => misraGries(it, k))
       .toDF("token").distinct()

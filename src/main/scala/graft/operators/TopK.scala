@@ -119,11 +119,15 @@ object TopK {
       val b = new TopKBuffer(k)
       val n = bb.getInt()
       var i = 0
+      // serialize() wrote the slots best-first and n <= k, so the arrays
+      // can be filled positionally — a true O(n) rebuild (insert() would
+      // rescan from slot 0 per element, i.e. O(k^2))
       while (i < n) {
-        // inputs arrive best-first and inserts keep order: O(n) rebuild
-        b.insert(bb.getLong(), bb.getLong())
+        b.scores(i) = bb.getLong()
+        b.ids(i) = bb.getLong()
         i += 1
       }
+      b.n = n
       b
     }
 

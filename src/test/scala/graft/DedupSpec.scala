@@ -91,6 +91,37 @@ class DedupSpec extends SparkSpec {
     assert(brute.size >= 2) // fixture actually exercises the join
   }
 
+  test("hammingDupPairs pigeonhole blocking is COMPLETE for every " +
+      "nBlocks, incl. the formerly-degenerate counts (9, 12, 23, ...)") {
+    // random 64-bit fingerprints plus planted near pairs at several
+    // distances; completeness = blocked pairs equal brute force at every
+    // tested maxHamming (these nBlocks values used to produce zero-width
+    // trailing blocks under ceil-division offsets)
+    val rnd = new scala.util.Random(17)
+    def flip(h: Long, bits: Seq[Int]): Long =
+      bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+    val base = Seq.fill(12)(rnd.nextLong()).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val planted = base.take(4).flatMap { case (i, h) =>
+      Seq((100L + i, flip(h, Seq.fill(8)(rnd.nextInt(64)).distinct)),
+        (200L + i, flip(h, Seq.fill(22)(rnd.nextInt(64)).distinct)))
+    }
+    val all = base ++ planted
+    val df = all.toDF("doc_id", "hash")
+    for (maxH <- Seq(8, 11, 22, 30, 63)) {
+      val got = Dedup.hammingDupPairs(df, maxHamming = maxH,
+        hashCol = "hash")
+        .select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = (for {
+        (ai, ah) <- all; (bi, bh) <- all if ai < bi
+        d = java.lang.Long.bitCount(ah ^ bh) if d <= maxH
+      } yield (ai, bi, d)).toSet
+      assert(got == brute, s"maxHamming=$maxH (nBlocks=${maxH + 1})")
+      assert(brute.nonEmpty, s"fixture must plant pairs at maxH=$maxH")
+    }
+  }
+
   test("representatives collapses exact-dup clusters to the min id") {
     val reps = Dedup.representatives(docs)
       .select("doc_id").as[Long].collect().toSet
