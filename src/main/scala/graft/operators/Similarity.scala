@@ -30,14 +30,22 @@ object Similarity {
   def cos6(a: Column, b: Column): Column =
     round(graft.plans.CosineSimilarityExpr.cosine(a, b), 6)
 
-  private def ranked(joined: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+  /** Per-query top-k via the native bounded-buffer aggregate
+    * ([[TopK.TopKAgg]], double scores through the order-preserving bit
+    * transform — cosines round-trip bit-exactly). Same total order the
+    * old `row_number().over(partitionBy(query_id).orderBy(cosine desc,
+    * neighbor_id))` form produced, but the shuffle carries at most k
+    * pairs per query per input partition instead of EVERY candidate row:
+    * under brute-force kNN a query's window group is corpus-sized, and
+    * that one-task sort is precisely the straggler the aggregate retires.
+    */
+  private def ranked(joined: DataFrame, k: Int): DataFrame =
     joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
-  }
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
 
   /** Exact top-k neighbors for each query vector (excluding self). */
   def knnBruteForce(vectors: DataFrame, queries: DataFrame, k: Int,

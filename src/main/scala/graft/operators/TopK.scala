@@ -62,8 +62,27 @@ object TopK {
     }
   }
 
-  /** The aggregate: emits `array<struct<score: long, id: long>>`, best
-    * first. Children must both be LongType.
+  /** Order-preserving bijection IEEE-754 double <-> signed long: positive
+    * doubles keep their raw bits (which already order as values); negative
+    * doubles get their low 63 bits flipped, correcting the reversed bit
+    * order while staying negative. Total order: -NaN < -Inf < ... < -0.0
+    * < +0.0 < ... < +Inf < NaN (doubleToLongBits canonicalizes NaN, so
+    * every NaN compares equal). Self-inverse modulo the sign test, so
+    * scores round-trip bit-exactly through the Long buffer.
+    */
+  private[graft] def sortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
+  private[graft] def fromSortableBits(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & 0x7fffffffffffffffL))
+
+  /** The aggregate: emits `array<struct<score, id: long>>`, best first.
+    * The score child may be LongType (compared natively) or DoubleType
+    * (stored through [[sortableBits]] — comparisons on the transformed
+    * longs order exactly as the doubles, and eval restores the original
+    * bits); the id child must be LongType.
     */
   case class TopKAgg(
       left: Expression,
@@ -75,15 +94,18 @@ object TopK {
 
     require(k >= 1, "k >= 1")
 
+    private def scoreIsDouble: Boolean = left.dataType == DoubleType
+
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (left.dataType == LongType && right.dataType == LongType)
+      if ((left.dataType == LongType || left.dataType == DoubleType) &&
+          right.dataType == LongType)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"topk expects (LongType score, LongType id), got " +
+        s"topk expects (LongType|DoubleType score, LongType id), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     override def dataType: DataType = ArrayType(StructType(Seq(
-      StructField("score", LongType, nullable = false),
+      StructField("score", left.dataType, nullable = false),
       StructField("id", LongType, nullable = false))), containsNull = false)
     override def nullable: Boolean = false
     override def prettyName: String = "topk"
@@ -93,8 +115,12 @@ object TopK {
     override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
       val s = left.eval(input)
       val id = right.eval(input)
-      if (s != null && id != null)
-        b.insert(s.asInstanceOf[Long], id.asInstanceOf[Long])
+      if (s != null && id != null) {
+        val key =
+          if (scoreIsDouble) sortableBits(s.asInstanceOf[Double])
+          else s.asInstanceOf[Long]
+        b.insert(key, id.asInstanceOf[Long])
+      }
       b
     }
 
@@ -103,8 +129,11 @@ object TopK {
     }
 
     override def eval(b: TopKBuffer): Any =
-      new GenericArrayData((0 until b.n).map(i =>
-        InternalRow(b.scores(i), b.ids(i))).toArray[Any])
+      new GenericArrayData((0 until b.n).map { i =>
+        val s: Any =
+          if (scoreIsDouble) fromSortableBits(b.scores(i)) else b.scores(i)
+        InternalRow(s, b.ids(i))
+      }.toArray[Any])
 
     override def serialize(b: TopKBuffer): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.n)
@@ -141,7 +170,8 @@ object TopK {
   }
 
   /** Column form: the k best (score, id) pairs of the group, best first
-    * (score desc, id asc). Both inputs must be LongType columns.
+    * (score desc, id asc). Score may be a LongType or DoubleType column;
+    * id must be LongType.
     */
   def topK(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKAgg(Bridge.expression(score), Bridge.expression(id), k)
