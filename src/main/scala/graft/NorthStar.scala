@@ -426,9 +426,10 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
-    // Inverted index with bounded posting lists: exact df, first-20
-    // postings cut by rank-then-truncate BEFORE any list materializes
-    // (a stopword costs 20 slots, not a corpus-sized array).
+    // Inverted index with bounded posting lists: exact df and first-20
+    // postings in ONE groupBy — postings truncated by the bounded-buffer
+    // top-k aggregate (a stopword costs 20 buffer slots per partition,
+    // never a corpus-sized group through one task's window sort).
     "q98_inverted_index" -> ((s, dir) => {
       TextRank.invertedIndex(docs(s, dir), minDf = 5, maxPostings = 20)
     }),

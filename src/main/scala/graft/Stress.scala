@@ -186,6 +186,31 @@ object Stress {
     timeCount("inverted_index")(
       graft.operators.TextRank.invertedIndex(docs, minDf = 5,
         maxPostings = 20))
+    // planted every-doc stopword: the hottest token an index is queried
+    // for. The bounded-buffer aggregate keeps it at maxPostings slots per
+    // partition; the retired row_number window form (diag) funnels the
+    // full corpus-sized token group through ONE task's sort.
+    val stopDocs = docs.withColumn("text",
+      concat_ws(" ", col("text"), lit("zzstopword")))
+    timeCount("inverted_index_stopword")(
+      graft.operators.TextRank.invertedIndex(stopDocs, minDf = 5,
+        maxPostings = 20))
+    diag("inverted_index_stopword_win")({
+      val pairs = stopDocs
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.tokens(col("text")))
+            .as("token"))
+        .where(col("token") =!= "").distinct()
+      val dfreq = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val rnW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("token")).orderBy(col("doc_id"))
+      val postings = pairs.withColumn("rn", row_number().over(rnW))
+        .where(col("rn") <= 20)
+        .groupBy(col("token"))
+        .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+      dfreq.where(col("df") >= 5).join(postings, Seq("token"))
+    })
     timeCount("pack_contexts")(
       graft.operators.Corpus.packContexts(docs, contextLen = 512))
     timeCount("mixture_sample")(

@@ -98,15 +98,19 @@ object TextRank {
     * document frequency ≥ `minDf`, the exact df plus the first
     * `maxPostings` doc ids (ascending) as a comma-joined string.
     *
-    * Scale posture: the rank-then-truncate order matters — postings are
-    * cut to `maxPostings` by a per-token `row_number` BEFORE any list is
-    * materialized, so a stopword appearing in every document costs
-    * `maxPostings` list slots, not a corpus-sized array in one
-    * aggregation buffer (the naive `collect_list` then `slice` builds
-    * the full list first and dies exactly on the tokens an index is most
-    * queried for). Df is aggregated separately from the full pair set —
-    * counts, not lists, so it stays exact at any df. Every shuffled row
-    * is `(token, doc_id)` or `(token, count)`.
+    * Scale posture: postings are truncated by the native bounded-buffer
+    * top-k aggregate ([[TopK.TopKAgg]], score = −doc_id so ascending ids
+    * win) — a stopword appearing in EVERY document costs `maxPostings`
+    * buffer slots per partition and at most `maxPostings` pairs per
+    * partition on the wire, never a corpus-sized group through one
+    * task's sort (the previous `row_number` window form put exactly that
+    * straggler on the hottest tokens — the ones an index is most queried
+    * for — and the naive `collect_list`-then-`slice` is worse still,
+    * materializing the full list in one aggregation buffer). Df rides
+    * the SAME groupBy as a plain count — exact at any frequency — so the
+    * distinct'd pair frame is shuffled once, not three times, and the
+    * df⋈postings join is gone. Every shuffled row is `(token, doc_id)`
+    * or a ≤`maxPostings` partial buffer.
     */
   def invertedIndex(docs: DataFrame, minDf: Long = 2,
       maxPostings: Int = 20, textCol: String = "text",
@@ -116,18 +120,13 @@ object TextRank {
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .distinct()
-    val dfreq = pairs.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
-    val rn = Window.partitionBy(col("token")).orderBy(col("doc_id"))
-    val postings = pairs
-      .withColumn("rn", row_number().over(rn))
-      .where(col("rn") <= maxPostings)
-      .groupBy(col("token"))
-      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
-        _.cast("string")), ",").as("postings"))
-    dfreq.where(col("df") >= minDf)
-      .join(postings, Seq("token"))
-      .select(col("token"), col("df"), col("postings"))
+    pairs.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        TopK.topK(-col("doc_id"), col("doc_id"), maxPostings).as("top"))
+      .where(col("df") >= minDf)
+      .select(col("token"), col("df"),
+        array_join(transform(col("top"),
+          p => p.getField("id").cast("string")), ",").as("postings"))
       .orderBy(col("token"))
   }
 }
