@@ -969,6 +969,20 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // TRAINED hashing-trick classifier (the path q99's md5 weights stand
+    // in for): labels from the corpus's lang column (en vs rest), one
+    // deterministic distributed training groupBy -> (bucket, weight)
+    // table in exact integer arithmetic, then scoring via the broadcast
+    // weight join. The oracle replays training AND scoring.
+    "q101_trained_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labeled = d.withColumn("label",
+        (col("lang") === "en").cast("long"))
+      val w = Classifier.trainWeights(labeled, nBuckets = 1024)
+      Classifier.scoreWithWeights(d, w, nBuckets = 1024)
+        .orderBy(col("doc_id"))
+    }),
+
     // As-of join (time-series alignment; no native Spark join type) —
     // verified against DuckDB's native ASOF JOIN. For each purchase, the
     // most recent click at-or-before it per user.
@@ -1775,6 +1789,25 @@ object NorthStar {
            FROM toks)
          SELECT doc_id, score, CAST(score >= 0 AS INT) AS kept
          FROM sc ORDER BY doc_id""",
+    "q101_trained_classifier" ->
+      s"""WITH $toksCte,
+         ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         bk AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024
+             AS bucket
+           FROM ex WHERE tok <> ''),
+         lab AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y
+           FROM documents),
+         tr AS (SELECT bucket, sum(y) AS pos, sum(1 - y) AS neg
+           FROM bk JOIN lab USING (doc_id) GROUP BY bucket),
+         wt AS (SELECT bucket, 2000 * pos // (pos + neg) - 1000 AS weight
+           FROM tr),
+         sc AS (SELECT b.doc_id, sum(w.weight) AS s
+           FROM bk b JOIN wt w USING (bucket) GROUP BY b.doc_id)
+         SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS score,
+           CAST(COALESCE(sc.s, 0) >= 0 AS INT) AS kept
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
     "q100_topk_agg" ->
       s"""WITH $toksCte,
          base AS (SELECT lang, doc_id,

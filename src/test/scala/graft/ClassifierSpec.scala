@@ -40,6 +40,76 @@ class ClassifierSpec extends SparkSpec {
     assert(got(3)._2 == 0L)
   }
 
+  // sequential reference for the TRAINED path: per-bucket (pos, neg)
+  // occurrence counts -> weight = 2000*pos/(pos+neg) - 1000 (trunc)
+  private def refTrain(rows: Seq[(String, Long)],
+      nBuckets: Int): Map[Long, Long] = {
+    val occ = rows.flatMap { case (text, y) =>
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(t => (md60(t) % nBuckets, y))
+    }
+    occ.groupBy(_._1).map { case (b, g) =>
+      val pos = g.count(_._2 == 1L).toLong
+      b -> (2000L * pos / g.size - 1000L)
+    }
+  }
+
+  test("trainWeights matches the sequential count reference and is " +
+      "partitioning-independent") {
+    val rows = Seq(
+      ("good clean prose with varied words", 1L),
+      ("good good spam spam spam", 0L),
+      ("clean words again here", 1L),
+      ("spam junk junk junk", 0L),
+      ("", 1L)) // blank doc contributes nothing
+    val df = rows.zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "label")
+    val want = refTrain(rows, 32)
+    val got = Classifier.trainWeights(df, nBuckets = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    val gotRep = Classifier.trainWeights(df.repartition(13), nBuckets = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(gotRep == want)
+    // an all-positive bucket scores +1000, all-negative -1000 (if the
+    // fixture hashes them apart; 'clean' and 'junk' occur in one class)
+    assert(got(md60("junk") % 32) == -1000L ||
+      refTrain(rows, 32)(md60("junk") % 32) != -1000L)
+  }
+
+  test("scoreWithWeights: trained-table scoring matches the sequential " +
+      "reference; unseen buckets weigh 0; blank docs score 0") {
+    val train = Seq(
+      ("alpha beta alpha", 1L),
+      ("gamma delta", 0L),
+      ("alpha beta beta gamma", 1L))
+    val trainDf = train.zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "label")
+    val w = Classifier.trainWeights(trainDf, nBuckets = 64)
+    val wm = w.as[(Long, Long)].collect().toMap
+    val score = Seq(
+      (10L, "alpha alpha gamma"),  // trained tokens, multiplicity 2+1
+      (11L, "neverseen tokens"),   // unseen -> 0 weights
+      (12L, ""))                   // blank -> score 0, still present
+      .toDF("doc_id", "text")
+    val got = Classifier.scoreWithWeights(score, w, nBuckets = 64)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    def bw(t: String): Long = wm.getOrElse(md60(t) % 64, 0L)
+    assert(got(0) == ((10L, 2 * bw("alpha") + bw("gamma"),
+      if (2 * bw("alpha") + bw("gamma") >= 0) 1 else 0)))
+    assert(got(1) == ((11L,
+      bw("neverseen") + bw("tokens"),
+      if (bw("neverseen") + bw("tokens") >= 0) 1 else 0)))
+    assert(got(2) == ((12L, 0L, 1)))
+    // in-plan literal-array scoring agrees with the broadcast join
+    val arr = Classifier.modelArray(w, 64)
+    val viaModel = Classifier.scoreWithModel(score, arr)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(viaModel.toSeq == got.toSeq)
+  }
+
   test("score is threshold- and partitioning-independent (row-local)") {
     val docsDf = (0L until 200L).map(i => (i, s"tok$i word${i % 7} x"))
       .toDF("doc_id", "text")
