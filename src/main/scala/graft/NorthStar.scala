@@ -408,6 +408,18 @@ object NorthStar {
         terms = Seq("join", "hash", "scan", "slow"), topK = 20)
     }),
 
+    // INDEX-BACKED BM25 retrieval: same contract and bit-identical
+    // scores as q95, but candidates come from the materialized
+    // (doc_id, token, tf) term index — the full-corpus tokenize+score
+    // pass is replaced by a query-term filter over the slim index plus
+    // one scalar stats row. score > 0 requires a hit, so the candidate
+    // restriction is provably lossless (both queries share ONE oracle).
+    "q102_bm25_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextRank.bm25FromIndex(TextRank.termIndex(d), TextRank.docLengths(d),
+        terms = Seq("join", "hash", "scan", "slow"), topK = 20)
+    }),
+
     // GPT-style sequence packing: concatenate all docs' tokens in doc_id
     // order, chunk into 512-token training contexts; one row per
     // (context, doc) overlap. The distributed two-phase prefix sum (no
@@ -1005,6 +1017,37 @@ object NorthStar {
     */
   private val toksCte =
     "toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)"
+
+  /** BM25 oracle, shared by q95 (full-scan scoring) and q102 (index-backed
+    * retrieval): the indexed path is contractually EXACT-equal — same
+    * candidates (score > 0 requires a term hit), same left-to-right
+    * double sum — so both queries hash against one SQL.
+    */
+  private val bm25OracleSql =
+    s"""WITH $toksCte,
+       base AS (SELECT doc_id, t AS toks,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+           AS DOUBLE) AS dl
+         FROM toks JOIN documents USING (doc_id)),
+       stats AS (SELECT count(*) AS d,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_join,
+         sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_hash,
+         sum(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS df_scan,
+         sum(CASE WHEN list_contains(toks, 'slow') THEN 1 ELSE 0 END) AS df_slow
+         FROM base),
+       scored AS (SELECT doc_id, ${Seq("join", "hash", "scan", "slow")
+           .map(t => s"""((d - df_$t + 0.5) / (df_$t + 0.5))
+            * ((CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * (1.2 + 1))
+              / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+                 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))) AS c_$t""")
+           .mkString(",\n         ")}
+         FROM base, stats)
+       SELECT doc_id,
+         round(c_join + c_hash + c_scan + c_slow, 6) AS score
+       FROM scored
+       WHERE c_join + c_hash + c_scan + c_slow > 0
+       ORDER BY score DESC, doc_id LIMIT 20"""
 
   private val shinglesCte =
     """sh AS (SELECT doc_id,
@@ -1715,31 +1758,8 @@ object NorthStar {
              ORDER BY score DESC, token) AS rnk FROM sc)
          SELECT doc_id, token, tf, df, round(score, 6) AS score, rnk
          FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
-    "q95_bm25_topk" ->
-      s"""WITH $toksCte,
-         base AS (SELECT doc_id, t AS toks,
-           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
-             AS DOUBLE) AS dl
-           FROM toks JOIN documents USING (doc_id)),
-         stats AS (SELECT count(*) AS d,
-           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-           sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_join,
-           sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_hash,
-           sum(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS df_scan,
-           sum(CASE WHEN list_contains(toks, 'slow') THEN 1 ELSE 0 END) AS df_slow
-           FROM base),
-         scored AS (SELECT doc_id, ${Seq("join", "hash", "scan", "slow")
-             .map(t => s"""((d - df_$t + 0.5) / (df_$t + 0.5))
-              * ((CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * (1.2 + 1))
-                / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
-                   + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))) AS c_$t""")
-             .mkString(",\n           ")}
-           FROM base, stats)
-         SELECT doc_id,
-           round(c_join + c_hash + c_scan + c_slow, 6) AS score
-         FROM scored
-         WHERE c_join + c_hash + c_scan + c_slow > 0
-         ORDER BY score DESC, doc_id LIMIT 20""",
+    "q95_bm25_topk" -> bm25OracleSql,
+    "q102_bm25_indexed" -> bm25OracleSql,
     "q96_context_packing" ->
       s"""WITH $toksCte,
          base AS (SELECT doc_id,

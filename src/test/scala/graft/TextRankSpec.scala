@@ -69,6 +69,30 @@ class TextRankSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(1L))
   }
 
+  test("bm25FromIndex == bm25 exactly (same rows, bit-identical " +
+      "scores), incl. zero-hit docs excluded and topK cut") {
+    // extra docs so candidates ⊂ corpus: several docs share no query term
+    val corpus = docs.union(Seq(
+      (4L, "unrelated words entirely"),
+      (5L, "more filler text here"),
+      (6L, "")).toDF("doc_id", "text"))
+    val terms = Seq("spark", "slow", "scans")
+    val full = TextRank.bm25(corpus, terms, topK = 20)
+      .as[(Long, Double)].collect().toSeq
+    val indexed = TextRank.bm25FromIndex(TextRank.termIndex(corpus),
+        TextRank.docLengths(corpus), terms, topK = 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed == full)
+    assert(full.nonEmpty && full.size < 7) // candidates really restricted
+    // topK truncation agrees too
+    val full1 = TextRank.bm25(corpus, terms, topK = 1)
+      .as[(Long, Double)].collect().toSeq
+    val idx1 = TextRank.bm25FromIndex(TextRank.termIndex(corpus),
+        TextRank.docLengths(corpus), terms, topK = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(idx1 == full1 && idx1.size == 1)
+  }
+
   test("invertedIndex: exact df, postings rank-truncated before " +
       "aggregation, numeric doc order") {
     // 'tok' in 12 docs (df 12, postings cut to 5); doc ids chosen so a
