@@ -739,6 +739,21 @@ object NorthStar {
         .orderBy(col("media_id"))
     }),
 
+    // REAL MJPEG-in-AVI frame decode: RIFF movi walk → per-frame
+    // baseline-JPEG decode → sampled-frame-averaged pixelFeature — video
+    // payloads now get CONTENT-derived embeddings like every other
+    // decodable class. Planted flat frames at base + 20 + 10·f make the
+    // mean, std (0), aspect (0) and bright-fraction dims closed-form.
+    "q103_mjpeg_embed" -> ((s, dir) => {
+      Multimodal.extract(Multimodal.plantedMjpegMedia(s, docs(s, dir)))
+        .toDF()
+        .select((Seq(col("media_id"), col("width"), col("height"),
+          col("n_frames")) ++
+          (0 until 8).map(d =>
+            round(element_at(col("feature"), d + 1), 6).as(s"f$d"))): _*)
+        .orderBy(col("media_id"))
+    }),
+
     // REAL baseline-JPEG decode: marker walk → canonical Huffman →
     // differential DC across MCUs → dequant → full IDCT; planted
     // coefficients are quant multiples so the decoded grayscale is exact
@@ -2338,6 +2353,25 @@ object NorthStar {
            round(f3, 6) AS f3, round(f4, 6) AS f4, round(f5, 6) AS f5,
            round(f6, 6) AS f6, round(f7, 6) AS f7
          FROM u ORDER BY media_id""",
+    "q103_mjpeg_embed" ->
+      """WITH t AS (SELECT doc_id AS media_id,
+           CAST(doc_id % 100 AS DOUBLE) AS b,
+           CAST(1 + doc_id % 4 AS INT) AS n FROM documents)
+         SELECT media_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           n AS n_frames,
+           round((b + 20 + 5 * (n - 1)) / 128.0 - 1.0, 6) AS f0,
+           round((b + 20 + 5 * (n - 1)) / 128.0 - 1.0, 6) AS f1,
+           round((b + 20 + 5 * (n - 1)) / 128.0 - 1.0, 6) AS f2,
+           0.0 AS f3, 0.0 AS f4, 0.0 AS f5, 0.0 AS f6,
+           round(CASE WHEN n = 1 THEN 0.0
+             WHEN n = 2 THEN (CASE WHEN b >= 99 THEN 1 ELSE 0 END) / 2.0
+             WHEN n = 3 THEN ((CASE WHEN b >= 99 THEN 1 ELSE 0 END)
+               + (CASE WHEN b >= 89 THEN 1 ELSE 0 END)) / 3.0
+             ELSE ((CASE WHEN b >= 99 THEN 1 ELSE 0 END)
+               + (CASE WHEN b >= 89 THEN 1 ELSE 0 END)
+               + (CASE WHEN b >= 79 THEN 1 ELSE 0 END)) / 4.0 END, 6) AS f7
+         FROM t ORDER BY media_id""",
     "q83_jpeg_stats" ->
       """SELECT doc_id AS media_id,
          CAST(32 AS INT) AS width, CAST(8 AS INT) AS height,

@@ -571,7 +571,8 @@ object Multimodal {
     * embedding — CONTENT-derived for every payload class the repo can
     * decode (PNG via [[decodePixels]], gray/color baseline JPEG via
     * [[Jpeg.decode]], GIF first-frame pixels via [[decodeGif]], WAV/PCM
-    * samples via [[decodeWav]] → [[audioFeature]]); the md5-arithmetic
+    * samples via [[decodeWav]] → [[audioFeature]], MJPEG-in-AVI sampled
+    * frames via [[aviJpegFrames]] → [[videoFeature]]); the md5-arithmetic
     * stub remains ONLY for genuinely undecodable bytes, so every payload
     * gets a deterministic oracle-reproducible feature and a real learned
     * encoder has exactly one seam to fill.
@@ -599,6 +600,7 @@ object Multimodal {
       .orElse(decodeWav(payload).map { case (rate, channels, samples) =>
         audioFeature(rate, channels, samples)
       })
+      .orElse(videoFeature(payload))
       .getOrElse {
         val md = MessageDigest.getInstance("MD5")
         val hex = md.digest(payload).map("%02x".format(_)).mkString
@@ -1152,6 +1154,69 @@ object Multimodal {
     None
   }
 
+  /** REAL AVI frame extraction — walk the top-level RIFF chunks to the
+    * `LIST movi` body and collect every video chunk payload (fourCC
+    * `##dc`/`##db`, compressed/uncompressed video per the VfW chunk-id
+    * convention; reference handles video objects opaquely —
+    * BucketToBigQuery.js:233 treats any matched object as bytes). Same
+    * structural validation as [[probeAvi]]: every declared size must fit,
+    * or the whole payload is rejected — a truncated container can never
+    * yield a half-read frame.
+    */
+  def aviJpegFrames(p: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le32(i: Int) =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, s: String) =
+      s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (p.length < 12 || !ascii(0, "RIFF") || !ascii(8, "AVI ")) return None
+    var i = 12
+    while (i + 8 <= p.length) {
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz > p.length) return None
+      if (ascii(i, "LIST") && sz >= 4 && ascii(i + 8, "movi")) {
+        var j = i + 12
+        val end = i + 8 + sz
+        val frames = Vector.newBuilder[Array[Byte]]
+        while (j + 8 <= end) {
+          val csz = le32(j + 4)
+          if (csz < 0 || j + 8 + csz > end) return None
+          // video chunk: two stream-id digits then dc (compressed) or
+          // db (uncompressed)
+          if (u8(j) >= '0' && u8(j) <= '9' && u8(j + 1) >= '0' &&
+              u8(j + 1) <= '9' && u8(j + 2) == 'd' &&
+              (u8(j + 3) == 'c' || u8(j + 3) == 'b'))
+            frames += java.util.Arrays.copyOfRange(p, j + 8, j + 8 + csz)
+          j += 8 + csz + (csz & 1)
+        }
+        val out = frames.result()
+        return if (out.nonEmpty) Some(out) else None
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** CONTENT-derived video feature: sample 4 evenly-spaced frames from
+    * the `movi` list (the same `(j·n)/4` rule as [[extractStub]]'s
+    * frame_ids), pixel-decode each through [[decodeAnyPixels]] (MJPEG
+    * frames hit the existing [[Jpeg.decode]]), and average the per-frame
+    * [[pixelFeature]]s — frame 0 plus every k-th, never the whole clip,
+    * so cost is bounded by the sample count regardless of video length.
+    * None unless at least one sampled frame pixel-decodes; a garbage
+    * frame among decodable ones is skipped, not fatal.
+    */
+  private def videoFeature(p: Array[Byte]): Option[Array[Double]] =
+    aviJpegFrames(p).flatMap { frames =>
+      val n = frames.length
+      val feats = (0 until 4).map(j => (j * n) / 4).distinct
+        .flatMap(idx => decodeAnyPixels(frames(idx)).map {
+          case (w, h, channels, px) => pixelFeature(w, h, channels, px)
+        })
+      if (feats.isEmpty) None
+      else Some(Array.tabulate(8)(d => feats.map(_(d)).sum / feats.size))
+    }
+
   /** Minimal well-formed AVI header (RIFF `AVI ` + `LIST hdrl` + `avih`)
     * for planting known video metadata — header-only, like [[pngBytes]]:
     * [[probeAvi]] reads exactly what a production prober would without
@@ -1171,6 +1236,37 @@ object Multimodal {
     b.putInt(0).putInt(1).putInt(0)
     b.putInt(w).putInt(h)  // dwWidth, dwHeight
     b.putInt(0).putInt(0).putInt(0).putInt(0)
+    b.array()
+  }
+
+  /** Full MJPEG-in-AVI container: [[aviBytes]]'s `hdrl` followed by a
+    * `LIST movi` whose `00dc` chunks each wrap one complete JPEG — the
+    * layout a real MJPEG camera/encoder emits, with correct RIFF sizes
+    * throughout so [[probeAvi]] AND [[aviJpegFrames]] both validate.
+    */
+  private[graft] def mjpegAviBytes(w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffBody = 4 + (8 + 4 + 8 + 56) + (8 + moviBody)
+    val b = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(riffBody)
+    b.put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+    b.put("hdrl".getBytes("US-ASCII"))
+    b.put("avih".getBytes("US-ASCII")).putInt(56)
+    b.putInt(33367)            // dwMicroSecPerFrame (~29.97 fps)
+    b.putInt(0).putInt(0).putInt(0)
+    b.putInt(frames.length)    // dwTotalFrames
+    b.putInt(0).putInt(1).putInt(0)
+    b.putInt(w).putInt(h)
+    b.putInt(0).putInt(0).putInt(0).putInt(0)
+    b.put("LIST".getBytes("US-ASCII")).putInt(moviBody)
+    b.put("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      b.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) b.put(0.toByte) // RIFF word alignment
+    }
     b.array()
   }
 
@@ -1703,6 +1799,32 @@ object Multimodal {
         160 + ((11 * id) % 1280).toInt,
         120 + ((13 * id) % 720).toInt,
         1 + (id % 3000).toInt))
+    }
+  }
+
+  /** [[syntheticMedia]] where EVERY doc gets a full MJPEG AVI —
+    * `1 + id mod 4` frames, frame f a real baseline-JPEG 8×8 block flat
+    * at `base + 20 + 10·f` with `base = id mod 100` (planted as DC
+    * coefficient `8·(v − 128)`, a quant multiple, so each frame decodes
+    * exactly). [[extractStub]]'s sampled-frame average is then
+    * closed-form: mean luma `base + 20 + 5·(n−1)` over the distinct
+    * `(j·n)/4` sample, per-frame std 0, bright fraction a CASE over
+    * which sampled frames exceed 128.
+    */
+  def plantedMjpegMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val base = (id % 100).toInt
+      val n = 1 + (id % 4).toInt
+      val frames = (0 until n).map { f =>
+        Jpeg.encodeGray(8, 8, quant = 8, (_, _) => {
+          val c = new Array[Int](64)
+          c(0) = 8 * (base + 20 + 10 * f - 128)
+          c
+        })
+      }
+      MediaRow(id, "video", mjpegAviBytes(8, 8, frames))
     }
   }
 }

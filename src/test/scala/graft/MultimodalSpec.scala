@@ -287,6 +287,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeAvi(Multimodal.aviBytes(0, 480, 10)).isEmpty)
   }
 
+  test("aviJpegFrames/videoFeature: MJPEG movi frames decode through " +
+      "Jpeg.decode; truncation and garbage frames degrade, never throw") {
+    import graft.multimodal.Jpeg
+    def flatFrame(v: Int) = Jpeg.encodeGray(8, 8, quant = 8, (_, _) => {
+      val c = new Array[Int](64)
+      c(0) = 8 * (v - 128)
+      c
+    })
+    val frames = Seq(60, 70, 80).map(flatFrame)
+    val avi = Multimodal.mjpegAviBytes(8, 8, frames)
+    // container round-trip: probe reads the header, the walk finds all 3
+    assert(Multimodal.probeAvi(avi).contains((8, 8, 3)))
+    val Some(got) = Multimodal.aviJpegFrames(avi)
+    assert(got.length == 3)
+    assert(got.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // sampled frames: n=3 → distinct((j*3)/4) = 0,1,2 → all three;
+    // average of flat lumas 60,70,80 → mean 70, std 0, bright 0
+    val feat = Multimodal.extractStub(1L, "video", avi).feature
+    assert(math.abs(feat(0) - (70.0 / 128.0 - 1.0)) < 1e-12)
+    assert(feat(3) == 0.0 && feat(6) == 0.0 && feat(7) == 0.0)
+    // a bright frame (v=200 > 128) raises the bright fraction to 1/3
+    val bright = Multimodal.mjpegAviBytes(8, 8,
+      Seq(flatFrame(60), flatFrame(70), flatFrame(200)))
+    assert(math.abs(Multimodal.extractStub(2L, "video", bright)
+      .feature(7) - 1.0 / 3.0) < 1e-12)
+    // truncated container: structural validation rejects the whole clip
+    // and the feature falls all the way through to the exact md5 stub
+    assert(Multimodal.aviJpegFrames(avi.dropRight(10)).isEmpty)
+    val truncBytes = avi.dropRight(10)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(truncBytes).map("%02x".format(_)).mkString
+    val stubFeat = Array.tabulate(8)(d =>
+      java.lang.Long.parseLong(hex.substring(4 * d, 4 * d + 4), 16)
+        .toDouble / 65536.0 * 2.0 - 1.0)
+    assert(Multimodal.extractStub(3L, "video", truncBytes)
+      .feature.sameElements(stubFeat))
+    // garbage frame among decodable ones is skipped, not fatal
+    val mixed = Multimodal.mjpegAviBytes(8, 8,
+      Seq(flatFrame(60), "not a jpeg at all".getBytes("UTF-8")))
+    val mixedFeat = Multimodal.extractStub(4L, "video", mixed).feature
+    assert(math.abs(mixedFeat(0) - (60.0 / 128.0 - 1.0)) < 1e-12)
+    // movi with ONLY garbage frames → md5 stub fallback, no throw
+    val junk = Multimodal.mjpegAviBytes(8, 8,
+      Seq("junk".getBytes("UTF-8")))
+    assert(Multimodal.extractStub(5L, "video", junk).feature.length == 8)
+  }
+
   test("decodeGif: LZW round-trip (dictionary strings, KwKwK, clears), " +
       "hand-packed width-growth stream, frame counting, junk rejection") {
     // round-trip through the real encoder: varied pattern forces clears
