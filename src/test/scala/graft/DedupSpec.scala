@@ -225,6 +225,22 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters: reliable checkpointDir gives the same clusters and " +
+      "actually writes per-iteration checkpoints to the directory") {
+    val dir = java.nio.file.Files.createTempDirectory("dupcc").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // the barrier really used reliable storage, not executor blocks
+    def rddFiles(p: java.io.File): Seq[java.io.File] =
+      Option(p.listFiles()).toSeq.flatten
+        .flatMap(f => if (f.isDirectory) rddFiles(f) else Seq(f))
+    assert(rddFiles(new java.io.File(dir)).nonEmpty)
+  }
+
   test("dupClusters: empty pair set yields empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.dupClusters(empty).isEmpty)
