@@ -515,6 +515,87 @@ object Stress {
         s"${spark.read.parquet(s"$root/victims").count()} index_rows=" +
         s"${spark.read.parquet(s"$root/index").count()}")
     }
+
+    // round-12: STREAMING MEDIA CURATION LADDER — curateMediaBatch
+    // through the same 10-batch growing-corpus protocol as 'curated'.
+    // Payloads are REAL PNGs whose 9x8 box structure encodes a 64-bit
+    // per-id seed, so dHash(image) is a uniform function of the seed and
+    // accidental cross-id pairs are ~impossible; one in ten ids per later
+    // batch is a RE-ENCODED copy of a batch-0 original (same box
+    // structure at 3x3-pixel boxes instead of 2x2 — different bytes,
+    // different dimensions, equal dHash: the copy class byte hashes
+    // cannot pair), and one in ten is undecodable text (null hash,
+    // always survives). Per-batch cost must stay flat: batch-side dhash
+    // + slim hamming pairing against STORED 8-byte hashes — the corpus
+    // is never re-decoded.
+    def mediaLadder(tag: String,
+        sink: Option[graft.ingest.Ingest.DestinationSink]): Unit = {
+      import spark.implicits._
+      import graft.multimodal.Multimodal
+      val root = java.nio.file.Files
+        .createTempDirectory(s"stress_${tag}_").toString
+      val corpusDir = s"$root/corpus"
+      val victimsDir = s"$root/victims"
+      val batches = 10
+      val per = ((nDocs0 * repl) / batches).toInt
+      def weyl(x: Long): Long = { // splitmix64 finalizer: id -> seed
+        var z = x * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def boxPng(seed: Long, box: Int): Array[Byte] =
+        Multimodal.pngPixelBytes(9 * box, 8 * box, (x, y) => {
+          val r = y / box
+          var m = 128
+          for (k <- 0 until (x / box))
+            m += (if (((seed >>> ((r * 8 + k) & 63)) & 1) == 1) 6 else -6)
+          (m, m, m)
+        })
+      def mediaBatch(b: Int): DataFrame =
+        spark.range(b.toLong * per, (b + 1).toLong * per).as[Long]
+          .map { id =>
+            if (id % 10 == 7)
+              (id, "image", s"undecodable payload $id".getBytes("UTF-8"))
+            else if (id % 10 == 3 && id >= per)
+              (id, "image", boxPng(weyl(id % per), 3)) // re-encoded copy
+            else (id, "image", boxPng(weyl(id), 2))    // original content
+          }.toDF("media_id", "kind", "payload")
+      def corpusCount(): Long = sink match {
+        case Some(s) => s.readBack(spark, corpusDir).count()
+        case None    => spark.read.parquet(corpusDir).count()
+      }
+      (0 until batches).foreach { b =>
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.curateMediaBatch(
+          spark, mediaBatch(b), corpusDir, Some(victimsDir),
+          maxHamming = 4, maxBucketSize = 1000, sink = sink)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val sz = corpusCount()
+        println(f"STRESS ${tag}_batch_$b%-10s $dt%8.2f s  corpus=$sz")
+        if (b == batches / 2 && sink.isEmpty) {
+          // crash replay mid-ladder: the previous batch again, verbatim
+          val c0 = sz
+          val t1 = System.nanoTime()
+          graft.streaming.StreamingIngest.curateMediaBatch(
+            spark, mediaBatch(b), corpusDir, Some(victimsDir),
+            maxHamming = 4, maxBucketSize = 1000, sink = sink)
+          val rt = (System.nanoTime() - t1) / 1e9
+          val c1 = corpusCount()
+          require(c1 == c0, s"replay must be a no-op: $c0 -> $c1")
+          println(f"STRESS ${tag}_replay     $rt%8.2f s  corpus=$c1 (no-op ok)")
+        }
+      }
+      val victims = sink match {
+        case Some(s) => s.readBack(spark, victimsDir).count()
+        case None    => spark.read.parquet(victimsDir).count()
+      }
+      println(s"STRESS ${tag}_done: corpus=${corpusCount()} " +
+        s"victims=$victims (expect victims=${(batches - 1) * (per / 10)})")
+    }
+    if (enabled("curated_media")) mediaLadder("curated_media", None)
+    if (enabled("curated_media_ms"))
+      mediaLadder("curated_media_ms", Some(ManifestSink))
     spark.stop()
   }
 }
