@@ -722,6 +722,19 @@ object NorthStar {
         .orderBy(col("a_id"))
     }),
 
+    // VIDEO perceptual near-dup: MJPEG AVIs hash their first movi frame
+    // (dhash64's video route), so a clip RE-ENCODED at a different quant
+    // table — different bytes, different size — pairs with its original
+    // through the same pigeonhole hamming pairer as still images.
+    // Planted pairs differ by 2 code bits → hamming exactly 2.
+    "q104_video_near_dup" -> ((s, dir) => {
+      val hashed = Multimodal.dhashMedia(
+        Multimodal.plantedMjpegPairMedia(s, docs(s, dir)))
+      Dedup.hammingDupPairs(hashed, maxHamming = 4,
+        idCol = "media_id", hashCol = "dhash")
+        .orderBy(col("a_id"))
+    }),
+
     // CONTENT-derived embedding for EVERY decodable payload class: one
     // mixed planting (color-JPEG / GIF / WAV / raw text by id mod 4)
     // routes through the feature seam — JPEG and GIF pixels through
@@ -2279,6 +2292,11 @@ object NorthStar {
            AS dhash
          FROM documents ORDER BY media_id""",
     "q90_dhash_near_dup" ->
+      """SELECT CAST(doc_id * 2 AS BIGINT) AS a_id,
+         CAST(doc_id * 2 + 1 AS BIGINT) AS b_id,
+         CAST(2 AS INT) AS hamming
+         FROM documents WHERE doc_id < 100 ORDER BY a_id""",
+    "q104_video_near_dup" ->
       """SELECT CAST(doc_id * 2 AS BIGINT) AS a_id,
          CAST(doc_id * 2 + 1 AS BIGINT) AS b_id,
          CAST(2 AS INT) AS hamming

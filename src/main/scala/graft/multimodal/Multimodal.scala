@@ -1631,9 +1631,18 @@ object Multimodal {
     * brightness compares cross-multiplied box SUMS (`s₁·n₀ > s₀·n₁`) so
     * uneven boxes never need fractional means. Downsample-only: images
     * smaller than 9×8 return None.
+    *
+    * VIDEO payloads (MJPEG-in-AVI) hash their FIRST movi frame — a
+    * re-encoded copy of a clip (different quant tables / byte stream,
+    * same content) pairs at hamming 0 exactly like a re-encoded still.
+    * First-frame identity is the bounded-cost default; a cut-robust
+    * variant would hash every k-th sampled frame into a hash SET, at k×
+    * the index size.
     */
   def dhash64(payload: Array[Byte]): Option[Long] =
-    decodeAnyPixels(payload).flatMap { case (w, h, channels, px) =>
+    decodeAnyPixels(payload)
+      .orElse(aviJpegFrames(payload).flatMap(fs => decodeAnyPixels(fs(0))))
+      .flatMap { case (w, h, channels, px) =>
       if (w < 9 || h < 8) None
       else {
         val sums = Array.ofDim[Long](8, 9)
@@ -1720,6 +1729,51 @@ object Multimodal {
         Seq(MediaRow(2 * id, "image", dhashPlantPng(id, Set.empty)),
           MediaRow(2 * id + 1, "image", dhashPlantPng(id, Set(0, 31))))
       }
+  }
+
+  /** [[plantedDhashPairMedia]]'s VIDEO sibling, same bound and code:
+    * per doc (< 100), media 2·id is a TWO-frame MJPEG AVI whose 72×64
+    * frames carry the doc's dHash code as flat 8×8 JPEG blocks (block
+    * grid = dHash box grid exactly) at quant 8; media 2·id + 1 is the
+    * SAME content RE-ENCODED at quant 4 with code bits 0 and 31 flipped
+    * — different quant table, different Huffman bytes, different file
+    * size, visually near-identical frame 0 → first-frame dHash hamming
+    * exactly 2. DC values `8·(m − 128)` are multiples of both quants, so
+    * both encodings decode to exact integers and the hash is planted,
+    * not approximated.
+    */
+  def plantedMjpegPairMedia(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).filter(col("doc_id") < 100)
+      .as[Long].flatMap { id =>
+        Seq(MediaRow(2 * id, "video", mjpegPlantAvi(id, Set.empty, 8)),
+          MediaRow(2 * id + 1, "video", mjpegPlantAvi(id, Set(0, 31), 4)))
+      }
+  }
+
+  /** The video planting: [[dhashPlantPng]]'s box walk rendered as flat
+    * 8×8 JPEG blocks over a 9×8 block grid (72×64 px), wrapped twice
+    * into an MJPEG AVI ([[mjpegAviBytes]]).
+    */
+  private def mjpegPlantAvi(id: Long, flip: Set[Int],
+      quant: Int): Array[Byte] = {
+    def bit(k: Int): Boolean = {
+      val base = k < 63 && ((id >> (k % 7)) & 1) == 1
+      if (flip.contains(k)) !base else base
+    }
+    val m = Array.ofDim[Int](8, 9)
+    for (y <- 0 until 8) {
+      m(y)(0) = 128
+      for (x <- 0 until 8)
+        m(y)(x + 1) = m(y)(x) + (if (bit(y * 8 + x)) 6 else -6)
+    }
+    val frame = Jpeg.encodeGray(72, 64, quant, (bx, by) => {
+      val c = new Array[Int](64)
+      c(0) = 8 * (m(by)(bx) - 128) // multiple of both quants (±48·k)
+      c
+    })
+    mjpegAviBytes(72, 64, Seq(frame, frame))
   }
 
   /** The 18×16 planting both dHash fixtures share: box (x, y) is a flat

@@ -334,6 +334,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.extractStub(5L, "video", junk).feature.length == 8)
   }
 
+  test("dhash64 on video: first-frame perceptual identity — re-encoded " +
+      "quant/byte-distinct MJPEG copies collide, distinct content doesn't") {
+    import graft.multimodal.Jpeg
+    // gradient content (left-to-right ramp per 8x8 block column) as a
+    // 72x64 MJPEG frame: block (bx, by) flat at 100 + 8*bx
+    def clip(quant: Int, shift: Int) = Multimodal.mjpegAviBytes(72, 64,
+      Seq(Jpeg.encodeGray(72, 64, quant, (bx, _) => {
+        val c = new Array[Int](64)
+        c(0) = 8 * (100 + 8 * bx + shift - 128) // multiple of both quants
+        c
+      })))
+    val a = clip(8, 0)
+    val b = clip(4, 0)  // same content, different quant -> different bytes
+    assert(!a.sameElements(b) && a.length != b.length)
+    val (ha, hb) = (Multimodal.dhash64(a), Multimodal.dhash64(b))
+    assert(ha.nonEmpty && ha == hb, "re-encoded copy must collide")
+    // same-structure still PNG hashes identically: one perceptual space
+    // across modalities (block grid = box grid, flat values match)
+    val png = Multimodal.pngPixelBytes(72, 64, (x, _) => {
+      val v = 100 + 8 * (x / 8); (v, v, v)
+    })
+    assert(Multimodal.dhash64(png) == ha)
+    // reversed gradient = different content -> different hash
+    val rev = Multimodal.mjpegAviBytes(72, 64,
+      Seq(Jpeg.encodeGray(72, 64, 8, (bx, _) => {
+        val c = new Array[Int](64)
+        c(0) = 8 * (100 + 8 * (8 - bx) - 128)
+        c
+      })))
+    assert(Multimodal.dhash64(rev) != ha)
+    // truncated container hashes null (curation lets it survive)
+    assert(Multimodal.dhash64(a.dropRight(10)).isEmpty)
+  }
+
   test("decodeGif: LZW round-trip (dictionary strings, KwKwK, clears), " +
       "hand-packed width-growth stream, frame counting, junk rejection") {
     // round-trip through the real encoder: varied pattern forces clears
