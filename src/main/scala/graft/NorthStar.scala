@@ -1023,6 +1023,16 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT corpus quantiles (p50/p90/p99 token-count cutoffs) by
+    // value-domain histogram narrowing — no global sort, no single-task
+    // percentile buffer; verified against DuckDB's exact quantile_disc.
+    "q105_exact_quantiles" -> ((s, dir) => {
+      val tc = docs(s, dir).select(
+        TA.tokenCount(col("text")).cast("long").as("n"))
+      graft.operators.Quantile.quantileFrame(tc, "n",
+        Seq(0.5, 0.9, 0.99)).orderBy(col("q"))
+    }),
+
     // As-of join (time-series alignment; no native Spark join type) —
     // verified against DuckDB's native ASOF JOIN. For each purchase, the
     // most recent click at-or-before it per user.
@@ -1806,6 +1816,20 @@ object NorthStar {
            least((chunk_id + 1) * 512, start + n)
              - greatest(chunk_id * 512, start) AS n_tokens
          FROM ch ORDER BY chunk_id, doc_id""",
+    "q105_exact_quantiles" ->
+      s"""WITH $toksCte,
+         base AS (SELECT
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+             AS BIGINT) AS n
+           FROM toks JOIN documents USING (doc_id))
+         SELECT q, value FROM (
+           SELECT CAST(0.5 AS DOUBLE) AS q,
+             quantile_disc(n, 0.5) AS value FROM base
+           UNION ALL SELECT CAST(0.9 AS DOUBLE),
+             quantile_disc(n, 0.9) FROM base
+           UNION ALL SELECT CAST(0.99 AS DOUBLE),
+             quantile_disc(n, 0.99) FROM base) u
+         ORDER BY q""",
     "q97_mixture_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

@@ -596,6 +596,24 @@ object Stress {
     if (enabled("curated_media")) mediaLadder("curated_media", None)
     if (enabled("curated_media_ms"))
       mediaLadder("curated_media_ms", Some(ManifestSink))
+
+    // round-12: EXACT quantiles by value-domain histogram narrowing —
+    // three slim count-aggregate scans, no task ever buffers the corpus.
+    // The diag row is the built-in exact percentile: one sort-based
+    // aggregation buffer holding EVERY value in a single task (the
+    // straggler shape the operator retires; fine at 100k, fatal at 100G).
+    if (enabled("quantile")) {
+      val tc = docs.select(graft.functions.TextAnalysis
+        .tokenCount(col("text")).cast("long").as("n")).localCheckpoint()
+      val t0 = System.nanoTime()
+      val qv = graft.operators.Quantile.quantilesDisc(
+        tc, "n", Seq(0.5, 0.9, 0.99))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS quantile_histogram        $dt%8.2f s  " +
+        qv.map { case (q, v) => s"p${(q * 100).toInt}=$v" }.mkString(" "))
+      diag("quantile_buffer_diag")(
+        tc.agg(expr("percentile(n, array(0.5, 0.9, 0.99))").as("p")))
+    }
     spark.stop()
   }
 }

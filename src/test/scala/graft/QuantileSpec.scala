@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Quantile
+
+class QuantileSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** DuckDB quantile_disc semantics: sorted multiset's 1-based element
+    * max(1, ceil(q·n)).
+    */
+  private def reference(values: Seq[Long], q: Double): Long = {
+    val sorted = values.sorted
+    sorted(math.max(1L, math.ceil(q * values.size).toLong).toInt - 1)
+  }
+
+  test("quantilesDisc matches the sorted-sequence rank on a known set, " +
+      "duplicates and negatives included") {
+    val values: Seq[Long] = Seq(5L, -3L, 5L, 5L, 0L, 12L, -3L, 7L, 100L, 1L)
+    val df = values.toDF("n")
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = Quantile.quantilesDisc(df, "n", qs)
+    assert(got == qs.map(q => (q, reference(values, q))))
+  }
+
+  test("wide value range forces multiple histogram passes and stays exact") {
+    // values spread over ~2^40: one 2^14-bucket pass cannot finish
+    val values: Seq[Long] =
+      (0 until 500).map(i => (i.toLong * 2199023255L) - 300000000000L)
+    val df = values.toDF("n")
+    val qs = Seq(0.01, 0.5, 0.95)
+    val got = Quantile.quantilesDisc(df, "n", qs)
+    assert(got == qs.map(q => (q, reference(values, q))))
+  }
+
+  test("property: arbitrary multisets and fractions match the reference " +
+      "rank exactly") {
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(Gen.chooseNum(-1000000L, 1000000L))
+      qs <- Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1.0))
+    } yield (vs, qs)
+    for (i <- 0 until 12) {
+      val (vs, qs) = gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse((List(1L), List(0.5)))
+      val got = Quantile.quantilesDisc(vs.toDF("n"), "n", qs)
+      assert(got == qs.map(q => (q, reference(vs, q))),
+        s"seed $i: values=$vs qs=$qs")
+    }
+  }
+
+  test("nulls are ignored; empty and out-of-range inputs reject") {
+    val withNulls = Seq(Some(1L), None, Some(3L), None, Some(2L))
+      .toDF("n")
+    assert(Quantile.quantilesDisc(withNulls, "n", Seq(0.5)) ==
+      Seq((0.5, 2L)))
+    intercept[IllegalArgumentException] {
+      Quantile.quantilesDisc(Seq.empty[Long].toDF("n"), "n", Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Quantile.quantilesDisc(Seq(1L).toDF("n"), "n", Seq(1.5))
+    }
+  }
+
+  test("quantileFrame exposes (q, value) in fraction order") {
+    val df = (1L to 100L).toDF("n")
+    val got = Quantile.quantileFrame(df, "n", Seq(0.5, 0.9, 0.99))
+      .as[(Double, Long)].collect().toSeq
+    assert(got == Seq((0.5, 50L), (0.9, 90L), (0.99, 99L)))
+  }
+}
