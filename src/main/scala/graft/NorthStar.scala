@@ -1033,6 +1033,17 @@ object NorthStar {
         Seq(0.5, 0.9, 0.99)).orderBy(col("q"))
     }),
 
+    // PER-GROUP exact quantiles (per-language length cutoffs — the
+    // calibration shape): one declarative plan whose window partitions
+    // hold a group's DISTINCT VALUES, never its rows.
+    "q106_grouped_quantiles" -> ((s, dir) => {
+      val tc = docs(s, dir).select(col("lang"),
+        TA.tokenCount(col("text")).cast("long").as("n"))
+      graft.operators.Quantile.groupedQuantilesDisc(
+        tc, "lang", "n", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("lang"), col("q"))
+    }),
+
     // As-of join (time-series alignment; no native Spark join type) —
     // verified against DuckDB's native ASOF JOIN. For each purchase, the
     // most recent click at-or-before it per user.
@@ -1830,6 +1841,20 @@ object NorthStar {
            UNION ALL SELECT CAST(0.99 AS DOUBLE),
              quantile_disc(n, 0.99) FROM base) u
          ORDER BY q""",
+    "q106_grouped_quantiles" ->
+      s"""WITH $toksCte,
+         base AS (SELECT lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+             AS BIGINT) AS n
+           FROM toks JOIN documents USING (doc_id))
+         SELECT lang, q, value FROM (
+           SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+             quantile_disc(n, 0.5) AS value FROM base GROUP BY lang
+           UNION ALL SELECT lang, CAST(0.9 AS DOUBLE),
+             quantile_disc(n, 0.9) FROM base GROUP BY lang
+           UNION ALL SELECT lang, CAST(0.99 AS DOUBLE),
+             quantile_disc(n, 0.99) FROM base GROUP BY lang) u
+         ORDER BY lang, q""",
     "q97_mixture_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

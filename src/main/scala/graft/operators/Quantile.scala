@@ -156,4 +156,47 @@ object Quantile {
     import spark.implicits._
     quantilesDisc(df, valueCol, qs).toDF("q", "value")
   }
+
+  /** PER-GROUP exact discrete quantiles (the per-language length-cutoff
+    * shape), fully declarative — no driver loop, one plan:
+    *
+    *   1. `(group, value) → count` aggregation — the only row-bearing
+    *      shuffle, carrying ≤ groups·|value domain| cells;
+    *   2. cumulative-count window over each group's VALUE HISTOGRAM —
+    *      the window partition holds a group's distinct values, never
+    *      its rows, so a billion-row language costs its token-count
+    *      domain (~10⁴ values) through one task, not 10⁹ rows (compare
+    *      `percentile`, whose buffer holds every row's value);
+    *   3. explode the quantile fractions and keep, per (group, q), the
+    *      first histogram cell whose cumulative count reaches rank
+    *      `max(1, ceil(q·n))` — same DuckDB `quantile_disc` semantics
+    *      as [[quantilesDisc]].
+    *
+    * Returns one `(group, q, value)` row per group × fraction. Suits
+    * bounded integer domains (lengths, counts, sizes); for unbounded
+    * domains use [[quantilesDisc]] per partition of interest.
+    */
+  def groupedQuantilesDisc(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantile fractions must be in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .select(col("g"), col("v"), col("cum"), col("n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .withColumn("rank",
+        greatest(lit(1L), ceil(col("q") * col("n"))))
+      .where(col("cum") >= col("rank"))
+      .groupBy(col("g"), col("q")).agg(min(col("v")).as("value"))
+      .select(col("g").as(groupCol), col("q"), col("value"))
+  }
 }

@@ -65,6 +65,45 @@ class QuantileSpec extends SparkSpec {
     }
   }
 
+  test("groupedQuantilesDisc matches the per-group reference rank, " +
+      "single-element and duplicate-heavy groups included") {
+    val data = Map(
+      "en" -> Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L),
+      "de" -> Seq(7L, 7L, 7L, 7L),
+      "fr" -> Seq(42L))
+    val df = data.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("lang", "n")
+    val qs = Seq(0.5, 0.9)
+    val got = Quantile.groupedQuantilesDisc(df, "lang", "n", qs)
+      .as[(String, Double, Long)].collect().toSet
+    val want = (for {
+      (g, vs) <- data.toSeq; q <- qs
+    } yield (g, q, reference(vs, q))).toSet
+    assert(got == want)
+  }
+
+  test("property: grouped quantiles agree with per-group quantilesDisc") {
+    val gen = for {
+      groups <- Gen.chooseNum(1, 4)
+      vs <- Gen.nonEmptyListOf(for {
+        g <- Gen.chooseNum(0, groups - 1)
+        v <- Gen.chooseNum(-500L, 500L)
+      } yield (s"g$g", v))
+    } yield vs
+    for (i <- 0 until 8) {
+      val vs = gen.apply(Gen.Parameters.default, Seed(100L + i))
+        .getOrElse(List(("g0", 1L)))
+      val qs = Seq(0.25, 0.5, 0.99)
+      val got = Quantile.groupedQuantilesDisc(
+        vs.toDF("g", "n"), "g", "n", qs)
+        .as[(String, Double, Long)].collect().toSet
+      val want = vs.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        qs.map(q => (g, q, reference(rows.map(_._2), q)))
+      }.toSet
+      assert(got == want, s"seed ${100 + i}")
+    }
+  }
+
   test("quantileFrame exposes (q, value) in fraction order") {
     val df = (1L to 100L).toDF("n")
     val got = Quantile.quantileFrame(df, "n", Seq(0.5, 0.9, 0.99))
