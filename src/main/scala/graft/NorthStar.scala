@@ -1033,6 +1033,21 @@ object NorthStar {
         Seq(0.5, 0.9, 0.99)).orderBy(col("q"))
     }),
 
+    // Deterministic EXACT-k stratified sampling: k docs per language in
+    // md5(doc_id) order — reproducible run-to-run and engine-to-engine,
+    // executed with the bounded top-k aggregate so no stratum ever
+    // funnels its full row set through one task's sort (the oracle uses
+    // the window form, correct at oracle scale).
+    "q107_stratified_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"), col("doc_id"),
+        Dedup.hash60(col("doc_id").cast("string")).as("h"))
+      d.groupBy(col("lang"))
+        .agg(TopK.topK(-col("h"), col("doc_id"), 20).as("top"))
+        .select(col("lang"), explode(col("top")).as("e"))
+        .select(col("lang"), col("e.id").as("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // PER-GROUP exact quantiles (per-language length cutoffs — the
     // calibration shape): one declarative plan whose window partitions
     // hold a group's DISTINCT VALUES, never its rows.
@@ -1841,6 +1856,16 @@ object NorthStar {
            UNION ALL SELECT CAST(0.99 AS DOUBLE),
              quantile_disc(n, 0.99) FROM base) u
          ORDER BY q""",
+    "q107_stratified_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS hv
+         FROM documents),
+         r AS (SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+         FROM h)
+         SELECT lang, doc_id FROM r WHERE rn <= 20
+         ORDER BY lang, doc_id""",
     "q106_grouped_quantiles" ->
       s"""WITH $toksCte,
          base AS (SELECT lang,
