@@ -420,6 +420,22 @@ object NorthStar {
         terms = Seq("join", "hash", "scan", "slow"), topK = 20)
     }),
 
+    // BATCH retrieval: a TABLE of queries scored through the term index
+    // in ONE pass — per-query BM25 with token-ascending deterministic
+    // double sums and per-query top-k via the bounded aggregate. The
+    // oracle replays each query's window-ranked scoring independently.
+    "q108_batch_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val queries = batchQueries
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "token")
+      TextRank.bm25BatchFromIndex(
+        TextRank.termIndex(d).localCheckpoint(),
+        TextRank.docLengths(d).localCheckpoint(), queries, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // GPT-style sequence packing: concatenate all docs' tokens in doc_id
     // order, chunk into 512-token training contexts; one row per
     // (context, doc) overlap. The distributed two-phase prefix sum (no
@@ -1081,6 +1097,54 @@ object NorthStar {
     */
   private val toksCte =
     "toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)"
+
+  /** q108's fixed query batch: (query_id, ascending term list) — the
+    * ascending order IS the summation contract the oracle mirrors.
+    */
+  private val batchQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("scan", "slow"),
+    3 -> Seq("hash", "scan", "slow"))
+
+  /** Generated oracle for q108: each query's BM25 replayed independently
+    * (same contribution formula as [[bm25OracleSql]], summed in the
+    * query's ascending term order), window-ranked per query.
+    */
+  private val bm25BatchOracleSql: String = {
+    val allTerms = batchQueries.flatMap(_._2).distinct.sorted
+    val contribCols = allTerms.map(t =>
+      s"""((d - df_$t + 0.5) / (df_$t + 0.5))
+          * ((CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * (1.2 + 1))
+            / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+               + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))) AS c_$t""")
+      .mkString(",\n         ")
+    val dfCols = allTerms.map(t =>
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(",\n         ")
+    val perQuery = batchQueries.map { case (qid, ts) =>
+      val sumExpr = ts.map(t => s"c_$t").mkString(" + ")
+      s"""SELECT $qid AS query_id, doc_id, $sumExpr AS s
+          FROM scored WHERE $sumExpr > 0"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH $toksCte,
+       base AS (SELECT doc_id, t AS toks,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+           AS DOUBLE) AS dl
+         FROM toks JOIN documents USING (doc_id)),
+       stats AS (SELECT count(*) AS d,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         $dfCols
+         FROM base),
+       scored AS (SELECT doc_id, $contribCols FROM base, stats),
+       ranked AS ($perQuery),
+       rr AS (SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY s DESC, doc_id) AS rn FROM ranked)
+       SELECT query_id, CAST(rn AS INT) AS rank, doc_id,
+         round(s, 6) AS score
+       FROM rr WHERE rn <= 10
+       ORDER BY query_id, rank"""
+  }
 
   /** BM25 oracle, shared by q95 (full-scan scoring) and q102 (index-backed
     * retrieval): the indexed path is contractually EXACT-equal — same
@@ -1824,6 +1888,7 @@ object NorthStar {
          FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q95_bm25_topk" -> bm25OracleSql,
     "q102_bm25_indexed" -> bm25OracleSql,
+    "q108_batch_retrieval" -> bm25BatchOracleSql,
     "q96_context_packing" ->
       s"""WITH $toksCte,
          base AS (SELECT doc_id,

@@ -225,6 +225,25 @@ object Stress {
       timeCount("bm25_indexed")(
         graft.operators.TextRank.bm25FromIndex(idx, dls, bmTerms,
           topK = 20))
+      // round-12: a 64-query batch through ONE index traversal vs the
+      // same 64 queries planned separately (driver-looped) — the
+      // amortization the batch operator exists for
+      import spark.implicits._
+      val batch = (0 until 64).flatMap { qid =>
+        Seq((qid, bmTerms(qid % 4)), (qid, bmTerms((qid + 1) % 4)))
+      }.toDF("query_id", "token")
+      timeCount("bm25_batch_64q")(
+        graft.operators.TextRank.bm25BatchFromIndex(idx, dls, batch,
+          topK = 10))
+      diag("bm25_looped_8q_diag")({
+        // 8 separate single-query plans (a 64-loop would dominate the
+        // stress run; 8 already shows the per-plan fixed cost)
+        (0 until 8).map { qid =>
+          graft.operators.TextRank.bm25FromIndex(idx, dls,
+            Seq(bmTerms(qid % 4), bmTerms((qid + 1) % 4)).sorted,
+            topK = 10).withColumn("query_id", lit(qid))
+        }.reduce(_ unionByName _)
+      })
     }
     timeCount("pack_contexts")(
       graft.operators.Corpus.packContexts(docs, contextLen = 512))

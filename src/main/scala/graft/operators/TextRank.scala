@@ -168,6 +168,62 @@ object TextRank {
       .limit(topK)
   }
 
+  /** BATCH index-backed retrieval: score a TABLE of queries
+    * `(query_id, token)` in ONE traversal of the term index — the
+    * production retrieval shape (a query batch amortizes the index
+    * pruning that [[bm25FromIndex]] plans per query). Per-query
+    * semantics are [[bm25]] over the query's DISTINCT token set with
+    * contributions summed in TOKEN-ASCENDING order: contributions are
+    * collected per (query, doc), sorted, and folded left-to-right with
+    * a HOF `aggregate` — a plain SUM over doubles would be
+    * partial-aggregation-order-dependent and could never hash-compare
+    * cross-engine. Missing terms contribute an exact +0.0, so the
+    * candidate restriction (≥ 1 indexed hit) is lossless, as in
+    * [[bm25FromIndex]].
+    *
+    * Scale posture: the query table broadcasts twice (its token set to
+    * prune the index map-side, its (query, token) rows to fan hits out
+    * per query); per-token df is a slim agg over the PRUNED hits and
+    * broadcasts back. The only row-bearing shuffles are the pruned
+    * hits ⋈ docLens equi-join and the (query, doc) contribution groupBy,
+    * whose collect_list buffers hold ≤ |query terms| entries. Per-query
+    * top-k rides the bounded double-score aggregate ([[TopK.TopKAgg]]),
+    * so a hot query never sorts its full candidate set in one task.
+    * Returns `(query_id, rank, doc_id, score)`.
+    */
+  def bm25BatchFromIndex(index: DataFrame, docLens: DataFrame,
+      queries: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val q = queries.select(col("query_id"), col("token")).distinct()
+    val lenStats = docLens.agg(count(lit(1)).as("d"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val hits = index.join(broadcast(q.select(col("token")).distinct()),
+      Seq("token"), "left_semi")
+    val dfByToken = hits.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val contribs = hits
+      .join(broadcast(q), Seq("token"))
+      .join(broadcast(dfByToken), Seq("token"))
+      .join(docLens, Seq("doc_id"))
+      .crossJoin(broadcast(lenStats))
+      .withColumn("contrib",
+        ((col("d") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(k1 + 1)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))))
+    val scored = contribs
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("token"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x("contrib")).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topK(col("score"), col("doc_id"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("doc_id"),
+        round(col("col.score"), 6).as("score"))
+  }
+
   /** Inverted index with BOUNDED posting lists: for every token with
     * document frequency ≥ `minDf`, the exact df plus the first
     * `maxPostings` doc ids (ascending) as a comma-joined string.

@@ -93,6 +93,31 @@ class TextRankSpec extends SparkSpec {
     assert(idx1 == full1 && idx1.size == 1)
   }
 
+  test("bm25BatchFromIndex: a single ascending-term query equals the " +
+      "per-query indexed path; queries stay independent in one batch") {
+    val corpus = Seq(
+      (1L, "join hash scan fast"), (2L, "hash hash slow"),
+      (3L, "scan scan scan join"), (4L, "unrelated words here"),
+      (5L, "slow join"), (6L, "hash"), (7L, "")).toDF("doc_id", "text")
+    val terms = Seq("hash", "join") // ascending = batch sum order
+    val single = TextRank.bm25FromIndex(TextRank.termIndex(corpus),
+        TextRank.docLengths(corpus), terms, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    val batch2 = Seq((1, "hash"), (1, "join"), (2, "scan"))
+      .toDF("query_id", "token")
+    val got = TextRank.bm25BatchFromIndex(TextRank.termIndex(corpus),
+        TextRank.docLengths(corpus), batch2, topK = 10)
+      .orderBy("query_id", "rank")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    val q1 = got.filter(_._1 == 1).map(r => (r._3, r._4))
+    assert(q1 == single, "batch query 1 == single-query indexed path")
+    // query 2 is scored independently: candidates are scan-docs only
+    val q2 = got.filter(_._1 == 2).map(_._3).toSet
+    assert(q2 == Set(1L, 3L))
+    // ranks are 1..k dense per query
+    assert(got.filter(_._1 == 1).map(_._2) == (1 to q1.size))
+  }
+
   test("invertedIndex: exact df, postings rank-truncated before " +
       "aggregation, numeric doc order") {
     // 'tok' in 12 docs (df 12, postings cut to 5); doc ids chosen so a
