@@ -370,6 +370,18 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // Contamination FRACTION: the graded form of q66 — per corpus doc,
+    // the share of its distinct 8-token spans present in the benchmark
+    // slice, 0.0 rows included (the GPT-3-style "drop > X% overlap"
+    // threshold input, vs q66's drop-on-any-hit).
+    "q109_contamination_frac" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationFraction(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // BLOOM-prefiltered decontamination: identical exact semantics to
     // q66 (the confirm join removes every bloom false positive — the
     // oracle is the same plain exact SQL), on a different benchmark
@@ -1845,6 +1857,28 @@ object NorthStar {
          SELECT doc_id, count(*) AS n_shared_spans
          FROM c JOIN p USING (span_hash)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q109_contamination_frac" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id, list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
+           AS th FROM toks),
+         wh0 AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(th) - 7),
+             i -> list_reduce(th[i:i+7],
+               (x, y) -> (x * 1000003 + y) % 2147483647))) AS span_hash
+           FROM th WHERE len(th) >= 8),
+         wh AS (SELECT DISTINCT doc_id, span_hash FROM wh0),
+         p AS (SELECT DISTINCT span_hash FROM wh WHERE doc_id % 50 = 0),
+         c AS (SELECT doc_id, span_hash FROM wh WHERE doc_id % 50 <> 0),
+         tot AS (SELECT doc_id, count(*) AS n_spans FROM c GROUP BY doc_id),
+         sh AS (SELECT doc_id, count(*) AS n_shared
+           FROM c JOIN p USING (span_hash) GROUP BY doc_id)
+         SELECT doc_id, n_spans,
+           COALESCE(n_shared, 0) AS n_shared,
+           round(CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_spans, 6)
+             AS frac
+         FROM tot LEFT JOIN sh USING (doc_id)
+         ORDER BY doc_id""",
     "q93_bloom_decontamination" ->
       s"""WITH $toksCte,
          th AS (SELECT doc_id, list_transform(t, tok ->

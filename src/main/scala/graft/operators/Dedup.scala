@@ -395,22 +395,59 @@ object Dedup {
     * so the corpus is never shuffled — one map-side hash-join pass +
     * a doc_id aggregation of the (tiny) hit set.
     */
+  /** The (doc_id, span_hash) frame all three decontamination forms
+    * share: per-doc DISTINCT w-token rolling-hash spans, one slim row
+    * each (docs shorter than w tokens produce none).
+    */
+  private def docSpans(df: DataFrame, w: Int, textCol: String,
+      idCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextHashExprs.md5Prefix60Array(TextAnalysis.tokens(col(textCol)))
+          .as("th"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextHashExprs.windowedRollingHash(col("th"), w))
+          .as("span_hash"))
+      .dropDuplicates("doc_id", "span_hash")
+
   def contaminatedDocs(corpus: DataFrame, probes: DataFrame, w: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def spans(df: DataFrame): DataFrame =
-      df.filter(col(idCol).isNotNull)
-        .select(col(idCol).as("doc_id"),
-          TextHashExprs.md5Prefix60Array(TextAnalysis.tokens(col(textCol)))
-            .as("th"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(TextHashExprs.windowedRollingHash(col("th"), w))
-            .as("span_hash"))
-        .dropDuplicates("doc_id", "span_hash")
-    val probeSpans = spans(probes).select(col("span_hash")).distinct()
-    spans(corpus).join(probeSpans, Seq("span_hash"))
+    val probeSpans = docSpans(probes, w, textCol, idCol)
+      .select(col("span_hash")).distinct()
+    docSpans(corpus, w, textCol, idCol).join(probeSpans, Seq("span_hash"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
+  /** Per-document contamination FRACTION — the graded form of
+    * [[contaminatedDocs]]'s count: of each corpus document's DISTINCT
+    * w-token spans, the share present in the probe span set (0.0 when
+    * none are, reported for EVERY doc with ≥ 1 span). A curation run
+    * thresholds this ("drop documents with > X% benchmark overlap" —
+    * the GPT-3-style graded rule) instead of dropping on any single
+    * shared span.
+    *
+    * Scale posture identical to the binary form — slim (doc_id,
+    * span_hash) rows, benchmark-sized distinct probe side for AQE to
+    * broadcast — plus one extra count over the SAME span frame
+    * (localCheckpoint barrier so tokenize+hash runs once, not twice)
+    * and a left join of two doc-sized slim aggregates.
+    */
+  def contaminationFraction(corpus: DataFrame, probes: DataFrame, w: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val corpusSpans = docSpans(corpus, w, textCol, idCol).localCheckpoint()
+    val probeSpans = docSpans(probes, w, textCol, idCol)
+      .select(col("span_hash")).distinct()
+    val totals = corpusSpans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val shared = corpusSpans.join(probeSpans, Seq("span_hash"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("frac",
+        round(col("n_shared").cast("double") / col("n_spans"), 6))
   }
 
   /** [[contaminatedDocs]] with a BLOOM-FILTER prefilter on the corpus
@@ -429,25 +466,16 @@ object Dedup {
   def bloomContaminatedDocs(corpus: DataFrame, probes: DataFrame, w: Int,
       fpp: Double = 0.01, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    def spans(df: DataFrame): DataFrame =
-      df.filter(col(idCol).isNotNull)
-        .select(col(idCol).as("doc_id"),
-          TextHashExprs.md5Prefix60Array(TextAnalysis.tokens(col(textCol)))
-            .as("th"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(TextHashExprs.windowedRollingHash(col("th"), w))
-            .as("span_hash"))
-        .dropDuplicates("doc_id", "span_hash")
     // benchmark-sized: re-deriving it for the confirm join is cheaper
     // than pinning executor storage for a query-shaped API
-    val probeSpans = spans(probes).select(col("span_hash")).distinct()
+    val probeSpans = docSpans(probes, w, textCol, idCol)
+      .select(col("span_hash")).distinct()
     val nProbe = math.max(1L, probeSpans.count())
     val bloom = probeSpans.stat.bloomFilter("span_hash", nProbe, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain =
       udf((h: Long) => bc.value.mightContainLong(h))
-    spans(corpus)
+    docSpans(corpus, w, textCol, idCol)
       .where(mightContain(col("span_hash"))) // map-side sketch prune
       .join(probeSpans, Seq("span_hash")) // exact confirm
       .groupBy(col("doc_id"))

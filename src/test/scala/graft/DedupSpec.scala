@@ -195,6 +195,29 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) >= 4)
   }
 
+  test("contaminationFraction grades every spanned doc: shared/total, " +
+      "clean docs report 0.0, short docs produce no row") {
+    val bench = "what is the capital of france the answer is paris obviously"
+    val corpus = Seq(
+      (1L, s"some training document that quotes: $bench and continues on"),
+      (2L, "a perfectly clean training document with original content only"),
+      (4L, "too short for spans") // < 8 tokens -> no spans, no row
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, bench)).toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(corpus, probes, w = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L)) // doc 4 has no spans
+    val (n1, s1, f1) = got(1L)
+    assert(s1 == 4 && f1 == math.rint(4.0 / n1 * 1e6) / 1e6)
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0) // clean -> 0.0, present
+    // the binary operator and the graded one agree on who is contaminated
+    val flagged = Dedup.contaminatedDocs(corpus, probes, w = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.filter(_._2._2 > 0).keySet == flagged.keySet)
+    assert(got(1L)._2 == flagged(1L))
+  }
+
   test("bloomContaminatedDocs is exactly contaminatedDocs (the confirm " +
       "join removes every bloom false positive)") {
     val bench = "what is the capital of france the answer is paris obviously"
