@@ -457,6 +457,14 @@ object NorthStar {
       Corpus.packContexts(docs(s, dir), contextLen = 512)
     }),
 
+    // MATERIALIZED training contexts: q96 maps which docs land in which
+    // context; this emits the packed token-id sequences themselves (one
+    // row per context, ids comma-joined in stream order) — the terminal
+    // artifact a trainer consumes. Same two-phase prefix sum.
+    "q110_materialized_contexts" -> ((s, dir) => {
+      Corpus.materializeContexts(docs(s, dir), contextLen = 512)
+    }),
+
     // Deterministic domain-mixture sampling: per-language keep rates
     // decided by an integer md5 threshold on doc_id — reproducible
     // run-to-run and engine-to-engine, zero shuffle.
@@ -1941,6 +1949,24 @@ object NorthStar {
            least((chunk_id + 1) * 512, start + n)
              - greatest(chunk_id * 512, start) AS n_tokens
          FROM ch ORDER BY chunk_id, doc_id""",
+    "q110_materialized_contexts" ->
+      s"""WITH $toksCte,
+         nz AS (SELECT doc_id, t FROM toks JOIN documents USING (doc_id)
+           WHERE length(trim(text)) > 0),
+         n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM nz),
+         off AS (SELECT doc_id, t, n,
+           CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start FROM n),
+         tok AS (SELECT doc_id, start, t,
+           unnest(generate_series(1, CAST(n AS INT))) AS i FROM off),
+         ids AS (SELECT start + i - 1 AS pos,
+           CAST(('0x' || substr(md5(t[i]), 1, 15)) AS BIGINT) AS tid
+           FROM tok)
+         SELECT pos // 512 AS context_id,
+           count(*) AS n_tokens,
+           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+         FROM ids GROUP BY context_id ORDER BY context_id""",
     "q105_exact_quantiles" ->
       s"""WITH $toksCte,
          base AS (SELECT

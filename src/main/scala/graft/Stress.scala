@@ -247,6 +247,8 @@ object Stress {
     }
     timeCount("pack_contexts")(
       graft.operators.Corpus.packContexts(docs, contextLen = 512))
+    timeCount("materialize_contexts")(
+      graft.operators.Corpus.materializeContexts(docs, contextLen = 512))
     timeCount("mixture_sample")(
       graft.operators.Corpus.mixtureSample(
         docs.withColumn("lang", (col("doc_id") % 5).cast("string")),

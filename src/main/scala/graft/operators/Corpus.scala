@@ -64,6 +64,61 @@ object Corpus {
       .orderBy(col("chunk_id"), col("doc_id"))
   }
 
+  /** MATERIALIZED training contexts — the pipeline's terminal artifact:
+    * where [[packContexts]] emits the (context, document) overlap MAP,
+    * this emits the packed sequences themselves. Every document's token
+    * stream is hashed to 60-bit integer ids (md5-prefix — the
+    * deterministic stand-in a trained vocabulary swaps into),
+    * concatenated in `idCol` order, chunked into `contextLen`-token
+    * contexts, and returned one row per context:
+    * `(context_id, n_tokens, ids_csv)` with the ids comma-joined in
+    * stream order (the final context may be short).
+    *
+    * Scale posture: global offsets use the SAME two-phase prefix sum as
+    * [[packContexts]] (no single-partition window at any size); the
+    * explode is one slim `(pos, id)` row per corpus token — the
+    * cardinality any tokenizer pass already touches — and the
+    * context groupBy's sort_array buffer holds exactly `contextLen`
+    * entries. Nothing driver-side except the ≤ numPartitions offset
+    * totals.
+    */
+  def materializeContexts(docs: DataFrame, contextLen: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.TextHashExprs.md5Prefix60Array(
+          TextAnalysis.tokens(col(textCol))).as("ids"))
+      .withColumn("n", size(col("ids")).cast("long"))
+      .repartitionByRange(p, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val perPid = ranged.groupBy(col("pid"))
+      .agg(sum(col("n")).as("pn"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = perPid.map(_._1)
+      .zip(perPid.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "pid_off"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(offDf, Seq("pid"))
+      .withColumn("start",
+        col("pid_off") + coalesce(sum(col("n")).over(w), lit(0L)))
+      .selectExpr("start", "posexplode(ids) AS (i, tid)")
+      .select((col("start") + col("i")).as("pos"), col("tid"))
+      .withColumn("context_id", expr(s"pos div $contextLen"))
+      .groupBy(col("context_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tid")))),
+          x => x("tid").cast("string")), ",").as("ids_csv"))
+      .orderBy(col("context_id"))
+  }
+
   /** Deterministic domain-mixture sampling: keep each document with
     * per-stratum probability `rates(stratum)` (else `defaultRate`),
     * decided by a 60-bit md5 hash of the document id — no RNG state, so

@@ -60,6 +60,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("materializeContexts emits the exact sequential packing: id " +
+      "stream order, full contexts, short tail, empty docs skipped") {
+    val docsDf = Seq(
+      (1L, "a b c d e"), (2L, ""), (3L, "f g h"), (4L, "i j k l"),
+      (5L, "   "), (6L, "m n")).toDF("doc_id", "text")
+    val got = Corpus.materializeContexts(docsDf, contextLen = 4)
+      .as[(Long, Long, String)].collect().toSeq
+    // sequential reference: concat hashed tokens in doc order, chunk by 4
+    def h(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val stream = Seq("a b c d e", "f g h", "i j k l", "m n")
+      .flatMap(_.split("\\s+")).map(h)
+    val want = stream.grouped(4).zipWithIndex.map { case (ids, i) =>
+      (i.toLong, ids.size.toLong, ids.mkString(","))
+    }.toSeq
+    assert(got == want)
+    assert(got.dropRight(1).forall(_._2 == 4) && got.last._2 == 2)
+    // repartitioning must not change the stream (offsets are global)
+    val re = Corpus.materializeContexts(docsDf.repartition(7), 4)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(re == want)
+  }
+
   test("mixtureSample keeps exactly the md5-threshold rows per stratum") {
     val docsDf = (0L until 400L)
       .map(i => (i, s"text $i", Seq("en", "fr", "zh", "de")(
