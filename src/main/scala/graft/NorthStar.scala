@@ -1084,6 +1084,19 @@ object NorthStar {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Exact quantiles over a DOUBLE column (event values): the
+    // order-preserving IEEE bit bijection routes doubles through the
+    // integer histogram narrowing and back bit-exactly — the returned
+    // cutoffs are actual input elements, matching DuckDB's exact
+    // quantile_disc on the same column.
+    "q111_double_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val ev = SparkEntry.events(s, dir).select(col("value").as("x"))
+      graft.operators.Quantile.quantilesDiscDouble(
+        ev, "x", Seq(0.5, 0.9, 0.99))
+        .toDF("q", "value").orderBy(col("q"))
+    }),
+
     // PER-GROUP exact quantiles (per-language length cutoffs — the
     // calibration shape): one declarative plan whose window partitions
     // hold a group's DISTINCT VALUES, never its rows.
@@ -1991,6 +2004,15 @@ object NorthStar {
          FROM h)
          SELECT lang, doc_id FROM r WHERE rn <= 20
          ORDER BY lang, doc_id""",
+    "q111_double_quantiles" ->
+      """SELECT q, value FROM (
+           SELECT CAST(0.5 AS DOUBLE) AS q,
+             quantile_disc(value, 0.5) AS value FROM events
+           UNION ALL SELECT CAST(0.9 AS DOUBLE),
+             quantile_disc(value, 0.9) FROM events
+           UNION ALL SELECT CAST(0.99 AS DOUBLE),
+             quantile_disc(value, 0.99) FROM events) u
+         ORDER BY q""",
     "q106_grouped_quantiles" ->
       s"""WITH $toksCte,
          base AS (SELECT lang,

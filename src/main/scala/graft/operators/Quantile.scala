@@ -67,12 +67,19 @@ object Quantile {
     val n = h.getLong(0)
     require(n > 0, "quantilesDisc over an empty input")
     val (mn, mx) = (h.getLong(1), h.getLong(2))
-    require(BigInt(mx) - BigInt(mn) < (BigInt(1) << 62),
-      "value range too wide for exact integer bucketing")
 
     def rankOf(q: Double): Long = math.max(1L, math.ceil(q * n).toLong)
-    var ivs = List(Iv(mn, mx, 0L,
-      qs.map(q => (q, rankOf(q))).sortBy(_._2).toList))
+    val allRanks = qs.map(q => (q, rankOf(q))).sortBy(_._2).toList
+    // seed intervals: split at 0 when the data spans both signs, so every
+    // interval's width stays < 2^63 and the hi - lo / shift arithmetic
+    // can never overflow — the FULL long domain is supported
+    var ivs =
+      if (mn < 0 && mx >= 0) {
+        val nNeg = base.where(col("v") < 0).count()
+        val (negR, posR) = allRanks.partition(_._2 <= nNeg)
+        List(Iv(mn, -1L, 0L, negR), Iv(0L, mx, nNeg, posR))
+          .filter(_.ranks.nonEmpty)
+      } else List(Iv(mn, mx, 0L, allRanks))
 
     // CASE chain tagging each row with its (disjoint) interval index
     def iidExpr(intervals: List[Iv]): Column =
@@ -108,9 +115,16 @@ object Quantile {
         for (b <- hist.keys.toSeq.sorted if remaining.nonEmpty) {
           val c = hist(b)
           val (inB, rest) = remaining.partition(_._2 <= cum + c)
-          if (inB.nonEmpty)
-            children += Iv(iv.lo + (b << k),
-              math.min(iv.hi, iv.lo + ((b + 1) << k) - 1), cum, inB)
+          if (inB.nonEmpty) {
+            val childLo = iv.lo + (b << k) // ≤ hi, cannot overflow
+            // the +2^k upper edge CAN overflow on the last bucket of a
+            // near-2^63-wide interval; a wrapped value lands below
+            // childLo and means "clamp to the parent's hi"
+            val rawHi = iv.lo + ((b + 1) << k) - 1
+            val childHi =
+              if (rawHi < childLo) iv.hi else math.min(iv.hi, rawHi)
+            children += Iv(childLo, childHi, cum, inB)
+          }
           cum += c
           remaining = rest
         }
@@ -155,6 +169,24 @@ object Quantile {
     val spark = df.sparkSession
     import spark.implicits._
     quantilesDisc(df, valueCol, qs).toDF("q", "value")
+  }
+
+  /** [[quantilesDisc]] for DOUBLE-valued columns: values pass through
+    * the order-preserving IEEE-754 bijection ([[TopK.sortableBits]] as
+    * a codegen'd expression), the integer histogram narrowing runs
+    * unchanged (≤ 4 passes over the full double domain — the sign-split
+    * seed handles the bijection's full-range longs), and the chosen
+    * element maps back BIT-EXACTLY — the result is an actual input
+    * value, no epsilon, no interpolation. NaNs are excluded (no
+    * portable cross-engine rank for them); ±0.0 keep IEEE bit order.
+    */
+  def quantilesDiscDouble(df: DataFrame, valueCol: String,
+      qs: Seq[Double]): Seq[(Double, Double)] = {
+    val base = df.select(col(valueCol).cast("double").as("d"))
+      .where(col("d").isNotNull && !isnan(col("d")))
+      .select(TopK.sortableBitsCol(col("d")).as("v"))
+    quantilesDisc(base, "v", qs)
+      .map { case (q, s) => (q, TopK.fromSortableBits(s)) }
   }
 
   /** PER-GROUP exact discrete quantiles (the per-language length-cutoff

@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -176,4 +177,31 @@ object TopK {
   def topK(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKAgg(Bridge.expression(score), Bridge.expression(id), k)
       .toAggregateExpression())
+
+  /** [[sortableBits]] as a codegen'd scalar expression (DoubleType →
+    * LongType, null-preserving) — lets any integer-domain machinery
+    * (e.g. [[Quantile]]'s histogram narrowing) run over doubles through
+    * the order-preserving bijection and map results back exactly.
+    */
+  private[graft] case class SortableBitsExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      sortableBits(input.asInstanceOf[Double])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bits = ctx.freshName("bits")
+        s"""
+          long $bits = java.lang.Double.doubleToLongBits($c);
+          ${ev.value} = $bits ^ (($bits >> 63) & 0x7fffffffffffffffL);
+        """
+      })
+    override protected def withNewChildInternal(
+        newChild: Expression): SortableBitsExpr = copy(child = newChild)
+  }
+
+  /** Column form of [[sortableBits]]; input must be DoubleType. */
+  def sortableBitsCol(c: Column): Column =
+    Bridge.column(SortableBitsExpr(Bridge.expression(c)))
 }

@@ -52,6 +52,42 @@ class QuantileSpec extends SparkSpec {
     }
   }
 
+  test("full long domain: extremes of both signs narrow without overflow") {
+    val values: Seq[Long] = Seq(Long.MinValue, Long.MinValue + 1, -7L, 0L,
+      3L, Long.MaxValue - 1, Long.MaxValue, 42L, -1000000000000L)
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val got = Quantile.quantilesDisc(values.toDF("n"), "n", qs)
+    assert(got == qs.map(q => (q, reference(values, q))))
+  }
+
+  test("quantilesDiscDouble: bit-exact element selection across signs, " +
+      "subnormal-to-huge magnitudes, -0.0, NaN exclusion") {
+    val values: Seq[Double] = Seq(-1e300, -2.5, -1e-300, -0.0, 0.0,
+      1e-300, 3.25, 1e300, 7.125, -42.0)
+    def refD(vs: Seq[Double], q: Double): Double = {
+      val sorted = vs.sortWith((a, b) =>
+        java.lang.Double.compare(a, b) < 0) // IEEE order incl. -0.0 < 0.0
+      sorted(math.max(1L, math.ceil(q * vs.size).toLong).toInt - 1)
+    }
+    val qs = Seq(0.1, 0.4, 0.5, 0.9, 1.0)
+    val got = Quantile.quantilesDiscDouble(values.toDF("x"), "x", qs)
+    for (((q, v), qq) <- got.zip(qs)) {
+      assert(q == qq)
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(refD(values, q)),
+        s"q=$q got=$v want=${refD(values, q)}")
+    }
+    // the -0.0 slot is preserved bit-exactly (q where rank hits -0.0)
+    val zeros = Seq(-0.0, 0.0, 1.0)
+    val z = Quantile.quantilesDiscDouble(zeros.toDF("x"), "x", Seq(1.0 / 3))
+    assert(java.lang.Double.doubleToLongBits(z.head._2) ==
+      java.lang.Double.doubleToLongBits(-0.0))
+    // NaNs are excluded, not ranked
+    val withNan = Seq(1.0, Double.NaN, 3.0).toDF("x")
+    assert(Quantile.quantilesDiscDouble(withNan, "x", Seq(1.0)) ==
+      Seq((1.0, 3.0)))
+  }
+
   test("nulls are ignored; empty and out-of-range inputs reject") {
     val withNulls = Seq(Some(1L), None, Some(3L), None, Some(2L))
       .toDF("n")
