@@ -1243,10 +1243,20 @@ object Multimodal {
     * `LIST movi` whose `00dc` chunks each wrap one complete JPEG — the
     * layout a real MJPEG camera/encoder emits, with correct RIFF sizes
     * throughout so [[probeAvi]] AND [[aviJpegFrames]] both validate.
+    * When `audio` chunks are given they interleave as stream-1 `01wb`
+    * (audio) chunks after each frame, the usual camera mux order —
+    * [[aviJpegFrames]] must skip them by chunk id.
     */
   private[graft] def mjpegAviBytes(w: Int, h: Int,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
-    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+      frames: Seq[Array[Byte]],
+      audio: Seq[Array[Byte]] = Nil): Array[Byte] = {
+    val chunks: Seq[(String, Array[Byte])] =
+      frames.zipWithIndex.flatMap { case (f, i) =>
+        ("00dc" -> f) +: audio.lift(i).map("01wb" -> _).toSeq
+      }
+    val moviBody = 4 + chunks.map { case (_, c) =>
+      8 + c.length + (c.length & 1)
+    }.sum
     val riffBody = 4 + (8 + 4 + 8 + 56) + (8 + moviBody)
     val b = java.nio.ByteBuffer.allocate(8 + riffBody)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1263,9 +1273,9 @@ object Multimodal {
     b.putInt(0).putInt(0).putInt(0).putInt(0)
     b.put("LIST".getBytes("US-ASCII")).putInt(moviBody)
     b.put("movi".getBytes("US-ASCII"))
-    frames.foreach { f =>
-      b.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
-      if ((f.length & 1) == 1) b.put(0.toByte) // RIFF word alignment
+    chunks.foreach { case (id, c) =>
+      b.put(id.getBytes("US-ASCII")).putInt(c.length).put(c)
+      if ((c.length & 1) == 1) b.put(0.toByte) // RIFF word alignment
     }
     b.array()
   }

@@ -332,6 +332,16 @@ class MultimodalSpec extends SparkSpec {
     val junk = Multimodal.mjpegAviBytes(8, 8,
       Seq("junk".getBytes("UTF-8")))
     assert(Multimodal.extractStub(5L, "video", junk).feature.length == 8)
+    // interleaved 01wb audio chunks (the real camera mux order) are
+    // skipped by chunk id — same frames, same feature, odd-length audio
+    // exercises the RIFF pad-byte walk
+    val muxed = Multimodal.mjpegAviBytes(8, 8, frames,
+      audio = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5), Array[Byte](6)))
+    val Some(gotMux) = Multimodal.aviJpegFrames(muxed)
+    assert(gotMux.length == 3)
+    assert(gotMux.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    assert(Multimodal.extractStub(6L, "video", muxed).feature
+      .sameElements(feat))
   }
 
   test("dhash64 on video: first-frame perceptual identity — re-encoded " +
