@@ -218,7 +218,8 @@ object StreamingIngest {
       corpusDir: String, victimLogDir: Option[String],
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
       indexDir: Option[String] = None,
-      sink: Option[graft.ingest.Ingest.DestinationSink] = None): Unit = {
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None,
+      gate: Option[org.apache.spark.sql.Column] = None): Unit = {
     if (batch.isEmpty) return
     def append(df: DataFrame, dir: String): Unit = sink match {
       case Some(s) => s.append(df, dir, None)
@@ -228,9 +229,19 @@ object StreamingIngest {
       case Some(s) => readVia(spark, s, corpusDir, batch.schema)
       case None    => readCorpus(spark, corpusDir, batch.schema)
     }
-    val fresh = batch
+    val freshAll = batch
       .join(adjudicatedIds(spark, corpus, victimLogDir, "doc_id", sink),
         Seq("doc_id"), "left_anti")
+    // QUALITY GATE: a row-deterministic predicate (quality rules, a
+    // trained classifier score, a length cutoff) applied before any
+    // dedup work — rejected docs never reach the corpus, the victim
+    // log, or the index, and cost nothing downstream. Row-determinism
+    // is the idempotence contract: a replayed rejected doc is not
+    // adjudicated, re-enters here, and is re-rejected identically, so
+    // no reject log is needed (same argument as hash-threshold
+    // sampling). A gate that read mutable external state would break
+    // replay; don't.
+    val fresh = gate.map(freshAll.where(_)).getOrElse(freshAll)
       .localCheckpoint()
     if (fresh.isEmpty) return
     val pairs = (indexDir match {

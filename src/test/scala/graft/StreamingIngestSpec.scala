@@ -139,6 +139,46 @@ class StreamingIngestSpec extends SparkSpec {
     assert(victimRows == 1L)
   }
 
+  test("curateDocBatch quality gate: rejected docs never reach corpus, " +
+      "victims, or index; replay and resubmission re-reject identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length => slen}
+    val root = tmpDir("gated_")
+    // gate: token-ish length cutoff (row-deterministic)
+    val gate = slen(col("text")) >= 30
+    val good = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val b1 = Seq(0L -> good, 1L -> "too short").toDF("doc_id", "text")
+    StreamingIngest.curateDocBatch(spark, b1, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/index"),
+      gate = Some(gate))
+    def corpusIds = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds == Set(0L)) // short doc gated out
+    assert(spark.read.parquet(s"$root/index")
+      .select("doc_id").distinct().as[Long].collect().toSet == Set(0L))
+    // replay re-rejects identically (doc 1 is not adjudicated anywhere)
+    StreamingIngest.curateDocBatch(spark, b1, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/index"),
+      gate = Some(gate))
+    assert(corpusIds == Set(0L))
+    // resubmission under a NEW id is still rejected by content
+    val b2 = Seq(2L -> "too short",
+      3L -> ("novel " + (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamingIngest.curateDocBatch(spark, b2, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/index"),
+      gate = Some(gate))
+    assert(corpusIds == Set(0L, 3L))
+    // near-dup of the gated-IN doc is still deduped as usual
+    val b3 = Seq(4L -> (good + " tail")).toDF("doc_id", "text")
+    StreamingIngest.curateDocBatch(spark, b3, s"$root/corpus",
+      Some(s"$root/victims"), indexDir = Some(s"$root/index"),
+      gate = Some(gate))
+    assert(corpusIds == Set(0L, 3L))
+    assert(spark.read.parquet(s"$root/victims")
+      .select("b_id").as[Long].collect().toSet == Set(4L))
+  }
+
   test("curateDocBatch with a PERSISTED band index: same corpus as the " +
       "recompute path, index tracks corpus membership, replays are no-ops") {
     import spark.implicits._
