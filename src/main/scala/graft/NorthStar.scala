@@ -182,6 +182,26 @@ object NorthStar {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // CORPUS-HEALTH REPORT: per-language near-dup exposure — total docs,
+    // docs appearing in ≥ 1 verified near-dup pair, and the rate: the
+    // dashboard a curation run reads before choosing dedup thresholds.
+    // The pair pipeline is q25's; what's new is only two slim rollups.
+    "q112_dup_rate_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardDupPairs(d, JaccardDupThreshold,
+        maxBucketSize = DedupBucketCap)
+      val involved = pairs.select(col("a_id").as("doc_id"))
+        .unionByName(pairs.select(col("b_id").as("doc_id")))
+        .distinct()
+      d.join(involved.withColumn("dup", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dup"), lit(0))).cast("long").as("n_dup_docs"))
+        .withColumn("dup_rate",
+          round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+        .orderBy(col("lang"))
+    }),
+
     // Pair-level survivorship (greedy: drop the larger-id member of each
     // verified near-dup pair). Kept as the cheap single-pass baseline; the
     // PRINCIPLED decision is cluster-level — see q60_dup_clusters /
@@ -1646,6 +1666,24 @@ object NorthStar {
            FROM cand JOIN sh ja ON ja.doc_id = a_id
                      JOIN sh jb ON jb.doc_id = b_id)
          WHERE j >= $JaccardDupThreshold ORDER BY a_id, b_id""",
+    "q112_dup_rate_report" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
+         pairs AS (SELECT a_id, b_id FROM (
+           SELECT a_id, b_id,
+             CAST(len(list_intersect(ja.s, jb.s)) AS DOUBLE)
+               / len(list_distinct(ja.s || jb.s)) AS j
+           FROM cand JOIN sh ja ON ja.doc_id = a_id
+                     JOIN sh jb ON jb.doc_id = b_id)
+           WHERE j >= $JaccardDupThreshold),
+         inv AS (SELECT DISTINCT doc_id FROM (
+           SELECT a_id AS doc_id FROM pairs
+           UNION ALL SELECT b_id AS doc_id FROM pairs))
+         SELECT d.lang, count(*) AS n_docs,
+           count(i.doc_id) AS n_dup_docs,
+           round(CAST(count(i.doc_id) AS DOUBLE) / count(*), 6)
+             AS dup_rate
+         FROM documents d LEFT JOIN inv i USING (doc_id)
+         GROUP BY d.lang ORDER BY d.lang""",
     "q46_curated_corpus" ->
       s"""WITH $toksCte, $qualityRulesCte, $shinglesCte, $sigCte, $bandsCte, $candCte,
          pii0 AS (SELECT doc_id, text AS t0 FROM documents),
