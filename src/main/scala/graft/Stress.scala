@@ -634,7 +634,22 @@ object Stress {
         qv.map { case (q, v) => s"p${(q * 100).toInt}=$v" }.mkString(" "))
       diag("quantile_buffer_diag")(
         tc.agg(expr("percentile(n, array(0.5, 0.9, 0.99))").as("p")))
+      // grouped form: one plan, window partitions hold distinct VALUES
+      timeCount("quantile_grouped")(
+        graft.operators.Quantile.groupedQuantilesDisc(
+          docs.withColumn("lang", (col("doc_id") % 5).cast("string"))
+            .select(col("lang"), graft.functions.TextAnalysis
+              .tokenCount(col("text")).cast("long").as("n")),
+          "lang", "n", Seq(0.5, 0.9, 0.99)))
     }
+
+    // round-12: graded decontamination at 20x — per-doc span totals ride
+    // the same frame as the shared-span counts (one extra slim agg over
+    // the binary q66 shape)
+    timeCount("contamination_frac")(
+      graft.operators.Dedup.contaminationFraction(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), w = 8))
     spark.stop()
   }
 }
