@@ -618,6 +618,30 @@ object Stress {
     if (enabled("curated_media_ms"))
       mediaLadder("curated_media_ms", Some(ManifestSink))
 
+    // round-12: incremental term-index ladder — per-batch cost is the
+    // batch's own tokenize + two slim doc_id anti-joins against stored
+    // ids; the persisted index is NEVER re-tokenized, so cost stays
+    // flat while the indexed corpus grows 10x
+    if (enabled("term_index")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_term_index_").toString
+      val batches = 10
+      val per = ((nDocs0 * repl) / batches).toInt
+      def batchDf(b: Int) = docs
+        .filter(col("doc_id") >= b.toLong * per &&
+          col("doc_id") < (b + 1).toLong * per)
+      (0 until batches).foreach { b =>
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.indexDocBatch(
+          spark, batchDf(b), s"$root/index", s"$root/dl")
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS term_index_batch_$b%-12s $dt%8.2f s")
+      }
+      println(s"STRESS term_index_done: index_rows=" +
+        s"${spark.read.parquet(s"$root/index").count()} docs=" +
+        s"${spark.read.parquet(s"$root/dl").count()}")
+    }
+
     // round-12: EXACT quantiles by value-domain histogram narrowing —
     // three slim count-aggregate scans, no task ever buffers the corpus.
     // The diag row is the built-in exact percentile: one sort-based

@@ -501,6 +501,55 @@ object StreamingIngest {
     }
   }
 
+  /** Incremental TERM-INDEX maintenance — the streaming companion of
+    * [[graft.operators.TextRank.termIndex]]: append each micro-batch's
+    * `(doc_id, token, tf)` rows plus the `(doc_id, dl)` length relation
+    * to persisted tables, so [[graft.operators.TextRank.bm25FromIndex]]
+    * / `bm25BatchFromIndex` retrieve against an always-current index
+    * without EVER re-tokenizing the corpus (the per-query cost the
+    * index exists to kill, made incremental). Compose after
+    * [[curateDocBatch]] in the same foreachBatch to index exactly the
+    * curated survivors.
+    *
+    * Crash idempotence is the band-index lesson (see curateDocBatch's
+    * ordering comment): EACH relation anti-joins on its own stored doc
+    * ids, and the dl relation — appended LAST — is the adjudication
+    * set. A crash between the two appends leaves index rows without dl
+    * rows; the replay re-enters the doc (not in dl), skips its
+    * already-present index rows, and completes the dl append. The
+    * reverse order would adjudicate docs whose index rows never landed
+    * — invisible to every future retrieval, unrepairable.
+    */
+  def indexDocBatch(spark: SparkSession, batch: DataFrame,
+      indexDir: String, dlDir: String,
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+      StructField, StructType}
+    if (batch.isEmpty) return
+    def append(df: DataFrame, dir: String): Unit = sink match {
+      case Some(s) => s.append(df, dir, None)
+      case None    => df.write.mode("append").parquet(dir)
+    }
+    val idType = batch.schema("doc_id").dataType
+    val idxSchema = StructType(Seq(StructField("doc_id", idType),
+      StructField("token", StringType), StructField("tf", LongType)))
+    val dlSchema = StructType(Seq(StructField("doc_id", idType),
+      StructField("dl", DoubleType)))
+    def read(dir: String, schema: StructType): DataFrame = sink match {
+      case Some(s) => readVia(spark, s, dir, schema)
+      case None    => readCorpus(spark, dir, schema)
+    }
+    val adjudicated = read(dlDir, dlSchema).select(col("doc_id")).distinct()
+    val fresh = batch.join(adjudicated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return
+    val idxExisting = read(indexDir, idxSchema)
+      .select(col("doc_id")).distinct()
+    append(graft.operators.TextRank.termIndex(fresh)
+      .join(idxExisting, Seq("doc_id"), "left_anti"), indexDir)
+    append(graft.operators.TextRank.docLengths(fresh), dlDir)
+  }
+
   /** Watermarked tumbling-window aggregate over a streaming frame — the
     * per-day/per-key channel statistics the reference delegates to the
     * warehouse, expressed as a stream (SURVEY §2.9 "not required for

@@ -452,6 +452,48 @@ class StreamingIngestSpec extends SparkSpec {
     assert(stored(12L).isEmpty && stored(1L).nonEmpty)
   }
 
+  test("indexDocBatch: incremental term index equals the batch-built " +
+      "one; the crash window repairs on replay; retrieval parity") {
+    import spark.implicits._
+    import graft.operators.TextRank
+    val root = tmpDir("termidx_")
+    val b1 = Seq(1L -> "join hash scan", 2L -> "hash hash slow")
+      .toDF("doc_id", "text")
+    val b2 = Seq(3L -> "scan scan join", 4L -> "").toDF("doc_id", "text")
+    StreamingIngest.indexDocBatch(spark, b1, s"$root/index", s"$root/dl")
+    StreamingIngest.indexDocBatch(spark, b2, s"$root/index", s"$root/dl")
+    val all = b1.unionByName(b2)
+    val wantIdx = TextRank.termIndex(all)
+      .as[(Long, String, Long)].collect().toSet
+    assert(spark.read.parquet(s"$root/index")
+      .as[(Long, String, Long)].collect().toSet == wantIdx)
+    // dl covers EVERY doc incl. the empty one (the d/avgdl contract)
+    assert(spark.read.parquet(s"$root/dl")
+      .as[(Long, Double)].collect().toMap ==
+      Map(1L -> 3.0, 2L -> 3.0, 3L -> 3.0, 4L -> 0.0))
+    // wholesale replay is a no-op
+    StreamingIngest.indexDocBatch(spark, b2, s"$root/index", s"$root/dl")
+    assert(spark.read.parquet(s"$root/index").count() == wantIdx.size)
+    // crash window: index rows landed, dl append did not → the replay
+    // skips the present rows and completes the dl append, no dups
+    val b3 = Seq(5L -> "slow join").toDF("doc_id", "text")
+    TextRank.termIndex(b3).write.mode("append").parquet(s"$root/index")
+    StreamingIngest.indexDocBatch(spark, b3, s"$root/index", s"$root/dl")
+    assert(spark.read.parquet(s"$root/index")
+      .where(col("doc_id") === 5L).count() == 2)
+    assert(spark.read.parquet(s"$root/dl")
+      .where(col("doc_id") === 5L).count() == 1)
+    // retrieval over the STORED relations == the full-corpus scan
+    val viaStored = TextRank.bm25FromIndex(
+      spark.read.parquet(s"$root/index"),
+      spark.read.parquet(s"$root/dl"),
+      Seq("join", "hash"), topK = 10).as[(Long, Double)].collect().toSeq
+    val viaScan = TextRank.bm25(all.unionByName(b3),
+      Seq("join", "hash"), topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaStored == viaScan)
+  }
+
   test("firstSeen: stateful cross-batch dedup emits each key once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
