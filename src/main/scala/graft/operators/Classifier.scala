@@ -147,7 +147,13 @@ object Classifier {
   def modelArray(weights: DataFrame, nBuckets: Int): Array[Long] = {
     val arr = new Array[Long](nBuckets)
     weights.select(col("bucket").cast("int"), col("weight").cast("long"))
-      .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      .collect().foreach { r =>
+        val b = r.getInt(0)
+        require(b >= 0 && b < nBuckets,
+          s"weight bucket $b outside [0, $nBuckets) — the weight table " +
+            "was trained with a different nBuckets than the scorer's")
+        arr(b) = r.getLong(1)
+      }
     arr
   }
 }

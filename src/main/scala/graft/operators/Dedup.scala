@@ -432,7 +432,11 @@ object Dedup {
     * span_hash) rows, benchmark-sized distinct probe side for AQE to
     * broadcast — plus one extra count over the SAME span frame
     * (localCheckpoint barrier so tokenize+hash runs once, not twice)
-    * and a left join of two doc-sized slim aggregates.
+    * and a left join of two doc-sized slim aggregates. The barrier
+    * pins the span frame on executors for the operator's duration; on
+    * a preemption-heavy cluster, trade it back for recompute (drop the
+    * checkpoint — both aggregates are deterministic) or swap in a
+    * reliable checkpoint dir, as [[dupClusters]] parameterizes.
     */
   def contaminationFraction(corpus: DataFrame, probes: DataFrame, w: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

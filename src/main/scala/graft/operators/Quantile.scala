@@ -61,9 +61,16 @@ object Quantile {
       qs: Seq[Double]): Seq[(Double, Long)] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantile fractions must be in [0, 1]")
+    // materialization barrier: the narrowing runs SEVERAL jobs over this
+    // frame, and the rank bookkeeping (counts below each interval) is
+    // only sound if every pass sees the same multiset — plus the
+    // upstream plan (e.g. q105's corpus tokenize) evaluates once, not
+    // once per pass. The frame is one long per row — slim at any scale.
     val base = df.select(col(valueCol).cast("long").as("v"))
       .where(col("v").isNotNull)
-    val h = base.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+      .localCheckpoint()
+    val h = base.agg(count(lit(1)), min(col("v")), max(col("v")),
+      count(when(col("v") < 0, lit(1)))).head()
     val n = h.getLong(0)
     require(n > 0, "quantilesDisc over an empty input")
     val (mn, mx) = (h.getLong(1), h.getLong(2))
@@ -72,10 +79,11 @@ object Quantile {
     val allRanks = qs.map(q => (q, rankOf(q))).sortBy(_._2).toList
     // seed intervals: split at 0 when the data spans both signs, so every
     // interval's width stays < 2^63 and the hi - lo / shift arithmetic
-    // can never overflow — the FULL long domain is supported
+    // can never overflow — the FULL long domain is supported. The
+    // negative count rode the stats aggregate above (no extra scan).
     var ivs =
       if (mn < 0 && mx >= 0) {
-        val nNeg = base.where(col("v") < 0).count()
+        val nNeg = h.getLong(3)
         val (negR, posR) = allRanks.partition(_._2 <= nNeg)
         List(Iv(mn, -1L, 0L, negR), Iv(0L, mx, nNeg, posR))
           .filter(_.ranks.nonEmpty)

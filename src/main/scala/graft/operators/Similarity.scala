@@ -42,7 +42,13 @@ object Similarity {
   private def ranked(joined: DataFrame, k: Int): DataFrame =
     joined
       .groupBy(col("query_id"))
-      .agg(TopK.topK(col("cosine"), col("neighbor_id"), k).as("top"))
+      // id cast: the aggregate's contract is LongType ids — integer id
+      // columns (common in test frames) widen losslessly instead of
+      // failing analysis as the raw column would. Null cosines (null
+      // embeddings) are dropped by the aggregate: a null similarity is
+      // no candidate, by design.
+      .agg(TopK.topK(col("cosine"),
+        col("neighbor_id").cast("long"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rn"),
         col("col.id").as("neighbor_id"), col("col.score").as("cosine"))

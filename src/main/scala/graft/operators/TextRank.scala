@@ -216,12 +216,16 @@ object TextRank {
       .agg(aggregate(
         sort_array(collect_list(struct(col("token"), col("contrib")))),
         lit(0.0), (acc, x) => acc + x("contrib")).as("score"))
+    // rank on the ROUNDED score, exactly like bm25/bm25FromIndex's
+    // orderBy(round(score, 6) desc, doc_id) — ranking raw doubles would
+    // break sub-1e-6 near-ties differently than the single-query paths
+    // and void the "per-query semantics are bm25" contract
     scored.groupBy(col("query_id"))
-      .agg(TopK.topK(col("score"), col("doc_id"), topK).as("top"))
+      .agg(TopK.topK(round(col("score"), 6),
+        col("doc_id").cast("long"), topK).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.id").as("doc_id"),
-        round(col("col.score"), 6).as("score"))
+        col("col.id").as("doc_id"), col("col.score").as("score"))
   }
 
   /** Inverted index with BOUNDED posting lists: for every token with
@@ -245,8 +249,11 @@ object TextRank {
   def invertedIndex(docs: DataFrame, minDf: Long = 2,
       maxPostings: Int = 20, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // long cast: the bounded aggregate's id contract is LongType, and
+    // NUMERIC posting order is this operator's documented contract
+    // anyway (TextRankSpec) — integer ids widen losslessly
     val pairs = docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .distinct()
