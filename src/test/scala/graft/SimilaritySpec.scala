@@ -36,6 +36,13 @@ class SimilaritySpec extends SparkSpec {
       vectors, vectors.filter(col("vec_id") === 0), k = 3)
       .select("rn", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
     assert(out.map(_._2).toSeq == Seq(4L, 1L, 2L)) // by cosine to (1,0,0,0)
+    // INT vec ids widen to long (regression: the TopKAgg ranking must
+    // not narrow the id types the window form handled)
+    val intVecs = vectors.withColumn("vec_id", col("vec_id").cast("int"))
+    val outInt = Similarity.knnBruteForce(
+      intVecs, intVecs.filter(col("vec_id") === 0), k = 3)
+      .select("rn", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(outInt.map(_._2).toSeq == Seq(4L, 1L, 2L))
   }
 
   test("near-dup pairs finds the close cluster only") {

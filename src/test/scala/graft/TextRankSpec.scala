@@ -133,5 +133,14 @@ class TextRankSpec extends SparkSpec {
     assert(got("common") == ((12L, "1,2,3,5,7")))
     assert(!got.contains("rare"))                // df 1 < minDf
     assert(!got.contains("solo"))
+    // INT doc ids widen to long instead of failing the aggregate's
+    // LongType contract (regression: the TopKAgg rewrite must not
+    // narrow the accepted id types the window form handled)
+    val intIds = ids.map(i => (i.toInt, "tok tok common"))
+      .toDF("doc_id", "text")
+    val gotInt = TextRank.invertedIndex(intIds, minDf = 2, maxPostings = 5)
+      .as[(String, Long, String)].collect()
+      .map { case (t, df, p) => t -> ((df, p)) }.toMap
+    assert(gotInt("tok") == ((12L, "1,2,3,5,7")))
   }
 }
