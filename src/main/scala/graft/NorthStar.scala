@@ -477,6 +477,16 @@ object NorthStar {
       Corpus.packContexts(docs(s, dir), contextLen = 512)
     }),
 
+    // Epoch-weighted replication: the UPSAMPLING half of the mixture
+    // recipe (weights > 1 emit repeat epochs; weight < 1 degenerates to
+    // sampling) — same integer md5 determinism as q97, zero shuffle.
+    "q113_epoch_replicate" -> ((s, dir) => {
+      Corpus.epochReplicate(docs(s, dir),
+        Map("en" -> 2.5, "fr" -> 1.25, "zh" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // MATERIALIZED training contexts: q96 maps which docs land in which
     // context; this emits the packed token-id sequences themselves (one
     // row per context, ids comma-joined in stream order) — the terminal
@@ -2000,6 +2010,23 @@ object NorthStar {
            least((chunk_id + 1) * 512, start + n)
              - greatest(chunk_id * 512, start) AS n_tokens
          FROM ch ORDER BY chunk_id, doc_id""",
+    "q113_epoch_replicate" ->
+      """WITH b AS (SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 1000000 AS bucket
+         FROM documents),
+         n AS (SELECT doc_id, lang,
+           (CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1
+              WHEN 'zh' THEN 0 ELSE 1 END)
+           + (CASE WHEN bucket < (CASE lang WHEN 'en' THEN 500000
+                WHEN 'fr' THEN 250000 WHEN 'zh' THEN 500000
+                ELSE 0 END) THEN 1 ELSE 0 END) AS n_copies
+         FROM b)
+         SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+         FROM (SELECT doc_id, lang,
+           unnest(generate_series(0, CAST(n_copies AS INT) - 1)) AS epoch
+           FROM n WHERE n_copies > 0)
+         ORDER BY doc_id, epoch""",
     "q110_materialized_contexts" ->
       s"""WITH $toksCte,
          nz AS (SELECT doc_id, t FROM toks JOIN documents USING (doc_id)

@@ -133,6 +133,44 @@ object Corpus {
     * of 1e6, so the decision arithmetic is integer-only and
     * oracle-reproducible.
     */
+  /** Epoch-weighted corpus REPLICATION — the upsampling half of a data
+    * mixture, which [[mixtureSample]]'s keep-rates cannot express
+    * (rates cap at 1.0): stratum weight `w` emits `floor(w)` copies of
+    * every doc plus one more with probability `frac(w)`, decided by
+    * the SAME integer md5 threshold as sampling — deterministic
+    * run-to-run and engine-to-engine, stable under repartitioning.
+    * This is the "epochs per domain" knob of an LLM data recipe
+    * (upweight curated sources ~2–3×, downweight the crawl tail; a
+    * weight < 1 degenerates to sampling). Returns the input rows with
+    * a 0-based `epoch` copy index — the trainer-side repeat signal.
+    *
+    * Scale posture: one broadcast |strata|-row join + a row-local
+    * `sequence`/`explode` — output-sized work, zero shuffle.
+    */
+  def epochReplicate(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require((weights.values.toSeq :+ defaultWeight)
+      .forall(w => w >= 0 && w <= 100), "weights in [0, 100]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(weights.toSeq.map { case (s, w) =>
+      (s, math.floor(w).toLong, math.round((w - math.floor(w)) * 1e6))
+    }.toDF(strataCol, "base_n", "thr"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % lit(1000000L)
+    val defBase = math.floor(defaultWeight).toLong
+    val defThr = math.round((defaultWeight - math.floor(defaultWeight)) * 1e6)
+    docs.join(wDf, Seq(strataCol), "left")
+      .withColumn("n_copies",
+        coalesce(col("base_n"), lit(defBase)) +
+          when(bucket < coalesce(col("thr"), lit(defThr)), 1L)
+            .otherwise(0L))
+      .where(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("base_n", "thr", "n_copies")
+  }
+
   def mixtureSample(docs: DataFrame, rates: Map[String, Double],
       defaultRate: Double, strataCol: String = "lang",
       idCol: String = "doc_id"): DataFrame = {

@@ -113,6 +113,38 @@ class CorpusSpec extends SparkSpec {
     assert(byLang.getOrElse("de", 0L) <= byLang("zh"))
   }
 
+  test("epochReplicate: floor(w) copies + md5-threshold extra; weight " +
+      "< 1 degenerates to sampling; epochs are dense from 0") {
+    val docsDf = (0L until 300L)
+      .map(i => (i, s"text $i", Seq("en", "fr", "zh", "de")(
+        (i % 4).toInt), "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val weights = Map("en" -> 2.5, "fr" -> 1.25, "zh" -> 0.5)
+    val got = Corpus.epochReplicate(docsDf, weights)
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).sorted.toSeq }
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    for (i <- 0L until 300L) {
+      val lang = Seq("en", "fr", "zh", "de")((i % 4).toInt)
+      val w = weights.getOrElse(lang, 1.0)
+      val n = math.floor(w).toLong +
+        (if (bucket(i) < math.round((w - math.floor(w)) * 1e6)) 1 else 0)
+      if (n == 0) assert(!got.contains(i), s"doc $i should be dropped")
+      else assert(got(i) == (0L until n), s"doc $i epochs")
+    }
+    // stable under repartitioning, like mixtureSample
+    val a = Corpus.epochReplicate(docsDf, weights)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    val b = Corpus.epochReplicate(docsDf.repartition(11), weights)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("mixtureSample is stable under repartitioning (no RNG state)") {
     val docsDf = (0L until 100L)
       .map(i => (i, "t", if (i % 2 == 0) "en" else "fr", "s"))
