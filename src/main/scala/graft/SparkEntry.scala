@@ -21,14 +21,24 @@ object SparkEntry {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table is written with parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * truncate to micros — same truncation DuckDB's ns→us cast performs.
+  /** The events table's `ts` physical type has drifted across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as long via the legacy
+    * conf, truncated to micros — the same truncation DuckDB's ns→us cast
+    * performs), then plain timestamp[us] without UTC adjustment (surfaced
+    * as TIMESTAMP_NTZ). Dispatch on the loaded schema so every generation
+    * yields an identical session-TZ TIMESTAMP column (session pinned UTC,
+    * so the NTZ cast is bit-identical to the legacy path).
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ (or string-ish drift): cast into session TZ
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
