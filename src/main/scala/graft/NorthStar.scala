@@ -331,9 +331,10 @@ object NorthStar {
     }),
 
     // Per-LANGUAGE calibrated LM gate — the full CCNet recipe (per-language
-    // score percentiles): one exact rank cutoff per language from a single
-    // per-group window pass, then the gate keeps each language's best half.
-    // Oracle reproduces the same per-group k-th order statistic in SQL.
+    // score percentiles): one exact rank cutoff per language via grouped
+    // histogram narrowing (no task holds a language's scores), then the
+    // gate keeps each language's best half. Oracle reproduces the same
+    // per-group k-th order statistic in SQL.
     "q75_lm_lang_calibrated" -> ((s, dir) => {
       import graft.operators.LmFilter
       val d = docs(s, dir)
@@ -1136,6 +1137,18 @@ object NorthStar {
       graft.operators.Quantile.groupedQuantilesDisc(
         tc, "lang", "n", Seq(0.5, 0.9, 0.99))
         .orderBy(col("lang"), col("q"))
+    }),
+
+    // PER-GROUP exact quantiles over a CONTINUOUS double domain — the
+    // shape where q106's distinct-value window degenerates (distinct ≈ n):
+    // grouped histogram narrowing over the IEEE-754 bijection, every pass
+    // a (group, cell) aggregation, result bit-exact per group.
+    "q114_grouped_double_quantiles" -> ((s, dir) => {
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_type"), col("value"))
+      graft.operators.Quantile.groupedQuantilesDiscDouble(
+        ev, "event_type", "value", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("q"))
     }),
 
     // As-of join (time-series alignment; no native Spark join type) —
@@ -2092,6 +2105,16 @@ object NorthStar {
            UNION ALL SELECT lang, CAST(0.99 AS DOUBLE),
              quantile_disc(n, 0.99) FROM base GROUP BY lang) u
          ORDER BY lang, q""",
+    "q114_grouped_double_quantiles" ->
+      """SELECT event_type, q, value FROM (
+           SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+             quantile_disc(value, 0.5) AS value FROM events
+             GROUP BY event_type
+           UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE),
+             quantile_disc(value, 0.9) FROM events GROUP BY event_type
+           UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE),
+             quantile_disc(value, 0.99) FROM events GROUP BY event_type) u
+         ORDER BY event_type, q""",
     "q97_mixture_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

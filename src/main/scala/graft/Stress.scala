@@ -178,6 +178,17 @@ object Stress {
           .join(docs.select(col("doc_id"),
             (col("doc_id") % 5).as("lang")), Seq("doc_id")),
         0.5, "lang"))
+    // 90 %-one-language skew: the shape that funneled the hot language's
+    // full score column through ONE task under the retired per-group
+    // row_number window — grouped narrowing keeps every pass a (group,
+    // cell) aggregation regardless of skew
+    timeCount("lm_lang_calibrate_skew")(
+      graft.operators.LmFilter.calibrateThresholds(
+        graft.operators.LmFilter.scoreDocs(docs)
+          .join(docs.select(col("doc_id"),
+            when(col("doc_id") % 10 < 9, lit("en"))
+              .otherwise(lit("de")).as("lang")), Seq("doc_id")),
+        0.5, "lang"))
     // round-11 text/corpus operators at the same scale
     timeCount("heavy_tokens")(
       graft.operators.HeavyHitters.heavyTokens(docs, minFrac = 0.001))

@@ -153,24 +153,23 @@ object LmFilter {
 
   /** Per-GROUP calibration — the full CCNet recipe (per-language score
     * percentiles, Wenzek et al. §4.3): one exact rank cutoff per group,
-    * as a (group, threshold) table to gate with. Fully distributed: one
-    * per-group window rank + per-group count (the window partitions by
-    * group, so no global funnel; the k-th ORDER STATISTIC is unique even
-    * when ties make row_number's choice among equal scores arbitrary).
-    * NULL groups are the caller's problem — slice before calibrating.
+    * as a (group, threshold) table to gate with. The cutoff is the
+    * group's sorted multiset's element `max(1, ceil(pct·n))` — exactly
+    * `quantile_disc(pct)` — computed by
+    * [[Quantile.groupedQuantilesDiscDouble]]'s histogram narrowing: no
+    * task ever holds a group's scores (the retired per-group
+    * `row_number` window sorted each language's FULL score column
+    * through one task — a 90 %-English corpus put 90 % of the rows
+    * through a single partition). NULL groups and NaN scores are
+    * excluded — slice before calibrating.
     */
   def calibrateThresholds(scored: DataFrame, pct: Double,
       groupCol: String, scoreCol: String = "log_ppl"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(pct > 0 && pct <= 1, s"pct must be in (0, 1], got $pct")
-    val wr = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
-    val wn = Window.partitionBy(col(groupCol))
-    scored
-      .withColumn("__rn", row_number().over(wr))
-      .withColumn("__n", count(lit(1)).over(wn))
-      .filter(col("__rn") ===
-        greatest(lit(1L), ceil(lit(pct) * col("__n"))).cast("int"))
-      .select(col(groupCol), col(scoreCol).cast("double").as("threshold"))
+    Quantile.groupedQuantilesDiscDouble(
+        scored.select(col(groupCol), col(scoreCol)),
+        groupCol, scoreCol, Seq(pct))
+      .select(col(groupCol), col("value").as("threshold"))
   }
 
   /** Sketched calibration for the 100 TB path: one

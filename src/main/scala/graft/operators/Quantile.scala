@@ -216,6 +216,202 @@ object Quantile {
     * bounded integer domains (lengths, counts, sizes); for unbounded
     * domains use [[quantilesDisc]] per partition of interest.
     */
+  // -------------------------------------------------- grouped narrowing
+
+  private val NBucketsG = 1 << 12
+  private val MaxRefineWidthG = 1L << 12
+
+  /** [[Iv]] with its group key (groups narrow independently but share
+    * every scan — one job per pass covers ALL groups' intervals).
+    */
+  private final case class GIv(gs: String, lo: Long, hi: Long, below: Long,
+      ranks: List[(Double, Long)])
+
+  /** The shared grouped-narrowing engine: per-group exact discrete
+    * quantiles over the FULL long domain, returning one
+    * `(original group value, q, selected long)` row per group×fraction.
+    *
+    * Same histogram narrowing as [[quantilesDisc]], generalized so the
+    * interval state is keyed by group:
+    *   - stats and every histogram pass are `(group, cell)` aggregations
+    *     — map-side partial combine, the exchange carries cell counts,
+    *     never rows, and NO task ever holds a group's values (compare
+    *     [[groupedQuantilesDisc]], whose cumulative window puts a
+    *     group's whole distinct-value set through one task — fine for
+    *     bounded integer domains, degenerate for continuous ones where
+    *     distinct ≈ n);
+    *   - rows find their interval through a BROADCAST equi-join on the
+    *     group plus a range filter (the interval table is at most
+    *     groups × fractions rows — KBs);
+    *   - driver state is bounded by groups × fractions × 2^12 cells per
+    *     pass. Group cardinality must be bounded (languages, sources,
+    *     event types — not user ids); guarded at 2^16 groups.
+    */
+  private def groupedNarrow(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): Seq[(Any, Double, Long)] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantile fractions must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df
+      .select(col(groupCol).cast("string").as("gs"), col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("gs").isNotNull && col("v").isNotNull)
+      .localCheckpoint()
+
+    val stats = base.groupBy(col("gs"))
+      .agg(first(col("g")).as("g"), count(lit(1)).as("n"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(when(col("v") < 0, lit(1))).as("neg"))
+      .collect()
+    if (stats.isEmpty) return Seq.empty
+    require(stats.length <= (1 << 16),
+      s"groupedNarrow: ${stats.length} groups — driver interval state is " +
+        "per-group; use a bounded-cardinality group column")
+    val gOrig: Map[String, Any] =
+      stats.map(r => r.getString(0) -> r.get(1)).toMap
+
+    var ivs: List[GIv] = stats.toList.flatMap { r =>
+      val gs = r.getString(0)
+      val n = r.getLong(2)
+      val (mn, mx) = (r.getLong(3), r.getLong(4))
+      val ranks = qs.map(q => (q, math.max(1L, math.ceil(q * n).toLong)))
+        .sortBy(_._2).toList
+      // sign-split seed: keeps every interval narrower than 2^63 so the
+      // width/shift arithmetic cannot overflow (full long domain OK)
+      if (mn < 0 && mx >= 0) {
+        val nNeg = r.getLong(5)
+        val (negR, posR) = ranks.partition(_._2 <= nNeg)
+        List(GIv(gs, mn, -1L, 0L, negR), GIv(gs, 0L, mx, nNeg, posR))
+          .filter(_.ranks.nonEmpty)
+      } else List(GIv(gs, mn, mx, 0L, ranks))
+    }
+
+    // one job covering every listed interval: broadcast the interval
+    // table, route rows by (group equi-join + disjoint range filter),
+    // count (interval, cell) pairs
+    def cellCounts(spec: Seq[(String, Int, Long, Long, Long)],
+        cell: Column): Array[(Int, Long, Long)] = {
+      val specDf = spec.toDF("gs", "iid", "lo", "hi", "w")
+      base.join(broadcast(specDf), Seq("gs"))
+        .where(col("v").between(col("lo"), col("hi")))
+        .select(col("iid"), cell.as("b"))
+        .groupBy(col("iid"), col("b")).agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    }
+
+    while (ivs.exists(iv => iv.hi - iv.lo >= MaxRefineWidthG)) {
+      val (active, settled) =
+        ivs.partition(iv => iv.hi - iv.lo >= MaxRefineWidthG)
+      val shifts = active.map { iv =>
+        var k = 0
+        while (((iv.hi - iv.lo) >>> k) >= NBucketsG) k += 1
+        k
+      }
+      val spec = active.zipWithIndex.map { case (iv, i) =>
+        (iv.gs, i, iv.lo, iv.hi, 1L << shifts(i))
+      }
+      // (v - lo) div w == (v - lo) >> k: exact nonneg integer arithmetic
+      val byIid = cellCounts(spec, expr("(v - lo) div w"))
+        .groupBy(_._1)
+      val children = active.zipWithIndex.flatMap { case (iv, i) =>
+        val k = shifts(i)
+        val hist = byIid.getOrElse(i, Array.empty)
+          .map(t => t._2 -> t._3).toMap
+        var cum = iv.below
+        var remaining = iv.ranks
+        val out = List.newBuilder[GIv]
+        for (b <- hist.keys.toSeq.sorted if remaining.nonEmpty) {
+          val c = hist(b)
+          val (inB, rest) = remaining.partition(_._2 <= cum + c)
+          if (inB.nonEmpty) {
+            val childLo = iv.lo + (b << k)
+            // +2^k upper edge can wrap on a near-2^63 interval's last
+            // bucket; a wrapped value means "clamp to the parent's hi"
+            val rawHi = iv.lo + ((b + 1) << k) - 1
+            val childHi =
+              if (rawHi < childLo) iv.hi else math.min(iv.hi, rawHi)
+            out += GIv(iv.gs, childLo, childHi, cum, inB)
+          }
+          cum += c
+          remaining = rest
+        }
+        require(remaining.isEmpty,
+          s"rank beyond histogram mass (group ${iv.gs})")
+        out.result()
+      }
+      ivs = settled ++ children
+    }
+
+    // refine: exact per-value counts inside the (narrow) intervals
+    val spec = ivs.zipWithIndex.map { case (iv, i) =>
+      (iv.gs, i, iv.lo, iv.hi, 1L)
+    }
+    val byIid = cellCounts(spec, col("v")).groupBy(_._1)
+    ivs.zipWithIndex.flatMap { case (iv, i) =>
+      val counts = byIid.getOrElse(i, Array.empty)
+        .map(t => (t._2, t._3)).sortBy(_._1)
+      var cum = iv.below
+      var remaining = iv.ranks
+      val out = List.newBuilder[(Any, Double, Long)]
+      for ((v, c) <- counts if remaining.nonEmpty) {
+        val (here, rest) = remaining.partition(_._2 <= cum + c)
+        here.foreach { case (q, _) => out += ((gOrig(iv.gs), q, v)) }
+        cum += c
+        remaining = rest
+      }
+      require(remaining.isEmpty,
+        s"rank beyond refine mass (group ${iv.gs})")
+      out.result()
+    }
+  }
+
+  private def groupedFrame(spark: org.apache.spark.sql.SparkSession,
+      gField: org.apache.spark.sql.types.StructField,
+      rows: Seq[org.apache.spark.sql.Row])
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val valueType = rows.headOption
+      .map(_.get(2) match {
+        case _: java.lang.Double => DoubleType
+        case _ => LongType
+      }).getOrElse(LongType): DataType
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      gField, StructField("q", DoubleType, nullable = false),
+      StructField("value", valueType, nullable = false))))
+  }
+
+  /** PER-GROUP [[quantilesDisc]] over the full long domain — the
+    * continuous/unbounded-domain grouped shape (see [[groupedNarrow]]).
+    * Returns `(group, q, value)`, group in its original type.
+    */
+  def groupedQuantilesDiscLong(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): DataFrame =
+    groupedFrame(df.sparkSession, df.schema(groupCol).copy(name = groupCol),
+      groupedNarrow(df, groupCol, valueCol, qs)
+        .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)))
+
+  /** PER-GROUP [[quantilesDiscDouble]]: doubles ride the
+    * order-preserving IEEE-754 bijection through [[groupedNarrow]] and
+    * map back BIT-EXACTLY — each result is an actual input value of its
+    * group, no interpolation (DuckDB `quantile_disc … GROUP BY`
+    * semantics). NaNs excluded, nulls ignored.
+    */
+  def groupedQuantilesDiscDouble(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    val d = col(valueCol).cast("double")
+    val base = df
+      .where(d.isNotNull && !isnan(d))
+      .select(col(groupCol), TopK.sortableBitsCol(d).as("__bits"))
+    groupedFrame(df.sparkSession, df.schema(groupCol).copy(name = groupCol),
+      groupedNarrow(base, groupCol, "__bits", qs)
+        .map(t => org.apache.spark.sql.Row(
+          t._1, t._2, TopK.fromSortableBits(t._3))))
+  }
+
   def groupedQuantilesDisc(df: DataFrame, groupCol: String,
       valueCol: String, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),

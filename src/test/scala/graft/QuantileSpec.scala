@@ -140,6 +140,119 @@ class QuantileSpec extends SparkSpec {
     }
   }
 
+  test("groupedQuantilesDiscLong matches the per-group reference on " +
+      "wide-domain values (multi-pass narrowing per group)") {
+    val data = Map(
+      "a" -> Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue, 12345678901L),
+      "b" -> Seq(5L, -5000000000L, 5L, 900000000000000L),
+      "c" -> Seq(-7L))
+    val df = data.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("g", "v")
+    val qs = Seq(0.1, 0.5, 0.9)
+    val got = Quantile.groupedQuantilesDiscLong(df, "g", "v", qs)
+      .as[(String, Double, Long)].collect().toSet
+    val want = (for {
+      (g, vs) <- data.toSeq; q <- qs
+    } yield (g, q, reference(vs, q))).toSet
+    assert(got == want)
+  }
+
+  test("property: groupedQuantilesDiscLong agrees with the windowed " +
+      "groupedQuantilesDisc on bounded domains") {
+    val gen = for {
+      groups <- Gen.chooseNum(1, 5)
+      vs <- Gen.nonEmptyListOf(for {
+        g <- Gen.chooseNum(0, groups - 1)
+        v <- Gen.chooseNum(-100000L, 100000L)
+      } yield (s"g$g", v))
+    } yield vs
+    for (i <- 0 until 6) {
+      val vs = gen.apply(Gen.Parameters.default, Seed(300L + i))
+        .getOrElse(List(("g0", 1L)))
+      val qs = Seq(0.25, 0.5, 0.99)
+      val df = vs.toDF("g", "v")
+      val narrow = Quantile.groupedQuantilesDiscLong(df, "g", "v", qs)
+        .as[(String, Double, Long)].collect().toSet
+      val windowed = Quantile.groupedQuantilesDisc(df, "g", "v", qs)
+        .as[(String, Double, Long)].collect().toSet
+      assert(narrow == windowed, s"seed ${300 + i}")
+    }
+  }
+
+  test("groupedQuantilesDiscDouble: bit-exact per-group element " +
+      "selection across signs, subnormals and integer groups") {
+    val data = Map(
+      1 -> Seq(-1.5, 2.25, 0.0, -0.0, Double.MinPositiveValue, 3e300),
+      2 -> Seq(1.125, 1.125, -2e-308),
+      3 -> Seq(42.0))
+    val df = data.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("g", "x")
+    val qs = Seq(0.5, 0.9)
+    val got = Quantile.groupedQuantilesDiscDouble(df, "g", "x", qs)
+      .as[(Int, Double, Double)].collect()
+      .map { case (g, q, v) => ((g, q), v) }.toMap
+    for ((g, vs) <- data; q <- qs) {
+      val sorted = vs.sortWith { (a, b) =>
+        // IEEE bit order (the operator's documented tiebreak for ±0.0)
+        graft.operators.TopK.sortableBits(a) <
+          graft.operators.TopK.sortableBits(b)
+      }
+      val want = sorted(math.max(1L, math.ceil(q * vs.size).toLong).toInt - 1)
+      val v = got((g, q))
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(want), s"group $g q $q")
+    }
+    // group column keeps its original (integer) type
+    val schema = Quantile.groupedQuantilesDiscDouble(df, "g", "x", qs).schema
+    assert(schema("g").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("property: grouped double quantiles match a local per-group sort") {
+    val gen = for {
+      groups <- Gen.chooseNum(1, 4)
+      vs <- Gen.nonEmptyListOf(for {
+        g <- Gen.chooseNum(0, groups - 1)
+        v <- Gen.oneOf(
+          Gen.chooseNum(-1e6, 1e6),
+          Gen.oneOf(0.0, -0.0, 1e-300, -1e-300, 1e300, -1e300))
+      } yield (s"g$g", v))
+    } yield vs
+    for (i <- 0 until 6) {
+      val vs = gen.apply(Gen.Parameters.default, Seed(500L + i))
+        .getOrElse(List(("g0", 1.0)))
+      val qs = Seq(0.25, 0.5, 0.9)
+      val got = Quantile.groupedQuantilesDiscDouble(
+        vs.toDF("g", "x"), "g", "x", qs)
+        .as[(String, Double, Double)].collect()
+        .map { case (g, q, v) =>
+          ((g, q), java.lang.Double.doubleToRawLongBits(v)) }.toMap
+      for ((g, rows) <- vs.groupBy(_._1); q <- qs) {
+        val sorted = rows.map(_._2).sortBy(graft.operators.TopK.sortableBits)
+        val want =
+          sorted(math.max(1L, math.ceil(q * rows.size).toLong).toInt - 1)
+        assert(got((g, q)) ==
+          java.lang.Double.doubleToRawLongBits(want),
+          s"seed ${500 + i} group $g q $q")
+      }
+    }
+  }
+
+  test("grouped narrowing: nulls/NaNs ignored, empty input yields an " +
+      "empty frame, fraction bounds reject") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(Double.NaN)),
+      ("a", Some(2.0))).toDF("g", "x")
+    val got = Quantile.groupedQuantilesDiscDouble(df, "g", "x", Seq(1.0))
+      .as[(String, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 1.0, 2.0)))
+    assert(Quantile.groupedQuantilesDiscDouble(
+      df.where(col("x") < 0), "g", "x", Seq(0.5)).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Quantile.groupedQuantilesDiscLong(
+        df.select(col("g"), lit(1L).as("v")), "g", "v", Seq(1.5))
+    }
+  }
+
   test("quantileFrame exposes (q, value) in fraction order") {
     val df = (1L to 100L).toDF("n")
     val got = Quantile.quantileFrame(df, "n", Seq(0.5, 0.9, 0.99))
