@@ -357,13 +357,17 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
-    // percent_rank + cume_dist per event type (exact integer-ratio math).
+    // percent_rank + cume_dist per event type (exact integer-ratio math)
+    // via the bucket-offset decomposition — a per-type window would sort
+    // each type's FULL row set through one task; Ranks.percentRanks
+    // splits types into value-range buckets and is bit-identical.
     "q49_value_percentiles" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      events(s, dir)
-        .withColumn("pr", round(percent_rank().over(w), 6))
-        .withColumn("cd", round(cume_dist().over(w), 6))
+      graft.operators.Ranks.percentRanks(
+        events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", "event_id")
+        .withColumn("pr", round(col("pr"), 6))
+        .withColumn("cd", round(col("cd"), 6))
         .select(col("event_id"), col("event_type"), col("pr"), col("cd"))
         .orderBy(col("event_id"))
     }),

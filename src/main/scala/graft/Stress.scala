@@ -178,6 +178,16 @@ object Stress {
           .join(docs.select(col("doc_id"),
             (col("doc_id") % 5).as("lang")), Seq("doc_id")),
         0.5, "lang"))
+    // hot-group percent_rank: 90 % of rows in one group — the shape the
+    // retired per-type window form sorted through ONE task; the
+    // bucket-offset decomposition keeps tasks balanced under skew
+    timeCount("percent_rank_skew")(
+      graft.operators.Ranks.percentRanks(
+        docs.select(col("doc_id"),
+          when(col("doc_id") % 10 < 9, lit("hot"))
+            .otherwise(lit("cold")).as("g"),
+          (hash(col("doc_id")).cast("double") / 1e9).as("v")),
+        "g", "v", "doc_id"))
     // 90 %-one-language skew: the shape that funneled the hot language's
     // full score column through ONE task under the retired per-group
     // row_number window — grouped narrowing keeps every pass a (group,
