@@ -149,6 +149,30 @@ object Stress {
       val cb = Similarity.pqCodebooks(emb, cents, 8, 16, seedOffset = 16)
       Similarity.pqIndex(emb, cents, cb)
     })
+    // incremental IVF-PQ index ladder: same fixed-size batch appended
+    // first against an EMPTY index, then against the full REPL-scale
+    // corpus index — flat timings = per-batch cost tracks the batch, not
+    // the index (the rebuild-only alternative re-encodes everything)
+    if (enabled("ivfpq_index_batch")) {
+      val model = Similarity.trainPqModel(emb, nCentroids = 16, nSub = 8,
+        codebookSize = 16)
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_pqidx_").toString
+      val batch = emb.filter(col("vec_id") < 2000)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+      def timeBatch(name: String, b: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.indexVecBatch(
+          spark, b, model, s"$root/codes", s"$root/adj")
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS $name%-28s $dt%8.2f s")
+      }
+      timeBatch("ivfpq_index_batch_empty", batch)
+      graft.streaming.StreamingIngest.indexVecBatch(
+        spark, emb, model, s"$root/codes", s"$root/adj")
+      timeBatch("ivfpq_index_batch_full",
+        batch.withColumn("vec_id", col("vec_id") + lit(1000000000L)))
+    }
     // round-7 operators at the same scale
     timeCount("pii_scan")(
       docs.select(col("doc_id") +:

@@ -686,6 +686,72 @@ object Similarity {
     })
   }
 
+  /** A trained IVF-PQ model — the FROZEN quantizer an incremental index
+    * appends through: coarse centroids + per-subspace codebooks. PQ codes
+    * are only comparable under the model that produced them, so the model
+    * persists once ([[savePqModel]]) and every later batch — and every
+    * query — loads the same one ([[loadPqModel]]); retraining means
+    * reindexing. Driver-resident by design: nCentroids·dim +
+    * nSub·codebookSize·(dim/nSub) doubles — KBs.
+    */
+  final case class PqModel(cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]]) {
+    def centroidFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      cents.toSeq.map { case (c, e) => (c, e.toSeq) }.toDF("cid", "ce")
+    }
+  }
+
+  /** Train the IVF coarse quantizer + PQ codebooks (the two Lloyd loops
+    * [[knnIvfPq]] runs inline) and capture them as a reusable model.
+    */
+  def trainPqModel(vectors: DataFrame, nCentroids: Int = 16, nSub: Int = 8,
+      codebookSize: Int = 16, trainIters: Int = 0, trainSample: Int = 256,
+      pqTrainIters: Int = 0, pqTrainSample: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
+    val cents =
+      ivfCentroids(vectors, nCentroids, trainIters, trainSample, idCol, vecCol)
+    val cb = pqCodebooks(vectors, cents, nSub, codebookSize,
+      seedOffset = nCentroids, trainIters = pqTrainIters,
+      trainSample = pqTrainSample, idCol = idCol, vecCol = vecCol)
+    val arr = cents.select(col("cid").cast("int"), col("ce"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    PqModel(arr, cb)
+  }
+
+  def savePqModel(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.cents.toSeq.map { case (c, e) => (c, e.toSeq) }.toDF("cid", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    model.cb.zipWithIndex.flatMap { case (cbm, m) =>
+      cbm.zipWithIndex.map { case (e, j) => (m, j, e.toSeq) } }.toSeq
+      .toDF("m", "j", "entry")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqModel = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cb = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    PqModel(cents, cb)
+  }
+
+  /** [[pqIndex]] under a frozen model — the per-batch encode an
+    * incremental index appends
+    * ([[graft.streaming.StreamingIngest.indexVecBatch]]).
+    */
+  def pqIndexRows(vectors: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqIndex(vectors, model.centroidFrame(vectors.sparkSession), model.cb,
+      idCol, vecCol)
+
   /** IVF-PQ ANN with exact refine: probe `nProbe` cells, score their
     * inverted lists by ADC approximate inner product over the CODES-ONLY
     * index (the memory-side half of the 100 TB ANN story — the scan never
@@ -706,14 +772,25 @@ object Similarity {
     // trainIters/trainSample drive the IVF coarse quantizer;
     // pqTrainIters/pqTrainSample drive the per-subspace PQ-codebook Lloyd
     // loop — two distinct training procedures, two knob pairs
-    val cents =
-      ivfCentroids(vectors, nCentroids, trainIters, trainSample, idCol, vecCol)
-    val cb = pqCodebooks(vectors, cents, nSub, codebookSize,
-      seedOffset = nCentroids, trainIters = pqTrainIters,
-      trainSample = pqTrainSample, idCol = idCol, vecCol = vecCol)
-    val index = pqIndex(vectors, cents, cb, idCol, vecCol)
-      .withColumnRenamed(idCol, "neighbor_id")
-    val dim = nSub * cb(0)(0).length
+    val model = trainPqModel(vectors, nCentroids, nSub, codebookSize,
+      trainIters, trainSample, pqTrainIters, pqTrainSample, idCol, vecCol)
+    knnIvfPqOnIndex(pqIndexRows(vectors, model, idCol, vecCol),
+      vectors, queries, k, model, nProbe, refineFactor, idCol, vecCol)
+  }
+
+  /** [[knnIvfPq]]'s probe + ADC + refine over a PREBUILT `(id, cid,
+    * codes)` index — the query side of the incremental-index story: the
+    * index may have been appended batch-by-batch ([[indexVecBatch]]'s
+    * output relation) and is never re-encoded per query batch.
+    */
+  def knnIvfPqOnIndex(pqCodes: DataFrame, vectors: DataFrame,
+      queries: DataFrame, k: Int, model: PqModel, nProbe: Int = 2,
+      refineFactor: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = model.centroidFrame(vectors.sparkSession)
+    val cb = model.cb
+    val index = pqCodes.withColumnRenamed(idCol, "neighbor_id")
+    val dim = cb.length * cb(0)(0).length
     // queries probe their nProbe nearest cells, carrying dot(q, centroid)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("cid"))

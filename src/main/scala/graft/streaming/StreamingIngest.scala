@@ -550,6 +550,84 @@ object StreamingIngest {
     append(graft.operators.TextRank.docLengths(fresh), dlDir)
   }
 
+  /** Incremental IVF-PQ INDEX maintenance — the vector companion of
+    * [[indexDocBatch]]: encode each micro-batch's vectors under a FROZEN
+    * [[graft.operators.Similarity.PqModel]] and append the slim
+    * `(vec_id, cid, codes)` rows to a persisted index, so
+    * [[graft.operators.Similarity.knnIvfPqOnIndex]] searches an
+    * always-current corpus without EVER re-encoding it (pqIndex was
+    * rebuild-only before — a streaming vector corpus re-encoded
+    * everything to stay searchable). Compose after [[curateVectorBatch]]
+    * in the same foreachBatch to index exactly the curated survivors.
+    *
+    * Crash idempotence is [[indexDocBatch]]'s ordering: the codes
+    * relation anti-joins on its own stored ids, and the bare-id
+    * adjudication relation — appended LAST — is what replays check. A
+    * crash between the appends leaves codes without adjudication; the
+    * replay re-enters the vector (not adjudicated), skips its
+    * already-present codes rows, and completes the adjudication append.
+    * The reverse order would adjudicate vectors whose codes never landed
+    * — invisible to every future search, unrepairable.
+    *
+    * The model itself persists once via
+    * [[graft.operators.Similarity.savePqModel]]; codes are only
+    * comparable under the model that produced them, so retraining means
+    * reindexing (drop both relations and replay).
+    */
+  def indexVecBatch(spark: SparkSession, batch: DataFrame,
+      model: graft.operators.Similarity.PqModel,
+      codesDir: String, adjDir: String,
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField,
+      StructType}
+    if (batch.isEmpty) return
+    def append(df: DataFrame, dir: String): Unit = sink match {
+      case Some(s) => s.append(df, dir, None)
+      case None    => df.write.mode("append").parquet(dir)
+    }
+    val idType = batch.schema("vec_id").dataType
+    val codesSchema = StructType(Seq(StructField("vec_id", idType),
+      StructField("cid", IntegerType),
+      StructField("codes", ArrayType(IntegerType))))
+    val adjSchema = StructType(Seq(StructField("vec_id", idType)))
+    def read(dir: String, schema: StructType): DataFrame = sink match {
+      case Some(s) => readVia(spark, s, dir, schema)
+      case None    => readCorpus(spark, dir, schema)
+    }
+    val adjudicated = read(adjDir, adjSchema).select(col("vec_id")).distinct()
+    val fresh = batch.join(adjudicated, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return
+    val codesExisting = read(codesDir, codesSchema)
+      .select(col("vec_id")).distinct()
+    append(graft.operators.Similarity.pqIndexRows(fresh, model)
+      .join(codesExisting, Seq("vec_id"), "left_anti"), codesDir)
+    append(fresh.select(col("vec_id")), adjDir)
+  }
+
+  /** The persisted codes relation [[indexVecBatch]] maintains, gated on
+    * adjudication (crash debris — codes whose adjudication append never
+    * landed — is excluded until a replay completes it).
+    */
+  def readPqIndex(spark: SparkSession, codesDir: String, adjDir: String,
+      idType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType,
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField,
+      StructType}
+    val codesSchema = StructType(Seq(StructField("vec_id", idType),
+      StructField("cid", IntegerType),
+      StructField("codes", ArrayType(IntegerType))))
+    val adjSchema = StructType(Seq(StructField("vec_id", idType)))
+    def read(dir: String, schema: StructType): DataFrame = sink match {
+      case Some(s) => readVia(spark, s, dir, schema)
+      case None    => readCorpus(spark, dir, schema)
+    }
+    read(codesDir, codesSchema)
+      .join(read(adjDir, adjSchema).select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+  }
+
   /** Watermarked tumbling-window aggregate over a streaming frame — the
     * per-day/per-key channel statistics the reference delegates to the
     * warehouse, expressed as a stream (SURVEY §2.9 "not required for

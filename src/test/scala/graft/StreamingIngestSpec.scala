@@ -494,6 +494,66 @@ class StreamingIngestSpec extends SparkSpec {
     assert(viaStored == viaScan)
   }
 
+  test("indexVecBatch: incremental IVF-PQ index equals the batch-built " +
+      "one; crash window repairs on replay; search parity; model " +
+      "round-trips through disk") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val root = tmpDir("pqidx_")
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val all = (0L until 30L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val Array(b1, b2, b3) = Array(
+      all.where(col("vec_id") < 10),
+      all.where(col("vec_id").between(10, 19)),
+      all.where(col("vec_id") >= 20))
+
+    // model trains once, persists, and every batch loads the same one
+    val trained = Similarity.trainPqModel(all, nCentroids = 4, nSub = 4,
+      codebookSize = 4)
+    Similarity.savePqModel(spark, trained, s"$root/model")
+    val model = Similarity.loadPqModel(spark, s"$root/model")
+    assert(model.cents.map(_._1).toSeq == trained.cents.map(_._1).toSeq)
+    assert(model.cents.map(_._2.toSeq).toSeq ==
+      trained.cents.map(_._2.toSeq).toSeq)
+    assert(model.cb.map(_.map(_.toSeq).toSeq).toSeq ==
+      trained.cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+    val (codesDir, adjDir) = (s"$root/codes", s"$root/adj")
+    StreamingIngest.indexVecBatch(spark, b1, model, codesDir, adjDir)
+    StreamingIngest.indexVecBatch(spark, b2, model, codesDir, adjDir)
+    // crash window: codes landed for b3, adjudication append did not
+    Similarity.pqIndexRows(b3, model).write.mode("append").parquet(codesDir)
+    // replay re-enters b3 (not adjudicated), skips present codes rows,
+    // completes adjudication — no dup codes
+    StreamingIngest.indexVecBatch(spark, b3, model, codesDir, adjDir)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cid"),
+        concat_ws(",", col("codes")).as("cs"))
+      .as[(Long, Int, String)].collect().toSet
+    val stored = StreamingIngest.readPqIndex(spark, codesDir, adjDir)
+    val rebuilt = Similarity.pqIndexRows(all, model)
+    assert(key(stored) == key(rebuilt))
+    assert(stored.count() == 30L) // crash debris did not duplicate
+    // wholesale replay is a no-op
+    StreamingIngest.indexVecBatch(spark, b2, model, codesDir, adjDir)
+    assert(spark.read.parquet(codesDir).count() == 30L)
+
+    // search over the INCREMENTALLY-built index == the one-shot pipeline
+    val queries = all.where(col("vec_id") < 3)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaStored = norm(Similarity.knnIvfPqOnIndex(
+      stored, all, queries, k = 3, model))
+    val oneShot = norm(Similarity.knnIvfPq(all, queries, k = 3,
+      nCentroids = 4, nSub = 4, codebookSize = 4))
+    assert(viaStored == oneShot)
+  }
+
   test("firstSeen: stateful cross-batch dedup emits each key once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
