@@ -554,6 +554,33 @@ object Stress {
         s"${ManifestSink.readBack(spark, corpusDir).count()} victims=" +
         s"${ManifestSink.readBack(spark, s"$root/victims").count()}")
     }
+    // OPTIMIZE ladder: the small-file debris a per-batch ingest
+    // accumulates (one parquet file per append) vs the bin-packed state —
+    // the measured delta is scan-task fan-out + footer/listing overhead
+    if (enabled("optimize_smallfiles")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_opt_").toString
+      val dest = s"$root/t"
+      val batches = 200
+      val per = (nDocs0 * repl) / batches
+      (0 until batches).foreach { b =>
+        ManifestSink.append(
+          docs.filter(col("doc_id") >= b * per &&
+            col("doc_id") < (b + 1) * per), dest, None)
+      }
+      def timeRead(name: String): Unit = {
+        val t0 = System.nanoTime()
+        val n = ManifestSink.readBack(spark, dest).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS $name%-28s $dt%8.2f s  rows=$n")
+      }
+      timeRead("optimize_read_before")
+      val t0 = System.nanoTime()
+      val packed = ManifestSink.optimize(spark, dest)
+      println(f"STRESS optimize_run             " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  packed=$packed")
+      timeRead("optimize_read_after")
+    }
     // Same ladder with the PERSISTED band index: per-batch cost should
     // stay flat-ish as the corpus grows (batch bands + slim index join +
     // touched-partner verify), instead of the linear corpus re-index the

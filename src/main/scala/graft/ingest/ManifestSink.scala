@@ -96,14 +96,21 @@ object ManifestSink extends Ingest.DestinationSink {
   private def writeIdOf(mf: Path): String =
     mf.getName.stripSuffix(".manifest").split("__").last
 
+  /** `(source uris, target files, isSnapshot)`. A SNAPSHOT manifest
+    * (`snapshot\t1` body line) REPLACES all earlier versions — readers
+    * resolve the file set from the latest snapshot plus later
+    * incremental manifests ([[readVersion]]). [[compact]] and
+    * [[optimize]] write snapshots; appends never do.
+    */
   private def readManifest(fs: FileSystem, mf: Path)
-      : (Seq[String], Seq[String]) = {
+      : (Seq[String], Seq[String], Boolean) = {
     val in = fs.open(mf)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     (lines.collect { case l if l.startsWith("uri\t") => l.substring(4) },
-      lines.collect { case l if l.startsWith("target\t") => l.substring(7) })
+      lines.collect { case l if l.startsWith("target\t") => l.substring(7) },
+      lines.exists(_.startsWith("snapshot\t")))
   }
 
   private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
@@ -192,9 +199,15 @@ object ManifestSink extends Ingest.DestinationSink {
     require(version >= minV,
       s"[graft] readVersion($version): history before v$minV was " +
         s"compacted away; earliest readable snapshot is v$minV")
-    val files = all
+    // snapshot semantics: the latest snapshot ≤ version supersedes every
+    // earlier manifest (so the window between an optimize/compact commit
+    // and its old-manifest cleanup never double-counts a replaced file)
+    val eligible = all
       .filter(_.getName.takeWhile(_.isDigit).toLong <= version)
-      .flatMap(mf => readManifest(fs, mf)._2)
+      .map(mf => readManifest(fs, mf))
+    val lastSnap = eligible.lastIndexWhere(_._3)
+    val files = (if (lastSnap >= 0) eligible.drop(lastSnap) else eligible)
+      .flatMap(_._2)
       .distinct
       .map(rel => new Path(dest, rel).toString)
     if (files.isEmpty) spark.emptyDataFrame
@@ -240,7 +253,8 @@ object ManifestSink extends Ingest.DestinationSink {
     val old = manifests(fs, destPath)
     if (old.length <= 1) return
     val parsed = old.map(mf => readManifest(fs, mf))
-    val body = (parsed.flatMap(_._1).distinct.map("uri\t" + _) ++
+    val body = (Seq("snapshot\t1") ++
+      parsed.flatMap(_._1).distinct.map("uri\t" + _) ++
       parsed.flatMap(_._2).distinct.map("target\t" + _)).mkString("\n")
     val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
     val tmp = new Path(lp, s".tmp_compact_$version")
@@ -253,6 +267,142 @@ object ManifestSink extends Ingest.DestinationSink {
     old.foreach(mf => fs.delete(mf, false))
     println(s"METRIC graft.compacted_manifests=${old.length} " +
       s"snapshot_version=$version")
+  }
+
+  /** Committed file set under snapshot semantics (latest snapshot + later
+    * incrementals), as destination-relative names.
+    */
+  private def effectiveTargets(fs: FileSystem, destPath: String)
+      : Seq[String] = {
+    val parsed = manifests(fs, destPath).map(mf => readManifest(fs, mf))
+    val lastSnap = parsed.lastIndexWhere(_._3)
+    (if (lastSnap >= 0) parsed.drop(lastSnap) else parsed)
+      .flatMap(_._2).distinct
+  }
+
+  /** DATA-FILE compaction (Delta's OPTIMIZE): bin-pack committed files
+    * smaller than `targetBytes` into ~`targetBytes` files, per partition
+    * directory (a packed file stays in its partition dir — the layout IS
+    * the partition column), and commit the rewritten state as ONE atomic
+    * SNAPSHOT version. [[compact]] collapses the LOG; this collapses the
+    * FILES — the small-file debris a per-batch streaming ingest
+    * measurably accumulates (every `curateDocBatch` append is its own
+    * parquet file; a reader's scan-task count grows with batch count,
+    * not data size).
+    *
+    * Crash windows ride the existing staged-attempt machinery:
+    *  - before the snapshot commit: the staged attempt's write-ahead
+    *    manifest names every packed file; [[recover]] finds no log entry
+    *    for the writeId and sweeps them — old state untouched;
+    *  - after the commit: readers already resolve from the snapshot
+    *    (superseded manifests are ignored even before their cleanup,
+    *    see [[readVersion]]); [[recover]] rolls the attempt forward.
+    * Replaced small files stay on disk, unreferenced, until [[vacuum]]'s
+    * retention passes — an in-flight reader holding a pre-optimize file
+    * list keeps reading valid files (the Delta VACUUM rationale).
+    * History before the snapshot becomes unreachable, as with
+    * [[compact]]. Returns the number of files repacked.
+    */
+  def optimize(spark: SparkSession, destPath: String,
+      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2): Long = {
+    require(minFiles >= 2, "minFiles >= 2 (packing one file is a rename)")
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return 0L
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.optimize.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return 0L
+    }
+    val targets = effectiveTargets(fs, destPath)
+    if (targets.isEmpty) return 0L
+
+    // bin-pack per parent dir: first-fit decreasing, deterministic order
+    final class Bin {
+      val files = scala.collection.mutable.ArrayBuffer[String]()
+      var used = 0L
+    }
+    val sized = targets.flatMap { rel =>
+      val p = new Path(dest, rel)
+      if (fs.exists(p)) {
+        val len = fs.getFileStatus(p).getLen
+        if (len < targetBytes) Some((rel, len)) else None
+      } else None
+    }
+    val bins: Seq[Seq[String]] = sized
+      .groupBy { case (rel, _) =>
+        val i = rel.lastIndexOf('/')
+        if (i < 0) "" else rel.substring(0, i)
+      }
+      .toSeq.sortBy(_._1)
+      .flatMap { case (_, files) =>
+        val bs = scala.collection.mutable.ArrayBuffer[Bin]()
+        for ((rel, len) <- files.sortBy { case (r, l) => (-l, r) }) {
+          bs.find(_.used + len <= targetBytes) match {
+            case Some(b) => b.files += rel; b.used += len
+            case None =>
+              val b = new Bin; b.files += rel; b.used = len; bs += b
+          }
+        }
+        bs.filter(_.files.length >= minFiles).map(_.files.toSeq)
+      }
+    if (bins.isEmpty) {
+      println(s"METRIC graft.optimized_files=0 dest=$destPath")
+      return 0L
+    }
+
+    val writeId = "opt" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(13)
+    val staging = stagingDir(destPath, writeId)
+    fs.mkdirs(staging)
+    val packed = bins.zipWithIndex.map { case (bin, i) =>
+      val j = bin.head.lastIndexOf('/')
+      val parent = if (j < 0) "" else bin.head.substring(0, j + 1)
+      s"$parent$writeId-$i.parquet"
+    }
+    // write-ahead manifest FIRST: a crash mid-move leaves an attempt with
+    // no log entry, and recover() sweeps exactly these names
+    writeFile(fs, new Path(staging, WaManifest),
+      packed.map("target\t" + _).mkString("\n"))
+    bins.zip(packed).zipWithIndex.foreach { case ((bin, target), i) =>
+      val binOut = new Path(staging, s"bin_$i")
+      // no basePath: partition values live in the directory name, not the
+      // file, and the packed file goes back into the SAME directory
+      spark.read.option("mergeSchema", "true")
+        .parquet(bin.map(rel => new Path(dest, rel).toString): _*)
+        .coalesce(1).write.mode("overwrite").parquet(binOut.toString)
+      val part = fs.listStatus(binOut).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"[graft] optimize: no part file under $binOut"))
+      val tgt = new Path(dest, target)
+      fs.mkdirs(tgt.getParent)
+      require(fs.rename(part, tgt), s"[graft] optimize move failed: $tgt")
+    }
+
+    val repacked = bins.flatten.toSet
+    val survivors = targets.filterNot(repacked) ++ packed
+    val old = manifests(fs, destPath)
+    val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
+    val tmp = new Path(logPath(destPath), s".tmp_$writeId")
+    writeFile(fs, tmp,
+      (Seq("snapshot\t1") ++ survivors.map("target\t" + _)).mkString("\n"))
+    val fin = new Path(logPath(destPath), f"$version%012d__$writeId.manifest")
+    commitLock(fs, destPath).synchronized {
+      require(fs.rename(tmp, fin),
+        s"[graft] optimize commit failed: $fin already exists?")
+    }
+    // superseded manifests: readers already resolve from the snapshot; a
+    // crash mid-cleanup is finished by the next compact/optimize
+    old.foreach(mf => fs.delete(mf, false))
+    fs.delete(staging, true)
+    if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+      fs.delete(sroot, true)
+    println(s"METRIC graft.optimized_files=${repacked.size} " +
+      s"into=${packed.length} snapshot_version=$version dest=$destPath")
+    repacked.size.toLong
   }
 
   override def stagedAppend(df: DataFrame, destPath: String,
@@ -484,7 +634,7 @@ object ManifestSink extends Ingest.DestinationSink {
           s"write=$writeId age_ms=${now - newestMs}")
       } else manifests(fs, destPath).find(m => writeIdOf(m) == writeId) match {
         case Some(mf) =>
-          val (uris, targets) = readManifest(fs, mf)
+          val (uris, targets, _) = readManifest(fs, mf)
           if (!committed(uris)) {
             // committed to the table but not the ledger: un-publish in ONE
             // atomic op (drop the log entry), then sweep the now-invisible
@@ -504,7 +654,7 @@ object ManifestSink extends Ingest.DestinationSink {
           // and the rename
           val wa = new Path(attempt, WaManifest)
           if (fs.exists(wa)) {
-            val (_, targets) = readManifest(fs, wa)
+            val (_, targets, _) = readManifest(fs, wa)
             targets.foreach(t => fs.delete(new Path(dest, t), false))
           }
           fs.delete(new Path(logPath(destPath), s".tmp_$writeId"), false)

@@ -387,6 +387,103 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 1L)
   }
 
+  test("optimize: small files bin-pack into one atomic snapshot per " +
+      "partition dir; rows/partitions identical; crash windows hold; " +
+      "vacuum sweeps the replaced files") {
+    val root = tmpDir("msinkopt_")
+    val dest = s"$root/wh/t"
+    // 6 per-batch appends across 2 partition dates = 12 small files
+    for (i <- 0 until 6)
+      ManifestSink.append(
+        Seq((i.toLong, "x", java.sql.Date.valueOf("2026-01-01")),
+          (100L + i, "y", java.sql.Date.valueOf("2026-01-02")))
+          .toDF("id", "v", "d"),
+        dest, Some("d"))
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dest))
+        .filter(f => f.getName.endsWith(".parquet"))
+    }
+    def manifestFiles() = new java.io.File(s"$dest/_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest")).sorted
+    val before = ManifestSink.readBack(spark, dest)
+      .select("id", "v", Ingest.PartitionCol)
+      .as[(Long, String, java.sql.Date)].collect().toSet
+    assert(dataFiles().length == 12 && before.size == 12)
+
+    // crash MID-optimize (before the snapshot commit): a staged attempt
+    // with a write-ahead manifest and one moved packed file — recover
+    // sweeps the debris, committed state untouched
+    val crashedId = "optcrashed0000ff"
+    val attempt = new java.io.File(s"$root/wh/.staging_t/$crashedId")
+    attempt.mkdirs()
+    val orphanRel = s"p_date=2026-01-01/$crashedId-0.parquet"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$attempt/_graft_manifest"),
+      s"target\t$orphanRel")
+    assert(new java.io.File(s"$dest/$orphanRel").createNewFile())
+    // optimize refuses while the attempt is pending
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 0L)
+    ManifestSink.recover(spark, dest, _ => true)
+    assert(!new java.io.File(s"$dest/$orphanRel").exists())
+    assert(ManifestSink.readBack(spark, dest).count() == 12)
+
+    // the real optimize: 12 small files -> 1 packed file per partition dir
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 12L)
+    val after = ManifestSink.readBack(spark, dest)
+      .select("id", "v", Ingest.PartitionCol)
+      .as[(Long, String, java.sql.Date)].collect().toSet
+    assert(after == before)
+    val packedFiles = dataFiles()
+    assert(packedFiles.length + 12 >= 12) // replaced files still on disk
+    assert(manifestFiles().length == 1) // one snapshot version
+    // crash-after-commit window: superseded manifests still present must
+    // NOT double-count (snapshot supersedes) — fabricate the window by
+    // resurrecting an old-style incremental manifest listing a replaced
+    // file that still exists on disk
+    val replaced = packedFiles.map(f =>
+      f.getAbsolutePath.stripPrefix(new java.io.File(dest).getAbsolutePath + "/"))
+      .filterNot(r => manifestTargets(dest).contains(r))
+    assert(replaced.nonEmpty)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dest/_log/000000000000__old.manifest"),
+      s"target\t${replaced.head}")
+    assert(ManifestSink.readBack(spark, dest).count() == 12)
+    new java.io.File(s"$dest/_log/000000000000__old.manifest").delete()
+
+    // history before the snapshot is unreachable, loudly
+    intercept[IllegalArgumentException] {
+      ManifestSink.readVersion(spark, dest, 1L)
+    }
+
+    // vacuum sweeps the replaced small files once aged; state unchanged
+    val t0 = System.currentTimeMillis() - 120000
+    dataFiles().foreach(f => f.setLastModified(t0))
+    assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 12L)
+    assert(ManifestSink.readBack(spark, dest)
+      .select("id", "v", Ingest.PartitionCol)
+      .as[(Long, String, java.sql.Date)].collect().toSet == before)
+    assert(dataFiles().length == 2) // one packed file per partition dir
+
+    // appends after an optimize stack on top of the snapshot
+    ManifestSink.append(
+      Seq((999L, "z", java.sql.Date.valueOf("2026-01-03")))
+        .toDF("id", "v", "d"), dest, Some("d"))
+    assert(ManifestSink.readBack(spark, dest).count() == 13)
+    // and a second optimize is a no-op at a tiny target size
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 10L) == 0L)
+  }
+
+  /** Relative targets named by the committed manifests of `dest`. */
+  private def manifestTargets(dest: String): Set[String] = {
+    val log = new java.io.File(s"$dest/_log")
+    log.listFiles().filter(_.getName.endsWith(".manifest")).flatMap { f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.startsWith("target\t")).map(_.substring(7))
+    }.toSet
+  }
+
   test("schema evolution across commits: explicit-file-list read still " +
       "merges narrow and wide files") {
     val root = tmpDir("msinksch_")
