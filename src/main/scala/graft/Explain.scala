@@ -41,6 +41,38 @@ object Explain {
               println(s"AUDIT $name FAILED: ${e.getMessage.take(60)}")
           }
         }
+      case Some("json") =>
+        // machine-readable shape counts for tools/plan_gate.py: one JSON
+        // line, keyed by query — committed as plan_ref.json, the gate
+        // trips on SHAPE drift (an operator silently gaining an exchange
+        // or losing a broadcast), not on this host's noisy timings
+        val entries = SparkEntry.queries.toSeq.sortBy(_._1).map {
+          case (name, fn) =>
+            val counts =
+              try {
+                val plan = fn(spark, dir).queryExecution.executedPlan.toString
+                def n(pat: String) = pat.r.findAllIn(plan).length
+                Seq(
+                  "exch" -> n("Exchange"),
+                  "bhj" -> n("BroadcastHashJoin"),
+                  "smj" -> n("SortMergeJoin"),
+                  "scans" -> n("FileScan parquet"),
+                  "cartesian" -> n("CartesianProduct"),
+                  "bnlj" -> n("BroadcastNestedLoopJoin"),
+                  "onepart_window" ->
+                    (if (n("Exchange SinglePartition") > 0 && n("Window") > 0)
+                      1 else 0))
+                  .map { case (k, v) => s""""$k": $v""" }
+                  .mkString("{", ", ", "}")
+              } catch {
+                case e: Throwable =>
+                  val msg = Option(e.getMessage).getOrElse("null")
+                    .replaceAll("[\"\\\\\n\r\t]", " ").take(80)
+                  s"""{"error": "$msg"}"""
+              }
+            s""""$name": $counts"""
+        }
+        println("PLANJSON " + entries.mkString("{", ", ", "}"))
       case Some("final") =>
         // post-execution ADAPTIVE plan: AQE exchange/stage reuse only
         // appears at runtime, so the static plan under-reports reuse
