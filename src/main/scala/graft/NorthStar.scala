@@ -505,6 +505,18 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-mixture sampling (α-smoothing, α=0.5): keep rates
+    // ∝ n^(α−1) from one slim per-source count, smallest source kept
+    // whole — the multilingual rebalancing recipe as a deterministic
+    // md5-threshold filter. sqrt is correctly rounded in every IEEE
+    // engine, so the oracle reproduces the thresholds bit-for-bit.
+    "q115_temperature_sample" -> ((s, dir) => {
+      Corpus.temperatureSample(docs(s, dir), alpha = 0.5,
+        strataCol = "source")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Inverted index with bounded posting lists: exact df and first-20
     // postings in ONE groupBy — postings truncated by the bounded-buffer
     // top-k aggregate (a stopword costs 20 buffer slots per partition,
@@ -2120,6 +2132,18 @@ object NorthStar {
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
              AS BIGINT) % 1000000 < ($mixtureThresholdSql)
          ORDER BY doc_id""",
+    "q115_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+           GROUP BY source),
+         m AS (SELECT min(n) AS nmin FROM c),
+         thr AS (SELECT source,
+           CAST(round(1000000 * (sqrt(nmin) / sqrt(n))) AS BIGINT) AS t
+           FROM c, m)
+         SELECT d.doc_id, d.source, d.lang
+         FROM documents d JOIN thr USING (source)
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 1000000 < t
+         ORDER BY d.doc_id""",
     "q98_inverted_index" ->
       s"""WITH $toksCte,
          pairs0 AS (SELECT doc_id, unnest(t) AS token FROM toks),

@@ -737,6 +737,14 @@ object Stress {
             .select(col("lang"), graft.functions.TextAnalysis
               .tokenCount(col("text")).cast("long").as("n")),
           "lang", "n", Seq(0.5, 0.9, 0.99)))
+      // round-14 grouped NARROWING form (continuous/unbounded domains):
+      // per-group interval state, (group, cell) aggregation passes
+      timeCount("quantile_grouped_narrow")(
+        graft.operators.Quantile.groupedQuantilesDiscLong(
+          docs.withColumn("lang", (col("doc_id") % 5).cast("string"))
+            .select(col("lang"), graft.functions.TextAnalysis
+              .tokenCount(col("text")).cast("long").as("n")),
+          "lang", "n", Seq(0.5, 0.9, 0.99)))
     }
 
     // round-12: graded decontamination at 20x — per-doc span totals ride

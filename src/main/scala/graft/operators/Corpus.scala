@@ -187,4 +187,40 @@ object Corpus {
       .where(bucket < coalesce(col("thr"), lit(math.round(defaultRate * 1e6))))
       .drop("thr")
   }
+
+  /** TEMPERATURE-mixture sampling — the multilingual/multi-domain
+    * rebalancing recipe (α-smoothing: sampling share ∝ n_g^α): per-group
+    * keep rate `r_g = maxRate · (n_g / n_min)^(α−1)`, so the EXPECTED
+    * kept count scales as n_g^α — α=1 keeps every group whole (no-op),
+    * α→0 equalizes group sizes; the smallest group keeps `maxRate`
+    * (upsampling beyond 1.0 is [[epochReplicate]]'s job — compose them
+    * for the full recipe). Rates derive from ONE slim (group, count)
+    * aggregate (bounded group cardinality — languages/sources, not ids);
+    * the sample itself is [[mixtureSample]]'s deterministic md5-threshold
+    * filter: zero extra shuffle, reproducible run-to-run and
+    * engine-to-engine.
+    *
+    * α = 0.5 (the common choice) is computed through IEEE `sqrt`
+    * (correctly rounded in every IEEE-754 engine), so the integer
+    * thresholds reproduce bit-for-bit in a SQL oracle; other α ride
+    * `math.pow`, where last-ulp differences between libm
+    * implementations could flip a boundary doc.
+    */
+  def temperatureSample(docs: DataFrame, alpha: Double,
+      maxRate: Double = 1.0, strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    require(maxRate > 0 && maxRate <= 1, s"maxRate in (0, 1], got $maxRate")
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return docs.where(lit(false))
+    val nMin = counts.values.min
+    def rate(n: Long): Double =
+      if (alpha == 0.5)
+        maxRate * (math.sqrt(nMin.toDouble) / math.sqrt(n.toDouble))
+      else maxRate * math.pow(n.toDouble / nMin.toDouble, alpha - 1.0)
+    mixtureSample(docs, counts.map { case (g, n) => g -> rate(n) },
+      defaultRate = 0.0, strataCol, idCol)
+  }
 }

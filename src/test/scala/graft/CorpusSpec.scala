@@ -145,6 +145,46 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperatureSample: alpha=1 keeps everything; alpha=0.5 keeps the " +
+      "smallest group whole and thresholds match the sqrt formula exactly") {
+    // skewed strata: 300/80/20
+    val docsDf = ((0L until 300L).map(i => (i, "big")) ++
+      (300L until 380L).map(i => (i, "mid")) ++
+      (380L until 400L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    assert(Corpus.temperatureSample(docsDf, alpha = 1.0).count() == 400L)
+
+    val got = Corpus.temperatureSample(docsDf, alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    def thr(n: Long): Long =
+      math.round(math.sqrt(20.0) / math.sqrt(n.toDouble) * 1e6)
+    val want = (0L until 400L).filter { i =>
+      val n = if (i < 300) 300L else if (i < 380) 80L else 20L
+      bucket(i) < thr(n)
+    }.toSet
+    assert(got == want)
+    // the smallest group keeps every doc (rate exactly 1.0)
+    assert((380L until 400L).toSet.subsetOf(got))
+    // expected-count ordering: kept counts scale ~ n^0.5 — big keeps
+    // MORE docs than mid in absolute terms but a smaller fraction
+    val keptBig = got.count(_ < 300L).toDouble / 300
+    val keptMid = got.count(i => i >= 300 && i < 380).toDouble / 80
+    assert(keptBig < keptMid)
+    // deterministic and repartition-stable
+    val again = Corpus.temperatureSample(docsDf.repartition(7), alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureSample(docsDf, alpha = 0.0)
+    }
+  }
+
   test("mixtureSample is stable under repartitioning (no RNG state)") {
     val docsDf = (0L until 100L)
       .map(i => (i, "t", if (i % 2 == 0) "en" else "fr", "s"))
