@@ -505,6 +505,22 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-language LENGTH-CUTOFF gate — the grouped narrowing composed
+    // end-to-end (its motivating use case): per-lang p90 token-count
+    // cutoffs via groupedQuantilesDiscLong (no per-group funnel at any
+    // skew), broadcast back as a filter.
+    "q116_length_gate" -> ((s, dir) => {
+      val tc = docs(s, dir).select(col("doc_id"), col("lang"),
+        TA.tokenCount(col("text")).cast("long").as("n"))
+      val cuts = graft.operators.Quantile.groupedQuantilesDiscLong(
+        tc, "lang", "n", Seq(0.9))
+        .select(col("lang"), col("value").as("cut"))
+      tc.join(broadcast(cuts), Seq("lang"))
+        .where(col("n") <= col("cut"))
+        .select(col("doc_id"), col("lang"), col("n"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-mixture sampling (α-smoothing, α=0.5): keep rates
     // ∝ n^(α−1) from one slim per-source count, smallest source kept
     // whole — the multilingual rebalancing recipe as a deterministic
@@ -2132,6 +2148,16 @@ object NorthStar {
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
              AS BIGINT) % 1000000 < ($mixtureThresholdSql)
          ORDER BY doc_id""",
+    "q116_length_gate" ->
+      s"""WITH $toksCte,
+         base AS (SELECT doc_id, lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+             AS BIGINT) AS n
+           FROM toks JOIN documents USING (doc_id)),
+         cuts AS (SELECT lang, quantile_disc(n, 0.9) AS cut
+           FROM base GROUP BY lang)
+         SELECT b.doc_id, b.lang, b.n FROM base b JOIN cuts USING (lang)
+         WHERE b.n <= cut ORDER BY b.doc_id""",
     "q115_temperature_sample" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents
            GROUP BY source),
