@@ -173,6 +173,33 @@ object Stress {
       timeBatch("ivfpq_index_batch_full",
         batch.withColumn("vec_id", col("vec_id") + lit(1000000000L)))
     }
+    // incremental classifier-training ladder: same fixed-size labeled
+    // batch against an empty vs REPL-scale stored contributions relation
+    if (enabled("classifier_train_batch")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_clsidx_").toString
+      val labeled = docs.withColumn("label", (col("doc_id") % 2).cast("long"))
+      val batch = labeled.filter(col("doc_id") < 5000)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      def timeBatch(name: String, b: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.trainDocBatch(
+          spark, b, s"$root/contribs", s"$root/adj")
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS $name%-28s $dt%8.2f s")
+      }
+      timeBatch("classifier_train_empty", batch)
+      graft.streaming.StreamingIngest.trainDocBatch(
+        spark, labeled, s"$root/contribs", s"$root/adj")
+      val t0 = System.nanoTime()
+      val w = graft.operators.Classifier.weightsFromContribs(
+        graft.streaming.StreamingIngest.readContribs(
+          spark, s"$root/contribs", s"$root/adj")).count()
+      println(f"STRESS classifier_derive_weights" +
+        f" ${(System.nanoTime() - t0) / 1e9}%7.2f s  buckets=$w")
+      timeBatch("classifier_train_full",
+        batch.withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+    }
     // round-7 operators at the same scale
     timeCount("pii_scan")(
       docs.select(col("doc_id") +:

@@ -89,6 +89,42 @@ object Classifier {
       .select(col("bucket"),
         (expr("2000 * pos div (pos + neg)") - 1000L).as("weight"))
 
+  /** Per-doc bucket contributions — the token-EXPENSIVE half of
+    * [[trainWeights]], factored out so a streaming ingest can append it
+    * incrementally ([[graft.streaming.StreamingIngest.trainDocBatch]]):
+    * one `(doc_id, y, bucket, occ)` row per document × bucket. Keyed by
+    * doc_id, so the indexDocBatch per-relation anti-join crash protocol
+    * applies verbatim (pure per-bucket partial counts would not be
+    * replay-dedupable — a re-delivered doc in a differently-composed
+    * batch would double-count).
+    */
+  def bucketContribs(labeled: DataFrame, nBuckets: Int = 4096,
+      labelCol: String = "label", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    labeled
+      .select(col(idCol).as("doc_id"),
+        col(labelCol).cast("long").as("y"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), col("y"),
+        (md60(col("tok")) % nBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+
+  /** Derive the `(bucket, weight)` model from a stored contributions
+    * relation — one slim ≤nBuckets-key aggregate, so the model is
+    * always-current without EVER re-tokenizing the training corpus:
+    * `weightsFromContribs(bucketContribs(d)) == trainWeights(d)` exactly
+    * (the weight is a closed-form function of exact additive counts).
+    */
+  def weightsFromContribs(contribs: DataFrame): DataFrame =
+    contribs
+      .groupBy(col("bucket"))
+      .agg(sum(col("y") * col("occ")).as("pos"),
+        sum((lit(1L) - col("y")) * col("occ")).as("neg"))
+      .select(col("bucket"),
+        (expr("2000 * pos div (pos + neg)") - 1000L).as("weight"))
+
   /** Score documents against a TRAINED `(bucket, weight)` table — the
     * path the in-expression md5 weights of [[scoreDocs]] stand in for.
     * Buckets absent from the table (tokens unseen in training) weigh 0;

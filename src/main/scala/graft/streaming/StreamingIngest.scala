@@ -605,6 +605,69 @@ object StreamingIngest {
     append(fresh.select(col("vec_id")), adjDir)
   }
 
+  /** Incremental CLASSIFIER training — the labeled-data companion of
+    * [[indexDocBatch]]: append each micro-batch's per-doc bucket
+    * contributions (`Classifier.bucketContribs` — the token-expensive
+    * half of training) so the `(bucket, weight)` model derives from one
+    * slim aggregate over the stored relation
+    * (`Classifier.weightsFromContribs`) — always-current, the corpus
+    * never re-tokenized, and new labeled data (quality raters, updated
+    * seed sets) folds in per batch instead of forcing a full retrain
+    * scan. Same crash ordering: contributions anti-join their own
+    * stored doc ids; the bare-id adjudication relation appends LAST.
+    */
+  def trainDocBatch(spark: SparkSession, batch: DataFrame,
+      contribsDir: String, adjDir: String, nBuckets: Int = 4096,
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    if (batch.isEmpty) return
+    def append(df: DataFrame, dir: String): Unit = sink match {
+      case Some(s) => s.append(df, dir, None)
+      case None    => df.write.mode("append").parquet(dir)
+    }
+    val idType = batch.schema("doc_id").dataType
+    val contribsSchema = StructType(Seq(StructField("doc_id", idType),
+      StructField("y", LongType), StructField("bucket", LongType),
+      StructField("occ", LongType)))
+    val adjSchema = StructType(Seq(StructField("doc_id", idType)))
+    def read(dir: String, schema: StructType): DataFrame = sink match {
+      case Some(s) => readVia(spark, s, dir, schema)
+      case None    => readCorpus(spark, dir, schema)
+    }
+    val adjudicated = read(adjDir, adjSchema).select(col("doc_id")).distinct()
+    val fresh = batch.join(adjudicated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return
+    val existing = read(contribsDir, contribsSchema)
+      .select(col("doc_id")).distinct()
+    append(graft.operators.Classifier.bucketContribs(fresh, nBuckets)
+      .join(existing, Seq("doc_id"), "left_anti"), contribsDir)
+    append(fresh.select(col("doc_id")), adjDir)
+  }
+
+  /** The stored contributions relation [[trainDocBatch]] maintains,
+    * gated on adjudication (crash debris excluded until a replay
+    * completes it) — feed to `Classifier.weightsFromContribs`.
+    */
+  def readContribs(spark: SparkSession, contribsDir: String,
+      adjDir: String,
+      idType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType,
+      sink: Option[graft.ingest.Ingest.DestinationSink] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val contribsSchema = StructType(Seq(StructField("doc_id", idType),
+      StructField("y", LongType), StructField("bucket", LongType),
+      StructField("occ", LongType)))
+    val adjSchema = StructType(Seq(StructField("doc_id", idType)))
+    def read(dir: String, schema: StructType): DataFrame = sink match {
+      case Some(s) => readVia(spark, s, dir, schema)
+      case None    => readCorpus(spark, dir, schema)
+    }
+    read(contribsDir, contribsSchema)
+      .join(read(adjDir, adjSchema).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+  }
+
   /** The persisted codes relation [[indexVecBatch]] maintains, gated on
     * adjudication (crash debris — codes whose adjudication append never
     * landed — is excluded until a replay completes it).

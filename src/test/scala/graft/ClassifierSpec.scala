@@ -76,6 +76,12 @@ class ClassifierSpec extends SparkSpec {
     // fixture hashes them apart; 'clean' and 'junk' occur in one class)
     assert(got(md60("junk") % 32) == -1000L ||
       refTrain(rows, 32)(md60("junk") % 32) != -1000L)
+    // the factored form is the identical model: contributions are exact
+    // additive counts, weights a closed-form function of them
+    val viaContribs = Classifier.weightsFromContribs(
+      Classifier.bucketContribs(df, nBuckets = 32))
+      .as[(Long, Long)].collect().toMap
+    assert(viaContribs == want)
   }
 
   test("scoreWithWeights: trained-table scoring matches the sequential " +

@@ -554,6 +554,56 @@ class StreamingIngestSpec extends SparkSpec {
     assert(viaStored == oneShot)
   }
 
+  test("trainDocBatch: incremental classifier contributions equal the " +
+      "batch-trained model; crash window repairs; scoring parity") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    val root = tmpDir("clsidx_")
+    val mk = (id: Long, y: Int, t: String) => (id, y, t)
+    val b1 = Seq(mk(1, 1, "good clean prose"), mk(2, 0, "spam spam buy"))
+      .toDF("doc_id", "label", "text")
+    val b2 = Seq(mk(3, 1, "clean thoughtful prose"), mk(4, 0, "buy now spam"))
+      .toDF("doc_id", "label", "text")
+    val b3 = Seq(mk(5, 1, "prose wins"), mk(6, 0, ""))
+      .toDF("doc_id", "label", "text")
+    val (cDir, aDir) = (s"$root/contribs", s"$root/adj")
+    StreamingIngest.trainDocBatch(spark, b1, cDir, aDir, nBuckets = 64)
+    StreamingIngest.trainDocBatch(spark, b2, cDir, aDir, nBuckets = 64)
+    // crash window: contributions landed for b3, adjudication did not
+    Classifier.bucketContribs(b3, nBuckets = 64)
+      .write.mode("append").parquet(cDir)
+    StreamingIngest.trainDocBatch(spark, b3, cDir, aDir, nBuckets = 64)
+
+    val all = b1.unionByName(b2).unionByName(b3)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long)].collect().toMap
+    val incremental = Classifier.weightsFromContribs(
+      StreamingIngest.readContribs(spark, cDir, aDir))
+    val oneShot = Classifier.trainWeights(all, nBuckets = 64)
+    assert(key(incremental.select(col("bucket"), col("weight"))) ==
+      key(oneShot.select(col("bucket"), col("weight"))))
+    // no dup contributions from the crash debris
+    assert(StreamingIngest.readContribs(spark, cDir, aDir)
+      .groupBy(col("doc_id"), col("bucket")).count()
+      .where(col("count") > 1).count() == 0L)
+    // wholesale replay is a no-op
+    StreamingIngest.trainDocBatch(spark, b2, cDir, aDir, nBuckets = 64)
+    assert(key(Classifier.weightsFromContribs(
+      StreamingIngest.readContribs(spark, cDir, aDir))
+      .select(col("bucket"), col("weight"))) ==
+      key(oneShot.select(col("bucket"), col("weight"))))
+    // scoring through the incrementally-derived model == one-shot
+    val docsToScore = Seq((10L, "clean prose"), (11L, "buy spam now"))
+      .toDF("doc_id", "text")
+    val sInc = Classifier.scoreWithWeights(docsToScore, incremental,
+      nBuckets = 64).as[(Long, Long, Int)].collect().toSet
+    val sOne = Classifier.scoreWithWeights(docsToScore, oneShot,
+      nBuckets = 64).as[(Long, Long, Int)].collect().toSet
+    assert(sInc == sOne)
+    assert(sInc.exists { case (id, s, _) => id == 10L && s > 0 })
+    assert(sInc.exists { case (id, s, _) => id == 11L && s < 0 })
+  }
+
   test("firstSeen: stateful cross-batch dedup emits each key once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
