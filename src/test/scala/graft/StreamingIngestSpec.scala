@@ -604,6 +604,91 @@ class StreamingIngestSpec extends SparkSpec {
     assert(sInc.exists { case (id, s, _) => id == 11L && s < 0 })
   }
 
+  test("FULL PIPELINE: curate -> term-index -> classifier-train composed " +
+      "per batch through ManifestSink, crash mid-pipeline repairs on " +
+      "replay, optimize compacts without changing reads") {
+    import spark.implicits._
+    import graft.ingest.ManifestSink
+    import graft.operators.{Classifier, TextRank}
+    val root = tmpDir("pipeline_")
+    val corpusDir = s"$root/corpus"
+    val (idxDir, dlDir) = (s"$root/index", s"$root/dl")
+    val (cDir, aDir) = (s"$root/contribs", s"$root/cadj")
+    val sink = Some(ManifestSink: graft.ingest.Ingest.DestinationSink)
+
+    // label rides the batch: quality raters upstream of curation
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 1L),
+      (2L, "buy buy buy now now now", 0L),
+      (3L, "the quick brown fox jumps over the lazy dog today", 1L))
+      .toDF("doc_id", "text", "label")
+    val b2 = Seq(
+      (4L, "a thoughtful essay on distributed systems", 1L),
+      (5L, "the quick brown fox jumps over the lazy dog", 0L), // dup of 1
+      (6L, "now buy now buy now spam", 0L))
+      .toDF("doc_id", "text", "label")
+
+    // one per-batch function, the composition a foreachBatch would run:
+    // curate (near-dup vs corpus), then index + train EXACTLY the
+    // survivors of this batch
+    def runBatch(b: org.apache.spark.sql.DataFrame): Unit = {
+      StreamingIngest.curateDocBatch(spark,
+        b.select(col("doc_id"), col("text")), corpusDir,
+        Some(s"$root/victims"), threshold = 0.8, sink = sink)
+      val corpusIds = ManifestSink.readBack(spark, corpusDir)
+        .select(col("doc_id"))
+      val survivors = b.join(corpusIds, Seq("doc_id"), "left_semi")
+      StreamingIngest.indexDocBatch(spark,
+        survivors.select(col("doc_id"), col("text")), idxDir, dlDir,
+        sink = sink)
+      StreamingIngest.trainDocBatch(spark, survivors, cDir, aDir,
+        nBuckets = 64, sink = sink)
+    }
+
+    runBatch(b1)
+    // crash mid-pipeline on b2: corpus append landed, index/train did NOT
+    // (foreachBatch died between stages) — replay must finish the rest
+    // without duplicating the curation
+    StreamingIngest.curateDocBatch(spark,
+      b2.select(col("doc_id"), col("text")), corpusDir,
+      Some(s"$root/victims"), threshold = 0.8, sink = sink)
+    runBatch(b2) // the replay
+
+    // curation verdicts: 3 is an IN-batch near-dup of 1 (first wins),
+    // 5 is a cross-batch near-dup of 1 — both gone
+    val kept = ManifestSink.readBack(spark, corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L, 6L))
+    // index/dl/contribs cover exactly the survivors, no crash dups
+    val dl = ManifestSink.readBack(spark, dlDir)
+    assert(dl.select("doc_id").as[Long].collect().toSet == kept)
+    assert(dl.groupBy("doc_id").count().where(col("count") > 1).count() == 0)
+    // retrieval over the stored index == full scan over the survivors
+    val survivorsDf = b1.unionByName(b2)
+      .join(kept.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val viaIdx = TextRank.bm25FromIndex(
+      ManifestSink.readBack(spark, idxDir), dl, Seq("buy", "fox"),
+      topK = 10).as[(Long, Double)].collect().toSeq
+    val viaScan = TextRank.bm25(
+      survivorsDf.select(col("doc_id"), col("text")),
+      Seq("buy", "fox"), topK = 10).as[(Long, Double)].collect().toSeq
+    assert(viaIdx == viaScan)
+    // classifier: incremental model == one-shot over the survivors
+    val wInc = Classifier.weightsFromContribs(
+      StreamingIngest.readContribs(spark, cDir, aDir, sink = sink))
+      .as[(Long, Long)].collect().toMap
+    val wOne = Classifier.trainWeights(survivorsDf, nBuckets = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(wInc == wOne)
+
+    // maintenance: optimize the per-batch small files; reads unchanged
+    val packed = ManifestSink.optimize(spark, corpusDir,
+      targetBytes = 1L << 20)
+    assert(packed >= 2)
+    assert(ManifestSink.readBack(spark, corpusDir)
+      .select("doc_id").as[Long].collect().toSet == kept)
+  }
+
   test("firstSeen: stateful cross-batch dedup emits each key once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
