@@ -608,6 +608,32 @@ object Stress {
         f"${(System.nanoTime() - t0) / 1e9}%8.2f s  packed=$packed")
       timeRead("optimize_read_after")
     }
+    // manifest-stats data skipping: 50 clustered-id batches; a selective
+    // range read prunes to ~1 file by pure metadata vs scanning all
+    if (enabled("data_skipping")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_skip_").toString
+      val dest = s"$root/t"
+      val batches = 50
+      val per = (nDocs0 * repl) / batches
+      (0 until batches).foreach { b =>
+        ManifestSink.statsAppend(
+          docs.filter(col("doc_id") >= b * per &&
+            col("doc_id") < (b + 1) * per), dest, None, Seq("doc_id"))
+      }
+      val (lo, hi) = (7.0 * per, 7.0 * per + per / 2)
+      def timed(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"STRESS $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f" +
+          f" s  rows=$n")
+      }
+      timed("skipping_full_filter")(
+        ManifestSink.readBack(spark, dest)
+          .where(col("doc_id").cast("double").between(lo, hi)))
+      timed("skipping_pruned")(
+        ManifestSink.readBackWhere(spark, dest, "doc_id", lo, hi))
+    }
     // Same ladder with the PERSISTED band index: per-batch cost should
     // stay flat-ish as the corpus grows (batch bands + slim index join +
     // touched-partner verify), instead of the linear corpus re-index the

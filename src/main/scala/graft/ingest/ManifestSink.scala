@@ -253,9 +253,11 @@ object ManifestSink extends Ingest.DestinationSink {
     val old = manifests(fs, destPath)
     if (old.length <= 1) return
     val parsed = old.map(mf => readManifest(fs, mf))
+    val statsCarry = old.flatMap(rawStatsLines(fs, _)).distinct
     val body = (Seq("snapshot\t1") ++
       parsed.flatMap(_._1).distinct.map("uri\t" + _) ++
-      parsed.flatMap(_._2).distinct.map("target\t" + _)).mkString("\n")
+      parsed.flatMap(_._2).distinct.map("target\t" + _) ++
+      statsCarry).mkString("\n")
     val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
     val tmp = new Path(lp, s".tmp_compact_$version")
     writeFile(fs, tmp, body)
@@ -278,6 +280,99 @@ object ManifestSink extends Ingest.DestinationSink {
     val lastSnap = parsed.lastIndexWhere(_._3)
     (if (lastSnap >= 0) parsed.drop(lastSnap) else parsed)
       .flatMap(_._2).distinct
+  }
+
+  /** Raw `stats\t...` lines of one manifest (carried verbatim through
+    * [[compact]]'s snapshot).
+    */
+  private def rawStatsLines(fs: FileSystem, mf: Path): Seq[String] = {
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.startsWith("stats\t"))
+  }
+
+  /** `stats\t<target>\t<col>\t<min>\t<max>` lines of the EFFECTIVE
+    * manifests, parsed; same snapshot semantics as [[effectiveTargets]].
+    */
+  private def effectiveStats(fs: FileSystem, destPath: String)
+      : Seq[(String, String, Double, Double)] = {
+    val mfs = manifests(fs, destPath)
+    val parsed = mfs.map(mf => readManifest(fs, mf))
+    val lastSnap = parsed.lastIndexWhere(_._3)
+    (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs).flatMap { mf =>
+      val in = fs.open(mf)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.collect {
+        case l if l.startsWith("stats\t") =>
+          l.split('\t') match {
+            case Array(_, tgt, c, mn, mx) =>
+              Some((tgt, c, mn.toDouble, mx.toDouble))
+            case _ => None
+          }
+      }.flatten
+    }.distinct
+  }
+
+  /** [[append]] that also records per-file min/max for `statsCols` in the
+    * manifest (one extra distributed aggregate over the staged batch) —
+    * the metadata [[readBackWhere]] prunes files with. Stats columns must
+    * be numeric-castable DATA columns (partition columns live in the
+    * directory name and are pruned by Spark's own partition pruning).
+    */
+  def statsAppend(df: DataFrame, destPath: String,
+      partitionField: Option[String], statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty — " +
+      "use append() when no skipping metadata is wanted")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    stageMoveCommit(df.sparkSession, destPath, id, Seq.empty, statsCols) {
+      staging =>
+        val writer = partitionField match {
+          case Some(f) =>
+            df.withColumn(Ingest.PartitionCol, to_date(col(f)))
+              .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+          case None => df.write.mode("overwrite")
+        }
+        writer.parquet(staging.toString)
+    }
+    finishCommit(df.sparkSession, destPath, id)
+  }
+
+  /** DATA-SKIPPING read (Delta's file-stats pruning): the committed rows
+    * with `column` in `[lo, hi]`, reading ONLY files whose manifest
+    * min/max range intersects it — at 100 TB the difference between a
+    * metadata decision and a full scan when the predicate is selective
+    * on a clustered column (event time, monotone ids). Files without
+    * recorded stats are conservatively read; the residual filter applies
+    * either way, so the result ALWAYS equals
+    * `readBack(...).where(col(column).between(lo, hi))`.
+    */
+  def readBackWhere(spark: SparkSession, destPath: String,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val targets = effectiveTargets(fs, destPath)
+    if (targets.isEmpty) return spark.emptyDataFrame
+    val stats = effectiveStats(fs, destPath)
+      .collect { case (tgt, c, mn, mx) if c == column => tgt -> (mn, mx) }
+      .toMap
+    val keep = targets.filter { t =>
+      stats.get(t) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // no stats -> cannot prune
+      }
+    }
+    println(s"METRIC graft.skipping.files_total=${targets.length} " +
+      s"files_read=${keep.length} col=$column dest=$destPath")
+    if (keep.isEmpty)
+      return readBack(spark, destPath).where(lit(false))
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", destPath)
+      .parquet(keep.map(rel => new Path(dest, rel).toString): _*)
+      .where(col(column).cast("double").between(lo, hi))
   }
 
   /** DATA-FILE compaction (Delta's OPTIMIZE): bin-pack committed files
@@ -384,11 +479,32 @@ object ManifestSink extends Ingest.DestinationSink {
 
     val repacked = bins.flatten.toSet
     val survivors = targets.filterNot(repacked) ++ packed
+    // skipping stats survive the rewrite: carried verbatim for untouched
+    // files; a packed file's range is the pure-metadata merge of its
+    // inputs' ranges (only for columns EVERY input has stats for)
+    val statsByTgt = effectiveStats(fs, destPath).groupBy(_._1)
+      .map { case (t, rows) => t -> rows.map(r => (r._2, r._3, r._4)) }
+    val carriedStats = targets.filterNot(repacked).flatMap { t =>
+      statsByTgt.getOrElse(t, Nil)
+        .map { case (c, mn, mx) => s"stats\t$t\t$c\t$mn\t$mx" }
+    }
+    val packedStats = bins.zip(packed).flatMap { case (bin, tgt) =>
+      val perFile = bin.map(b => statsByTgt.getOrElse(b, Nil)
+        .map(s => s._1 -> s).toMap)
+      perFile.flatMap(_.keys).distinct.flatMap { c =>
+        val entries = perFile.map(_.get(c))
+        if (entries.forall(_.isDefined)) {
+          val es = entries.flatten
+          Some(s"stats\t$tgt\t$c\t${es.map(_._2).min}\t${es.map(_._3).max}")
+        } else None
+      }
+    }
     val old = manifests(fs, destPath)
     val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
     writeFile(fs, tmp,
-      (Seq("snapshot\t1") ++ survivors.map("target\t" + _)).mkString("\n"))
+      (Seq("snapshot\t1") ++ survivors.map("target\t" + _) ++
+        carriedStats ++ packedStats).mkString("\n"))
     val fin = new Path(logPath(destPath), f"$version%012d__$writeId.manifest")
     commitLock(fs, destPath).synchronized {
       require(fs.rename(tmp, fin),
@@ -477,7 +593,8 @@ object ManifestSink extends Ingest.DestinationSink {
     * file names.
     */
   private def stageMoveCommit(spark: SparkSession, destPath: String,
-      writeId: String, sourceUris: Seq[String])
+      writeId: String, sourceUris: Seq[String],
+      statsCols: Seq[String] = Nil)
       (stage: Path => Unit): Unit = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
@@ -508,8 +625,33 @@ object ManifestSink extends Ingest.DestinationSink {
       }
       (rel, s"$dir$writeId-$i.parquet")
     }
+    // optional per-file min/max stats for [[readBackWhere]]'s metadata
+    // pruning — ONE distributed job over the staged files, keyed back to
+    // target names by file path (stats columns must be DATA columns; a
+    // partition column lives in the directory name, not the file)
+    val statsLines: Seq[String] = if (statsCols.isEmpty) Nil else {
+      val stagingPath = fs.makeQualified(staging).toUri.getPath
+      val relToTarget = targets.toMap
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c).cast("double")), max(col(c).cast("double"))))
+      spark.read.parquet(staging.toString)
+        .select(input_file_name().as("__f") +: statsCols.map(col): _*)
+        .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+        .collect().toSeq.flatMap { r =>
+          val rel = new Path(new java.net.URI(r.getString(0)))
+            .toUri.getPath.stripPrefix(stagingPath + "/")
+          relToTarget.get(rel).toSeq.flatMap { tgt =>
+            statsCols.zipWithIndex.flatMap { case (c, i) =>
+              if (r.isNullAt(1 + 2 * i)) None
+              else Some(s"stats\t$tgt\t$c\t${r.getDouble(1 + 2 * i)}" +
+                s"\t${r.getDouble(2 + 2 * i)}")
+            }
+          }
+        }
+    }
     val body = (sourceUris.map("uri\t" + _) ++
-      targets.map { case (_, t) => "target\t" + t }).mkString("\n")
+      targets.map { case (_, t) => "target\t" + t } ++
+      statsLines).mkString("\n")
     writeFile(fs, new Path(staging, WaManifest), body)
     phase("wa_manifest")
     // 3. move into the destination layout — invisible until the commit

@@ -475,6 +475,54 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.optimize(spark, dest, targetBytes = 10L) == 0L)
   }
 
+  test("data skipping: statsAppend records per-file min/max, " +
+      "readBackWhere prunes by metadata and equals the filtered full " +
+      "read; stats survive compact and optimize") {
+    val root = tmpDir("msinkstat_")
+    val dest = s"$root/wh/t"
+    // 5 appends with disjoint id ranges — a clustered/monotone column
+    for (b <- 0 until 5)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        dest, None, statsCols = Seq("id"))
+    val all = ManifestSink.readBack(spark, dest)
+    assert(all.count() == 500)
+
+    def pruned(lo: Double, hi: Double) =
+      ManifestSink.readBackWhere(spark, dest, "id", lo, hi)
+    // result parity with the unpruned filtered read
+    val want = all.where(col("id").between(120, 180))
+      .select("id").as[Long].collect().sorted.toSeq
+    val got = pruned(120, 180).select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && got.size == 61)
+    // the metadata actually pruned: one of five files read
+    assert(pruned(120, 180).inputFiles.length == 1)
+    assert(pruned(0, 499).inputFiles.length == 5)
+    assert(pruned(1000, 2000).count() == 0)
+
+    // a statsless append is conservatively read (never pruned away)
+    ManifestSink.append(Seq((9999L, "x")).toDF("id", "v"), dest, None)
+    assert(pruned(120, 180).inputFiles.length == 2)
+    assert(pruned(120, 180).select("id").as[Long].collect().sorted.toSeq
+      == want)
+
+    // compact carries stats verbatim: same pruning after log collapse
+    ManifestSink.compact(spark, dest)
+    assert(pruned(120, 180).inputFiles.length == 2)
+    assert(pruned(9999, 9999).count() == 1)
+
+    // optimize merges packed files' ranges as pure metadata: the five
+    // 100-row files pack into one whose range is the union; pruning
+    // still works and results are unchanged
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) > 0)
+    assert(pruned(120, 180).select("id").as[Long].collect().sorted.toSeq
+      == want)
+    // a range outside every recorded min/max still prunes to nothing
+    // except the statsless file
+    assert(pruned(100000, 200000).count() == 0)
+  }
+
   /** Relative targets named by the committed manifests of `dest`. */
   private def manifestTargets(dest: String): Set[String] = {
     val log = new java.io.File(s"$dest/_log")
