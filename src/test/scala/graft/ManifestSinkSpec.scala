@@ -545,23 +545,27 @@ class ManifestSinkSpec extends SparkSpec {
     assert(back.filter(col("id") === 1L).select("extra").head().isNullAt(0))
   }
 
-  test("property: random append/crash/compact/vacuum/recover schedules " +
-      "never expose a partial batch, never lose a ledgered commit newer " +
-      "than the compaction floor, and every surviving version reads as " +
-      "the exact prefix of its log") {
+  test("property: random append/crash/compact/vacuum/recover/optimize/" +
+      "statsAppend schedules never expose a partial batch, never lose a " +
+      "ledgered commit newer than the compaction floor, keep the skipping " +
+      "read equal to the filtered full read in every state, and every " +
+      "surviving version reads as the exact prefix of its log") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
 
     // ops: Append(crashWindow) with window 0 = clean commit,
     // 1 = crash after move before log commit, 2 = committed to the log
     // but never ledgered, 3 = committed + ledgered but crashed before the
-    // staging marker cleanup; Compact / Vacuum / Recover as themselves
+    // staging marker cleanup; Compact / Vacuum / Recover / Optimize /
+    // StatsAppend as themselves
     val opGen: Gen[Int] = Gen.frequency(
       6 -> Gen.choose(0, 3), // Append windows
       2 -> Gen.const(10),    // Compact
       1 -> Gen.const(11),    // Vacuum
-      2 -> Gen.const(12))    // Recover
-    val schedGen = Gen.listOfN(6, opGen)
+      2 -> Gen.const(12),    // Recover
+      2 -> Gen.const(13),    // Optimize (data-file bin-pack snapshot)
+      2 -> Gen.const(14))    // StatsAppend (clean commit + skip stats)
+    val schedGen = Gen.listOfN(7, opGen)
 
     (0 until 10).foreach { case i =>
       val sched = schedGen.apply(Gen.Parameters.default, Seed(i.toLong))
@@ -590,6 +594,12 @@ class ManifestSinkSpec extends SparkSpec {
         val visible = logModel.flatMap(_._3).toSet
         assert(readIds(ManifestSink.readBack(spark, dest)) == visible,
           s"schedule $i after $where: readBack != committed union")
+        // the skipping read must equal the filtered full read in EVERY
+        // reachable state: statsless files, post-compact carried stats,
+        // post-optimize merged stats, crash debris
+        assert(readIds(ManifestSink.readBackWhere(spark, dest,
+            "id", 5, 25)) == visible.filter(id => id >= 5 && id <= 25),
+          s"schedule $i after $where: readBackWhere != filtered readBack")
       }
       def survivingVersions(): Set[Long] =
         Option(new java.io.File(s"$dest/_log").listFiles())
@@ -653,6 +663,25 @@ class ManifestSinkSpec extends SparkSpec {
             // otherwise only unreferenced debris goes)
           case 12 =>
             applyRecover(s"op#$k")
+          case 13 =>
+            val packed =
+              ManifestSink.optimize(spark, dest, targetBytes = 1L << 20)
+            if (packed > 0) {
+              // one snapshot version replaces the whole log; content
+              // identical (the return value keys the model because
+              // whether bins form depends on physical file sizes)
+              val v = logModel.map(_._1).max + 1
+              logModel =
+                Vector((v, "optimize", logModel.flatMap(_._3).toSet))
+            }
+            assert(survivingVersions() == logModel.map(_._1).toSet,
+              s"schedule $i: optimize left an unpredicted log state")
+          case 14 =>
+            val b = nextBatch; nextBatch += 1
+            val df = ids(b).toSeq.sorted
+              .map(id => (id, s"b$b")).toDF("id", "v")
+            ManifestSink.statsAppend(df, dest, None, Seq("id"))
+            logModel :+= ((survivingVersions().max, s"stats$b", ids(b)))
         }
         check(s"op#$k($op)")
       }
