@@ -57,6 +57,10 @@ object Explain {
                   "bhj" -> n("BroadcastHashJoin"),
                   "smj" -> n("SortMergeJoin"),
                   "scans" -> n("FileScan parquet"),
+                  // scans whose predicate reached the parquet reader —
+                  // a lost pushdown turns a selective scan into a full
+                  // one and is invisible to every other counter
+                  "pushed" -> n("PushedFilters: \\[(?!\\])"),
                   "cartesian" -> n("CartesianProduct"),
                   "bnlj" -> n("BroadcastNestedLoopJoin"),
                   "onepart_window" ->

@@ -11,6 +11,8 @@ and trips ONLY on shape drift:
   - broadcast joins (bhj) decreased     -> a broadcast fell back to SMJ
   - sort-merge joins (smj) increased    -> same, from the other side
   - parquet scans (scans) increased     -> lost scan/exchange reuse
+  - pushed-filter scans (pushed) decreased -> a predicate no longer
+    reaches the parquet reader
   - any red flag (cartesian, bnlj, onepart_window) newly non-zero
   - a query erroring that didn't, or disappearing entirely
 
@@ -30,7 +32,7 @@ REF = os.path.join(os.path.dirname(__file__), "..", "plan_ref.json")
 RED_FLAGS = ("cartesian", "bnlj", "onepart_window")
 # higher is worse / lower is worse
 WORSE_UP = ("exch", "smj", "scans")
-WORSE_DOWN = ("bhj",)
+WORSE_DOWN = ("bhj", "pushed")
 
 
 def load_current(path):
