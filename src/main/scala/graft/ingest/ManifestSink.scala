@@ -51,6 +51,12 @@ object ManifestSink extends Ingest.DestinationSink {
   private val LogDir = "_log"
   private val WaManifest = "_graft_manifest"
 
+  /** Test seam: runs after [[optimize]]'s bin rewrite, immediately before
+    * its snapshot-commit critical section — the window a concurrent append
+    * can land in. Production default is a no-op.
+    */
+  private[graft] var onBeforeOptimizeCommit: () => Unit = () => ()
+
   /** Per-destination monitor for the version-claim critical section.
     * Local-filesystem rename OVERWRITES an existing target (POSIX
     * rename(2)), so same-JVM concurrent committers must serialize
@@ -253,10 +259,20 @@ object ManifestSink extends Ingest.DestinationSink {
     val old = manifests(fs, destPath)
     if (old.length <= 1) return
     val parsed = old.map(mf => readManifest(fs, mf))
-    val statsCarry = old.flatMap(rawStatsLines(fs, _)).distinct
+    // SNAPSHOT CUT — same rule as readVersion/effectiveTargets: a manifest
+    // superseded by a later snapshot must be DROPPED, not merged. In
+    // optimize's crash-mid-cleanup window (snapshot committed, superseded
+    // manifests not yet deleted) unioning ALL manifests would write a new
+    // snapshot containing both the replaced small files and their packed
+    // replacements — permanently duplicating those rows, where the deduped
+    // readBack was still correct because the stale TARGETS differ by name.
+    val lastSnap = parsed.lastIndexWhere(_._3)
+    val effOld = if (lastSnap >= 0) old.drop(lastSnap) else old
+    val effParsed = if (lastSnap >= 0) parsed.drop(lastSnap) else parsed
+    val statsCarry = effOld.flatMap(rawStatsLines(fs, _)).distinct
     val body = (Seq("snapshot\t1") ++
-      parsed.flatMap(_._1).distinct.map("uri\t" + _) ++
-      parsed.flatMap(_._2).distinct.map("target\t" + _) ++
+      effParsed.flatMap(_._1).distinct.map("uri\t" + _) ++
+      effParsed.flatMap(_._2).distinct.map("target\t" + _) ++
       statsCarry).mkString("\n")
     val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
     val tmp = new Path(lp, s".tmp_compact_$version")
@@ -272,11 +288,17 @@ object ManifestSink extends Ingest.DestinationSink {
   }
 
   /** Committed file set under snapshot semantics (latest snapshot + later
-    * incrementals), as destination-relative names.
+    * incrementals), as destination-relative names. The `mfs` overload works
+    * on a CAPTURED listing so [[optimize]] can derive every piece of its
+    * snapshot from one consistent log state.
     */
   private def effectiveTargets(fs: FileSystem, destPath: String)
+      : Seq[String] =
+    effectiveTargetsOf(fs, manifests(fs, destPath))
+
+  private def effectiveTargetsOf(fs: FileSystem, mfs: Seq[Path])
       : Seq[String] = {
-    val parsed = manifests(fs, destPath).map(mf => readManifest(fs, mf))
+    val parsed = mfs.map(mf => readManifest(fs, mf))
     val lastSnap = parsed.lastIndexWhere(_._3)
     (if (lastSnap >= 0) parsed.drop(lastSnap) else parsed)
       .flatMap(_._2).distinct
@@ -297,8 +319,11 @@ object ManifestSink extends Ingest.DestinationSink {
     * manifests, parsed; same snapshot semantics as [[effectiveTargets]].
     */
   private def effectiveStats(fs: FileSystem, destPath: String)
+      : Seq[(String, String, Double, Double)] =
+    effectiveStatsOf(fs, manifests(fs, destPath))
+
+  private def effectiveStatsOf(fs: FileSystem, mfs: Seq[Path])
       : Seq[(String, String, Double, Double)] = {
-    val mfs = manifests(fs, destPath)
     val parsed = mfs.map(mf => readManifest(fs, mf))
     val lastSnap = parsed.lastIndexWhere(_._3)
     (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs).flatMap { mf =>
@@ -410,7 +435,17 @@ object ManifestSink extends Ingest.DestinationSink {
         s"dest=$destPath")
       return 0L
     }
-    val targets = effectiveTargets(fs, destPath)
+    // capture the log ONCE: every piece of the snapshot (survivors, stats,
+    // version) derives from this one listing, and the commit below aborts
+    // if the log advanced past it — a concurrent append landing during the
+    // (long) bin rewrite would otherwise have its manifest deleted by the
+    // cleanup while its files are absent from the snapshot, silently
+    // losing committed rows (concurrent appends are explicitly supported
+    // by stageMoveCommit's version-retry protocol)
+    val old = manifests(fs, destPath)
+    val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, old)
     if (targets.isEmpty) return 0L
 
     // bin-pack per parent dir: first-fit decreasing, deterministic order
@@ -482,7 +517,7 @@ object ManifestSink extends Ingest.DestinationSink {
     // skipping stats survive the rewrite: carried verbatim for untouched
     // files; a packed file's range is the pure-metadata merge of its
     // inputs' ranges (only for columns EVERY input has stats for)
-    val statsByTgt = effectiveStats(fs, destPath).groupBy(_._1)
+    val statsByTgt = effectiveStatsOf(fs, old).groupBy(_._1)
       .map { case (t, rows) => t -> rows.map(r => (r._2, r._3, r._4)) }
     val carriedStats = targets.filterNot(repacked).flatMap { t =>
       statsByTgt.getOrElse(t, Nil)
@@ -499,19 +534,41 @@ object ManifestSink extends Ingest.DestinationSink {
         } else None
       }
     }
-    val old = manifests(fs, destPath)
-    val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
+    onBeforeOptimizeCommit()
+    val version = baseVersion + 1
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
     writeFile(fs, tmp,
       (Seq("snapshot\t1") ++ survivors.map("target\t" + _) ++
         carriedStats ++ packedStats).mkString("\n"))
     val fin = new Path(logPath(destPath), f"$version%012d__$writeId.manifest")
-    commitLock(fs, destPath).synchronized {
-      require(fs.rename(tmp, fin),
-        s"[graft] optimize commit failed: $fin already exists?")
+    val committed = commitLock(fs, destPath).synchronized {
+      // verify the captured log state is still the whole log: if any
+      // commit (concurrent append, another optimize) advanced it during
+      // the rewrite, the snapshot is stale — it would both MISS the new
+      // batch's files and, worse, the cleanup would delete that batch's
+      // manifest. Abort; optimize is maintenance and the caller retries.
+      val nowMax = manifests(fs, destPath)
+        .map(_.getName.takeWhile(_.isDigit).toLong)
+        .maxOption.getOrElse(-1L)
+      nowMax == baseVersion && fs.rename(tmp, fin)
     }
-    // superseded manifests: readers already resolve from the snapshot; a
-    // crash mid-cleanup is finished by the next compact/optimize
+    if (!committed) {
+      // sweep the packed files (never referenced by any manifest), the
+      // commit tmp, and the staged attempt — committed state untouched
+      packed.foreach(t => fs.delete(new Path(dest, t), false))
+      fs.delete(tmp, false)
+      fs.delete(staging, true)
+      if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+        fs.delete(sroot, true)
+      println(s"METRIC graft.optimize.aborted_log_advanced=1 " +
+        s"base_version=$baseVersion dest=$destPath")
+      return 0L
+    }
+    // superseded manifests — delete ONLY the captured set (a manifest
+    // committed after the capture was refused above, so none can exist
+    // here, but the captured-set discipline keeps that invariant local);
+    // readers already resolve from the snapshot; a crash mid-cleanup is
+    // finished by the next compact/optimize
     old.foreach(mf => fs.delete(mf, false))
     fs.delete(staging, true)
     if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)

@@ -523,6 +523,74 @@ class ManifestSinkSpec extends SparkSpec {
     assert(pruned(100000, 200000).count() == 0)
   }
 
+  test("compact in optimize's crash-mid-cleanup window applies the " +
+      "snapshot cut: superseded manifests are dropped, not merged — the " +
+      "replaced files are NOT resurrected into the new snapshot") {
+    val root = tmpDir("msinkcut_")
+    val dest = s"$root/wh/t"
+    for (i <- 0 until 3)
+      ManifestSink.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), dest, None)
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 3L)
+    // the replaced small files are still on disk (pre-vacuum); resurrect a
+    // superseded incremental manifest naming one of them — byte-identical
+    // to optimize dying between its snapshot commit and the old-manifest
+    // cleanup (the exact state optimize's doc says 'the next compact'
+    // finishes)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val destAbs = new java.io.File(dest).getAbsolutePath
+    val replaced = walk(new java.io.File(dest))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath.stripPrefix(destAbs + "/"))
+      .filterNot(manifestTargets(dest).contains)
+    assert(replaced.nonEmpty, "pre-vacuum replaced files must exist")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dest/_log/000000000000__old.manifest"),
+      replaced.map("target\t" + _).mkString("\n"))
+    // the deduped read is already correct in this window...
+    assert(ManifestSink.readBack(spark, dest).count() == 3)
+    // ...and compact must KEEP it correct: before the snapshot cut it
+    // unioned the stale targets into the new snapshot, permanently
+    // duplicating the replaced rows (stale targets differ by NAME, so the
+    // reader's distinct() no longer collapses them)
+    ManifestSink.compact(spark, dest)
+    assert(ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    assert(manifestTargets(dest).intersect(replaced.toSet).isEmpty,
+      "compact must not merge targets superseded by a snapshot")
+  }
+
+  test("optimize aborts when a concurrent append commits during the bin " +
+      "rewrite: the append survives, nothing is lost, the retry packs") {
+    val root = tmpDir("msinkrace_")
+    val dest = s"$root/wh/t"
+    for (i <- 0 until 3)
+      ManifestSink.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), dest, None)
+    // land an append in the window between optimize's log capture and its
+    // snapshot commit — exactly the interleaving stageMoveCommit's
+    // version-retry protocol declares supported
+    ManifestSink.onBeforeOptimizeCommit = () =>
+      ManifestSink.append(Seq((99L, "late")).toDF("id", "v"), dest, None)
+    try {
+      assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 0L,
+        "optimize must abort: its captured snapshot is stale")
+    } finally ManifestSink.onBeforeOptimizeCommit = () => ()
+    // the concurrent append's manifest and rows are intact (the old code
+    // re-listed and deleted ALL manifests here — silently dropping id=99)
+    assert(ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 99L))
+    assert(new java.io.File(s"$dest/_log").listFiles()
+      .count(_.getName.endsWith(".manifest")) == 4)
+    // no stranded staging attempt, no packed-file debris in any manifest
+    assert(!new java.io.File(s"$root/wh/.staging_t").exists())
+    // the retry (no interference) packs all four files into one snapshot
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 4L)
+    assert(ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 99L))
+    assert(new java.io.File(s"$dest/_log").listFiles()
+      .count(_.getName.endsWith(".manifest")) == 1)
+  }
+
   /** Relative targets named by the committed manifests of `dest`. */
   private def manifestTargets(dest: String): Set[String] = {
     val log = new java.io.File(s"$dest/_log")
