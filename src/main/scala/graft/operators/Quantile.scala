@@ -370,15 +370,16 @@ object Quantile {
 
   private def groupedFrame(spark: org.apache.spark.sql.SparkSession,
       gField: org.apache.spark.sql.types.StructField,
+      valueType: org.apache.spark.sql.types.DataType,
       rows: Seq[org.apache.spark.sql.Row])
       : DataFrame = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
-    val valueType = rows.headOption
-      .map(_.get(2) match {
-        case _: java.lang.Double => DoubleType
-        case _ => LongType
-      }).getOrElse(LongType): DataType
+    // the value type is declared by the CALLER (long-domain vs mapped-back
+    // double), never sniffed from the first row: sniffing made an
+    // empty/all-null input come back LongType from the double variant —
+    // schema-inconsistent with the non-empty case, breaking downstream
+    // unions
     spark.createDataFrame(rows.asJava, StructType(Seq(
       gField, StructField("q", DoubleType, nullable = false),
       StructField("value", valueType, nullable = false))))
@@ -391,6 +392,7 @@ object Quantile {
   def groupedQuantilesDiscLong(df: DataFrame, groupCol: String,
       valueCol: String, qs: Seq[Double]): DataFrame =
     groupedFrame(df.sparkSession, df.schema(groupCol).copy(name = groupCol),
+      org.apache.spark.sql.types.LongType,
       groupedNarrow(df, groupCol, valueCol, qs)
         .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)))
 
@@ -407,6 +409,7 @@ object Quantile {
       .where(d.isNotNull && !isnan(d))
       .select(col(groupCol), TopK.sortableBitsCol(d).as("__bits"))
     groupedFrame(df.sparkSession, df.schema(groupCol).copy(name = groupCol),
+      org.apache.spark.sql.types.DoubleType,
       groupedNarrow(base, groupCol, "__bits", qs)
         .map(t => org.apache.spark.sql.Row(
           t._1, t._2, TopK.fromSortableBits(t._3))))

@@ -46,21 +46,26 @@ object Ranks {
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
     // ascending cuts per group; rows equal to a cut land in the LOWER
     // bucket (value > c strictly), so bucket order agrees with the
-    // (value asc, tie) sort and value-equal rows share a bucket
-    val cuts = df.groupBy(col(groupCol))
+    // (value asc, tie) sort and value-equal rows share a bucket.
+    // Joins back to the data are NULL-SAFE (<=>): the Window.partitionBy
+    // form this replaces ranks a NULL group as its own partition, and a
+    // plain equi-join would silently drop those rows instead
+    val cuts = df.groupBy(col(groupCol).as("__g"))
       .agg(percentile_approx(col(valueCol).cast("double"),
         typedLit(probs), lit(10000)).as("__cuts"))
-    val bucketed = df.join(broadcast(cuts), Seq(groupCol))
+    val bucketed = df.join(broadcast(cuts), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("__bkt",
         size(filter(col("__cuts"), c => col(valueCol).cast("double") > c)))
       .drop("__cuts")
 
     // offsets from the (group, bucket) COUNT table — ≤ groups·nBuckets
     // rows total, so these windows sort bucket counts, not data
-    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wN = Window.partitionBy(col(groupCol))
-    val offs = bucketed.groupBy(col(groupCol), col("__bkt"))
+    val wN = Window.partitionBy(col("__g"))
+    val offs = bucketed
+      .groupBy(col(groupCol).as("__g"), col("__bkt").as("__b"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(wN))
@@ -69,7 +74,9 @@ object Ranks {
     val w = Window.partitionBy(col(groupCol), col("__bkt"))
       .orderBy(col(valueCol), col(tieCol))
     bucketed
-      .join(broadcast(offs), Seq(groupCol, "__bkt"))
+      .join(broadcast(offs),
+        col(groupCol) <=> col("__g") && col("__bkt") === col("__b"))
+      .drop("__g", "__b")
       .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
       .withColumn("pr",
         when(col("__n") === 1L, lit(0.0))

@@ -245,8 +245,16 @@ class QuantileSpec extends SparkSpec {
     val got = Quantile.groupedQuantilesDiscDouble(df, "g", "x", Seq(1.0))
       .as[(String, Double, Double)].collect().toSeq
     assert(got == Seq(("a", 1.0, 2.0)))
-    assert(Quantile.groupedQuantilesDiscDouble(
-      df.where(col("x") < 0), "g", "x", Seq(0.5)).count() == 0L)
+    val empty = Quantile.groupedQuantilesDiscDouble(
+      df.where(col("x") < 0), "g", "x", Seq(0.5))
+    assert(empty.count() == 0L)
+    // the empty frame keeps the DECLARED value type — the first-row sniff
+    // this replaces typed it LongType, breaking unions with a non-empty
+    // result of the same operator
+    assert(empty.schema("value").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(empty.union(Quantile.groupedQuantilesDiscDouble(
+      df, "g", "x", Seq(0.5))).count() == 1L)
     intercept[IllegalArgumentException] {
       Quantile.groupedQuantilesDiscLong(
         df.select(col("g"), lit(1L).as("v")), "g", "v", Seq(1.5))

@@ -59,6 +59,23 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("NULL groups rank as their own partition, matching the built-in " +
+      "window semantics (a plain equi-join would drop them)") {
+    val df = Seq(
+      (Option("a"), 3.0, 1L), (Option("a"), 1.0, 2L),
+      (None: Option[String], 5.0, 3L), (None: Option[String], 2.0, 4L),
+      (None: Option[String], 9.0, 5L), (Option("b"), 0.0, 6L))
+      .toDF("g", "v", "id")
+    val got = Ranks.percentRanks(df, "g", "v", "id", nBuckets = 4)
+      .select(col("id"), col("pr"), col("cd"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val want = builtin(df).select(col("id"), col("pr"), col("cd"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got.keySet == want.keySet,
+      "NULL-group rows must not be dropped by the cut/offset joins")
+    assert(got == want)
+  }
+
   test("the hot-group sort is split: no window partition carries the " +
       "whole group (plan has the bucketed partitionBy)") {
     val df = (1L to 1000L).map(i => ("hot", i * 0.001, i)).toDF("g", "v", "id")
