@@ -304,42 +304,216 @@ object ManifestSink extends Ingest.DestinationSink {
       .flatMap(_._2).distinct
   }
 
-  /** Raw `stats\t...` lines of one manifest (carried verbatim through
-    * [[compact]]'s snapshot).
+  /** Raw stats lines (`stats\t` legacy double min/max, `stats2\t` typed)
+    * of one manifest, carried verbatim through [[compact]]'s snapshot.
     */
   private def rawStatsLines(fs: FileSystem, mf: Path): Seq[String] = {
     val in = fs.open(mf)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    lines.filter(_.startsWith("stats\t"))
+    lines.filter(l => l.startsWith("stats\t") || l.startsWith("stats2\t"))
   }
 
-  /** `stats\t<target>\t<col>\t<min>\t<max>` lines of the EFFECTIVE
-    * manifests, parsed; same snapshot semantics as [[effectiveTargets]].
+  /** Per-file, per-column skipping stats. `kind` is `num` (min/max are
+    * doubles rendered as strings) or `str` (min/max are raw strings —
+    * string columns truncated per [[truncMin]]/[[truncMax]], date and
+    * timestamp columns as their ISO casts, whose lexicographic order IS
+    * chronological order). `None` min/max = the column is all-null in the
+    * file. `nulls`/`rows` are -1 when unknown (legacy `stats\t` lines).
     */
-  private def effectiveStats(fs: FileSystem, destPath: String)
-      : Seq[(String, String, Double, Double)] =
-    effectiveStatsOf(fs, manifests(fs, destPath))
+  private[graft] case class ColStats(kind: String, min: Option[String],
+      max: Option[String], nulls: Long, rows: Long)
 
-  private def effectiveStatsOf(fs: FileSystem, mfs: Seq[Path])
-      : Seq[(String, String, Double, Double)] = {
+  /** Delta-convention string-bound truncation: a PREFIX is a valid lower
+    * bound as-is; a truncated upper bound gets a max-codepoint marker so
+    * every continuation of the prefix still sorts below it.
+    */
+  private val StatsStrCap = 64
+  private def truncMin(s: String): String =
+    if (s.length <= StatsStrCap) s else s.substring(0, StatsStrCap)
+  private def truncMax(s: String): String =
+    if (s.length <= StatsStrCap) s else s.substring(0, StatsStrCap) + '\uFFFF'
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** One `stats2` TSV line. Absent (all-null) bounds encode as `-`. */
+  private def statsLine(tgt: String, c: String, st: ColStats): String = {
+    val mn = st.min.map(b64).getOrElse("-")
+    val mx = st.max.map(b64).getOrElse("-")
+    s"stats2\t$tgt\t$c\t${st.kind}\t$mn\t$mx\t${st.nulls}\t${st.rows}"
+  }
+
+  /** Typed per-file stats of every parquet file under `dir`, keyed
+    * `(absolute file uri, column)` — ONE distributed aggregate. Numeric
+    * and boolean columns aggregate as doubles (`num`); everything else as
+    * its string cast (`str`), which for Spark's ISO date/timestamp
+    * renderings preserves chronological order under lexicographic
+    * compare. String bounds are truncated Delta-style.
+    */
+  private def fileStatsOfParquet(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): Map[(String, String), ColStats] = {
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(dir)
+    val kinds = statsCols.map { c =>
+      c -> (df.schema(c).dataType match {
+        case _: NumericType | BooleanType => "num"
+        case _                            => "str"
+      })
+    }
+    val aggs = kinds.flatMap { case (c, kind) =>
+      val v = if (kind == "num") col(c).cast("double")
+              else col(c).cast("string")
+      Seq(min(v), max(v), sum(when(col(c).isNull, 1L).otherwise(0L)))
+    } :+ count(lit(1))
+    df.select(input_file_name().as("__f") +: statsCols.map(col): _*)
+      .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+      .collect().flatMap { r =>
+        val file = r.getString(0)
+        val rows = r.getLong(1 + 3 * statsCols.length)
+        kinds.zipWithIndex.map { case ((c, kind), i) =>
+          val (mnI, mxI, nI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
+          val (mn, mx) =
+            if (r.isNullAt(mnI)) (None, None)
+            else if (kind == "num")
+              (Some(r.getDouble(mnI).toString),
+                Some(r.getDouble(mxI).toString))
+            else
+              (Some(truncMin(r.getString(mnI))),
+                Some(truncMax(r.getString(mxI))))
+          ((file, c), ColStats(kind, mn, mx, r.getLong(nI), rows))
+        }
+      }.toMap
+  }
+
+  /** Pure-metadata union of per-file stats (the packed file's range when
+    * [[optimize]] concatenates without re-sorting): bounds widen, counts
+    * sum; mixed kinds or unknown counts degrade conservatively.
+    */
+  private def mergeStats(sts: Seq[ColStats]): Option[ColStats] = {
+    val kinds = sts.map(_.kind).distinct
+    if (kinds.length != 1) None
+    else {
+      val kind = kinds.head
+      // an all-null input (None bounds) adds no bound but its counts sum
+      def bound(bs: Seq[Option[String]], isMin: Boolean): Option[String] = {
+        val present = bs.flatten
+        if (present.isEmpty) None
+        else if (kind == "num") {
+          val ds = present.map(_.toDouble)
+          Some((if (isMin) ds.min else ds.max).toString)
+        } else Some(if (isMin) present.min else present.max)
+      }
+      val nulls = sts.map(_.nulls)
+      val rows = sts.map(_.rows)
+      Some(ColStats(kind,
+        bound(sts.map(_.min), isMin = true),
+        bound(sts.map(_.max), isMin = false),
+        if (nulls.forall(_ >= 0)) nulls.sum else -1L,
+        if (rows.forall(_ >= 0)) rows.sum else -1L))
+    }
+  }
+
+  /** Typed stats of the EFFECTIVE manifests keyed `(target, column)`;
+    * both line formats parse (legacy double lines become `num` entries
+    * with unknown null/row counts). Same snapshot semantics as
+    * [[effectiveTargets]].
+    */
+  private def fileStatsOf(fs: FileSystem, mfs: Seq[Path])
+      : Map[(String, String), ColStats] = {
     val parsed = mfs.map(mf => readManifest(fs, mf))
     val lastSnap = parsed.lastIndexWhere(_._3)
-    (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs).flatMap { mf =>
-      val in = fs.open(mf)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.collect {
-        case l if l.startsWith("stats\t") =>
-          l.split('\t') match {
-            case Array(_, tgt, c, mn, mx) =>
-              Some((tgt, c, mn.toDouble, mx.toDouble))
-            case _ => None
-          }
-      }.flatten
-    }.distinct
+    (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs)
+      .flatMap(rawStatsLines(fs, _))
+      .flatMap { l =>
+        l.split('\t') match {
+          case Array("stats", tgt, c, mn, mx) =>
+            Some((tgt, c) -> ColStats("num", Some(mn), Some(mx), -1L, -1L))
+          case Array("stats2", tgt, c, kind, mn, mx, nulls, rows) =>
+            Some((tgt, c) -> ColStats(kind,
+              if (mn == "-") None else Some(unb64(mn)),
+              if (mx == "-") None else Some(unb64(mx)),
+              nulls.toLong, rows.toLong))
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** File-skipping predicates [[readBackWherePred]] can prune on — the
+    * Delta data-skipping predicate classes. Every variant has an exact
+    * residual-filter equivalent, so a skipping read ALWAYS returns the
+    * same rows as the filtered full read; the stats only decide which
+    * files are opened.
+    */
+  sealed trait SkipPredicate { def column: String }
+  object SkipPredicate {
+    /** `column` (numeric-castable) in `[lo, hi]`, inclusive. */
+    final case class NumRange(column: String, lo: Double, hi: Double)
+      extends SkipPredicate
+    /** `column` as string in `[lo, hi]` lexicographically, inclusive —
+      * ISO dates/timestamps make this a chronological range.
+      */
+    final case class StrRange(column: String, lo: String, hi: String)
+      extends SkipPredicate
+    /** `column` as string equals `value`. */
+    final case class StrEq(column: String, value: String)
+      extends SkipPredicate
+    /** `column IS NULL` — prunes on recorded null counts. */
+    final case class IsNull(column: String) extends SkipPredicate
+    /** `column IS NOT NULL` — prunes all-null files. */
+    final case class IsNotNull(column: String) extends SkipPredicate
+  }
+
+  /** Can a file with `st` stats contain a row matching `pred`? Files with
+    * no/insufficient stats answer true (read conservatively). Bounds
+    * comparisons respect [[truncMin]]/[[truncMax]]: a truncated min is a
+    * valid lower bound, a marker-suffixed max a valid upper bound.
+    */
+  private def mayMatch(pred: SkipPredicate, st: ColStats): Boolean = {
+    def allNull = st.min.isEmpty && st.max.isEmpty &&
+      st.nulls >= 0 && st.rows >= 0 && st.nulls == st.rows
+    pred match {
+      case SkipPredicate.NumRange(_, lo, hi) =>
+        if (st.kind != "num") true
+        else (st.min, st.max) match {
+          case (Some(mn), Some(mx)) => mx.toDouble >= lo && mn.toDouble <= hi
+          case _                    => !allNull // unknown bounds: only an
+          // all-null file is provably rowless under a value predicate
+        }
+      case SkipPredicate.StrRange(_, lo, hi) =>
+        if (st.kind != "str") true
+        else (st.min, st.max) match {
+          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _                    => !allNull
+        }
+      case SkipPredicate.StrEq(_, v) =>
+        if (st.kind != "str") true
+        else (st.min, st.max) match {
+          case (Some(mn), Some(mx)) => mx >= v && mn <= v
+          case _                    => !allNull
+        }
+      case SkipPredicate.IsNull(_) =>
+        st.nulls < 0 || st.nulls > 0
+      case SkipPredicate.IsNotNull(_) =>
+        st.nulls < 0 || st.rows < 0 || st.nulls < st.rows
+    }
+  }
+
+  /** The exact row filter `pred` stands for (applied as the residual on
+    * the pruned read, and definitionally on the full read).
+    */
+  private def residual(pred: SkipPredicate)
+      : org.apache.spark.sql.Column = pred match {
+    case SkipPredicate.NumRange(c, lo, hi) =>
+      col(c).cast("double").between(lo, hi)
+    case SkipPredicate.StrRange(c, lo, hi) =>
+      col(c).cast("string").between(lo, hi)
+    case SkipPredicate.StrEq(c, v) => col(c).cast("string") === v
+    case SkipPredicate.IsNull(c) => col(c).isNull
+    case SkipPredicate.IsNotNull(c) => col(c).isNotNull
   }
 
   /** [[append]] that also records per-file min/max for `statsCols` in the
@@ -376,28 +550,39 @@ object ManifestSink extends Ingest.DestinationSink {
     * `readBack(...).where(col(column).between(lo, hi))`.
     */
   def readBackWhere(spark: SparkSession, destPath: String,
-      column: String, lo: Double, hi: Double): DataFrame = {
+      column: String, lo: Double, hi: Double): DataFrame =
+    readBackWherePred(spark, destPath,
+      SkipPredicate.NumRange(column, lo, hi))
+
+  /** [[readBackWhere]] over the full [[SkipPredicate]] algebra: numeric
+    * and string/date ranges, string equality, and null-ness — string
+    * bounds and null counts come from the typed `stats2` manifest lines,
+    * so a `lang = 'en'` or `ts IS NULL` predicate is a metadata decision,
+    * not a scan. Files without applicable stats are read conservatively;
+    * the residual filter keeps result parity with the full read.
+    */
+  def readBackWherePred(spark: SparkSession, destPath: String,
+      pred: SkipPredicate): DataFrame = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val targets = effectiveTargets(fs, destPath)
+    val mfs = manifests(fs, destPath)
+    val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return spark.emptyDataFrame
-    val stats = effectiveStats(fs, destPath)
-      .collect { case (tgt, c, mn, mx) if c == column => tgt -> (mn, mx) }
-      .toMap
+    val stats = fileStatsOf(fs, mfs)
     val keep = targets.filter { t =>
-      stats.get(t) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None           => true // no stats -> cannot prune
+      stats.get((t, pred.column)) match {
+        case Some(st) => mayMatch(pred, st)
+        case None     => true // no stats -> cannot prune
       }
     }
     println(s"METRIC graft.skipping.files_total=${targets.length} " +
-      s"files_read=${keep.length} col=$column dest=$destPath")
+      s"files_read=${keep.length} col=${pred.column} dest=$destPath")
     if (keep.isEmpty)
       return readBack(spark, destPath).where(lit(false))
     spark.read.option("mergeSchema", "true")
       .option("basePath", destPath)
       .parquet(keep.map(rel => new Path(dest, rel).toString): _*)
-      .where(col(column).cast("double").between(lo, hi))
+      .where(residual(pred))
   }
 
   /** DATA-FILE compaction (Delta's OPTIMIZE): bin-pack committed files
@@ -517,21 +702,22 @@ object ManifestSink extends Ingest.DestinationSink {
     // skipping stats survive the rewrite: carried verbatim for untouched
     // files; a packed file's range is the pure-metadata merge of its
     // inputs' ranges (only for columns EVERY input has stats for)
-    val statsByTgt = effectiveStatsOf(fs, old).groupBy(_._1)
-      .map { case (t, rows) => t -> rows.map(r => (r._2, r._3, r._4)) }
+    val statsByTgt: Map[String, Map[String, ColStats]] =
+      fileStatsOf(fs, old).groupBy(_._1._1)
+        .map { case (t, m) => t -> m.map { case ((_, c), st) => c -> st } }
     val carriedStats = targets.filterNot(repacked).flatMap { t =>
-      statsByTgt.getOrElse(t, Nil)
-        .map { case (c, mn, mx) => s"stats\t$t\t$c\t$mn\t$mx" }
+      statsByTgt.getOrElse(t, Map.empty).toSeq.sortBy(_._1)
+        .map { case (c, st) => statsLine(t, c, st) }
     }
     val packedStats = bins.zip(packed).flatMap { case (bin, tgt) =>
-      val perFile = bin.map(b => statsByTgt.getOrElse(b, Nil)
-        .map(s => s._1 -> s).toMap)
-      perFile.flatMap(_.keys).distinct.flatMap { c =>
+      val perFile = bin.map(b => statsByTgt.getOrElse(b, Map.empty))
+      perFile.flatMap(_.keys).distinct.sorted.flatMap { c =>
         val entries = perFile.map(_.get(c))
-        if (entries.forall(_.isDefined)) {
-          val es = entries.flatten
-          Some(s"stats\t$tgt\t$c\t${es.map(_._2).min}\t${es.map(_._3).max}")
-        } else None
+        // merge only when EVERY input has the stat (else the packed
+        // file's true range is unknown) and kinds agree
+        if (entries.forall(_.isDefined))
+          mergeStats(entries.flatten).map(st => statsLine(tgt, c, st))
+        else None
       }
     }
     onBeforeOptimizeCommit()
@@ -682,28 +868,19 @@ object ManifestSink extends Ingest.DestinationSink {
       }
       (rel, s"$dir$writeId-$i.parquet")
     }
-    // optional per-file min/max stats for [[readBackWhere]]'s metadata
+    // optional per-file typed stats for [[readBackWherePred]]'s metadata
     // pruning — ONE distributed job over the staged files, keyed back to
     // target names by file path (stats columns must be DATA columns; a
     // partition column lives in the directory name, not the file)
     val statsLines: Seq[String] = if (statsCols.isEmpty) Nil else {
       val stagingPath = fs.makeQualified(staging).toUri.getPath
       val relToTarget = targets.toMap
-      val aggs = statsCols.flatMap(c => Seq(
-        min(col(c).cast("double")), max(col(c).cast("double"))))
-      spark.read.parquet(staging.toString)
-        .select(input_file_name().as("__f") +: statsCols.map(col): _*)
-        .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
-        .collect().toSeq.flatMap { r =>
-          val rel = new Path(new java.net.URI(r.getString(0)))
+      fileStatsOfParquet(spark, staging.toString, statsCols).toSeq
+        .sortBy { case ((f, c), _) => (f, c) }
+        .flatMap { case ((file, c), st) =>
+          val rel = new Path(new java.net.URI(file))
             .toUri.getPath.stripPrefix(stagingPath + "/")
-          relToTarget.get(rel).toSeq.flatMap { tgt =>
-            statsCols.zipWithIndex.flatMap { case (c, i) =>
-              if (r.isNullAt(1 + 2 * i)) None
-              else Some(s"stats\t$tgt\t$c\t${r.getDouble(1 + 2 * i)}" +
-                s"\t${r.getDouble(2 + 2 * i)}")
-            }
-          }
+          relToTarget.get(rel).map(tgt => statsLine(tgt, c, st))
         }
     }
     val body = (sourceUris.map("uri\t" + _) ++

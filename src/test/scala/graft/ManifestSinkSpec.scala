@@ -523,6 +523,79 @@ class ManifestSinkSpec extends SparkSpec {
     assert(pruned(100000, 200000).count() == 0)
   }
 
+  test("typed stats: string/date columns prune on equality and range, " +
+      "null counts prune IS NULL / IS NOT NULL, long-string bounds " +
+      "truncate safely — every skipping read equals the filtered full " +
+      "read") {
+    import ManifestSink.SkipPredicate._
+    val root = tmpDir("msinktyp_")
+    val dest = s"$root/wh/t"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val longA = "a" * 80 + "-suffix-A" // > the 64-char truncation cap
+    val longZ = "z" * 80 + "-suffix-Z"
+    // one file per batch, clustered by language / month / null-ness
+    val batches = Seq(
+      Seq(("de", Some(1.0), d("2026-01-05"), longA),
+        ("de", Some(2.0), d("2026-01-20"), longA)),
+      Seq(("en", None: Option[Double], d("2026-02-10"), longZ),
+        ("en", None: Option[Double], d("2026-02-15"), longZ)),
+      Seq(("fr", Some(3.0), d("2026-03-01"), longZ),
+        ("fr", None: Option[Double], d("2026-03-30"), longZ)))
+    for (b <- batches)
+      ManifestSink.statsAppend(
+        b.toDF("lang", "score", "day", "blob").coalesce(1),
+        dest, None, statsCols = Seq("lang", "score", "day", "blob"))
+    val all = ManifestSink.readBack(spark, dest)
+    assert(all.count() == 6)
+
+    def checkParity(pred: ManifestSink.SkipPredicate,
+        wantFiles: Int, residual: org.apache.spark.sql.Column): Unit = {
+      val got = ManifestSink.readBackWherePred(spark, dest, pred)
+      assert(got.inputFiles.length == wantFiles,
+        s"$pred: expected $wantFiles files, read ${got.inputFiles.length}")
+      val want = all.where(residual)
+        .select("lang", "day").as[(String, java.sql.Date)]
+        .collect().sorted.toSeq
+      assert(got.select("lang", "day").as[(String, java.sql.Date)]
+        .collect().sorted.toSeq == want, s"$pred: row parity")
+    }
+
+    // string equality: one file per language
+    checkParity(StrEq("lang", "en"), 1, col("lang") === "en")
+    checkParity(StrEq("lang", "xx"), 0, col("lang") === "xx")
+    // string range spanning two languages
+    checkParity(StrRange("lang", "d", "ez"), 2,
+      col("lang").between("d", "ez"))
+    // DATE range through the ISO string order: February only
+    checkParity(StrRange("day", "2026-02-01", "2026-02-28"), 1,
+      col("day").cast("string").between("2026-02-01", "2026-02-28"))
+    // null counts: IS NULL skips the all-non-null de file
+    checkParity(IsNull("score"), 2, col("score").isNull)
+    // IS NOT NULL skips the all-null en file
+    checkParity(IsNotNull("score"), 2, col("score").isNotNull)
+    // a numeric range skips the all-null file too (rowless under any
+    // value predicate), not just out-of-range ones
+    checkParity(NumRange("score", 0.0, 10.0), 2,
+      col("score").cast("double").between(0.0, 10.0))
+    checkParity(NumRange("score", 2.5, 10.0), 1,
+      col("score").cast("double").between(2.5, 10.0))
+    // long strings: truncated bounds still prune the other cluster and
+    // keep every matching row (the max bound carries the high marker)
+    checkParity(StrEq("blob", longA), 1, col("blob") === longA)
+    checkParity(StrEq("blob", longZ), 2, col("blob") === longZ)
+    // stats survive compact verbatim
+    ManifestSink.compact(spark, dest)
+    checkParity(StrEq("lang", "fr"), 1, col("lang") === "fr")
+    checkParity(IsNull("score"), 2, col("score").isNull)
+    // and survive optimize's metadata merge: 3 files pack into 1 whose
+    // merged bounds/counts still answer every predicate correctly
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 3L)
+    checkParity(StrEq("lang", "en"), 1, col("lang") === "en")
+    checkParity(StrEq("lang", "xx"), 0, col("lang") === "xx")
+    checkParity(IsNull("score"), 1, col("score").isNull)
+    checkParity(IsNotNull("score"), 1, col("score").isNotNull)
+  }
+
   test("compact in optimize's crash-mid-cleanup window applies the " +
       "snapshot cut: superseded manifests are dropped, not merged — the " +
       "replaced files are NOT resurrected into the new snapshot") {
