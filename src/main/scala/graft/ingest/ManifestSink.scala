@@ -607,9 +607,21 @@ object ManifestSink extends Ingest.DestinationSink {
     * list keeps reading valid files (the Delta VACUUM rationale).
     * History before the snapshot becomes unreachable, as with
     * [[compact]]. Returns the number of files repacked.
+    *
+    * `clusterBy` (Delta's sort-compaction) changes HOW each partition
+    * dir repacks: instead of concatenating small files as-is — which
+    * merges their stats into one range spanning everything, destroying
+    * [[readBackWherePred]] pruning exactly on the tables where stats
+    * mattered — the union of small files is range-repartitioned and
+    * sorted by the cluster key(s) and re-split into ~`targetBytes`
+    * files, and the packed files' stats are RE-DERIVED from the written
+    * data. Post-optimize per-file min/max stay tight and disjoint, so a
+    * selective predicate on the cluster key prunes as well after
+    * compaction as before.
     */
   def optimize(spark: SparkSession, destPath: String,
-      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2): Long = {
+      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2,
+      clusterBy: Seq[String] = Nil): Long = {
     require(minFiles >= 2, "minFiles >= 2 (packing one file is a rename)")
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
@@ -633,10 +645,9 @@ object ManifestSink extends Ingest.DestinationSink {
     val targets = effectiveTargetsOf(fs, old)
     if (targets.isEmpty) return 0L
 
-    // bin-pack per parent dir: first-fit decreasing, deterministic order
-    final class Bin {
-      val files = scala.collection.mutable.ArrayBuffer[String]()
-      var used = 0L
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
     }
     val sized = targets.flatMap { rel =>
       val p = new Path(dest, rel)
@@ -645,13 +656,24 @@ object ManifestSink extends Ingest.DestinationSink {
         if (len < targetBytes) Some((rel, len)) else None
       } else None
     }
-    val bins: Seq[Seq[String]] = sized
-      .groupBy { case (rel, _) =>
-        val i = rel.lastIndexOf('/')
-        if (i < 0) "" else rel.substring(0, i)
-      }
+    val sizeOf = sized.toMap
+    val byDir = sized.groupBy { case (rel, _) => dirOf(rel) }
       .toSeq.sortBy(_._1)
-      .flatMap { case (_, files) =>
+    // bin-pack per parent dir. Plain mode: first-fit decreasing,
+    // deterministic order, each bin concatenates into one file.
+    // Clustered mode: ONE unit per dir — the whole dir's small-file set
+    // re-sorts together, then re-splits by size.
+    final class Bin {
+      val files = scala.collection.mutable.ArrayBuffer[String]()
+      var used = 0L
+    }
+    val bins: Seq[Seq[String]] =
+      if (clusterBy.nonEmpty)
+        byDir.flatMap { case (_, files) =>
+          if (files.length < minFiles) None
+          else Some(files.map(_._1).sorted.toSeq)
+        }
+      else byDir.flatMap { case (_, files) =>
         val bs = scala.collection.mutable.ArrayBuffer[Bin]()
         for ((rel, len) <- files.sortBy { case (r, l) => (-l, r) }) {
           bs.find(_.used + len <= targetBytes) match {
@@ -671,54 +693,123 @@ object ManifestSink extends Ingest.DestinationSink {
       java.util.UUID.randomUUID().toString.replace("-", "").take(13)
     val staging = stagingDir(destPath, writeId)
     fs.mkdirs(staging)
-    val packed = bins.zipWithIndex.map { case (bin, i) =>
-      val j = bin.head.lastIndexOf('/')
-      val parent = if (j < 0) "" else bin.head.substring(0, j + 1)
-      s"$parent$writeId-$i.parquet"
-    }
-    // write-ahead manifest FIRST: a crash mid-move leaves an attempt with
-    // no log entry, and recover() sweeps exactly these names
-    writeFile(fs, new Path(staging, WaManifest),
-      packed.map("target\t" + _).mkString("\n"))
-    bins.zip(packed).zipWithIndex.foreach { case ((bin, target), i) =>
-      val binOut = new Path(staging, s"bin_$i")
-      // no basePath: partition values live in the directory name, not the
-      // file, and the packed file goes back into the SAME directory
-      spark.read.option("mergeSchema", "true")
-        .parquet(bin.map(rel => new Path(dest, rel).toString): _*)
-        .coalesce(1).write.mode("overwrite").parquet(binOut.toString)
-      val part = fs.listStatus(binOut).map(_.getPath)
-        .find(p => p.getName.startsWith("part-") &&
-          p.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(
-          s"[graft] optimize: no part file under $binOut"))
-      val tgt = new Path(dest, target)
-      fs.mkdirs(tgt.getParent)
-      require(fs.rename(part, tgt), s"[graft] optimize move failed: $tgt")
-    }
-
-    val repacked = bins.flatten.toSet
-    val survivors = targets.filterNot(repacked) ++ packed
-    // skipping stats survive the rewrite: carried verbatim for untouched
-    // files; a packed file's range is the pure-metadata merge of its
-    // inputs' ranges (only for columns EVERY input has stats for)
     val statsByTgt: Map[String, Map[String, ColStats]] =
       fileStatsOf(fs, old).groupBy(_._1._1)
         .map { case (t, m) => t -> m.map { case ((_, c), st) => c -> st } }
+
+    val (packed, packedStats): (Seq[String], Seq[String]) =
+      if (clusterBy.isEmpty) {
+        val names = bins.zipWithIndex.map { case (bin, i) =>
+          val parent = dirOf(bin.head) match {
+            case "" => ""
+            case d  => d + "/"
+          }
+          s"$parent$writeId-$i.parquet"
+        }
+        // write-ahead manifest FIRST: a crash mid-move leaves an attempt
+        // with no log entry, and recover() sweeps exactly these names
+        writeFile(fs, new Path(staging, WaManifest),
+          names.map("target\t" + _).mkString("\n"))
+        bins.zip(names).zipWithIndex.foreach { case ((bin, target), i) =>
+          val binOut = new Path(staging, s"bin_$i")
+          // no basePath: partition values live in the directory name, not
+          // the file, and the packed file goes back into the SAME dir
+          spark.read.option("mergeSchema", "true")
+            .parquet(bin.map(rel => new Path(dest, rel).toString): _*)
+            .coalesce(1).write.mode("overwrite").parquet(binOut.toString)
+          val part = fs.listStatus(binOut).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") &&
+              p.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"[graft] optimize: no part file under $binOut"))
+          val tgt = new Path(dest, target)
+          fs.mkdirs(tgt.getParent)
+          require(fs.rename(part, tgt),
+            s"[graft] optimize move failed: $tgt")
+        }
+        // a concatenated file's stats are the pure-metadata merge of its
+        // inputs' (only for columns EVERY input has stats for)
+        val pStats = bins.zip(names).flatMap { case (bin, tgt) =>
+          val perFile = bin.map(b => statsByTgt.getOrElse(b, Map.empty))
+          perFile.flatMap(_.keys).distinct.sorted.flatMap { c =>
+            val entries = perFile.map(_.get(c))
+            if (entries.forall(_.isDefined))
+              mergeStats(entries.flatten).map(st => statsLine(tgt, c, st))
+            else None
+          }
+        }
+        (names, pStats)
+      } else {
+        // sort-compaction: stage every unit (range-sorted by the cluster
+        // key, split into ~targetBytes files), re-derive stats from the
+        // STAGED DATA, then write the WA manifest and move. Staged-only
+        // data needs no WA cover — recover() sweeps the attempt dir
+        // wholesale when no log entry exists.
+        val moves =
+          scala.collection.mutable.ArrayBuffer[(Path, String)]()
+        val pStats = scala.collection.mutable.ArrayBuffer[String]()
+        bins.zipWithIndex.foreach { case (rels, u) =>
+          val parent = dirOf(rels.head) match {
+            case "" => ""
+            case d  => d + "/"
+          }
+          val unitOut = new Path(staging, s"clu_$u")
+          val union = spark.read.option("mergeSchema", "true")
+            .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
+          require(clusterBy.forall(union.columns.contains),
+            s"[graft] optimize clusterBy ${clusterBy.mkString(",")} " +
+              s"must be data columns; file columns are " +
+              union.columns.mkString(","))
+          val total = rels.map(sizeOf).sum
+          val nOut = math.max(1L,
+            (total + targetBytes - 1) / targetBytes).toInt
+          union
+            .repartitionByRange(nOut, clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+            .write.mode("overwrite").parquet(unitOut.toString)
+          val parts = fs.listStatus(unitOut).map(_.getPath)
+            .filter(p => p.getName.startsWith("part-") &&
+              p.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq
+          // re-derive stats for every column any input had stats for,
+          // plus the cluster key(s) themselves
+          val statCols = (rels.flatMap(r =>
+            statsByTgt.getOrElse(r, Map.empty).keys) ++ clusterBy)
+            .distinct.sorted.filter(union.columns.contains)
+          val perFile: Map[String, Seq[(String, ColStats)]] =
+            if (statCols.isEmpty) Map.empty
+            else fileStatsOfParquet(spark, unitOut.toString, statCols)
+              .groupBy { case ((f, _), _) =>
+                new Path(new java.net.URI(f)).toUri.getPath }
+              .map { case (p, m) =>
+                p -> m.toSeq.map { case ((_, c), st) => (c, st) } }
+          parts.zipWithIndex.foreach { case (part, k) =>
+            val target = s"$parent$writeId-$u-$k.parquet"
+            moves += ((part, target))
+            perFile
+              .getOrElse(fs.makeQualified(part).toUri.getPath, Nil)
+              .sortBy(_._1)
+              .foreach { case (c, st) => pStats += statsLine(target, c, st) }
+          }
+        }
+        writeFile(fs, new Path(staging, WaManifest),
+          moves.map("target\t" + _._2).mkString("\n"))
+        moves.foreach { case (part, target) =>
+          val tgt = new Path(dest, target)
+          fs.mkdirs(tgt.getParent)
+          require(fs.rename(part, tgt),
+            s"[graft] optimize move failed: $tgt")
+        }
+        (moves.map(_._2).toSeq, pStats.toSeq)
+      }
+
+    val repacked = bins.flatten.toSet
+    val survivors = targets.filterNot(repacked) ++ packed
+    // skipping stats survive the rewrite: carried verbatim for files the
+    // repack did not touch
     val carriedStats = targets.filterNot(repacked).flatMap { t =>
       statsByTgt.getOrElse(t, Map.empty).toSeq.sortBy(_._1)
         .map { case (c, st) => statsLine(t, c, st) }
-    }
-    val packedStats = bins.zip(packed).flatMap { case (bin, tgt) =>
-      val perFile = bin.map(b => statsByTgt.getOrElse(b, Map.empty))
-      perFile.flatMap(_.keys).distinct.sorted.flatMap { c =>
-        val entries = perFile.map(_.get(c))
-        // merge only when EVERY input has the stat (else the packed
-        // file's true range is unknown) and kinds agree
-        if (entries.forall(_.isDefined))
-          mergeStats(entries.flatten).map(st => statsLine(tgt, c, st))
-        else None
-      }
     }
     onBeforeOptimizeCommit()
     val version = baseVersion + 1

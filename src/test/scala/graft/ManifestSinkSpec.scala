@@ -523,6 +523,106 @@ class ManifestSinkSpec extends SparkSpec {
     assert(pruned(100000, 200000).count() == 0)
   }
 
+  test("clustered optimize preserves data skipping: the range-sorted " +
+      "repack keeps per-file bounds tight and disjoint — a selective " +
+      "read prunes to as few files after compaction as before — and " +
+      "stats are re-derived from the packed data, not range-merged") {
+    val root = tmpDir("msinkclu_")
+    val dest = s"$root/wh/t"
+    // 10 disjoint id-clustered appends (the streaming-ingest shape:
+    // monotone event time / id per batch), one file each
+    for (b <- 0 until 10)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        dest, None, statsCols = Seq("id"))
+    val all = ManifestSink.readBack(spark, dest)
+    assert(all.count() == 1000)
+    def pruned(lo: Double, hi: Double) =
+      ManifestSink.readBackWhere(spark, dest, "id", lo, hi)
+    def parity(lo: Double, hi: Double): Unit = {
+      assert(pruned(lo, hi).select("id").as[Long].collect().sorted.toSeq ==
+        ManifestSink.readBack(spark, dest)
+          .where(col("id").between(lo, hi))
+          .select("id").as[Long].collect().sorted.toSeq, s"[$lo,$hi]")
+    }
+    // before: a narrow range reads exactly 1 of 10 files
+    assert(pruned(250, 280).inputFiles.length == 1)
+    parity(250, 280)
+
+    // pick targetBytes so the repack yields ~4 output files — the state
+    // where merge-based stats would be fatal (every output bin would
+    // span interleaved FFD-ordered inputs)
+    val fileLen = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val lens = walk(new java.io.File(dest))
+        .filter(_.getName.endsWith(".parquet")).map(_.length())
+      lens.sum / lens.length
+    }
+    val target = (fileLen * 2.6).toLong
+    assert(ManifestSink.optimize(spark, dest, targetBytes = target,
+      clusterBy = Seq("id")) == 10L)
+    val nAfter = ManifestSink.readBack(spark, dest).inputFiles.length
+    assert(nAfter > 1, "repack must produce multiple files for this test")
+    assert(ManifestSink.readBack(spark, dest).count() == 1000)
+
+    // after: the same narrow range STILL reads exactly 1 file — the
+    // re-derived per-file bounds are tight and disjoint (plain bin-pack
+    // provably degrades this to reading every byte of the table)
+    assert(pruned(250, 280).inputFiles.length == 1)
+    parity(250, 280)
+    // different ranges hit different packed files
+    val fA = pruned(50, 80).inputFiles.toSet
+    val fB = pruned(850, 880).inputFiles.toSet
+    assert(fA.size == 1 && fB.size == 1 && fA != fB)
+    parity(50, 80); parity(850, 880)
+    // out-of-domain prunes to zero files
+    assert(pruned(5000, 6000).count() == 0)
+
+    // contrast case: PLAIN optimize on the same shape merges ranges —
+    // wide stats, no skipping left (this is the regression clusterBy
+    // exists to prevent)
+    val dest2 = s"$root/wh/t2"
+    for (b <- 0 until 10)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        dest2, None, statsCols = Seq("id"))
+    assert(ManifestSink.optimize(spark, dest2, targetBytes = 1L << 20) > 0L)
+    val plainRead = ManifestSink.readBackWhere(spark, dest2, "id", 250, 280)
+    val plainAll = ManifestSink.readBack(spark, dest2).inputFiles.length
+    assert(plainAll == 1 && plainRead.inputFiles.length == 1,
+      "plain bin-pack degrades the 1-of-10 pruned read to 1-of-1 — " +
+        "reading every byte; the contrast that makes clusterBy the fix")
+
+    // crash-safety parity: vacuum sweeps the 10 replaced files, state holds
+    def walk2(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk2) else Seq(f)
+    walk2(new java.io.File(dest))
+      .foreach(f => f.setLastModified(System.currentTimeMillis() - 120000))
+    assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 10L)
+    assert(ManifestSink.readBack(spark, dest).count() == 1000)
+    parity(250, 280)
+
+    // clustered repack respects partition dirs: files never cross their
+    // partition directory
+    val dest3 = s"$root/wh/t3"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        Seq((b * 10L, "x", java.sql.Date.valueOf("2026-01-01")),
+          (b * 10L + 1, "y", java.sql.Date.valueOf("2026-01-02")))
+          .toDF("id", "v", "d"),
+        dest3, Some("d"), statsCols = Seq("id"))
+    assert(ManifestSink.optimize(spark, dest3, targetBytes = 1L << 20,
+      clusterBy = Seq("id")) == 8L)
+    val back3 = ManifestSink.readBack(spark, dest3)
+    assert(back3.count() == 8)
+    assert(back3.select(Ingest.PartitionCol).distinct().count() == 2)
+    assert(back3.inputFiles.forall(f =>
+      f.contains("p_date=2026-01-01") || f.contains("p_date=2026-01-02")))
+  }
+
   test("typed stats: string/date columns prune on equality and range, " +
       "null counts prune IS NULL / IS NOT NULL, long-string bounds " +
       "truncate safely — every skipping read equals the filtered full " +
