@@ -533,6 +533,33 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END MIXTURE RECIPE — the corpus-assembly capstone (q77's
+    // counterpart on the assembly side): temperature-sample sources
+    // (α=0.5, q115's stage) → epoch-replicate languages (en 2.5×,
+    // fr 1.25×, zh 0.5×, q113's stage) → materialize 256-token contexts
+    // over the replicated stream in (doc_id, epoch) order (q110's stage)
+    // → greedy 2048-token shard assignment (q73's machinery, corpus
+    // order). Every stage is individually oracle-green; THIS query pins
+    // the cross-operator offset/determinism contract the composition
+    // adds: replicated copies pack as distinct stream segments (cid =
+    // doc_id·128 + epoch keeps the order total and SQL-replayable), and
+    // shard boundaries fall where the single-pass greedy packing of the
+    // materialized contexts puts them.
+    "q117_mixture_recipe" -> ((s, dir) => {
+      val sampled = Corpus.temperatureSample(docs(s, dir), alpha = 0.5,
+        strataCol = "source")
+      val replicated = Corpus.epochReplicate(sampled,
+        Map("en" -> 2.5, "fr" -> 1.25, "zh" -> 0.5))
+        .withColumn("cid", col("doc_id") * lit(128L) + col("epoch"))
+      val contexts = Corpus.materializeContexts(replicated,
+        contextLen = 256, idCol = "cid")
+      graft.ingest.Ingest.assignShards(contexts, "n_tokens", "context_id",
+        tokenBudget = 2048L)
+        .select(col("context_id"), col("n_tokens"), col("ids_csv"),
+          col(graft.ingest.Ingest.ShardCol))
+        .orderBy(col("context_id"))
+    }),
+
     // Inverted index with bounded posting lists: exact df and first-20
     // postings in ONE groupBy — postings truncated by the bounded-buffer
     // top-k aggregate (a stopword costs 20 buffer slots per partition,
@@ -2170,6 +2197,52 @@ object NorthStar {
          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
              AS BIGINT) % 1000000 < t
          ORDER BY d.doc_id""",
+    "q117_mixture_recipe" ->
+      s"""WITH $toksCte,
+         c AS (SELECT source, count(*) AS n FROM documents
+           GROUP BY source),
+         m AS (SELECT min(n) AS nmin FROM c),
+         thr AS (SELECT source,
+           CAST(round(1000000 * (sqrt(nmin) / sqrt(n))) AS BIGINT) AS t
+           FROM c, m),
+         samp AS (SELECT d.doc_id, d.lang, d.text
+           FROM documents d JOIN thr USING (source)
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % 1000000 < t),
+         rep0 AS (SELECT doc_id, text,
+           (CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1
+              WHEN 'zh' THEN 0 ELSE 1 END)
+           + (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 1000000
+                < (CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 250000
+                   WHEN 'zh' THEN 500000 ELSE 0 END) THEN 1 ELSE 0 END)
+             AS n_copies FROM samp),
+         rep AS (SELECT doc_id,
+             doc_id * 128 + unnest(generate_series(0,
+               CAST(n_copies AS INT) - 1)) AS cid
+           FROM rep0
+           WHERE n_copies > 0 AND length(trim(text)) > 0),
+         nz AS (SELECT r.cid, t.t, CAST(len(t.t) AS BIGINT) AS n
+           FROM rep r JOIN toks t USING (doc_id)),
+         off AS (SELECT cid, t, n,
+           CAST(COALESCE(sum(n) OVER (ORDER BY cid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start FROM nz),
+         tok AS (SELECT start, t,
+           unnest(generate_series(1, CAST(n AS INT))) AS i FROM off),
+         ids AS (SELECT start + i - 1 AS pos,
+           CAST(('0x' || substr(md5(t[i]), 1, 15)) AS BIGINT) AS tid
+           FROM tok),
+         ctx AS (SELECT pos // 256 AS context_id, count(*) AS n_tokens,
+           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+           FROM ids GROUP BY context_id),
+         sh AS (SELECT context_id, n_tokens, ids_csv,
+           sum(n_tokens) OVER (ORDER BY context_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM ctx)
+         SELECT context_id, CAST(n_tokens AS BIGINT) AS n_tokens, ids_csv,
+           CAST(floor((greatest(cum, 1) - 1) / 2048.0) AS BIGINT) AS shard
+         FROM sh ORDER BY context_id""",
     "q98_inverted_index" ->
       s"""WITH $toksCte,
          pairs0 AS (SELECT doc_id, unnest(t) AS token FROM toks),
