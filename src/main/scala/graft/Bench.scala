@@ -92,6 +92,14 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
+    // Compact trailer: the full timings line outgrows tail-window captures
+    // at 100+ queries, so print a short self-contained summary (total,
+    // count, 5 slowest) that always fits.
+    val worst = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"""["$k",${math.round(v * 1000) / 1000.0}]""" }
+      .mkString("[", ",", "]")
+    println(
+      s"""BENCHSUMMARY {"total_s":${math.round(total * 10) / 10.0},"n":${results.size},"n_err":${errors.size},"worst":$worst}""")
     // also drop the raw JSON to a file: the sbt runner prefixes stdout
     // lines with [info], so give any consumer a clean copy
     try java.nio.file.Files.writeString(

@@ -560,6 +560,39 @@ object NorthStar {
         .orderBy(col("context_id"))
     }),
 
+    // DATA SKIPPING promoted to an oracle query: ingest the events table
+    // through ONE clustered ManifestSink.statsAppend — range-repartition
+    // by event_id so the commit lands 8 files with disjoint per-file
+    // min/max in the manifest — then answer a selective range aggregate
+    // through readBackWhere: a METADATA decision that keeps 1-of-8 files
+    // before any scan task launches (the METRIC line records
+    // files_total/files_read; the plan gate pins the pruned scan).
+    // Parity contract: readBackWhere is definitionally equal to the
+    // plain filtered read, which is exactly what the oracle computes on
+    // the raw table — pruning can only drop files the residual filter
+    // would empty anyway. Aggregates are accumulation-order-free
+    // (count / integer sum / double min+max) so the hash compare is
+    // exact.
+    "q118_skipping_read" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q118_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      ManifestSink.readBackWhere(s, tmp, "event_id",
+        (3 * n / 8).toDouble, (4 * n / 8 - 1).toDouble)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Inverted index with bounded posting lists: exact df and first-20
     // postings in ONE groupBy — postings truncated by the bounded-buffer
     // top-k aggregate (a stopword costs 20 buffer slots per partition,
@@ -2243,6 +2276,14 @@ object NorthStar {
          SELECT context_id, CAST(n_tokens AS BIGINT) AS n_tokens, ids_csv,
            CAST(floor((greatest(cum, 1) - 1) / 2048.0) AS BIGINT) AS shard
          FROM sh ORDER BY context_id""",
+    "q118_skipping_read" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events, b
+         WHERE event_id >= 3 * nid // 8 AND event_id < 4 * nid // 8
+         GROUP BY event_type ORDER BY event_type""",
     "q98_inverted_index" ->
       s"""WITH $toksCte,
          pairs0 AS (SELECT doc_id, unnest(t) AS token FROM toks),
