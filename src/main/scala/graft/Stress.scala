@@ -173,6 +173,58 @@ object Stress {
       timeBatch("ivfpq_index_batch_full",
         batch.withColumn("vec_id", col("vec_id") + lit(1000000000L)))
     }
+    // drifted-stream rebalance ladder: a frozen-model incremental index
+    // absorbs 5 batches of vectors all concentrated near ONE corpus
+    // vector -> one cell runs hot; rebalanceIvfPq splits/re-encodes only
+    // that cell's members. Reported: max-cell occupancy before/after,
+    // rebalance wall time vs the reindex-the-world comparator (full
+    // re-encode under the new model) it replaces.
+    if (enabled("ivfpq_rebalance")) {
+      val model = Similarity.trainPqModel(emb, nCentroids = 16, nSub = 8,
+        codebookSize = 16)
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_pqreb_").toString
+      graft.streaming.StreamingIngest.indexVecBatch(
+        spark, emb, model, s"$root/codes", s"$root/adj")
+      val hotVec = emb0.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toSeq
+      // deterministic per-(id, dim) perturbation of the hot vector:
+      // +-0.05 per dim on a unit-norm base — a blob with internal
+      // structure (splittable), still nearest to vector 0's cell
+      def driftBatch(b: Int): DataFrame = spark.range(2000).select(
+        (col("id") + lit(2000000000L) + lit(b * 2000L)).as("vec_id"),
+        transform(typedlit(hotVec), (x, i) =>
+          x + (pmod(col("id") * 31 + i * 17 + lit(b), lit(101)).cast("float")
+            - lit(50f)) * lit(0.001f)).as("embedding"))
+      val drift = (0 until 5).map(driftBatch)
+      drift.foreach { b =>
+        graft.streaming.StreamingIngest.indexVecBatch(
+          spark, b, model, s"$root/codes", s"$root/adj")
+      }
+      val allVecs = emb.select("vec_id", "embedding")
+        .unionByName(drift.reduce(_ unionByName _)).localCheckpoint()
+      val idx = spark.read.parquet(s"$root/codes").localCheckpoint()
+      val total = idx.count()
+      // 1.5x the balanced mean over 16 cells: catches both the drift
+      // pile-up cell and the naturally-heaviest cell of this corpus
+      val maxCell = (total * 3 / 32).toInt
+      val occB = Similarity.ivfTelemetry(idx)
+        .agg(max(col("n"))).head.getLong(0)
+      val t0 = System.nanoTime()
+      val res = Similarity.rebalanceIvfPq(idx, allVecs, model, maxCell)
+      val occAurow = res.index.groupBy("cid").count()
+        .orderBy(col("count").desc, col("cid")).head
+      val occA = occAurow.getLong(1)
+      val occAcid = occAurow.getInt(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS ivfpq_rebalance           $dt%8.2f s  " +
+        f"rows=$total max_before=$occB max_after=$occA(cid=$occAcid) " +
+        f"cap=$maxCell split=${res.splitCells.mkString("+")}")
+      val t1 = System.nanoTime()
+      val n2 = Similarity.pqIndexRows(allVecs, res.model).count()
+      println(f"STRESS ivfpq_full_reencode       " +
+        f"${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=$n2")
+    }
     // incremental classifier-training ladder: same fixed-size labeled
     // batch against an empty vs REPL-scale stored contributions relation
     if (enabled("classifier_train_batch")) {

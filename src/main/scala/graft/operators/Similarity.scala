@@ -821,4 +821,178 @@ object Similarity {
       .withColumn("cosine", cos6(col("q_vec"), col("c_vec")))
     ranked(exact, k)
   }
+
+  // ------------------------------------------- index health / rebalance
+
+  /** IVF cell-occupancy telemetry over a `(id, cid, ...)` index relation
+    * — the health probe an operator runs BEFORE queries degrade: a
+    * frozen-model incremental index ([[pqIndexRows]] appends) silently
+    * concentrates drifted streams into a few hot cells, and a hot cell
+    * is both a recall cliff (probing it returns a huge unranked list)
+    * and a scan hotspot (one cid join key carries the cell's whole
+    * inverted list through one task). ONE slim groupBy over the index —
+    * never touches vectors — returning `(cid, n)` per cell plus METRIC
+    * lines (cells, rows, max/mean occupancy, hottest cell), the
+    * [[annTelemetry]] convention. Safe as a 100 TB planning probe: the
+    * collect is bounded by the number of cells.
+    */
+  def ivfTelemetry(index: DataFrame, cidCol: String = "cid"): DataFrame = {
+    val perCell = index.groupBy(col(cidCol).cast("int").as("cid"))
+      .agg(count(lit(1)).as("n")).orderBy(col("cid"))
+    val rows = perCell.collect() // bounded: one row per cell
+    val total = rows.map(_.getLong(1)).sum
+    val maxRow = if (rows.isEmpty) null
+      else rows.maxBy(r => (r.getLong(1), -r.getInt(0)))
+    println(s"METRIC graft.ivf.cells=${rows.length} " +
+      s"graft.ivf.rows=$total " +
+      s"graft.ivf.max_cell=${if (maxRow == null) 0 else maxRow.getLong(1)} " +
+      s"graft.ivf.hot_cid=${if (maxRow == null) -1 else maxRow.getInt(0)} " +
+      s"graft.ivf.mean_cell=${if (rows.isEmpty) 0.0
+        else total.toDouble / rows.length}")
+    index.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), perCell.schema)
+  }
+
+  /** Outcome of [[rebalanceIvfPq]]: the updated (still frozen-codebook)
+    * model, the rewritten `(id, cid, codes)` index, and which cells were
+    * split (empty = the index was already balanced and both `model` and
+    * `index` are the inputs, untouched).
+    */
+  final case class RebalanceResult(model: PqModel, index: DataFrame,
+      splitCells: Seq[Int])
+
+  /** Split-and-re-encode the OVERSIZED cells of an incremental IVF-PQ
+    * index — the maintenance op that keeps a frozen coarse quantizer
+    * healthy under distribution drift without the reindex-the-world cost
+    * of full retraining. Cells with occupancy > `maxCellSize` are each
+    * split into `ceil(2n/maxCellSize)` subcells by a deterministic
+    * driver-side Lloyd refinement over a bounded member sample (first
+    * `sampleSize` ids; seeds = first k member vectors; cosine
+    * assignment, ties to the lowest subcell, id-ordered mean folds —
+    * the [[ivfCentroids]] conventions cell-locally). Subcell 0 replaces
+    * the hot centroid in place; the rest take fresh cids past the
+    * current max, so every UNAFFECTED cell keeps its cid, its centroid,
+    * and therefore its committed codes — only members of hot cells are
+    * re-encoded ([[pqIndexRows]] under the updated model, global argmax,
+    * so a drifted vector may legitimately migrate to a neighboring
+    * cold cell). PQ codebooks are NOT retrained: they are global
+    * per-subspace tables, so codes stay comparable across old and new
+    * cells and the ADC scorer needs no versioning.
+    *
+    * Scale shape: one bounded occupancy agg + one bounded sample
+    * collect + one semi-join to pull hot members + the re-encode
+    * projection over ONLY those members; the untouched majority of the
+    * index is passed through without shuffle. Cost tracks the hot
+    * cells, not the corpus.
+    *
+    * Invariant (SimilaritySpec): rows for affected members equal
+    * `pqIndexRows(affectedVectors, newModel)` exactly — a full rebuild
+    * under the new model restricted to those vectors — and unaffected
+    * rows are byte-identical to the input index.
+    */
+  def rebalanceIvfPq(pqCodes: DataFrame, vectors: DataFrame,
+      model: PqModel, maxCellSize: Int, lloydIters: Int = 2,
+      sampleSize: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding"): RebalanceResult = {
+    require(maxCellSize > 0, "maxCellSize must be positive")
+    val occ = pqCodes.groupBy(col("cid").cast("int").as("cid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val hot = occ.filter(_._2 > maxCellSize).map(_._1)
+    if (hot.isEmpty) return RebalanceResult(model, pqCodes, Nil)
+    hot.foreach { c =>
+      println(s"METRIC graft.ivf.rebalance_cell=$c " +
+        s"n=${occ.find(_._1 == c).get._2} max=$maxCellSize")
+    }
+    // bounded per-cell member sample in deterministic HASH order — not
+    // smallest-ids-first, which under a drifted stream (new ids are the
+    // large ones) would sample only pre-drift members and train subcell
+    // centroids blind to the very blob that made the cell hot
+    val wc = Window.partitionBy(col("cid"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    val sample = pqCodes.filter(col("cid").isin(hot.map(Int.box): _*))
+      .select(col("cid").cast("int").as("cid"), col(idCol))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= sampleSize)
+      .join(vectors.select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("v")), Seq(idCol))
+      .select(col("cid"), col("rn"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).map { case (c, rs) =>
+        // hash order (rn), NOT id order: seeds drawn from the front must
+        // reflect the cell's current mixture, drift included
+        c -> rs.sortBy(_._2).map(_._3) }
+    var nextCid = occ.map(_._1).max.max(model.cents.map(_._1).max) + 1
+    val replaced = scala.collection.mutable.Map.empty[Int, Array[Double]]
+    val added = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Array[Double])]
+    val oldCentOf = model.cents.toMap
+    hot.foreach { c =>
+      val n = occ.find(_._1 == c).get._2
+      // aim at third-of-cap subcells: splits of weakly-clustered cells
+      // come out unbalanced, so half-cap targets leave no headroom and
+      // the biggest subcell can land back at the cap
+      val k0 = math.max(2, math.ceil(3.0 * n / maxCellSize).toInt)
+      val oldC = oldCentOf(c)
+      // cluster RESIDUALS (member − old centroid) by L2, not raw
+      // vectors by cosine: a hot cell is hot precisely because its
+      // members share a strong common direction (a drift blob, template
+      // boilerplate, a magnitude pile-up), and against near-parallel
+      // members cosine k-means collapses winner-take-all — the dominant
+      // subcell's mean best estimates the shared direction and
+      // re-captures everything. The residuals are exactly the structure
+      // that DISTINGUISHES members, so clustering them splits the cell
+      // where raw-vector clustering cannot; subcell centroid =
+      // old centroid + residual-cluster mean.
+      val members = sample(c).map { v =>
+        Array.tabulate(v.length)(i => v(i) - oldC(i)) }
+      val k = math.min(members.length, k0)
+      var cents = members.take(k).map(_.clone())
+      var it = 0
+      while (it < lloydIters) {
+        val dim = cents(0).length
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        members.foreach { v =>
+          var bestD = Double.MaxValue; var bestK = 0; var j = 0
+          while (j < k) {
+            var d = 0.0; var i = 0
+            while (i < dim) {
+              val t = v(i) - cents(j)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; bestK = j } // ties: lowest j wins
+            j += 1
+          }
+          counts(bestK) += 1
+          var i = 0
+          while (i < dim) { sums(bestK)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(k) { j =>
+          if (counts(j) > 0)
+            Array.tabulate(dim)(i => sums(j)(i) / counts(j))
+          else cents(j)
+        }
+        it += 1
+      }
+      val full = cents.map(r => Array.tabulate(r.length)(i => oldC(i) + r(i)))
+      replaced(c) = full(0)
+      (1 until k).foreach { j =>
+        added += nextCid -> full(j); nextCid += 1
+      }
+    }
+    val newCents = (model.cents.map { case (c, e) =>
+      c -> replaced.getOrElse(c, e) } ++ added).sortBy(_._1)
+    val newModel = PqModel(newCents, model.cb)
+    val affectedIds = pqCodes
+      .filter(col("cid").isin(hot.map(Int.box): _*))
+      .select(col(idCol))
+    val affVecs = vectors.join(affectedIds, Seq(idCol), "left_semi")
+    val reencoded = pqIndexRows(affVecs, newModel, idCol, vecCol)
+    val untouched =
+      pqCodes.filter(!col("cid").isin(hot.map(Int.box): _*))
+    RebalanceResult(newModel,
+      untouched.unionByName(reencoded), hot.toSeq)
+  }
+
 }

@@ -393,6 +393,104 @@ class SimilaritySpec extends SparkSpec {
     assert(got2 == inc)
   }
 
+  test("ivfTelemetry: per-cell occupancy matches a direct groupBy") {
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.trainPqModel(vecs, nCentroids = 4, nSub = 8,
+      codebookSize = 8)
+    val idx = Similarity.pqIndexRows(vecs, model)
+    val got = Similarity.ivfTelemetry(idx)
+      .as[(Int, Long)].collect().toMap
+    val want = idx.groupBy("cid").count()
+      .as[(Int, Long)].collect().toMap
+    assert(got == want)
+    assert(got.values.sum == 40L)
+  }
+
+  test("rebalanceIvfPq: splits only hot cells; unaffected rows are " +
+      "byte-identical; re-encoded rows equal a full rebuild under the " +
+      "new model; occupancy drops; balanced index is a no-op") {
+    val dim = 64
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian()))
+    def near(c: Array[Double]): Array[Float] =
+      c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+    // base: 3 clusters x 20, interleaved so the first-nCentroids seed
+    // vectors (ids 0,1,2) land one per cluster; the frozen model trains
+    // on this snapshot
+    val base = (0L until 60L).map(i => (i, near(centers((i % 3).toInt))))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.trainPqModel(base, nCentroids = 3, nSub = 8,
+      codebookSize = 12)
+    val idx0 = Similarity.pqIndexRows(base, model)
+    // drifted stream: 60 more vectors all near centers(0) appended
+    // incrementally under the frozen model -> one cell runs hot
+    val drift = (100L until 160L).map(i => (i, near(centers(0))))
+      .toDF("vec_id", "embedding")
+    val all = base.unionByName(drift)
+    val idx = idx0.unionByName(Similarity.pqIndexRows(drift, model))
+      .localCheckpoint()
+    val occBefore = idx.groupBy("cid").count().as[(Int, Long)]
+      .collect().toMap
+    val maxBefore = occBefore.values.max
+    assert(maxBefore > 40, s"fixture must have a hot cell, got $occBefore")
+
+    val res = Similarity.rebalanceIvfPq(idx, all, model, maxCellSize = 40)
+    assert(res.splitCells.nonEmpty)
+    assert(res.splitCells.toSet ==
+      occBefore.filter(_._2 > 40).keySet) // exactly the oversized cells
+    // row count preserved: every vector still indexed exactly once
+    assert(res.index.count() == idx.count())
+    val hotIds = idx
+      .filter(col("cid").isin(res.splitCells.map(Int.box): _*))
+      .select("vec_id").as[Long].collect().toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "codes").as[(Long, Int, Seq[Int])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val before = rows(idx)
+    val after = rows(res.index)
+    // unaffected members: byte-identical rows (cid AND codes)
+    before.keys.filterNot(hotIds).foreach { id =>
+      assert(after(id) == before(id), s"unaffected row $id changed")
+    }
+    // affected members: exactly a full rebuild under the new model
+    val rebuilt = rows(Similarity.pqIndexRows(
+      all.filter(col("vec_id").isin(hotIds.toSeq.map(Long.box): _*)),
+      res.model))
+    hotIds.foreach { id =>
+      assert(after(id) == rebuilt(id), s"re-encoded row $id != rebuild")
+    }
+    // the hot cell was actually dissipated
+    val occAfter = res.index.groupBy("cid").count().as[(Int, Long)]
+      .collect().toMap
+    assert(occAfter.values.max < maxBefore,
+      s"max occupancy did not drop: $occBefore -> $occAfter")
+    // untouched centroids byte-identical in the new model
+    val oldCents = model.cents.toMap
+    res.model.cents.toMap.foreach { case (c, e) =>
+      if (!res.splitCells.contains(c) && oldCents.contains(c))
+        assert(e.sameElements(oldCents(c)), s"cold centroid $c moved")
+    }
+    // queries still answer under the rebalanced (model, index) pair,
+    // refine step exact: top-1 for a drifted query is a true neighbor
+    val q = all.filter(col("vec_id") === 150L)
+    val knn = Similarity.knnIvfPqOnIndex(res.index, all, q, k = 3,
+      res.model, nProbe = 2)
+    val got = knn.select("rn", "neighbor_id", "cosine")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 3)
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    // balanced index: strict no-op (same objects back)
+    val noop = Similarity.rebalanceIvfPq(idx, all, model,
+      maxCellSize = 10000)
+    assert(noop.splitCells.isEmpty)
+    assert(noop.model eq model)
+    assert(noop.index eq idx)
+  }
+
   test("lsh knn only ranks bucket-mates (subset of brute-force candidates)") {
     val dim = 64
     val rnd = new scala.util.Random(1)
