@@ -915,4 +915,74 @@ class MultimodalSpec extends SparkSpec {
       assert(s.sum_sq == 170L * b * b + 2720L * b + 14960L)
     }
   }
+
+  test("dhash64 cross-encoding parity sweep: the SAME pixels hash " +
+      "identically through every encoding the routing table claims — " +
+      "PNG plain/interlaced, JPEG baseline gray/progressive/4:2:0 " +
+      "color, GIF plain/interlaced, MJPEG first frame") {
+    import graft.multimodal.Jpeg
+    // the shared planting: 72x64, flat 8x8 boxes on the dHash 9x8 grid,
+    // walked left-to-right per row as m(0)=128, m(x+1)=m(x)+-6 by bit
+    // y*8+x = id's bit (k mod 7) for k<63, 0 at 63 — so the expected
+    // hash is derivable from the id alone and every encoding must agree
+    def grid(id: Long): Array[Array[Int]] = {
+      def bit(k: Int): Boolean = k < 63 && ((id >> (k % 7)) & 1) == 1
+      val m = Array.ofDim[Int](8, 9)
+      for (y <- 0 until 8) {
+        m(y)(0) = 128
+        for (x <- 0 until 8)
+          m(y)(x + 1) = m(y)(x) + (if (bit(y * 8 + x)) 6 else -6)
+      }
+      m
+    }
+    def expected(id: Long): Long = {
+      var h = 0L
+      for (k <- 0 until 63 if ((id >> (k % 7)) & 1) == 1) h |= 1L << k
+      h
+    }
+    // grayscale values the walk can reach: 128 +- 6t, t in [-8, 8] —
+    // 17 values, padded to a 32-entry GIF palette
+    val vals = (-8 to 8).map(t => 128 + 6 * t)
+    val palette = (vals.map { v =>
+      Array(v.toByte, v.toByte, v.toByte)
+    } ++ Seq.fill(32 - vals.length)(Array[Byte](0, 0, 0)))
+      .flatten.toArray
+    (0L until 128L).foreach { id =>
+      val m = grid(id)
+      def gray(x: Int, y: Int): Int = m(y / 8)(x / 8)
+      def jblocks(comp: Int, bx: Int, by: Int): Array[Int] = {
+        val c = new Array[Int](64)
+        // 4:2:0 pads the luma grid to 16x16 MCUs — padding blocks past
+        // the 9x8 image grid stay flat 128 (invisible, cropped on decode)
+        if (comp == 0 && bx < 9 && by < 8)
+          c(0) = 8 * (m(by)(bx) - 128) // multiple of quant
+        c
+      }
+      val jpegGray = Jpeg.encodeGray(72, 64, quant = 8,
+        (bx, by) => jblocks(0, bx, by))
+      val encodings: Seq[(String, Array[Byte])] = Seq(
+        "png" -> Multimodal.pngPixelBytes(72, 64,
+          (x, y) => { val v = gray(x, y); (v, v, v) }),
+        "png_interlaced" -> Multimodal.pngPixelBytes(72, 64,
+          (x, y) => { val v = gray(x, y); (v, v, v) },
+          interlaced = true),
+        "jpeg_gray" -> jpegGray,
+        "jpeg_progressive" -> Jpeg.encodeProgressive(72, 64, quant = 8,
+          ncomp = 1, jblocks),
+        "jpeg_420_color" -> Jpeg.encodeBaseline(72, 64, quant = 8,
+          ncomp = 3, jblocks, subsample420 = true),
+        "gif" -> Multimodal.gifBytes(72, 64, palette,
+          (x, y) => vals.indexOf(gray(x, y))),
+        "gif_interlaced" -> Multimodal.gifBytes(72, 64, palette,
+          (x, y) => vals.indexOf(gray(x, y)), interlaced = true),
+        "mjpeg_first_frame" -> Multimodal.mjpegAviBytes(72, 64,
+          Seq(jpegGray, jpegGray)))
+      val want = expected(id)
+      encodings.foreach { case (name, payload) =>
+        val got = Multimodal.dhash64(payload)
+        assert(got.contains(want),
+          s"id=$id $name: got $got, want Some($want)")
+      }
+    }
+  }
 }
