@@ -593,6 +593,20 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // IVF index health probe promoted to an oracle query: per-cell
+    // occupancy of q44's coarse quantizer over the full corpus — the
+    // number an operator reads BEFORE recall degrades (a hot cell is
+    // both a recall cliff and a scan straggler; rebalanceIvfPq's
+    // trigger). One slim groupBy over the assignment index; the oracle
+    // replays the argmax-cosine assignment and counts per cell.
+    "q119_ivf_occupancy" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.ivfCentroids(e, nCentroids = 16,
+        trainIters = IvfIters, trainSample = IvfSample)
+      Similarity.ivfTelemetry(Similarity.ivfIndex(e, cents))
+        .orderBy(col("cid"))
+    }),
+
     // Inverted index with bounded posting lists: exact df and first-20
     // postings in ONE groupBy — postings truncated by the bounded-buffer
     // top-k aggregate (a stopword costs 20 buffer slots per partition,
@@ -2284,6 +2298,22 @@ object NorthStar {
          FROM events, b
          WHERE event_id >= 3 * nid // 8 AND event_id < 4 * nid // 8
          GROUP BY event_type ORDER BY event_type""",
+    "q119_ivf_occupancy" ->
+      s"""WITH seeds AS (SELECT CAST(vec_id AS INT) AS cid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+           FROM embeddings WHERE vec_id < 16),
+         samp AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+           WHERE vec_id < $IvfSample)${lloydChainSql(IvfIters)._1},
+         cells AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${dotSql("e.embedding", "c.ce")} /
+                   (${normSql("e.embedding")} * ${normSql("c.ce")}) DESC,
+                 c.cid) AS rn
+             FROM embeddings e CROSS JOIN ${lloydChainSql(IvfIters)._2} c)
+           WHERE rn = 1)
+         SELECT cid, count(*) AS n FROM cells
+         GROUP BY cid ORDER BY cid""",
     "q98_inverted_index" ->
       s"""WITH $toksCte,
          pairs0 AS (SELECT doc_id, unnest(t) AS token FROM toks),
