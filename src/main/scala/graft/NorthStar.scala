@@ -607,6 +607,53 @@ object NorthStar {
         .orderBy(col("cid"))
     }),
 
+    // Z-ORDER promoted to an oracle query: ingest events as 16 SHUFFLED
+    // files (round-robin repartition — every file spans the full
+    // event_id AND value domain, so nothing prunes), optimize with
+    // zorderBy(event_id, value), then answer one selective range
+    // aggregate on EACH column through readBackWhere. After the Morton
+    // repack every packed file covers a small (id, value) hyper-
+    // rectangle, so BOTH slabs become metadata decisions — the property
+    // a lexicographic sort provides for only its leading key. Parity
+    // contract as q118: readBackWhere ≡ the plain filtered read, which
+    // is what the oracle computes on the raw table; the value-slab
+    // bounds use min+k*(max-min)/8 with the same IEEE double expression
+    // order on both sides.
+    "q120_zorder_read" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val vr = ev.agg(min(col("value")), max(col("value"))).head
+      val (vLo, vHi) = (vr.getDouble(0), vr.getDouble(1))
+      val w = vHi - vLo
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q120_").toString
+      ManifestSink.statsAppend(ev.repartition(16),
+        tmp, None, Seq("event_id", "value"))
+      val total = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(tmp))
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      }
+      ManifestSink.optimize(s, tmp, targetBytes = total / 8 + 1,
+        zorderBy = Seq("event_id", "value"), zorderBits = 4)
+      def slab(df: DataFrame, src: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .withColumn("src", lit(src))
+      slab(ManifestSink.readBackWhere(s, tmp, "event_id",
+          (3 * n / 8).toDouble, (4 * n / 8 - 1).toDouble), "id_slab")
+        .unionByName(slab(ManifestSink.readBackWhere(s, tmp, "value",
+          vLo + 3.0 * w / 8.0, vLo + 4.0 * w / 8.0), "value_slab"))
+        .orderBy(col("src"), col("event_type"))
+    }),
+
     // Inverted index with bounded posting lists: exact df and first-20
     // postings in ONE groupBy — postings truncated by the bounded-buffer
     // top-k aggregate (a stopword costs 20 buffer slots per partition,
@@ -2298,6 +2345,26 @@ object NorthStar {
          FROM events, b
          WHERE event_id >= 3 * nid // 8 AND event_id < 4 * nid // 8
          GROUP BY event_type ORDER BY event_type""",
+    "q120_zorder_read" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
+         v AS (SELECT min(value) AS vlo, max(value) AS vhi FROM events),
+         a AS (SELECT event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             min(value) AS min_value, max(value) AS max_value,
+             'id_slab' AS src
+           FROM events, b
+           WHERE event_id >= 3 * nid // 8 AND event_id < 4 * nid // 8
+           GROUP BY event_type),
+         c AS (SELECT event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             min(value) AS min_value, max(value) AS max_value,
+             'value_slab' AS src
+           FROM events, v
+           WHERE value >= vlo + 3.0 * (vhi - vlo) / 8.0
+             AND value <= vlo + 4.0 * (vhi - vlo) / 8.0
+           GROUP BY event_type)
+         SELECT * FROM a UNION ALL SELECT * FROM c
+         ORDER BY src, event_type""",
     "q119_ivf_occupancy" ->
       s"""WITH seeds AS (SELECT CAST(vec_id AS INT) AS cid,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce

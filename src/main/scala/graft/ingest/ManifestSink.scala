@@ -618,11 +618,27 @@ object ManifestSink extends Ingest.DestinationSink {
     * data. Post-optimize per-file min/max stay tight and disjoint, so a
     * selective predicate on the cluster key prunes as well after
     * compaction as before.
+    *
+    * `zorderBy` (Delta's `ZORDER BY`) is the multi-column variant:
+    * instead of a lexicographic sort — which keeps only the FIRST key's
+    * per-file bounds tight and makes every file span the later keys'
+    * full domain — rows sort by a Morton key ([[ZOrder.zkey]]:
+    * per-column rank-bucket ids, bits interleaved), so each packed file
+    * covers a small hyper-rectangle and [[readBackWherePred]] prunes on
+    * ANY of the z columns. Mutually exclusive with `clusterBy`;
+    * `zorderBits` buckets per column (`bits × k <= 60`). Costs one
+    * `approxQuantile` pass per z column per partition dir on top of the
+    * clusterBy path; the key itself is a row-local codegen'd expression.
     */
   def optimize(spark: SparkSession, destPath: String,
       targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
+      zorderBits: Int = 8): Long = {
     require(minFiles >= 2, "minFiles >= 2 (packing one file is a rename)")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "[graft] optimize: clusterBy and zorderBy are mutually exclusive " +
+        "sort strategies — pass one")
+    val sortKeys = if (zorderBy.nonEmpty) zorderBy else clusterBy
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     if (!fs.exists(dest)) return 0L
@@ -668,7 +684,7 @@ object ManifestSink extends Ingest.DestinationSink {
       var used = 0L
     }
     val bins: Seq[Seq[String]] =
-      if (clusterBy.nonEmpty)
+      if (sortKeys.nonEmpty)
         byDir.flatMap { case (_, files) =>
           if (files.length < minFiles) None
           else Some(files.map(_._1).sorted.toSeq)
@@ -698,7 +714,7 @@ object ManifestSink extends Ingest.DestinationSink {
         .map { case (t, m) => t -> m.map { case ((_, c), st) => c -> st } }
 
     val (packed, packedStats): (Seq[String], Seq[String]) =
-      if (clusterBy.isEmpty) {
+      if (sortKeys.isEmpty) {
         val names = bins.zipWithIndex.map { case (bin, i) =>
           val parent = dirOf(bin.head) match {
             case "" => ""
@@ -756,17 +772,27 @@ object ManifestSink extends Ingest.DestinationSink {
           val unitOut = new Path(staging, s"clu_$u")
           val union = spark.read.option("mergeSchema", "true")
             .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
-          require(clusterBy.forall(union.columns.contains),
-            s"[graft] optimize clusterBy ${clusterBy.mkString(",")} " +
-              s"must be data columns; file columns are " +
-              union.columns.mkString(","))
+          require(sortKeys.forall(union.columns.contains),
+            s"[graft] optimize cluster/zorder keys " +
+              s"${sortKeys.mkString(",")} must be data columns; file " +
+              s"columns are " + union.columns.mkString(","))
           val total = rels.map(sizeOf).sum
           val nOut = math.max(1L,
             (total + targetBytes - 1) / targetBytes).toInt
-          union
-            .repartitionByRange(nOut, clusterBy.map(col): _*)
-            .sortWithinPartitions(clusterBy.map(col): _*)
-            .write.mode("overwrite").parquet(unitOut.toString)
+          val sorted =
+            if (zorderBy.nonEmpty) {
+              // Morton key per unit: cuts from THIS unit's union, so the
+              // curve adapts to each partition dir's own value domain
+              val zc = ZOrder.cuts(union, zorderBy, zorderBits)
+              union.withColumn(ZOrder.ZCol, ZOrder.zkey(zc, zorderBits))
+                .repartitionByRange(nOut, col(ZOrder.ZCol))
+                .sortWithinPartitions(col(ZOrder.ZCol))
+                .drop(ZOrder.ZCol)
+            } else
+              union
+                .repartitionByRange(nOut, clusterBy.map(col): _*)
+                .sortWithinPartitions(clusterBy.map(col): _*)
+          sorted.write.mode("overwrite").parquet(unitOut.toString)
           val parts = fs.listStatus(unitOut).map(_.getPath)
             .filter(p => p.getName.startsWith("part-") &&
               p.getName.endsWith(".parquet"))
@@ -774,7 +800,7 @@ object ManifestSink extends Ingest.DestinationSink {
           // re-derive stats for every column any input had stats for,
           // plus the cluster key(s) themselves
           val statCols = (rels.flatMap(r =>
-            statsByTgt.getOrElse(r, Map.empty).keys) ++ clusterBy)
+            statsByTgt.getOrElse(r, Map.empty).keys) ++ sortKeys)
             .distinct.sorted.filter(union.columns.contains)
           val perFile: Map[String, Seq[(String, ColStats)]] =
             if (statCols.isEmpty) Map.empty

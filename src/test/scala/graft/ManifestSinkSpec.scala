@@ -946,4 +946,127 @@ class ManifestSinkSpec extends SparkSpec {
       }
     }
   }
+
+  test("zorder key: rank-bucketed Morton interleave — corner points, " +
+      "monotone lanes, null routing, and the bits*k bound") {
+    import graft.ingest.ZOrder
+    // hand-built cuts: 4 buckets per column at 10/20/30
+    val cuts = Seq("x" -> Array(10.0, 20.0, 30.0),
+      "y" -> Array(10.0, 20.0, 30.0))
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (5.0, 5.0),    // buckets (0,0) -> z 0
+      (35.0, 35.0),  // buckets (3,3) -> z 15
+      (35.0, 5.0),   // buckets (3,0) -> x in high lane: 0b1010 = 10
+      (5.0, 35.0),   // buckets (0,3) -> y in low lane:  0b0101 = 5
+      (null, 35.0),  // null x -> bucket 0 -> z 5
+      (10.0, 20.0)   // boundary: v >= cut goes UP -> buckets (1,2) -> z 6
+    ).toDF("x", "y")
+    val z = df.select(ZOrder.zkey(cuts, bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(z == Seq(0L, 15L, 10L, 5L, 5L, 6L))
+    // bucket id is monotone in the value within each lane
+    val xs = (0 until 40).map(i => (i.toDouble, 0.0)).toDF("x", "y")
+    val zx = xs.select(ZOrder.zkey(cuts, 2).as("z")).as[Long].collect()
+    assert(zx.sameElements(zx.sorted))
+    intercept[IllegalArgumentException] {
+      ZOrder.cuts(df, Seq("x", "y"), bits = 31)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSink.optimize(spark, tmpDir("zo_"),
+        clusterBy = Seq("x"), zorderBy = Seq("y"))
+    }
+  }
+
+  test("zorder optimize: the Morton repack keeps per-file bounds tight " +
+      "on BOTH z columns — a selective read on EITHER prunes, where the " +
+      "lexicographic clusterBy sort provably prunes only its first key") {
+    val root = tmpDir("msinkzo_")
+    val dest = s"$root/wh/t"
+    // two independent uniform columns: x = i, y = a permutation of the
+    // same domain (gcd(617, 2000) = 1), appended in SHUFFLED slices so
+    // every small file spans the full x AND y domain — the worst case
+    // for skipping, and the state a multi-tenant ingest really produces
+    val n = 2000L
+    val rows = new scala.util.Random(7).shuffle(
+      (0L until n).map(i => (i, (i * 617L) % n, s"v$i")))
+    for (slice <- rows.grouped(100))
+      ManifestSink.statsAppend(slice.toDF("x", "y", "v").coalesce(1),
+        dest, None, statsCols = Seq("x", "y"))
+    def prunedOn(c: String, lo: Double, hi: Double) =
+      ManifestSink.readBackWhere(spark, dest, c, lo, hi)
+    def parity(c: String, lo: Double, hi: Double): Unit =
+      assert(prunedOn(c, lo, hi).select(c).as[Long].collect().sorted.toSeq
+        == ManifestSink.readBack(spark, dest)
+          .where(col(c).between(lo, hi))
+          .select(c).as[Long].collect().sorted.toSeq, s"$c [$lo,$hi]")
+    // before: wide per-file stats — narrow reads prune NOTHING
+    assert(prunedOn("x", 300, 420).inputFiles.length == 20)
+    assert(prunedOn("y", 300, 420).inputFiles.length == 20)
+
+    // target ~16 output files from the 20-file union: an even power of 4,
+    // so the curve cuts into square 4x4-bucket blocks rather than thin
+    // slabs biased toward one dimension
+    val fileLen = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val lens = walk(new java.io.File(dest))
+        .filter(_.getName.endsWith(".parquet")).map(_.length())
+      lens.sum / lens.length
+    }
+    assert(ManifestSink.optimize(spark, dest,
+      targetBytes = (fileLen * 1.25).toLong,
+      zorderBy = Seq("x", "y"), zorderBits = 4) == 20L)
+    val nAfter = ManifestSink.readBack(spark, dest).inputFiles.length
+    assert(nAfter >= 4, s"repack made $nAfter files; need >= 4 to " +
+      "observe pruning")
+    assert(ManifestSink.readBack(spark, dest).count() == n)
+
+    // after: a ~6%-of-domain range on EITHER column is a metadata
+    // decision — each packed file covers a small hyper-rectangle, so at
+    // most about half the files can intersect a thin slab in x OR in y
+    val readX = prunedOn("x", 300, 420).inputFiles.length
+    val readY = prunedOn("y", 300, 420).inputFiles.length
+    assert(readX <= nAfter / 2, s"x slab read $readX of $nAfter")
+    assert(readY <= nAfter / 2, s"y slab read $readY of $nAfter")
+    parity("x", 300, 420); parity("y", 300, 420)
+    parity("x", 0, n.toDouble); parity("y", 1500, 1600)
+    assert(prunedOn("x", 5000, 6000).count() == 0)
+    assert(prunedOn("y", 5000, 6000).count() == 0)
+
+    // contrast: the same shape compacted with lexicographic
+    // clusterBy(x, y) — x prunes, y reads EVERY file (each file spans
+    // the full y domain); the regression zorder exists to prevent
+    val dest2 = s"$root/wh/t2"
+    for (slice <- rows.grouped(100))
+      ManifestSink.statsAppend(slice.toDF("x", "y", "v").coalesce(1),
+        dest2, None, statsCols = Seq("x", "y"))
+    assert(ManifestSink.optimize(spark, dest2,
+      targetBytes = (fileLen * 1.25).toLong,
+      clusterBy = Seq("x", "y")) == 20L)
+    val nLex = ManifestSink.readBack(spark, dest2).inputFiles.length
+    val lexX = ManifestSink.readBackWhere(spark, dest2, "x", 300, 420)
+      .inputFiles.length
+    val lexY = ManifestSink.readBackWhere(spark, dest2, "y", 300, 420)
+      .inputFiles.length
+    assert(lexX <= nLex / 2, s"lex x slab read $lexX of $nLex")
+    assert(lexY == nLex,
+      s"lexicographic sort should NOT prune on y ($lexY of $nLex) — " +
+        "if it does, the contrast premise is wrong")
+
+    // zorder repack respects partition dirs
+    val dest3 = s"$root/wh/t3"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        Seq((b * 10L, b * 7L % 40, java.sql.Date.valueOf("2026-01-01")),
+          (b * 10L + 1, (b * 7L + 3) % 40,
+            java.sql.Date.valueOf("2026-01-02")))
+          .toDF("x", "y", "d"),
+        dest3, Some("d"), statsCols = Seq("x"))
+    assert(ManifestSink.optimize(spark, dest3, targetBytes = 1L << 20,
+      zorderBy = Seq("x", "y"), zorderBits = 2) == 8L)
+    val back3 = ManifestSink.readBack(spark, dest3)
+    assert(back3.count() == 8)
+    assert(back3.inputFiles.forall(f =>
+      f.contains("p_date=2026-01-01") || f.contains("p_date=2026-01-02")))
+  }
 }
