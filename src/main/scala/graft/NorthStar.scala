@@ -654,6 +654,35 @@ object NorthStar {
         .orderBy(col("src"), col("event_type"))
     }),
 
+    // Interval-overlap join, bucketed: left = per-event activity windows
+    // [id, id + id%50], right = every-7th event's ±20 audit window. A
+    // naive s<=e AND s<=e theta-join plans as BroadcastNestedLoopJoin —
+    // quadratic past broadcast size; IntervalJoin explodes each interval
+    // to its power-of-two buckets, EQUI-joins on bucket id (hash
+    // shuffle, AQE-balanced), and emits each overlapping pair exactly
+    // once via the max(start)-bucket ownership rule. Integer-sum
+    // aggregates keep the hash compare exact; the pair counts catch any
+    // duplicate-emission bug instantly.
+    "q121_interval_overlap" -> ((s, dir) => {
+      import graft.operators.IntervalJoin
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"))
+      val left = ev.select(col("event_id").as("lid"),
+        col("event_id").as("ls"),
+        (col("event_id") + pmod(col("event_id"), lit(50L))).as("le"))
+      val right = ev.where(pmod(col("event_id"), lit(7L)) === 0)
+        .select(col("event_id").as("rid"),
+          (col("event_id") - 20L).as("rs"),
+          (col("event_id") + 20L).as("re"),
+          col("event_type").as("rtype"))
+      IntervalJoin.overlapJoin(left, "ls", "le", right, "rs", "re", 64L)
+        .groupBy(col("rtype"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("lid")).as("sum_lid"),
+          sum(col("rid")).as("sum_rid"))
+        .orderBy(col("rtype"))
+    }),
+
     // Inverted index with bounded posting lists: exact df and first-20
     // postings in ONE groupBy — postings truncated by the bounded-buffer
     // top-k aggregate (a stopword costs 20 buffer slots per partition,
@@ -2365,6 +2394,17 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q121_interval_overlap" ->
+      """WITH l AS (SELECT event_id AS lid, event_id AS ls,
+             event_id + event_id % 50 AS le FROM events),
+         r AS (SELECT event_id AS rid, event_id - 20 AS rs,
+             event_id + 20 AS re, event_type AS rtype
+           FROM events WHERE event_id % 7 = 0)
+         SELECT rtype, count(*) AS n_pairs,
+           CAST(sum(lid) AS BIGINT) AS sum_lid,
+           CAST(sum(rid) AS BIGINT) AS sum_rid
+         FROM l JOIN r ON ls <= re AND rs <= le
+         GROUP BY rtype ORDER BY rtype""",
     "q119_ivf_occupancy" ->
       s"""WITH seeds AS (SELECT CAST(vec_id AS INT) AS cid,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
