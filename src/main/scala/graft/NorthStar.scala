@@ -683,6 +683,23 @@ object NorthStar {
         .orderBy(col("rtype"))
     }),
 
+    // PageRank over a deterministic event-derived link graph (users →
+    // hashed targets): 5 damped power iterations, every round an
+    // edge-list equi-join (src-partitioned once, reused) + a map-side-
+    // combined groupBy(dst) + ONE driver scalar for the dangling mass —
+    // the link-authority prior the CommonCrawl/C4 lineage computes
+    // upstream of every text pipeline. The oracle replays all 5 rounds
+    // as an unrolled CTE chain with identical IEEE expression order.
+    "q122_pagerank" -> ((s, dir) => {
+      import graft.operators.Graph
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("user_id"))
+      val e = ev.select(pmod(col("user_id"), lit(400L)).as("src"),
+          pmod(col("event_id") * 31L, lit(400L)).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      Graph.pageRank(e, iters = 5).orderBy(col("node"))
+    }),
+
     // Inverted index with bounded posting lists: exact df and first-20
     // postings in ONE groupBy — postings truncated by the bounded-buffer
     // top-k aggregate (a stopword costs 20 buffer slots per partition,
@@ -2394,6 +2411,32 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q122_pagerank" -> {
+      def iter(k: Int): String = {
+        val prev = s"r${k - 1}"
+        s"""d$k AS (SELECT COALESCE(sum(rank), 0.0) AS dang FROM $prev
+           WHERE node NOT IN (SELECT src FROM e)),
+         c$k AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS inflow
+           FROM e JOIN $prev r ON e.src = r.node
+           JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r$k AS (SELECT nd.node, (1.0 - 0.85) / nn.n
+             + 0.85 * (COALESCE(c.inflow, 0.0) + d$k.dang / nn.n) AS rank
+           FROM nodes nd CROSS JOIN nn CROSS JOIN d$k
+           LEFT JOIN c$k c ON nd.node = c.node)"""
+      }
+      s"""WITH e AS (SELECT DISTINCT user_id % 400 AS src,
+             (event_id * 31) % 400 AS dst FROM events
+           WHERE user_id % 400 <> (event_id * 31) % 400),
+         nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e
+           UNION ALL SELECT dst AS node FROM e)),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+           FROM e GROUP BY src),
+         r0 AS (SELECT node, 1.0 / nn.n AS rank
+           FROM nodes CROSS JOIN nn),
+         ${(1 to 5).map(iter).mkString(",\n         ")}
+         SELECT node, rank FROM r5 ORDER BY node"""
+    },
     "q121_interval_overlap" ->
       """WITH l AS (SELECT event_id AS lid, event_id AS ls,
              event_id + event_id % 50 AS le FROM events),

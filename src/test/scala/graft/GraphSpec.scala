@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** PageRank must match an in-memory reference power iteration (same
+  * formula, same dangling redistribution) on hand graphs and on a
+  * random graph, conserve probability mass, and respect known
+  * symmetries.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference implementation: dense driver-side power iteration. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(out.contains).map(rank).sum
+      val inflow = edges.groupBy(_._2).map { case (t, es) =>
+        t -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = nodes.map(v => v -> ((1.0 - d) / n +
+        d * (inflow.getOrElse(v, 0.0) + dang / n))).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int) =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("two-node cycle is uniform; a ring stays uniform at any length") {
+    val cyc = run(Seq((1L, 2L), (2L, 1L)), 10)
+    assert(cyc.keySet == Set(1L, 2L))
+    cyc.values.foreach(r => assert(math.abs(r - 0.5) < 1e-12))
+    val ring = (0L until 7L).map(i => (i, (i + 1) % 7))
+    val rr = run(ring, 13)
+    rr.values.foreach(r => assert(math.abs(r - 1.0 / 7) < 1e-12))
+  }
+
+  test("dangling sink: mass is conserved and redistributed — matches " +
+      "the reference, sums to one") {
+    // 1 -> 2 -> 3 (sink), 1 -> 3; node 3 has no out-edges
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val got = run(edges, 8)
+    val want = refPageRank(edges, 8)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, v) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("random 300-node graph matches the reference; authority " +
+      "ordering: a node every hub links to outranks the hubs") {
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 1500).map(_ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (s, t) => s != t }.distinct
+    // plus a celebrity: first 50 nodes all link to node 299
+    val edges = (base ++ (0L until 50L).map((_, 299L))).distinct
+    val got = run(edges, 12)
+    val want = refPageRank(edges, 12)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-9, v) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    val celeb = got(299L)
+    assert((0L until 50L).filter(got.contains).forall(h => got(h) < celeb))
+  }
+
+  test("guards: iteration and damping bounds; empty edge set") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), 201)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), 5, damping = 1.0)
+    }
+    assert(Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), 3)
+      .count() == 0)
+  }
+}
