@@ -683,6 +683,40 @@ object NorthStar {
         .orderBy(col("rtype"))
     }),
 
+    // Copy-on-write maintenance promoted to an oracle query: ingest
+    // events as 8 range-clustered files with stats, DELETE one id slab
+    // (drops/rewrites only the 1-2 files whose stats intersect it — a
+    // metadata decision, the GDPR-erasure shape), UPDATE another slab in
+    // place (value negation, evaluated against the old row), then
+    // aggregate the survivors. The oracle replays delete as the
+    // complement filter and update as a CASE — readBack after both
+    // rewrites must equal the logical result exactly.
+    "q123_cow_maintenance" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q123_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      ManifestSink.deleteWhere(s, tmp, ManifestSink.SkipPredicate
+        .NumRange("event_id", (3 * n / 8).toDouble,
+          (4 * n / 8 - 1).toDouble))
+      ManifestSink.updateWhere(s, tmp, ManifestSink.SkipPredicate
+        .NumRange("event_id", (6 * n / 8).toDouble,
+          (7 * n / 8 - 1).toDouble),
+        Map("value" -> -col("value")))
+      ManifestSink.readBack(s, tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // PageRank over a deterministic event-derived link graph (users →
     // hashed targets): 5 damped power iterations, every round an
     // edge-list equi-join (src-partitioned once, reused) + a map-side-
@@ -2411,6 +2445,19 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q123_cow_maintenance" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
+         t AS (SELECT event_id, event_type,
+             CASE WHEN event_id >= 6 * nid // 8
+                   AND event_id < 7 * nid // 8
+               THEN -value ELSE value END AS value
+           FROM events, b
+           WHERE NOT (event_id >= 3 * nid // 8
+                  AND event_id < 4 * nid // 8))
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM t GROUP BY event_type ORDER BY event_type""",
     "q122_pagerank" -> {
       def iter(k: Int): String = {
         val prev = s"r${k - 1}"

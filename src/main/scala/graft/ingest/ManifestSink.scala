@@ -57,6 +57,11 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   private[graft] var onBeforeOptimizeCommit: () => Unit = () => ()
 
+  /** Test seam: runs after [[rewriteWhere]]'s file rewrites, immediately
+    * before its snapshot-commit critical section. Production no-op.
+    */
+  private[graft] var onBeforeRewriteCommit: () => Unit = () => ()
+
   /** Per-destination monitor for the version-claim critical section.
     * Local-filesystem rename OVERWRITES an existing target (POSIX
     * rename(2)), so same-JVM concurrent committers must serialize
@@ -879,6 +884,227 @@ object ManifestSink extends Ingest.DestinationSink {
     println(s"METRIC graft.optimized_files=${repacked.size} " +
       s"into=${packed.length} snapshot_version=$version dest=$destPath")
     repacked.size.toLong
+  }
+
+  /** COPY-ON-WRITE DELETE (Delta's `DELETE WHERE`): remove every row
+    * matching `pred`, rewriting ONLY the files whose skipping stats say
+    * they may contain one — at 100 TB a selective delete (GDPR erasure,
+    * a bad batch's id range, a contaminated shard) touches the handful
+    * of files the metadata names, not the table. Files the stats
+    * exclude are carried untouched, manifest AND bytes; a candidate
+    * whose rows all match is dropped without a write; a candidate with
+    * no actual match (stats false positive) is left untouched by the
+    * per-file match count. Commits as ONE atomic snapshot under the
+    * same captured-log / abort-if-advanced discipline as [[optimize]];
+    * replaced files stay on disk for in-flight readers until
+    * [[vacuum]]. Returns the number of rows deleted.
+    *
+    * `pred.column` must be a DATA column of the candidate files (the
+    * partition directory column is not stored in the data; a
+    * partition-predicate delete wants a metadata-only drop, not this
+    * path). Candidates missing the column under `mergeSchema` read it
+    * as null — never matched, so schema evolution degrades to
+    * untouched, not to data loss.
+    */
+  def deleteWhere(spark: SparkSession, destPath: String,
+      pred: SkipPredicate): Long =
+    rewriteWhere(spark, destPath, pred, None)
+
+  /** COPY-ON-WRITE UPDATE (Delta's `UPDATE SET ... WHERE`): for every
+    * row matching `pred`, replace each column in `set` with its new
+    * expression (evaluated against the OLD row — a swap
+    * `a -> col("b"), b -> col("a")` is well-defined); non-matching rows
+    * and stats-excluded files ride through byte-identical. Same
+    * candidate pruning, per-file match counting, atomic-snapshot
+    * commit, and crash windows as [[deleteWhere]]. Set columns must
+    * exist in the file schema (UPDATE changes values, not shape).
+    * Returns the number of rows updated.
+    */
+  def updateWhere(spark: SparkSession, destPath: String,
+      pred: SkipPredicate, set: Map[String, org.apache.spark.sql.Column])
+      : Long = {
+    require(set.nonEmpty, "[graft] updateWhere: empty SET")
+    rewriteWhere(spark, destPath, pred, Some(set))
+  }
+
+  /** Shared copy-on-write core. `set == None` deletes matching rows;
+    * `Some(exprs)` rewrites them in place.
+    */
+  private def rewriteWhere(spark: SparkSession, destPath: String,
+      pred: SkipPredicate,
+      set: Option[Map[String, org.apache.spark.sql.Column]]): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return 0L
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.rewrite.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return 0L
+    }
+    // capture the log ONCE — every piece of the snapshot derives from
+    // this listing and the commit aborts if it advanced (same protocol
+    // as optimize; concurrent appends are supported, not lost)
+    val old = manifests(fs, destPath)
+    val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, old)
+    if (targets.isEmpty) return 0L
+    val stats = fileStatsOf(fs, old)
+    val statsByTgt: Map[String, Seq[String]] =
+      stats.keys.groupBy(_._1).map { case (t, ks) =>
+        t -> ks.map(_._2).toSeq.sorted }
+    val candidates = targets.filter { t =>
+      stats.get((t, pred.column)) match {
+        case Some(st) => mayMatch(pred, st)
+        case None     => true
+      }
+    }
+    println(s"METRIC graft.rewrite.files_total=${targets.length} " +
+      s"candidates=${candidates.length} col=${pred.column} dest=$destPath")
+    if (candidates.isEmpty) return 0L
+
+    // ONE distributed pass: per-candidate matched/total row counts (no
+    // basePath — rewrites re-write data columns only; a file missing the
+    // predicate column reads it as null = never matched)
+    val qualOf: Map[String, String] = candidates.map { rel =>
+      fs.makeQualified(new Path(dest, rel)).toUri.getPath -> rel
+    }.toMap
+    val m = residual(pred)
+    val countRows = spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(rel => new Path(dest, rel).toString): _*)
+      .select(input_file_name().as("__f"), m.as("__m"))
+      .groupBy(col("__f"))
+      .agg(sum(when(col("__m"), 1L).otherwise(0L)).as("matched"),
+        count(lit(1)).as("rows"))
+      .collect()
+    val matchedOf: Map[String, (Long, Long)] = countRows.map { r =>
+      val p = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+      qualOf(p) -> (r.getLong(1), r.getLong(2))
+    }.toMap
+    val touched = candidates.filter(t => matchedOf.get(t).exists(_._1 > 0))
+    val totalMatched = touched.map(t => matchedOf(t)._1).sum
+    if (touched.isEmpty) {
+      println(s"METRIC graft.rewrite.no_matches=1 " +
+        s"candidates=${candidates.length} dest=$destPath")
+      return 0L
+    }
+    // delete drops a fully-matched file without writing anything
+    val dropped =
+      if (set.isEmpty)
+        touched.filter(t => { val (mm, rr) = matchedOf(t); mm == rr })
+          .toSet
+      else Set.empty[String]
+    val rewrites = touched.filterNot(dropped)
+
+    val writeId = "rw" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(14)
+    val staging = stagingDir(destPath, writeId)
+    fs.mkdirs(staging)
+    val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val newStats = scala.collection.mutable.ArrayBuffer[String]()
+    // any failure before the commit must sweep the attempt — a leftover
+    // staging dir blocks every later rewrite/optimize until recover()
+    try {
+      rewrites.zipWithIndex.foreach { case (rel, k) =>
+        val parent = {
+          val i = rel.lastIndexOf('/')
+          if (i < 0) "" else rel.substring(0, i + 1)
+        }
+        val src = spark.read.parquet(new Path(dest, rel).toString)
+        val out = set match {
+          // null predicate values are NOT matches: a three-valued
+          // where(!m) would silently delete null-column rows
+          case None => src.where(!coalesce(m, lit(false)))
+          case Some(exprs) =>
+            exprs.foreach { case (c, _) =>
+              require(src.columns.contains(c),
+                s"[graft] updateWhere: SET column '$c' not in $rel " +
+                  s"(columns: ${src.columns.mkString(",")})")
+            }
+            // all new values evaluate against the OLD row: select, not
+            // sequential withColumn, so a swap is well-defined
+            src.select(src.columns.map { c =>
+              exprs.get(c) match {
+                case Some(nv) => when(m, nv).otherwise(col(c)).as(c)
+                case None     => col(c)
+              }
+            }: _*)
+        }
+        val rwOut = new Path(staging, s"rw_$k")
+        out.coalesce(1).write.mode("overwrite").parquet(rwOut.toString)
+        val part = fs.listStatus(rwOut).map(_.getPath)
+          .find(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"[graft] rewriteWhere: no part file under $rwOut"))
+        val target = s"$parent$writeId-$k.parquet"
+        moves += ((part, target))
+        val statCols = statsByTgt.getOrElse(rel, Nil)
+        if (statCols.nonEmpty)
+          fileStatsOfParquet(spark, rwOut.toString, statCols)
+            .toSeq.sortBy(_._1._2)
+            .foreach { case ((_, c), st) =>
+              newStats += statsLine(target, c, st) }
+      }
+      // write-ahead manifest, then move — recover() sweeps exactly these
+      // names if the commit below never lands
+      writeFile(fs, new Path(staging, WaManifest),
+        moves.map("target\t" + _._2).mkString("\n"))
+      moves.foreach { case (part, target) =>
+        val tgt = new Path(dest, target)
+        fs.mkdirs(tgt.getParent)
+        require(fs.rename(part, tgt),
+          s"[graft] rewriteWhere move failed: $tgt")
+      }
+    } catch {
+      case e: Throwable =>
+        moves.foreach { case (_, t) =>
+          fs.delete(new Path(dest, t), false) }
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        throw e
+    }
+
+    val replaced = touched.toSet
+    val survivors = targets.filterNot(replaced) ++ moves.map(_._2)
+    val carriedStats = targets.filterNot(replaced).flatMap { t =>
+      statsByTgt.getOrElse(t, Nil).flatMap(c =>
+        stats.get((t, c)).map(st => statsLine(t, c, st)))
+    }
+    onBeforeRewriteCommit()
+    val version = baseVersion + 1
+    val tmp = new Path(logPath(destPath), s".tmp_$writeId")
+    writeFile(fs, tmp,
+      (Seq("snapshot\t1") ++ survivors.map("target\t" + _) ++
+        carriedStats ++ newStats).mkString("\n"))
+    val fin =
+      new Path(logPath(destPath), f"$version%012d__$writeId.manifest")
+    val committed = commitLock(fs, destPath).synchronized {
+      val nowMax = manifests(fs, destPath)
+        .map(_.getName.takeWhile(_.isDigit).toLong)
+        .maxOption.getOrElse(-1L)
+      nowMax == baseVersion && fs.rename(tmp, fin)
+    }
+    if (!committed) {
+      moves.foreach { case (_, t) => fs.delete(new Path(dest, t), false) }
+      fs.delete(tmp, false)
+      fs.delete(staging, true)
+      if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+        fs.delete(sroot, true)
+      println(s"METRIC graft.rewrite.aborted_log_advanced=1 " +
+        s"base_version=$baseVersion dest=$destPath")
+      return 0L
+    }
+    old.foreach(mf => fs.delete(mf, false))
+    fs.delete(staging, true)
+    if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+      fs.delete(sroot, true)
+    println(s"METRIC graft.rewrite.matched_rows=$totalMatched " +
+      s"rewritten=${rewrites.length} dropped=${dropped.size} " +
+      s"snapshot_version=$version dest=$destPath")
+    totalMatched
   }
 
   override def stagedAppend(df: DataFrame, destPath: String,

@@ -947,6 +947,133 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("copy-on-write delete: only stats-candidate files rewrite, " +
+      "fully-matched files drop without a write, null predicate values " +
+      "survive, and rewritten stats stay tight") {
+    val root = tmpDir("msinkdel_")
+    val dest = s"$root/wh/t"
+    // 5 disjoint-range files with stats + one statsless file with nulls
+    for (b <- 0 until 5)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        dest, None, statsCols = Seq("id"))
+    ManifestSink.append(
+      Seq[(Option[Long], String)]((None, "n1"), (None, "n2"),
+        (Some(9999L), "x")).toDF("id", "v").coalesce(1), dest, None)
+    val filesBefore = ManifestSink.readBack(spark, dest).inputFiles.toSet
+    assert(filesBefore.size == 6)
+
+    // partial delete inside file [100,199]: 61 rows go, the other four
+    // stats-bearing files are untouched BYTES (same paths)
+    assert(ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 120, 180)) == 61L)
+    val after1 = ManifestSink.readBack(spark, dest)
+    assert(after1.count() == 503 - 61)
+    assert(after1.where(col("id").between(120, 180)).count() == 0)
+    assert(after1.where(col("id").between(100, 119)).count() == 20)
+    // null rows rode through the statsless candidate untouched
+    assert(after1.where(col("id").isNull).count() == 2)
+    val files1 = after1.inputFiles.toSet
+    // 4 stats-excluded files + the statsless one (no matches) untouched
+    assert(files1.intersect(filesBefore).size == 5)
+    // rewritten stats stay live: the old range still prunes to its one
+    // stats-bearing file (plus the statsless append, conservatively read)
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 250, 280)
+      .inputFiles.length == 2)
+
+    // whole-file delete: [200,299] drops its file entirely — no rewrite
+    assert(ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 200, 299)) == 100L)
+    val after2 = ManifestSink.readBack(spark, dest)
+    assert(after2.count() == 342)
+    assert(after2.inputFiles.length == 5)
+
+    // no-match predicates: out-of-stats → zero candidates; in-stats
+    // no-hit column → zero matched; both leave the log version alone
+    assert(ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 50000, 60000)) == 0L)
+    assert(ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.StrEq("v", "nope")) == 0L)
+    assert(ManifestSink.readBack(spark, dest).count() == 342)
+
+    // vacuum sweeps the replaced generations; state unchanged
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dest))
+      .foreach(f => f.setLastModified(System.currentTimeMillis() - 120000))
+    assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 2L)
+    assert(ManifestSink.readBack(spark, dest).count() == 342)
+  }
+
+  test("copy-on-write update: SET evaluates against the old row, " +
+      "matches-only rewrite, re-derived stats route reads to the new " +
+      "values, and a concurrent append aborts the commit cleanly") {
+    val root = tmpDir("msinkupd_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, i * 2, s"v$i"))
+          .toDF("id", "w", "v").coalesce(1),
+        dest, None, statsCols = Seq("id", "w"))
+
+    // swap semantics: id and w exchange values in [300, 399] — only
+    // well-defined if every SET expression sees the OLD row
+    assert(ManifestSink.updateWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 300, 399),
+      Map("id" -> col("w"), "w" -> col("id"))) == 100L)
+    val got = ManifestSink.readBack(spark, dest)
+    assert(got.count() == 400)
+    // the swapped file's ids moved to the even 600..798 range
+    assert(got.where(col("id").between(300, 399)).count() == 0)
+    // 100 swapped w values plus the 50 even untouched w in [300, 398]
+    assert(got.where(col("w").between(300, 399)).count() == 150)
+    assert(got.where(col("id") === 600 && col("w") === 300).count() == 1)
+    // stats were re-derived from the new values: ids now reach 798 and
+    // a read in the moved range prunes to the ONE rewritten file
+    val moved = ManifestSink.readBackWhere(spark, dest, "id", 700, 798)
+    assert(moved.inputFiles.length == 1)
+    assert(moved.count() == 50)
+    // untouched files did not rewrite
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 0, 99)
+      .inputFiles.length == 1)
+
+    // value update with a constant; matched count is rows actually hit
+    assert(ManifestSink.updateWhere(spark, dest,
+      ManifestSink.SkipPredicate.StrEq("v", "v0"),
+      Map("v" -> lit("patched"))) == 1L)
+    assert(ManifestSink.readBack(spark, dest)
+      .where(col("v") === "patched").count() == 1)
+
+    // SET on a missing column fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestSink.updateWhere(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("id", 0, 1),
+        Map("nope" -> lit(1)))
+    }
+
+    // concurrent append between rewrite and commit: the snapshot is
+    // stale — rewrite ABORTS (0 rows), the append survives, a retry
+    // succeeds
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.append(
+        Seq((5000L, 5000L, "late")).toDF("id", "w", "v"), dest, None)
+    try {
+      assert(ManifestSink.updateWhere(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("id", 0, 10),
+        Map("v" -> lit("x"))) == 0L)
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    val afterAbort = ManifestSink.readBack(spark, dest)
+    assert(afterAbort.count() == 401)
+    assert(afterAbort.where(col("v") === "late").count() == 1)
+    assert(afterAbort.where(col("v") === "x").count() == 0)
+    assert(ManifestSink.updateWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 0, 10),
+      Map("v" -> lit("x"))) == 11L)
+    assert(ManifestSink.readBack(spark, dest)
+      .where(col("v") === "x").count() == 11)
+  }
+
   test("zorder key: rank-bucketed Morton interleave — corner points, " +
       "monotone lanes, null routing, and the bits*k bound") {
     import graft.ingest.ZOrder
