@@ -686,6 +686,104 @@ object Stress {
       timed("skipping_pruned")(
         ManifestSink.readBackWhere(spark, dest, "doc_id", lo, hi))
     }
+    // Z-order OPTIMIZE: shuffled two-column ingest (every file spans both
+    // domains — zero pruning), Morton repack, then a slab read on EACH
+    // column; the before/after file counts and read times are the payoff
+    // (a lexicographic sort would leave the y slab reading everything).
+    if (enabled("zorder")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_zorder_").toString
+      val dest = s"$root/t"
+      val n = (nDocs0 * repl).toLong
+      val batches = 20
+      val per = n / batches
+      val rows = spark.range(n).select(col("id").as("x"),
+        pmod(col("id") * 2654435761L, lit(n)).as("y"))
+      (0 until batches).foreach { b =>
+        // round-robin slices: each batch spans the full x AND y domain
+        ManifestSink.statsAppend(
+          rows.where(pmod(col("x"), lit(batches.toLong)) === b)
+            .coalesce(1),
+          dest, None, Seq("x", "y"))
+      }
+      val total = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dest))
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      }
+      val t0 = System.nanoTime()
+      val packed = ManifestSink.optimize(spark, dest,
+        targetBytes = total / 16 + 1, zorderBy = Seq("x", "y"),
+        zorderBits = 5)
+      println(f"STRESS zorder_optimize          " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  packed=$packed")
+      def slab(name: String, c: String): Unit = {
+        val t = System.nanoTime()
+        val df = ManifestSink.readBackWhere(spark, dest, c,
+          (n / 2).toDouble, (n / 2 + n / 16).toDouble)
+        val cnt = df.count()
+        println(f"STRESS $name%-28s ${(System.nanoTime() - t) / 1e9}%8.2f" +
+          f" s  rows=$cnt files=${df.inputFiles.length}")
+      }
+      slab("zorder_slab_x", "x")
+      slab("zorder_slab_y", "y")
+    }
+    // Interval-overlap join ladder: n activity windows vs n/8 audit
+    // windows — the bucketed equi-join's cost tracks pair output, never
+    // the n^2 cross product the naive theta-join would plan.
+    if (enabled("interval_join")) {
+      val n = (nDocs0 * repl).toLong
+      val left = spark.range(n).select(col("id").as("lid"),
+        col("id").as("ls"), (col("id") + pmod(col("id"), lit(50L)))
+          .as("le"))
+      val right = spark.range(n / 8).select(col("id").as("rid"),
+        (col("id") * 8 - 20).as("rs"), (col("id") * 8 + 20).as("re"))
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.IntervalJoin
+        .overlapJoin(left, "ls", "le", right, "rs", "re", 64L).count()
+      println(f"STRESS interval_join            " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  pairs=$pairs")
+    }
+    // PageRank ladder: 8 power iterations over a deterministic sparse
+    // graph (4 out-edges per node + dangling tail); per-round cost is
+    // one co-partitioned join + one agg, so total time ~ iters x edges.
+    if (enabled("pagerank")) {
+      val n = (nDocs0 * repl).toLong
+      val edges = spark.range(4 * n).select(
+        pmod(col("id"), lit(n)).as("src"),
+        pmod(col("id") * 2654435761L + 12345L, lit(n + n / 4)).as("dst"))
+      val t0 = System.nanoTime()
+      val pr = graft.operators.Graph.pageRank(edges, iters = 8)
+      val top = pr.agg(sum(col("rank")), count(lit(1))).head
+      println(f"STRESS pagerank                 " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"nodes=${top.getLong(1)} mass=${top.getDouble(0)}%.6f")
+    }
+    // Copy-on-write delete ladder: 50-file clustered ingest, slab delete
+    // — rewrite cost must track the 1-2 candidate files, not the table.
+    if (enabled("cow_delete")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_cow_").toString
+      val dest = s"$root/t"
+      val batches = 50
+      val per = (nDocs0 * repl) / batches
+      (0 until batches).foreach { b =>
+        ManifestSink.statsAppend(
+          docs.filter(col("doc_id") >= b * per &&
+            col("doc_id") < (b + 1) * per), dest, None, Seq("doc_id"))
+      }
+      val t0 = System.nanoTime()
+      val gone = ManifestSink.deleteWhere(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("doc_id",
+          7.0 * per + 10, 8.0 * per - 10))
+      println(f"STRESS cow_delete               " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  deleted=$gone")
+      val t1 = System.nanoTime()
+      val left = ManifestSink.readBack(spark, dest).count()
+      println(f"STRESS cow_readback             " +
+        f"${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=$left")
+    }
     // Same ladder with the PERSISTED band index: per-batch cost should
     // stay flat-ish as the corpus grows (batch bands + slim index join +
     // touched-partner verify), instead of the linear corpus re-index the

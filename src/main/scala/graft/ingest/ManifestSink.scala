@@ -784,11 +784,19 @@ object ManifestSink extends Ingest.DestinationSink {
           val total = rels.map(sizeOf).sum
           val nOut = math.max(1L,
             (total + targetBytes - 1) / targetBytes).toInt
+          var tPh = System.nanoTime()
+          def phase(name: String): Unit = {
+            val t1 = System.nanoTime()
+            println(f"METRIC graft.optimize.${name}_secs=" +
+              f"${(t1 - tPh) / 1e9}%.3f unit=$u dest=$destPath")
+            tPh = t1
+          }
           val sorted =
             if (zorderBy.nonEmpty) {
               // Morton key per unit: cuts from THIS unit's union, so the
               // curve adapts to each partition dir's own value domain
               val zc = ZOrder.cuts(union, zorderBy, zorderBits)
+              phase("zorder_cuts")
               union.withColumn(ZOrder.ZCol, ZOrder.zkey(zc, zorderBits))
                 .repartitionByRange(nOut, col(ZOrder.ZCol))
                 .sortWithinPartitions(col(ZOrder.ZCol))
@@ -798,6 +806,7 @@ object ManifestSink extends Ingest.DestinationSink {
                 .repartitionByRange(nOut, clusterBy.map(col): _*)
                 .sortWithinPartitions(clusterBy.map(col): _*)
           sorted.write.mode("overwrite").parquet(unitOut.toString)
+          phase("sort_write")
           val parts = fs.listStatus(unitOut).map(_.getPath)
             .filter(p => p.getName.startsWith("part-") &&
               p.getName.endsWith(".parquet"))
@@ -1218,13 +1227,46 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsLines: Seq[String] = if (statsCols.isEmpty) Nil else {
       val stagingPath = fs.makeQualified(staging).toUri.getPath
       val relToTarget = targets.toMap
-      fileStatsOfParquet(spark, staging.toString, statsCols).toSeq
+      val byFile = fileStatsOfParquet(spark, staging.toString, statsCols)
+      val present = byFile.keys.map { case (f, _) =>
+        new Path(new java.net.URI(f)).toUri.getPath
+          .stripPrefix(stagingPath + "/")
+      }.toSet
+      val lines = byFile.toSeq
         .sortBy { case ((f, c), _) => (f, c) }
         .flatMap { case ((file, c), st) =>
           val rel = new Path(new java.net.URI(file))
             .toUri.getPath.stripPrefix(stagingPath + "/")
           relToTarget.get(rel).map(tgt => statsLine(tgt, c, st))
         }
+      // EMPTY part files never appear in the stats aggregate (no rows →
+      // no input_file_name group) — without a line they'd be read
+      // conservatively by every skipping predicate forever. Record them
+      // as rows=0 all-null stats, which mayMatch prunes under every
+      // predicate class. Guarded: if a "missing" file actually holds
+      // rows, the path mapping is broken and silently writing rows=0
+      // would MIS-prune committed data — fail the append instead.
+      val missing = targets.map(_._1).filterNot(present)
+      val emptyLines = if (missing.isEmpty) Nil else {
+        val held = spark.read.parquet(
+          missing.map(r => new Path(staging, r).toString): _*).count()
+        require(held == 0L,
+          s"[graft] statsAppend: ${missing.length} staged files missing " +
+            s"from the stats aggregate still hold $held rows — stats " +
+            "path mapping is broken; refusing to commit mis-prunable " +
+            "stats")
+        val schema = spark.read.parquet(staging.toString).schema
+        for (rel <- missing; c <- statsCols.sorted;
+             if schema.fieldNames.contains(c)) yield {
+          import org.apache.spark.sql.types._
+          val kind = schema(c).dataType match {
+            case _: NumericType | BooleanType => "num"
+            case _                            => "str"
+          }
+          statsLine(relToTarget(rel), c, ColStats(kind, None, None, 0L, 0L))
+        }
+      }
+      lines ++ emptyLines
     }
     val body = (sourceUris.map("uri\t" + _) ++
       targets.map { case (_, t) => "target\t" + t } ++
