@@ -712,4 +712,30 @@ object StreamingIngest {
         count(lit(1)).as("n"),
         sum(col(valueCol)).as("sum_value"),
         avg(col(valueCol)).as("avg_value"))
+
+  /** STREAM-STREAM interval join — the streaming face of
+    * [[graft.operators.IntervalJoin]]: inner-join two event streams on
+    * a key, keeping right events inside `[left time, left time +
+    * window]` (inclusive; the click→conversion attribution shape).
+    * Both sides carry watermarks and the join condition carries the
+    * event-time range, which is exactly what Spark's symmetric hash
+    * join needs to BOUND its state: a buffered left row is evicted once
+    * the right watermark passes its window end, and right input older
+    * than the watermark is filtered before it can re-match — without
+    * the range the state grows with the stream forever. Append-mode
+    * output; column sets must be disjoint (alias before joining).
+    */
+  def streamIntervalJoin(left: DataFrame, lKey: String, lTime: String,
+      right: DataFrame, rKey: String, rTime: String,
+      delay: String, window: String): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"[graft] streamIntervalJoin column collision on " +
+        s"${shared.mkString(",")} — alias one side before joining")
+    left.withWatermark(lTime, delay)
+      .join(right.withWatermark(rTime, delay),
+        col(lKey) === col(rKey) &&
+          col(rTime) >= col(lTime) &&
+          col(rTime) <= col(lTime) + expr(s"INTERVAL $window"))
+  }
 }

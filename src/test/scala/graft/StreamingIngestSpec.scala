@@ -712,6 +712,67 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: cross-batch matches emit, the " +
+      "window bounds the pairing, and input behind the watermark is " +
+      "filtered before it can re-match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val buys = MemoryStream[(String, java.sql.Timestamp)]
+    val joined = StreamingIngest.streamIntervalJoin(
+      clicks.toDF().toDF("ck", "ct"), "ck", "ct",
+      buys.toDF().toDF("bk", "bt"), "bk", "bt",
+      delay = "5 minutes", window = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def pairs() = spark.table("attrib")
+        .select(col("ck"), col("ct").cast("string"),
+          col("bt").cast("string"))
+        .as[(String, String, String)].collect().toSeq.sorted
+
+      // batch 1: same-batch match for a; b's click buffers unmatched
+      clicks.addData(("a", ts("2026-01-01 10:00:00")),
+        ("b", ts("2026-01-01 10:00:00")))
+      buys.addData(("a", ts("2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(pairs() == Seq(
+        ("a", "2026-01-01 10:00:00", "2026-01-01 10:05:00")))
+
+      // batch 2: b's conversion arrives later — the buffered click
+      // state matches it across batches; a purchase OUTSIDE b's
+      // 10-minute window pairs with nothing
+      buys.addData(("b", ts("2026-01-01 10:08:00")),
+        ("b", ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      assert(pairs() == Seq(
+        ("a", "2026-01-01 10:00:00", "2026-01-01 10:05:00"),
+        ("b", "2026-01-01 10:00:00", "2026-01-01 10:08:00")))
+
+      // advance both watermarks well past 10:15 (event time 12:00,
+      // delay 5 min -> watermark ~11:55), committed by an extra cycle
+      clicks.addData(("c", ts("2026-01-01 12:00:00")))
+      buys.addData(("c", ts("2026-01-01 12:01:00")))
+      q.processAllAvailable()
+      clicks.addData(("d", ts("2026-01-01 12:02:00")))
+      buys.addData(("d", ts("2026-01-01 12:03:00")))
+      q.processAllAvailable()
+      val n3 = pairs().size
+      assert(n3 == 4) // c and d both matched
+
+      // a VERY late purchase for a (10:06, far behind the ~11:57
+      // watermark): filtered at input — no duplicate attribution even
+      // though it would satisfy the raw join predicate
+      buys.addData(("a", ts("2026-01-01 10:06:00")))
+      q.processAllAvailable()
+      assert(pairs().size == n3)
+    } finally q.stop()
+  }
+
   test("windowed channel stats: tumbling window with watermark (batch-run)") {
     import spark.implicits._
     val df = Seq(
