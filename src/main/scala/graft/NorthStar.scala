@@ -717,6 +717,41 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // MERGE/upsert promoted to an oracle query: ingest events as 8
+    // range-clustered files, then one mergeInto whose source doubles
+    // every 10th event's value (updates, by key) and adds negated
+    // copies of every 97th event under fresh keys beyond max(id)
+    // (inserts) — one atomic snapshot, replacements routed to the 8
+    // candidate files by the skipping stats, readers never see the
+    // deleted-but-not-reinserted middle state. The oracle replays
+    // update as CASE and insert as UNION ALL.
+    "q124_merge_upsert" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q124_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      val src = ev.where(pmod(col("event_id"), lit(10L)) === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") * 2).as("value"))
+        .unionByName(ev.where(pmod(col("event_id"), lit(97L)) === 0)
+          .select((col("event_id") + n).as("event_id"),
+            col("event_type"), (-col("value")).as("value")))
+      ManifestSink.mergeInto(s, tmp, src, "event_id",
+        statsCols = Seq("event_id"))
+      ManifestSink.readBack(s, tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // PageRank over a deterministic event-derived link graph (users →
     // hashed targets): 5 damped power iterations, every round an
     // edge-list equi-join (src-partitioned once, reused) + a map-side-
@@ -2445,6 +2480,20 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q124_merge_upsert" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
+         upd AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END
+               AS value
+           FROM events),
+         ins AS (SELECT event_id + nid AS event_id, event_type,
+             -value AS value
+           FROM events, b WHERE event_id % 97 = 0),
+         t AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM t GROUP BY event_type ORDER BY event_type""",
     "q123_cow_maintenance" ->
       """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
          t AS (SELECT event_id, event_type,

@@ -470,6 +470,28 @@ object ManifestSink extends Ingest.DestinationSink {
     final case class IsNull(column: String) extends SkipPredicate
     /** `column IS NOT NULL` — prunes all-null files. */
     final case class IsNotNull(column: String) extends SkipPredicate
+    /** Conjunction: a file is read only if EVERY conjunct's stats say
+      * it may match — file sets intersect, which is the whole point of
+      * Z-ordered layouts (a two-column slab query prunes on both axes
+      * at once). `column` reports the first conjunct's (metrics only).
+      */
+    final case class And(preds: Seq[SkipPredicate]) extends SkipPredicate {
+      require(preds.nonEmpty, "[graft] SkipPredicate.And: empty")
+      override def column: String = preds.head.column
+    }
+  }
+
+  /** [[mayMatch]] lifted to a whole file: conjunctions consult each
+    * conjunct's own column stats; a column with no stats is
+    * conservative for that conjunct only.
+    */
+  private def mayMatchFile(stats: Map[(String, String), ColStats],
+      t: String, pred: SkipPredicate): Boolean = pred match {
+    case SkipPredicate.And(ps) => ps.forall(p => mayMatchFile(stats, t, p))
+    case p => stats.get((t, p.column)) match {
+      case Some(st) => mayMatch(p, st)
+      case None     => true
+    }
   }
 
   /** Can a file with `st` stats contain a row matching `pred`? Files with
@@ -481,6 +503,9 @@ object ManifestSink extends Ingest.DestinationSink {
     def allNull = st.min.isEmpty && st.max.isEmpty &&
       st.nulls >= 0 && st.rows >= 0 && st.nulls == st.rows
     pred match {
+      case SkipPredicate.And(ps) =>
+        ps.forall(p => mayMatch(p, st)) // same-column conjunction;
+      // cross-column goes through mayMatchFile
       case SkipPredicate.NumRange(_, lo, hi) =>
         if (st.kind != "num") true
         else (st.min, st.max) match {
@@ -519,6 +544,7 @@ object ManifestSink extends Ingest.DestinationSink {
     case SkipPredicate.StrEq(c, v) => col(c).cast("string") === v
     case SkipPredicate.IsNull(c) => col(c).isNull
     case SkipPredicate.IsNotNull(c) => col(c).isNotNull
+    case SkipPredicate.And(ps) => ps.map(residual).reduce(_ && _)
   }
 
   /** [[append]] that also records per-file min/max for `statsCols` in the
@@ -574,12 +600,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return spark.emptyDataFrame
     val stats = fileStatsOf(fs, mfs)
-    val keep = targets.filter { t =>
-      stats.get((t, pred.column)) match {
-        case Some(st) => mayMatch(pred, st)
-        case None     => true // no stats -> cannot prune
-      }
-    }
+    val keep = targets.filter(t => mayMatchFile(stats, t, pred))
     println(s"METRIC graft.skipping.files_total=${targets.length} " +
       s"files_read=${keep.length} col=${pred.column} dest=$destPath")
     if (keep.isEmpty)
@@ -963,12 +984,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsByTgt: Map[String, Seq[String]] =
       stats.keys.groupBy(_._1).map { case (t, ks) =>
         t -> ks.map(_._2).toSeq.sorted }
-    val candidates = targets.filter { t =>
-      stats.get((t, pred.column)) match {
-        case Some(st) => mayMatch(pred, st)
-        case None     => true
-      }
-    }
+    val candidates = targets.filter(t => mayMatchFile(stats, t, pred))
     println(s"METRIC graft.rewrite.files_total=${targets.length} " +
       s"candidates=${candidates.length} col=${pred.column} dest=$destPath")
     if (candidates.isEmpty) return 0L
@@ -1083,11 +1099,86 @@ object ManifestSink extends Ingest.DestinationSink {
         stats.get((t, c)).map(st => statsLine(t, c, st)))
     }
     onBeforeRewriteCommit()
+    if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
+        survivors, carriedStats ++ newStats.toSeq, old,
+        moves.map(_._2).toSeq)) {
+      println(s"METRIC graft.rewrite.aborted_log_advanced=1 " +
+        s"base_version=$baseVersion dest=$destPath")
+      return 0L
+    }
+    println(s"METRIC graft.rewrite.matched_rows=$totalMatched " +
+      s"rewritten=${rewrites.length} dropped=${dropped.size} " +
+      s"snapshot_version=${baseVersion + 1} dest=$destPath")
+    totalMatched
+  }
+
+  /** Typed stats lines for a STAGED directory, keyed to final target
+    * names. EMPTY part files never appear in the stats aggregate (no
+    * rows → no `input_file_name` group) — without a line they'd be read
+    * conservatively by every skipping predicate forever, so they are
+    * recorded as rows=0 all-null stats, which [[mayMatch]] prunes under
+    * every predicate class. Guarded: if a file missing from the
+    * aggregate actually holds rows, the path mapping is broken and
+    * silently writing rows=0 would MIS-prune committed data — fail the
+    * write instead.
+    */
+  private def statsLinesFor(spark: SparkSession, fs: FileSystem,
+      staged: Path, relToTarget: Map[String, String],
+      statsCols: Seq[String]): Seq[String] = {
+    val stagedPath = fs.makeQualified(staged).toUri.getPath
+    val byFile = fileStatsOfParquet(spark, staged.toString, statsCols)
+    val present = byFile.keys.map { case (f, _) =>
+      new Path(new java.net.URI(f)).toUri.getPath
+        .stripPrefix(stagedPath + "/")
+    }.toSet
+    val lines = byFile.toSeq
+      .sortBy { case ((f, c), _) => (f, c) }
+      .flatMap { case ((file, c), st) =>
+        val rel = new Path(new java.net.URI(file))
+          .toUri.getPath.stripPrefix(stagedPath + "/")
+        relToTarget.get(rel).map(tgt => statsLine(tgt, c, st))
+      }
+    val missing = relToTarget.keys.toSeq.sorted.filterNot(present)
+    val emptyLines = if (missing.isEmpty) Nil else {
+      val held = spark.read.parquet(
+        missing.map(r => new Path(staged, r).toString): _*).count()
+      require(held == 0L,
+        s"[graft] stats: ${missing.length} staged files missing from " +
+          s"the stats aggregate still hold $held rows — stats path " +
+          "mapping is broken; refusing to commit mis-prunable stats")
+      val schema = spark.read.parquet(staged.toString).schema
+      for (rel <- missing; c <- statsCols.sorted;
+           if schema.fieldNames.contains(c)) yield {
+        import org.apache.spark.sql.types._
+        val kind = schema(c).dataType match {
+          case _: NumericType | BooleanType => "num"
+          case _                            => "str"
+        }
+        statsLine(relToTarget(rel), c, ColStats(kind, None, None, 0L, 0L))
+      }
+    }
+    lines ++ emptyLines
+  }
+
+  /** Shared snapshot-commit tail for the maintenance rewriters
+    * ([[rewriteWhere]], [[mergeInto]]): write the snapshot manifest,
+    * claim `baseVersion + 1` under the commit lock IF the log has not
+    * advanced past the captured listing, and either clean up the
+    * superseded manifests (true) or sweep the never-referenced new
+    * files and the staged attempt (false — caller retries).
+    */
+  private def commitSnapshot(spark: SparkSession, destPath: String,
+      writeId: String, staging: Path, baseVersion: Long,
+      survivors: Seq[String], statsLines: Seq[String], old: Seq[Path],
+      newFiles: Seq[String]): Boolean = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val sroot = stagingRoot(destPath)
     val version = baseVersion + 1
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
     writeFile(fs, tmp,
       (Seq("snapshot\t1") ++ survivors.map("target\t" + _) ++
-        carriedStats ++ newStats).mkString("\n"))
+        statsLines).mkString("\n"))
     val fin =
       new Path(logPath(destPath), f"$version%012d__$writeId.manifest")
     val committed = commitLock(fs, destPath).synchronized {
@@ -1097,23 +1188,234 @@ object ManifestSink extends Ingest.DestinationSink {
       nowMax == baseVersion && fs.rename(tmp, fin)
     }
     if (!committed) {
-      moves.foreach { case (_, t) => fs.delete(new Path(dest, t), false) }
+      newFiles.foreach(t => fs.delete(new Path(dest, t), false))
       fs.delete(tmp, false)
       fs.delete(staging, true)
       if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
         fs.delete(sroot, true)
-      println(s"METRIC graft.rewrite.aborted_log_advanced=1 " +
-        s"base_version=$baseVersion dest=$destPath")
-      return 0L
+      return false
     }
     old.foreach(mf => fs.delete(mf, false))
     fs.delete(staging, true)
     if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
       fs.delete(sroot, true)
-    println(s"METRIC graft.rewrite.matched_rows=$totalMatched " +
-      s"rewritten=${rewrites.length} dropped=${dropped.size} " +
-      s"snapshot_version=$version dest=$destPath")
-    totalMatched
+    true
+  }
+
+  /** MERGE / upsert-by-key (Delta's `MERGE WHEN MATCHED UPDATE SET * /
+    * WHEN NOT MATCHED INSERT *`): every source row either REPLACES the
+    * destination rows sharing its `keyCol` or inserts as a new row —
+    * one atomic snapshot, so readers never see the
+    * deleted-but-not-yet-reinserted middle state a delete+append pair
+    * would expose.
+    *
+    * Scale shape: candidate files come from the skipping stats (key
+    * range vs the source's min/max — the CDC-upsert shape where a batch
+    * touches a narrow recent-key band rewrites a handful of files, not
+    * the table); ONE distributed pass counts per-file key matches, so
+    * range false positives stay byte-identical; each matched file
+    * rewrites via an anti-join against the (broadcast) source keys; the
+    * full source appends as fresh files with `statsCols` stats. Commit,
+    * crash windows, and the concurrent-append abort ride the same
+    * captured-log protocol as [[optimize]]/[[rewriteWhere]].
+    *
+    * `source` must be key-unique (checked — two source rows for one key
+    * have no deterministic winner). Returns `(updatedKeys,
+    * insertedRows)`.
+    */
+  def mergeInto(spark: SparkSession, destPath: String, source: DataFrame,
+      keyCol: String, partitionField: Option[String] = None,
+      statsCols: Seq[String] = Nil): (Long, Long) = {
+    require(source.columns.contains(keyCol),
+      s"[graft] mergeInto: source lacks key column '$keyCol'")
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val src = source.localCheckpoint()
+    val nSrc = src.count()
+    if (nSrc == 0) return (0L, 0L)
+    val nKeys = src.select(col(keyCol)).distinct().count()
+    require(nKeys == nSrc,
+      s"[graft] mergeInto: source has $nSrc rows but only $nKeys " +
+        s"distinct '$keyCol' keys — two source rows for one key have " +
+        "no deterministic winner; dedupe upstream")
+    val old = manifests(fs, destPath)
+    val targets = effectiveTargetsOf(fs, old)
+    if (targets.isEmpty) {
+      // empty/new table: a merge is a plain insert
+      if (statsCols.isEmpty) append(src, destPath, partitionField)
+      else statsAppend(src, destPath, partitionField, statsCols)
+      return (0L, nSrc)
+    }
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.merge.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return (0L, 0L)
+    }
+    val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val stats = fileStatsOf(fs, old)
+    val statsByTgt: Map[String, Seq[String]] =
+      stats.keys.groupBy(_._1).map { case (t, ks) =>
+        t -> ks.map(_._2).toSeq.sorted }
+    // candidate pruning: the source's key envelope as a range predicate
+    // against each file's stats (numeric or string kind, built from the
+    // source schema) — reuses mayMatch, so truncation/all-null rules hold
+    val keyIsNum = {
+      import org.apache.spark.sql.types._
+      src.schema(keyCol).dataType match {
+        case _: NumericType | BooleanType => true
+        case _                            => false
+      }
+    }
+    val keyPred: Option[SkipPredicate] = {
+      val r =
+        if (keyIsNum) src.agg(min(col(keyCol).cast("double")),
+          max(col(keyCol).cast("double"))).head
+        else src.agg(min(col(keyCol).cast("string")),
+          max(col(keyCol).cast("string"))).head
+      if (r.isNullAt(0)) None // all-null source keys: nothing can match
+      else if (keyIsNum)
+        Some(SkipPredicate.NumRange(keyCol, r.getDouble(0),
+          r.getDouble(1)))
+      else
+        Some(SkipPredicate.StrRange(keyCol, r.getString(0),
+          r.getString(1)))
+    }
+    val candidates = keyPred match {
+      case None => Seq.empty[String]
+      case Some(kp) => targets.filter { t =>
+        stats.get((t, keyCol)) match {
+          case Some(st) => mayMatch(kp, st)
+          case None     => true
+        }
+      }
+    }
+    println(s"METRIC graft.merge.files_total=${targets.length} " +
+      s"candidates=${candidates.length} key=$keyCol dest=$destPath")
+    val srcKeys = src.select(col(keyCol))
+    // ONE distributed pass: per-candidate matched-row counts plus the
+    // exact matched-KEY count (insert count = nSrc - matched keys)
+    val (matchedOf, updatedKeys): (Map[String, Long], Long) =
+      if (candidates.isEmpty) (Map.empty, 0L)
+      else {
+        val qualOf: Map[String, String] = candidates.map { rel =>
+          fs.makeQualified(new Path(dest, rel)).toUri.getPath -> rel
+        }.toMap
+        val cand = spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(rel =>
+            new Path(dest, rel).toString): _*)
+        val perFile = cand
+          .select(input_file_name().as("__f"), col(keyCol))
+          .join(broadcast(srcKeys), Seq(keyCol))
+          .groupBy(col("__f")).agg(count(lit(1)).as("matched"))
+          .collect().map { r =>
+            val p = new Path(new java.net.URI(r.getString(0)))
+              .toUri.getPath
+            qualOf(p) -> r.getLong(1)
+          }.toMap
+        val mk = srcKeys
+          .join(cand.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .count()
+        (perFile, mk)
+      }
+    val touched = candidates.filter(t => matchedOf.getOrElse(t, 0L) > 0)
+    val replacedRows = touched.map(matchedOf).sum
+
+    val writeId = "mg" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(14)
+    val staging = stagingDir(destPath, writeId)
+    fs.mkdirs(staging)
+    val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val newStats = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      // matched files: keep only rows whose key is absent from source
+      touched.zipWithIndex.foreach { case (rel, k) =>
+        val parent = {
+          val i = rel.lastIndexOf('/')
+          if (i < 0) "" else rel.substring(0, i + 1)
+        }
+        val rwOut = new Path(staging, s"rw_$k")
+        spark.read.parquet(new Path(dest, rel).toString)
+          .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
+          .coalesce(1).write.mode("overwrite").parquet(rwOut.toString)
+        val part = fs.listStatus(rwOut).map(_.getPath)
+          .find(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"[graft] mergeInto: no part file under $rwOut"))
+        val target = s"$parent$writeId-$k.parquet"
+        moves += ((part, target))
+        val cols = statsByTgt.getOrElse(rel, Nil)
+        if (cols.nonEmpty)
+          newStats ++= statsLinesFor(spark, fs, rwOut,
+            Map(part.getName -> target), cols)
+      }
+      // the whole source appends as fresh files (replacements + inserts)
+      val insOut = new Path(staging, "ins")
+      val writer = partitionField match {
+        case Some(f) =>
+          src.withColumn(Ingest.PartitionCol, to_date(col(f)))
+            .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+        case None => src.write.mode("overwrite")
+      }
+      writer.parquet(insOut.toString)
+      val insQ = fs.makeQualified(insOut).toString
+      val insStaged = listFilesRec(fs, insOut).map(_._1)
+        .filter(p => !p.getName.startsWith("_") &&
+          !p.getName.startsWith("."))
+        .map(p => fs.makeQualified(p).toString.stripPrefix(insQ + "/"))
+        .sorted
+      val insTargets = insStaged.zipWithIndex.map { case (rel, i) =>
+        val dir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case k  => rel.substring(0, k + 1)
+        }
+        (rel, s"$dir$writeId-ins-$i.parquet")
+      }
+      if (statsCols.nonEmpty)
+        newStats ++= statsLinesFor(spark, fs, insOut,
+          insTargets.toMap, statsCols)
+      insTargets.foreach { case (rel, target) =>
+        moves += ((new Path(insOut, rel), target))
+      }
+      writeFile(fs, new Path(staging, WaManifest),
+        moves.map("target\t" + _._2).mkString("\n"))
+      moves.foreach { case (part, target) =>
+        val tgt = new Path(dest, target)
+        fs.mkdirs(tgt.getParent)
+        require(fs.rename(part, tgt),
+          s"[graft] mergeInto move failed: $tgt")
+      }
+    } catch {
+      case e: Throwable =>
+        moves.foreach { case (_, t) =>
+          fs.delete(new Path(dest, t), false) }
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        throw e
+    }
+
+    val replaced = touched.toSet
+    val survivors = targets.filterNot(replaced) ++ moves.map(_._2)
+    val carriedStats = targets.filterNot(replaced).flatMap { t =>
+      statsByTgt.getOrElse(t, Nil).flatMap(c =>
+        stats.get((t, c)).map(st => statsLine(t, c, st)))
+    }
+    onBeforeRewriteCommit()
+    if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
+        survivors, carriedStats ++ newStats.toSeq, old,
+        moves.map(_._2).toSeq)) {
+      println(s"METRIC graft.merge.aborted_log_advanced=1 " +
+        s"base_version=$baseVersion dest=$destPath")
+      return (0L, 0L)
+    }
+    println(s"METRIC graft.merge.updated_keys=$updatedKeys " +
+      s"replaced_rows=$replacedRows inserted=${nSrc - updatedKeys} " +
+      s"rewritten=${touched.length} " +
+      s"snapshot_version=${baseVersion + 1} dest=$destPath")
+    (updatedKeys, nSrc - updatedKeys)
   }
 
   override def stagedAppend(df: DataFrame, destPath: String,
@@ -1224,50 +1526,9 @@ object ManifestSink extends Ingest.DestinationSink {
     // pruning — ONE distributed job over the staged files, keyed back to
     // target names by file path (stats columns must be DATA columns; a
     // partition column lives in the directory name, not the file)
-    val statsLines: Seq[String] = if (statsCols.isEmpty) Nil else {
-      val stagingPath = fs.makeQualified(staging).toUri.getPath
-      val relToTarget = targets.toMap
-      val byFile = fileStatsOfParquet(spark, staging.toString, statsCols)
-      val present = byFile.keys.map { case (f, _) =>
-        new Path(new java.net.URI(f)).toUri.getPath
-          .stripPrefix(stagingPath + "/")
-      }.toSet
-      val lines = byFile.toSeq
-        .sortBy { case ((f, c), _) => (f, c) }
-        .flatMap { case ((file, c), st) =>
-          val rel = new Path(new java.net.URI(file))
-            .toUri.getPath.stripPrefix(stagingPath + "/")
-          relToTarget.get(rel).map(tgt => statsLine(tgt, c, st))
-        }
-      // EMPTY part files never appear in the stats aggregate (no rows →
-      // no input_file_name group) — without a line they'd be read
-      // conservatively by every skipping predicate forever. Record them
-      // as rows=0 all-null stats, which mayMatch prunes under every
-      // predicate class. Guarded: if a "missing" file actually holds
-      // rows, the path mapping is broken and silently writing rows=0
-      // would MIS-prune committed data — fail the append instead.
-      val missing = targets.map(_._1).filterNot(present)
-      val emptyLines = if (missing.isEmpty) Nil else {
-        val held = spark.read.parquet(
-          missing.map(r => new Path(staging, r).toString): _*).count()
-        require(held == 0L,
-          s"[graft] statsAppend: ${missing.length} staged files missing " +
-            s"from the stats aggregate still hold $held rows — stats " +
-            "path mapping is broken; refusing to commit mis-prunable " +
-            "stats")
-        val schema = spark.read.parquet(staging.toString).schema
-        for (rel <- missing; c <- statsCols.sorted;
-             if schema.fieldNames.contains(c)) yield {
-          import org.apache.spark.sql.types._
-          val kind = schema(c).dataType match {
-            case _: NumericType | BooleanType => "num"
-            case _                            => "str"
-          }
-          statsLine(relToTarget(rel), c, ColStats(kind, None, None, 0L, 0L))
-        }
-      }
-      lines ++ emptyLines
-    }
+    val statsLines: Seq[String] =
+      if (statsCols.isEmpty) Nil
+      else statsLinesFor(spark, fs, staging, targets.toMap, statsCols)
     val body = (sourceUris.map("uri\t" + _) ++
       targets.map { case (_, t) => "target\t" + t } ++
       statsLines).mkString("\n")

@@ -1074,6 +1074,86 @@ class ManifestSinkSpec extends SparkSpec {
       .where(col("v") === "x").count() == 11)
   }
 
+  test("mergeInto upsert: matched keys replace, new keys insert, one " +
+      "atomic snapshot — stats-excluded files stay untouched bytes, " +
+      "duplicate-key sources are refused, and a concurrent append " +
+      "aborts cleanly") {
+    val root = tmpDir("msinkmrg_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        dest, None, statsCols = Seq("id"))
+    val filesBefore = ManifestSink.readBack(spark, dest).inputFiles.toSet
+
+    // source: 10 updates inside file 1's range + 5 brand-new keys
+    val srcRows = (150L until 160L).map(i => (i, s"UP$i")) ++
+      (1000L until 1005L).map(i => (i, s"NEW$i"))
+    val (upd, ins) = ManifestSink.mergeInto(spark, dest,
+      srcRows.toDF("id", "v").coalesce(1), "id",
+      statsCols = Seq("id"))
+    assert((upd, ins) == (10L, 5L))
+    val got = ManifestSink.readBack(spark, dest)
+    assert(got.count() == 405)
+    // replaced values read back NEW, others OLD
+    assert(got.where(col("v").startsWith("UP")).count() == 10)
+    assert(got.where(col("id") === 155 && col("v") === "UP155")
+      .count() == 1)
+    assert(got.where(col("id") === 42 && col("v") === "v42").count() == 1)
+    assert(got.where(col("v").startsWith("NEW")).count() == 5)
+    // only file 1 rewrote: the other three kept their exact paths
+    assert(got.inputFiles.toSet.intersect(filesBefore).size == 3)
+    // stats: an old range outside the source's wide envelope still
+    // prunes to its one file; the new-key band routes to the inserted
+    // file(s) only
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 50, 60)
+      .inputFiles.length == 1)
+    val newBand = ManifestSink.readBackWhere(spark, dest, "id", 1000, 1004)
+    assert(newBand.count() == 5)
+    assert(newBand.inputFiles.toSet.intersect(filesBefore).isEmpty)
+
+    // second merge with the SAME source is idempotent on content: all
+    // 15 keys now exist, so 15 updates / 0 inserts
+    assert(ManifestSink.mergeInto(spark, dest,
+      srcRows.toDF("id", "v").coalesce(1), "id",
+      statsCols = Seq("id")) == ((15L, 0L)))
+    assert(ManifestSink.readBack(spark, dest).count() == 405)
+
+    // duplicate-key source is refused before anything stages
+    intercept[IllegalArgumentException] {
+      ManifestSink.mergeInto(spark, dest,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "v"), "id")
+    }
+    assert(ManifestSink.readBack(spark, dest).count() == 405)
+
+    // merge into an empty table is a plain insert
+    val dest2 = s"$root/wh/t2"
+    assert(ManifestSink.mergeInto(spark, dest2,
+      Seq((1L, "x")).toDF("id", "v"), "id",
+      statsCols = Seq("id")) == ((0L, 1L)))
+    assert(ManifestSink.readBack(spark, dest2).count() == 1)
+
+    // concurrent append between rewrite and commit aborts the merge;
+    // retry succeeds
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.append(Seq((7777L, "late")).toDF("id", "v"),
+        dest, None)
+    try {
+      assert(ManifestSink.mergeInto(spark, dest,
+        Seq((0L, "RETRY")).toDF("id", "v"), "id") == ((0L, 0L)))
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    val afterAbort = ManifestSink.readBack(spark, dest)
+    assert(afterAbort.count() == 406)
+    assert(afterAbort.where(col("v") === "RETRY").count() == 0)
+    assert(ManifestSink.mergeInto(spark, dest,
+      Seq((0L, "RETRY")).toDF("id", "v"), "id") == ((1L, 0L)))
+    val end = ManifestSink.readBack(spark, dest)
+    assert(end.count() == 406)
+    assert(end.where(col("id") === 0).count() == 1)
+    assert(end.where(col("v") === "RETRY").count() == 1)
+  }
+
   test("zorder key: rank-bucketed Morton interleave — corner points, " +
       "monotone lanes, null routing, and the bits*k bound") {
     import graft.ingest.ZOrder
@@ -1159,6 +1239,18 @@ class ManifestSinkSpec extends SparkSpec {
     parity("x", 0, n.toDouble); parity("y", 1500, 1600)
     assert(prunedOn("x", 5000, 6000).count() == 0)
     assert(prunedOn("y", 5000, 6000).count() == 0)
+
+    // conjunction pruning: the x AND y slab intersects the two file
+    // sets — reads no more files than either axis alone, full parity
+    val both = ManifestSink.readBackWherePred(spark, dest,
+      ManifestSink.SkipPredicate.And(Seq(
+        ManifestSink.SkipPredicate.NumRange("x", 300, 420),
+        ManifestSink.SkipPredicate.NumRange("y", 300, 420))))
+    assert(both.inputFiles.length <= math.min(readX, readY))
+    assert(both.select("x").as[Long].collect().sorted.toSeq ==
+      ManifestSink.readBack(spark, dest)
+        .where(col("x").between(300, 420) && col("y").between(300, 420))
+        .select("x").as[Long].collect().sorted.toSeq)
 
     // contrast: the same shape compacted with lexicographic
     // clusterBy(x, y) — x prunes, y reads EVERY file (each file spans
