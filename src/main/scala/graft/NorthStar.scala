@@ -717,6 +717,21 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // top-200 docs by key ln(u)/w with u the deterministic md5 uniform
+    // and w = length(text)+1 — the quality-weighted subsampling
+    // primitive. Selection rides the bounded-buffer TopK aggregate (at
+    // most k pairs per partition cross the shuffle, no global sort);
+    // only (rank, id) is emitted because ln is not correctly-rounded
+    // across engines while the selected ids are last-ulp-stable.
+    "q125_weighted_sample" -> ((s, dir) => {
+      import graft.operators.Corpus
+      Corpus.weightedSample(
+        docs(s, dir).select(col("doc_id"),
+          (length(col("text")) + 1).cast("double").as("w")),
+        "w", 200)
+    }),
+
     // MERGE/upsert promoted to an oracle query: ingest events as 8
     // range-clustered files, then one mergeInto whose source doubles
     // every 10th event's value (updates, by key) and adds negated
@@ -2480,6 +2495,19 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q125_weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+             CAST(length(text) + 1 AS DOUBLE) AS w FROM documents),
+         keyed AS (SELECT doc_id,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) % 1000000 + 0.5) / 1000000.0) / w
+               AS key
+           FROM w WHERE w > 0),
+         rk AS (SELECT doc_id,
+             row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+           FROM keyed)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id
+         FROM rk WHERE rank <= 200 ORDER BY rank""",
     "q124_merge_upsert" ->
       """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
          upd AS (SELECT event_id, event_type,

@@ -783,6 +783,23 @@ object Stress {
       val left = ManifestSink.readBack(spark, dest).count()
       println(f"STRESS cow_readback             " +
         f"${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=$left")
+      // merge a CDC-shaped batch into the same table: updates for one
+      // slab + inserts beyond the domain — rewrite cost must track the
+      // slab's candidate files, never the table
+      val srcBatch = docs
+        .filter(col("doc_id") >= 20 * per && col("doc_id") < 21 * per)
+        .select(col("doc_id"), lit("merged").as("merged_marker"))
+        .unionByName(spark.range(500)
+          .select((col("id") + 100L * nDocs0 * repl).as("doc_id"),
+            lit("fresh").as("merged_marker")))
+      val t2 = System.nanoTime()
+      val (u, i) = ManifestSink.mergeInto(spark, dest,
+        srcBatch.select(col("doc_id"),
+          col("merged_marker").as("text")),
+        "doc_id", statsCols = Seq("doc_id"))
+      println(f"STRESS cow_merge                " +
+        f"${(System.nanoTime() - t2) / 1e9}%8.2f s  updated=$u " +
+        f"inserted=$i")
     }
     // Same ladder with the PERSISTED band index: per-batch cost should
     // stay flat-ish as the corpus grows (batch bands + slim index join +

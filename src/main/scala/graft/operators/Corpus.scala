@@ -223,4 +223,37 @@ object Corpus {
     mixtureSample(docs, counts.map { case (g, n) => g -> rate(n) },
       defaultRate = 0.0, strataCol, idCol)
   }
+
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES):
+    * the exact top-`k` rows by key `ln(u_i) / w_i` (equivalent order to
+    * the classic `u^(1/w)`), where `u_i` is [[mixtureSample]]'s
+    * deterministic md5 uniform shifted off zero (`(bucket + 0.5)/1e6`)
+    * — a higher weight systematically pulls the key toward 0 (larger),
+    * so inclusion probability scales with `w`, reproducibly run-to-run
+    * and engine-to-engine. The quality-weighted corpus-subsampling
+    * primitive ("sample 1M docs ∝ quality score").
+    *
+    * Scale shape: the key is a row-local expression; selection rides
+    * the bounded-buffer [[TopK]] aggregate — at most k (key, id) pairs
+    * per partition cross the shuffle, no global sort, no window. Rows
+    * with null/non-positive weight are excluded (a zero weight has
+    * key -∞; A-ES is undefined for negatives). Ties (astronomically
+    * rare for continuous keys) break by smaller id, [[TopK]]'s rule.
+    * Returns `(rank, id)` — the key itself is deliberately not emitted:
+    * `ln` is not correctly-rounded across engines, and the ids are
+    * last-ulp-stable while the raw keys are not.
+    */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && k <= (1 << 20),
+      s"[graft] weightedSample k in [1, 2^20], got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % lit(1000000L) + lit(0.5)) / lit(1000000.0)
+    val key = log(u) / col(weightCol).cast("double")
+    docs.where(col(weightCol).cast("double") > 0)
+      .agg(TopK.topK(key, col(idCol), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol))
+  }
 }

@@ -195,4 +195,37 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("weightedSample (A-ES): matches the exact reference selection " +
+      "and order, favors heavy weights, excludes non-positive weights, " +
+      "and is repartition-stable") {
+    import org.apache.spark.sql.functions._
+    def refU(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L)
+        + 0.5) / 1000000.0
+    }
+    // 500 light docs + 10 heavy ones; weight drives inclusion
+    val rows = (0L until 500L).map(i => (i, 1.0)) ++
+      (500L until 510L).map(i => (i, 5000.0)) ++
+      Seq((900L, 0.0), (901L, -3.0)) // excluded
+    val df = rows.toDF("doc_id", "w")
+    val got = Corpus.weightedSample(df, "w", 25)
+      .as[(Long, Long)].collect().toSeq
+    val want = rows.filter(_._2 > 0)
+      .map { case (id, w) => (math.log(refU(id)) / w, id) }
+      .sortBy { case (key, id) => (-key, id) }
+      .take(25).zipWithIndex
+      .map { case ((_, id), i) => (i + 1L, id) }
+    assert(got == want)
+    // all 10 heavy docs made the top 25
+    assert((500L until 510L).forall(id => got.exists(_._2 == id)))
+    assert(!got.exists(r => r._2 == 900L || r._2 == 901L))
+    // stable under repartitioning
+    val again = Corpus.weightedSample(df.repartition(7), "w", 25)
+      .as[(Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }
