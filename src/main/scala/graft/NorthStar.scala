@@ -717,6 +717,32 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // Metadata-only partition drop promoted to an oracle query: events
+    // ingested PARTITIONED by event date, two dates dropped by manifest
+    // edit alone — zero data bytes read or written (deleteWhere's
+    // copy-on-write would be pure waste: the partition value lives in
+    // the directory name, so the manifest simply stops listing those
+    // files) — then the survivors aggregate. Oracle: NOT IN on the
+    // casted date.
+    "q126_partition_drop" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q126_").toString
+      ManifestSink.append(ev, tmp, Some("ts"))
+      ManifestSink.dropPartitions(s, tmp,
+        Seq("2024-01-03", "2024-01-07"))
+      ManifestSink.readBack(s, tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // top-200 docs by key ln(u)/w with u the deterministic md5 uniform
     // and w = length(text)+1 — the quality-weighted subsampling
@@ -2495,6 +2521,14 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q126_partition_drop" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events
+         WHERE CAST(ts AS DATE) NOT IN
+           (DATE '2024-01-03', DATE '2024-01-07')
+         GROUP BY event_type ORDER BY event_type""",
     "q125_weighted_sample" ->
       """WITH w AS (SELECT doc_id,
              CAST(length(text) + 1 AS DOUBLE) AS w FROM documents),

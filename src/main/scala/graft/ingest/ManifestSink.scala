@@ -1418,6 +1418,65 @@ object ManifestSink extends Ingest.DestinationSink {
     (updatedKeys, nSrc - updatedKeys)
   }
 
+  /** METADATA-ONLY partition drop (Delta's partition-predicate DELETE
+    * fast path): remove every file under the named partition values in
+    * ONE snapshot commit that reads and writes ZERO data bytes — the
+    * retention/GDPR shape ("drop everything before date X") where
+    * [[deleteWhere]]'s copy-on-write rewrite would be pure waste (the
+    * partition column lives in the directory name, not the files, so
+    * there is nothing to rewrite — the manifest simply stops listing
+    * those files). Replaced files stay on disk for in-flight readers
+    * until [[vacuum]]; concurrent appends ride the same captured-log
+    * abort protocol. Returns the number of files dropped.
+    */
+  def dropPartitions(spark: SparkSession, destPath: String,
+      values: Seq[String],
+      partitionCol: String = Ingest.PartitionCol): Long = {
+    require(values.nonEmpty, "[graft] dropPartitions: empty value list")
+    require(values.forall(v => !v.contains('/') && !v.contains("..")),
+      s"[graft] dropPartitions: values must be plain partition values: " +
+        values.mkString(","))
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return 0L
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.dropparts.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return 0L
+    }
+    val old = manifests(fs, destPath)
+    val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, old)
+    val prefixes = values.map(v => s"$partitionCol=$v/")
+    val dropped = targets.filter(t => prefixes.exists(t.startsWith)).toSet
+    if (dropped.isEmpty) return 0L
+    val stats = fileStatsOf(fs, old)
+    val statsByTgt: Map[String, Seq[String]] =
+      stats.keys.groupBy(_._1).map { case (t, ks) =>
+        t -> ks.map(_._2).toSeq.sorted }
+    val survivors = targets.filterNot(dropped)
+    val carriedStats = survivors.flatMap { t =>
+      statsByTgt.getOrElse(t, Nil).flatMap(c =>
+        stats.get((t, c)).map(st => statsLine(t, c, st)))
+    }
+    val writeId = "dp" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(14)
+    val staging = stagingDir(destPath, writeId)
+    fs.mkdirs(staging) // empty attempt dir: uniform commit protocol
+    if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
+        survivors, carriedStats, old, Nil)) {
+      println(s"METRIC graft.dropparts.aborted_log_advanced=1 " +
+        s"base_version=$baseVersion dest=$destPath")
+      return 0L
+    }
+    println(s"METRIC graft.dropparts.files=${dropped.size} " +
+      s"values=${values.mkString(",")} " +
+      s"snapshot_version=${baseVersion + 1} dest=$destPath")
+    dropped.size.toLong
+  }
+
   override def stagedAppend(df: DataFrame, destPath: String,
       partitionField: Option[String], writeId: String,
       sourceUris: Seq[String]): Unit =
