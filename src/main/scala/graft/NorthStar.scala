@@ -717,6 +717,55 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // LAKEHOUSE MAINTENANCE CAPSTONE: the full table lifecycle composed
+    // end-to-end — clustered stats ingest → MERGE (updates + inserts) →
+    // copy-on-write DELETE → Z-order OPTIMIZE → conjunction skipping
+    // read — each step a separate atomic snapshot on the same table.
+    // This is where cross-feature bugs hide (merge-written stats must
+    // survive optimize's re-derivation; delete's rewrites must stay
+    // visible through the Morton repack; And-pruning must stay
+    // residual-exact on post-maintenance files). The oracle replays the
+    // whole lifecycle as CASE + UNION ALL + complement filter + the two
+    // slab predicates.
+    "q127_lakehouse_capstone" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      import ManifestSink.SkipPredicate
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q127_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      // merge: double every 10th value; insert negated 97ths under
+      // fresh ids
+      val src = ev.where(pmod(col("event_id"), lit(10L)) === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") * 2).as("value"))
+        .unionByName(ev.where(pmod(col("event_id"), lit(97L)) === 0)
+          .select((col("event_id") + n).as("event_id"),
+            col("event_type"), (-col("value")).as("value")))
+      ManifestSink.mergeInto(s, tmp, src, "event_id",
+        statsCols = Seq("event_id", "value"))
+      // delete one id slab
+      ManifestSink.deleteWhere(s, tmp, SkipPredicate.NumRange(
+        "event_id", (3 * n / 8).toDouble, (4 * n / 8 - 1).toDouble))
+      // Z-order the debris left by merge + delete
+      ManifestSink.optimize(s, tmp, targetBytes = 1L << 18,
+        zorderBy = Seq("event_id", "value"), zorderBits = 4)
+      // conjunction skipping read over the maintained table
+      ManifestSink.readBackWherePred(s, tmp, SkipPredicate.And(Seq(
+        SkipPredicate.NumRange("event_id", 0, (6 * n / 8 - 1).toDouble),
+        SkipPredicate.IsNotNull("value"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Metadata-only partition drop promoted to an oracle query: events
     // ingested PARTITIONED by event date, two dates dropped by manifest
     // edit alone — zero data bytes read or written (deleteWhere's
@@ -2521,6 +2570,26 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q127_lakehouse_capstone" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
+         upd AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END
+               AS value
+           FROM events),
+         ins AS (SELECT event_id + nid AS event_id, event_type,
+             -value AS value
+           FROM events, b WHERE event_id % 97 = 0),
+         t AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         kept AS (SELECT t.* FROM t, b
+           WHERE NOT (event_id >= 3 * nid // 8
+                  AND event_id < 4 * nid // 8))
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM kept, b
+         WHERE event_id >= 0 AND event_id <= 6 * nid // 8 - 1
+           AND value IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "q126_partition_drop" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id,
