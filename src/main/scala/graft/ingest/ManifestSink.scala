@@ -226,6 +226,54 @@ object ManifestSink extends Ingest.DestinationSink {
       .option("basePath", destPath).parquet(files: _*)
   }
 
+  /** CDC-style incremental read (the append-only half of Delta's change
+    * data feed): the rows ADDED in versions `(sinceVersion, untilVersion]`
+    * — a pure METADATA decision (the union of those incremental
+    * manifests' target files; no diffing, no anti-join over table
+    * contents), which is what makes "give me everything since my last
+    * sync" affordable at any table size. Only APPEND commits can appear
+    * in the range: a snapshot commit (compact / optimize / rewrite /
+    * merge / partition drop) rewrites history, so file-set membership no
+    * longer means "new rows" — the call fails loudly rather than return
+    * wrong changes (re-sync from a full read, the Delta CDF contract
+    * when history is vacuumed away). Files deduped against
+    * `sinceVersion`'s set, so a manifest listed twice never
+    * double-counts.
+    */
+  def readAppendsBetween(spark: SparkSession, destPath: String,
+      sinceVersion: Long, untilVersion: Long = Long.MaxValue)
+      : DataFrame = {
+    require(sinceVersion >= -1,
+      s"[graft] readAppendsBetween: sinceVersion >= -1 (-1 = from " +
+        s"table creation), got $sinceVersion")
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val all = manifests(fs, destPath)
+    if (all.isEmpty) return spark.emptyDataFrame
+    def vOf(p: Path): Long = p.getName.takeWhile(_.isDigit).toLong
+    val minV = all.map(vOf).min
+    require(sinceVersion == -1 || sinceVersion >= minV - 1,
+      s"[graft] readAppendsBetween($sinceVersion): history before " +
+        s"v$minV was compacted away — re-sync from a full readBack")
+    val inRange = all.filter(p =>
+      vOf(p) > sinceVersion && vOf(p) <= untilVersion)
+    val parsed = inRange.map(p => (vOf(p), readManifest(fs, p)))
+    parsed.find(_._2._3).foreach { case (v, _) =>
+      throw new IllegalArgumentException(
+        s"[graft] readAppendsBetween: v$v in range is a SNAPSHOT " +
+          "(compact/optimize/rewrite) — file membership no longer " +
+          "means new rows; re-sync from a full readBack")
+    }
+    val prior = all.filter(p => vOf(p) <= sinceVersion)
+      .flatMap(p => readManifest(fs, p)._2).toSet
+    val files = parsed.flatMap(_._2._2).distinct
+      .filterNot(prior)
+      .map(rel => new Path(dest, rel).toString)
+    if (files.isEmpty) return spark.emptyDataFrame
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", destPath).parquet(files: _*)
+  }
+
   /** Collapse the committed log into ONE snapshot manifest (the log grows
     * a file per commit; O(commits) driver-side listing cost on every read
     * eventually wants this). Crash-safe without a lock: the snapshot (the
@@ -1416,6 +1464,36 @@ object ManifestSink extends Ingest.DestinationSink {
       s"rewritten=${touched.length} " +
       s"snapshot_version=${baseVersion + 1} dest=$destPath")
     (updatedKeys, nSrc - updatedKeys)
+  }
+
+  /** CHECK-constrained append (Delta's table constraints): validate the
+    * batch BEFORE anything stages — ONE distributed aggregate counting
+    * violations of every named constraint — and refuse the whole batch
+    * loudly if any row fails. SQL CHECK semantics: a NULL predicate
+    * PASSES (violation = predicate evaluates to false), so
+    * `col("x") > 0` admits null x — add an explicit `isNotNull` check
+    * to forbid it. The batch is localCheckpoint'ed so the rows the
+    * check saw are the rows that commit (a nondeterministic source
+    * cannot sneak violations in between validation and write).
+    */
+  def checkedAppend(df: DataFrame, destPath: String,
+      partitionField: Option[String],
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      statsCols: Seq[String] = Nil): Unit = {
+    require(checks.nonEmpty, "[graft] checkedAppend: no checks — use " +
+      "append()")
+    val batch = df.localCheckpoint()
+    val aggs = checks.map { case (_, c) =>
+      sum(when(not(coalesce(c, lit(true))), 1L).otherwise(0L)) }
+    val r = batch.agg(aggs.head, aggs.tail: _*).head
+    val bad = checks.zipWithIndex
+      .map { case ((name, _), i) => name -> r.getLong(i) }
+      .filter(_._2 > 0)
+    require(bad.isEmpty,
+      s"[graft] checkedAppend: batch refused — constraint violations: " +
+        bad.map { case (n, c) => s"$n($c rows)" }.mkString(", "))
+    if (statsCols.isEmpty) append(batch, destPath, partitionField)
+    else statsAppend(batch, destPath, partitionField, statsCols)
   }
 
   /** METADATA-ONLY partition drop (Delta's partition-predicate DELETE

@@ -1154,6 +1154,71 @@ class ManifestSinkSpec extends SparkSpec {
     assert(end.where(col("v") === "RETRY").count() == 1)
   }
 
+  test("readAppendsBetween: CDC incremental reads are a metadata " +
+      "decision — exact rows per version range, and a snapshot in the " +
+      "range fails loudly instead of lying") {
+    val root = tmpDir("msinkcdc_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 3) // versions 0, 1, 2
+      ManifestSink.append(
+        (b * 10L until b * 10L + 10L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1), dest, None)
+    def ids(since: Long, until: Long = Long.MaxValue) = {
+      val df = ManifestSink.readAppendsBetween(spark, dest, since, until)
+      if (df.columns.isEmpty) Seq.empty[Long]
+      else df.select("id").as[Long].collect().sorted.toSeq
+    }
+    assert(ids(-1) == (0L until 30L))
+    assert(ids(0) == (10L until 30L))
+    assert(ids(1) == (20L until 30L))
+    assert(ids(2) == Seq.empty)
+    assert(ids(0, until = 1) == (10L until 20L))
+    // a fourth append is picked up incrementally
+    ManifestSink.append(Seq((99L, "x")).toDF("id", "v"), dest, None)
+    assert(ids(2) == Seq(99L))
+    // optimize writes a snapshot (v4) and collapses history: a range
+    // crossing the snapshot refuses with the SNAPSHOT error, a floor
+    // below the surviving history refuses as compacted-away
+    assert(ManifestSink.optimize(spark, dest,
+      targetBytes = 1L << 20) > 0L)
+    val errSnap = intercept[IllegalArgumentException] { ids(3) }
+    assert(errSnap.getMessage.contains("SNAPSHOT"))
+    val errGone = intercept[IllegalArgumentException] { ids(1) }
+    assert(errGone.getMessage.contains("compacted away"))
+    // appends after the snapshot read incrementally again
+    ManifestSink.append(Seq((100L, "y")).toDF("id", "v"), dest, None)
+    assert(ids(4) == Seq(100L))
+  }
+
+  test("checkedAppend: a violating batch is refused whole — nothing " +
+      "stages, nothing commits; null predicates pass per SQL CHECK") {
+    val root = tmpDir("msinkchk_")
+    val dest = s"$root/wh/t"
+    val pos = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
+      (null, "c")).toDF("id", "v")
+    // null id PASSES the positivity check (SQL CHECK semantics)
+    ManifestSink.checkedAppend(pos, dest, None,
+      Seq("id_positive" -> (col("id") > 0)), statsCols = Seq("id"))
+    assert(ManifestSink.readBack(spark, dest).count() == 3)
+
+    val err = intercept[IllegalArgumentException] {
+      ManifestSink.checkedAppend(
+        Seq((3L, "ok"), (-7L, "bad"), (-8L, "bad2")).toDF("id", "v"),
+        dest, None, Seq("id_positive" -> (col("id") > 0),
+          "v_nonempty" -> (length(col("v")) > 0)))
+    }
+    assert(err.getMessage.contains("id_positive(2 rows)"))
+    // the whole batch was refused — including its valid rows
+    assert(ManifestSink.readBack(spark, dest).count() == 3)
+    // explicit not-null check closes the null loophole
+    intercept[IllegalArgumentException] {
+      ManifestSink.checkedAppend(
+        Seq[(java.lang.Long, String)]((null, "z")).toDF("id", "v"),
+        dest, None, Seq("id_not_null" -> col("id").isNotNull))
+    }
+    assert(ManifestSink.readBack(spark, dest).count() == 3)
+  }
+
   test("dropPartitions: a metadata-only delete — zero data bytes " +
       "touched, files linger for in-flight readers until vacuum, " +
       "appends stack on top, and a concurrent append aborts it") {
