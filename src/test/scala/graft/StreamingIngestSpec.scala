@@ -773,6 +773,55 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: session_window state merges " +
+      "cross-batch events within the gap, finalizes sessions only once " +
+      "the watermark passes their end, and keeps open sessions back") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = in.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("k"), col("session_window.start").cast("string")
+        .as("ws"), col("session_window.end").cast("string").as("we"),
+        col("n"), col("sv"))
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def done() = spark.table("sessions")
+        .as[(String, String, String, Long, Double)]
+        .collect().toSeq.sorted
+
+      // batch 1: two a events + one b event, all inside one gap
+      in.addData(("a", ts("2026-01-01 10:00:00"), 1.0),
+        ("a", ts("2026-01-01 10:02:00"), 2.0),
+        ("b", ts("2026-01-01 10:01:00"), 7.0))
+      q.processAllAvailable()
+      assert(done().isEmpty) // watermark still behind the session ends
+
+      // batch 2: a third a event EXTENDS the open session state
+      // (cross-batch merge), and a far-future c event drives the
+      // watermark past both sessions' ends
+      in.addData(("a", ts("2026-01-01 10:04:00"), 4.0),
+        ("c", ts("2026-01-01 10:40:00"), 9.0))
+      q.processAllAvailable()
+      // one more cycle lets the advanced watermark finalize
+      in.addData(("c", ts("2026-01-01 10:41:00"), 1.0))
+      q.processAllAvailable()
+      val got = done()
+      assert(got == Seq(
+        ("a", "2026-01-01 10:00:00", "2026-01-01 10:09:00", 3L, 7.0),
+        ("b", "2026-01-01 10:01:00", "2026-01-01 10:06:00", 1L, 7.0)))
+      // c's session is still open — not emitted
+      assert(!got.exists(_._1 == "c"))
+    } finally q.stop()
+  }
+
   test("windowed channel stats: tumbling window with watermark (batch-run)") {
     import spark.implicits._
     val df = Seq(
