@@ -866,7 +866,8 @@ object ManifestSink extends Ingest.DestinationSink {
               // curve adapts to each partition dir's own value domain
               val zc = ZOrder.cuts(union, zorderBy, zorderBits)
               phase("zorder_cuts")
-              union.withColumn(ZOrder.ZCol, ZOrder.zkey(zc, zorderBits))
+              union.withColumn(ZOrder.ZCol,
+                ZOrder.zkey(union, zc, zorderBits))
                 .repartitionByRange(nOut, col(ZOrder.ZCol))
                 .sortWithinPartitions(col(ZOrder.ZCol))
                 .drop(ZOrder.ZCol)

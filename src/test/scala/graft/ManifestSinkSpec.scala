@@ -1288,15 +1288,28 @@ class ManifestSinkSpec extends SparkSpec {
       (null, 35.0),  // null x -> bucket 0 -> z 5
       (10.0, 20.0)   // boundary: v >= cut goes UP -> buckets (1,2) -> z 6
     ).toDF("x", "y")
-    val z = df.select(ZOrder.zkey(cuts, bits = 2).as("z"))
+    val z = df.select(ZOrder.zkey(df, cuts, bits = 2).as("z"))
       .as[Long].collect().toSeq
     assert(z == Seq(0L, 15L, 10L, 5L, 5L, 6L))
     // bucket id is monotone in the value within each lane
     val xs = (0 until 40).map(i => (i.toDouble, 0.0)).toDF("x", "y")
-    val zx = xs.select(ZOrder.zkey(cuts, 2).as("z")).as[Long].collect()
+    val zx = xs.select(ZOrder.zkey(xs, cuts, 2).as("z")).as[Long].collect()
     assert(zx.sameElements(zx.sorted))
     intercept[IllegalArgumentException] {
       ZOrder.cuts(df, Seq("x", "y"), bits = 31)
+    }
+    // date columns ride the epoch surrogate — a bare double cast yields
+    // NULL and would silently collapse every row into bucket 0; strings
+    // have no surrogate and refuse loudly
+    val dd = Seq(java.sql.Date.valueOf("2026-01-01"),
+      java.sql.Date.valueOf("2026-02-01"),
+      java.sql.Date.valueOf("2026-03-01")).map((_, "s")).toDF("d", "s")
+    val dc = ZOrder.cuts(dd, Seq("d"), bits = 1)
+    val zd = dd.select(ZOrder.zkey(dd, dc, 1).as("z"))
+      .as[Long].collect().toSeq
+    assert(zd == Seq(0L, 1L, 1L), s"date buckets degenerate: $zd")
+    intercept[IllegalArgumentException] {
+      ZOrder.cuts(dd, Seq("s"), bits = 2)
     }
     intercept[IllegalArgumentException] {
       ManifestSink.optimize(spark, tmpDir("zo_"),
