@@ -717,6 +717,57 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // Metadata-only aggregates: COUNT/MIN/MAX/null-count answered from
+    // the manifest's per-file stats lines with ZERO scan tasks — the
+    // Delta "stats-only query" fast path. The .get calls are the
+    // contract: if any committed file lacked the stats, the query (and
+    // the round's correctness gate) fails rather than silently scanning.
+    "q129_metadata_agg" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q129_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      val n = ManifestSink.metadataCount(s, tmp).get
+      val (loI, hiI) = ManifestSink.metadataMinMax(s, tmp, "event_id").get
+      val (loV, hiV) = ManifestSink.metadataMinMax(s, tmp, "value").get
+      val nn = ManifestSink.metadataNullCount(s, tmp, "value").get
+      import s.implicits._
+      Seq((n, loI.toLong, hiI.toLong, loV, hiV, nn))
+        .toDF("n", "min_id", "max_id", "min_value", "max_value",
+          "null_value")
+    }),
+
+    // GDPR-shaped content redaction through copy-on-write: PII-planted
+    // documents ingested with stats, then ONE updateWhereExpr whose
+    // predicate is the PII scan itself (piiTotal > 0 — an arbitrary
+    // Column, not a stats predicate: content-addressed maintenance has
+    // no min/max to prune on, but the per-file match-count pass still
+    // rewrites only files that contain a hit) and whose SET applies the
+    // sequential-adjudication redaction in place. The oracle replays
+    // q67's plant+chain and hashes the redacted text — unmatched docs
+    // must ride through byte-identical, which md5 proves.
+    "q128_pii_redact" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      import graft.functions.Pii
+      val aug = piiAugmented(docs(s, dir))
+        .select(col("doc_id"), col("aug_text").as("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q128_").toString
+      ManifestSink.statsAppend(
+        aug.repartitionByRange(4, col("doc_id")),
+        tmp, None, Seq("doc_id"))
+      ManifestSink.updateWhereExpr(s, tmp,
+        Pii.piiTotal(col("text")) > 0,
+        Map("text" -> Pii.redact(col("text"))))
+      ManifestSink.readBack(s, tmp)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LAKEHOUSE MAINTENANCE CAPSTONE: the full table lifecycle composed
     // end-to-end — clustered stats ingest → MERGE (updates + inserts) →
     // copy-on-write DELETE → Z-order OPTIMIZE → conjunction skipping
@@ -2570,6 +2621,18 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q129_metadata_agg" ->
+      """SELECT count(*) AS n,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(count(*) - count(value) AS BIGINT) AS null_value
+         FROM events""",
+    "q128_pii_redact" ->
+      s"""WITH $piiAugCte,
+         $piiChainSql
+         SELECT doc_id, md5(redacted) AS text_md5
+         FROM pii ORDER BY doc_id""",
     "q127_lakehouse_capstone" ->
       """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
          upd AS (SELECT event_id, event_type,

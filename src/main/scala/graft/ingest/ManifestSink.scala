@@ -987,7 +987,31 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   def deleteWhere(spark: SparkSession, destPath: String,
       pred: SkipPredicate): Long =
-    rewriteWhere(spark, destPath, pred, None)
+    rewriteWhere(spark, destPath, Left(pred), None)
+
+  /** [[deleteWhere]] with an ARBITRARY row predicate (any `Column` —
+    * regexes, UDF-free expressions over several columns): no stats
+    * pruning (every file is a candidate), but the per-file match-count
+    * pass still limits the rewrite to files that actually contain a
+    * match. Use the `SkipPredicate` form whenever the predicate fits
+    * its algebra — at 100 TB the candidate pruning IS the feature.
+    */
+  def deleteWhereExpr(spark: SparkSession, destPath: String,
+      cond: org.apache.spark.sql.Column): Long =
+    rewriteWhere(spark, destPath, Right(cond), None)
+
+  /** [[updateWhere]] with an arbitrary `Column` predicate — the
+    * content-addressed maintenance shape (e.g. redact every document
+    * whose text matches a PII pattern). Same trade as
+    * [[deleteWhereExpr]]: no stats pruning, match-counting still bounds
+    * the rewrite set.
+    */
+  def updateWhereExpr(spark: SparkSession, destPath: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "[graft] updateWhereExpr: empty SET")
+    rewriteWhere(spark, destPath, Right(cond), Some(set))
+  }
 
   /** COPY-ON-WRITE UPDATE (Delta's `UPDATE SET ... WHERE`): for every
     * row matching `pred`, replace each column in `set` with its new
@@ -1003,14 +1027,16 @@ object ManifestSink extends Ingest.DestinationSink {
       pred: SkipPredicate, set: Map[String, org.apache.spark.sql.Column])
       : Long = {
     require(set.nonEmpty, "[graft] updateWhere: empty SET")
-    rewriteWhere(spark, destPath, pred, Some(set))
+    rewriteWhere(spark, destPath, Left(pred), Some(set))
   }
 
   /** Shared copy-on-write core. `set == None` deletes matching rows;
-    * `Some(exprs)` rewrites them in place.
+    * `Some(exprs)` rewrites them in place. A `Left` predicate prunes
+    * candidates through the skipping stats; a `Right` arbitrary column
+    * reads every file in the match-count pass.
     */
   private def rewriteWhere(spark: SparkSession, destPath: String,
-      pred: SkipPredicate,
+      pred: Either[SkipPredicate, org.apache.spark.sql.Column],
       set: Option[Map[String, org.apache.spark.sql.Column]]): Long = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
@@ -1033,9 +1059,14 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsByTgt: Map[String, Seq[String]] =
       stats.keys.groupBy(_._1).map { case (t, ks) =>
         t -> ks.map(_._2).toSeq.sorted }
-    val candidates = targets.filter(t => mayMatchFile(stats, t, pred))
+    val (candidates, m, colLabel) = pred match {
+      case Left(p) =>
+        (targets.filter(t => mayMatchFile(stats, t, p)), residual(p),
+          p.column)
+      case Right(c) => (targets, c, "<expr>")
+    }
     println(s"METRIC graft.rewrite.files_total=${targets.length} " +
-      s"candidates=${candidates.length} col=${pred.column} dest=$destPath")
+      s"candidates=${candidates.length} col=$colLabel dest=$destPath")
     if (candidates.isEmpty) return 0L
 
     // ONE distributed pass: per-candidate matched/total row counts (no
@@ -1044,7 +1075,6 @@ object ManifestSink extends Ingest.DestinationSink {
     val qualOf: Map[String, String] = candidates.map { rel =>
       fs.makeQualified(new Path(dest, rel)).toUri.getPath -> rel
     }.toMap
-    val m = residual(pred)
     val countRows = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(rel => new Path(dest, rel).toString): _*)
       .select(input_file_name().as("__f"), m.as("__m"))
@@ -1465,6 +1495,74 @@ object ManifestSink extends Ingest.DestinationSink {
       s"rewritten=${touched.length} " +
       s"snapshot_version=${baseVersion + 1} dest=$destPath")
     (updatedKeys, nSrc - updatedKeys)
+  }
+
+  /** METADATA-ONLY aggregates: COUNT(*), numeric MIN/MAX, and null
+    * counts answered purely from the manifest's per-file stats lines —
+    * ZERO scan tasks, the query a lakehouse answers before an executor
+    * spins up. Each returns None whenever any committed file lacks the
+    * needed stats (legacy lines with unknown counts, statsless appends,
+    * a column the file never recorded) — the caller falls back to a
+    * real scan; a wrong fast answer is never returned. MIN/MAX skip
+    * all-null files and return None if every file is all-null.
+    */
+  def metadataCount(spark: SparkSession, destPath: String)
+      : Option[Long] = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return Some(0L)
+    val mfs = manifests(fs, destPath)
+    val targets = effectiveTargetsOf(fs, mfs)
+    if (targets.isEmpty) return Some(0L)
+    val stats = fileStatsOf(fs, mfs)
+    val rowsByFile = stats.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2.rows).filter(_ >= 0).headOption)
+    val per = targets.map(t => rowsByFile.getOrElse(t, None))
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** Numeric (min, max) of `column` from stats alone; see
+    * [[metadataCount]] for the None contract.
+    */
+  def metadataMinMax(spark: SparkSession, destPath: String,
+      column: String): Option[(Double, Double)] = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return None
+    val mfs = manifests(fs, destPath)
+    val targets = effectiveTargetsOf(fs, mfs)
+    if (targets.isEmpty) return None
+    val stats = fileStatsOf(fs, mfs)
+    val per = targets.map(t => stats.get((t, column)))
+    if (per.exists(_.isEmpty)) return None // a file without the stat
+    val sts = per.flatten
+    if (sts.exists(_.kind != "num")) return None
+    val bounded = sts.filter(st => st.min.isDefined && st.max.isDefined)
+    // a bound-less entry is only safe to skip when provably all-null
+    val unbounded = sts.filter(st => st.min.isEmpty || st.max.isEmpty)
+    if (unbounded.exists(st =>
+        !(st.nulls >= 0 && st.rows >= 0 && st.nulls == st.rows)))
+      return None
+    if (bounded.isEmpty) None
+    else Some((bounded.map(_.min.get.toDouble).min,
+      bounded.map(_.max.get.toDouble).max))
+  }
+
+  /** Null count of `column` from stats alone; None when any file lacks
+    * a known count.
+    */
+  def metadataNullCount(spark: SparkSession, destPath: String,
+      column: String): Option[Long] = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return None
+    val mfs = manifests(fs, destPath)
+    val targets = effectiveTargetsOf(fs, mfs)
+    if (targets.isEmpty) return Some(0L)
+    val stats = fileStatsOf(fs, mfs)
+    val per = targets.map(t => stats.get((t, column)).map(_.nulls))
+    if (per.exists(p => p.isEmpty || p.get < 0)) None
+    else Some(per.flatten.sum)
   }
 
   /** CHECK-constrained append (Delta's table constraints): validate the

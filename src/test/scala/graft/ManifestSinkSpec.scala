@@ -1219,6 +1219,71 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readBack(spark, dest).count() == 3)
   }
 
+  test("metadata-only aggregates: count/min-max/null-count from stats " +
+      "lines alone, None the moment any file lacks them, all-null " +
+      "files skipped for bounds, and survival through optimize") {
+    val root = tmpDir("msinkmeta_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 3)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i =>
+          (i, if (i % 10 == 0) None else Some(i * 0.5)))
+          .toDF("id", "v").coalesce(1),
+        dest, None, statsCols = Seq("id", "v"))
+    assert(ManifestSink.metadataCount(spark, dest) == Some(300L))
+    assert(ManifestSink.metadataMinMax(spark, dest, "id")
+      == Some((0.0, 299.0)))
+    assert(ManifestSink.metadataMinMax(spark, dest, "v")
+      == Some((0.5, 149.5)))
+    assert(ManifestSink.metadataNullCount(spark, dest, "v") == Some(30L))
+    assert(ManifestSink.metadataNullCount(spark, dest, "id") == Some(0L))
+    // a column no file recorded → None, never a guess
+    assert(ManifestSink.metadataMinMax(spark, dest, "nope").isEmpty)
+    // an all-null file contributes no bounds but keeps counts exact
+    ManifestSink.statsAppend(
+      Seq[(Long, Option[Double])]((900L, None), (901L, None))
+        .toDF("id", "v").coalesce(1),
+      dest, None, statsCols = Seq("id", "v"))
+    assert(ManifestSink.metadataCount(spark, dest) == Some(302L))
+    assert(ManifestSink.metadataMinMax(spark, dest, "v")
+      == Some((0.5, 149.5)))
+    assert(ManifestSink.metadataNullCount(spark, dest, "v") == Some(32L))
+    // metadata answers survive the optimize metadata-merge
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) > 0)
+    assert(ManifestSink.metadataCount(spark, dest) == Some(302L))
+    assert(ManifestSink.metadataMinMax(spark, dest, "id")
+      == Some((0.0, 901.0)))
+    // one statsless append poisons every fast path to None
+    ManifestSink.append(Seq((999L, Some(1.0)))
+      .toDF("id", "v"), dest, None)
+    assert(ManifestSink.metadataCount(spark, dest).isEmpty)
+    assert(ManifestSink.metadataMinMax(spark, dest, "id").isEmpty)
+    assert(ManifestSink.metadataNullCount(spark, dest, "v").isEmpty)
+  }
+
+  test("copy-on-write by arbitrary expression: content-addressed " +
+      "update rewrites only files with a matching row") {
+    val root = tmpDir("msinkexpr_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 3)
+      ManifestSink.statsAppend(
+        (b * 10L until b * 10L + 10L).map(i =>
+          (i, if (i == 13) "secret-alpha" else s"plain $i"))
+          .toDF("id", "v").coalesce(1),
+        dest, None, statsCols = Seq("id"))
+    val before = ManifestSink.readBack(spark, dest).inputFiles.toSet
+    assert(ManifestSink.updateWhereExpr(spark, dest,
+      col("v").contains("secret"),
+      Map("v" -> lit("<REDACTED>"))) == 1L)
+    val got = ManifestSink.readBack(spark, dest)
+    assert(got.where(col("v") === "<REDACTED>").count() == 1)
+    assert(got.where(col("v").contains("secret")).count() == 0)
+    assert(got.inputFiles.toSet.intersect(before).size == 2)
+    assert(ManifestSink.deleteWhereExpr(spark, dest,
+      col("v").endsWith("14")) == 1L)
+    assert(ManifestSink.readBack(spark, dest).count() == 29)
+  }
+
   test("dropPartitions: a metadata-only delete — zero data bytes " +
       "touched, files linger for in-flight readers until vacuum, " +
       "appends stack on top, and a concurrent append aborts it") {
