@@ -1497,6 +1497,40 @@ object ManifestSink extends Ingest.DestinationSink {
     (updatedKeys, nSrc - updatedKeys)
   }
 
+  /** Schema-evolution-checked append: the reference's `sameOrSuperSet`
+    * rule enforced at WRITE time — the batch's column list must be
+    * prefix-compatible with the committed table's (one a prefix of the
+    * other, order-sensitive; right-append evolution only), so a
+    * reordered or incompatibly-shaped batch is refused BEFORE it lands
+    * instead of surfacing later as a mergeSchema surprise. Empty table
+    * accepts anything. The committed schema comes from one parquet
+    * footer — a metadata read, not a scan.
+    */
+  def compatibleAppend(df: DataFrame, destPath: String,
+      partitionField: Option[String],
+      statsCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val targets =
+      if (!fs.exists(dest)) Seq.empty
+      else effectiveTargets(fs, destPath)
+    if (targets.nonEmpty) {
+      val existing = spark.read
+        .parquet(new Path(dest, targets.head).toString)
+        .schema.fieldNames.toSeq.filterNot(_ == Ingest.PartitionCol)
+      val incoming = df.schema.fieldNames.toSeq
+      if (!graft.schema.SchemaEvolution.prefixCompatible(existing,
+          incoming))
+        throw new graft.schema.SchemaEvolution.SchemaMismatchException(
+          s"[graft] compatibleAppend refused: batch columns " +
+            s"${incoming.mkString(",")} are not prefix-compatible with " +
+            s"committed columns ${existing.mkString(",")}")
+    }
+    if (statsCols.isEmpty) append(df, destPath, partitionField)
+    else statsAppend(df, destPath, partitionField, statsCols)
+  }
+
   /** METADATA-ONLY aggregates: COUNT(*), numeric MIN/MAX, and null
     * counts answered purely from the manifest's per-file stats lines —
     * ZERO scan tasks, the query a lakehouse answers before an executor

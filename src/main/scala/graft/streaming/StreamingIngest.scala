@@ -713,6 +713,33 @@ object StreamingIngest {
         sum(col(valueCol)).as("sum_value"),
         avg(col(valueCol)).as("avg_value"))
 
+  /** STREAMING UPSERT sink: every micro-batch merges into a manifest
+    * table by key ([[graft.ingest.ManifestSink.mergeInto]]) — the CDC
+    * tail of a pipeline, giving last-write-wins per key across batches
+    * with each batch one atomic snapshot. foreachBatch's at-least-once
+    * redelivery is absorbed structurally: re-merging identical rows
+    * replaces them with themselves, so a replayed batch is a content
+    * no-op (the idempotency spec drives this). Batches must be
+    * key-unique — merge refuses duplicates rather than pick an
+    * arbitrary winner; dedupe upstream with `dropDuplicates` ordered by
+    * a version column if the source can repeat keys in one batch.
+    */
+  def upsertStream(src: DataFrame, destPath: String, keyCol: String,
+      statsCols: Seq[String] = Nil,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    var w = src.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        graft.ingest.ManifestSink.mergeInto(batch.sparkSession, destPath,
+          batch.toDF(), keyCol, statsCols = statsCols)
+        ()
+      }
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** STREAM-STREAM interval join — the streaming face of
     * [[graft.operators.IntervalJoin]]: inner-join two event streams on
     * a key, keeping right events inside `[left time, left time +

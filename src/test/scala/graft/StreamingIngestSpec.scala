@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.ingest.ManifestSink
 import graft.model.Manifest
 import graft.streaming.StreamingIngest
 
@@ -771,6 +772,56 @@ class StreamingIngestSpec extends SparkSpec {
       q.processAllAvailable()
       assert(pairs().size == n3)
     } finally q.stop()
+  }
+
+  test("streaming upsert: each micro-batch merges by key — last write " +
+      "wins across batches, replay is a content no-op, and the table " +
+      "is always one whole snapshot per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dest = s"${tmpDir("upsert_")}/t"
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingIngest.upsertStream(
+      in.toDF().toDF("id", "v"), dest, "id", statsCols = Seq("id"))
+    try {
+      def state() = ManifestSink.readBack(spark, dest)
+        .as[(Long, String)].collect().toSeq.sorted
+      in.addData((1L, "a1"), (2L, "b1"))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "a1"), (2L, "b1")))
+      // batch 2 overwrites key 2 and inserts 3
+      in.addData((2L, "b2"), (3L, "c2"))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "a1"), (2L, "b2"), (3L, "c2")))
+      // at-least-once replay of batch 2's content: a no-op by value
+      ManifestSink.mergeInto(spark, dest,
+        Seq((2L, "b2"), (3L, "c2")).toDF("id", "v"), "id",
+        statsCols = Seq("id"))
+      assert(state() == Seq((1L, "a1"), (2L, "b2"), (3L, "c2")))
+    } finally q.stop()
+  }
+
+  test("compatibleAppend: the sameOrSuperSet rule at write time — a " +
+      "reordered batch is refused before it lands, right-append " +
+      "evolution passes") {
+    import spark.implicits._
+    val dest = s"${tmpDir("compat_")}/t"
+    ManifestSink.compatibleAppend(
+      Seq((1L, "a")).toDF("id", "v"), dest, None)
+    // superset (right-append) passes
+    ManifestSink.compatibleAppend(
+      Seq((2L, "b", 0.5)).toDF("id", "v", "score"), dest, None)
+    // prefix (narrower batch) passes too — reference semantics
+    ManifestSink.compatibleAppend(
+      Seq(3L).toDF("id"), dest, None)
+    // reordered columns refused
+    intercept[graft.schema.SchemaEvolution.SchemaMismatchException] {
+      ManifestSink.compatibleAppend(
+        Seq(("x", 4L)).toDF("v", "id"), dest, None)
+    }
+    assert(ManifestSink.readBack(spark, dest).count() == 3)
   }
 
   test("streaming sessionization: session_window state merges " +
