@@ -893,6 +893,27 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // Personalized PageRank: teleportation restricted to a seed set
+    // (every 20th node of q122's graph) — rank mass concentrates in the
+    // seeds' neighborhoods, the related-entity/crawl-frontier expansion
+    // primitive; dangling mass follows the same seed distribution so
+    // the vector still sums to 1, and non-seed nodes with no in-flow
+    // hold exactly zero. Same per-round edge-list shape as q122 plus
+    // one node-keyed seed-flag join.
+    "q130_personalized_pagerank" -> ((s, dir) => {
+      import graft.operators.Graph
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("user_id"))
+      val e = ev.select(pmod(col("user_id"), lit(400L)).as("src"),
+          pmod(col("event_id") * 31L, lit(400L)).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.where(pmod(col("node"), lit(20L)) === 0)
+      Graph.personalizedPageRank(e, seeds, iters = 5)
+        .orderBy(col("node"))
+    }),
+
     // PageRank over a deterministic event-derived link graph (users →
     // hashed targets): 5 damped power iterations, every round an
     // edge-list equi-join (src-partitioned once, reused) + a map-side-
@@ -2701,6 +2722,40 @@ object NorthStar {
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value
          FROM t GROUP BY event_type ORDER BY event_type""",
+    "q130_personalized_pagerank" -> {
+      def iter(k: Int): String = {
+        val prev = s"r${k - 1}"
+        s"""d$k AS (SELECT COALESCE(sum(rank), 0.0) AS dang FROM $prev
+           WHERE node NOT IN (SELECT src FROM e)),
+         c$k AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS inflow
+           FROM e JOIN $prev r ON e.src = r.node
+           JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r$k AS (SELECT nd.node,
+             CASE WHEN s.node IS NOT NULL
+               THEN ((1.0 - 0.85) + 0.85 * d$k.dang) / ns.m
+               ELSE 0.0 END
+             + 0.85 * COALESCE(c.inflow, 0.0) AS rank
+           FROM nodes nd CROSS JOIN ns CROSS JOIN d$k
+           LEFT JOIN c$k c ON nd.node = c.node
+           LEFT JOIN sd s ON nd.node = s.node)"""
+      }
+      s"""WITH e AS (SELECT DISTINCT user_id % 400 AS src,
+             (event_id * 31) % 400 AS dst FROM events
+           WHERE user_id % 400 <> (event_id * 31) % 400),
+         nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e
+           UNION ALL SELECT dst AS node FROM e)),
+         sd AS (SELECT node FROM nodes WHERE node % 20 = 0),
+         ns AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM sd),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+           FROM e GROUP BY src),
+         r0 AS (SELECT nd.node,
+             CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.m
+               ELSE 0.0 END AS rank
+           FROM nodes nd CROSS JOIN ns
+           LEFT JOIN sd s ON nd.node = s.node),
+         ${(1 to 5).map(iter).mkString(",\n         ")}
+         SELECT node, rank FROM r5 ORDER BY node"""
+    },
     "q122_pagerank" -> {
       def iter(k: Int): String = {
         val prev = s"r${k - 1}"

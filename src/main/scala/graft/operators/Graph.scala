@@ -39,7 +39,25 @@ object Graph {
     * `sum(rank) == 1` up to float error.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame =
+    pageRankImpl(edges, iters, damping, checkpointEvery, None)
+
+  /** PERSONALIZED PageRank: teleportation lands uniformly on `seeds`
+    * (a one-column node frame) instead of on every node — rank mass
+    * concentrates in the seeds' neighborhoods, the related-entity /
+    * crawl-frontier expansion primitive. Dangling mass follows the same
+    * teleport distribution (the personalized stochastic fix), so the
+    * vector still sums to 1. Non-seed, in-flow-free nodes get exactly
+    * zero. Same per-round scale shape as [[pageRank]] plus one
+    * broadcast-joined teleport column.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 1): DataFrame =
+    pageRankImpl(edges, iters, damping, checkpointEvery, Some(seeds))
+
+  private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
+      checkpointEvery: Int, seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 0 && iters <= 200,
       s"[graft] pageRank iters must be in [0, 200], got $iters")
     require(damping > 0 && damping < 1,
@@ -56,8 +74,27 @@ object Graph {
     // ranks never reshuffles the edge side
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
+    // teleport support: seed flag joined per round (node-keyed, same
+    // partitioning as ranks), seed count a driver scalar
+    val tele: Option[(DataFrame, Long)] = seeds.map { s =>
+      val sd = s.select(col(s.columns.head).cast("long").as("node"))
+        .distinct()
+        .join(nodes, Seq("node"), "left_semi")
+        .withColumn("__seed", lit(1))
+        .localCheckpoint()
+      val ns = sd.count()
+      require(ns > 0,
+        "[graft] personalizedPageRank: no seed appears in the graph")
+      (sd, ns)
+    }
+    var ranks = (tele match {
+      case None => nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      case Some((sd, ns)) =>
+        nodes.join(sd, Seq("node"), "left")
+          .select(col("node"),
+            when(col("__seed").isNotNull, lit(1.0 / ns))
+              .otherwise(lit(0.0)).as("rank"))
+    }).localCheckpoint()
     for (i <- 1 to iters) {
       val dangling = ranks
         .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
@@ -67,11 +104,26 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("inflow"))
-      val next = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
-              lit(dangling / n))).as("rank"))
+      val next = tele match {
+        case None =>
+          nodes.join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
+                  lit(dangling / n))).as("rank"))
+        case Some((sd, ns)) =>
+          // teleported restart AND dangling mass both land on the seed
+          // distribution — the personalized stochastic fix; a non-seed
+          // node with no in-flow stays exactly zero
+          val base = ((1.0 - damping) + damping * dangling) / ns
+          nodes.join(contribs, Seq("node"), "left")
+            .join(sd, Seq("node"), "left")
+            .select(col("node"),
+              (when(col("__seed").isNotNull, lit(base))
+                .otherwise(lit(0.0)) +
+                lit(damping) * coalesce(col("inflow"), lit(0.0)))
+                .as("rank"))
+      }
       ranks = if (i % checkpointEvery == 0 || i == iters)
         next.localCheckpoint() else next
     }

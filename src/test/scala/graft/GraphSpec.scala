@@ -72,6 +72,56 @@ class GraphSpec extends SparkSpec {
     assert((0L until 50L).filter(got.contains).forall(h => got(h) < celeb))
   }
 
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val inGraph = seeds.intersect(nodes.toSet)
+    val ns = inGraph.size
+    def t(v: Long): Double = if (inGraph(v)) 1.0 / ns else 0.0
+    var rank = nodes.map(v => v -> t(v)).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(out.contains).map(rank).sum
+      val base = ((1.0 - d) + d * dang) / ns
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = nodes.map(v => v ->
+        ((if (inGraph(v)) base else 0.0) +
+          d * inflow.getOrElse(v, 0.0))).toMap
+    }
+    rank
+  }
+
+  test("personalized PageRank: teleport concentrates mass on the seed " +
+      "community, matches the reference, conserves mass, and leaves " +
+      "unreachable non-seeds at exactly zero") {
+    // two communities bridged by one weak edge; community A = 0..9,
+    // B = 10..19; an isolated pair 30 -> 31 unreachable from seeds
+    val a = (0L until 10L).flatMap(i => Seq((i, (i + 1) % 10)))
+    val b = (10L until 20L).flatMap(i =>
+      Seq((i, 10L + (i + 1) % 10)))
+    val edges = a ++ b ++ Seq((9L, 10L), (30L, 31L))
+    val seeds = Seq(0L, 3L, 7L)
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+      seeds.toDF("node"), iters = 10)
+      .as[(Long, Double)].collect().toMap
+    val want = refPpr(edges, seeds.toSet, 10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, v) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    val massA = (0L until 10L).map(got).sum
+    val massB = (10L until 20L).map(got).sum
+    assert(massA > 2 * massB, s"seed community should dominate: " +
+      s"$massA vs $massB")
+    assert(got(30L) == 0.0 && got(31L) == 0.0)
+    // a seed absent from the graph is ignored; all-absent seeds refuse
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq(999L).toDF("node"), 3)
+    }
+  }
+
   test("guards: iteration and damping bounds; empty edge set") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), 201)
