@@ -834,11 +834,14 @@ object ManifestSink extends Ingest.DestinationSink {
         // key, split into ~targetBytes files), re-derive stats from the
         // STAGED DATA, then write the WA manifest and move. Staged-only
         // data needs no WA cover — recover() sweeps the attempt dir
-        // wholesale when no log entry exists.
-        val moves =
-          scala.collection.mutable.ArrayBuffer[(Path, String)]()
-        val pStats = scala.collection.mutable.ArrayBuffer[String]()
-        bins.zipWithIndex.foreach { case (rels, u) =>
+        // wholesale when no log entry exists. Units run CONCURRENTLY
+        // (bounded pool): each unit is its own Spark job over its own
+        // partition dir, and at a many-dir table the per-unit jobs are
+        // small — running them serially would leave the cluster idle
+        // between job setups. Results are keyed by unit index, so
+        // output names and manifest order are completion-order-free.
+        def processUnit(rels: Seq[String], u: Int)
+            : (Seq[(Path, String)], Seq[String]) = {
           val parent = dirOf(rels.head) match {
             case "" => ""
             case d  => d + "/"
@@ -893,14 +896,36 @@ object ManifestSink extends Ingest.DestinationSink {
                 new Path(new java.net.URI(f)).toUri.getPath }
               .map { case (p, m) =>
                 p -> m.toSeq.map { case ((_, c), st) => (c, st) } }
-          parts.zipWithIndex.foreach { case (part, k) =>
-            val target = s"$parent$writeId-$u-$k.parquet"
-            moves += ((part, target))
+          val unitMoves = parts.zipWithIndex.map { case (part, k) =>
+            (part, s"$parent$writeId-$u-$k.parquet")
+          }
+          val unitStats = unitMoves.flatMap { case (part, target) =>
             perFile
               .getOrElse(fs.makeQualified(part).toUri.getPath, Nil)
               .sortBy(_._1)
-              .foreach { case (c, st) => pStats += statsLine(target, c, st) }
+              .map { case (c, st) => statsLine(target, c, st) }
           }
+          (unitMoves, unitStats)
+        }
+        val unitResults: Seq[(Seq[(Path, String)], Seq[String])] =
+          if (bins.length <= 1) bins.zipWithIndex.map {
+            case (rels, u) => processUnit(rels, u) }
+          else {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors
+              .newFixedThreadPool(math.min(4, bins.length))
+            implicit val ec: ExecutionContext =
+              ExecutionContext.fromExecutor(pool)
+            try Await.result(Future.sequence(bins.zipWithIndex.map {
+              case (rels, u) => Future(processUnit(rels, u)) }),
+              Duration.Inf)
+            finally pool.shutdown()
+          }
+        val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+        val pStats = scala.collection.mutable.ArrayBuffer[String]()
+        unitResults.foreach { case (um, us) =>
+          moves ++= um; pStats ++= us
         }
         writeFile(fs, new Path(staging, WaManifest),
           moves.map("target\t" + _._2).mkString("\n"))
