@@ -787,10 +787,11 @@ class ManifestSinkSpec extends SparkSpec {
   }
 
   test("property: random append/crash/compact/vacuum/recover/optimize/" +
-      "statsAppend schedules never expose a partial batch, never lose a " +
-      "ledgered commit newer than the compaction floor, keep the skipping " +
-      "read equal to the filtered full read in every state, and every " +
-      "surviving version reads as the exact prefix of its log") {
+      "statsAppend/deleteWhere/mergeInto schedules never expose a " +
+      "partial batch, never lose a ledgered commit newer than the " +
+      "compaction floor, keep the skipping read equal to the filtered " +
+      "full read in every state, and every surviving version reads as " +
+      "the exact prefix of its log") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
 
@@ -805,8 +806,10 @@ class ManifestSinkSpec extends SparkSpec {
       1 -> Gen.const(11),    // Vacuum
       2 -> Gen.const(12),    // Recover
       2 -> Gen.const(13),    // Optimize (data-file bin-pack snapshot)
-      2 -> Gen.const(14))    // StatsAppend (clean commit + skip stats)
-    val schedGen = Gen.listOfN(7, opGen)
+      2 -> Gen.const(14),    // StatsAppend (clean commit + skip stats)
+      2 -> Gen.const(15),    // DeleteWhere (copy-on-write snapshot)
+      2 -> Gen.const(16))    // MergeInto (upsert snapshot)
+    val schedGen = Gen.listOfN(8, opGen)
 
     (0 until 10).foreach { case i =>
       val sched = schedGen.apply(Gen.Parameters.default, Seed(i.toLong))
@@ -923,6 +926,56 @@ class ManifestSinkSpec extends SparkSpec {
               .map(id => (id, s"b$b")).toDF("id", "v")
             ManifestSink.statsAppend(df, dest, None, Seq("id"))
             logModel :+= ((survivingVersions().max, s"stats$b", ids(b)))
+          case 15 => // copy-on-write delete of a deterministic id slab
+            val lo = (k * 7 % 40).toDouble
+            val visible = logModel.flatMap(_._3).toSet
+            val expect = visible.filter(id => id >= lo && id <= lo + 9)
+            val gone = ManifestSink.deleteWhere(spark, dest,
+              ManifestSink.SkipPredicate.NumRange("id", lo, lo + 9))
+            if (pending.nonEmpty || expect.isEmpty)
+              assert(gone == 0L,
+                s"schedule $i op#$k: delete must refuse/no-op, got $gone")
+            else {
+              assert(gone == expect.size.toLong,
+                s"schedule $i op#$k: delete count")
+              val v = logModel.map(_._1).max + 1
+              logModel = Vector((v, "delete", visible -- expect))
+            }
+            assert(survivingVersions() == logModel.map(_._1).toSet,
+              s"schedule $i: delete left an unpredicted log state")
+          case 16 => // merge-upsert of a 3-id band; the +5 offset keeps
+            // merge ids disjoint from append ids (x0..x2 per decade), so
+            // re-merging a band is an UPDATE while an append can never
+            // duplicate a merged id — the set model stays faithful
+            val m = (k % 5) * 10L + 5L
+            val srcIds = Set(m, m + 1, m + 2)
+            val df = srcIds.toSeq.sorted
+              .map(id => (id, s"m$k")).toDF("id", "v")
+            val visible = logModel.flatMap(_._3).toSet
+            val res = ManifestSink.mergeInto(spark, dest, df, "id")
+            if (logModel.isEmpty && pending.isEmpty) {
+              // empty table: plain-insert path, one incremental version
+              assert(res == ((0L, 3L)))
+              logModel :+=
+                ((survivingVersions().max, s"mergeins$k", srcIds))
+            } else if (pending.nonEmpty && logModel.isEmpty) {
+              // insert path commits regardless of staged debris —
+              // appends never refuse on pending attempts
+              assert(res == ((0L, 3L)))
+              logModel :+=
+                ((survivingVersions().max, s"mergeins$k", srcIds))
+            } else if (pending.nonEmpty) {
+              assert(res == ((0L, 0L)),
+                s"schedule $i op#$k: merge must refuse on pending")
+            } else {
+              val u = visible.intersect(srcIds).size.toLong
+              assert(res == ((u, 3L - u)),
+                s"schedule $i op#$k: merge counts $res, want ($u)")
+              val v = logModel.map(_._1).max + 1
+              logModel = Vector((v, "merge", visible ++ srcIds))
+            }
+            assert(survivingVersions() == logModel.map(_._1).toSet,
+              s"schedule $i: merge left an unpredicted log state")
         }
         check(s"op#$k($op)")
       }
