@@ -1180,6 +1180,18 @@ class ManifestSinkSpec extends SparkSpec {
     }
     assert(ManifestSink.readBack(spark, dest).count() == 405)
 
+    // a source matching EVERY row of one file: the rewrite is an empty
+    // husk whose rows=0 stats make it prunable; content is exact
+    assert(ManifestSink.mergeInto(spark, dest,
+      (200L until 300L).map(i => (i, "wipe")).toDF("id", "v")
+        .coalesce(1), "id", statsCols = Seq("id")) == ((100L, 0L)))
+    val wiped = ManifestSink.readBack(spark, dest)
+    assert(wiped.count() == 405)
+    assert(wiped.where(col("v") === "wipe").count() == 100)
+    // the husk never surfaces in a pruned read outside the new envelope
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 0, 50)
+      .count() == 51)
+
     // merge into an empty table is a plain insert
     val dest2 = s"$root/wh/t2"
     assert(ManifestSink.mergeInto(spark, dest2,
