@@ -717,6 +717,54 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // CDC incremental read promoted to an oracle query: three appends
+    // (event-id thirds), then "everything since the first commit" via
+    // readAppendsBetween — a pure metadata decision (the union of the
+    // in-range incremental manifests' files; no diffing, no anti-join).
+    // The oracle filters the raw table to the last two thirds.
+    "q131_cdc_read" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q131_").toString
+      for (t <- 0 until 3) // versions 0, 1, 2
+        ManifestSink.append(
+          ev.where(col("event_id") >= t * n / 3 &&
+            col("event_id") < (t + 1) * n / 3), tmp, None)
+      ManifestSink.readAppendsBetween(s, tmp, sinceVersion = 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Time travel promoted to an oracle query: the same three appends,
+    // read AS OF version 1 — the union of the first two commits, with
+    // the third invisible. The oracle filters to the first two thirds.
+    "q132_time_travel" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q132_").toString
+      for (t <- 0 until 3)
+        ManifestSink.append(
+          ev.where(col("event_id") >= t * n / 3 &&
+            col("event_id") < (t + 1) * n / 3), tmp, None)
+      ManifestSink.readVersion(s, tmp, version = 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Metadata-only aggregates: COUNT/MIN/MAX/null-count answered from
     // the manifest's per-file stats lines with ZERO scan tasks — the
     // Delta "stats-only query" fast path. The .get calls are the
@@ -2642,6 +2690,22 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q131_cdc_read" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events, b
+         WHERE event_id >= nid // 3
+         GROUP BY event_type ORDER BY event_type""",
+    "q132_time_travel" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events, b
+         WHERE event_id < 2 * nid // 3
+         GROUP BY event_type ORDER BY event_type""",
     "q129_metadata_agg" ->
       """SELECT count(*) AS n,
            CAST(min(event_id) AS BIGINT) AS min_id,
