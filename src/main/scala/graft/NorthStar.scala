@@ -717,6 +717,32 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // Hybrid metadata/scan COUNT (partial aggregate pushdown): files
+    // whose stats prove full containment credit their row counts with
+    // no scan; only the boundary files the predicate cuts through are
+    // read. Three counts — an id slab, a not-null count, and their
+    // conjunction — against plain SQL counts.
+    "q133_count_pushdown" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      import ManifestSink.SkipPredicate._
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q133_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      val slab = ManifestSink.countWhere(s, tmp,
+        NumRange("event_id", (n / 8).toDouble, (5 * n / 8 - 1).toDouble))
+      val nn = ManifestSink.countWhere(s, tmp, IsNotNull("value"))
+      val both = ManifestSink.countWhere(s, tmp, And(Seq(
+        NumRange("event_id", 0, (n / 2 - 1).toDouble),
+        IsNotNull("value"))))
+      import s.implicits._
+      Seq((slab, nn, both)).toDF("n_slab", "n_notnull", "n_and")
+    }),
+
     // CDC incremental read promoted to an oracle query: three appends
     // (event-id thirds), then "everything since the first commit" via
     // readAppendsBetween — a pure metadata decision (the union of the
@@ -2690,6 +2716,15 @@ object NorthStar {
            GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM c
          ORDER BY src, event_type""",
+    "q133_count_pushdown" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events)
+         SELECT
+           (SELECT count(*) FROM events, b
+             WHERE event_id >= nid // 8
+               AND event_id <= 5 * nid // 8 - 1) AS n_slab,
+           (SELECT count(value) FROM events) AS n_notnull,
+           (SELECT count(value) FROM events, b
+             WHERE event_id >= 0 AND event_id <= nid // 2 - 1) AS n_and""",
     "q131_cdc_read" ->
       """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events)
          SELECT event_type, count(*) AS n,

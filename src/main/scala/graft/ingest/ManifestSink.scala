@@ -529,6 +529,49 @@ object ManifestSink extends Ingest.DestinationSink {
     }
   }
 
+  /** Can a file with `st` stats PROVE that every row matches `pred`?
+    * The dual of [[mayMatch]] — used by [[countWhere]] to credit whole
+    * files by metadata. Conservative: unknown counts, truncated string
+    * bounds, or any nulls (which never satisfy a value predicate) all
+    * answer false and fall back to scanning.
+    */
+  private def mustMatch(pred: SkipPredicate, st: ColStats): Boolean = {
+    def noNulls = st.nulls == 0 && st.rows >= 0
+    pred match {
+      // cross-column conjunctions go through mustMatchFile; answering
+      // one here against a single column's stats would be wrong
+      case SkipPredicate.And(_) => false
+      case SkipPredicate.NumRange(_, lo, hi) =>
+        st.kind == "num" && noNulls && ((st.min, st.max) match {
+          case (Some(mn), Some(mx)) =>
+            mn.toDouble >= lo && mx.toDouble <= hi
+          case _ => false
+        })
+      case SkipPredicate.StrRange(_, lo, hi) =>
+        st.kind == "str" && noNulls && ((st.min, st.max) match {
+          case (Some(mn), Some(mx)) =>
+            // a truncated max carries the max-codepoint marker and
+            // cannot prove an upper bound; a truncated min is still a
+            // valid lower bound for mn >= lo
+            mn >= lo && mx <= hi && mx.length <= StatsStrCap
+          case _ => false
+        })
+      case SkipPredicate.StrEq(_, v) =>
+        st.kind == "str" && noNulls && v.length <= StatsStrCap &&
+          st.min.contains(v) && st.max.contains(v)
+      case SkipPredicate.IsNull(_) =>
+        st.nulls >= 0 && st.rows >= 0 && st.nulls == st.rows
+      case SkipPredicate.IsNotNull(_) => noNulls
+    }
+  }
+
+  private def mustMatchFile(stats: Map[(String, String), ColStats],
+      t: String, pred: SkipPredicate): Boolean = pred match {
+    case SkipPredicate.And(ps) =>
+      ps.forall(p => mustMatchFile(stats, t, p))
+    case p => stats.get((t, p.column)).exists(st => mustMatch(p, st))
+  }
+
   /** [[mayMatch]] lifted to a whole file: conjunctions consult each
     * conjunct's own column stats; a column with no stats is
     * conservative for that conjunct only.
@@ -657,6 +700,54 @@ object ManifestSink extends Ingest.DestinationSink {
       .option("basePath", destPath)
       .parquet(keep.map(rel => new Path(dest, rel).toString): _*)
       .where(residual(pred))
+  }
+
+  /** HYBRID metadata/scan COUNT (Delta's partial aggregate pushdown):
+    * `count(*) WHERE pred`, where a file whose stats PROVE every row
+    * matches ([[mustMatch]] — bounds inside the range, zero nulls)
+    * contributes its recorded row count with NO scan, a file the stats
+    * exclude contributes zero, and only the boundary files the
+    * predicate genuinely cuts through are read. On a clustered table a
+    * selective range count therefore scans O(1) files regardless of
+    * table size — between [[metadataCount]] (no predicate, zero scans)
+    * and [[readBackWherePred]] (full row retrieval). Result is always
+    * exact: metadata credit requires known row/null counts, everything
+    * else falls back to the residual scan.
+    */
+  def countWhere(spark: SparkSession, destPath: String,
+      pred: SkipPredicate): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return 0L
+    val mfs = manifests(fs, destPath)
+    val targets = effectiveTargetsOf(fs, mfs)
+    if (targets.isEmpty) return 0L
+    val stats = fileStatsOf(fs, mfs)
+    val rowsByTgt: Map[String, Long] = stats.toSeq.groupBy(_._1._1)
+      .flatMap { case (t, es) =>
+        es.map(_._2.rows).find(_ >= 0).map(t -> _) }
+    def rowsOf(t: String): Option[Long] = rowsByTgt.get(t)
+    var credited = 0L
+    val scanList = scala.collection.mutable.ArrayBuffer[String]()
+    var skipped = 0
+    targets.foreach { t =>
+      if (!mayMatchFile(stats, t, pred)) skipped += 1
+      else rowsOf(t) match {
+        case Some(r) if mustMatchFile(stats, t, pred) => credited += r
+        case _ => scanList += t
+      }
+    }
+    println(s"METRIC graft.countwhere.files_total=${targets.length} " +
+      s"skipped=$skipped credited=${targets.length - skipped -
+        scanList.length} scanned=${scanList.length} dest=$destPath")
+    val scanned =
+      if (scanList.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true")
+        .option("basePath", destPath)
+        .parquet(scanList.toSeq
+          .map(rel => new Path(dest, rel).toString): _*)
+        .where(residual(pred)).count()
+    credited + scanned
   }
 
   /** DATA-FILE compaction (Delta's OPTIMIZE): bin-pack committed files

@@ -1326,6 +1326,49 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.metadataNullCount(spark, dest, "v").isEmpty)
   }
 
+  test("countWhere: fully-contained files credit by metadata, only " +
+      "boundary files scan, exactness holds with nulls and across " +
+      "every predicate class") {
+    val root = tmpDir("msinkcnt_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 5)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i =>
+          (i, if (i % 7 == 0) None else Some(i * 1.0), s"v$i"))
+          .toDF("id", "v", "s").coalesce(1),
+        dest, None, statsCols = Seq("id", "v"))
+    import ManifestSink.SkipPredicate._
+    // [100, 399]: three whole files credited, zero scanned
+    assert(ManifestSink.countWhere(spark, dest,
+      NumRange("id", 100, 399)) == 300L)
+    // [150, 349]: one whole file credited, two boundary files scanned
+    assert(ManifestSink.countWhere(spark, dest,
+      NumRange("id", 150, 349)) == 200L)
+    // out of domain
+    assert(ManifestSink.countWhere(spark, dest,
+      NumRange("id", 5000, 9000)) == 0L)
+    // nulls: v has nulls every 7th — a range over v can never credit a
+    // file wholesale (nulls break the proof) but stays exact
+    val exact = ManifestSink.readBack(spark, dest)
+      .where(col("v").between(0, 499)).count()
+    assert(ManifestSink.countWhere(spark, dest,
+      NumRange("v", 0, 499)) == exact)
+    assert(ManifestSink.countWhere(spark, dest, IsNull("v")) ==
+      ManifestSink.readBack(spark, dest)
+        .where(col("v").isNull).count())
+    assert(ManifestSink.countWhere(spark, dest, IsNotNull("id")) == 500L)
+    // conjunction: id-contained AND id-not-null still credits whole
+    assert(ManifestSink.countWhere(spark, dest, And(Seq(
+      NumRange("id", 100, 399), IsNotNull("id")))) == 300L)
+    // a statsless append forces its file into the scan set, not a guess
+    ManifestSink.append(
+      Seq((1000L, Some(1.0), "x")).toDF("id", "v", "s"), dest, None)
+    assert(ManifestSink.countWhere(spark, dest,
+      NumRange("id", 100, 399)) == 300L)
+    assert(ManifestSink.countWhere(spark, dest,
+      NumRange("id", 900, 1100)) == 1L)
+  }
+
   test("copy-on-write by arbitrary expression: content-addressed " +
       "update rewrites only files with a matching row") {
     val root = tmpDir("msinkexpr_")
