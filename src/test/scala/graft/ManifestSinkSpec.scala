@@ -1471,6 +1471,48 @@ class ManifestSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ZOrder.cuts(df, Seq("x", "y"), bits = 31)
     }
+    // property: the native (codegen) key equals a slow driver-side
+    // reference — random cuts, random/adversarial values (NaN, nulls,
+    // infinities, exact cut hits), both column lanes
+    locally {
+      val rnd = new scala.util.Random(42)
+      val bits = 3
+      val rc = Array.fill(2)(
+        Array.fill((1 << bits) - 1)(rnd.nextDouble() * 100)
+          .sorted)
+      def refBucket(v: Double, cs: Array[Double]): Int = {
+        var lo = 0; var hi = cs.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (v >= cs(m)) lo = m + 1 else hi = m
+        }
+        lo
+      }
+      def refKey(x: java.lang.Double, y: java.lang.Double): Long = {
+        def d(v: java.lang.Double): Double =
+          if (v == null || v.isNaN) Double.NegativeInfinity else v.doubleValue
+        var z = 0L
+        for ((v, j) <- Seq(d(x), d(y)).zipWithIndex) {
+          val b = refBucket(v, rc(j))
+          for (i <- 0 until bits)
+            z |= ((b.toLong >> i) & 1L) << (i * 2 + (1 - j))
+        }
+        z
+      }
+      val vals: Seq[java.lang.Double] =
+        Seq[java.lang.Double](null, Double.NaN,
+          Double.NegativeInfinity, Double.PositiveInfinity,
+          rc(0)(0), rc(0)(3), rc(1)(6)) ++
+          Seq.fill(80)(java.lang.Double.valueOf(rnd.nextDouble() * 120))
+      val pairs = vals.zip(vals.reverse)
+      val pdf = pairs.toDF("x", "y")
+      val gotZ = pdf.select(ZOrder.zkey(pdf,
+        Seq("x" -> rc(0), "y" -> rc(1)), bits).as("z"))
+        .as[Long].collect().toSeq
+      val wantZ = pairs.map { case (x, y) => refKey(x, y) }
+      assert(gotZ == wantZ, "native zkey diverged from the reference")
+    }
+
     // date columns ride the epoch surrogate — a bare double cast yields
     // NULL and would silently collapse every row into bucket 0; strings
     // have no surrogate and refuse loudly
