@@ -967,6 +967,45 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // CDC MERGE: one change batch carrying all three directive kinds —
+    // every 13th event deleted (op 'd'), every remaining 10th value
+    // doubled (update), negated copies of every 97th inserted under
+    // fresh keys — applied by mergeCdc as ONE atomic snapshot; the op
+    // column routes rows and never lands. The oracle replays delete as
+    // a WHERE complement, update as CASE, insert as UNION ALL.
+    "q134_cdc_merge" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q134_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      val dels = ev.where(pmod(col("event_id"), lit(13L)) === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("d").as("op"))
+      val upds = ev.where(pmod(col("event_id"), lit(10L)) === 0 &&
+          pmod(col("event_id"), lit(13L)) =!= 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") * 2).as("value"), lit("u").as("op"))
+      val inss = ev.where(pmod(col("event_id"), lit(97L)) === 0)
+        .select((col("event_id") + n).as("event_id"), col("event_type"),
+          (-col("value")).as("value"), lit("u").as("op"))
+      ManifestSink.mergeCdc(s, tmp,
+        dels.unionByName(upds).unionByName(inss), "event_id",
+        col("op") === "d", directiveCols = Seq("op"),
+        statsCols = Seq("event_id"))
+      ManifestSink.readBack(s, tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Personalized PageRank: teleportation restricted to a seed set
     // (every 20th node of q122's graph) — rank mass concentrates in the
     // seeds' neighborhoods, the related-entity/crawl-frontier expansion
@@ -2804,6 +2843,20 @@ object NorthStar {
              -value AS value
            FROM events, b WHERE event_id % 97 = 0),
          t AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM t GROUP BY event_type ORDER BY event_type""",
+    "q134_cdc_merge" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
+         kept AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END
+               AS value
+           FROM events WHERE event_id % 13 <> 0),
+         ins AS (SELECT event_id + nid AS event_id, event_type,
+             -value AS value
+           FROM events, b WHERE event_id % 97 = 0),
+         t AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
          SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value

@@ -1,7 +1,7 @@
 package graft.ingest
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-format destination sink: a minimal atomic manifest log (the core
@@ -1421,31 +1421,76 @@ object ManifestSink extends Ingest.DestinationSink {
   def mergeInto(spark: SparkSession, destPath: String, source: DataFrame,
       keyCol: String, partitionField: Option[String] = None,
       statsCols: Seq[String] = Nil): (Long, Long) = {
+    val (u, i, _) =
+      mergeImpl(spark, destPath, source, keyCol, None, Nil,
+        partitionField, statsCols)
+    (u, i)
+  }
+
+  /** CDC MERGE — [[mergeInto]] plus Delta's `WHEN MATCHED AND <cond>
+    * THEN DELETE` clause: source rows satisfying `deleteFilter` are
+    * delete directives — a matched key's destination rows are removed
+    * and the directive row itself is NOT inserted; an unmatched delete
+    * is a no-op (standard CDC semantics for a delete of a row that
+    * never landed). Everything else behaves as [[mergeInto]], in the
+    * SAME atomic snapshot — a change batch carrying inserts, updates,
+    * and deletes lands as one version, so readers never observe a
+    * half-applied batch. Key-uniqueness is enforced over the WHOLE
+    * source, so one key cannot be both deleted and upserted in a batch.
+    *
+    * `directiveCols` names change-metadata columns (op codes, CDC
+    * timestamps — the Debezium `op` field shape) that exist only to
+    * route the row: the delete filter may read them, but they are
+    * dropped before anything lands, so the table schema stays clean.
+    *
+    * Returns `(updatedKeys, insertedRows, deletedKeys)`.
+    */
+  def mergeCdc(spark: SparkSession, destPath: String, source: DataFrame,
+      keyCol: String, deleteFilter: Column,
+      directiveCols: Seq[String] = Nil,
+      partitionField: Option[String] = None,
+      statsCols: Seq[String] = Nil): (Long, Long, Long) =
+    mergeImpl(spark, destPath, source, keyCol, Some(deleteFilter),
+      directiveCols, partitionField, statsCols)
+
+  private def mergeImpl(spark: SparkSession, destPath: String,
+      source: DataFrame, keyCol: String, deleteFilter: Option[Column],
+      directiveCols: Seq[String], partitionField: Option[String],
+      statsCols: Seq[String]): (Long, Long, Long) = {
     require(source.columns.contains(keyCol),
       s"[graft] mergeInto: source lacks key column '$keyCol'")
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     val src = source.localCheckpoint()
     val nSrc = src.count()
-    if (nSrc == 0) return (0L, 0L)
+    if (nSrc == 0) return (0L, 0L, 0L)
     val nKeys = src.select(col(keyCol)).distinct().count()
     require(nKeys == nSrc,
       s"[graft] mergeInto: source has $nSrc rows but only $nKeys " +
         s"distinct '$keyCol' keys — two source rows for one key have " +
         "no deterministic winner; dedupe upstream")
+    // delete directives never insert; a NULL delete-condition value is
+    // "not a delete" (SQL WHEN MATCHED AND <cond> semantics)
+    val delFlag = deleteFilter
+      .map(f => coalesce(f.cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
+    val ups = deleteFilter.map(_ => src.where(!delFlag))
+      .getOrElse(src).drop(directiveCols: _*)
+    val nUps = deleteFilter.map(_ => ups.count()).getOrElse(nSrc)
     val old = manifests(fs, destPath)
     val targets = effectiveTargetsOf(fs, old)
     if (targets.isEmpty) {
-      // empty/new table: a merge is a plain insert
-      if (statsCols.isEmpty) append(src, destPath, partitionField)
-      else statsAppend(src, destPath, partitionField, statsCols)
-      return (0L, nSrc)
+      // empty/new table: a merge is a plain insert (deletes are no-ops)
+      if (nUps == 0) return (0L, 0L, 0L)
+      if (statsCols.isEmpty) append(ups, destPath, partitionField)
+      else statsAppend(ups, destPath, partitionField, statsCols)
+      return (0L, nUps, 0L)
     }
     val sroot = stagingRoot(destPath)
     if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
       println(s"METRIC graft.merge.skipped_pending_attempts=1 " +
         s"dest=$destPath")
-      return (0L, 0L)
+      return (0L, 0L, 0L)
     }
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
@@ -1490,9 +1535,12 @@ object ManifestSink extends Ingest.DestinationSink {
       s"candidates=${candidates.length} key=$keyCol dest=$destPath")
     val srcKeys = src.select(col(keyCol))
     // ONE distributed pass: per-candidate matched-row counts plus the
-    // exact matched-KEY count (insert count = nSrc - matched keys)
-    val (matchedOf, updatedKeys): (Map[String, Long], Long) =
-      if (candidates.isEmpty) (Map.empty, 0L)
+    // exact matched-KEY counts split by directive kind (insert count =
+    // nUps - matched upsert keys; unmatched deletes are no-ops)
+    val keyFlags = src.select(col(keyCol), delFlag.as("__del"))
+    val (matchedOf, updatedKeys, deletedKeys)
+        : (Map[String, Long], Long, Long) =
+      if (candidates.isEmpty) (Map.empty, 0L, 0L)
       else {
         val qualOf: Map[String, String] = candidates.map { rel =>
           fs.makeQualified(new Path(dest, rel)).toUri.getPath -> rel
@@ -1509,13 +1557,18 @@ object ManifestSink extends Ingest.DestinationSink {
               .toUri.getPath
             qualOf(p) -> r.getLong(1)
           }.toMap
-        val mk = srcKeys
+        val mk = keyFlags
           .join(cand.select(col(keyCol)), Seq(keyCol), "left_semi")
-          .count()
-        (perFile, mk)
+          .agg(count(when(!col("__del"), 1)).as("u"),
+            count(when(col("__del"), 1)).as("d")).head
+        (perFile, mk.getLong(0), mk.getLong(1))
       }
     val touched = candidates.filter(t => matchedOf.getOrElse(t, 0L) > 0)
     val replacedRows = touched.map(matchedOf).sum
+    if (touched.isEmpty && nUps == 0) {
+      // every directive was an unmatched delete — nothing to commit
+      return (0L, 0L, 0L)
+    }
 
     val writeId = "mg" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(14)
@@ -1546,13 +1599,14 @@ object ManifestSink extends Ingest.DestinationSink {
           newStats ++= statsLinesFor(spark, fs, rwOut,
             Map(part.getName -> target), cols)
       }
-      // the whole source appends as fresh files (replacements + inserts)
+      // the upsert half of the source appends as fresh files
+      // (replacements + inserts); delete directives write nothing
       val insOut = new Path(staging, "ins")
       val writer = partitionField match {
         case Some(f) =>
-          src.withColumn(Ingest.PartitionCol, to_date(col(f)))
+          ups.withColumn(Ingest.PartitionCol, to_date(col(f)))
             .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
-        case None => src.write.mode("overwrite")
+        case None => ups.write.mode("overwrite")
       }
       writer.parquet(insOut.toString)
       val insQ = fs.makeQualified(insOut).toString
@@ -1604,13 +1658,13 @@ object ManifestSink extends Ingest.DestinationSink {
         moves.map(_._2).toSeq)) {
       println(s"METRIC graft.merge.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
-      return (0L, 0L)
+      return (0L, 0L, 0L)
     }
     println(s"METRIC graft.merge.updated_keys=$updatedKeys " +
-      s"replaced_rows=$replacedRows inserted=${nSrc - updatedKeys} " +
-      s"rewritten=${touched.length} " +
+      s"replaced_rows=$replacedRows inserted=${nUps - updatedKeys} " +
+      s"deleted_keys=$deletedKeys rewritten=${touched.length} " +
       s"snapshot_version=${baseVersion + 1} dest=$destPath")
-    (updatedKeys, nSrc - updatedKeys)
+    (updatedKeys, nUps - updatedKeys, deletedKeys)
   }
 
   /** Schema-evolution-checked append: the reference's `sameOrSuperSet`

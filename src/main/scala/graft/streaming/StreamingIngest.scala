@@ -723,17 +723,32 @@ object StreamingIngest {
     * key-unique — merge refuses duplicates rather than pick an
     * arbitrary winner; dedupe upstream with `dropDuplicates` ordered by
     * a version column if the source can repeat keys in one batch.
+    *
+    * `deleteFilter` turns the sink into a full CDC tail
+    * ([[graft.ingest.ManifestSink.mergeCdc]]): batch rows satisfying it
+    * are delete directives — matched keys are removed, unmatched
+    * deletes are no-ops, and replayed deletes stay no-ops (the key is
+    * already gone), preserving the idempotence argument.
     */
   def upsertStream(src: DataFrame, destPath: String, keyCol: String,
       statsCols: Seq[String] = Nil,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      deleteFilter: Option[org.apache.spark.sql.Column] = None,
+      directiveCols: Seq[String] = Nil): StreamingQuery = {
     var w = src.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
-        graft.ingest.ManifestSink.mergeInto(batch.sparkSession, destPath,
-          batch.toDF(), keyCol, statsCols = statsCols)
+        deleteFilter match {
+          case Some(f) =>
+            graft.ingest.ManifestSink.mergeCdc(batch.sparkSession,
+              destPath, batch.toDF(), keyCol, f,
+              directiveCols = directiveCols, statsCols = statsCols)
+          case None =>
+            graft.ingest.ManifestSink.mergeInto(batch.sparkSession,
+              destPath, batch.toDF(), keyCol, statsCols = statsCols)
+        }
         ()
       }
     checkpointDir.foreach(d => w = w.option("checkpointLocation", d))

@@ -1219,6 +1219,92 @@ class ManifestSinkSpec extends SparkSpec {
     assert(end.where(col("v") === "RETRY").count() == 1)
   }
 
+  test("mergeCdc: one change batch carrying inserts, updates, and " +
+      "deletes lands as ONE atomic snapshot; directive columns never " +
+      "reach the table; unmatched, replayed, and null-condition " +
+      "deletes are no-ops") {
+    val root = tmpDir("msinkcdc3_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        dest, None, statsCols = Seq("id"))
+    val filesBefore = ManifestSink.readBack(spark, dest).inputFiles.toSet
+
+    // the Debezium shape: op = u (upsert) / d (delete), op dropped
+    // before landing; one batch deletes 10 keys of file 1, updates 5
+    // keys of file 3, inserts 3 fresh keys, and carries 2 deletes for
+    // keys that never existed plus one NULL op (null condition = keep)
+    val batch =
+      (150L until 160L).map(i => (i, s"dead$i", "d")) ++
+      (310L until 315L).map(i => (i, s"UP$i", "u")) ++
+      (1000L until 1003L).map(i => (i, s"NEW$i", "u")) ++
+      Seq((5000L, "ghost", "d"), (5001L, "ghost", "d")) ++
+      Seq((42L, "KEEPME", null: String))
+    val (upd, ins, del) = ManifestSink.mergeCdc(spark, dest,
+      batch.toDF("id", "v", "op").coalesce(1), "id",
+      col("op") === "d", directiveCols = Seq("op"),
+      statsCols = Seq("id"))
+    assert((upd, ins, del) == ((6L, 3L, 10L)))
+    val got = ManifestSink.readBack(spark, dest)
+    assert(got.columns.toSeq == Seq("id", "v"), "op column leaked")
+    assert(got.count() == 400 - 10 + 3)
+    assert(got.where(col("id").between(150, 159)).count() == 0)
+    assert(got.where(col("v").startsWith("UP")).count() == 5)
+    assert(got.where(col("v").startsWith("NEW")).count() == 3)
+    assert(got.where(col("id") === 42).select("v").head.getString(0)
+      == "KEEPME")
+    assert(got.where(col("v") === "ghost").count() == 0)
+    // only files 0 (null-op update), 1 (deletes) and 3 (updates)
+    // rewrote; file 2 kept its exact path
+    assert(got.inputFiles.toSet.intersect(filesBefore).size == 1)
+    // stats survive: the 250..260 probe reads file 2 plus the inserted
+    // file (its 42..1002 envelope may-matches) — never the three
+    // rewrites, whose RE-DERIVED stats exclude the band
+    val probe = ManifestSink.readBackWhere(spark, dest, "id", 250, 260)
+    assert(probe.inputFiles.length == 2)
+    assert(probe.count() == 11)
+
+    // replaying the SAME change batch: deletes are unmatched now
+    // (no-ops), upserts re-match — content unchanged
+    val (u2, i2, d2) = ManifestSink.mergeCdc(spark, dest,
+      batch.toDF("id", "v", "op").coalesce(1), "id",
+      col("op") === "d", directiveCols = Seq("op"),
+      statsCols = Seq("id"))
+    assert((u2, i2, d2) == ((9L, 0L, 0L)))
+    assert(ManifestSink.readBack(spark, dest).count() == 393)
+
+    // an all-unmatched-delete batch commits nothing (no new version)
+    def logN() = new java.io.File(s"$dest/_log").listFiles()
+      .count(_.getName.endsWith(".manifest"))
+    val verBefore = logN()
+    assert(ManifestSink.mergeCdc(spark, dest,
+      Seq((9000L, "x", "d")).toDF("id", "v", "op"), "id",
+      col("op") === "d", directiveCols = Seq("op"))
+      == ((0L, 0L, 0L)))
+    assert(logN() == verBefore)
+
+    // delete-only batch against an EMPTY table is a no-op, upserts
+    // create it
+    val dest2 = s"$root/wh/t2"
+    assert(ManifestSink.mergeCdc(spark, dest2,
+      Seq((1L, "x", "d")).toDF("id", "v", "op"), "id",
+      col("op") === "d", directiveCols = Seq("op")) == ((0L, 0L, 0L)))
+    assert(ManifestSink.mergeCdc(spark, dest2,
+      Seq((1L, "x", "u")).toDF("id", "v", "op"), "id",
+      col("op") === "d", directiveCols = Seq("op")) == ((0L, 1L, 0L)))
+    val t2 = ManifestSink.readBack(spark, dest2)
+    assert(t2.columns.toSeq == Seq("id", "v") && t2.count() == 1)
+
+    // one key cannot be both deleted and upserted in a batch
+    intercept[IllegalArgumentException] {
+      ManifestSink.mergeCdc(spark, dest,
+        Seq((1L, "a", "u"), (1L, "a", "d")).toDF("id", "v", "op"),
+        "id", col("op") === "d", directiveCols = Seq("op"))
+    }
+  }
+
   test("readAppendsBetween: CDC incremental reads are a metadata " +
       "decision — exact rows per version range, and a snapshot in the " +
       "range fails loudly instead of lying") {

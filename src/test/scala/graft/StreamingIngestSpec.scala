@@ -803,6 +803,41 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC upsert: op='d' rows delete their keys, the op " +
+      "column never lands, and a replayed delete batch is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dest = s"${tmpDir("cdcup_")}/t"
+
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingIngest.upsertStream(
+      in.toDF().toDF("id", "v", "op"), dest, "id",
+      statsCols = Seq("id"),
+      deleteFilter = Some(col("op") === "d"),
+      directiveCols = Seq("op"))
+    try {
+      def state() = ManifestSink.readBack(spark, dest)
+        .as[(Long, String)].collect().toSeq.sorted
+      in.addData((1L, "a1", "u"), (2L, "b1", "u"), (3L, "c1", "u"))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "a1"), (2L, "b1"), (3L, "c1")))
+      assert(ManifestSink.readBack(spark, dest).columns.toSeq
+        == Seq("id", "v"))
+      // one CDC batch: update 1, delete 2, insert 4, delete a ghost
+      in.addData((1L, "a2", "u"), (2L, "", "d"), (4L, "d1", "u"),
+        (99L, "", "d"))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "a2"), (3L, "c1"), (4L, "d1")))
+      // replayed delete: key 2 already gone — content unchanged
+      ManifestSink.mergeCdc(spark, dest,
+        Seq((2L, "", "d")).toDF("id", "v", "op"), "id",
+        col("op") === "d", directiveCols = Seq("op"),
+        statsCols = Seq("id"))
+      assert(state() == Seq((1L, "a2"), (3L, "c1"), (4L, "d1")))
+    } finally q.stop()
+  }
+
   test("compatibleAppend: the sameOrSuperSet rule at write time — a " +
       "reordered batch is refused before it lands, right-append " +
       "evolution passes") {
