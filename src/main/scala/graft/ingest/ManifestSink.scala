@@ -226,6 +226,38 @@ object ManifestSink extends Ingest.DestinationSink {
       .option("basePath", destPath).parquet(files: _*)
   }
 
+  /** TIME TRAVEL by timestamp (Delta's `TIMESTAMP AS OF`): reads the
+    * table as of the last version committed at or before `tsMillis`,
+    * resolved from the manifest files' filesystem modification times —
+    * the same clock Delta itself uses (commit-file mtime), with the
+    * same documented caveat that copying a table preserves versions but
+    * not commit times. Fails loudly when every surviving commit is
+    * later than `tsMillis`: history before the oldest manifest may have
+    * been compacted away, and silently returning the oldest state would
+    * be indistinguishable from the table's true state at that time
+    * (the [[readVersion]] "earliest readable" contract).
+    */
+  def readAsOf(spark: SparkSession, destPath: String,
+      tsMillis: Long): DataFrame = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val all = manifests(fs, destPath)
+    if (all.isEmpty) return spark.emptyDataFrame
+    val stamped = all.map(p =>
+      (p.getName.takeWhile(_.isDigit).toLong,
+        fs.getFileStatus(p).getModificationTime))
+    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption match {
+      case Some(v) => readVersion(spark, destPath, v)
+      case None =>
+        val earliest = stamped.minBy(_._2)
+        throw new IllegalArgumentException(
+          s"[graft] readAsOf($tsMillis): earliest surviving commit is " +
+            s"v${earliest._1} at t=${earliest._2} — older history (if " +
+            "any) was compacted away; read a version explicitly or use " +
+            "a later timestamp")
+    }
+  }
+
   /** CDC-style incremental read (the append-only half of Delta's change
     * data feed): the rows ADDED in versions `(sinceVersion, untilVersion]`
     * — a pure METADATA decision (the union of those incremental

@@ -766,10 +766,20 @@ object StreamingIngest {
     * than the watermark is filtered before it can re-match — without
     * the range the state grows with the stream forever. Append-mode
     * output; column sets must be disjoint (alias before joining).
+    *
+    * `joinType = "left_outer"` emits the unattributed-left row (right
+    * side NULL) — but only once the right watermark has passed the
+    * row's window end, because until then a match could still arrive;
+    * the "clicks that never converted" report with no false negatives.
     */
   def streamIntervalJoin(left: DataFrame, lKey: String, lTime: String,
       right: DataFrame, rKey: String, rTime: String,
-      delay: String, window: String): DataFrame = {
+      delay: String, window: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"[graft] streamIntervalJoin: joinType must be inner or " +
+        s"left_outer (state bounding requires the left side to carry " +
+        s"the range), got '$joinType'")
     val shared = left.columns.toSet.intersect(right.columns.toSet)
     require(shared.isEmpty,
       s"[graft] streamIntervalJoin column collision on " +
@@ -778,6 +788,7 @@ object StreamingIngest {
       .join(right.withWatermark(rTime, delay),
         col(lKey) === col(rKey) &&
           col(rTime) >= col(lTime) &&
-          col(rTime) <= col(lTime) + expr(s"INTERVAL $window"))
+          col(rTime) <= col(lTime) + expr(s"INTERVAL $window"),
+        joinType)
   }
 }

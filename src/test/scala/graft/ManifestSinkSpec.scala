@@ -1219,6 +1219,28 @@ class ManifestSinkSpec extends SparkSpec {
     assert(end.where(col("v") === "RETRY").count() == 1)
   }
 
+  test("readAsOf: timestamp time travel resolves commit mtimes — each " +
+      "inter-commit instant reads its prefix, a pre-creation timestamp " +
+      "refuses, and the future reads the head") {
+    val root = tmpDir("msinkasof_")
+    val dest = s"$root/wh/t"
+    ManifestSink.append(Seq((0L, "a")).toDF("id", "v"), dest, None)
+    Thread.sleep(30); val t01 = System.currentTimeMillis()
+    Thread.sleep(30)
+    ManifestSink.append(Seq((1L, "b")).toDF("id", "v"), dest, None)
+    Thread.sleep(30); val t12 = System.currentTimeMillis()
+    Thread.sleep(30)
+    ManifestSink.append(Seq((2L, "c")).toDF("id", "v"), dest, None)
+    def ids(ts: Long) = ManifestSink.readAsOf(spark, dest, ts)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(ids(t01) == Seq(0L))
+    assert(ids(t12) == Seq(0L, 1L))
+    assert(ids(System.currentTimeMillis() + 60000) == Seq(0L, 1L, 2L))
+    intercept[IllegalArgumentException] {
+      ManifestSink.readAsOf(spark, dest, 1000L)
+    }
+  }
+
   test("mergeCdc: one change batch carrying inserts, updates, and " +
       "deletes lands as ONE atomic snapshot; directive columns never " +
       "reach the table; unmatched, replayed, and null-condition " +

@@ -774,6 +774,56 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unattributed clicks " +
+      "emit with NULL right side only after the watermark proves no " +
+      "match can arrive; matched clicks never emit a null twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val buys = MemoryStream[(String, java.sql.Timestamp)]
+    val joined = StreamingIngest.streamIntervalJoin(
+      clicks.toDF().toDF("ck", "ct"), "ck", "ct",
+      buys.toDF().toDF("bk", "bt"), "bk", "bt",
+      delay = "5 minutes", window = "10 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attrib_lo")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def rows() = spark.table("attrib_lo")
+        .select(col("ck"), col("ct").cast("string"),
+          col("bt").cast("string"))
+        .as[(String, String, Option[String])].collect().toSeq.sorted
+
+      // a converts in-window; b never converts
+      clicks.addData(("a", ts("2026-01-01 10:00:00")),
+        ("b", ts("2026-01-01 10:00:00")))
+      buys.addData(("a", ts("2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      // b's null row must NOT emit yet — a match could still arrive
+      assert(rows() == Seq(
+        ("a", "2026-01-01 10:00:00", Some("2026-01-01 10:05:00"))))
+
+      // advance both watermarks far past b's window end (10:10 + 5 min
+      // delay); the committed-watermark lag needs an extra cycle
+      clicks.addData(("c", ts("2026-01-01 12:00:00")))
+      buys.addData(("c", ts("2026-01-01 12:01:00")))
+      q.processAllAvailable()
+      clicks.addData(("d", ts("2026-01-01 12:30:00")))
+      buys.addData(("d", ts("2026-01-01 12:31:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val r = rows()
+      // b now surfaces exactly once, right side NULL; a has no null twin
+      assert(r.contains(("b", "2026-01-01 10:00:00", None)), r.toString)
+      assert(r.count(_._1 == "b") == 1)
+      assert(r.count(_._1 == "a") == 1)
+    } finally q.stop()
+  }
+
   test("streaming upsert: each micro-batch merges by key — last write " +
       "wins across batches, replay is a content no-op, and the table " +
       "is always one whole snapshot per batch") {
