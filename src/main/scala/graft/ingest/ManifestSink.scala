@@ -226,6 +226,40 @@ object ManifestSink extends Ingest.DestinationSink {
       .option("basePath", destPath).parquet(files: _*)
   }
 
+  /** DESCRIBE HISTORY: one row per surviving log version —
+    * `(version, commit_ts, kind, n_files, n_rows)`, all from manifest
+    * metadata (zero data files read). `kind` is `append` or `snapshot`
+    * (compact/optimize/rewrite/merge — versions that REPLACE history);
+    * `n_files` is the version's own manifest's file count (for a
+    * snapshot, the whole table at that point); `n_rows` comes from the
+    * version's stats lines when every listed file carries a row count,
+    * null otherwise — never a scan, never a wrong number. The driver-
+    * side cost is O(surviving manifests), the same listing every read
+    * already performs.
+    */
+  def history(spark: SparkSession, destPath: String): DataFrame = {
+    import spark.implicits._
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val all = manifests(fs, destPath)
+    val rows = all.map { mf =>
+      val v = mf.getName.takeWhile(_.isDigit).toLong
+      val ts = new java.sql.Timestamp(
+        fs.getFileStatus(mf).getModificationTime)
+      val (_, targets, snap) = readManifest(fs, mf)
+      val stats = fileStatsOf(fs, Seq(mf))
+      val rowsByTgt: Map[String, Long] = stats.toSeq.groupBy(_._1._1)
+        .flatMap { case (t, es) =>
+          es.map(_._2.rows).find(_ >= 0).map(t -> _) }
+      val nRows: Option[Long] =
+        if (targets.nonEmpty && targets.forall(rowsByTgt.contains))
+          Some(targets.map(rowsByTgt).sum)
+        else None
+      (v, ts, if (snap) "snapshot" else "append", targets.size, nRows)
+    }
+    rows.toDF("version", "commit_ts", "kind", "n_files", "n_rows")
+  }
+
   /** TIME TRAVEL by timestamp (Delta's `TIMESTAMP AS OF`): reads the
     * table as of the last version committed at or before `tsMillis`,
     * resolved from the manifest files' filesystem modification times —

@@ -1219,6 +1219,44 @@ class ManifestSinkSpec extends SparkSpec {
     assert(end.where(col("v") === "RETRY").count() == 1)
   }
 
+  test("history: one metadata row per surviving version — kinds, file " +
+      "counts, stats-derived row counts (null when any file lacks " +
+      "them), zero data files read") {
+    val root = tmpDir("msinkhist_")
+    val dest = s"$root/wh/t"
+    ManifestSink.statsAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1),
+      dest, None, statsCols = Seq("id"))
+    ManifestSink.append(
+      Seq((4L, "d"), (5L, "e")).toDF("id", "v").coalesce(1), dest, None)
+    val h1 = ManifestSink.history(spark, dest).orderBy("version")
+      .as[(Long, java.sql.Timestamp, String, Int, Option[Long])]
+      .collect().toSeq
+    assert(h1.map(r => (r._1, r._3, r._4, r._5)) ==
+      Seq((0L, "append", 1, Some(3L)), (1L, "append", 1, None)))
+    assert(h1(0)._2.getTime <= h1(1)._2.getTime)
+    // a log compaction collapses history to one snapshot row covering
+    // the whole table; the statsless v1 file keeps n_rows unknowable
+    ManifestSink.compact(spark, dest)
+    val h2 = ManifestSink.history(spark, dest)
+      .as[(Long, java.sql.Timestamp, String, Int, Option[Long])]
+      .collect().toSeq
+    assert(h2.map(r => (r._3, r._4, r._5)) ==
+      Seq(("snapshot", 2, None)))
+    // with stats on EVERY file, the snapshot's n_rows is exact
+    val dest2 = s"$root/wh/t2"
+    ManifestSink.statsAppend(Seq((1L, "a")).toDF("id", "v").coalesce(1),
+      dest2, None, statsCols = Seq("id"))
+    ManifestSink.statsAppend(Seq((2L, "b")).toDF("id", "v").coalesce(1),
+      dest2, None, statsCols = Seq("id"))
+    ManifestSink.compact(spark, dest2)
+    val h3 = ManifestSink.history(spark, dest2)
+      .as[(Long, java.sql.Timestamp, String, Int, Option[Long])]
+      .collect().toSeq
+    assert(h3.map(r => (r._3, r._4, r._5)) ==
+      Seq(("snapshot", 2, Some(2L))))
+  }
+
   test("readAsOf: timestamp time travel resolves commit mtimes — each " +
       "inter-commit instant reads its prefix, a pre-creation timestamp " +
       "refuses, and the future reads the head") {
