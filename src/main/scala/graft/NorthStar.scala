@@ -1107,6 +1107,35 @@ object NorthStar {
     // (TopK.TopKAgg): map-side partial top-k, at most k pairs per group
     // per partition cross the shuffle — no window, no per-group global
     // sort. Top-5 longest documents per language, ties by doc_id.
+    // Per-language top vocabulary: exact token counts per (lang, token)
+    // then the bounded-buffer TopK aggregate per language — the
+    // stopword-list/vocabulary-drift report a multilingual pipeline
+    // reads before tokenizer training. No window: a web-scale language's
+    // vocabulary never funnels through one task's sort. TopKAgg keys on
+    // longs, so the token rides its md5-60 surrogate (ties in count
+    // break on the surrogate — deterministic and engine-reproducible,
+    // the repo's standard hash-order trick) and the text joins back on
+    // the slim (lang, tid) pair.
+    "q136_top_tokens_per_lang" -> ((s, dir) => {
+      val tid = conv(substring(md5(col("token")), 1, 15), 16, 10)
+        .cast("long")
+      val counts = docs(s, dir)
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tid", tid)
+      val top = counts.groupBy(col("lang"))
+        .agg(TopK.topK(col("n"), col("tid"), 10).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("tid"), col("col.score").as("n"))
+      top.join(counts.select(col("lang"), col("tid"), col("token")),
+          Seq("lang", "tid"))
+        .select(col("lang"), col("rank"), col("token"), col("n"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     "q100_topk_agg" -> ((s, dir) => {
       val base = docs(s, dir).select(col("lang"), col("doc_id"),
         TA.tokenCount(col("text")).cast("long").as("n"))
@@ -3059,6 +3088,18 @@ object NorthStar {
            CAST(COALESCE(sc.s, 0) >= 0 AS INT) AS kept
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
+    "q136_top_tokens_per_lang" ->
+      s"""WITH $toksCte,
+         tok AS (SELECT d.lang, unnest(t.t) AS token
+           FROM toks t JOIN documents d USING (doc_id)),
+         cnt AS (SELECT lang, token, count(*) AS n
+           FROM tok WHERE token <> '' GROUP BY 1, 2),
+         rk AS (SELECT lang, token, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT))
+             AS rank FROM cnt)
+         SELECT lang, CAST(rank AS BIGINT) AS rank, token, n
+         FROM rk WHERE rank <= 10 ORDER BY lang, rank""",
     "q100_topk_agg" ->
       s"""WITH $toksCte,
          base AS (SELECT lang, doc_id,
