@@ -1487,11 +1487,23 @@ object ManifestSink extends Ingest.DestinationSink {
   def mergeInto(spark: SparkSession, destPath: String, source: DataFrame,
       keyCol: String, partitionField: Option[String] = None,
       statsCols: Seq[String] = Nil): (Long, Long) = {
-    val (u, i, _) =
-      mergeImpl(spark, destPath, source, keyCol, None, Nil,
-        partitionField, statsCols)
-    (u, i)
+    val c = mergeIntoStatus(spark, destPath, source, keyCol,
+      partitionField, statsCols).counts
+    (c._1, c._2)
   }
+
+  /** [[mergeInto]] returning the full [[MergeOutcome]] — the loud-failure
+    * variant a caller that must distinguish "applied" from "did not
+    * apply" (a streaming sink, a retry loop) uses instead of the count
+    * tuple, whose zeros conflate a no-op batch with a skipped or aborted
+    * merge.
+    */
+  def mergeIntoStatus(spark: SparkSession, destPath: String,
+      source: DataFrame, keyCol: String,
+      partitionField: Option[String] = None,
+      statsCols: Seq[String] = Nil): MergeOutcome =
+    mergeImpl(spark, destPath, source, keyCol, None, Nil,
+      partitionField, statsCols)
 
   /** CDC MERGE — [[mergeInto]] plus Delta's `WHEN MATCHED AND <cond>
     * THEN DELETE` clause: source rows satisfying `deleteFilter` are
@@ -1516,20 +1528,77 @@ object ManifestSink extends Ingest.DestinationSink {
       directiveCols: Seq[String] = Nil,
       partitionField: Option[String] = None,
       statsCols: Seq[String] = Nil): (Long, Long, Long) =
+    mergeCdcStatus(spark, destPath, source, keyCol, deleteFilter,
+      directiveCols, partitionField, statsCols).counts
+
+  /** [[mergeCdc]] returning the full [[MergeOutcome]] (see
+    * [[mergeIntoStatus]]).
+    */
+  def mergeCdcStatus(spark: SparkSession, destPath: String,
+      source: DataFrame, keyCol: String, deleteFilter: Column,
+      directiveCols: Seq[String] = Nil,
+      partitionField: Option[String] = None,
+      statsCols: Seq[String] = Nil): MergeOutcome =
     mergeImpl(spark, destPath, source, keyCol, Some(deleteFilter),
       directiveCols, partitionField, statsCols)
+
+  /** What a merge actually DID — the distinction the count tuples erase.
+    * `applied` is true only when the committed table state after the
+    * call reflects the batch: a real commit, or a batch whose content
+    * required no commit ([[MergeOutcome.NoChange]] — empty source,
+    * every directive an unmatched delete). [[MergeOutcome.Skipped]] and
+    * [[MergeOutcome.Aborted]] mean the batch did NOT land: a caller
+    * that treats them as success (and, say, advances a streaming
+    * checkpoint) silently loses the batch.
+    */
+  sealed trait MergeOutcome {
+    def counts: (Long, Long, Long)
+    def applied: Boolean
+  }
+  object MergeOutcome {
+    /** Committed: a new snapshot version carries the batch. */
+    final case class Merged(updatedKeys: Long, insertedRows: Long,
+        deletedKeys: Long) extends MergeOutcome {
+      def counts: (Long, Long, Long) =
+        (updatedKeys, insertedRows, deletedKeys)
+      def applied: Boolean = true
+    }
+    /** The batch's own content required no commit (empty source, or
+      * every directive an unmatched delete) — success, nothing lost.
+      */
+    final case class NoChange(reason: String) extends MergeOutcome {
+      def counts: (Long, Long, Long) = (0L, 0L, 0L)
+      def applied: Boolean = true
+    }
+    /** A staged attempt from a crashed or live writer is pending; the
+      * merge refused to run. Run [[recover]] (after confirming no live
+      * writer), then retry the batch.
+      */
+    final case object Skipped extends MergeOutcome {
+      def counts: (Long, Long, Long) = (0L, 0L, 0L)
+      def applied: Boolean = false
+    }
+    /** A concurrent writer advanced the log between this merge's state
+      * capture and its commit; the snapshot was discarded. Retry the
+      * batch against the new state.
+      */
+    final case object Aborted extends MergeOutcome {
+      def counts: (Long, Long, Long) = (0L, 0L, 0L)
+      def applied: Boolean = false
+    }
+  }
 
   private def mergeImpl(spark: SparkSession, destPath: String,
       source: DataFrame, keyCol: String, deleteFilter: Option[Column],
       directiveCols: Seq[String], partitionField: Option[String],
-      statsCols: Seq[String]): (Long, Long, Long) = {
+      statsCols: Seq[String]): MergeOutcome = {
     require(source.columns.contains(keyCol),
       s"[graft] mergeInto: source lacks key column '$keyCol'")
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     val src = source.localCheckpoint()
     val nSrc = src.count()
-    if (nSrc == 0) return (0L, 0L, 0L)
+    if (nSrc == 0) return MergeOutcome.NoChange("empty source")
     val nKeys = src.select(col(keyCol)).distinct().count()
     require(nKeys == nSrc,
       s"[graft] mergeInto: source has $nSrc rows but only $nKeys " +
@@ -1547,16 +1616,17 @@ object ManifestSink extends Ingest.DestinationSink {
     val targets = effectiveTargetsOf(fs, old)
     if (targets.isEmpty) {
       // empty/new table: a merge is a plain insert (deletes are no-ops)
-      if (nUps == 0) return (0L, 0L, 0L)
+      if (nUps == 0)
+        return MergeOutcome.NoChange("all deletes unmatched (empty table)")
       if (statsCols.isEmpty) append(ups, destPath, partitionField)
       else statsAppend(ups, destPath, partitionField, statsCols)
-      return (0L, nUps, 0L)
+      return MergeOutcome.Merged(0L, nUps, 0L)
     }
     val sroot = stagingRoot(destPath)
     if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
       println(s"METRIC graft.merge.skipped_pending_attempts=1 " +
         s"dest=$destPath")
-      return (0L, 0L, 0L)
+      return MergeOutcome.Skipped
     }
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
@@ -1633,7 +1703,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val replacedRows = touched.map(matchedOf).sum
     if (touched.isEmpty && nUps == 0) {
       // every directive was an unmatched delete — nothing to commit
-      return (0L, 0L, 0L)
+      return MergeOutcome.NoChange("every directive an unmatched delete")
     }
 
     val writeId = "mg" +
@@ -1724,13 +1794,13 @@ object ManifestSink extends Ingest.DestinationSink {
         moves.map(_._2).toSeq)) {
       println(s"METRIC graft.merge.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
-      return (0L, 0L, 0L)
+      return MergeOutcome.Aborted
     }
     println(s"METRIC graft.merge.updated_keys=$updatedKeys " +
       s"replaced_rows=$replacedRows inserted=${nUps - updatedKeys} " +
       s"deleted_keys=$deletedKeys rewritten=${touched.length} " +
       s"snapshot_version=${baseVersion + 1} dest=$destPath")
-    (updatedKeys, nUps - updatedKeys, deletedKeys)
+    MergeOutcome.Merged(updatedKeys, nUps - updatedKeys, deletedKeys)
   }
 
   /** Schema-evolution-checked append: the reference's `sameOrSuperSet`
@@ -1739,8 +1809,16 @@ object ManifestSink extends Ingest.DestinationSink {
     * other, order-sensitive; right-append evolution only), so a
     * reordered or incompatibly-shaped batch is refused BEFORE it lands
     * instead of surfacing later as a mergeSchema surprise. Empty table
-    * accepts anything. The committed schema comes from one parquet
-    * footer — a metadata read, not a scan.
+    * accepts anything. The committed schema is the UNION of the files'
+    * footers (mergeSchema — footer metadata reads, not a scan): under
+    * right-append evolution the union IS the widest footer, so a batch
+    * must be compatible with the EVOLVED table schema, not merely with
+    * whichever file happens to list first. Checking a single footer
+    * under-constrains after evolution: with committed files `(id,v)`
+    * then `(id,v,score)`, a batch `(id,v,other)` is prefix-compatible
+    * with the old narrow footer but conflicts with the evolved schema —
+    * exactly the reference's `sameOrSuperSet` rule, which compares
+    * against the table's current (widest) schema.
     */
   def compatibleAppend(df: DataFrame, destPath: String,
       partitionField: Option[String],
@@ -1752,8 +1830,8 @@ object ManifestSink extends Ingest.DestinationSink {
       if (!fs.exists(dest)) Seq.empty
       else effectiveTargets(fs, destPath)
     if (targets.nonEmpty) {
-      val existing = spark.read
-        .parquet(new Path(dest, targets.head).toString)
+      val existing = spark.read.option("mergeSchema", "true")
+        .parquet(targets.map(t => new Path(dest, t).toString): _*)
         .schema.fieldNames.toSeq.filterNot(_ == Ingest.PartitionCol)
       val incoming = df.schema.fieldNames.toSeq
       if (!graft.schema.SchemaEvolution.prefixCompatible(existing,

@@ -75,7 +75,15 @@ object ZOrder {
     // sketch stays KB-sized; the multi-column overload sketches every
     // column in ONE pass over the data
     cols.zip(numeric.stat.approxQuantile(cols.toArray, probs,
-      1.0 / (4 * n)).toSeq).map { case (c, q) => c -> q }
+      1.0 / (4 * n)).toSeq).map { case (c, q) =>
+      // a column that is ALL-NULL within the unit yields an EMPTY sketch
+      // (approxQuantile excludes nulls) — pad with +inf cuts so every row
+      // routes to bucket 0, the same convention zkey applies to null
+      // VALUES; without this the key expression's arity check would throw
+      // mid-staging and strand the optimize attempt
+      c -> (if (q.isEmpty) Array.fill(n - 1)(Double.PositiveInfinity)
+            else q)
+    }
   }
 
   /** The Morton key: per-column bucket ids (binary search over the

@@ -729,6 +729,19 @@ object StreamingIngest {
     * are delete directives — matched keys are removed, unmatched
     * deletes are no-ops, and replayed deletes stay no-ops (the key is
     * already gone), preserving the idempotence argument.
+    *
+    * FAILS LOUDLY when a merge does not apply: [[graft.ingest
+    * .ManifestSink.mergeIntoStatus]] distinguishes a committed batch
+    * (and the benign content no-op) from a merge that REFUSED to run —
+    * a pending staged attempt from a crashed writer, or a concurrent
+    * writer advancing the log mid-merge. Those raise, so foreachBatch
+    * fails, the CHECKPOINT DOES NOT ADVANCE, and Structured Streaming
+    * retries the same batch on restart — without this the sink would
+    * report success on a merge that returned without committing and
+    * the micro-batch would be permanently lost (worst case: one stale
+    * staging dir silently dropping EVERY subsequent batch). A pending-
+    * attempt failure names the fix: run `ManifestSink.recover` (after
+    * confirming no live writer), then restart the stream.
     */
   def upsertStream(src: DataFrame, destPath: String, keyCol: String,
       statsCols: Seq[String] = Nil,
@@ -739,17 +752,32 @@ object StreamingIngest {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        deleteFilter match {
+          org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ingest.ManifestSink
+        val outcome = deleteFilter match {
           case Some(f) =>
-            graft.ingest.ManifestSink.mergeCdc(batch.sparkSession,
+            ManifestSink.mergeCdcStatus(batch.sparkSession,
               destPath, batch.toDF(), keyCol, f,
               directiveCols = directiveCols, statsCols = statsCols)
           case None =>
-            graft.ingest.ManifestSink.mergeInto(batch.sparkSession,
+            ManifestSink.mergeIntoStatus(batch.sparkSession,
               destPath, batch.toDF(), keyCol, statsCols = statsCols)
         }
-        ()
+        outcome match {
+          case ManifestSink.MergeOutcome.Skipped =>
+            throw new IllegalStateException(
+              s"[graft] upsertStream batch $batchId did NOT merge " +
+                s"into $destPath: a staged attempt is pending (crashed " +
+                "writer?). Run ManifestSink.recover after confirming " +
+                "no live writer, then restart the stream — the batch " +
+                "will be retried from the checkpoint.")
+          case ManifestSink.MergeOutcome.Aborted =>
+            throw new IllegalStateException(
+              s"[graft] upsertStream batch $batchId aborted merging " +
+                s"into $destPath: a concurrent writer advanced the " +
+                "log. Restart the stream to retry the batch.")
+          case _ => ()
+        }
       }
     checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
     w.start()

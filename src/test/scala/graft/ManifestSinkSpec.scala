@@ -1782,4 +1782,108 @@ class ManifestSinkSpec extends SparkSpec {
     assert(back3.inputFiles.forall(f =>
       f.contains("p_date=2026-01-01") || f.contains("p_date=2026-01-02")))
   }
+
+  test("zorder optimize survives an all-null z column: the empty " +
+      "quantile sketch pads to +inf cuts, every row routes to bucket 0, " +
+      "and the repack commits instead of stranding a staged attempt") {
+    import graft.ingest.ZOrder
+    val root = tmpDir("msinkzonull_")
+    val dest = s"$root/wh/t"
+    // y is ALL-NULL: pre-fix, approxQuantile returned an empty cut
+    // array and the key expression's arity require threw mid-staging
+    for (b <- 0 until 3)
+      ManifestSink.statsAppend(
+        (b * 10L until b * 10L + 10L)
+          .map(i => (i, None: Option[Double])).toDF("x", "y")
+          .coalesce(1),
+        dest, None, statsCols = Seq("x"))
+    val before = ManifestSink.readBack(spark, dest)
+      .orderBy("x").collect().toSeq
+    // the padded cuts route everything to bucket 0 directly
+    val df = spark.range(5).select(col("id").cast("double").as("y"))
+      .withColumn("y", lit(null).cast("double"))
+    val cuts = ZOrder.cuts(df, Seq("y"), bits = 2)
+    assert(cuts.head._2.length == 3 &&
+      cuts.head._2.forall(_.isPosInfinity))
+    ManifestSink.optimize(spark, dest, targetBytes = 1L << 30,
+      zorderBy = Seq("x", "y"), zorderBits = 2)
+    // no stranded attempt: a follow-up merge is NOT silently skipped
+    import graft.ingest.ManifestSink.MergeOutcome
+    val out = ManifestSink.mergeIntoStatus(spark, dest,
+      Seq((0L, Some(9.9))).toDF("x", "y"), "x")
+    assert(out.isInstanceOf[MergeOutcome.Merged], out.toString)
+    val after = ManifestSink.readBack(spark, dest)
+      .where(col("y").isNull).orderBy("x").collect().toSeq
+    assert(after.map(_.getLong(0)) == before.map(_.getLong(0))
+      .filterNot(_ == 0L))
+  }
+
+  test("merge outcomes are loud: a pending staged attempt yields " +
+      "Skipped, a concurrent log advance yields Aborted, benign no-ops " +
+      "yield NoChange — and only applied outcomes report success") {
+    import graft.ingest.ManifestSink.MergeOutcome
+    val root = tmpDir("msinkout_")
+    val dest = s"$root/wh/t"
+    ManifestSink.statsAppend(
+      (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dest, None, statsCols = Seq("id"))
+
+    // empty source and all-unmatched-delete batches: NoChange, applied
+    assert(ManifestSink.mergeIntoStatus(spark, dest,
+      Seq.empty[(Long, String)].toDF("id", "v"), "id").applied)
+    val ghostDel = ManifestSink.mergeCdcStatus(spark, dest,
+      Seq((999L, "", "d")).toDF("id", "v", "op"), "id",
+      col("op") === "d", directiveCols = Seq("op"))
+    assert(ghostDel.isInstanceOf[MergeOutcome.NoChange] &&
+      ghostDel.applied)
+
+    // a stale staging dir (crashed writer) makes the merge REFUSE —
+    // Skipped, applied=false — not silently return zeros
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$root/wh/.staging_t/deadbeef00000000")
+    fs.mkdirs(stale)
+    val skipped = ManifestSink.mergeIntoStatus(spark, dest,
+      Seq((1L, "NEW")).toDF("id", "v"), "id")
+    assert(skipped == MergeOutcome.Skipped && !skipped.applied)
+    assert(ManifestSink.readBack(spark, dest)
+      .where(col("v") === "NEW").count() == 0)
+    fs.delete(stale.getParent, true)
+
+    // concurrent append between rewrite and commit: Aborted, not zeros
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.append(Seq((7777L, "late")).toDF("id", "v"),
+        dest, None)
+    try {
+      val aborted = ManifestSink.mergeIntoStatus(spark, dest,
+        Seq((1L, "NEW")).toDF("id", "v"), "id")
+      assert(aborted == MergeOutcome.Aborted && !aborted.applied)
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    val retry = ManifestSink.mergeIntoStatus(spark, dest,
+      Seq((1L, "NEW")).toDF("id", "v"), "id")
+    assert(retry == MergeOutcome.Merged(1L, 0L, 0L) && retry.applied)
+  }
+
+  test("compatibleAppend checks the EVOLVED (widest) schema: after " +
+      "right-append evolution a batch conflicting with the widened " +
+      "columns is refused even though it extends the oldest footer") {
+    import graft.schema.SchemaEvolution.SchemaMismatchException
+    val dest = s"${tmpDir("compatw_")}/t"
+    ManifestSink.compatibleAppend(
+      Seq((1L, "a")).toDF("id", "v"), dest, None)
+    ManifestSink.compatibleAppend(
+      Seq((2L, "b", 0.5)).toDF("id", "v", "score"), dest, None)
+    // (id, v, other) extends the OLDEST footer (id, v) but conflicts
+    // with the evolved table schema (id, v, score) — must refuse
+    intercept[SchemaMismatchException] {
+      ManifestSink.compatibleAppend(
+        Seq((3L, "c", "x")).toDF("id", "v", "other"), dest, None)
+    }
+    // a batch extending the WIDEST schema still passes
+    ManifestSink.compatibleAppend(
+      Seq((4L, "d", 0.25, "x")).toDF("id", "v", "score", "extra"),
+      dest, None)
+    assert(ManifestSink.readBack(spark, dest).count() == 3)
+  }
 }

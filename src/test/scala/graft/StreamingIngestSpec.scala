@@ -888,6 +888,57 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert fails LOUDLY when the merge does not apply: a " +
+      "stale staged attempt fails the batch (checkpoint does not " +
+      "advance), and after recover a restarted stream replays it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("upsertloud_")
+    val dest = s"$root/t"
+    val ckpt = s"$root/ckpt"
+
+    ManifestSink.append(Seq((1L, "a0")).toDF("id", "v"), dest, None)
+    // plant a stale staging dir — the crashed-writer state that made
+    // every subsequent merge silently return zeros pre-fix
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$root/.staging_t/deadbeef00000000"))
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingIngest.upsertStream(
+      in.toDF().toDF("id", "v"), dest, "id",
+      checkpointDir = Some(ckpt))
+    val err = try {
+      in.addData((1L, "a1"), (2L, "b1"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(err.getMessage.contains("did NOT merge") ||
+      Option(err.getCause).exists(_.getMessage.contains("did NOT merge")),
+      err.toString)
+    // the batch was NOT lost: table unchanged, checkpoint not advanced
+    assert(ManifestSink.readBack(spark, dest)
+      .as[(Long, String)].collect().toSeq.sorted == Seq((1L, "a0")))
+
+    // operator remediation: recover sweeps the stale attempt; a
+    // restarted stream on the SAME checkpoint replays the failed batch
+    ManifestSink.recover(spark, dest, _ => true)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingIngest.upsertStream(
+      in2.toDF().toDF("id", "v"), dest, "id",
+      checkpointDir = Some(ckpt))
+    try {
+      in2.addData((1L, "a1"), (2L, "b1"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ManifestSink.readBack(spark, dest)
+      .as[(Long, String)].collect().toSeq.sorted ==
+      Seq((1L, "a1"), (2L, "b1")))
+  }
+
   test("compatibleAppend: the sameOrSuperSet rule at write time — a " +
       "reordered batch is refused before it lands, right-append " +
       "evolution passes") {
