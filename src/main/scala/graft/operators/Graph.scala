@@ -39,8 +39,23 @@ object Graph {
     * `sum(rank) == 1` up to float error.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 1): DataFrame =
-    pageRankImpl(edges, iters, damping, checkpointEvery, None)
+      checkpointEvery: Int = 1, tol: Double = 0.0): DataFrame =
+    pageRankImpl(edges, iters, damping, checkpointEvery, None, tol)._1
+
+  /** [[pageRank]] with a CONVERGENCE STOP, returning `(ranks, rounds)`:
+    * iteration ends early once the L1 rank delta `sum(|r_i - r_{i-1}|)`
+    * drops below `tol` (after at most `maxIters` rounds). The delta
+    * rides the per-round `localCheckpoint` the iteration already pays —
+    * the prev rank joins in on the node key (same partitioning, no extra
+    * shuffle) and the scalar reads the checkpointed partitions — so a
+    * converged graph stops paying per-round joins the moment the vector
+    * is stable instead of grinding out the full fixed budget. The
+    * returned ranks are BIT-IDENTICAL to `pageRank(edges, rounds, ...)`:
+    * the stop changes how many rounds run, never what a round computes.
+    */
+  def pageRankConverged(edges: DataFrame, maxIters: Int,
+      damping: Double = 0.85, tol: Double = 1e-6): (DataFrame, Int) =
+    pageRankImpl(edges, maxIters, damping, 1, None, tol)
 
   /** PERSONALIZED PageRank: teleportation lands uniformly on `seeds`
     * (a one-column node frame) instead of on every node — rank mass
@@ -53,11 +68,14 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 1): DataFrame =
-    pageRankImpl(edges, iters, damping, checkpointEvery, Some(seeds))
+      checkpointEvery: Int = 1, tol: Double = 0.0): DataFrame =
+    pageRankImpl(edges, iters, damping, checkpointEvery, Some(seeds),
+      tol)._1
 
   private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
-      checkpointEvery: Int, seeds: Option[DataFrame]): DataFrame = {
+      checkpointEvery: Int, seeds: Option[DataFrame],
+      tol: Double = 0.0): (DataFrame, Int) = {
+    require(tol >= 0, s"[graft] pageRank tol must be >= 0, got $tol")
     require(iters >= 0 && iters <= 200,
       s"[graft] pageRank iters must be in [0, 200], got $iters")
     require(damping > 0 && damping < 1,
@@ -69,7 +87,7 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count()
-    if (n == 0) return nodes.withColumn("rank", lit(0.0))
+    if (n == 0) return (nodes.withColumn("rank", lit(0.0)), 0)
     // out-degree shares edges' src partitioning: the per-round join to
     // ranks never reshuffles the edge side
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -95,7 +113,10 @@ object Graph {
             when(col("__seed").isNotNull, lit(1.0 / ns))
               .otherwise(lit(0.0)).as("rank"))
     }).localCheckpoint()
-    for (i <- 1 to iters) {
+    var rounds = 0
+    var converged = false
+    var i = 1
+    while (i <= iters && !converged) {
       val dangling = ranks
         .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
@@ -124,9 +145,29 @@ object Graph {
                 lit(damping) * coalesce(col("inflow"), lit(0.0)))
                 .as("rank"))
       }
-      ranks = if (i % checkpointEvery == 0 || i == iters)
+      rounds = i
+      val prev = ranks
+      ranks = if (i % checkpointEvery == 0 || i == iters || tol > 0)
         next.localCheckpoint() else next
+      if (tol > 0) {
+        // convergence check: one scalar agg joining the new and previous
+        // CHECKPOINTED vectors on the node key (both node-partitioned —
+        // no extra shuffle, no recompute); the ranks frame itself is the
+        // same localCheckpoint the fixed-iteration path produces, so
+        // stopping at round R is bit-identical to running iters = R
+        val l1 = ranks
+          .join(prev.withColumnRenamed("rank", "__prev"), Seq("node"))
+          .agg(coalesce(sum(abs(col("rank") - col("__prev"))),
+            lit(0.0)))
+          .head.getDouble(0)
+        if (l1 < tol) {
+          println(s"METRIC graft.pagerank.converged_rounds=$rounds " +
+            f"l1_delta=$l1%.3e tol=$tol%.3e")
+          converged = true
+        }
+      }
+      i += 1
     }
-    ranks
+    (ranks, rounds)
   }
 }

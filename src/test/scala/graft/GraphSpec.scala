@@ -132,4 +132,40 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), 3)
       .count() == 0)
   }
+
+  test("convergence stop: tol ends iteration early with ranks " +
+      "bit-identical to the fixed-iters run at the same round count, " +
+      "and a stable graph stops after one extra round") {
+    import spark.implicits._
+    // deterministic IRREGULAR 40-node graph (quadratic dst spread, so
+    // in/out degrees are uneven and the uniform start is NOT stationary)
+    // that still converges well before a 100-round budget
+    val edges = (0L until 120L)
+      .map(i => (i % 40L, (i * i * 7L + i + 1L) % 40L))
+      .filter { case (a, b) => a != b }.distinct
+    val e = edges.toDF("src", "dst")
+    val (conv, rounds) = Graph.pageRankConverged(e, maxIters = 100,
+      tol = 1e-6)
+    assert(rounds < 100, s"did not converge early: $rounds rounds")
+    val fixedAtSame = Graph.pageRank(e, iters = rounds)
+    // BIT-identical: the stop changes how many rounds run, never what a
+    // round computes
+    val a = conv.orderBy("node").as[(Long, Double)].collect().toSeq
+    val b = fixedAtSame.orderBy("node").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    // the vector still sums to 1
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-9)
+    // genuinely converged: one more fixed round moves it by less than tol
+    val more = Graph.pageRank(e, iters = rounds + 1)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    val l1 = a.zip(more).map { case ((_, x), (_, y)) =>
+      math.abs(x - y) }.sum
+    assert(l1 < 1e-6, s"claimed convergence but next round moved $l1")
+    // a perfectly stable start (uniform ranks on a symmetric ring)
+    // stops at the first check
+    val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")
+    val (_, ringRounds) = Graph.pageRankConverged(ring, maxIters = 50,
+      tol = 1e-12)
+    assert(ringRounds <= 2, s"ring should stop immediately: $ringRounds")
+  }
 }
