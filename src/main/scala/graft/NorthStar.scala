@@ -1012,6 +1012,46 @@ object NorthStar {
     // key transitions absent→present→absent across snapshots; pins the
     // cross-batch delete/re-insert/delete contract a single-batch merge
     // (q134) cannot observe.
+    // RESTORE as an oracle query: three appends build the table, a
+    // fat-finger COW delete wipes two thirds of it, restore(v2) commits
+    // the pre-delete file set back as the new head (pure metadata — no
+    // data moved, history intact), and a correct targeted delete then
+    // lands on top. The final aggregate must equal "all events minus
+    // only the targeted slab" — wrong if restore resurrected too little
+    // (the bad delete leaks through) or too much (the targeted delete
+    // lost). Exercises the retained-manifest model end to end: the bad
+    // delete's snapshot stays on disk, hidden by the restore's cut.
+    "q137_restore" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q137_").toString
+      for (t <- 0 until 3)
+        ManifestSink.statsAppend(
+          ev.where(col("event_id") >= t * n / 3 &&
+            col("event_id") < (t + 1) * n / 3),
+          tmp, None, Seq("event_id"))
+      // the bad delete: wipes [0, 2n/3) — two of the three slabs
+      ManifestSink.deleteWhere(s, tmp,
+        ManifestSink.SkipPredicate.NumRange("event_id",
+          0, (2 * n / 3 - 1).toDouble))
+      // undo it: metadata-only commit of v2's file set as the new head
+      ManifestSink.restore(s, tmp, 2L)
+      // the intended, targeted delete lands on the restored state
+      ManifestSink.deleteWhere(s, tmp,
+        ManifestSink.SkipPredicate.NumRange("event_id",
+          (n / 3).toDouble, (n / 3 + n / 10).toDouble))
+      ManifestSink.readBack(s, tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "q135_cdc_sequence" -> ((s, dir) => {
       import graft.ingest.ManifestSink
       val ev = SparkEntry.events(s, dir)
@@ -2917,6 +2957,14 @@ object NorthStar {
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value
          FROM t GROUP BY event_type ORDER BY event_type""",
+    "q137_restore" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events, b
+         WHERE event_id NOT BETWEEN nid // 3 AND nid // 3 + nid // 10
+         GROUP BY event_type ORDER BY event_type""",
     "q135_cdc_sequence" ->
       """WITH t AS (SELECT event_id, event_type,
              CASE WHEN event_id % 14 = 0 THEN -5.0

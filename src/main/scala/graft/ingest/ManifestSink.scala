@@ -255,7 +255,11 @@ object ManifestSink extends Ingest.DestinationSink {
         if (targets.nonEmpty && targets.forall(rowsByTgt.contains))
           Some(targets.map(rowsByTgt).sum)
         else None
-      (v, ts, if (snap) "snapshot" else "append", targets.size, nRows)
+      val kind =
+        if (isRestoreManifest(fs, mf)) "restore"
+        else if (snap) "snapshot"
+        else "append"
+      (v, ts, kind, targets.size, nRows)
     }
     rows.toDF("version", "commit_ts", "kind", "n_files", "n_rows")
   }
@@ -289,6 +293,114 @@ object ManifestSink extends Ingest.DestinationSink {
             s"v${earliest._1} at t=${earliest._2} — older history (if " +
             "any) was compacted away; read a version explicitly or use " +
             "a later timestamp")
+    }
+  }
+
+  /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF`): commit the
+    * table state as of `version` as a NEW head version — the write-op
+    * other half of time travel, what an operator reaches for right
+    * after `history` shows a bad commit. The restore is a SNAPSHOT
+    * manifest re-listing version `version`'s file set (with its stats
+    * and deletion-vector lines), so:
+    *  - `readBack` after restore == `readVersion(version)` — by
+    *    construction, the same file list;
+    *  - history is NEVER rewritten: the bad versions stay readable, the
+    *    restore is one more version on top (its `history` kind is
+    *    `restore`), and a second restore can undo the first;
+    *  - no data moves or copies — a pure metadata commit, O(surviving
+    *    manifests) driver work at any table size;
+    *  - the files are guaranteed present: [[vacuum]] only deletes files
+    *    referenced by NO surviving manifest, and `version`'s own
+    *    manifest survives (restore refuses compacted-away versions,
+    *    the [[readVersion]] contract).
+    * [[readAppendsBetween]] across the restore refuses loudly — a
+    * restore is a snapshot, so file membership no longer means "new
+    * rows" (re-sync from a full read, the Delta CDF contract). REFUSES
+    * while staged attempts are pending, like [[compact]] — restore is
+    * maintenance and holds the single-writer contract. Returns the new
+    * head version.
+    */
+  def restore(spark: SparkSession, destPath: String,
+      version: Long): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val sroot = stagingRoot(destPath)
+    require(!(fs.exists(sroot) && fs.listStatus(sroot).nonEmpty),
+      s"[graft] restore($version): staged attempts are pending under " +
+        s"$sroot — run recover/finishCommit first")
+    val all = manifests(fs, destPath)
+    require(all.nonEmpty,
+      s"[graft] restore($version): $destPath has no committed versions")
+    def vOf(p: Path): Long = p.getName.takeWhile(_.isDigit).toLong
+    val head = all.map(vOf).max
+    require(version <= head,
+      s"[graft] restore($version): head is v$head")
+    val minV = all.map(vOf).min
+    require(version >= minV,
+      s"[graft] restore($version): history before v$minV was " +
+        s"compacted away; earliest restorable version is v$minV")
+    val eligible = all.filter(vOf(_) <= version)
+    val parsed = eligible.map(mf => readManifest(fs, mf))
+    val lastSnap = parsed.lastIndexWhere(_._3)
+    val effMfs = if (lastSnap >= 0) eligible.drop(lastSnap) else eligible
+    val targets = (if (lastSnap >= 0) parsed.drop(lastSnap) else parsed)
+      .flatMap(_._2).distinct
+    val restored = targets.toSet
+    // carry the restored files' metadata lines (skipping stats +
+    // deletion vectors) exactly as they stood at `version` — a dv
+    // committed AFTER `version` must not survive the restore, and one
+    // committed before it must
+    val metaLines = effMfs.flatMap { mf =>
+      val in = fs.open(mf)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter { l =>
+        val p = l.split('\t')
+        p.length >= 2 &&
+          (p(0) == "stats" || p(0) == "stats2" || p(0) == "dv") &&
+          restored.contains(p(1))
+      }
+    }.distinct
+    val body = (Seq("snapshot\t1", s"restore\t$version") ++
+      targets.map("target\t" + _) ++ metaLines).mkString("\n")
+    val newV = head + 1
+    val lp = logPath(destPath)
+    val tmp = new Path(lp, s".tmp_restore_$newV")
+    writeFile(fs, tmp, body)
+    val fin = new Path(lp, f"$newV%012d__restore.manifest")
+    commitLock(fs, destPath).synchronized {
+      require(fs.rename(tmp, fin),
+        s"[graft] restore commit failed: $fin already exists?")
+    }
+    println(s"METRIC graft.restore.to_version=$version " +
+      s"new_version=$newV files=${targets.length} dest=$destPath")
+    newV
+  }
+
+  /** [[restore]] by TIMESTAMP: restores to the last version committed
+    * at or before `tsMillis`, resolved exactly as [[readAsOf]] resolves
+    * reads (manifest-file mtimes; fails loudly when every surviving
+    * commit is later). Returns the new head version.
+    */
+  def restoreAsOf(spark: SparkSession, destPath: String,
+      tsMillis: Long): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val all = manifests(fs, destPath)
+    require(all.nonEmpty,
+      s"[graft] restoreAsOf($tsMillis): $destPath has no committed " +
+        "versions")
+    val stamped = all.map(p =>
+      (p.getName.takeWhile(_.isDigit).toLong,
+        fs.getFileStatus(p).getModificationTime))
+    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption match {
+      case Some(v) => restore(spark, destPath, v)
+      case None =>
+        val earliest = stamped.minBy(_._2)
+        throw new IllegalArgumentException(
+          s"[graft] restoreAsOf($tsMillis): earliest surviving commit " +
+            s"is v${earliest._1} at t=${earliest._2} — older history " +
+            "(if any) was compacted away")
     }
   }
 
@@ -421,6 +533,17 @@ object ManifestSink extends Ingest.DestinationSink {
     val lastSnap = parsed.lastIndexWhere(_._3)
     (if (lastSnap >= 0) parsed.drop(lastSnap) else parsed)
       .flatMap(_._2).distinct
+  }
+
+  /** True iff `mf` is a [[restore]] commit (carries a `restore\t` line
+    * — a snapshot whose `history` kind reads `restore`).
+    */
+  private def isRestoreManifest(fs: FileSystem, mf: Path): Boolean = {
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.exists(_.startsWith("restore\t"))
   }
 
   /** Raw stats lines (`stats\t` legacy double min/max, `stats2\t` typed)
@@ -1133,12 +1256,9 @@ object ManifestSink extends Ingest.DestinationSink {
         s"base_version=$baseVersion dest=$destPath")
       return 0L
     }
-    // superseded manifests — delete ONLY the captured set (a manifest
-    // committed after the capture was refused above, so none can exist
-    // here, but the captured-set discipline keeps that invariant local);
-    // readers already resolve from the snapshot; a crash mid-cleanup is
-    // finished by the next compact/optimize
-    old.foreach(mf => fs.delete(mf, false))
+    // superseded manifests are RETAINED (snapshot cut hides them from
+    // readers) so time travel and [[restore]] reach the pre-optimize
+    // state; [[compact]] is the explicit history collapse
     fs.delete(staging, true)
     if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
       fs.delete(sroot, true)
@@ -1456,7 +1576,11 @@ object ManifestSink extends Ingest.DestinationSink {
         fs.delete(sroot, true)
       return false
     }
-    old.foreach(mf => fs.delete(mf, false))
+    // superseded manifests are RETAINED (the Delta model: log entries
+    // are immutable history; readers ignore them via the snapshot cut).
+    // They are what keeps time travel and [[restore]] able to reach the
+    // pre-delete/merge/drop state; [[compact]] is the explicit collapse
+    // and [[vacuum]]-after-compact reclaims the replaced data files.
     fs.delete(staging, true)
     if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
       fs.delete(sroot, true)

@@ -437,27 +437,24 @@ class ManifestSinkSpec extends SparkSpec {
     assert(after == before)
     val packedFiles = dataFiles()
     assert(packedFiles.length + 12 >= 12) // replaced files still on disk
-    assert(manifestFiles().length == 1) // one snapshot version
-    // crash-after-commit window: superseded manifests still present must
-    // NOT double-count (snapshot supersedes) — fabricate the window by
-    // resurrecting an old-style incremental manifest listing a replaced
-    // file that still exists on disk
-    val replaced = packedFiles.map(f =>
-      f.getAbsolutePath.stripPrefix(new java.io.File(dest).getAbsolutePath + "/"))
-      .filterNot(r => manifestTargets(dest).contains(r))
-    assert(replaced.nonEmpty)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dest/_log/000000000000__old.manifest"),
-      s"target\t${replaced.head}")
+    // superseded manifests are RETAINED for time travel/restore; the
+    // snapshot cut hides them from readers, compact collapses them
+    assert(manifestFiles().length == 7) // 6 retained appends + snapshot
+    // the retained superseded manifests still list every replaced file,
+    // and the snapshot cut must hide them — no double-count
     assert(ManifestSink.readBack(spark, dest).count() == 12)
-    new java.io.File(s"$dest/_log/000000000000__old.manifest").delete()
 
-    // history before the snapshot is unreachable, loudly
+    // history before the snapshot STAYS reachable (time travel) until
+    // an explicit compact collapses it
+    assert(ManifestSink.readVersion(spark, dest, 1L).count() == 4)
+    ManifestSink.compact(spark, dest)
+    assert(manifestFiles().length == 1)
     intercept[IllegalArgumentException] {
       ManifestSink.readVersion(spark, dest, 1L)
     }
 
-    // vacuum sweeps the replaced small files once aged; state unchanged
+    // vacuum sweeps the replaced small files once aged (after compact
+    // dropped the manifests that referenced them); state unchanged
     val t0 = System.currentTimeMillis() - 120000
     dataFiles().foreach(f => f.setLastModified(t0))
     assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 12L)
@@ -596,7 +593,9 @@ class ManifestSinkSpec extends SparkSpec {
       "plain bin-pack degrades the 1-of-10 pruned read to 1-of-1 — " +
         "reading every byte; the contrast that makes clusterBy the fix")
 
-    // crash-safety parity: vacuum sweeps the 10 replaced files, state holds
+    // crash-safety parity: after compact drops the superseded manifests,
+    // vacuum sweeps the 10 replaced files and state holds
+    ManifestSink.compact(spark, dest)
     def walk2(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk2) else Seq(f)
     walk2(new java.io.File(dest))
@@ -704,32 +703,32 @@ class ManifestSinkSpec extends SparkSpec {
     for (i <- 0 until 3)
       ManifestSink.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), dest, None)
     assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 3L)
-    // the replaced small files are still on disk (pre-vacuum); resurrect a
-    // superseded incremental manifest naming one of them — byte-identical
-    // to optimize dying between its snapshot commit and the old-manifest
-    // cleanup (the exact state optimize's doc says 'the next compact'
-    // finishes)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val destAbs = new java.io.File(dest).getAbsolutePath
-    val replaced = walk(new java.io.File(dest))
-      .filter(_.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath.stripPrefix(destAbs + "/"))
-      .filterNot(manifestTargets(dest).contains)
-    assert(replaced.nonEmpty, "pre-vacuum replaced files must exist")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dest/_log/000000000000__old.manifest"),
-      replaced.map("target\t" + _).mkString("\n"))
+    // under manifest retention the superseded incremental manifests (and
+    // the replaced small files they name) are ALWAYS present after an
+    // optimize — the state that used to exist only in the crash-mid-
+    // cleanup window is now the steady state the snapshot cut must hide
+    val log = new java.io.File(s"$dest/_log")
+    assert(log.listFiles().count(_.getName.endsWith(".manifest")) == 4,
+      "3 retained appends + the optimize snapshot")
     // the deduped read is already correct in this window...
     assert(ManifestSink.readBack(spark, dest).count() == 3)
     // ...and compact must KEEP it correct: before the snapshot cut it
     // unioned the stale targets into the new snapshot, permanently
     // duplicating the replaced rows (stale targets differ by NAME, so the
     // reader's distinct() no longer collapses them)
+    val preCompactTargets = manifestTargets(dest)
+    val snapTargets = {
+      val snap = log.listFiles().filter(_.getName.endsWith(".manifest"))
+        .maxBy(_.getName)
+      scala.io.Source.fromFile(snap, "UTF-8").getLines()
+        .filter(_.startsWith("target")).map(_.substring(7)).toSet
+    }
+    val replaced = preCompactTargets -- snapTargets
+    assert(replaced.nonEmpty, "superseded targets must exist pre-compact")
     ManifestSink.compact(spark, dest)
     assert(ManifestSink.readBack(spark, dest)
       .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L))
-    assert(manifestTargets(dest).intersect(replaced.toSet).isEmpty,
+    assert(manifestTargets(dest).intersect(replaced).isEmpty,
       "compact must not merge targets superseded by a snapshot")
   }
 
@@ -756,12 +755,14 @@ class ManifestSinkSpec extends SparkSpec {
       .count(_.getName.endsWith(".manifest")) == 4)
     // no stranded staging attempt, no packed-file debris in any manifest
     assert(!new java.io.File(s"$root/wh/.staging_t").exists())
-    // the retry (no interference) packs all four files into one snapshot
+    // the retry (no interference) packs all four files into one
+    // snapshot; the 4 superseded appends are retained for time travel
     assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 4L)
     assert(ManifestSink.readBack(spark, dest)
       .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 99L))
     assert(new java.io.File(s"$dest/_log").listFiles()
-      .count(_.getName.endsWith(".manifest")) == 1)
+      .count(_.getName.endsWith(".manifest")) == 5)
+    assert(ManifestSink.readBack(spark, dest).inputFiles.length == 1)
   }
 
   /** Relative targets named by the committed manifests of `dest`. */
@@ -819,6 +820,9 @@ class ManifestSinkSpec extends SparkSpec {
       val ledgered = scala.collection.mutable.Set[String]()
       // model mirrors of the real state: (version, writeId, batch ids)
       var logModel = Vector.empty[(Long, String, Set[Long])]
+      // versions SUPERSEDED by a snapshot (optimize/delete/merge) but
+      // retained on disk for time travel — only compact removes them
+      var retained = Set.empty[Long]
       var pending = Map.empty[String, Int] // writeId -> crash window
       var nextBatch = 0
 
@@ -858,7 +862,8 @@ class ManifestSinkSpec extends SparkSpec {
           uris => uris.forall(ledgered.contains))
         val rolledBack = pending.collect { case (id, 2) => id }.toSet
         logModel = logModel.filterNot(e => rolledBack.contains(e._2))
-        assert(survivingVersions() == logModel.map(_._1).toSet,
+        assert(survivingVersions() ==
+          logModel.map(_._1).toSet ++ retained,
           s"schedule $i after $where: surviving log != predicted " +
             "(rolled-back window-2 entries gone, everything else kept)")
         pending = Map.empty
@@ -894,12 +899,15 @@ class ManifestSinkSpec extends SparkSpec {
             }
           case 10 =>
             ManifestSink.compact(spark, dest)
-            if (pending.isEmpty && logModel.length > 1) {
+            if (pending.isEmpty &&
+                retained.size + logModel.length > 1) {
               val v = logModel.map(_._1).max + 1
               logModel =
                 Vector((v, "compact", logModel.flatMap(_._3).toSet))
+              retained = Set.empty // compact is the history collapse
             } // else refused (pending) or no-op (<=1 manifest)
-            assert(survivingVersions() == logModel.map(_._1).toSet,
+            assert(survivingVersions() ==
+              logModel.map(_._1).toSet ++ retained,
               s"schedule $i: compact left an unpredicted log state")
           case 11 =>
             ManifestSink.vacuum(spark, dest, retentionMs = 0L)
@@ -911,14 +919,17 @@ class ManifestSinkSpec extends SparkSpec {
             val packed =
               ManifestSink.optimize(spark, dest, targetBytes = 1L << 20)
             if (packed > 0) {
-              // one snapshot version replaces the whole log; content
-              // identical (the return value keys the model because
-              // whether bins form depends on physical file sizes)
+              // one snapshot version supersedes the effective log —
+              // the superseded versions are RETAINED for time travel;
+              // content identical (the return value keys the model
+              // because whether bins form depends on physical sizes)
               val v = logModel.map(_._1).max + 1
+              retained ++= logModel.map(_._1)
               logModel =
                 Vector((v, "optimize", logModel.flatMap(_._3).toSet))
             }
-            assert(survivingVersions() == logModel.map(_._1).toSet,
+            assert(survivingVersions() ==
+              logModel.map(_._1).toSet ++ retained,
               s"schedule $i: optimize left an unpredicted log state")
           case 14 =>
             val b = nextBatch; nextBatch += 1
@@ -939,9 +950,11 @@ class ManifestSinkSpec extends SparkSpec {
               assert(gone == expect.size.toLong,
                 s"schedule $i op#$k: delete count")
               val v = logModel.map(_._1).max + 1
+              retained ++= logModel.map(_._1)
               logModel = Vector((v, "delete", visible -- expect))
             }
-            assert(survivingVersions() == logModel.map(_._1).toSet,
+            assert(survivingVersions() ==
+              logModel.map(_._1).toSet ++ retained,
               s"schedule $i: delete left an unpredicted log state")
           case 16 => // merge-upsert of a 3-id band; the +5 offset keeps
             // merge ids disjoint from append ids (x0..x2 per decade), so
@@ -972,9 +985,11 @@ class ManifestSinkSpec extends SparkSpec {
               assert(res == ((u, 3L - u)),
                 s"schedule $i op#$k: merge counts $res, want ($u)")
               val v = logModel.map(_._1).max + 1
+              retained ++= logModel.map(_._1)
               logModel = Vector((v, "merge", visible ++ srcIds))
             }
-            assert(survivingVersions() == logModel.map(_._1).toSet,
+            assert(survivingVersions() ==
+              logModel.map(_._1).toSet ++ retained,
               s"schedule $i: merge left an unpredicted log state")
         }
         check(s"op#$k($op)")
@@ -989,7 +1004,7 @@ class ManifestSinkSpec extends SparkSpec {
         assert(readIds(ManifestSink.readVersion(spark, dest, v)) == expect,
           s"schedule $i: readVersion($v) is not the exact prefix")
       }
-      logModel.map(_._1).minOption.foreach { floor =>
+      (logModel.map(_._1) ++ retained).minOption.foreach { floor =>
         if (floor > 0) {
           val err = intercept[IllegalArgumentException] {
             ManifestSink.readVersion(spark, dest, floor - 1)
@@ -1050,7 +1065,9 @@ class ManifestSinkSpec extends SparkSpec {
       ManifestSink.SkipPredicate.StrEq("v", "nope")) == 0L)
     assert(ManifestSink.readBack(spark, dest).count() == 342)
 
-    // vacuum sweeps the replaced generations; state unchanged
+    // vacuum sweeps the replaced generations once compact has dropped
+    // the retained manifests that still referenced them; state unchanged
+    ManifestSink.compact(spark, dest)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     walk(new java.io.File(dest))
@@ -1387,18 +1404,23 @@ class ManifestSinkSpec extends SparkSpec {
     // a fourth append is picked up incrementally
     ManifestSink.append(Seq((99L, "x")).toDF("id", "v"), dest, None)
     assert(ids(2) == Seq(99L))
-    // optimize writes a snapshot (v4) and collapses history: a range
-    // crossing the snapshot refuses with the SNAPSHOT error, a floor
-    // below the surviving history refuses as compacted-away
+    // optimize writes a snapshot (v4): any range crossing it refuses
+    // with the SNAPSHOT error (manifests are retained, so the range
+    // resolves — but file membership no longer means "new rows");
+    // after compact collapses history, a floor below the surviving
+    // snapshot refuses as compacted-away
     assert(ManifestSink.optimize(spark, dest,
       targetBytes = 1L << 20) > 0L)
     val errSnap = intercept[IllegalArgumentException] { ids(3) }
     assert(errSnap.getMessage.contains("SNAPSHOT"))
+    val errSnap2 = intercept[IllegalArgumentException] { ids(1) }
+    assert(errSnap2.getMessage.contains("SNAPSHOT"))
+    ManifestSink.compact(spark, dest)
     val errGone = intercept[IllegalArgumentException] { ids(1) }
     assert(errGone.getMessage.contains("compacted away"))
-    // appends after the snapshot read incrementally again
+    // appends after the compact snapshot (v5) read incrementally again
     ManifestSink.append(Seq((100L, "y")).toDF("id", "v"), dest, None)
-    assert(ids(4) == Seq(100L))
+    assert(ids(5) == Seq(100L))
   }
 
   test("checkedAppend: a violating batch is refused whole — nothing " +
@@ -1569,10 +1591,12 @@ class ManifestSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestSink.dropPartitions(spark, dest, Seq("../../etc"))
     }
-    // appends stack; vacuum reclaims the dropped generation
+    // appends stack; vacuum reclaims the dropped generation once
+    // compact drops the retained pre-drop manifests referencing it
     ManifestSink.append(Seq((9L, "z", d("2026-01-01")))
       .toDF("id", "v", "dt"), dest, Some("dt"))
     assert(ManifestSink.readBack(spark, dest).count() == 2)
+    ManifestSink.compact(spark, dest)
     dataFiles().foreach(f =>
       f.setLastModified(System.currentTimeMillis() - 120000))
     assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) >= 2L)
@@ -1885,5 +1909,82 @@ class ManifestSinkSpec extends SparkSpec {
       Seq((4L, "d", 0.25, "x")).toDF("id", "v", "score", "extra"),
       dest, None)
     assert(ManifestSink.readBack(spark, dest).count() == 3)
+  }
+
+  test("restore: commits an old version's file set as the NEW head — " +
+      "readBack equals readVersion(v), history is appended not " +
+      "rewritten, CDC across the boundary refuses, vacuum keeps " +
+      "restored files, and a second restore undoes the first") {
+    val root = tmpDir("msinkrest_")
+    val dest = s"$root/wh/t"
+    // v0..v2: three appends; v3: a delete that turns out to be "bad"
+    for (b <- 0 until 3)
+      ManifestSink.statsAppend(
+        (b * 10L until b * 10L + 10L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        dest, None, statsCols = Seq("id"))
+    ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 0, 14))
+    assert(ManifestSink.readBack(spark, dest).count() == 15)
+
+    val v2 = ManifestSink.readVersion(spark, dest, 2L)
+      .orderBy("id").collect().toSeq
+    val newV = ManifestSink.restore(spark, dest, 2L)
+    assert(newV == 4L)
+    // exact old state back, stats lines restored with it (pruning works)
+    assert(ManifestSink.readBack(spark, dest)
+      .orderBy("id").collect().toSeq == v2)
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 0, 9)
+      .inputFiles.length == 1)
+    // history: the bad delete REMAINS readable; restore is a new kind
+    val hist = ManifestSink.history(spark, dest)
+      .orderBy("version").collect()
+    assert(hist.map(_.getString(2)).toSeq ==
+      Seq("append", "append", "append", "snapshot", "restore"))
+    assert(ManifestSink.readVersion(spark, dest, 3L).count() == 15)
+
+    // CDC across the restore boundary refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestSink.readAppendsBetween(spark, dest, 2L)
+    }
+    // vacuum keeps every restored file live (referenced by the restore
+    // manifest); readBack stays intact after retention-0 vacuum
+    ManifestSink.vacuum(spark, dest, retentionMs = 0L)
+    assert(ManifestSink.readBack(spark, dest)
+      .orderBy("id").collect().toSeq == v2)
+
+    // a second restore (to v3) undoes the first — history still grows
+    ManifestSink.restore(spark, dest, 3L)
+    assert(ManifestSink.readBack(spark, dest).count() == 15)
+    assert(ManifestSink.history(spark, dest).count() == 6)
+
+    // guards: future version, compacted-away version, pending attempt
+    intercept[IllegalArgumentException] {
+      ManifestSink.restore(spark, dest, 99L)
+    }
+    ManifestSink.compact(spark, dest)
+    intercept[IllegalArgumentException] {
+      ManifestSink.restore(spark, dest, 1L)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$root/wh/.staging_t/deadbeef00000000")
+    fs.mkdirs(stale)
+    intercept[IllegalArgumentException] {
+      ManifestSink.restore(spark, dest, 6L)
+    }
+    fs.delete(stale.getParent, true)
+
+    // restoreAsOf resolves commit mtimes exactly like readAsOf
+    val mts = ManifestSink.history(spark, dest).orderBy("version")
+      .collect().map(_.getTimestamp(1).getTime)
+    val v7 = ManifestSink.restoreAsOf(spark, dest, mts.last)
+    assert(ManifestSink.readBack(spark, dest).count() == 15)
+    intercept[IllegalArgumentException] {
+      ManifestSink.restoreAsOf(spark, dest, mts.min - 1000)
+    }
+    assert(v7 == ManifestSink.history(spark, dest)
+      .agg(max(col("version"))).head.getLong(0))
   }
 }
