@@ -1012,6 +1012,50 @@ object NorthStar {
     // key transitions absent→present→absent across snapshots; pins the
     // cross-batch delete/re-insert/delete contract a single-batch merge
     // (q134) cannot observe.
+    // MERGE-ON-READ CDC (deletion vectors) as an oracle query: the
+    // EXACT q135 change sequence — delete id%7, re-insert id%14 at -5,
+    // delete id%28 + double id%10 — applied with mor=true, so the
+    // scattered batch that under COW rewrites all 8 files (q135's
+    // documented worst case, the bench's slowest query) commits only
+    // position tombstones + insert files. Same oracle SQL as q135: the
+    // visible rows must be IDENTICAL under both write modes; the cost
+    // profile (O(changed rows), zero rewrites) is the difference the
+    // BASELINE ladder documents.
+    "q138_mor_cdc" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q138_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      def merge(src: org.apache.spark.sql.DataFrame): Unit =
+        ManifestSink.mergeCdc(s, tmp, src, "event_id",
+          col("op") === "d", directiveCols = Seq("op"),
+          statsCols = Seq("event_id"), mor = true)
+      merge(ev.where(pmod(col("event_id"), lit(7L)) === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("d").as("op")))
+      merge(ev.where(pmod(col("event_id"), lit(14L)) === 0)
+        .select(col("event_id"), col("event_type"),
+          lit(-5.0).as("value"), lit("u").as("op")))
+      merge(ev.where(pmod(col("event_id"), lit(28L)) === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("d").as("op"))
+        .unionByName(ev.where(pmod(col("event_id"), lit(10L)) === 0 &&
+            pmod(col("event_id"), lit(7L)) =!= 0)
+          .select(col("event_id"), col("event_type"),
+            (col("value") * 2).as("value"), lit("u").as("op"))))
+      ManifestSink.readBack(s, tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // RESTORE as an oracle query: three appends build the table, a
     // fat-finger COW delete wipes two thirds of it, restore(v2) commits
     // the pre-delete file set back as the new head (pure metadata — no
@@ -2953,6 +2997,18 @@ object NorthStar {
              -value AS value
            FROM events, b WHERE event_id % 97 = 0),
          t AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM t GROUP BY event_type ORDER BY event_type""",
+    "q138_mor_cdc" ->
+      """WITH t AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 14 = 0 THEN -5.0
+                  WHEN event_id % 10 = 0 THEN value * 2
+                  ELSE value END AS value
+           FROM events
+           WHERE event_id % 28 <> 0
+             AND NOT (event_id % 7 = 0 AND event_id % 14 <> 0))
          SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value

@@ -213,17 +213,18 @@ object ManifestSink extends Ingest.DestinationSink {
     // snapshot semantics: the latest snapshot ≤ version supersedes every
     // earlier manifest (so the window between an optimize/compact commit
     // and its old-manifest cleanup never double-counts a replaced file)
-    val eligible = all
+    val eligibleMfs = all
       .filter(_.getName.takeWhile(_.isDigit).toLong <= version)
-      .map(mf => readManifest(fs, mf))
+    val eligible = eligibleMfs.map(mf => readManifest(fs, mf))
     val lastSnap = eligible.lastIndexWhere(_._3)
-    val files = (if (lastSnap >= 0) eligible.drop(lastSnap) else eligible)
+    val rels = (if (lastSnap >= 0) eligible.drop(lastSnap) else eligible)
       .flatMap(_._2)
       .distinct
-      .map(rel => new Path(dest, rel).toString)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true")
-      .option("basePath", destPath).parquet(files: _*)
+    if (rels.isEmpty) spark.emptyDataFrame
+    // deletion vectors committed at or before `version` apply; later
+    // ones must not (time travel sees the pre-delete rows)
+    else readFilesDv(spark, destPath, rels,
+      effectiveDvsOf(fs, eligibleMfs))
   }
 
   /** DESCRIBE HISTORY: one row per surviving log version —
@@ -258,6 +259,7 @@ object ManifestSink extends Ingest.DestinationSink {
       val kind =
         if (isRestoreManifest(fs, mf)) "restore"
         else if (snap) "snapshot"
+        else if (dvLinesOf(fs, mf).nonEmpty) "mor"
         else "append"
       (v, ts, kind, targets.size, nRows)
     }
@@ -435,6 +437,12 @@ object ManifestSink extends Ingest.DestinationSink {
         s"v$minV was compacted away — re-sync from a full readBack")
     val inRange = all.filter(p =>
       vOf(p) > sinceVersion && vOf(p) <= untilVersion)
+    inRange.find(p => dvLinesOf(fs, p).nonEmpty).foreach { p =>
+      throw new IllegalArgumentException(
+        s"[graft] readAppendsBetween: v${vOf(p)} in range carries " +
+          "DELETION VECTORS - the range is not pure appends; re-sync " +
+          "from a full readBack")
+    }
     val parsed = inRange.map(p => (vOf(p), readManifest(fs, p)))
     parsed.find(_._2._3).foreach { case (v, _) =>
       throw new IllegalArgumentException(
@@ -501,10 +509,11 @@ object ManifestSink extends Ingest.DestinationSink {
     val effOld = if (lastSnap >= 0) old.drop(lastSnap) else old
     val effParsed = if (lastSnap >= 0) parsed.drop(lastSnap) else parsed
     val statsCarry = effOld.flatMap(rawStatsLines(fs, _)).distinct
+    val dvCarry = effOld.flatMap(rawDvLines(fs, _)).distinct
     val body = (Seq("snapshot\t1") ++
       effParsed.flatMap(_._1).distinct.map("uri\t" + _) ++
       effParsed.flatMap(_._2).distinct.map("target\t" + _) ++
-      statsCarry).mkString("\n")
+      statsCarry ++ dvCarry).mkString("\n")
     val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
     val tmp = new Path(lp, s".tmp_compact_$version")
     writeFile(fs, tmp, body)
@@ -516,6 +525,141 @@ object ManifestSink extends Ingest.DestinationSink {
     old.foreach(mf => fs.delete(mf, false))
     println(s"METRIC graft.compacted_manifests=${old.length} " +
       s"snapshot_version=$version")
+  }
+
+  // ===================== deletion vectors (merge-on-read) ==========
+  //
+  // A `dv\t<target>\t<dvRel>\t<rows>` manifest line marks `rows`
+  // positions of data file `target` as DELETED; the positions live in
+  // the parquet SIDECAR `dvRel` (columns `name: string, pos: long`,
+  // keyed by the target's unique FILE NAME so readers apply them with a
+  // plain executor-side anti-join on `_metadata.file_name/row_index` —
+  // no path-encoding mapping, no driver lookup). This is Delta's
+  // deletion-vector design: a scattered-key delete/merge commits
+  // O(deleted rows) of sidecar instead of rewriting every matched file
+  // (copy-on-write), and the tombstones are materialized away by the
+  // next OPTIMIZE/rewrite of the file. Invariants:
+  //  - dv lines ride the SAME snapshot-cut window as targets: a
+  //    snapshot commit (optimize/COW/compact/restore) carries forward
+  //    exactly the dv lines of files it did NOT rewrite, so a replaced
+  //    file's tombstones die with it;
+  //  - the write path only records positions that are LIVE at write
+  //    time (existing dvs are applied first), so dv row counts are
+  //    disjoint and metadata COUNT can subtract them exactly;
+  //  - a stale sidecar entry can never mis-delete: file names embed the
+  //    commit's writeId, so a rewritten file has a new name and old
+  //    (name, pos) rows match nothing.
+
+  private val DvDir = "_dv"
+
+  /** The dv lines of one manifest: `(target rel, dv rel, rows)`. */
+  private def dvLinesOf(fs: FileSystem, mf: Path)
+      : Seq[(String, String, Long)] = {
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.flatMap { l =>
+      l.split('\t') match {
+        case Array("dv", tgt, rel, n) => Some((tgt, rel, n.toLong))
+        case _                        => None
+      }
+    }
+  }
+
+  /** Effective deletion vectors of a CAPTURED log listing under the
+    * same snapshot-cut window as [[effectiveTargetsOf]]:
+    * `target rel -> Seq((dv rel, rows))`.
+    */
+  private def effectiveDvsOf(fs: FileSystem, mfs: Seq[Path])
+      : Map[String, Seq[(String, Long)]] = {
+    val parsed = mfs.map(mf => readManifest(fs, mf))
+    val lastSnap = parsed.lastIndexWhere(_._3)
+    (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs)
+      .flatMap(dvLinesOf(fs, _))
+      .groupBy(_._1)
+      .map { case (t, es) => t -> es.map(e => (e._2, e._3)) }
+  }
+
+  /** Raw `dv\t` lines of one manifest (carried verbatim by [[compact]]
+    * for surviving targets, like stats lines).
+    */
+  private def rawDvLines(fs: FileSystem, mf: Path): Seq[String] = {
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.startsWith("dv\t"))
+  }
+
+  private def fileNameOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) rel else rel.substring(i + 1)
+  }
+
+  /** DV-aware file read KEEPING the metadata key columns
+    * (`__graft_fn`, `__graft_pos`) — the write paths use them to
+    * compute new tombstone positions. Applies every dv in `dvs` via an
+    * anti-join on `(file name, row position)`: broadcast when the
+    * total tombstone count is small (the manifest knows it without
+    * opening a sidecar), shuffle+AQE otherwise. With no dvs the frame
+    * still carries the key columns but pays no join.
+    */
+  private def readFilesDvMeta(spark: SparkSession, destPath: String,
+      rels: Seq[String], dvs: Map[String, Seq[(String, Long)]],
+      withBase: Boolean = true): DataFrame = {
+    val dest = new Path(destPath)
+    val rd = spark.read.option("mergeSchema", "true")
+    val base = (if (withBase) rd.option("basePath", destPath) else rd)
+      .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
+      .withColumn("__graft_fn", col("_metadata.file_name"))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val relSet = rels.toSet
+    val relevant = dvs.filter { case (t, _) => relSet.contains(t) }
+    if (relevant.isEmpty) base
+    else {
+      val dvRels = relevant.values.flatten.map(_._1).toSeq.distinct
+      val totalDv = relevant.values.flatten.map(_._2).sum
+      val dvDf = spark.read
+        .parquet(dvRels.map(r => new Path(dest, r).toString): _*)
+        .select(col("name").as("__graft_fn"),
+          col("pos").as("__graft_pos"))
+      val dvSide =
+        if (totalDv <= 2000000L) broadcast(dvDf) else dvDf
+      base.join(dvSide, Seq("__graft_fn", "__graft_pos"), "left_anti")
+    }
+  }
+
+  /** DV-aware file read with the reader-facing schema (metadata key
+    * columns dropped). Falls back to the PLAIN parquet scan — identical
+    * plan, zero overhead — whenever none of `rels` carries a dv.
+    */
+  private def readFilesDv(spark: SparkSession, destPath: String,
+      rels: Seq[String], dvs: Map[String, Seq[(String, Long)]],
+      withBase: Boolean = true): DataFrame = {
+    val dest = new Path(destPath)
+    val relSet = rels.toSet
+    if (!dvs.exists { case (t, _) => relSet.contains(t) }) {
+      val rd = spark.read.option("mergeSchema", "true")
+      (if (withBase) rd.option("basePath", destPath) else rd)
+        .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
+    } else readFilesDvMeta(spark, destPath, rels, dvs, withBase)
+      .drop("__graft_fn", "__graft_pos")
+  }
+
+  /** Rebuild the raw `dv` manifest lines for the given SURVIVING
+    * targets from the effective dv map — what a snapshot commit
+    * (optimize / COW rewrite / merge / partition drop) carries forward
+    * for the files it did NOT rewrite; a rewritten file's tombstones
+    * were applied by the rewrite and die with its old name.
+    */
+  private def dvCarryLines(dvs: Map[String, Seq[(String, Long)]],
+      survivors: Seq[String]): Seq[String] = {
+    val keep = survivors.toSet
+    dvs.toSeq.filter { case (t, _) => keep.contains(t) }
+      .sortBy(_._1)
+      .flatMap { case (t, es) =>
+        es.map { case (rel, n) => s"dv\t$t\t$rel\t$n" } }
   }
 
   /** Committed file set under snapshot semantics (latest snapshot + later
@@ -885,9 +1029,9 @@ object ManifestSink extends Ingest.DestinationSink {
       s"files_read=${keep.length} col=${pred.column} dest=$destPath")
     if (keep.isEmpty)
       return readBack(spark, destPath).where(lit(false))
-    spark.read.option("mergeSchema", "true")
-      .option("basePath", destPath)
-      .parquet(keep.map(rel => new Path(dest, rel).toString): _*)
+    // deletion vectors apply to the kept files (stats bounds may cover
+    // deleted rows — pruning stays conservative-correct either way)
+    readFilesDv(spark, destPath, keep, effectiveDvsOf(fs, mfs))
       .where(residual(pred))
   }
 
@@ -912,6 +1056,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return 0L
     val stats = fileStatsOf(fs, mfs)
+    val dvs = effectiveDvsOf(fs, mfs)
     val rowsByTgt: Map[String, Long] = stats.toSeq.groupBy(_._1._1)
       .flatMap { case (t, es) =>
         es.map(_._2.rows).find(_ >= 0).map(t -> _) }
@@ -920,9 +1065,13 @@ object ManifestSink extends Ingest.DestinationSink {
     val scanList = scala.collection.mutable.ArrayBuffer[String]()
     var skipped = 0
     targets.foreach { t =>
+      // a file with deletion vectors can still SKIP (pruned = no rows
+      // either way) but cannot take metadata credit: its recorded row
+      // count includes tombstoned rows
       if (!mayMatchFile(stats, t, pred)) skipped += 1
       else rowsOf(t) match {
-        case Some(r) if mustMatchFile(stats, t, pred) => credited += r
+        case Some(r) if mustMatchFile(stats, t, pred) &&
+            !dvs.contains(t) => credited += r
         case _ => scanList += t
       }
     }
@@ -931,10 +1080,7 @@ object ManifestSink extends Ingest.DestinationSink {
         scanList.length} scanned=${scanList.length} dest=$destPath")
     val scanned =
       if (scanList.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true")
-        .option("basePath", destPath)
-        .parquet(scanList.toSeq
-          .map(rel => new Path(dest, rel).toString): _*)
+      else readFilesDv(spark, destPath, scanList.toSeq, dvs)
         .where(residual(pred)).count()
     credited + scanned
   }
@@ -1014,6 +1160,9 @@ object ManifestSink extends Ingest.DestinationSink {
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
     if (targets.isEmpty) return 0L
+    // tombstones of repacked inputs MATERIALIZE here: the packed file is
+    // written from live rows only and carries no dv lines
+    val dvs = effectiveDvsOf(fs, old)
 
     def dirOf(rel: String): String = {
       val i = rel.lastIndexOf('/')
@@ -1083,9 +1232,9 @@ object ManifestSink extends Ingest.DestinationSink {
         bins.zip(names).zipWithIndex.foreach { case ((bin, target), i) =>
           val binOut = new Path(staging, s"bin_$i")
           // no basePath: partition values live in the directory name, not
-          // the file, and the packed file goes back into the SAME dir
-          spark.read.option("mergeSchema", "true")
-            .parquet(bin.map(rel => new Path(dest, rel).toString): _*)
+          // the file, and the packed file goes back into the SAME dir;
+          // dv-aware read = tombstone materialization
+          readFilesDv(spark, destPath, bin, dvs, withBase = false)
             .coalesce(1).write.mode("overwrite").parquet(binOut.toString)
           val part = fs.listStatus(binOut).map(_.getPath)
             .find(p => p.getName.startsWith("part-") &&
@@ -1098,10 +1247,22 @@ object ManifestSink extends Ingest.DestinationSink {
             s"[graft] optimize move failed: $tgt")
         }
         // a concatenated file's stats are the pure-metadata merge of its
-        // inputs' (only for columns EVERY input has stats for)
-        val pStats = bins.zip(names).flatMap { case (bin, tgt) =>
+        // inputs' (only for columns EVERY input has stats for) — UNLESS
+        // an input carried tombstones: the merge would count/bound
+        // deleted rows, so those bins re-derive stats from written data
+        val pStats = bins.zip(names).zipWithIndex
+          .flatMap { case ((bin, tgt), i) =>
           val perFile = bin.map(b => statsByTgt.getOrElse(b, Map.empty))
-          perFile.flatMap(_.keys).distinct.sorted.flatMap { c =>
+          val cols = perFile.flatMap(_.keys).distinct.sorted
+          if (bin.exists(dvs.contains)) {
+            val derivable =
+              cols.filter(c => perFile.forall(_.contains(c)))
+            if (derivable.isEmpty) Nil
+            else fileStatsOfParquet(spark,
+              new Path(staging, s"bin_$i").toString, derivable)
+              .toSeq.sortBy(_._1._2)
+              .map { case ((_, c), st) => statsLine(tgt, c, st) }
+          } else cols.flatMap { c =>
             val entries = perFile.map(_.get(c))
             if (entries.forall(_.isDefined))
               mergeStats(entries.flatten).map(st => statsLine(tgt, c, st))
@@ -1127,8 +1288,8 @@ object ManifestSink extends Ingest.DestinationSink {
             case d  => d + "/"
           }
           val unitOut = new Path(staging, s"clu_$u")
-          val union = spark.read.option("mergeSchema", "true")
-            .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
+          val union =
+            readFilesDv(spark, destPath, rels, dvs, withBase = false)
           require(sortKeys.forall(union.columns.contains),
             s"[graft] optimize cluster/zorder keys " +
               s"${sortKeys.mkString(",")} must be data columns; file " +
@@ -1221,17 +1382,19 @@ object ManifestSink extends Ingest.DestinationSink {
     val repacked = bins.flatten.toSet
     val survivors = targets.filterNot(repacked) ++ packed
     // skipping stats survive the rewrite: carried verbatim for files the
-    // repack did not touch
+    // repack did not touch; same for their deletion vectors (repacked
+    // inputs' tombstones were materialized and die with the old names)
     val carriedStats = targets.filterNot(repacked).flatMap { t =>
       statsByTgt.getOrElse(t, Map.empty).toSeq.sortBy(_._1)
         .map { case (c, st) => statsLine(t, c, st) }
     }
+    val carriedDvs = dvCarryLines(dvs, targets.filterNot(repacked))
     onBeforeOptimizeCommit()
     val version = baseVersion + 1
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
     writeFile(fs, tmp,
       (Seq("snapshot\t1") ++ survivors.map("target\t" + _) ++
-        carriedStats ++ packedStats).mkString("\n"))
+        carriedStats ++ packedStats ++ carriedDvs).mkString("\n"))
     val fin = new Path(logPath(destPath), f"$version%012d__$writeId.manifest")
     val committed = commitLock(fs, destPath).synchronized {
       // verify the captured log state is still the whole log: if any
@@ -1302,6 +1465,149 @@ object ManifestSink extends Ingest.DestinationSink {
       cond: org.apache.spark.sql.Column): Long =
     rewriteWhere(spark, destPath, Right(cond), None)
 
+  /** MERGE-ON-READ DELETE (Delta's deletion vectors): mark matching
+    * rows deleted by committing per-file position tombstones instead of
+    * rewriting the matched files. Candidate files prune through the
+    * skipping stats exactly like [[deleteWhere]]; the one distributed
+    * pass computes the LIVE matching positions (existing tombstones
+    * applied first, so counts stay exact and re-deleting is a no-op),
+    * writes them as ONE sidecar parquet under `_dv/`, and commits an
+    * incremental manifest of `dv` lines — total write cost
+    * O(deleted rows), not O(matched files' bytes). The copy-on-write
+    * contrast: a scattered-key delete that touches every file rewrites
+    * the whole table under [[deleteWhere]] but commits only tombstones
+    * here; reads pay one anti-join on `(file name, row position)` until
+    * the next [[optimize]]/rewrite of the file MATERIALIZES the
+    * deletes and drops its dv lines. Same refuse-on-pending /
+    * abort-on-log-advance protocol as [[mergeInto]]. Returns rows
+    * deleted.
+    */
+  def deleteWhereMor(spark: SparkSession, destPath: String,
+      pred: SkipPredicate): Long =
+    morDelete(spark, destPath, Left(pred))
+
+  /** [[deleteWhereMor]] with an arbitrary `Column` predicate — no
+    * stats pruning (every file is scanned for matches), but the commit
+    * still costs O(deleted rows), the content-addressed GDPR shape.
+    */
+  def deleteWhereExprMor(spark: SparkSession, destPath: String,
+      cond: org.apache.spark.sql.Column): Long =
+    morDelete(spark, destPath, Right(cond))
+
+  private def morDelete(spark: SparkSession, destPath: String,
+      pred: Either[SkipPredicate, org.apache.spark.sql.Column]): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return 0L
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.mor.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return 0L
+    }
+    val old = manifests(fs, destPath)
+    val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, old)
+    if (targets.isEmpty) return 0L
+    val stats = fileStatsOf(fs, old)
+    val dvs = effectiveDvsOf(fs, old)
+    val (candidates, m, colLabel) = pred match {
+      case Left(p) =>
+        (targets.filter(t => mayMatchFile(stats, t, p)), residual(p),
+          p.column)
+      case Right(c) => (targets, c, "<expr>")
+    }
+    println(s"METRIC graft.mor.files_total=${targets.length} " +
+      s"candidates=${candidates.length} col=$colLabel dest=$destPath")
+    if (candidates.isEmpty) return 0L
+
+    // ONE distributed pass: live matching positions (existing dvs
+    // anti-joined away), materialized before any commit decision
+    val newDv = readFilesDvMeta(spark, destPath, candidates, dvs)
+      .where(coalesce(m, lit(false)))
+      .select(col("__graft_fn").as("name"), col("__graft_pos").as("pos"))
+      .localCheckpoint()
+    // per-file tombstone counts: bounded by the candidate file count
+    val perName: Map[String, Long] = newDv.groupBy(col("name"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = perName.values.sum
+    if (total == 0L) {
+      println(s"METRIC graft.mor.no_matches=1 dest=$destPath")
+      return 0L
+    }
+    val relOfName: Map[String, String] =
+      candidates.map(rel => fileNameOf(rel) -> rel).toMap
+
+    val writeId = "dv" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(14)
+    val staging = stagingDir(destPath, writeId)
+    fs.mkdirs(staging)
+    val dvRel = s"$DvDir/$writeId.parquet"
+    try {
+      // one slim sidecar: (name, pos) sorted for locality
+      val dvOut = new Path(staging, "dv")
+      newDv.orderBy(col("name"), col("pos"))
+        .coalesce(1).write.mode("overwrite").parquet(dvOut.toString)
+      val part = fs.listStatus(dvOut).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"[graft] deleteWhereMor: no part file under $dvOut"))
+      // WA manifest names the sidecar so a crash mid-move sweeps it
+      writeFile(fs, new Path(staging, WaManifest), s"target\t$dvRel")
+      val tgt = new Path(dest, dvRel)
+      fs.mkdirs(tgt.getParent)
+      require(fs.rename(part, tgt),
+        s"[graft] deleteWhereMor move failed: $tgt")
+    } catch {
+      case e: Throwable =>
+        fs.delete(new Path(dest, dvRel), false)
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        throw e
+    }
+
+    // commit an INCREMENTAL manifest of dv lines only — no targets, no
+    // snapshot: the delete is pure additive metadata
+    val body = perName.toSeq.sortBy(_._1).map { case (n, cnt) =>
+      s"dv\t${relOfName(n)}\t$dvRel\t$cnt"
+    }.mkString("\n")
+    val lp = logPath(destPath)
+    fs.mkdirs(lp)
+    val tmp = new Path(lp, s".tmp_$writeId")
+    writeFile(fs, tmp, body)
+    val version = baseVersion + 1
+    val fin = new Path(lp, f"$version%012d__$writeId.manifest")
+    onBeforeRewriteCommit()
+    val committed = commitLock(fs, destPath).synchronized {
+      val nowMax = manifests(fs, destPath)
+        .map(_.getName.takeWhile(_.isDigit).toLong)
+        .maxOption.getOrElse(-1L)
+      nowMax == baseVersion && fs.rename(tmp, fin)
+    }
+    if (!committed) {
+      // the log advanced (or the slot was taken): positions computed
+      // against a stale state could lose a concurrent rewrite's effect
+      fs.delete(tmp, false)
+      fs.delete(new Path(dest, dvRel), false)
+      fs.delete(staging, true)
+      if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+        fs.delete(sroot, true)
+      println(s"METRIC graft.mor.aborted_log_advanced=1 " +
+        s"base_version=$baseVersion dest=$destPath")
+      return 0L
+    }
+    fs.delete(staging, true)
+    if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+      fs.delete(sroot, true)
+    println(s"METRIC graft.mor.deleted_rows=$total " +
+      s"files_marked=${perName.size} version=$version dest=$destPath")
+    total
+  }
+
   /** [[updateWhere]] with an arbitrary `Column` predicate — the
     * content-addressed maintenance shape (e.g. redact every document
     * whose text matches a PII pattern). Same trade as
@@ -1371,22 +1677,23 @@ object ManifestSink extends Ingest.DestinationSink {
       s"candidates=${candidates.length} col=$colLabel dest=$destPath")
     if (candidates.isEmpty) return 0L
 
-    // ONE distributed pass: per-candidate matched/total row counts (no
+    // ONE distributed pass: per-candidate matched/total LIVE row counts
+    // (existing deletion vectors applied first — a tombstoned row must
+    // neither match nor count toward the fully-matched drop test; no
     // basePath — rewrites re-write data columns only; a file missing the
     // predicate column reads it as null = never matched)
-    val qualOf: Map[String, String] = candidates.map { rel =>
-      fs.makeQualified(new Path(dest, rel)).toUri.getPath -> rel
-    }.toMap
-    val countRows = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(rel => new Path(dest, rel).toString): _*)
-      .select(input_file_name().as("__f"), m.as("__m"))
+    val dvs = effectiveDvsOf(fs, old)
+    val relOfName: Map[String, String] =
+      candidates.map(rel => fileNameOf(rel) -> rel).toMap
+    val countRows =
+      readFilesDvMeta(spark, destPath, candidates, dvs, withBase = false)
+      .select(col("__graft_fn").as("__f"), m.as("__m"))
       .groupBy(col("__f"))
       .agg(sum(when(col("__m"), 1L).otherwise(0L)).as("matched"),
         count(lit(1)).as("rows"))
       .collect()
     val matchedOf: Map[String, (Long, Long)] = countRows.map { r =>
-      val p = new Path(new java.net.URI(r.getString(0))).toUri.getPath
-      qualOf(p) -> (r.getLong(1), r.getLong(2))
+      relOfName(r.getString(0)) -> (r.getLong(1), r.getLong(2))
     }.toMap
     val touched = candidates.filter(t => matchedOf.get(t).exists(_._1 > 0))
     val totalMatched = touched.map(t => matchedOf(t)._1).sum
@@ -1417,7 +1724,10 @@ object ManifestSink extends Ingest.DestinationSink {
           val i = rel.lastIndexOf('/')
           if (i < 0) "" else rel.substring(0, i + 1)
         }
-        val src = spark.read.parquet(new Path(dest, rel).toString)
+        // the rewrite MATERIALIZES the file's tombstones: read live
+        // rows only, and the new file's dv lines are simply not carried
+        val src = readFilesDv(spark, destPath, Seq(rel), dvs,
+          withBase = false)
         val out = set match {
           // null predicate values are NOT matches: a three-valued
           // where(!m) would silently delete null-column rows
@@ -1479,9 +1789,10 @@ object ManifestSink extends Ingest.DestinationSink {
       statsByTgt.getOrElse(t, Nil).flatMap(c =>
         stats.get((t, c)).map(st => statsLine(t, c, st)))
     }
+    val carriedDvs = dvCarryLines(dvs, targets.filterNot(replaced))
     onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
-        survivors, carriedStats ++ newStats.toSeq, old,
+        survivors, carriedStats ++ newStats.toSeq ++ carriedDvs, old,
         moves.map(_._2).toSeq)) {
       println(s"METRIC graft.rewrite.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
@@ -1610,9 +1921,9 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   def mergeInto(spark: SparkSession, destPath: String, source: DataFrame,
       keyCol: String, partitionField: Option[String] = None,
-      statsCols: Seq[String] = Nil): (Long, Long) = {
+      statsCols: Seq[String] = Nil, mor: Boolean = false): (Long, Long) = {
     val c = mergeIntoStatus(spark, destPath, source, keyCol,
-      partitionField, statsCols).counts
+      partitionField, statsCols, mor).counts
     (c._1, c._2)
   }
 
@@ -1625,9 +1936,9 @@ object ManifestSink extends Ingest.DestinationSink {
   def mergeIntoStatus(spark: SparkSession, destPath: String,
       source: DataFrame, keyCol: String,
       partitionField: Option[String] = None,
-      statsCols: Seq[String] = Nil): MergeOutcome =
+      statsCols: Seq[String] = Nil, mor: Boolean = false): MergeOutcome =
     mergeImpl(spark, destPath, source, keyCol, None, Nil,
-      partitionField, statsCols)
+      partitionField, statsCols, mor)
 
   /** CDC MERGE — [[mergeInto]] plus Delta's `WHEN MATCHED AND <cond>
     * THEN DELETE` clause: source rows satisfying `deleteFilter` are
@@ -1645,15 +1956,24 @@ object ManifestSink extends Ingest.DestinationSink {
     * route the row: the delete filter may read them, but they are
     * dropped before anything lands, so the table schema stays clean.
     *
+    * `mor = true` switches matched-row removal to MERGE-ON-READ
+    * (deletion vectors, see [[deleteWhereMor]]): matched rows become
+    * position tombstones and the upsert half appends — no file
+    * rewrites, total write cost O(changed rows) even when a scattered
+    * change batch matches every file. Result rows are IDENTICAL to the
+    * copy-on-write mode; reads pay one anti-join until the next
+    * OPTIMIZE materializes the tombstones.
+    *
     * Returns `(updatedKeys, insertedRows, deletedKeys)`.
     */
   def mergeCdc(spark: SparkSession, destPath: String, source: DataFrame,
       keyCol: String, deleteFilter: Column,
       directiveCols: Seq[String] = Nil,
       partitionField: Option[String] = None,
-      statsCols: Seq[String] = Nil): (Long, Long, Long) =
+      statsCols: Seq[String] = Nil,
+      mor: Boolean = false): (Long, Long, Long) =
     mergeCdcStatus(spark, destPath, source, keyCol, deleteFilter,
-      directiveCols, partitionField, statsCols).counts
+      directiveCols, partitionField, statsCols, mor).counts
 
   /** [[mergeCdc]] returning the full [[MergeOutcome]] (see
     * [[mergeIntoStatus]]).
@@ -1662,9 +1982,10 @@ object ManifestSink extends Ingest.DestinationSink {
       source: DataFrame, keyCol: String, deleteFilter: Column,
       directiveCols: Seq[String] = Nil,
       partitionField: Option[String] = None,
-      statsCols: Seq[String] = Nil): MergeOutcome =
+      statsCols: Seq[String] = Nil,
+      mor: Boolean = false): MergeOutcome =
     mergeImpl(spark, destPath, source, keyCol, Some(deleteFilter),
-      directiveCols, partitionField, statsCols)
+      directiveCols, partitionField, statsCols, mor)
 
   /** What a merge actually DID — the distinction the count tuples erase.
     * `applied` is true only when the committed table state after the
@@ -1715,7 +2036,7 @@ object ManifestSink extends Ingest.DestinationSink {
   private def mergeImpl(spark: SparkSession, destPath: String,
       source: DataFrame, keyCol: String, deleteFilter: Option[Column],
       directiveCols: Seq[String], partitionField: Option[String],
-      statsCols: Seq[String]): MergeOutcome = {
+      statsCols: Seq[String], mor: Boolean = false): MergeOutcome = {
     require(source.columns.contains(keyCol),
       s"[graft] mergeInto: source lacks key column '$keyCol'")
     val dest = new Path(destPath)
@@ -1755,6 +2076,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val stats = fileStatsOf(fs, old)
+    val dvs = effectiveDvsOf(fs, old)
     val statsByTgt: Map[String, Seq[String]] =
       stats.keys.groupBy(_._1).map { case (t, ks) =>
         t -> ks.map(_._2).toSeq.sorted }
@@ -1798,36 +2120,163 @@ object ManifestSink extends Ingest.DestinationSink {
     // exact matched-KEY counts split by directive kind (insert count =
     // nUps - matched upsert keys; unmatched deletes are no-ops)
     val keyFlags = src.select(col(keyCol), delFlag.as("__del"))
-    val (matchedOf, updatedKeys, deletedKeys)
-        : (Map[String, Long], Long, Long) =
-      if (candidates.isEmpty) (Map.empty, 0L, 0L)
+    val relOfName: Map[String, String] =
+      candidates.map(rel => fileNameOf(rel) -> rel).toMap
+    // cand is the LIVE candidate content: existing deletion vectors
+    // applied, so a tombstoned row neither matches nor counts — a
+    // replayed CDC delete stays a no-op under mor exactly as under COW
+    val (matchedOf, updatedKeys, deletedKeys, dvNew)
+        : (Map[String, Long], Long, Long, Option[DataFrame]) =
+      if (candidates.isEmpty) (Map.empty, 0L, 0L, None)
       else {
-        val qualOf: Map[String, String] = candidates.map { rel =>
-          fs.makeQualified(new Path(dest, rel)).toUri.getPath -> rel
-        }.toMap
-        val cand = spark.read.option("mergeSchema", "true")
-          .parquet(candidates.map(rel =>
-            new Path(dest, rel).toString): _*)
-        val perFile = cand
-          .select(input_file_name().as("__f"), col(keyCol))
-          .join(broadcast(srcKeys), Seq(keyCol))
-          .groupBy(col("__f")).agg(count(lit(1)).as("matched"))
-          .collect().map { r =>
-            val p = new Path(new java.net.URI(r.getString(0)))
-              .toUri.getPath
-            qualOf(p) -> r.getLong(1)
-          }.toMap
+        val cand = readFilesDvMeta(spark, destPath, candidates, dvs,
+          withBase = false)
         val mk = keyFlags
           .join(cand.select(col(keyCol)), Seq(keyCol), "left_semi")
           .agg(count(when(!col("__del"), 1)).as("u"),
             count(when(col("__del"), 1)).as("d")).head
-        (perFile, mk.getLong(0), mk.getLong(1))
+        if (mor) {
+          // mor needs the matched POSITIONS, not just counts: one pass
+          // materializes them, counts derive from the checkpointed frame
+          val posDf = cand
+            .select(col("__graft_fn").as("name"),
+              col("__graft_pos").as("pos"), col(keyCol))
+            .join(broadcast(srcKeys), Seq(keyCol))
+            .select(col("name"), col("pos"))
+            .localCheckpoint()
+          val perFile = posDf.groupBy(col("name"))
+            .agg(count(lit(1)).as("matched"))
+            .collect()
+            .map(r => relOfName(r.getString(0)) -> r.getLong(1)).toMap
+          (perFile, mk.getLong(0), mk.getLong(1), Some(posDf))
+        } else {
+          val perFile = cand
+            .select(col("__graft_fn").as("__f"), col(keyCol))
+            .join(broadcast(srcKeys), Seq(keyCol))
+            .groupBy(col("__f")).agg(count(lit(1)).as("matched"))
+            .collect()
+            .map(r => relOfName(r.getString(0)) -> r.getLong(1)).toMap
+          (perFile, mk.getLong(0), mk.getLong(1), None)
+        }
       }
     val touched = candidates.filter(t => matchedOf.getOrElse(t, 0L) > 0)
     val replacedRows = touched.map(matchedOf).sum
     if (touched.isEmpty && nUps == 0) {
       // every directive was an unmatched delete — nothing to commit
       return MergeOutcome.NoChange("every directive an unmatched delete")
+    }
+
+    if (mor) {
+      // MERGE-ON-READ commit: matched rows become tombstone positions
+      // (one sidecar, one dv line per touched file), the upsert half
+      // appends as fresh files, and ONE INCREMENTAL manifest carries
+      // both — no data file is rewritten, total write cost
+      // O(changed rows). Readers resolve: old files minus tombstones
+      // plus inserts; the next optimize/rewrite materializes.
+      val writeId = "mm" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(14)
+      val staging = stagingDir(destPath, writeId)
+      fs.mkdirs(staging)
+      val dvRel = s"$DvDir/$writeId.parquet"
+      val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+      val newStats = scala.collection.mutable.ArrayBuffer[String]()
+      var dvLines = Seq.empty[String]
+      try {
+        if (touched.nonEmpty) {
+          val posDf = dvNew.get
+          val dvOut = new Path(staging, "dv")
+          posDf.orderBy(col("name"), col("pos"))
+            .coalesce(1).write.mode("overwrite").parquet(dvOut.toString)
+          val part = fs.listStatus(dvOut).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") &&
+              p.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"[graft] mergeCdc(mor): no part file under $dvOut"))
+          moves += ((part, dvRel))
+          dvLines = touched.map(t => s"dv\t$t\t$dvRel\t${matchedOf(t)}")
+        }
+        if (nUps > 0) {
+          val insOut = new Path(staging, "ins")
+          val writer = partitionField match {
+            case Some(f) =>
+              ups.withColumn(Ingest.PartitionCol, to_date(col(f)))
+                .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+            case None => ups.write.mode("overwrite")
+          }
+          writer.parquet(insOut.toString)
+          val insQ = fs.makeQualified(insOut).toString
+          val insStaged = listFilesRec(fs, insOut).map(_._1)
+            .filter(p => !p.getName.startsWith("_") &&
+              !p.getName.startsWith("."))
+            .map(p => fs.makeQualified(p).toString.stripPrefix(insQ + "/"))
+            .sorted
+          val insTargets = insStaged.zipWithIndex.map { case (rel, i) =>
+            val dir = rel.lastIndexOf('/') match {
+              case -1 => ""
+              case k  => rel.substring(0, k + 1)
+            }
+            (rel, s"$dir$writeId-ins-$i.parquet")
+          }
+          if (statsCols.nonEmpty)
+            newStats ++= statsLinesFor(spark, fs, insOut,
+              insTargets.toMap, statsCols)
+          insTargets.foreach { case (rel, target) =>
+            moves += ((new Path(insOut, rel), target))
+          }
+        }
+        writeFile(fs, new Path(staging, WaManifest),
+          moves.map("target\t" + _._2).mkString("\n"))
+        moves.foreach { case (part, target) =>
+          val tgt = new Path(dest, target)
+          fs.mkdirs(tgt.getParent)
+          require(fs.rename(part, tgt),
+            s"[graft] mergeCdc(mor) move failed: $tgt")
+        }
+      } catch {
+        case e: Throwable =>
+          moves.foreach { case (_, t) =>
+            fs.delete(new Path(dest, t), false) }
+          fs.delete(staging, true)
+          if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+            fs.delete(sroot, true)
+          throw e
+      }
+      val body = (moves.map(_._2).filterNot(_ == dvRel)
+        .map("target\t" + _) ++ newStats ++ dvLines).mkString("\n")
+      val lp = logPath(destPath)
+      fs.mkdirs(lp)
+      val tmp = new Path(lp, s".tmp_$writeId")
+      writeFile(fs, tmp, body)
+      val version = baseVersion + 1
+      val fin = new Path(lp, f"$version%012d__$writeId.manifest")
+      onBeforeRewriteCommit()
+      val committed = commitLock(fs, destPath).synchronized {
+        val nowMax = manifests(fs, destPath)
+          .map(_.getName.takeWhile(_.isDigit).toLong)
+          .maxOption.getOrElse(-1L)
+        nowMax == baseVersion && fs.rename(tmp, fin)
+      }
+      if (!committed) {
+        fs.delete(tmp, false)
+        moves.foreach { case (_, t) =>
+          fs.delete(new Path(dest, t), false) }
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        println(s"METRIC graft.merge.aborted_log_advanced=1 " +
+          s"base_version=$baseVersion mor=1 dest=$destPath")
+        return MergeOutcome.Aborted
+      }
+      fs.delete(staging, true)
+      if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+        fs.delete(sroot, true)
+      println(s"METRIC graft.merge.updated_keys=$updatedKeys " +
+        s"tombstoned_rows=$replacedRows " +
+        s"inserted=${nUps - updatedKeys} deleted_keys=$deletedKeys " +
+        s"files_marked=${touched.length} rewritten=0 mor=1 " +
+        s"version=$version dest=$destPath")
+      return MergeOutcome.Merged(updatedKeys, nUps - updatedKeys,
+        deletedKeys)
     }
 
     val writeId = "mg" +
@@ -1838,13 +2287,14 @@ object ManifestSink extends Ingest.DestinationSink {
     val newStats = scala.collection.mutable.ArrayBuffer[String]()
     try {
       // matched files: keep only rows whose key is absent from source
+      // (LIVE rows — existing tombstones materialize in the rewrite)
       touched.zipWithIndex.foreach { case (rel, k) =>
         val parent = {
           val i = rel.lastIndexOf('/')
           if (i < 0) "" else rel.substring(0, i + 1)
         }
         val rwOut = new Path(staging, s"rw_$k")
-        spark.read.parquet(new Path(dest, rel).toString)
+        readFilesDv(spark, destPath, Seq(rel), dvs, withBase = false)
           .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
           .coalesce(1).write.mode("overwrite").parquet(rwOut.toString)
         val part = fs.listStatus(rwOut).map(_.getPath)
@@ -1912,9 +2362,10 @@ object ManifestSink extends Ingest.DestinationSink {
       statsByTgt.getOrElse(t, Nil).flatMap(c =>
         stats.get((t, c)).map(st => statsLine(t, c, st)))
     }
+    val carriedDvs = dvCarryLines(dvs, targets.filterNot(replaced))
     onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
-        survivors, carriedStats ++ newStats.toSeq, old,
+        survivors, carriedStats ++ newStats.toSeq ++ carriedDvs, old,
         moves.map(_._2).toSeq)) {
       println(s"METRIC graft.merge.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
@@ -1990,7 +2441,15 @@ object ManifestSink extends Ingest.DestinationSink {
     val rowsByFile = stats.toSeq.groupBy(_._1._1)
       .view.mapValues(_.map(_._2.rows).filter(_ >= 0).headOption)
     val per = targets.map(t => rowsByFile.getOrElse(t, None))
-    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    if (per.exists(_.isEmpty)) None
+    else {
+      // deletion-vector rows subtract EXACTLY: the write path only
+      // records positions live at write time, so counts are disjoint
+      val dvRows = effectiveDvsOf(fs, mfs)
+        .filter { case (t, _) => targets.contains(t) }
+        .values.flatten.map(_._2).sum
+      Some(per.flatten.sum - dvRows)
+    }
   }
 
   /** Numeric (min, max) of `column` from stats alone; see
@@ -2004,6 +2463,9 @@ object ManifestSink extends Ingest.DestinationSink {
     val mfs = manifests(fs, destPath)
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return None
+    // any deletion vector voids bound credit: a tombstoned row may
+    // have held the min or max — fall back to a scan
+    if (effectiveDvsOf(fs, mfs).nonEmpty) return None
     val stats = fileStatsOf(fs, mfs)
     val per = targets.map(t => stats.get((t, column)))
     if (per.exists(_.isEmpty)) return None // a file without the stat
@@ -2031,6 +2493,9 @@ object ManifestSink extends Ingest.DestinationSink {
     val mfs = manifests(fs, destPath)
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return Some(0L)
+    // tombstoned rows may include nulls the stats still count — a
+    // deletion vector anywhere voids the metadata answer
+    if (effectiveDvsOf(fs, mfs).nonEmpty) return None
     val stats = fileStatsOf(fs, mfs)
     val per = targets.map(t => stats.get((t, column)).map(_.nulls))
     if (per.exists(p => p.isEmpty || p.get < 0)) None
@@ -2109,7 +2574,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val carriedStats = survivors.flatMap { t =>
       statsByTgt.getOrElse(t, Nil).flatMap(c =>
         stats.get((t, c)).map(st => statsLine(t, c, st)))
-    }
+    } ++ dvCarryLines(effectiveDvsOf(fs, old), survivors)
     val writeId = "dp" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(14)
     val staging = stagingDir(destPath, writeId)
@@ -2328,7 +2793,8 @@ object ManifestSink extends Ingest.DestinationSink {
       return 0L
     }
     val referenced = manifests(fs, destPath)
-      .flatMap(mf => readManifest(fs, mf)._2).toSet
+      .flatMap(mf => readManifest(fs, mf)._2 ++
+        dvLinesOf(fs, mf).map(_._2)).toSet
     val destQ = fs.makeQualified(dest).toString
     val now = System.currentTimeMillis()
     var removed = 0L
@@ -2368,9 +2834,13 @@ object ManifestSink extends Ingest.DestinationSink {
           if (!committed(uris)) {
             // committed to the table but not the ledger: un-publish in ONE
             // atomic op (drop the log entry), then sweep the now-invisible
-            // files; replay re-publishes the batch
+            // files (incl. any dv sidecar this attempt introduced — no
+            // later snapshot can reference it while the attempt pends);
+            // replay re-publishes the batch
+            val dvRels = dvLinesOf(fs, mf).map(_._2).distinct
             fs.delete(mf, false)
             targets.foreach(t => fs.delete(new Path(dest, t), false))
+            dvRels.foreach(r => fs.delete(new Path(dest, r), false))
             println(s"METRIC graft.recover.rolled_back=1 " +
               s"write=$writeId files=${targets.length}")
           } else {

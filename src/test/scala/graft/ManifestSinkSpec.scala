@@ -1987,4 +1987,206 @@ class ManifestSinkSpec extends SparkSpec {
     assert(v7 == ManifestSink.history(spark, dest)
       .agg(max(col("version"))).head.getLong(0))
   }
+
+  test("deletion vectors: mor delete commits tombstones instead of " +
+      "rewriting files — reads, pruning, counts, time travel, and CDC " +
+      "interplay all match the COW semantics; optimize materializes") {
+    val root = tmpDir("msinkdv_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        dest, None, statsCols = Seq("id"))
+    def dataFilesOnDisk(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dest)).map(_.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .toSet
+    }
+    val filesBefore = dataFilesOnDisk()
+
+    // v4: tombstone 10 rows inside file 1 — zero data files rewritten
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 150, 159)) == 10L)
+    assert(ManifestSink.readBack(spark, dest).count() == 390)
+    assert(ManifestSink.readBack(spark, dest)
+      .where(col("id").between(150, 159)).count() == 0)
+    // every original data file is still on disk and still committed
+    assert(filesBefore.subsetOf(dataFilesOnDisk()))
+    // re-deleting the same range is a live no-op (positions disjoint)
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 150, 159)) == 0L)
+    // a second dv on the SAME file accumulates
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 120, 124)) == 5L)
+    assert(ManifestSink.readBack(spark, dest).count() == 385)
+
+    // stats-prune parity: skipping reads apply tombstones
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 150, 159)
+      .count() == 0)
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 140, 160)
+      .count() == 11)
+    // pruning still skips untouched files entirely
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 250, 260)
+      .count() == 11)
+    // countWhere: the dv'd file gets no metadata credit, result exact
+    assert(ManifestSink.countWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 100, 199)) == 85L)
+    assert(ManifestSink.countWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 0, 399)) == 385L)
+    // metadata count subtracts tombstones exactly; bounds refuse
+    assert(ManifestSink.metadataCount(spark, dest) == Some(385L))
+    assert(ManifestSink.metadataMinMax(spark, dest, "id").isEmpty)
+
+    // time travel: v3 (pre-delete) reads the full table, v4 minus 10
+    assert(ManifestSink.readVersion(spark, dest, 3L).count() == 400)
+    assert(ManifestSink.readVersion(spark, dest, 4L).count() == 390)
+    // CDC refuses a range carrying dv versions
+    val cdcErr = intercept[IllegalArgumentException] {
+      ManifestSink.readAppendsBetween(spark, dest, 3L)
+    }
+    assert(cdcErr.getMessage.contains("DELETION VECTORS"))
+    // history reports the mor commits
+    assert(ManifestSink.history(spark, dest).orderBy("version")
+      .collect().map(_.getString(2)).toSeq ==
+      Seq("append", "append", "append", "append", "mor", "mor"))
+
+    // COW parity: an identical table deleted copy-on-write reads the same
+    val destCow = s"$root/wh/tcow"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        destCow, None, statsCols = Seq("id"))
+    ManifestSink.deleteWhere(spark, destCow,
+      ManifestSink.SkipPredicate.NumRange("id", 150, 159))
+    ManifestSink.deleteWhere(spark, destCow,
+      ManifestSink.SkipPredicate.NumRange("id", 120, 124))
+    assert(ManifestSink.readBack(spark, dest)
+        .as[(Long, String)].collect().toSeq.sorted ==
+      ManifestSink.readBack(spark, destCow)
+        .as[(Long, String)].collect().toSeq.sorted)
+
+    // a COW delete ON TOP of tombstones materializes them for the files
+    // it rewrites and carries the rest
+    assert(ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 125, 129)) == 5L)
+    assert(ManifestSink.readBack(spark, dest).count() == 380)
+    assert(ManifestSink.readBack(spark, dest)
+      .where(col("id").between(120, 159)).count() == 20)
+
+    // optimize materializes every remaining tombstone: after it the
+    // metadata bounds come back (no effective dvs) and rows hold
+    assert(ManifestSink.optimize(spark, dest,
+      targetBytes = 1L << 30) > 0L)
+    assert(ManifestSink.readBack(spark, dest).count() == 380)
+    assert(ManifestSink.metadataCount(spark, dest) == Some(380L))
+    assert(ManifestSink.metadataMinMax(spark, dest, "id").isDefined)
+
+    // the sidecar outlives its manifests only until compact+vacuum
+    val dvDir = new java.io.File(s"$dest/_dv")
+    assert(dvDir.exists() && dvDir.listFiles().nonEmpty)
+    ManifestSink.compact(spark, dest)
+    def walk3(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk3) else Seq(f)
+    walk3(new java.io.File(dest))
+      .foreach(f => f.setLastModified(System.currentTimeMillis() - 120000))
+    assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) > 0L)
+    assert(!dvDir.exists() || dvDir.listFiles().forall(f =>
+      !f.getName.endsWith(".parquet")))
+    assert(ManifestSink.readBack(spark, dest).count() == 380)
+  }
+
+  test("mor CDC merge parity: the q135-shaped delete/re-insert/delete " +
+      "sequence lands as tombstones+appends with zero file rewrites " +
+      "and reads identical to the COW mode at every step") {
+    val root = tmpDir("msinkmordv_")
+    val destMor = s"$root/wh/tm"
+    val destCow = s"$root/wh/tc"
+    val base = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    ManifestSink.statsAppend(base, destMor, None, Seq("id"))
+    ManifestSink.statsAppend(base, destCow, None, Seq("id"))
+    val morFiles = ManifestSink.readBack(spark, destMor).inputFiles.toSet
+
+    def batch(k: Int): org.apache.spark.sql.DataFrame = k match {
+      case 0 => // scattered delete: every 7th key — matches EVERY file
+        spark.range(400).where(pmod(col("id"), lit(7L)) === 0)
+          .select(col("id"), lit("").as("v"), lit("d").as("op"))
+      case 1 => // re-insert half of them
+        spark.range(400).where(pmod(col("id"), lit(14L)) === 0)
+          .select(col("id"), lit("re").as("v"), lit("u").as("op"))
+      case _ => // delete a quarter again + update non-deleted %10
+        spark.range(400).where(pmod(col("id"), lit(28L)) === 0)
+          .select(col("id"), lit("").as("v"), lit("d").as("op"))
+          .unionByName(spark.range(400)
+            .where(pmod(col("id"), lit(10L)) === 0 &&
+              pmod(col("id"), lit(7L)) =!= 0)
+            .select(col("id"), lit("up").as("v"), lit("u").as("op")))
+    }
+    for (k <- 0 until 3) {
+      val cMor = ManifestSink.mergeCdc(spark, destMor, batch(k), "id",
+        col("op") === "d", directiveCols = Seq("op"),
+        statsCols = Seq("id"), mor = true)
+      val cCow = ManifestSink.mergeCdc(spark, destCow, batch(k), "id",
+        col("op") === "d", directiveCols = Seq("op"),
+        statsCols = Seq("id"))
+      assert(cMor == cCow, s"batch $k counts: mor=$cMor cow=$cCow")
+      assert(ManifestSink.readBack(spark, destMor)
+          .as[(Long, String)].collect().toSeq.sorted ==
+        ManifestSink.readBack(spark, destCow)
+          .as[(Long, String)].collect().toSeq.sorted,
+        s"batch $k state diverged")
+    }
+    // zero rewrites: every ORIGINAL data file is still committed in the
+    // mor table (the cow table rewrote them all in batch 0)
+    val morNow = ManifestSink.readBack(spark, destMor).inputFiles.toSet
+    assert(morFiles.subsetOf(morNow))
+    // skipping reads agree too
+    assert(ManifestSink.readBackWhere(spark, destMor, "id", 0, 99)
+        .as[(Long, String)].collect().toSeq.sorted ==
+      ManifestSink.readBackWhere(spark, destCow, "id", 0, 99)
+        .as[(Long, String)].collect().toSeq.sorted)
+
+    // upsert-by-key on a tombstoned key INSERTS (the key is dead), same
+    // as COW — live-row matching, not file-content matching
+    val up = Seq((7L, "back")).toDF("id", "v")
+    val rMor = ManifestSink.mergeInto(spark, destMor, up, "id",
+      statsCols = Seq("id"), mor = true)
+    val rCow = ManifestSink.mergeInto(spark, destCow, up, "id",
+      statsCols = Seq("id"))
+    assert(rMor == ((0L, 1L)) && rCow == ((0L, 1L)))
+    assert(ManifestSink.readBack(spark, destMor)
+        .as[(Long, String)].collect().toSeq.sorted ==
+      ManifestSink.readBack(spark, destCow)
+        .as[(Long, String)].collect().toSeq.sorted)
+
+    // loud protocol: pending staged attempt skips, log advance aborts
+    val fs = new org.apache.hadoop.fs.Path(destMor)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$root/wh/.staging_tm/deadbeef00000000")
+    fs.mkdirs(stale)
+    assert(ManifestSink.deleteWhereMor(spark, destMor,
+      ManifestSink.SkipPredicate.NumRange("id", 1, 2)) == 0L)
+    fs.delete(stale.getParent, true)
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.append(Seq((9999L, "late")).toDF("id", "v"),
+        destMor, None)
+    try {
+      assert(ManifestSink.deleteWhereMor(spark, destMor,
+        ManifestSink.SkipPredicate.NumRange("id", 1, 2)) == 0L)
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    // the concurrent append survived, the aborted dv left no debris
+    val after = ManifestSink.readBack(spark, destMor)
+    assert(after.where(col("id") === 9999L).count() == 1)
+    assert(after.where(col("id").between(1, 2)).count() == 2)
+    // retry lands
+    assert(ManifestSink.deleteWhereMor(spark, destMor,
+      ManifestSink.SkipPredicate.NumRange("id", 1, 2)) == 2L)
+    assert(ManifestSink.readBack(spark, destMor)
+      .where(col("id").between(1, 2)).count() == 0)
+  }
 }
