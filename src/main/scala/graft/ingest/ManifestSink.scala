@@ -72,6 +72,17 @@ object ManifestSink extends Ingest.DestinationSink {
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** The version-claim primitive ([[CommitCoordinator]] — Delta's
+    * LogStore seam). Default handles HDFS (atomic rename-if-absent) and
+    * local FS (atomic CREATE_NEW); an object-store deployment injects
+    * its conditional-put implementation here. Every commit path below
+    * claims versions EXCLUSIVELY through this, so two coordinators in
+    * two processes serialize on the store's own atomicity, not on the
+    * in-process monitor (which remains a same-JVM fast path that avoids
+    * wasted claim attempts).
+    */
+  @volatile var coordinator: CommitCoordinator = new FsCommitCoordinator
+
   /** Key on the fully-qualified URI so equivalent spellings of one
     * destination (trailing slash, `file:/x` vs `/x`, relative path) share
     * a single monitor — distinct keys would silently defeat the same-JVM
@@ -104,8 +115,27 @@ object ManifestSink extends Ingest.DestinationSink {
       .sortBy(_.getName).toSeq
   }
 
-  private def writeIdOf(mf: Path): String =
-    mf.getName.stripSuffix(".manifest").split("__").last
+  /** The committing attempt's writeId. New-format manifests carry it
+    * as a `writeid\t` body line — the FILENAME is version-only, which
+    * is what makes the cross-process version claim atomic: two writers
+    * racing one slot target the SAME name, and [[CommitCoordinator]]'s
+    * putIfAbsent picks exactly one winner (a writeId-suffixed name
+    * would let both "win" under different names, silently forking the
+    * version). Legacy `<version>__<writeId>.manifest` names fall back
+    * to filename parsing.
+    */
+  private def writeIdOf(fs: FileSystem, mf: Path): String = {
+    val fromName = mf.getName.stripSuffix(".manifest")
+    if (fromName.contains("__")) fromName.split("__").last
+    else {
+      val in = fs.open(mf)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.collectFirst {
+        case l if l.startsWith("writeid\t") => l.substring(8)
+      }.getOrElse(fromName)
+    }
+  }
 
   /** `(source uris, target files, isSnapshot)`. A SNAPSHOT manifest
     * (`snapshot\t1` body line) REPLACES all earlier versions — readers
@@ -363,15 +393,16 @@ object ManifestSink extends Ingest.DestinationSink {
           restored.contains(p(1))
       }
     }.distinct
-    val body = (Seq("snapshot\t1", s"restore\t$version") ++
+    val body = (Seq("writeid\trestore", "snapshot\t1",
+      s"restore\t$version") ++
       targets.map("target\t" + _) ++ metaLines).mkString("\n")
     val newV = head + 1
     val lp = logPath(destPath)
     val tmp = new Path(lp, s".tmp_restore_$newV")
     writeFile(fs, tmp, body)
-    val fin = new Path(lp, f"$newV%012d__restore.manifest")
+    val fin = new Path(lp, f"$newV%012d.manifest")
     commitLock(fs, destPath).synchronized {
-      require(fs.rename(tmp, fin),
+      require(coordinator.putIfAbsent(fs, tmp, fin),
         s"[graft] restore commit failed: $fin already exists?")
     }
     println(s"METRIC graft.restore.to_version=$version " +
@@ -510,16 +541,16 @@ object ManifestSink extends Ingest.DestinationSink {
     val effParsed = if (lastSnap >= 0) parsed.drop(lastSnap) else parsed
     val statsCarry = effOld.flatMap(rawStatsLines(fs, _)).distinct
     val dvCarry = effOld.flatMap(rawDvLines(fs, _)).distinct
-    val body = (Seq("snapshot\t1") ++
+    val body = (Seq("writeid\tcompact", "snapshot\t1") ++
       effParsed.flatMap(_._1).distinct.map("uri\t" + _) ++
       effParsed.flatMap(_._2).distinct.map("target\t" + _) ++
       statsCarry ++ dvCarry).mkString("\n")
     val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
     val tmp = new Path(lp, s".tmp_compact_$version")
     writeFile(fs, tmp, body)
-    val fin = new Path(lp, f"$version%012d__compact.manifest")
+    val fin = new Path(lp, f"$version%012d.manifest")
     commitLock(fs, destPath).synchronized {
-      require(fs.rename(tmp, fin),
+      require(coordinator.putIfAbsent(fs, tmp, fin),
         s"[graft] compaction commit failed: $fin already exists?")
     }
     old.foreach(mf => fs.delete(mf, false))
@@ -1393,9 +1424,10 @@ object ManifestSink extends Ingest.DestinationSink {
     val version = baseVersion + 1
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
     writeFile(fs, tmp,
-      (Seq("snapshot\t1") ++ survivors.map("target\t" + _) ++
+      (Seq(s"writeid\t$writeId", "snapshot\t1") ++
+        survivors.map("target\t" + _) ++
         carriedStats ++ packedStats ++ carriedDvs).mkString("\n"))
-    val fin = new Path(logPath(destPath), f"$version%012d__$writeId.manifest")
+    val fin = new Path(logPath(destPath), f"$version%012d.manifest")
     val committed = commitLock(fs, destPath).synchronized {
       // verify the captured log state is still the whole log: if any
       // commit (concurrent append, another optimize) advanced it during
@@ -1405,7 +1437,7 @@ object ManifestSink extends Ingest.DestinationSink {
       val nowMax = manifests(fs, destPath)
         .map(_.getName.takeWhile(_.isDigit).toLong)
         .maxOption.getOrElse(-1L)
-      nowMax == baseVersion && fs.rename(tmp, fin)
+      nowMax == baseVersion && coordinator.putIfAbsent(fs, tmp, fin)
     }
     if (!committed) {
       // sweep the packed files (never referenced by any manifest), the
@@ -1572,21 +1604,22 @@ object ManifestSink extends Ingest.DestinationSink {
 
     // commit an INCREMENTAL manifest of dv lines only — no targets, no
     // snapshot: the delete is pure additive metadata
-    val body = perName.toSeq.sortBy(_._1).map { case (n, cnt) =>
-      s"dv\t${relOfName(n)}\t$dvRel\t$cnt"
-    }.mkString("\n")
+    val body = (s"writeid\t$writeId" +:
+      perName.toSeq.sortBy(_._1).map { case (n, cnt) =>
+        s"dv\t${relOfName(n)}\t$dvRel\t$cnt"
+      }).mkString("\n")
     val lp = logPath(destPath)
     fs.mkdirs(lp)
     val tmp = new Path(lp, s".tmp_$writeId")
     writeFile(fs, tmp, body)
     val version = baseVersion + 1
-    val fin = new Path(lp, f"$version%012d__$writeId.manifest")
+    val fin = new Path(lp, f"$version%012d.manifest")
     onBeforeRewriteCommit()
     val committed = commitLock(fs, destPath).synchronized {
       val nowMax = manifests(fs, destPath)
         .map(_.getName.takeWhile(_.isDigit).toLong)
         .maxOption.getOrElse(-1L)
-      nowMax == baseVersion && fs.rename(tmp, fin)
+      nowMax == baseVersion && coordinator.putIfAbsent(fs, tmp, fin)
     }
     if (!committed) {
       // the log advanced (or the slot was taken): positions computed
@@ -1869,15 +1902,15 @@ object ManifestSink extends Ingest.DestinationSink {
     val version = baseVersion + 1
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
     writeFile(fs, tmp,
-      (Seq("snapshot\t1") ++ survivors.map("target\t" + _) ++
+      (Seq(s"writeid\t$writeId", "snapshot\t1") ++
+        survivors.map("target\t" + _) ++
         statsLines).mkString("\n"))
-    val fin =
-      new Path(logPath(destPath), f"$version%012d__$writeId.manifest")
+    val fin = new Path(logPath(destPath), f"$version%012d.manifest")
     val committed = commitLock(fs, destPath).synchronized {
       val nowMax = manifests(fs, destPath)
         .map(_.getName.takeWhile(_.isDigit).toLong)
         .maxOption.getOrElse(-1L)
-      nowMax == baseVersion && fs.rename(tmp, fin)
+      nowMax == baseVersion && coordinator.putIfAbsent(fs, tmp, fin)
     }
     if (!committed) {
       newFiles.foreach(t => fs.delete(new Path(dest, t), false))
@@ -2241,20 +2274,21 @@ object ManifestSink extends Ingest.DestinationSink {
             fs.delete(sroot, true)
           throw e
       }
-      val body = (moves.map(_._2).filterNot(_ == dvRel)
+      val body = (Seq(s"writeid\t$writeId") ++
+        moves.map(_._2).filterNot(_ == dvRel)
         .map("target\t" + _) ++ newStats ++ dvLines).mkString("\n")
       val lp = logPath(destPath)
       fs.mkdirs(lp)
       val tmp = new Path(lp, s".tmp_$writeId")
       writeFile(fs, tmp, body)
       val version = baseVersion + 1
-      val fin = new Path(lp, f"$version%012d__$writeId.manifest")
+      val fin = new Path(lp, f"$version%012d.manifest")
       onBeforeRewriteCommit()
       val committed = commitLock(fs, destPath).synchronized {
         val nowMax = manifests(fs, destPath)
           .map(_.getName.takeWhile(_.isDigit).toLong)
           .maxOption.getOrElse(-1L)
-        nowMax == baseVersion && fs.rename(tmp, fin)
+        nowMax == baseVersion && coordinator.putIfAbsent(fs, tmp, fin)
       }
       if (!committed) {
         fs.delete(tmp, false)
@@ -2671,7 +2705,8 @@ object ManifestSink extends Ingest.DestinationSink {
     // defensive replay no-op: a live log entry for this writeId means the
     // attempt committed AND was ledgered (recover() rolls back unledgered
     // entries before any replan), so there is nothing to redo
-    if (manifests(fs, destPath).exists(m => writeIdOf(m) == writeId)) return
+    if (manifests(fs, destPath)
+        .exists(m => writeIdOf(fs, m) == writeId)) return
     val staging = stagingDir(destPath, writeId)
     var t0 = System.nanoTime()
     def phase(name: String): Unit = {
@@ -2702,7 +2737,8 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsLines: Seq[String] =
       if (statsCols.isEmpty) Nil
       else statsLinesFor(spark, fs, staging, targets.toMap, statsCols)
-    val body = (sourceUris.map("uri\t" + _) ++
+    val body = (Seq(s"writeid\t$writeId") ++
+      sourceUris.map("uri\t" + _) ++
       targets.map { case (_, t) => "target\t" + t } ++
       statsLines).mkString("\n")
     writeFile(fs, new Path(staging, WaManifest), body)
@@ -2756,8 +2792,8 @@ object ManifestSink extends Ingest.DestinationSink {
         val version = manifests(fs, destPath)
           .map(_.getName.takeWhile(_.isDigit).toLong)
           .maxOption.getOrElse(-1L) + 1
-        val fin = new Path(lp, f"$version%012d__$writeId.manifest")
-        committed = fs.rename(tmp, fin)
+        val fin = new Path(lp, f"$version%012d.manifest")
+        committed = coordinator.putIfAbsent(fs, tmp, fin)
       }
       attempt += 1
       if (!committed) {
@@ -2828,7 +2864,8 @@ object ManifestSink extends Ingest.DestinationSink {
       if (minAttemptAgeMs > 0 && now - newestMs < minAttemptAgeMs) {
         println(s"METRIC graft.recover.skipped_inflight=1 " +
           s"write=$writeId age_ms=${now - newestMs}")
-      } else manifests(fs, destPath).find(m => writeIdOf(m) == writeId) match {
+      } else manifests(fs, destPath)
+          .find(m => writeIdOf(fs, m) == writeId) match {
         case Some(mf) =>
           val (uris, targets, _) = readManifest(fs, mf)
           if (!committed(uris)) {

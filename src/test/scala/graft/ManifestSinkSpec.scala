@@ -829,10 +829,13 @@ class ManifestSinkSpec extends SparkSpec {
       def ids(b: Int): Set[Long] = Set(b * 10L, b * 10L + 1, b * 10L + 2)
       def actualVersion(writeId: String): Long = {
         val f = new java.io.File(s"$dest/_log").listFiles()
-          .map(_.getName).filter(_.endsWith(".manifest"))
-          .find(_.stripSuffix(".manifest").split("__").last == writeId)
+          .filter(_.getName.endsWith(".manifest"))
+          .find { mf =>
+            scala.io.Source.fromFile(mf, "UTF-8").getLines()
+              .exists(_ == s"writeid\t$writeId")
+          }
         assert(f.isDefined, s"schedule $i: no log entry for $writeId")
-        f.get.takeWhile(_.isDigit).toLong
+        f.get.getName.takeWhile(_.isDigit).toLong
       }
       def readIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
         // an empty table reads as spark.emptyDataFrame (no columns)
@@ -886,7 +889,7 @@ class ManifestSinkSpec extends SparkSpec {
               case 1 => // un-commit: drop the log entry, leave staging
                 val v = actualVersion(writeId)
                 val mf = new java.io.File(s"$dest/_log",
-                  f"$v%012d__$writeId.manifest")
+                  f"$v%012d.manifest")
                 assert(mf.delete())
                 pending += (writeId -> 1)
               case 2 => // committed, unledgered, staging left
@@ -2188,5 +2191,112 @@ class ManifestSinkSpec extends SparkSpec {
       ManifestSink.SkipPredicate.NumRange("id", 1, 2)) == 2L)
     assert(ManifestSink.readBack(spark, destMor)
       .where(col("id").between(1, 2)).count() == 0)
+  }
+
+  test("commit coordinator: two instances (two processes) racing the " +
+      "same log serialize purely on the store's atomicity — every " +
+      "version gets exactly one winner, losers keep their tmp and " +
+      "retry, nothing is lost or overwritten") {
+    import graft.ingest.FsCommitCoordinator
+    val root = tmpDir("msinkcoord_")
+    val logDir = new java.io.File(s"$root/_log"); logDir.mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two coordinator INSTANCES sharing no JVM state — the local
+    // CREATE_NEW claim is what keeps them correct, exactly as two
+    // processes on one box or two HDFS clients
+    val coords = Seq(new FsCommitCoordinator, new FsCommitCoordinator)
+    val perWriter = 25
+    val committed =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        val coord = coords(w)
+        for (i <- 0 until perWriter) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$root/_log/.tmp_w${w}_$i")
+          val body = s"writer=$w batch=$i"
+          val out = fs.create(tmp, true)
+          out.write(body.getBytes("UTF-8")); out.close()
+          var done = false
+          while (!done) {
+            val v = Option(logDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+              .map(_.getName).filter(_.endsWith(".manifest"))
+              .map(_.takeWhile(_.isDigit).toLong)
+              .maxOption.getOrElse(-1L) + 1
+            val fin = new org.apache.hadoop.fs.Path(
+              f"$root/_log/$v%012d.manifest")
+            if (coord.putIfAbsent(fs, tmp, fin)) {
+              assert(committed.add(v), s"version $v claimed twice!")
+              done = true
+            } else {
+              // loser: tmp must survive for the retry
+              assert(fs.exists(tmp), s"claim failure consumed tmp $tmp")
+            }
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // 50 commits, versions exactly 0..49, every manifest intact with
+    // exactly its writer's body (no overwrite, no torn content)
+    val files = logDir.listFiles().filter(_.getName.endsWith(".manifest"))
+    assert(files.length == 2 * perWriter)
+    assert(files.map(_.getName.takeWhile(_.isDigit).toLong).sorted.toSeq
+      == (0L until 2L * perWriter))
+    val bodies = files.map(f => new String(java.nio.file.Files
+      .readAllBytes(f.toPath), "UTF-8")).toSeq
+    // every manifest holds exactly one writer's intact body, all 50
+    // commits are present (no overwrite ate one), none torn
+    assert(bodies.forall(_.matches("writer=[01] batch=\\d+")))
+    assert(bodies.toSet.size == 2 * perWriter)
+    // no leftover tmps
+    assert(!logDir.listFiles().exists(_.getName.startsWith(".tmp_")))
+  }
+
+  test("recover spares a LIVE writer: a staged attempt with a fresh " +
+      "heartbeat survives recover's age guard and commits afterwards; " +
+      "an aged attempt is swept") {
+    val root = tmpDir("msinklive_")
+    val dest = s"$root/wh/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("id", "v"), dest, None)
+    // fabricate a mid-move attempt: staging dir + WA manifest + a moved
+    // file, heartbeat FRESH (the writer is alive between renames)
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val attempt = new org.apache.hadoop.fs.Path(
+      s"$root/wh/.staging_t/liveattempt0000")
+    fs.mkdirs(attempt)
+    val moved = "liveattempt0000-0.parquet"
+    val out = fs.create(new org.apache.hadoop.fs.Path(attempt,
+      "_graft_manifest"), true)
+    out.write(s"target\t$moved".getBytes("UTF-8")); out.close()
+    val hb = fs.create(new org.apache.hadoop.fs.Path(attempt,
+      ".heartbeat"), true)
+    hb.write("42".getBytes("UTF-8")); hb.close()
+    fs.create(new org.apache.hadoop.fs.Path(dest, moved), true).close()
+
+    // a one-minute guard: the fresh attempt is skipped, files intact
+    ManifestSink.recover(spark, dest, _ => true,
+      minAttemptAgeMs = 60000L)
+    assert(fs.exists(attempt))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dest, moved)))
+    // the live writer finishes: its commit lands fine after the skip
+    ManifestSink.append(Seq((2L, "b")).toDF("id", "v"), dest, None)
+    assert(ManifestSink.readBack(spark, dest).count() == 2)
+
+    // age the attempt past the guard: swept (no log entry -> rollback)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val t0 = System.currentTimeMillis() - 120000
+    walk(new java.io.File(s"$root/wh/.staging_t"))
+      .foreach(f => f.setLastModified(t0))
+    new java.io.File(s"$root/wh/.staging_t/liveattempt0000")
+      .setLastModified(t0)
+    ManifestSink.recover(spark, dest, _ => true,
+      minAttemptAgeMs = 60000L)
+    assert(!fs.exists(attempt))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest, moved)))
+    assert(ManifestSink.readBack(spark, dest).count() == 2)
   }
 }
