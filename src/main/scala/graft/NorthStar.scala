@@ -1012,6 +1012,37 @@ object NorthStar {
     // key transitions absent→present→absent across snapshots; pins the
     // cross-batch delete/re-insert/delete contract a single-batch merge
     // (q134) cannot observe.
+    // DOMAIN/URL CURATION capstone — the source-level half of the
+    // C4/RefinedWeb recipe: synthesize deterministic URLs over the
+    // documents table (www prefixes + multi-part ccTLD suffixes so the
+    // registrable-domain cut is actually exercised), gate out a
+    // blocklist by eTLD+1, then cap each surviving domain at 2 docs by
+    // (n_chars desc, doc_id) via the bounded TopK aggregate — no
+    // window, so the web's head domain never funnels one task. The
+    // oracle replays extraction+gate+cap with row_number in DuckDB.
+    "q139_domain_curation" -> ((s, dir) => {
+      import graft.operators.Corpus
+      val suffixes = array(lit("com"), lit("org"), lit("co.uk"),
+        lit("net"), lit("com.au"))
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("www."))
+          .otherwise(lit("")),
+        lit("site"), pmod(col("doc_id"), lit(37L)), lit("."),
+        element_at(suffixes,
+          (pmod(col("doc_id"), lit(5L)) + 1).cast("int")),
+        lit("/"), col("source"), lit("/"), col("doc_id"))
+      val withUrl = docs(s, dir).withColumn("url", url)
+      val blocked = for {
+        site <- Seq("site0", "site17")
+        sfx <- Seq("com", "org", "co.uk", "net", "com.au")
+      } yield s"$site.$sfx"
+      val gated = withUrl.where(
+        Corpus.domainNotBlocked(col("url"), blocked))
+      Corpus.perDomainCap(gated, "url", cap = 2,
+        priority = col("n_chars"))
+        .orderBy(col("domain"), col("rank"))
+    }),
+
     // MERGE-ON-READ CDC (deletion vectors) as an oracle query: the
     // EXACT q135 change sequence — delete id%7, re-insert id%14 at -5,
     // delete id%28 + double id%10 — applied with mor=true, so the
@@ -3001,6 +3032,24 @@ object NorthStar {
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value
          FROM t GROUP BY event_type ORDER BY event_type""",
+    "q139_domain_curation" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+             'site' || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+             (CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+               WHEN 2 THEN 'co.uk' WHEN 3 THEN 'net'
+               ELSE 'com.au' END) AS domain
+           FROM documents),
+         g AS (SELECT * FROM d
+           WHERE domain NOT IN (
+             'site0.com','site0.org','site0.co.uk','site0.net',
+             'site0.com.au','site17.com','site17.org','site17.co.uk',
+             'site17.net','site17.com.au')),
+         r AS (SELECT domain, doc_id, row_number() OVER (
+             PARTITION BY domain ORDER BY n_chars DESC, doc_id)
+             AS rank
+           FROM g)
+         SELECT domain, rank, doc_id FROM r WHERE rank <= 2
+         ORDER BY domain, rank""",
     "q138_mor_cdc" ->
       """WITH t AS (SELECT event_id, event_type,
              CASE WHEN event_id % 14 = 0 THEN -5.0

@@ -243,6 +243,102 @@ object Corpus {
     * `ln` is not correctly-rounded across engines, and the ids are
     * last-ulp-stable while the raw keys are not.
     */
+  // ===================== domain / URL curation ======================
+  //
+  // The source-level half of the C4/RefinedWeb recipe: document-level
+  // dedup/quality decides WHICH page survives, domain curation decides
+  // WHETHER a source may contribute at all (blocklists) and HOW MUCH
+  // (per-domain caps against boilerplate farms). All relational — the
+  // only subtlety is refusing the window-rank idiom for the cap, because
+  // the web's head domain is exactly the hot group that straggles a
+  // per-group sort.
+
+  /** Multi-part public suffixes (the common ccTLD second-level set) for
+    * [[domainOf]]'s registrable-domain cut. A full publicsuffix.org
+    * table drops into the same membership literal.
+    */
+  private val MultiPartSuffixes = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "co.nz", "org.nz",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn", "com.mx", "com.ar", "com.tr",
+    "co.za", "org.za", "co.kr", "or.kr", "com.sg", "com.hk")
+
+  /** Lower-cased host of a URL — the builtin `try_parse_url`
+    * (row-local, no UDF), null for an unparseable URL (the plain
+    * `parse_url` THROWS under ANSI — one malformed crawl URL would
+    * kill the whole curation job).
+    */
+  def hostOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(try_parse_url(url, lit("HOST")))
+
+  /** REGISTRABLE domain (eTLD+1): the last two host labels, or the last
+    * three when the final two form a listed multi-part suffix —
+    * `www.news.bbc.co.uk` → `bbc.co.uk`, `www.example.com` →
+    * `example.com`. Subdomains (incl. `www.`) fall away by
+    * construction. Single-label hosts (intranet names, IP fragments)
+    * pass through unchanged; unparseable URLs are null. Pure column
+    * expression — split/slice over a broadcast-literal suffix set,
+    * whole-stage-codegen friendly, zero shuffle.
+    */
+  def domainOf(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val host = hostOf(url)
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = array_join(slice(parts, -2, 2), ".")
+    val last3 = array_join(slice(parts, -3, 3), ".")
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 2, host)
+      .when(last2.isin(MultiPartSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Blocklist gate (true = keep): the document's registrable domain is
+    * not in `blocked`. Built for [[graft.streaming.StreamingIngest
+    * .curateDocBatch]]'s `gate` parameter — row-deterministic, so the
+    * replay-idempotence contract holds. Unparseable URLs are dropped by
+    * default (`keepUnparseable = true` admits them): a curation
+    * pipeline treats "can't even tell the source" as failing the gate.
+    * For a blocklist too large to inline as a literal, compose the same
+    * semantics as a broadcast anti-join on [[domainOf]] instead.
+    */
+  def domainNotBlocked(url: org.apache.spark.sql.Column,
+      blocked: Seq[String], keepUnparseable: Boolean = false)
+      : org.apache.spark.sql.Column = {
+    val dom = domainOf(url)
+    when(dom.isNull, lit(keepUnparseable))
+      .otherwise(!dom.isin(blocked: _*))
+  }
+
+  /** PER-DOMAIN CAP: keep at most `cap` documents per registrable
+    * domain, deterministically — highest `priority` first, ties broken
+    * by smaller doc id (the [[TopK]] total order, reproducible by
+    * `row_number ... ORDER BY priority DESC, id` in any engine).
+    * Returns `(domain, rank, idCol)`, rank 1-based within the domain.
+    *
+    * Scale shape: the bounded-buffer top-k aggregate, NOT a window —
+    * at most `cap` `(priority, id)` pairs per domain per partition
+    * cross the shuffle, so the head domain of a web crawl (easily 1%+
+    * of all pages) costs `cap` buffer slots per task instead of a
+    * single-task sort of its entire row set.
+    */
+  def perDomainCap(docs: DataFrame, urlCol: String, cap: Int,
+      priority: org.apache.spark.sql.Column,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1 && cap <= (1 << 20),
+      s"[graft] perDomainCap cap in [1, 2^20], got $cap")
+    docs.select(domainOf(col(urlCol)).as("domain"),
+        priority.as("__p"), col(idCol))
+      .where(col("domain").isNotNull)
+      .groupBy(col("domain"))
+      .agg(TopK.topK(col("__p"), col(idCol), cap).as("top"))
+      .select(col("domain"), posexplode(col("top")))
+      .select(col("domain"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol))
+  }
+
   def weightedSample(docs: DataFrame, weightCol: String, k: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && k <= (1 << 20),

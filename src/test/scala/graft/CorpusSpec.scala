@@ -228,4 +228,91 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(again == got)
   }
+
+  test("domainOf: registrable-domain cut — www and deep subdomains fall " +
+      "away, multi-part ccTLD suffixes keep three labels, single-label " +
+      "hosts pass through, garbage is null") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      ("https://www.example.com/a/b?q=1", "example.com"),
+      ("http://example.com", "example.com"),
+      ("https://news.bbc.co.uk/story", "bbc.co.uk"),
+      ("https://www.news.bbc.co.uk/story", "bbc.co.uk"),
+      ("https://a.b.c.example.com.au/x", "example.com.au"),
+      ("https://EXAMPLE.Org/x", "example.org"),
+      ("http://localhost:8080/x", "localhost"),
+      ("https://co.uk/", "co.uk"),
+      ("not a url at all", null),
+      ("", null))
+    val got = cases.map(_._1).toDF("url")
+      .select(Corpus.domainOf(col("url")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq == cases.map(_._2),
+      got.toSeq.zip(cases).mkString("\n"))
+  }
+
+  test("perDomainCap equals the window-rank idiom; domainNotBlocked " +
+      "gates by eTLD+1 and drops unparseable URLs by default") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 60 docs over 7 domains incl. a hot one (0) with half the docs
+    val rows = (0L until 60L).map { i =>
+      val site = if (i % 2 == 0) 0L else 1L + (i % 7L) % 6L
+      val sfx = Seq("com", "co.uk", "org")((i % 3L).toInt)
+      (i, s"https://www.site$site.$sfx/p/$i", (i * 13L) % 41L)
+    }
+    val df = rows.toDF("doc_id", "url", "prio")
+    val got = Corpus.perDomainCap(df, "url", cap = 3,
+      priority = col("prio"))
+      .select("domain", "rank", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    val want = df
+      .withColumn("domain", Corpus.domainOf(col("url")))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("domain"))
+        .orderBy(col("prio").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= 3)
+      .select("domain", "rank", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+
+    val gated = df
+      .unionByName(Seq((999L, "garbage", 0L))
+        .toDF("doc_id", "url", "prio"))
+      .where(Corpus.domainNotBlocked(col("url"),
+        Seq("site0.com", "site0.co.uk", "site0.org")))
+    val doms = gated.select(Corpus.domainOf(col("url"))).distinct()
+      .as[String].collect().toSet
+    assert(!doms.exists(_.startsWith("site0.")))
+    assert(gated.where(col("doc_id") === 999L).count() == 0)
+    // keepUnparseable admits the garbage row
+    assert(df.unionByName(Seq((999L, "garbage", 0L))
+        .toDF("doc_id", "url", "prio"))
+      .where(Corpus.domainNotBlocked(col("url"), Seq("site0.com"),
+        keepUnparseable = true))
+      .where(col("doc_id") === 999L).count() == 1)
+  }
+
+  test("curateDocBatch(gate = domain blocklist): blocked-domain docs " +
+      "never reach the corpus, and a replayed blocked doc stays out") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingIngest
+    val root = tmpDir("corpusdom_")
+    val corpusDir = s"$root/corpus"
+    def batchDf(ids: Seq[Long]) = ids.map { i =>
+      (i, s"unique document body number $i with enough words " +
+        s"to never collide ${i * 7} ${i * 13}",
+        s"https://www.site${i % 3}.co.uk/p/$i")
+    }.toDF("doc_id", "text", "url")
+    val gate = Corpus.domainNotBlocked(col("url"), Seq("site0.co.uk"))
+    StreamingIngest.curateDocBatch(spark, batchDf(0L until 9L),
+      corpusDir, None, gate = Some(gate))
+    val kept = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 9L).filter(_ % 3 != 0).toSet)
+    // replay of the same batch (at-least-once): content no-op
+    StreamingIngest.curateDocBatch(spark, batchDf(0L until 9L),
+      corpusDir, None, gate = Some(gate))
+    assert(spark.read.parquet(corpusDir).count() == 6)
+  }
 }
