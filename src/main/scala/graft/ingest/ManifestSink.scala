@@ -328,6 +328,56 @@ object ManifestSink extends Ingest.DestinationSink {
     }
   }
 
+  /** The CDC tail's one-poll feed: every APPEND version in
+    * `(sinceVersion, head]`, in commit order, as `(version, thunk)` —
+    * the thunk reads exactly that version's own target files. LAYOUT
+    * snapshots (optimize/compact — `layout\t1` marker) are skipped:
+    * they rearrange bytes without changing content, so a tail crossing
+    * them neither duplicates nor drops. CONTENT-changing versions in
+    * the range (COW rewrites, merges, deletion vectors, partition
+    * drops, restores) throw — file membership no longer means "new
+    * rows" and a correct tail must re-sync from a full read (the Delta
+    * CDF contract). A `sinceVersion` below the surviving floor throws
+    * as compacted-away, exactly like [[readAppendsBetween]].
+    */
+  private[graft] def appendFeed(spark: SparkSession, destPath: String,
+      sinceVersion: Long): (Seq[(Long, () => DataFrame)], Long) = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return (Seq.empty, sinceVersion)
+    val all = manifests(fs, destPath)
+    if (all.isEmpty) return (Seq.empty, sinceVersion)
+    def vOf(p: Path): Long = p.getName.takeWhile(_.isDigit).toLong
+    val minV = all.map(vOf).min
+    require(sinceVersion == -1 || sinceVersion >= minV - 1,
+      s"[graft] appendFeed($sinceVersion): history before v$minV was " +
+        "compacted away — re-sync the tail from a full readBack")
+    def isLayout(mf: Path): Boolean = {
+      val in = fs.open(mf)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.exists(_.startsWith("layout\t"))
+    }
+    val feed = all.filter(vOf(_) > sinceVersion).sortBy(vOf)
+      .flatMap { mf =>
+        val v = vOf(mf)
+        val (_, targets, snap) = readManifest(fs, mf)
+        val hasDv = dvLinesOf(fs, mf).nonEmpty
+        if (isLayout(mf)) None // optimize/compact: content unchanged
+        else if (snap || hasDv)
+          throw new IllegalArgumentException(
+            s"[graft] appendFeed: v$v is a content-changing " +
+              "commit (rewrite/merge/deletion-vector/restore) — the " +
+              "append tail cannot represent it; re-sync from readBack")
+        else if (targets.isEmpty) None
+        else Some((v, () => spark.read.option("mergeSchema", "true")
+          .option("basePath", destPath)
+          .parquet(targets.map(rel =>
+            new Path(dest, rel).toString): _*)))
+      }
+    (feed, math.max(sinceVersion, all.map(vOf).max))
+  }
+
   /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF`): commit the
     * table state as of `version` as a NEW head version — the write-op
     * other half of time travel, what an operator reaches for right
@@ -541,7 +591,8 @@ object ManifestSink extends Ingest.DestinationSink {
     val effParsed = if (lastSnap >= 0) parsed.drop(lastSnap) else parsed
     val statsCarry = effOld.flatMap(rawStatsLines(fs, _)).distinct
     val dvCarry = effOld.flatMap(rawDvLines(fs, _)).distinct
-    val body = (Seq("writeid\tcompact", "snapshot\t1") ++
+    val body = (Seq("writeid\tcompact", "snapshot\t1",
+      "layout\t1") ++
       effParsed.flatMap(_._1).distinct.map("uri\t" + _) ++
       effParsed.flatMap(_._2).distinct.map("target\t" + _) ++
       statsCarry ++ dvCarry).mkString("\n")
@@ -1424,7 +1475,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val version = baseVersion + 1
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
     writeFile(fs, tmp,
-      (Seq(s"writeid\t$writeId", "snapshot\t1") ++
+      (Seq(s"writeid\t$writeId", "snapshot\t1", "layout\t1") ++
         survivors.map("target\t" + _) ++
         carriedStats ++ packedStats ++ carriedDvs).mkString("\n"))
     val fin = new Path(logPath(destPath), f"$version%012d.manifest")

@@ -783,6 +783,75 @@ object StreamingIngest {
     w.start()
   }
 
+  /** STREAMING CDC SOURCE: tail a manifest table's log, emitting each
+    * APPEND version's rows exactly once across restarts. One call
+    * DRAINS everything committed since the checkpoint and stops — the
+    * `Trigger.AvailableNow` cadence this module standardizes on; run
+    * it under a scheduler (or a loop) for a continuous tail. Returns
+    * the versions emitted this call.
+    *
+    * Contract:
+    *  - checkpoint = last version seen, one durable file under
+    *    `checkpointDir`, atomically replaced AFTER `process` returns
+    *    for a version — a crash between the two replays that version,
+    *    so `process` must be idempotent per version id (it receives
+    *    the version, the foreachBatch batchId discipline);
+    *  - LAYOUT snapshots (optimize/compact) are skipped without
+    *    emission and the checkpoint advances past them — a mid-stream
+    *    compaction neither duplicates nor drops;
+    *  - CONTENT-changing commits in the range (COW rewrites, merges,
+    *    deletion vectors, restores, partition drops) throw: an
+    *    append-only tail cannot represent them — re-sync from a full
+    *    [[graft.ingest.ManifestSink.readBack]];
+    *  - a checkpoint below the surviving floor (history compacted
+    *    past it while the tail was down) throws as compacted-away,
+    *    exactly like the batch [[graft.ingest.ManifestSink
+    *    .readAppendsBetween]].
+    *
+    * Scale shape: a poll is O(surviving manifests) driver metadata +
+    * exactly the NEW files' bytes — never a table scan, never a diff.
+    */
+  def changesStream(spark: SparkSession, destPath: String,
+      checkpointDir: String)
+      (process: (DataFrame, Long) => Unit): Seq[Long] = {
+    val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir,
+      "last_version")
+    val fs = ckptPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def readCkpt(): Long =
+      if (!fs.exists(ckptPath)) -1L
+      else {
+        val in = fs.open(ckptPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .trim.toLong
+        finally in.close()
+      }
+    def writeCkpt(v: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(checkpointDir,
+        s".last_version_tmp")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(checkpointDir))
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(ckptPath)) fs.delete(ckptPath, false)
+      require(fs.rename(tmp, ckptPath),
+        s"[graft] changesStream: checkpoint write failed at $ckptPath")
+    }
+    val since = readCkpt()
+    val (feed, head) =
+      graft.ingest.ManifestSink.appendFeed(spark, destPath, since)
+    val emitted = feed.map { case (v, thunk) =>
+      process(thunk(), v)
+      writeCkpt(v)
+      v
+    }
+    // advance past trailing layout snapshots so a later compact cannot
+    // strand the checkpoint below the surviving floor
+    if (head > emitted.lastOption.getOrElse(since)) writeCkpt(head)
+    println(s"METRIC graft.changes.emitted=${emitted.length} " +
+      s"head=$head dest=$destPath")
+    emitted
+  }
+
   /** STREAM-STREAM interval join — the streaming face of
     * [[graft.operators.IntervalJoin]]: inner-join two event streams on
     * a key, keeping right events inside `[left time, left time +

@@ -1029,4 +1029,67 @@ class StreamingIngestSpec extends SparkSpec {
       ("2026-01-01 00:00:00", "b", 1L, 7.0),
       ("2026-01-01 01:00:00", "a", 1L, 5.0)))
   }
+
+  test("changesStream: tails the manifest log exactly once across " +
+      "restarts, skips layout snapshots without stranding the " +
+      "checkpoint below a compaction floor, and refuses content " +
+      "rewrites and compacted-away resume points") {
+    import spark.implicits._
+    val root = tmpDir("cdctail_")
+    val dest = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+    def drain(): Seq[Long] =
+      StreamingIngest.changesStream(spark, dest, ckpt) { (df, v) =>
+        seen += ((v, df.select("id").as[Long].collect().toSet))
+      }
+
+    // three appends, then the first drain delivers each exactly once
+    for (b <- 0 until 3)
+      ManifestSink.append(
+        (b * 10L until b * 10L + 3L).map(i => (i, s"b$b"))
+          .toDF("id", "v"), dest, None)
+    assert(drain() == Seq(0L, 1L, 2L))
+    assert(seen.toSeq == Seq(
+      (0L, Set(0L, 1L, 2L)), (1L, Set(10L, 11L, 12L)),
+      (2L, Set(20L, 21L, 22L))))
+    // idempotent: nothing new, nothing re-emitted (the "restart" is a
+    // fresh call reading the same durable checkpoint)
+    assert(drain().isEmpty && seen.length == 3)
+
+    // a fourth append after the restart arrives once
+    ManifestSink.append(Seq((30L, "b3")).toDF("id", "v"), dest, None)
+    assert(drain() == Seq(3L))
+    assert(seen.last == ((3L, Set(30L))))
+
+    // optimize (layout snapshot v4) mid-stream: no emission, no drop —
+    // and compact right after must NOT strand the checkpoint below the
+    // new floor (the drain advanced it past the layout version)
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 30) > 0)
+    assert(drain().isEmpty)
+    ManifestSink.compact(spark, dest)
+    assert(drain().isEmpty)
+    ManifestSink.append(Seq((40L, "b4")).toDF("id", "v"), dest, None)
+    assert(drain().length == 1)
+    assert(seen.last._2 == Set(40L))
+    assert(seen.length == 5)
+
+    // a content-changing commit in range refuses loudly
+    ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 40, 40))
+    val err = intercept[IllegalArgumentException] { drain() }
+    assert(err.getMessage.contains("content-changing"))
+
+    // a tail resuming from BELOW the surviving floor refuses as
+    // compacted-away (a checkpoint from before the compaction)
+    val oldCkpt = new java.io.File(s"$root/ckpt_too_old")
+    oldCkpt.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ckpt_too_old/last_version"), "0")
+    val err2 = intercept[IllegalArgumentException] {
+      StreamingIngest.changesStream(spark, dest,
+        s"$root/ckpt_too_old") { (_, _) => () }
+    }
+    assert(err2.getMessage.contains("compacted away"))
+  }
 }
