@@ -801,6 +801,57 @@ object Stress {
         f"${(System.nanoTime() - t2) / 1e9}%8.2f s  updated=$u " +
         f"inserted=$i")
     }
+    // Scattered-change ladder: a delete whose keys hit EVERY file — the
+    // copy-on-write worst case (rewrites the whole table) vs the
+    // merge-on-read deletion-vector path (commits O(deleted rows) of
+    // sidecar). Reads after each must agree; optimize materializes the
+    // tombstones and restores plain-scan reads.
+    if (enabled("mor_delete")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_mor_").toString
+      val batches = 50
+      val per = (nDocs0 * repl) / batches
+      def build(dest: String): Unit =
+        (0 until batches).foreach { b =>
+          ManifestSink.statsAppend(
+            docs.filter(col("doc_id") >= b * per &&
+              col("doc_id") < (b + 1) * per), dest, None, Seq("doc_id"))
+        }
+      val destCow = s"$root/cow"; val destMor = s"$root/mor"
+      build(destCow); build(destMor)
+      val pred = pmod(col("doc_id"), lit(7L)) === 0
+      val t0 = System.nanoTime()
+      val goneCow = ManifestSink.deleteWhereExpr(spark, destCow, pred)
+      println(f"STRESS mor_ladder_cow_delete    " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  deleted=$goneCow " +
+        f"(rewrites ~all $batches files)")
+      val t1 = System.nanoTime()
+      val goneMor = ManifestSink.deleteWhereExprMor(spark, destMor, pred)
+      println(f"STRESS mor_ladder_mor_delete    " +
+        f"${(System.nanoTime() - t1) / 1e9}%8.2f s  deleted=$goneMor " +
+        f"(tombstones only, 0 rewrites)")
+      require(goneCow == goneMor)
+      val t2 = System.nanoTime()
+      val nCow = ManifestSink.readBack(spark, destCow).count()
+      println(f"STRESS mor_ladder_cow_read      " +
+        f"${(System.nanoTime() - t2) / 1e9}%8.2f s  rows=$nCow")
+      val t3 = System.nanoTime()
+      val nMor = ManifestSink.readBack(spark, destMor).count()
+      println(f"STRESS mor_ladder_mor_read      " +
+        f"${(System.nanoTime() - t3) / 1e9}%8.2f s  rows=$nMor " +
+        "(anti-join tax)")
+      require(nCow == nMor)
+      val t4 = System.nanoTime()
+      ManifestSink.optimize(spark, destMor, targetBytes = 1L << 30)
+      println(f"STRESS mor_ladder_materialize   " +
+        f"${(System.nanoTime() - t4) / 1e9}%8.2f s  (optimize applies " +
+        "tombstones)")
+      val t5 = System.nanoTime()
+      val nOpt = ManifestSink.readBack(spark, destMor).count()
+      println(f"STRESS mor_ladder_opt_read      " +
+        f"${(System.nanoTime() - t5) / 1e9}%8.2f s  rows=$nOpt")
+      require(nOpt == nMor)
+    }
     // Same ladder with the PERSISTED band index: per-batch cost should
     // stay flat-ish as the corpus grows (batch bands + slim index join +
     // touched-partner verify), instead of the linear corpus re-index the

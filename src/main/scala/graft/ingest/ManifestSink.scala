@@ -1311,6 +1311,11 @@ object ManifestSink extends Ingest.DestinationSink {
         // with no log entry, and recover() sweeps exactly these names
         writeFile(fs, new Path(staging, WaManifest),
           names.map("target\t" + _).mkString("\n"))
+        // a bin whose inputs carry tombstones re-derives its stats from
+        // the STAGED data (before the move empties the staging dir) —
+        // the pure-metadata merge below would count/bound deleted rows
+        val derivedStats =
+          scala.collection.mutable.ArrayBuffer[String]()
         bins.zip(names).zipWithIndex.foreach { case ((bin, target), i) =>
           val binOut = new Path(staging, s"bin_$i")
           // no basePath: partition values live in the directory name, not
@@ -1318,6 +1323,17 @@ object ManifestSink extends Ingest.DestinationSink {
           // dv-aware read = tombstone materialization
           readFilesDv(spark, destPath, bin, dvs, withBase = false)
             .coalesce(1).write.mode("overwrite").parquet(binOut.toString)
+          if (bin.exists(dvs.contains)) {
+            val perFile =
+              bin.map(b => statsByTgt.getOrElse(b, Map.empty))
+            val derivable = perFile.flatMap(_.keys).distinct.sorted
+              .filter(c => perFile.forall(_.contains(c)))
+            if (derivable.nonEmpty)
+              derivedStats ++= fileStatsOfParquet(spark,
+                binOut.toString, derivable)
+                .toSeq.sortBy(_._1._2)
+                .map { case ((_, c), st) => statsLine(target, c, st) }
+          }
           val part = fs.listStatus(binOut).map(_.getPath)
             .find(p => p.getName.startsWith("part-") &&
               p.getName.endsWith(".parquet"))
@@ -1329,29 +1345,23 @@ object ManifestSink extends Ingest.DestinationSink {
             s"[graft] optimize move failed: $tgt")
         }
         // a concatenated file's stats are the pure-metadata merge of its
-        // inputs' (only for columns EVERY input has stats for) — UNLESS
-        // an input carried tombstones: the merge would count/bound
-        // deleted rows, so those bins re-derive stats from written data
-        val pStats = bins.zip(names).zipWithIndex
-          .flatMap { case ((bin, tgt), i) =>
-          val perFile = bin.map(b => statsByTgt.getOrElse(b, Map.empty))
-          val cols = perFile.flatMap(_.keys).distinct.sorted
-          if (bin.exists(dvs.contains)) {
-            val derivable =
-              cols.filter(c => perFile.forall(_.contains(c)))
-            if (derivable.isEmpty) Nil
-            else fileStatsOfParquet(spark,
-              new Path(staging, s"bin_$i").toString, derivable)
-              .toSeq.sortBy(_._1._2)
-              .map { case ((_, c), st) => statsLine(tgt, c, st) }
-          } else cols.flatMap { c =>
-            val entries = perFile.map(_.get(c))
-            if (entries.forall(_.isDefined))
-              mergeStats(entries.flatten).map(st => statsLine(tgt, c, st))
-            else None
+        // inputs' (only for columns EVERY input has stats for); dv'd
+        // bins already re-derived above
+        val pStats = bins.zip(names).flatMap { case (bin, tgt) =>
+          if (bin.exists(dvs.contains)) Nil
+          else {
+            val perFile =
+              bin.map(b => statsByTgt.getOrElse(b, Map.empty))
+            perFile.flatMap(_.keys).distinct.sorted.flatMap { c =>
+              val entries = perFile.map(_.get(c))
+              if (entries.forall(_.isDefined))
+                mergeStats(entries.flatten)
+                  .map(st => statsLine(tgt, c, st))
+              else None
+            }
           }
         }
-        (names, pStats)
+        (names, pStats ++ derivedStats.toSeq)
       } else {
         // sort-compaction: stage every unit (range-sorted by the cluster
         // key, split into ~targetBytes files), re-derive stats from the

@@ -2080,13 +2080,22 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readBack(spark, dest)
       .where(col("id").between(120, 159)).count() == 20)
 
-    // optimize materializes every remaining tombstone: after it the
-    // metadata bounds come back (no effective dvs) and rows hold
+    // fresh tombstones on ANOTHER file, still live at optimize time:
+    // the repack must apply them (dv-aware bin read) and re-derive the
+    // packed file's stats from written data, not the metadata merge
+    // that would count the deleted rows
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 250, 254)) == 5L)
     assert(ManifestSink.optimize(spark, dest,
       targetBytes = 1L << 30) > 0L)
-    assert(ManifestSink.readBack(spark, dest).count() == 380)
-    assert(ManifestSink.metadataCount(spark, dest) == Some(380L))
+    assert(ManifestSink.readBack(spark, dest).count() == 375)
+    assert(ManifestSink.readBack(spark, dest)
+      .where(col("id").between(250, 254)).count() == 0)
+    // metadata answers come back exact (no effective dvs remain)
+    assert(ManifestSink.metadataCount(spark, dest) == Some(375L))
     assert(ManifestSink.metadataMinMax(spark, dest, "id").isDefined)
+    assert(ManifestSink.countWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 0, 399)) == 375L)
 
     // the sidecar outlives its manifests only until compact+vacuum
     val dvDir = new java.io.File(s"$dest/_dv")
@@ -2099,7 +2108,7 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) > 0L)
     assert(!dvDir.exists() || dvDir.listFiles().forall(f =>
       !f.getName.endsWith(".parquet")))
-    assert(ManifestSink.readBack(spark, dest).count() == 380)
+    assert(ManifestSink.readBack(spark, dest).count() == 375)
   }
 
   test("mor CDC merge parity: the q135-shaped delete/re-insert/delete " +
