@@ -1012,6 +1012,38 @@ object NorthStar {
     // key transitions absent→present→absent across snapshots; pins the
     // cross-batch delete/re-insert/delete contract a single-batch merge
     // (q134) cannot observe.
+    // MERGE-ON-READ UPDATE (DV-backed UPDATE): a slab delete lands as
+    // tombstones, then a SCATTERED update (every 7th id — matches all
+    // 8 files, the shape that under copy-on-write rewrites the whole
+    // table) tombstones the old rows and appends their negated
+    // versions in ONE incremental commit, zero file rewrites. The
+    // oracle replays delete+update as complement-filter + CASE — the
+    // visible rows must equal the COW q123 semantics for this recipe.
+    "q140_mor_update" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q140_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      ManifestSink.deleteWhereMor(s, tmp, ManifestSink.SkipPredicate
+        .NumRange("event_id", (3 * n / 8).toDouble,
+          (4 * n / 8 - 1).toDouble))
+      ManifestSink.updateWhereExprMor(s, tmp,
+        pmod(col("event_id"), lit(7L)) === 0,
+        Map("value" -> -col("value")))
+      ManifestSink.readBack(s, tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // DOMAIN/URL CURATION capstone — the source-level half of the
     // C4/RefinedWeb recipe: synthesize deterministic URLs over the
     // documents table (www prefixes + multi-part ccTLD suffixes so the
@@ -3058,6 +3090,18 @@ object NorthStar {
            FROM events
            WHERE event_id % 28 <> 0
              AND NOT (event_id % 7 = 0 AND event_id % 14 <> 0))
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_value, max(value) AS max_value
+         FROM t GROUP BY event_type ORDER BY event_type""",
+    "q140_mor_update" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
+         t AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN -value ELSE value END
+               AS value
+           FROM events, b
+           WHERE NOT (event_id >= 3 * nid // 8
+                  AND event_id < 4 * nid // 8))
          SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value

@@ -1702,6 +1702,202 @@ object ManifestSink extends Ingest.DestinationSink {
     total
   }
 
+  /** MERGE-ON-READ UPDATE (Delta's DV-backed `UPDATE`): every row
+    * matching `pred` is tombstoned in place (one dv sidecar, like
+    * [[deleteWhereMor]]) and its updated version — `set` expressions
+    * evaluated against the OLD row, so swaps are well-defined —
+    * appends as fresh stats-bearing files, BOTH in ONE incremental
+    * manifest. No data file is rewritten: a scattered-key update that
+    * touches every file commits O(updated rows), where [[updateWhere]]
+    * (copy-on-write) rewrites the whole table; the next
+    * [[optimize]]/rewrite of each file materializes its tombstones.
+    * Candidate files prune through the skipping stats; existing dvs
+    * apply before matching so re-running is idempotent on the visible
+    * rows. For a partitioned destination pass `partitionField` (the
+    * same contract as [[mergeInto]]) so updated rows land in their
+    * event-time partitions; updated rows write with stats for every
+    * column the table already records stats on. Returns rows updated.
+    */
+  def updateWhereMor(spark: SparkSession, destPath: String,
+      pred: SkipPredicate, set: Map[String, org.apache.spark.sql.Column],
+      partitionField: Option[String] = None): Long = {
+    require(set.nonEmpty, "[graft] updateWhereMor: empty SET")
+    morUpdate(spark, destPath, Left(pred), set, partitionField)
+  }
+
+  /** [[updateWhereMor]] with an arbitrary `Column` predicate — the
+    * content-addressed GDPR/redaction shape at O(changed rows) write
+    * cost: no stats pruning (every file is scanned for matches), but
+    * nothing is rewritten either way.
+    */
+  def updateWhereExprMor(spark: SparkSession, destPath: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      partitionField: Option[String] = None): Long = {
+    require(set.nonEmpty, "[graft] updateWhereExprMor: empty SET")
+    morUpdate(spark, destPath, Right(cond), set, partitionField)
+  }
+
+  private def morUpdate(spark: SparkSession, destPath: String,
+      pred: Either[SkipPredicate, org.apache.spark.sql.Column],
+      set: Map[String, org.apache.spark.sql.Column],
+      partitionField: Option[String]): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return 0L
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.mor.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return 0L
+    }
+    val old = manifests(fs, destPath)
+    val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, old)
+    if (targets.isEmpty) return 0L
+    val stats = fileStatsOf(fs, old)
+    val dvs = effectiveDvsOf(fs, old)
+    val (candidates, m, colLabel) = pred match {
+      case Left(p) =>
+        (targets.filter(t => mayMatchFile(stats, t, p)), residual(p),
+          p.column)
+      case Right(c) => (targets, c, "<expr>")
+    }
+    println(s"METRIC graft.mor.files_total=${targets.length} " +
+      s"candidates=${candidates.length} col=$colLabel dest=$destPath")
+    if (candidates.isEmpty) return 0L
+
+    // ONE distributed pass: live matching rows WITH their positions —
+    // the positions become tombstones, the data columns (SET exprs
+    // applied against the old values) become the appended rows
+    val matched =
+      readFilesDvMeta(spark, destPath, candidates, dvs, withBase = false)
+        .where(coalesce(m, lit(false)))
+        .localCheckpoint()
+    val perName: Map[String, Long] = matched
+      .groupBy(col("__graft_fn")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = perName.values.sum
+    if (total == 0L) {
+      println(s"METRIC graft.mor.no_matches=1 dest=$destPath")
+      return 0L
+    }
+    val dataCols = matched.columns
+      .filterNot(c => c == "__graft_fn" || c == "__graft_pos")
+    set.keys.foreach(k => require(dataCols.contains(k),
+      s"[graft] updateWhereMor: SET column '$k' not in file schema " +
+        s"(${dataCols.mkString(", ")}) — UPDATE changes values, not shape"))
+    val ups = matched.select(
+      dataCols.map(c => set.getOrElse(c, col(c)).as(c)).toSeq: _*)
+    // updated rows keep skipping coverage: stats for every column the
+    // table already records (restricted to columns the rows carry)
+    val tableStatsCols = stats.keys.map(_._2).toSeq.distinct.sorted
+      .filter(dataCols.contains)
+    val relOfName: Map[String, String] =
+      candidates.map(rel => fileNameOf(rel) -> rel).toMap
+
+    val writeId = "mu" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(14)
+    val staging = stagingDir(destPath, writeId)
+    fs.mkdirs(staging)
+    val dvRel = s"$DvDir/$writeId.parquet"
+    val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val newStats = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      val dvOut = new Path(staging, "dv")
+      matched
+        .select(col("__graft_fn").as("name"), col("__graft_pos").as("pos"))
+        .orderBy(col("name"), col("pos"))
+        .coalesce(1).write.mode("overwrite").parquet(dvOut.toString)
+      val part = fs.listStatus(dvOut).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"[graft] updateWhereMor: no part file under $dvOut"))
+      moves += ((part, dvRel))
+      val insOut = new Path(staging, "ins")
+      val writer = partitionField match {
+        case Some(f) =>
+          ups.withColumn(Ingest.PartitionCol, to_date(col(f)))
+            .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+        case None => ups.write.mode("overwrite")
+      }
+      writer.parquet(insOut.toString)
+      val insQ = fs.makeQualified(insOut).toString
+      val insStaged = listFilesRec(fs, insOut).map(_._1)
+        .filter(p => !p.getName.startsWith("_") &&
+          !p.getName.startsWith("."))
+        .map(p => fs.makeQualified(p).toString.stripPrefix(insQ + "/"))
+        .sorted
+      val insTargets = insStaged.zipWithIndex.map { case (rel, i) =>
+        val dir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case k  => rel.substring(0, k + 1)
+        }
+        (rel, s"$dir$writeId-upd-$i.parquet")
+      }
+      if (tableStatsCols.nonEmpty)
+        newStats ++= statsLinesFor(spark, fs, insOut,
+          insTargets.toMap, tableStatsCols)
+      insTargets.foreach { case (rel, target) =>
+        moves += ((new Path(insOut, rel), target))
+      }
+      writeFile(fs, new Path(staging, WaManifest),
+        moves.map("target\t" + _._2).mkString("\n"))
+      moves.foreach { case (part0, target) =>
+        val tgt = new Path(dest, target)
+        fs.mkdirs(tgt.getParent)
+        require(fs.rename(part0, tgt),
+          s"[graft] updateWhereMor move failed: $tgt")
+      }
+    } catch {
+      case e: Throwable =>
+        moves.foreach { case (_, t) =>
+          fs.delete(new Path(dest, t), false) }
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        throw e
+    }
+    val dvLines = perName.toSeq.sortBy(_._1).map { case (n, cnt) =>
+      s"dv\t${relOfName(n)}\t$dvRel\t$cnt"
+    }
+    val body = (Seq(s"writeid\t$writeId") ++
+      moves.map(_._2).filterNot(_ == dvRel).map("target\t" + _) ++
+      newStats ++ dvLines).mkString("\n")
+    val lp = logPath(destPath)
+    fs.mkdirs(lp)
+    val tmp = new Path(lp, s".tmp_$writeId")
+    writeFile(fs, tmp, body)
+    val version = baseVersion + 1
+    val fin = new Path(lp, f"$version%012d.manifest")
+    onBeforeRewriteCommit()
+    val committed = commitLock(fs, destPath).synchronized {
+      val nowMax = manifests(fs, destPath)
+        .map(_.getName.takeWhile(_.isDigit).toLong)
+        .maxOption.getOrElse(-1L)
+      nowMax == baseVersion && coordinator.putIfAbsent(fs, tmp, fin)
+    }
+    if (!committed) {
+      fs.delete(tmp, false)
+      moves.foreach { case (_, t) =>
+        fs.delete(new Path(dest, t), false) }
+      fs.delete(staging, true)
+      if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+        fs.delete(sroot, true)
+      println(s"METRIC graft.mor.aborted_log_advanced=1 " +
+        s"base_version=$baseVersion dest=$destPath")
+      return 0L
+    }
+    fs.delete(staging, true)
+    if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+      fs.delete(sroot, true)
+    println(s"METRIC graft.mor.updated_rows=$total " +
+      s"files_marked=${perName.size} version=$version dest=$destPath")
+    total
+  }
+
   /** [[updateWhere]] with an arbitrary `Column` predicate — the
     * content-addressed maintenance shape (e.g. redact every document
     * whose text matches a PII pattern). Same trade as

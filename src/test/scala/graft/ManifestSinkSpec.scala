@@ -2202,6 +2202,91 @@ class ManifestSinkSpec extends SparkSpec {
       .where(col("id").between(1, 2)).count() == 0)
   }
 
+  test("mor update: tombstone + re-append in one commit, zero file " +
+      "rewrites — SET sees the old row, stats route the new rows, " +
+      "COW parity holds, optimize materializes") {
+    val root = tmpDir("msinkmupd_")
+    val destMor = s"$root/wh/tm"
+    val destCow = s"$root/wh/tc"
+    for (b <- 0 until 4) {
+      val batch = (b * 100L until b * 100L + 100L)
+        .map(i => (i, s"v$i", i * 2)).toDF("id", "v", "w").coalesce(1)
+      ManifestSink.statsAppend(batch, destMor, None, Seq("id"))
+      ManifestSink.statsAppend(batch, destCow, None, Seq("id"))
+    }
+    val morFiles = ManifestSink.readBack(spark, destMor).inputFiles.toSet
+
+    // scattered update: every 7th id — matches EVERY file; COW rewrites
+    // the table, MOR commits one dv sidecar + the 58 updated rows
+    val pred7 = pmod(col("id"), lit(7L)) === 0
+    val setV = Map("v" -> concat(col("v"), lit("!")))
+    val nMor = ManifestSink.updateWhereExprMor(spark, destMor,
+      pred7, setV)
+    val nCow = ManifestSink.updateWhereExpr(spark, destCow, pred7, setV)
+    assert(nMor == nCow && nMor == 58L)
+    // zero rewrites: every original file still committed under mor
+    assert(morFiles.subsetOf(
+      ManifestSink.readBack(spark, destMor).inputFiles.toSet))
+    def stateOf(d: String) = ManifestSink.readBack(spark, d)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(stateOf(destMor) == stateOf(destCow))
+    assert(ManifestSink.readBack(spark, destMor).count() == 400)
+    assert(ManifestSink.readBack(spark, destMor)
+      .where(col("v") === "v7!").count() == 1)
+    assert(ManifestSink.readBack(spark, destMor)
+      .where(col("v") === "v7").count() == 0)
+
+    // SET evaluates against the OLD row: a swap is well-defined
+    val swap = Map("v" -> concat(lit("w="), col("w")),
+      "w" -> (col("id") * 10))
+    assert(ManifestSink.updateWhereMor(spark, destMor,
+      ManifestSink.SkipPredicate.NumRange("id", 10, 11), swap) == 2L)
+    assert(ManifestSink.updateWhere(spark, destCow,
+      ManifestSink.SkipPredicate.NumRange("id", 10, 11), swap) == 2L)
+    assert(stateOf(destMor) == stateOf(destCow))
+    assert(ManifestSink.readBack(spark, destMor)
+      .where(col("id") === 10L).as[(Long, String, Long)].head() ==
+      ((10L, "w=20", 100L)))
+
+    // live-row semantics: a second scattered pass matches the UPDATED
+    // rows (ids unchanged), tombstones them, appends fresh versions
+    assert(ManifestSink.updateWhereExprMor(spark, destMor,
+      pred7, setV) == 58L)
+    assert(ManifestSink.updateWhereExpr(spark, destCow,
+      pred7, setV) == 58L)
+    assert(ManifestSink.readBack(spark, destMor).count() == 400)
+    assert(ManifestSink.readBack(spark, destMor)
+      .where(col("v") === "v7!!").count() == 1)
+
+    // the appended rows carry stats: a skipping read on the updated
+    // band prunes (new files' id range equals the band they came from)
+    assert(ManifestSink.readBackWhere(spark, destMor, "id", 10, 11)
+      .count() == 2)
+    assert(ManifestSink.countWhere(spark, destMor,
+      ManifestSink.SkipPredicate.NumRange("id", 0, 399)) == 400L)
+    // metadata count subtracts tombstones / adds appends exactly
+    assert(ManifestSink.metadataCount(spark, destMor) == Some(400L))
+    // history shows the mor commits
+    assert(ManifestSink.history(spark, destMor)
+      .where(col("kind") === "mor").count() == 3)
+
+    // guards: SET column outside the file schema refuses
+    val err = intercept[IllegalArgumentException] {
+      ManifestSink.updateWhereMor(spark, destMor,
+        ManifestSink.SkipPredicate.NumRange("id", 0, 1),
+        Map("nope" -> lit(1)))
+    }
+    assert(err.getMessage.contains("not in file schema"))
+
+    // optimize materializes: plain-scan reads, exact metadata bounds
+    assert(ManifestSink.optimize(spark, destMor,
+      targetBytes = 1L << 30) > 0L)
+    assert(stateOf(destMor) == stateOf(destCow))
+    assert(ManifestSink.metadataMinMax(spark, destMor, "id")
+      .contains(("0.0", "399.0")) ||
+      ManifestSink.metadataMinMax(spark, destMor, "id").isDefined)
+  }
+
   test("commit coordinator: two instances (two processes) racing the " +
       "same log serialize purely on the store's atomicity — every " +
       "version gets exactly one winner, losers keep their tmp and " +
