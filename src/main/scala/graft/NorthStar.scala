@@ -1012,6 +1012,28 @@ object NorthStar {
     // key transitions absent→present→absent across snapshots; pins the
     // cross-batch delete/re-insert/delete contract a single-batch merge
     // (q134) cannot observe.
+    // BLOOM FILE INDEX point lookups: doc_ids hash-scattered across 8
+    // files make every file's min/max span ~the whole range — the
+    // stats-only equality would read the table; the per-file bloom
+    // (1 KiB of manifest metadata each) prunes each lookup to the
+    // file(s) actually holding the key, a driver-side bit test. Five
+    // lookups via StrEq (the build and probe share the same
+    // xxhash64-of-string-cast, so numeric keys work).
+    "q141_bloom_lookup" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q141_").toString
+      ManifestSink.statsAppend(d.repartition(8, col("doc_id")), tmp,
+        None, Seq("n_chars"), bloomCols = Seq("doc_id"))
+      Seq("3", "17", "29", "41", "53")
+        .map(k => ManifestSink.readBackWherePred(s, tmp,
+          ManifestSink.SkipPredicate.StrEq("doc_id", k)))
+        .reduce(_.unionByName(_))
+        .orderBy(col("doc_id"))
+    }),
+
     // MERGE-ON-READ UPDATE (DV-backed UPDATE): a slab delete lands as
     // tombstones, then a SCATTERED update (every 7th id — matches all
     // 8 files, the shape that under copy-on-write rewrites the whole
@@ -3094,6 +3116,9 @@ object NorthStar {
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value
          FROM t GROUP BY event_type ORDER BY event_type""",
+    "q141_bloom_lookup" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN (3, 17, 29, 41, 53) ORDER BY doc_id""",
     "q140_mor_update" ->
       """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
          t AS (SELECT event_id, event_type,

@@ -852,6 +852,39 @@ object Stress {
         f"${(System.nanoTime() - t5) / 1e9}%8.2f s  rows=$nOpt")
       require(nOpt == nMor)
     }
+    // Bloom-index point-lookup ladder: doc_ids hash-scattered across 50
+    // files make every file's min/max span the whole key range — the
+    // stats-only equality lookup reads the table; the per-file bloom
+    // prunes each lookup to ~1 file via driver-side bit tests. The gap
+    // should WIDEN with table size (full scan grows, pruned read
+    // doesn't).
+    if (enabled("bloom_lookup")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_bloom_").toString
+      val dest = s"$root/t"
+      val n = nDocs0 * repl
+      val t0 = System.nanoTime()
+      ManifestSink.statsAppend(
+        docs.select(col("doc_id"), length(col("text")).as("n_chars"))
+          .repartition(50, col("doc_id")),
+        dest, None, Seq("n_chars"), bloomCols = Seq("doc_id"))
+      println(f"STRESS bloom_build              " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n files=50")
+      val keys = (1 to 10).map(i => (i.toLong * (n / 11)).toString)
+      val t1 = System.nanoTime()
+      val hits = keys.map(k => ManifestSink.readBackWherePred(spark,
+        dest, ManifestSink.SkipPredicate.StrEq("doc_id", k)).count()).sum
+      println(f"STRESS bloom_lookup_x10         " +
+        f"${(System.nanoTime() - t1) / 1e9}%8.2f s  hits=$hits " +
+        "(bloom-pruned, ~1 file each)")
+      val t2 = System.nanoTime()
+      val hits2 = keys.map(k => ManifestSink.readBackWhere(spark, dest,
+        "doc_id", k.toDouble, k.toDouble).count()).sum
+      println(f"STRESS bloom_statsonly_x10      " +
+        f"${(System.nanoTime() - t2) / 1e9}%8.2f s  hits=$hits2 " +
+        "(min/max cannot prune a scattered key: full scans)")
+      require(hits == hits2)
+    }
     // Same ladder with the PERSISTED band index: per-batch cost should
     // stay flat-ish as the corpus grows (batch bands + slim index join +
     // touched-partner verify), instead of the linear corpus re-index the

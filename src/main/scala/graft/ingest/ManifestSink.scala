@@ -439,7 +439,8 @@ object ManifestSink extends Ingest.DestinationSink {
       lines.filter { l =>
         val p = l.split('\t')
         p.length >= 2 &&
-          (p(0) == "stats" || p(0) == "stats2" || p(0) == "dv") &&
+          (p(0) == "stats" || p(0) == "stats2" || p(0) == "dv" ||
+            p(0) == "bloom") &&
           restored.contains(p(1))
       }
     }.distinct
@@ -591,11 +592,12 @@ object ManifestSink extends Ingest.DestinationSink {
     val effParsed = if (lastSnap >= 0) parsed.drop(lastSnap) else parsed
     val statsCarry = effOld.flatMap(rawStatsLines(fs, _)).distinct
     val dvCarry = effOld.flatMap(rawDvLines(fs, _)).distinct
+    val bloomCarry = effOld.flatMap(rawBloomLines(fs, _)).distinct
     val body = (Seq("writeid\tcompact", "snapshot\t1",
       "layout\t1") ++
       effParsed.flatMap(_._1).distinct.map("uri\t" + _) ++
       effParsed.flatMap(_._2).distinct.map("target\t" + _) ++
-      statsCarry ++ dvCarry).mkString("\n")
+      statsCarry ++ dvCarry ++ bloomCarry).mkString("\n")
     val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
     val tmp = new Path(lp, s".tmp_compact_$version")
     writeFile(fs, tmp, body)
@@ -910,6 +912,215 @@ object ManifestSink extends Ingest.DestinationSink {
       }.toMap
   }
 
+  // ===================== bloom file index ==========================
+  //
+  // Per-file BLOOM FILTER for equality point lookups (Delta's bloom
+  // filter index): min/max stats prune RANGE predicates on clustered
+  // columns, but an equality lookup on a high-cardinality UNCLUSTERED
+  // column (a key scattered uniformly across files) has every file's
+  // range covering every value — stats prune nothing and the lookup
+  // scans the table. A `bloom\t<target>\t<col>\t<m>\t<k>\t<b64 bits>`
+  // manifest line lets [[readBackWherePred]]/[[countWhere]] and the
+  // maintenance candidate pruning skip every file whose filter proves
+  // the value absent — O(files) driver-side bit tests instead of a
+  // scan, the difference between a point lookup and a table read at
+  // 100 TB. Bits are set over `xxhash64(i, CAST(col AS STRING))` for
+  // i < k (double-hash positions mod m), computed distributedly at
+  // append time and tested driver-side through the SAME Catalyst
+  // expression, so build and probe can never disagree on the hash.
+  // False positives only cost a conservative read; deleted rows
+  // (dvs/COW) leave stale bits, which is the same conservative
+  // direction — a bloom NEVER proves presence, only absence.
+  // Merge rule: the union's filter is the bitwise OR of the inputs'
+  // (same m, k) — [[optimize]]'s concatenation keeps index coverage
+  // as pure metadata; re-sorted/rewritten files drop their lines
+  // (conservative) until a fresh statsAppend/optimize rebuilds them.
+
+  // sizing: ~10 bits per DISTINCT key (fpp ≈ 1% at k = 5), chosen
+  // PER FILE from an approx_count_distinct pass and rounded up to a
+  // power of two in [2^13, bloomBits]; a fixed size either wastes
+  // manifest bytes on small files or saturates on big ones (a 2^13
+  // filter at 10k distinct keys answers "maybe" ~94% of the time —
+  // pruning nothing). Power-of-two sizes make filters FOLDABLE:
+  // `h mod m_small == (h mod m_large) mod m_large`'s pow2 form means a
+  // larger filter ORs down into a smaller one bit-by-bit, so
+  // [[optimize]]'s metadata merge works across mixed sizes.
+  private[graft] val DefaultBloomBits = 1 << 20 // cap: 128 KiB of bits
+  private[graft] val MinBloomBits = 1 << 13
+  private[graft] val BloomBitsPerKey = 10
+  private[graft] val BloomK = 5
+
+  private[graft] case class BloomF(m: Int, k: Int, bits: Array[Byte]) {
+    def mightContain(positions: Array[Int]): Boolean =
+      positions.forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+  }
+
+  private[graft] object BloomF {
+    /** The i-th probe position of value `v` in an m-bit filter —
+      * interpreted eval of the SAME `xxhash64(i, v)` expression the
+      * distributed build runs under codegen.
+      */
+    def pos(i: Int, v: String, m: Int): Int = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val h = new XxHash64(Seq(Literal(i), Literal(v)))
+        .eval(null).asInstanceOf[Long]
+      (((h % m) + m) % m).toInt
+    }
+    def positions(v: String, m: Int, k: Int): Array[Int] =
+      Array.tabulate(k)(i => pos(i, v, m))
+  }
+
+  private def bloomLine(tgt: String, c: String, bf: BloomF): String =
+    s"bloom\t$tgt\t$c\t${bf.m}\t${bf.k}\t" +
+      java.util.Base64.getEncoder.encodeToString(bf.bits)
+
+  private def rawBloomLines(fs: FileSystem, mf: Path): Seq[String] = {
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.startsWith("bloom\t"))
+  }
+
+  /** Per-file blooms of the EFFECTIVE manifests, keyed
+    * `(target, column)` — same snapshot-cut window as [[fileStatsOf]].
+    */
+  private def fileBloomsOf(fs: FileSystem, mfs: Seq[Path])
+      : Map[(String, String), BloomF] = {
+    val parsed = mfs.map(mf => readManifest(fs, mf))
+    val lastSnap = parsed.lastIndexWhere(_._3)
+    (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs)
+      .flatMap(rawBloomLines(fs, _))
+      .flatMap { l =>
+        l.split('\t') match {
+          case Array("bloom", tgt, c, m, k, b64) =>
+            Some((tgt, c) -> BloomF(m.toInt, k.toInt,
+              java.util.Base64.getDecoder.decode(b64)))
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** Raw bloom lines of the snapshot-cut window restricted to
+    * `survivors` — what a snapshot commit carries for the files it did
+    * not rewrite (a rewritten file's bits die with its old name).
+    */
+  private def bloomCarryLines(fs: FileSystem, mfs: Seq[Path],
+      survivors: Seq[String]): Seq[String] = {
+    val keep = survivors.toSet
+    val parsed = mfs.map(mf => readManifest(fs, mf))
+    val lastSnap = parsed.lastIndexWhere(_._3)
+    (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs)
+      .flatMap(rawBloomLines(fs, _)).distinct
+      .filter { l =>
+        val p = l.split('\t')
+        p.length >= 2 && keep.contains(p(1))
+      }
+  }
+
+  /** Build per-staged-file blooms for `bloomCols` — ONE distributed
+    * aggregate per column: k probe positions per live value, distinct,
+    * collected per file (bounded by m bits, not by row count).
+    */
+  private def bloomLinesFor(spark: SparkSession, fs: FileSystem,
+      staged: Path, relToTarget: Map[String, String],
+      bloomCols: Seq[String], maxBits: Int): Seq[String] = {
+    require(maxBits >= MinBloomBits && (maxBits & (maxBits - 1)) == 0 &&
+      maxBits <= (1 << 24),
+      s"[graft] bloomBits must be a power of two in [2^13, 2^24], " +
+        s"got $maxBits")
+    val stagedPath = fs.makeQualified(staged).toUri.getPath
+    val df = spark.read.parquet(staged.toString)
+    bloomCols.sorted.flatMap { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"[graft] bloom column '$c' not in staged schema")
+      val vals = df.select(input_file_name().as("__f"),
+          col(c).cast("string").as("__v"))
+        .where(col("__v").isNotNull)
+      // pass 1: per-file approx distinct -> per-file filter size
+      val ndv: Map[String, Long] = vals.groupBy(col("__f"))
+        .agg(approx_count_distinct(col("__v")).as("__n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (ndv.isEmpty) Nil
+      else {
+        val mOf: Map[String, Int] = ndv.map { case (f, n) =>
+          val want = math.max(MinBloomBits.toLong,
+            math.min(maxBits.toLong, BloomBitsPerKey.toLong * n))
+          var m = MinBloomBits
+          while (m < want) m <<= 1
+          f -> m
+        }
+        // pass 2: bit positions at the LARGEST size; smaller files
+        // fold driver-side (pow2: p mod m == p AND (m-1))
+        val mBig = mOf.values.max
+        val probes = (0 until BloomK).map(i =>
+          pmod(xxhash64(lit(i), col("__v")), lit(mBig.toLong))
+            .cast("int"))
+        vals.select(col("__f"), explode(array(probes: _*)).as("__b"))
+          .groupBy(col("__f")).agg(collect_set(col("__b")).as("__bits"))
+          .collect()
+          .toSeq
+          .sortBy(_.getString(0))
+          .flatMap { r =>
+            val file = r.getString(0)
+            val rel = new Path(new java.net.URI(file))
+              .toUri.getPath.stripPrefix(stagedPath + "/")
+            relToTarget.get(rel).map { tgt =>
+              val m = mOf(file)
+              val bits = new Array[Byte](m >> 3)
+              r.getSeq[Int](1).foreach { p0 =>
+                val p = p0 & (m - 1)
+                bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+              }
+              bloomLine(tgt, c, BloomF(m, BloomK, bits))
+            }
+          }
+      }
+    }
+  }
+
+  /** Fold a filter down to `m` bits (pow2 modulo refinement): bit `p`
+    * maps to `p AND (m-1)`, exactly where a fresh m-bit build would
+    * have set it. Identity when sizes already match.
+    */
+  private def foldBloom(bf: BloomF, m: Int): Array[Byte] =
+    if (bf.m == m) bf.bits
+    else {
+      val out = new Array[Byte](m >> 3)
+      var p = 0
+      while (p < bf.m) {
+        if ((bf.bits(p >> 3) & (1 << (p & 7))) != 0) {
+          val q = p & (m - 1)
+          out(q >> 3) = (out(q >> 3) | (1 << (q & 7))).toByte
+        }
+        p += 1
+      }
+      out
+    }
+
+  /** Can the file's bloom rule out `pred`? Only an equality conjunct
+    * consults it (`StrEq` — the residual casts the column to string
+    * exactly as the build did, so numeric keys work too); everything
+    * else, and files without a filter for the column, answer true.
+    */
+  private def bloomMayMatchFile(blooms: Map[(String, String), BloomF],
+      posCache: scala.collection.mutable.Map[(String, Int, Int),
+        Array[Int]], t: String, pred: SkipPredicate): Boolean =
+    pred match {
+      case SkipPredicate.And(ps) =>
+        ps.forall(p => bloomMayMatchFile(blooms, posCache, t, p))
+      case SkipPredicate.StrEq(c, v) =>
+        blooms.get((t, c)).forall { bf =>
+          bf.mightContain(posCache.getOrElseUpdate((v, bf.m, bf.k),
+            BloomF.positions(v, bf.m, bf.k)))
+        }
+      case _ => true
+    }
+
+  private def bloomPosCache()
+      : scala.collection.mutable.Map[(String, Int, Int), Array[Int]] =
+    scala.collection.mutable.Map.empty
+
   /** File-skipping predicates [[readBackWherePred]] can prune on — the
     * Delta data-skipping predicate classes. Every variant has an exact
     * residual-filter equivalent, so a skipping read ALWAYS returns the
@@ -1060,11 +1271,14 @@ object ManifestSink extends Ingest.DestinationSink {
     * directory name and are pruned by Spark's own partition pruning).
     */
   def statsAppend(df: DataFrame, destPath: String,
-      partitionField: Option[String], statsCols: Seq[String]): Unit = {
+      partitionField: Option[String], statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Unit = {
     require(statsCols.nonEmpty, "statsCols must be non-empty — " +
       "use append() when no skipping metadata is wanted")
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    stageMoveCommit(df.sparkSession, destPath, id, Seq.empty, statsCols) {
+    stageMoveCommit(df.sparkSession, destPath, id, Seq.empty, statsCols,
+      bloomCols, bloomBits) {
       staging =>
         val writer = partitionField match {
           case Some(f) =>
@@ -1106,7 +1320,10 @@ object ManifestSink extends Ingest.DestinationSink {
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return spark.emptyDataFrame
     val stats = fileStatsOf(fs, mfs)
-    val keep = targets.filter(t => mayMatchFile(stats, t, pred))
+    val blooms = fileBloomsOf(fs, mfs)
+    val posC = bloomPosCache()
+    val keep = targets.filter(t => mayMatchFile(stats, t, pred) &&
+      bloomMayMatchFile(blooms, posC, t, pred))
     println(s"METRIC graft.skipping.files_total=${targets.length} " +
       s"files_read=${keep.length} col=${pred.column} dest=$destPath")
     if (keep.isEmpty)
@@ -1146,11 +1363,14 @@ object ManifestSink extends Ingest.DestinationSink {
     var credited = 0L
     val scanList = scala.collection.mutable.ArrayBuffer[String]()
     var skipped = 0
+    val blooms = fileBloomsOf(fs, mfs)
+    val posC = bloomPosCache()
     targets.foreach { t =>
       // a file with deletion vectors can still SKIP (pruned = no rows
       // either way) but cannot take metadata credit: its recorded row
       // count includes tombstoned rows
-      if (!mayMatchFile(stats, t, pred)) skipped += 1
+      if (!mayMatchFile(stats, t, pred) ||
+          !bloomMayMatchFile(blooms, posC, t, pred)) skipped += 1
       else rowsOf(t) match {
         case Some(r) if mustMatchFile(stats, t, pred) &&
             !dvs.contains(t) => credited += r
@@ -1481,13 +1701,44 @@ object ManifestSink extends Ingest.DestinationSink {
         .map { case (c, st) => statsLine(t, c, st) }
     }
     val carriedDvs = dvCarryLines(dvs, targets.filterNot(repacked))
+    // bloom index survives concatenation as pure metadata: the packed
+    // file's filter is the bitwise OR of its inputs' (same m, k — the
+    // union's bloom IS the OR; dv'd inputs only leave stale bits,
+    // which is the conservative direction). Sort-compaction re-splits
+    // rows across files, so its outputs drop their lines instead.
+    val bloomsOld = fileBloomsOf(fs, old)
+    val carriedBlooms =
+      bloomCarryLines(fs, old, targets.filterNot(repacked))
+    val packedBlooms: Seq[String] =
+      if (sortKeys.isEmpty && bloomsOld.nonEmpty)
+        bins.zip(packed).flatMap { case (bin, tgt) =>
+          val cols = bloomsOld.keys.filter(k => bin.contains(k._1))
+            .map(_._2).toSeq.distinct.sorted
+          cols.flatMap { c =>
+            val bfs = bin.map(b => bloomsOld.get((b, c)))
+            val fl = bfs.flatten
+            if (bfs.forall(_.isDefined) &&
+                fl.forall(_.k == fl.head.k)) {
+              // mixed sizes fold down to the smallest (pow2 modulo
+              // refinement) before the OR — still pure metadata
+              val m = fl.map(_.m).min
+              val bits = new Array[Byte](m >> 3)
+              fl.map(foldBloom(_, m)).foreach(fb =>
+                bits.indices.foreach(j =>
+                  bits(j) = (bits(j) | fb(j)).toByte))
+              Some(bloomLine(tgt, c, BloomF(m, fl.head.k, bits)))
+            } else None
+          }
+        }
+      else Nil
     onBeforeOptimizeCommit()
     val version = baseVersion + 1
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
     writeFile(fs, tmp,
       (Seq(s"writeid\t$writeId", "snapshot\t1", "layout\t1") ++
         survivors.map("target\t" + _) ++
-        carriedStats ++ packedStats ++ carriedDvs).mkString("\n"))
+        carriedStats ++ packedStats ++ carriedDvs ++
+        carriedBlooms ++ packedBlooms).mkString("\n"))
     val fin = new Path(logPath(destPath), f"$version%012d.manifest")
     val committed = commitLock(fs, destPath).synchronized {
       // verify the captured log state is still the whole log: if any
@@ -1607,7 +1858,10 @@ object ManifestSink extends Ingest.DestinationSink {
     val dvs = effectiveDvsOf(fs, old)
     val (candidates, m, colLabel) = pred match {
       case Left(p) =>
-        (targets.filter(t => mayMatchFile(stats, t, p)), residual(p),
+        val blooms = fileBloomsOf(fs, old)
+        val posC = bloomPosCache()
+        (targets.filter(t => mayMatchFile(stats, t, p) &&
+          bloomMayMatchFile(blooms, posC, t, p)), residual(p),
           p.column)
       case Right(c) => (targets, c, "<expr>")
     }
@@ -1760,7 +2014,10 @@ object ManifestSink extends Ingest.DestinationSink {
     val dvs = effectiveDvsOf(fs, old)
     val (candidates, m, colLabel) = pred match {
       case Left(p) =>
-        (targets.filter(t => mayMatchFile(stats, t, p)), residual(p),
+        val blooms = fileBloomsOf(fs, old)
+        val posC = bloomPosCache()
+        (targets.filter(t => mayMatchFile(stats, t, p) &&
+          bloomMayMatchFile(blooms, posC, t, p)), residual(p),
           p.column)
       case Right(c) => (targets, c, "<expr>")
     }
@@ -1959,7 +2216,10 @@ object ManifestSink extends Ingest.DestinationSink {
         t -> ks.map(_._2).toSeq.sorted }
     val (candidates, m, colLabel) = pred match {
       case Left(p) =>
-        (targets.filter(t => mayMatchFile(stats, t, p)), residual(p),
+        val blooms = fileBloomsOf(fs, old)
+        val posC = bloomPosCache()
+        (targets.filter(t => mayMatchFile(stats, t, p) &&
+          bloomMayMatchFile(blooms, posC, t, p)), residual(p),
           p.column)
       case Right(c) => (targets, c, "<expr>")
     }
@@ -2161,7 +2421,8 @@ object ManifestSink extends Ingest.DestinationSink {
     writeFile(fs, tmp,
       (Seq(s"writeid\t$writeId", "snapshot\t1") ++
         survivors.map("target\t" + _) ++
-        statsLines).mkString("\n"))
+        statsLines ++ bloomCarryLines(fs, old, survivors))
+        .mkString("\n"))
     val fin = new Path(logPath(destPath), f"$version%012d.manifest")
     val committed = commitLock(fs, destPath).synchronized {
       val nowMax = manifests(fs, destPath)
@@ -2955,7 +3216,8 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   private def stageMoveCommit(spark: SparkSession, destPath: String,
       writeId: String, sourceUris: Seq[String],
-      statsCols: Seq[String] = Nil)
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits)
       (stage: Path => Unit): Unit = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
@@ -2994,10 +3256,14 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsLines: Seq[String] =
       if (statsCols.isEmpty) Nil
       else statsLinesFor(spark, fs, staging, targets.toMap, statsCols)
+    val bloomLines: Seq[String] =
+      if (bloomCols.isEmpty) Nil
+      else bloomLinesFor(spark, fs, staging, targets.toMap, bloomCols,
+        bloomBits)
     val body = (Seq(s"writeid\t$writeId") ++
       sourceUris.map("uri\t" + _) ++
       targets.map { case (_, t) => "target\t" + t } ++
-      statsLines).mkString("\n")
+      statsLines ++ bloomLines).mkString("\n")
     writeFile(fs, new Path(staging, WaManifest), body)
     phase("wa_manifest")
     // 3. move into the destination layout — invisible until the commit

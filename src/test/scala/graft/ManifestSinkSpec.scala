@@ -2287,6 +2287,83 @@ class ManifestSinkSpec extends SparkSpec {
       ManifestSink.metadataMinMax(spark, destMor, "id").isDefined)
   }
 
+  test("bloom file index: equality lookups prune files min/max cannot " +
+      "touch, the OR-merge survives optimize, carry survives compact " +
+      "and restore, rewrites drop their filters conservatively") {
+    import ManifestSink.SkipPredicate._
+    val root = tmpDir("msinkbloom_")
+    val dest = s"$root/wh/t"
+    val df = (0L until 400L).map(i => (i, s"k$i",
+        java.sql.Timestamp.valueOf(
+          if (i < 200) "2024-03-01 00:00:00" else "2024-03-02 00:00:00")))
+      .toDF("id", "key", "ts").repartition(8, col("id"))
+    ManifestSink.statsAppend(df, dest, Some("ts"), Seq("id"),
+      bloomCols = Seq("id", "key"))
+
+    // hash-scattered ids: every file's [min,max] spans ~the whole
+    // range, so the stats-only numeric equality reads almost all files
+    val statsOnly =
+      ManifestSink.readBackWhere(spark, dest, "id", 123, 123)
+    assert(statsOnly.count() == 1)
+    assert(statsOnly.inputFiles.length >= 6)
+    // the bloom form prunes to the file(s) actually holding the value
+    val hit = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", "k123"))
+    assert(hit.select(col("id"), col("key"))
+      .as[(Long, String)].collect().toSeq == Seq((123L, "k123")))
+    assert(hit.inputFiles.length <= 2)
+    // numeric keys probe through the same string cast the build used
+    val numHit = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("id", "123"))
+    assert(numHit.count() == 1 && numHit.inputFiles.length <= 2)
+    // absence is a metadata answer
+    assert(ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", "k9999")).count() == 0)
+    assert(ManifestSink.countWhere(spark, dest,
+      StrEq("key", "k123")) == 1L)
+
+    // optimize concatenates per partition dir: the packed file's bloom
+    // is the bitwise OR of its inputs' — still pure metadata
+    assert(ManifestSink.optimize(spark, dest,
+      targetBytes = 1L << 30) > 0L)
+    assert(ManifestSink.readBack(spark, dest).count() == 400)
+    val hitOpt = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", "k123"))
+    assert(hitOpt.count() == 1)
+    assert(hitOpt.inputFiles.length == 1) // 1 of the 2 packed files
+
+    // a COW rewrite drops the rewritten file's bloom (conservative);
+    // untouched files keep theirs
+    assert(ManifestSink.deleteWhere(spark, dest,
+      NumRange("id", 100, 149)) == 50L)
+    assert(ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", "k123")).count() == 0) // deleted
+    val hit50 = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", "k50"))
+    assert(hit50.count() == 1)
+    // the 2024-03-02 file still prunes via its bloom; only the
+    // rewritten (filterless) file is read
+    assert(hit50.inputFiles.length == 1)
+
+    // restore to the pre-delete version carries its bloom lines back
+    val preDelete = ManifestSink.history(spark, dest)
+      .where(col("kind") === "snapshot").agg(min(col("version")))
+      .head.getLong(0)
+    ManifestSink.restore(spark, dest, preDelete)
+    val hitRest = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", "k123"))
+    assert(hitRest.count() == 1)
+    assert(hitRest.inputFiles.length == 1)
+
+    // compact carries the lines verbatim; lookups keep pruning
+    ManifestSink.compact(spark, dest)
+    val hitComp = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", "k123"))
+    assert(hitComp.count() == 1)
+    assert(hitComp.inputFiles.length == 1)
+    assert(ManifestSink.readBack(spark, dest).count() == 400)
+  }
+
   test("commit coordinator: two instances (two processes) racing the " +
       "same log serialize purely on the store's atomicity — every " +
       "version gets exactly one winner, losers keep their tmp and " +
