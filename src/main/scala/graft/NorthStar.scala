@@ -1012,6 +1012,48 @@ object NorthStar {
     // key transitions absent→present→absent across snapshots; pins the
     // cross-batch delete/re-insert/delete contract a single-batch merge
     // (q134) cannot observe.
+    // CHANGE DATA FEED over the q138 CDC sequence: the same three
+    // mor merges, then readChangesBetween decomposes every commit into
+    // row-level deletes (pre-images from the dv sidecars) and inserts;
+    // the per-version aggregates pin both row identity (sum of ids)
+    // and pre/post-image VALUES (v3's deletes mix the -5 rows inserted
+    // at v2 with original-value rows — a feed that read current file
+    // contents wrongly or joined the wrong sidecar gets sum_val wrong).
+    "q142_change_feed" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q142_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      def merge(src: org.apache.spark.sql.DataFrame): Unit =
+        ManifestSink.mergeCdc(s, tmp, src, "event_id",
+          col("op") === "d", directiveCols = Seq("op"),
+          statsCols = Seq("event_id"), mor = true)
+      merge(ev.where(pmod(col("event_id"), lit(7L)) === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("d").as("op")))
+      merge(ev.where(pmod(col("event_id"), lit(14L)) === 0)
+        .select(col("event_id"), col("event_type"),
+          lit(-5.0).as("value"), lit("u").as("op")))
+      merge(ev.where(pmod(col("event_id"), lit(28L)) === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("d").as("op"))
+        .unionByName(ev.where(pmod(col("event_id"), lit(10L)) === 0 &&
+            pmod(col("event_id"), lit(7L)) =!= 0)
+          .select(col("event_id"), col("event_type"),
+            (col("value") * 2).as("value"), lit("u").as("op"))))
+      ManifestSink.readChangesBetween(s, tmp, 0L)
+        .groupBy(col("_commit_version").cast("long").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).cast("long").as("sum_id"),
+          sum(col("value")).as("sum_val"))
+        .orderBy(col("version"), col("change_type"))
+    }),
+
     // BLOOM FILE INDEX point lookups: doc_ids hash-scattered across 8
     // files make every file's min/max span ~the whole range — the
     // stats-only equality would read the table; the per-file bloom
@@ -3116,6 +3158,28 @@ object NorthStar {
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value
          FROM t GROUP BY event_type ORDER BY event_type""",
+    "q142_change_feed" ->
+      """WITH e AS (SELECT event_id, value FROM events),
+         c AS (
+           SELECT CAST(1 AS BIGINT) AS version, 'delete' AS change_type,
+             count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+             sum(value) AS sum_val
+           FROM e WHERE event_id % 7 = 0
+           UNION ALL
+           SELECT 2, 'insert', count(*),
+             CAST(sum(event_id) AS BIGINT), sum(-5.0)
+           FROM e WHERE event_id % 14 = 0
+           UNION ALL
+           SELECT 3, 'delete', count(*),
+             CAST(sum(event_id) AS BIGINT),
+             sum(CASE WHEN event_id % 28 = 0 THEN -5.0 ELSE value END)
+           FROM e WHERE event_id % 28 = 0
+              OR (event_id % 10 = 0 AND event_id % 7 <> 0)
+           UNION ALL
+           SELECT 3, 'insert', count(*),
+             CAST(sum(event_id) AS BIGINT), sum(value * 2)
+           FROM e WHERE event_id % 10 = 0 AND event_id % 7 <> 0)
+         SELECT * FROM c ORDER BY version, change_type""",
     "q141_bloom_lookup" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (3, 17, 29, 41, 53) ORDER BY doc_id""",

@@ -542,6 +542,100 @@ object ManifestSink extends Ingest.DestinationSink {
       .option("basePath", destPath).parquet(files: _*)
   }
 
+  /** ROW-LEVEL CHANGE DATA FEED (Delta's `table_changes`): every
+    * committed change in `(sinceVersion, untilVersion]` as data rows
+    * plus `_change_type` (`insert` | `delete`) and `_commit_version`.
+    * Where [[readAppendsBetween]] serves append-only consumers, this
+    * decomposes the MERGE-ON-READ commits too: a version's target
+    * files are its inserts; its `dv` lines are its deletes, whose
+    * PRE-IMAGES come from one executor-side inner join of the dv'd
+    * files (`_metadata.file_name/row_index`) against the commit's own
+    * sidecar — exact, because a sidecar records only positions LIVE at
+    * commit time and data files are immutable (rewrites change names).
+    * An updated row appears as its delete + its insert in the same
+    * version. Layout-only snapshots (optimize/compact) change no
+    * content and are skipped; content-changing snapshots (COW
+    * delete/update/merge, partition drop, restore) refuse loudly —
+    * decompose those streams by writing them `mor = true`. Pre-images
+    * need the dv'd files still on disk: consume the feed inside the
+    * vacuum retention horizon (the Delta CDF contract). Cost:
+    * O(changed rows) + manifest listing; zero scan of unchanged files.
+    */
+  def readChangesBetween(spark: SparkSession, destPath: String,
+      sinceVersion: Long, untilVersion: Long = Long.MaxValue)
+      : DataFrame = {
+    require(sinceVersion >= -1,
+      s"[graft] readChangesBetween: sinceVersion >= -1, got " +
+        s"$sinceVersion")
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val all = manifests(fs, destPath)
+    if (all.isEmpty) return spark.emptyDataFrame
+    def vOf(p: Path): Long = p.getName.takeWhile(_.isDigit).toLong
+    val minV = all.map(vOf).min
+    require(sinceVersion == -1 || sinceVersion >= minV - 1,
+      s"[graft] readChangesBetween($sinceVersion): history before " +
+        s"v$minV was compacted away — re-sync from a full readBack")
+    def hasLayoutLine(mf: Path): Boolean = {
+      val in = fs.open(mf)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.exists(_.startsWith("layout\t"))
+    }
+    val inRange = all
+      .filter(p => vOf(p) > sinceVersion && vOf(p) <= untilVersion)
+      .sortBy(vOf)
+    val frames: Seq[DataFrame] = inRange.flatMap { mf =>
+      val v = vOf(mf)
+      val (_, targets, snap) = readManifest(fs, mf)
+      val dvL = dvLinesOf(fs, mf)
+      if (snap) {
+        require(hasLayoutLine(mf) && !isRestoreManifest(fs, mf),
+          s"[graft] readChangesBetween: v$v is a content-changing " +
+            "snapshot (COW delete/update/merge, partition drop, or " +
+            "restore) — the feed cannot decompose it into row " +
+            "changes; write changes mor = true, or re-sync from a " +
+            "full readBack")
+        Nil // optimize/compact: layout only, no content change
+      } else {
+        val deletes =
+          if (dvL.isEmpty) None
+          else {
+            val files = dvL.map(_._1).distinct
+            val dvRels = dvL.map(_._2).distinct
+            val totalDv = dvL.map(_._3).sum
+            val dvDf = spark.read
+              .parquet(dvRels.map(r => new Path(dest, r).toString): _*)
+              .select(col("name").as("__graft_fn"),
+                col("pos").as("__graft_pos"))
+            val dvSide =
+              if (totalDv <= 2000000L) broadcast(dvDf) else dvDf
+            Some(spark.read.option("mergeSchema", "true")
+              .option("basePath", destPath)
+              .parquet(files.map(rel =>
+                new Path(dest, rel).toString): _*)
+              .withColumn("__graft_fn", col("_metadata.file_name"))
+              .withColumn("__graft_pos", col("_metadata.row_index"))
+              .join(dvSide, Seq("__graft_fn", "__graft_pos"))
+              .drop("__graft_fn", "__graft_pos")
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        val inserts =
+          if (targets.isEmpty) None
+          else Some(spark.read.option("mergeSchema", "true")
+            .option("basePath", destPath)
+            .parquet(targets.map(rel =>
+              new Path(dest, rel).toString): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        Seq(deletes, inserts).flatten
+      }
+    }
+    if (frames.isEmpty) spark.emptyDataFrame
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Collapse the committed log into ONE snapshot manifest (the log grows
     * a file per commit; O(commits) driver-side listing cost on every read
     * eventually wants this). Crash-safe without a lock: the snapshot (the

@@ -2287,6 +2287,80 @@ class ManifestSinkSpec extends SparkSpec {
       ManifestSink.metadataMinMax(spark, destMor, "id").isDefined)
   }
 
+  test("change data feed: readChangesBetween decomposes mor commits " +
+      "into row-level inserts/deletes with exact pre-images, skips " +
+      "layout snapshots, refuses content-changing ones, and replaying " +
+      "the feed reconstructs the table") {
+    import ManifestSink.SkipPredicate._
+    val root = tmpDir("msinkcdf_")
+    val dest = s"$root/wh/t"
+    val base = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    ManifestSink.statsAppend(base, dest, None, Seq("id")) // v0
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      NumRange("id", 150, 159)) == 10L) // v1
+    assert(ManifestSink.updateWhereMor(spark, dest,
+      NumRange("id", 10, 11),
+      Map("v" -> concat(col("v"), lit("U")))) == 2L) // v2
+    ManifestSink.append(
+      (400L until 420L).map(i => (i, s"v$i")).toDF("id", "v"),
+      dest, None) // v3
+    assert(ManifestSink.optimize(spark, dest,
+      targetBytes = 1L << 30) > 0L) // v4: layout-only snapshot
+    val cdcBatch = Seq((0L, "", "d"), (400L, "x", "u"), (500L, "new", "u"))
+      .toDF("id", "v", "op")
+    ManifestSink.mergeCdc(spark, dest, cdcBatch, "id",
+      col("op") === "d", directiveCols = Seq("op"),
+      statsCols = Seq("id"), mor = true) // v5
+
+    val cdf = ManifestSink.readChangesBetween(spark, dest, 0L)
+    val rows = cdf.select(col("_commit_version"), col("_change_type"),
+        col("id"), col("v"))
+      .as[(Long, String, Long, String)].collect().toSeq
+    def n(v: Long, ct: String) = rows.count(r => r._1 == v && r._2 == ct)
+    assert(n(1, "delete") == 10 && n(1, "insert") == 0)
+    assert(n(2, "delete") == 2 && n(2, "insert") == 2)
+    assert(n(3, "delete") == 0 && n(3, "insert") == 20)
+    assert(!rows.exists(_._1 == 4)) // optimize emitted nothing
+    assert(n(5, "delete") == 2 && n(5, "insert") == 2)
+    // pre-images are the OLD rows, post-images the new
+    assert(rows.filter(r => r._1 == 2 && r._2 == "delete")
+      .map(r => (r._3, r._4)).sorted == Seq((10L, "v10"), (11L, "v11")))
+    assert(rows.filter(r => r._1 == 2 && r._2 == "insert")
+      .map(r => (r._3, r._4)).sorted ==
+      Seq((10L, "v10U"), (11L, "v11U")))
+    assert(rows.filter(r => r._1 == 5 && r._2 == "delete")
+      .map(r => (r._3, r._4)).sorted == Seq((0L, "v0"), (400L, "v400")))
+    assert(rows.filter(r => r._1 == 5 && r._2 == "insert")
+      .map(r => (r._3, r._4)).sorted == Seq((400L, "x"), (500L, "new")))
+
+    // replay reconstructs the live table exactly
+    var state = base.as[(Long, String)].collect().toSet
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, cs) =>
+      state = state --
+        cs.filter(_._2 == "delete").map(c => (c._3, c._4)) ++
+        cs.filter(_._2 == "insert").map(c => (c._3, c._4))
+    }
+    assert(state ==
+      ManifestSink.readBack(spark, dest).as[(Long, String)]
+        .collect().toSet)
+
+    // bounded range excludes later versions; empty range is empty
+    assert(ManifestSink.readChangesBetween(spark, dest, 0L, 1L)
+      .count() == 10L)
+    assert(ManifestSink.readChangesBetween(spark, dest, 5L).isEmpty)
+
+    // a COW rewrite in range refuses loudly; a range before it works
+    assert(ManifestSink.deleteWhere(spark, dest,
+      NumRange("id", 200, 209)) == 10L) // v6: content-changing snapshot
+    val err = intercept[IllegalArgumentException] {
+      ManifestSink.readChangesBetween(spark, dest, 0L)
+    }
+    assert(err.getMessage.contains("content-changing"))
+    assert(ManifestSink.readChangesBetween(spark, dest, 0L, 5L)
+      .count() == rows.size.toLong)
+  }
+
   test("bloom file index: equality lookups prune files min/max cannot " +
       "touch, the OR-merge survives optimize, carry survives compact " +
       "and restore, rewrites drop their filters conservatively") {
