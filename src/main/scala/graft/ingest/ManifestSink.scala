@@ -564,17 +564,33 @@ object ManifestSink extends Ingest.DestinationSink {
   def readChangesBetween(spark: SparkSession, destPath: String,
       sinceVersion: Long, untilVersion: Long = Long.MaxValue)
       : DataFrame = {
+    val (feed, _) =
+      changeFeed(spark, destPath, sinceVersion, untilVersion)
+    val frames = feed.map(_._2())
+    if (frames.isEmpty) spark.emptyDataFrame
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[readChangesBetween]] as a per-version feed for the streaming
+    * tail (`StreamingIngest.changeFeedStream`): `(version, thunk)` for
+    * every content-carrying version in `(since, until]`, in commit
+    * order, plus the head version — the [[appendFeed]] shape, with mor
+    * commits decomposed instead of refused.
+    */
+  private[graft] def changeFeed(spark: SparkSession, destPath: String,
+      sinceVersion: Long, untilVersion: Long = Long.MaxValue)
+      : (Seq[(Long, () => DataFrame)], Long) = {
     require(sinceVersion >= -1,
-      s"[graft] readChangesBetween: sinceVersion >= -1, got " +
-        s"$sinceVersion")
+      s"[graft] changeFeed: sinceVersion >= -1, got $sinceVersion")
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return (Seq.empty, sinceVersion)
     val all = manifests(fs, destPath)
-    if (all.isEmpty) return spark.emptyDataFrame
+    if (all.isEmpty) return (Seq.empty, sinceVersion)
     def vOf(p: Path): Long = p.getName.takeWhile(_.isDigit).toLong
     val minV = all.map(vOf).min
     require(sinceVersion == -1 || sinceVersion >= minV - 1,
-      s"[graft] readChangesBetween($sinceVersion): history before " +
+      s"[graft] changeFeed($sinceVersion): history before " +
         s"v$minV was compacted away — re-sync from a full readBack")
     def hasLayoutLine(mf: Path): Boolean = {
       val in = fs.open(mf)
@@ -585,19 +601,20 @@ object ManifestSink extends Ingest.DestinationSink {
     val inRange = all
       .filter(p => vOf(p) > sinceVersion && vOf(p) <= untilVersion)
       .sortBy(vOf)
-    val frames: Seq[DataFrame] = inRange.flatMap { mf =>
+    val feed = inRange.flatMap { mf =>
       val v = vOf(mf)
       val (_, targets, snap) = readManifest(fs, mf)
       val dvL = dvLinesOf(fs, mf)
       if (snap) {
         require(hasLayoutLine(mf) && !isRestoreManifest(fs, mf),
-          s"[graft] readChangesBetween: v$v is a content-changing " +
+          s"[graft] change feed: v$v is a content-changing " +
             "snapshot (COW delete/update/merge, partition drop, or " +
             "restore) — the feed cannot decompose it into row " +
             "changes; write changes mor = true, or re-sync from a " +
             "full readBack")
-        Nil // optimize/compact: layout only, no content change
-      } else {
+        None // optimize/compact: layout only, no content change
+      } else if (targets.isEmpty && dvL.isEmpty) None
+      else Some((v, () => {
         val deletes =
           if (dvL.isEmpty) None
           else {
@@ -630,10 +647,10 @@ object ManifestSink extends Ingest.DestinationSink {
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         Seq(deletes, inserts).flatten
-      }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      }))
     }
-    if (frames.isEmpty) spark.emptyDataFrame
-    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    (feed, math.max(sinceVersion, all.map(vOf).max))
   }
 
   /** Collapse the committed log into ONE snapshot manifest (the log grows

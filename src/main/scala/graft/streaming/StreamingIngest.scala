@@ -852,6 +852,59 @@ object StreamingIngest {
     emitted
   }
 
+  /** [[changesStream]] for tables that take MERGE-ON-READ writes: one
+    * poll of the ROW-LEVEL change feed
+    * ([[graft.ingest.ManifestSink.readChangesBetween]]'s per-version
+    * form). Each content-carrying version since the durable checkpoint
+    * is handed to `process` ONCE as `(changes, version)` — inserts AND
+    * delete pre-images, tagged `_change_type`/`_commit_version` — and
+    * the checkpoint advances only after `process` returns, so a crash
+    * mid-version replays exactly that version (at-least-once per
+    * version; idempotent consumers key on `_commit_version`). Layout
+    * snapshots advance the checkpoint silently; COW/restore commits in
+    * the range refuse loudly — keep the table's change traffic
+    * `mor = true` for a tailable feed. Returns the versions emitted.
+    */
+  def changeFeedStream(spark: SparkSession, destPath: String,
+      checkpointDir: String)
+      (process: (DataFrame, Long) => Unit): Seq[Long] = {
+    val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir,
+      "last_version")
+    val fs = ckptPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def readCkpt(): Long =
+      if (!fs.exists(ckptPath)) -1L
+      else {
+        val in = fs.open(ckptPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .trim.toLong
+        finally in.close()
+      }
+    def writeCkpt(v: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(checkpointDir,
+        s".last_version_tmp")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(checkpointDir))
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(ckptPath)) fs.delete(ckptPath, false)
+      require(fs.rename(tmp, ckptPath),
+        s"[graft] changeFeedStream: checkpoint write failed at " +
+          s"$ckptPath")
+    }
+    val since = readCkpt()
+    val (feed, head) =
+      graft.ingest.ManifestSink.changeFeed(spark, destPath, since)
+    val emitted = feed.map { case (v, thunk) =>
+      process(thunk(), v)
+      writeCkpt(v)
+      v
+    }
+    if (head > emitted.lastOption.getOrElse(since)) writeCkpt(head)
+    println(s"METRIC graft.changefeed.emitted=${emitted.length} " +
+      s"head=$head dest=$destPath")
+    emitted
+  }
+
   /** STREAM-STREAM interval join — the streaming face of
     * [[graft.operators.IntervalJoin]]: inner-join two event streams on
     * a key, keeping right events inside `[left time, left time +

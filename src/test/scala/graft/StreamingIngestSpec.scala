@@ -1092,4 +1092,69 @@ class StreamingIngestSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("compacted away"))
   }
+
+  test("changeFeedStream: tails row-level changes (inserts AND delete " +
+      "pre-images) exactly once across restarts, skips optimize, and " +
+      "a crash mid-version replays only that version") {
+    import spark.implicits._
+    val root = tmpDir("cdftail_")
+    val dest = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    val seen = scala.collection.mutable
+      .ArrayBuffer[(Long, String, Long, String)]()
+    def drain(): Seq[Long] =
+      StreamingIngest.changeFeedStream(spark, dest, ckpt) { (df, v) =>
+        seen ++= df.select(col("_commit_version"), col("_change_type"),
+            col("id"), col("v"))
+          .as[(Long, String, Long, String)].collect()
+      }
+
+    ManifestSink.statsAppend(
+      (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v"),
+      dest, None, Seq("id"))                                  // v0
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 3, 4)) == 2L) // v1
+    assert(drain() == Seq(0L, 1L))
+    assert(seen.count(_._2 == "insert") == 20)
+    assert(seen.filter(_._2 == "delete").map(r => (r._3, r._4))
+      .sorted == Seq((3L, "v3"), (4L, "v4")))
+    // restart: nothing re-emitted
+    assert(drain().isEmpty && seen.length == 22)
+
+    // a mor update arrives as delete pre-image + insert post-image
+    seen.clear()
+    assert(ManifestSink.updateWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 7, 7),
+      Map("v" -> lit("NEW"))) == 1L)                          // v2
+    assert(drain() == Seq(2L))
+    assert(seen.sortBy(_._2) == Seq((2L, "delete", 7L, "v7"),
+      (2L, "insert", 7L, "NEW")))
+
+    // optimize mid-stream: checkpoint advances, nothing emitted, and
+    // later changes still arrive once
+    assert(ManifestSink.optimize(spark, dest,
+      targetBytes = 1L << 30) > 0L)                           // v3
+    assert(drain().isEmpty)
+    seen.clear()
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 10, 10)) == 1L) // v4
+    assert(drain() == Seq(4L))
+    assert(seen.toSeq == Seq((4L, "delete", 10L, "v10")))
+
+    // crash mid-version: process throws before the checkpoint moves —
+    // the retry replays exactly the failed version, nothing else
+    seen.clear()
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 11, 12)) == 2L) // v5
+    var boom = true
+    intercept[RuntimeException] {
+      StreamingIngest.changeFeedStream(spark, dest, ckpt) { (_, _) =>
+        if (boom) throw new RuntimeException("crash mid-version")
+      }
+    }
+    boom = false
+    assert(drain() == Seq(5L))
+    assert(seen.map(r => (r._3, r._4)).sorted ==
+      Seq((11L, "v11"), (12L, "v12")))
+  }
 }
