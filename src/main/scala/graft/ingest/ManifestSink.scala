@@ -1843,45 +1843,22 @@ object ManifestSink extends Ingest.DestinationSink {
         }
       else Nil
     onBeforeOptimizeCommit()
-    val version = baseVersion + 1
-    val tmp = new Path(logPath(destPath), s".tmp_$writeId")
-    writeFile(fs, tmp,
-      (Seq(s"writeid\t$writeId", "snapshot\t1", "layout\t1") ++
-        survivors.map("target\t" + _) ++
+    // commit through the shared snapshot tail: a concurrent PURE APPEND
+    // no longer aborts the whole repack — optimize only rearranges
+    // bytes, so ANY append absorbs (its files join the survivor list
+    // unpacked, its stats/bloom lines carry) and the commit rebases at
+    // the advanced version; snapshots/mor commits still abort.
+    if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
+        survivors,
         carriedStats ++ packedStats ++ carriedDvs ++
-        carriedBlooms ++ packedBlooms).mkString("\n"))
-    val fin = new Path(logPath(destPath), f"$version%012d.manifest")
-    val committed = commitLock(fs, destPath).synchronized {
-      // verify the captured log state is still the whole log: if any
-      // commit (concurrent append, another optimize) advanced it during
-      // the rewrite, the snapshot is stale — it would both MISS the new
-      // batch's files and, worse, the cleanup would delete that batch's
-      // manifest. Abort; optimize is maintenance and the caller retries.
-      val nowMax = manifests(fs, destPath)
-        .map(_.getName.takeWhile(_.isDigit).toLong)
-        .maxOption.getOrElse(-1L)
-      nowMax == baseVersion && coordinator.putIfAbsent(fs, tmp, fin)
-    }
-    if (!committed) {
-      // sweep the packed files (never referenced by any manifest), the
-      // commit tmp, and the staged attempt — committed state untouched
-      packed.foreach(t => fs.delete(new Path(dest, t), false))
-      fs.delete(tmp, false)
-      fs.delete(staging, true)
-      if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
-        fs.delete(sroot, true)
+          carriedBlooms ++ packedBlooms,
+        old, packed, layout = true, canAbsorb = _ => true)) {
       println(s"METRIC graft.optimize.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
       return 0L
     }
-    // superseded manifests are RETAINED (snapshot cut hides them from
-    // readers) so time travel and [[restore]] reach the pre-optimize
-    // state; [[compact]] is the explicit history collapse
-    fs.delete(staging, true)
-    if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
-      fs.delete(sroot, true)
     println(s"METRIC graft.optimized_files=${repacked.size} " +
-      s"into=${packed.length} snapshot_version=$version dest=$destPath")
+      s"into=${packed.length} dest=$destPath")
     repacked.size.toLong
   }
 
@@ -2451,10 +2428,25 @@ object ManifestSink extends Ingest.DestinationSink {
         stats.get((t, c)).map(st => statsLine(t, c, st)))
     }
     val carriedDvs = dvCarryLines(dvs, targets.filterNot(replaced))
+    val carriedBlooms =
+      bloomCarryLines(fs, old, targets.filterNot(replaced))
+    // a concurrent pure append absorbs iff its files' stats PROVE the
+    // predicate excludes them (a file with no stats is a conflict) —
+    // the write-serializable outcome of delete-after-append; arbitrary
+    // Column predicates can prove nothing and abort as before
+    val absorbOk: Seq[Path] => Boolean = pred match {
+      case Left(p) => newMfs => {
+        val absorbStats = fileStatsOf(fs, newMfs)
+        newMfs.flatMap(readManifest(fs, _)._2)
+          .forall(t => !mayMatchFile(absorbStats, t, p))
+      }
+      case Right(_) => _ => false
+    }
     onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
-        survivors, carriedStats ++ newStats.toSeq ++ carriedDvs, old,
-        moves.map(_._2).toSeq)) {
+        survivors,
+        carriedStats ++ newStats.toSeq ++ carriedDvs ++ carriedBlooms,
+        old, moves.map(_._2).toSeq, canAbsorb = absorbOk)) {
       println(s"METRIC graft.rewrite.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
       return 0L
@@ -2520,44 +2512,95 @@ object ManifestSink extends Ingest.DestinationSink {
     * superseded manifests (true) or sweep the never-referenced new
     * files and the staged attempt (false — caller retries).
     */
+  /** Snapshot-commit tail shared by the maintenance rewriters, with
+    * Delta-style LOGICAL CONFLICT RESOLUTION: when the log advanced
+    * past the captured `baseVersion`, the commit does not immediately
+    * abort — if every intervening version is a PURE APPEND (incremental
+    * manifest, no deletion vectors) and the caller's `canAbsorb` proves
+    * it cannot conflict with the rewrite's semantics (a delete's
+    * predicate excluded by the new files' stats, a merge's key envelope
+    * disjoint, a drop's partitions untouched; optimize absorbs any
+    * append — it only rearranges bytes), the snapshot REBASES: the new
+    * appends' targets and their stats/bloom lines join the survivor
+    * list and the commit retries at the advanced version. A long
+    * OPTIMIZE or COW rewrite no longer loses its work to every
+    * concurrent ingest batch — the write-serializable outcome is
+    * identical to having run the rewrite after the appends, because
+    * `canAbsorb` is exactly the proof the rewrite would not have
+    * touched them. Anything else (snapshot, mor, unprovable overlap)
+    * aborts as before.
+    */
   private def commitSnapshot(spark: SparkSession, destPath: String,
       writeId: String, staging: Path, baseVersion: Long,
       survivors: Seq[String], statsLines: Seq[String], old: Seq[Path],
-      newFiles: Seq[String]): Boolean = {
+      newFiles: Seq[String], layout: Boolean = false,
+      canAbsorb: Seq[Path] => Boolean = _ => false): Boolean = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     val sroot = stagingRoot(destPath)
-    val version = baseVersion + 1
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
-    writeFile(fs, tmp,
-      (Seq(s"writeid\t$writeId", "snapshot\t1") ++
-        survivors.map("target\t" + _) ++
-        statsLines ++ bloomCarryLines(fs, old, survivors))
-        .mkString("\n"))
-    val fin = new Path(logPath(destPath), f"$version%012d.manifest")
-    val committed = commitLock(fs, destPath).synchronized {
-      val nowMax = manifests(fs, destPath)
-        .map(_.getName.takeWhile(_.isDigit).toLong)
-        .maxOption.getOrElse(-1L)
-      nowMax == baseVersion && coordinator.putIfAbsent(fs, tmp, fin)
+    def vOf(p: Path): Long = p.getName.takeWhile(_.isDigit).toLong
+    val layoutLine = if (layout) Seq("layout\t1") else Nil
+    var curBase = baseVersion
+    var curSurvivors = survivors
+    var curLines = statsLines
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      writeFile(fs, tmp,
+        (Seq(s"writeid\t$writeId", "snapshot\t1") ++ layoutLine ++
+          curSurvivors.map("target\t" + _) ++ curLines).mkString("\n"))
+      val fin = new Path(logPath(destPath),
+        f"${curBase + 1}%012d.manifest")
+      val committed = commitLock(fs, destPath).synchronized {
+        val nowMax = manifests(fs, destPath).map(vOf)
+          .maxOption.getOrElse(-1L)
+        nowMax == curBase && coordinator.putIfAbsent(fs, tmp, fin)
+      }
+      if (committed) {
+        // superseded manifests are RETAINED (the Delta model: log
+        // entries are immutable history; readers ignore them via the
+        // snapshot cut). They are what keeps time travel and
+        // [[restore]] able to reach the pre-delete/merge/drop state;
+        // [[compact]] is the explicit collapse and [[vacuum]]-after-
+        // compact reclaims the replaced data files.
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        if (curBase != baseVersion)
+          println(s"METRIC graft.snapshot.absorbed_appends=" +
+            s"${curBase - baseVersion} base_version=$baseVersion " +
+            s"committed_version=${curBase + 1} dest=$destPath")
+        return true
+      }
+      // the log advanced (or the slot was taken): try to absorb
+      val newMfs = manifests(fs, destPath).filter(vOf(_) > curBase)
+        .sortBy(vOf)
+      val pureAppends = newMfs.nonEmpty && newMfs.forall { mf =>
+        val (_, _, snap) = readManifest(fs, mf)
+        !snap && dvLinesOf(fs, mf).isEmpty
+      }
+      if (!pureAppends || !canAbsorb(newMfs)) {
+        newFiles.foreach(t => fs.delete(new Path(dest, t), false))
+        fs.delete(tmp, false)
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        return false
+      }
+      val have = curSurvivors.toSet
+      curSurvivors = curSurvivors ++
+        newMfs.flatMap(readManifest(fs, _)._2).filterNot(have)
+      curLines = curLines ++ newMfs.flatMap(mf =>
+        rawStatsLines(fs, mf) ++ rawBloomLines(fs, mf))
+      curBase = newMfs.map(vOf).max
     }
-    if (!committed) {
-      newFiles.foreach(t => fs.delete(new Path(dest, t), false))
-      fs.delete(tmp, false)
-      fs.delete(staging, true)
-      if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
-        fs.delete(sroot, true)
-      return false
-    }
-    // superseded manifests are RETAINED (the Delta model: log entries
-    // are immutable history; readers ignore them via the snapshot cut).
-    // They are what keeps time travel and [[restore]] able to reach the
-    // pre-delete/merge/drop state; [[compact]] is the explicit collapse
-    // and [[vacuum]]-after-compact reclaims the replaced data files.
+    newFiles.foreach(t => fs.delete(new Path(dest, t), false))
+    fs.delete(tmp, false)
     fs.delete(staging, true)
     if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
       fs.delete(sroot, true)
-    true
+    false
   }
 
   /** MERGE / upsert-by-key (Delta's `MERGE WHEN MATCHED UPDATE SET * /
@@ -3026,10 +3069,22 @@ object ManifestSink extends Ingest.DestinationSink {
         stats.get((t, c)).map(st => statsLine(t, c, st)))
     }
     val carriedDvs = dvCarryLines(dvs, targets.filterNot(replaced))
+    val carriedBlooms =
+      bloomCarryLines(fs, old, targets.filterNot(replaced))
+    // a concurrent pure append absorbs iff the source's key envelope
+    // provably misses its files (same stats test that pruned the
+    // original candidates); an unprovable overlap aborts — an appended
+    // row sharing a merge key must not survive the upsert
+    val absorbOk: Seq[Path] => Boolean = newMfs => keyPred.exists { kp =>
+      val absorbStats = fileStatsOf(fs, newMfs)
+      newMfs.flatMap(readManifest(fs, _)._2)
+        .forall(t => !mayMatchFile(absorbStats, t, kp))
+    }
     onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
-        survivors, carriedStats ++ newStats.toSeq ++ carriedDvs, old,
-        moves.map(_._2).toSeq)) {
+        survivors,
+        carriedStats ++ newStats.toSeq ++ carriedDvs ++ carriedBlooms,
+        old, moves.map(_._2).toSeq, canAbsorb = absorbOk)) {
       println(s"METRIC graft.merge.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
       return MergeOutcome.Aborted
@@ -3237,13 +3292,21 @@ object ManifestSink extends Ingest.DestinationSink {
     val carriedStats = survivors.flatMap { t =>
       statsByTgt.getOrElse(t, Nil).flatMap(c =>
         stats.get((t, c)).map(st => statsLine(t, c, st)))
-    } ++ dvCarryLines(effectiveDvsOf(fs, old), survivors)
+    } ++ dvCarryLines(effectiveDvsOf(fs, old), survivors) ++
+      bloomCarryLines(fs, old, survivors)
     val writeId = "dp" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(14)
     val staging = stagingDir(destPath, writeId)
     fs.mkdirs(staging) // empty attempt dir: uniform commit protocol
+    // a concurrent pure append absorbs iff it lands OUTSIDE the dropped
+    // partitions — a file appended INTO one is a conflict (the drop
+    // never saw it; silently including it would delete data)
+    val absorbOk: Seq[Path] => Boolean = newMfs =>
+      newMfs.flatMap(readManifest(fs, _)._2)
+        .forall(t => !prefixes.exists(t.startsWith))
+    onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
-        survivors, carriedStats, old, Nil)) {
+        survivors, carriedStats, old, Nil, canAbsorb = absorbOk)) {
       println(s"METRIC graft.dropparts.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
       return 0L

@@ -732,37 +732,144 @@ class ManifestSinkSpec extends SparkSpec {
       "compact must not merge targets superseded by a snapshot")
   }
 
-  test("optimize aborts when a concurrent append commits during the bin " +
-      "rewrite: the append survives, nothing is lost, the retry packs") {
+  test("optimize ABSORBS a concurrent pure append instead of aborting: " +
+      "the repack commits rebased, the append's rows and manifest " +
+      "survive unpacked, a mor commit in the window still aborts") {
     val root = tmpDir("msinkrace_")
     val dest = s"$root/wh/t"
     for (i <- 0 until 3)
       ManifestSink.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), dest, None)
-    // land an append in the window between optimize's log capture and its
-    // snapshot commit — exactly the interleaving stageMoveCommit's
-    // version-retry protocol declares supported
+    // land an append in the window between optimize's log capture and
+    // its snapshot commit — optimize only rearranges bytes, so the
+    // append is provably non-conflicting and the commit REBASES
     ManifestSink.onBeforeOptimizeCommit = () =>
       ManifestSink.append(Seq((99L, "late")).toDF("id", "v"), dest, None)
     try {
-      assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 0L,
-        "optimize must abort: its captured snapshot is stale")
+      assert(ManifestSink.optimize(spark, dest,
+        targetBytes = 1L << 20) == 3L,
+        "optimize must absorb the append and commit the 3-file repack")
     } finally ManifestSink.onBeforeOptimizeCommit = () => ()
-    // the concurrent append's manifest and rows are intact (the old code
-    // re-listed and deleted ALL manifests here — silently dropping id=99)
+    // nothing lost: packed rows AND the late append both read back
     assert(ManifestSink.readBack(spark, dest)
       .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 99L))
-    assert(new java.io.File(s"$dest/_log").listFiles()
-      .count(_.getName.endsWith(".manifest")) == 4)
-    // no stranded staging attempt, no packed-file debris in any manifest
-    assert(!new java.io.File(s"$root/wh/.staging_t").exists())
-    // the retry (no interference) packs all four files into one
-    // snapshot; the 4 superseded appends are retained for time travel
-    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 4L)
-    assert(ManifestSink.readBack(spark, dest)
-      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 99L))
+    // the late file rode through unpacked: 1 packed + 1 append
+    assert(ManifestSink.readBack(spark, dest).inputFiles.length == 2)
+    // 4 appends + rebased snapshot; no stranded attempt
     assert(new java.io.File(s"$dest/_log").listFiles()
       .count(_.getName.endsWith(".manifest")) == 5)
+    assert(!new java.io.File(s"$root/wh/.staging_t").exists())
+    // a content-changing commit in the window still aborts the repack
+    // (a real mor op would refuse while optimize's attempt is staged,
+    // so plant a dv-carrying manifest in the log directly)
+    val logDir = new java.io.File(s"$dest/_log")
+    val headV = logDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".manifest")).map(_.takeWhile(_.isDigit).toLong)
+      .max
+    val fake = new java.io.File(logDir, f"${headV + 1}%012d.manifest")
+    ManifestSink.onBeforeOptimizeCommit = () =>
+      java.nio.file.Files.writeString(fake.toPath,
+        "writeid\tfakemor\ndv\tnope.parquet\t_dv/nope.parquet\t1")
+    try {
+      assert(ManifestSink.optimize(spark, dest,
+        targetBytes = 1L << 20) == 0L,
+        "a dv-carrying commit in the window is not absorbable")
+    } finally {
+      ManifestSink.onBeforeOptimizeCommit = () => ()
+      fake.delete()
+    }
+    assert(ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 99L))
+    // the retry (no interference) packs everything
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) > 0L)
+    assert(ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 99L))
     assert(ManifestSink.readBack(spark, dest).inputFiles.length == 1)
+  }
+
+  test("snapshot commits absorb provably-disjoint concurrent appends: " +
+      "a COW delete rebases over a stats-disjoint statsAppend, a merge " +
+      "over an out-of-envelope batch; overlapping or stats-less " +
+      "appends still abort; partition drop absorbs outside, aborts " +
+      "inside") {
+    val root = tmpDir("msinkabsorb_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        dest, None, Seq("id"))
+
+    // delete of [100,149] absorbs a concurrent append of [1000,1009]
+    // (stats prove disjoint): both the delete AND the append land
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.statsAppend(
+        (1000L until 1010L).map(i => (i, s"n$i")).toDF("id", "v")
+          .coalesce(1), dest, None, Seq("id"))
+    try {
+      assert(ManifestSink.deleteWhere(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("id", 100, 149)) == 50L)
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    val after = ManifestSink.readBack(spark, dest)
+    assert(after.count() == 360)
+    assert(after.where(col("id") >= 1000).count() == 10)
+    assert(after.where(col("id").between(100, 149)).count() == 0)
+    // the absorbed append's stats lines carried: it still prunes
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 1000, 1009)
+      .inputFiles.length == 1)
+
+    // an OVERLAPPING concurrent append aborts the delete (its rows
+    // would have to be deleted too — unprovable without a rescan)
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.statsAppend(
+        Seq((210L, "dup")).toDF("id", "v"), dest, None, Seq("id"))
+    try {
+      assert(ManifestSink.deleteWhere(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("id", 200, 249)) == 0L)
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    assert(ManifestSink.readBack(spark, dest).count() == 361)
+    // retry sees both generations and deletes them all
+    assert(ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 200, 249)) == 51L)
+
+    // merge absorbs an append outside its key envelope
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.statsAppend(
+        Seq((2000L, "far")).toDF("id", "v"), dest, None, Seq("id"))
+    try {
+      assert(ManifestSink.mergeInto(spark, dest,
+        Seq((0L, "UP")).toDF("id", "v"), "id",
+        statsCols = Seq("id")) == ((1L, 0L)))
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    val afterMerge = ManifestSink.readBack(spark, dest)
+    assert(afterMerge.where(col("v") === "UP").count() == 1)
+    assert(afterMerge.where(col("id") === 2000L).count() == 1)
+
+    // partition drop: absorbs an append into a SURVIVING partition,
+    // aborts one into the dropped partition
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val destP = s"$root/wh/tp"
+    ManifestSink.append(Seq((1L, "a", d("2026-01-01")),
+      (2L, "b", d("2026-01-02"))).toDF("id", "v", "dt"),
+      destP, Some("dt"))
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.append(Seq((3L, "c", d("2026-01-02")))
+        .toDF("id", "v", "dt"), destP, Some("dt"))
+    try {
+      assert(ManifestSink.dropPartitions(spark, destP,
+        Seq("2026-01-01")) == 1L)
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    assert(ManifestSink.readBack(spark, destP)
+      .select("id").as[Long].collect().toSet == Set(2L, 3L))
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.append(Seq((4L, "d", d("2026-01-02")))
+        .toDF("id", "v", "dt"), destP, Some("dt"))
+    try {
+      assert(ManifestSink.dropPartitions(spark, destP,
+        Seq("2026-01-02")) == 0L,
+        "an append INTO the dropped partition must abort the drop")
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    assert(ManifestSink.readBack(spark, destP)
+      .select("id").as[Long].collect().toSet == Set(2L, 3L, 4L))
   }
 
   /** Relative targets named by the committed manifests of `dest`. */
