@@ -3515,34 +3515,50 @@ object ManifestSink extends Ingest.DestinationSink {
     * like [[compact]]. Returns the number of files deleted.
     */
   def vacuum(spark: SparkSession, destPath: String,
-      retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Long =
+    vacuumImpl(spark, destPath, retentionMs, dryRun = false).size
+
+  /** `VACUUM ... DRY RUN`: the destination-relative paths [[vacuum]]
+    * WOULD delete at this retention, deleting nothing — the audit an
+    * operator runs before reclaiming a 100 TB table (the pre-image
+    * window for [[readChangesBetween]] and in-flight readers' file
+    * lists both end where vacuum begins). Same pending-attempt guard
+    * as the real pass.
+    */
+  def vacuumDryRun(spark: SparkSession, destPath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
+    vacuumImpl(spark, destPath, retentionMs, dryRun = true)
+
+  private def vacuumImpl(spark: SparkSession, destPath: String,
+      retentionMs: Long, dryRun: Boolean): Seq[String] = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    if (!fs.exists(dest)) return 0L
+    if (!fs.exists(dest)) return Nil
     val sroot = stagingRoot(destPath)
     if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
       println(s"METRIC graft.vacuum.skipped_pending_attempts=1 " +
         s"dest=$destPath")
-      return 0L
+      return Nil
     }
     val referenced = manifests(fs, destPath)
       .flatMap(mf => readManifest(fs, mf)._2 ++
         dvLinesOf(fs, mf).map(_._2)).toSet
     val destQ = fs.makeQualified(dest).toString
     val now = System.currentTimeMillis()
-    var removed = 0L
+    val removed = scala.collection.mutable.ArrayBuffer[String]()
     listFilesRec(fs, dest).foreach { case (p, mtime) =>
       val rel = fs.makeQualified(p).toString.stripPrefix(destQ + "/")
       val inLog = rel.startsWith(LogDir + "/")
       val hidden = p.getName.startsWith("_") || p.getName.startsWith(".")
       if (!inLog && !hidden && !referenced.contains(rel) &&
           now - mtime >= retentionMs) {
-        fs.delete(p, false)
-        removed += 1
+        if (!dryRun) fs.delete(p, false)
+        removed += rel
       }
     }
-    println(s"METRIC graft.vacuumed_files=$removed dest=$destPath")
-    removed
+    println(s"METRIC graft.vacuumed_files=${removed.size} " +
+      s"dry_run=$dryRun dest=$destPath")
+    removed.toSeq.sorted
   }
 
   override def recover(spark: SparkSession, destPath: String,

@@ -363,10 +363,16 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.vacuum(spark, dest,
       retentionMs = 60000) == 0L)
     assert(debris.exists())
-    // aged debris goes; committed data stays readable
+    // aged debris goes; committed data stays readable — and the DRY RUN
+    // names exactly the would-be victims while deleting nothing
     assert(debris.setLastModified(System.currentTimeMillis() - 120000))
+    assert(ManifestSink.vacuumDryRun(spark, dest,
+      retentionMs = 60000) == Seq("deadbeef-0.parquet"))
+    assert(debris.exists())
     assert(ManifestSink.vacuum(spark, dest, retentionMs = 60000) == 1L)
     assert(!debris.exists())
+    assert(ManifestSink.vacuumDryRun(spark, dest,
+      retentionMs = 60000).isEmpty)
     assert(ManifestSink.readBack(spark, dest).count() == 1)
     // aged COMMITTED files are never touched
     val t0 = System.currentTimeMillis() - 240000
