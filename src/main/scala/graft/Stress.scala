@@ -865,7 +865,8 @@ object Stress {
       val n = nDocs0 * repl
       val t0 = System.nanoTime()
       ManifestSink.statsAppend(
-        docs.select(col("doc_id"), length(col("text")).as("n_chars"))
+        docs.select(col("doc_id"), col("text"),
+          length(col("text")).as("n_chars"))
           .repartition(50, col("doc_id")),
         dest, None, Seq("n_chars"), bloomCols = Seq("doc_id"))
       println(f"STRESS bloom_build              " +
@@ -884,6 +885,33 @@ object Stress {
         f"${(System.nanoTime() - t2) / 1e9}%8.2f s  hits=$hits2 " +
         "(min/max cannot prune a scattered key: full scans)")
       require(hits == hits2)
+      // merge candidate refinement: a 5-key scattered mor upsert probes
+      // the blooms and scans only the files that might hold a key; the
+      // same upsert on a bloom-less twin scans every range candidate
+      val destNb = s"$root/tnb"
+      ManifestSink.statsAppend(
+        docs.select(col("doc_id"), col("text"),
+          length(col("text")).as("n_chars"))
+          .repartition(50, col("doc_id")),
+        destNb, None, Seq("n_chars"))
+      val upd = {
+        import spark.implicits._
+        (1 to 5).map(i => (i.toLong * (n / 6), "updated", -1L))
+          .toDF("doc_id", "text", "n_chars")
+      }
+      val t3 = System.nanoTime()
+      val rB = ManifestSink.mergeInto(spark, dest, upd, "doc_id",
+        statsCols = Seq("n_chars"), mor = true)
+      println(f"STRESS bloom_merge_5keys        " +
+        f"${(System.nanoTime() - t3) / 1e9}%8.2f s  " +
+        f"updated=${rB._1} (bloom-pruned candidates)")
+      val t4 = System.nanoTime()
+      val rN = ManifestSink.mergeInto(spark, destNb, upd, "doc_id",
+        statsCols = Seq("n_chars"), mor = true)
+      println(f"STRESS bloom_merge_nobloom      " +
+        f"${(System.nanoTime() - t4) / 1e9}%8.2f s  " +
+        f"updated=${rN._1} (all range candidates scanned)")
+      require(rB == rN)
     }
     // Same ladder with the PERSISTED band index: per-batch cost should
     // stay flat-ish as the corpus grows (batch bands + slim index join +

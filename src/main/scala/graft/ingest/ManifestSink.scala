@@ -2809,7 +2809,7 @@ object ManifestSink extends Ingest.DestinationSink {
         Some(SkipPredicate.StrRange(keyCol, r.getString(0),
           r.getString(1)))
     }
-    val candidates = keyPred match {
+    val rangeCandidates = keyPred match {
       case None => Seq.empty[String]
       case Some(kp) => targets.filter { t =>
         stats.get((t, keyCol)) match {
@@ -2818,8 +2818,34 @@ object ManifestSink extends Ingest.DestinationSink {
         }
       }
     }
+    // bloom refinement: a SCATTERED-key CDC batch defeats the range
+    // envelope (every file's min/max covers it) but not the per-file
+    // bloom — keep only files whose filter says "maybe" for AT LEAST
+    // ONE source key. Driver-side bit tests, collected keys bounded;
+    // big sources skip the refinement rather than flood the driver.
+    val blooms = fileBloomsOf(fs, old)
+    val candidates =
+      if (rangeCandidates.isEmpty || nKeys > 100000L ||
+          !rangeCandidates.exists(t => blooms.contains((t, keyCol))))
+        rangeCandidates
+      else {
+        val keys = src.select(col(keyCol).cast("string"))
+          .where(col(keyCol).isNotNull)
+          .collect().map(_.getString(0))
+        val posC = bloomPosCache()
+        rangeCandidates.filter { t =>
+          blooms.get((t, keyCol)) match {
+            case None => true
+            case Some(bf) => keys.exists(k => bf.mightContain(
+              posC.getOrElseUpdate((k, bf.m, bf.k),
+                BloomF.positions(k, bf.m, bf.k))))
+          }
+        }
+      }
     println(s"METRIC graft.merge.files_total=${targets.length} " +
-      s"candidates=${candidates.length} key=$keyCol dest=$destPath")
+      s"candidates=${candidates.length} " +
+      s"range_candidates=${rangeCandidates.length} key=$keyCol " +
+      s"dest=$destPath")
     val srcKeys = src.select(col(keyCol))
     // ONE distributed pass: per-candidate matched-row counts plus the
     // exact matched-KEY counts split by directive kind (insert count =

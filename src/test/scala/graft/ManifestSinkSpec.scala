@@ -2549,6 +2549,28 @@ class ManifestSinkSpec extends SparkSpec {
     assert(hitComp.count() == 1)
     assert(hitComp.inputFiles.length == 1)
     assert(ManifestSink.readBack(spark, dest).count() == 400)
+
+    // merge candidate refinement: on a bloom-indexed table the merge
+    // probes its source keys against each file's filter — matched keys
+    // still replace (no false negative can lose a match), absent keys
+    // insert
+    val destM = s"$root/wh/tm"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        (0L until 400L).filter(_ % 4 == b).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1),
+        destM, None, Seq("id"), bloomCols = Seq("id"))
+    assert(ManifestSink.mergeInto(spark, destM,
+      Seq((5L, "UP")).toDF("id", "v"), "id",
+      statsCols = Seq("id")) == ((1L, 0L)))
+    val m1 = ManifestSink.readBack(spark, destM)
+    assert(m1.count() == 400)
+    assert(m1.where(col("id") === 5L).as[(Long, String)].head() ==
+      ((5L, "UP")))
+    assert(ManifestSink.mergeInto(spark, destM,
+      Seq((1001L, "NEW")).toDF("id", "v"), "id",
+      statsCols = Seq("id")) == ((0L, 1L)))
+    assert(ManifestSink.readBack(spark, destM).count() == 401)
   }
 
   test("commit coordinator: two instances (two processes) racing the " +
