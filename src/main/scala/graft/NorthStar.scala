@@ -1012,6 +1012,40 @@ object NorthStar {
     // key transitions absent→present→absent across snapshots; pins the
     // cross-batch delete/re-insert/delete contract a single-batch merge
     // (q134) cannot observe.
+    // CHANGE DATA FEED for COPY-ON-WRITE commits: with the feed
+    // enabled, a COW slab delete and a COW slab update each capture a
+    // change-data sidecar at write time (Delta's CDF design — the
+    // rewrite already scanned exactly the changed rows), and
+    // readChangesBetween decomposes those snapshot versions from the
+    // sidecars: v1 = deletes of the [n/8, 2n/8) slab, v2 = pre-image
+    // deletes + negated-value inserts of the [6n/8, 7n/8) slab.
+    "q143_cow_change_feed" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q143_").toString
+      ManifestSink.enableChangeFeed(s, tmp)
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      ManifestSink.deleteWhere(s, tmp, ManifestSink.SkipPredicate
+        .NumRange("event_id", (n / 8).toDouble,
+          (2 * n / 8 - 1).toDouble))
+      ManifestSink.updateWhere(s, tmp, ManifestSink.SkipPredicate
+        .NumRange("event_id", (6 * n / 8).toDouble,
+          (7 * n / 8 - 1).toDouble),
+        Map("value" -> -col("value")))
+      ManifestSink.readChangesBetween(s, tmp, 0L)
+        .groupBy(col("_commit_version").cast("long").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).cast("long").as("sum_id"),
+          sum(col("value")).as("sum_val"))
+        .orderBy(col("version"), col("change_type"))
+    }),
+
     // CHANGE DATA FEED over the q138 CDC sequence: the same three
     // mor merges, then readChangesBetween decomposes every commit into
     // row-level deletes (pre-images from the dv sidecars) and inserts;
@@ -3158,6 +3192,25 @@ object NorthStar {
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value
          FROM t GROUP BY event_type ORDER BY event_type""",
+    "q143_cow_change_feed" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
+         c AS (
+           SELECT CAST(1 AS BIGINT) AS version, 'delete' AS change_type,
+             count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+             sum(value) AS sum_val
+           FROM events, b
+           WHERE event_id >= nid // 8 AND event_id < 2 * nid // 8
+           UNION ALL
+           SELECT 2, 'delete', count(*),
+             CAST(sum(event_id) AS BIGINT), sum(value)
+           FROM events, b
+           WHERE event_id >= 6 * nid // 8 AND event_id < 7 * nid // 8
+           UNION ALL
+           SELECT 2, 'insert', count(*),
+             CAST(sum(event_id) AS BIGINT), sum(-value)
+           FROM events, b
+           WHERE event_id >= 6 * nid // 8 AND event_id < 7 * nid // 8)
+         SELECT * FROM c ORDER BY version, change_type""",
     "q142_change_feed" ->
       """WITH e AS (SELECT event_id, value FROM events),
          c AS (

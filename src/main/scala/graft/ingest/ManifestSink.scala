@@ -606,13 +606,25 @@ object ManifestSink extends Ingest.DestinationSink {
       val (_, targets, snap) = readManifest(fs, mf)
       val dvL = dvLinesOf(fs, mf)
       if (snap) {
-        require(hasLayoutLine(mf) && !isRestoreManifest(fs, mf),
-          s"[graft] change feed: v$v is a content-changing " +
-            "snapshot (COW delete/update/merge, partition drop, or " +
-            "restore) — the feed cannot decompose it into row " +
-            "changes; write changes mor = true, or re-sync from a " +
-            "full readBack")
-        None // optimize/compact: layout only, no content change
+        val cdfL = cdfLinesOf(fs, mf)
+        if (cdfL.nonEmpty)
+          // a COW commit on a feed-enabled table: its change-data
+          // sidecar IS the decomposition (rows pre-tagged with
+          // `_change_type` at write time — Delta's CDF design)
+          Some((v, () => spark.read
+            .parquet(cdfL.map(c =>
+              new Path(dest, c._1).toString): _*)
+            .withColumn("_commit_version", lit(v))))
+        else {
+          require(hasLayoutLine(mf) && !isRestoreManifest(fs, mf),
+            s"[graft] change feed: v$v is a content-changing " +
+              "snapshot (COW delete/update/merge, partition drop, or " +
+              "restore) — the feed cannot decompose it into row " +
+              "changes; write changes mor = true, enable the feed " +
+              "first (enableChangeFeed) so COW commits capture " +
+              "change-data sidecars, or re-sync from a full readBack")
+          None // optimize/compact: layout only, no content change
+        }
       } else if (targets.isEmpty && dvL.isEmpty) None
       else Some((v, () => {
         val deletes =
@@ -746,6 +758,44 @@ object ManifestSink extends Ingest.DestinationSink {
   //    (name, pos) rows match nothing.
 
   private val DvDir = "_dv"
+  private val CdfDir = "_cdf"
+
+  /** Enable the CHANGE DATA FEED for COPY-ON-WRITE commits on this
+    * table (Delta's `delta.enableChangeDataFeed` property): from now
+    * on, COW DELETE/UPDATE/MERGE and partition drops also write a
+    * CHANGE-DATA SIDECAR (`_cdf/<writeId>.parquet` — the changed rows
+    * tagged `_change_type`, O(changed rows) extra write, Delta's own
+    * cost model) referenced by a `cdf` manifest line, and
+    * [[readChangesBetween]]/`changeFeedStream` decompose those
+    * versions from the sidecar instead of refusing. MOR commits are
+    * decomposable natively and never need one. The marker is a plain
+    * file outside the log, so it survives compact; versions committed
+    * BEFORE enabling still refuse (their changes were never captured).
+    */
+  def enableChangeFeed(spark: SparkSession, destPath: String): Unit = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    fs.mkdirs(dest)
+    writeFile(fs, new Path(dest, "_cdf_enabled"), "1")
+  }
+
+  private def changeFeedEnabled(fs: FileSystem, dest: Path): Boolean =
+    fs.exists(new Path(dest, "_cdf_enabled"))
+
+  /** `cdf\t<sidecar rel>\t<rows>` lines of one manifest. */
+  private def cdfLinesOf(fs: FileSystem, mf: Path)
+      : Seq[(String, Long)] = {
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.flatMap { l =>
+      l.split('\t') match {
+        case Array("cdf", rel, n) => Some((rel, n.toLong))
+        case _                    => None
+      }
+    }
+  }
 
   /** The dv lines of one manifest: `(target rel, dv rel, rows)`. */
   private def dvLinesOf(fs: FileSystem, mf: Path)
@@ -2353,10 +2403,44 @@ object ManifestSink extends Ingest.DestinationSink {
     val staging = stagingDir(destPath, writeId)
     fs.mkdirs(staging)
     val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    // sidecars ride the same WA/move/cleanup protocol but are NOT table
+    // targets (kept out of the survivor list)
+    val sideMoves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val cdfLine = scala.collection.mutable.ArrayBuffer[String]()
     val newStats = scala.collection.mutable.ArrayBuffer[String]()
     // any failure before the commit must sweep the attempt — a leftover
     // staging dir blocks every later rewrite/optimize until recover()
     try {
+      // CHANGE DATA FEED (when enabled): capture the changed rows as a
+      // sidecar BEFORE the rewrite — pre-images as deletes, updated
+      // rows additionally as inserts (SET against the OLD row)
+      if (changeFeedEnabled(fs, dest)) {
+        val live =
+          readFilesDvMeta(spark, destPath, touched, dvs,
+            withBase = false)
+          .where(coalesce(m, lit(false)))
+          .drop("__graft_fn", "__graft_pos")
+        val frame = set match {
+          case None =>
+            live.withColumn("_change_type", lit("delete"))
+          case Some(exprs) =>
+            live.withColumn("_change_type", lit("delete"))
+              .unionByName(live.select(live.columns.map(c =>
+                exprs.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+                .withColumn("_change_type", lit("insert")))
+        }
+        val cdfOut = new Path(staging, "cdf")
+        frame.coalesce(1).write.mode("overwrite").parquet(cdfOut.toString)
+        val part = fs.listStatus(cdfOut).map(_.getPath)
+          .find(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"[graft] rewriteWhere: no cdf part file under $cdfOut"))
+        val rel = s"$CdfDir/$writeId.parquet"
+        sideMoves += ((part, rel))
+        val n = if (set.isEmpty) totalMatched else 2 * totalMatched
+        cdfLine += s"cdf\t$rel\t$n"
+      }
       rewrites.zipWithIndex.foreach { case (rel, k) =>
         val parent = {
           val i = rel.lastIndexOf('/')
@@ -2404,8 +2488,8 @@ object ManifestSink extends Ingest.DestinationSink {
       // write-ahead manifest, then move — recover() sweeps exactly these
       // names if the commit below never lands
       writeFile(fs, new Path(staging, WaManifest),
-        moves.map("target\t" + _._2).mkString("\n"))
-      moves.foreach { case (part, target) =>
+        (moves ++ sideMoves).map("target\t" + _._2).mkString("\n"))
+      (moves ++ sideMoves).foreach { case (part, target) =>
         val tgt = new Path(dest, target)
         fs.mkdirs(tgt.getParent)
         require(fs.rename(part, tgt),
@@ -2413,7 +2497,7 @@ object ManifestSink extends Ingest.DestinationSink {
       }
     } catch {
       case e: Throwable =>
-        moves.foreach { case (_, t) =>
+        (moves ++ sideMoves).foreach { case (_, t) =>
           fs.delete(new Path(dest, t), false) }
         fs.delete(staging, true)
         if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
@@ -2445,8 +2529,10 @@ object ManifestSink extends Ingest.DestinationSink {
     onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
         survivors,
-        carriedStats ++ newStats.toSeq ++ carriedDvs ++ carriedBlooms,
-        old, moves.map(_._2).toSeq, canAbsorb = absorbOk)) {
+        carriedStats ++ newStats.toSeq ++ carriedDvs ++ carriedBlooms ++
+          cdfLine.toSeq,
+        old, (moves ++ sideMoves).map(_._2).toSeq,
+        canAbsorb = absorbOk)) {
       println(s"METRIC graft.rewrite.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
       return 0L
@@ -3016,8 +3102,34 @@ object ManifestSink extends Ingest.DestinationSink {
     val staging = stagingDir(destPath, writeId)
     fs.mkdirs(staging)
     val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val sideMoves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val cdfLine = scala.collection.mutable.ArrayBuffer[String]()
     val newStats = scala.collection.mutable.ArrayBuffer[String]()
     try {
+      // CHANGE DATA FEED (when enabled): matched live rows are the
+      // delete pre-images, the upsert half the inserts — one sidecar
+      if (changeFeedEnabled(fs, dest)) {
+        val pre =
+          (if (touched.isEmpty) ups.limit(0)
+           else readFilesDv(spark, destPath, touched, dvs,
+               withBase = false)
+             .join(broadcast(srcKeys), Seq(keyCol), "left_semi"))
+          .withColumn("_change_type", lit("delete"))
+        val frame = pre.unionByName(
+          ups.withColumn("_change_type", lit("insert")),
+          allowMissingColumns = true)
+        val cdfOut = new Path(staging, "cdf")
+        frame.coalesce(1).write.mode("overwrite")
+          .parquet(cdfOut.toString)
+        val part = fs.listStatus(cdfOut).map(_.getPath)
+          .find(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"[graft] mergeInto: no cdf part file under $cdfOut"))
+        val rel = s"$CdfDir/$writeId.parquet"
+        sideMoves += ((part, rel))
+        cdfLine += s"cdf\t$rel\t${replacedRows + nUps}"
+      }
       // matched files: keep only rows whose key is absent from source
       // (LIVE rows — existing tombstones materialize in the rewrite)
       touched.zipWithIndex.foreach { case (rel, k) =>
@@ -3071,8 +3183,8 @@ object ManifestSink extends Ingest.DestinationSink {
         moves += ((new Path(insOut, rel), target))
       }
       writeFile(fs, new Path(staging, WaManifest),
-        moves.map("target\t" + _._2).mkString("\n"))
-      moves.foreach { case (part, target) =>
+        (moves ++ sideMoves).map("target\t" + _._2).mkString("\n"))
+      (moves ++ sideMoves).foreach { case (part, target) =>
         val tgt = new Path(dest, target)
         fs.mkdirs(tgt.getParent)
         require(fs.rename(part, tgt),
@@ -3080,7 +3192,7 @@ object ManifestSink extends Ingest.DestinationSink {
       }
     } catch {
       case e: Throwable =>
-        moves.foreach { case (_, t) =>
+        (moves ++ sideMoves).foreach { case (_, t) =>
           fs.delete(new Path(dest, t), false) }
         fs.delete(staging, true)
         if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
@@ -3109,8 +3221,10 @@ object ManifestSink extends Ingest.DestinationSink {
     onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
         survivors,
-        carriedStats ++ newStats.toSeq ++ carriedDvs ++ carriedBlooms,
-        old, moves.map(_._2).toSeq, canAbsorb = absorbOk)) {
+        carriedStats ++ newStats.toSeq ++ carriedDvs ++ carriedBlooms ++
+          cdfLine.toSeq,
+        old, (moves ++ sideMoves).map(_._2).toSeq,
+        canAbsorb = absorbOk)) {
       println(s"METRIC graft.merge.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
       return MergeOutcome.Aborted
@@ -3324,6 +3438,46 @@ object ManifestSink extends Ingest.DestinationSink {
       java.util.UUID.randomUUID().toString.replace("-", "").take(14)
     val staging = stagingDir(destPath, writeId)
     fs.mkdirs(staging) // empty attempt dir: uniform commit protocol
+    // CHANGE DATA FEED (when enabled): a metadata-only drop still owes
+    // the feed its pre-images — copy the dropped files' rows (with the
+    // partition column, from the directory name) into one sidecar;
+    // this is the one drop cost that is not metadata-only, and it is
+    // the Delta CDF cost model (change-data files at write time)
+    val cdfLine = scala.collection.mutable.ArrayBuffer[String]()
+    val sideMoves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    if (changeFeedEnabled(fs, dest)) {
+      try {
+        val pre = spark.read.option("mergeSchema", "true")
+          .option("basePath", destPath)
+          .parquet(dropped.toSeq.sorted
+            .map(rel => new Path(dest, rel).toString): _*)
+          .withColumn("_change_type", lit("delete"))
+        val nPre = pre.count()
+        val cdfOut = new Path(staging, "cdf")
+        pre.coalesce(1).write.mode("overwrite").parquet(cdfOut.toString)
+        val part = fs.listStatus(cdfOut).map(_.getPath)
+          .find(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"[graft] dropPartitions: no cdf part file under $cdfOut"))
+        val rel = s"$CdfDir/$writeId.parquet"
+        writeFile(fs, new Path(staging, WaManifest), s"target\t$rel")
+        val tgt = new Path(dest, rel)
+        fs.mkdirs(tgt.getParent)
+        require(fs.rename(part, tgt),
+          s"[graft] dropPartitions cdf move failed: $tgt")
+        sideMoves += ((part, rel))
+        cdfLine += s"cdf\t$rel\t$nPre"
+      } catch {
+        case e: Throwable =>
+          sideMoves.foreach { case (_, t) =>
+            fs.delete(new Path(dest, t), false) }
+          fs.delete(staging, true)
+          if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+            fs.delete(sroot, true)
+          throw e
+      }
+    }
     // a concurrent pure append absorbs iff it lands OUTSIDE the dropped
     // partitions — a file appended INTO one is a conflict (the drop
     // never saw it; silently including it would delete data)
@@ -3332,7 +3486,8 @@ object ManifestSink extends Ingest.DestinationSink {
         .forall(t => !prefixes.exists(t.startsWith))
     onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
-        survivors, carriedStats, old, Nil, canAbsorb = absorbOk)) {
+        survivors, carriedStats ++ cdfLine.toSeq, old,
+        sideMoves.map(_._2).toSeq, canAbsorb = absorbOk)) {
       println(s"METRIC graft.dropparts.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
       return 0L
@@ -3568,7 +3723,8 @@ object ManifestSink extends Ingest.DestinationSink {
     }
     val referenced = manifests(fs, destPath)
       .flatMap(mf => readManifest(fs, mf)._2 ++
-        dvLinesOf(fs, mf).map(_._2)).toSet
+        dvLinesOf(fs, mf).map(_._2) ++
+        cdfLinesOf(fs, mf).map(_._1)).toSet
     val destQ = fs.makeQualified(dest).toString
     val now = System.currentTimeMillis()
     val removed = scala.collection.mutable.ArrayBuffer[String]()

@@ -2474,6 +2474,87 @@ class ManifestSinkSpec extends SparkSpec {
       .count() == rows.size.toLong)
   }
 
+  test("change data feed for COW commits: enableChangeFeed makes " +
+      "delete/update/merge/drop capture change-data sidecars the feed " +
+      "decomposes; pre-enable COW versions still refuse; vacuum keeps " +
+      "referenced sidecars") {
+    import ManifestSink.SkipPredicate._
+    val root = tmpDir("msinkcdfcow_")
+    val dest = s"$root/wh/t"
+    ManifestSink.statsAppend(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")),
+      dest, None, Seq("id")) // v0
+    // a COW delete BEFORE enabling: nothing was captured — refuse
+    assert(ManifestSink.deleteWhere(spark, dest,
+      NumRange("id", 0, 9)) == 10L) // v1
+    val err = intercept[IllegalArgumentException] {
+      ManifestSink.readChangesBetween(spark, dest, 0L)
+    }
+    assert(err.getMessage.contains("enableChangeFeed"))
+
+    ManifestSink.enableChangeFeed(spark, dest)
+    assert(ManifestSink.deleteWhere(spark, dest,
+      NumRange("id", 10, 19)) == 10L) // v2: delete + sidecar
+    assert(ManifestSink.updateWhere(spark, dest,
+      NumRange("id", 20, 21),
+      Map("v" -> concat(col("v"), lit("U")))) == 2L) // v3
+    assert(ManifestSink.mergeInto(spark, dest,
+      Seq((30L, "M"), (1000L, "N")).toDF("id", "v"), "id",
+      statsCols = Seq("id")) == ((1L, 1L))) // v4
+
+    val cdf = ManifestSink.readChangesBetween(spark, dest, 1L)
+    val rows = cdf.select(col("_commit_version"), col("_change_type"),
+        col("id"), col("v"))
+      .as[(Long, String, Long, String)].collect().toSeq
+    def n(v: Long, ct: String) = rows.count(r => r._1 == v && r._2 == ct)
+    assert(n(2, "delete") == 10 && n(2, "insert") == 0)
+    assert(n(3, "delete") == 2 && n(3, "insert") == 2)
+    assert(n(4, "delete") == 1 && n(4, "insert") == 2)
+    // pre/post-images: the update pairs, the merge's replaced key
+    assert(rows.filter(r => r._1 == 3 && r._2 == "insert")
+      .map(r => (r._3, r._4)).sorted ==
+      Seq((20L, "v20U"), (21L, "v21U")))
+    assert(rows.filter(r => r._1 == 4 && r._2 == "delete")
+      .map(r => (r._3, r._4)) == Seq((30L, "v30")))
+    assert(rows.filter(r => r._1 == 4 && r._2 == "insert")
+      .map(r => (r._3, r._4)).sorted == Seq((30L, "M"), (1000L, "N")))
+
+    // replaying the feed from v1 reconstructs the live table
+    var state = ManifestSink.readVersion(spark, dest, 1L)
+      .as[(Long, String)].collect().toSet
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, cs) =>
+      state = state --
+        cs.filter(_._2 == "delete").map(c => (c._3, c._4)) ++
+        cs.filter(_._2 == "insert").map(c => (c._3, c._4))
+    }
+    assert(state == ManifestSink.readBack(spark, dest)
+      .as[(Long, String)].collect().toSet)
+
+    // vacuum keeps the referenced sidecars: the feed still reads
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dest)).foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - 120000))
+    ManifestSink.vacuum(spark, dest, retentionMs = 60000)
+    assert(ManifestSink.readChangesBetween(spark, dest, 1L)
+      .count() == rows.size.toLong)
+
+    // a partition drop on a feed-enabled table captures its rows
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val destP = s"$root/wh/tp"
+    ManifestSink.enableChangeFeed(spark, destP)
+    ManifestSink.append(Seq((1L, "a", d("2026-01-01")),
+      (2L, "b", d("2026-01-01")), (3L, "c", d("2026-01-02")))
+      .toDF("id", "v", "dt"), destP, Some("dt")) // v0
+    assert(ManifestSink.dropPartitions(spark, destP,
+      Seq("2026-01-01")) >= 1L) // v1 (file count: writer task layout)
+    val dropCdf = ManifestSink.readChangesBetween(spark, destP, 0L)
+    assert(dropCdf.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(ManifestSink.readBack(spark, destP).count() == 1)
+  }
+
   test("bloom file index: equality lookups prune files min/max cannot " +
       "touch, the OR-merge survives optimize, carry survives compact " +
       "and restore, rewrites drop their filters conservatively") {
