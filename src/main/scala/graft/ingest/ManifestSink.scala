@@ -3287,6 +3287,54 @@ object ManifestSink extends Ingest.DestinationSink {
     * real scan; a wrong fast answer is never returned. MIN/MAX skip
     * all-null files and return None if every file is all-null.
     */
+  /** DESCRIBE DETAIL (Delta's `DESCRIBE DETAIL`): one metadata row
+    * summarizing the table's current state — version, file count,
+    * total bytes (one `getFileStatus` per committed file — the same
+    * listing a read plans with), live row count when every file
+    * carries stats (dv tombstones subtracted, None-able like
+    * [[metadataCount]]), partition values present in the layout,
+    * columns with skipping stats, columns with bloom filters, files
+    * carrying live deletion vectors, and whether the change feed is
+    * enabled. Zero data files opened at any table size.
+    */
+  def detail(spark: SparkSession, destPath: String): DataFrame = {
+    import spark.implicits._
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest))
+      return Seq.empty[(Long, Long, Long, Option[Long], Seq[String],
+        Seq[String], Seq[String], Long, Boolean)]
+        .toDF("version", "num_files", "size_bytes", "num_rows",
+          "partition_values", "stats_columns", "bloom_columns",
+          "num_dv_files", "change_feed_enabled")
+    val mfs = manifests(fs, destPath)
+    val version = mfs.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, mfs)
+    val bytes = targets.map { rel =>
+      val p = new Path(dest, rel)
+      if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+    }.sum
+    val stats = fileStatsOf(fs, mfs)
+    val partVals = targets.flatMap { t =>
+      val i = t.indexOf('=')
+      val j = t.indexOf('/')
+      if (i > 0 && j > i) Some(t.substring(0, j)) else None
+    }.distinct.sorted
+    val dvs = effectiveDvsOf(fs, mfs)
+      .filter { case (t, _) => targets.contains(t) }
+    Seq((version, targets.size.toLong, bytes,
+      metadataCount(spark, destPath),
+      partVals,
+      stats.keys.map(_._2).toSeq.distinct.sorted,
+      fileBloomsOf(fs, mfs).keys.map(_._2).toSeq.distinct.sorted,
+      dvs.size.toLong,
+      changeFeedEnabled(fs, dest)))
+      .toDF("version", "num_files", "size_bytes", "num_rows",
+        "partition_values", "stats_columns", "bloom_columns",
+        "num_dv_files", "change_feed_enabled")
+  }
+
   def metadataCount(spark: SparkSession, destPath: String)
       : Option[Long] = {
     val dest = new Path(destPath)

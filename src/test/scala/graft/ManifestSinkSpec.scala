@@ -2474,6 +2474,32 @@ class ManifestSinkSpec extends SparkSpec {
       .count() == rows.size.toLong)
   }
 
+  test("describe detail: one metadata row — version, files, bytes, " +
+      "live rows, stats/bloom columns, dv files, feed flag — zero " +
+      "data files opened") {
+    val root = tmpDir("msinkdetail_")
+    val dest = s"$root/wh/t"
+    ManifestSink.statsAppend(
+      (0L until 100L).map(i => (i, s"k$i", s"v$i")).toDF("id", "key", "v")
+        .repartitionByRange(2, col("id")),
+      dest, None, Seq("id"), bloomCols = Seq("key"))
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 0, 4)) == 5L)
+    ManifestSink.enableChangeFeed(spark, dest)
+    val d = ManifestSink.detail(spark, dest).head()
+    assert(d.getLong(0) == 1L)                  // version
+    assert(d.getLong(1) == 2L)                  // num_files
+    assert(d.getLong(2) > 0L)                   // size_bytes
+    assert(d.getLong(3) == 95L)                 // num_rows (dv-exact)
+    assert(d.getSeq[String](4).isEmpty)         // unpartitioned
+    assert(d.getSeq[String](5) == Seq("id"))    // stats cols
+    assert(d.getSeq[String](6) == Seq("key"))   // bloom cols
+    assert(d.getLong(7) == 1L)                  // dv'd files
+    assert(d.getBoolean(8))                     // feed on
+    // empty destination: one well-typed empty frame
+    assert(ManifestSink.detail(spark, s"$root/none").isEmpty)
+  }
+
   test("change data feed for COW commits: enableChangeFeed makes " +
       "delete/update/merge/drop capture change-data sidecars the feed " +
       "decomposes; pre-enable COW versions still refuse; vacuum keeps " +
