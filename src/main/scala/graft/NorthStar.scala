@@ -1012,6 +1012,58 @@ object NorthStar {
     // key transitions absent→present→absent across snapshots; pins the
     // cross-batch delete/re-insert/delete contract a single-batch merge
     // (q134) cannot observe.
+    // INCREMENTAL VIEW MAINTENANCE over the change feed — the
+    // medallion bronze->silver shape: the silver aggregate
+    // (count + sum(value) per event_type) is maintained WITHOUT
+    // rescanning bronze, as the v0 aggregate plus SIGNED deltas from
+    // readChangesBetween (insert = +1, delete pre-image = -1) across
+    // the q138 mor CDC sequence. The oracle aggregates the FINAL state
+    // directly — the two agree only if the feed's decomposition is
+    // row-exact (every pre-image right, nothing dropped or doubled).
+    "q144_incremental_agg" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q144_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id", "value"))
+      def merge(src: org.apache.spark.sql.DataFrame): Unit =
+        ManifestSink.mergeCdc(s, tmp, src, "event_id",
+          col("op") === "d", directiveCols = Seq("op"),
+          statsCols = Seq("event_id"), mor = true)
+      merge(ev.where(pmod(col("event_id"), lit(7L)) === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("d").as("op")))
+      merge(ev.where(pmod(col("event_id"), lit(14L)) === 0)
+        .select(col("event_id"), col("event_type"),
+          lit(-5.0).as("value"), lit("u").as("op")))
+      merge(ev.where(pmod(col("event_id"), lit(28L)) === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("d").as("op"))
+        .unionByName(ev.where(pmod(col("event_id"), lit(10L)) === 0 &&
+            pmod(col("event_id"), lit(7L)) =!= 0)
+          .select(col("event_id"), col("event_type"),
+            (col("value") * 2).as("value"), lit("u").as("op"))))
+      val init = ManifestSink.readVersion(s, tmp, 0L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n0"), sum(col("value")).as("s0"))
+      val deltas = ManifestSink.readChangesBetween(s, tmp, 0L)
+        .withColumn("sgn",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(col("event_type"))
+        .agg(sum(col("sgn")).as("dn"),
+          sum(col("sgn") * coalesce(col("value"), lit(0.0))).as("ds"))
+      init.join(deltas, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n0"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("n"),
+          round(coalesce(col("s0"), lit(0.0)) +
+            coalesce(col("ds"), lit(0.0)), 4).as("sum_val"))
+        .orderBy(col("event_type"))
+    }),
+
     // CHANGE DATA FEED for COPY-ON-WRITE commits: with the feed
     // enabled, a COW slab delete and a COW slab update each capture a
     // change-data sidecar at write time (Delta's CDF design — the
@@ -3191,6 +3243,17 @@ object NorthStar {
          SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            min(value) AS min_value, max(value) AS max_value
+         FROM t GROUP BY event_type ORDER BY event_type""",
+    "q144_incremental_agg" ->
+      """WITH t AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 14 = 0 THEN -5.0
+                  WHEN event_id % 10 = 0 THEN value * 2
+                  ELSE value END AS value
+           FROM events
+           WHERE event_id % 28 <> 0
+             AND NOT (event_id % 7 = 0 AND event_id % 14 <> 0))
+         SELECT event_type, count(*) AS n,
+           round(coalesce(sum(value), 0), 4) AS sum_val
          FROM t GROUP BY event_type ORDER BY event_type""",
     "q143_cow_change_feed" ->
       """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
