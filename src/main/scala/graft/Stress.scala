@@ -841,6 +841,15 @@ object Stress {
         f"${(System.nanoTime() - t3) / 1e9}%8.2f s  rows=$nMor " +
         "(anti-join tax)")
       require(nCow == nMor)
+      // the change feed decomposes the dv version at O(deleted rows):
+      // one sidecar read + a positions join against the marked files
+      val tf = System.nanoTime()
+      val nCh = ManifestSink.readChangesBetween(spark, destMor,
+        batches - 1L).count()
+      println(f"STRESS mor_ladder_feed_read     " +
+        f"${(System.nanoTime() - tf) / 1e9}%8.2f s  changes=$nCh " +
+        "(delete pre-images from the sidecar)")
+      require(nCh == goneMor)
       val t4 = System.nanoTime()
       ManifestSink.optimize(spark, destMor, targetBytes = 1L << 30)
       println(f"STRESS mor_ladder_materialize   " +

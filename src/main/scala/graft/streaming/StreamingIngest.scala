@@ -747,21 +747,27 @@ object StreamingIngest {
       statsCols: Seq[String] = Nil,
       checkpointDir: Option[String] = None,
       deleteFilter: Option[org.apache.spark.sql.Column] = None,
-      directiveCols: Seq[String] = Nil): StreamingQuery = {
+      directiveCols: Seq[String] = Nil,
+      mor: Boolean = false): StreamingQuery = {
     var w = src.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ingest.ManifestSink
+        // mor = true keeps the destination a pure append+dv log, so
+        // every micro-batch stays decomposable by changeFeedStream —
+        // the bronze table of a medallion pipeline
         val outcome = deleteFilter match {
           case Some(f) =>
             ManifestSink.mergeCdcStatus(batch.sparkSession,
               destPath, batch.toDF(), keyCol, f,
-              directiveCols = directiveCols, statsCols = statsCols)
+              directiveCols = directiveCols, statsCols = statsCols,
+              mor = mor)
           case None =>
             ManifestSink.mergeIntoStatus(batch.sparkSession,
-              destPath, batch.toDF(), keyCol, statsCols = statsCols)
+              destPath, batch.toDF(), keyCol, statsCols = statsCols,
+              mor = mor)
         }
         outcome match {
           case ManifestSink.MergeOutcome.Skipped =>
