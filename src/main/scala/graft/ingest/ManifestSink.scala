@@ -1195,48 +1195,48 @@ object ManifestSink extends Ingest.DestinationSink {
     bloomCols.sorted.flatMap { c =>
       require(df.schema.fieldNames.contains(c),
         s"[graft] bloom column '$c' not in staged schema")
-      val vals = df.select(input_file_name().as("__f"),
+      // ONE distributed pass: distinct probe positions at the CAP
+      // size. The per-file size is chosen driver-side from the cap
+      // filter's occupancy (the standard estimator
+      // n ≈ -(m/k)·ln(1 - d/m) inverts E[d] for n insertions), and
+      // the bits fold down to it (pow2: p mod m == p AND (m-1)) —
+      // no separate distinct-count job.
+      val probes = (0 until BloomK).map(i =>
+        pmod(xxhash64(lit(i), col("__v")), lit(maxBits.toLong))
+          .cast("int"))
+      df.select(input_file_name().as("__f"),
           col(c).cast("string").as("__v"))
         .where(col("__v").isNotNull)
-      // pass 1: per-file approx distinct -> per-file filter size
-      val ndv: Map[String, Long] = vals.groupBy(col("__f"))
-        .agg(approx_count_distinct(col("__v")).as("__n")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (ndv.isEmpty) Nil
-      else {
-        val mOf: Map[String, Int] = ndv.map { case (f, n) =>
-          val want = math.max(MinBloomBits.toLong,
-            math.min(maxBits.toLong, BloomBitsPerKey.toLong * n))
-          var m = MinBloomBits
-          while (m < want) m <<= 1
-          f -> m
-        }
-        // pass 2: bit positions at the LARGEST size; smaller files
-        // fold driver-side (pow2: p mod m == p AND (m-1))
-        val mBig = mOf.values.max
-        val probes = (0 until BloomK).map(i =>
-          pmod(xxhash64(lit(i), col("__v")), lit(mBig.toLong))
-            .cast("int"))
-        vals.select(col("__f"), explode(array(probes: _*)).as("__b"))
-          .groupBy(col("__f")).agg(collect_set(col("__b")).as("__bits"))
-          .collect()
-          .toSeq
-          .sortBy(_.getString(0))
-          .flatMap { r =>
-            val file = r.getString(0)
-            val rel = new Path(new java.net.URI(file))
-              .toUri.getPath.stripPrefix(stagedPath + "/")
-            relToTarget.get(rel).map { tgt =>
-              val m = mOf(file)
-              val bits = new Array[Byte](m >> 3)
-              r.getSeq[Int](1).foreach { p0 =>
-                val p = p0 & (m - 1)
-                bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
-              }
-              bloomLine(tgt, c, BloomF(m, BloomK, bits))
+        .select(col("__f"), explode(array(probes: _*)).as("__b"))
+        .groupBy(col("__f")).agg(collect_set(col("__b")).as("__bits"))
+        .collect()
+        .toSeq
+        .sortBy(_.getString(0))
+        .flatMap { r =>
+          val rel = new Path(new java.net.URI(r.getString(0)))
+            .toUri.getPath.stripPrefix(stagedPath + "/")
+          relToTarget.get(rel).map { tgt =>
+            val pos = r.getSeq[Int](1)
+            val d = pos.length.toDouble
+            val ndv =
+              if (d >= maxBits) Long.MaxValue
+              else math.max(1L, math.round(
+                -(maxBits.toDouble / BloomK) *
+                  math.log1p(-d / maxBits)))
+            val want = math.max(MinBloomBits.toLong,
+              math.min(maxBits.toLong,
+                if (ndv == Long.MaxValue) maxBits.toLong
+                else BloomBitsPerKey * ndv))
+            var m = MinBloomBits
+            while (m < want) m <<= 1
+            val bits = new Array[Byte](m >> 3)
+            pos.foreach { p0 =>
+              val p = p0 & (m - 1)
+              bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
             }
+            bloomLine(tgt, c, BloomF(m, BloomK, bits))
           }
-      }
+        }
     }
   }
 
