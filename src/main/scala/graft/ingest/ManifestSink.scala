@@ -3335,6 +3335,43 @@ object ManifestSink extends Ingest.DestinationSink {
         "num_dv_files", "change_feed_enabled")
   }
 
+  /** SHOW PARTITIONS with per-partition file and row counts — the
+    * reconnaissance for [[dropPartitions]]: one row per
+    * `col=value` directory present in the committed layout, with its
+    * file count and (when every file in it carries stats) its live
+    * row count, dv tombstones subtracted. Pure manifest arithmetic,
+    * zero data files opened. Unpartitioned files group under the
+    * empty-string partition.
+    */
+  def partitions(spark: SparkSession, destPath: String): DataFrame = {
+    import spark.implicits._
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest))
+      return Seq.empty[(String, Long, Option[Long])]
+        .toDF("partition", "num_files", "num_rows")
+    val mfs = manifests(fs, destPath)
+    val targets = effectiveTargetsOf(fs, mfs)
+    val stats = fileStatsOf(fs, mfs)
+    val rowsByFile = stats.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2.rows).filter(_ >= 0).headOption).toMap
+    val dvRows: Map[String, Long] = effectiveDvsOf(fs, mfs)
+      .map { case (t, es) => t -> es.map(_._2).sum }
+    def partOf(t: String): String = {
+      val i = t.indexOf('=')
+      val j = t.indexOf('/')
+      if (i > 0 && j > i) t.substring(0, j) else ""
+    }
+    targets.groupBy(partOf).toSeq.sortBy(_._1).map { case (p, ts) =>
+      val per = ts.map(t => rowsByFile.getOrElse(t, None))
+      val rows =
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatten.sum -
+          ts.map(t => dvRows.getOrElse(t, 0L)).sum)
+      (p, ts.size.toLong, rows)
+    }.toDF("partition", "num_files", "num_rows")
+  }
+
   def metadataCount(spark: SparkSession, destPath: String)
       : Option[Long] = {
     val dest = new Path(destPath)

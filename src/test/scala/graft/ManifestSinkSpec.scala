@@ -2500,6 +2500,38 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.detail(spark, s"$root/none").isEmpty)
   }
 
+  test("show partitions: per-partition file and row counts from " +
+      "manifests alone — dv-exact, drop-aware") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val root = tmpDir("msinkparts_")
+    val dest = s"$root/wh/t"
+    ManifestSink.statsAppend(
+      Seq((1L, d("2026-01-01")), (2L, d("2026-01-01")),
+        (3L, d("2026-01-02")), (4L, d("2026-01-03")))
+        .toDF("id", "ts").coalesce(1),
+      dest, Some("ts"), Seq("id"))
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 2, 2)) == 1L)
+    val parts = ManifestSink.partitions(spark, dest)
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(parts.map(_._1) == Seq(
+      s"${graft.ingest.Ingest.PartitionCol}=2026-01-01",
+      s"${graft.ingest.Ingest.PartitionCol}=2026-01-02",
+      s"${graft.ingest.Ingest.PartitionCol}=2026-01-03"))
+    assert(parts.map(_._3) ==
+      Seq(Some(1L), Some(1L), Some(1L))) // dv subtracted in 01-01
+    assert(ManifestSink.dropPartitions(spark, dest,
+      Seq("2026-01-03")) >= 1L)
+    assert(ManifestSink.partitions(spark, dest).count() == 2)
+    // unpartitioned table: one empty-string partition row
+    val destU = s"$root/wh/tu"
+    ManifestSink.statsAppend(
+      Seq((1L, "a")).toDF("id", "v"), destU, None, Seq("id"))
+    val u = ManifestSink.partitions(spark, destU)
+      .as[(String, Long, Option[Long])].head()
+    assert(u == (("", 1L, Some(1L))))
+  }
+
   test("change data feed for COW commits: enableChangeFeed makes " +
       "delete/update/merge/drop capture change-data sidecars the feed " +
       "decomposes; pre-enable COW versions still refuse; vacuum keeps " +
