@@ -1155,10 +1155,12 @@ object NorthStar {
         .createTempDirectory("graft_q141_").toString
       ManifestSink.statsAppend(d.repartition(8, col("doc_id")), tmp,
         None, Seq("n_chars"), bloomCols = Seq("doc_id"))
-      Seq("3", "17", "29", "41", "53")
-        .map(k => ManifestSink.readBackWherePred(s, tmp,
-          ManifestSink.SkipPredicate.StrEq("doc_id", k)))
-        .reduce(_.unionByName(_))
+      // ONE read: the IN-list is an Or of equalities, so the pruning
+      // unions the per-value bloom verdicts and the residual is the
+      // disjunction — files rejecting ALL five keys never open
+      ManifestSink.readBackWherePred(s, tmp,
+        ManifestSink.SkipPredicate.StrIn("doc_id",
+          Seq("3", "17", "29", "41", "53")))
         .orderBy(col("doc_id"))
     }),
 

@@ -1270,6 +1270,8 @@ object ManifestSink extends Ingest.DestinationSink {
     pred match {
       case SkipPredicate.And(ps) =>
         ps.forall(p => bloomMayMatchFile(blooms, posCache, t, p))
+      case SkipPredicate.Or(ps) =>
+        ps.exists(p => bloomMayMatchFile(blooms, posCache, t, p))
       case SkipPredicate.StrEq(c, v) =>
         blooms.get((t, c)).forall { bf =>
           bf.mightContain(posCache.getOrElseUpdate((v, bf.m, bf.k),
@@ -1314,6 +1316,18 @@ object ManifestSink extends Ingest.DestinationSink {
       require(preds.nonEmpty, "[graft] SkipPredicate.And: empty")
       override def column: String = preds.head.column
     }
+    /** Disjunction: a file is read if ANY disjunct may match — file
+      * sets union. An IN-list over bloom-indexed keys
+      * ([[StrIn]] sugars the common case) prunes every file whose
+      * filter rejects ALL the values in ONE read.
+      */
+    final case class Or(preds: Seq[SkipPredicate]) extends SkipPredicate {
+      require(preds.nonEmpty, "[graft] SkipPredicate.Or: empty")
+      override def column: String = preds.head.column
+    }
+    /** `column` as string IN `values` — [[Or]] of [[StrEq]]s. */
+    def StrIn(column: String, values: Seq[String]): SkipPredicate =
+      Or(values.map(StrEq(column, _)))
   }
 
   /** Can a file with `st` stats PROVE that every row matches `pred`?
@@ -1325,9 +1339,9 @@ object ManifestSink extends Ingest.DestinationSink {
   private def mustMatch(pred: SkipPredicate, st: ColStats): Boolean = {
     def noNulls = st.nulls == 0 && st.rows >= 0
     pred match {
-      // cross-column conjunctions go through mustMatchFile; answering
+      // cross-column combinations go through mustMatchFile; answering
       // one here against a single column's stats would be wrong
-      case SkipPredicate.And(_) => false
+      case SkipPredicate.And(_) | SkipPredicate.Or(_) => false
       case SkipPredicate.NumRange(_, lo, hi) =>
         st.kind == "num" && noNulls && ((st.min, st.max) match {
           case (Some(mn), Some(mx)) =>
@@ -1356,6 +1370,8 @@ object ManifestSink extends Ingest.DestinationSink {
       t: String, pred: SkipPredicate): Boolean = pred match {
     case SkipPredicate.And(ps) =>
       ps.forall(p => mustMatchFile(stats, t, p))
+    case SkipPredicate.Or(ps) =>
+      ps.exists(p => mustMatchFile(stats, t, p))
     case p => stats.get((t, p.column)).exists(st => mustMatch(p, st))
   }
 
@@ -1366,6 +1382,7 @@ object ManifestSink extends Ingest.DestinationSink {
   private def mayMatchFile(stats: Map[(String, String), ColStats],
       t: String, pred: SkipPredicate): Boolean = pred match {
     case SkipPredicate.And(ps) => ps.forall(p => mayMatchFile(stats, t, p))
+    case SkipPredicate.Or(ps)  => ps.exists(p => mayMatchFile(stats, t, p))
     case p => stats.get((t, p.column)) match {
       case Some(st) => mayMatch(p, st)
       case None     => true
@@ -1384,6 +1401,7 @@ object ManifestSink extends Ingest.DestinationSink {
       case SkipPredicate.And(ps) =>
         ps.forall(p => mayMatch(p, st)) // same-column conjunction;
       // cross-column goes through mayMatchFile
+      case SkipPredicate.Or(ps) => ps.exists(p => mayMatch(p, st))
       case SkipPredicate.NumRange(_, lo, hi) =>
         if (st.kind != "num") true
         else (st.min, st.max) match {
@@ -1423,6 +1441,7 @@ object ManifestSink extends Ingest.DestinationSink {
     case SkipPredicate.IsNull(c) => col(c).isNull
     case SkipPredicate.IsNotNull(c) => col(c).isNotNull
     case SkipPredicate.And(ps) => ps.map(residual).reduce(_ && _)
+    case SkipPredicate.Or(ps) => ps.map(residual).reduce(_ || _)
   }
 
   /** [[append]] that also records per-file min/max for `statsCols` in the

@@ -2647,6 +2647,21 @@ class ManifestSinkSpec extends SparkSpec {
       StrEq("key", "k9999")).count() == 0)
     assert(ManifestSink.countWhere(spark, dest,
       StrEq("key", "k123")) == 1L)
+    // IN-list: ONE read pruned to the union of per-value verdicts
+    val inHit = ManifestSink.readBackWherePred(spark, dest,
+      ManifestSink.SkipPredicate.StrIn("key",
+        Seq("k123", "k200", "k9999")))
+    assert(inHit.select("id").as[Long].collect().toSet ==
+      Set(123L, 200L))
+    assert(inHit.inputFiles.length <= 3)
+    assert(ManifestSink.countWhere(spark, dest,
+      ManifestSink.SkipPredicate.StrIn("key",
+        Seq("k123", "k200", "k9999"))) == 2L)
+    // Or over ranges still reads the union of both slabs' files
+    assert(ManifestSink.readBackWherePred(spark, dest,
+      ManifestSink.SkipPredicate.Or(Seq(
+        NumRange("id", 0, 4), NumRange("id", 395, 399))))
+      .count() == 10)
 
     // optimize concatenates per partition dir: the packed file's bloom
     // is the bitwise OR of its inputs' — still pure metadata
