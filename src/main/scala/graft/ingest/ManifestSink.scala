@@ -1697,6 +1697,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsByTgt: Map[String, Map[String, ColStats]] =
       fileStatsOf(fs, old).groupBy(_._1._1)
         .map { case (t, m) => t -> m.map { case ((_, c), st) => c -> st } }
+    val bloomsOld = fileBloomsOf(fs, old)
 
     val (packed, packedStats): (Seq[String], Seq[String]) =
       if (sortKeys.isEmpty) {
@@ -1838,7 +1839,18 @@ object ManifestSink extends Ingest.DestinationSink {
               .sortBy(_._1)
               .map { case (c, st) => statsLine(target, c, st) }
           }
-          (unitMoves, unitStats)
+          // point-lookup pruning survives the re-sort: rebuild blooms
+          // from the STAGED data for every column any input indexed
+          // (a fresh build is exact for the new row layout)
+          val unitBloomCols = rels.flatMap(r =>
+            bloomsOld.keys.filter(_._1 == r).map(_._2))
+            .distinct.sorted.filter(union.columns.contains)
+          val unitBlooms =
+            if (unitBloomCols.isEmpty) Nil
+            else bloomLinesFor(spark, fs, unitOut,
+              unitMoves.map { case (p, t) => p.getName -> t }.toMap,
+              unitBloomCols, DefaultBloomBits)
+          (unitMoves, unitStats ++ unitBlooms)
         }
         val unitResults: Seq[(Seq[(Path, String)], Seq[String])] =
           if (bins.length <= 1) bins.zipWithIndex.map {
@@ -1885,8 +1897,8 @@ object ManifestSink extends Ingest.DestinationSink {
     // file's filter is the bitwise OR of its inputs' (same m, k — the
     // union's bloom IS the OR; dv'd inputs only leave stale bits,
     // which is the conservative direction). Sort-compaction re-splits
-    // rows across files, so its outputs drop their lines instead.
-    val bloomsOld = fileBloomsOf(fs, old)
+    // rows across files, so its units REBUILD filters from the staged
+    // data instead (inside processUnit).
     val carriedBlooms =
       bloomCarryLines(fs, old, targets.filterNot(repacked))
     val packedBlooms: Seq[String] =

@@ -2725,6 +2725,25 @@ class ManifestSinkSpec extends SparkSpec {
       Seq((1001L, "NEW")).toDF("id", "v"), "id",
       statsCols = Seq("id")) == ((0L, 1L)))
     assert(ManifestSink.readBack(spark, destM).count() == 401)
+
+    // sort-compaction REBUILDS filters from the staged data: cluster
+    // by a column uncorrelated with the key, so key stats cannot
+    // prune but the fresh per-output-file blooms do
+    val destZ = s"$root/wh/tz"
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        (0L until 400L).filter(_ % 4 == b)
+          .map(i => (i, s"k$i", i % 7)).toDF("id", "key", "grp")
+          .coalesce(1),
+        destZ, None, Seq("grp"), bloomCols = Seq("key"))
+    assert(ManifestSink.optimize(spark, destZ, targetBytes = 4096,
+      clusterBy = Seq("grp")) > 0L)
+    assert(ManifestSink.readBack(spark, destZ).count() == 400)
+    assert(ManifestSink.readBack(spark, destZ).inputFiles.length > 1)
+    val zHit = ManifestSink.readBackWherePred(spark, destZ,
+      StrEq("key", "k123"))
+    assert(zHit.select("id").as[Long].collect().toSeq == Seq(123L))
+    assert(zHit.inputFiles.length == 1)
   }
 
   test("commit coordinator: two instances (two processes) racing the " +
