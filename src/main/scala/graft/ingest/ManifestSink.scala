@@ -131,6 +131,17 @@ object ManifestSink extends Ingest.DestinationSink {
       val in = fs.open(mf)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
+      // every append's replay check walks the log through here, so the
+      // protocol gate covers WRITERS too (and recover): committing
+      // alongside a future-format manifest could violate invariants
+      // this writer has never heard of
+      lines.find(_.startsWith("protocol\t")).foreach { l =>
+        val v = l.substring(9).trim.toLong
+        require(v <= SupportedProtocol,
+          s"[graft] manifest $mf requires protocol v$v; this writer " +
+            s"supports <= v$SupportedProtocol — upgrade before " +
+            "touching this table")
+      }
       lines.collectFirst {
         case l if l.startsWith("writeid\t") => l.substring(8)
       }.getOrElse(fromName)
@@ -143,12 +154,26 @@ object ManifestSink extends Ingest.DestinationSink {
     * incremental manifests ([[readVersion]]). [[compact]] and
     * [[optimize]] write snapshots; appends never do.
     */
+  /** Highest manifest format this reader understands. Manifests carry
+    * no `protocol` line at v1 (absence = 1); a FUTURE writer that
+    * changes line semantics writes `protocol\t<N>` and every reader
+    * path refuses rather than misread — Delta's reader-version gate.
+    */
+  private[graft] val SupportedProtocol = 1L
+
   private def readManifest(fs: FileSystem, mf: Path)
       : (Seq[String], Seq[String], Boolean) = {
     val in = fs.open(mf)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
+    lines.find(_.startsWith("protocol\t")).foreach { l =>
+      val v = l.substring(9).trim.toLong
+      require(v <= SupportedProtocol,
+        s"[graft] manifest $mf requires protocol v$v; this reader " +
+          s"supports <= v$SupportedProtocol — upgrade before touching " +
+          "this table")
+    }
     (lines.collect { case l if l.startsWith("uri\t") => l.substring(4) },
       lines.collect { case l if l.startsWith("target\t") => l.substring(7) },
       lines.exists(_.startsWith("snapshot\t")))

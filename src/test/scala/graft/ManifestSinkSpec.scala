@@ -2500,6 +2500,26 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.detail(spark, s"$root/none").isEmpty)
   }
 
+  test("protocol gate: a manifest from a future format version " +
+      "refuses every reader and writer path instead of misreading") {
+    val root = tmpDir("msinkproto_")
+    val dest = s"$root/wh/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("id", "v"), dest, None)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dest/_log/000000000001.manifest"),
+      "writeid\tfuture\nprotocol\t99\ntarget\tnope.parquet")
+    val err = intercept[IllegalArgumentException] {
+      ManifestSink.readBack(spark, dest).count()
+    }
+    assert(err.getMessage.contains("protocol v99"))
+    intercept[IllegalArgumentException] {
+      ManifestSink.history(spark, dest).count()
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSink.append(Seq((2L, "b")).toDF("id", "v"), dest, None)
+    }
+  }
+
   test("show partitions: per-partition file and row counts from " +
       "manifests alone — dv-exact, drop-aware") {
     def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
