@@ -887,6 +887,15 @@ object Stress {
       println(f"STRESS bloom_lookup_x10         " +
         f"${(System.nanoTime() - t1) / 1e9}%8.2f s  hits=$hits " +
         "(bloom-pruned, ~1 file each)")
+      // the same 10 keys as ONE StrIn read: one job, pruned to the
+      // union of per-key bloom verdicts
+      val tIn = System.nanoTime()
+      val hitsIn = ManifestSink.readBackWherePred(spark, dest,
+        ManifestSink.SkipPredicate.StrIn("doc_id", keys)).count()
+      println(f"STRESS bloom_lookup_in10        " +
+        f"${(System.nanoTime() - tIn) / 1e9}%8.2f s  hits=$hitsIn " +
+        "(one IN-list read)")
+      require(hitsIn == hits)
       val t2 = System.nanoTime()
       val hits2 = keys.map(k => ManifestSink.readBackWhere(spark, dest,
         "doc_id", k.toDouble, k.toDouble).count()).sum
