@@ -55,14 +55,37 @@ final class FsCommitCoordinator extends CommitCoordinator {
         fs.makeQualified(tmp).toUri.getPath)
       val finNio = java.nio.file.Paths.get(
         fs.makeQualified(fin).toUri.getPath)
+      // Claim the slot with a HARD LINK: link(2) is atomic, fails with
+      // EEXIST if the slot is taken, and — critically — `fin` appears
+      // with `tmp`'s COMPLETE content in one step. A CREATE_NEW byte
+      // copy claims atomically but fills `fin` incrementally, so a
+      // concurrent reader (readers hold no lock) could parse a
+      // truncated manifest, miss target lines, and commit a snapshot
+      // without them — silent data loss once vacuum runs. Manifests
+      // can be MBs (base64 bloom lines), so that torn-read window is
+      // real, not theoretical.
       try {
-        val bytes = java.nio.file.Files.readAllBytes(tmpNio)
-        java.nio.file.Files.write(finNio, bytes,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+        java.nio.file.Files.createLink(finNio, tmpNio)
         java.nio.file.Files.delete(tmpNio)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException |
+            _: java.nio.file.FileSystemException =>
+          // FS without hard links (rare for scheme=file; surfaces as
+          // either exception type depending on the mount): degrade to
+          // the CREATE_NEW byte copy — still an atomic CLAIM
+          // (open(O_CREAT|O_EXCL)), re-opening the (tiny on such FSs)
+          // torn-read window as the best available trade.
+          try {
+            val bytes = java.nio.file.Files.readAllBytes(tmpNio)
+            java.nio.file.Files.write(finNio, bytes,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            java.nio.file.Files.delete(tmpNio)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
       }
     } else {
       // HDFS contract: rename to an existing destination FAILS (returns

@@ -477,9 +477,20 @@ object ManifestSink extends Ingest.DestinationSink {
     val tmp = new Path(lp, s".tmp_restore_$newV")
     writeFile(fs, tmp, body)
     val fin = new Path(lp, f"$newV%012d.manifest")
-    commitLock(fs, destPath).synchronized {
-      require(coordinator.putIfAbsent(fs, tmp, fin),
-        s"[graft] restore commit failed: $fin already exists?")
+    val won = commitLock(fs, destPath).synchronized {
+      coordinator.putIfAbsent(fs, tmp, fin)
+    }
+    if (!won) {
+      // lost the version slot to a concurrent writer: clean up the
+      // staged tmp (mirroring commitSnapshot's abort path — the old
+      // require() stranded it in the log dir) and retry the WHOLE
+      // operation at the advanced head. Full re-validation matters:
+      // the intervening commit could be a compact that destroyed the
+      // history this restore needs, and the retry must refuse then.
+      fs.delete(tmp, false)
+      println(s"METRIC graft.restore.slot_lost=1 retry_at_head " +
+        s"dest=$destPath")
+      return restore(spark, destPath, version)
     }
     println(s"METRIC graft.restore.to_version=$version " +
       s"new_version=$newV files=${targets.length} dest=$destPath")
@@ -2204,6 +2215,24 @@ object ManifestSink extends Ingest.DestinationSink {
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
     if (targets.isEmpty) return 0L
+    // A partitioned destination stores the partition column in the
+    // DIRECTORY NAME, not the data files — candidate files here are
+    // read individually (no basePath), so updated rows written without
+    // `partitionField` would land at the table root with their
+    // partition value silently GONE (reads back as null, changing
+    // partition-filtered results). Refuse loudly instead: the caller
+    // must name the source column the partition re-derives from, the
+    // same contract as [[mergeInto]].
+    if (partitionField.isEmpty) {
+      val partitioned = targets.find(_.split('/').init.exists(seg =>
+        seg.contains('=')))
+      require(partitioned.isEmpty,
+        s"[graft] updateWhereMor: $destPath is partitioned (e.g. " +
+          s"'${partitioned.get}') — pass partitionField so updated " +
+          "rows keep their partition values; without it they would " +
+          "rewrite unpartitioned and read back with a null partition " +
+          "column")
+    }
     val stats = fileStatsOf(fs, old)
     val dvs = effectiveDvsOf(fs, old)
     val (candidates, m, colLabel) = pred match {

@@ -817,31 +817,67 @@ object StreamingIngest {
     * Scale shape: a poll is O(surviving manifests) driver metadata +
     * exactly the NEW files' bytes — never a table scan, never a diff.
     */
-  def changesStream(spark: SparkSession, destPath: String,
-      checkpointDir: String)
-      (process: (DataFrame, Long) => Unit): Seq[Long] = {
-    val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir,
-      "last_version")
-    val fs = ckptPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    def readCkpt(): Long =
-      if (!fs.exists(ckptPath)) -1L
+  /** Durable last-emitted-version checkpoint for the CDC tails. Each
+    * advance WRITES A NEW FILE `last_version.<v>` — no rename, no
+    * delete-then-replace — and readers take the max suffix, so a crash
+    * at ANY instruction leaves a valid checkpoint: either only the old
+    * file (replay one version — the documented at-least-once-per-
+    * version window) or both (max wins, exactly-once). The former
+    * delete-then-rename pair had a window with NO checkpoint at all —
+    * a crash inside it replayed the ENTIRE surviving history on
+    * restart — and its fixed `.last_version_tmp` name raced two tails
+    * sharing a checkpointDir. Versioned names have neither problem:
+    * concurrent tails write byte-identical content per version. Old
+    * versions are swept best-effort after each advance; the legacy
+    * single `last_version` file is still read for pre-existing
+    * checkpoints.
+    */
+  private def readVersionCkpt(fs: org.apache.hadoop.fs.FileSystem,
+      checkpointDir: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    if (!fs.exists(dir)) return -1L
+    val versioned = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("last_version."))
+      .flatMap(n => n.stripPrefix("last_version.").toLongOption)
+    if (versioned.nonEmpty) versioned.max
+    else {
+      val legacy = new org.apache.hadoop.fs.Path(dir, "last_version")
+      if (!fs.exists(legacy)) -1L
       else {
-        val in = fs.open(ckptPath)
+        val in = fs.open(legacy)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           .trim.toLong
         finally in.close()
       }
-    def writeCkpt(v: Long): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(checkpointDir,
-        s".last_version_tmp")
-      fs.mkdirs(new org.apache.hadoop.fs.Path(checkpointDir))
-      val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(ckptPath)) fs.delete(ckptPath, false)
-      require(fs.rename(tmp, ckptPath),
-        s"[graft] changesStream: checkpoint write failed at $ckptPath")
     }
+  }
+
+  private def writeVersionCkpt(fs: org.apache.hadoop.fs.FileSystem,
+      checkpointDir: String, v: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    fs.mkdirs(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, s"last_version.$v")
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // sweep superseded checkpoints (and the legacy file) best-effort —
+    // a failure here costs one extra file, never correctness
+    try {
+      fs.listStatus(dir).map(_.getPath).foreach { old =>
+        val n = old.getName
+        val isOlder = n.startsWith("last_version.") &&
+          n.stripPrefix("last_version.").toLongOption.exists(_ < v)
+        if (isOlder || n == "last_version") fs.delete(old, false)
+      }
+    } catch { case _: Exception => () }
+  }
+
+  def changesStream(spark: SparkSession, destPath: String,
+      checkpointDir: String)
+      (process: (DataFrame, Long) => Unit): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(checkpointDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readCkpt(): Long = readVersionCkpt(fs, checkpointDir)
+    def writeCkpt(v: Long): Unit = writeVersionCkpt(fs, checkpointDir, v)
     val since = readCkpt()
     val (feed, head) =
       graft.ingest.ManifestSink.appendFeed(spark, destPath, since)
@@ -874,29 +910,10 @@ object StreamingIngest {
   def changeFeedStream(spark: SparkSession, destPath: String,
       checkpointDir: String)
       (process: (DataFrame, Long) => Unit): Seq[Long] = {
-    val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir,
-      "last_version")
-    val fs = ckptPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    def readCkpt(): Long =
-      if (!fs.exists(ckptPath)) -1L
-      else {
-        val in = fs.open(ckptPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          .trim.toLong
-        finally in.close()
-      }
-    def writeCkpt(v: Long): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(checkpointDir,
-        s".last_version_tmp")
-      fs.mkdirs(new org.apache.hadoop.fs.Path(checkpointDir))
-      val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(ckptPath)) fs.delete(ckptPath, false)
-      require(fs.rename(tmp, ckptPath),
-        s"[graft] changeFeedStream: checkpoint write failed at " +
-          s"$ckptPath")
-    }
+    val fs = new org.apache.hadoop.fs.Path(checkpointDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readCkpt(): Long = readVersionCkpt(fs, checkpointDir)
+    def writeCkpt(v: Long): Unit = writeVersionCkpt(fs, checkpointDir, v)
     val since = readCkpt()
     val (feed, head) =
       graft.ingest.ManifestSink.changeFeed(spark, destPath, since)

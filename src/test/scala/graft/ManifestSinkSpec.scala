@@ -2872,4 +2872,145 @@ class ManifestSinkSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dest, moved)))
     assert(ManifestSink.readBack(spark, dest).count() == 2)
   }
+
+  test("commit coordinator: a manifest is NEVER visible with partial " +
+      "content — a concurrent lock-free reader polling the log sees " +
+      "each committed file complete at first sight (MB-sized bodies)") {
+    import graft.ingest.FsCommitCoordinator
+    val root = tmpDir("msinktorn_")
+    val logDir = new java.io.File(s"$root/_log"); logDir.mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val coord = new FsCommitCoordinator
+    // ~2 MB body per manifest (the base64-bloom-line shape) widens any
+    // torn-read window enough for the poller to catch an incremental
+    // fill; the hard-link publish leaves no window at all
+    val chunk = "x" * 1024
+    val commits = 20
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val fsList = Option(logDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .filter(_.getName.endsWith(".manifest"))
+        fsList.foreach { f =>
+          if (!seen.contains(f.getName)) {
+            val body = new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            // first observation must already be the COMPLETE body:
+            // header line + 2048 chunk lines + terminator
+            if (!(body.startsWith("writeid\t") &&
+                body.endsWith("END") &&
+                body.linesIterator.length == 2050))
+              torn.incrementAndGet()
+            seen.add(f.getName)
+          }
+        }
+      }
+    })
+    reader.start()
+    for (v <- 0 until commits) {
+      val body = (Seq(s"writeid\tw$v") ++
+        Seq.fill(2048)(chunk) :+ "END").mkString("\n")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_log/.tmp_$v")
+      val out = fs.create(tmp, true)
+      out.write(body.getBytes("UTF-8")); out.close()
+      val fin = new org.apache.hadoop.fs.Path(
+        f"$root/_log/$v%012d.manifest")
+      assert(coord.putIfAbsent(fs, tmp, fin))
+    }
+    // let the poller observe the tail, then stop
+    val deadline = System.currentTimeMillis() + 5000
+    while (seen.size() < commits &&
+      System.currentTimeMillis() < deadline) Thread.sleep(10)
+    stop.set(true); reader.join()
+    assert(seen.size() == commits)
+    assert(torn.get() == 0,
+      s"reader observed ${torn.get()} torn manifest(s)")
+  }
+
+  test("restore: losing the version slot to a concurrent writer " +
+      "retries at the advanced head and leaves no orphan tmp in the " +
+      "log dir") {
+    val root = tmpDir("msinkrestrace_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 2)
+      ManifestSink.append(
+        Seq((b.toLong, s"v$b")).toDF("id", "v").coalesce(1), dest, None)
+    ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 1, 1))
+    assert(ManifestSink.readBack(spark, dest).count() == 1)
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // competing process: steals the restore's first version slot by
+    // committing a (valid, empty) append manifest there just before
+    // the restore's claim — the coordinator seam is exactly where two
+    // processes interleave
+    val inner = ManifestSink.coordinator
+    val stole = new java.util.concurrent.atomic.AtomicBoolean(false)
+    ManifestSink.coordinator = new graft.ingest.CommitCoordinator {
+      override def putIfAbsent(fsArg: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          fin: org.apache.hadoop.fs.Path): Boolean = {
+        if (tmp.getName.startsWith(".tmp_restore_") &&
+            stole.compareAndSet(false, true)) {
+          val steal = new org.apache.hadoop.fs.Path(
+            fin.getParent, ".tmp_steal")
+          val out = fsArg.create(steal, true)
+          out.write("writeid\tcompeting".getBytes("UTF-8")); out.close()
+          assert(inner.putIfAbsent(fsArg, steal, fin))
+        }
+        inner.putIfAbsent(fsArg, tmp, fin)
+      }
+    }
+    try {
+      val v1 = ManifestSink.readVersion(spark, dest, 1L)
+        .orderBy("id").collect().toSeq
+      val newV = ManifestSink.restore(spark, dest, 1L)
+      // head was 2; the thief took 3; the restore retried and won 4
+      assert(newV == 4L)
+      assert(ManifestSink.readBack(spark, dest)
+        .orderBy("id").collect().toSeq == v1)
+    } finally ManifestSink.coordinator = inner
+    // the lost attempt's tmp was cleaned up, not stranded
+    val logFiles = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dest/_log")).map(_.getPath.getName)
+    assert(!logFiles.exists(_.startsWith(".tmp_")),
+      s"orphan tmp in log dir: ${logFiles.mkString(",")}")
+  }
+
+  test("updateWhereMor: a partitioned destination without " +
+      "partitionField refuses loudly (silent partition loss), and " +
+      "with partitionField the update keeps partition values") {
+    val root = tmpDir("msinkmorpart_")
+    val dest = s"$root/wh/t"
+    val df = Seq(
+      (1L, "2024-01-01T10:00:00", "a"),
+      (2L, "2024-01-02T10:00:00", "b"),
+      (3L, "2024-01-02T11:00:00", "c"))
+      .toDF("id", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    ManifestSink.statsAppend(df.coalesce(1), dest, Some("ts"),
+      statsCols = Seq("id"))
+    val ex = intercept[IllegalArgumentException] {
+      ManifestSink.updateWhereMor(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("id", 2, 2),
+        Map("v" -> lit("B")))
+    }
+    assert(ex.getMessage.contains("partitioned"))
+    // with partitionField: update lands, partition value survives
+    val n = ManifestSink.updateWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 2, 2),
+      Map("v" -> lit("B")), partitionField = Some("ts"))
+    assert(n == 1L)
+    val back = ManifestSink.readBack(spark, dest).orderBy("id")
+    assert(back.where(col("id") === 2L).select("v")
+      .as[String].head() == "B")
+    // the partition column still reads its derived value, not null
+    val pcol = back.columns.find(_ == graft.ingest.Ingest.PartitionCol)
+    assert(pcol.nonEmpty)
+    assert(back.where(col(graft.ingest.Ingest.PartitionCol).isNull)
+      .count() == 0)
+  }
 }

@@ -1093,6 +1093,74 @@ class StreamingIngestSpec extends SparkSpec {
     assert(err2.getMessage.contains("compacted away"))
   }
 
+  test("CDC tail checkpoints are versioned files — a crash at any " +
+      "point leaves a valid resume point (never the no-checkpoint " +
+      "window of delete-then-rename), stale+new pairs resolve to max, " +
+      "and legacy single-file checkpoints still read") {
+    import spark.implicits._
+    val root = tmpDir("cdcckpt_")
+    val dest = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    for (b <- 0 until 3)
+      ManifestSink.append(
+        Seq((b.toLong, s"b$b")).toDF("id", "v"), dest, None)
+    var emitted = Seq.empty[Long]
+    StreamingIngest.changesStream(spark, dest, ckpt) { (_, v) =>
+      emitted :+= v
+    }
+    assert(emitted == Seq(0L, 1L, 2L))
+    // layout: the durable state is ONE versioned file per advance —
+    // after the drain exactly the newest survives, and at no point did
+    // an advance pass through a checkpoint-less window (each version's
+    // file is created BEFORE older ones are swept)
+    val files = new java.io.File(ckpt).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq
+    assert(files == Seq("last_version.2"), files.toString)
+
+    // crash shape: the sweep died before removing the superseded file
+    // — both coexist; the reader takes the max, so nothing replays
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$ckpt/last_version.1"), "1")
+    emitted = Seq.empty
+    StreamingIngest.changesStream(spark, dest, ckpt) { (_, v) =>
+      emitted :+= v
+    }
+    assert(emitted.isEmpty)
+
+    // legacy checkpoint (pre-versioned layout): read as the floor and
+    // upgraded to a versioned file on the next advance
+    val legacyDir = s"$root/ckpt_legacy"
+    new java.io.File(legacyDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$legacyDir/last_version"), "1")
+    emitted = Seq.empty
+    StreamingIngest.changesStream(spark, dest, legacyDir) { (_, v) =>
+      emitted :+= v
+    }
+    assert(emitted == Seq(2L))
+    val upgraded = new java.io.File(legacyDir).listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSeq.sorted
+    assert(upgraded == Seq("last_version.2"), upgraded.toString)
+
+    // two tails sharing one checkpointDir: no fixed tmp name to race —
+    // interleaved drains never lose or double-emit (same durable max)
+    ManifestSink.append(Seq((9L, "b3")).toDF("id", "v"), dest, None)
+    val seenA = scala.collection.mutable.ArrayBuffer[Long]()
+    val seenB = scala.collection.mutable.ArrayBuffer[Long]()
+    val tA = new Thread(() => StreamingIngest.changesStream(
+      spark, dest, ckpt) { (_, v) => seenA += v })
+    val tB = new Thread(() => StreamingIngest.changesStream(
+      spark, dest, ckpt) { (_, v) => seenB += v })
+    tA.start(); tB.start(); tA.join(); tB.join()
+    // at least one tail saw v3; a racing pair may both see it (the
+    // documented at-least-once-per-version window) but neither can
+    // skip it or regress the checkpoint
+    assert((seenA ++ seenB).toSet == Set(3L))
+    val after = new java.io.File(ckpt).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq
+    assert(after.contains("last_version.3"))
+  }
+
   test("medallion pipeline: upsertStream(mor = true) keeps bronze a " +
       "pure append+dv log, changeFeedStream maintains a silver " +
       "aggregate from signed deltas that equals recomputing from " +
