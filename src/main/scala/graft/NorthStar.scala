@@ -1020,6 +1020,40 @@ object NorthStar {
     // the q138 mor CDC sequence. The oracle aggregates the FINAL state
     // directly — the two agree only if the feed's decomposition is
     // row-exact (every pre-image right, nothing dropped or doubled).
+    // SQL SURFACE capstone — the table queried THROUGH `spark.sql`
+    // over the graft DataSource (`CREATE TABLE ... USING graft`):
+    // committed-snapshot cut, live deletion vectors, and manifest
+    // stats skipping all arrive via the source's FileIndex/FileFormat,
+    // so a SQL/BI client needs no Scala API — the reference's "query
+    // the warehouse normally" surface (readme.md:38-46). Ranged files
+    // make the WHERE a file-pruning metadata decision (the plan gate
+    // pins the pushed scan); the scattered MOR delete leaves live
+    // tombstones in EVERY file that the SQL scan must honor.
+    "q145_sql_table" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q145_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id"))
+      ManifestSink.deleteWhereExprMor(s, tmp,
+        pmod(col("event_id"), lit(9L)) === 0)
+      val tbl = "graft_q145_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS n,
+              CAST(sum(event_id) AS BIGINT) AS sum_id,
+              round(sum(value), 4) AS sum_val
+            FROM $tbl WHERE event_id < ${4 * n / 8}
+            GROUP BY event_type ORDER BY event_type""")
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }),
+
     "q144_incremental_agg" -> ((s, dir) => {
       import graft.ingest.ManifestSink
       val ev = SparkEntry.events(s, dir)
@@ -3301,6 +3335,14 @@ object NorthStar {
     "q141_bloom_lookup" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (3, 17, 29, 41, 53) ORDER BY doc_id""",
+    "q145_sql_table" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 4) AS sum_val
+         FROM events, b
+         WHERE event_id < 4 * nid // 8 AND event_id % 9 <> 0
+         GROUP BY event_type ORDER BY event_type""",
     "q140_mor_update" ->
       """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
          t AS (SELECT event_id, event_type,

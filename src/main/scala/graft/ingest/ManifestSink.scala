@@ -353,6 +353,70 @@ object ManifestSink extends Ingest.DestinationSink {
     }
   }
 
+  /** Read-path seam for [[graft.sources.GraftDataSource]]: ONE log
+    * resolution captured as an immutable handle — committed file set,
+    * effective deletion vectors, and a skip-pruning closure over the
+    * stats + bloom metadata — so the SQL surface consumes exactly the
+    * snapshot cut every Scala-side read uses, through one listing.
+    */
+  private[graft] final class SnapshotHandle(
+      fs: FileSystem, val destPath: String, mfs: Seq[Path]) {
+    /** Resolved head version of this snapshot (max surviving ≤ cut). */
+    val version: Long =
+      mfs.map(_.getName.takeWhile(_.isDigit).toLong).maxOption
+        .getOrElse(-1L)
+    val targets: Seq[String] = effectiveTargetsOf(fs, mfs)
+    lazy val dvs: Map[String, Seq[(String, Long)]] =
+      effectiveDvsOf(fs, mfs)
+    private lazy val stats = fileStatsOf(fs, mfs)
+    private lazy val blooms = fileBloomsOf(fs, mfs)
+    private lazy val posC = bloomPosCache()
+    /** Files (from `from`) that may contain a row matching `pred` per
+      * the manifest stats and bloom filters — the [[readBackWherePred]]
+      * decision, exposed for filter-pushdown listing.
+      */
+    def prune(from: Seq[String], pred: SkipPredicate): Seq[String] =
+      from.filter(t => mayMatchFile(stats, t, pred) &&
+        bloomMayMatchFile(blooms, posC, t, pred))
+  }
+
+  /** Resolve a [[SnapshotHandle]] at the head, at `versionAsOf`, or at
+    * `timestampAsOf` (manifest mtimes, the [[readAsOf]] contract) —
+    * with the same compacted-away guards as the Scala read paths.
+    */
+  private[graft] def snapshotHandle(spark: SparkSession,
+      destPath: String, versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): SnapshotHandle = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val all = manifests(fs, destPath)
+    val cut = (versionAsOf, timestampAsOf) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "[graft] snapshotHandle: versionAsOf and timestampAsOf are " +
+          "mutually exclusive")
+      case (Some(v), None) =>
+        if (all.nonEmpty) {
+          val minV = all.map(_.getName.takeWhile(_.isDigit).toLong).min
+          require(v >= minV,
+            s"[graft] versionAsOf($v): history before v$minV was " +
+              s"compacted away; earliest readable snapshot is v$minV")
+        }
+        v
+      case (None, Some(ts)) =>
+        val stamped = all.map(p =>
+          (p.getName.takeWhile(_.isDigit).toLong,
+            fs.getFileStatus(p).getModificationTime))
+        stamped.filter(_._2 <= ts).map(_._1).maxOption.getOrElse {
+          throw new IllegalArgumentException(
+            s"[graft] timestampAsOf($ts): every surviving commit is " +
+              "later — older history (if any) was compacted away")
+        }
+      case (None, None) => Long.MaxValue
+    }
+    new SnapshotHandle(fs, destPath,
+      all.filter(_.getName.takeWhile(_.isDigit).toLong <= cut))
+  }
+
   /** The CDC tail's one-poll feed: every APPEND version in
     * `(sinceVersion, head]`, in commit order, as `(version, thunk)` —
     * the thunk reads exactly that version's own target files. LAYOUT
