@@ -861,6 +861,109 @@ object Stress {
         f"${(System.nanoTime() - t5) / 1e9}%8.2f s  rows=$nOpt")
       require(nOpt == nMor)
     }
+    // Purge ladder: a CONCENTRATED mor delete guts 5 of 50 files (60%
+    // of their rows); purge(0.9) must rewrite exactly those 5 —
+    // restoring the plain-scan read — while the other 45 files keep
+    // their bytes. The contrast is the full-table optimize, which
+    // repacks everything to achieve the same read cost.
+    if (enabled("purge_ladder")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_purge_").toString
+      val batches = 50
+      val per = (nDocs0 * repl) / batches
+      def build(dest: String): Unit =
+        (0 until batches).foreach { b =>
+          ManifestSink.statsAppend(
+            docs.filter(col("doc_id") >= b * per &&
+              col("doc_id") < (b + 1) * per), dest, None, Seq("doc_id"))
+        }
+      val destP = s"$root/p"; val destO = s"$root/o"
+      build(destP); build(destO)
+      val slab = col("doc_id") >= 7 * per && col("doc_id") < 12 * per &&
+        pmod(col("doc_id"), lit(5L)) < 3
+      val goneP = ManifestSink.deleteWhereExprMor(spark, destP, slab)
+      val goneO = ManifestSink.deleteWhereExprMor(spark, destO, slab)
+      require(goneP == goneO)
+      val t0 = System.nanoTime()
+      val nDv = ManifestSink.readBack(spark, destP).count()
+      println(f"STRESS purge_ladder_dv_read     " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$nDv " +
+        "(tombstone anti-join on every read)")
+      val t1 = System.nanoTime()
+      val purged = ManifestSink.purge(spark, destP, 0.9)
+      println(f"STRESS purge_ladder_purge       " +
+        f"${(System.nanoTime() - t1) / 1e9}%8.2f s  files=$purged of " +
+        f"$batches (only the gutted files rewrite)")
+      val t2 = System.nanoTime()
+      val nP = ManifestSink.readBack(spark, destP).count()
+      println(f"STRESS purge_ladder_read_after  " +
+        f"${(System.nanoTime() - t2) / 1e9}%8.2f s  rows=$nP " +
+        "(plain scan restored)")
+      require(nP == nDv)
+      val t3 = System.nanoTime()
+      ManifestSink.optimize(spark, destO, targetBytes = 1L << 30)
+      println(f"STRESS purge_ladder_optimize    " +
+        f"${(System.nanoTime() - t3) / 1e9}%8.2f s  (the full-repack " +
+        "alternative, same read restoration)")
+      require(ManifestSink.readBack(spark, destO).count() == nP)
+    }
+    // Checkpoint-resolve ladder: a minute-cadence streaming table
+    // reaches hundreds of retained versions; every operation's driver
+    // cost starts with resolving the log. Without a checkpoint a COLD
+    // driver opens O(versions) manifests per operation (the cache only
+    // helps repeats within one driver); with the summary it opens
+    // O(tail). History stays fully retained — unlike compact, time
+    // travel to v1 still works after checkpointing.
+    if (enabled("ckpt_resolve")) {
+      val saved = ManifestSink.checkpointInterval
+      ManifestSink.checkpointInterval = 0
+      try {
+        val root = java.nio.file.Files
+          .createTempDirectory("stress_ckpt_").toString
+        val dest = s"$root/t"
+        val one = spark.range(1).select(col("id").as("doc_id"),
+          lit("x").as("text"))
+        def coldResolveSecs(reps: Int): Double = {
+          val t0 = System.nanoTime()
+          (0 until reps).foreach { _ =>
+            ManifestSink.invalidateMfCache()
+            ManifestSink.metadataCount(spark, dest)
+          }
+          (System.nanoTime() - t0) / 1e9 / reps
+        }
+        def grow(to: Int, from: Int): Unit =
+          (from until to).foreach { i =>
+            ManifestSink.statsAppend(
+              one.select((col("doc_id") + i).as("doc_id"), col("text")),
+              dest, None, Seq("doc_id"))
+          }
+        grow(120, 0)
+        val cold120 = coldResolveSecs(10)
+        grow(240, 120)
+        val cold240 = coldResolveSecs(10)
+        val th = System.nanoTime()
+        ManifestSink.invalidateMfCache()
+        val histN = ManifestSink.history(spark, dest).count()
+        val histCold = (System.nanoTime() - th) / 1e9
+        println(f"STRESS ckpt_nockpt_resolve      " +
+          f"$cold240%8.2f s  per cold op at 240 versions " +
+          f"(${cold120}%.2f s at 120 — grows with the log; " +
+          f"history($histN rows) $histCold%.2f s cold)")
+        ManifestSink.checkpoint(spark, dest)
+        val ck240 = coldResolveSecs(10)
+        grow(360, 240) // 120 more commits on top of the checkpoint
+        val ck360tail = coldResolveSecs(10)
+        ManifestSink.checkpoint(spark, dest)
+        val ck360 = coldResolveSecs(10)
+        println(f"STRESS ckpt_resolve             " +
+          f"$ck240%8.2f s  per cold op at the checkpoint " +
+          f"(${ck360tail}%.2f s with a 120-commit tail, " +
+          f"${ck360}%.2f s re-checkpointed at 360 — FLAT vs versions)")
+        // retained history: time travel below both checkpoints
+        require(ManifestSink.readVersion(spark, dest, 1).count() == 2)
+        require(ManifestSink.readBack(spark, dest).count() == 360)
+      } finally ManifestSink.checkpointInterval = saved
+    }
     // Bloom-index point-lookup ladder: doc_ids hash-scattered across 50
     // files make every file's min/max span the whole key range — the
     // stats-only equality lookup reads the table; the per-file bloom

@@ -106,13 +106,176 @@ object ManifestSink extends Ingest.DestinationSink {
   private def logPath(destPath: String): Path =
     new Path(new Path(destPath), LogDir)
 
-  /** Committed manifests in version order. */
-  private def manifests(fs: FileSystem, destPath: String): Seq[Path] = {
+  private val CkptSuffix = ".checkpoint"
+
+  /** ONE log-directory listing, split into committed manifests and
+    * checkpoint summaries, both in version order. Every resolution path
+    * derives from this single `listStatus` — on HDFS a couple of RPCs,
+    * on an object store one LIST page per thousand versions.
+    */
+  private def logListing(fs: FileSystem, destPath: String)
+      : (Seq[Path], Seq[Path]) = {
     val lp = logPath(destPath)
-    if (!fs.exists(lp)) Seq.empty
-    else fs.listStatus(lp).map(_.getPath)
-      .filter(_.getName.endsWith(".manifest"))
-      .sortBy(_.getName).toSeq
+    if (!fs.exists(lp)) (Seq.empty, Seq.empty)
+    else {
+      val all = fs.listStatus(lp).map(_.getPath)
+      (all.filter(_.getName.endsWith(".manifest")).sortBy(_.getName).toSeq,
+        all.filter(_.getName.endsWith(CkptSuffix)).sortBy(_.getName).toSeq)
+    }
+  }
+
+  /** Committed manifests in version order. */
+  private def manifests(fs: FileSystem, destPath: String): Seq[Path] =
+    logListing(fs, destPath)._1
+
+  private def vOfP(p: Path): Long = p.getName.takeWhile(_.isDigit).toLong
+
+  /** CHECKPOINT-ACCELERATED log view (Delta's `_last_checkpoint`
+    * design, discovered from the same listing instead of a pointer
+    * file): the newest checkpoint summary plus the manifests committed
+    * after it. The checkpoint file parses exactly like a snapshot
+    * manifest (`snapshot\t1` + target/stats/bloom/dv lines = the
+    * EFFECTIVE table state at its version), so every snapshot-cut
+    * helper works on this view unchanged and head-state resolution
+    * costs O(tail) manifest opens instead of O(versions) — the
+    * difference between a minute-cadence streaming table at v5000
+    * paying 5000 driver opens per micro-batch and paying ~interval.
+    * Superseded manifests are RETAINED (unlike [[compact]]), so time
+    * travel, RESTORE, history, and the change feeds — which walk the
+    * full `.manifest` listing on purpose — still reach pre-checkpoint
+    * versions.
+    */
+  private def resolvedLog(fs: FileSystem, destPath: String): Seq[Path] = {
+    val (mfs, cks) = logListing(fs, destPath)
+    if (cks.isEmpty) mfs
+    else {
+      val maxM = mfs.map(vOfP).maxOption.getOrElse(-1L)
+      // a checkpoint only summarizes COMMITTED versions, so its version
+      // always has a surviving manifest; one above the head could only
+      // arise from manual tampering — ignore it rather than misread
+      cks.filter(vOfP(_) <= maxM).maxByOption(vOfP) match {
+        case None     => mfs
+        case Some(ck) => ck +: mfs.filter(vOfP(_) > vOfP(ck))
+      }
+    }
+  }
+
+  /** One manifest (or checkpoint) body, parsed ONCE into every line
+    * group a resolution path consumes — the shared model behind
+    * [[readManifest]]/[[writeIdOf]]/[[dvLinesOf]]/… so an operation
+    * like `history` opens each manifest one time, not once per line
+    * type, and the LRU cache below makes repeat resolutions of an
+    * immutable manifest free.
+    */
+  private[graft] final case class MfData(
+      writeIdLine: Option[String], uris: Seq[String],
+      targets: Seq[String], snapshot: Boolean, layout: Boolean,
+      isRestore: Boolean, checkpointOf: Option[Long],
+      statsLines: Seq[String], bloomLines: Seq[String],
+      rawDvLines: Seq[String], dvLines: Seq[(String, String, Long)],
+      cdfLines: Seq[(String, Long)], writeIdSet: Seq[String],
+      approxBytes: Long)
+
+  private def parseMf(mf: Path, lines: Seq[String]): MfData = {
+    lines.find(_.startsWith("protocol\t")).foreach { l =>
+      val v = l.substring(9).trim.toLong
+      require(v <= SupportedProtocol,
+        s"[graft] manifest $mf requires protocol v$v; this reader " +
+          s"supports <= v$SupportedProtocol — upgrade before touching " +
+          "this table")
+    }
+    MfData(
+      writeIdLine = lines.collectFirst {
+        case l if l.startsWith("writeid\t") => l.substring(8) },
+      uris = lines.collect {
+        case l if l.startsWith("uri\t") => l.substring(4) },
+      targets = lines.collect {
+        case l if l.startsWith("target\t") => l.substring(7) },
+      snapshot = lines.exists(_.startsWith("snapshot\t")),
+      layout = lines.exists(_.startsWith("layout\t")),
+      isRestore = lines.exists(_.startsWith("restore\t")),
+      checkpointOf = lines.collectFirst {
+        case l if l.startsWith("checkpoint\t") => l.substring(11).toLong },
+      statsLines = lines.filter(l =>
+        l.startsWith("stats\t") || l.startsWith("stats2\t")),
+      bloomLines = lines.filter(l => l.startsWith("bloom\t") ||
+        l.startsWith("bloomsc\t")),
+      rawDvLines = lines.filter(_.startsWith("dv\t")),
+      dvLines = lines.flatMap { l =>
+        l.split('\t') match {
+          case Array("dv", tgt, rel, n) => Some((tgt, rel, n.toLong))
+          case _                        => None
+        }
+      },
+      cdfLines = lines.flatMap { l =>
+        l.split('\t') match {
+          case Array("cdf", rel, n) => Some((rel, n.toLong))
+          case _                    => None
+        }
+      },
+      writeIdSet = lines.collect {
+        case l if l.startsWith("writeidset\t") => l.substring(11) },
+      approxBytes = lines.map(_.length.toLong + 16).sum)
+  }
+
+  /** Byte-bounded LRU cache of parsed manifests keyed by qualified
+    * path, validated by (mtime, length): manifests are published
+    * atomically and never modified in place, but [[recover]] can roll
+    * one back and a later writer can re-claim the SAME version slot
+    * with different content — the stat check catches that. Local-fs
+    * stats go through java.nio (Hadoop's local getFileStatus forks a
+    * process for permissions, see [[listFilesRec]]).
+    */
+  private val MfCacheCapBytes = 256L << 20
+  private val mfCache =
+    new java.util.LinkedHashMap[String, (Long, Long, MfData)](
+      64, 0.75f, /*accessOrder=*/ true)
+  private var mfCacheBytes = 0L
+
+  /** Drop every cached parse — the stress harness uses this to measure
+    * COLD-driver resolution cost (a fresh driver has an empty cache;
+    * without this, repeat measurements only time cache hits).
+    */
+  private[graft] def invalidateMfCache(): Unit = mfCache.synchronized {
+    mfCache.clear(); mfCacheBytes = 0L
+  }
+
+  private def mfStat(fs: FileSystem, p: Path): (Long, Long) =
+    localRoot(fs, p) match {
+      case Some(nio) =>
+        (java.nio.file.Files.getLastModifiedTime(nio).toMillis,
+          java.nio.file.Files.size(nio))
+      case None =>
+        val st = fs.getFileStatus(p)
+        (st.getModificationTime, st.getLen)
+    }
+
+  private def mfData(fs: FileSystem, mf: Path): MfData = {
+    val key = fs.makeQualified(mf).toString
+    val (mt, ln) = mfStat(fs, mf)
+    mfCache.synchronized {
+      val hit = mfCache.get(key)
+      if (hit != null && hit._1 == mt && hit._2 == ln) return hit._3
+    }
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val d = parseMf(mf, lines)
+    mfCache.synchronized {
+      val prev = mfCache.put(key, (mt, ln, d))
+      if (prev != null) mfCacheBytes -= prev._3.approxBytes
+      mfCacheBytes += d.approxBytes
+      val it = mfCache.entrySet().iterator()
+      while (mfCacheBytes > MfCacheCapBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          mfCacheBytes -= e.getValue._3.approxBytes
+          it.remove()
+        }
+      }
+    }
+    d
   }
 
   /** The committing attempt's writeId. New-format manifests carry it
@@ -127,25 +290,10 @@ object ManifestSink extends Ingest.DestinationSink {
   private def writeIdOf(fs: FileSystem, mf: Path): String = {
     val fromName = mf.getName.stripSuffix(".manifest")
     if (fromName.contains("__")) fromName.split("__").last
-    else {
-      val in = fs.open(mf)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      // every append's replay check walks the log through here, so the
-      // protocol gate covers WRITERS too (and recover): committing
-      // alongside a future-format manifest could violate invariants
-      // this writer has never heard of
-      lines.find(_.startsWith("protocol\t")).foreach { l =>
-        val v = l.substring(9).trim.toLong
-        require(v <= SupportedProtocol,
-          s"[graft] manifest $mf requires protocol v$v; this writer " +
-            s"supports <= v$SupportedProtocol — upgrade before " +
-            "touching this table")
-      }
-      lines.collectFirst {
-        case l if l.startsWith("writeid\t") => l.substring(8)
-      }.getOrElse(fromName)
-    }
+    // the protocol gate rides [[mfData]]'s parse, so it covers WRITERS
+    // too (and recover): committing alongside a future-format manifest
+    // could violate invariants this writer has never heard of
+    else mfData(fs, mf).writeIdLine.getOrElse(fromName)
   }
 
   /** `(source uris, target files, isSnapshot)`. A SNAPSHOT manifest
@@ -163,20 +311,8 @@ object ManifestSink extends Ingest.DestinationSink {
 
   private def readManifest(fs: FileSystem, mf: Path)
       : (Seq[String], Seq[String], Boolean) = {
-    val in = fs.open(mf)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    lines.find(_.startsWith("protocol\t")).foreach { l =>
-      val v = l.substring(9).trim.toLong
-      require(v <= SupportedProtocol,
-        s"[graft] manifest $mf requires protocol v$v; this reader " +
-          s"supports <= v$SupportedProtocol — upgrade before touching " +
-          "this table")
-    }
-    (lines.collect { case l if l.startsWith("uri\t") => l.substring(4) },
-      lines.collect { case l if l.startsWith("target\t") => l.substring(7) },
-      lines.exists(_.startsWith("snapshot\t")))
+    val d = mfData(fs, mf)
+    (d.uris, d.targets, d.snapshot)
   }
 
   private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
@@ -256,15 +392,23 @@ object ManifestSink extends Ingest.DestinationSink {
       version: Long): DataFrame = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val all = manifests(fs, destPath)
-    if (all.isEmpty) return spark.emptyDataFrame
+    val full = manifests(fs, destPath)
+    if (full.isEmpty) return spark.emptyDataFrame
     // guard against compacted-away history: a version below the oldest
     // surviving manifest would otherwise return an empty DataFrame that is
     // indistinguishable from "table was empty at that version"
-    val minV = all.map(_.getName.takeWhile(_.isDigit).toLong).min
+    val minV = full.map(_.getName.takeWhile(_.isDigit).toLong).min
     require(version >= minV,
       s"[graft] readVersion($version): history before v$minV was " +
         s"compacted away; earliest readable snapshot is v$minV")
+    // checkpoint acceleration: valid whenever the cut is at or past the
+    // checkpointed version (the summary IS the state at its version);
+    // an older cut falls back to the full retained walk
+    val resolved = resolvedLog(fs, destPath)
+    val all =
+      if (resolved.headOption.exists(p =>
+          p.getName.endsWith(CkptSuffix) && vOfP(p) <= version)) resolved
+      else full
     // snapshot semantics: the latest snapshot ≤ version supersedes every
     // earlier manifest (so the window between an optimize/compact commit
     // and its old-manifest cleanup never double-counts a replaced file)
@@ -389,6 +533,11 @@ object ManifestSink extends Ingest.DestinationSink {
       timestampAsOf: Option[Long] = None): SnapshotHandle = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
+    // head resolution (the hot DSv2 read path) rides the checkpoint;
+    // time travel needs the full retained walk for its floor guards
+    // and commit-time resolution
+    if (versionAsOf.isEmpty && timestampAsOf.isEmpty)
+      return new SnapshotHandle(fs, destPath, resolvedLog(fs, destPath))
     val all = manifests(fs, destPath)
     val cut = (versionAsOf, timestampAsOf) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
@@ -441,12 +590,7 @@ object ManifestSink extends Ingest.DestinationSink {
     require(sinceVersion == -1 || sinceVersion >= minV - 1,
       s"[graft] appendFeed($sinceVersion): history before v$minV was " +
         "compacted away — re-sync the tail from a full readBack")
-    def isLayout(mf: Path): Boolean = {
-      val in = fs.open(mf)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      lines.exists(_.startsWith("layout\t"))
-    }
+    def isLayout(mf: Path): Boolean = mfData(fs, mf).layout
     val feed = all.filter(vOf(_) > sinceVersion).sortBy(vOf)
       .flatMap { mf =>
         val v = vOf(mf)
@@ -522,15 +666,10 @@ object ManifestSink extends Ingest.DestinationSink {
     // committed AFTER `version` must not survive the restore, and one
     // committed before it must
     val metaLines = effMfs.flatMap { mf =>
-      val in = fs.open(mf)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      lines.filter { l =>
+      val d = mfData(fs, mf)
+      (d.statsLines ++ d.rawDvLines ++ d.bloomLines).filter { l =>
         val p = l.split('\t')
-        p.length >= 2 &&
-          (p(0) == "stats" || p(0) == "stats2" || p(0) == "dv" ||
-            p(0) == "bloom") &&
-          restored.contains(p(1))
+        p.length >= 2 && restored.contains(p(1))
       }
     }.distinct
     val body = (Seq("writeid\trestore", "snapshot\t1",
@@ -692,12 +831,7 @@ object ManifestSink extends Ingest.DestinationSink {
     require(sinceVersion == -1 || sinceVersion >= minV - 1,
       s"[graft] changeFeed($sinceVersion): history before " +
         s"v$minV was compacted away — re-sync from a full readBack")
-    def hasLayoutLine(mf: Path): Boolean = {
-      val in = fs.open(mf)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      lines.exists(_.startsWith("layout\t"))
-    }
+    def hasLayoutLine(mf: Path): Boolean = mfData(fs, mf).layout
     val inRange = all
       .filter(p => vOf(p) > sinceVersion && vOf(p) <= untilVersion)
       .sortBy(vOf)
@@ -830,8 +964,103 @@ object ManifestSink extends Ingest.DestinationSink {
         s"[graft] compaction commit failed: $fin already exists?")
     }
     old.foreach(mf => fs.delete(mf, false))
+    // every checkpoint summarizes a now-collapsed prefix; the compact
+    // snapshot IS the collapsed state, so they are pure debris here
+    logListing(fs, destPath)._2.foreach(ck => fs.delete(ck, false))
     println(s"METRIC graft.compacted_manifests=${old.length} " +
       s"snapshot_version=$version")
+  }
+
+  /** Auto-checkpoint cadence: after every commit whose version is a
+    * multiple of this, the committer writes a checkpoint (best-effort —
+    * a checkpoint is derived state; failing to write one never fails
+    * the commit). Delta's default cadence. 0 disables.
+    */
+  @volatile var checkpointInterval: Int = 10
+
+  /** Write a CHECKPOINT summary of the log at its current head —
+    * `_log/<head>.checkpoint`, the full effective table state (file
+    * set, stats, bloom, deletion-vector lines) in snapshot-manifest
+    * form, plus the historical writeId set for replay checks. Unlike
+    * [[compact]] this RETAINS every manifest: head-state resolution
+    * becomes O(commits since checkpoint) via [[resolvedLog]], while
+    * time travel, RESTORE, `history`, and the change feeds still walk
+    * the full retained log. Older checkpoints beyond the newest two
+    * are swept (a reader that already listed the log keeps resolving —
+    * its parsed state is immutable). Returns the checkpointed version,
+    * or -1 when the log is empty.
+    */
+  def checkpoint(spark: SparkSession, destPath: String): Long =
+    checkpointFs(fsOf(spark, new Path(destPath)), destPath)
+
+  private def checkpointFs(fs: FileSystem, destPath: String): Long = {
+    val (allMfs, cksBefore) = logListing(fs, destPath)
+    if (allMfs.isEmpty) return -1L
+    val head = allMfs.map(vOfP).max
+    if (cksBefore.exists(vOfP(_) == head)) return head // already current
+    // REFUSE while staged attempts are pending — the [[compact]] rule,
+    // for the same reason: a committed-but-unledgered append can still
+    // be ROLLED BACK by [[recover]], and a checkpoint that summarized
+    // it would resurrect the rolled-back files. The staging marker
+    // exists from before the log commit until finishCommit, and this
+    // check runs AFTER the log capture, so a commit visible in the
+    // captured listing with no pending marker is ledger-final.
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.checkpoint.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return -1L
+    }
+    // resolve the effective state THROUGH the prior checkpoint, so each
+    // checkpoint costs O(tail), not O(versions)
+    val mfs = resolvedLog(fs, destPath)
+    val parsed = mfs.map(mfData(fs, _))
+    val lastSnap = parsed.lastIndexWhere(_.snapshot)
+    val eff = if (lastSnap >= 0) parsed.drop(lastSnap) else parsed
+    val targets = eff.flatMap(_.targets).distinct
+    val keep = targets.toSet
+    val metaLines = eff.flatMap(d =>
+      d.statsLines ++ d.bloomLines ++ d.rawDvLines).distinct
+      .filter { l =>
+        val p = l.split('\t')
+        p.length >= 2 && keep.contains(p(1))
+      }
+    // historical writeIds: the prior checkpoint's set covers versions it
+    // summarized; the resolved manifests cover the rest (with no prior
+    // checkpoint, `mfs` is the full log)
+    val idSet = (parsed.flatMap(_.writeIdSet) ++
+      mfs.filter(_.getName.endsWith(".manifest"))
+        .map(writeIdOf(fs, _))).distinct.sorted
+    val body = (Seq("writeid\tckpt", "snapshot\t1",
+      s"checkpoint\t$head") ++
+      targets.map("target\t" + _) ++ metaLines ++
+      idSet.map("writeidset\t" + _)).mkString("\n")
+    val lp = logPath(destPath)
+    val tmp = new Path(lp, s".tmp_ckpt_$head")
+    writeFile(fs, tmp, body)
+    val fin = new Path(lp, f"$head%012d$CkptSuffix")
+    // two racers at one head derive EQUIVALENT content — losing the
+    // claim just means the work is already done
+    if (!coordinator.putIfAbsent(fs, tmp, fin)) fs.delete(tmp, false)
+    logListing(fs, destPath)._2.sortBy(vOfP).dropRight(2)
+      .foreach(ck => fs.delete(ck, false))
+    println(s"METRIC graft.checkpoint.version=$head " +
+      s"resolved_from=${mfs.length} dest=$destPath")
+    head
+  }
+
+  /** Best-effort auto-checkpoint after a commit of `version`. */
+  private def maybeCheckpoint(fs: FileSystem, destPath: String,
+      version: Long): Unit = {
+    val iv = checkpointInterval
+    if (iv > 0 && version > 0 && version % iv == 0) {
+      try checkpointFs(fs, destPath)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"METRIC graft.checkpoint.failed=1 version=$version " +
+            s"dest=$destPath err=${e.getClass.getSimpleName}")
+      }
+    }
   }
 
   // ===================== deletion vectors (merge-on-read) ==========
@@ -884,33 +1113,11 @@ object ManifestSink extends Ingest.DestinationSink {
 
   /** `cdf\t<sidecar rel>\t<rows>` lines of one manifest. */
   private def cdfLinesOf(fs: FileSystem, mf: Path)
-      : Seq[(String, Long)] = {
-    val in = fs.open(mf)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    lines.flatMap { l =>
-      l.split('\t') match {
-        case Array("cdf", rel, n) => Some((rel, n.toLong))
-        case _                    => None
-      }
-    }
-  }
+      : Seq[(String, Long)] = mfData(fs, mf).cdfLines
 
   /** The dv lines of one manifest: `(target rel, dv rel, rows)`. */
   private def dvLinesOf(fs: FileSystem, mf: Path)
-      : Seq[(String, String, Long)] = {
-    val in = fs.open(mf)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    lines.flatMap { l =>
-      l.split('\t') match {
-        case Array("dv", tgt, rel, n) => Some((tgt, rel, n.toLong))
-        case _                        => None
-      }
-    }
-  }
+      : Seq[(String, String, Long)] = mfData(fs, mf).dvLines
 
   /** Effective deletion vectors of a CAPTURED log listing under the
     * same snapshot-cut window as [[effectiveTargetsOf]]:
@@ -929,13 +1136,8 @@ object ManifestSink extends Ingest.DestinationSink {
   /** Raw `dv\t` lines of one manifest (carried verbatim by [[compact]]
     * for surviving targets, like stats lines).
     */
-  private def rawDvLines(fs: FileSystem, mf: Path): Seq[String] = {
-    val in = fs.open(mf)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    lines.filter(_.startsWith("dv\t"))
-  }
+  private def rawDvLines(fs: FileSystem, mf: Path): Seq[String] =
+    mfData(fs, mf).rawDvLines
 
   private def fileNameOf(rel: String): String = {
     val i = rel.lastIndexOf('/')
@@ -1014,7 +1216,7 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   private def effectiveTargets(fs: FileSystem, destPath: String)
       : Seq[String] =
-    effectiveTargetsOf(fs, manifests(fs, destPath))
+    effectiveTargetsOf(fs, resolvedLog(fs, destPath))
 
   private def effectiveTargetsOf(fs: FileSystem, mfs: Seq[Path])
       : Seq[String] = {
@@ -1027,24 +1229,14 @@ object ManifestSink extends Ingest.DestinationSink {
   /** True iff `mf` is a [[restore]] commit (carries a `restore\t` line
     * — a snapshot whose `history` kind reads `restore`).
     */
-  private def isRestoreManifest(fs: FileSystem, mf: Path): Boolean = {
-    val in = fs.open(mf)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    lines.exists(_.startsWith("restore\t"))
-  }
+  private def isRestoreManifest(fs: FileSystem, mf: Path): Boolean =
+    mfData(fs, mf).isRestore
 
   /** Raw stats lines (`stats\t` legacy double min/max, `stats2\t` typed)
     * of one manifest, carried verbatim through [[compact]]'s snapshot.
     */
-  private def rawStatsLines(fs: FileSystem, mf: Path): Seq[String] = {
-    val in = fs.open(mf)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    lines.filter(l => l.startsWith("stats\t") || l.startsWith("stats2\t"))
-  }
+  private def rawStatsLines(fs: FileSystem, mf: Path): Seq[String] =
+    mfData(fs, mf).statsLines
 
   /** Per-file, per-column skipping stats. `kind` is `num` (min/max are
     * doubles rendered as strings) or `str` (min/max are raw strings —
@@ -1235,13 +1427,8 @@ object ManifestSink extends Ingest.DestinationSink {
     s"bloom\t$tgt\t$c\t${bf.m}\t${bf.k}\t" +
       java.util.Base64.getEncoder.encodeToString(bf.bits)
 
-  private def rawBloomLines(fs: FileSystem, mf: Path): Seq[String] = {
-    val in = fs.open(mf)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    lines.filter(_.startsWith("bloom\t"))
-  }
+  private def rawBloomLines(fs: FileSystem, mf: Path): Seq[String] =
+    mfData(fs, mf).bloomLines
 
   /** Per-file blooms of the EFFECTIVE manifests, keyed
     * `(target, column)` — same snapshot-cut window as [[fileStatsOf]].
@@ -1596,7 +1783,7 @@ object ManifestSink extends Ingest.DestinationSink {
       pred: SkipPredicate): DataFrame = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val mfs = manifests(fs, destPath)
+    val mfs = resolvedLog(fs, destPath)
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return spark.emptyDataFrame
     val stats = fileStatsOf(fs, mfs)
@@ -1631,7 +1818,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     if (!fs.exists(dest)) return 0L
-    val mfs = manifests(fs, destPath)
+    val mfs = resolvedLog(fs, destPath)
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return 0L
     val stats = fileStatsOf(fs, mfs)
@@ -1737,7 +1924,7 @@ object ManifestSink extends Ingest.DestinationSink {
     // cleanup while its files are absent from the snapshot, silently
     // losing committed rows (concurrent appends are explicitly supported
     // by stageMoveCommit's version-retry protocol)
-    val old = manifests(fs, destPath)
+    val old = resolvedLog(fs, destPath)
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
@@ -2118,7 +2305,7 @@ object ManifestSink extends Ingest.DestinationSink {
         s"dest=$destPath")
       return 0L
     }
-    val old = manifests(fs, destPath)
+    val old = resolvedLog(fs, destPath)
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
@@ -2220,6 +2407,7 @@ object ManifestSink extends Ingest.DestinationSink {
     fs.delete(staging, true)
     if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
       fs.delete(sroot, true)
+    maybeCheckpoint(fs, destPath, version)
     println(s"METRIC graft.mor.deleted_rows=$total " +
       s"files_marked=${perName.size} version=$version dest=$destPath")
     total
@@ -2274,7 +2462,7 @@ object ManifestSink extends Ingest.DestinationSink {
         s"dest=$destPath")
       return 0L
     }
-    val old = manifests(fs, destPath)
+    val old = resolvedLog(fs, destPath)
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
@@ -2437,6 +2625,7 @@ object ManifestSink extends Ingest.DestinationSink {
     fs.delete(staging, true)
     if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
       fs.delete(sroot, true)
+    maybeCheckpoint(fs, destPath, version)
     println(s"METRIC graft.mor.updated_rows=$total " +
       s"files_marked=${perName.size} version=$version dest=$destPath")
     total
@@ -2472,6 +2661,180 @@ object ManifestSink extends Ingest.DestinationSink {
     rewriteWhere(spark, destPath, Left(pred), Some(set))
   }
 
+  /** TARGETED DV MATERIALIZATION (Delta's `REORG TABLE … APPLY
+    * (PURGE)`): rewrite ONLY the files whose live-row fraction fell
+    * below `minLiveFraction`, applying their deletion vectors, and
+    * commit as a partial layout snapshot. The policy half of
+    * merge-on-read: MOR deletes are O(changed rows) at write time but
+    * every read of a dv'd file pays the tombstone anti-join forever —
+    * purge decides WHEN to pay the rewrite, per file, without
+    * [[optimize]]'s full-table repack. Content is unchanged (a pure
+    * layout commit, so the change feeds skip it); lightly-tombstoned
+    * files keep their dvs and their bytes untouched; a fully-dead file
+    * drops without writing anything; rewritten files get re-derived
+    * stats for the columns they already recorded (their old dv and
+    * bloom lines die with the old name — blooms rebuild on the next
+    * optimize, the conservative direction). A file with dvs but an
+    * unknown total row count (stats-less legacy append) cannot prove
+    * it is above the threshold and is purged. Concurrent appends and
+    * dv commits on untouched files absorb (layout commits conflict
+    * with nothing they didn't rewrite); a concurrent dv on a purged
+    * file aborts. Returns the number of files materialized (rewritten
+    * or dropped).
+    */
+  def purge(spark: SparkSession, destPath: String,
+      minLiveFraction: Double = 0.9): Long = {
+    require(minLiveFraction > 0.0 && minLiveFraction <= 1.0,
+      s"[graft] purge: minLiveFraction in (0, 1], got $minLiveFraction")
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return 0L
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.purge.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return 0L
+    }
+    val old = resolvedLog(fs, destPath)
+    val baseVersion = old.map(vOfP).maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, old)
+    val dvs = effectiveDvsOf(fs, old)
+      .filter { case (t, _) => targets.contains(t) }
+    if (dvs.isEmpty) return 0L
+    val stats = fileStatsOf(fs, old)
+    val statsByTgt: Map[String, Seq[String]] =
+      stats.keys.groupBy(_._1).map { case (t, ks) =>
+        t -> ks.map(_._2).toSeq.sorted }
+    val rowsByTgt: Map[String, Long] = stats.toSeq.groupBy(_._1._1)
+      .flatMap { case (t, es) =>
+        es.map(_._2.rows).find(_ >= 0).map(t -> _) }
+    val deadOf: Map[String, Long] =
+      dvs.map { case (t, es) => t -> es.map(_._2).sum }
+    val victims = targets.filter(deadOf.contains).filter { t =>
+      rowsByTgt.get(t) match {
+        case Some(r) if r > 0 =>
+          (r - deadOf(t)).toDouble / r < minLiveFraction
+        case _ => true // unknown total: cannot prove it healthy
+      }
+    }
+    println(s"METRIC graft.purge.files_total=${targets.length} " +
+      s"dv_files=${dvs.size} victims=${victims.length} " +
+      s"min_live=$minLiveFraction dest=$destPath")
+    if (victims.isEmpty) return 0L
+    // fully-dead files drop with zero IO; the rest rewrite live rows
+    val drops = victims.filter(t =>
+      rowsByTgt.get(t).exists(r => r > 0 && deadOf(t) >= r)).toSet
+    val rewrites = victims.filterNot(drops)
+
+    val writeId = "pg" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(14)
+    val staging = stagingDir(destPath, writeId)
+    fs.mkdirs(staging)
+    val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val newStats = scala.collection.mutable.ArrayBuffer[String]()
+    // fully-dead by observation (unknown-count victims whose live read
+    // produced nothing) join the drops below
+    val emptied = scala.collection.mutable.HashSet[String]()
+    try {
+      if (rewrites.nonEmpty) {
+        // ONE distributed job for EVERY victim — repartition by source
+        // file, write partitioned by it, then move each partition's
+        // single part into the victim's directory. A per-victim loop
+        // would serialize a 1000-victim purge into 1000+ driver-paced
+        // jobs; this stays at write + stats, independent of victim
+        // count. (Victims read under mergeSchema, so a pre-evolution
+        // narrow file rewrites at the union width — null columns cost
+        // ~nothing in parquet and read identically.)
+        val relOfName: Map[String, String] =
+          rewrites.map(rel => fileNameOf(rel) -> rel).toMap
+        val pgOut = new Path(staging, "pg")
+        readFilesDvMeta(spark, destPath, rewrites, dvs,
+            withBase = false)
+          .drop("__graft_pos")
+          .repartition(col("__graft_fn"))
+          .write.partitionBy("__graft_fn")
+          .mode("overwrite").parquet(pgOut.toString)
+        val statCols = rewrites.flatMap(statsByTgt.getOrElse(_, Nil))
+          .distinct.sorted
+        val stByFile: Map[(String, String), ColStats] =
+          if (statCols.isEmpty) Map.empty
+          else fileStatsOfParquet(spark, pgOut.toString, statCols)
+        def srcOf(uri: String): String = {
+          // .../pg/__graft_fn=<source file name>/part-*.parquet
+          val p = new Path(new java.net.URI(uri)).toUri.getPath
+          val seg = p.split('/').find(_.startsWith("__graft_fn="))
+            .getOrElse(throw new IllegalStateException(
+              s"[graft] purge: no partition segment in $p"))
+          seg.substring("__graft_fn=".length)
+        }
+        val statsBySrc = stByFile.groupBy { case ((f, _), _) => srcOf(f) }
+        rewrites.zipWithIndex.foreach { case (rel, k) =>
+          val dir = new Path(pgOut, s"__graft_fn=${fileNameOf(rel)}")
+          val part =
+            if (!fs.exists(dir)) None
+            else fs.listStatus(dir).map(_.getPath)
+              .find(p => p.getName.startsWith("part-") &&
+                p.getName.endsWith(".parquet"))
+          part match {
+            case None => emptied += rel // no live rows survived
+            case Some(p) =>
+              val parent = {
+                val i = rel.lastIndexOf('/')
+                if (i < 0) "" else rel.substring(0, i + 1)
+              }
+              val target = s"$parent$writeId-$k.parquet"
+              moves += ((p, target))
+              val keepCols = statsByTgt.getOrElse(rel, Nil).toSet
+              statsBySrc.getOrElse(fileNameOf(rel), Map.empty)
+                .toSeq.sortBy(_._1._2)
+                .foreach { case ((_, c), st) =>
+                  if (keepCols.contains(c))
+                    newStats += statsLine(target, c, st) }
+          }
+        }
+      }
+      writeFile(fs, new Path(staging, WaManifest),
+        moves.map("target\t" + _._2).mkString("\n"))
+      moves.foreach { case (part, target) =>
+        val tgt = new Path(dest, target)
+        fs.mkdirs(tgt.getParent)
+        require(fs.rename(part, tgt),
+          s"[graft] purge move failed: $tgt")
+      }
+    } catch {
+      case e: Throwable =>
+        moves.foreach { case (_, t) =>
+          fs.delete(new Path(dest, t), false) }
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        throw e
+    }
+
+    val replaced = victims.toSet
+    val kept = targets.filterNot(replaced)
+    val survivors = kept ++ moves.map(_._2)
+    val carriedStats = kept.flatMap { t =>
+      statsByTgt.getOrElse(t, Nil).flatMap(c =>
+        stats.get((t, c)).map(st => statsLine(t, c, st)))
+    }
+    onBeforeRewriteCommit()
+    if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
+        survivors,
+        carriedStats ++ newStats.toSeq ++ dvCarryLines(dvs, kept) ++
+          bloomCarryLines(fs, old, kept),
+        old, moves.map(_._2).toSeq, layout = true,
+        canAbsorb = _ => true)) {
+      println(s"METRIC graft.purge.aborted_log_advanced=1 " +
+        s"base_version=$baseVersion dest=$destPath")
+      return 0L
+    }
+    println(s"METRIC graft.purge.materialized=${victims.length} " +
+      s"rewritten=${moves.length} dropped=${drops.size + emptied.size} " +
+      s"snapshot_version=${baseVersion + 1} dest=$destPath")
+    victims.length.toLong
+  }
+
   /** Shared copy-on-write core. `set == None` deletes matching rows;
     * `Some(exprs)` rewrites them in place. A `Left` predicate prunes
     * candidates through the skipping stats; a `Right` arbitrary column
@@ -2492,7 +2855,7 @@ object ManifestSink extends Ingest.DestinationSink {
     // capture the log ONCE — every piece of the snapshot derives from
     // this listing and the commit aborts if it advanced (same protocol
     // as optimize; concurrent appends are supported, not lost)
-    val old = manifests(fs, destPath)
+    val old = resolvedLog(fs, destPath)
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
@@ -2806,16 +3169,46 @@ object ManifestSink extends Ingest.DestinationSink {
           println(s"METRIC graft.snapshot.absorbed_appends=" +
             s"${curBase - baseVersion} base_version=$baseVersion " +
             s"committed_version=${curBase + 1} dest=$destPath")
+        maybeCheckpoint(fs, destPath, curBase + 1)
         return true
       }
-      // the log advanced (or the slot was taken): try to absorb
+      // the log advanced (or the slot was taken): try to absorb.
+      // Absorbable interveners are PURE APPENDS (no snapshot, no dvs)
+      // under the caller's `canAbsorb` proof, and — FILE-GRANULAR OCC,
+      // Delta's file-level conflict resolution — MOR commits whose
+      // deletion vectors target only files this snapshot carries
+      // UNREWRITTEN: a dv on a carried file commutes with the rewrite
+      // (data files are immutable, so the tombstone positions stay
+      // valid), so its dv lines ride forward like stats. A dv on a
+      // file this snapshot rewrote or dropped is a TRUE conflict — the
+      // rewrite materialized only the dvs it saw, so carrying the new
+      // tombstones is impossible and dropping them would silently
+      // resurrect deleted rows — and aborts, exactly as before. This
+      // matters because MOR deletes are O(changed rows) and therefore
+      // the COMMON concurrent writer against a long OPTIMIZE.
       val newMfs = manifests(fs, destPath).filter(vOf(_) > curBase)
         .sortBy(vOf)
-      val pureAppends = newMfs.nonEmpty && newMfs.forall { mf =>
-        val (_, _, snap) = readManifest(fs, mf)
-        !snap && dvLinesOf(fs, mf).isEmpty
+      var absorbable = newMfs.nonEmpty
+      var absorbedDvs = 0
+      var absSurvivors = curSurvivors.toSet
+      val absorbedTargets = scala.collection.mutable.ArrayBuffer[String]()
+      val absorbedLines = scala.collection.mutable.ArrayBuffer[String]()
+      newMfs.foreach { mf =>
+        if (absorbable) {
+          val d = mfData(fs, mf)
+          if (d.snapshot) absorbable = false
+          else if (!d.dvLines.forall(e => absSurvivors.contains(e._1)))
+            absorbable = false // dv on a rewritten/dropped file
+          else {
+            if (d.dvLines.nonEmpty) absorbedDvs += 1
+            val fresh = d.targets.filterNot(absSurvivors)
+            absorbedTargets ++= fresh
+            absSurvivors ++= fresh
+            absorbedLines ++= d.statsLines ++ d.bloomLines ++ d.rawDvLines
+          }
+        }
       }
-      if (!pureAppends || !canAbsorb(newMfs)) {
+      if (!absorbable || !canAbsorb(newMfs)) {
         newFiles.foreach(t => fs.delete(new Path(dest, t), false))
         fs.delete(tmp, false)
         fs.delete(staging, true)
@@ -2823,11 +3216,11 @@ object ManifestSink extends Ingest.DestinationSink {
           fs.delete(sroot, true)
         return false
       }
-      val have = curSurvivors.toSet
-      curSurvivors = curSurvivors ++
-        newMfs.flatMap(readManifest(fs, _)._2).filterNot(have)
-      curLines = curLines ++ newMfs.flatMap(mf =>
-        rawStatsLines(fs, mf) ++ rawBloomLines(fs, mf))
+      if (absorbedDvs > 0)
+        println(s"METRIC graft.snapshot.absorbed_dv_commits=" +
+          s"$absorbedDvs dest=$destPath")
+      curSurvivors = curSurvivors ++ absorbedTargets
+      curLines = curLines ++ absorbedLines
       curBase = newMfs.map(vOf).max
     }
     newFiles.foreach(t => fs.delete(new Path(dest, t), false))
@@ -2997,7 +3390,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val ups = deleteFilter.map(_ => src.where(!delFlag))
       .getOrElse(src).drop(directiveCols: _*)
     val nUps = deleteFilter.map(_ => ups.count()).getOrElse(nSrc)
-    val old = manifests(fs, destPath)
+    val old = resolvedLog(fs, destPath)
     val targets = effectiveTargetsOf(fs, old)
     if (targets.isEmpty) {
       // empty/new table: a merge is a plain insert (deletes are no-ops)
@@ -3456,7 +3849,7 @@ object ManifestSink extends Ingest.DestinationSink {
         .toDF("version", "num_files", "size_bytes", "num_rows",
           "partition_values", "stats_columns", "bloom_columns",
           "num_dv_files", "change_feed_enabled")
-    val mfs = manifests(fs, destPath)
+    val mfs = resolvedLog(fs, destPath)
     val version = mfs.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, mfs)
@@ -3499,7 +3892,7 @@ object ManifestSink extends Ingest.DestinationSink {
     if (!fs.exists(dest))
       return Seq.empty[(String, Long, Option[Long])]
         .toDF("partition", "num_files", "num_rows")
-    val mfs = manifests(fs, destPath)
+    val mfs = resolvedLog(fs, destPath)
     val targets = effectiveTargetsOf(fs, mfs)
     val stats = fileStatsOf(fs, mfs)
     val rowsByFile = stats.toSeq.groupBy(_._1._1)
@@ -3526,7 +3919,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     if (!fs.exists(dest)) return Some(0L)
-    val mfs = manifests(fs, destPath)
+    val mfs = resolvedLog(fs, destPath)
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return Some(0L)
     val stats = fileStatsOf(fs, mfs)
@@ -3552,7 +3945,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     if (!fs.exists(dest)) return None
-    val mfs = manifests(fs, destPath)
+    val mfs = resolvedLog(fs, destPath)
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return None
     // any deletion vector voids bound credit: a tombstoned row may
@@ -3582,7 +3975,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     if (!fs.exists(dest)) return None
-    val mfs = manifests(fs, destPath)
+    val mfs = resolvedLog(fs, destPath)
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return Some(0L)
     // tombstoned rows may include nulls the stats still count — a
@@ -3651,7 +4044,7 @@ object ManifestSink extends Ingest.DestinationSink {
         s"dest=$destPath")
       return 0L
     }
-    val old = manifests(fs, destPath)
+    val old = resolvedLog(fs, destPath)
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
@@ -3812,9 +4205,14 @@ object ManifestSink extends Ingest.DestinationSink {
     val fs = fsOf(spark, dest)
     // defensive replay no-op: a live log entry for this writeId means the
     // attempt committed AND was ledgered (recover() rolls back unledgered
-    // entries before any replan), so there is nothing to redo
-    if (manifests(fs, destPath)
-        .exists(m => writeIdOf(fs, m) == writeId)) return
+    // entries before any replan), so there is nothing to redo. Resolved
+    // through the checkpoint: its `writeidset` lines carry every
+    // summarized version's writeId, so the check stays O(tail)
+    if (resolvedLog(fs, destPath).exists { m =>
+      val d = mfData(fs, m)
+      d.writeIdSet.contains(writeId) ||
+        (m.getName.endsWith(".manifest") && writeIdOf(fs, m) == writeId)
+    }) return
     val staging = stagingDir(destPath, writeId)
     var t0 = System.nanoTime()
     def phase(name: String): Unit = {
@@ -3917,6 +4315,9 @@ object ManifestSink extends Ingest.DestinationSink {
       }
     }
     phase("commit")
+    // NO checkpoint here: this commit is still pending its ledger append
+    // ([[recover]] could roll it back) — [[finishCommit]] checkpoints
+    // once the staging marker drops
     // staging dir survives as the commit-pending marker
   }
 
@@ -3955,7 +4356,8 @@ object ManifestSink extends Ingest.DestinationSink {
         s"dest=$destPath")
       return Nil
     }
-    val referenced = manifests(fs, destPath)
+    val (allMfs, allCks) = logListing(fs, destPath)
+    val referenced = (allMfs ++ allCks)
       .flatMap(mf => readManifest(fs, mf)._2 ++
         dvLinesOf(fs, mf).map(_._2) ++
         cdfLinesOf(fs, mf).map(_._1)).toSet
@@ -4004,9 +4406,16 @@ object ManifestSink extends Ingest.DestinationSink {
             // later snapshot can reference it while the attempt pends);
             // replay re-publishes the batch
             val dvRels = dvLinesOf(fs, mf).map(_._2).distinct
+            val rolledV = vOfP(mf)
             fs.delete(mf, false)
             targets.foreach(t => fs.delete(new Path(dest, t), false))
             dvRels.foreach(r => fs.delete(new Path(dest, r), false))
+            // belt-and-braces: a checkpoint at or above the rolled-back
+            // version would resurrect its files (checkpointFs refuses
+            // while attempts pend, so this only fires if a checkpoint
+            // raced the pending marker) — sweep it
+            logListing(fs, destPath)._2.filter(vOfP(_) >= rolledV)
+              .foreach(ck => fs.delete(ck, false))
             println(s"METRIC graft.recover.rolled_back=1 " +
               s"write=$writeId files=${targets.length}")
           } else {
@@ -4038,5 +4447,9 @@ object ManifestSink extends Ingest.DestinationSink {
     val root = staging.getParent
     if (fs.exists(root) && fs.listStatus(root).isEmpty)
       fs.delete(root, true)
+    // the append is now ledger-final — the safe point for the append
+    // path's auto-checkpoint cadence
+    maybeCheckpoint(fs, destPath,
+      manifests(fs, destPath).map(vOfP).maxOption.getOrElse(-1L))
   }
 }

@@ -878,6 +878,113 @@ class ManifestSinkSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(2L, 3L, 4L))
   }
 
+  /** Commit a deletion-vector manifest for `ids` inside `targetRel` —
+    * byte-identical to what a concurrent process's deleteWhereMor
+    * commits when it computed its positions BEFORE this process staged
+    * an attempt (the one interleaving where a dv commit can land under
+    * a running snapshot rewrite; the public API refuses while staging
+    * pends, which is exactly why the spec hand-rolls the commit).
+    */
+  private def commitDvManually(dest: String, targetRel: String,
+      ids: Seq[Long]): Long = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val posDf = spark.read.parquet(s"$dest/$targetRel")
+      .withColumn("name", col("_metadata.file_name"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .filter(col("id").isin(ids: _*)).select("name", "pos")
+    val n = posDf.count()
+    assert(n > 0, s"test setup: no rows of $ids in $targetRel")
+    val stage = tmpDir(s"dvman_$tag")
+    posDf.coalesce(1).write.mode("overwrite").parquet(s"$stage/dv")
+    val part = new java.io.File(s"$stage/dv").listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    val rel = s"_dv/test$tag.parquet"
+    val tgt = new java.io.File(s"$dest/$rel")
+    tgt.getParentFile.mkdirs()
+    assert(part.renameTo(tgt))
+    val log = new java.io.File(s"$dest/_log")
+    val v = log.listFiles().map(_.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.takeWhile(_.isDigit).toLong).max + 1
+    val mf = new java.io.File(log, f"$v%012d.manifest")
+    val w = new java.io.PrintWriter(mf)
+    try w.write(s"writeid\tdv$tag\ndv\t$targetRel\t$rel\t$n")
+    finally w.close()
+    n
+  }
+
+  /** The committed target whose file holds `id` (via each file's ids —
+    * test-side reconnaissance only).
+    */
+  private def targetHolding(dest: String, id: Long): String = {
+    val effective = ManifestSink.readBack(spark, dest).inputFiles
+      .map(f => f.substring(f.indexOf(dest) + dest.length + 1))
+      .filterNot(_.startsWith("_")).toSet
+    effective.find { rel =>
+      spark.read.parquet(s"$dest/$rel")
+        .filter(col("id") === id).limit(1).count() == 1
+    }.get
+  }
+
+  test("file-granular OCC for dv commits: a snapshot rebases over a " +
+      "concurrent MOR delete on files it did not rewrite (tombstones " +
+      "survive the snapshot), and aborts on a dv inside its rewrite " +
+      "set — for both OPTIMIZE and a COW delete") {
+    val root = tmpDir("msinkdvocc_")
+    val dest = s"$root/wh/t"
+    // four small packable files + one big file optimize will NOT touch
+    for (b <- 0 until 4)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1), dest, None, Seq("id"))
+    ManifestSink.statsAppend(
+      (1000L until 51000L).map(i => (i, s"big$i")).toDF("id", "v")
+        .coalesce(1), dest, None, Seq("id"))
+    val bigRel = targetHolding(dest, 1000L)
+
+    // OPTIMIZE absorbs a dv landing on the UNREWRITTEN big file: both
+    // the repack and the tombstones survive
+    ManifestSink.onBeforeOptimizeCommit = () =>
+      commitDvManually(dest, bigRel, (1000L until 1010L))
+    val packed = try ManifestSink.optimize(spark, dest,
+      targetBytes = 1L << 16)
+    finally ManifestSink.onBeforeOptimizeCommit = () => ()
+    assert(packed == 4, s"small files should pack, got $packed")
+    val after = ManifestSink.readBack(spark, dest)
+    assert(after.count() == 400 + 50000 - 10)
+    assert(after.where(col("id").between(1000, 1009)).count() == 0,
+      "absorbed tombstones must survive the snapshot")
+
+    // a dv inside the rewrite set is a TRUE conflict: the COW delete
+    // aborts, the dv commit stands, a retry sees both
+    val fileWith200 = targetHolding(dest, 200L)
+    ManifestSink.onBeforeRewriteCommit = () =>
+      commitDvManually(dest, fileWith200, (210L until 220L))
+    val gone = try ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 200, 249))
+    finally ManifestSink.onBeforeRewriteCommit = () => ()
+    assert(gone == 0L, "dv on a rewritten file must abort the snapshot")
+    assert(ManifestSink.readBack(spark, dest).count() ==
+      400 + 50000 - 10 - 10)
+    assert(ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 200, 249)) == 40L)
+
+    // ...and a COW delete absorbs a dv OUTSIDE its rewrite set
+    val delTotal = 400 + 50000 - 10 - 10 - 40
+    ManifestSink.onBeforeRewriteCommit = () =>
+      commitDvManually(dest, bigRel, (2000L until 2010L))
+    val gone2 = try ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 0, 49))
+    finally ManifestSink.onBeforeRewriteCommit = () => ()
+    assert(gone2 == 50L,
+      "dv on an untouched file must absorb, not abort")
+    assert(ManifestSink.readBack(spark, dest).count() ==
+      delTotal - 50 - 10)
+    assert(ManifestSink.readBack(spark, dest)
+      .where(col("id").between(2000, 2009)).count() == 0)
+  }
+
   /** Relative targets named by the committed manifests of `dest`. */
   private def manifestTargets(dest: String): Set[String] = {
     val log = new java.io.File(s"$dest/_log")
@@ -901,7 +1008,8 @@ class ManifestSinkSpec extends SparkSpec {
   }
 
   test("property: random append/crash/compact/vacuum/recover/optimize/" +
-      "statsAppend/deleteWhere/mergeInto schedules never expose a " +
+      "statsAppend/deleteWhere/mergeInto/checkpoint/morDelete " +
+      "schedules never expose a " +
       "partial batch, never lose a ledgered commit newer than the " +
       "compaction floor, keep the skipping read equal to the filtered " +
       "full read in every state, and every surviving version reads as " +
@@ -922,7 +1030,9 @@ class ManifestSinkSpec extends SparkSpec {
       2 -> Gen.const(13),    // Optimize (data-file bin-pack snapshot)
       2 -> Gen.const(14),    // StatsAppend (clean commit + skip stats)
       2 -> Gen.const(15),    // DeleteWhere (copy-on-write snapshot)
-      2 -> Gen.const(16))    // MergeInto (upsert snapshot)
+      2 -> Gen.const(16),    // MergeInto (upsert snapshot)
+      2 -> Gen.const(17),    // Checkpoint (pure metadata summary)
+      2 -> Gen.const(18))    // MorDelete (deletion-vector commit)
     val schedGen = Gen.listOfN(8, opGen)
 
     (0 until 10).foreach { case i =>
@@ -936,6 +1046,13 @@ class ManifestSinkSpec extends SparkSpec {
       // versions SUPERSEDED by a snapshot (optimize/delete/merge) but
       // retained on disk for time travel — only compact removes them
       var retained = Set.empty[Long]
+      // deletion-vector commits: (version, tombstoned ids). A snapshot
+      // BAKES every dv at or below it into its net id set (rewrites
+      // materialize, carries stay subtracted either way), so snapshot
+      // cases clear this after computing visibility through it
+      var dvModel = Vector.empty[(Long, Set[Long])]
+      def visibleNow: Set[Long] =
+        logModel.flatMap(_._3).toSet -- dvModel.flatMap(_._2)
       var pending = Map.empty[String, Int] // writeId -> crash window
       var nextBatch = 0
 
@@ -955,12 +1072,12 @@ class ManifestSinkSpec extends SparkSpec {
         if (!df.columns.contains("id")) Set.empty
         else df.select("id").as[Long].collect().toSet
       def check(where: String): Unit = {
-        val visible = logModel.flatMap(_._3).toSet
+        val visible = visibleNow
         assert(readIds(ManifestSink.readBack(spark, dest)) == visible,
           s"schedule $i after $where: readBack != committed union")
         // the skipping read must equal the filtered full read in EVERY
         // reachable state: statsless files, post-compact carried stats,
-        // post-optimize merged stats, crash debris
+        // post-optimize merged stats, crash debris, dv tombstones
         assert(readIds(ManifestSink.readBackWhere(spark, dest,
             "id", 5, 25)) == visible.filter(id => id >= 5 && id <= 25),
           s"schedule $i after $where: readBackWhere != filtered readBack")
@@ -1018,8 +1135,8 @@ class ManifestSinkSpec extends SparkSpec {
             if (pending.isEmpty &&
                 retained.size + logModel.length > 1) {
               val v = logModel.map(_._1).max + 1
-              logModel =
-                Vector((v, "compact", logModel.flatMap(_._3).toSet))
+              logModel = Vector((v, "compact", visibleNow))
+              dvModel = Vector.empty // carried dvs baked into the set
               retained = Set.empty // compact is the history collapse
             } // else refused (pending) or no-op (<=1 manifest)
             assert(survivingVersions() ==
@@ -1041,8 +1158,8 @@ class ManifestSinkSpec extends SparkSpec {
               // because whether bins form depends on physical sizes)
               val v = logModel.map(_._1).max + 1
               retained ++= logModel.map(_._1)
-              logModel =
-                Vector((v, "optimize", logModel.flatMap(_._3).toSet))
+              logModel = Vector((v, "optimize", visibleNow))
+              dvModel = Vector.empty // materialized or carried — baked
             }
             assert(survivingVersions() ==
               logModel.map(_._1).toSet ++ retained,
@@ -1055,7 +1172,7 @@ class ManifestSinkSpec extends SparkSpec {
             logModel :+= ((survivingVersions().max, s"stats$b", ids(b)))
           case 15 => // copy-on-write delete of a deterministic id slab
             val lo = (k * 7 % 40).toDouble
-            val visible = logModel.flatMap(_._3).toSet
+            val visible = visibleNow
             val expect = visible.filter(id => id >= lo && id <= lo + 9)
             val gone = ManifestSink.deleteWhere(spark, dest,
               ManifestSink.SkipPredicate.NumRange("id", lo, lo + 9))
@@ -1068,6 +1185,7 @@ class ManifestSinkSpec extends SparkSpec {
               val v = logModel.map(_._1).max + 1
               retained ++= logModel.map(_._1)
               logModel = Vector((v, "delete", visible -- expect))
+              dvModel = Vector.empty
             }
             assert(survivingVersions() ==
               logModel.map(_._1).toSet ++ retained,
@@ -1080,7 +1198,7 @@ class ManifestSinkSpec extends SparkSpec {
             val srcIds = Set(m, m + 1, m + 2)
             val df = srcIds.toSeq.sorted
               .map(id => (id, s"m$k")).toDF("id", "v")
-            val visible = logModel.flatMap(_._3).toSet
+            val visible = visibleNow
             val res = ManifestSink.mergeInto(spark, dest, df, "id")
             if (logModel.isEmpty && pending.isEmpty) {
               // empty table: plain-insert path, one incremental version
@@ -1103,10 +1221,45 @@ class ManifestSinkSpec extends SparkSpec {
               val v = logModel.map(_._1).max + 1
               retained ++= logModel.map(_._1)
               logModel = Vector((v, "merge", visible ++ srcIds))
+              dvModel = Vector.empty
             }
             assert(survivingVersions() ==
               logModel.map(_._1).toSet ++ retained,
               s"schedule $i: merge left an unpredicted log state")
+          case 17 => // checkpoint: derived metadata only — never a new
+            // version, never content; writes nothing while attempts pend
+            def ckSet(): Set[String] =
+              Option(new java.io.File(s"$dest/_log").listFiles())
+                .map(_.toSeq).getOrElse(Nil).map(_.getName)
+                .filter(_.endsWith(".checkpoint")).toSet
+            val before = ckSet()
+            ManifestSink.checkpoint(spark, dest)
+            if (pending.nonEmpty) assert(ckSet() == before,
+              s"schedule $i op#$k: checkpoint must refuse on pending")
+            assert(survivingVersions() ==
+              logModel.map(_._1).toSet ++ retained,
+              s"schedule $i: checkpoint changed the manifest set")
+          case 18 => // merge-on-read delete of a deterministic id slab:
+            // tombstones only — an INCREMENTAL version whose dv lines
+            // subtract from every read at or above it
+            val lo = (k * 11 % 40).toDouble
+            val expect = visibleNow.filter(id => id >= lo && id <= lo + 4)
+            val gone = ManifestSink.deleteWhereMor(spark, dest,
+              ManifestSink.SkipPredicate.NumRange("id", lo, lo + 4))
+            if (pending.nonEmpty || expect.isEmpty)
+              assert(gone == 0L,
+                s"schedule $i op#$k: mor delete must refuse/no-op, " +
+                  s"got $gone")
+            else {
+              assert(gone == expect.size.toLong,
+                s"schedule $i op#$k: mor delete count")
+              val v = survivingVersions().max
+              logModel :+= ((v, s"mor$k", Set.empty[Long]))
+              dvModel :+= ((v, expect))
+            }
+            assert(survivingVersions() ==
+              logModel.map(_._1).toSet ++ retained,
+              s"schedule $i: mor delete left an unpredicted log state")
         }
         check(s"op#$k($op)")
       }
@@ -1116,7 +1269,8 @@ class ManifestSinkSpec extends SparkSpec {
       applyRecover("final recover")
       check("final recover")
       logModel.map(_._1).foreach { v =>
-        val expect = logModel.filter(_._1 <= v).flatMap(_._3).toSet
+        val expect = logModel.filter(_._1 <= v).flatMap(_._3).toSet --
+          dvModel.filter(_._1 <= v).flatMap(_._2)
         assert(readIds(ManifestSink.readVersion(spark, dest, v)) == expect,
           s"schedule $i: readVersion($v) is not the exact prefix")
       }
@@ -3012,5 +3166,228 @@ class ManifestSinkSpec extends SparkSpec {
     assert(pcol.nonEmpty)
     assert(back.where(col(graft.ingest.Ingest.PartitionCol).isNull)
       .count() == 0)
+  }
+
+  test("purge: only files below the live-fraction threshold rewrite — " +
+      "lightly-tombstoned files keep their bytes AND their dvs, " +
+      "fully-dead files drop with zero writes, stats re-derive tight, " +
+      "and reads are identical before and after") {
+    val root = tmpDir("msinkpurge_")
+    val dest = s"$root/wh/t"
+    for (b <- 0 until 5)
+      ManifestSink.statsAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"v$i"))
+          .toDF("id", "v").coalesce(1), dest, None, Seq("id"))
+    def fileOf(id: Long): String = {
+      val fs = ManifestSink.readBack(spark, dest).inputFiles
+        .filterNot(_.contains("/_dv/"))
+      fs.find(f => spark.read.parquet(f)
+        .filter(col("id") === id).limit(1).count() == 1).get
+        .split('/').last
+    }
+    val heavyName = fileOf(100L) // will lose 60% of its rows
+    val lightName = fileOf(300L) // will lose 5%
+    // heavy: 60 of file 1's rows; light: 5 of file 3's; full: all of
+    // file 0's — three dv commits
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 100, 159)) == 60L)
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 300, 304)) == 5L)
+    assert(ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 0, 99)) == 100L)
+    val expectIds = ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet
+    assert(expectIds.size == 500 - 165)
+
+    // threshold 0.9: heavy (0.4 live) and full (0.0) purge; light
+    // (0.95) keeps its bytes and its tombstones
+    assert(ManifestSink.purge(spark, dest, minLiveFraction = 0.9) == 2L)
+    assert(ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet == expectIds)
+    val inputNow = ManifestSink.readBack(spark, dest).inputFiles
+      .map(_.split('/').last).toSet
+    assert(!inputNow.contains(heavyName), "heavy file must rewrite")
+    assert(inputNow.contains(lightName),
+      "lightly-tombstoned file must keep its bytes")
+    // the light file's dvs survive the partial snapshot; the heavy
+    // file's are materialized away — exactly one dv'd file remains
+    val headMf = new java.io.File(s"$dest/_log").listFiles()
+      .filter(_.getName.endsWith(".manifest")).map(_.getName).max
+    val headLines = scala.io.Source.fromFile(
+      new java.io.File(s"$dest/_log", headMf), "UTF-8").getLines().toList
+    val dvTargets = headLines.filter(_.startsWith("dv\t"))
+      .map(_.split('\t')(1)).distinct
+    assert(dvTargets.length == 1 &&
+      dvTargets.head.endsWith(lightName))
+    // re-derived stats stay tight: the purged slab's range prunes to
+    // the one rewritten file
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 160, 199)
+      .inputFiles.count(!_.contains("/_dv/")) == 1)
+    // idempotent: nothing left under the threshold
+    assert(ManifestSink.purge(spark, dest, minLiveFraction = 0.9) == 0L)
+    // tighten the threshold: now the light file purges too
+    assert(ManifestSink.purge(spark, dest, minLiveFraction = 0.99) == 1L)
+    assert(ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet == expectIds)
+    val finalMf = new java.io.File(s"$dest/_log").listFiles()
+      .filter(_.getName.endsWith(".manifest")).map(_.getName).max
+    assert(!scala.io.Source.fromFile(
+      new java.io.File(s"$dest/_log", finalMf), "UTF-8").getLines()
+      .exists(_.startsWith("dv\t")), "all tombstones materialized")
+  }
+
+  test("log checkpoint: head resolution rides the summary (reads " +
+      "survive pre-checkpoint manifest damage) while time travel, " +
+      "history, restore, and the change feed still walk the retained " +
+      "log; retention keeps two; compact sweeps them") {
+    val root = tmpDir("msinkckpt_")
+    val dest = s"$root/wh/t"
+    val logDir = new java.io.File(s"$dest/_log")
+    def ckpts(): Seq[String] = logDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".checkpoint")).sorted.toSeq
+    val saved = ManifestSink.checkpointInterval
+    ManifestSink.checkpointInterval = 0 // explicit control in this test
+    try {
+      for (b <- 0 until 5)
+        ManifestSink.statsAppend(
+          (b * 10L until b * 10L + 10L).map(i => (i, s"v$i"))
+            .toDF("id", "v").coalesce(1), dest, None, Seq("id"))
+      // v5: tombstones, so the checkpoint must carry dv lines too
+      assert(ManifestSink.deleteWhereMor(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("id", 12, 13)) == 2L)
+      val full = ManifestSink.readBack(spark, dest)
+        .select("id").as[Long].collect().toSet
+      val v2 = ManifestSink.readVersion(spark, dest, 2)
+        .select("id").as[Long].collect().toSet
+      val hist = ManifestSink.history(spark, dest).count()
+
+      val ckV = ManifestSink.checkpoint(spark, dest)
+      assert(ckV == 5L && ckpts() == Seq(f"$ckV%012d.checkpoint"))
+      // re-checkpoint at the same head is a no-op
+      assert(ManifestSink.checkpoint(spark, dest) == ckV &&
+        ckpts().length == 1)
+
+      // parity through the checkpoint: head read, skipping read, dv
+      // subtraction, history row count, pre-checkpoint time travel
+      assert(ManifestSink.readBack(spark, dest)
+        .select("id").as[Long].collect().toSet == full)
+      assert(ManifestSink.readBackWhere(spark, dest, "id", 10, 19)
+        .select("id").as[Long].collect().toSet ==
+        full.filter(i => i >= 10 && i <= 19))
+      assert(ManifestSink.history(spark, dest).count() == hist)
+      assert(ManifestSink.readVersion(spark, dest, 2)
+        .select("id").as[Long].collect().toSet == v2)
+      // the change feed spans the checkpoint (not a commit: version
+      // numbering and feed semantics are untouched)
+      assert(ManifestSink.readChangesBetween(spark, dest, 4, 5)
+        .where(col("_change_type") === "delete").count() == 2)
+
+      // append AFTER the checkpoint: resolution = summary + tail
+      ManifestSink.statsAppend(
+        (100L until 110L).map(i => (i, s"v$i")).toDF("id", "v")
+          .coalesce(1), dest, None, Seq("id"))
+      val full2 = full ++ (100L until 110L)
+      assert(ManifestSink.readBack(spark, dest)
+        .select("id").as[Long].collect().toSet == full2)
+
+      // PROOF head reads resolve THROUGH the summary: vandalize every
+      // pre-checkpoint manifest body (retained files, damaged content);
+      // the head read must not notice, because it never opens them
+      logDir.listFiles().filter(_.getName.endsWith(".manifest"))
+        .filter(_.getName.takeWhile(_.isDigit).toLong <= ckV)
+        .foreach { mf =>
+          val w = new java.io.PrintWriter(mf)
+          try w.write("garbage\tnot-a-manifest") finally w.close()
+        }
+      assert(ManifestSink.readBack(spark, dest)
+        .select("id").as[Long].collect().toSet == full2)
+      assert(ManifestSink.readBackWhere(spark, dest, "id", 10, 19)
+        .select("id").as[Long].collect().toSet ==
+        full2.filter(i => i >= 10 && i <= 19))
+
+      // restore to a pre-checkpoint version still works off the intact
+      // retained log (rebuild the table in a fresh dir to undo the
+      // vandalism above)
+      val dest2 = s"$root/wh/t2"
+      for (b <- 0 until 3)
+        ManifestSink.statsAppend(
+          (b * 10L until b * 10L + 10L).map(i => (i, s"v$i"))
+            .toDF("id", "v").coalesce(1), dest2, None, Seq("id"))
+      ManifestSink.checkpoint(spark, dest2)
+      ManifestSink.restore(spark, dest2, 1)
+      assert(ManifestSink.readBack(spark, dest2)
+        .select("id").as[Long].collect().toSet == (0L until 20L).toSet)
+      // ...and the restore (a new head ABOVE the checkpoint) resolves
+      assert(ManifestSink.checkpoint(spark, dest2) == 3L)
+      assert(ManifestSink.readBack(spark, dest2).count() == 20)
+
+      // retention: only the newest two checkpoint files survive
+      ManifestSink.statsAppend(Seq((900L, "x")).toDF("id", "v"),
+        dest2, None, Seq("id"))
+      ManifestSink.checkpoint(spark, dest2)
+      assert(new java.io.File(s"$dest2/_log").listFiles()
+        .count(_.getName.endsWith(".checkpoint")) == 2)
+
+      // compact collapses the log AND sweeps every checkpoint
+      ManifestSink.compact(spark, dest2)
+      assert(new java.io.File(s"$dest2/_log").listFiles()
+        .count(_.getName.endsWith(".checkpoint")) == 0)
+      assert(ManifestSink.readBack(spark, dest2).count() == 21)
+    } finally ManifestSink.checkpointInterval = saved
+  }
+
+  test("checkpoint refuses a rollback-able state: committed-unledgered " +
+      "attempts block the summary, recover sweeps a checkpoint at or " +
+      "above a rolled-back version, and the auto-cadence fires only at " +
+      "ledger-final commits") {
+    val root = tmpDir("msinkckpt2_")
+    val dest = s"$root/wh/t"
+    val saved = ManifestSink.checkpointInterval
+    ManifestSink.checkpointInterval = 0
+    try {
+      ManifestSink.statsAppend(Seq((1L, "a")).toDF("id", "v"), dest,
+        None, Seq("id"))
+      // a committed-but-unledgered attempt (crash window 2): staging
+      // marker pends, so the checkpoint REFUSES rather than summarize a
+      // version recover may roll back
+      ManifestSink.stagedAppend(Seq((2L, "b")).toDF("id", "v"), dest,
+        None, "wckpt", Seq("gs://src/b2"))
+      assert(ManifestSink.checkpoint(spark, dest) == -1L)
+      assert(new java.io.File(s"$dest/_log").listFiles()
+        .count(_.getName.endsWith(".checkpoint")) == 0)
+      // force the race checkpointFs guards against: hand-write a
+      // checkpoint that DID summarize the unledgered v1, then recover —
+      // the rollback must sweep it, and the read must drop id=2
+      val mfs = new java.io.File(s"$dest/_log").listFiles()
+        .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+      assert(mfs.length == 2)
+      val summarized = mfs.flatMap(mf =>
+        scala.io.Source.fromFile(mf, "UTF-8").getLines()
+          .filter(l => l.startsWith("target\t") ||
+            l.startsWith("stats2\t")).toSeq)
+      val ckF = new java.io.File(s"$dest/_log", "000000000001.checkpoint")
+      val w = new java.io.PrintWriter(ckF)
+      try w.write((Seq("writeid\tckpt", "snapshot\t1", "checkpoint\t1") ++
+        summarized).mkString("\n")) finally w.close()
+      assert(ManifestSink.readBack(spark, dest)
+        .select("id").as[Long].collect().toSet == Set(1L, 2L))
+      ManifestSink.recover(spark, dest, _ => false) // nothing ledgered
+      assert(!ckF.exists(), "rollback must sweep the stale checkpoint")
+      assert(ManifestSink.readBack(spark, dest)
+        .select("id").as[Long].collect().toSet == Set(1L))
+
+      // auto-cadence: interval 2 → checkpoints appear after the ledger-
+      // final commits at even versions, without explicit calls
+      ManifestSink.checkpointInterval = 2
+      val dest2 = s"$root/wh/t2"
+      for (b <- 0 until 4)
+        ManifestSink.statsAppend(
+          Seq((b.toLong, s"v$b")).toDF("id", "v"), dest2, None, Seq("id"))
+      val cks = new java.io.File(s"$dest2/_log").listFiles()
+        .map(_.getName).filter(_.endsWith(".checkpoint")).sorted
+      assert(cks.nonEmpty && cks.forall(
+        _.takeWhile(_.isDigit).toLong % 2 == 0))
+      assert(ManifestSink.readBack(spark, dest2).count() == 4)
+    } finally ManifestSink.checkpointInterval = saved
   }
 }
