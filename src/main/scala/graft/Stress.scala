@@ -1034,6 +1034,69 @@ object Stress {
         f"updated=${rN._1} (all range candidates scanned)")
       require(rB == rN)
     }
+    // Bloom SIDECAR density rung: ≥200k distinct keys in ONE file —
+    // past the old 2^20 inline cap, where the manifest-embedded layout
+    // saturated toward fpp→1. The sidecar layout sizes the filter from
+    // occupancy (here ≥2^21 bits), builds the words executor-side, and
+    // must hold ~1% fpp. Measured by reconstructing the stored filter
+    // from its sidecar words (driver bit tests — no per-probe read).
+    if (enabled("bloom_dense")) {
+      import graft.ingest.ManifestSink
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_bloom_dense_").toString
+      val dest = s"$root/t"
+      val nKeys = 250000
+      val t0 = System.nanoTime()
+      ManifestSink.statsAppend(
+        spark.range(nKeys).select(col("id"),
+          concat(lit("key_"), col("id")).as("key")).coalesce(1),
+        dest, None, Seq("id"), bloomCols = Seq("key"))
+      println(f"STRESS bloom_dense_build        " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"keys=$nKeys files=1 (executor-side word build)")
+      val mfLines = {
+        val f = new java.io.File(s"$dest/_log").listFiles()
+          .filter(_.getName.endsWith(".manifest")).head
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toVector finally src.close()
+      }
+      val sc = mfLines.find(_.startsWith("bloomsc\t")).get.split('\t')
+      val (m, k) = (sc(3).toInt, sc(4).toInt)
+      require(m >= (1 << 21), s"sizing saturated: m=$m for $nKeys keys")
+      val rows = spark.read.parquet(s"$dest/${sc(5)}")
+        .where(col("col") === "key")
+        .select(col("w"), col("bits")).collect()
+      val bits = new Array[Byte](m >> 3)
+      rows.foreach { r =>
+        val w = r.getInt(0); val bv = r.getLong(1)
+        var b = 0
+        while (b < 8) {
+          bits(w * 8 + b) = ((bv >>> (b * 8)) & 0xffL).toByte
+          b += 1
+        }
+      }
+      val bf = ManifestSink.BloomF(m, k, bits)
+      val probes = 50000
+      val t1 = System.nanoTime()
+      val fp = (0 until probes).count(i => bf.mightContain(
+        ManifestSink.BloomF.positions(s"no_$i", m, k)))
+      println(f"STRESS bloom_dense_fpp          " +
+        f"${(System.nanoTime() - t1) / 1e9}%8.2f s  " +
+        f"m=$m fpp=${fp.toDouble / probes}%.4f " +
+        f"($probes absent-key probes; old cap was 2^20)")
+      require(fp <= probes * 3 / 100, s"fpp ${fp.toDouble / probes}")
+      // and the read path still answers point lookups through the
+      // sidecar: a present key reads the file, an absent key reads none
+      val t2 = System.nanoTime()
+      require(ManifestSink.readBackWherePred(spark, dest,
+        ManifestSink.SkipPredicate.StrEq("key", "key_123456"))
+        .count() == 1)
+      require(ManifestSink.countWhere(spark, dest,
+        ManifestSink.SkipPredicate.StrEq("key", "nope")) == 0L)
+      println(f"STRESS bloom_dense_lookup       " +
+        f"${(System.nanoTime() - t2) / 1e9}%8.2f s  " +
+        "(hit + metadata-only miss)")
+    }
     // Same ladder with the PERSISTED band index: per-batch cost should
     // stay flat-ish as the corpus grows (batch bands + slim index join +
     // touched-partner verify), instead of the linear corpus re-index the

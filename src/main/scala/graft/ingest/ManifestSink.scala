@@ -174,7 +174,15 @@ object ManifestSink extends Ingest.DestinationSink {
       statsLines: Seq[String], bloomLines: Seq[String],
       rawDvLines: Seq[String], dvLines: Seq[(String, String, Long)],
       cdfLines: Seq[(String, Long)], writeIdSet: Seq[String],
-      approxBytes: Long)
+      sidecarRels: Seq[String], approxBytes: Long) {
+    /** Bloom-sidecar rels referenced by `bloomsc` lines. */
+    def bloomScRels: Seq[String] = bloomLines.flatMap { l =>
+      l.split('\t') match {
+        case Array("bloomsc", _, _, _, _, rel) => Some(rel)
+        case _                                 => None
+      }
+    }.distinct
+  }
 
   private def parseMf(mf: Path, lines: Seq[String]): MfData = {
     lines.find(_.startsWith("protocol\t")).foreach { l =>
@@ -215,6 +223,8 @@ object ManifestSink extends Ingest.DestinationSink {
       },
       writeIdSet = lines.collect {
         case l if l.startsWith("writeidset\t") => l.substring(11) },
+      sidecarRels = lines.collect {
+        case l if l.startsWith("sidecar\t") => l.substring(8) },
       approxBytes = lines.map(_.length.toLong + 16).sum)
   }
 
@@ -513,7 +523,7 @@ object ManifestSink extends Ingest.DestinationSink {
     lazy val dvs: Map[String, Seq[(String, Long)]] =
       effectiveDvsOf(fs, mfs)
     private lazy val stats = fileStatsOf(fs, mfs)
-    private lazy val blooms = fileBloomsOf(fs, mfs)
+    private lazy val blooms = bloomIndexOf(org.apache.spark.sql.SparkSession.active, destPath, fs, mfs)
     private lazy val posC = bloomPosCache()
     /** Files (from `from`) that may contain a row matching `pred` per
       * the manifest stats and bloom filters — the [[readBackWherePred]]
@@ -578,8 +588,22 @@ object ManifestSink extends Ingest.DestinationSink {
     * CDF contract). A `sinceVersion` below the surviving floor throws
     * as compacted-away, exactly like [[readAppendsBetween]].
     */
+  /** Lowest surviving log version, `-1` when the table has none — the
+    * compaction floor the feeds refuse below.
+    */
+  private[graft] def survivingFloor(spark: SparkSession,
+      destPath: String): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return -1L
+    manifests(fs, destPath)
+      .map(_.getName.takeWhile(_.isDigit).toLong).minOption
+      .getOrElse(-1L)
+  }
+
   private[graft] def appendFeed(spark: SparkSession, destPath: String,
-      sinceVersion: Long): (Seq[(Long, () => DataFrame)], Long) = {
+      sinceVersion: Long, untilVersion: Long = Long.MaxValue)
+      : (Seq[(Long, () => DataFrame)], Long) = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     if (!fs.exists(dest)) return (Seq.empty, sinceVersion)
@@ -591,7 +615,9 @@ object ManifestSink extends Ingest.DestinationSink {
       s"[graft] appendFeed($sinceVersion): history before v$minV was " +
         "compacted away — re-sync the tail from a full readBack")
     def isLayout(mf: Path): Boolean = mfData(fs, mf).layout
-    val feed = all.filter(vOf(_) > sinceVersion).sortBy(vOf)
+    val feed = all
+      .filter(p => vOf(p) > sinceVersion && vOf(p) <= untilVersion)
+      .sortBy(vOf)
       .flatMap { mf =>
         val v = vOf(mf)
         val (_, targets, snap) = readManifest(fs, mf)
@@ -1398,7 +1424,11 @@ object ManifestSink extends Ingest.DestinationSink {
   // `h mod m_small == (h mod m_large) mod m_large`'s pow2 form means a
   // larger filter ORs down into a smaller one bit-by-bit, so
   // [[optimize]]'s metadata merge works across mixed sizes.
-  private[graft] val DefaultBloomBits = 1 << 20 // cap: 128 KiB of bits
+  // cap: with the sidecar layout the bits never ride the manifest, so
+  // the ceiling is per-file read cost, not log size — 2^24 bits holds
+  // ~1.7M distinct keys/file at ~1% fpp, and the SPARSE word encoding
+  // means a small file still stores only its nonzero words
+  private[graft] val DefaultBloomBits = 1 << 24
   private[graft] val MinBloomBits = 1 << 13
   private[graft] val BloomBitsPerKey = 10
   private[graft] val BloomK = 5
@@ -1430,23 +1460,311 @@ object ManifestSink extends Ingest.DestinationSink {
   private def rawBloomLines(fs: FileSystem, mf: Path): Seq[String] =
     mfData(fs, mf).bloomLines
 
-  /** Per-file blooms of the EFFECTIVE manifests, keyed
-    * `(target, column)` — same snapshot-cut window as [[fileStatsOf]].
+  // ---- bloom sidecar layout -------------------------------------
+  //
+  // Inline `bloom\t…\t<b64 bits>` lines put up to 128 KiB of base64
+  // in the MANIFEST per file-column: past ~100k distinct keys/file the
+  // 2^20-bit cap saturates (fpp degrades toward "maybe" for every
+  // probe), and the bits ride every log resolution whether or not a
+  // query probes them. The SIDECAR layout (Delta's bloom-filter-index
+  // file design) moves the bits to one parquet file per commit —
+  // `_bloom/<writeId>.parquet`, rows `(tgt, col, m, k, w, bits)`
+  // where `w` indexes 64-bit words and only NONZERO words are stored —
+  // and the manifest keeps a slim pointer line per file-column:
+  // `bloomsc\t<tgt>\t<col>\t<m>\t<k>\t<sidecar rel>`. Readers fetch
+  // exactly the k words a probe needs (parquet-mr record filter on
+  // `col IN … AND w IN …`), so a point lookup over a 10k-file table
+  // reads KBs of sidecar, not MBs of manifest. Filters can now grow
+  // to 2^24 bits (~1.7M keys/file at ~1% fpp). Carry semantics are
+  // IDENTICAL to inline lines (`bloomsc` lines ride bloomCarryLines /
+  // compact / restore / checkpoint verbatim — the second TSV field is
+  // the target, which is all the carry filters key on), and sidecar
+  // files are immutable, so a carried pointer stays valid until
+  // vacuum sweeps the unreferenced file.
+
+  private val BloomDir = "_bloom"
+
+  private def bloomScLine(tgt: String, c: String, m: Int, k: Int,
+      rel: String): String = s"bloomsc\t$tgt\t$c\t$m\t$k\t$rel"
+
+  private[graft] final case class BloomScRef(m: Int, k: Int, rel: String)
+
+  /** Per-file blooms of the EFFECTIVE manifests as a lazy [[BloomIndex]]
+    * — inline legacy lines carry their bits; `bloomsc` lines carry
+    * pointers the index resolves on demand. Same snapshot-cut window as
+    * [[fileStatsOf]].
     */
-  private def fileBloomsOf(fs: FileSystem, mfs: Seq[Path])
-      : Map[(String, String), BloomF] = {
+  private def bloomIndexOf(spark: SparkSession, destPath: String,
+      fs: FileSystem, mfs: Seq[Path]): BloomIndex = {
     val parsed = mfs.map(mf => readManifest(fs, mf))
     val lastSnap = parsed.lastIndexWhere(_._3)
-    (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs)
+    val lines = (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs)
       .flatMap(rawBloomLines(fs, _))
-      .flatMap { l =>
-        l.split('\t') match {
-          case Array("bloom", tgt, c, m, k, b64) =>
-            Some((tgt, c) -> BloomF(m.toInt, k.toInt,
-              java.util.Base64.getDecoder.decode(b64)))
-          case _ => None
+    val inline = lines.flatMap { l =>
+      l.split('\t') match {
+        case Array("bloom", tgt, c, m, k, b64) =>
+          Some((tgt, c) -> BloomF(m.toInt, k.toInt,
+            java.util.Base64.getDecoder.decode(b64)))
+        case _ => None
+      }
+    }.toMap
+    val refs = lines.flatMap { l =>
+      l.split('\t') match {
+        case Array("bloomsc", tgt, c, m, k, rel) =>
+          Some((tgt, c) -> BloomScRef(m.toInt, k.toInt, rel))
+        case _ => None
+      }
+    }.toMap
+    new BloomIndex(spark, destPath, fs, inline, refs)
+  }
+
+  /** The probe surface over inline and sidecar-backed filters. Sidecar
+    * words load LAZILY and SPARSELY: the first probe extracts every
+    * equality value in the predicate and fetches all their word
+    * positions across every referenced sidecar in one sweep
+    * (parquet-mr record filters — no Spark job on the lookup path), so
+    * an IN-list over a thousand files costs one small read per commit
+    * sidecar, cached for the rest of the pruning loop. A sidecar that
+    * fails to read degrades that filter to "maybe" — blooms only ever
+    * prove absence.
+    */
+  private[graft] final class BloomIndex(
+      spark: SparkSession, destPath: String, fs: FileSystem,
+      inline: Map[(String, String), BloomF],
+      refs: Map[(String, String), BloomScRef]) {
+
+    def nonEmpty: Boolean = inline.nonEmpty || refs.nonEmpty
+    def contains(key: (String, String)): Boolean =
+      inline.contains(key) || refs.contains(key)
+    def keys: Iterable[(String, String)] = inline.keys ++ refs.keys
+    private[graft] def sidecarRefs: Map[(String, String), BloomScRef] =
+      refs
+    private[graft] def inlineFilters: Map[(String, String), BloomF] =
+      inline
+
+    // sparse loaded words per (tgt, col); missing word = all-zero
+    private val words = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.Map[Int, Long]]
+    private val loadedValues =
+      scala.collection.mutable.Set.empty[(String, String)]
+    private val brokenRels =
+      scala.collection.mutable.Set.empty[String]
+    private val fullCache = scala.collection.mutable.Map
+      .empty[(String, String), Option[BloomF]]
+
+    /** Every `(col, value)` equality a predicate will probe. */
+    private def eqValues(pred: SkipPredicate)
+        : Seq[(String, String)] = pred match {
+      case SkipPredicate.And(ps)     => ps.flatMap(eqValues)
+      case SkipPredicate.Or(ps)      => ps.flatMap(eqValues)
+      case SkipPredicate.StrEq(c, v) => Seq((c, v))
+      case _                         => Nil
+    }
+
+    private def ensureValues(vals: Seq[(String, String)]): Unit = {
+      val missing = vals.distinct.filterNot(loadedValues)
+      if (missing.isEmpty || refs.isEmpty) return
+      val colSet = missing.map(_._1).toSet
+      val relevant = refs.filter { case ((_, c), _) => colSet.contains(c) }
+      loadedValues ++= missing
+      if (relevant.isEmpty) return
+      val sizes = relevant.values.map(r => (r.m, r.k)).toSet
+      val needW = new java.util.HashSet[Integer]()
+      missing.foreach { case (_, v) =>
+        sizes.foreach { case (m, k) =>
+          BloomF.positions(v, m, k).foreach(p => needW.add(p >> 6)) } }
+      relevant.values.map(_.rel).toSet
+        .foreach((rel: String) => readSidecar(rel, colSet, Some(needW)))
+    }
+
+    /** Read sidecar rows for `cols` (and optionally only words in
+      * `needW`) into the sparse maps; a read failure marks the rel
+      * broken (conservative may-match).
+      */
+    private def readSidecar(rel: String, cols: Set[String],
+        needW: Option[java.util.HashSet[Integer]],
+        tgtOnly: Option[String] = None): Unit = {
+      if (brokenRels.contains(rel)) return
+      try {
+        import org.apache.parquet.filter2.predicate.FilterApi
+        import org.apache.parquet.filter2.compat.FilterCompat
+        import org.apache.parquet.io.api.Binary
+        import scala.jdk.CollectionConverters._
+        val colsJ: java.util.Set[Binary] =
+          cols.map(Binary.fromString).asJava
+        var p: org.apache.parquet.filter2.predicate.FilterPredicate =
+          FilterApi.in(FilterApi.binaryColumn("col"), colsJ)
+        needW.foreach { ws =>
+          p = FilterApi.and(p, FilterApi.in(FilterApi.intColumn("w"), ws))
         }
-      }.toMap
+        tgtOnly.foreach { t =>
+          p = FilterApi.and(p, FilterApi.eq(
+            FilterApi.binaryColumn("tgt"), Binary.fromString(t)))
+        }
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new Path(new Path(destPath), rel))
+          .withConf(spark.sparkContext.hadoopConfiguration)
+          .withFilter(FilterCompat.get(p))
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val key = (g.getString("tgt", 0), g.getString("col", 0))
+            words.getOrElseUpdate(key,
+              scala.collection.mutable.Map.empty)
+              .update(g.getInteger("w", 0), g.getLong("bits", 0))
+            g = reader.read()
+          }
+        } finally reader.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          brokenRels += rel
+          println(s"METRIC graft.bloom.sidecar_read_failed=1 rel=$rel " +
+            s"err=${e.getClass.getSimpleName}")
+      }
+    }
+
+    /** Full bits of one filter — the [[optimize]] metadata-merge path
+      * (bounded callers: the files of one pack unit).
+      */
+    def fullFilter(key: (String, String)): Option[BloomF] =
+      fullCache.getOrElseUpdate(key,
+        inline.get(key).orElse(refs.get(key).flatMap { r =>
+          if (brokenRels.contains(r.rel)) None
+          else {
+            readSidecar(r.rel, Set(key._2), None, tgtOnly = Some(key._1))
+            if (brokenRels.contains(r.rel)) None
+            else {
+              val wm = words.getOrElse(key,
+                scala.collection.mutable.Map.empty[Int, Long])
+              val bits = new Array[Byte](r.m >> 3)
+              wm.foreach { case (w, bv) =>
+                var b = 0
+                while (b < 8) {
+                  bits(w * 8 + b) = ((bv >>> (b * 8)) & 0xffL).toByte
+                  b += 1
+                }
+              }
+              Some(BloomF(r.m, r.k, bits))
+            }
+          }
+        }))
+
+    /** Can the file's filter rule out `pred`? Mirrors the inline
+      * semantics: only equality conjuncts consult it; absent filters
+      * and non-equality predicates answer true.
+      */
+    def mayMatch(posCache: scala.collection.mutable.Map[
+        (String, Int, Int), Array[Int]], t: String,
+        pred: SkipPredicate): Boolean = {
+      if (refs.nonEmpty) ensureValues(eqValues(pred))
+      mayMatchRec(posCache, t, pred)
+    }
+
+    private def mayMatchRec(posCache: scala.collection.mutable.Map[
+        (String, Int, Int), Array[Int]], t: String,
+        pred: SkipPredicate): Boolean = pred match {
+      case SkipPredicate.And(ps) =>
+        ps.forall(p => mayMatchRec(posCache, t, p))
+      case SkipPredicate.Or(ps) =>
+        ps.exists(p => mayMatchRec(posCache, t, p))
+      case SkipPredicate.StrEq(c, v) =>
+        inline.get((t, c)) match {
+          case Some(bf) =>
+            bf.mightContain(posCache.getOrElseUpdate((v, bf.m, bf.k),
+              BloomF.positions(v, bf.m, bf.k)))
+          case None => refs.get((t, c)) match {
+            case None => true
+            case Some(r) =>
+              if (brokenRels.contains(r.rel)) true
+              else {
+                val wm = words.getOrElse((t, c),
+                  scala.collection.mutable.Map.empty[Int, Long])
+                posCache.getOrElseUpdate((v, r.m, r.k),
+                  BloomF.positions(v, r.m, r.k)).forall { p =>
+                  ((wm.getOrElse(p >> 6, 0L) >>> (p & 63)) & 1L) == 1L
+                }
+              }
+          }
+        }
+      case _ => true
+    }
+  }
+
+  /** MERGE candidate refinement against the bloom index. Inline
+    * (legacy) filters probe driver-side under a key cap, exactly as
+    * before; sidecar-backed filters refine in ONE distributed job —
+    * source keys cross the (small, broadcast) per-file filter metadata,
+    * probe positions compute under codegen with the SAME
+    * `xxhash64(i, v)` the build used, and an inner join against the
+    * sidecar word rows keeps a file iff at least one key has all k
+    * bits set. No key cap and no driver hashing on this path.
+    */
+  private def bloomRefineCandidates(spark: SparkSession,
+      destPath: String, blooms: BloomIndex, src: DataFrame,
+      keyCol: String, rangeCandidates: Seq[String], nKeys: Long)
+      : Seq[String] = {
+    val inline = blooms.inlineFilters
+    val refs = blooms.sidecarRefs
+    val inlineBacked = rangeCandidates
+      .filter(t => inline.contains((t, keyCol)))
+    val scBacked = rangeCandidates.filter(t =>
+      !inline.contains((t, keyCol)) && refs.contains((t, keyCol)))
+    val unbacked = rangeCandidates.filterNot(t =>
+      inline.contains((t, keyCol)) || refs.contains((t, keyCol)))
+    val keptInline: Seq[String] =
+      if (inlineBacked.isEmpty) Nil
+      else if (nKeys > 100000L) inlineBacked // cap: skip, keep all
+      else {
+        val keys = src.select(col(keyCol).cast("string"))
+          .where(col(keyCol).isNotNull)
+          .collect().map(_.getString(0))
+        val posC = bloomPosCache()
+        inlineBacked.filter { t =>
+          val bf = inline((t, keyCol))
+          keys.exists(k => bf.mightContain(
+            posC.getOrElseUpdate((k, bf.m, bf.k),
+              BloomF.positions(k, bf.m, bf.k))))
+        }
+      }
+    val keptSc: Set[String] =
+      if (scBacked.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val meta = scBacked.map { t =>
+          val r = refs((t, keyCol)); (t, r.m, r.k, r.rel)
+        }
+        val dest = new Path(destPath)
+        val rels = meta.map(_._4).distinct
+          .map(r => new Path(dest, r).toString)
+        val metaDf = meta.map { case (t, m, k, _) => (t, m, k) }
+          .toDF("tgt", "__m", "__k")
+        val probes = src.select(col(keyCol).cast("string").as("__v"))
+          .where(col("__v").isNotNull).distinct()
+          .crossJoin(broadcast(metaDf))
+          .select(col("tgt"), col("__v"), col("__k"),
+            explode(expr("sequence(0, __k - 1)")).as("__i"),
+            col("__m"))
+          .select(col("tgt"), col("__v"), col("__k"), col("__i"),
+            pmod(xxhash64(col("__i"), col("__v")),
+              col("__m").cast("long")).as("__p"))
+          .select(col("tgt"), col("__v"), col("__k"), col("__i"),
+            expr("CAST(shiftright(__p, 6) AS INT)").as("w"),
+            expr("CAST(__p % 64 AS INT)").as("__b"))
+        val words = spark.read.parquet(rels: _*)
+          .where(col("col") === keyCol)
+          .select(col("tgt"), col("w"), col("bits"))
+        probes.join(words, Seq("tgt", "w"))
+          .where(expr("(shiftrightunsigned(bits, __b) & 1) = 1"))
+          .groupBy(col("tgt"), col("__v"), col("__k"))
+          .agg(countDistinct(col("__i")).as("__n"))
+          .where(col("__n") === col("__k"))
+          .select("tgt").distinct().as[String].collect().toSet
+      }
+    val keep = unbacked.toSet ++ keptInline ++ keptSc
+    rangeCandidates.filter(keep.contains)
   }
 
   /** Raw bloom lines of the snapshot-cut window restricted to
@@ -1466,45 +1784,57 @@ object ManifestSink extends Ingest.DestinationSink {
       }
   }
 
-  /** Build per-staged-file blooms for `bloomCols` — ONE distributed
-    * aggregate per column: k probe positions per live value, distinct,
-    * collected per file (bounded by m bits, not by row count).
+  /** EXECUTOR-SIDE bloom build for `bloomCols` over a staged dir —
+    * per column: one distributed pass computes per-file 64-bit WORDS
+    * at the cap size (`bit_or` of per-probe masks), the driver sizes
+    * each file's filter from the cap filter's OCCUPANCY (the standard
+    * estimator n ≈ -(m/k)·ln(1 - d/m); the only collect is one row
+    * per file), and a second aggregate FOLDS the words down to the
+    * per-file size (pow2: word w of the cap array lands at
+    * `w mod (m/64)`; bit offsets inside a word never move because
+    * 64 divides every m). Nothing larger than a per-file occupancy
+    * count crosses collect(); the bits themselves go straight to the
+    * sidecar parquet. Returns the per-file-column metadata and the
+    * word frame `(tgt, col, m, k, w, bits)` for the caller to write.
     */
-  private def bloomLinesFor(spark: SparkSession, fs: FileSystem,
+  private def bloomWordsFor(spark: SparkSession, fs: FileSystem,
       staged: Path, relToTarget: Map[String, String],
-      bloomCols: Seq[String], maxBits: Int): Seq[String] = {
+      bloomCols: Seq[String], maxBits: Int)
+      : (Seq[(String, String, Int, Int)], Option[DataFrame]) = {
     require(maxBits >= MinBloomBits && (maxBits & (maxBits - 1)) == 0 &&
       maxBits <= (1 << 24),
       s"[graft] bloomBits must be a power of two in [2^13, 2^24], " +
         s"got $maxBits")
     val stagedPath = fs.makeQualified(staged).toUri.getPath
     val df = spark.read.parquet(staged.toString)
-    bloomCols.sorted.flatMap { c =>
+    val metas =
+      scala.collection.mutable.ArrayBuffer[(String, String, Int, Int)]()
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    bloomCols.sorted.foreach { c =>
       require(df.schema.fieldNames.contains(c),
         s"[graft] bloom column '$c' not in staged schema")
-      // ONE distributed pass: distinct probe positions at the CAP
-      // size. The per-file size is chosen driver-side from the cap
-      // filter's occupancy (the standard estimator
-      // n ≈ -(m/k)·ln(1 - d/m) inverts E[d] for n insertions), and
-      // the bits fold down to it (pow2: p mod m == p AND (m-1)) —
-      // no separate distinct-count job.
       val probes = (0 until BloomK).map(i =>
         pmod(xxhash64(lit(i), col("__v")), lit(maxBits.toLong))
-          .cast("int"))
-      df.select(input_file_name().as("__f"),
+          .cast("long"))
+      val capWords = df.select(input_file_name().as("__f"),
           col(c).cast("string").as("__v"))
         .where(col("__v").isNotNull)
-        .select(col("__f"), explode(array(probes: _*)).as("__b"))
-        .groupBy(col("__f")).agg(collect_set(col("__b")).as("__bits"))
-        .collect()
-        .toSeq
-        .sortBy(_.getString(0))
-        .flatMap { r =>
+        .select(col("__f"), explode(array(probes: _*)).as("__p"))
+        .select(col("__f"), expr("shiftright(__p, 6)").cast("int")
+          .as("__w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))")
+            .as("__mask"))
+        .groupBy(col("__f"), col("__w"))
+        .agg(expr("bit_or(__mask)").as("__bits"))
+        .persist()
+      try {
+        val occ = capWords.groupBy(col("__f"))
+          .agg(expr("sum(bit_count(__bits))").as("__d")).collect()
+        val fileMeta: Seq[(String, String, Int)] = occ.toSeq.flatMap { r =>
           val rel = new Path(new java.net.URI(r.getString(0)))
             .toUri.getPath.stripPrefix(stagedPath + "/")
           relToTarget.get(rel).map { tgt =>
-            val pos = r.getSeq[Int](1)
-            val d = pos.length.toDouble
+            val d = r.getLong(1).toDouble
             val ndv =
               if (d >= maxBits) Long.MaxValue
               else math.max(1L, math.round(
@@ -1516,15 +1846,51 @@ object ManifestSink extends Ingest.DestinationSink {
                 else BloomBitsPerKey * ndv))
             var m = MinBloomBits
             while (m < want) m <<= 1
-            val bits = new Array[Byte](m >> 3)
-            pos.foreach { p0 =>
-              val p = p0 & (m - 1)
-              bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
-            }
-            bloomLine(tgt, c, BloomF(m, BloomK, bits))
+            (r.getString(0), tgt, m)
           }
         }
+        if (fileMeta.nonEmpty) {
+          import spark.implicits._
+          val metaDf = fileMeta.toDF("__f", "__tgt", "__m")
+          val folded = capWords.join(broadcast(metaDf), "__f")
+            .groupBy(col("__tgt"), col("__m"),
+              expr("__w % (__m DIV 64)").cast("int").as("__wf"))
+            .agg(expr("bit_or(__bits)").as("__b"))
+            .select(col("__tgt").as("tgt"), lit(c).as("col"),
+              col("__m").as("m"), lit(BloomK).as("k"),
+              col("__wf").as("w"), col("__b").as("bits"))
+            .localCheckpoint() // materialize before unpersisting input
+          frames += folded
+          metas ++= fileMeta.sortBy(_._2)
+            .map { case (_, tgt, m) => (tgt, c, m, BloomK) }
+        }
+      } finally capWords.unpersist()
     }
+    (metas.toSeq,
+      if (frames.isEmpty) None else Some(frames.reduce(_ unionByName _)))
+  }
+
+  /** Write a word frame as ONE sidecar parquet part under `staging`,
+    * returning the staged part path — sorted by `(tgt, col, w)` so
+    * parquet-mr row-group stats prune probe reads.
+    */
+  private def writeBloomSidecar(fs: FileSystem, staging: Path,
+      wordsDf: DataFrame): Path = {
+    val out = new Path(staging, "bloomsc")
+    // one part per commit (the Delta single-part-checkpoint shape):
+    // coalesce first so the (tgt, col, w) sort happens inside the one
+    // writing task — no global-sort exchange. Size bound: words are
+    // SPARSE (≤ min(rows·k, m/64) per file-column), so the sidecar is
+    // MBs for any realistic commit; a multi-part layout is the escape
+    // hatch if single commits ever carry thousands of dense filters.
+    wordsDf.coalesce(1)
+      .sortWithinPartitions(col("tgt"), col("col"), col("w"))
+      .write.mode("overwrite").parquet(out.toString)
+    fs.listStatus(out).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"[graft] bloom sidecar: no part file under $out"))
   }
 
   /** Fold a filter down to `m` bits (pow2 modulo refinement): bit `p`
@@ -1551,21 +1917,10 @@ object ManifestSink extends Ingest.DestinationSink {
     * exactly as the build did, so numeric keys work too); everything
     * else, and files without a filter for the column, answer true.
     */
-  private def bloomMayMatchFile(blooms: Map[(String, String), BloomF],
+  private def bloomMayMatchFile(blooms: BloomIndex,
       posCache: scala.collection.mutable.Map[(String, Int, Int),
         Array[Int]], t: String, pred: SkipPredicate): Boolean =
-    pred match {
-      case SkipPredicate.And(ps) =>
-        ps.forall(p => bloomMayMatchFile(blooms, posCache, t, p))
-      case SkipPredicate.Or(ps) =>
-        ps.exists(p => bloomMayMatchFile(blooms, posCache, t, p))
-      case SkipPredicate.StrEq(c, v) =>
-        blooms.get((t, c)).forall { bf =>
-          bf.mightContain(posCache.getOrElseUpdate((v, bf.m, bf.k),
-            BloomF.positions(v, bf.m, bf.k)))
-        }
-      case _ => true
-    }
+    blooms.mayMatch(posCache, t, pred)
 
   private def bloomPosCache()
       : scala.collection.mutable.Map[(String, Int, Int), Array[Int]] =
@@ -1787,7 +2142,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val targets = effectiveTargetsOf(fs, mfs)
     if (targets.isEmpty) return spark.emptyDataFrame
     val stats = fileStatsOf(fs, mfs)
-    val blooms = fileBloomsOf(fs, mfs)
+    val blooms = bloomIndexOf(spark, destPath, fs, mfs)
     val posC = bloomPosCache()
     val keep = targets.filter(t => mayMatchFile(stats, t, pred) &&
       bloomMayMatchFile(blooms, posC, t, pred))
@@ -1830,7 +2185,7 @@ object ManifestSink extends Ingest.DestinationSink {
     var credited = 0L
     val scanList = scala.collection.mutable.ArrayBuffer[String]()
     var skipped = 0
-    val blooms = fileBloomsOf(fs, mfs)
+    val blooms = bloomIndexOf(spark, destPath, fs, mfs)
     val posC = bloomPosCache()
     targets.foreach { t =>
       // a file with deletion vectors can still SKIP (pruned = no rows
@@ -1984,7 +2339,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsByTgt: Map[String, Map[String, ColStats]] =
       fileStatsOf(fs, old).groupBy(_._1._1)
         .map { case (t, m) => t -> m.map { case ((_, c), st) => c -> st } }
-    val bloomsOld = fileBloomsOf(fs, old)
+    val bloomsOld = bloomIndexOf(spark, destPath, fs, old)
 
     val (packed, packedStats): (Seq[String], Seq[String]) =
       if (sortKeys.isEmpty) {
@@ -2049,7 +2404,64 @@ object ManifestSink extends Ingest.DestinationSink {
             }
           }
         }
-        (names, pStats ++ derivedStats.toSeq)
+        // bloom index survives concatenation as pure metadata: the
+        // packed file's filter is the bitwise OR of its inputs' (mixed
+        // sizes fold down to the smallest first; dv'd inputs only
+        // leave stale bits — the conservative direction). The merged
+        // bits land in THIS commit's sidecar, never inline.
+        val mergedMeta = scala.collection.mutable
+          .ArrayBuffer[(String, String, Int, Int)]()
+        val mergedRows = scala.collection.mutable
+          .ArrayBuffer[(String, String, Int, Int, Int, Long)]()
+        if (bloomsOld.nonEmpty) bins.zip(names).foreach {
+          case (bin, tgt) =>
+            val cols = bloomsOld.keys.filter(k => bin.contains(k._1))
+              .map(_._2).toSeq.distinct.sorted
+            cols.foreach { c =>
+              val bfs = bin.map(b => bloomsOld.fullFilter((b, c)))
+              val fl = bfs.flatten
+              if (bfs.forall(_.isDefined) &&
+                  fl.forall(_.k == fl.head.k)) {
+                val m = fl.map(_.m).min
+                val bits = new Array[Byte](m >> 3)
+                fl.map(foldBloom(_, m)).foreach(fb =>
+                  bits.indices.foreach(j =>
+                    bits(j) = (bits(j) | fb(j)).toByte))
+                mergedMeta += ((tgt, c, m, fl.head.k))
+                var w = 0
+                while (w < (m >> 6)) {
+                  var word = 0L
+                  var b = 0
+                  while (b < 8) {
+                    word |= (bits(w * 8 + b).toLong & 0xffL) << (b * 8)
+                    b += 1
+                  }
+                  if (word != 0L)
+                    mergedRows += ((tgt, c, m, fl.head.k, w, word))
+                  w += 1
+                }
+              }
+            }
+        }
+        val pBloomLines: Seq[String] =
+          if (mergedMeta.isEmpty) Nil
+          else {
+            import spark.implicits._
+            val rel = s"$BloomDir/$writeId.parquet"
+            val part = writeBloomSidecar(fs, staging,
+              mergedRows.toSeq.toDF("tgt", "col", "m", "k", "w", "bits"))
+            // extend the WA cover to the sidecar before it moves
+            writeFile(fs, new Path(staging, WaManifest),
+              (names.map("target\t" + _) :+ s"sidecar\t$rel")
+                .mkString("\n"))
+            val tgtP = new Path(dest, rel)
+            fs.mkdirs(tgtP.getParent)
+            require(fs.rename(part, tgtP),
+              s"[graft] optimize bloom sidecar move failed: $tgtP")
+            mergedMeta.toSeq.map { case (tgt, c, m, k) =>
+              bloomScLine(tgt, c, m, k, rel) }
+          }
+        (names, pStats ++ derivedStats.toSeq ++ pBloomLines)
       } else {
         // sort-compaction: stage every unit (range-sorted by the cluster
         // key, split into ~targetBytes files), re-derive stats from the
@@ -2062,7 +2474,8 @@ object ManifestSink extends Ingest.DestinationSink {
         // between job setups. Results are keyed by unit index, so
         // output names and manifest order are completion-order-free.
         def processUnit(rels: Seq[String], u: Int)
-            : (Seq[(Path, String)], Seq[String]) = {
+            : (Seq[(Path, String)], Seq[String],
+               Option[(Seq[(String, String, Int, Int)], DataFrame)]) = {
           val parent = dirOf(rels.head) match {
             case "" => ""
             case d  => d + "/"
@@ -2128,18 +2541,24 @@ object ManifestSink extends Ingest.DestinationSink {
           }
           // point-lookup pruning survives the re-sort: rebuild blooms
           // from the STAGED data for every column any input indexed
-          // (a fresh build is exact for the new row layout)
+          // (a fresh build is exact for the new row layout), into the
+          // commit's sidecar
           val unitBloomCols = rels.flatMap(r =>
             bloomsOld.keys.filter(_._1 == r).map(_._2))
             .distinct.sorted.filter(union.columns.contains)
-          val unitBlooms =
-            if (unitBloomCols.isEmpty) Nil
-            else bloomLinesFor(spark, fs, unitOut,
-              unitMoves.map { case (p, t) => p.getName -> t }.toMap,
-              unitBloomCols, DefaultBloomBits)
-          (unitMoves, unitStats ++ unitBlooms)
+          val unitBlooms
+              : Option[(Seq[(String, String, Int, Int)], DataFrame)] =
+            if (unitBloomCols.isEmpty) None
+            else {
+              val (metas, wordsOpt) = bloomWordsFor(spark, fs, unitOut,
+                unitMoves.map { case (p, t) => p.getName -> t }.toMap,
+                unitBloomCols, DefaultBloomBits)
+              wordsOpt.map(w => (metas, w))
+            }
+          (unitMoves, unitStats, unitBlooms)
         }
-        val unitResults: Seq[(Seq[(Path, String)], Seq[String])] =
+        val unitResults: Seq[(Seq[(Path, String)], Seq[String],
+            Option[(Seq[(String, String, Int, Int)], DataFrame)])] =
           if (bins.length <= 1) bins.zipWithIndex.map {
             case (rels, u) => processUnit(rels, u) }
           else {
@@ -2156,11 +2575,28 @@ object ManifestSink extends Ingest.DestinationSink {
           }
         val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
         val pStats = scala.collection.mutable.ArrayBuffer[String]()
-        unitResults.foreach { case (um, us) =>
+        unitResults.foreach { case (um, us, _) =>
           moves ++= um; pStats ++= us
         }
+        val bloomArts = unitResults.flatMap(_._3)
+        val scLine: Option[String] =
+          if (bloomArts.isEmpty) None
+          else {
+            val rel = s"$BloomDir/$writeId.parquet"
+            pStats ++= bloomArts.flatMap(_._1).map {
+              case (tgt, c, m, k) => bloomScLine(tgt, c, m, k, rel) }
+            Some(s"sidecar\t$rel")
+          }
         writeFile(fs, new Path(staging, WaManifest),
-          moves.map("target\t" + _._2).mkString("\n"))
+          (moves.map("target\t" + _._2) ++ scLine.toSeq).mkString("\n"))
+        bloomArts.map(_._2).reduceOption(_ unionByName _).foreach { w =>
+          val rel = s"$BloomDir/$writeId.parquet"
+          val part = writeBloomSidecar(fs, staging, w)
+          val tgtP = new Path(dest, rel)
+          fs.mkdirs(tgtP.getParent)
+          require(fs.rename(part, tgtP),
+            s"[graft] optimize bloom sidecar move failed: $tgtP")
+        }
         moves.foreach { case (part, target) =>
           val tgt = new Path(dest, target)
           fs.mkdirs(tgt.getParent)
@@ -2180,36 +2616,13 @@ object ManifestSink extends Ingest.DestinationSink {
         .map { case (c, st) => statsLine(t, c, st) }
     }
     val carriedDvs = dvCarryLines(dvs, targets.filterNot(repacked))
-    // bloom index survives concatenation as pure metadata: the packed
-    // file's filter is the bitwise OR of its inputs' (same m, k — the
-    // union's bloom IS the OR; dv'd inputs only leave stale bits,
-    // which is the conservative direction). Sort-compaction re-splits
-    // rows across files, so its units REBUILD filters from the staged
-    // data instead (inside processUnit).
+    // filters for untouched files carry as raw lines (inline or
+    // sidecar pointers — sidecar files are immutable, so a carried
+    // pointer stays valid); packed files' merged/rebuilt filters were
+    // already written into this commit's own sidecar inside the
+    // branches above and ride in packedStats as `bloomsc` lines
     val carriedBlooms =
       bloomCarryLines(fs, old, targets.filterNot(repacked))
-    val packedBlooms: Seq[String] =
-      if (sortKeys.isEmpty && bloomsOld.nonEmpty)
-        bins.zip(packed).flatMap { case (bin, tgt) =>
-          val cols = bloomsOld.keys.filter(k => bin.contains(k._1))
-            .map(_._2).toSeq.distinct.sorted
-          cols.flatMap { c =>
-            val bfs = bin.map(b => bloomsOld.get((b, c)))
-            val fl = bfs.flatten
-            if (bfs.forall(_.isDefined) &&
-                fl.forall(_.k == fl.head.k)) {
-              // mixed sizes fold down to the smallest (pow2 modulo
-              // refinement) before the OR — still pure metadata
-              val m = fl.map(_.m).min
-              val bits = new Array[Byte](m >> 3)
-              fl.map(foldBloom(_, m)).foreach(fb =>
-                bits.indices.foreach(j =>
-                  bits(j) = (bits(j) | fb(j)).toByte))
-              Some(bloomLine(tgt, c, BloomF(m, fl.head.k, bits)))
-            } else None
-          }
-        }
-      else Nil
     onBeforeOptimizeCommit()
     // commit through the shared snapshot tail: a concurrent PURE APPEND
     // no longer aborts the whole repack — optimize only rearranges
@@ -2219,7 +2632,7 @@ object ManifestSink extends Ingest.DestinationSink {
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
         survivors,
         carriedStats ++ packedStats ++ carriedDvs ++
-          carriedBlooms ++ packedBlooms,
+          carriedBlooms,
         old, packed, layout = true, canAbsorb = _ => true)) {
       println(s"METRIC graft.optimize.aborted_log_advanced=1 " +
         s"base_version=$baseVersion dest=$destPath")
@@ -2314,7 +2727,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val dvs = effectiveDvsOf(fs, old)
     val (candidates, m, colLabel) = pred match {
       case Left(p) =>
-        val blooms = fileBloomsOf(fs, old)
+        val blooms = bloomIndexOf(spark, destPath, fs, old)
         val posC = bloomPosCache()
         (targets.filter(t => mayMatchFile(stats, t, p) &&
           bloomMayMatchFile(blooms, posC, t, p)), residual(p),
@@ -2489,7 +2902,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val dvs = effectiveDvsOf(fs, old)
     val (candidates, m, colLabel) = pred match {
       case Left(p) =>
-        val blooms = fileBloomsOf(fs, old)
+        val blooms = bloomIndexOf(spark, destPath, fs, old)
         val posC = bloomPosCache()
         (targets.filter(t => mayMatchFile(stats, t, p) &&
           bloomMayMatchFile(blooms, posC, t, p)), residual(p),
@@ -2866,7 +3279,7 @@ object ManifestSink extends Ingest.DestinationSink {
         t -> ks.map(_._2).toSeq.sorted }
     val (candidates, m, colLabel) = pred match {
       case Left(p) =>
-        val blooms = fileBloomsOf(fs, old)
+        val blooms = bloomIndexOf(spark, destPath, fs, old)
         val posC = bloomPosCache()
         (targets.filter(t => mayMatchFile(stats, t, p) &&
           bloomMayMatchFile(blooms, posC, t, p)), residual(p),
@@ -3449,27 +3862,18 @@ object ManifestSink extends Ingest.DestinationSink {
     // bloom refinement: a SCATTERED-key CDC batch defeats the range
     // envelope (every file's min/max covers it) but not the per-file
     // bloom — keep only files whose filter says "maybe" for AT LEAST
-    // ONE source key. Driver-side bit tests, collected keys bounded;
-    // big sources skip the refinement rather than flood the driver.
-    val blooms = fileBloomsOf(fs, old)
+    // ONE source key. Inline (legacy) filters probe driver-side under
+    // a key cap; sidecar-backed filters refine in ONE distributed job
+    // (keys x probe positions joined against the sidecar word rows —
+    // no cap, no driver hashing: the ADVICE-flagged 100k x k
+    // interpreted evals move to executors).
+    val blooms = bloomIndexOf(spark, destPath, fs, old)
     val candidates =
-      if (rangeCandidates.isEmpty || nKeys > 100000L ||
+      if (rangeCandidates.isEmpty ||
           !rangeCandidates.exists(t => blooms.contains((t, keyCol))))
         rangeCandidates
-      else {
-        val keys = src.select(col(keyCol).cast("string"))
-          .where(col(keyCol).isNotNull)
-          .collect().map(_.getString(0))
-        val posC = bloomPosCache()
-        rangeCandidates.filter { t =>
-          blooms.get((t, keyCol)) match {
-            case None => true
-            case Some(bf) => keys.exists(k => bf.mightContain(
-              posC.getOrElseUpdate((k, bf.m, bf.k),
-                BloomF.positions(k, bf.m, bf.k))))
-          }
-        }
-      }
+      else bloomRefineCandidates(spark, destPath, blooms, src, keyCol,
+        rangeCandidates, nKeys)
     println(s"METRIC graft.merge.files_total=${targets.length} " +
       s"candidates=${candidates.length} " +
       s"range_candidates=${rangeCandidates.length} key=$keyCol " +
@@ -3869,7 +4273,7 @@ object ManifestSink extends Ingest.DestinationSink {
       metadataCount(spark, destPath),
       partVals,
       stats.keys.map(_._2).toSeq.distinct.sorted,
-      fileBloomsOf(fs, mfs).keys.map(_._2).toSeq.distinct.sorted,
+      bloomIndexOf(spark, destPath, fs, mfs).keys.map(_._2).toSeq.distinct.sorted,
       dvs.size.toLong,
       changeFeedEnabled(fs, dest)))
       .toDF("version", "num_files", "size_bytes", "num_rows",
@@ -4243,14 +4647,25 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsLines: Seq[String] =
       if (statsCols.isEmpty) Nil
       else statsLinesFor(spark, fs, staging, targets.toMap, statsCols)
-    val bloomLines: Seq[String] =
-      if (bloomCols.isEmpty) Nil
-      else bloomLinesFor(spark, fs, staging, targets.toMap, bloomCols,
-        bloomBits)
+    // bloom filters build EXECUTOR-SIDE and land in a per-commit
+    // sidecar; the manifest carries slim pointer lines. The sidecar
+    // part stages here and moves with the data files; the `sidecar`
+    // body line lets recover sweep it in every crash window.
+    val bloomRel = s"$BloomDir/$writeId.parquet"
+    val (bloomLines: Seq[String], bloomPart: Option[Path]) =
+      if (bloomCols.isEmpty) (Nil, None)
+      else {
+        val (metas, wordsOpt) = bloomWordsFor(spark, fs, staging,
+          targets.toMap, bloomCols, bloomBits)
+        (metas.map { case (tgt, c, m, k) =>
+          bloomScLine(tgt, c, m, k, bloomRel) },
+          wordsOpt.map(w => writeBloomSidecar(fs, staging, w)))
+      }
     val body = (Seq(s"writeid\t$writeId") ++
       sourceUris.map("uri\t" + _) ++
       targets.map { case (_, t) => "target\t" + t } ++
-      statsLines ++ bloomLines).mkString("\n")
+      statsLines ++ bloomLines ++
+      bloomPart.map(_ => s"sidecar\t$bloomRel").toSeq).mkString("\n")
     writeFile(fs, new Path(staging, WaManifest), body)
     phase("wa_manifest")
     // 3. move into the destination layout — invisible until the commit
@@ -4282,6 +4697,13 @@ object ManifestSink extends Ingest.DestinationSink {
           require(fs.rename(new Path(staging, rel), target),
             s"[graft] manifest-sink move failed: $rel -> $target")
         }
+    }
+    bloomPart.foreach { part =>
+      val tgt = new Path(dest, bloomRel)
+      fs.mkdirs(tgt.getParent)
+      if (fs.exists(tgt)) fs.delete(tgt, false)
+      require(fs.rename(part, tgt),
+        s"[graft] bloom sidecar move failed: $tgt")
     }
     phase("move")
     // 4. THE COMMIT: one atomic rename makes the whole batch visible.
@@ -4358,9 +4780,11 @@ object ManifestSink extends Ingest.DestinationSink {
     }
     val (allMfs, allCks) = logListing(fs, destPath)
     val referenced = (allMfs ++ allCks)
-      .flatMap(mf => readManifest(fs, mf)._2 ++
-        dvLinesOf(fs, mf).map(_._2) ++
-        cdfLinesOf(fs, mf).map(_._1)).toSet
+      .flatMap { mf =>
+        val d = mfData(fs, mf)
+        d.targets ++ d.dvLines.map(_._2) ++ d.cdfLines.map(_._1) ++
+          d.bloomScRels
+      }.toSet
     val destQ = fs.makeQualified(dest).toString
     val now = System.currentTimeMillis()
     val removed = scala.collection.mutable.ArrayBuffer[String]()
@@ -4406,10 +4830,15 @@ object ManifestSink extends Ingest.DestinationSink {
             // later snapshot can reference it while the attempt pends);
             // replay re-publishes the batch
             val dvRels = dvLinesOf(fs, mf).map(_._2).distinct
+            val scRels = {
+              val d = mfData(fs, mf)
+              (d.bloomScRels ++ d.sidecarRels).distinct
+            }
             val rolledV = vOfP(mf)
             fs.delete(mf, false)
             targets.foreach(t => fs.delete(new Path(dest, t), false))
             dvRels.foreach(r => fs.delete(new Path(dest, r), false))
+            scRels.foreach(r => fs.delete(new Path(dest, r), false))
             // belt-and-braces: a checkpoint at or above the rolled-back
             // version would resurrect its files (checkpointFs refuses
             // while attempts pend, so this only fires if a checkpoint
@@ -4429,8 +4858,10 @@ object ManifestSink extends Ingest.DestinationSink {
           // and the rename
           val wa = new Path(attempt, WaManifest)
           if (fs.exists(wa)) {
-            val (_, targets, _) = readManifest(fs, wa)
-            targets.foreach(t => fs.delete(new Path(dest, t), false))
+            val d = mfData(fs, wa)
+            d.targets.foreach(t => fs.delete(new Path(dest, t), false))
+            (d.bloomScRels ++ d.sidecarRels).distinct
+              .foreach(r => fs.delete(new Path(dest, r), false))
           }
           fs.delete(new Path(logPath(destPath), s".tmp_$writeId"), false)
           fs.delete(attempt, true)

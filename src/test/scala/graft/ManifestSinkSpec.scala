@@ -3390,4 +3390,145 @@ class ManifestSinkSpec extends SparkSpec {
       assert(ManifestSink.readBack(spark, dest2).count() == 4)
     } finally ManifestSink.checkpointInterval = saved
   }
+
+  test("bloom sidecar layout: slim pointer lines in the manifest, bits " +
+      "in _bloom parquet; a 200k-key file sizes past the old inline " +
+      "cap and holds ~1% fpp; legacy inline lines still probe; " +
+      "recover and vacuum sweep sidecars like dv sidecars") {
+    import ManifestSink.SkipPredicate._
+    val root = tmpDir("msinksc_")
+    val dest = s"$root/wh/t"
+    val n = 200000
+    ManifestSink.statsAppend(
+      (0 until n).map(i => (i.toLong, s"k$i")).toDF("id", "key")
+        .coalesce(1),
+      dest, None, Seq("id"), bloomCols = Seq("key"))
+    val logDir = new java.io.File(s"$dest/_log")
+    val mf1 = logDir.listFiles()
+      .filter(_.getName.endsWith(".manifest")).head
+    val lines1 = {
+      val src = scala.io.Source.fromFile(mf1)
+      try src.getLines().toVector finally src.close()
+    }
+    // the manifest carries a pointer, never the bits: no inline base64
+    // line, a bloomsc line, a sidecar cover line, and a body that stays
+    // KBs where 200k keys of inline base64 would be >100 KB
+    assert(lines1.exists(_.startsWith("bloomsc\t")))
+    assert(!lines1.exists(_.startsWith("bloom\t")))
+    assert(lines1.exists(_.startsWith("sidecar\t_bloom/")))
+    assert(mf1.length() < 16 * 1024)
+    val scDir = new java.io.File(s"$dest/_bloom")
+    assert(scDir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // reconstruct the stored filter from its sidecar words: 200k keys
+    // need m >= 2^21 — past the old 2^20 inline cap — with zero false
+    // negatives and ~1% false positives
+    val sc1 = lines1.find(_.startsWith("bloomsc\t")).get.split('\t')
+    val (tgt1, m1, k1) = (sc1(1), sc1(3).toInt, sc1(4).toInt)
+    assert(m1 >= (1 << 21), s"200k keys sized m=$m1 — saturated")
+    def filterOf(rel: String, tgt: String): ManifestSink.BloomF = {
+      val rows = spark.read.parquet(s"$dest/$rel")
+        .where(col("tgt") === tgt && col("col") === "key")
+        .select(col("m"), col("w"), col("bits"))
+        .as[(Int, Int, Long)].collect()
+      val m = rows.head._1
+      val bits = new Array[Byte](m >> 3)
+      rows.foreach { case (_, w, bv) =>
+        var b = 0
+        while (b < 8) {
+          bits(w * 8 + b) = ((bv >>> (b * 8)) & 0xffL).toByte
+          b += 1
+        }
+      }
+      ManifestSink.BloomF(m, k1, bits)
+    }
+    val bf = filterOf(sc1(5), tgt1)
+    assert((0 until n by 97).forall(i => bf.mightContain(
+      ManifestSink.BloomF.positions(s"k$i", bf.m, bf.k))),
+      "false negative: a present key must always answer maybe")
+    val probes = 20000
+    val fp = (0 until probes).count(i => bf.mightContain(
+      ManifestSink.BloomF.positions(s"absent$i", bf.m, bf.k)))
+    assert(fp <= probes * 3 / 100,
+      s"fpp ${fp.toDouble / probes} — expected ~1%")
+    // the real read path prunes through the sidecar: add a second file,
+    // a point lookup for one of its keys reads exactly one file
+    ManifestSink.statsAppend(
+      (n until n + 10).map(i => (i.toLong, s"k$i")).toDF("id", "key")
+        .coalesce(1),
+      dest, None, Seq("id"), bloomCols = Seq("key"))
+    val hit = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", s"k${n + 5}"))
+    assert(hit.count() == 1 && hit.inputFiles.length == 1)
+    assert(ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", "nowhere")).count() == 0)
+
+    // LEGACY inline lines: rewrite the second commit's manifest to the
+    // pre-sidecar `bloom\t...\t<b64>` form (bits reassembled from its
+    // sidecar) — a table written by an older writer keeps pruning
+    val mf2 = logDir.listFiles().filter(_.getName.endsWith(".manifest"))
+      .sortBy(_.getName).last
+    val lines2 = {
+      val src = scala.io.Source.fromFile(mf2)
+      try src.getLines().toVector finally src.close()
+    }
+    val sc2 = lines2.find(_.startsWith("bloomsc\t")).get.split('\t')
+    val bf2 = filterOf(sc2(5), sc2(1))
+    val inlineLine = s"bloom\t${sc2(1)}\tkey\t${bf2.m}\t${bf2.k}\t" +
+      java.util.Base64.getEncoder.encodeToString(bf2.bits)
+    val rewritten = lines2.flatMap {
+      case l if l.startsWith("bloomsc\t") => Some(inlineLine)
+      case l if l.startsWith("sidecar\t") => None
+      case l                              => Some(l)
+    }
+    val w = new java.io.PrintWriter(mf2)
+    try w.write(rewritten.mkString("\n")) finally w.close()
+    assert(new java.io.File(s"$dest/${sc2(5)}").delete())
+    val hitLegacy = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", s"k${n + 5}"))
+    assert(hitLegacy.count() == 1 && hitLegacy.inputFiles.length == 1)
+
+    // RECOVER sweeps a rolled-back attempt's bloom sidecar: emulate a
+    // crash between the log commit and the ledger append (staging
+    // marker still present, batch not ledgered)
+    val destR = s"$root/wh/tr"
+    ManifestSink.statsAppend(
+      (0 until 50).map(i => (i.toLong, s"r$i")).toDF("id", "key"),
+      destR, None, Seq("id"), bloomCols = Seq("key"))
+    val mfR = new java.io.File(s"$destR/_log").listFiles()
+      .filter(_.getName.endsWith(".manifest")).head
+    val widR = {
+      val src = scala.io.Source.fromFile(mfR)
+      try src.getLines().find(_.startsWith("writeid\t")).get.substring(8)
+      finally src.close()
+    }
+    assert(new java.io.File(s"$destR/_bloom").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(new java.io.File(s"$root/wh/.staging_tr/$widR").mkdirs())
+    ManifestSink.recover(spark, destR, _ => false)
+    assert(ManifestSink.readBack(spark, destR).count() == 0)
+    val swept = new java.io.File(s"$destR/_bloom").listFiles()
+    assert(swept == null ||
+      swept.count(_.getName.endsWith(".parquet")) == 0,
+      "rollback must sweep the attempt's bloom sidecar")
+
+    // VACUUM sweeps sidecars no surviving manifest references: optimize
+    // repacks every file (fresh merged sidecar), compact collapses the
+    // log — the original commits' sidecars become unreferenced debris
+    val before = new java.io.File(s"$dest/_bloom").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(ManifestSink.optimize(spark, dest,
+      targetBytes = 1L << 30) > 0L)
+    ManifestSink.compact(spark, dest)
+    val removed = ManifestSink.vacuum(spark, dest, retentionMs = 0L)
+    assert(removed > 0L)
+    val after = new java.io.File(s"$dest/_bloom").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < before + 1,
+      s"unreferenced sidecars must be swept (before=$before after=$after)")
+    // the survivor still serves lookups
+    val hitV = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", s"k${n + 5}"))
+    assert(hitV.count() == 1 && hitV.inputFiles.length == 1)
+    assert(ManifestSink.readBack(spark, dest).count() == n + 10)
+  }
 }
