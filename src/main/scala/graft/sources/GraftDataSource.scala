@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundRefer
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEqualTo, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, InSet => CInSet, IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Or => COr}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -51,7 +51,8 @@ import graft.ingest.ManifestSink.SkipPredicate
   * then plans through the same pruned scan.
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -59,6 +60,37 @@ class GraftDataSource extends RelationProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "[graft] format(\"graft\") requires a path — .load(dest) or " +
         "LOCATION"))
+
+  private def rowLevelOf(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("feed", "appends") match {
+      case "appends" => false
+      case "changes" => true
+      case other => throw new IllegalArgumentException(
+        s"[graft] feed must be 'appends' or 'changes', got '$other'")
+    }
+
+  // ---- streaming face: spark.readStream.format("graft") ----------
+  // (see [[GraftStreamSource]] — offsets are manifest versions)
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(GraftStreamSource.schemaFor(
+      sqlContext.sparkSession, pathOf(parameters),
+      rowLevelOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val destPath = pathOf(parameters)
+    new GraftStreamSource(spark, destPath, rowLevelOf(parameters),
+      GraftStreamSource.resolveStartingVersion(spark, destPath,
+        parameters.get("startingVersion")),
+      schema)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

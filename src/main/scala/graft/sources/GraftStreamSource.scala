@@ -1,0 +1,176 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ingest.ManifestSink
+
+/** `spark.readStream.format("graft").load(dest)` — the manifest table's
+  * CDC tails as a REAL Structured Streaming source, so Spark's own
+  * offset/commit logs own the exactly-once contract and
+  * `Trigger.AvailableNow`, rate control, and `foreachBatch` compose
+  * natively (the reference's streaming surface is its MemoryStream
+  * feeding BigQuery loads, MemoryStream.js:1; this is the Spark-first
+  * equivalent over the lakehouse log). The hand-rolled drain loops
+  * (`StreamingIngest.changesStream` / `changeFeedStream`) remain for
+  * scheduler-less callers; this source packages the same per-version
+  * feeds behind Spark's `Source` seam:
+  *
+  *  - OFFSETS ARE MANIFEST VERSIONS. `getOffset` lists the log head
+  *    (O(listing) driver metadata); `getBatch(start, end]` replays
+  *    exactly the committed versions in the range through
+  *    [[ManifestSink.appendFeed]] / [[ManifestSink.changeFeed]] — the
+  *    same snapshot-cut, layout-skip, and refuse-on-COW semantics as
+  *    the batch feeds, so a mid-stream optimize/compact neither
+  *    duplicates nor drops and a non-decomposable commit fails loudly
+  *    instead of corrupting the tail.
+  *  - A batch reads ONLY its versions' own files/sidecars — never a
+  *    table scan, never a diff: O(changed rows) per micro-batch at any
+  *    table size.
+  *  - Restart replay is Spark's: an uncommitted batch re-runs with the
+  *    SAME version range (versions are durable, immutable coordinates),
+  *    so the sink sees identical rows — exactly-once end to end with
+  *    an idempotent/transactional sink.
+  *
+  * Options: `feed` = `appends` (default; append-only versions, refuses
+  * content-changing commits) or `changes` (row-level feed with
+  * `_change_type`/`_commit_version`, mor commits decomposed);
+  * `startingVersion` = version to tail from (exclusive; default `-1` =
+  * everything surviving) or `latest` (only versions committed after
+  * stream start).
+  */
+final class GraftStreamSource(spark: SparkSession, destPath: String,
+    rowLevel: Boolean, startingVersion: Long,
+    declaredSchema: Option[StructType]) extends Source {
+
+  override val schema: StructType = declaredSchema.getOrElse(
+    GraftStreamSource.schemaFor(spark, destPath, rowLevel))
+
+  override def getOffset: Option[Offset] = {
+    val head = GraftStreamSource.headVersion(spark, destPath)
+    if (head < 0 || head <= startingVersion) None
+    else Some(LongOffset(head))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other         => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val since = start.map(versionOf).getOrElse(startingVersion)
+    val until = versionOf(end)
+    // Restart tolerance: on recovery Spark re-issues getBatch for the
+    // last COMMITTED range to re-initialize the source
+    // (MicroBatchExecution.populateStartOffsets). If a compaction ran
+    // while the stream was down, that range can lie entirely below the
+    // surviving floor — its data was already delivered and committed,
+    // so an empty frame is correct. A range that STRADDLES the floor
+    // still refuses through the feed (an uncommitted version was
+    // compacted away: unrecoverable, fail loudly).
+    val floor = ManifestSink.survivingFloor(spark, destPath)
+    if (until < floor) {
+      println(s"METRIC graft.stream.replay_below_floor=1 " +
+        s"since=$since until=$until floor=$floor dest=$destPath")
+      return org.apache.spark.sql.graft.StreamingFrame.asStreaming(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema))
+    }
+    val (feed, _) =
+      if (rowLevel) ManifestSink.changeFeed(spark, destPath, since, until)
+      else ManifestSink.appendFeed(spark, destPath, since, until)
+    val frames = feed.map { case (v, thunk) =>
+      val df = if (rowLevel) thunk()
+        else thunk().withColumn("_commit_version", lit(v))
+      conform(df)
+    }
+    println(s"METRIC graft.stream.batch versions=${feed.length} " +
+      s"since=$since until=$until feed=" +
+      s"${if (rowLevel) "changes" else "appends"} dest=$destPath")
+    // the v1 Source contract: the returned plan must carry
+    // isStreaming = true (see [[org.apache.spark.sql.graft.StreamingFrame]])
+    org.apache.spark.sql.graft.StreamingFrame.asStreaming(
+      if (frames.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else frames.reduce(_ unionByName _))
+  }
+
+  /** Conform a version frame to the stream's fixed schema: the table
+    * evolves by prefix/superset, so an old version's files may lack
+    * trailing columns (null-filled) and column order must match the
+    * source schema positionally (the v1 `Source` contract binds
+    * attributes by position).
+    */
+  private def conform(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftStreamSource[$destPath, " +
+      s"feed=${if (rowLevel) "changes" else "appends"}]"
+}
+
+object GraftStreamSource {
+
+  /** Head version of the log, `-1` when the table has no commits —
+    * one listing, no manifest opens.
+    */
+  private[graft] def headVersion(spark: SparkSession,
+      destPath: String): Long =
+    ManifestSink.snapshotHandle(spark, destPath).version
+
+  /** Stream schema: the committed table schema (merged footers — the
+    * superset under prefix/superset evolution), plus the feed columns.
+    * `appends` carries `_commit_version` so idempotent sinks can key
+    * on it; `changes` carries `_change_type` + `_commit_version` (set
+    * by the feed itself).
+    */
+  private[graft] def schemaFor(spark: SparkSession, destPath: String,
+      rowLevel: Boolean): StructType = {
+    val handle = ManifestSink.snapshotHandle(spark, destPath)
+    require(handle.targets.nonEmpty,
+      s"[graft] readStream.format(\"graft\"): $destPath has no " +
+        "committed data to resolve a schema from — pass .schema(...) " +
+        "explicitly or commit a first batch")
+    val dest = new Path(destPath)
+    val base = spark.read.option("mergeSchema", "true")
+      .option("basePath", destPath)
+      .parquet(handle.targets.map(rel =>
+        new Path(dest, rel).toString): _*)
+      .schema
+    val extras =
+      (if (rowLevel) Seq(StructField("_change_type", StringType))
+       else Seq.empty) :+ StructField("_commit_version", LongType)
+    StructType(base.fields.filterNot(f =>
+      extras.exists(_.name == f.name)) ++ extras)
+  }
+
+  /** Resolve the `startingVersion` option: a version number
+    * (exclusive lower bound), `latest` (head at stream start), or
+    * absent = `-1` (every surviving version).
+    */
+  private[graft] def resolveStartingVersion(spark: SparkSession,
+      destPath: String, opt: Option[String]): Long = opt match {
+    case None           => -1L
+    case Some("latest") => headVersion(spark, destPath)
+    case Some(v)        => v.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"[graft] startingVersion must be a version or 'latest', " +
+          s"got '$v'"))
+  }
+}

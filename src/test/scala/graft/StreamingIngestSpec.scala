@@ -1280,4 +1280,112 @@ class StreamingIngestSpec extends SparkSpec {
     assert(seen.map(r => (r._3, r._4)).sorted ==
       Seq((11L, "v11"), (12L, "v12")))
   }
+
+  test("readStream.format(\"graft\"): the manifest log as a native " +
+      "Structured Streaming source — AvailableNow drains exactly once " +
+      "across restarts on Spark's own checkpoint, mid-stream " +
+      "optimize+compact emit nothing, the changes feed decomposes mor " +
+      "commits row-level, and a non-decomposable commit fails the " +
+      "query loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = tmpDir("gsrc_")
+    val dest = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    for (b <- 0 until 3)
+      ManifestSink.append(
+        (b * 10L until b * 10L + 3L).map(i => (i, s"b$b"))
+          .toDF("id", "v"), dest, None)
+
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(dest)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            out ++= df.select(col("_commit_version"), col("id"))
+              .as[(Long, Long)].collect()
+            ()
+        }.start()
+      q.awaitTermination()
+    }
+    // first drain: all three committed versions, each id tagged with
+    // its commit version, exactly once
+    drain()
+    assert(out.sorted.toSeq ==
+      (for (b <- 0L until 3L; i <- 0L until 3L)
+        yield (b, b * 10L + i)).sorted)
+    // restart on the same checkpoint: nothing re-emitted
+    drain()
+    assert(out.length == 9)
+    // a new commit arrives once, with its version
+    ManifestSink.append(Seq((30L, "b3")).toDF("id", "v"), dest, None)
+    drain()
+    assert(out.length == 10 && out.last == ((3L, 30L)))
+    // optimize (layout snapshot) + compact mid-stream: no emission,
+    // no drop, and the offset advances past the layout versions
+    assert(ManifestSink.optimize(spark, dest,
+      targetBytes = 1L << 30) > 0L)
+    drain()
+    ManifestSink.compact(spark, dest)
+    drain()
+    assert(out.length == 10)
+    ManifestSink.append(Seq((40L, "b4")).toDF("id", "v"), dest, None)
+    drain()
+    assert(out.length == 11 && out.last._2 == 40L)
+
+    // a content-changing commit fails the appends query LOUDLY (the
+    // batch feed's refuse-on-COW contract, surfaced as a stream error)
+    ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 40, 40))
+    val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { drain() }
+    assert(err.getMessage.contains("content-changing"))
+
+    // feed=changes on a mor table: inserts AND delete pre-images,
+    // decomposed per version, through the native source
+    val dest2 = s"$root/t2"
+    val ckpt2 = s"$root/ckpt2"
+    ManifestSink.statsAppend(
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      dest2, None, Seq("id"))                                   // v0
+    assert(ManifestSink.deleteWhereMor(spark, dest2,
+      ManifestSink.SkipPredicate.NumRange("id", 3, 4)) == 2L)   // v1
+    val changes = scala.collection.mutable
+      .ArrayBuffer[(Long, String, Long, String)]()
+    def drainChanges(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("feed", "changes").load(dest2)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt2)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            changes ++= df.select(col("_commit_version"),
+                col("_change_type"), col("id"), col("v"))
+              .as[(Long, String, Long, String)].collect()
+            ()
+        }.start()
+      q.awaitTermination()
+    }
+    drainChanges()
+    assert(changes.count(_._2 == "insert") == 10)
+    assert(changes.filter(_._2 == "delete").map(r => (r._3, r._4))
+      .sorted.toSeq == Seq((3L, "v3"), (4L, "v4")))
+    // restart: nothing re-emitted; an update decomposes to delete
+    // pre-image + insert post-image in one version
+    drainChanges()
+    assert(changes.length == 12)
+    changes.clear()
+    assert(ManifestSink.updateWhereMor(spark, dest2,
+      ManifestSink.SkipPredicate.NumRange("id", 7, 7),
+      Map("v" -> lit("NEW"))) == 1L)                            // v2
+    drainChanges()
+    assert(changes.sortBy(_._2).toSeq == Seq(
+      (2L, "delete", 7L, "v7"), (2L, "insert", 7L, "NEW")))
+  }
 }
