@@ -29,11 +29,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts has drifted across testdata generations (TIMESTAMP(NANOS)
-    // -> timestamp[us]/NTZ); SparkEntry.events schema-dispatches, and this
-    // conf (a no-op for non-nanos files) must be set before the first read
-    // so a nanos-generation cached relation canonicalizes identically
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>

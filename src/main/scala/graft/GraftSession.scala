@@ -31,6 +31,11 @@ object GraftSession {
       // scans: 128MB split targets keep partitions executor-memory-sized
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // legacy testdata generations carry parquet TIMESTAMP(NANOS); the
+      // conf is a no-op for non-nanos files and SparkEntry.events
+      // schema-dispatches either way. Part of session CONSTRUCTION so
+      // cached-relation canonicalization never shifts mid-session
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Build + register the graft SQL functions. */
   def create(master: String = "local[*]"): SparkSession = {

@@ -1054,6 +1054,113 @@ object NorthStar {
       out
     }),
 
+    // CHECKPOINT WITH RETAINED HISTORY — a long log (12 appends, a mor
+    // delete, an explicit checkpoint, then MORE commits past it) read
+    // through the checkpointed resolution: `readBack` resolves head
+    // state in O(commits since checkpoint) manifest opens, while
+    // `readVersion(5)` time-travels BELOW the checkpoint through the
+    // retained manifests — the two properties compact() cannot offer
+    // together. The oracle recomputes both cuts from the raw rows, so
+    // the checkpoint summary must be EXACTLY the effective state
+    // (targets + dvs + stats) or one of the two phases diverges.
+    "q146_checkpoint" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q146_").toString
+      (0L until 12L).foreach { i =>
+        ManifestSink.statsAppend(
+          ev.where(pmod(col("event_id"), lit(12L)) === i).coalesce(2),
+          tmp, None, Seq("event_id"))
+      }
+      ManifestSink.deleteWhereExprMor(s, tmp,
+        pmod(col("event_id"), lit(9L)) === 0)          // v12 (dv-only)
+      ManifestSink.checkpoint(s, tmp)                  // 12.checkpoint
+      ManifestSink.deleteWhereExprMor(s, tmp,
+        pmod(col("event_id"), lit(11L)) === 0)         // v13, past it
+      def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("long").as("sum_id"),
+            round(sum(col("value")), 4).as("sum_val"))
+          .select(lit(phase).as("phase"), col("event_type"), col("n"),
+            col("sum_id"), col("sum_val"))
+      agg(ManifestSink.readVersion(s, tmp, 5L), "asof_v5")
+        .unionByName(agg(ManifestSink.readBack(s, tmp), "final"))
+        .orderBy(col("phase"), col("event_type"))
+    }),
+
+    // TARGETED DV MATERIALIZATION — scattered mor deletes leave HEAVY
+    // tombstones in the lower half of a ranged layout (50% dead) and
+    // LIGHT ones in the upper half (~1%); `purge(0.8)` rewrites ONLY
+    // the under-threshold files (restoring their dv-free read path)
+    // while the lightly-tombstoned files keep their dvs — the 100 TB
+    // answer to tombstone accumulation without a full-table repack.
+    // The oracle recomputes the final state from the raw rows, so the
+    // partial snapshot must keep exactly the live rows of BOTH halves.
+    "q147_purge" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val half = n / 2
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q147_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id"))
+      ManifestSink.deleteWhereExprMor(s, tmp,
+        pmod(col("event_id"), lit(2L)) === 0 && col("event_id") < half)
+      ManifestSink.deleteWhereExprMor(s, tmp,
+        pmod(col("event_id"), lit(101L)) === 0 &&
+          col("event_id") >= half)
+      ManifestSink.purge(s, tmp, minLiveFraction = 0.8)
+      ManifestSink.readBack(s, tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).cast("long").as("sum_id"),
+          round(sum(col("value")), 4).as("sum_val"))
+        .orderBy(col("event_type"))
+    }),
+
+    // NATIVE STREAMING SOURCE — the manifest log tailed through
+    // `spark.readStream.format("graft")` (offsets ARE versions) with
+    // `Trigger.AvailableNow` into a memory sink: three appends arrive
+    // as per-version inserts, the mor delete decomposes into row-level
+    // delete pre-images, and Spark's own offset checkpoints own the
+    // exactly-once contract. The oracle recomputes every change row
+    // from the raw data, so a dropped / doubled / mis-versioned batch
+    // breaks the hash.
+    "q148_stream_source" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q148_").toString
+      (0L until 3L).foreach { i =>
+        ManifestSink.statsAppend(
+          ev.where(pmod(col("event_id"), lit(3L)) === i).coalesce(2),
+          tmp, None, Seq("event_id"))
+      }
+      ManifestSink.deleteWhereExprMor(s, tmp,
+        pmod(col("event_id"), lit(5L)) === 0)          // v3 (dv-only)
+      val qn = "graft_q148_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val sq = s.readStream.format("graft").option("feed", "changes")
+        .load(tmp)
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(qn)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).cast("long").as("sum_id"))
+        .orderBy(col("version"), col("change_type"))
+    }),
+
     "q144_incremental_agg" -> ((s, dir) => {
       import graft.ingest.ManifestSink
       val ev = SparkEntry.events(s, dir)
@@ -3343,6 +3450,45 @@ object NorthStar {
          FROM events, b
          WHERE event_id < 4 * nid // 8 AND event_id % 9 <> 0
          GROUP BY event_type ORDER BY event_type""",
+    "q146_checkpoint" ->
+      """WITH a AS (
+           SELECT 'asof_v5' AS phase, event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM events WHERE event_id % 12 <= 5 GROUP BY event_type),
+         f AS (
+           SELECT 'final' AS phase, event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM events
+           WHERE event_id % 9 <> 0 AND event_id % 11 <> 0
+           GROUP BY event_type)
+         SELECT * FROM a UNION ALL SELECT * FROM f
+         ORDER BY phase, event_type""",
+    "q147_purge" ->
+      """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 4) AS sum_val
+         FROM events, b
+         WHERE NOT (event_id % 2 = 0 AND event_id < nid // 2)
+           AND NOT (event_id % 101 = 0 AND event_id >= nid // 2)
+         GROUP BY event_type ORDER BY event_type""",
+    "q148_stream_source" ->
+      """WITH c AS (
+           SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+             count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+           FROM events WHERE event_id % 3 = 0
+           UNION ALL
+           SELECT 1, 'insert', count(*), CAST(sum(event_id) AS BIGINT)
+           FROM events WHERE event_id % 3 = 1
+           UNION ALL
+           SELECT 2, 'insert', count(*), CAST(sum(event_id) AS BIGINT)
+           FROM events WHERE event_id % 3 = 2
+           UNION ALL
+           SELECT 3, 'delete', count(*), CAST(sum(event_id) AS BIGINT)
+           FROM events WHERE event_id % 5 = 0)
+         SELECT * FROM c ORDER BY version, change_type""",
     "q140_mor_update" ->
       """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events),
          t AS (SELECT event_id, event_type,

@@ -30,8 +30,19 @@ object SparkEntry {
     * so the NTZ cast is bit-identical to the legacy path).
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(s, dir, "events")
+    // nanosAsLong is part of GraftSession.builder construction; for a
+    // session built elsewhere, fall back to setting it only when the
+    // legacy NANOS generation actually needs it (footer load throws) —
+    // never an unconditional mid-session conf mutation
+    val df =
+      try t(s, dir, "events")
+      catch {
+        case e: Throwable
+            if String.valueOf(e.getMessage).contains("NANOS") ||
+              String.valueOf(e.getMessage).contains("nanosAsLong") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t(s, dir, "events")
+      }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
