@@ -36,6 +36,10 @@ object GraftSession {
       // schema-dispatches either way. Part of session CONSTRUCTION so
       // cached-relation canonicalization never shifts mid-session
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // graft SQL surface: functions + the DML router (DELETE/UPDATE/
+      // MERGE on manifest tables) — analyzer rules only inject at
+      // session build, so they belong in the builder
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   /** Build + register the graft SQL functions. */
   def create(master: String = "local[*]"): SparkSession = {

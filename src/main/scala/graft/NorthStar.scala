@@ -1029,6 +1029,96 @@ object NorthStar {
     // make the WHERE a file-pruning metadata decision (the plan gate
     // pins the pushed scan); the scattered MOR delete leaves live
     // tombstones in EVERY file that the SQL scan must honor.
+    // NATIVE STREAMING PIPE — the medallion bronze->silver copy with
+    // BOTH ends on the native surface: `readStream.format("graft")`
+    // tails bronze's manifest log and `writeStream.format("graft")`
+    // commits each micro-batch atomically into silver (exactly-once
+    // by deterministic writeId on the sink side + Spark offset
+    // checkpoints on the source side). The oracle recomputes silver
+    // from the raw rows, so a dropped, doubled, or torn batch breaks
+    // the hash.
+    "q150_stream_pipe" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val bronze = java.nio.file.Files
+        .createTempDirectory("graft_q150_b_").toString
+      val silver = java.nio.file.Files
+        .createTempDirectory("graft_q150_s_").toString + "/t"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q150_ck_").toString
+      (0L until 3L).foreach { i =>
+        ManifestSink.statsAppend(
+          ev.where(pmod(col("event_id"), lit(3L)) === i).coalesce(2),
+          bronze, None, Seq("event_id"))
+      }
+      val q = s.readStream.format("graft").load(bronze)
+        .drop("_commit_version")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("statsCols", "event_id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(silver)
+      q.awaitTermination()
+      ManifestSink.readBack(s, silver)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).cast("long").as("sum_id"),
+          round(sum(col("value")), 4).as("sum_val"))
+        .orderBy(col("event_type"))
+    }),
+
+    // SQL DML capstone — the table MAINTAINED through `spark.sql`:
+    // `DELETE FROM` (mor dv commit), `UPDATE ... SET` (sidecar
+    // rewrite), and a CDC-form `MERGE INTO` (conditional DELETE +
+    // UPDATE SET * + INSERT *) all route through the injected
+    // GraftDmlRule to the lakehouse write paths — a SQL/BI client can
+    // CHANGE the warehouse, not just read it. The oracle recomputes
+    // the final state from the raw rows, so a wrong dv, a stale
+    // catalog relation after a commit, or a mis-applied merge
+    // directive breaks the hash.
+    "q149_sql_dml" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q149_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id"))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q149_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(s"DELETE FROM $tbl WHERE event_id % 9 = 0")
+      s.sql(s"UPDATE $tbl SET value = -value WHERE event_id % 7 = 0")
+      val src = s"graft_q149_src_$sfx"
+      ev.where(pmod(col("event_id"), lit(11L)) === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") * 3).as("value"), lit("u").as("op"))
+        .unionByName(
+          ev.where(pmod(col("event_id"), lit(13L)) === 0 &&
+              pmod(col("event_id"), lit(11L)) =!= 0)
+            .select(col("event_id"), col("event_type"), col("value"),
+              lit("d").as("op")))
+        .createOrReplaceTempView(src)
+      s.sql(
+        s"""MERGE INTO $tbl t USING $src s ON t.event_id = s.event_id
+            WHEN MATCHED AND s.op = 'd' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      // sql() analyzes eagerly, so the relation below survives the
+      // DROP (external table — the data files stay put)
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS n,
+              CAST(sum(event_id) AS BIGINT) AS sum_id,
+              round(sum(value), 4) AS sum_val
+            FROM $tbl GROUP BY event_type ORDER BY event_type""")
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(src)
+      out
+    }),
+
     "q145_sql_table" -> ((s, dir) => {
       import graft.ingest.ManifestSink
       val ev = SparkEntry.events(s, dir)
@@ -3442,6 +3532,34 @@ object NorthStar {
     "q141_bloom_lookup" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (3, 17, 29, 41, 53) ORDER BY doc_id""",
+    "q150_stream_pipe" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 4) AS sum_val
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q149_sql_dml" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events),
+         d1 AS (SELECT * FROM base WHERE event_id % 9 <> 0),
+         u1 AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN -value ELSE value END
+               AS value
+           FROM d1),
+         src AS (
+           SELECT event_id, event_type, value * 3 AS value, 'u' AS op
+           FROM base WHERE event_id % 11 = 0
+           UNION ALL
+           SELECT event_id, event_type, value, 'd'
+           FROM base WHERE event_id % 13 = 0 AND event_id % 11 <> 0),
+         merged AS (
+           SELECT t.event_id, t.event_type, t.value FROM u1 t
+           WHERE NOT EXISTS (
+             SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+           UNION ALL
+           SELECT event_id, event_type, value FROM src WHERE op = 'u')
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 4) AS sum_val
+         FROM merged GROUP BY event_type ORDER BY event_type""",
     "q145_sql_table" ->
       """WITH b AS (SELECT max(event_id) + 1 AS nid FROM events)
          SELECT event_type, count(*) AS n,

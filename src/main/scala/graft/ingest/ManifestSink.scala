@@ -250,6 +250,76 @@ object ManifestSink extends Ingest.DestinationSink {
     mfCache.clear(); mfCacheBytes = 0L
   }
 
+  /** Byte-bounded LRU of fully-loaded SMALL bloom sidecars, keyed by
+    * qualified path and validated by (mtime, length). Sidecar files
+    * are immutable once committed (vacuum deletes, never rewrites), so
+    * a hit is always current; the stat check catches recover's
+    * rollback + slot re-claim the same way [[mfCache]] does. Only
+    * sidecars ≤ [[BloomScFullLoadMaxBytes]] load whole — a point
+    * lookup on a small table then costs zero reads after first touch,
+    * while a wide commit's multi-MB sidecar keeps the sparse
+    * record-filtered path (per-probe word fetch) where open latency is
+    * noise against the data scan.
+    */
+  private val BloomScFullLoadMaxBytes = 8L << 20
+  private val BloomScCacheCapBytes = 64L << 20
+  private val bloomScCache = new java.util.LinkedHashMap[
+    String, (Long, Long, Long, Map[(String, String), Array[(Int, Long)]])](
+    32, 0.75f, /*accessOrder=*/ true)
+  private var bloomScCacheBytes = 0L
+
+  private[graft] def invalidateBloomScCache(): Unit =
+    bloomScCache.synchronized {
+      bloomScCache.clear(); bloomScCacheBytes = 0L
+    }
+
+  private def bloomScFullWords(fs: FileSystem, p: Path,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[Map[(String, String), Array[(Int, Long)]]] = {
+    val key = fs.makeQualified(p).toString
+    val (mt, ln) = mfStat(fs, p)
+    if (ln > BloomScFullLoadMaxBytes) return None
+    bloomScCache.synchronized {
+      val hit = bloomScCache.get(key)
+      if (hit != null && hit._1 == mt && hit._2 == ln)
+        return Some(hit._4)
+    }
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+      .withConf(conf)
+      .build()
+    val buf = scala.collection.mutable.Map.empty[(String, String),
+      scala.collection.mutable.ArrayBuffer[(Int, Long)]]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        buf.getOrElseUpdate(
+          (g.getString("tgt", 0), g.getString("col", 0)),
+          scala.collection.mutable.ArrayBuffer.empty)
+          .append((g.getInteger("w", 0), g.getLong("bits", 0)))
+        g = reader.read()
+      }
+    } finally reader.close()
+    val data = buf.iterator.map { case (k, v) => k -> v.toArray }.toMap
+    val approx = data.valuesIterator
+      .map(_.length.toLong * 40L + 96L).sum + 256L
+    bloomScCache.synchronized {
+      val prev = bloomScCache.put(key, (mt, ln, approx, data))
+      if (prev != null) bloomScCacheBytes -= prev._3
+      bloomScCacheBytes += approx
+      val it = bloomScCache.entrySet().iterator()
+      while (bloomScCacheBytes > BloomScCacheCapBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          bloomScCacheBytes -= e.getValue._3
+          it.remove()
+        }
+      }
+    }
+    Some(data)
+  }
+
   private def mfStat(fs: FileSystem, p: Path): (Long, Long) =
     localRoot(fs, p) match {
       case Some(nio) =>
@@ -532,6 +602,17 @@ object ManifestSink extends Ingest.DestinationSink {
     def prune(from: Seq[String], pred: SkipPredicate): Seq[String] =
       from.filter(t => mayMatchFile(stats, t, pred) &&
         bloomMayMatchFile(blooms, posC, t, pred))
+    /** Columns the snapshot records skipping stats for — what a SQL
+      * DML rewrite passes as `statsCols` to keep coverage.
+      */
+    lazy val statsColumns: Seq[String] =
+      stats.keys.map(_._2).toSeq.distinct.sorted
+    /** Columns any committed file carries a bloom filter for — a SQL
+      * INSERT builds filters for the same columns so point-lookup
+      * pruning coverage doesn't decay as appends arrive.
+      */
+    lazy val bloomColumns: Seq[String] =
+      blooms.keys.map(_._2).toSeq.distinct.sorted
   }
 
   /** Resolve a [[SnapshotHandle]] at the head, at `versionAsOf`, or at
@@ -555,10 +636,14 @@ object ManifestSink extends Ingest.DestinationSink {
           "mutually exclusive")
       case (Some(v), None) =>
         if (all.nonEmpty) {
-          val minV = all.map(_.getName.takeWhile(_.isDigit).toLong).min
-          require(v >= minV,
-            s"[graft] versionAsOf($v): history before v$minV was " +
-              s"compacted away; earliest readable snapshot is v$minV")
+          val vs = all.map(_.getName.takeWhile(_.isDigit).toLong)
+          require(v >= vs.min,
+            s"[graft] versionAsOf($v): history before v${vs.min} was " +
+              s"compacted away; earliest readable snapshot is v${vs.min}")
+          require(v <= vs.max,
+            s"[graft] versionAsOf($v): the table's latest committed " +
+              s"version is v${vs.max} — a beyond-head read would " +
+              "silently return head state")
         }
         v
       case (None, Some(ts)) =>
@@ -1586,6 +1671,24 @@ object ManifestSink extends Ingest.DestinationSink {
         tgtOnly: Option[String] = None): Unit = {
       if (brokenRels.contains(rel)) return
       try {
+        // small sidecars (the latency-sensitive interactive case) load
+        // WHOLE through the process-wide immutable-file cache — repeat
+        // lookups cost zero reads; big sidecars keep the sparse
+        // filtered path where a 50 ms open is noise against the scan
+        bloomScFullWords(fs,
+            new Path(new Path(destPath), rel),
+            spark.sparkContext.hadoopConfiguration) match {
+          case Some(full) =>
+            full.foreach { case (key, arr) =>
+              if (cols.contains(key._2) && tgtOnly.forall(_ == key._1)) {
+                val m = words.getOrElseUpdate(key,
+                  scala.collection.mutable.Map.empty)
+                arr.foreach { case (w, b) => m.update(w, b) }
+              }
+            }
+            return
+          case None => ()
+        }
         import org.apache.parquet.filter2.predicate.FilterApi
         import org.apache.parquet.filter2.compat.FilterCompat
         import org.apache.parquet.io.api.Binary
@@ -2095,10 +2198,17 @@ object ManifestSink extends Ingest.DestinationSink {
   def statsAppend(df: DataFrame, destPath: String,
       partitionField: Option[String], statsCols: Seq[String],
       bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits): Unit = {
+      bloomBits: Int = DefaultBloomBits,
+      writeId: Option[String] = None): Unit = {
     require(statsCols.nonEmpty, "statsCols must be non-empty — " +
       "use append() when no skipping metadata is wanted")
-    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    // a caller-supplied writeId makes the append IDEMPOTENT by that id
+    // (stageMoveCommit's replay no-op) — the streaming sink's
+    // exactly-once lever: writeId = f(checkpoint, batchId), so a batch
+    // replayed after a crash between commit and Spark's own offset
+    // checkpoint commits nothing the second time
+    val id = writeId.getOrElse(
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16))
     stageMoveCommit(df.sparkSession, destPath, id, Seq.empty, statsCols,
       bloomCols, bloomBits) {
       staging =>

@@ -1,0 +1,538 @@
+package graft.plans
+
+import org.apache.spark.sql.{AnalysisException, Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.ingest.ManifestSink
+import graft.sources.{GraftDataSource, GraftFileIndex}
+
+/** SQL DML over manifest tables — `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` routed to the lakehouse write paths, so the SQL surface
+  * the data source opened for READS (GraftDataSource.scala:19) extends
+  * to writes: a SQL/BI client can maintain a table without touching the
+  * Scala API (the reference's "operate on the warehouse normally"
+  * pitch, readme.md:38–46; Delta's equivalent is its
+  * `DeltaAnalysis`/command layer).
+  *
+  * Spark-first shape: these statements parse into Catalyst's own
+  * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable` nodes and resolve
+  * through the stock analyzer (references, star expansion, type
+  * coercion all Spark's). For DataSource V2 tables Spark then rewrites
+  * them into row-level-operation plans; for a V1 relation it would fail
+  * CheckAnalysis — this injected resolution rule intercepts the
+  * resolved node when (and only when) the target is a graft relation
+  * and replaces it with a `RunnableCommand` over the existing
+  * delete/update/merge machinery, which owns atomicity, OCC, deletion
+  * vectors, and stats/bloom maintenance. Nothing is re-implemented at
+  * the SQL layer; the statement is a ROUTER.
+  *
+  * Execution cost follows the session's `spark.graft.dml.mor` flag
+  * (default true): merge-on-read commits O(changed rows) deletion
+  * vectors / sidecar rewrites; `false` selects copy-on-write
+  * (`deleteWhere`/`updateWhere` rewrite matched files). Skipping stats
+  * carry through automatically: rewrites re-derive stats for every
+  * column the snapshot already records ([[SnapshotHandle.statsColumns]]).
+  *
+  * Unsupported (loud `AnalysisException`, never silent): predicates on
+  * directory-derived partition columns (the data files do not carry
+  * them — use `dropPartitions` or the Scala API), subqueries in DML
+  * predicates, MERGE on partitioned layouts (pass `partitionField`
+  * through the Scala API), and MERGE shapes beyond the three CDC
+  * canon forms (upsert star, upsert star + `WHEN MATCHED AND f THEN
+  * DELETE`, delete-only).
+  */
+/** SQL time travel on graft catalog tables: `SELECT ... FROM t
+  * VERSION AS OF 3` / `TIMESTAMP AS OF '...'` parses into
+  * `RelationTimeTravel`, which Spark resolves only for DSv2 tables —
+  * the V2SessionCatalog THROWS for a V1 table before any injected
+  * resolution rule runs. This rule therefore rides the HINT
+  * resolution batch (which runs before relation resolution) and
+  * resolves the node against the same snapshot machinery as
+  * `option("versionAsOf")` reads. Non-graft relations pass through to
+  * Spark's own handling (including its unsupported-feature error).
+  */
+class GraftTimeTravelRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import GraftDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        graftCatalogDest(session, u.multipartIdentifier) match {
+          case None => tt
+          case Some(dest) =>
+            val v = ver.map { s =>
+              try s.toLong
+              catch { case _: NumberFormatException =>
+                fail(s"VERSION AS OF must be an integer version, " +
+                  s"got '$s'")
+              }
+            }
+            val t = ts.map { e =>
+              if (!e.resolved || !e.foldable)
+                fail("TIMESTAMP AS OF must be a constant expression")
+              val micros = Cast(e, TimestampType,
+                Some(conf.sessionLocalTimeZone))
+                .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+              if (micros == null)
+                fail(s"TIMESTAMP AS OF: cannot interpret ${e.sql} " +
+                  "as a timestamp")
+              micros.asInstanceOf[Long] / 1000L
+            }
+            val handle =
+              try ManifestSink.snapshotHandle(session, dest, v, t)
+              catch {
+                // surface the snapshot guards (beyond-head version,
+                // compacted-away history) as ANALYSIS errors — this
+                // is the SQL resolution layer
+                case e: IllegalArgumentException => fail(
+                  e.getMessage.stripPrefix("requirement failed: ")
+                    .stripPrefix("[graft] "))
+              }
+            SubqueryAlias(u.multipartIdentifier.last,
+              LogicalRelation(
+                GraftDataSource.relationFor(session, handle),
+                isStreaming = false))
+        }
+    }
+}
+
+class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import GraftDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(t, cond) if t.resolved && cond.resolved =>
+      graftTarget(t) match {
+        case None => plan
+        case Some(g) =>
+          noSubquery(cond, "DELETE")
+          noPartitionRefs(cond.references.toSeq, g, "DELETE predicate")
+          GraftDeleteCommand(g.dest, byName(cond), cond.sql,
+            g.refreshTable)
+      }
+
+    case UpdateTable(t, assignments, cond)
+        if t.resolved && assignments.forall(_.resolved) &&
+          cond.forall(_.resolved) =>
+      graftTarget(t) match {
+        case None => plan
+        case Some(g) =>
+          cond.foreach(noSubquery(_, "UPDATE"))
+          assignments.foreach(a => noSubquery(a.value, "UPDATE"))
+          noPartitionRefs(cond.toSeq.flatMap(_.references) ++
+            assignments.flatMap(_.value.references), g, "UPDATE")
+          val set = assignments.map { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case other => fail(
+                s"UPDATE SET target must be a column, got ${other.sql}")
+            }
+            if (g.partitionCols.exists(p => conf.resolver(p, name)))
+              fail(s"UPDATE of partition column '$name' — partition " +
+                "values live in the directory layout; use the Scala " +
+                "API with partitionField")
+            name -> byName(a.value)
+          }.toMap
+          GraftUpdateCommand(g.dest,
+            cond.map(byName).getOrElse(lit(true)), set,
+            cond.map(_.sql).getOrElse("true"), g.refreshTable,
+            partitioned = g.partitionCols.nonEmpty)
+      }
+
+    case m: MergeIntoTable if m.resolved =>
+      graftTarget(m.targetTable) match {
+        case None => plan
+        case Some(g) => planMerge(m, g)
+      }
+
+    // INSERT INTO a graft table — MUST be intercepted: left alone,
+    // post-hoc DataSourceAnalysis would plan the V1 HadoopFsRelation
+    // as a DIRECT parquet write into the destination directory,
+    // bypassing the staged manifest commit entirely (files visible to
+    // no snapshot, swept by recover/vacuum — silent data loss). Routed
+    // instead to the atomic append, carrying the snapshot's stats and
+    // bloom columns so skipping coverage doesn't decay as SQL appends
+    // arrive.
+    case InsertIntoStatement(t, spec, userCols, query, overwrite,
+        ifPartitionNotExists, byName)
+        if t.resolved && query.resolved =>
+      graftTarget(t) match {
+        case None => plan
+        case Some(g) => planInsert(t, g, spec, userCols, query,
+          overwrite, ifPartitionNotExists, byName)
+      }
+
+    case _ => plan
+  }
+
+  private def planInsert(t: LogicalPlan, g: GraftTarget,
+      spec: Map[String, Option[String]], userCols: Seq[String],
+      query: LogicalPlan, overwrite: Boolean,
+      ifPartitionNotExists: Boolean, byName: Boolean): LogicalPlan = {
+    if (overwrite)
+      fail("INSERT OVERWRITE is not a manifest-table operation — " +
+        "tables evolve by append/merge/delete with retained history " +
+        "(the SaveMode.Overwrite contract); use restore/partition-" +
+        "drop/vacuum for destructive maintenance")
+    if (spec.nonEmpty || ifPartitionNotExists)
+      fail("INSERT INTO ... PARTITION (static spec) is not supported " +
+        "— partition values derive from the partition column itself")
+    if (g.partitionCols.length > 1)
+      fail("INSERT INTO a multi-level partition layout is not " +
+        "supported via SQL — use the Scala write API")
+    def castTo(src: Attribute, ta: Attribute): NamedExpression =
+      if (src.dataType == ta.dataType) Alias(src, ta.name)()
+      else Alias(Cast(src, ta.dataType), ta.name)()
+    val tgt = t.output
+    val aligned: Seq[NamedExpression] =
+      if (tgt.isEmpty) {
+        // an empty table (CREATE TABLE over a fresh LOCATION): the
+        // first INSERT defines the schema, exactly like a first
+        // format("graft") write
+        query.output.map(a => Alias(a, a.name)())
+      } else if (byName || userCols.nonEmpty) {
+        val names =
+          if (userCols.nonEmpty) userCols else query.output.map(_.name)
+        if (names.length != query.output.length)
+          fail(s"INSERT column list names ${names.length} columns " +
+            s"for ${query.output.length} query columns")
+        val pairs = names.zip(query.output)
+        tgt.map { ta =>
+          pairs.filter { case (n, _) => conf.resolver(n, ta.name) } match {
+            case Seq((_, src)) => castTo(src, ta)
+            case Seq() => fail("INSERT INTO: no source column for " +
+              s"table column '${ta.name}' — partial inserts are not " +
+              "supported (a manifest append is whole-row)")
+            case _ => fail("INSERT INTO: duplicate source column " +
+              s"for '${ta.name}'")
+          }
+        }
+      } else {
+        if (query.output.length != tgt.length)
+          fail(s"INSERT INTO: query has ${query.output.length} " +
+            s"columns for a ${tgt.length}-column table " +
+            s"(${tgt.map(_.name).mkString(", ")})")
+        tgt.zip(query.output).map { case (ta, src) => castTo(src, ta) }
+      }
+    GraftInsertCommand(g.dest, Project(aligned, query),
+      g.partitionCols.headOption, g.statsCols, g.bloomCols,
+      g.refreshTable)
+  }
+
+  private def planMerge(m: MergeIntoTable, g: GraftTarget): LogicalPlan = {
+    def unsupported(what: String): Nothing =
+      fail(s"MERGE INTO: $what — SQL MERGE supports the CDC canon " +
+        "forms only (WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+        "THEN INSERT *, optionally WHEN MATCHED AND <src-cond> THEN " +
+        "DELETE first; or WHEN MATCHED THEN DELETE alone); use " +
+        "ManifestSink.mergeInto/mergeCdc for anything richer")
+    if (m.withSchemaEvolution)
+      unsupported("WITH SCHEMA EVOLUTION is not supported")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (g.partitionCols.nonEmpty)
+      fail("MERGE INTO a partitioned table needs partitionField — " +
+        "use ManifestSink.mergeInto/mergeCdc")
+    noSubquery(m.mergeCondition, "MERGE")
+    val tgtOut = m.targetTable.outputSet
+    val srcOut = m.sourceTable.outputSet
+    // the merge key: one equality between a target and a source column
+    // of the SAME name (the mergeInto contract — the source column IS
+    // the new key value)
+    val keyCol = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if (tgtOut.contains(a) && srcOut.contains(b)) ||
+            (tgtOut.contains(b) && srcOut.contains(a)) =>
+        if (!conf.resolver(a.name, b.name))
+          unsupported(s"merge key names differ (${a.name} vs ${b.name})")
+        a.name
+      case other =>
+        unsupported(s"ON condition must be a single target-source " +
+          s"column equality, got ${other.sql}")
+    }
+    // "star-shaped": EVERY target column assigned its same-name source
+    // column — the only shape that maps to mergeInto's whole-row
+    // replacement (a partial SET would need per-column carry the Scala
+    // API doesn't model)
+    def starAssigns(assigns: Seq[Assignment]): Boolean =
+      assigns.length == m.targetTable.output.length &&
+        assigns.forall { as =>
+          (as.key, as.value) match {
+            case (k: AttributeReference, v: AttributeReference) =>
+              srcOut.contains(v) && conf.resolver(k.name, v.name)
+            case _ => false
+          }
+        }
+    def isStarUpdate(act: MergeAction): Boolean = act match {
+      case UpdateStarAction(None)            => true
+      case UpdateAction(None, assigns, _)    => starAssigns(assigns)
+      case _                                 => false
+    }
+    def isStarInsert(act: MergeAction): Boolean = act match {
+      case InsertStarAction(None)        => true
+      case InsertAction(None, assigns)   => starAssigns(assigns)
+      case _                             => false
+    }
+    val insertStar = m.notMatchedActions match {
+      case Seq(a) if isStarInsert(a) => true
+      case Seq()                     => false
+      case _ => unsupported("WHEN NOT MATCHED must be INSERT * (or absent)")
+    }
+    m.matchedActions match {
+      // WHEN MATCHED THEN UPDATE SET * + WHEN NOT MATCHED THEN INSERT *
+      case Seq(u) if isStarUpdate(u) =>
+        if (!insertStar)
+          unsupported("UPDATE SET * without INSERT * (mergeInto always " +
+            "inserts unmatched source rows; add WHEN NOT MATCHED THEN " +
+            "INSERT *)")
+        GraftMergeCommand(g.dest, m.sourceTable, keyCol, None,
+          m.targetTable.output.map(_.name), g.refreshTable)
+      // WHEN MATCHED AND f THEN DELETE + UPDATE SET * + INSERT *
+      case Seq(DeleteAction(Some(f)), u) if isStarUpdate(u) =>
+        if (!insertStar)
+          unsupported("conditional DELETE + UPDATE SET * needs INSERT *")
+        noSubquery(f, "MERGE")
+        if (!f.references.subsetOf(srcOut))
+          unsupported("WHEN MATCHED AND <cond> THEN DELETE condition " +
+            "must reference only source columns (it marks source rows " +
+            "as delete directives)")
+        GraftMergeCommand(g.dest, m.sourceTable, keyCol,
+          Some(byName(f)), m.targetTable.output.map(_.name),
+          g.refreshTable)
+      // WHEN MATCHED THEN DELETE, nothing else: delete the matched keys
+      case Seq(DeleteAction(None)) =>
+        if (insertStar)
+          unsupported("WHEN MATCHED THEN DELETE cannot combine with " +
+            "INSERT * (every source row is a delete directive)")
+        GraftMergeCommand(g.dest, m.sourceTable, keyCol,
+          Some(lit(true)), m.targetTable.output.map(_.name),
+          g.refreshTable)
+      case _ => unsupported("unrecognized WHEN MATCHED clause shape")
+    }
+  }
+
+  private def byName(e: Expression): Column = Bridge.column(e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  })
+
+  private def noSubquery(e: Expression, stmt: String): Unit =
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      fail(s"$stmt with a subquery predicate is not supported on " +
+        "graft tables")
+
+  private def noPartitionRefs(refs: Seq[Attribute], g: GraftTarget,
+      where: String): Unit =
+    refs.find(a => g.partitionCols.exists(p => conf.resolver(p, a.name)))
+      .foreach { a =>
+        fail(s"$where references partition column '${a.name}' — " +
+          "directory-derived partition values are not in the data " +
+          "files; use dropPartitions or the Scala API")
+      }
+
+}
+
+object GraftDml {
+
+  private[plans] def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" -> s"[graft] $msg"))
+
+  /** A DML target that resolved to a graft relation: the destination
+    * path, its directory-derived partition columns, and — for catalog
+    * tables — the identifier to refresh after the commit (Spark caches
+    * the resolved relation per table; without the refresh a follow-up
+    * SELECT would read the pre-DML snapshot).
+    */
+  final case class GraftTarget(dest: String, partitionCols: Seq[String],
+      refreshTable: Option[String], statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)
+
+  /** Unwrap alias layers and match the graft relation. Time-traveled
+    * relations (`versionAsOf`) are historical snapshots — writing
+    * "through" one is refused upstream by the head-version commit
+    * protocol, not here.
+    */
+  def graftTarget(plan: LogicalPlan): Option[GraftTarget] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case v: View                 => graftTarget(v.child)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case gi: GraftFileIndex => Some(GraftTarget(
+          gi.handle.destPath,
+          gi.partitionSchema.fields.map(_.name).toSeq,
+          lr.catalogTable.map(_.identifier.quotedString),
+          gi.handle.statsColumns, gi.handle.bloomColumns))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Post-commit catalog hygiene for named targets. */
+  private[plans] def refreshAfterDml(spark: SparkSession,
+      table: Option[String]): Unit =
+    table.foreach(spark.catalog.refreshTable)
+
+  /** The destination path of `ident` IF it names a graft catalog
+    * table (provider `USING graft`); None for anything else — temp
+    * views, other providers, missing tables — which stay Spark's to
+    * resolve (and error on).
+    */
+  private[plans] def graftCatalogDest(spark: SparkSession,
+      ident: Seq[String]): Option[String] = {
+    val tid = ident match {
+      case Seq(t)      => TableIdentifier(t)
+      case Seq(db, t)  => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    val catalog = spark.sessionState.catalog
+    if (catalog.isTempView(ident)) return None
+    try {
+      val meta = catalog.getTableMetadata(tid)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft")))
+        Some(meta.location.toString)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}
+
+/** `DELETE FROM t WHERE ...` → deletion-vector commit (mor, default) or
+  * copy-on-write rewrite. Returns the deleted-row count.
+  */
+case class GraftDeleteCommand(dest: String, cond: Column, condSql: String,
+    refreshTable: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mor = spark.conf.get("spark.graft.dml.mor", "true").toBoolean
+    val n =
+      if (mor) ManifestSink.deleteWhereExprMor(spark, dest, cond)
+      else ManifestSink.deleteWhereExpr(spark, dest, cond)
+    GraftDml.refreshAfterDml(spark, refreshTable)
+    Seq(Row(n))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDelete $dest WHERE $condSql"
+}
+
+/** `UPDATE t SET ... WHERE ...` → sidecar-rewrite mor update (default)
+  * or copy-on-write. On a PARTITIONED layout the mor path is
+  * unavailable (`updateWhereExprMor` would rewrite updated rows
+  * without their directory-derived partition values), so the command
+  * takes copy-on-write regardless of the flag — same semantics, file
+  * rewrites stay inside their partition directories. Returns the
+  * updated-row count.
+  */
+case class GraftUpdateCommand(dest: String, cond: Column,
+    set: Map[String, Column], condSql: String,
+    refreshTable: Option[String], partitioned: Boolean = false)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("updated_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val morFlag = spark.conf.get("spark.graft.dml.mor", "true").toBoolean
+    if (morFlag && partitioned)
+      println(s"METRIC graft.sql.update_cow_fallback=1 dest=$dest")
+    val n =
+      if (morFlag && !partitioned)
+        ManifestSink.updateWhereExprMor(spark, dest, cond, set)
+      else ManifestSink.updateWhereExpr(spark, dest, cond, set)
+    GraftDml.refreshAfterDml(spark, refreshTable)
+    Seq(Row(n))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftUpdate $dest SET ${set.keys.mkString(",")} WHERE $condSql"
+}
+
+/** `INSERT INTO t ...` → the staged atomic append ([[ManifestSink
+  * .statsAppend]]/`append`), never a direct file write into the
+  * destination. Skipping stats and bloom filters are built for the
+  * same columns the snapshot already records; on a partitioned layout
+  * the (directory-derived) partition column's values come from the
+  * inserted rows themselves. No output rows — standard INSERT shape.
+  */
+case class GraftInsertCommand(dest: String, child: LogicalPlan,
+    partitionField: Option[String], statsCols: Seq[String],
+    bloomCols: Seq[String], refreshTable: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = Bridge.dataFrame(spark, child)
+    // stats/bloom apply to DATA columns only — the partition column
+    // lands in directory names, not file footers
+    val dataCols = partitionField match {
+      case Some(p) => df.columns.toSeq.filterNot(_.equalsIgnoreCase(p))
+      case None    => df.columns.toSeq
+    }
+    val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
+    val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
+    if (sc.nonEmpty || bc.nonEmpty)
+      ManifestSink.statsAppend(df, dest, partitionField,
+        if (sc.nonEmpty) sc else bc, bloomCols = bc)
+    else
+      ManifestSink.append(df, dest, partitionField)
+    GraftDml.refreshAfterDml(spark, refreshTable)
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftInsert $dest" +
+      partitionField.map(p => s" partitioned by $p").getOrElse("")
+}
+
+/** `MERGE INTO` in the CDC canon forms → [[ManifestSink.mergeInto]] /
+  * [[ManifestSink.mergeCdc]], loud-status (a skipped/aborted merge
+  * throws — SQL has no return channel for "did not apply"). Skipping
+  * stats re-derive for every column the snapshot records. Returns
+  * (updated, inserted, deleted) counts.
+  */
+case class GraftMergeCommand(dest: String, source: LogicalPlan,
+    keyCol: String, deleteFilter: Option[Column],
+    targetCols: Seq[String], refreshTable: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("updated_rows", LongType, nullable = false)(),
+    AttributeReference("inserted_rows", LongType, nullable = false)(),
+    AttributeReference("deleted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mor = spark.conf.get("spark.graft.dml.mor", "true").toBoolean
+    val srcDf = Bridge.dataFrame(spark, source)
+    val statsCols =
+      ManifestSink.snapshotHandle(spark, dest).statsColumns
+    // columns the SQL source carries beyond the table schema (the
+    // CDC op/ts directive columns) must not land in the table
+    val extras = srcDf.columns.toSeq
+      .filterNot(c => targetCols.exists(_.equalsIgnoreCase(c)))
+    val outcome = deleteFilter match {
+      case None => ManifestSink.mergeIntoStatus(spark, dest,
+        srcDf.select(targetCols.map(org.apache.spark.sql.functions.col)
+          : _*),
+        keyCol, None, statsCols, mor)
+      case Some(f) => ManifestSink.mergeCdcStatus(spark, dest, srcDf,
+        keyCol, f, extras, None, statsCols, mor)
+    }
+    if (!outcome.applied)
+      throw new IllegalStateException(
+        s"[graft] MERGE INTO $dest did not apply: $outcome — retry " +
+          "after the concurrent commit / pending attempt clears")
+    GraftDml.refreshAfterDml(spark, refreshTable)
+    val (u, i, d) = outcome.counts
+    Seq(Row(u, i, d))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftMerge $dest ON $keyCol" +
+      (if (deleteFilter.isDefined) " (with delete directives)" else "")
+}

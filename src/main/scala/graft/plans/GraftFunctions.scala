@@ -68,11 +68,24 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the graft SQL functions plus
+  * the DML router ([[GraftDmlRule]] — `DELETE FROM`/`UPDATE`/`MERGE
+  * INTO` on manifest tables).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.TextHashExprs", name), b))
     }
+    ext.injectResolutionRule(session => new GraftDmlRule(session))
+    // hint batch = BEFORE relation resolution, where Spark's
+    // V2SessionCatalog would throw on V1 time travel
+    ext.injectHintResolutionRule(session =>
+      new GraftTimeTravelRule(session))
+    // maintenance verbs Spark's grammar lacks (OPTIMIZE / VACUUM /
+    // DESCRIBE HISTORY / RESTORE / REORG) — wraps, never replaces
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
+  }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundRefer
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEqualTo, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, InSet => CInSet, IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Or => COr}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -52,7 +52,7 @@ import graft.ingest.ManifestSink.SkipPredicate
   */
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -90,6 +90,38 @@ class GraftDataSource extends RelationProvider
       GraftStreamSource.resolveStartingVersion(spark, destPath,
         parameters.get("startingVersion")),
       schema)
+  }
+
+  // ---- streaming sink: df.writeStream.format("graft") -------------
+  // (see [[GraftStreamSink]] — exactly-once via deterministic
+  // writeIds over the idempotent commit protocol)
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val destPath = pathOf(parameters)
+    val mergeKey = parameters.get("mergeKey")
+    val append = org.apache.spark.sql.streaming.OutputMode.Append()
+    val update = org.apache.spark.sql.streaming.OutputMode.Update()
+    if (mergeKey.isEmpty && outputMode != append)
+      throw new IllegalArgumentException(
+        s"[graft] sink: output mode $outputMode needs a mergeKey — " +
+          "plain appends are Append-mode only")
+    if (outputMode != append && outputMode != update)
+      throw new IllegalArgumentException(
+        s"[graft] sink: unsupported output mode $outputMode")
+    if (partitionColumns.nonEmpty)
+      throw new IllegalArgumentException(
+        "[graft] sink: use option(\"partitionField\", col) — " +
+          "partitionBy() does not reach the manifest layout")
+    def csv(key: String): Seq[String] = parameters.get(key)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new GraftStreamSink(destPath, parameters.get("partitionField"),
+      csv("statsCols"), csv("bloomCols"), mergeKey,
+      parameters.get("mor").exists(_.toBoolean),
+      parameters.getOrElse("checkpointLocation", destPath))
   }
 
   override def createRelation(sqlContext: SQLContext,

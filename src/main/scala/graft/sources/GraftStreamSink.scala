@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.ingest.ManifestSink
+
+/** `df.writeStream.format("graft").start(dest)` — the write half of
+  * the native streaming surface (the read half is
+  * [[GraftStreamSource]]): every micro-batch lands as ONE staged
+  * atomic manifest commit.
+  *
+  * Exactly-once, without any sink-private ledger: the commit's
+  * `writeId` is a deterministic function of (checkpointLocation,
+  * batchId), and [[ManifestSink]]'s commit protocol is idempotent by
+  * writeId — a batch replayed after a crash between the manifest
+  * commit and Spark's own offset checkpoint re-enters
+  * `stageMoveCommit`, finds its writeId already in the log, and
+  * commits nothing (Delta's `txnAppId`/`txnVersion` contract, carried
+  * by the id the log already records instead of a separate txn line).
+  * Restarting from the same checkpoint therefore never duplicates a
+  * batch; a NEW checkpoint is a new logical stream and appends anew.
+  *
+  * `option("mergeKey", k)` switches each batch from append to the
+  * atomic upsert ([[ManifestSink.mergeIntoStatus]], whole-row by key,
+  * `option("mor", "true")` for deletion-vector commits). Merge batches
+  * are idempotent by VALUE (re-merging the last batch reproduces the
+  * same state), which is exactly the window Spark's checkpoint can
+  * replay; skipped/aborted merges THROW — a micro-batch that did not
+  * apply must fail the query, not vanish (the upsertStream contract).
+  *
+  * Stats/bloom columns (`option("statsCols", "a,b")`,
+  * `option("bloomCols", "k")`) build skipping metadata for every
+  * appended file, so a long-running ingest stream produces a table
+  * that prunes exactly like batch-built ones.
+  */
+final class GraftStreamSink(destPath: String,
+    partitionField: Option[String], statsCols: Seq[String],
+    bloomCols: Seq[String], mergeKey: Option[String], mor: Boolean,
+    checkpointTag: String) extends Sink {
+
+  private def writeIdFor(batchId: Long): String = {
+    val d = MessageDigest.getInstance("SHA-256").digest(
+      s"graft-sink:$checkpointTag:$batchId"
+        .getBytes(StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString // 16 hex chars, id-shaped
+  }
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val spark = data.sparkSession
+    // V1 Sink data is isStreaming=true — re-wrap as a batch frame
+    val batch: DataFrame = Bridge.batchDataFrame(spark, data.toDF())
+    mergeKey match {
+      case Some(k) =>
+        val outcome = ManifestSink.mergeIntoStatus(spark, destPath,
+          batch, k, partitionField, statsCols, mor)
+        outcome match {
+          case ManifestSink.MergeOutcome.Skipped =>
+            throw new IllegalStateException(
+              s"[graft] sink batch $batchId did NOT merge into " +
+                s"$destPath: a staged attempt is pending (crashed " +
+                "writer?). Run ManifestSink.recover after confirming " +
+                "no live writer, then restart the stream.")
+          case ManifestSink.MergeOutcome.Aborted =>
+            throw new IllegalStateException(
+              s"[graft] sink batch $batchId aborted merging into " +
+                s"$destPath: a concurrent writer advanced the log. " +
+                "Restart the stream to retry the batch.")
+          case _ => ()
+        }
+      case None =>
+        val writeId = writeIdFor(batchId)
+        if (statsCols.nonEmpty || bloomCols.nonEmpty)
+          ManifestSink.statsAppend(batch, destPath, partitionField,
+            if (statsCols.nonEmpty) statsCols else bloomCols,
+            bloomCols = bloomCols, writeId = Some(writeId))
+        else {
+          ManifestSink.stagedAppend(batch, destPath, partitionField,
+            writeId, Seq.empty)
+          ManifestSink.finishCommit(spark, destPath, writeId)
+        }
+    }
+  }
+
+  override def toString: String =
+    s"GraftStreamSink[$destPath" +
+      mergeKey.map(k => s", upsert on $k").getOrElse("") + "]"
+}

@@ -1,0 +1,341 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.ingest.ManifestSink
+
+/** SQL DML on manifest tables: `DELETE FROM` / `UPDATE` / `MERGE INTO`
+  * must route through the lakehouse write paths (deletion vectors /
+  * sidecar rewrites / atomic merge), return the row counts, refresh the
+  * catalog relation so follow-up SELECTs see the new snapshot, and
+  * refuse the unsupported shapes LOUDLY. Non-graft tables must be left
+  * to Spark's own (v2-only) handling.
+  */
+class GraftDmlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(prefix: String): (String, String) = {
+    val dest = s"${tmpDir(prefix)}/t"
+    val tbl = prefix + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    (dest, tbl)
+  }
+
+  test("DELETE FROM: mor by default (dv commit, no rewrites), count " +
+      "returned, catalog relation refreshed, cow via conf") {
+    val (dest, tbl) = freshTable("dml_del_")
+    (0L until 300L).map(i => (i, s"k$i", i % 3)).toDF("id", "key", "grp")
+      .repartitionByRange(3, col("id"))
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      // warm the catalog relation cache BEFORE the delete — the refresh
+      // contract is what keeps this from reading stale state after
+      assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").head.getLong(0)
+        == 300L)
+      val del = spark.sql(
+        s"DELETE FROM $tbl WHERE id % 10 = 0 AND id < 150")
+      assert(del.columns.toSeq == Seq("deleted_rows"))
+      assert(del.head.getLong(0) == 15L)
+      // mor: the commit is dv lines, zero data files rewritten
+      assert(ManifestSink.history(spark, dest)
+        .where(col("version") === 1).head.getAs[String]("kind") == "mor")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").head.getLong(0)
+        == 285L)
+      assert(spark.table(tbl).where("id % 10 = 0 AND id < 150").count()
+        == 0L)
+      // parity with the Scala read path
+      assert(spark.table(tbl).orderBy("id").collect().toSeq ==
+        ManifestSink.readBack(spark, dest).orderBy("id").collect().toSeq)
+
+      // copy-on-write mode: same semantics, no NEW dv lines
+      spark.conf.set("spark.graft.dml.mor", "false")
+      try {
+        val del2 = spark.sql(s"DELETE FROM $tbl WHERE id >= 290")
+        assert(del2.head.getLong(0) == 10L)
+        assert(spark.table(tbl).count() == 275L)
+      } finally spark.conf.unset("spark.graft.dml.mor")
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("UPDATE: SET expressions evaluate against the old row values; " +
+      "WHERE-less UPDATE touches every row; counts returned") {
+    val (dest, tbl) = freshTable("dml_upd_")
+    (0L until 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(2)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      val up = spark.sql(
+        s"UPDATE $tbl SET v = v + id WHERE id < 10")
+      assert(up.columns.toSeq == Seq("updated_rows"))
+      assert(up.head.getLong(0) == 10L)
+      val got = spark.table(tbl).where("id < 10")
+        .orderBy("id").select("v").as[Double].collect().toSeq
+      assert(got == (0 until 10).map(i => i * 2.0 + i))
+      assert(spark.table(tbl).where("id >= 10 AND v <> id * 2.0")
+        .count() == 0L)
+      val all = spark.sql(s"UPDATE $tbl SET v = 0.0")
+      assert(all.head.getLong(0) == 100L)
+      assert(spark.table(tbl).agg(sum("v")).head.getDouble(0) == 0.0)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("MERGE INTO: upsert star, conditional-delete CDC form, and " +
+      "delete-only form — counts and final state exact") {
+    val (dest, tbl) = freshTable("dml_mrg_")
+    (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      // upsert star: update 10 existing keys, insert 5 new
+      (40L until 55L).map(i => (i, s"NEW$i")).toDF("id", "v")
+        .createOrReplaceTempView("mrg_src1")
+      val m1 = spark.sql(
+        s"""MERGE INTO $tbl t USING mrg_src1 s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      assert(m1.columns.toSeq ==
+        Seq("updated_rows", "inserted_rows", "deleted_rows"))
+      val r1 = m1.head
+      assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) ==
+        ((10L, 5L, 0L)))
+      assert(spark.table(tbl).count() == 55L)
+      assert(spark.table(tbl).where("id >= 40 AND v NOT LIKE 'NEW%'")
+        .count() == 0L)
+
+      // CDC form: op='d' rows delete, others upsert
+      Seq((10L, "up10", "u"), (11L, "x", "d"), (60L, "new60", "u"))
+        .toDF("id", "v", "op").createOrReplaceTempView("mrg_src2")
+      val m2 = spark.sql(
+        s"""MERGE INTO $tbl t USING mrg_src2 s ON t.id = s.id
+            WHEN MATCHED AND s.op = 'd' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      val r2 = m2.head
+      assert(r2.getLong(2) == 1L, s"deleted ${r2.getLong(2)}")
+      assert(spark.table(tbl).where("id = 11").count() == 0L)
+      assert(spark.table(tbl).where("id = 10").select("v")
+        .as[String].head() == "up10")
+      assert(spark.table(tbl).where("id = 60").count() == 1L)
+
+      // delete-only form
+      Seq(0L, 1L, 2L, 999L).toDF("id").createOrReplaceTempView("mrg_src3")
+      val m3 = spark.sql(
+        s"""MERGE INTO $tbl t USING mrg_src3 s ON t.id = s.id
+            WHEN MATCHED THEN DELETE""")
+      assert(m3.head.getLong(2) == 3L)
+      assert(spark.table(tbl).where("id IN (0, 1, 2)").count() == 0L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("refusals are loud: partition-column predicates, subqueries, " +
+      "non-canon merge shapes; the CDC delete filter must be " +
+      "source-only; non-graft tables stay Spark's problem") {
+    val (dest, tbl) = freshTable("dml_ref_")
+    (0L until 40L).map(i => (i, s"2026-01-0${i % 4 + 1}", i * 1.0))
+      .toDF("id", "day", "v")
+      .pipe(df => ManifestSink.statsAppend(df.repartition(1), dest,
+        Some("day"), Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      // partitioned layout: predicate on the directory-derived column
+      // (the sink materializes `p_date`; `day` stays a data column, so
+      // predicates on IT are fine — and the partition column is not)
+      val e1 = intercept[AnalysisException](
+        spark.sql(s"DELETE FROM $tbl WHERE p_date = DATE '2026-01-02'"))
+      assert(e1.getMessage.contains("partition column"), e1.getMessage)
+      // update of the partition column
+      val e2 = intercept[AnalysisException](
+        spark.sql(
+          s"UPDATE $tbl SET p_date = DATE '2026-02-01' WHERE id = 1"))
+      assert(e2.getMessage.contains("partition"), e2.getMessage)
+      // subquery predicate
+      val e3 = intercept[AnalysisException](
+        spark.sql(s"DELETE FROM $tbl WHERE id IN (SELECT 1)"))
+      assert(e3.getMessage.contains("subquery"), e3.getMessage)
+      // merge on a partitioned layout (source carries p_date so the
+      // star shapes RESOLVE; the graft rule must still refuse)
+      Seq((1L, "2026-01-02", 0.0, java.sql.Date.valueOf("2026-01-02")))
+        .toDF("id", "day", "v", "p_date")
+        .createOrReplaceTempView("dml_ref_src")
+      val e4 = intercept[AnalysisException](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_ref_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *"""))
+      assert(e4.getMessage.contains("partitionField"), e4.getMessage)
+    } finally spark.sql(s"DROP TABLE $tbl")
+
+    val (dest2, tbl2) = freshTable("dml_ref2_")
+    (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+      .pipe(df => ManifestSink.statsAppend(df, dest2, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl2 USING graft LOCATION '$dest2'")
+    try {
+      // partial SET in a merge (not star-shaped)
+      Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("dml_ref_s2")
+      val e5 = intercept[AnalysisException](spark.sql(
+        s"""MERGE INTO $tbl2 t USING dml_ref_s2 s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET v = 'fixed'
+            WHEN NOT MATCHED THEN INSERT *"""))
+      assert(e5.getMessage.contains("MERGE"), e5.getMessage)
+      // UPDATE SET * without INSERT *
+      val e6 = intercept[AnalysisException](spark.sql(
+        s"""MERGE INTO $tbl2 t USING dml_ref_s2 s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *"""))
+      assert(e6.getMessage.contains("INSERT"), e6.getMessage)
+      // the delete filter referencing a target column
+      val e7 = intercept[AnalysisException](spark.sql(
+        s"""MERGE INTO $tbl2 t USING dml_ref_s2 s ON t.id = s.id
+            WHEN MATCHED AND t.v = 'v1' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *"""))
+      assert(e7.getMessage.contains("source columns"), e7.getMessage)
+    } finally spark.sql(s"DROP TABLE $tbl2")
+
+    // a non-graft table keeps Spark's own v1-DML refusal — the rule
+    // must not hijack it
+    val pq = s"${tmpDir("dml_plain_")}/p"
+    Seq((1, "a")).toDF("id", "v").write.parquet(pq)
+    val ptbl = "dml_plain_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.sql(s"CREATE TABLE $ptbl USING parquet LOCATION '$pq'")
+    try {
+      val e8 = intercept[Exception](
+        spark.sql(s"DELETE FROM $ptbl WHERE id = 1"))
+      assert(!e8.getMessage.contains("[graft]"), e8.getMessage)
+    } finally spark.sql(s"DROP TABLE $ptbl")
+  }
+
+  test("INSERT INTO routes to the atomic manifest append (never a " +
+      "direct file write): positional, BY-NAME column list with " +
+      "reorder + cast, VALUES; stats columns carry to the new files; " +
+      "INSERT OVERWRITE and column-count mismatches refuse") {
+    val (dest, tbl) = freshTable("dml_ins_")
+    (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      spark.sql(s"INSERT INTO $tbl SELECT id + 100, concat('n', v) " +
+        s"FROM $tbl WHERE id < 3")
+      assert(spark.table(tbl).count() == 23L)
+      // the append COMMITTED: a new manifest version exists and the
+      // committed read equals the raw union (nothing stranded outside
+      // the log, nothing visible that isn't committed)
+      assert(ManifestSink.history(spark, dest).count() == 2L)
+      assert(ManifestSink.readBack(spark, dest).count() == 23L)
+      // column list: reordered names align by name; int literal casts
+      // to the table's long
+      spark.sql(s"INSERT INTO $tbl (v, id) VALUES ('x', 500)")
+      assert(spark.table(tbl).where("id = 500").select("v")
+        .as[String].head() == "x")
+      // skipping stats carried: the new files' id ranges prune like
+      // the originals (metadata decision — result parity is the check)
+      assert(ManifestSink.readBackWhere(spark, dest, "id", 500, 500)
+        .count() == 1L)
+      val e1 = intercept[AnalysisException](spark.sql(
+        s"INSERT OVERWRITE $tbl SELECT id, v FROM $tbl"))
+      assert(e1.getMessage.contains("INSERT OVERWRITE"), e1.getMessage)
+      val e2 = intercept[AnalysisException](spark.sql(
+        s"INSERT INTO $tbl VALUES (1)"))
+      assert(e2.getMessage.contains("column"), e2.getMessage)
+    } finally spark.sql(s"DROP TABLE $tbl")
+
+    // partitioned layout: inserted rows land in their partition dirs,
+    // derived from the inserted partition-column values themselves
+    val (dest2, tbl2) = freshTable("dml_insp_")
+    (0L until 8L).map(i => (i, s"2026-03-0${i % 2 + 1}", i * 1.0))
+      .toDF("id", "day", "v")
+      .pipe(df => ManifestSink.statsAppend(df.repartition(1), dest2,
+        Some("day"), Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl2 USING graft LOCATION '$dest2'")
+    try {
+      spark.sql(s"INSERT INTO $tbl2 VALUES " +
+        "(100, '2026-03-02', 1.5, DATE '2026-03-02')")
+      assert(spark.table(tbl2).count() == 9L)
+      assert(spark.table(tbl2).where("id = 100")
+        .select("p_date").as[java.sql.Date].head() ==
+        java.sql.Date.valueOf("2026-03-02"))
+      assert(spark.table(tbl2).where(col("p_date").isNull).count() == 0L)
+    } finally spark.sql(s"DROP TABLE $tbl2")
+  }
+
+  test("partitioned tables: data-column DELETE (mor dvs) and UPDATE " +
+      "(cow fallback — mor would drop directory partition values) " +
+      "both work; partition values survive the rewrite") {
+    val (dest, tbl) = freshTable("dml_part_")
+    (0L until 40L).map(i => (i, s"2026-01-0${i % 4 + 1}", i * 1.0))
+      .toDF("id", "day", "v")
+      .pipe(df => ManifestSink.statsAppend(df.repartition(1), dest,
+        Some("day"), Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      assert(spark.sql(s"DELETE FROM $tbl WHERE id >= 36").head
+        .getLong(0) == 4L)
+      assert(spark.sql(s"UPDATE $tbl SET v = v * 10 WHERE id < 4")
+        .head.getLong(0) == 4L)
+      // the update rewrote files IN PLACE inside their partition dirs:
+      // every surviving row still reads its p_date
+      assert(spark.table(tbl).where(col("p_date").isNull).count() == 0L)
+      assert(spark.table(tbl).count() == 36L)
+      assert(spark.table(tbl).where("id < 4").agg(sum("v")).head
+        .getDouble(0) == (0 until 4).map(_ * 10.0).sum)
+      // the rewrite stayed partition-scoped: each updated id keeps the
+      // p_date its day value implies
+      assert(spark.table(tbl)
+        .where(col("p_date") =!= to_date(col("day"))).count() == 0L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF on a graft " +
+      "catalog table resolve through the snapshot machinery (same cut " +
+      "as option(\"versionAsOf\")); non-graft tables stay Spark's") {
+    val (dest, tbl) = freshTable("dml_tt_")
+    (0L until 10L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    (10L until 20L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    ManifestSink.deleteWhereExprMor(spark, dest, col("id") < 5)
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 0")
+        .head.getLong(0) == 10L)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+        .head.getLong(0) == 20L)
+      assert(spark.table(tbl).count() == 15L)
+      // TIMESTAMP AS OF keys on manifest commit times (the readAsOf
+      // contract) — v1's commit_ts must resolve the pre-delete cut
+      val ts1 = ManifestSink.history(spark, dest)
+        .where("version = 1").select("commit_ts")
+        .as[java.sql.Timestamp].head().getTime
+      assert(spark.sql(
+        s"""SELECT count(*) FROM $tbl
+            TIMESTAMP AS OF CAST(${ts1 / 1000.0} AS TIMESTAMP)""")
+        .head.getLong(0) == 20L)
+      val e = intercept[AnalysisException](spark.sql(
+        s"SELECT count(*) FROM $tbl VERSION AS OF 99"))
+      assert(e.getMessage.contains("99"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DML through a temp view over format(\"graft\") routes to the " +
+      "same dest — path-based SQL DML without a catalog table") {
+    val dest = s"${tmpDir("dml_path_")}/t"
+    (0L until 30L).map(i => (i, i * 10L)).toDF("id", "x").coalesce(1)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.read.format("graft").load(dest)
+      .createOrReplaceTempView("dml_path_v")
+    val del = spark.sql("DELETE FROM dml_path_v WHERE id < 5")
+    assert(del.head.getLong(0) == 5L)
+    // the view pins its ORIGINAL snapshot (standard DataFrame temp-view
+    // semantics); a fresh path read sees the commit
+    assert(spark.read.format("graft").load(dest).count() == 25L)
+    assert(ManifestSink.readBack(spark, dest).count() == 25L)
+  }
+
+  private implicit class Piper[A](a: A) {
+    def pipe[B](f: A => B): B = f(a)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.ingest.ManifestSink
+
+/** Maintenance SQL (the wrapped parser): OPTIMIZE / VACUUM /
+  * DESCRIBE HISTORY / RESTORE / REORG route to the Scala maintenance
+  * API; targets are catalog tables or quoted paths; non-graft names
+  * refuse loudly; everything else still parses through the delegate.
+  */
+class GraftSqlMaintenanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("OPTIMIZE (incl. ZORDER BY), DESCRIBE HISTORY, RESTORE, " +
+      "REORG (PURGE), VACUUM [DRY RUN] — all via SQL, catalog-table " +
+      "and quoted-path targets") {
+    val dest = s"${tmpDir("sqlmaint_")}/t"
+    val tbl = "sqlmaint_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    (0L until 4L).foreach { i =>
+      (i * 100L until (i + 1) * 100L).map(x => (x, s"v$x"))
+        .toDF("id", "v").coalesce(1)
+        .write.format("graft").mode("append")
+        .option("statsCols", "id").save(dest)
+    }
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      val hist = spark.sql(s"DESCRIBE HISTORY $tbl")
+      assert(hist.columns.toSeq ==
+        Seq("version", "commit_ts", "kind", "n_files", "n_rows"))
+      assert(hist.count() == 4L)
+
+      // OPTIMIZE with a z-order key: 4 files repack, content identical
+      val opt = spark.sql(s"OPTIMIZE $tbl ZORDER BY (id)")
+      assert(opt.columns.toSeq == Seq("files_repacked"))
+      assert(opt.head.getLong(0) == 4L)
+      assert(spark.table(tbl).count() == 400L)
+
+      // RESTORE to the 2-append state (quoted-path target form)
+      val res = spark.sql(
+        s"RESTORE TABLE '$dest' TO VERSION AS OF 1")
+      assert(res.columns.toSeq == Seq("restored_to_version"))
+      assert(res.head.getLong(0) == 5L)
+      // a PATH-target restore can't know which catalog entries point
+      // at the dest — the fresh-read path sees it immediately, the
+      // cached relation after an explicit REFRESH
+      assert(ManifestSink.readBack(spark, dest).count() == 200L)
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.table(tbl).count() == 200L)
+
+      // gut one region with a mor delete, then REORG APPLY (PURGE):
+      // only the under-threshold files rewrite, dvs materialize
+      spark.sql(s"DELETE FROM $tbl WHERE id < 60")
+      spark.conf.set("spark.graft.purge.minLiveFraction", "0.9")
+      try {
+        val reorg = spark.sql(s"REORG TABLE $tbl APPLY (PURGE)")
+        assert(reorg.columns.toSeq == Seq("files_materialized"))
+        assert(reorg.head.getLong(0) == 1L, reorg.head.toString)
+      } finally spark.conf.unset("spark.graft.purge.minLiveFraction")
+      assert(spark.table(tbl).count() == 140L)
+      assert(ManifestSink.snapshotHandle(spark, dest).dvs.isEmpty)
+
+      // VACUUM deletes only files NO surviving manifest references —
+      // with the full log retained (time travel!) that's nothing, so
+      // collapse history first, then the superseded files are sweepable
+      assert(spark.sql(s"VACUUM $tbl RETAIN 0 HOURS DRY RUN")
+        .count() == 0L)
+      ManifestSink.compact(spark, dest)
+      val dry = spark.sql(s"VACUUM $tbl RETAIN 0 HOURS DRY RUN")
+      assert(dry.columns.toSeq == Seq("path"))
+      val wouldDelete = dry.count()
+      assert(wouldDelete > 0L)
+      val vac = spark.sql(s"VACUUM $tbl RETAIN 0 HOURS")
+      assert(vac.columns.toSeq == Seq("deleted_files"))
+      assert(vac.head.getLong(0) == wouldDelete)
+      assert(spark.table(tbl).count() == 140L)
+      assert(spark.sql(s"VACUUM $tbl RETAIN 0 HOURS DRY RUN")
+        .count() == 0L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("non-graft targets refuse loudly; ordinary SQL still parses " +
+      "through the delegate") {
+    val pq = s"${tmpDir("sqlmaint_plain_")}/p"
+    Seq((1, "a")).toDF("id", "v").write.parquet(pq)
+    val ptbl = "sqlmaint_plain_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.sql(s"CREATE TABLE $ptbl USING parquet LOCATION '$pq'")
+    try {
+      val e = intercept[AnalysisException](
+        spark.sql(s"OPTIMIZE $ptbl"))
+      assert(e.getMessage.contains("not a graft table"), e.getMessage)
+      // the wrapped parser must not disturb normal statements
+      assert(spark.sql(s"SELECT count(*) FROM $ptbl WHERE id > 0")
+        .head.getLong(0) == 1L)
+      assert(spark.sql("DESCRIBE TABLE " + ptbl).count() > 0L)
+    } finally spark.sql(s"DROP TABLE $ptbl")
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ingest.ManifestSink
+import graft.sources.GraftStreamSink
+
+/** The native streaming SINK: `writeStream.format("graft")` — every
+  * micro-batch one atomic manifest commit, exactly-once across
+  * restarts (deterministic writeId over the idempotent commit
+  * protocol), optional per-batch upsert via `mergeKey`.
+  */
+class GraftStreamSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("append sink: batches commit atomically with stats; restart " +
+      "from the same checkpoint neither drops nor duplicates") {
+    val dest = s"${tmpDir("gsink_app_")}/t"
+    val ckpt = tmpDir("gsink_app_ck_")
+    val in = MemoryStream[(Long, String)]
+    def start() = in.toDF().toDF("id", "v").writeStream
+      .format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("statsCols", "id")
+      .trigger(Trigger.AvailableNow())
+      .start(dest)
+
+    in.addData((0L, "a"), (1L, "b"))
+    in.addData((2L, "c"))
+    val q1 = start(); q1.awaitTermination()
+    assert(ManifestSink.readBack(spark, dest).count() == 3L)
+    // every micro-batch = one manifest version (AvailableNow may
+    // drain both addData calls as one batch)
+    val v1 = ManifestSink.history(spark, dest).count()
+    assert(v1 >= 1L)
+
+    // restart from the SAME checkpoint with more data: only the new
+    // batch lands — nothing re-appends
+    in.addData((3L, "d"), (4L, "e"))
+    val q2 = start(); q2.awaitTermination()
+    val got = ManifestSink.readBack(spark, dest)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"),
+      (4L, "e")))
+    // stats carried: the appended files prune on id like batch writes
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 4, 4)
+      .count() == 1L)
+  }
+
+  test("exactly-once is the WRITE ID, not luck: replaying a committed " +
+      "batch through addBatch is a no-op; a different checkpoint is a " +
+      "new logical stream") {
+    val dest = s"${tmpDir("gsink_eo_")}/t"
+    val sink = new GraftStreamSink(dest, None, Seq("id"), Nil, None,
+      mor = false, checkpointTag = "ckpt-A")
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    sink.addBatch(0L, df)
+    assert(ManifestSink.readBack(spark, dest).count() == 2L)
+    // the crash window: committed, but Spark's offset log didn't
+    // record it — the engine re-delivers batch 0
+    sink.addBatch(0L, df)
+    assert(ManifestSink.readBack(spark, dest).count() == 2L)
+    assert(ManifestSink.history(spark, dest).count() == 1L)
+    // same batch id under a DIFFERENT checkpoint = a different stream
+    val other = new GraftStreamSink(dest, None, Seq("id"), Nil, None,
+      mor = false, checkpointTag = "ckpt-B")
+    other.addBatch(0L, df)
+    assert(ManifestSink.readBack(spark, dest).count() == 4L)
+  }
+
+  test("mergeKey sink: per-batch atomic upsert — updates replace by " +
+      "key, inserts append, mor=true keeps it dv-decomposable") {
+    val dest = s"${tmpDir("gsink_mrg_")}/t"
+    val ckpt = tmpDir("gsink_mrg_ck_")
+    val in = MemoryStream[(Long, String)]
+    def start() = in.toDF().toDF("id", "v").writeStream
+      .format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("mergeKey", "id").option("mor", "true")
+      .option("statsCols", "id")
+      .trigger(Trigger.AvailableNow())
+      .start(dest)
+
+    in.addData((0L, "a"), (1L, "b"), (2L, "c"))
+    val q1 = start(); q1.awaitTermination()
+    in.addData((1L, "B2"), (3L, "d"))
+    val q2 = start(); q2.awaitTermination()
+    val got = ManifestSink.readBack(spark, dest)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "a"), (1L, "B2"), (2L, "c"), (3L, "d")))
+    // mor upsert: the key update committed deletion vectors, not a
+    // file rewrite — the feed stays decomposable
+    assert(ManifestSink.history(spark, dest)
+      .where(col("kind") === "mor").count() >= 1L)
+  }
+
+  test("sink option validation: bad output mode and partitionBy() " +
+      "refuse loudly") {
+    val dest = s"${tmpDir("gsink_bad_")}/t"
+    val in = MemoryStream[(Long, String)]
+    val e1 = intercept[Exception] {
+      in.toDF().toDF("id", "v").writeStream.format("graft")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpDir("gsink_bad_ck1_"))
+        .start(dest)
+    }
+    assert(e1.getMessage.contains("mergeKey") ||
+      e1.getMessage.contains("output mode"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      in.toDF().toDF("id", "v").writeStream.format("graft")
+        .partitionBy("v")
+        .option("checkpointLocation", tmpDir("gsink_bad_ck2_"))
+        .start(dest)
+    }
+    assert(e2.getMessage.contains("partitionField"), e2.getMessage)
+  }
+}
