@@ -3,6 +3,7 @@ package graft.ingest
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Table-format destination sink: a minimal atomic manifest log (the core
   * mechanism of Delta/Iceberg, hand-rolled because no table-format jars
@@ -174,7 +175,8 @@ object ManifestSink extends Ingest.DestinationSink {
       statsLines: Seq[String], bloomLines: Seq[String],
       rawDvLines: Seq[String], dvLines: Seq[(String, String, Long)],
       cdfLines: Seq[(String, Long)], writeIdSet: Seq[String],
-      sidecarRels: Seq[String], approxBytes: Long) {
+      sidecarRels: Seq[String], approxBytes: Long,
+      schemaLines: Seq[String] = Nil) {
     /** Bloom-sidecar rels referenced by `bloomsc` lines. */
     def bloomScRels: Seq[String] = bloomLines.flatMap { l =>
       l.split('\t') match {
@@ -205,7 +207,8 @@ object ManifestSink extends Ingest.DestinationSink {
       checkpointOf = lines.collectFirst {
         case l if l.startsWith("checkpoint\t") => l.substring(11).toLong },
       statsLines = lines.filter(l =>
-        l.startsWith("stats\t") || l.startsWith("stats2\t")),
+        l.startsWith("stats\t") || l.startsWith("stats2\t") ||
+          l.startsWith("fsize\t")),
       bloomLines = lines.filter(l => l.startsWith("bloom\t") ||
         l.startsWith("bloomsc\t")),
       rawDvLines = lines.filter(_.startsWith("dv\t")),
@@ -225,7 +228,8 @@ object ManifestSink extends Ingest.DestinationSink {
         case l if l.startsWith("writeidset\t") => l.substring(11) },
       sidecarRels = lines.collect {
         case l if l.startsWith("sidecar\t") => l.substring(8) },
-      approxBytes = lines.map(_.length.toLong + 16).sum)
+      approxBytes = lines.map(_.length.toLong + 16).sum,
+      schemaLines = lines.filter(_.startsWith("schemaj\t")))
   }
 
   /** Byte-bounded LRU cache of parsed manifests keyed by qualified
@@ -417,7 +421,8 @@ object ManifestSink extends Ingest.DestinationSink {
     * (DeprecatedRawLocalFileStatus.loadPermissionInfo), turning a
     * 1.3k-file staging listing into ~10 s of process forks.
     */
-  private def listFilesRec(fs: FileSystem, dir: Path): Seq[(Path, Long)] =
+  private def listFilesRec(fs: FileSystem, dir: Path)
+      : Seq[(Path, Long, Long)] =
     localRoot(fs, dir) match {
       case Some(root) =>
         if (!java.nio.file.Files.isDirectory(root)) Seq.empty
@@ -428,16 +433,17 @@ object ManifestSink extends Ingest.DestinationSink {
             stream.iterator().asScala
               .filter(p => java.nio.file.Files.isRegularFile(p))
               .map(p => (new Path(p.toUri),
-                java.nio.file.Files.getLastModifiedTime(p).toMillis))
+                java.nio.file.Files.getLastModifiedTime(p).toMillis,
+                java.nio.file.Files.size(p)))
               .toVector
           } finally stream.close()
         }
       case None =>
         val it = fs.listFiles(dir, /*recursive=*/ true)
-        val buf = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
+        val buf = scala.collection.mutable.ArrayBuffer[(Path, Long, Long)]()
         while (it.hasNext) {
           val st = it.next()
-          buf += ((st.getPath, st.getModificationTime))
+          buf += ((st.getPath, st.getModificationTime, st.getLen))
         }
         buf.toSeq
     }
@@ -613,6 +619,15 @@ object ManifestSink extends Ingest.DestinationSink {
       */
     lazy val bloomColumns: Seq[String] =
       blooms.keys.map(_._2).toSeq.distinct.sorted
+    /** Per-file (bytes, mtime) recorded at commit — lets the SQL
+      * FileIndex materialize without statting data files. Files from
+      * pre-fsize commits are absent (callers fall back to one RPC).
+      */
+    lazy val sizes: Map[String, (Long, Long)] = fileSizesOf(fs, mfs)
+    /** The data-file schema resolved from the log's `schemaj` lines;
+      * None = fall back to a footer sweep.
+      */
+    lazy val schemaOpt: Option[StructType] = effectiveSchemaOf(fs, mfs)
   }
 
   /** Resolve a [[SnapshotHandle]] at the head, at `versionAsOf`, or at
@@ -783,9 +798,14 @@ object ManifestSink extends Ingest.DestinationSink {
         p.length >= 2 && restored.contains(p(1))
       }
     }.distinct
+    // the restored SCHEMA is the schema as of `version` — a column
+    // added after it must not survive the restore
+    val schemaRestored =
+      effectiveSchemaOf(fs, eligible).map(schemaLineOf).toSeq
     val body = (Seq("writeid\trestore", "snapshot\t1",
       s"restore\t$version") ++
-      targets.map("target\t" + _) ++ metaLines).mkString("\n")
+      targets.map("target\t" + _) ++ metaLines ++ schemaRestored)
+      .mkString("\n")
     val newV = head + 1
     val lp = logPath(destPath)
     val tmp = new Path(lp, s".tmp_restore_$newV")
@@ -1061,11 +1081,12 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsCarry = effOld.flatMap(rawStatsLines(fs, _)).distinct
     val dvCarry = effOld.flatMap(rawDvLines(fs, _)).distinct
     val bloomCarry = effOld.flatMap(rawBloomLines(fs, _)).distinct
+    val schemaCarry = effectiveSchemaOf(fs, old).map(schemaLineOf).toSeq
     val body = (Seq("writeid\tcompact", "snapshot\t1",
       "layout\t1") ++
       effParsed.flatMap(_._1).distinct.map("uri\t" + _) ++
       effParsed.flatMap(_._2).distinct.map("target\t" + _) ++
-      statsCarry ++ dvCarry ++ bloomCarry).mkString("\n")
+      statsCarry ++ dvCarry ++ bloomCarry ++ schemaCarry).mkString("\n")
     val version = old.map(_.getName.takeWhile(_.isDigit).toLong).max + 1
     val tmp = new Path(lp, s".tmp_compact_$version")
     writeFile(fs, tmp, body)
@@ -1142,9 +1163,12 @@ object ManifestSink extends Ingest.DestinationSink {
     val idSet = (parsed.flatMap(_.writeIdSet) ++
       mfs.filter(_.getName.endsWith(".manifest"))
         .map(writeIdOf(fs, _))).distinct.sorted
+    // one canonical schema line (resolvable state only — absent when
+    // any summarized commit lacked one, preserving the footer fallback)
+    val schemaCk = effectiveSchemaOf(fs, mfs).map(schemaLineOf).toSeq
     val body = (Seq("writeid\tckpt", "snapshot\t1",
       s"checkpoint\t$head") ++
-      targets.map("target\t" + _) ++ metaLines ++
+      targets.map("target\t" + _) ++ metaLines ++ schemaCk ++
       idSet.map("writeidset\t" + _)).mkString("\n")
     val lp = logPath(destPath)
     val tmp = new Path(lp, s".tmp_ckpt_$head")
@@ -1456,6 +1480,101 @@ object ManifestSink extends Ingest.DestinationSink {
     * with unknown null/row counts). Same snapshot semantics as
     * [[effectiveTargets]].
     */
+  /** One `fsize` TSV line: per-file byte length + mtime, recorded at
+    * commit so READERS never stat data files. Rides the statsLines
+    * family (same carry through snapshots, compact, checkpoints, and
+    * OCC absorption); data files are immutable, so a recorded size is
+    * valid for the file's lifetime.
+    */
+  private def fsizeLine(tgt: String, len: Long, mtime: Long): String =
+    s"fsize\t$tgt\t$len\t$mtime"
+
+  /** `fsize` lines for freshly-moved target files: one stat each at
+    * WRITE time (amortized forever on the read side).
+    */
+  private def fsizeLinesForNew(fs: FileSystem, dest: Path,
+      tgts: Seq[String]): Seq[String] =
+    tgts.flatMap { t =>
+      try {
+        val st = fs.getFileStatus(new Path(dest, t))
+        Some(fsizeLine(t, st.getLen, st.getModificationTime))
+      } catch {
+        case _: java.io.FileNotFoundException => None
+      }
+    }
+
+  /** Per-file (bytes, mtime) from the `fsize` lines, resolved like
+    * [[fileStatsOf]] (from the last snapshot onward). Files committed
+    * before this line existed are simply absent — consumers fall back
+    * to a getFileStatus RPC, so mixed logs stay correct. At 100 TB
+    * this map is what makes building a snapshot's FileIndex a pure
+    * LOG read: no per-file namenode/object-store stat calls on the
+    * driver for any file committed with sizes.
+    */
+  private[graft] def fileSizesOf(fs: FileSystem, mfs: Seq[Path])
+      : Map[String, (Long, Long)] = {
+    val parsed = mfs.map(mf => readManifest(fs, mf))
+    val lastSnap = parsed.lastIndexWhere(_._3)
+    (if (lastSnap >= 0) mfs.drop(lastSnap) else mfs)
+      .flatMap(rawStatsLines(fs, _))
+      .flatMap { l =>
+        l.split('\t') match {
+          case Array("fsize", tgt, len, mtime) =>
+            Some(tgt -> (len.toLong, mtime.toLong))
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** The snapshot's data-file schema from the `schemaj` lines — the
+    * UNION of every commit's recorded file schema since the last
+    * snapshot, fields in first-appearance order and forced nullable
+    * (exactly `mergeSchema` semantics for the prefix/superset
+    * evolution contract, where types never change). None when any
+    * commit lacks a schema line or two lines disagree on a field's
+    * type — the caller then falls back to the footer sweep, so the
+    * line is purely an optimization, never a correctness input.
+    */
+  private[graft] def effectiveSchemaOf(fs: FileSystem, mfs: Seq[Path])
+      : Option[StructType] = {
+    if (mfs.isEmpty) return None
+    val parsed = mfs.map(mf => readManifest(fs, mf))
+    val lastSnap = parsed.lastIndexWhere(_._3)
+    val eff = if (lastSnap >= 0) mfs.drop(lastSnap) else mfs
+    // only commits that CARRY data files need a schema line (dv-only
+    // mor commits and layout markers add no files)
+    val needed = eff.filter(mf => mfData(fs, mf).targets.nonEmpty)
+    val lines = needed.map(mf => mfData(fs, mf).schemaLines)
+    if (lines.exists(_.isEmpty)) return None
+    val schemas =
+      try lines.flatten.distinct.map { l =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(unb64(l.substring(8))).asInstanceOf[StructType]
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    unionSchemas(schemas)
+  }
+
+  /** Field-union of file schemas in first-appearance order, all
+    * nullable; None on an empty input or a same-name type conflict.
+    */
+  private def unionSchemas(schemas: Seq[StructType])
+      : Option[StructType] = {
+    if (schemas.isEmpty) return None
+    val out = scala.collection.mutable.LinkedHashMap[String,
+      org.apache.spark.sql.types.StructField]()
+    schemas.foreach(_.fields.foreach { f =>
+      out.get(f.name) match {
+        case None => out += f.name -> f.copy(nullable = true)
+        case Some(prev) =>
+          if (prev.dataType != f.dataType) return None
+      }
+    })
+    Some(StructType(out.values.toSeq))
+  }
+
+  private def schemaLineOf(st: StructType): String =
+    "schemaj\t" + b64(st.json)
+
   private def fileStatsOf(fs: FileSystem, mfs: Seq[Path])
       : Map[(String, String), ColStats] = {
     val parsed = mfs.map(mf => readManifest(fs, mf))
@@ -1900,19 +2019,59 @@ object ManifestSink extends Ingest.DestinationSink {
     * sidecar parquet. Returns the per-file-column metadata and the
     * word frame `(tgt, col, m, k, w, bits)` for the caller to write.
     */
+  /** Driver-built bloom word rows as a one-partition DataFrame. */
+  private def bloomRowsDf(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tgt",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("col",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bits",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .coalesce(1)
+  }
+
+  /** Filters at or below this size inline into the manifest (the r16
+    * layout, still first-class): ~21 KB of base64 per file-column
+    * buys ZERO-IO probes — for an interactive-sized table the lookup
+    * is a driver bit test with no sidecar open at all. Bigger filters
+    * go to the sidecar where the manifest-size and driver-funnel
+    * arguments dominate.
+    */
+  private[graft] val BloomInlineMaxBits = 1 << 17
+
+  /** Build the per-file bloom filters of the staged files. Returns
+    * (inline `bloom` lines for small filters, sidecar metas for big
+    * ones, the sidecar word rows — driver-side for small batches,
+    * a distributed frame otherwise).
+    */
   private def bloomWordsFor(spark: SparkSession, fs: FileSystem,
       staged: Path, relToTarget: Map[String, String],
       bloomCols: Seq[String], maxBits: Int)
-      : (Seq[(String, String, Int, Int)], Option[DataFrame]) = {
+      : (Seq[String], Seq[(String, String, Int, Int)],
+        Option[Either[Seq[org.apache.spark.sql.Row], DataFrame]]) = {
     require(maxBits >= MinBloomBits && (maxBits & (maxBits - 1)) == 0 &&
       maxBits <= (1 << 24),
       s"[graft] bloomBits must be a power of two in [2^13, 2^24], " +
         s"got $maxBits")
     val stagedPath = fs.makeQualified(staged).toUri.getPath
     val df = spark.read.parquet(staged.toString)
+    val inlineLines = scala.collection.mutable.ArrayBuffer[String]()
     val metas =
       scala.collection.mutable.ArrayBuffer[(String, String, Int, Int)]()
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val driverRows =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     bloomCols.sorted.foreach { c =>
       require(df.schema.fieldNames.contains(c),
         s"[graft] bloom column '$c' not in staged schema")
@@ -1929,48 +2088,111 @@ object ManifestSink extends Ingest.DestinationSink {
             .as("__mask"))
         .groupBy(col("__f"), col("__w"))
         .agg(expr("bit_or(__mask)").as("__bits"))
-        .persist()
-      try {
-        val occ = capWords.groupBy(col("__f"))
-          .agg(expr("sum(bit_count(__bits))").as("__d")).collect()
-        val fileMeta: Seq[(String, String, Int)] = occ.toSeq.flatMap { r =>
-          val rel = new Path(new java.net.URI(r.getString(0)))
-            .toUri.getPath.stripPrefix(stagedPath + "/")
-          relToTarget.get(rel).map { tgt =>
-            val d = r.getLong(1).toDouble
-            val ndv =
-              if (d >= maxBits) Long.MaxValue
-              else math.max(1L, math.round(
-                -(maxBits.toDouble / BloomK) *
-                  math.log1p(-d / maxBits)))
-            val want = math.max(MinBloomBits.toLong,
-              math.min(maxBits.toLong,
-                if (ndv == Long.MaxValue) maxBits.toLong
-                else BloomBitsPerKey * ndv))
-            var m = MinBloomBits
-            while (m < want) m <<= 1
-            (r.getString(0), tgt, m)
+      def sizeOf(occupied: Double): Int = {
+        val ndv =
+          if (occupied >= maxBits) Long.MaxValue
+          else math.max(1L, math.round(
+            -(maxBits.toDouble / BloomK) *
+              math.log1p(-occupied / maxBits)))
+        val want = math.max(MinBloomBits.toLong,
+          math.min(maxBits.toLong,
+            if (ndv == Long.MaxValue) maxBits.toLong
+            else BloomBitsPerKey * ndv))
+        var m = MinBloomBits
+        while (m < want) m <<= 1
+        m
+      }
+      // SMALL-BATCH FAST PATH: the capWords aggregate is bounded by
+      // construction at ≤ maxBits/64 words per file, so below this
+      // cap (≤ 32 MB of packed longs) ONE job collects it and the
+      // occupancy sizing + modular word fold run on the driver —
+      // against the distributed plan's persist + occupancy job +
+      // broadcast-join fold + checkpoint, that is 3 fewer Spark jobs
+      // and 2 fewer shuffles, the difference between ~0.3 s and
+      // ~1.3 s on an interactive-sized append. Wide commits keep the
+      // distributed fold (the collect stays executor-side).
+      val fastCap = relToTarget.size.toLong * (maxBits / 64) <= (1L << 21)
+      if (fastCap) {
+        val rows = capWords.collect()
+        val byTgt = rows.groupBy(_.getString(0)).toSeq.flatMap {
+          case (f, ws) =>
+            val rel = new Path(new java.net.URI(f))
+              .toUri.getPath.stripPrefix(stagedPath + "/")
+            relToTarget.get(rel).map(tgt => (tgt, ws))
+        }.sortBy(_._1)
+        byTgt.foreach { case (tgt, ws) =>
+          val occupied = ws.iterator
+            .map(r => java.lang.Long.bitCount(r.getLong(2)).toLong)
+            .sum.toDouble
+          val m = sizeOf(occupied)
+          val nw = m / 64
+          val folded = new Array[Long](nw)
+          ws.foreach { r =>
+            folded(r.getInt(1) % nw) |= r.getLong(2)
+          }
+          if (m <= BloomInlineMaxBits) {
+            // small filter: INLINE in the manifest — the probe is a
+            // driver bit test, zero sidecar IO. Position parity with
+            // the sidecar fold holds because for pow2 m the word fold
+            // `w & (m/64 - 1)` keeping in-word offsets IS the inline
+            // probe's `hash mod m` (low log2(m) bits of the hash).
+            val bytes = new Array[Byte](m >> 3)
+            var i = 0
+            while (i < bytes.length) {
+              bytes(i) =
+                ((folded(i >> 3) >>> ((i & 7) * 8)) & 0xFF).toByte
+              i += 1
+            }
+            inlineLines += bloomLine(tgt, c, BloomF(m, BloomK, bytes))
+          } else {
+            driverRows ++= folded.iterator.zipWithIndex.collect {
+              case (bits, w) if bits != 0L =>
+                org.apache.spark.sql.Row(tgt, c, m, BloomK, w, bits)
+            }
+            metas += ((tgt, c, m, BloomK))
           }
         }
-        if (fileMeta.nonEmpty) {
-          import spark.implicits._
-          val metaDf = fileMeta.toDF("__f", "__tgt", "__m")
-          val folded = capWords.join(broadcast(metaDf), "__f")
-            .groupBy(col("__tgt"), col("__m"),
-              expr("__w % (__m DIV 64)").cast("int").as("__wf"))
-            .agg(expr("bit_or(__bits)").as("__b"))
-            .select(col("__tgt").as("tgt"), lit(c).as("col"),
-              col("__m").as("m"), lit(BloomK).as("k"),
-              col("__wf").as("w"), col("__b").as("bits"))
-            .localCheckpoint() // materialize before unpersisting input
-          frames += folded
-          metas ++= fileMeta.sortBy(_._2)
-            .map { case (_, tgt, m) => (tgt, c, m, BloomK) }
-        }
-      } finally capWords.unpersist()
+      } else {
+        val cached = capWords.persist()
+        try {
+          val occ = cached.groupBy(col("__f"))
+            .agg(expr("sum(bit_count(__bits))").as("__d")).collect()
+          val fileMeta: Seq[(String, String, Int)] =
+            occ.toSeq.flatMap { r =>
+              val rel = new Path(new java.net.URI(r.getString(0)))
+                .toUri.getPath.stripPrefix(stagedPath + "/")
+              relToTarget.get(rel).map(tgt =>
+                (r.getString(0), tgt, sizeOf(r.getLong(1).toDouble)))
+            }
+          if (fileMeta.nonEmpty) {
+            import spark.implicits._
+            val metaDf = fileMeta.toDF("__f", "__tgt", "__m")
+            val folded = cached.join(broadcast(metaDf), "__f")
+              .groupBy(col("__tgt"), col("__m"),
+                expr("__w % (__m DIV 64)").cast("int").as("__wf"))
+              .agg(expr("bit_or(__bits)").as("__b"))
+              .select(col("__tgt").as("tgt"), lit(c).as("col"),
+                col("__m").as("m"), lit(BloomK).as("k"),
+                col("__wf").as("w"), col("__b").as("bits"))
+              .localCheckpoint() // materialize before unpersisting input
+            frames += folded
+            metas ++= fileMeta.sortBy(_._2)
+              .map { case (_, tgt, m) => (tgt, c, m, BloomK) }
+          }
+        } finally cached.unpersist()
+      }
     }
-    (metas.toSeq,
-      if (frames.isEmpty) None else Some(frames.reduce(_ unionByName _)))
+    if (driverRows.nonEmpty && frames.nonEmpty) {
+      // mixed fast/distributed columns: fold the driver rows into the
+      // distributed frame so ONE sidecar part still covers the commit
+      frames += bloomRowsDf(spark, driverRows.toSeq)
+      driverRows.clear()
+    }
+    val words: Option[Either[Seq[org.apache.spark.sql.Row], DataFrame]] =
+      if (frames.nonEmpty) Some(Right(frames.reduce(_ unionByName _)))
+      else if (driverRows.nonEmpty) Some(Left(driverRows.toSeq))
+      else None
+    (inlineLines.toSeq, metas.toSeq, words)
   }
 
   /** Write a word frame as ONE sidecar parquet part under `staging`,
@@ -1994,6 +2216,50 @@ object ManifestSink extends Ingest.DestinationSink {
         p.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(
         s"[graft] bloom sidecar: no part file under $out"))
+  }
+
+  /** Sidecar write for the small-batch fast path: the folded words are
+    * already ON the driver, so the part file writes through parquet-mr
+    * directly — no Spark job at all (the byte layout matches the Spark
+    * write: same field names/types, rows sorted by (tgt, col, w) so
+    * row-group stats prune probe reads identically).
+    */
+  private def writeBloomSidecarDriver(fs: FileSystem, staging: Path,
+      rows: Seq[org.apache.spark.sql.Row]): Path = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.schema.MessageTypeParser
+    val out = new Path(staging, "bloomsc/part-00000.parquet")
+    val schema = MessageTypeParser.parseMessageType(
+      """message bloomsc {
+           required binary tgt (UTF8);
+           required binary col (UTF8);
+           required int32 m;
+           required int32 k;
+           required int32 w;
+           required int64 bits;
+         }""")
+    val fact = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter.builder(out)
+      .withConf(fs.getConf)
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      rows.sortBy(r => (r.getString(0), r.getString(1), r.getInt(4)))
+        .foreach { r =>
+          val g = fact.newGroup()
+          g.append("tgt", r.getString(0))
+          g.append("col", r.getString(1))
+          g.append("m", r.getInt(2))
+          g.append("k", r.getInt(3))
+          g.append("w", r.getInt(4))
+          g.append("bits", r.getLong(5))
+          writer.write(g)
+        }
+    } finally writer.close()
+    out
   }
 
   /** Fold a filter down to `m` bits (pow2 modulo refinement): bit `p`
@@ -2656,16 +2922,21 @@ object ManifestSink extends Ingest.DestinationSink {
           val unitBloomCols = rels.flatMap(r =>
             bloomsOld.keys.filter(_._1 == r).map(_._2))
             .distinct.sorted.filter(union.columns.contains)
-          val unitBlooms
-              : Option[(Seq[(String, String, Int, Int)], DataFrame)] =
-            if (unitBloomCols.isEmpty) None
+          val (unitInline, unitBlooms)
+              : (Seq[String],
+                Option[(Seq[(String, String, Int, Int)], DataFrame)]) =
+            if (unitBloomCols.isEmpty) (Nil, None)
             else {
-              val (metas, wordsOpt) = bloomWordsFor(spark, fs, unitOut,
+              val (inline, metas, wordsOpt) = bloomWordsFor(spark, fs,
+                unitOut,
                 unitMoves.map { case (p, t) => p.getName -> t }.toMap,
                 unitBloomCols, DefaultBloomBits)
-              wordsOpt.map(w => (metas, w))
+              (inline, wordsOpt.map {
+                case Right(df)  => (metas, df)
+                case Left(rows) => (metas, bloomRowsDf(spark, rows))
+              })
             }
-          (unitMoves, unitStats, unitBlooms)
+          (unitMoves, unitStats ++ unitInline, unitBlooms)
         }
         val unitResults: Seq[(Seq[(Path, String)], Seq[String],
             Option[(Seq[(String, String, Int, Int)], DataFrame)])] =
@@ -3118,9 +3389,16 @@ object ManifestSink extends Ingest.DestinationSink {
     val dvLines = perName.toSeq.sortBy(_._1).map { case (n, cnt) =>
       s"dv\t${relOfName(n)}\t$dvRel\t$cnt"
     }
+    val newTgts = moves.map(_._2).filterNot(_ == dvRel).toSeq
+    val schemaLn = newTgts.headOption.flatMap { t =>
+      try Some(schemaLineOf(
+        spark.read.parquet(new Path(dest, t).toString).schema))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.toSeq
     val body = (Seq(s"writeid\t$writeId") ++
-      moves.map(_._2).filterNot(_ == dvRel).map("target\t" + _) ++
-      newStats ++ dvLines).mkString("\n")
+      newTgts.map("target\t" + _) ++
+      newStats ++ fsizeLinesForNew(fs, dest, newTgts) ++ schemaLn ++
+      dvLines).mkString("\n")
     val lp = logPath(destPath)
     fs.mkdirs(lp)
     val tmp = new Path(lp, s".tmp_$writeId")
@@ -3662,9 +3940,45 @@ object ManifestSink extends Ingest.DestinationSink {
     val tmp = new Path(logPath(destPath), s".tmp_$writeId")
     def vOf(p: Path): Long = p.getName.takeWhile(_.isDigit).toLong
     val layoutLine = if (layout) Seq("layout\t1") else Nil
+    // canonical per-file sizes for every survivor: carried from the
+    // captured log where recorded, statted ONCE for the files this
+    // commit just moved in (a write-time cost so no reader ever pays
+    // a per-file stat). Absorbed appends bring their own fsize lines.
+    val carriedSizes = fileSizesOf(fs, old)
+    val fsizeLines: Seq[String] = survivors.flatMap { t =>
+      carriedSizes.get(t) match {
+        case Some((len, mt)) => Some(fsizeLine(t, len, mt))
+        case None =>
+          try {
+            val st = fs.getFileStatus(new Path(dest, t))
+            Some(fsizeLine(t, st.getLen, st.getModificationTime))
+          } catch {
+            case _: java.io.FileNotFoundException => None
+          }
+      }
+    }
+    // ONE canonical schema line for the snapshot (it REDEFINES state):
+    // carried union + the footer of one fresh file (a snapshot's new
+    // files come from one write job = one schema). Any doubt — no
+    // carried line, unreadable footer, type conflict — emits nothing
+    // and readers fall back to the footer sweep.
+    val schemaCarry: Seq[String] = {
+      val carried = effectiveSchemaOf(fs, old)
+      val fresh: Option[StructType] = newFiles.headOption.flatMap { t =>
+        try Some(spark.read.parquet(new Path(dest, t).toString).schema)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      (carried, fresh) match {
+        case (Some(c), Some(f)) =>
+          unionSchemas(Seq(c, f)).map(schemaLineOf).toSeq
+        case (Some(c), None) if newFiles.isEmpty =>
+          Seq(schemaLineOf(c))
+        case _ => Nil
+      }
+    }
     var curBase = baseVersion
     var curSurvivors = survivors
-    var curLines = statsLines
+    var curLines = statsLines ++ fsizeLines ++ schemaCarry
     var attempts = 0
     while (attempts < 4) {
       attempts += 1
@@ -3727,7 +4041,8 @@ object ManifestSink extends Ingest.DestinationSink {
             val fresh = d.targets.filterNot(absSurvivors)
             absorbedTargets ++= fresh
             absSurvivors ++= fresh
-            absorbedLines ++= d.statsLines ++ d.bloomLines ++ d.rawDvLines
+            absorbedLines ++= d.statsLines ++ d.bloomLines ++
+              d.rawDvLines ++ d.schemaLines
           }
         }
       }
@@ -4114,9 +4429,16 @@ object ManifestSink extends Ingest.DestinationSink {
             fs.delete(sroot, true)
           throw e
       }
+      val newTgts = moves.map(_._2).filterNot(_ == dvRel).toSeq
+      val schemaLn = newTgts.headOption.flatMap { t =>
+        try Some(schemaLineOf(
+          spark.read.parquet(new Path(dest, t).toString).schema))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.toSeq
       val body = (Seq(s"writeid\t$writeId") ++
-        moves.map(_._2).filterNot(_ == dvRel)
-        .map("target\t" + _) ++ newStats ++ dvLines).mkString("\n")
+        newTgts.map("target\t" + _) ++ newStats ++
+        fsizeLinesForNew(fs, dest, newTgts) ++ schemaLn ++
+        dvLines).mkString("\n")
       val lp = logPath(destPath)
       fs.mkdirs(lp)
       val tmp = new Path(lp, s".tmp_$writeId")
@@ -4345,8 +4667,8 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   /** DESCRIBE DETAIL (Delta's `DESCRIBE DETAIL`): one metadata row
     * summarizing the table's current state — version, file count,
-    * total bytes (one `getFileStatus` per committed file — the same
-    * listing a read plans with), live row count when every file
+    * total bytes (from the manifest `fsize` lines; one `getFileStatus`
+    * fallback per pre-fsize file), live row count when every file
     * carries stats (dv tombstones subtracted, None-able like
     * [[metadataCount]]), partition values present in the layout,
     * columns with skipping stats, columns with bloom filters, files
@@ -4367,9 +4689,13 @@ object ManifestSink extends Ingest.DestinationSink {
     val version = mfs.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, mfs)
+    val sizes = fileSizesOf(fs, mfs)
     val bytes = targets.map { rel =>
-      val p = new Path(dest, rel)
-      if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+      sizes.get(rel).map(_._1).getOrElse {
+        // pre-fsize commit: one stat fallback
+        val p = new Path(dest, rel)
+        if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+      }
     }.sum
     val stats = fileStatsOf(fs, mfs)
     val partVals = targets.flatMap { t =>
@@ -4739,10 +5065,14 @@ object ManifestSink extends Ingest.DestinationSink {
     phase("stage")
     // 2. write-ahead manifest (rollback map for a crash mid-move)
     val stagingQ = fs.makeQualified(staging).toString
-    val staged = listFilesRec(fs, staging).map(_._1)
-      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-      .map(p => fs.makeQualified(p).toString.stripPrefix(stagingQ + "/"))
-      .sorted
+    val stagedInfo = listFilesRec(fs, staging)
+      .filter { case (p, _, _) =>
+        !p.getName.startsWith("_") && !p.getName.startsWith(".") }
+      .map { case (p, mtime, len) =>
+        (fs.makeQualified(p).toString.stripPrefix(stagingQ + "/"),
+          mtime, len) }
+      .sortBy(_._1)
+    val staged = stagedInfo.map(_._1)
     val targets = staged.zipWithIndex.map { case (rel, i) =>
       val dir = rel.lastIndexOf('/') match {
         case -1 => ""
@@ -4750,6 +5080,26 @@ object ManifestSink extends Ingest.DestinationSink {
       }
       (rel, s"$dir$writeId-$i.parquet")
     }
+    // per-file byte sizes ride the manifest (the move preserves them)
+    // so readers build the snapshot's FileIndex without ever statting
+    // data files — at scale, the log IS the metadata
+    val sizeOfRel: Map[String, (Long, Long)] =
+      stagedInfo.map(t => t._1 -> ((t._3, t._2))).toMap
+    val fsizeLines: Seq[String] = targets.map { case (rel, tgt) =>
+      val (len, mtime) = sizeOfRel(rel)
+      fsizeLine(tgt, len, mtime)
+    }
+    // the commit's FILE schema rides the manifest too (one staged
+    // footer read at write time — a single write job produces one
+    // schema), so readers resolve the table schema from the LOG
+    // instead of a mergeSchema footer sweep over every committed file
+    val schemaLine: Seq[String] = staged.headOption.flatMap { rel =>
+      try {
+        val st = spark.read
+          .parquet(new Path(staging, rel).toString).schema
+        Some("schemaj\t" + b64(st.json))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toSeq
     // optional per-file typed stats for [[readBackWherePred]]'s metadata
     // pruning — ONE distributed job over the staged files, keyed back to
     // target names by file path (stats columns must be DATA columns; a
@@ -4765,16 +5115,19 @@ object ManifestSink extends Ingest.DestinationSink {
     val (bloomLines: Seq[String], bloomPart: Option[Path]) =
       if (bloomCols.isEmpty) (Nil, None)
       else {
-        val (metas, wordsOpt) = bloomWordsFor(spark, fs, staging,
+        val (inline, metas, wordsOpt) = bloomWordsFor(spark, fs, staging,
           targets.toMap, bloomCols, bloomBits)
-        (metas.map { case (tgt, c, m, k) =>
+        (inline ++ metas.map { case (tgt, c, m, k) =>
           bloomScLine(tgt, c, m, k, bloomRel) },
-          wordsOpt.map(w => writeBloomSidecar(fs, staging, w)))
+          wordsOpt.map {
+            case Left(rows) => writeBloomSidecarDriver(fs, staging, rows)
+            case Right(df)  => writeBloomSidecar(fs, staging, df)
+          })
       }
     val body = (Seq(s"writeid\t$writeId") ++
       sourceUris.map("uri\t" + _) ++
       targets.map { case (_, t) => "target\t" + t } ++
-      statsLines ++ bloomLines ++
+      statsLines ++ fsizeLines ++ schemaLine ++ bloomLines ++
       bloomPart.map(_ => s"sidecar\t$bloomRel").toSeq).mkString("\n")
     writeFile(fs, new Path(staging, WaManifest), body)
     phase("wa_manifest")
@@ -4898,7 +5251,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val destQ = fs.makeQualified(dest).toString
     val now = System.currentTimeMillis()
     val removed = scala.collection.mutable.ArrayBuffer[String]()
-    listFilesRec(fs, dest).foreach { case (p, mtime) =>
+    listFilesRec(fs, dest).foreach { case (p, mtime, _) =>
       val rel = fs.makeQualified(p).toString.stripPrefix(destQ + "/")
       val inLog = rel.startsWith(LogDir + "/")
       val hidden = p.getName.startsWith("_") || p.getName.startsWith(".")

@@ -384,6 +384,59 @@ object GraftDml {
       table: Option[String]): Unit =
     table.foreach(spark.catalog.refreshTable)
 
+  /** Table-valued CDC reads — Delta's `table_changes(...)` shape:
+    *
+    *   SELECT * FROM graft_changes('t-or-/path', since[, until])
+    *   SELECT * FROM graft_appends('t-or-/path', since[, until])
+    *
+    * `graft_changes` returns the row-level change feed
+    * (`_change_type` insert|delete with exact pre-images, mor commits
+    * decomposed); `graft_appends` the append-only feed (refusing
+    * content rewrites). Targets containing '/' are destination paths;
+    * anything else resolves as a graft catalog table. Version bounds
+    * are literals — the feed is a snapshot-resolved relation, not a
+    * parameterized scan.
+    */
+  private[plans] def changesTvf(args: Seq[Expression]): LogicalPlan =
+    feedTvf("graft_changes", args,
+      (s, d, from, until) => ManifestSink.readChangesBetween(s, d,
+        from, until))
+
+  private[plans] def appendsTvf(args: Seq[Expression]): LogicalPlan =
+    feedTvf("graft_appends", args,
+      (s, d, from, until) => ManifestSink.readAppendsBetween(s, d,
+        from, until))
+
+  private def feedTvf(name: String, args: Seq[Expression],
+      read: (SparkSession, String, Long, Long) =>
+        org.apache.spark.sql.DataFrame): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    def strOf(e: Expression, what: String): String = e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case _ => fail(s"$name: $what must be a string literal")
+    }
+    def longOf(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType)   => v
+      case _ => fail(s"$name: $what must be an integer literal")
+    }
+    if (args.length < 2 || args.length > 3)
+      fail(s"$name(table_or_path, since_version[, until_version])")
+    val spark = SparkSession.active
+    val t = strOf(args(0), "target")
+    val dest =
+      if (t.contains('/')) t
+      else graftCatalogDest(spark, t.split('.').toSeq).getOrElse(
+        fail(s"$name: '$t' is not a graft table (USING graft) — pass " +
+          "a table name or a destination path"))
+    val from = longOf(args(1), "since_version")
+    val until =
+      if (args.length == 3) longOf(args(2), "until_version")
+      else Long.MaxValue
+    read(spark, dest, from, until).queryExecution.logical
+  }
+
   /** The destination path of `ident` IF it names a graft catalog
     * table (provider `USING graft`); None for anything else — temp
     * views, other providers, missing tables — which stay Spark's to

@@ -87,5 +87,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DESCRIBE HISTORY / RESTORE / REORG) — wraps, never replaces
     ext.injectParser((session, delegate) =>
       new GraftSqlParser(session, delegate))
+    // table-valued CDC reads: FROM graft_changes('t', 0[, 5])
+    ext.injectTableFunction((FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft.plans.GraftDml", "graft_changes"),
+      GraftDml.changesTvf))
+    ext.injectTableFunction((FunctionIdentifier("graft_appends"),
+      new ExpressionInfo("graft.plans.GraftDml", "graft_appends"),
+      GraftDml.appendsTvf))
   }
 }

@@ -182,10 +182,17 @@ object GraftDataSource {
   private[graft] def relationFor(spark: SparkSession,
       handle: ManifestSink.SnapshotHandle): BaseRelation = {
     val index = new GraftFileIndex(spark, handle)
+    // the schema resolves from the LOG's recorded per-commit schemas
+    // (union semantics identical to mergeSchema under the
+    // prefix/superset evolution contract) — the footer sweep over
+    // every committed file runs only for pre-schema-line logs. At
+    // 100k files that sweep is a distributed job per relation
+    // resolution; the log read is free.
     val dataSchema: StructType =
       if (handle.targets.isEmpty) StructType(Nil)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(index.inputFiles.toIndexedSeq: _*).schema
+      else handle.schemaOpt.getOrElse(
+        spark.read.option("mergeSchema", "true")
+          .parquet(index.inputFiles.toIndexedSeq: _*).schema)
     val fileFormat =
       if (handle.dvs.isEmpty) new ParquetFileFormat
       else new GraftParquetFileFormat(
@@ -217,12 +224,24 @@ final class GraftFileIndex(spark: SparkSession,
     spark.sparkContext.hadoopConfiguration)
 
   /** (relative target, FileStatus, partition segment values by column).
-    * Statuses resolve once at index build — the snapshot is immutable
-    * (data files never rewritten in place), so no re-listing per query.
+    * Statuses come from the manifest's recorded per-file sizes — the
+    * log IS the metadata, so building the index costs ZERO stat RPCs
+    * for files committed with `fsize` lines (at 100k files on an
+    * object store, the difference between a log read and minutes of
+    * driver HEAD calls). Pre-fsize files fall back to one
+    * getFileStatus each; the snapshot is immutable either way, so no
+    * re-listing per query.
     */
-  private val entries: Seq[(String, FileStatus, Map[String, String])] =
+  private val entries: Seq[(String, FileStatus, Map[String, String])] = {
+    val sizes = handle.sizes
+    val blockSize = fs.getDefaultBlockSize(destPath)
     handle.targets.map { rel =>
-      val st = fs.getFileStatus(new Path(destPath, rel))
+      val p = fs.makeQualified(new Path(destPath, rel))
+      val st = sizes.get(rel) match {
+        case Some((len, mtime)) =>
+          new FileStatus(len, false, 1, blockSize, mtime, p)
+        case None => fs.getFileStatus(p)
+      }
       val parts = rel.split('/').init.collect {
         case seg if seg.contains('=') =>
           val i = seg.indexOf('=')
@@ -230,6 +249,7 @@ final class GraftFileIndex(spark: SparkSession,
       }.toMap
       (rel, st, parts)
     }
+  }
 
   /** Partition columns in first-seen order; DateType when every value
     * parses as an ISO date (the sink's `to_date` layout), StringType

@@ -82,6 +82,43 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("table-valued CDC reads: graft_changes decomposes appends + " +
+      "mor deletes into row-level changes, graft_appends tails the " +
+      "append feed, version bounds apply") {
+    val dest = s"${tmpDir("sqltvf_")}/t"
+    val tbl = "sqltvf_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    ManifestSink.statsAppend(
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dest, None, Seq("id"))
+    ManifestSink.statsAppend(
+      (10L until 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dest, None, Seq("id"))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE id % 5 = 0")   // v2: mor, 4 rows
+      // bounds are (since, until] — since = -1 reads from creation
+      val byType = spark.sql(
+        s"""SELECT _change_type, count(*) AS n
+            FROM graft_changes('$tbl', -1)
+            GROUP BY _change_type ORDER BY _change_type""")
+        .as[(String, Long)].collect().toSeq
+      assert(byType == Seq(("delete", 4L), ("insert", 20L)))
+      // bounded: only the delete version
+      assert(spark.sql(s"SELECT count(*) FROM graft_changes('$dest', 1, 2)")
+        .head.getLong(0) == 4L)
+      // append feed by PATH, just v1
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_appends('$dest', 0, 1)")
+        .head.getLong(0) == 10L)
+      // joins/filters compose like any relation
+      assert(spark.sql(
+        s"""SELECT count(*) FROM graft_changes('$tbl', -1) c
+            JOIN $tbl t ON c.id = t.id
+            WHERE c._change_type = 'insert'""").head.getLong(0) == 16L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("non-graft targets refuse loudly; ordinary SQL still parses " +
       "through the delegate") {
     val pq = s"${tmpDir("sqlmaint_plain_")}/p"

@@ -3462,37 +3462,53 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readBackWherePred(spark, dest,
       StrEq("key", "nowhere")).count() == 0)
 
-    // LEGACY inline lines: rewrite the second commit's manifest to the
-    // pre-sidecar `bloom\t...\t<b64>` form (bits reassembled from its
-    // sidecar) — a table written by an older writer keeps pruning
+    // the HYBRID policy: the second commit's 10-key filter sized to
+    // 2^13 bits — at or below the inline cap it lands IN the manifest
+    // (zero-IO probes), no sidecar pointer
     val mf2 = logDir.listFiles().filter(_.getName.endsWith(".manifest"))
       .sortBy(_.getName).last
     val lines2 = {
       val src = scala.io.Source.fromFile(mf2)
       try src.getLines().toVector finally src.close()
     }
-    val sc2 = lines2.find(_.startsWith("bloomsc\t")).get.split('\t')
-    val bf2 = filterOf(sc2(5), sc2(1))
-    val inlineLine = s"bloom\t${sc2(1)}\tkey\t${bf2.m}\t${bf2.k}\t" +
-      java.util.Base64.getEncoder.encodeToString(bf2.bits)
-    val rewritten = lines2.flatMap {
+    assert(lines2.exists(_.startsWith("bloom\t")))
+    assert(!lines2.exists(_.startsWith("bloomsc\t")))
+
+    // LEGACY inline lines for a BIG filter: rewrite the FIRST commit's
+    // manifest to the pre-sidecar `bloom\t...\t<b64>` form (bits
+    // reassembled from its sidecar) — a table written by an older
+    // writer keeps pruning, mixed with the new inline commit
+    val inlineLine = s"bloom\t$tgt1\tkey\t${bf.m}\t${bf.k}\t" +
+      java.util.Base64.getEncoder.encodeToString(bf.bits)
+    val lines1b = {
+      val src = scala.io.Source.fromFile(mf1)
+      try src.getLines().toVector finally src.close()
+    }
+    val rewritten = lines1b.flatMap {
       case l if l.startsWith("bloomsc\t") => Some(inlineLine)
       case l if l.startsWith("sidecar\t") => None
       case l                              => Some(l)
     }
-    val w = new java.io.PrintWriter(mf2)
+    val w = new java.io.PrintWriter(mf1)
     try w.write(rewritten.mkString("\n")) finally w.close()
-    assert(new java.io.File(s"$dest/${sc2(5)}").delete())
+    assert(new java.io.File(s"$dest/${sc1(5)}").delete())
+    ManifestSink.invalidateMfCache()
     val hitLegacy = ManifestSink.readBackWherePred(spark, dest,
-      StrEq("key", s"k${n + 5}"))
+      StrEq("key", "k97"))
     assert(hitLegacy.count() == 1 && hitLegacy.inputFiles.length == 1)
+    val hitInline = ManifestSink.readBackWherePred(spark, dest,
+      StrEq("key", s"k${n + 5}"))
+    assert(hitInline.count() == 1 && hitInline.inputFiles.length == 1)
 
     // RECOVER sweeps a rolled-back attempt's bloom sidecar: emulate a
     // crash between the log commit and the ledger append (staging
     // marker still present, batch not ledgered)
     val destR = s"$root/wh/tr"
+    // enough keys to size past the inline cap — the attempt must have
+    // an actual sidecar for recover to sweep
     ManifestSink.statsAppend(
-      (0 until 50).map(i => (i.toLong, s"r$i")).toDF("id", "key"),
+      (0 until 20000).map(i => (i.toLong, s"r$i")).toDF("id", "key")
+        .coalesce(1),
       destR, None, Seq("id"), bloomCols = Seq("key"))
     val mfR = new java.io.File(s"$destR/_log").listFiles()
       .filter(_.getName.endsWith(".manifest")).head
@@ -3512,10 +3528,10 @@ class ManifestSinkSpec extends SparkSpec {
       "rollback must sweep the attempt's bloom sidecar")
 
     // VACUUM sweeps sidecars no surviving manifest references: optimize
-    // repacks every file (fresh merged sidecar), compact collapses the
-    // log — the original commits' sidecars become unreferenced debris
-    val before = new java.io.File(s"$dest/_bloom").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    // repacks every file (the 200k-key merged filter is sidecar-sized
+    // again), compact collapses the log — superseded data files and
+    // any unreferenced sidecar become debris; exactly the snapshot's
+    // own sidecar survives
     assert(ManifestSink.optimize(spark, dest,
       targetBytes = 1L << 30) > 0L)
     ManifestSink.compact(spark, dest)
@@ -3523,12 +3539,112 @@ class ManifestSinkSpec extends SparkSpec {
     assert(removed > 0L)
     val after = new java.io.File(s"$dest/_bloom").listFiles()
       .count(_.getName.endsWith(".parquet"))
-    assert(after < before + 1,
-      s"unreferenced sidecars must be swept (before=$before after=$after)")
+    assert(after == 1,
+      s"exactly the surviving snapshot's sidecar remains (after=$after)")
     // the survivor still serves lookups
     val hitV = ManifestSink.readBackWherePred(spark, dest,
       StrEq("key", s"k${n + 5}"))
     assert(hitV.count() == 1 && hitV.inputFiles.length == 1)
     assert(ManifestSink.readBack(spark, dest).count() == n + 10)
+  }
+
+  test("fsize lines: every commit path records per-file sizes, so a " +
+      "snapshot's FileIndex never stats data files — carried through " +
+      "appends, merges, optimize, purge, and checkpoints, and exact " +
+      "against the filesystem") {
+    val dest = s"${tmpDir("fsize_")}/t"
+    def sizesComplete(): Unit = {
+      val h = ManifestSink.snapshotHandle(spark, dest)
+      assert(h.targets.nonEmpty)
+      h.targets.foreach { t =>
+        val rec = h.sizes.get(t)
+        assert(rec.isDefined, s"no fsize for $t")
+        val actual = new java.io.File(s"$dest/$t").length()
+        assert(rec.get._1 == actual,
+          s"$t recorded ${rec.get._1} actual $actual")
+      }
+    }
+    // plain + stats appends
+    ManifestSink.statsAppend(
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(2),
+      dest, None, Seq("id"))
+    ManifestSink.append(
+      (50L until 80L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dest, None)
+    sizesComplete()
+    // MOR merge: dv sidecar + inserted files
+    ManifestSink.mergeCdc(spark, dest,
+      Seq((10L, "up", "u"), (90L, "new", "u"), (11L, "x", "d"))
+        .toDF("id", "v", "op"),
+      "id", col("op") === "d", directiveCols = Seq("op"),
+      statsCols = Seq("id"), mor = true)
+    sizesComplete()
+    // snapshot paths: optimize repack, then a purge after gutting
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 30)
+      > 0L)
+    sizesComplete()
+    ManifestSink.deleteWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 0, 40))
+    ManifestSink.purge(spark, dest, minLiveFraction = 0.99)
+    sizesComplete()
+    // checkpoint summarizes and later resolution still carries sizes
+    ManifestSink.checkpoint(spark, dest)
+    sizesComplete()
+    assert(ManifestSink.readBack(spark, dest).count() == 80 - 41 + 1)
+  }
+
+  test("schemaj lines: the relation schema resolves from the log " +
+      "(union across evolving appends, restored on RESTORE, carried " +
+      "by optimize + checkpoint), and a log missing the lines falls " +
+      "back to the footer sweep with identical results") {
+    val dest = s"${tmpDir("schemaj_")}/t"
+    ManifestSink.statsAppend(
+      (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dest, None, Seq("id"))
+    // superset evolution: a later append adds a column
+    ManifestSink.statsAppend(
+      (20L until 30L).map(i => (i, s"v$i", i * 1.5))
+        .toDF("id", "v", "extra").coalesce(1),
+      dest, None, Seq("id"))
+    def handle() = ManifestSink.snapshotHandle(spark, dest)
+    assert(handle().schemaOpt.map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v", "extra")))
+    val viaLog = spark.read.format("graft").load(dest)
+    assert(viaLog.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(viaLog.where(col("extra").isNull).count() == 20L)
+    // snapshot + checkpoint carries
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 30)
+      > 0L)
+    assert(handle().schemaOpt.map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v", "extra")))
+    ManifestSink.statsAppend(
+      (30L until 35L).map(i => (i, s"v$i", i * 1.5))
+        .toDF("id", "v", "extra").coalesce(1),
+      dest, None, Seq("id"))
+    ManifestSink.checkpoint(spark, dest)
+    assert(handle().schemaOpt.map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v", "extra")))
+    // RESTORE to the pre-evolution version: `extra` must vanish
+    ManifestSink.restore(spark, dest, 0L)
+    assert(handle().schemaOpt.map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v")))
+    assert(spark.read.format("graft").load(dest)
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // legacy fallback: strip the schemaj lines from every manifest on
+    // disk — resolution must return None and the relation must still
+    // read correctly through the footer sweep
+    val logDir = new java.io.File(s"$dest/_log")
+    logDir.listFiles().filter(_.getName.endsWith(".manifest"))
+      .foreach { mf =>
+        val lines = java.nio.file.Files.readAllLines(mf.toPath)
+        val kept = new java.util.ArrayList[String]()
+        lines.forEach(l => if (!l.startsWith("schemaj\t")) kept.add(l))
+        java.nio.file.Files.write(mf.toPath, kept)
+      }
+    ManifestSink.invalidateMfCache()
+    assert(handle().schemaOpt.isEmpty)
+    assert(spark.read.format("graft").load(dest)
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(spark.read.format("graft").load(dest).count() == 20L)
   }
 }
