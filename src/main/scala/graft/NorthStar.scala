@@ -1068,6 +1068,41 @@ object NorthStar {
         .orderBy(col("event_type"))
     }),
 
+    // SCHEMA EVOLUTION capstone — ALTER TABLE ADD COLUMNS is a
+    // metadata-only `schemaevo` commit, the catalog table resolves
+    // the FRESH snapshot (no REFRESH), the widened schema accepts an
+    // INSERT INTO ... SELECT from the table itself, and pre-ALTER
+    // rows read the new column as null. The oracle recomputes the
+    // final state from the raw rows, so a schema line that dropped a
+    // row, nulled the wrong side, or double-applied the insert breaks
+    // the hash.
+    "q151_schema_evolution" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q151_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(4, col("event_id")),
+        tmp, None, Seq("event_id"))
+      val tbl = "graft_q151_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (flag BIGINT)")
+      s.sql(s"""INSERT INTO $tbl
+          SELECT event_id + $n, event_type, value, event_id % 7
+          FROM $tbl""")
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS n,
+              CAST(sum(event_id) AS BIGINT) AS sum_id,
+              round(sum(value), 4) AS sum_val,
+              CAST(sum(flag) AS BIGINT) AS sum_flag
+            FROM $tbl GROUP BY event_type ORDER BY event_type""")
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }),
+
     // SQL DML capstone — the table MAINTAINED through `spark.sql`:
     // `DELETE FROM` (mor dv commit), `UPDATE ... SET` (sidecar
     // rewrite), and a CDC-form `MERGE INTO` (conditional DELETE +
@@ -3537,6 +3572,20 @@ object NorthStar {
            CAST(sum(event_id) AS BIGINT) AS sum_id,
            round(sum(value), 4) AS sum_val
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q151_schema_evolution" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events),
+         b AS (SELECT max(event_id) + 1 AS nid FROM events),
+         ins AS (SELECT event_id + nid AS event_id, event_type, value,
+             event_id % 7 AS flag
+           FROM base, b),
+         allr AS (
+           SELECT event_id, event_type, value, NULL AS flag FROM base
+           UNION ALL SELECT * FROM ins)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 4) AS sum_val,
+           CAST(sum(flag) AS BIGINT) AS sum_flag
+         FROM allr GROUP BY event_type ORDER BY event_type""",
     "q149_sql_dml" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),
          d1 AS (SELECT * FROM base WHERE event_id % 9 <> 0),

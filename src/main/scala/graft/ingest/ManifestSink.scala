@@ -176,7 +176,7 @@ object ManifestSink extends Ingest.DestinationSink {
       rawDvLines: Seq[String], dvLines: Seq[(String, String, Long)],
       cdfLines: Seq[(String, Long)], writeIdSet: Seq[String],
       sidecarRels: Seq[String], approxBytes: Long,
-      schemaLines: Seq[String] = Nil) {
+      schemaLines: Seq[String] = Nil, isSchemaEvo: Boolean = false) {
     /** Bloom-sidecar rels referenced by `bloomsc` lines. */
     def bloomScRels: Seq[String] = bloomLines.flatMap { l =>
       l.split('\t') match {
@@ -229,7 +229,8 @@ object ManifestSink extends Ingest.DestinationSink {
       sidecarRels = lines.collect {
         case l if l.startsWith("sidecar\t") => l.substring(8) },
       approxBytes = lines.map(_.length.toLong + 16).sum,
-      schemaLines = lines.filter(_.startsWith("schemaj\t")))
+      schemaLines = lines.filter(_.startsWith("schemaj\t")),
+      isSchemaEvo = lines.exists(_.startsWith("schemaevo\t")))
   }
 
   /** Byte-bounded LRU cache of parsed manifests keyed by qualified
@@ -545,6 +546,7 @@ object ManifestSink extends Ingest.DestinationSink {
         if (isRestoreManifest(fs, mf)) "restore"
         else if (snap) "snapshot"
         else if (dvLinesOf(fs, mf).nonEmpty) "mor"
+        else if (mfData(fs, mf).isSchemaEvo) "schema"
         else "append"
       (v, ts, kind, targets.size, nRows)
     }
@@ -1547,18 +1549,86 @@ object ManifestSink extends Ingest.DestinationSink {
     if (mfs.isEmpty) return None
     val parsed = mfs.map(mf => readManifest(fs, mf))
     val lastSnap = parsed.lastIndexWhere(_._3)
-    val eff = if (lastSnap >= 0) mfs.drop(lastSnap) else mfs
+    val eff0 = if (lastSnap >= 0) mfs.drop(lastSnap) else mfs
+    // an ALTER TABLE schema commit (`schemaevo` marker) REBASES the
+    // resolution: its schemaj is authoritative for everything before
+    // it (this is also how ALTER upgrades a legacy footer-swept table
+    // to log-resolved schemas — the ALTER paid the sweep once)
+    val lastEvo = eff0.lastIndexWhere(mf => mfData(fs, mf).isSchemaEvo)
+    val (base, eff) =
+      if (lastEvo >= 0)
+        (mfData(fs, eff0(lastEvo)).schemaLines, eff0.drop(lastEvo + 1))
+      else (Nil, eff0)
     // only commits that CARRY data files need a schema line (dv-only
     // mor commits and layout markers add no files)
     val needed = eff.filter(mf => mfData(fs, mf).targets.nonEmpty)
     val lines = needed.map(mf => mfData(fs, mf).schemaLines)
     if (lines.exists(_.isEmpty)) return None
+    if (lastEvo >= 0 && base.isEmpty) return None
     val schemas =
-      try lines.flatten.distinct.map { l =>
+      try (base ++ lines.flatten).distinct.map { l =>
         org.apache.spark.sql.types.DataType
           .fromJson(unb64(l.substring(8))).asInstanceOf[StructType]
       } catch { case scala.util.control.NonFatal(_) => return None }
     unionSchemas(schemas)
+  }
+
+  /** `ALTER TABLE`-style schema evolution as a metadata-only commit:
+    * apply `transform` to the CURRENT resolved schema (log-resolved,
+    * or the footer sweep for legacy tables — paid once, the commit
+    * upgrades them) and commit one `schemaevo` manifest carrying the
+    * new schema. No data files are touched: ADDed columns read as
+    * null everywhere (the union semantics appends already had),
+    * DROPped columns disappear from the resolved schema while the
+    * bytes stay in place (re-adding a same-named column resurfaces
+    * the old values — the plain-parquet contract, documented). A
+    * later RESTORE below this commit restores the pre-ALTER schema.
+    * Returns the new schema.
+    */
+  def alterSchema(spark: SparkSession, destPath: String,
+      transform: StructType => StructType): StructType = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val mfs = resolvedLog(fs, destPath)
+    require(mfs.nonEmpty,
+      s"[graft] alterSchema: $destPath has no committed versions")
+    val current = effectiveSchemaOf(fs, mfs).getOrElse {
+      val targets = effectiveTargetsOf(fs, mfs)
+      require(targets.nonEmpty,
+        s"[graft] alterSchema: $destPath has no data files")
+      spark.read.option("mergeSchema", "true")
+        .parquet(targets.map(t => new Path(dest, t).toString): _*)
+        .schema
+    }
+    val next = transform(current)
+    require(next.nonEmpty,
+      "[graft] alterSchema: the resulting schema is empty")
+    val body = Seq("writeid\talter", "schemaevo\t1",
+      schemaLineOf(next)).mkString("\n")
+    val lp = logPath(destPath)
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      val head = manifests(fs, destPath)
+        .map(_.getName.takeWhile(_.isDigit).toLong)
+        .maxOption.getOrElse(-1L)
+      val tmp = new Path(lp, s".tmp_alter_${head + 1}")
+      writeFile(fs, tmp, body)
+      val fin = new Path(lp, f"${head + 1}%012d.manifest")
+      val won = commitLock(fs, destPath).synchronized {
+        coordinator.putIfAbsent(fs, tmp, fin)
+      }
+      if (won) {
+        println(s"METRIC graft.alter_schema.version=${head + 1} " +
+          s"cols=${next.length} dest=$destPath")
+        maybeCheckpoint(fs, destPath, head + 1)
+        return next
+      }
+      fs.delete(tmp, false)
+    }
+    throw new IllegalStateException(
+      s"[graft] alterSchema: lost the version slot 8 times — " +
+        s"concurrent writer storm on $destPath")
   }
 
   /** Field-union of file schemas in first-appearance order, all
@@ -3986,24 +4056,15 @@ object ManifestSink extends Ingest.DestinationSink {
       }
     }
     // ONE canonical schema line for the snapshot (it REDEFINES state):
-    // carried union + the footer of one fresh file (a snapshot's new
-    // files come from one write job = one schema). Any doubt — no
-    // carried line, unreadable footer, type conflict — emits nothing
-    // and readers fall back to the footer sweep.
-    val schemaCarry: Seq[String] = {
-      val carried = effectiveSchemaOf(fs, old)
-      val fresh: Option[StructType] = newFiles.headOption.flatMap { t =>
-        try Some(parquetFooterSchema(fs, new Path(dest, t)))
-        catch { case scala.util.control.NonFatal(_) => None }
-      }
-      (carried, fresh) match {
-        case (Some(c), Some(f)) =>
-          unionSchemas(Seq(c, f)).map(schemaLineOf).toSeq
-        case (Some(c), None) if newFiles.isEmpty =>
-          Seq(schemaLineOf(c))
-        case _ => Nil
-      }
-    }
+    // the CARRIED resolved schema is authoritative — a snapshot only
+    // rearranges bytes or edits values, never widens the schema (a
+    // column its rewritten files physically carry but the resolved
+    // schema dropped must STAY dropped), and columns arriving via
+    // absorbed appends ride those appends' own schemaj lines in this
+    // manifest. No carried schema (legacy log) emits nothing and
+    // readers keep the footer-sweep fallback.
+    val schemaCarry: Seq[String] =
+      effectiveSchemaOf(fs, old).map(schemaLineOf).toSeq
     var curBase = baseVersion
     var curSurvivors = survivors
     var curLines = statsLines ++ fsizeLines ++ schemaCarry

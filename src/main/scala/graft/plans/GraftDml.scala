@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{AnalysisException, Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFieldName, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -50,26 +50,40 @@ import graft.sources.{GraftDataSource, GraftFileIndex}
   * canon forms (upsert star, upsert star + `WHEN MATCHED AND f THEN
   * DELETE`, delete-only).
   */
-/** SQL time travel on graft catalog tables: `SELECT ... FROM t
-  * VERSION AS OF 3` / `TIMESTAMP AS OF '...'` parses into
-  * `RelationTimeTravel`, which Spark resolves only for DSv2 tables —
-  * the V2SessionCatalog THROWS for a V1 table before any injected
-  * resolution rule runs. This rule therefore rides the HINT
-  * resolution batch (which runs before relation resolution) and
-  * resolves the node against the same snapshot machinery as
-  * `option("versionAsOf")` reads. Non-graft relations pass through to
-  * Spark's own handling (including its unsupported-feature error).
+/** Graft catalog-table RESOLUTION, riding the HINT batch (which runs
+  * before Spark's relation resolution). Two jobs:
+  *
+  *  1. `SELECT ... FROM t VERSION AS OF 3` / `TIMESTAMP AS OF '...'`
+  *     parses into `RelationTimeTravel`, which Spark resolves only
+  *     for DSv2 tables — the V2SessionCatalog THROWS for a V1 table
+  *     before any injected resolution rule runs. Resolved here
+  *     against the same snapshot machinery as `option("versionAsOf")`.
+  *  2. Plain references to graft catalog tables resolve to a FRESH
+  *     committed snapshot (the Delta semantics). Left to Spark's V1
+  *     path, `FindDataSourceTable` would enforce the schema STORED at
+  *     CREATE TABLE against the relation's current schema — so the
+  *     first schema-evolving append PERMANENTLY breaks every read of
+  *     the catalog table ("user-specified schema doesn't match").
+  *     Resolving here sidesteps the stored-schema pin entirely, and
+  *     as a bonus reads always see the latest snapshot without
+  *     REFRESH TABLE. (Tables referenced inside permanent VIEW bodies
+  *     still resolve through Spark's path — view bodies analyze after
+  *     the hint batch.)
+  *
+  * Non-graft relations pass through untouched either way.
   */
 class GraftTimeTravelRule(session: SparkSession)
     extends Rule[LogicalPlan] {
   import GraftDml._
 
+  // top-down, so the RelationTimeTravel parent matches before its
+  // UnresolvedRelation child would be taken by the plain-table case
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    plan.resolveOperatorsDown {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
-        graftCatalogDest(session, u.multipartIdentifier) match {
+        graftCatalogMeta(session, u.multipartIdentifier) match {
           case None => tt
-          case Some(dest) =>
+          case Some((meta, dest)) =>
             val v = ver.map { s =>
               try s.toLong
               catch { case _: NumberFormatException =>
@@ -88,22 +102,78 @@ class GraftTimeTravelRule(session: SparkSession)
                   "as a timestamp")
               micros.asInstanceOf[Long] / 1000L
             }
-            val handle =
-              try ManifestSink.snapshotHandle(session, dest, v, t)
-              catch {
-                // surface the snapshot guards (beyond-head version,
-                // compacted-away history) as ANALYSIS errors — this
-                // is the SQL resolution layer
-                case e: IllegalArgumentException => fail(
-                  e.getMessage.stripPrefix("requirement failed: ")
-                    .stripPrefix("[graft] "))
-              }
-            SubqueryAlias(u.multipartIdentifier.last,
-              LogicalRelation(
-                GraftDataSource.relationFor(session, handle),
-                isStreaming = false))
+            resolvedGraftRelation(u, meta, dest, v, t)
+        }
+
+      case u: UnresolvedRelation if !u.isStreaming =>
+        graftCatalogMeta(session, u.multipartIdentifier) match {
+          case None => u
+          case Some((meta, dest)) =>
+            resolvedGraftRelation(u, meta, dest, None, None)
+        }
+
+      // ALTER TABLE ADD/DROP COLUMNS — Spark's session catalog either
+      // refuses the V1 command for an unknown provider (ADD) or throws
+      // "only supported with v2 tables" (DROP), so both intercept here
+      // and become a metadata-only `schemaevo` manifest commit
+      case a @ AddColumns(ut: UnresolvedTable, cols) =>
+        graftCatalogMeta(session, ut.multipartIdentifier) match {
+          case None => a
+          case Some((meta, dest)) =>
+            val fields = cols.map { q =>
+              if (q.path.isDefined)
+                fail("ALTER TABLE ADD COLUMNS: nested column paths " +
+                  "are not supported on graft tables")
+              if (q.position.isDefined)
+                fail("ALTER TABLE ADD COLUMNS: FIRST/AFTER positions " +
+                  "are not supported — columns append (the parquet " +
+                  "evolution contract)")
+              if (q.default.isDefined)
+                fail("ALTER TABLE ADD COLUMNS: DEFAULT values are " +
+                  "not supported")
+              if (!q.nullable)
+                fail("ALTER TABLE ADD COLUMNS: NOT NULL is not " +
+                  "satisfiable — existing rows read the new column " +
+                  "as null")
+              org.apache.spark.sql.types.StructField(
+                q.colName, q.dataType, nullable = true)
+            }
+            GraftAlterSchemaCommand(dest, add = fields, drop = Nil,
+              ifExists = false, meta.identifier)
+        }
+
+      case d @ DropColumns(ut: UnresolvedTable, cols, ifExists) =>
+        graftCatalogMeta(session, ut.multipartIdentifier) match {
+          case None => d
+          case Some((meta, dest)) =>
+            val names = cols.map {
+              case UnresolvedFieldName(Seq(n)) => n
+              case other => fail("ALTER TABLE DROP COLUMNS: nested " +
+                s"column paths are not supported, got ${other.sql}")
+            }
+            GraftAlterSchemaCommand(dest, add = Nil, drop = names,
+              ifExists = ifExists, meta.identifier)
         }
     }
+
+  private def resolvedGraftRelation(u: UnresolvedRelation,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      dest: String, versionAsOf: Option[Long],
+      tsAsOf: Option[Long]): LogicalPlan = {
+    val handle =
+      try ManifestSink.snapshotHandle(session, dest, versionAsOf, tsAsOf)
+      catch {
+        // surface the snapshot guards (beyond-head version,
+        // compacted-away history) as ANALYSIS errors — this is the
+        // SQL resolution layer
+        case e: IllegalArgumentException => fail(
+          e.getMessage.stripPrefix("requirement failed: ")
+            .stripPrefix("[graft] "))
+      }
+    SubqueryAlias(u.multipartIdentifier.last,
+      LogicalRelation(
+        GraftDataSource.relationFor(session, handle), meta))
+  }
 }
 
 class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
@@ -443,7 +513,17 @@ object GraftDml {
     * resolve (and error on).
     */
   private[plans] def graftCatalogDest(spark: SparkSession,
-      ident: Seq[String]): Option[String] = {
+      ident: Seq[String]): Option[String] =
+    graftCatalogMeta(spark, ident).map(_._2)
+
+  /** (catalog entry, destination path) when `ident` names a graft
+    * catalog table; None for temp views / other providers / missing
+    * tables.
+    */
+  private[plans] def graftCatalogMeta(spark: SparkSession,
+      ident: Seq[String])
+      : Option[(org.apache.spark.sql.catalyst.catalog.CatalogTable,
+        String)] = {
     val tid = ident match {
       case Seq(t)      => TableIdentifier(t)
       case Seq(db, t)  => TableIdentifier(t, Some(db))
@@ -456,7 +536,7 @@ object GraftDml {
     try {
       val meta = catalog.getTableMetadata(tid)
       if (meta.provider.exists(_.equalsIgnoreCase("graft")))
-        Some(meta.location.toString)
+        Some((meta, meta.location.toString))
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -509,6 +589,50 @@ case class GraftUpdateCommand(dest: String, cond: Column,
   }
   override def simpleString(maxFields: Int): String =
     s"GraftUpdate $dest SET ${set.keys.mkString(",")} WHERE $condSql"
+}
+
+/** `ALTER TABLE t ADD COLUMNS (...)` / `DROP COLUMN[S] ...` → one
+  * metadata-only `schemaevo` manifest commit
+  * ([[ManifestSink.alterSchema]]): no data files touched, added
+  * columns read null for existing rows, dropped columns vanish from
+  * the resolved schema (bytes stay — re-adding the same name
+  * resurfaces old values, the plain-parquet contract). The catalog's
+  * stored schema syncs so DESCRIBE TABLE agrees.
+  */
+case class GraftAlterSchemaCommand(dest: String,
+    add: Seq[org.apache.spark.sql.types.StructField],
+    drop: Seq[String], ifExists: Boolean, ident: TableIdentifier)
+    extends LeafRunnableCommand {
+  import GraftDml.fail
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val next = ManifestSink.alterSchema(spark, dest, cur => {
+      var out = cur
+      add.foreach { f =>
+        if (out.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          fail(s"ALTER TABLE ADD COLUMNS: column '${f.name}' " +
+            "already exists")
+        out = org.apache.spark.sql.types.StructType(out.fields :+ f)
+      }
+      drop.foreach { n =>
+        val i = out.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+        if (i < 0) {
+          if (!ifExists)
+            fail(s"ALTER TABLE DROP COLUMNS: column '$n' does not " +
+              "exist")
+        } else
+          out = org.apache.spark.sql.types.StructType(
+            out.fields.patch(i, Nil, 1))
+      }
+      out
+    })
+    // cosmetic catalog sync (DESCRIBE TABLE); resolution itself reads
+    // the log, so failures here cannot corrupt anything
+    try spark.sessionState.catalog.alterTableDataSchema(ident, next)
+    catch { case scala.util.control.NonFatal(_) => () }
+    GraftDml.refreshAfterDml(spark, Some(ident.quotedString))
+    Seq.empty
+  }
 }
 
 /** `INSERT INTO t ...` → the staged atomic append ([[ManifestSink

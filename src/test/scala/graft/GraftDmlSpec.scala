@@ -289,6 +289,32 @@ class GraftDmlSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("catalog tables resolve to a FRESH committed snapshot: schema " +
+      "evolution does not break reads (the V1 stored-schema pin would " +
+      "throw 'user-specified schema doesn't match' forever), and new " +
+      "commits are visible without REFRESH TABLE") {
+    val (dest, tbl) = freshTable("dml_evo_")
+    ManifestSink.statsAppend(
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dest, None, Seq("id"))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      assert(spark.table(tbl).count() == 10L)
+      // superset evolution through the Scala API — no REFRESH issued
+      ManifestSink.statsAppend(
+        (10L until 20L).map(i => (i, s"v$i", i * 2.0))
+          .toDF("id", "v", "extra").coalesce(1),
+        dest, None, Seq("id"))
+      assert(spark.table(tbl).columns.toSeq == Seq("id", "v", "extra"))
+      assert(spark.table(tbl).count() == 20L)
+      assert(spark.table(tbl).where(col("extra").isNull).count() == 10L)
+      // and SQL over the evolved table aggregates correctly
+      assert(spark.sql(
+        s"SELECT CAST(sum(extra) AS BIGINT) FROM $tbl")
+        .head.getLong(0) == (10L until 20L).map(_ * 2).sum)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF on a graft " +
       "catalog table resolve through the snapshot machinery (same cut " +
       "as option(\"versionAsOf\")); non-graft tables stay Spark's") {

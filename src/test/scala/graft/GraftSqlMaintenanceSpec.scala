@@ -119,6 +119,53 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("ALTER TABLE ADD/DROP COLUMNS: metadata-only schema commits — " +
+      "added columns read null on existing rows and accept INSERTs, " +
+      "dropped columns vanish from reads, RESTORE below the ALTER " +
+      "restores the old schema, refusals are loud") {
+    val dest = s"${tmpDir("sqlalter_")}/t"
+    val tbl = "sqlalter_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    ManifestSink.statsAppend(
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dest, None, Seq("id"))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (score DOUBLE)")
+      assert(spark.table(tbl).columns.toSeq == Seq("id", "v", "score"))
+      assert(spark.table(tbl).where(col("score").isNull).count() == 10L)
+      // DESCRIBE agrees (catalog synced) and history records the kind
+      assert(spark.sql(s"DESCRIBE TABLE $tbl")
+        .where("col_name = 'score'").count() == 1L)
+      assert(ManifestSink.history(spark, dest)
+        .where("kind = 'schema'").count() == 1L)
+      // the new column accepts data
+      spark.sql(s"INSERT INTO $tbl VALUES (100, 'x', 9.5)")
+      assert(spark.table(tbl).where("score = 9.5").count() == 1L)
+      assert(spark.table(tbl).agg(sum("score")).head.getDouble(0)
+        == 9.5)
+
+      // DROP: the column vanishes from reads; the data files keep it
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN score")
+      assert(spark.table(tbl).columns.toSeq == Seq("id", "v"))
+      assert(spark.table(tbl).count() == 11L)
+      // IF EXISTS tolerates a missing column; without it, loud
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN IF EXISTS nope")
+      val e1 = intercept[AnalysisException](
+        spark.sql(s"ALTER TABLE $tbl DROP COLUMN nope"))
+      assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+      val e2 = intercept[AnalysisException](
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (id BIGINT)"))
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+
+      // RESTORE below both ALTERs: the original 2-column schema and
+      // the original rows come back
+      spark.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 0")
+      assert(spark.table(tbl).columns.toSeq == Seq("id", "v"))
+      assert(spark.table(tbl).count() == 10L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("non-graft targets refuse loudly; ordinary SQL still parses " +
       "through the delegate") {
     val pq = s"${tmpDir("sqlmaint_plain_")}/p"
