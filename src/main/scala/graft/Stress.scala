@@ -1270,6 +1270,53 @@ object Stress {
       graft.operators.Dedup.contaminationFraction(
         docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), w = 8))
+
+    // FILE-INDEX resolution rung (r17): the manifest's fsize/schemaj
+    // lines make building a snapshot's FileIndex + schema a pure LOG
+    // read. Contrast: the same 400-file table with those lines
+    // STRIPPED (a legacy log) pays one getFileStatus per file — which
+    // on the local Hadoop FS forks a process per stat, and on an
+    // object store is a HEAD request per file — plus a footer-merge
+    // job for the schema.
+    if (enabled("fileindex")) {
+      import graft.ingest.ManifestSink
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_fidx_").toString
+      val dest = s"$root/t"
+      val nFiles = 400
+      ManifestSink.statsAppend(
+        spark.range(nFiles * 10L).select(col("id"),
+          (col("id") % 7).cast("double").as("v"))
+          .repartition(nFiles),
+        dest, None, Seq("id"))
+      def coldResolve(reps: Int): Double = {
+        val t0 = System.nanoTime()
+        (0 until reps).foreach { _ =>
+          ManifestSink.invalidateMfCache()
+          val df = spark.read.format("graft").load(dest)
+          require(df.inputFiles.length == nFiles)
+          require(df.schema.fieldNames.length == 2)
+        }
+        (System.nanoTime() - t0) / 1e9 / reps
+      }
+      val withLines = coldResolve(5)
+      // strip fsize + schemaj → the legacy fallback path
+      new java.io.File(s"$dest/_log").listFiles()
+        .filter(_.getName.endsWith(".manifest")).foreach { mf =>
+          val lines = java.nio.file.Files.readAllLines(mf.toPath)
+          val kept = new java.util.ArrayList[String]()
+          lines.forEach(l => if (!l.startsWith("fsize\t") &&
+            !l.startsWith("schemaj\t")) kept.add(l))
+          java.nio.file.Files.write(mf.toPath, kept)
+        }
+      val stripped = coldResolve(2)
+      println(f"STRESS fileindex_log            " +
+        f"$withLines%8.2f s  cold index+schema at $nFiles files " +
+        f"from the LOG (fsize+schemaj lines)")
+      println(f"STRESS fileindex_stat           " +
+        f"$stripped%8.2f s  same table stripped to the legacy path " +
+        f"(per-file stat + footer sweep)")
+    }
     spark.stop()
   }
 }

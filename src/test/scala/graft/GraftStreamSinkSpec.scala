@@ -98,6 +98,42 @@ class GraftStreamSinkSpec extends SparkSpec {
       .where(col("kind") === "mor").count() >= 1L)
   }
 
+  test("a mid-stream ALTER TABLE does not disturb the tail: the " +
+      "schemaevo commit emits nothing (like layout snapshots) and " +
+      "later appends keep flowing") {
+    val dest = s"${tmpDir("gsink_alter_")}/t"
+    val ckpt = tmpDir("gsink_alter_ck_")
+    ManifestSink.statsAppend(
+      Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1),
+      dest, None, Seq("id"))
+    def drain(): Long = {
+      val got = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = spark.readStream.format("graft").load(dest)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) => got.addAndGet(df.count()); ()
+        }
+        .start()
+      q.awaitTermination()
+      got.get()
+    }
+    assert(drain() == 2L)
+    // metadata-only schema commit, then a widened append
+    ManifestSink.alterSchema(spark, dest, cur =>
+      org.apache.spark.sql.types.StructType(cur.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.DoubleType)))
+    ManifestSink.statsAppend(
+      Seq((2L, "c", 1.5)).toDF("id", "v", "extra").coalesce(1),
+      dest, None, Seq("id"))
+    // the tail resumes: only the new append's row arrives, the ALTER
+    // version passed silently
+    assert(drain() == 1L)
+  }
+
   test("sink option validation: bad output mode and partitionBy() " +
       "refuse loudly") {
     val dest = s"${tmpDir("gsink_bad_")}/t"
