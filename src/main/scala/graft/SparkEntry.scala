@@ -34,12 +34,24 @@ object SparkEntry {
     // session built elsewhere, fall back to setting it only when the
     // legacy NANOS generation actually needs it (footer load throws) —
     // never an unconditional mid-session conf mutation
+    // Spark frequently WRAPS the "Illegal Parquet type: INT64
+    // (TIMESTAMP(NANOS,...))" failure, so walk the cause chain for the
+    // signature instead of matching only the top-level message
+    def nanosSignature(e: Throwable): Boolean = {
+      var cur: Throwable = e
+      var seen = 0
+      while (cur != null && seen < 16) {
+        val m = String.valueOf(cur.getMessage)
+        if (m.contains("NANOS") || m.contains("nanosAsLong")) return true
+        cur = cur.getCause
+        seen += 1
+      }
+      false
+    }
     val df =
       try t(s, dir, "events")
       catch {
-        case e: Throwable
-            if String.valueOf(e.getMessage).contains("NANOS") ||
-              String.valueOf(e.getMessage).contains("nanosAsLong") =>
+        case e: Throwable if nanosSignature(e) =>
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           t(s, dir, "events")
       }

@@ -4122,7 +4122,12 @@ object ManifestSink extends Ingest.DestinationSink {
       newMfs.foreach { mf =>
         if (absorbable) {
           val d = mfData(fs, mf)
-          if (d.snapshot) absorbable = false
+          // a schemaevo commit (ALTER) REBASES the schema: folding its
+          // schemaj line in as a plain append line would UNION it with
+          // this snapshot's carried pre-ALTER schema and silently
+          // resurrect a dropped column — a true conflict, abort and
+          // let the caller retry against the post-ALTER log
+          if (d.snapshot || d.isSchemaEvo) absorbable = false
           else if (!d.dvLines.forall(e => absSurvivors.contains(e._1)))
             absorbable = false // dv on a rewritten/dropped file
           else {

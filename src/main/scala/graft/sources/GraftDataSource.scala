@@ -121,7 +121,7 @@ class GraftDataSource extends RelationProvider
     new GraftStreamSink(destPath, parameters.get("partitionField"),
       csv("statsCols"), csv("bloomCols"), mergeKey,
       parameters.get("mor").exists(_.toBoolean),
-      parameters.getOrElse("checkpointLocation", destPath))
+      parameters.get("checkpointLocation"))
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -15,15 +15,26 @@ import graft.ingest.ManifestSink
   * atomic manifest commit.
   *
   * Exactly-once, without any sink-private ledger: the commit's
-  * `writeId` is a deterministic function of (checkpointLocation,
+  * `writeId` is a deterministic function of (stream identity,
   * batchId), and [[ManifestSink]]'s commit protocol is idempotent by
   * writeId — a batch replayed after a crash between the manifest
   * commit and Spark's own offset checkpoint re-enters
   * `stageMoveCommit`, finds its writeId already in the log, and
   * commits nothing (Delta's `txnAppId`/`txnVersion` contract, carried
   * by the id the log already records instead of a separate txn line).
-  * Restarting from the same checkpoint therefore never duplicates a
-  * batch; a NEW checkpoint is a new logical stream and appends anew.
+  * Stream identity is the streaming query's `queryId` (the
+  * `sql.streaming.queryId` local property `StreamExecution` sets —
+  * what Delta keys `txnAppId` on): it persists in the checkpoint's
+  * `metadata` file, so restarting from the same checkpoint replays
+  * the SAME writeIds (no duplicates), while a new — or wiped-and-
+  * reused — checkpoint mints a fresh queryId and appends anew even
+  * though its batchIds restart at 0. A checkpoint-PATH tag would get
+  * both cases wrong: Spark does not pass the conf-resolved checkpoint
+  * dir into V1 sink parameters, and a wiped-then-reused path would
+  * reproduce old writeIds and silently discard real batches. Callers
+  * driving `addBatch` outside a streaming query (no queryId property)
+  * must pass an explicit tag; absent both, the sink fails loudly
+  * rather than risk writeId collisions across streams.
   *
   * `option("mergeKey", k)` switches each batch from append to the
   * atomic upsert ([[ManifestSink.mergeIntoStatus]], whole-row by key,
@@ -41,11 +52,26 @@ import graft.ingest.ManifestSink
 final class GraftStreamSink(destPath: String,
     partitionField: Option[String], statsCols: Seq[String],
     bloomCols: Seq[String], mergeKey: Option[String], mor: Boolean,
-    checkpointTag: String) extends Sink {
+    checkpointTag: Option[String]) extends Sink {
 
-  private def writeIdFor(batchId: Long): String = {
+  private def streamTag(spark: org.apache.spark.sql.SparkSession)
+      : String = {
+    // StreamExecution.QUERY_ID_KEY — stable across restarts from the
+    // same checkpoint, fresh for a new (or wiped) checkpoint
+    val qid =
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+    if (qid != null && qid.nonEmpty) s"qid:$qid"
+    else checkpointTag.map(t => s"tag:$t").getOrElse(
+      throw new IllegalStateException(
+        "[graft] sink: no streaming queryId on this thread and no " +
+          "explicit tag — driving addBatch outside a streaming query " +
+          "needs option(\"checkpointLocation\", ...) so writeIds " +
+          "cannot collide across logical streams"))
+  }
+
+  private def writeIdFor(tag: String, batchId: Long): String = {
     val d = MessageDigest.getInstance("SHA-256").digest(
-      s"graft-sink:$checkpointTag:$batchId"
+      s"graft-sink:$tag:$batchId"
         .getBytes(StandardCharsets.UTF_8))
     d.take(8).map(b => f"$b%02x").mkString // 16 hex chars, id-shaped
   }
@@ -73,7 +99,7 @@ final class GraftStreamSink(destPath: String,
           case _ => ()
         }
       case None =>
-        val writeId = writeIdFor(batchId)
+        val writeId = writeIdFor(streamTag(spark), batchId)
         if (statsCols.nonEmpty || bloomCols.nonEmpty)
           ManifestSink.statsAppend(batch, destPath, partitionField,
             if (statsCols.nonEmpty) statsCols else bloomCols,

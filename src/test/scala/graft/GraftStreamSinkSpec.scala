@@ -56,7 +56,7 @@ class GraftStreamSinkSpec extends SparkSpec {
       "new logical stream") {
     val dest = s"${tmpDir("gsink_eo_")}/t"
     val sink = new GraftStreamSink(dest, None, Seq("id"), Nil, None,
-      mor = false, checkpointTag = "ckpt-A")
+      mor = false, checkpointTag = Some("ckpt-A"))
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     sink.addBatch(0L, df)
     assert(ManifestSink.readBack(spark, dest).count() == 2L)
@@ -67,9 +67,37 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(ManifestSink.history(spark, dest).count() == 1L)
     // same batch id under a DIFFERENT checkpoint = a different stream
     val other = new GraftStreamSink(dest, None, Seq("id"), Nil, None,
-      mor = false, checkpointTag = "ckpt-B")
+      mor = false, checkpointTag = Some("ckpt-B"))
     other.addBatch(0L, df)
     assert(ManifestSink.readBack(spark, dest).count() == 4L)
+  }
+
+  test("a wiped-and-reused checkpoint is a NEW logical stream: its " +
+      "batch 0 must APPEND, not replay-skip against the old stream's " +
+      "writeIds") {
+    val dest = s"${tmpDir("gsink_wipe_")}/t"
+    val ckpt = tmpDir("gsink_wipe_ck_")
+    val in1 = MemoryStream[(Long, String)]
+    in1.addData((0L, "a"), (1L, "b"))
+    val q1 = in1.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(dest)
+    q1.awaitTermination()
+    assert(ManifestSink.readBack(spark, dest).count() == 2L)
+    // wipe the checkpoint and reuse the SAME path: batchIds restart at
+    // 0, but the fresh checkpoint mints a fresh queryId — the new
+    // stream's batch 0 must land (a path-keyed writeId would collide
+    // with the old stream's batch 0 and silently discard it)
+    val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+    ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ckptPath, true)
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((2L, "c"))
+    val q2 = in2.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(dest)
+    q2.awaitTermination()
+    assert(ManifestSink.readBack(spark, dest).count() == 3L)
   }
 
   test("mergeKey sink: per-batch atomic upsert — updates replace by " +

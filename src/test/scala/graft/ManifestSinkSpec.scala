@@ -792,6 +792,40 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readBack(spark, dest).inputFiles.length == 1)
   }
 
+  test("a concurrent ALTER (schemaevo) in the snapshot window is a " +
+      "TRUE conflict, not an absorbable append: optimize aborts and " +
+      "the dropped column stays dropped") {
+    val root = tmpDir("msinkevorace_")
+    val dest = s"$root/wh/t"
+    for (i <- 0 until 3)
+      ManifestSink.append(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        dest, None)
+    // an ALTER DROP COLUMN lands between optimize's log capture and
+    // its snapshot commit: absorbing it as a pure append would UNION
+    // its rebased schema with the snapshot's carried pre-ALTER schema
+    // and silently resurrect the dropped column
+    ManifestSink.onBeforeOptimizeCommit = () =>
+      ManifestSink.alterSchema(spark, dest, cur =>
+        org.apache.spark.sql.types.StructType(
+          cur.fields.filterNot(_.name == "v")))
+    try {
+      assert(ManifestSink.optimize(spark, dest,
+        targetBytes = 1L << 20) == 0L,
+        "a schemaevo commit in the window must abort the snapshot")
+    } finally ManifestSink.onBeforeOptimizeCommit = () => ()
+    // the log-RESOLVED schema honors the ALTER (plain readBack is a
+    // footer merge by contract — dropped bytes stay in place)
+    def resolvedCols() = spark.read.format("graft").load(dest)
+      .columns.toSeq
+    assert(resolvedCols() == Seq("id"),
+      "the ALTER survives the aborted snapshot")
+    // the retry (clean window) repacks and STILL honors the ALTER
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) > 0L)
+    assert(resolvedCols() == Seq("id"))
+    assert(spark.read.format("graft").load(dest)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
   test("snapshot commits absorb provably-disjoint concurrent appends: " +
       "a COW delete rebases over a stats-disjoint statsAppend, a merge " +
       "over an out-of-envelope batch; overlapping or stats-less " +
