@@ -24,6 +24,9 @@ object Stress {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the dv_vectorized ladder measures the SQL face; the dv scan
+      // rewrite (like DML) injects at session build only
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -860,6 +863,65 @@ object Stress {
       println(f"STRESS mor_ladder_opt_read      " +
         f"${(System.nanoTime() - t5) / 1e9}%8.2f s  rows=$nOpt")
       require(nOpt == nMor)
+    }
+    // Vectorized-dv-scan ladder: a ~1%-tombstoned table must scan
+    // within spitting distance of its dv-less twin — the
+    // GraftDvScanRule rewrite keeps columnar batches + pushdown and
+    // re-applies tombstones as a row_index filter, where the in-format
+    // fallback demotes the WHOLE relation to row-based reading.
+    if (enabled("dv_vectorized")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_dvvec_").toString
+      val batches = 50
+      val per = (nDocs0 * repl) / batches
+      def build(dest: String): Unit =
+        (0 until batches).foreach { b =>
+          ManifestSink.statsAppend(
+            docs.filter(col("doc_id") >= b * per &&
+              col("doc_id") < (b + 1) * per), dest, None, Seq("doc_id"))
+        }
+      val destPlain = s"$root/plain"; val destDv = s"$root/dv"
+      build(destPlain); build(destDv)
+      val gone = ManifestSink.deleteWhereExprMor(spark, destDv,
+        pmod(col("doc_id"), lit(100L)) === 0) // ~1%, every file hit
+      def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[Boolean] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => findScan(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Some(s.supportsColumnar)
+        case other =>
+          other.children.flatMap(c => findScan(c)).headOption
+      }
+      def timeScan(name: String, dest: String): Long = {
+        // resolve the relation once (resolution + dv sidecar load are
+        // per-relation, not per-scan), then time a FRESH aggregation
+        // over it — the steady-state scan cost a 100 TB table pays on
+        // every query (a fresh plan, so no shuffle-stage reuse)
+        val rel = spark.read.format("graft").load(dest)
+        def agg() = rel.agg(sum(length(col("text"))).as("bytes"),
+          count(lit(1)).as("rows"))
+        val t0 = System.nanoTime()
+        agg().collect()
+        val cold = (System.nanoTime() - t0) / 1e9
+        val fresh = agg()
+        val t1 = System.nanoTime()
+        val r = fresh.collect()(0)
+        val warm = (System.nanoTime() - t1) / 1e9
+        val columnar =
+          findScan(fresh.queryExecution.executedPlan).getOrElse(false)
+        println(f"STRESS $name%-28s $warm%8.2f s  (cold $cold%.2f s) " +
+          f"rows=${r.getLong(1)} columnar=$columnar")
+        r.getLong(1)
+      }
+      val nPlain = timeScan("dvvec_plain_twin", destPlain)
+      val nVec = timeScan("dvvec_dv_vectorized", destDv)
+      spark.conf.set("spark.graft.dv.vectorized", "false")
+      val nRow = timeScan("dvvec_dv_rowbased", destDv)
+      spark.conf.set("spark.graft.dv.vectorized", "true")
+      require(nVec == nPlain - gone && nRow == nVec)
     }
     // Purge ladder: a CONCENTRATED mor delete guts 5 of 50 files (60%
     // of their rows); purge(0.9) must rewrite exactly those 5 —

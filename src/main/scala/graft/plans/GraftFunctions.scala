@@ -79,6 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.plans.TextHashExprs", name), b))
     }
     ext.injectResolutionRule(session => new GraftDmlRule(session))
+    // dv'd-table scans back to vectorized batches: stock parquet
+    // format + a row_index tombstone filter (Delta's shape)
+    ext.injectResolutionRule(session =>
+      new graft.sources.GraftDvScanRule(session))
     // hint batch = BEFORE relation resolution, where Spark's
     // V2SessionCatalog would throw on V1 time travel
     ext.injectHintResolutionRule(session =>

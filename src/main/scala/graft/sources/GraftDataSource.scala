@@ -89,7 +89,9 @@ class GraftDataSource extends RelationProvider
     new GraftStreamSource(spark, destPath, rowLevelOf(parameters),
       GraftStreamSource.resolveStartingVersion(spark, destPath,
         parameters.get("startingVersion")),
-      schema)
+      schema,
+      parameters.get("maxVersionsPerTrigger").map(_.toInt)
+        .getOrElse(GraftStreamSource.DefaultMaxVersions))
   }
 
   // ---- streaming sink: df.writeStream.format("graft") -------------
@@ -439,7 +441,19 @@ private[graft] object GraftFilterConversion {
   * driver funnel, the way Delta tasks read their dv bitmaps.
   */
 final class GraftParquetFileFormat(
-    dv: GraftParquetFileFormat.DvTransport) extends ParquetFileFormat {
+    private[graft] val dv: GraftParquetFileFormat.DvTransport)
+    extends ParquetFileFormat {
+
+  /** The task-side tombstone resolver, memoized so repeated analyses of
+    * the same relation (the [[GraftDvScanRule]] rewrite) share one
+    * broadcast instead of re-shipping the positions per query.
+    */
+  @transient private var cachedResolver: String => Array[Long] = _
+  private[graft] def taskResolver(spark: SparkSession)
+      : String => Array[Long] = synchronized {
+    if (cachedResolver == null) cachedResolver = dv.taskSide(spark)
+    cachedResolver
+  }
 
   override def supportBatch(sparkSession: SparkSession,
       schema: StructType): Boolean = false

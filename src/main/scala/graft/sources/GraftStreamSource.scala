@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
@@ -21,7 +22,7 @@ import graft.ingest.ManifestSink
   * scheduler-less callers; this source packages the same per-version
   * feeds behind Spark's `Source` seam:
   *
-  *  - OFFSETS ARE MANIFEST VERSIONS. `getOffset` lists the log head
+  *  - OFFSETS ARE MANIFEST VERSIONS. `latestOffset` lists the log head
   *    (O(listing) driver metadata); `getBatch(start, end]` replays
   *    exactly the committed versions in the range through
   *    [[ManifestSink.appendFeed]] / [[ManifestSink.changeFeed]] — the
@@ -29,6 +30,13 @@ import graft.ingest.ManifestSink
   *    the batch feeds, so a mid-stream optimize/compact neither
   *    duplicates nor drops and a non-decomposable commit fails loudly
   *    instead of corrupting the tail.
+  *  - ADMISSION CONTROL (the `FileStreamSource` shape —
+  *    `SupportsAdmissionControl` on a V1 `Source`): each micro-batch
+  *    admits at most `maxVersionsPerTrigger` versions (default
+  *    [[GraftStreamSource.DefaultMaxVersions]]), so a first drain of a
+  *    1,000-commit log runs as bounded batches instead of one
+  *    1,000-way union plan. `Trigger.AvailableNow` pins the end at the
+  *    head captured at query start and still chunks its way there.
   *  - A batch reads ONLY its versions' own files/sidecars — never a
   *    table scan, never a diff: O(changed rows) per micro-batch at any
   *    table size.
@@ -42,28 +50,73 @@ import graft.ingest.ManifestSink
   * `_change_type`/`_commit_version`, mor commits decomposed);
   * `startingVersion` = version to tail from (exclusive; default `-1` =
   * everything surviving) or `latest` (only versions committed after
-  * stream start).
+  * stream start); `maxVersionsPerTrigger` = admission cap.
   */
 final class GraftStreamSource(spark: SparkSession, destPath: String,
     rowLevel: Boolean, startingVersion: Long,
-    declaredSchema: Option[StructType]) extends Source {
+    declaredSchema: Option[StructType], maxVersionsPerTrigger: Int)
+    extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger > 0,
+    s"[graft] maxVersionsPerTrigger must be positive, " +
+      s"got $maxVersionsPerTrigger")
 
   override val schema: StructType = declaredSchema.getOrElse(
     GraftStreamSource.schemaFor(spark, destPath, rowLevel))
 
+  // Trigger.AvailableNow: the drain's end is the head at query START —
+  // versions committed while draining wait for the next run
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val head = GraftStreamSource.headVersion(spark, destPath)
+    availableNowEnd = Some(head)
+    println(s"METRIC graft.stream.available_now_end=$head dest=$destPath")
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxFiles(maxVersionsPerTrigger) // versions, as "files"
+
+  /** The paced head: at most the admission cap past `startOffset`,
+    * never past an AvailableNow pin. Null = no new data.
+    */
+  override def latestOffset(startOffset: OffsetV2,
+      limit: ReadLimit): OffsetV2 = {
+    val since = Option(startOffset).map(versionOf)
+      .getOrElse(startingVersion)
+    val head0 = GraftStreamSource.headVersion(spark, destPath)
+    val head = availableNowEnd.fold(head0)(math.min(_, head0))
+    val capped = limit match {
+      case m: ReadMaxFiles => math.min(head, since + m.maxFiles())
+      case _: ReadAllAvailable => head
+      case _ => math.min(head, since + maxVersionsPerTrigger)
+    }
+    if (capped <= since || capped < 0) null else LongOffset(capped)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val head = GraftStreamSource.headVersion(spark, destPath)
+    if (head < 0) null else LongOffset(head)
+  }
+
+  /** Kept for scheduler-less callers; the engine itself routes through
+    * `latestOffset` (admission control wins for sources that declare
+    * it). Uncapped: the true head.
+    */
   override def getOffset: Option[Offset] = {
     val head = GraftStreamSource.headVersion(spark, destPath)
     if (head < 0 || head <= startingVersion) None
     else Some(LongOffset(head))
   }
 
-  private def versionOf(o: Offset): Long = o match {
+  private def versionOf(o: OffsetV2): Long = o match {
     case LongOffset(v) => v
     case other         => other.json.trim.toLong
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val since = start.map(versionOf).getOrElse(startingVersion)
+    val since = start.map(o => versionOf(o)).getOrElse(startingVersion)
     val until = versionOf(end)
     // Restart tolerance: on recovery Spark re-issues getBatch for the
     // last COMMITTED range to re-initialize the source
@@ -127,6 +180,13 @@ final class GraftStreamSource(spark: SparkSession, destPath: String,
 
 object GraftStreamSource {
 
+  /** Default admission cap: versions admitted per micro-batch. Wide
+    * enough that steady-state tails (a few versions per trigger) never
+    * notice it; tight enough that a cold drain of a long log builds
+    * bounded union plans.
+    */
+  val DefaultMaxVersions = 64
+
   /** Head version of the log, `-1` when the table has no commits —
     * one listing, no manifest opens.
     */
@@ -134,11 +194,13 @@ object GraftStreamSource {
       destPath: String): Long =
     ManifestSink.snapshotHandle(spark, destPath).version
 
-  /** Stream schema: the committed table schema (merged footers — the
-    * superset under prefix/superset evolution), plus the feed columns.
-    * `appends` carries `_commit_version` so idempotent sinks can key
-    * on it; `changes` carries `_change_type` + `_commit_version` (set
-    * by the feed itself).
+  /** Stream schema: the committed table schema — the LOG-resolved
+    * schema ([[ManifestSink.SnapshotHandle.schemaOpt]]: zero footer
+    * reads, and ALTER ADD/DROP commits are honored exactly like batch
+    * reads), falling back to the footer sweep only for legacy logs —
+    * plus the feed columns. `appends` carries `_commit_version` so
+    * idempotent sinks can key on it; `changes` carries `_change_type`
+    * + `_commit_version` (set by the feed itself).
     */
   private[graft] def schemaFor(spark: SparkSession, destPath: String,
       rowLevel: Boolean): StructType = {
@@ -147,12 +209,14 @@ object GraftStreamSource {
       s"[graft] readStream.format(\"graft\"): $destPath has no " +
         "committed data to resolve a schema from — pass .schema(...) " +
         "explicitly or commit a first batch")
-    val dest = new Path(destPath)
-    val base = spark.read.option("mergeSchema", "true")
-      .option("basePath", destPath)
-      .parquet(handle.targets.map(rel =>
-        new Path(dest, rel).toString): _*)
-      .schema
+    val base = handle.schemaOpt.getOrElse {
+      val dest = new Path(destPath)
+      spark.read.option("mergeSchema", "true")
+        .option("basePath", destPath)
+        .parquet(handle.targets.map(rel =>
+          new Path(dest, rel).toString): _*)
+        .schema
+    }
     val extras =
       (if (rowLevel) Seq(StructField("_change_type", StringType))
        else Seq.empty) :+ StructField("_commit_version", LongType)

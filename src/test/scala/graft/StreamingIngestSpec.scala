@@ -1281,6 +1281,78 @@ class StreamingIngestSpec extends SparkSpec {
       Seq((11L, "v11"), (12L, "v12")))
   }
 
+  test("stream admission control: a cold drain of a long log chunks " +
+      "into bounded micro-batches (maxVersionsPerTrigger) instead of " +
+      "one N-way union, exactly once; the stream schema is " +
+      "LOG-resolved (ALTER ADD visible immediately, ALTER DROP " +
+      "excluded despite surviving bytes)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = tmpDir("gsrcadm_")
+    val dest = s"$root/t"
+    for (b <- 0L until 12L)
+      ManifestSink.append(Seq((b, s"v$b")).toDF("id", "v"), dest, None)
+
+    val perBatch = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    def drain(ckpt: String, cap: Int): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", cap.toString).load(dest)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            perBatch += df.select(col("_commit_version"))
+              .distinct().as[Long].collect().toSeq
+            ()
+        }.start()
+      q.awaitTermination()
+    }
+    drain(s"$root/ck1", cap = 3)
+    // every version delivered exactly once, in bounded chunks
+    assert(perBatch.flatten.sorted.toSeq == (0L until 12L))
+    val realBatches = perBatch.filter(_.nonEmpty)
+    assert(realBatches.length >= 4,
+      s"12 versions at cap 3 must chunk, got $perBatch")
+    assert(realBatches.forall(_.length <= 3),
+      s"a batch admitted more than the cap: $perBatch")
+
+    // the schema is the LOG's, not a footer sweep: an ALTER ADD is
+    // visible to a new stream before any file carries the column...
+    ManifestSink.alterSchema(spark, dest, cur =>
+      org.apache.spark.sql.types.StructType(cur.fields :+
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType)))
+    ManifestSink.append(Seq((100L, "vx", 1.5)).toDF("id", "v", "w"),
+      dest, None)
+    val s2 = spark.readStream.format("graft").load(dest)
+    assert(s2.schema.fieldNames.toSeq ==
+      Seq("id", "v", "w", "_commit_version"))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Option[Double])]()
+    val q2 = s2.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ck2")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          got ++= df.collect().map(r =>
+            (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+          ()
+      }.start()
+    q2.awaitTermination()
+    assert(got.length == 13)
+    assert(got.toMap.apply(100L) == Some(1.5))
+    assert(got.filter(_._1 < 100L).forall(_._2.isEmpty))
+
+    // ...and an ALTER DROP vanishes even though every footer still
+    // carries the column's bytes (a sweep would resurrect it)
+    ManifestSink.alterSchema(spark, dest, cur =>
+      org.apache.spark.sql.types.StructType(
+        cur.fields.filterNot(_.name == "v")))
+    assert(spark.readStream.format("graft").load(dest)
+      .schema.fieldNames.toSeq == Seq("id", "w", "_commit_version"))
+  }
+
   test("readStream.format(\"graft\"): the manifest log as a native " +
       "Structured Streaming source — AvailableNow drains exactly once " +
       "across restarts on Spark's own checkpoint, mid-stream " +
