@@ -1103,6 +1103,101 @@ object NorthStar {
       out
     }),
 
+    // PARTITIONED CDC capstone — SQL UPDATE and MERGE INTO against a
+    // date-partitioned layout (readme.md:38–43's normal case): the mor
+    // UPDATE keeps each changed row in its SOURCE file's partition
+    // (directory-derived, O(changed rows) write), the CDC MERGE routes
+    // inserted rows into partitions via the source's p_date column,
+    // and the final state GROUPs BY the partition value itself — a
+    // dropped/nulled partition value breaks the hash, not just a row
+    // count.
+    "q152_partitioned_cdc" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q152_").toString
+      ManifestSink.statsAppend(
+        ev.repartitionByRange(8, col("event_id")),
+        tmp, Some("ts"), Seq("event_id"))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q152_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(s"UPDATE $tbl SET value = -value WHERE event_id % 7 = 0")
+      val src = s"graft_q152_src_$sfx"
+      ev.where(pmod(col("event_id"), lit(11L)) === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") * 3).as("value"), col("ts"),
+          to_date(col("ts")).as("p_date"), lit("u").as("op"))
+        .unionByName(
+          ev.where(pmod(col("event_id"), lit(13L)) === 0 &&
+              pmod(col("event_id"), lit(11L)) =!= 0)
+            .select(col("event_id"), col("event_type"), col("value"),
+              col("ts"), to_date(col("ts")).as("p_date"),
+              lit("d").as("op")))
+        .createOrReplaceTempView(src)
+      s.sql(
+        s"""MERGE INTO $tbl t USING $src s ON t.event_id = s.event_id
+            WHEN MATCHED AND s.op = 'd' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      val out = s.sql(
+        s"""SELECT CAST(p_date AS STRING) AS day, event_type,
+              count(*) AS n,
+              CAST(sum(event_id) AS BIGINT) AS sum_id,
+              round(sum(value), 4) AS sum_val
+            FROM $tbl GROUP BY 1, 2 ORDER BY 1, 2""")
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(src)
+      out
+    }),
+
+    // CTAS + atomic INSERT OVERWRITE — the first statements a SQL user
+    // issues after SELECT: `CREATE TABLE ... USING graft AS SELECT`
+    // lands through the staged commit (one version, read-back parity),
+    // INSERT INTO stacks a second, and INSERT OVERWRITE snapshot-
+    // replaces the content in ONE commit with history RETAINED — the
+    // output's 'pre' phase time-travels to the pre-overwrite state, so
+    // a destructive (history-losing) overwrite breaks the hash.
+    "q153_ctas_overwrite" -> ((s, dir) => {
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q153_$sfx"
+      val evv = s"graft_q153_ev_$sfx"
+      ev.createOrReplaceTempView(evv)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q153_").toString + "/t"
+      s.sql(s"""CREATE TABLE $tbl USING graft LOCATION '$tmp' AS
+          SELECT event_id, event_type, value FROM $evv
+          WHERE event_id % 2 = 0""")
+      s.sql(s"""INSERT INTO $tbl
+          SELECT event_id, event_type, value FROM $evv
+          WHERE event_id % 2 = 1 AND event_id % 5 = 0""")
+      s.sql(s"""INSERT OVERWRITE $tbl
+          SELECT event_id, event_type, value * 2 FROM $evv
+          WHERE event_id % 3 = 0""")
+      val out = s.sql(
+        s"""WITH a AS (
+              SELECT 'pre' AS phase, event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_id,
+                round(sum(value), 4) AS sum_val
+              FROM $tbl VERSION AS OF 1 GROUP BY event_type),
+            f AS (
+              SELECT 'final' AS phase, event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_id,
+                round(sum(value), 4) AS sum_val
+              FROM $tbl GROUP BY event_type)
+            SELECT * FROM a UNION ALL SELECT * FROM f
+            ORDER BY phase, event_type""")
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(evv)
+      out
+    }),
+
     // SQL DML capstone — the table MAINTAINED through `spark.sql`:
     // `DELETE FROM` (mor dv commit), `UPDATE ... SET` (sidecar
     // rewrite), and a CDC-form `MERGE INTO` (conditional DELETE +
@@ -3586,6 +3681,48 @@ object NorthStar {
            round(sum(value), 4) AS sum_val,
            CAST(sum(flag) AS BIGINT) AS sum_flag
          FROM allr GROUP BY event_type ORDER BY event_type""",
+    "q152_partitioned_cdc" ->
+      """WITH base AS (SELECT event_id, event_type, value, ts FROM events),
+         u1 AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN -value ELSE value END
+               AS value, ts
+           FROM base),
+         src AS (
+           SELECT event_id, event_type, value * 3 AS value, ts, 'u' AS op
+           FROM base WHERE event_id % 11 = 0
+           UNION ALL
+           SELECT event_id, event_type, value, ts, 'd'
+           FROM base WHERE event_id % 13 = 0 AND event_id % 11 <> 0),
+         merged AS (
+           SELECT t.event_id, t.event_type, t.value, t.ts FROM u1 t
+           WHERE NOT EXISTS (
+             SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+           UNION ALL
+           SELECT event_id, event_type, value, ts FROM src WHERE op = 'u')
+         SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 4) AS sum_val
+         FROM merged GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q153_ctas_overwrite" ->
+      """WITH pre AS (
+           SELECT event_id, event_type, value FROM events
+           WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT event_id, event_type, value FROM events
+           WHERE event_id % 2 = 1 AND event_id % 5 = 0),
+         a AS (
+           SELECT 'pre' AS phase, event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM pre GROUP BY event_type),
+         f AS (
+           SELECT 'final' AS phase, event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value * 2), 4) AS sum_val
+           FROM events WHERE event_id % 3 = 0 GROUP BY event_type)
+         SELECT * FROM a UNION ALL SELECT * FROM f
+         ORDER BY phase, event_type""",
     "q149_sql_dml" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),
          d1 AS (SELECT * FROM base WHERE event_id % 9 <> 0),

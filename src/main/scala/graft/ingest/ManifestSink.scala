@@ -860,6 +860,52 @@ object ManifestSink extends Ingest.DestinationSink {
     }
   }
 
+  /** ATOMIC OVERWRITE (Delta's `INSERT OVERWRITE` /
+    * `mode("overwrite")`): replace the table's CONTENT with `df` in one
+    * snapshot commit — the new files stage and move exactly like an
+    * append, then one `snapshot` manifest re-lists ONLY them, so
+    * readers flip from the old state to the new atomically and history
+    * is retained (time travel and [[restore]] still reach the
+    * pre-overwrite versions; [[vacuum]]-after-[[compact]] reclaims the
+    * replaced bytes). Base-version OCC without absorption: an
+    * overwrite conflicts with EVERY concurrent commit — losing the
+    * slot rolls the staged files back and throws, never silently
+    * erases a concurrent writer's rows. Stats/bloom skipping metadata
+    * builds for the new files like [[statsAppend]]. REFUSES while
+    * staged attempts are pending (maintenance-grade, like [[restore]]).
+    */
+  def overwrite(df: DataFrame, destPath: String,
+      partitionField: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val sroot = stagingRoot(destPath)
+    require(!(fs.exists(sroot) && fs.listStatus(sroot).nonEmpty),
+      s"[graft] overwrite: staged attempts are pending under $sroot " +
+        "— run recover/finishCommit first")
+    val base = manifests(fs, destPath)
+      .map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val id =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    stageMoveCommit(spark, destPath, id, Seq.empty,
+      statsCols, bloomCols, DefaultBloomBits,
+      snapshotBase = Some(base)) { staging =>
+      val writer = partitionField match {
+        case Some(f) =>
+          df.withColumn(Ingest.PartitionCol, to_date(col(f)))
+            .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+        case None => df.write.mode("overwrite")
+      }
+      writer.parquet(staging.toString)
+    }
+    finishCommit(spark, destPath, id)
+    println(s"METRIC graft.overwrite.base_version=$base " +
+      s"new_version=${base + 1} dest=$destPath")
+  }
+
   /** CDC-style incremental read (the append-only half of Delta's change
     * data feed): the rows ADDED in versions `(sinceVersion, untilVersion]`
     * — a pure METADATA decision (the union of those incremental
@@ -3368,21 +3414,33 @@ object ManifestSink extends Ingest.DestinationSink {
     // A partitioned destination stores the partition column in the
     // DIRECTORY NAME, not the data files — candidate files here are
     // read individually (no basePath), so updated rows written without
-    // `partitionField` would land at the table root with their
+    // partition awareness would land at the table root with their
     // partition value silently GONE (reads back as null, changing
-    // partition-filtered results). Refuse loudly instead: the caller
-    // must name the source column the partition re-derives from, the
-    // same contract as [[mergeInto]].
-    if (partitionField.isEmpty) {
-      val partitioned = targets.find(_.split('/').init.exists(seg =>
-        seg.contains('=')))
-      require(partitioned.isEmpty,
-        s"[graft] updateWhereMor: $destPath is partitioned (e.g. " +
-          s"'${partitioned.get}') — pass partitionField so updated " +
-          "rows keep their partition values; without it they would " +
-          "rewrite unpartitioned and read back with a null partition " +
-          "column")
-    }
+    // partition-filtered results). With `partitionField` the updated
+    // rows RE-DERIVE their partition from the (new) column values —
+    // the mergeInto contract. Without it, each updated row KEEPS its
+    // source file's partition (parsed from the directory name): the
+    // natural SQL UPDATE semantics, where the partition column is not
+    // assignable. A partition layout this sink did not write (a
+    // foreign `col=` name) still refuses loudly.
+    val autoPdate: Map[String, String] =
+      if (partitionField.nonEmpty) Map.empty
+      else {
+        val foreign = targets.find(_.split('/').init.exists(seg =>
+          seg.contains('=') &&
+            !seg.startsWith(Ingest.PartitionCol + "=")))
+        require(foreign.isEmpty,
+          s"[graft] updateWhereMor: $destPath has a partition layout " +
+            s"this engine did not write (e.g. '${foreign.get}') — " +
+            "pass partitionField so updated rows keep their partition " +
+            "values")
+        targets.flatMap { rel =>
+          rel.split('/').init
+            .find(_.startsWith(Ingest.PartitionCol + "="))
+            .map(seg => fileNameOf(rel) ->
+              seg.substring(Ingest.PartitionCol.length + 1))
+        }.toMap
+      }
     val stats = fileStatsOf(fs, old)
     val dvs = effectiveDvsOf(fs, old)
     val (candidates, m, colLabel) = pred match {
@@ -3419,7 +3477,9 @@ object ManifestSink extends Ingest.DestinationSink {
       s"[graft] updateWhereMor: SET column '$k' not in file schema " +
         s"(${dataCols.mkString(", ")}) — UPDATE changes values, not shape"))
     val ups = matched.select(
-      dataCols.map(c => set.getOrElse(c, col(c)).as(c)).toSeq: _*)
+      (dataCols.map(c => set.getOrElse(c, col(c)).as(c)) ++
+        (if (autoPdate.nonEmpty) Seq(col("__graft_fn")) else Nil))
+        .toSeq: _*)
     // updated rows keep skipping coverage: stats for every column the
     // table already records (restricted to columns the rows carry)
     val tableStatsCols = stats.keys.map(_._2).toSeq.distinct.sorted
@@ -3450,6 +3510,17 @@ object ManifestSink extends Ingest.DestinationSink {
       val writer = partitionField match {
         case Some(f) =>
           ups.withColumn(Ingest.PartitionCol, to_date(col(f)))
+            .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+        case None if autoPdate.nonEmpty =>
+          // carry each updated row's SOURCE partition: file name →
+          // directory-parsed value, joined back (broadcast — bounded
+          // by the candidate file count)
+          val pdf = spark.createDataFrame(autoPdate.toSeq)
+            .toDF("__graft_fn", "__graft_pd")
+          ups.join(broadcast(pdf), Seq("__graft_fn"), "left")
+            .withColumn(Ingest.PartitionCol,
+              expr("try_to_date(__graft_pd)"))
+            .drop("__graft_fn", "__graft_pd")
             .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
         case None => ups.write.mode("overwrite")
       }
@@ -5133,7 +5204,8 @@ object ManifestSink extends Ingest.DestinationSink {
   private def stageMoveCommit(spark: SparkSession, destPath: String,
       writeId: String, sourceUris: Seq[String],
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits)
+      bloomBits: Int = DefaultBloomBits,
+      snapshotBase: Option[Long] = None)
       (stage: Path => Unit): Unit = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
@@ -5218,6 +5290,7 @@ object ManifestSink extends Ingest.DestinationSink {
           })
       }
     val body = (Seq(s"writeid\t$writeId") ++
+      snapshotBase.map(_ => "snapshot\t1").toSeq ++
       sourceUris.map("uri\t" + _) ++
       targets.map { case (_, t) => "target\t" + t } ++
       statsLines ++ fsizeLines ++ schemaLine ++ bloomLines ++
@@ -5273,24 +5346,58 @@ object ManifestSink extends Ingest.DestinationSink {
     fs.mkdirs(lp)
     val tmp = new Path(lp, s".tmp_$writeId")
     writeFile(fs, tmp, body)
-    var attempt = 0
-    var committed = false
-    while (!committed) {
-      commitLock(fs, destPath).synchronized {
-        val version = manifests(fs, destPath)
-          .map(_.getName.takeWhile(_.isDigit).toLong)
-          .maxOption.getOrElse(-1L) + 1
-        val fin = new Path(lp, f"$version%012d.manifest")
-        committed = coordinator.putIfAbsent(fs, tmp, fin)
-      }
-      attempt += 1
-      if (!committed) {
-        require(fs.exists(tmp) && attempt < 1000,
-          s"[graft] manifest commit failed for $writeId after $attempt " +
-            "attempts (tmp file lost or log dir unwritable)")
-        println(s"METRIC graft.commit.version_conflict_retry=1 " +
-          s"write=$writeId attempt=$attempt")
-      }
+    snapshotBase match {
+      case Some(base) =>
+        // a SNAPSHOT (overwrite) redefines state: committing past a
+        // concurrent writer would silently erase its rows, so the
+        // commit requires the slot right above the captured base —
+        // lose it and the whole attempt rolls back loudly (the same
+        // base-version OCC as commitSnapshot, minus absorption: an
+        // overwrite conflicts with EVERYTHING)
+        onBeforeRewriteCommit()
+        val fin = new Path(lp, f"${base + 1}%012d.manifest")
+        val won = commitLock(fs, destPath).synchronized {
+          val nowMax = manifests(fs, destPath)
+            .map(_.getName.takeWhile(_.isDigit).toLong)
+            .maxOption.getOrElse(-1L)
+          nowMax == base && coordinator.putIfAbsent(fs, tmp, fin)
+        }
+        if (!won) {
+          targets.foreach { case (_, t) =>
+            fs.delete(new Path(dest, t), false) }
+          bloomPart.foreach(_ => fs.delete(new Path(dest, bloomRel),
+            false))
+          fs.delete(tmp, false)
+          fs.delete(staging, true)
+          val sroot = stagingRoot(destPath)
+          if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+            fs.delete(sroot, true)
+          throw new IllegalStateException(
+            s"[graft] overwrite of $destPath aborted: a concurrent " +
+              s"writer advanced the log past v$base — retry against " +
+              "the new state")
+        }
+      case None =>
+        var attempt = 0
+        var committed = false
+        while (!committed) {
+          commitLock(fs, destPath).synchronized {
+            val version = manifests(fs, destPath)
+              .map(_.getName.takeWhile(_.isDigit).toLong)
+              .maxOption.getOrElse(-1L) + 1
+            val fin = new Path(lp, f"$version%012d.manifest")
+            committed = coordinator.putIfAbsent(fs, tmp, fin)
+          }
+          attempt += 1
+          if (!committed) {
+            require(fs.exists(tmp) && attempt < 1000,
+              s"[graft] manifest commit failed for $writeId after " +
+                s"$attempt attempts (tmp file lost or log dir " +
+                "unwritable)")
+            println(s"METRIC graft.commit.version_conflict_retry=1 " +
+              s"write=$writeId attempt=$attempt")
+          }
+        }
     }
     phase("commit")
     // NO checkpoint here: this commit is still pending its ledger append

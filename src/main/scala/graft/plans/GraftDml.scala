@@ -248,11 +248,6 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       spec: Map[String, Option[String]], userCols: Seq[String],
       query: LogicalPlan, overwrite: Boolean,
       ifPartitionNotExists: Boolean, byName: Boolean): LogicalPlan = {
-    if (overwrite)
-      fail("INSERT OVERWRITE is not a manifest-table operation — " +
-        "tables evolve by append/merge/delete with retained history " +
-        "(the SaveMode.Overwrite contract); use restore/partition-" +
-        "drop/vacuum for destructive maintenance")
     if (spec.nonEmpty || ifPartitionNotExists)
       fail("INSERT INTO ... PARTITION (static spec) is not supported " +
         "— partition values derive from the partition column itself")
@@ -295,7 +290,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
     GraftInsertCommand(g.dest, Project(aligned, query),
       g.partitionCols.headOption, g.statsCols, g.bloomCols,
-      g.refreshTable)
+      g.refreshTable, overwrite)
   }
 
   private def planMerge(m: MergeIntoTable, g: GraftTarget): LogicalPlan = {
@@ -309,9 +304,13 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       unsupported("WITH SCHEMA EVOLUTION is not supported")
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
-    if (g.partitionCols.nonEmpty)
-      fail("MERGE INTO a partitioned table needs partitionField — " +
-        "use ManifestSink.mergeInto/mergeCdc")
+    // single-level partitioned targets merge natively: the source must
+    // carry the partition column (INSERT * requires it anyway) and the
+    // merge machinery routes inserted rows into their partitions
+    if (g.partitionCols.length > 1)
+      fail("MERGE INTO a multi-level partition layout is not " +
+        "supported via SQL — use ManifestSink.mergeInto/mergeCdc")
+    val mergePartition = g.partitionCols.headOption
     noSubquery(m.mergeCondition, "MERGE")
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
@@ -324,6 +323,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             (tgtOut.contains(b) && srcOut.contains(a)) =>
         if (!conf.resolver(a.name, b.name))
           unsupported(s"merge key names differ (${a.name} vs ${b.name})")
+        if (mergePartition.exists(p => conf.resolver(p, a.name)))
+          unsupported(s"the merge key cannot be the partition column " +
+            s"'${a.name}' — partition values live in the directory " +
+            "layout, not the data files")
         a.name
       case other =>
         unsupported(s"ON condition must be a single target-source " +
@@ -365,7 +368,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             "inserts unmatched source rows; add WHEN NOT MATCHED THEN " +
             "INSERT *)")
         GraftMergeCommand(g.dest, m.sourceTable, keyCol, None,
-          m.targetTable.output.map(_.name), g.refreshTable)
+          m.targetTable.output.map(_.name), g.refreshTable,
+          mergePartition)
       // WHEN MATCHED AND f THEN DELETE + UPDATE SET * + INSERT *
       case Seq(DeleteAction(Some(f)), u) if isStarUpdate(u) =>
         if (!insertStar)
@@ -377,7 +381,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             "as delete directives)")
         GraftMergeCommand(g.dest, m.sourceTable, keyCol,
           Some(byName(f)), m.targetTable.output.map(_.name),
-          g.refreshTable)
+          g.refreshTable, mergePartition)
       // WHEN MATCHED THEN DELETE, nothing else: delete the matched keys
       case Seq(DeleteAction(None)) =>
         if (insertStar)
@@ -385,7 +389,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             "INSERT * (every source row is a delete directive)")
         GraftMergeCommand(g.dest, m.sourceTable, keyCol,
           Some(lit(true)), m.targetTable.output.map(_.name),
-          g.refreshTable)
+          g.refreshTable, mergePartition)
       case _ => unsupported("unrecognized WHEN MATCHED clause shape")
     }
   }
@@ -563,12 +567,12 @@ case class GraftDeleteCommand(dest: String, cond: Column, condSql: String,
 }
 
 /** `UPDATE t SET ... WHERE ...` → sidecar-rewrite mor update (default)
-  * or copy-on-write. On a PARTITIONED layout the mor path is
-  * unavailable (`updateWhereExprMor` would rewrite updated rows
-  * without their directory-derived partition values), so the command
-  * takes copy-on-write regardless of the flag — same semantics, file
-  * rewrites stay inside their partition directories. Returns the
-  * updated-row count.
+  * or copy-on-write. On a PARTITIONED layout the mor path keeps each
+  * updated row in its source file's partition (`updateWhereExprMor`
+  * derives the value from the directory name — the partition column
+  * is not assignable through SQL, so rows never move), keeping the
+  * write O(changed rows) on the common date-partitioned CDC table.
+  * Returns the updated-row count.
   */
 case class GraftUpdateCommand(dest: String, cond: Column,
     set: Map[String, Column], condSql: String,
@@ -578,10 +582,8 @@ case class GraftUpdateCommand(dest: String, cond: Column,
     Seq(AttributeReference("updated_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val morFlag = spark.conf.get("spark.graft.dml.mor", "true").toBoolean
-    if (morFlag && partitioned)
-      println(s"METRIC graft.sql.update_cow_fallback=1 dest=$dest")
     val n =
-      if (morFlag && !partitioned)
+      if (morFlag)
         ManifestSink.updateWhereExprMor(spark, dest, cond, set)
       else ManifestSink.updateWhereExpr(spark, dest, cond, set)
     GraftDml.refreshAfterDml(spark, refreshTable)
@@ -636,15 +638,19 @@ case class GraftAlterSchemaCommand(dest: String,
 }
 
 /** `INSERT INTO t ...` → the staged atomic append ([[ManifestSink
-  * .statsAppend]]/`append`), never a direct file write into the
-  * destination. Skipping stats and bloom filters are built for the
-  * same columns the snapshot already records; on a partitioned layout
-  * the (directory-derived) partition column's values come from the
-  * inserted rows themselves. No output rows — standard INSERT shape.
+  * .statsAppend]]/`append`); `INSERT OVERWRITE t ...` → the atomic
+  * snapshot-replace ([[ManifestSink.overwrite]] — readers flip states
+  * atomically, history retained, concurrent commits abort it loudly).
+  * Never a direct file write into the destination. Skipping stats and
+  * bloom filters are built for the same columns the snapshot already
+  * records; on a partitioned layout the (directory-derived) partition
+  * column's values come from the inserted rows themselves. No output
+  * rows — standard INSERT shape.
   */
 case class GraftInsertCommand(dest: String, child: LogicalPlan,
     partitionField: Option[String], statsCols: Seq[String],
-    bloomCols: Seq[String], refreshTable: Option[String])
+    bloomCols: Seq[String], refreshTable: Option[String],
+    overwrite: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
@@ -657,7 +663,9 @@ case class GraftInsertCommand(dest: String, child: LogicalPlan,
     }
     val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
     val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
-    if (sc.nonEmpty || bc.nonEmpty)
+    if (overwrite)
+      ManifestSink.overwrite(df, dest, partitionField, sc, bc)
+    else if (sc.nonEmpty || bc.nonEmpty)
       ManifestSink.statsAppend(df, dest, partitionField,
         if (sc.nonEmpty) sc else bc, bloomCols = bc)
     else
@@ -666,7 +674,7 @@ case class GraftInsertCommand(dest: String, child: LogicalPlan,
     Seq.empty
   }
   override def simpleString(maxFields: Int): String =
-    s"GraftInsert $dest" +
+    s"GraftInsert${if (overwrite) "Overwrite" else ""} $dest" +
       partitionField.map(p => s" partitioned by $p").getOrElse("")
 }
 
@@ -678,7 +686,8 @@ case class GraftInsertCommand(dest: String, child: LogicalPlan,
   */
 case class GraftMergeCommand(dest: String, source: LogicalPlan,
     keyCol: String, deleteFilter: Option[Column],
-    targetCols: Seq[String], refreshTable: Option[String])
+    targetCols: Seq[String], refreshTable: Option[String],
+    partitionField: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("updated_rows", LongType, nullable = false)(),
@@ -693,13 +702,17 @@ case class GraftMergeCommand(dest: String, source: LogicalPlan,
     // CDC op/ts directive columns) must not land in the table
     val extras = srcDf.columns.toSeq
       .filterNot(c => targetCols.exists(_.equalsIgnoreCase(c)))
+    // on a partitioned target the source's same-name partition column
+    // (INSERT * requires it) routes inserted rows into their
+    // partitions: to_date(partition col) is the identity the sink's
+    // own layout derivation applies
     val outcome = deleteFilter match {
       case None => ManifestSink.mergeIntoStatus(spark, dest,
         srcDf.select(targetCols.map(org.apache.spark.sql.functions.col)
           : _*),
-        keyCol, None, statsCols, mor)
+        keyCol, partitionField, statsCols, mor)
       case Some(f) => ManifestSink.mergeCdcStatus(spark, dest, srcDf,
-        keyCol, f, extras, None, statsCols, mor)
+        keyCol, f, extras, partitionField, statsCols, mor)
     }
     if (!outcome.applied)
       throw new IllegalStateException(

@@ -156,11 +156,11 @@ class GraftDataSource extends RelationProvider
             "(SaveMode.ErrorIfExists)")
       case SaveMode.Ignore if exists => // no-op
       case SaveMode.Overwrite =>
-        throw new IllegalArgumentException(
-          "[graft] SaveMode.Overwrite is not a manifest-table " +
-            "operation — tables evolve by append/merge/delete with " +
-            "retained history; use restore/partition-drop/vacuum for " +
-            "destructive maintenance")
+        // atomic snapshot-replace: one commit flips readers to the new
+        // content, history retained (time travel/RESTORE reach the
+        // pre-overwrite state), concurrent commits abort it loudly
+        ManifestSink.overwrite(data, destPath, partitionField,
+          statsCols, bloomCols)
       case _ => // Append, or first write under ErrorIfExists/Ignore
         if (statsCols.nonEmpty || bloomCols.nonEmpty)
           ManifestSink.statsAppend(data, destPath, partitionField,

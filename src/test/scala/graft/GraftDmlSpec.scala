@@ -157,16 +157,17 @@ class GraftDmlSpec extends SparkSpec {
       val e3 = intercept[AnalysisException](
         spark.sql(s"DELETE FROM $tbl WHERE id IN (SELECT 1)"))
       assert(e3.getMessage.contains("subquery"), e3.getMessage)
-      // merge on a partitioned layout (source carries p_date so the
-      // star shapes RESOLVE; the graft rule must still refuse)
+      // merge keyed on the partition column: the key must live in the
+      // data files, and directory-derived p_date does not
       Seq((1L, "2026-01-02", 0.0, java.sql.Date.valueOf("2026-01-02")))
         .toDF("id", "day", "v", "p_date")
         .createOrReplaceTempView("dml_ref_src")
       val e4 = intercept[AnalysisException](spark.sql(
-        s"""MERGE INTO $tbl t USING dml_ref_src s ON t.id = s.id
+        s"""MERGE INTO $tbl t USING dml_ref_src s
+            ON t.p_date = s.p_date
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *"""))
-      assert(e4.getMessage.contains("partitionField"), e4.getMessage)
+      assert(e4.getMessage.contains("partition column"), e4.getMessage)
     } finally spark.sql(s"DROP TABLE $tbl")
 
     val (dest2, tbl2) = freshTable("dml_ref2_")
@@ -212,7 +213,7 @@ class GraftDmlSpec extends SparkSpec {
   test("INSERT INTO routes to the atomic manifest append (never a " +
       "direct file write): positional, BY-NAME column list with " +
       "reorder + cast, VALUES; stats columns carry to the new files; " +
-      "INSERT OVERWRITE and column-count mismatches refuse") {
+      "column-count mismatches refuse") {
     val (dest, tbl) = freshTable("dml_ins_")
     (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
       .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
@@ -235,9 +236,6 @@ class GraftDmlSpec extends SparkSpec {
       // the originals (metadata decision — result parity is the check)
       assert(ManifestSink.readBackWhere(spark, dest, "id", 500, 500)
         .count() == 1L)
-      val e1 = intercept[AnalysisException](spark.sql(
-        s"INSERT OVERWRITE $tbl SELECT id, v FROM $tbl"))
-      assert(e1.getMessage.contains("INSERT OVERWRITE"), e1.getMessage)
       val e2 = intercept[AnalysisException](spark.sql(
         s"INSERT INTO $tbl VALUES (1)"))
       assert(e2.getMessage.contains("column"), e2.getMessage)
@@ -263,8 +261,8 @@ class GraftDmlSpec extends SparkSpec {
   }
 
   test("partitioned tables: data-column DELETE (mor dvs) and UPDATE " +
-      "(cow fallback — mor would drop directory partition values) " +
-      "both work; partition values survive the rewrite") {
+      "(mor — updated rows KEEP their source file's partition, " +
+      "O(changed rows) write) both work; partition values survive") {
     val (dest, tbl) = freshTable("dml_part_")
     (0L until 40L).map(i => (i, s"2026-01-0${i % 4 + 1}", i * 1.0))
       .toDF("id", "day", "v")
@@ -276,17 +274,142 @@ class GraftDmlSpec extends SparkSpec {
         .getLong(0) == 4L)
       assert(spark.sql(s"UPDATE $tbl SET v = v * 10 WHERE id < 4")
         .head.getLong(0) == 4L)
-      // the update rewrote files IN PLACE inside their partition dirs:
+      // mor on a partitioned layout: the UPDATE committed tombstones +
+      // partitioned row appends, not a table rewrite
+      assert(ManifestSink.history(spark, dest)
+        .where(col("kind") === "mor").count() >= 2L)
       // every surviving row still reads its p_date
       assert(spark.table(tbl).where(col("p_date").isNull).count() == 0L)
       assert(spark.table(tbl).count() == 36L)
       assert(spark.table(tbl).where("id < 4").agg(sum("v")).head
         .getDouble(0) == (0 until 4).map(_ * 10.0).sum)
-      // the rewrite stayed partition-scoped: each updated id keeps the
+      // updated rows stayed in their partitions: each id keeps the
       // p_date its day value implies
       assert(spark.table(tbl)
         .where(col("p_date") =!= to_date(col("day"))).count() == 0L)
     } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("MERGE INTO a date-partitioned table: upserts tombstone in " +
+      "place, inserts land in their partition directories, the CDC " +
+      "delete form composes — partition values survive end to end") {
+    val (dest, tbl) = freshTable("dml_pmrg_")
+    (0L until 40L).map(i => (i, s"2026-01-0${i % 4 + 1}", i * 1.0))
+      .toDF("id", "day", "v")
+      .pipe(df => ManifestSink.statsAppend(df.repartition(1), dest,
+        Some("day"), Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      // source carries p_date (INSERT * requires every target column):
+      // id 3 updates in place, id 100 inserts into 2026-01-05
+      Seq(
+        (3L, "2026-01-04", 99.0, "2026-01-04"),
+        (100L, "2026-01-05", 1.0, "2026-01-05"))
+        .toDF("id", "day", "v", "pd")
+        .withColumn("p_date", to_date(col("pd"))).drop("pd")
+        .createOrReplaceTempView("dml_pmrg_src")
+      val r = spark.sql(
+        s"""MERGE INTO $tbl t USING dml_pmrg_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""").head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 0L)))
+      assert(spark.table(tbl).count() == 41L)
+      assert(spark.table(tbl).where("id = 3").select("v", "day")
+        .as[(Double, String)].head() == ((99.0, "2026-01-04")))
+      // partition routing: the updated and inserted rows read back
+      // with their p_date — and it is the DIRECTORY value, not a data
+      // column (fresh files land under p_date=...)
+      assert(spark.table(tbl).where("id = 3")
+        .select(col("p_date").cast("string")).as[String].head()
+        == "2026-01-04")
+      assert(spark.table(tbl).where("id = 100")
+        .select(col("p_date").cast("string")).as[String].head()
+        == "2026-01-05")
+      assert(spark.table(tbl).where(col("p_date").isNull).count() == 0L)
+      // mor default: the merge was tombstones + appends
+      assert(ManifestSink.history(spark, dest)
+        .where(col("kind") === "mor").count() >= 1L)
+
+      // CDC form: delete id 100 via directive, update id 0
+      Seq(
+        (100L, "2026-01-05", 0.0, "2026-01-05", "d"),
+        (0L, "2026-01-01", -5.0, "2026-01-01", "u"))
+        .toDF("id", "day", "v", "pd", "op")
+        .withColumn("p_date", to_date(col("pd"))).drop("pd")
+        .createOrReplaceTempView("dml_pmrg_cdc")
+      val r2 = spark.sql(
+        s"""MERGE INTO $tbl t USING dml_pmrg_cdc s ON t.id = s.id
+            WHEN MATCHED AND s.op = 'd' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""").head
+      assert((r2.getLong(0), r2.getLong(1), r2.getLong(2))
+        == ((1L, 0L, 1L)))
+      assert(spark.table(tbl).count() == 40L)
+      assert(spark.table(tbl).where("id = 100").count() == 0L)
+      assert(spark.table(tbl).where("id = 0").select("v")
+        .as[Double].head() == -5.0)
+      assert(spark.table(tbl)
+        .where(col("p_date") =!= to_date(col("day"))).count() == 0L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("CTAS + INSERT OVERWRITE: CREATE TABLE ... USING graft AS " +
+      "SELECT lands through the staged commit (read-back parity, " +
+      "appendable); INSERT OVERWRITE atomically snapshot-replaces " +
+      "with history retained; a concurrent commit aborts it with " +
+      "nothing lost") {
+    val tbl = "dml_ctas_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.sql(s"CREATE TABLE $tbl USING graft AS " +
+      "SELECT id, CAST(id * 2 AS DOUBLE) AS v FROM range(10)")
+    try {
+      val dest = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .location.toString
+      // parity: the catalog table, the path read, and the Scala read
+      // all see the same committed snapshot
+      assert(spark.table(tbl).count() == 10L)
+      assert(spark.table(tbl).orderBy("id").collect().toSeq ==
+        ManifestSink.readBack(spark, dest).orderBy("id")
+          .collect().toSeq)
+      assert(spark.table(tbl).where("id = 7").select("v")
+        .as[Double].head() == 14.0)
+      // the CTAS went through the manifest log, not a direct write
+      assert(ManifestSink.history(spark, dest).count() == 1L)
+      // the table evolves: INSERT INTO appends a new version
+      spark.sql(s"INSERT INTO $tbl VALUES (100L, 0.5D)")
+      assert(spark.table(tbl).count() == 11L)
+
+      // INSERT OVERWRITE: one snapshot commit replaces the content...
+      spark.sql(
+        s"INSERT OVERWRITE $tbl SELECT id, 1.0 FROM range(3)")
+      assert(spark.table(tbl).orderBy("id").select("id")
+        .as[Long].collect().toSeq == Seq(0L, 1L, 2L))
+      // ...and history survives: the pre-overwrite state time-travels
+      assert(spark.sql(
+        s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+        .as[Long].head() == 11L)
+
+      // concurrency: a commit landing between the overwrite's capture
+      // and its slot claim aborts the overwrite LOUDLY — the staged
+      // files roll back, the concurrent append survives
+      ManifestSink.onBeforeRewriteCommit = () =>
+        ManifestSink.append(Seq((500L, 9.9)).toDF("id", "v"),
+          dest, None)
+      try {
+        val e = intercept[IllegalStateException] {
+          spark.sql(s"INSERT OVERWRITE $tbl SELECT id, 2.0 FROM range(5)")
+        }
+        assert(e.getMessage.contains("aborted"), e.getMessage)
+      } finally ManifestSink.onBeforeRewriteCommit = () => ()
+      assert(spark.table(tbl).orderBy("id").select("id")
+        .as[Long].collect().toSeq == Seq(0L, 1L, 2L, 500L))
+      // no stranded staging debris for THIS table
+      val destDir = new java.io.File(new java.net.URI(dest).getPath)
+      assert(!new java.io.File(destDir.getParentFile,
+        s".staging_${destDir.getName}").exists())
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("catalog tables resolve to a FRESH committed snapshot: schema " +

@@ -150,8 +150,8 @@ class GraftSqlSpec extends SparkSpec {
   }
 
   test("df.write.format(\"graft\"): append commits atomically through " +
-      "the manifest log; Overwrite refuses; ErrorIfExists errors on a " +
-      "non-empty table") {
+      "the manifest log; Overwrite is an atomic snapshot-replace with " +
+      "history retained; ErrorIfExists errors on a non-empty table") {
     val root = tmpDir("gsqlw_")
     val dest = s"$root/wh/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
@@ -166,12 +166,21 @@ class GraftSqlSpec extends SparkSpec {
       .count() == 1)
     intercept[IllegalArgumentException] {
       Seq((9L, "x")).toDF("id", "v")
-        .write.format("graft").mode("overwrite").save(dest)
-    }
-    intercept[IllegalArgumentException] {
-      Seq((9L, "x")).toDF("id", "v")
         .write.format("graft").mode("errorifexists").save(dest)
     }
+    // overwrite: readers flip atomically to the new content...
+    Seq((9L, "x")).toDF("id", "v")
+      .write.format("graft").mode("overwrite")
+      .option("statsCols", "id").save(dest)
+    assert(spark.read.format("graft").load(dest)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "x")))
+    // ...with skipping stats live on the new files and HISTORY intact:
+    // the pre-overwrite state stays time-travelable and restorable
+    assert(ManifestSink.readBackWhere(spark, dest, "id", 9, 9)
+      .count() == 1)
+    assert(ManifestSink.readVersion(spark, dest, 1L).count() == 3L)
+    ManifestSink.restore(spark, dest,  1L)
+    assert(spark.read.format("graft").load(dest).count() == 3L)
   }
 
   test("dv transport: the task-read path (sidecar reads inside tasks, " +

@@ -3169,8 +3169,10 @@ class ManifestSinkSpec extends SparkSpec {
   }
 
   test("updateWhereMor: a partitioned destination without " +
-      "partitionField refuses loudly (silent partition loss), and " +
-      "with partitionField the update keeps partition values") {
+      "partitionField keeps each updated row in its SOURCE file's " +
+      "partition (directory-derived); with partitionField the " +
+      "partition re-derives from the new values; a foreign partition " +
+      "layout refuses loudly") {
     val root = tmpDir("msinkmorpart_")
     val dest = s"$root/wh/t"
     val df = Seq(
@@ -3181,12 +3183,15 @@ class ManifestSinkSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
     ManifestSink.statsAppend(df.coalesce(1), dest, Some("ts"),
       statsCols = Seq("id"))
-    val ex = intercept[IllegalArgumentException] {
-      ManifestSink.updateWhereMor(spark, dest,
-        ManifestSink.SkipPredicate.NumRange("id", 2, 2),
-        Map("v" -> lit("B")))
-    }
-    assert(ex.getMessage.contains("partitioned"))
+    // no partitionField: the updated row stays in 2024-01-02
+    assert(ManifestSink.updateWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 3, 3),
+      Map("v" -> lit("C"))) == 1L)
+    val sqlBack = spark.read.format("graft").load(dest)
+    assert(sqlBack.where(col("id") === 3L)
+      .select(col("v"),
+        col(graft.ingest.Ingest.PartitionCol).cast("string"))
+      .as[(String, String)].head() == (("C", "2024-01-02")))
     // with partitionField: update lands, partition value survives
     val n = ManifestSink.updateWhereMor(spark, dest,
       ManifestSink.SkipPredicate.NumRange("id", 2, 2),
@@ -3200,6 +3205,25 @@ class ManifestSinkSpec extends SparkSpec {
     assert(pcol.nonEmpty)
     assert(back.where(col(graft.ingest.Ingest.PartitionCol).isNull)
       .count() == 0)
+    // a partition layout this sink did not write refuses
+    val dest2 = s"$root/wh/foreign"
+    Seq((1L, "x")).toDF("id", "v").write
+      .parquet(s"$dest2/region=emea")
+    ManifestSink.append(
+      spark.read.parquet(s"$dest2/region=emea"), dest2, None)
+    // plant a foreign-layout target line
+    val lf = new java.io.File(s"$dest2/_log")
+    val mf = lf.listFiles().filter(_.getName.endsWith(".manifest")).head
+    java.nio.file.Files.writeString(mf.toPath,
+      "writeid\tforeign\ntarget\tregion=emea/" +
+        new java.io.File(s"$dest2/region=emea").listFiles()
+          .map(_.getName).find(_.endsWith(".parquet")).get)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestSink.updateWhereMor(spark, dest2,
+        ManifestSink.SkipPredicate.NumRange("id", 1, 1),
+        Map("v" -> lit("y")))
+    }
+    assert(ex.getMessage.contains("did not write"), ex.getMessage)
   }
 
   test("purge: only files below the live-fraction threshold rewrite — " +
