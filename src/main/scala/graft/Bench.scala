@@ -53,7 +53,14 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // requalification subset: SPARK_GRAFT_BENCH_ONLY=q87,q152 times just
+    // those queries (the per-query minima protocol); unset = everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column —

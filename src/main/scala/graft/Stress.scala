@@ -864,6 +864,71 @@ object Stress {
         f"${(System.nanoTime() - t5) / 1e9}%8.2f s  rows=$nOpt")
       require(nOpt == nMor)
     }
+    // Concurrent-writer liveness: 4 appender threads racing 60 staged
+    // atomic commits against an OPTIMIZE loop on the same table — the
+    // commit protocol's THROUGHPUT number (commits/sec under
+    // contention) and the starvation check (every writer's every batch
+    // must land; optimize either absorbs the interleaved appends or
+    // aborts and retries, never eats one).
+    if (enabled("writer_liveness")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_wl_").toString
+      val dest = s"$root/t"
+      val nWriters = 4
+      val perWriter = 15
+      val rowsPer = 1000L
+      ManifestSink.statsAppend(
+        spark.range(rowsPer).selectExpr("id", "-1L AS writer"),
+        dest, None, Seq("id"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val optRuns = new java.util.concurrent.atomic.AtomicLong(0)
+      val optLanded = new java.util.concurrent.atomic.AtomicLong(0)
+      val writersLive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val t0 = System.nanoTime()
+      val writers = (0 until nWriters).map { w =>
+        new Thread(() => {
+          try {
+            for (i <- 0 until perWriter) {
+              ManifestSink.statsAppend(
+                spark.range(rowsPer).selectExpr(
+                  s"id + ${(w.toLong * perWriter + i + 1) * rowsPer} AS id",
+                  s"${w}L AS writer"),
+                dest, None, Seq("id"))
+            }
+          } catch { case e: Throwable => errs.add(e) }
+        }, s"wl-writer-$w")
+      }
+      val optimizer = new Thread(() => {
+        try {
+          while (writersLive.get()) {
+            optRuns.incrementAndGet()
+            if (ManifestSink.optimize(spark, dest,
+                targetBytes = 1L << 30) > 0) optLanded.incrementAndGet()
+            Thread.sleep(100)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      }, "wl-optimizer")
+      writers.foreach(_.start()); optimizer.start()
+      writers.foreach(_.join())
+      writersLive.set(false); optimizer.join()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(errs.isEmpty, s"concurrent writers must not fail: $errs")
+      // STARVATION CHECK: every writer's every batch landed
+      val back = ManifestSink.readBack(spark, dest)
+      val total = back.count()
+      val expected = rowsPer * (nWriters * perWriter + 1)
+      require(total == expected, s"lost commits: $total != $expected")
+      val perW = back.groupBy(col("writer")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until nWriters).foreach(w => require(
+        perW.getOrElse(w.toLong, 0L) == rowsPer * perWriter,
+        s"writer $w starved: ${perW.get(w.toLong)}"))
+      val commits = nWriters * perWriter
+      println(f"STRESS writer_liveness            $secs%8.2f s  " +
+        f"commits=$commits commits_per_sec=${commits / secs}%.1f " +
+        f"optimize_runs=${optRuns.get()} optimize_landed=" +
+        f"${optLanded.get()}")
+    }
     // Vectorized-dv-scan ladder: a ~1%-tombstoned table must scan
     // within spitting distance of its dv-less twin — the
     // GraftDvScanRule rewrite keeps columnar batches + pushdown and

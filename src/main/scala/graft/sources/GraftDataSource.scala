@@ -237,12 +237,35 @@ final class GraftFileIndex(spark: SparkSession,
   private val entries: Seq[(String, FileStatus, Map[String, String])] = {
     val sizes = handle.sizes
     val blockSize = fs.getDefaultBlockSize(destPath)
+    // pre-fsize files (legacy logs) fall back to the filesystem — ONE
+    // bulk listStatus per DISTINCT parent directory instead of one
+    // driver getFileStatus per file (at 100k object-store files the
+    // difference between a handful of LIST calls and minutes of HEADs)
+    val missing = handle.targets.filterNot(sizes.contains)
+    val listed: Map[String, FileStatus] =
+      if (missing.isEmpty) Map.empty
+      else {
+        if (missing.length > 1)
+          println(s"METRIC graft.fileindex.legacy_stat_files=" +
+            s"${missing.length} dest=${handle.destPath}")
+        missing.map { rel =>
+          val i = rel.lastIndexOf('/')
+          if (i < 0) "" else rel.substring(0, i)
+        }.distinct.flatMap { dir =>
+          val d = if (dir.isEmpty) destPath else new Path(destPath, dir)
+          val prefix = if (dir.isEmpty) "" else dir + "/"
+          try fs.listStatus(d).toSeq
+            .filter(_.isFile)
+            .map(st => (prefix + st.getPath.getName) -> st)
+          catch { case _: java.io.FileNotFoundException => Nil }
+        }.toMap
+      }
     handle.targets.map { rel =>
       val p = fs.makeQualified(new Path(destPath, rel))
       val st = sizes.get(rel) match {
         case Some((len, mtime)) =>
           new FileStatus(len, false, 1, blockSize, mtime, p)
-        case None => fs.getFileStatus(p)
+        case None => listed.getOrElse(rel, fs.getFileStatus(p))
       }
       val parts = rel.split('/').init.collect {
         case seg if seg.contains('=') =>

@@ -183,6 +183,35 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dest).count() == 3L)
   }
 
+  test("legacy logs without fsize lines: the FileIndex bulk-lists " +
+      "parent directories instead of one stat per file and reads " +
+      "identically (partitioned + flat)") {
+    val root = tmpDir("gsqlleg_")
+    val dest = s"$root/wh/t"
+    val df = (0L until 30L).map(i =>
+        (i, s"2026-02-0${i % 3 + 1}T10:00:00", s"v$i"))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    ManifestSink.statsAppend(df.repartition(3, col("id")), dest,
+      Some("ts"), statsCols = Seq("id"))
+    val expected = spark.read.format("graft").load(dest)
+      .orderBy("id").collect().toSeq
+    // strip every fsize line — the pre-r17 log format
+    val logDir = new java.io.File(s"$dest/_log")
+    logDir.listFiles().filter(_.getName.endsWith(".manifest"))
+      .foreach { mf =>
+        val kept = java.nio.file.Files.readAllLines(mf.toPath)
+          .toArray(Array.empty[String])
+          .filterNot(_.startsWith("fsize\t"))
+        java.nio.file.Files.writeString(mf.toPath, kept.mkString("\n"))
+      }
+    val got = spark.read.format("graft").load(dest)
+      .orderBy("id").collect().toSeq
+    assert(got == expected)
+    assert(spark.read.format("graft").load(dest)
+      .where(col(graft.ingest.Ingest.PartitionCol) === "2026-02-02")
+      .count() == 10L)
+  }
+
   test("dv transport: the task-read path (sidecar reads inside tasks, " +
       "no driver funnel) returns the same rows as the broadcast path") {
     val root = tmpDir("gsqldv_")
