@@ -412,6 +412,31 @@ class GraftDmlSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("INSERT OVERWRITE a date-partitioned table: the replacement " +
+      "rows land in their partition directories, old partitions " +
+      "vanish from the head but survive in history") {
+    val (dest, tbl) = freshTable("dml_powr_")
+    (0L until 12L).map(i => (i, s"2026-04-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", "day", "v")
+      .pipe(df => ManifestSink.statsAppend(df.repartition(1), dest,
+        Some("day"), Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      // replacement covers only two of the three days
+      spark.sql(s"""INSERT OVERWRITE $tbl VALUES
+          (100L, '2026-04-01', 1.0D, DATE '2026-04-01'),
+          (101L, '2026-04-02', 2.0D, DATE '2026-04-02')""")
+      val now = spark.table(tbl)
+      assert(now.count() == 2L)
+      assert(now.select(col("p_date").cast("string")).as[String]
+        .collect().sorted.toSeq == Seq("2026-04-01", "2026-04-02"))
+      assert(now.where(col("p_date").isNull).count() == 0L)
+      // pre-overwrite state reachable: 12 rows across 3 days at v0
+      assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 0")
+        .as[Long].head() == 12L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("catalog tables resolve to a FRESH committed snapshot: schema " +
       "evolution does not break reads (the V1 stored-schema pin would " +
       "throw 'user-specified schema doesn't match' forever), and new " +

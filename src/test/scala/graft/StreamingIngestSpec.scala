@@ -1353,6 +1353,34 @@ class StreamingIngestSpec extends SparkSpec {
       .schema.fieldNames.toSeq == Seq("id", "w", "_commit_version"))
   }
 
+  test("admission control under a processing-time trigger (not just " +
+      "AvailableNow): batches stay bounded and drain everything " +
+      "exactly once") {
+    import spark.implicits._
+    val root = tmpDir("gsrcpt_")
+    val dest = s"$root/t"
+    for (b <- 0L until 10L)
+      ManifestSink.append(Seq((b, s"v$b")).toDF("id", "v"), dest, None)
+    val perBatch = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "4").load(dest)
+      .writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          perBatch += df.select(col("_commit_version"))
+            .distinct().as[Long].collect().toSeq
+          ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(perBatch.flatten.sorted.toSeq == (0L until 10L))
+    val real = perBatch.filter(_.nonEmpty)
+    assert(real.length >= 3, s"10 versions at cap 4 must chunk: $perBatch")
+    assert(real.forall(_.length <= 4), s"cap exceeded: $perBatch")
+  }
+
   test("readStream.format(\"graft\"): the manifest log as a native " +
       "Structured Streaming source — AvailableNow drains exactly once " +
       "across restarts on Spark's own checkpoint, mid-stream " +
