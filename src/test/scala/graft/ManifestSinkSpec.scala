@@ -3168,6 +3168,69 @@ class ManifestSinkSpec extends SparkSpec {
       s"orphan tmp in log dir: ${logFiles.mkString(",")}")
   }
 
+  test("footer-derived stats equal the scanned stats LINE FOR LINE " +
+      "(long/double/boolean/string with nulls and >64-char " +
+      "truncation); unsupported types fall back to the scan; pruning " +
+      "behaves identically") {
+    val root = tmpDir("msinkfstats_")
+    val df = spark.range(0, 300).select(
+      col("id"),
+      when(col("id") % 10 === 0, lit(null))
+        .otherwise(col("id") * 1.5).as("v"),
+      (col("id") % 2 === 0).as("flag"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(concat(lit("k"),
+          lpad(col("id").cast("string"), 70, "0"))).as("s"))
+      .repartitionByRange(3, col("id"))
+    def statsLines(dest: String): Set[String] = {
+      val logDir = new java.io.File(s"$dest/_log")
+      logDir.listFiles().filter(_.getName.endsWith(".manifest"))
+        .flatMap(mf => java.nio.file.Files.readAllLines(mf.toPath)
+          .toArray(Array.empty[String]))
+        .filter(_.startsWith("stats2\t"))
+        .map { l =>
+          // normalize the writeId-bearing target name to its range-
+          // bucket suffix so two commits' lines compare
+          val p = l.split('\t')
+          val tgt = p(1)
+          p(1) = tgt.substring(tgt.lastIndexOf('-'))
+          p.mkString("\t")
+        }.toSet
+    }
+    val destF = s"$root/footer"; val destS = s"$root/scan"
+    ManifestSink.statsAppend(df, destF, None,
+      Seq("id", "v", "flag", "s"))
+    val cap = ManifestSink.FooterStatsMaxFiles
+    try {
+      ManifestSink.FooterStatsMaxFiles = 0 // force the scan path
+      ManifestSink.statsAppend(df, destS, None,
+        Seq("id", "v", "flag", "s"))
+    } finally ManifestSink.FooterStatsMaxFiles = cap
+    assert(statsLines(destF) == statsLines(destS),
+      s"footer stats diverged:\n${statsLines(destF)}\nvs\n" +
+        s"${statsLines(destS)}")
+    // pruning on footer-built stats: range bucket isolation
+    assert(ManifestSink.readBackWhere(spark, destF, "id", 250, 250)
+      .count() == 1L)
+    // truncated string bounds stay conservative: the 71-char value of
+    // id=123 still reads back through a point predicate
+    assert(spark.read.format("graft").load(destF)
+      .where(col("s") === "k" + "0" * 66 + "0123").count() == 1L)
+
+    // a timestamp stats column makes the footer path REFUSE (Spark's
+    // cast-to-string bound semantics are the scan's) — lines still
+    // identical because both dests take the scan
+    val dfT = df.withColumn("ts",
+      (col("id") * 1000000L).cast("timestamp"))
+    val destTF = s"$root/tsf"; val destTS = s"$root/tss"
+    ManifestSink.statsAppend(dfT, destTF, None, Seq("id", "ts"))
+    try {
+      ManifestSink.FooterStatsMaxFiles = 0
+      ManifestSink.statsAppend(dfT, destTS, None, Seq("id", "ts"))
+    } finally ManifestSink.FooterStatsMaxFiles = cap
+    assert(statsLines(destTF) == statsLines(destTS))
+  }
+
   test("updateWhereMor: a partitioned destination without " +
       "partitionField keeps each updated row in its SOURCE file's " +
       "partition (directory-derived); with partitionField the " +
