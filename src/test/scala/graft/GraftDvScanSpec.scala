@@ -127,6 +127,30 @@ class GraftDvScanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dvt")
   }
 
+  test("self-join of a dv'd table (same DataFrame twice) survives the " +
+      "rewrite: attribute dedup and the tombstone filter compose") {
+    val dest = s"${tmpDir("dvscansj_")}/t"
+    mkDvTable(dest)
+    val df = spark.read.format("graft").load(dest)
+    val j = df.as("a").join(df.as("b"),
+      col("a.id") === col("b.id") + 100L)
+      .select(col("a.id").as("aid"), col("b.id").as("bid"))
+    val rows = j.collect()
+    // live pairs only: both sides' tombstones (40-59, 150-154) apply
+    val live = (0L until 300L).filterNot(i =>
+      (i >= 40 && i <= 59) || (i >= 150 && i <= 154)).toSet
+    val expected = live.filter(i => live.contains(i - 100L)).toSeq.sorted
+    assert(rows.map(_.getLong(0)).sorted.toSeq == expected)
+    // SQL self-join over the catalog face too
+    spark.sql(s"CREATE TABLE dvsj USING graft LOCATION '$dest'")
+    try {
+      assert(spark.sql(
+        """SELECT count(*) FROM dvsj a JOIN dvsj b
+           ON a.id = b.id + 100""").as[Long].head() ==
+        expected.length.toLong)
+    } finally spark.sql("DROP TABLE dvsj")
+  }
+
   test("time travel composes with the rewrite: a pre-delete version " +
       "reads WITHOUT the later tombstones, columnar") {
     val dest = s"${tmpDir("dvscantt_")}/t"
