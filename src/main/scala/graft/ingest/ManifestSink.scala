@@ -4041,10 +4041,11 @@ object ManifestSink extends Ingest.DestinationSink {
     * silently writing rows=0 would MIS-prune committed data — fail the
     * write instead.
     */
-  /** Commit-size cap for the footer fast path: below it the driver
-    * reads one footer per staged file; above it the distributed scan
-    * amortizes better than serial driver reads. Var so specs can force
-    * either path.
+  /** Commit-size cap for the DRIVER-side footer fast path: below it
+    * the driver reads one footer per staged file; above it the footer
+    * reads fan out as one tiny executor job over the FILE LIST (still
+    * zero data bytes re-read). 0 forces the legacy full-scan path
+    * (the parity-spec seam).
     */
   @volatile private[graft] var FooterStatsMaxFiles = 256
 
@@ -4069,103 +4070,172 @@ object ManifestSink extends Ingest.DestinationSink {
     *    stats, unknown null counts) refuses the whole commit's fast
     *    path, not just the file.
     */
+  /** The parquet-type → stats-kind gate shared by the footer paths:
+    * `Some("num")`/`Some("str")` when footer statistics carry the SAME
+    * bound semantics as the scan path's Spark casts, None otherwise.
+    */
+  private def footerKindOf(t: org.apache.parquet.schema.Type)
+      : Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    if (!t.isPrimitive || t.isRepetition(
+        org.apache.parquet.schema.Type.Repetition.REPEATED)) return None
+    val p = t.asPrimitiveType()
+    val ann = p.getLogicalTypeAnnotation
+    p.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+        ann match {
+          case null => Some("num")
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if i.isSigned => Some("num")
+          case _ => None
+        }
+      case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE |
+          PrimitiveTypeName.BOOLEAN => Some("num")
+      case PrimitiveTypeName.BINARY => ann match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+          Some("str")
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** One file's footer-derived per-column stats (kinds pre-gated from
+    * the commit's first footer, re-validated here per file); None on
+    * ANY uncertainty — missing field, kind drift, absent/unset/NaN
+    * statistics. Runs on the driver for small commits and inside
+    * executor tasks for large ones (object + serializable args only).
+    */
+  private[graft] def footerStatsOfFile(
+      conf: org.apache.hadoop.conf.Configuration, file: Path,
+      kinds: Seq[(String, String)]): Option[Seq[(String, ColStats)]] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.column.{statistics => pqs}
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    val footer = try reader.getFooter finally reader.close()
+    val schema = footer.getFileMetaData.getSchema
+    val blocks = footer.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    val out = Seq.newBuilder[(String, ColStats)]
+    kinds.foreach { case (c, kind) =>
+      val field = schema.getFields.asScala.find(_.getName == c)
+        .getOrElse(return None)
+      if (!footerKindOf(field).contains(kind)) return None
+      var nulls = 0L
+      var mnN, mxN = Option.empty[Double]
+      var mnS, mxS = Option.empty[String]
+      blocks.foreach { b =>
+        val cc = b.getColumns.asScala
+          .find(_.getPath.toDotString == c).getOrElse(return None)
+        val st = cc.getStatistics
+        if (st == null || st.isEmpty) return None
+        val nn = st.getNumNulls
+        if (nn < 0) return None
+        nulls += nn
+        if (st.hasNonNullValue) {
+          if (kind == "num") {
+            val (mn, mx) = st match {
+              case s: pqs.IntStatistics =>
+                (s.getMin.toDouble, s.getMax.toDouble)
+              case s: pqs.LongStatistics =>
+                (s.getMin.toDouble, s.getMax.toDouble)
+              case s: pqs.FloatStatistics =>
+                (s.getMin.toDouble, s.getMax.toDouble)
+              case s: pqs.DoubleStatistics => (s.getMin, s.getMax)
+              case s: pqs.BooleanStatistics =>
+                (if (s.getMin) 1.0 else 0.0,
+                  if (s.getMax) 1.0 else 0.0)
+              case _ => return None
+            }
+            if (mn.isNaN || mx.isNaN) return None
+            mnN = Some(mnN.fold(mn)(math.min(_, mn)))
+            mxN = Some(mxN.fold(mx)(math.max(_, mx)))
+          } else st match {
+            case s: pqs.BinaryStatistics =>
+              val mn = s.genericGetMin.toStringUsingUTF8
+              val mx = s.genericGetMax.toStringUsingUTF8
+              mnS = Some(mnS.fold(mn)(p => if (p <= mn) p else mn))
+              mxS = Some(mxS.fold(mx)(p => if (p >= mx) p else mx))
+            case _ => return None
+          }
+        } else if (nn != cc.getValueCount) return None // dropped
+      }
+      val (mn, mx) =
+        if (kind == "num") (mnN.map(_.toString), mxN.map(_.toString))
+        else (mnS.map(truncMin), mxS.map(truncMax))
+      out += c -> ColStats(kind, mn, mx, nulls, rows)
+    }
+    Some(out.result())
+  }
+
   private def footerStatsLines(spark: SparkSession, fs: FileSystem,
       staged: Path, relToTarget: Map[String, String],
       statsCols: Seq[String]): Option[Seq[String]] = {
-    if (relToTarget.isEmpty || relToTarget.size > FooterStatsMaxFiles)
-      return None
+    if (relToTarget.isEmpty || FooterStatsMaxFiles <= 0) return None
     if (statsCols.exists(_.contains('.'))) return None
     import scala.jdk.CollectionConverters._
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.parquet.column.{statistics => pqs}
-    def kindOf(t: org.apache.parquet.schema.Type): Option[String] = {
-      if (!t.isPrimitive || t.isRepetition(
-          org.apache.parquet.schema.Type.Repetition.REPEATED)) return None
-      val p = t.asPrimitiveType()
-      val ann = p.getLogicalTypeAnnotation
-      p.getPrimitiveTypeName match {
-        case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
-          ann match {
-            case null => Some("num")
-            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
-                if i.isSigned => Some("num")
-            case _ => None
-          }
-        case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE |
-            PrimitiveTypeName.BOOLEAN => Some("num")
-        case PrimitiveTypeName.BINARY => ann match {
-          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
-            Some("str")
-          case _ => None
-        }
-        case _ => None
-      }
-    }
     try {
       val conf = spark.sparkContext.hadoopConfiguration
-      val out = Seq.newBuilder[String]
-      relToTarget.toSeq.sortBy(_._1).foreach { case (rel, tgt) =>
+      val rels = relToTarget.keys.toSeq.sorted
+      // the kind gate reads ONE footer (a staged commit is one write
+      // job: uniform schema; per-file re-validation catches drift)
+      val kinds: Seq[(String, String)] = {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(staged, rel), conf))
-        val footer = try reader.getFooter finally reader.close()
-        val schema = footer.getFileMetaData.getSchema
-        val blocks = footer.getBlocks.asScala.toSeq
-        val rows = blocks.map(_.getRowCount).sum
-        statsCols.sorted.foreach { c =>
-          if (!schema.containsField(c)) return None
-          val kind = kindOf(schema.getFields.asScala
-            .find(_.getName == c).getOrElse(return None))
+            new Path(staged, rels.head), conf))
+        val schema =
+          try reader.getFooter.getFileMetaData.getSchema
+          finally reader.close()
+        statsCols.sorted.map { c =>
+          val f = schema.getFields.asScala.find(_.getName == c)
             .getOrElse(return None)
-          var nulls = 0L
-          var mnN, mxN = Option.empty[Double]
-          var mnS, mxS = Option.empty[String]
-          blocks.foreach { b =>
-            val cc = b.getColumns.asScala
-              .find(_.getPath.toDotString == c).getOrElse(return None)
-            val st = cc.getStatistics
-            if (st == null || st.isEmpty) return None
-            val nn = st.getNumNulls
-            if (nn < 0) return None
-            nulls += nn
-            if (st.hasNonNullValue) {
-              if (kind == "num") {
-                val (mn, mx) = st match {
-                  case s: pqs.IntStatistics =>
-                    (s.getMin.toDouble, s.getMax.toDouble)
-                  case s: pqs.LongStatistics =>
-                    (s.getMin.toDouble, s.getMax.toDouble)
-                  case s: pqs.FloatStatistics =>
-                    (s.getMin.toDouble, s.getMax.toDouble)
-                  case s: pqs.DoubleStatistics => (s.getMin, s.getMax)
-                  case s: pqs.BooleanStatistics =>
-                    (if (s.getMin) 1.0 else 0.0,
-                      if (s.getMax) 1.0 else 0.0)
-                  case _ => return None
-                }
-                if (mn.isNaN || mx.isNaN) return None
-                mnN = Some(mnN.fold(mn)(math.min(_, mn)))
-                mxN = Some(mxN.fold(mx)(math.max(_, mx)))
-              } else st match {
-                case s: pqs.BinaryStatistics =>
-                  val mn = s.genericGetMin.toStringUsingUTF8
-                  val mx = s.genericGetMax.toStringUsingUTF8
-                  mnS = Some(mnS.fold(mn)(p => if (p <= mn) p else mn))
-                  mxS = Some(mxS.fold(mx)(p => if (p >= mx) p else mx))
-                case _ => return None
-              }
-            } else if (nn != cc.getValueCount) return None // dropped
+          c -> footerKindOf(f).getOrElse(return None)
+        }
+      }
+      val perFile: Seq[(String, Option[Seq[(String, ColStats)]])] =
+        if (rels.length <= FooterStatsMaxFiles)
+          rels.map(rel =>
+            rel -> footerStatsOfFile(conf, new Path(staged, rel), kinds))
+        else {
+          // large commit: fan the FOOTER reads out as one tiny job
+          // over the file list — still zero data bytes re-read
+          val stagedStr = fs.makeQualified(staged).toString
+          val confEntries: Array[(String, String)] = {
+            val it = conf.iterator()
+            val buf = scala.collection.mutable
+              .ArrayBuffer[(String, String)]()
+            while (it.hasNext) {
+              val e = it.next(); buf += ((e.getKey, e.getValue))
+            }
+            buf.toArray
           }
-          val (mn, mx) =
-            if (kind == "num") (mnN.map(_.toString), mxN.map(_.toString))
-            else (mnS.map(truncMin), mxS.map(truncMax))
-          out += statsLine(tgt, c, ColStats(kind, mn, mx, nulls, rows))
+          val nPart = math.min(32, (rels.length + 63) / 64)
+          spark.sparkContext.parallelize(rels, nPart)
+            .mapPartitions { it =>
+              val c = new org.apache.hadoop.conf.Configuration(false)
+              confEntries.foreach { case (k, v) => c.set(k, v) }
+              it.map { rel =>
+                rel -> (try footerStatsOfFile(c,
+                    new Path(stagedStr, rel), kinds)
+                  catch {
+                    case scala.util.control.NonFatal(_) => None
+                  })
+              }
+            }.collect().toSeq
+        }
+      if (perFile.exists(_._2.isEmpty)) return None
+      val out = perFile.sortBy(_._1).flatMap { case (rel, sts) =>
+        sts.get.map { case (c, cs) =>
+          statsLine(relToTarget(rel), c, cs)
         }
       }
       println(s"METRIC graft.stats.footer_path=1 " +
-        s"files=${relToTarget.size} cols=${statsCols.length}")
-      Some(out.result())
+        s"files=${rels.length} cols=${statsCols.length} mode=" +
+        (if (rels.length <= FooterStatsMaxFiles) "driver"
+         else "distributed"))
+      Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

@@ -3198,6 +3198,7 @@ class ManifestSinkSpec extends SparkSpec {
         }.toSet
     }
     val destF = s"$root/footer"; val destS = s"$root/scan"
+    val destD = s"$root/dist"
     ManifestSink.statsAppend(df, destF, None,
       Seq("id", "v", "flag", "s"))
     val cap = ManifestSink.FooterStatsMaxFiles
@@ -3205,10 +3206,16 @@ class ManifestSinkSpec extends SparkSpec {
       ManifestSink.FooterStatsMaxFiles = 0 // force the scan path
       ManifestSink.statsAppend(df, destS, None,
         Seq("id", "v", "flag", "s"))
+      // 3 files over a cap of 1: the DISTRIBUTED footer job
+      ManifestSink.FooterStatsMaxFiles = 1
+      ManifestSink.statsAppend(df, destD, None,
+        Seq("id", "v", "flag", "s"))
     } finally ManifestSink.FooterStatsMaxFiles = cap
     assert(statsLines(destF) == statsLines(destS),
       s"footer stats diverged:\n${statsLines(destF)}\nvs\n" +
         s"${statsLines(destS)}")
+    assert(statsLines(destD) == statsLines(destS),
+      "distributed footer stats diverged from the scan's")
     // pruning on footer-built stats: range bucket isolation
     assert(ManifestSink.readBackWhere(spark, destF, "id", 250, 250)
       .count() == 1L)
