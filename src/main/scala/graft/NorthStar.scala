@@ -1198,6 +1198,47 @@ object NorthStar {
       out
     }),
 
+    // STRING-COLLATION data skipping promoted to an oracle query: the
+    // r18 audit found bounds produced in UTF-8 byte order (Spark
+    // min/max, parquet footer stats) but compared in UTF-16 code-unit
+    // order — the two collations disagree exactly where supplementary-
+    // plane characters (every emoji: UTF-16 surrogates D800–DFFF,
+    // UTF-8 F0+) interleave with U+E000–FFFF, so a file whose max key
+    // carried an emoji wrongly pruned a probe for its U+E000 neighbor
+    // and rows silently vanished. This query plants keys in all three
+    // classes (BMP 'm' < U+E000 < U+1F600 in the data order), clusters
+    // them into range-disjoint files, then answers point probes and an
+    // open-top range THROUGH the skipping read + metadata-credited
+    // countWhere; DuckDB compares strings as UTF-8 bytes natively, so
+    // any collation drift in mayMatch/mustMatch/mergeStats breaks the
+    // hash (and under the pre-fix compare this query LOSES rows).
+    "q154_utf8_skipping" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      import ManifestSink.SkipPredicate
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val marker = when(pmod(col("doc_id"), lit(3L)) === 0, lit("😀"))
+        .when(pmod(col("doc_id"), lit(3L)) === 1, lit(""))
+        .otherwise(lit("m"))
+      val keyed = d.withColumn("k",
+        concat(col("lang"), marker, lit("-"),
+          lpad(col("doc_id").cast("string"), 6, "0")))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q154_").toString
+      ManifestSink.statsAppend(keyed.repartitionByRange(8, col("k")),
+        tmp, None, Seq("k"))
+      val probeKeys = keyed.where(col("doc_id") < 30)
+        .select(col("k")).collect().map(_.getString(0)).toSeq.sorted
+      // metadata-credited tail count: files wholly above the bound
+      // count without a scan, the straddling file scans exactly
+      val tail = ManifestSink.countWhere(s, tmp,
+        SkipPredicate.StrRange("k", Some("en"), None))
+      ManifestSink.readBackWherePred(s, tmp,
+          SkipPredicate.StrIn("k", probeKeys))
+        .select(col("doc_id"), col("lang"), col("k"))
+        .withColumn("n_tail", lit(tail))
+        .orderBy(col("doc_id"))
+    }),
+
     // SQL DML capstone — the table MAINTAINED through `spark.sql`:
     // `DELETE FROM` (mor dv commit), `UPDATE ... SET` (sidecar
     // rewrite), and a CDC-form `MERGE INTO` (conditional DELETE +
@@ -3723,6 +3764,17 @@ object NorthStar {
            FROM events WHERE event_id % 3 = 0 GROUP BY event_type)
          SELECT * FROM a UNION ALL SELECT * FROM f
          ORDER BY phase, event_type""",
+    "q154_utf8_skipping" ->
+      """WITH keyed AS (
+           SELECT doc_id, lang,
+             lang || CASE WHEN doc_id % 3 = 0 THEN '😀'
+                          WHEN doc_id % 3 = 1 THEN ''
+                          ELSE 'm' END
+                  || '-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS k
+           FROM documents)
+         SELECT doc_id, lang, k,
+           (SELECT count(*) FROM keyed WHERE k >= 'en') AS n_tail
+         FROM keyed WHERE doc_id < 30 ORDER BY doc_id""",
     "q149_sql_dml" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),
          d1 AS (SELECT * FROM base WHERE event_id % 9 <> 0),

@@ -1427,29 +1427,84 @@ object ManifestSink extends Ingest.DestinationSink {
     * timestamp columns as their ISO casts, whose lexicographic order IS
     * chronological order). `None` min/max = the column is all-null in the
     * file. `nulls`/`rows` are -1 when unknown (legacy `stats\t` lines).
+    * `maxTrunc` marks a TRUNCATED string max: `max` then holds only a
+    * prefix of the true maximum and proves nothing as an upper bound \u2014
+    * consumers treat it as +INFINITY in the data order ([[mayMatch]])
+    * or refuse the proof outright ([[mustMatch]]).
     */
   private[graft] case class ColStats(kind: String, min: Option[String],
-      max: Option[String], nulls: Long, rows: Long)
+      max: Option[String], nulls: Long, rows: Long,
+      maxTrunc: Boolean = false)
 
-  /** Delta-convention string-bound truncation: a PREFIX is a valid lower
-    * bound as-is; a truncated upper bound gets a max-codepoint marker so
-    * every continuation of the prefix still sorts below it.
+  /** String bounds are produced in UTF-8 BYTE order (Spark's UTF8String
+    * min/max on the scan path, parquet binary footer stats on the fast
+    * path) and the residual filter compares in UTF-8 byte order too \u2014
+    * so every bound comparison MUST use the same collation. Java's
+    * natural String order is UTF-16 code-unit order, which disagrees
+    * exactly where supplementary-plane characters (emoji: surrogate
+    * pairs, first unit U+D800\u2013DBFF) interleave with U+E000\u2013FFFF; using
+    * it here wrongly pruned files whose keys straddle that boundary.
+    */
+  private[graft] def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def u8StartsWith(s: String, prefix: String): Boolean = {
+    val sb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    sb.length >= pb.length &&
+      java.util.Arrays.equals(sb, 0, pb.length, pb, 0, pb.length)
+  }
+
+  /** May the file's TRUE max be >= `v`, given the stored max? Exact
+    * max: plain byte compare. Truncated max: the stored prefix P only
+    * bounds the true max inside `[P, byte-successor(P))`, so the
+    * answer is yes iff `v <= P` or `v` starts with `P` — any `v`
+    * above P that does NOT continue P is above every continuation of
+    * P too, and the file still prunes (flat +INFINITY would not).
+    */
+  private def u8MaxGe(st: ColStats, mx: String, v: String): Boolean =
+    if (!st.maxTrunc) utf8Cmp(mx, v) >= 0
+    else utf8Cmp(v, mx) <= 0 || u8StartsWith(v, mx)
+
+  /** Delta-convention string-bound truncation: a PREFIX is a valid
+    * lower bound as-is (in UTF-8 byte order a prefix never sorts above
+    * its continuation), but NO padded suffix can make it a valid upper
+    * bound in the data order \u2014 the legacy `'\uFFFF'` pad is maximal in
+    * UTF-16 yet sorts BELOW every supplementary-plane character as
+    * UTF-8 bytes \u2014 so a truncated max is a MARKER ([[ColStats]]
+    * `maxTrunc`), not a value. Truncation never splits a surrogate
+    * pair: a lone high surrogate UTF-8-encodes as `?`, which would
+    * round-trip differently through the manifest than the in-memory
+    * bound.
     */
   private val StatsStrCap = 64
+  private def truncPrefix(s: String): String = {
+    val cut = s.substring(0, StatsStrCap)
+    if (Character.isHighSurrogate(cut.charAt(StatsStrCap - 1)))
+      cut.substring(0, StatsStrCap - 1)
+    else cut
+  }
   private def truncMin(s: String): String =
-    if (s.length <= StatsStrCap) s else s.substring(0, StatsStrCap)
-  private def truncMax(s: String): String =
-    if (s.length <= StatsStrCap) s else s.substring(0, StatsStrCap) + '\uFFFF'
+    if (s.length <= StatsStrCap) s else truncPrefix(s)
+  /** (bound-or-prefix, truncated?) \u2014 the pair [[statsLine]] encodes. */
+  private def truncMax(s: String): (String, Boolean) =
+    if (s.length <= StatsStrCap) (s, false) else (truncPrefix(s), true)
 
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
-  /** One `stats2` TSV line. Absent (all-null) bounds encode as `-`. */
+  /** One `stats2` TSV line. Absent (all-null) bounds encode as `-`; a
+    * truncated string max encodes as `~` + b64(prefix) — an explicit
+    * marker, unambiguous against any data value (b64 never emits `~`).
+    */
   private def statsLine(tgt: String, c: String, st: ColStats): String = {
     val mn = st.min.map(b64).getOrElse("-")
-    val mx = st.max.map(b64).getOrElse("-")
+    val mx = st.max.map(v => (if (st.maxTrunc) "~" else "") + b64(v))
+      .getOrElse("-")
     s"stats2\t$tgt\t$c\t${st.kind}\t$mn\t$mx\t${st.nulls}\t${st.rows}"
   }
 
@@ -1482,15 +1537,16 @@ object ManifestSink extends Ingest.DestinationSink {
         val rows = r.getLong(1 + 3 * statsCols.length)
         kinds.zipWithIndex.map { case ((c, kind), i) =>
           val (mnI, mxI, nI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
-          val (mn, mx) =
-            if (r.isNullAt(mnI)) (None, None)
+          val (mn, mx, mxT) =
+            if (r.isNullAt(mnI)) (None, None, false)
             else if (kind == "num")
               (Some(r.getDouble(mnI).toString),
-                Some(r.getDouble(mxI).toString))
-            else
-              (Some(truncMin(r.getString(mnI))),
-                Some(truncMax(r.getString(mxI))))
-          ((file, c), ColStats(kind, mn, mx, r.getLong(nI), rows))
+                Some(r.getDouble(mxI).toString), false)
+            else {
+              val (mxV, t) = truncMax(r.getString(mxI))
+              (Some(truncMin(r.getString(mnI))), Some(mxV), t)
+            }
+          ((file, c), ColStats(kind, mn, mx, r.getLong(nI), rows, mxT))
         }
       }.toMap
   }
@@ -1504,22 +1560,48 @@ object ManifestSink extends Ingest.DestinationSink {
     if (kinds.length != 1) None
     else {
       val kind = kinds.head
-      // an all-null input (None bounds) adds no bound but its counts sum
+      // an all-null input (None bounds) adds no bound but its counts
+      // sum; string bounds fold in UTF-8 byte order (the data order)
       def bound(bs: Seq[Option[String]], isMin: Boolean): Option[String] = {
         val present = bs.flatten
         if (present.isEmpty) None
         else if (kind == "num") {
           val ds = present.map(_.toDouble)
           Some((if (isMin) ds.min else ds.max).toString)
-        } else Some(if (isMin) present.min else present.max)
+        } else Some(present.reduce((a, b) =>
+          if ((utf8Cmp(a, b) <= 0) == isMin) a else b))
+      }
+      // merged string max: an exact value covers interval [v, v]; a
+      // truncated prefix P covers [P, byte-successor(P)). Take the
+      // byte-order max V of all stored values; any truncated input
+      // whose prefix does NOT continue into V has its whole interval
+      // below-or-at V (its successor sorts <= V), so V stays EXACT —
+      // only a truncated prefix OF V can reach beyond it, and then
+      // the SHORTEST such prefix's interval covers every candidate.
+      def maxBound(ss: Seq[ColStats]): (Option[String], Boolean) = {
+        val present = ss.filter(_.max.isDefined)
+        if (present.isEmpty) return (None, false)
+        if (kind == "num" || present.forall(!_.maxTrunc))
+          return (bound(ss.map(_.max), isMin = false), false)
+        val v0 = present.map(_.max.get)
+          .reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b)
+        val covering = present
+          .filter(s => s.maxTrunc && u8StartsWith(v0, s.max.get))
+          .map(_.max.get)
+        if (covering.isEmpty) (Some(v0), false)
+        else (Some(covering.minBy(
+          _.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)),
+          true)
       }
       val nulls = sts.map(_.nulls)
       val rows = sts.map(_.rows)
+      val (mxB, mxT) = maxBound(sts)
       Some(ColStats(kind,
         bound(sts.map(_.min), isMin = true),
-        bound(sts.map(_.max), isMin = false),
+        mxB,
         if (nulls.forall(_ >= 0)) nulls.sum else -1L,
-        if (rows.forall(_ >= 0)) rows.sum else -1L))
+        if (rows.forall(_ >= 0)) rows.sum else -1L,
+        mxT))
     }
   }
 
@@ -1736,10 +1818,21 @@ object ManifestSink extends Ingest.DestinationSink {
           case Array("stats", tgt, c, mn, mx) =>
             Some((tgt, c) -> ColStats("num", Some(mn), Some(mx), -1L, -1L))
           case Array("stats2", tgt, c, kind, mn, mx, nulls, rows) =>
+            // `~`-prefixed max = truncation marker; a legacy line's
+            // `'￿'`-padded max (pre-marker format) reads back as
+            // truncated too — its pad proved nothing in the data order
+            val (mxV, mxT) =
+              if (mx == "-") (None, false)
+              else if (mx.startsWith("~")) (Some(unb64(mx.tail)), true)
+              else {
+                val v = unb64(mx)
+                if (v.length > StatsStrCap && v.last == '￿')
+                  (Some(v.init), true)
+                else (Some(v), false)
+              }
             Some((tgt, c) -> ColStats(kind,
               if (mn == "-") None else Some(unb64(mn)),
-              if (mx == "-") None else Some(unb64(mx)),
-              nulls.toLong, rows.toLong))
+              mxV, nulls.toLong, rows.toLong, mxT))
           case _ => None
         }
       }.toMap
@@ -2456,11 +2549,19 @@ object ManifestSink extends Ingest.DestinationSink {
     /** `column` (numeric-castable) in `[lo, hi]`, inclusive. */
     final case class NumRange(column: String, lo: Double, hi: Double)
       extends SkipPredicate
-    /** `column` as string in `[lo, hi]` lexicographically, inclusive —
-      * ISO dates/timestamps make this a chronological range.
+    /** `column` as string in `[lo, hi]` (inclusive, UTF-8 byte order —
+      * Spark's own string order; ISO dates/timestamps make it a
+      * chronological range). A `None` bound is unbounded on that side:
+      * open-top ranges get NO sentinel value, because no string is
+      * maximal in UTF-8 order (the legacy `'￿'` pads sort BELOW
+      * supplementary-plane characters and mis-pruned emoji keys).
       */
-    final case class StrRange(column: String, lo: String, hi: String)
-      extends SkipPredicate
+    final case class StrRange(column: String, lo: Option[String],
+        hi: Option[String]) extends SkipPredicate
+    object StrRange {
+      def apply(column: String, lo: String, hi: String): StrRange =
+        StrRange(column, Some(lo), Some(hi))
+    }
     /** `column` as string equals `value`. */
     final case class StrEq(column: String, value: String)
       extends SkipPredicate
@@ -2510,16 +2611,19 @@ object ManifestSink extends Ingest.DestinationSink {
           case _ => false
         })
       case SkipPredicate.StrRange(_, lo, hi) =>
+        // a truncated max (maxTrunc) proves no upper bound; a truncated
+        // min is still a valid lower bound for mn >= lo (a UTF-8 prefix
+        // never sorts above its continuation). Bounds compare as UTF-8
+        // bytes — the order they were produced in.
         st.kind == "str" && noNulls && ((st.min, st.max) match {
           case (Some(mn), Some(mx)) =>
-            // a truncated max carries the max-codepoint marker and
-            // cannot prove an upper bound; a truncated min is still a
-            // valid lower bound for mn >= lo
-            mn >= lo && mx <= hi && mx.length <= StatsStrCap
+            lo.forall(l => utf8Cmp(mn, l) >= 0) &&
+              hi.forall(h => !st.maxTrunc && utf8Cmp(mx, h) <= 0)
           case _ => false
         })
       case SkipPredicate.StrEq(_, v) =>
-        st.kind == "str" && noNulls && v.length <= StatsStrCap &&
+        st.kind == "str" && noNulls && !st.maxTrunc &&
+          v.length <= StatsStrCap &&
           st.min.contains(v) && st.max.contains(v)
       case SkipPredicate.IsNull(_) =>
         st.nulls >= 0 && st.rows >= 0 && st.nulls == st.rows
@@ -2573,14 +2677,20 @@ object ManifestSink extends Ingest.DestinationSink {
       case SkipPredicate.StrRange(_, lo, hi) =>
         if (st.kind != "str") true
         else (st.min, st.max) match {
-          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-          case _                    => !allNull
+          // UTF-8 byte compares (the order the bounds were produced
+          // in); a truncated max is +INFINITY in that order — the
+          // stored prefix proves nothing about the true maximum
+          case (Some(mn), Some(mx)) =>
+            lo.forall(l => u8MaxGe(st, mx, l)) &&
+              hi.forall(h => utf8Cmp(mn, h) <= 0)
+          case _ => !allNull
         }
       case SkipPredicate.StrEq(_, v) =>
         if (st.kind != "str") true
         else (st.min, st.max) match {
-          case (Some(mn), Some(mx)) => mx >= v && mn <= v
-          case _                    => !allNull
+          case (Some(mn), Some(mx)) =>
+            u8MaxGe(st, mx, v) && utf8Cmp(mn, v) <= 0
+          case _ => !allNull
         }
       case SkipPredicate.IsNull(_) =>
         st.nulls < 0 || st.nulls > 0
@@ -2597,7 +2707,13 @@ object ManifestSink extends Ingest.DestinationSink {
     case SkipPredicate.NumRange(c, lo, hi) =>
       col(c).cast("double").between(lo, hi)
     case SkipPredicate.StrRange(c, lo, hi) =>
-      col(c).cast("string").between(lo, hi)
+      val s = col(c).cast("string")
+      (lo.map(s >= _), hi.map(s <= _)) match {
+        case (Some(a), Some(b)) => a && b
+        case (Some(a), None)    => a
+        case (None, Some(b))    => b
+        case (None, None)       => s.isNotNull
+      }
     case SkipPredicate.StrEq(c, v) => col(c).cast("string") === v
     case SkipPredicate.IsNull(c) => col(c).isNull
     case SkipPredicate.IsNotNull(c) => col(c).isNotNull
@@ -4154,18 +4270,29 @@ object ManifestSink extends Ingest.DestinationSink {
             mxN = Some(mxN.fold(mx)(math.max(_, mx)))
           } else st match {
             case s: pqs.BinaryStatistics =>
+              // fold row-group bounds in UTF-8 byte order — the order
+              // parquet produced them in (and the scan path's order);
+              // Java's UTF-16 String order would pick the wrong
+              // extreme where supplementary-plane values meet
+              // U+E000–FFFF ones
               val mn = s.genericGetMin.toStringUsingUTF8
               val mx = s.genericGetMax.toStringUsingUTF8
-              mnS = Some(mnS.fold(mn)(p => if (p <= mn) p else mn))
-              mxS = Some(mxS.fold(mx)(p => if (p >= mx) p else mx))
+              mnS = Some(mnS.fold(mn)(p => if (utf8Cmp(p, mn) <= 0) p
+                else mn))
+              mxS = Some(mxS.fold(mx)(p => if (utf8Cmp(p, mx) >= 0) p
+                else mx))
             case _ => return None
           }
         } else if (nn != cc.getValueCount) return None // dropped
       }
-      val (mn, mx) =
-        if (kind == "num") (mnN.map(_.toString), mxN.map(_.toString))
-        else (mnS.map(truncMin), mxS.map(truncMax))
-      out += c -> ColStats(kind, mn, mx, nulls, rows)
+      if (kind == "num")
+        out += c -> ColStats(kind, mnN.map(_.toString),
+          mxN.map(_.toString), nulls, rows)
+      else {
+        val mxP = mxS.map(truncMax)
+        out += c -> ColStats(kind, mnS.map(truncMin), mxP.map(_._1),
+          nulls, rows, mxP.exists(_._2))
+      }
     }
     Some(out.result())
   }

@@ -392,8 +392,12 @@ private[graft] object GraftFilterConversion {
         if (isLo) NumRange(a.name, d, Double.PositiveInfinity)
         else NumRange(a.name, Double.NegativeInfinity, d))
       .orElse(strLit(v).map(s =>
-        if (isLo) StrRange(a.name, s, "￿￿￿￿")
-        else StrRange(a.name, "", s)))
+        // open bounds stay None: NO string is maximal in UTF-8 byte
+        // order (the data/stats order), so any "high" sentinel would
+        // mis-prune files whose min sorts above it (emoji keys did,
+        // against the old '￿'-pad)
+        if (isLo) StrRange(a.name, Some(s), None)
+        else StrRange(a.name, None, Some(s))))
   }
 
   def convert(e: Expression): Option[SkipPredicate] = e match {

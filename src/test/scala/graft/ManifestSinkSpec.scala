@@ -701,6 +701,129 @@ class ManifestSinkSpec extends SparkSpec {
     checkParity(IsNotNull("score"), 1, col("score").isNotNull)
   }
 
+  test("string skipping bounds compare in UTF-8 byte order: " +
+      "supplementary-plane (emoji) keys never mis-prune, open-top " +
+      "ranges carry no sentinel, truncation never splits a surrogate " +
+      "pair and marks the max instead of padding it") {
+    import ManifestSink.SkipPredicate._
+    val root = tmpDir("msinkutf8_")
+    val dest = s"$root/wh/t"
+    val smiley = "😀" // U+1F600: UTF-8 F0 9F 98 80 sorts ABOVE
+    // U+E000 (EE 80 80), but its UTF-16 units D83D DE00 sort BELOW —
+    // the two collations disagree exactly on this pair of keys
+    val emojiKey = s"box${smiley}x"
+    ManifestSink.statsAppend(
+      Seq(("e1", "box"), ("e2", emojiKey)).toDF("id", "k")
+        .coalesce(1), dest, None, statsCols = Seq("k"))
+    ManifestSink.statsAppend(
+      Seq(("a1", "apple"), ("a2", "banana")).toDF("id", "k")
+        .coalesce(1), dest, None, statsCols = Seq("k"))
+
+    def ids(pred: ManifestSink.SkipPredicate): Seq[String] =
+      ManifestSink.readBackWherePred(spark, dest, pred)
+        .select("id").as[String].collect().toSeq.sorted
+
+    // the regression: file 1's min is "box" (UTF-8 order), and a
+    // UTF-16 compare says min > emojiKey — the file was wrongly pruned
+    // and the matching row silently vanished
+    val eqEmoji = StrEq("k", emojiKey)
+    assert(ids(eqEmoji) == Seq("e2"), "emoji equality probe lost its row")
+    assert(ManifestSink.readBackWherePred(spark, dest, eqEmoji)
+      .inputFiles.length == 1, "apple/banana file should still prune")
+    assert(ManifestSink.countWhere(spark, dest, eqEmoji) == 1)
+    // open-top range (k > "box"): no sentinel upper bound — the legacy
+    // '￿' pad sorted below the emoji key and mis-pruned it
+    assert(ids(StrRange("k", Some("box"), None)) == Seq("e1", "e2"))
+    // open-bottom stays exact too
+    assert(ids(StrRange("k", None, Some("banana"))) == Seq("a1", "a2"))
+
+    // truncation: values crossing the 64-char cap with a surrogate pair
+    // straddling the boundary — the prefix must not split the pair, and
+    // the max is a MARKER (+inf), so equality still finds its row
+    val longLo = "x" * 63 + smiley + "-low"
+    val longHi = "x" * 63 + smiley + "-zzz"
+    ManifestSink.statsAppend(
+      Seq(("t1", longLo), ("t2", longHi)).toDF("id", "k").coalesce(1),
+      dest, None, statsCols = Seq("k"))
+    assert(ids(StrEq("k", longHi)) == Seq("t2"))
+    assert(ManifestSink.countWhere(spark, dest, StrEq("k", longHi)) == 1)
+    // the stats2 line's truncated max carries the explicit ~ marker,
+    // not a pad character
+    val statsLines = new java.io.File(s"$dest/_log").listFiles()
+      .filter(_.getName.endsWith(".manifest")).toSeq
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+      .filter(_.startsWith("stats2\t"))
+    val maxFields = statsLines.map(_.split('\t')(5))
+    assert(maxFields.exists(_.startsWith("~")), "expected a ~-marked max")
+    assert(!maxFields.exists(m => m != "-" &&
+      new String(java.util.Base64.getDecoder.decode(m.stripPrefix("~")),
+        "UTF-8").contains('￿')), "no pad characters in bounds")
+
+    // mergeStats folds in UTF-8 order too: after optimize packs the
+    // files, the merged bounds must still answer the emoji probe
+    assert(ManifestSink.optimize(spark, dest, targetBytes = 1L << 20) == 3L)
+    assert(ids(eqEmoji) == Seq("e2"))
+    // the x-prefixed long values sort above "box" too
+    assert(ids(StrRange("k", Some("box"), None)) ==
+      Seq("e1", "e2", "t1", "t2"))
+    assert(ids(StrEq("k", longHi)) == Seq("t2"))
+  }
+
+  test("property: random unicode strings — every StrEq/StrRange pruned " +
+      "read equals the filtered full read and countWhere is exact, " +
+      "through both the footer and the scan stats paths") {
+    import ManifestSink.SkipPredicate._
+    val root = tmpDir("msinkutf8p_")
+    val dest = s"$root/wh/t"
+    val rnd = new scala.util.Random(20260815L)
+    val atoms = Seq("a", "B", "é", "ف", "", "�",
+      "￿", "😀", "𐀀")
+    def randStr(): String = {
+      val sb = new StringBuilder
+      for (_ <- 0 to rnd.nextInt(7))
+        sb.append(atoms(rnd.nextInt(atoms.length)))
+      // a quarter of values cross the truncation cap
+      if (rnd.nextInt(4) == 0) ("x" * 62) + sb.toString else sb.toString
+    }
+    val vals = Vector.fill(48)(randStr())
+    val saved = ManifestSink.FooterStatsMaxFiles
+    try {
+      vals.grouped(8).zipWithIndex.foreach { case (g, i) =>
+        // alternate the footer fast path and the scan fallback: both
+        // must produce bounds that prune identically
+        ManifestSink.FooterStatsMaxFiles = if (i % 2 == 0) saved else 0
+        ManifestSink.statsAppend(
+          g.zipWithIndex.map { case (v, j) => (s"r$i-$j", v) }.toSeq
+            .toDF("id", "k").coalesce(1), dest, None,
+          statsCols = Seq("k"))
+      }
+    } finally ManifestSink.FooterStatsMaxFiles = saved
+    val all = ManifestSink.readBack(spark, dest).select("id", "k")
+      .as[(String, String)].collect().toSeq
+    assert(all.length == 48)
+    def u8le(a: String, b: String) = ManifestSink.utf8Cmp(a, b) <= 0
+    def check(pred: ManifestSink.SkipPredicate,
+        rowPred: String => Boolean): Unit = {
+      val want = all.filter(r => rowPred(r._2)).map(_._1).sorted
+      val got = ManifestSink.readBackWherePred(spark, dest, pred)
+        .select("id").as[String].collect().toSeq.sorted
+      assert(got == want, s"$pred: pruned read != filtered full read")
+      assert(ManifestSink.countWhere(spark, dest, pred) == want.length,
+        s"$pred: credited count drifted")
+    }
+    for (_ <- 0 until 12) {
+      val v = if (rnd.nextBoolean()) vals(rnd.nextInt(vals.length))
+              else randStr()
+      check(StrEq("k", v), _ == v)
+      val (x, y) = (randStr(), randStr())
+      val (lo, hi) = if (u8le(x, y)) (x, y) else (y, x)
+      check(StrRange("k", Some(lo), Some(hi)),
+        s => u8le(lo, s) && u8le(s, hi))
+      check(StrRange("k", Some(lo), None), s => u8le(lo, s))
+      check(StrRange("k", None, Some(hi)), s => u8le(s, hi))
+    }
+  }
+
   test("compact in optimize's crash-mid-cleanup window applies the " +
       "snapshot cut: superseded manifests are dropped, not merged — the " +
       "replaced files are NOT resurrected into the new snapshot") {
