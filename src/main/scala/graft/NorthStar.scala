@@ -1239,6 +1239,65 @@ object NorthStar {
         .orderBy(col("doc_id"))
     }),
 
+    // PARTITION-SCOPED OVERWRITE promoted to an oracle query — the
+    // highest-frequency maintenance verb on the reference's own table
+    // shape (a DAY-partitioned time series, readme.md:38–43):
+    // "re-backfill one day" must replace EXACTLY that day's files in
+    // one atomic partial-snapshot commit, leaving every other
+    // partition byte-identical and history reachable. Static spec
+    // (`PARTITION (p_date = d0)`) re-backfills the table's first day
+    // with doubled even events; dynamic spec (`PARTITION (p_date)`)
+    // thins the second day to every 5th event. The output unions the
+    // pre-state (VERSION AS OF 0 — proving the overwrites retained
+    // history) with the final state of both days; the oracle replays
+    // both rewrites from the raw rows, so replacing too much (another
+    // day bleeding away), too little (old files surviving in the
+    // replaced day), or losing history breaks the hash.
+    "q155_partition_overwrite" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q155_").toString
+      ManifestSink.statsAppend(ev, tmp, Some("ts"), Seq("event_id"))
+      val days = ev.select(to_date(col("ts")).cast("string").as("d"))
+        .distinct().orderBy(col("d")).limit(2)
+        .collect().map(_.getString(0))
+      val (d0, d1) = (days(0), days(1))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q155_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (p_date = '$d0')
+            SELECT event_id, event_type, value * 2, ts
+            FROM $tbl VERSION AS OF 0
+            WHERE p_date = '$d0' AND event_id % 2 = 0""")
+      s.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (p_date)
+            SELECT event_id, event_type, value, ts, p_date
+            FROM $tbl VERSION AS OF 0
+            WHERE p_date = '$d1' AND event_id % 5 = 0""")
+      val out = s.sql(
+        s"""WITH pre AS (
+              SELECT 'pre' AS phase, CAST(p_date AS STRING) AS day,
+                count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+                round(sum(value), 4) AS sum_val
+              FROM $tbl VERSION AS OF 0
+              WHERE p_date IN ('$d0', '$d1') GROUP BY 2),
+            fin AS (
+              SELECT 'final' AS phase, CAST(p_date AS STRING) AS day,
+                count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+                round(sum(value), 4) AS sum_val
+              FROM $tbl
+              WHERE p_date IN ('$d0', '$d1') GROUP BY 2)
+            SELECT * FROM pre UNION ALL SELECT * FROM fin
+            ORDER BY phase, day""")
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }),
+
     // SQL DML capstone — the table MAINTAINED through `spark.sql`:
     // `DELETE FROM` (mor dv commit), `UPDATE ... SET` (sidecar
     // rewrite), and a CDC-form `MERGE INTO` (conditional DELETE +
@@ -3775,6 +3834,36 @@ object NorthStar {
          SELECT doc_id, lang, k,
            (SELECT count(*) FROM keyed WHERE k >= 'en') AS n_tail
          FROM keyed WHERE doc_id < 30 ORDER BY doc_id""",
+    "q155_partition_overwrite" ->
+      """WITH e AS (
+           SELECT event_id, event_type, value,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+           FROM events),
+         ds AS (SELECT DISTINCT day FROM e ORDER BY day LIMIT 2),
+         d0 AS (SELECT min(day) AS d FROM ds),
+         d1 AS (SELECT max(day) AS d FROM ds),
+         pre AS (
+           SELECT 'pre' AS phase, day, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM e WHERE day IN (SELECT d FROM d0) OR
+                         day IN (SELECT d FROM d1)
+           GROUP BY day),
+         fin0 AS (
+           SELECT 'final' AS phase, day, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value * 2), 4) AS sum_val
+           FROM e WHERE day IN (SELECT d FROM d0) AND event_id % 2 = 0
+           GROUP BY day),
+         fin1 AS (
+           SELECT 'final' AS phase, day, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM e WHERE day IN (SELECT d FROM d1) AND event_id % 5 = 0
+           GROUP BY day)
+         SELECT * FROM pre UNION ALL SELECT * FROM fin0
+         UNION ALL SELECT * FROM fin1
+         ORDER BY phase, day""",
     "q149_sql_dml" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),
          d1 AS (SELECT * FROM base WHERE event_id % 9 <> 0),

@@ -877,7 +877,8 @@ object ManifestSink extends Ingest.DestinationSink {
   def overwrite(df: DataFrame, destPath: String,
       partitionField: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil,
+      overwriteSchema: Boolean = false): Unit = {
     val spark = df.sparkSession
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
@@ -885,6 +886,40 @@ object ManifestSink extends Ingest.DestinationSink {
     require(!(fs.exists(sroot) && fs.listStatus(sroot).nonEmpty),
       s"[graft] overwrite: staged attempts are pending under $sroot " +
         "— run recover/finishCommit first")
+    // an overwrite REPLACES CONTENT, not the table's shape: a writer
+    // job with a drifted schema, or one that forgot partitionField on
+    // a partitioned table, would otherwise silently rebase the
+    // schema/layout for every downstream reader in one commit (the
+    // Delta overwrite contract: schema changes need overwriteSchema)
+    if (!overwriteSchema && fs.exists(dest)) {
+      val old = resolvedLog(fs, destPath)
+      val existing = effectiveTargetsOf(fs, old)
+      if (existing.nonEmpty) {
+        val wasPartitioned =
+          existing.exists(_.startsWith(Ingest.PartitionCol + "="))
+        if (wasPartitioned != partitionField.isDefined)
+          throw new IllegalArgumentException(
+            s"[graft] overwrite: table $destPath is " +
+              (if (wasPartitioned) "partitioned" else "unpartitioned") +
+              s" but the overwrite is " +
+              (if (partitionField.isDefined) "partitioned"
+               else "unpartitioned") +
+              " — pass overwriteSchema = true to rebase the layout")
+        effectiveSchemaOf(fs, old).foreach { cur =>
+          // a partitioned stage strips the derived partition column
+          // from the data files — compare what will actually land
+          val incoming =
+            if (partitionField.isEmpty) df.schema
+            else StructType(df.schema.fields.filterNot(
+              _.name.equalsIgnoreCase(Ingest.PartitionCol)))
+          schemaMismatch(cur, incoming).foreach(why =>
+            throw new IllegalArgumentException(
+              s"[graft] overwrite: incoming schema does not match the " +
+                s"table schema ($why) — pass overwriteSchema = true to " +
+                "rebase the schema"))
+        }
+      }
+    }
     val base = manifests(fs, destPath)
       .map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
@@ -904,6 +939,265 @@ object ManifestSink extends Ingest.DestinationSink {
     finishCommit(spark, destPath, id)
     println(s"METRIC graft.overwrite.base_version=$base " +
       s"new_version=${base + 1} dest=$destPath")
+  }
+
+  /** None when `incoming` carries exactly the table's columns (names
+    * case-insensitive, types exact, order-free — parquet column
+    * resolution is by name); Some(reason) otherwise.
+    */
+  private def schemaMismatch(table: StructType,
+      incoming: StructType): Option[String] = {
+    def m(st: StructType) =
+      st.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val (tm, im) = (m(table), m(incoming))
+    val missing = tm.keySet -- im.keySet
+    val extra = im.keySet -- tm.keySet
+    val retyped = (tm.keySet & im.keySet).filter(k => tm(k) != im(k))
+    if (missing.isEmpty && extra.isEmpty && retyped.isEmpty) None
+    else Some(Seq(
+      if (missing.nonEmpty)
+        Some(s"missing ${missing.toSeq.sorted.mkString(",")}") else None,
+      if (extra.nonEmpty)
+        Some(s"extra ${extra.toSeq.sorted.mkString(",")}") else None,
+      if (retyped.nonEmpty)
+        Some(s"retyped ${retyped.toSeq.sorted.mkString(",")}") else None)
+      .flatten.mkString("; "))
+  }
+
+  /** PARTITION-SCOPED ATOMIC OVERWRITE — Delta's `replaceWhere` on the
+    * partition column / Spark's dynamic partition overwrite, and the
+    * engine's `INSERT OVERWRITE ... PARTITION (p_date='...')` face:
+    * replace ONLY the named partitions' content with `df` in one
+    * snapshot commit. The reference's table shape is literally a
+    * DAY-partitioned time series (readme.md:38–43), where
+    * "re-backfill one day" is the most common maintenance operation —
+    * a whole-table [[overwrite]] for that is a full rewrite plus a
+    * conflict with every concurrent writer.
+    *
+    * `values` empty = DYNAMIC: the partitions touched by `df`'s own
+    * rows replace, everything else survives untouched. `values`
+    * non-empty = STATIC spec: exactly those partitions replace, and a
+    * `df` row landing OUTSIDE them is a loud error (never silently
+    * written elsewhere or dropped); an empty `df` truncates the named
+    * partitions. Untouched partitions' files are CARRIED — same
+    * bytes, same stats/bloom/dv lines — so time travel reaches the
+    * pre-overwrite state and the write cost is O(replaced partitions),
+    * not O(table). OCC: concurrent pure appends into OTHER partitions
+    * absorb (the write-serializable outcome of append-then-overwrite);
+    * an append or deletion vector INSIDE a replaced partition aborts
+    * loudly after rolling the staged files back. The schema must match
+    * the table's (a partition-scoped write can never fork the schema).
+    * With the change feed enabled, the commit carries pre-images as
+    * deletes plus the new rows as inserts in one sidecar. Returns the
+    * number of replaced (old) files.
+    */
+  def overwritePartitions(df: DataFrame, destPath: String,
+      partitionField: String, values: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Long = {
+    val spark = df.sparkSession
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    require(values.forall(v => !v.contains('/') && !v.contains("..")),
+      s"[graft] overwritePartitions: values must be plain partition " +
+        s"values: ${values.mkString(",")}")
+    val pcol = Ingest.PartitionCol
+    val dfP = df.withColumn(pcol, to_date(col(partitionField)))
+    // first write on a fresh table: a plain partitioned append (the
+    // static-spec row containment still holds below via the same check)
+    val isFresh = !fs.exists(dest) || manifests(fs, destPath).isEmpty
+    if (values.nonEmpty) {
+      val strays = dfP.where(col(pcol).isNull ||
+        !col(pcol).cast("string").isin(values: _*)).count()
+      require(strays == 0L,
+        s"[graft] overwritePartitions: $strays row(s) fall outside " +
+          s"the static partition spec (${values.mkString(",")}) — " +
+          "rows are never silently dropped or written elsewhere")
+    } else
+      require(dfP.where(col(pcol).isNull).isEmpty,
+        "[graft] overwritePartitions: rows with a null partition " +
+          "value cannot be routed")
+    if (isFresh) {
+      if (statsCols.nonEmpty || bloomCols.nonEmpty)
+        statsAppend(df, destPath, Some(partitionField),
+          if (statsCols.nonEmpty) statsCols else bloomCols,
+          bloomCols = bloomCols, bloomBits = bloomBits)
+      else append(df, destPath, Some(partitionField))
+      return 0L
+    }
+    val sroot = stagingRoot(destPath)
+    require(!(fs.exists(sroot) && fs.listStatus(sroot).nonEmpty),
+      s"[graft] overwritePartitions: staged attempts are pending " +
+        s"under $sroot — run recover/finishCommit first")
+    val replacedValues: Seq[String] =
+      if (values.nonEmpty) values.distinct.sorted
+      else dfP.select(col(pcol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    if (replacedValues.isEmpty) return 0L // dynamic + empty df: no-op
+    // capture the log ONCE (the optimize/rewrite protocol)
+    val old = resolvedLog(fs, destPath)
+    val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, old)
+    require(targets.isEmpty || targets.forall(_.startsWith(pcol + "=")),
+      s"[graft] overwritePartitions: $destPath is not a " +
+        s"single-level $pcol-partitioned layout")
+    effectiveSchemaOf(fs, old).foreach { cur =>
+      // the staged files carry df's columns minus the derived
+      // partition directory column
+      val incoming = StructType(df.schema.fields.filterNot(
+        _.name.equalsIgnoreCase(pcol)))
+      schemaMismatch(cur, incoming).foreach(why =>
+        throw new IllegalArgumentException(
+          s"[graft] overwritePartitions: incoming schema does not " +
+            s"match the table schema ($why) — a partition-scoped " +
+            "overwrite cannot change the schema"))
+    }
+    val prefixes = replacedValues.map(v => s"$pcol=$v/")
+    val replaced = targets.filter(t => prefixes.exists(t.startsWith)).toSet
+    val kept = targets.filterNot(replaced)
+    val stats = fileStatsOf(fs, old)
+    val statsByTgt: Map[String, Seq[String]] =
+      stats.keys.groupBy(_._1).map { case (t, ks) =>
+        t -> ks.map(_._2).toSeq.sorted }
+    val dvs = effectiveDvsOf(fs, old)
+    val writeId = "ow" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(14)
+    val staging = stagingDir(destPath, writeId)
+    fs.mkdirs(staging)
+    val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val sideMoves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val extraLines = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      // CHANGE DATA FEED: pre-images of the replaced files as deletes
+      // + the incoming rows as inserts, one sidecar, tagged at write
+      // time (the Delta CDF cost model)
+      if (changeFeedEnabled(fs, dest)) {
+        val del =
+          if (replaced.isEmpty) None
+          else Some(spark.read.option("mergeSchema", "true")
+            .option("basePath", destPath)
+            .parquet(replaced.toSeq.sorted
+              .map(rel => new Path(dest, rel).toString): _*)
+            .withColumn("_change_type", lit("delete")))
+        val ins = dfP.withColumn("_change_type", lit("insert"))
+        val frame = del match {
+          case Some(d) => d.unionByName(ins, allowMissingColumns = true)
+          case None    => ins
+        }
+        val cdfOut = new Path(staging, "cdf")
+        frame.coalesce(1).write.mode("overwrite")
+          .parquet(cdfOut.toString)
+        val nCdf = spark.read.parquet(cdfOut.toString).count()
+        val part = fs.listStatus(cdfOut).map(_.getPath)
+          .find(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"[graft] overwritePartitions: no cdf part under $cdfOut"))
+        val rel = s"$CdfDir/$writeId.parquet"
+        sideMoves += ((part, rel))
+        extraLines += s"cdf\t$rel\t$nCdf"
+      }
+      // stage the incoming rows in their partition layout
+      val dataOut = new Path(staging, "data")
+      dfP.write.partitionBy(pcol).mode("overwrite")
+        .parquet(dataOut.toString)
+      val stagedRels = listFilesRec(fs, dataOut)
+        .map(_._1)
+        .filter(p => !p.getName.startsWith("_") &&
+          !p.getName.startsWith("."))
+        .map(p => fs.makeQualified(p).toString
+          .stripPrefix(fs.makeQualified(dataOut).toString + "/"))
+        .sorted
+      val relToTarget: Map[String, String] =
+        stagedRels.zipWithIndex.map { case (rel, i) =>
+          val dir = rel.lastIndexOf('/') match {
+            case -1 => ""
+            case k  => rel.substring(0, k + 1)
+          }
+          rel -> s"$dir$writeId-$i.parquet"
+        }.toMap
+      // every staged file must land INSIDE a replaced partition — the
+      // containment check above guarantees it for static specs and the
+      // value derivation for dynamic ones; verify anyway (a silent
+      // stray would survive the next overwrite of its partition)
+      relToTarget.values.foreach(t => require(
+        prefixes.exists(t.startsWith),
+        s"[graft] overwritePartitions: staged file $t falls outside " +
+          s"the replaced partitions"))
+      val dataCols =
+        df.columns.toSeq.filterNot(_.equalsIgnoreCase(pcol))
+      val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
+      val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
+      val effSc = if (sc.nonEmpty) sc else bc
+      if (effSc.nonEmpty && relToTarget.nonEmpty)
+        extraLines ++= statsLinesFor(spark, fs, dataOut, relToTarget,
+          effSc)
+      if (bc.nonEmpty && relToTarget.nonEmpty) {
+        val bloomRel = s"$BloomDir/$writeId.parquet"
+        val (inline, metas, wordsOpt) =
+          bloomWordsFor(spark, fs, dataOut, relToTarget, bc, bloomBits)
+        extraLines ++= inline
+        extraLines ++= metas.map { case (tgt, c, m, k) =>
+          bloomScLine(tgt, c, m, k, bloomRel) }
+        wordsOpt.foreach { w =>
+          val part = w match {
+            case Left(rows) => writeBloomSidecarDriver(fs, staging, rows)
+            case Right(wdf) => writeBloomSidecar(fs, staging, wdf)
+          }
+          sideMoves += ((part, bloomRel))
+          extraLines += s"sidecar\t$bloomRel"
+        }
+      }
+      val orderedMoves = relToTarget.toSeq.sortBy(_._2).map {
+        case (rel, tgt) => (new Path(dataOut, rel), tgt) }
+      moves ++= orderedMoves
+      writeFile(fs, new Path(staging, WaManifest),
+        (moves ++ sideMoves).map("target\t" + _._2).mkString("\n"))
+      (moves ++ sideMoves).foreach { case (part, target) =>
+        val tgt = new Path(dest, target)
+        fs.mkdirs(tgt.getParent)
+        require(fs.rename(part, tgt),
+          s"[graft] overwritePartitions move failed: $tgt")
+      }
+    } catch {
+      case e: Throwable =>
+        (moves ++ sideMoves).foreach { case (_, t) =>
+          fs.delete(new Path(dest, t), false) }
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        throw e
+    }
+    val survivors = kept ++ moves.map(_._2)
+    val carriedStats = kept.flatMap { t =>
+      statsByTgt.getOrElse(t, Nil).flatMap(c =>
+        stats.get((t, c)).map(st => statsLine(t, c, st)))
+    }
+    // a concurrent pure append absorbs iff it lands OUTSIDE the
+    // replaced partitions; an append INTO one is a conflict (this
+    // overwrite never saw its rows — replacing them silently would
+    // erase a concurrent writer's commit)
+    val absorbOk: Seq[Path] => Boolean = newMfs =>
+      newMfs.flatMap(readManifest(fs, _)._2)
+        .forall(t => !prefixes.exists(t.startsWith))
+    onBeforeRewriteCommit()
+    if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
+        survivors,
+        carriedStats ++ dvCarryLines(dvs, kept) ++
+          bloomCarryLines(fs, old, kept) ++ extraLines.toSeq,
+        old, (moves ++ sideMoves).map(_._2).toSeq,
+        canAbsorb = absorbOk))
+      throw new IllegalStateException(
+        s"[graft] overwritePartitions: lost the commit slot to a " +
+          s"concurrent writer inside a replaced partition of " +
+          s"$destPath (base v$baseVersion) — staged files rolled " +
+          "back; retry against the advanced log")
+    println(s"METRIC graft.overwrite_partitions.replaced=" +
+      s"${replaced.size} new=${moves.length} " +
+      s"values=${replacedValues.mkString(",")} " +
+      s"snapshot_version=${baseVersion + 1} dest=$destPath")
+    replaced.size.toLong
   }
 
   /** CDC-style incremental read (the append-only half of Delta's change

@@ -248,9 +248,29 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       spec: Map[String, Option[String]], userCols: Seq[String],
       query: LogicalPlan, overwrite: Boolean,
       ifPartitionNotExists: Boolean, byName: Boolean): LogicalPlan = {
-    if (spec.nonEmpty || ifPartitionNotExists)
-      fail("INSERT INTO ... PARTITION (static spec) is not supported " +
-        "— partition values derive from the partition column itself")
+    if (ifPartitionNotExists)
+      fail("INSERT ... PARTITION IF NOT EXISTS is not supported")
+    if (spec.nonEmpty) {
+      // `INSERT OVERWRITE t PARTITION (p = 'v')` — replace exactly that
+      // partition (Delta's replaceWhere); `PARTITION (p)` with no value
+      // — dynamic partition overwrite (replace the partitions the
+      // query's own rows land in). Both land through ONE partial
+      // snapshot commit; untouched partitions carry byte-identical.
+      if (!overwrite)
+        fail("INSERT INTO ... PARTITION (static spec) is not " +
+          "supported — partition values derive from the partition " +
+          "column itself; INSERT OVERWRITE ... PARTITION replaces a " +
+          "partition")
+      if (g.partitionCols.length != 1)
+        fail("INSERT OVERWRITE ... PARTITION needs a single-level " +
+          "partitioned graft table")
+      val p = g.partitionCols.head
+      if (spec.size != 1 || !conf.resolver(spec.keys.head, p))
+        fail(s"INSERT OVERWRITE PARTITION: the partition column is " +
+          s"'$p', got (${spec.keys.mkString(",")})")
+      return planOverwritePartition(t, g, p, spec.values.head,
+        userCols, query, byName)
+    }
     if (g.partitionCols.length > 1)
       fail("INSERT INTO a multi-level partition layout is not " +
         "supported via SQL — use the Scala write API")
@@ -291,6 +311,67 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     GraftInsertCommand(g.dest, Project(aligned, query),
       g.partitionCols.headOption, g.statsCols, g.bloomCols,
       g.refreshTable, overwrite)
+  }
+
+  /** `INSERT OVERWRITE t PARTITION (p = 'v') SELECT <data cols>`
+    * (static — the query omits the partition column, which comes from
+    * the spec) and `... PARTITION (p) SELECT <all cols>` (dynamic —
+    * the touched partitions come from the rows). Both route to the
+    * partial snapshot commit [[ManifestSink.overwritePartitions]]:
+    * untouched partitions carry byte-identical, time travel reaches
+    * the pre-overwrite state, and a concurrent append into a replaced
+    * partition aborts loudly.
+    */
+  private def planOverwritePartition(t: LogicalPlan, g: GraftTarget,
+      p: String, value: Option[String], userCols: Seq[String],
+      query: LogicalPlan, byName: Boolean): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val tgtAll = t.output
+    if (tgtAll.isEmpty)
+      fail("INSERT OVERWRITE ... PARTITION on an empty table — define " +
+        "the schema with a plain INSERT first")
+    val pAttr = tgtAll.find(a => conf.resolver(a.name, p)).getOrElse(
+      fail(s"INSERT OVERWRITE PARTITION: partition column '$p' not in " +
+        s"the table schema"))
+    def castTo(src: Attribute, ta: Attribute): NamedExpression =
+      if (src.dataType == ta.dataType) Alias(src, ta.name)()
+      else Alias(Cast(src, ta.dataType), ta.name)()
+    // static spec: the SELECT supplies every NON-partition column (the
+    // Spark static-partition contract); dynamic: the full row
+    val dataTgt =
+      if (value.isDefined) tgtAll.filterNot(_.exprId == pAttr.exprId)
+      else tgtAll
+    val aligned: Seq[NamedExpression] =
+      if (byName || userCols.nonEmpty) {
+        val names =
+          if (userCols.nonEmpty) userCols else query.output.map(_.name)
+        if (names.length != query.output.length)
+          fail(s"INSERT column list names ${names.length} columns " +
+            s"for ${query.output.length} query columns")
+        val pairs = names.zip(query.output)
+        dataTgt.map { ta =>
+          pairs.filter { case (n, _) => conf.resolver(n, ta.name) } match {
+            case Seq((_, src)) => castTo(src, ta)
+            case Seq() => fail("INSERT OVERWRITE PARTITION: no source " +
+              s"column for table column '${ta.name}'")
+            case _ => fail("INSERT OVERWRITE PARTITION: duplicate " +
+              s"source column for '${ta.name}'")
+          }
+        }
+      } else {
+        if (query.output.length != dataTgt.length)
+          fail(s"INSERT OVERWRITE PARTITION: query has " +
+            s"${query.output.length} columns for ${dataTgt.length} " +
+            s"expected (${dataTgt.map(_.name).mkString(", ")})")
+        dataTgt.zip(query.output).map { case (ta, src) => castTo(src, ta) }
+      }
+    val withP: Seq[NamedExpression] = value match {
+      case Some(v) =>
+        aligned :+ Alias(Cast(Literal(v), pAttr.dataType), pAttr.name)()
+      case None => aligned
+    }
+    GraftOverwritePartitionsCommand(g.dest, Project(withP, query),
+      pAttr.name, value, g.statsCols, g.bloomCols, g.refreshTable)
   }
 
   private def planMerge(m: MergeIntoTable, g: GraftTarget): LogicalPlan = {
@@ -664,7 +745,11 @@ case class GraftInsertCommand(dest: String, child: LogicalPlan,
     val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
     val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
     if (overwrite)
-      ManifestSink.overwrite(df, dest, partitionField, sc, bc)
+      // mirror the append path's stats derivation: a bloom-only table
+      // (statsCols empty) still records min/max/null stats2 lines for
+      // its bloom columns, so skipping coverage survives the overwrite
+      ManifestSink.overwrite(df, dest, partitionField,
+        if (sc.nonEmpty) sc else bc, bc)
     else if (sc.nonEmpty || bc.nonEmpty)
       ManifestSink.statsAppend(df, dest, partitionField,
         if (sc.nonEmpty) sc else bc, bloomCols = bc)
@@ -676,6 +761,47 @@ case class GraftInsertCommand(dest: String, child: LogicalPlan,
   override def simpleString(maxFields: Int): String =
     s"GraftInsert${if (overwrite) "Overwrite" else ""} $dest" +
       partitionField.map(p => s" partitioned by $p").getOrElse("")
+}
+
+/** `INSERT OVERWRITE t PARTITION (p [= 'v'])` → the partial snapshot
+  * commit [[ManifestSink.overwritePartitions]]. The static value
+  * canonicalizes through the engine's own partition derivation
+  * (`to_date`), so `'2026-8-5'` and `'2026-08-05'` name the same
+  * directory. Returns the replaced (old) file count.
+  */
+case class GraftOverwritePartitionsCommand(dest: String,
+    child: LogicalPlan, partitionCol: String,
+    staticValue: Option[String], statsCols: Seq[String],
+    bloomCols: Seq[String], refreshTable: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("replaced_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = Bridge.dataFrame(spark, child)
+    val dataCols =
+      df.columns.toSeq.filterNot(_.equalsIgnoreCase(partitionCol))
+    val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
+    val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
+    val values = staticValue match {
+      case Some(v) =>
+        val canon = spark.range(1)
+          .select(org.apache.spark.sql.functions.to_date(lit(v))
+            .cast("string")).head.getString(0)
+        if (canon == null)
+          throw new IllegalArgumentException(
+            s"[graft] INSERT OVERWRITE PARTITION: cannot interpret " +
+              s"'$v' as a partition date")
+        Seq(canon)
+      case None => Nil
+    }
+    val n = ManifestSink.overwritePartitions(df, dest, partitionCol,
+      values, sc, bc)
+    GraftDml.refreshAfterDml(spark, refreshTable)
+    Seq(Row(n))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftOverwritePartitions $dest PARTITION ($partitionCol" +
+      staticValue.map(v => s" = '$v'").getOrElse("") + ")"
 }
 
 /** `MERGE INTO` in the CDC canon forms → [[ManifestSink.mergeInto]] /

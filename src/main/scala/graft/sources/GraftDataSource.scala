@@ -160,7 +160,9 @@ class GraftDataSource extends RelationProvider
         // content, history retained (time travel/RESTORE reach the
         // pre-overwrite state), concurrent commits abort it loudly
         ManifestSink.overwrite(data, destPath, partitionField,
-          statsCols, bloomCols)
+          if (statsCols.nonEmpty) statsCols else bloomCols, bloomCols,
+          overwriteSchema = parameters.get("overwriteSchema")
+            .exists(_.toBoolean))
       case _ => // Append, or first write under ErrorIfExists/Ignore
         if (statsCols.nonEmpty || bloomCols.nonEmpty)
           ManifestSink.statsAppend(data, destPath, partitionField,

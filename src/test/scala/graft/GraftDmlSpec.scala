@@ -509,6 +509,223 @@ class GraftDmlSpec extends SparkSpec {
     assert(ManifestSink.readBack(spark, dest).count() == 25L)
   }
 
+  private def dayTable(dest: String): Unit =
+    (0L until 90L).map(i =>
+        (i, s"v$i", java.sql.Date.valueOf(s"2026-01-0${i % 3 + 1}")))
+      .toDF("id", "v", "day")
+      .repartitionByRange(6, col("id"))
+      .pipe(df => ManifestSink.statsAppend(df, dest, Some("day"),
+        Seq("id")))
+
+  test("overwritePartitions: one day replaced atomically, other days' " +
+      "files byte-identical, time travel reaches the pre-state, " +
+      "static spec truncates, strays/nulls/schema drift refuse") {
+    val dest = s"${tmpDir("owp_")}/t"
+    dayTable(dest)
+    val filesBefore = ManifestSink.readBack(spark, dest)
+      .inputFiles.toSet
+    def filesOf(day: String): Set[String] =
+      filesBefore.filter(_.contains(s"p_date=$day"))
+    assert(filesOf("2026-01-02").nonEmpty)
+
+    // dynamic: df touches only day 2 → only day 2 replaces
+    val repl = (1000L until 1010L).map(i =>
+        (i, s"n$i", java.sql.Date.valueOf("2026-01-02")))
+      .toDF("id", "v", "day").coalesce(1)
+    val nReplaced = ManifestSink.overwritePartitions(repl, dest, "day",
+      statsCols = Seq("id"))
+    assert(nReplaced == filesOf("2026-01-02").size.toLong)
+    val after = ManifestSink.readBack(spark, dest)
+    // day 2 is exactly the new rows; days 1/3 untouched
+    assert(after.where("p_date = '2026-01-02'")
+      .select("id").as[Long].collect().toSet == (1000L until 1010L).toSet)
+    assert(after.where("p_date <> '2026-01-02'").count() == 60L)
+    // untouched partitions carry the SAME files (paths identical)
+    val afterFiles = after.inputFiles.toSet
+    assert(afterFiles.filter(_.contains("p_date=2026-01-01")) ==
+      filesOf("2026-01-01"))
+    assert(afterFiles.filter(_.contains("p_date=2026-01-03")) ==
+      filesOf("2026-01-03"))
+    // time travel reaches the pre-overwrite state
+    assert(ManifestSink.readVersion(spark, dest, 0)
+      .where("p_date = '2026-01-02'").count() == 30L)
+    // skipping stats still answer on the new files
+    assert(ManifestSink.countWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 1000, 2000)) == 10L)
+
+    // static spec with an empty frame truncates exactly that day
+    val empty = spark.emptyDataset[(Long, String, java.sql.Date)]
+      .toDF("id", "v", "day")
+    assert(ManifestSink.overwritePartitions(empty, dest, "day",
+      values = Seq("2026-01-03"), statsCols = Seq("id")) > 0L)
+    assert(ManifestSink.readBack(spark, dest)
+      .where("p_date = '2026-01-03'").count() == 0L)
+    assert(ManifestSink.readBack(spark, dest).count() == 40L)
+
+    // static spec: a row OUTSIDE the named partitions refuses loudly
+    val stray = Seq((1L, "s", java.sql.Date.valueOf("2026-01-01")))
+      .toDF("id", "v", "day")
+    val e1 = intercept[IllegalArgumentException](
+      ManifestSink.overwritePartitions(stray, dest, "day",
+        values = Seq("2026-01-02")))
+    assert(e1.getMessage.contains("outside"), e1.getMessage)
+    // null partition values refuse
+    val withNull = Seq((1L, "s", null: java.sql.Date))
+      .toDF("id", "v", "day")
+    val e2 = intercept[IllegalArgumentException](
+      ManifestSink.overwritePartitions(withNull, dest, "day"))
+    assert(e2.getMessage.contains("null"), e2.getMessage)
+    // schema drift refuses (partition-scoped overwrite cannot fork it)
+    val drifted = Seq((1L, java.sql.Date.valueOf("2026-01-01")))
+      .toDF("id", "day")
+    val e3 = intercept[IllegalArgumentException](
+      ManifestSink.overwritePartitions(drifted, dest, "day"))
+    assert(e3.getMessage.contains("schema"), e3.getMessage)
+    // an unpartitioned table refuses
+    val flat = s"${tmpDir("owp_flat_")}/t"
+    Seq((1L, "x", java.sql.Date.valueOf("2026-01-01")))
+      .toDF("id", "v", "day")
+      .pipe(df => ManifestSink.append(df, flat, None))
+    val e4 = intercept[IllegalArgumentException](
+      ManifestSink.overwritePartitions(repl, flat, "day"))
+    assert(e4.getMessage.contains("partitioned"), e4.getMessage)
+  }
+
+  test("overwritePartitions: concurrent append INTO a replaced " +
+      "partition aborts and rolls back; one into ANOTHER partition " +
+      "absorbs — the write-serializable outcomes") {
+    val dest = s"${tmpDir("owp_occ_")}/t"
+    dayTable(dest)
+    val repl = (2000L until 2005L).map(i =>
+        (i, s"n$i", java.sql.Date.valueOf("2026-01-02")))
+      .toDF("id", "v", "day").coalesce(1)
+    val intruder = Seq((9999L, "w",
+        java.sql.Date.valueOf("2026-01-02")))
+      .toDF("id", "v", "day")
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.statsAppend(intruder, dest, Some("day"), Seq("id"))
+    try {
+      val e = intercept[IllegalStateException](
+        ManifestSink.overwritePartitions(repl, dest, "day",
+          statsCols = Seq("id")))
+      assert(e.getMessage.contains("concurrent"), e.getMessage)
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    // nothing replaced, the intruder's row survived, no staged debris
+    val back = ManifestSink.readBack(spark, dest)
+    assert(back.count() == 91L)
+    assert(back.where("id = 9999").count() == 1L)
+    val sroot = new java.io.File(
+      new java.io.File(dest).getParent, ".staging_t")
+    assert(!sroot.exists() || sroot.listFiles().isEmpty)
+
+    // an append into day 3 absorbs: the overwrite of day 2 commits and
+    // the absorbed rows survive
+    val outsider = Seq((8888L, "o",
+        java.sql.Date.valueOf("2026-01-03")))
+      .toDF("id", "v", "day")
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.statsAppend(outsider, dest, Some("day"), Seq("id"))
+    try {
+      assert(ManifestSink.overwritePartitions(repl, dest, "day",
+        statsCols = Seq("id")) > 0L)
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    val fin = ManifestSink.readBack(spark, dest)
+    assert(fin.where("p_date = '2026-01-02'")
+      .select("id").as[Long].collect().toSet == (2000L until 2005L).toSet)
+    assert(fin.where("id = 8888").count() == 1L)
+  }
+
+  test("overwritePartitions: change feed decomposes the partition " +
+      "overwrite into exact deletes + inserts") {
+    val dest = s"${tmpDir("owp_cdf_")}/t"
+    ManifestSink.enableChangeFeed(spark, dest)
+    dayTable(dest)
+    val repl = (3000L until 3003L).map(i =>
+        (i, s"n$i", java.sql.Date.valueOf("2026-01-01")))
+      .toDF("id", "v", "day").coalesce(1)
+    ManifestSink.overwritePartitions(repl, dest, "day",
+      statsCols = Seq("id"))
+    val ch = ManifestSink.readChangesBetween(spark, dest, 0)
+    val dels = ch.where("_change_type = 'delete'")
+      .select("id").as[Long].collect().toSet
+    val ins = ch.where("_change_type = 'insert'")
+      .select("id").as[Long].collect().toSet
+    assert(dels == (0L until 90L).filter(_ % 3 == 0).toSet)
+    assert(ins == (3000L until 3003L).toSet)
+  }
+
+  test("INSERT OVERWRITE ... PARTITION: static spec replaces exactly " +
+      "one day (value canonicalized), dynamic spec replaces touched " +
+      "days, INSERT INTO ... PARTITION still refuses") {
+    val (dest, tbl) = freshTable("owp_sql_")
+    dayTable(dest)
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      // static: the SELECT omits the partition column ('2026-1-2'
+      // canonicalizes to the 2026-01-02 directory)
+      val r = spark.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (p_date = '2026-1-2')
+            SELECT id + 5000, concat('s', v), day
+            FROM $tbl VERSION AS OF 0 WHERE id < 6""")
+      assert(r.columns.toSeq == Seq("replaced_files"))
+      assert(spark.table(tbl).where("p_date = '2026-01-02'")
+        .select("id").as[Long].collect().toSet ==
+        (0L until 6L).map(_ + 5000L).toSet)
+      assert(spark.table(tbl).where("p_date <> '2026-01-02'")
+        .count() == 60L)
+      // dynamic: the SELECT carries p_date and touches only day 1
+      spark.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (p_date)
+            SELECT id, v, day, p_date FROM $tbl VERSION AS OF 0
+            WHERE p_date = '2026-01-01' AND id < 9""")
+      assert(spark.table(tbl).where("p_date = '2026-01-01'")
+        .count() == 3L)
+      assert(spark.table(tbl).where("p_date = '2026-01-02'")
+        .count() == 6L)
+      assert(spark.table(tbl).where("p_date = '2026-01-03'")
+        .count() == 30L)
+      // INSERT INTO with a static spec still refuses
+      val e = intercept[AnalysisException](spark.sql(
+        s"""INSERT INTO $tbl PARTITION (p_date = '2026-01-02')
+            SELECT id, v, day FROM $tbl WHERE id < 3"""))
+      assert(e.getMessage.contains("INSERT OVERWRITE"), e.getMessage)
+      // a non-partition column in the spec refuses
+      val e2 = intercept[AnalysisException](spark.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (v = 'x')
+            SELECT id, day, p_date FROM $tbl WHERE id < 3"""))
+      assert(e2.getMessage.contains("partition column"), e2.getMessage)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("overwrite: schema or layout drift refuses without " +
+      "overwriteSchema = true; with it the table rebases") {
+    val dest = s"${tmpDir("ow_schema_")}/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .pipe(df => ManifestSink.append(df, dest, None))
+    // drifted schema (extra column) refuses
+    val drifted = Seq((3L, "c", 1.5)).toDF("id", "v", "w")
+    val e1 = intercept[IllegalArgumentException](
+      ManifestSink.overwrite(drifted, dest))
+    assert(e1.getMessage.contains("overwriteSchema"), e1.getMessage)
+    // partitionedness drift refuses too (an overwrite that forgot
+    // partitionField must not silently flatten the layout)
+    val dest2 = s"${tmpDir("ow_schema2_")}/t"
+    Seq((1L, java.sql.Date.valueOf("2026-01-01"))).toDF("id", "day")
+      .pipe(df => ManifestSink.append(df, dest2, Some("day")))
+    val e2 = intercept[IllegalArgumentException](
+      ManifestSink.overwrite(Seq((2L,
+          java.sql.Date.valueOf("2026-01-02"))).toDF("id", "day"),
+        dest2))
+    assert(e2.getMessage.contains("partitioned"), e2.getMessage)
+    // explicit opt-in rebases
+    ManifestSink.overwrite(drifted, dest, overwriteSchema = true)
+    assert(ManifestSink.readBack(spark, dest).columns.toSeq ==
+      Seq("id", "v", "w"))
+    // matching schema still overwrites without the flag
+    ManifestSink.overwrite(Seq((9L, "z", 0.0)).toDF("id", "v", "w"), dest)
+    assert(ManifestSink.readBack(spark, dest).count() == 1L)
+  }
+
   private implicit class Piper[A](a: A) {
     def pipe[B](f: A => B): B = f(a)
   }
