@@ -1298,6 +1298,111 @@ object NorthStar {
       out
     }),
 
+    // SUBQUERY-PREDICATE DML promoted to an oracle query — the
+    // GDPR-erasure shape: `DELETE FROM t WHERE user_id IN (SELECT
+    // ...)` with the deny set derived from the table ITSELF (an
+    // uncorrelated self-referencing subquery, evaluated against the
+    // pre-delete snapshot). The delete runs merge-on-read (deletion
+    // vectors, O(deleted rows)), and the change feed decomposes it:
+    // the output unions the feed's exact delete pre-images (through
+    // the graft_changes TVF) with the final per-type state, so a
+    // wrong subquery plan capture, a mis-scoped dv, or a feed that
+    // loses pre-images breaks the hash.
+    "q156_subquery_delete" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q156_").toString
+      ManifestSink.statsAppend(ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id"))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q156_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(
+        s"""DELETE FROM $tbl WHERE user_id IN (
+              SELECT user_id FROM $tbl
+              WHERE event_type = 'purchase' AND user_id % 17 = 0)""")
+      val out = s.sql(
+        s"""WITH c AS (
+              SELECT 'deleted' AS phase, 'all' AS event_type,
+                count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+                round(sum(value), 4) AS sum_val
+              FROM graft_changes('$tmp', 0)
+              WHERE _change_type = 'delete'),
+            f AS (
+              SELECT 'final' AS phase, event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_id,
+                round(sum(value), 4) AS sum_val
+              FROM $tbl GROUP BY event_type)
+            SELECT * FROM c UNION ALL SELECT * FROM f
+            ORDER BY phase, event_type""")
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }),
+
+    // FULL-SYNC MERGE promoted to an oracle query — the
+    // source-reloaded-from-scratch replication shape (`WHEN NOT
+    // MATCHED BY SOURCE THEN DELETE`): the reloaded source carries
+    // the even events doubled plus a band of brand-new keys, so the
+    // sync must update every even key, insert the new ones, and
+    // DELETE every odd key that vanished upstream — in ONE atomic
+    // snapshot. The output carries the three-way counts plus the
+    // final per-type state; the oracle replays all four from the raw
+    // rows, so a sync that misses vanished keys (the half Delta users
+    // hit first when a source reloads) breaks the hash.
+    "q157_merge_full_sync" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q157_").toString
+      ManifestSink.statsAppend(ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id"))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q157_$sfx"
+      val srcV = s"graft_q157_src_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW $srcV AS
+            SELECT event_id, event_type, value * 2 AS value
+            FROM $tbl VERSION AS OF 0 WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id + $n, event_type, value + 1
+            FROM $tbl VERSION AS OF 0 WHERE event_id % 97 = 0""")
+      val r = s.sql(
+        s"""MERGE INTO $tbl t USING $srcV s ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""").head
+      val (u, i, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val out = s.sql(
+        s"""WITH cnt AS (
+              SELECT 'count_updated' AS phase, 'all' AS event_type,
+                CAST($u AS BIGINT) AS n, CAST(0 AS BIGINT) AS sum_id,
+                CAST(0.0 AS DOUBLE) AS sum_val
+              UNION ALL
+              SELECT 'count_inserted', 'all', CAST($i AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+              UNION ALL
+              SELECT 'count_deleted', 'all', CAST($d AS BIGINT),
+                CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+            f AS (
+              SELECT 'final' AS phase, event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_id,
+                round(sum(value), 4) AS sum_val
+              FROM $tbl GROUP BY event_type)
+            SELECT * FROM cnt UNION ALL SELECT * FROM f
+            ORDER BY phase, event_type""")
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(srcV)
+      out
+    }),
+
     // SQL DML capstone — the table MAINTAINED through `spark.sql`:
     // `DELETE FROM` (mor dv commit), `UPDATE ... SET` (sidecar
     // rewrite), and a CDC-form `MERGE INTO` (conditional DELETE +
@@ -3864,6 +3969,64 @@ object NorthStar {
          SELECT * FROM pre UNION ALL SELECT * FROM fin0
          UNION ALL SELECT * FROM fin1
          ORDER BY phase, day""",
+    "q156_subquery_delete" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, value FROM events),
+         deny AS (
+           SELECT DISTINCT user_id FROM e
+           WHERE event_type = 'purchase' AND user_id % 17 = 0),
+         del AS (
+           SELECT * FROM e
+           WHERE EXISTS (SELECT 1 FROM deny d
+                         WHERE d.user_id = e.user_id)),
+         kept AS (
+           SELECT * FROM e
+           WHERE NOT EXISTS (SELECT 1 FROM deny d
+                             WHERE d.user_id = e.user_id)),
+         c AS (
+           SELECT 'deleted' AS phase, 'all' AS event_type,
+             count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM del),
+         f AS (
+           SELECT 'final' AS phase, event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM kept GROUP BY event_type)
+         SELECT * FROM c UNION ALL SELECT * FROM f
+         ORDER BY phase, event_type""",
+    "q157_merge_full_sync" ->
+      """WITH e AS (
+           SELECT event_id, event_type, value FROM events),
+         m AS (SELECT max(event_id) + 1 AS m FROM e),
+         srcA AS (
+           SELECT event_id, event_type, value * 2 AS value
+           FROM e WHERE event_id % 2 = 0),
+         srcB AS (
+           SELECT event_id + (SELECT m FROM m) AS event_id,
+             event_type, value + 1 AS value
+           FROM e WHERE event_id % 97 = 0),
+         src AS (SELECT * FROM srcA UNION ALL SELECT * FROM srcB),
+         cnt AS (
+           SELECT 'count_updated' AS phase, 'all' AS event_type,
+             (SELECT count(*) FROM srcA) AS n,
+             CAST(0 AS BIGINT) AS sum_id,
+             CAST(0.0 AS DOUBLE) AS sum_val
+           UNION ALL
+           SELECT 'count_inserted', 'all',
+             (SELECT count(*) FROM srcB), CAST(0 AS BIGINT),
+             CAST(0.0 AS DOUBLE)
+           UNION ALL
+           SELECT 'count_deleted', 'all',
+             (SELECT count(*) FROM e WHERE event_id % 2 = 1),
+             CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+         f AS (
+           SELECT 'final' AS phase, event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM src GROUP BY event_type)
+         SELECT * FROM cnt UNION ALL SELECT * FROM f
+         ORDER BY phase, event_type""",
     "q149_sql_dml" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),
          d1 AS (SELECT * FROM base WHERE event_id % 9 <> 0),

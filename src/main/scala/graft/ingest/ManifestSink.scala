@@ -1056,12 +1056,58 @@ object ManifestSink extends Ingest.DestinationSink {
     val prefixes = replacedValues.map(v => s"$pcol=$v/")
     val replaced = targets.filter(t => prefixes.exists(t.startsWith)).toSet
     val kept = targets.filterNot(replaced)
+    // a concurrent pure append absorbs iff it lands OUTSIDE the
+    // replaced partitions; an append INTO one is a conflict (this
+    // overwrite never saw its rows — replacing them silently would
+    // erase a concurrent writer's commit)
+    val absorbOk: Seq[Path] => Boolean = newMfs =>
+      newMfs.flatMap(readManifest(fs, _)._2)
+        .forall(t => !prefixes.exists(t.startsWith))
+    replaceContentCommit(spark, destPath, dfP, Some(pcol),
+      replaced, kept, old, baseVersion, statsCols, bloomCols,
+      bloomBits, absorbOk, Some(prefixes), "ow") match {
+      case Some(_) =>
+        println(s"METRIC graft.overwrite_partitions.replaced=" +
+          s"${replaced.size} values=${replacedValues.mkString(",")} " +
+          s"snapshot_version=${baseVersion + 1} dest=$destPath")
+        replaced.size.toLong
+      case None =>
+        throw new IllegalStateException(
+          s"[graft] overwritePartitions: lost the commit slot to a " +
+            s"concurrent writer inside a replaced partition of " +
+            s"$destPath (base v$baseVersion) — staged files rolled " +
+            "back; retry against the advanced log")
+    }
+  }
+
+  /** Shared snapshot-replace core for [[overwritePartitions]] and
+    * [[mergeFullSync]]: stage `dfP` (already carrying the derived
+    * partition column when `pcol` is set) into the destination
+    * layout with fresh stats/bloom metadata, capture exact change-feed
+    * images when the feed is enabled (replaced files' rows as deletes,
+    * incoming rows as inserts, one sidecar), and commit ONE snapshot
+    * in which `kept` survives verbatim (stats/dv/bloom lines carried).
+    * Returns Some(new file count) on commit; None when the OCC slot
+    * was lost — staged files are rolled back either way, the caller
+    * decides loud-throw vs status.
+    */
+  private def replaceContentCommit(spark: SparkSession,
+      destPath: String, dfP: DataFrame, pcol: Option[String],
+      replaced: Set[String], kept: Seq[String], old: Seq[Path],
+      baseVersion: Long, statsCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int,
+      canAbsorb: Seq[Path] => Boolean,
+      containPrefixes: Option[Seq[String]],
+      widPrefix: String): Option[Long] = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val sroot = stagingRoot(destPath)
     val stats = fileStatsOf(fs, old)
     val statsByTgt: Map[String, Seq[String]] =
       stats.keys.groupBy(_._1).map { case (t, ks) =>
         t -> ks.map(_._2).toSeq.sorted }
     val dvs = effectiveDvsOf(fs, old)
-    val writeId = "ow" +
+    val writeId = widPrefix +
       java.util.UUID.randomUUID().toString.replace("-", "").take(14)
     val staging = stagingDir(destPath, writeId)
     fs.mkdirs(staging)
@@ -1073,12 +1119,12 @@ object ManifestSink extends Ingest.DestinationSink {
       // + the incoming rows as inserts, one sidecar, tagged at write
       // time (the Delta CDF cost model)
       if (changeFeedEnabled(fs, dest)) {
+        // dv-aware pre-images: a row already tombstoned by an earlier
+        // commit was deleted THEN, not by this replace
         val del =
           if (replaced.isEmpty) None
-          else Some(spark.read.option("mergeSchema", "true")
-            .option("basePath", destPath)
-            .parquet(replaced.toSeq.sorted
-              .map(rel => new Path(dest, rel).toString): _*)
+          else Some(readFilesDv(spark, destPath,
+              replaced.toSeq.sorted, dvs, withBase = true)
             .withColumn("_change_type", lit("delete")))
         val ins = dfP.withColumn("_change_type", lit("insert"))
         val frame = del match {
@@ -1100,8 +1146,11 @@ object ManifestSink extends Ingest.DestinationSink {
       }
       // stage the incoming rows in their partition layout
       val dataOut = new Path(staging, "data")
-      dfP.write.partitionBy(pcol).mode("overwrite")
-        .parquet(dataOut.toString)
+      val writer = pcol match {
+        case Some(p) => dfP.write.partitionBy(p)
+        case None    => dfP.write
+      }
+      writer.mode("overwrite").parquet(dataOut.toString)
       val stagedRels = listFilesRec(fs, dataOut)
         .map(_._1)
         .filter(p => !p.getName.startsWith("_") &&
@@ -1118,15 +1167,16 @@ object ManifestSink extends Ingest.DestinationSink {
           rel -> s"$dir$writeId-$i.parquet"
         }.toMap
       // every staged file must land INSIDE a replaced partition — the
-      // containment check above guarantees it for static specs and the
-      // value derivation for dynamic ones; verify anyway (a silent
+      // caller's containment check guarantees it for static specs and
+      // the value derivation for dynamic ones; verify anyway (a silent
       // stray would survive the next overwrite of its partition)
-      relToTarget.values.foreach(t => require(
-        prefixes.exists(t.startsWith),
-        s"[graft] overwritePartitions: staged file $t falls outside " +
-          s"the replaced partitions"))
-      val dataCols =
-        df.columns.toSeq.filterNot(_.equalsIgnoreCase(pcol))
+      containPrefixes.foreach(ps =>
+        relToTarget.values.foreach(t => require(
+          ps.exists(t.startsWith),
+          s"[graft] snapshot replace: staged file $t falls outside " +
+            s"the replaced partitions")))
+      val dataCols = dfP.columns.toSeq
+        .filterNot(c => pcol.exists(_.equalsIgnoreCase(c)))
       val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
       val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
       val effSc = if (sc.nonEmpty) sc else bc
@@ -1158,7 +1208,7 @@ object ManifestSink extends Ingest.DestinationSink {
         val tgt = new Path(dest, target)
         fs.mkdirs(tgt.getParent)
         require(fs.rename(part, tgt),
-          s"[graft] overwritePartitions move failed: $tgt")
+          s"[graft] snapshot replace move failed: $tgt")
       }
     } catch {
       case e: Throwable =>
@@ -1174,30 +1224,112 @@ object ManifestSink extends Ingest.DestinationSink {
       statsByTgt.getOrElse(t, Nil).flatMap(c =>
         stats.get((t, c)).map(st => statsLine(t, c, st)))
     }
-    // a concurrent pure append absorbs iff it lands OUTSIDE the
-    // replaced partitions; an append INTO one is a conflict (this
-    // overwrite never saw its rows — replacing them silently would
-    // erase a concurrent writer's commit)
-    val absorbOk: Seq[Path] => Boolean = newMfs =>
-      newMfs.flatMap(readManifest(fs, _)._2)
-        .forall(t => !prefixes.exists(t.startsWith))
     onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
         survivors,
         carriedStats ++ dvCarryLines(dvs, kept) ++
           bloomCarryLines(fs, old, kept) ++ extraLines.toSeq,
         old, (moves ++ sideMoves).map(_._2).toSeq,
-        canAbsorb = absorbOk))
-      throw new IllegalStateException(
-        s"[graft] overwritePartitions: lost the commit slot to a " +
-          s"concurrent writer inside a replaced partition of " +
-          s"$destPath (base v$baseVersion) — staged files rolled " +
-          "back; retry against the advanced log")
-    println(s"METRIC graft.overwrite_partitions.replaced=" +
-      s"${replaced.size} new=${moves.length} " +
-      s"values=${replacedValues.mkString(",")} " +
-      s"snapshot_version=${baseVersion + 1} dest=$destPath")
-    replaced.size.toLong
+        canAbsorb = canAbsorb)) None
+    else Some(moves.length.toLong)
+  }
+
+  /** FULL-SYNC MERGE — Delta's `WHEN MATCHED THEN UPDATE SET * WHEN
+    * NOT MATCHED THEN INSERT * WHEN NOT MATCHED BY SOURCE THEN
+    * DELETE`: after the commit the table's content IS the source (the
+    * source-reloaded-from-scratch replication shape), in ONE atomic
+    * snapshot — matched keys replaced, unmatched source rows inserted,
+    * and target rows whose key VANISHED from the source deleted, so
+    * readers never observe a half-synced state. Counts are computed
+    * from one slim key-frame join against the captured snapshot
+    * (keys only — no wide shuffle), the change feed (when enabled)
+    * carries exact pre/post images, and the OCC contract is the
+    * overwrite's: a full sync conflicts with EVERY concurrent commit
+    * and returns [[MergeOutcome.Aborted]] rather than absorbing.
+    * The source must be key-unique (the [[mergeInto]] contract) and
+    * schema-compatible (a sync cannot fork the schema).
+    */
+  def mergeFullSync(spark: SparkSession, destPath: String,
+      source: DataFrame, keyCol: String,
+      partitionField: Option[String] = None,
+      statsCols: Seq[String] = Nil): MergeOutcome = {
+    require(source.columns.contains(keyCol),
+      s"[graft] mergeFullSync: source lacks key column '$keyCol'")
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val src = source.localCheckpoint()
+    val nSrc = src.count()
+    val nKeys = src.select(col(keyCol)).distinct().count()
+    require(nKeys == nSrc,
+      s"[graft] mergeFullSync: source keys must be unique — " +
+        s"$nSrc rows over $nKeys distinct '$keyCol' values")
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty)
+      return MergeOutcome.Skipped
+    if (!fs.exists(dest) || manifests(fs, destPath).isEmpty) {
+      // nothing to sync against: the whole source inserts
+      if (nSrc == 0) return MergeOutcome.NoChange("empty source+table")
+      if (statsCols.nonEmpty)
+        statsAppend(src, destPath, partitionField, statsCols)
+      else append(src, destPath, partitionField)
+      return MergeOutcome.Merged(0L, nSrc, 0L)
+    }
+    val old = resolvedLog(fs, destPath)
+    val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, old)
+    effectiveSchemaOf(fs, old).foreach { cur =>
+      val incoming = StructType(src.schema.fields.filterNot(f =>
+        partitionField.isDefined &&
+          f.name.equalsIgnoreCase(Ingest.PartitionCol)))
+      schemaMismatch(cur, incoming).foreach(why =>
+        throw new IllegalArgumentException(
+          s"[graft] mergeFullSync: source schema does not match the " +
+            s"table schema ($why) — a full sync cannot fork the schema"))
+    }
+    // counts from key frames only: updated = keys in both, deleted =
+    // live target ROWS whose key vanished, inserted = source rows
+    // whose key is new
+    val dvsForKeys = effectiveDvsOf(fs, old)
+    val (updated, deleted) =
+      if (targets.isEmpty) (0L, 0L)
+      else {
+        val tKeys = readFilesDv(spark, destPath, targets, dvsForKeys,
+          withBase = false).select(col(keyCol).as("__k"))
+        val sKeys = src.select(col(keyCol).as("__k")).distinct()
+        val j = tKeys.join(sKeys.withColumn("__s", lit(1)),
+            Seq("__k"), "left")
+          .agg(
+            countDistinct(when(col("__s").isNotNull, col("__k")))
+              .as("updated"),
+            sum(when(col("__s").isNull, 1L).otherwise(0L))
+              .as("deleted"))
+          .head
+        (j.getLong(0), if (j.isNullAt(1)) 0L else j.getLong(1))
+      }
+    val inserted = nSrc - updated
+    if (nSrc == 0 && targets.isEmpty)
+      return MergeOutcome.NoChange("empty source+table")
+    val dfP = partitionField match {
+      case Some(f) => src.withColumn(Ingest.PartitionCol,
+        to_date(col(f)))
+      case None => src
+    }
+    replaceContentCommit(spark, destPath, dfP,
+      partitionField.map(_ => Ingest.PartitionCol),
+      replaced = targets.toSet, kept = Nil, old, baseVersion,
+      statsCols, Nil, DefaultBloomBits,
+      canAbsorb = _ => false, containPrefixes = None, "fs") match {
+      case Some(_) =>
+        println(s"METRIC graft.merge_full_sync.updated=$updated " +
+          s"inserted=$inserted deleted=$deleted " +
+          s"snapshot_version=${baseVersion + 1} dest=$destPath")
+        MergeOutcome.Merged(updated, inserted, deleted)
+      case None =>
+        println(s"METRIC graft.merge_full_sync.aborted_log_advanced=1 " +
+          s"base_version=$baseVersion dest=$destPath")
+        MergeOutcome.Aborted
+    }
   }
 
   /** CDC-style incremental read (the append-only half of Delta's change
@@ -1987,8 +2119,19 @@ object ManifestSink extends Ingest.DestinationSink {
     val lines = needed.map(mf => mfData(fs, mf).schemaLines)
     if (lines.exists(_.isEmpty)) return None
     if (lastEvo >= 0 && base.isEmpty) return None
+    // a TARGET-LESS snapshot (a replace that emptied the table) still
+    // REDEFINES state: its carried schemaj IS the table schema — an
+    // empty table must not forget its shape (schema guards and the
+    // next write's validation depend on it). An evo after it rebases
+    // as usual; a legacy empty snapshot without the line keeps the
+    // old None fallback.
+    val snapExtra =
+      if (lastSnap >= 0 && lastEvo < 0) {
+        val d = mfData(fs, eff0.head)
+        if (d.targets.isEmpty) d.schemaLines else Nil
+      } else Nil
     val schemas =
-      try (base ++ lines.flatten).distinct.map { l =>
+      try (base ++ snapExtra ++ lines.flatten).distinct.map { l =>
         org.apache.spark.sql.types.DataType
           .fromJson(unb64(l.substring(8))).asInstanceOf[StructType]
       } catch { case scala.util.control.NonFatal(_) => return None }

@@ -44,9 +44,10 @@ import graft.sources.{GraftDataSource, GraftFileIndex}
   *
   * Unsupported (loud `AnalysisException`, never silent): predicates on
   * directory-derived partition columns (the data files do not carry
-  * them — use `dropPartitions` or the Scala API), subqueries in DML
-  * predicates, MERGE on partitioned layouts (pass `partitionField`
-  * through the Scala API), and MERGE shapes beyond the three CDC
+  * them — use `dropPartitions` or the Scala API), CORRELATED subqueries
+  * in DML predicates (uncorrelated `IN`/`NOT IN`/`EXISTS` are
+  * supported; SET/MERGE expressions still refuse any subquery), MERGE
+  * on multi-level partitioned layouts, and MERGE shapes beyond the CDC
   * canon forms (upsert star, upsert star + `WHEN MATCHED AND f THEN
   * DELETE`, delete-only).
   */
@@ -184,7 +185,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       graftTarget(t) match {
         case None => plan
         case Some(g) =>
-          noSubquery(cond, "DELETE")
+          noCorrelatedSubquery(cond, "DELETE")
           noPartitionRefs(cond.references.toSeq, g, "DELETE predicate")
           GraftDeleteCommand(g.dest, byName(cond), cond.sql,
             g.refreshTable)
@@ -196,8 +197,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       graftTarget(t) match {
         case None => plan
         case Some(g) =>
-          cond.foreach(noSubquery(_, "UPDATE"))
-          assignments.foreach(a => noSubquery(a.value, "UPDATE"))
+          cond.foreach(noCorrelatedSubquery(_, "UPDATE"))
+          assignments.foreach(a => noSubquery(a.value, "UPDATE SET"))
           noPartitionRefs(cond.toSeq.flatMap(_.references) ++
             assignments.flatMap(_.value.references), g, "UPDATE")
           val set = assignments.map { a =>
@@ -383,8 +384,12 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         "ManifestSink.mergeInto/mergeCdc for anything richer")
     if (m.withSchemaEvolution)
       unsupported("WITH SCHEMA EVOLUTION is not supported")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+    val fullSync = m.notMatchedBySourceActions match {
+      case Seq() => false
+      case Seq(DeleteAction(None)) => true
+      case _ => unsupported("WHEN NOT MATCHED BY SOURCE supports only " +
+        "the unconditional THEN DELETE (the full-sync form)")
+    }
     // single-level partitioned targets merge natively: the source must
     // carry the partition column (INSERT * requires it anyway) and the
     // merge machinery routes inserted rows into their partitions
@@ -443,16 +448,26 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     m.matchedActions match {
       // WHEN MATCHED THEN UPDATE SET * + WHEN NOT MATCHED THEN INSERT *
+      // (+ WHEN NOT MATCHED BY SOURCE THEN DELETE = the full-sync form:
+      // after the commit the table IS the source)
       case Seq(u) if isStarUpdate(u) =>
         if (!insertStar)
           unsupported("UPDATE SET * without INSERT * (mergeInto always " +
             "inserts unmatched source rows; add WHEN NOT MATCHED THEN " +
             "INSERT *)")
-        GraftMergeCommand(g.dest, m.sourceTable, keyCol, None,
-          m.targetTable.output.map(_.name), g.refreshTable,
-          mergePartition)
+        if (fullSync)
+          GraftMergeFullSyncCommand(g.dest, m.sourceTable, keyCol,
+            m.targetTable.output.map(_.name), g.refreshTable,
+            mergePartition)
+        else
+          GraftMergeCommand(g.dest, m.sourceTable, keyCol, None,
+            m.targetTable.output.map(_.name), g.refreshTable,
+            mergePartition)
       // WHEN MATCHED AND f THEN DELETE + UPDATE SET * + INSERT *
       case Seq(DeleteAction(Some(f)), u) if isStarUpdate(u) =>
+        if (fullSync)
+          unsupported("WHEN NOT MATCHED BY SOURCE combines only with " +
+            "the plain UPDATE SET * / INSERT * pair")
         if (!insertStar)
           unsupported("conditional DELETE + UPDATE SET * needs INSERT *")
         noSubquery(f, "MERGE")
@@ -465,6 +480,9 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           g.refreshTable, mergePartition)
       // WHEN MATCHED THEN DELETE, nothing else: delete the matched keys
       case Seq(DeleteAction(None)) =>
+        if (fullSync)
+          unsupported("WHEN NOT MATCHED BY SOURCE combines only with " +
+            "the plain UPDATE SET * / INSERT * pair")
         if (insertStar)
           unsupported("WHEN MATCHED THEN DELETE cannot combine with " +
             "INSERT * (every source row is a delete directive)")
@@ -481,8 +499,27 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def noSubquery(e: Expression, stmt: String): Unit =
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
-      fail(s"$stmt with a subquery predicate is not supported on " +
-        "graft tables")
+      fail(s"$stmt with a subquery is not supported on graft tables")
+
+  /** DELETE/UPDATE `WHERE` predicates may carry UNCORRELATED
+    * subqueries (`id IN (SELECT ...)` — the GDPR-erasure shape, `NOT
+    * IN` with its exact three-valued null semantics, constant
+    * `EXISTS`): the resolved subquery plan rides the predicate Column
+    * into the COW/MOR machinery verbatim, where Spark's own
+    * RewritePredicateSubquery turns it into a (broadcastable) semi
+    * join inside each pass — no driver-side key collect, no cap, the
+    * join strategy picked by size like any other join. Correlated
+    * subqueries would capture OUTER attribute ids that cannot resolve
+    * against the rewrite's own scan and refuse loudly instead.
+    */
+  private def noCorrelatedSubquery(e: Expression, stmt: String): Unit =
+    e.foreach {
+      case s: SubqueryExpression if s.isCorrelated =>
+        fail(s"$stmt with a CORRELATED subquery is not supported on " +
+          "graft tables — rewrite it as an uncorrelated IN/EXISTS " +
+          "(join the driving columns inside the subquery)")
+      case _ => ()
+    }
 
   private def noPartitionRefs(refs: Seq[Attribute], g: GraftTarget,
       where: String): Unit =
@@ -761,6 +798,40 @@ case class GraftInsertCommand(dest: String, child: LogicalPlan,
   override def simpleString(maxFields: Int): String =
     s"GraftInsert${if (overwrite) "Overwrite" else ""} $dest" +
       partitionField.map(p => s" partitioned by $p").getOrElse("")
+}
+
+/** The full-sync MERGE form (`WHEN MATCHED THEN UPDATE SET * WHEN NOT
+  * MATCHED THEN INSERT * WHEN NOT MATCHED BY SOURCE THEN DELETE`) →
+  * [[ManifestSink.mergeFullSync]]: after the commit the table's
+  * content IS the source, in one atomic snapshot; rows whose key
+  * vanished upstream delete. Returns (updated, inserted, deleted).
+  */
+case class GraftMergeFullSyncCommand(dest: String, source: LogicalPlan,
+    keyCol: String, targetCols: Seq[String],
+    refreshTable: Option[String], partitionField: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("updated_rows", LongType, nullable = false)(),
+    AttributeReference("inserted_rows", LongType, nullable = false)(),
+    AttributeReference("deleted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDf = Bridge.dataFrame(spark, source)
+      .select(targetCols.map(org.apache.spark.sql.functions.col): _*)
+    val statsCols =
+      ManifestSink.snapshotHandle(spark, dest).statsColumns
+    val outcome = ManifestSink.mergeFullSync(spark, dest, srcDf,
+      keyCol, partitionField, statsCols)
+    if (!outcome.applied)
+      throw new IllegalStateException(
+        s"[graft] MERGE INTO $dest (full sync) did not apply: " +
+          s"$outcome — retry after the concurrent commit / pending " +
+          "attempt clears")
+    GraftDml.refreshAfterDml(spark, refreshTable)
+    val (u, i, d) = outcome.counts
+    Seq(Row(u, i, d))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftMergeFullSync $dest ON $keyCol"
 }
 
 /** `INSERT OVERWRITE t PARTITION (p [= 'v'])` → the partial snapshot

@@ -153,10 +153,14 @@ class GraftDmlSpec extends SparkSpec {
         spark.sql(
           s"UPDATE $tbl SET p_date = DATE '2026-02-01' WHERE id = 1"))
       assert(e2.getMessage.contains("partition"), e2.getMessage)
-      // subquery predicate
+      // UNCORRELATED subquery predicates are supported now (the
+      // GDPR-erasure shape) — only CORRELATED ones refuse
+      assert(spark.sql(s"DELETE FROM $tbl WHERE id IN (SELECT 1)")
+        .head.getLong(0) == 1L)
       val e3 = intercept[AnalysisException](
-        spark.sql(s"DELETE FROM $tbl WHERE id IN (SELECT 1)"))
-      assert(e3.getMessage.contains("subquery"), e3.getMessage)
+        spark.sql(s"""DELETE FROM $tbl t WHERE EXISTS
+            (SELECT 1 FROM $tbl u WHERE u.id = t.id AND u.id = 2)"""))
+      assert(e3.getMessage.contains("CORRELATED"), e3.getMessage)
       // merge keyed on the partition column: the key must live in the
       // data files, and directory-derived p_date does not
       Seq((1L, "2026-01-02", 0.0, java.sql.Date.valueOf("2026-01-02")))
@@ -724,6 +728,156 @@ class GraftDmlSpec extends SparkSpec {
     // matching schema still overwrites without the flag
     ManifestSink.overwrite(Seq((9L, "z", 0.0)).toDF("id", "v", "w"), dest)
     assert(ManifestSink.readBack(spark, dest).count() == 1L)
+  }
+
+  test("DELETE/UPDATE with uncorrelated subquery predicates: IN " +
+      "(GDPR-erasure shape, mor), NOT IN three-valued null semantics, " +
+      "EXISTS; correlated forms and SET subqueries refuse") {
+    val (dest, tbl) = freshTable("dml_subq_")
+    (0L until 100L).map(i => (i, i % 10, s"v$i"))
+      .toDF("id", "uid", "v").coalesce(2)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    Seq((3L, "erase"), (7L, "erase"), (4L, "keep"))
+      .toDF("uid", "action").createOrReplaceTempView("dml_subq_deny")
+    try {
+      // IN subquery, mor: one dv commit, exact rows
+      val del = spark.sql(
+        s"""DELETE FROM $tbl WHERE uid IN
+            (SELECT uid FROM dml_subq_deny WHERE action = 'erase')""")
+      assert(del.head.getLong(0) == 20L)
+      assert(ManifestSink.history(spark, dest)
+        .where(col("version") === 1).head.getAs[String]("kind") == "mor")
+      assert(spark.table(tbl).where("uid IN (3, 7)").count() == 0L)
+      assert(spark.table(tbl).count() == 80L)
+
+      // UPDATE with an IN subquery
+      val up = spark.sql(
+        s"""UPDATE $tbl SET v = 'redacted' WHERE uid IN
+            (SELECT uid FROM dml_subq_deny WHERE action = 'keep')""")
+      assert(up.head.getLong(0) == 10L)
+      assert(spark.table(tbl).where("v = 'redacted'").count() == 10L)
+
+      // NOT IN against a set containing NULL deletes NOTHING (standard
+      // three-valued logic — silently deleting everything-or-something
+      // here is the classic wrong-results trap)
+      Seq(Some(1L), None).toDF("uid")
+        .createOrReplaceTempView("dml_subq_nulls")
+      val del2 = spark.sql(
+        s"DELETE FROM $tbl WHERE uid NOT IN (SELECT uid FROM dml_subq_nulls)")
+      assert(del2.head.getLong(0) == 0L)
+      assert(spark.table(tbl).count() == 80L)
+
+      // constant EXISTS (true) — every row
+      val del3 = spark.sql(
+        s"""DELETE FROM $tbl WHERE uid = 9 AND EXISTS
+            (SELECT 1 FROM dml_subq_deny WHERE action = 'erase')""")
+      assert(del3.head.getLong(0) == 10L)
+
+      // correlated subquery refuses loudly
+      val e = intercept[AnalysisException](spark.sql(
+        s"""DELETE FROM $tbl t WHERE EXISTS
+            (SELECT 1 FROM dml_subq_deny d WHERE d.uid = t.uid)"""))
+      assert(e.getMessage.contains("CORRELATED"), e.getMessage)
+      // SET with a subquery still refuses
+      val e2 = intercept[AnalysisException](spark.sql(
+        s"""UPDATE $tbl SET v =
+            (SELECT max(action) FROM dml_subq_deny) WHERE uid = 1"""))
+      assert(e2.getMessage.contains("subquery"), e2.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE $tbl")
+      spark.catalog.dropTempView("dml_subq_deny")
+      spark.catalog.dropTempView("dml_subq_nulls")
+    }
+  }
+
+  test("MERGE full sync (WHEN NOT MATCHED BY SOURCE THEN DELETE): the " +
+      "table becomes exactly the source in one snapshot, counts are " +
+      "the three-way outcome, history retained, other BY SOURCE " +
+      "shapes refuse") {
+    val (dest, tbl) = freshTable("dml_fsync_")
+    (0L until 50L).map(i => (i, s"old$i")).toDF("id", "v").coalesce(2)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    (10L until 60L).map(i => (i, s"new$i")).toDF("id", "v")
+      .createOrReplaceTempView("dml_fsync_src")
+    try {
+      val r = spark.sql(
+        s"""MERGE INTO $tbl t USING dml_fsync_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(r.columns.toSeq ==
+        Seq("updated_rows", "inserted_rows", "deleted_rows"))
+      assert(r.head == org.apache.spark.sql.Row(40L, 10L, 10L))
+      // the table IS the source now
+      assert(spark.table(tbl).orderBy("id")
+        .as[(Long, String)].collect().toSeq ==
+        (10L until 60L).map(i => (i, s"new$i")))
+      // ONE snapshot version; time travel reaches the pre-sync state
+      assert(ManifestSink.readVersion(spark, dest, 0).count() == 50L)
+      assert(ManifestSink.readVersion(spark, dest, 0)
+        .where("v = 'old0'").count() == 1L)
+
+      // BY SOURCE UPDATE refuses; BY SOURCE + delete-only refuses
+      val e1 = intercept[AnalysisException](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_fsync_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'gone'"""))
+      assert(e1.getMessage.contains("full-sync"), e1.getMessage)
+      val e2 = intercept[AnalysisException](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_fsync_src s ON t.id = s.id
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
+      assert(e2.getMessage.contains("UPDATE SET *"), e2.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE $tbl")
+      spark.catalog.dropTempView("dml_fsync_src")
+    }
+  }
+
+  test("mergeFullSync (Scala): partitioned target, change feed " +
+      "decomposes the sync into exact deletes + inserts, empty " +
+      "source empties the table, schema drift refuses") {
+    val dest = s"${tmpDir("fsync_sc_")}/t"
+    ManifestSink.enableChangeFeed(spark, dest)
+    dayTable(dest) // ids 0..89 over 3 day partitions
+    val src = (60L until 100L).map(i =>
+        (i, s"s$i", java.sql.Date.valueOf(s"2026-01-0${i % 3 + 1}")))
+      .toDF("id", "v", "day")
+    val out = ManifestSink.mergeFullSync(spark, dest, src, "id",
+      Some("day"), Seq("id"))
+    assert(out == ManifestSink.MergeOutcome.Merged(30L, 10L, 60L))
+    val back = ManifestSink.readBack(spark, dest)
+    assert(back.count() == 40L)
+    assert(back.select("id").as[Long].collect().toSet ==
+      (60L until 100L).toSet)
+    // partition layout preserved
+    assert(back.inputFiles.forall(_.contains("p_date=")))
+    // the feed decomposes: every pre-sync row deletes, every source
+    // row inserts, in the same commit version
+    val ch = ManifestSink.readChangesBetween(spark, dest, 0)
+    assert(ch.where("_change_type = 'delete'")
+      .select("id").as[Long].collect().toSet == (0L until 90L).toSet)
+    assert(ch.where("_change_type = 'insert'")
+      .select("id").as[Long].collect().toSet == (60L until 100L).toSet)
+    assert(ch.select("_commit_version").distinct()
+      .as[Long].collect().toSeq == Seq(1L))
+    // empty source = full truncate, counted as deletes
+    val empty = spark.emptyDataset[(Long, String, java.sql.Date)]
+      .toDF("id", "v", "day")
+    assert(ManifestSink.mergeFullSync(spark, dest, empty, "id",
+      Some("day"), Seq("id")) ==
+      ManifestSink.MergeOutcome.Merged(0L, 0L, 40L))
+    assert(ManifestSink.readBack(spark, dest).count() == 0L)
+    // schema drift refuses
+    val drifted = Seq((1L, java.sql.Date.valueOf("2026-01-01")))
+      .toDF("id", "day")
+    val e = intercept[IllegalArgumentException](
+      ManifestSink.mergeFullSync(spark, dest, drifted, "id",
+        Some("day")))
+    assert(e.getMessage.contains("schema"), e.getMessage)
   }
 
   private implicit class Piper[A](a: A) {
