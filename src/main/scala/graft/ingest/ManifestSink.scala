@@ -5967,6 +5967,24 @@ object ManifestSink extends Ingest.DestinationSink {
     * atomic log commit — is layout-agnostic, keyed only on the staged
     * file names.
     */
+  /** True iff a committed manifest (or a checkpoint's `writeidset`
+    * line) already records `writeId` — the same idempotent-replay
+    * check [[stageMoveCommit]] opens with, exposed for callers that
+    * must test an ALTERNATE id form (the streaming sink's pre-r18
+    * checkpoint-tag writeIds) before minting a new commit.
+    */
+  def hasWriteId(spark: SparkSession, destPath: String,
+      writeId: String): Boolean = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return false
+    resolvedLog(fs, destPath).exists { m =>
+      val d = mfData(fs, m)
+      d.writeIdSet.contains(writeId) ||
+        (m.getName.endsWith(".manifest") && writeIdOf(fs, m) == writeId)
+    }
+  }
+
   private def stageMoveCommit(spark: SparkSession, destPath: String,
       writeId: String, sourceUris: Seq[String],
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,

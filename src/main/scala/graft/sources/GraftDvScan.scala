@@ -60,6 +60,22 @@ final class GraftDvScanRule(session: SparkSession)
       case m: MergeIntoTable      => relationsIn(m.targetTable)
       case i: InsertIntoStatement => relationsIn(i.table)
     }.flatten.toSet
+    // an explicit `_metadata` reference anywhere in the query keeps
+    // the in-format path: the rewrite's Project(lr.output, ...) does
+    // not propagate metadata output, so depending on whether
+    // AddMetadataColumns ran before or after this rule the reference
+    // could fail to resolve — same conservative fallback as the
+    // name-conflict case (the in-format dv path is fully correct)
+    val wantsMeta = plan.exists(p => p.expressions.exists(_.exists {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        => u.nameParts.exists(_.equalsIgnoreCase(
+          FileFormat.METADATA_NAME))
+      case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference =>
+        a.name.equalsIgnoreCase(FileFormat.METADATA_NAME)
+      case _ => false
+    }))
+    if (wantsMeta) return plan
     plan.resolveOperatorsDown {
       case lr: LogicalRelation if !exempt.contains(lr) =>
         lr.relation match {

@@ -99,6 +99,20 @@ final class GraftStreamSink(destPath: String,
           case _ => ()
         }
       case None =>
+        // UPGRADE GUARD: r18 moved stream identity from the
+        // checkpointLocation/destPath tag to the queryId. A stream
+        // restarted from a checkpoint written BEFORE that change
+        // replays its last in-flight batch under a DIFFERENT (new)
+        // writeId, so the idempotency lookup would miss and the batch
+        // would double-append ONCE. Check the legacy writeId form too
+        // and skip the batch if it already landed pre-upgrade.
+        val legacyId = writeIdFor(
+          checkpointTag.getOrElse(destPath), batchId)
+        if (ManifestSink.hasWriteId(spark, destPath, legacyId)) {
+          println(s"METRIC graft.sink.legacy_writeid_replay_skip=1 " +
+            s"batch=$batchId dest=$destPath")
+          return
+        }
         val writeId = writeIdFor(streamTag(spark), batchId)
         if (statsCols.nonEmpty || bloomCols.nonEmpty)
           ManifestSink.statsAppend(batch, destPath, partitionField,

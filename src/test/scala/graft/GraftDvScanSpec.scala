@@ -83,6 +83,25 @@ class GraftDvScanSpec extends SparkSpec {
       .collect().toSeq == rows)
   }
 
+  test("an explicit _metadata select on a dv'd table resolves (the " +
+      "rewrite steps aside) and still applies the tombstones") {
+    val dest = s"${tmpDir("dvscan_meta_")}/t"
+    mkDvTable(dest)
+    val df = spark.read.format("graft").load(dest)
+      .select(col("id"), col("_metadata.file_name").as("fn"))
+    val rows = df.collect().toSeq
+    assert(rows.length == 275, "dvs must still apply on the fallback")
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(!rows.exists { r =>
+      val id = r.getLong(0)
+      (id >= 40 && id <= 59) || (id >= 150 && id <= 154)
+    })
+    // metadata-free queries on the same session keep the fast path
+    val fast = spark.read.format("graft").load(dest)
+    fast.collect()
+    assert(scan(fast).supportsColumnar)
+  }
+
   test("partitioned layout + dvs: partition pruning, columnar scan, " +
       "and tombstone filtering compose") {
     val dest = s"${tmpDir("dvscanp_")}/t"

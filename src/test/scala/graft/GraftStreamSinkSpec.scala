@@ -72,6 +72,33 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(ManifestSink.readBack(spark, dest).count() == 4L)
   }
 
+  test("pre-upgrade checkpoint replay: a batch committed under the " +
+      "legacy (checkpoint-path-keyed) writeId is not double-appended " +
+      "by the queryId-keyed sink") {
+    val dest = s"${tmpDir("gsink_legacy_")}/t"
+    val ckpt = "/ckpt/legacy-stream"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    // what the pre-r18 sink committed for batch 0: the writeId keyed
+    // on the raw checkpointLocation (no qid:/tag: prefix)
+    val legacy = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"graft-sink:$ckpt:0".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    ManifestSink.stagedAppend(df, dest, None, legacy, Seq.empty)
+    ManifestSink.finishCommit(spark, dest, legacy)
+    assert(ManifestSink.readBack(spark, dest).count() == 2L)
+    // the upgraded sink restarts from that checkpoint and Spark
+    // re-delivers the in-flight batch 0: the new writeId would miss
+    // the idempotency lookup — the legacy-form guard must skip it
+    val sink = new GraftStreamSink(dest, None, Seq("id"), Nil, None,
+      mor = false, checkpointTag = Some(ckpt))
+    sink.addBatch(0L, df)
+    assert(ManifestSink.readBack(spark, dest).count() == 2L,
+      "pre-upgrade batch replayed as a duplicate")
+    // later batches land normally under the new identity
+    sink.addBatch(1L, Seq((3L, "z")).toDF("id", "v"))
+    assert(ManifestSink.readBack(spark, dest).count() == 3L)
+  }
+
   test("a wiped-and-reused checkpoint is a NEW logical stream: its " +
       "batch 0 must APPEND, not replay-skip against the old stream's " +
       "writeIds") {
