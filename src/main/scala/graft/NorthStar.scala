@@ -1403,6 +1403,45 @@ object NorthStar {
       out
     }),
 
+    // TWO-LEVEL date/hour PARTITIONING promoted to an oracle query —
+    // the routine layout for high-rate event streams: ingest events
+    // under p_date=YYYY-MM-DD/p_hour=H directories (one statsAppend
+    // with the "ts/hour" spec), re-backfill ONE HOUR of the first day
+    // through the hour-scoped INSERT OVERWRITE PARTITION (tripling
+    // even events), then aggregate the day BY BOTH levels through the
+    // SQL relation (p_hour types INTEGER on every read path). The
+    // oracle replays the hour rewrite from the raw rows, so a replace
+    // that bleeds into neighboring hours, loses the hour's identity,
+    // or mis-derives either directory level breaks the hash.
+    "q158_hourly_partitions" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q158_").toString
+      ManifestSink.statsAppend(ev, tmp, Some("ts/hour"), Seq("event_id"))
+      val d0 = ev.agg(min(to_date(col("ts"))).cast("string"))
+        .head.getString(0)
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q158_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (p_date = '$d0', p_hour = '3')
+            SELECT event_id, event_type, value * 3, ts
+            FROM $tbl VERSION AS OF 0
+            WHERE p_date = '$d0' AND p_hour = 3 AND event_id % 2 = 0""")
+      val out = s.sql(
+        s"""SELECT p_hour, count(*) AS n,
+              CAST(sum(event_id) AS BIGINT) AS sum_id,
+              round(sum(value), 4) AS sum_val
+            FROM $tbl WHERE p_date = '$d0'
+            GROUP BY p_hour ORDER BY p_hour""")
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }),
+
     // SQL DML capstone — the table MAINTAINED through `spark.sql`:
     // `DELETE FROM` (mor dv commit), `UPDATE ... SET` (sidecar
     // rewrite), and a CDC-form `MERGE INTO` (conditional DELETE +
@@ -4027,6 +4066,25 @@ object NorthStar {
            FROM src GROUP BY event_type)
          SELECT * FROM cnt UNION ALL SELECT * FROM f
          ORDER BY phase, event_type""",
+    "q158_hourly_partitions" ->
+      """WITH e AS (
+           SELECT event_id, value, CAST(ts AS DATE) AS day,
+             CAST(hour(ts) AS INT) AS p_hour
+           FROM events),
+         d0 AS (SELECT min(day) AS d FROM e),
+         base AS (SELECT * FROM e WHERE day = (SELECT d FROM d0)),
+         fin AS (
+           SELECT p_hour, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM base WHERE p_hour <> 3 GROUP BY p_hour
+           UNION ALL
+           SELECT p_hour, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value * 3), 4) AS sum_val
+           FROM base WHERE p_hour = 3 AND event_id % 2 = 0
+           GROUP BY p_hour)
+         SELECT * FROM fin ORDER BY p_hour""",
     "q149_sql_dml" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),
          d1 AS (SELECT * FROM base WHERE event_id % 9 <> 0),

@@ -140,6 +140,13 @@ object Ingest {
     */
   val PartitionCol = "p_date"
 
+  /** Second (optional) partition level: the zero-padded hour-of-day
+    * directory column of a `date/hour` layout — the routine shape for
+    * high-rate event streams. Zero-padding keeps lexicographic
+    * directory order chronological.
+    */
+  val PartitionHourCol = "p_hour"
+
   /** Shard directory column written by [[DestinationSink.shardedWrite]]. */
   val ShardCol = "shard"
 

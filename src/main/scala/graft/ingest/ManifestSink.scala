@@ -104,6 +104,44 @@ object ManifestSink extends Ingest.DestinationSink {
   private def stagingDir(destPath: String, writeId: String): Path =
     new Path(stagingRoot(destPath), writeId)
 
+  /** Derived partition layout of a `partitionField` spec:
+    *  - `"f"`       → one level, `p_date = to_date(f)`;
+    *  - `"f/hour"`  → two levels, `p_hour` = zero-padded hour of `f`
+    *    (the date/hour layout routine for high-rate event streams);
+    *  - `"f/h"`     → two levels with `p_hour` normalized from column
+    *    `h`'s own values (the SQL face, where the relation already
+    *    exposes both partition columns and `to_date(p_date)` is the
+    *    identity).
+    * Returns the frame with the directory columns appended plus their
+    * names in layout order. The hour level is an INTEGER column
+    * (`p_hour=0..23`) — Spark's partition-value inference types
+    * int-looking directory values as integers on every read path, so
+    * an int column is the representation that round-trips identically
+    * everywhere (typed ordering is chronological).
+    */
+  private[graft] def withPartitionCols(df: DataFrame, field: String)
+      : (DataFrame, Seq[String]) = field.split('/') match {
+    case Array(f) =>
+      (df.withColumn(Ingest.PartitionCol, to_date(col(f))),
+        Seq(Ingest.PartitionCol))
+    case Array(f, h) =>
+      val hc =
+        if (h.equalsIgnoreCase("hour")) hour(col(f))
+        else col(h).cast("int")
+      (df.withColumn(Ingest.PartitionCol, to_date(col(f)))
+        .withColumn(Ingest.PartitionHourCol, hc.cast("int")),
+        Seq(Ingest.PartitionCol, Ingest.PartitionHourCol))
+    case _ => throw new IllegalArgumentException(
+      s"[graft] partitionField '$field': at most two levels " +
+        "(\"f\", \"f/hour\", or \"f/<hour column>\")")
+  }
+
+  /** The directory column names a `partitionField` spec produces. */
+  private[graft] def partitionColsOf(field: String): Seq[String] =
+    if (field.contains('/')) Seq(Ingest.PartitionCol,
+      Ingest.PartitionHourCol)
+    else Seq(Ingest.PartitionCol)
+
   private def logPath(destPath: String): Path =
     new Path(new Path(destPath), LogDir)
 
@@ -906,12 +944,13 @@ object ManifestSink extends Ingest.DestinationSink {
                else "unpartitioned") +
               " — pass overwriteSchema = true to rebase the layout")
         effectiveSchemaOf(fs, old).foreach { cur =>
-          // a partitioned stage strips the derived partition column
+          // a partitioned stage strips the derived partition columns
           // from the data files — compare what will actually land
+          val strip = partitionField.map(partitionColsOf).getOrElse(Nil)
           val incoming =
-            if (partitionField.isEmpty) df.schema
-            else StructType(df.schema.fields.filterNot(
-              _.name.equalsIgnoreCase(Ingest.PartitionCol)))
+            if (strip.isEmpty) df.schema
+            else StructType(df.schema.fields.filterNot(f =>
+              strip.exists(_.equalsIgnoreCase(f.name))))
           schemaMismatch(cur, incoming).foreach(why =>
             throw new IllegalArgumentException(
               s"[graft] overwrite: incoming schema does not match the " +
@@ -930,8 +969,8 @@ object ManifestSink extends Ingest.DestinationSink {
       snapshotBase = Some(base)) { staging =>
       val writer = partitionField match {
         case Some(f) =>
-          df.withColumn(Ingest.PartitionCol, to_date(col(f)))
-            .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+          val (dfp, pcols) = withPartitionCols(df, f)
+          dfp.write.mode("overwrite").partitionBy(pcols: _*)
         case None => df.write.mode("overwrite")
       }
       writer.parquet(staging.toString)
@@ -998,23 +1037,48 @@ object ManifestSink extends Ingest.DestinationSink {
     val spark = df.sparkSession
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    require(values.forall(v => !v.contains('/') && !v.contains("..")),
-      s"[graft] overwritePartitions: values must be plain partition " +
-        s"values: ${values.mkString(",")}")
     val pcol = Ingest.PartitionCol
-    val dfP = df.withColumn(pcol, to_date(col(partitionField)))
+    val (dfP, pcols) = withPartitionCols(df, partitionField)
+    val hourly = pcols.length == 2
+    // value forms: "d" replaces a whole day (any layout); "d/h"
+    // replaces one hour of a date/hour layout
+    require(values.forall(v =>
+        !v.contains("..") && v.split('/').length <= 2 &&
+          (hourly || !v.contains('/'))),
+      s"[graft] overwritePartitions: values must be 'date' " +
+        s"(or 'date/hour' on an hourly layout): ${values.mkString(",")}")
+    // canonical hour rendering: the directory is written from the INT
+    // p_hour column ("p_hour=7"), so "07" and "7" name the same hour
+    def canonHour(h: String): Int = {
+      val n = try h.trim.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"[graft] overwritePartitions: cannot interpret '$h' as " +
+              "an hour")
+      }
+      require(n >= 0 && n <= 23,
+        s"[graft] overwritePartitions: hour '$h' out of range")
+      n
+    }
+    def valuePred(v: String): org.apache.spark.sql.Column =
+      v.split('/') match {
+        case Array(d) => col(pcol).cast("string") === d
+        case Array(d, h) => col(pcol).cast("string") === d &&
+          col(Ingest.PartitionHourCol) === canonHour(h)
+      }
     // first write on a fresh table: a plain partitioned append (the
     // static-spec row containment still holds below via the same check)
     val isFresh = !fs.exists(dest) || manifests(fs, destPath).isEmpty
+    val anyNull = pcols.map(col(_).isNull).reduce(_ || _)
     if (values.nonEmpty) {
-      val strays = dfP.where(col(pcol).isNull ||
-        !col(pcol).cast("string").isin(values: _*)).count()
+      val strays = dfP.where(anyNull ||
+        !values.map(valuePred).reduce(_ || _)).count()
       require(strays == 0L,
         s"[graft] overwritePartitions: $strays row(s) fall outside " +
           s"the static partition spec (${values.mkString(",")}) — " +
           "rows are never silently dropped or written elsewhere")
     } else
-      require(dfP.where(col(pcol).isNull).isEmpty,
+      require(dfP.where(anyNull).isEmpty,
         "[graft] overwritePartitions: rows with a null partition " +
           "value cannot be routed")
     if (isFresh) {
@@ -1031,8 +1095,9 @@ object ManifestSink extends Ingest.DestinationSink {
         s"under $sroot — run recover/finishCommit first")
     val replacedValues: Seq[String] =
       if (values.nonEmpty) values.distinct.sorted
-      else dfP.select(col(pcol).cast("string")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+      else dfP.select(concat_ws("/",
+          pcols.map(c => col(c).cast("string")): _*))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
     if (replacedValues.isEmpty) return 0L // dynamic + empty df: no-op
     // capture the log ONCE (the optimize/rewrite protocol)
     val old = resolvedLog(fs, destPath)
@@ -1041,19 +1106,30 @@ object ManifestSink extends Ingest.DestinationSink {
     val targets = effectiveTargetsOf(fs, old)
     require(targets.isEmpty || targets.forall(_.startsWith(pcol + "=")),
       s"[graft] overwritePartitions: $destPath is not a " +
-        s"single-level $pcol-partitioned layout")
+        s"$pcol-partitioned layout")
+    val tableHourly = targets.headOption.exists(_.split('/').init
+      .exists(_.startsWith(Ingest.PartitionHourCol + "=")))
+    require(targets.isEmpty || tableHourly == hourly,
+      s"[graft] overwritePartitions: the table layout is " +
+        (if (tableHourly) "date/hour" else "day-only") +
+        s" but partitionField '$partitionField' derives the " +
+        (if (hourly) "date/hour" else "day-only") + " layout")
     effectiveSchemaOf(fs, old).foreach { cur =>
       // the staged files carry df's columns minus the derived
-      // partition directory column
-      val incoming = StructType(df.schema.fields.filterNot(
-        _.name.equalsIgnoreCase(pcol)))
+      // partition directory columns
+      val incoming = StructType(df.schema.fields.filterNot(f =>
+        pcols.exists(_.equalsIgnoreCase(f.name))))
       schemaMismatch(cur, incoming).foreach(why =>
         throw new IllegalArgumentException(
           s"[graft] overwritePartitions: incoming schema does not " +
             s"match the table schema ($why) — a partition-scoped " +
             "overwrite cannot change the schema"))
     }
-    val prefixes = replacedValues.map(v => s"$pcol=$v/")
+    val prefixes = replacedValues.map(v => v.split('/') match {
+      case Array(d) => s"$pcol=$d/"
+      case Array(d, h) =>
+        s"$pcol=$d/${Ingest.PartitionHourCol}=${canonHour(h)}/"
+    })
     val replaced = targets.filter(t => prefixes.exists(t.startsWith)).toSet
     val kept = targets.filterNot(replaced)
     // a concurrent pure append absorbs iff it lands OUTSIDE the
@@ -1063,7 +1139,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val absorbOk: Seq[Path] => Boolean = newMfs =>
       newMfs.flatMap(readManifest(fs, _)._2)
         .forall(t => !prefixes.exists(t.startsWith))
-    replaceContentCommit(spark, destPath, dfP, Some(pcol),
+    replaceContentCommit(spark, destPath, dfP, pcols,
       replaced, kept, old, baseVersion, statsCols, bloomCols,
       bloomBits, absorbOk, Some(prefixes), "ow") match {
       case Some(_) =>
@@ -1092,7 +1168,7 @@ object ManifestSink extends Ingest.DestinationSink {
     * decides loud-throw vs status.
     */
   private def replaceContentCommit(spark: SparkSession,
-      destPath: String, dfP: DataFrame, pcol: Option[String],
+      destPath: String, dfP: DataFrame, pcols: Seq[String],
       replaced: Set[String], kept: Seq[String], old: Seq[Path],
       baseVersion: Long, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int,
@@ -1146,10 +1222,9 @@ object ManifestSink extends Ingest.DestinationSink {
       }
       // stage the incoming rows in their partition layout
       val dataOut = new Path(staging, "data")
-      val writer = pcol match {
-        case Some(p) => dfP.write.partitionBy(p)
-        case None    => dfP.write
-      }
+      val writer =
+        if (pcols.nonEmpty) dfP.write.partitionBy(pcols: _*)
+        else dfP.write
       writer.mode("overwrite").parquet(dataOut.toString)
       val stagedRels = listFilesRec(fs, dataOut)
         .map(_._1)
@@ -1176,7 +1251,7 @@ object ManifestSink extends Ingest.DestinationSink {
           s"[graft] snapshot replace: staged file $t falls outside " +
             s"the replaced partitions")))
       val dataCols = dfP.columns.toSeq
-        .filterNot(c => pcol.exists(_.equalsIgnoreCase(c)))
+        .filterNot(c => pcols.exists(_.equalsIgnoreCase(c)))
       val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
       val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
       val effSc = if (sc.nonEmpty) sc else bc
@@ -1234,6 +1309,61 @@ object ManifestSink extends Ingest.DestinationSink {
     else Some(moves.length.toLong)
   }
 
+  /** RENAME COLUMN as a REWRITE commit. Parquet (and this engine's
+    * log-resolved schema) binds columns BY NAME, so a metadata-only
+    * rename would read every pre-rename file's rows as NULL under the
+    * new name — silent data loss (Delta refuses renames without its
+    * column-mapping mode for exactly this reason). The honest
+    * operation on a plain-parquet lakehouse is a rewrite: ONE atomic
+    * snapshot-replace of the table content with the column renamed,
+    * skipping stats and bloom filters rebuilt under the new name, and
+    * history retained (RESTORE reaches the pre-rename state, whose
+    * files are untouched). O(table) by design — at large scale prefer
+    * ADD + backfill + DROP, or schedule the rename as maintenance.
+    * Partition-layout columns refuse (their values live in directory
+    * names). Returns the number of files rewritten.
+    */
+  def renameColumn(spark: SparkSession, destPath: String,
+      from: String, to: String): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    require(fs.exists(dest) && manifests(fs, destPath).nonEmpty,
+      s"[graft] renameColumn: $destPath has no committed versions")
+    val handle = snapshotHandle(spark, destPath)
+    val targets = handle.targets
+    val layoutCols: Seq[String] = targets.headOption.map { t =>
+      t.split('/').init.filter(_.contains('=')).map(s =>
+        s.substring(0, s.indexOf('='))).toSeq
+    }.getOrElse(Nil)
+    require(!layoutCols.exists(_.equalsIgnoreCase(from)),
+      s"[graft] renameColumn: '$from' is a partition-layout column — " +
+        "its values live in directory names; repartition the table " +
+        "instead")
+    val back = readBack(spark, destPath)
+    val actualFrom = back.columns.find(_.equalsIgnoreCase(from))
+      .getOrElse(throw new IllegalArgumentException(
+        s"[graft] renameColumn: column '$from' does not exist " +
+          s"(columns: ${back.columns.mkString(", ")})"))
+    require(!back.columns.exists(_.equalsIgnoreCase(to)),
+      s"[graft] renameColumn: column '$to' already exists")
+    val renamed = back.withColumnRenamed(actualFrom, to)
+    def mv(cols: Seq[String]): Seq[String] =
+      cols.map(c => if (c.equalsIgnoreCase(from)) to else c)
+    val sc = mv(handle.statsColumns)
+    val bc = mv(handle.bloomColumns)
+    val spec: Option[String] =
+      if (layoutCols.isEmpty) None
+      else if (layoutCols.exists(
+          _.equalsIgnoreCase(Ingest.PartitionHourCol)))
+        Some(s"${Ingest.PartitionCol}/${Ingest.PartitionHourCol}")
+      else Some(Ingest.PartitionCol)
+    overwrite(renamed, destPath, spec,
+      if (sc.nonEmpty) sc else bc, bc, overwriteSchema = true)
+    println(s"METRIC graft.rename_column.from=$from to=$to " +
+      s"files=${targets.length} dest=$destPath")
+    targets.length.toLong
+  }
+
   /** FULL-SYNC MERGE — Delta's `WHEN MATCHED THEN UPDATE SET * WHEN
     * NOT MATCHED THEN INSERT * WHEN NOT MATCHED BY SOURCE THEN
     * DELETE`: after the commit the table's content IS the source (the
@@ -1278,10 +1408,10 @@ object ManifestSink extends Ingest.DestinationSink {
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
+    val layoutCols = partitionField.map(partitionColsOf).getOrElse(Nil)
     effectiveSchemaOf(fs, old).foreach { cur =>
       val incoming = StructType(src.schema.fields.filterNot(f =>
-        partitionField.isDefined &&
-          f.name.equalsIgnoreCase(Ingest.PartitionCol)))
+        layoutCols.exists(_.equalsIgnoreCase(f.name))))
       schemaMismatch(cur, incoming).foreach(why =>
         throw new IllegalArgumentException(
           s"[graft] mergeFullSync: source schema does not match the " +
@@ -1310,13 +1440,11 @@ object ManifestSink extends Ingest.DestinationSink {
     val inserted = nSrc - updated
     if (nSrc == 0 && targets.isEmpty)
       return MergeOutcome.NoChange("empty source+table")
-    val dfP = partitionField match {
-      case Some(f) => src.withColumn(Ingest.PartitionCol,
-        to_date(col(f)))
-      case None => src
+    val (dfP, pcols) = partitionField match {
+      case Some(f) => withPartitionCols(src, f)
+      case None    => (src, Nil)
     }
-    replaceContentCommit(spark, destPath, dfP,
-      partitionField.map(_ => Ingest.PartitionCol),
+    replaceContentCommit(spark, destPath, dfP, pcols,
       replaced = targets.toSet, kept = Nil, old, baseVersion,
       statsCols, Nil, DefaultBloomBits,
       canAbsorb = _ => false, containPrefixes = None, "fs") match {
@@ -3183,8 +3311,8 @@ object ManifestSink extends Ingest.DestinationSink {
       staging =>
         val writer = partitionField match {
           case Some(f) =>
-            df.withColumn(Ingest.PartitionCol, to_date(col(f)))
-              .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+            val (dfp, pcols) = withPartitionCols(df, f)
+            dfp.write.mode("overwrite").partitionBy(pcols: _*)
           case None => df.write.mode("overwrite")
         }
         writer.parquet(staging.toString)
@@ -3976,24 +4104,36 @@ object ManifestSink extends Ingest.DestinationSink {
     // natural SQL UPDATE semantics, where the partition column is not
     // assignable. A partition layout this sink did not write (a
     // foreign `col=` name) still refuses loudly.
-    val autoPdate: Map[String, String] =
+    val autoPdate: Map[String, (String, Option[String])] =
       if (partitionField.nonEmpty) Map.empty
       else {
         val foreign = targets.find(_.split('/').init.exists(seg =>
           seg.contains('=') &&
-            !seg.startsWith(Ingest.PartitionCol + "=")))
+            !seg.startsWith(Ingest.PartitionCol + "=") &&
+            !seg.startsWith(Ingest.PartitionHourCol + "=")))
         require(foreign.isEmpty,
           s"[graft] updateWhereMor: $destPath has a partition layout " +
             s"this engine did not write (e.g. '${foreign.get}') — " +
             "pass partitionField so updated rows keep their partition " +
             "values")
         targets.flatMap { rel =>
-          rel.split('/').init
-            .find(_.startsWith(Ingest.PartitionCol + "="))
-            .map(seg => fileNameOf(rel) ->
-              seg.substring(Ingest.PartitionCol.length + 1))
+          val segs = rel.split('/').init
+          segs.find(_.startsWith(Ingest.PartitionCol + "="))
+            .map { seg =>
+              fileNameOf(rel) ->
+                (seg.substring(Ingest.PartitionCol.length + 1),
+                  segs.find(_.startsWith(Ingest.PartitionHourCol + "="))
+                    .map(_.substring(
+                      Ingest.PartitionHourCol.length + 1)))
+            }
         }.toMap
       }
+    // a hybrid layout (some files hourly, some day-only) has no
+    // consistent keep-partition semantics — refuse loudly
+    require(autoPdate.isEmpty ||
+      autoPdate.values.map(_._2.isDefined).toSet.size <= 1,
+      s"[graft] updateWhereMor: $destPath mixes day-only and " +
+        "date/hour partition dirs — repair the layout first")
     val stats = fileStatsOf(fs, old)
     val dvs = effectiveDvsOf(fs, old)
     val (candidates, m, colLabel) = pred match {
@@ -4062,19 +4202,29 @@ object ManifestSink extends Ingest.DestinationSink {
       val insOut = new Path(staging, "ins")
       val writer = partitionField match {
         case Some(f) =>
-          ups.withColumn(Ingest.PartitionCol, to_date(col(f)))
-            .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+          val (upsP, upsCols) = withPartitionCols(ups, f)
+          upsP.write.mode("overwrite").partitionBy(upsCols: _*)
         case None if autoPdate.nonEmpty =>
           // carry each updated row's SOURCE partition: file name →
-          // directory-parsed value, joined back (broadcast — bounded
-          // by the candidate file count)
-          val pdf = spark.createDataFrame(autoPdate.toSeq)
-            .toDF("__graft_fn", "__graft_pd")
-          ups.join(broadcast(pdf), Seq("__graft_fn"), "left")
+          // directory-parsed value(s), joined back (broadcast —
+          // bounded by the candidate file count); a date/hour layout
+          // carries both levels
+          val hourly = autoPdate.values.exists(_._2.isDefined)
+          val pdf = spark.createDataFrame(autoPdate.toSeq.map {
+              case (fn, (d, h)) => (fn, d, h.orNull) })
+            .toDF("__graft_fn", "__graft_pd", "__graft_ph")
+          val joined = ups
+            .join(broadcast(pdf), Seq("__graft_fn"), "left")
             .withColumn(Ingest.PartitionCol,
               expr("try_to_date(__graft_pd)"))
-            .drop("__graft_fn", "__graft_pd")
-            .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+          val (laid, pcols) =
+            if (hourly)
+              (joined.withColumn(Ingest.PartitionHourCol,
+                col("__graft_ph")),
+                Seq(Ingest.PartitionCol, Ingest.PartitionHourCol))
+            else (joined, Seq(Ingest.PartitionCol))
+          laid.drop("__graft_fn", "__graft_pd", "__graft_ph")
+            .write.mode("overwrite").partitionBy(pcols: _*)
         case None => ups.write.mode("overwrite")
       }
       writer.parquet(insOut.toString)
@@ -5318,8 +5468,8 @@ object ManifestSink extends Ingest.DestinationSink {
           val insOut = new Path(staging, "ins")
           val writer = partitionField match {
             case Some(f) =>
-              ups.withColumn(Ingest.PartitionCol, to_date(col(f)))
-                .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+              val (upsP, upsCols) = withPartitionCols(ups, f)
+              upsP.write.mode("overwrite").partitionBy(upsCols: _*)
             case None => ups.write.mode("overwrite")
           }
           writer.parquet(insOut.toString)
@@ -5467,8 +5617,8 @@ object ManifestSink extends Ingest.DestinationSink {
       val insOut = new Path(staging, "ins")
       val writer = partitionField match {
         case Some(f) =>
-          ups.withColumn(Ingest.PartitionCol, to_date(col(f)))
-            .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+          val (upsP, upsCols) = withPartitionCols(ups, f)
+          upsP.write.mode("overwrite").partitionBy(upsCols: _*)
         case None => ups.write.mode("overwrite")
       }
       writer.parquet(insOut.toString)
@@ -5670,10 +5820,11 @@ object ManifestSink extends Ingest.DestinationSink {
       .view.mapValues(_.map(_._2.rows).filter(_ >= 0).headOption).toMap
     val dvRows: Map[String, Long] = effectiveDvsOf(fs, mfs)
       .map { case (t, es) => t -> es.map(_._2).sum }
+    // the partition identity is the file's FULL directory prefix (all
+    // `k=v` segments): one segment on day layouts, two on date/hour
     def partOf(t: String): String = {
-      val i = t.indexOf('=')
-      val j = t.indexOf('/')
-      if (i > 0 && j > i) t.substring(0, j) else ""
+      val i = t.lastIndexOf('/')
+      if (i < 0) "" else t.substring(0, i)
     }
     targets.groupBy(partOf).toSeq.sortBy(_._1).map { case (p, ts) =>
       val per = ts.map(t => rowsByFile.getOrElse(t, None))
@@ -5803,8 +5954,10 @@ object ManifestSink extends Ingest.DestinationSink {
       values: Seq[String],
       partitionCol: String = Ingest.PartitionCol): Long = {
     require(values.nonEmpty, "[graft] dropPartitions: empty value list")
-    require(values.forall(v => !v.contains('/') && !v.contains("..")),
-      s"[graft] dropPartitions: values must be plain partition values: " +
+    // "d" drops a whole day; "d/h" drops one hour of a date/hour layout
+    require(values.forall(v =>
+        !v.contains("..") && v.split('/').length <= 2),
+      s"[graft] dropPartitions: values must be 'date' or 'date/hour': " +
         values.mkString(","))
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
@@ -5819,7 +5972,13 @@ object ManifestSink extends Ingest.DestinationSink {
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
-    val prefixes = values.map(v => s"$partitionCol=$v/")
+    val prefixes = values.map(v => v.split('/') match {
+      case Array(d) => s"$partitionCol=$d/"
+      case Array(d, h) =>
+        // hour dirs are written from the INT p_hour column: "07" and
+        // "7" name the same directory
+        s"$partitionCol=$d/${Ingest.PartitionHourCol}=${h.trim.toInt}/"
+    })
     val dropped = targets.filter(t => prefixes.exists(t.startsWith)).toSet
     if (dropped.isEmpty) return 0L
     val stats = fileStatsOf(fs, old)
@@ -5905,8 +6064,8 @@ object ManifestSink extends Ingest.DestinationSink {
         //    attempt of this writeId is discarded wholesale
         val writer = partitionField match {
           case Some(f) =>
-            df.withColumn(Ingest.PartitionCol, to_date(col(f)))
-              .write.mode("overwrite").partitionBy(Ingest.PartitionCol)
+            val (dfp, pcols) = withPartitionCols(df, f)
+            dfp.write.mode("overwrite").partitionBy(pcols: _*)
           case None => df.write.mode("overwrite")
         }
         writer.parquet(staging.toString)

@@ -155,6 +155,35 @@ class GraftTimeTravelRule(session: SparkSession)
             GraftAlterSchemaCommand(dest, add = Nil, drop = names,
               ifExists = ifExists, meta.identifier)
         }
+
+      // ALTER TABLE RENAME COLUMN — v2-only in Spark's session
+      // catalog; on a graft table it routes to the atomic REWRITE
+      // (ManifestSink.renameColumn: a metadata-only rename would
+      // silently null pre-rename rows under by-name resolution)
+      case r @ RenameColumn(ut: UnresolvedTable, colName, newName) =>
+        graftCatalogMeta(session, ut.multipartIdentifier) match {
+          case None => r
+          case Some((meta, dest)) =>
+            val from = colName match {
+              case UnresolvedFieldName(Seq(n)) => n
+              case other => fail("ALTER TABLE RENAME COLUMN: nested " +
+                s"column paths are not supported, got ${other.sql}")
+            }
+            graft.plans.GraftRenameColumnCommand(dest, from, newName,
+              meta.identifier)
+        }
+
+      // SHOW PARTITIONS — Spark resolves it only for partitioned v1
+      // Hive / v2 tables; a graft table's layout lives in the log
+      case s @ ShowPartitions(ut: UnresolvedTable, specOpt, _) =>
+        graftCatalogMeta(session, ut.multipartIdentifier) match {
+          case None => s
+          case Some((_, dest)) =>
+            if (specOpt.isDefined)
+              fail("SHOW PARTITIONS ... PARTITION (spec) is not " +
+                "supported on graft tables — filter the result")
+            graft.plans.GraftShowPartitionsSql(Left(dest))
+        }
     }
 
   private def resolvedGraftRelation(u: UnresolvedRelation,
@@ -262,19 +291,31 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           "supported — partition values derive from the partition " +
           "column itself; INSERT OVERWRITE ... PARTITION replaces a " +
           "partition")
-      if (g.partitionCols.length != 1)
-        fail("INSERT OVERWRITE ... PARTITION needs a single-level " +
-          "partitioned graft table")
-      val p = g.partitionCols.head
-      if (spec.size != 1 || !conf.resolver(spec.keys.head, p))
-        fail(s"INSERT OVERWRITE PARTITION: the partition column is " +
-          s"'$p', got (${spec.keys.mkString(",")})")
-      return planOverwritePartition(t, g, p, spec.values.head,
+      if (g.partitionCols.isEmpty || g.partitionCols.length > 2)
+        fail("INSERT OVERWRITE ... PARTITION needs a day- or " +
+          "date/hour-partitioned graft table")
+      // the spec must name a PREFIX of the layout columns (p_date, or
+      // p_date + p_hour), all-static or all-dynamic
+      val specCols = spec.keys.toSeq
+      val okPrefix = specCols.length <= g.partitionCols.length &&
+        specCols.zip(g.partitionCols).forall { case (s, p) =>
+          conf.resolver(s, p) }
+      if (!okPrefix)
+        fail(s"INSERT OVERWRITE PARTITION: the partition columns are " +
+          s"(${g.partitionCols.mkString(", ")}) — the spec must name " +
+          s"a prefix of them, got (${specCols.mkString(",")})")
+      val staticVals = spec.values.toSeq
+      if (staticVals.exists(_.isDefined) && staticVals.exists(_.isEmpty))
+        fail("INSERT OVERWRITE PARTITION: mixed static/dynamic specs " +
+          "are not supported — give every named column a value, or " +
+          "none")
+      return planOverwritePartition(t, g,
+        spec.collect { case (k, Some(v)) => (k, v) }.toSeq,
         userCols, query, byName)
     }
-    if (g.partitionCols.length > 1)
-      fail("INSERT INTO a multi-level partition layout is not " +
-        "supported via SQL — use the Scala write API")
+    if (g.partitionCols.length > 2)
+      fail("INSERT INTO: at most two partition levels (date/hour) " +
+        "are supported")
     def castTo(src: Attribute, ta: Attribute): NamedExpression =
       if (src.dataType == ta.dataType) Alias(src, ta.name)()
       else Alias(Cast(src, ta.dataType), ta.name)()
@@ -310,8 +351,9 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         tgt.zip(query.output).map { case (ta, src) => castTo(src, ta) }
       }
     GraftInsertCommand(g.dest, Project(aligned, query),
-      g.partitionCols.headOption, g.statsCols, g.bloomCols,
-      g.refreshTable, overwrite)
+      if (g.partitionCols.isEmpty) None
+      else Some(g.partitionCols.mkString("/")),
+      g.statsCols, g.bloomCols, g.refreshTable, overwrite)
   }
 
   /** `INSERT OVERWRITE t PARTITION (p = 'v') SELECT <data cols>`
@@ -324,24 +366,26 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     * partition aborts loudly.
     */
   private def planOverwritePartition(t: LogicalPlan, g: GraftTarget,
-      p: String, value: Option[String], userCols: Seq[String],
+      staticSpec: Seq[(String, String)], userCols: Seq[String],
       query: LogicalPlan, byName: Boolean): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val tgtAll = t.output
     if (tgtAll.isEmpty)
       fail("INSERT OVERWRITE ... PARTITION on an empty table — define " +
         "the schema with a plain INSERT first")
-    val pAttr = tgtAll.find(a => conf.resolver(a.name, p)).getOrElse(
-      fail(s"INSERT OVERWRITE PARTITION: partition column '$p' not in " +
-        s"the table schema"))
+    val staticAttrs = staticSpec.map { case (k, v) =>
+      (tgtAll.find(a => conf.resolver(a.name, k)).getOrElse(
+        fail(s"INSERT OVERWRITE PARTITION: partition column '$k' not " +
+          "in the table schema")), v)
+    }
     def castTo(src: Attribute, ta: Attribute): NamedExpression =
       if (src.dataType == ta.dataType) Alias(src, ta.name)()
       else Alias(Cast(src, ta.dataType), ta.name)()
-    // static spec: the SELECT supplies every NON-partition column (the
-    // Spark static-partition contract); dynamic: the full row
-    val dataTgt =
-      if (value.isDefined) tgtAll.filterNot(_.exprId == pAttr.exprId)
-      else tgtAll
+    // static spec: the SELECT supplies every column NOT given a static
+    // value (the Spark static-partition contract); dynamic: the full
+    // row including the partition columns
+    val staticIds = staticAttrs.map(_._1.exprId).toSet
+    val dataTgt = tgtAll.filterNot(a => staticIds.contains(a.exprId))
     val aligned: Seq[NamedExpression] =
       if (byName || userCols.nonEmpty) {
         val names =
@@ -366,13 +410,13 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             s"expected (${dataTgt.map(_.name).mkString(", ")})")
         dataTgt.zip(query.output).map { case (ta, src) => castTo(src, ta) }
       }
-    val withP: Seq[NamedExpression] = value match {
-      case Some(v) =>
-        aligned :+ Alias(Cast(Literal(v), pAttr.dataType), pAttr.name)()
-      case None => aligned
+    val withP: Seq[NamedExpression] = aligned ++ staticAttrs.map {
+      case (pa, v) =>
+        Alias(Cast(Literal(v), pa.dataType), pa.name)()
     }
-    GraftOverwritePartitionsCommand(g.dest, Project(withP, query),
-      pAttr.name, value, g.statsCols, g.bloomCols, g.refreshTable)
+    GraftOverwritePartitionsCommand(g.dest,
+      Project(withP, query), g.partitionCols.mkString("/"),
+      staticSpec.map(_._2), g.statsCols, g.bloomCols, g.refreshTable)
   }
 
   private def planMerge(m: MergeIntoTable, g: GraftTarget): LogicalPlan = {
@@ -390,13 +434,16 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => unsupported("WHEN NOT MATCHED BY SOURCE supports only " +
         "the unconditional THEN DELETE (the full-sync form)")
     }
-    // single-level partitioned targets merge natively: the source must
-    // carry the partition column (INSERT * requires it anyway) and the
-    // merge machinery routes inserted rows into their partitions
-    if (g.partitionCols.length > 1)
-      fail("MERGE INTO a multi-level partition layout is not " +
-        "supported via SQL — use ManifestSink.mergeInto/mergeCdc")
-    val mergePartition = g.partitionCols.headOption
+    // partitioned targets merge natively: the source must carry the
+    // partition column(s) (INSERT * requires them anyway) and the
+    // merge machinery routes inserted rows into their partitions —
+    // day layouts and date/hour layouts alike
+    if (g.partitionCols.length > 2)
+      fail("MERGE INTO: at most two partition levels (date/hour) " +
+        "are supported")
+    val mergePartition =
+      if (g.partitionCols.isEmpty) None
+      else Some(g.partitionCols.mkString("/"))
     noSubquery(m.mergeCondition, "MERGE")
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
@@ -409,7 +456,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             (tgtOut.contains(b) && srcOut.contains(a)) =>
         if (!conf.resolver(a.name, b.name))
           unsupported(s"merge key names differ (${a.name} vs ${b.name})")
-        if (mergePartition.exists(p => conf.resolver(p, a.name)))
+        if (g.partitionCols.exists(p => conf.resolver(p, a.name)))
           unsupported(s"the merge key cannot be the partition column " +
             s"'${a.name}' — partition values live in the directory " +
             "layout, not the data files")
@@ -773,11 +820,14 @@ case class GraftInsertCommand(dest: String, child: LogicalPlan,
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
     val df = Bridge.dataFrame(spark, child)
-    // stats/bloom apply to DATA columns only — the partition column
-    // lands in directory names, not file footers
+    // stats/bloom apply to DATA columns only — the partition column(s)
+    // land in directory names, not file footers
     val dataCols = partitionField match {
-      case Some(p) => df.columns.toSeq.filterNot(_.equalsIgnoreCase(p))
-      case None    => df.columns.toSeq
+      case Some(spec) =>
+        val layout = spec.split('/').toSeq
+        df.columns.toSeq
+          .filterNot(c => layout.exists(_.equalsIgnoreCase(c)))
+      case None => df.columns.toSeq
     }
     val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
     val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
@@ -841,38 +891,57 @@ case class GraftMergeFullSyncCommand(dest: String, source: LogicalPlan,
   * directory. Returns the replaced (old) file count.
   */
 case class GraftOverwritePartitionsCommand(dest: String,
-    child: LogicalPlan, partitionCol: String,
-    staticValue: Option[String], statsCols: Seq[String],
+    child: LogicalPlan, partitionField: String,
+    staticValues: Seq[String], statsCols: Seq[String],
     bloomCols: Seq[String], refreshTable: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("replaced_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val df = Bridge.dataFrame(spark, child)
-    val dataCols =
-      df.columns.toSeq.filterNot(_.equalsIgnoreCase(partitionCol))
+    val layoutCols = partitionField.split('/').toSeq
+    val dataCols = df.columns.toSeq
+      .filterNot(c => layoutCols.exists(_.equalsIgnoreCase(c)))
     val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
     val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
-    val values = staticValue match {
-      case Some(v) =>
-        val canon = spark.range(1)
-          .select(org.apache.spark.sql.functions.to_date(lit(v))
-            .cast("string")).head.getString(0)
-        if (canon == null)
+    def canonDate(v: String): String = {
+      val canon = spark.range(1)
+        .select(org.apache.spark.sql.functions.to_date(lit(v))
+          .cast("string")).head.getString(0)
+      if (canon == null)
+        throw new IllegalArgumentException(
+          s"[graft] INSERT OVERWRITE PARTITION: cannot interpret " +
+            s"'$v' as a partition date")
+      canon
+    }
+    def canonHour(v: String): String = {
+      val h = try v.trim.toInt catch {
+        case _: NumberFormatException =>
           throw new IllegalArgumentException(
             s"[graft] INSERT OVERWRITE PARTITION: cannot interpret " +
-              s"'$v' as a partition date")
-        Seq(canon)
-      case None => Nil
+              s"'$v' as an hour")
+      }
+      require(h >= 0 && h <= 23,
+        s"[graft] INSERT OVERWRITE PARTITION: hour '$v' out of range")
+      h.toString
     }
-    val n = ManifestSink.overwritePartitions(df, dest, partitionCol,
+    val values = staticValues match {
+      case Seq()     => Nil
+      case Seq(d)    => Seq(canonDate(d))
+      case Seq(d, h) => Seq(s"${canonDate(d)}/${canonHour(h)}")
+      case other => throw new IllegalArgumentException(
+        s"[graft] INSERT OVERWRITE PARTITION: too many static " +
+          s"values (${other.mkString(",")})")
+    }
+    val n = ManifestSink.overwritePartitions(df, dest, partitionField,
       values, sc, bc)
     GraftDml.refreshAfterDml(spark, refreshTable)
     Seq(Row(n))
   }
   override def simpleString(maxFields: Int): String =
-    s"GraftOverwritePartitions $dest PARTITION ($partitionCol" +
-      staticValue.map(v => s" = '$v'").getOrElse("") + ")"
+    s"GraftOverwritePartitions $dest PARTITION ($partitionField" +
+      (if (staticValues.nonEmpty)
+        s" = '${staticValues.mkString("/")}'" else "") + ")"
 }
 
 /** `MERGE INTO` in the CDC canon forms → [[ManifestSink.mergeInto]] /

@@ -81,6 +81,8 @@ object GraftSqlParser {
   private val ReorgRe =
     ("""(?is)^\s*REORG\s+TABLE\s+""" + Tgt +
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Tgt + """\s*;?\s*$""").r
 
   private def target(path: String, ident: String): Target =
     if (path != null) Left(path)
@@ -104,6 +106,7 @@ object GraftSqlParser {
       case RestoreTRe(p, i, ts) =>
         Some(GraftRestoreSql(target(p, i), None, Some(ts)))
       case ReorgRe(p, i) => Some(GraftReorgSql(target(p, i)))
+      case DetailRe(p, i) => Some(GraftDetailSql(target(p, i)))
       case _ => None
     }
 
@@ -207,6 +210,73 @@ case class GraftRestoreSql(target: GraftSqlParser.Target,
     }
     GraftSqlParser.refresh(spark, target)
     Seq(Row(newV))
+  }
+}
+
+/** `DESCRIBE DETAIL t` → [[ManifestSink.detail]]: head version, file
+  * and byte counts, metadata row count, partition values, stats/bloom
+  * columns, dv'd-file count, change-feed flag — the one-row health
+  * card (Delta's DESCRIBE DETAIL shape), all from the log.
+  */
+case class GraftDetailSql(target: GraftSqlParser.Target)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("partition_values", ArrayType(StringType),
+      nullable = true)(),
+    AttributeReference("stats_columns", ArrayType(StringType),
+      nullable = true)(),
+    AttributeReference("bloom_columns", ArrayType(StringType),
+      nullable = true)(),
+    AttributeReference("num_dv_files", LongType, nullable = false)(),
+    AttributeReference("change_feed_enabled", BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dest = GraftSqlParser.resolveDest(spark, target)
+    ManifestSink.detail(spark, dest).collect().toSeq
+  }
+}
+
+/** `SHOW PARTITIONS t` → [[ManifestSink.partitions]]: one row per
+  * live partition directory (both levels of a date/hour layout) with
+  * file and metadata row counts — log-resolved, zero data reads.
+  */
+case class GraftShowPartitionsSql(target: GraftSqlParser.Target)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dest = GraftSqlParser.resolveDest(spark, target)
+    ManifestSink.partitions(spark, dest).collect().toSeq
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` →
+  * [[ManifestSink.renameColumn]] (an atomic REWRITE — see its scaladoc
+  * for why a metadata-only rename would silently null pre-rename
+  * rows). Syncs the catalog's stored schema afterwards.
+  */
+case class GraftRenameColumnCommand(dest: String, from: String,
+    to: String, ident: TableIdentifier) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_rewritten", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = ManifestSink.renameColumn(spark, dest, from, to)
+    // cosmetic catalog sync (DESCRIBE TABLE); resolution reads the log
+    try {
+      val cur = spark.sessionState.catalog
+        .getTableMetadata(ident).dataSchema
+      val next = StructType(cur.fields.map(f =>
+        if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+      spark.sessionState.catalog.alterTableDataSchema(ident, next)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    GraftDml.refreshAfterDml(spark, Some(ident.quotedString))
+    Seq(Row(n))
   }
 }
 

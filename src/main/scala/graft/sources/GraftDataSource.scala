@@ -287,9 +287,17 @@ final class GraftFileIndex(spark: SparkSession,
     StructType(cols.map { c =>
       val vals = entries.flatMap(_._3.get(c))
         .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
-      val isDate = vals.nonEmpty && vals.forall(v =>
+      // type like Spark's own partition-value inference: int before
+      // date before string — so the p_hour level (and shard dirs) read
+      // the SAME type through this index and through plain
+      // spark.read.parquet
+      val isInt = vals.nonEmpty && vals.forall(v =>
+        scala.util.Try(v.toInt).isSuccess)
+      val isDate = !isInt && vals.nonEmpty && vals.forall(v =>
         scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)
-      StructField(c, if (isDate) DateType else StringType,
+      StructField(c,
+        if (isInt) IntegerType
+        else if (isDate) DateType else StringType,
         nullable = true)
     })
   }
@@ -301,6 +309,7 @@ final class GraftFileIndex(spark: SparkSession,
         case Some(v) => f.dataType match {
           case DateType =>
             java.time.LocalDate.parse(v).toEpochDay.toInt
+          case IntegerType => v.toInt
           case _ => UTF8String.fromString(v)
         }
       }

@@ -880,6 +880,81 @@ class GraftDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("schema"), e.getMessage)
   }
 
+  test("two-level date/hour layout through SQL: INSERT INTO routes " +
+      "both levels, UPDATE keeps them, MERGE inserts into them, " +
+      "INSERT OVERWRITE PARTITION replaces a day or one hour") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val (dest, tbl) = freshTable("dml_2lvl_")
+    val rows = for {
+      d <- Seq("2026-03-01", "2026-03-02"); h <- Seq(6, 7)
+      i <- 0 until 3
+    } yield (d.takeRight(2).toLong * 1000 + h * 100 + i, s"v$h$i",
+      ts(f"$d $h%02d:15:00"))
+    rows.toDF("id", "v", "ts").coalesce(1)
+      .pipe(df => ManifestSink.statsAppend(df, dest, Some("ts/hour"),
+        Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      assert(spark.table(tbl).columns.toSeq
+        .takeRight(2) == Seq("p_date", "p_hour"))
+      // INSERT INTO supplies both partition columns
+      spark.sql(s"""INSERT INTO $tbl VALUES
+        (9001, 'ins', TIMESTAMP '2026-03-03 09:00:00',
+         DATE '2026-03-03', 9)""")
+      assert(spark.sql(s"""SELECT count(*) FROM $tbl
+          WHERE p_date = '2026-03-03' AND p_hour = 9""")
+        .head.getLong(0) == 1L)
+      // GROUP BY both levels
+      assert(spark.sql(s"""SELECT p_date, p_hour, count(*) AS n
+          FROM $tbl GROUP BY 1, 2""").count() == 5L)
+      // UPDATE keeps the two-level partition
+      spark.sql(s"UPDATE $tbl SET v = 'upd' WHERE id = 9001")
+      assert(spark.sql(s"""SELECT CAST(p_date AS STRING), p_hour
+          FROM $tbl WHERE v = 'upd'""").as[(String, Int)]
+        .collect().toSeq == Seq(("2026-03-03", 9)))
+      // MERGE routes the inserted row into its two-level partition
+      Seq((9002L, "mrg", ts("2026-03-04 11:30:00"),
+          java.sql.Date.valueOf("2026-03-04"), 11))
+        .toDF("id", "v", "ts", "p_date", "p_hour")
+        .createOrReplaceTempView("dml_2lvl_src")
+      spark.sql(s"""MERGE INTO $tbl t USING dml_2lvl_src s
+          ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql(s"""SELECT CAST(p_date AS STRING), p_hour
+          FROM $tbl WHERE id = 9002""").as[(String, Int)]
+        .collect().toSeq == Seq(("2026-03-04", 11)))
+      // hour-scoped static overwrite: exactly (2026-03-01, 7) replaced
+      val r = spark.sql(s"""INSERT OVERWRITE $tbl
+          PARTITION (p_date = '2026-3-1', p_hour = '07')
+          SELECT id, v, ts FROM $tbl VERSION AS OF 0
+          WHERE p_hour = 7 AND p_date = '2026-03-01' AND id % 100 = 0""")
+      assert(r.head.getLong(0) >= 1L)
+      assert(spark.sql(s"""SELECT count(*) FROM $tbl
+          WHERE p_date = '2026-03-01' AND p_hour = 7""")
+        .head.getLong(0) == 1L)
+      assert(spark.sql(s"""SELECT count(*) FROM $tbl
+          WHERE p_date = '2026-03-01' AND p_hour = 6""")
+        .head.getLong(0) == 3L)
+      // day-scoped static overwrite on the hourly layout: the SELECT
+      // supplies p_hour, every hour of the day replaces
+      spark.sql(s"""INSERT OVERWRITE $tbl PARTITION (p_date = '2026-03-02')
+          SELECT id, v, ts, p_hour FROM $tbl VERSION AS OF 0
+          WHERE p_date = '2026-03-02' AND id % 3 = 0 AND p_hour = 6""")
+      assert(spark.sql(
+          s"SELECT count(*) FROM $tbl WHERE p_date = '2026-03-02'")
+        .head.getLong(0) == 1L)
+      // out-of-range hour refuses
+      val e = intercept[Exception](spark.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (p_date = '2026-03-01',
+            p_hour = '29') SELECT id, v, ts FROM $tbl WHERE id < 0"""))
+      assert(e.getMessage.contains("hour"), e.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE $tbl")
+      spark.catalog.dropTempView("dml_2lvl_src")
+    }
+  }
+
   private implicit class Piper[A](a: A) {
     def pipe[B](f: A => B): B = f(a)
   }

@@ -166,6 +166,89 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DESCRIBE DETAIL and SHOW PARTITIONS: the log-resolved health " +
+      "card and partition listing through SQL") {
+    val dest = s"${tmpDir("sqlmaint_det_")}/t"
+    val tbl = "sqlmaint_det_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    for (d <- Seq("2026-01-01", "2026-01-02"))
+      ManifestSink.statsAppend(
+        (0L until 10L).map(i => (i, java.sql.Date.valueOf(d)))
+          .toDF("id", "day").coalesce(1),
+        dest, Some("day"), Seq("id"), bloomCols = Seq("id"))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      val det = spark.sql(s"DESCRIBE DETAIL $tbl")
+      assert(det.columns.toSeq.take(4) ==
+        Seq("version", "num_files", "size_bytes", "num_rows"))
+      val r = det.head
+      assert(r.getLong(0) == 1L) // head version
+      assert(r.getLong(1) == 2L) // files
+      assert(r.getLong(2) > 0L)
+      assert(r.getLong(3) == 20L) // metadata row count
+      assert(r.getSeq[String](5) == Seq("id")) // stats columns
+      assert(r.getSeq[String](6) == Seq("id")) // bloom columns
+      // SHOW PARTITIONS lists both day directories with counts
+      val parts = spark.sql(s"SHOW PARTITIONS $tbl")
+        .as[(String, Long, Option[Long])].collect()
+        .map { case (p, n, r2) => p -> ((n, r2)) }.toMap
+      assert(parts.keySet ==
+        Set("p_date=2026-01-01", "p_date=2026-01-02"))
+      assert(parts("p_date=2026-01-01") == ((1L, Some(10L))))
+      // path-form targets work too
+      assert(spark.sql(s"DESCRIBE DETAIL '$dest'").count() == 1L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("ALTER TABLE RENAME COLUMN: an atomic rewrite — pre-rename " +
+      "rows KEEP their values under the new name, skipping stats " +
+      "migrate, RESTORE reaches the pre-rename state, partition and " +
+      "duplicate names refuse") {
+    val dest = s"${tmpDir("sqlmaint_ren_")}/t"
+    val tbl = "sqlmaint_ren_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    (0L until 40L).map(i => (i, s"v$i", java.sql.Date.valueOf(
+        if (i < 20) "2026-01-01" else "2026-01-02")))
+      .toDF("id", "v", "day").repartition(2)
+      .pipe(df => ManifestSink.statsAppend(df, dest, Some("day"),
+        Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      val r = spark.sql(s"ALTER TABLE $tbl RENAME COLUMN id TO doc_id")
+      assert(r.columns.toSeq == Seq("files_rewritten"))
+      assert(r.head.getLong(0) >= 2L)
+      // THE anti-null contract: every pre-rename row keeps its value
+      // under the new name (a metadata-only rename would null them)
+      val back = spark.table(tbl)
+      assert(back.columns.contains("doc_id") &&
+        !back.columns.contains("id"))
+      assert(back.where("doc_id IS NULL").count() == 0L)
+      assert(back.agg(sum("doc_id")).head.getLong(0) ==
+        (0L until 40L).sum)
+      // skipping stats migrated to the new name: a metadata count
+      // and a pruned read still answer
+      assert(ManifestSink.countWhere(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("doc_id", 0, 9)) == 10L)
+      // partition layout survived the rewrite
+      assert(back.where("p_date = '2026-01-01'").count() == 20L)
+      // RESTORE reaches the pre-rename schema and rows
+      spark.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 0")
+      assert(spark.table(tbl).columns.contains("id"))
+      assert(spark.table(tbl).agg(sum("id")).head.getLong(0) ==
+        (0L until 40L).sum)
+      // refusals: unknown column, duplicate target, partition column
+      val e1 = intercept[Exception](spark.sql(
+        s"ALTER TABLE $tbl RENAME COLUMN nope TO x"))
+      assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        s"ALTER TABLE $tbl RENAME COLUMN id TO v"))
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+      val e3 = intercept[Exception](spark.sql(
+        s"ALTER TABLE $tbl RENAME COLUMN p_date TO d2"))
+      assert(e3.getMessage.contains("partition"), e3.getMessage)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("non-graft targets refuse loudly; ordinary SQL still parses " +
       "through the delegate") {
     val pq = s"${tmpDir("sqlmaint_plain_")}/p"
@@ -182,5 +265,9 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
         .head.getLong(0) == 1L)
       assert(spark.sql("DESCRIBE TABLE " + ptbl).count() > 0L)
     } finally spark.sql(s"DROP TABLE $ptbl")
+  }
+
+  private implicit class Piper[A](a: A) {
+    def pipe[B](f: A => B): B = f(a)
   }
 }

@@ -824,6 +824,100 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("two-level date/hour layout: append, read-back, partition " +
+      "pruning on both levels, partitions(), hour- and day-scoped " +
+      "drops, partition-scoped overwrite, keep-partition mor update") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = tmpDir("msink2lvl_")
+    val dest = s"$root/wh/t"
+    // 2 days x 3 hours x 5 rows
+    val rows = for {
+      d <- Seq("2026-01-01", "2026-01-02"); h <- 0 until 3
+      i <- 0 until 5
+    } yield (d.takeRight(2).toLong * 1000 + h * 100 + i,
+      s"v$d-$h-$i", ts(f"$d $h%02d:30:00"))
+    ManifestSink.statsAppend(
+      rows.toDF("id", "v", "ts").repartition(2),
+      dest, Some("ts/hour"), Seq("id"))
+    val back = ManifestSink.readBack(spark, dest)
+    assert(back.count() == 30)
+    assert(back.columns.contains("p_date") &&
+      back.columns.contains("p_hour"))
+    assert(back.select("p_hour").distinct().as[Int]
+      .collect().toSet == Set(0, 1, 2))
+    assert(back.inputFiles.forall(f =>
+      f.contains("p_date=") && f.contains("/p_hour=")))
+    // partition pruning on BOTH levels through the SQL relation (the
+    // p_hour partition column types INTEGER on every read path);
+    // inputFiles ignores pruning, so read the scan's numFiles metric
+    val pruned = spark.read.format("graft").load(dest)
+      .where(col("p_date") === "2026-01-01" && col("p_hour") === 1)
+    pruned.collect()
+    val prunedScan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    val hourFiles = back.inputFiles
+      .count(_.contains("p_date=2026-01-01/p_hour=1/"))
+    assert(pruned.count() == 5)
+    assert(prunedScan.metrics("numFiles").value == hourFiles.toLong,
+      s"expected only the $hourFiles files of the one hour dir, " +
+        s"scanned ${prunedScan.metrics("numFiles").value}")
+    // partitions() reports the full two-level identity
+    val parts = ManifestSink.partitions(spark, dest)
+      .select("partition", "num_rows").as[(String, Option[Long])]
+      .collect().toMap
+    assert(parts.size == 6)
+    assert(parts("p_date=2026-01-01/p_hour=0").contains(5L))
+    // hour-scoped drop removes exactly one hour
+    assert(ManifestSink.dropPartitions(spark, dest,
+      Seq("2026-01-01/01")) > 0L)
+    assert(ManifestSink.readBack(spark, dest).count() == 25)
+    assert(ManifestSink.readBack(spark, dest)
+      .where("p_date = '2026-01-01' AND p_hour = '01'").count() == 0)
+    // day-scoped drop removes every remaining hour of the day
+    assert(ManifestSink.dropPartitions(spark, dest,
+      Seq("2026-01-02")) > 0L)
+    assert(ManifestSink.readBack(spark, dest).count() == 10)
+    // hour-scoped static overwrite replaces one hour only
+    val repl = Seq((9000L, "new", ts("2026-01-01 02:15:00")))
+      .toDF("id", "v", "ts")
+    assert(ManifestSink.overwritePartitions(repl, dest, "ts/hour",
+      values = Seq("2026-01-01/02"), statsCols = Seq("id")) > 0L)
+    val afterOw = ManifestSink.readBack(spark, dest)
+    assert(afterOw.where("p_hour = 2")
+      .select("id").as[Long].collect().toSeq == Seq(9000L))
+    assert(afterOw.count() == 6)
+    // a day-only spec on an hourly table refuses (layout mismatch)
+    val e = intercept[IllegalArgumentException](
+      ManifestSink.overwritePartitions(repl, dest, "ts",
+        values = Seq("2026-01-01")))
+    assert(e.getMessage.contains("layout"), e.getMessage)
+    // keep-partition mor UPDATE: rows stay in their hour directories
+    assert(ManifestSink.updateWhereExprMor(spark, dest,
+      col("id") === 9000L, Map("v" -> lit("upd"))) == 1L)
+    val updated = ManifestSink.readBack(spark, dest)
+      .where("v = 'upd'")
+      .select(col("p_date").cast("string"), col("p_hour"))
+      .as[(String, Int)].collect().toSeq
+    assert(updated == Seq(("2026-01-01", 2)),
+      s"updated row lost its two-level partition: $updated")
+    // merge routes inserted rows into their two-level partitions
+    val src = Seq((9000L, "merged", ts("2026-01-01 02:45:00")),
+        (9100L, "fresh", ts("2026-01-03 07:10:00")))
+      .toDF("id", "v", "ts")
+    val (u, i) = ManifestSink.mergeInto(spark, dest, src, "id",
+      Some("ts/hour"), Seq("id"))
+    assert((u, i) == (1L, 1L))
+    val merged = ManifestSink.readBack(spark, dest)
+    assert(merged.where("id = 9100")
+      .select(col("p_date").cast("string"), col("p_hour"))
+      .as[(String, Int)].head() == ("2026-01-03", 7),
+      "inserted row not routed into its two-level partition")
+    assert(merged.where("id = 9000").select("v").as[String].head()
+      == "merged")
+  }
+
   test("compact in optimize's crash-mid-cleanup window applies the " +
       "snapshot cut: superseded manifests are dropped, not merged — the " +
       "replaced files are NOT resurrected into the new snapshot") {
