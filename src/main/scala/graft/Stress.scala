@@ -1444,6 +1444,80 @@ object Stress {
         f"$stripped%8.2f s  same table stripped to the legacy path " +
         f"(per-file stat + footer sweep)")
     }
+    // ADMISSION-CONTROL DRAIN rung (r19): a reader cold-tailing a
+    // table with a YEAR of history starts against a DEEP commit log.
+    // `maxVersionsPerTrigger` (default 64) bounds each micro-batch's
+    // union width, so per-batch planning cost stays flat no matter
+    // how deep the backlog; the uncapped variant plans ONE union over
+    // every version — the blowup the default cap exists to avoid.
+    // 1,000 one-file commits are forged directly into the log (the
+    // rung measures DRAIN cost, not commit cost; the manifest line
+    // format is the same one the fileindex rung manipulates).
+    if (enabled("draindepth")) {
+      import org.apache.spark.sql.streaming.Trigger
+      val nCommits = 1000
+      val rowsPer = 5L
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_drain_").toString
+      val dest = s"$root/t"
+      val stage = s"$root/stage"
+      spark.range(nCommits * rowsPer).select(col("id"),
+          (col("id") % 97).cast("double").as("v"))
+        .repartition(nCommits).write.parquet(stage)
+      val hfs = new org.apache.hadoop.fs.Path(dest)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = hfs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).filter(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet")).sortBy(_.getName)
+      // an empty round-robin partition writes no file — every ROW
+      // landed regardless, so the drained-row invariant below holds
+      val nForged = parts.length
+      require(nForged >= nCommits - 5, s"staged only $nForged")
+      val schemaLine = "schemaj\t" + java.util.Base64.getEncoder
+        .encodeToString(
+          spark.read.parquet(stage).schema.json.getBytes("UTF-8"))
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$dest/_log"))
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val rel = f"c$i%04d.parquet"
+        hfs.rename(p, new org.apache.hadoop.fs.Path(s"$dest/$rel"))
+        val st = hfs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$dest/$rel"))
+        val body = Seq(s"writeid\tdrain$i", s"target\t$rel",
+          s"fsize\t$rel\t${st.getLen}\t${st.getModificationTime}",
+          schemaLine).mkString("\n")
+        val tmp = new org.apache.hadoop.fs.Path(s"$dest/_log/.tmp_$i")
+        val out = hfs.create(tmp, true)
+        out.write(body.getBytes("UTF-8")); out.close()
+        hfs.rename(tmp, new org.apache.hadoop.fs.Path(
+          f"$dest/_log/$i%012d.manifest"))
+      }
+      def drain(cap: Int, tag: String): Unit = {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("stress_drain_ck_").toString
+        var batches = 0
+        val rows = spark.sparkContext.longAccumulator("drain_rows")
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graft")
+          .option("maxVersionsPerTrigger", cap.toString).load(dest)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            batches += 1
+            rows.add(b.count())
+          }.start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(rows.value == nCommits * rowsPer,
+          s"drain lost rows: ${rows.value}")
+        println(f"STRESS draindepth_$tag%-16s $dt%8.2f s  " +
+          f"batches=$batches commits=$nForged " +
+          f"(${dt / batches}%.2f s/batch)")
+      }
+      drain(64, "cap64")
+      // the uncapped union is the blowup itself — run it only when
+      // explicitly asked for (SPARK_GRAFT_STRESS_ONLY=draindepth)
+      if (only.nonEmpty) drain(nForged + 1, "uncapped")
+    }
     spark.stop()
   }
 }

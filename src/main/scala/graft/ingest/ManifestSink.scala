@@ -741,9 +741,14 @@ object ManifestSink extends Ingest.DestinationSink {
       .getOrElse(-1L)
   }
 
-  private[graft] def appendFeed(spark: SparkSession, destPath: String,
-      sinceVersion: Long, untilVersion: Long = Long.MaxValue)
-      : (Seq[(Long, () => DataFrame)], Long) = {
+  /** The append tail as `(version, target files)` pairs — the raw
+    * form the streaming source batches into ONE scan (a deep-backlog
+    * drain must not pay one DataSource resolution per version).
+    */
+  private[graft] def appendFeedFiles(spark: SparkSession,
+      destPath: String, sinceVersion: Long,
+      untilVersion: Long = Long.MaxValue)
+      : (Seq[(Long, Seq[String])], Long) = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     if (!fs.exists(dest)) return (Seq.empty, sinceVersion)
@@ -769,12 +774,23 @@ object ManifestSink extends Ingest.DestinationSink {
               "commit (rewrite/merge/deletion-vector/restore) — the " +
               "append tail cannot represent it; re-sync from readBack")
         else if (targets.isEmpty) None
-        else Some((v, () => spark.read.option("mergeSchema", "true")
-          .option("basePath", destPath)
-          .parquet(targets.map(rel =>
-            new Path(dest, rel).toString): _*)))
+        else Some((v, targets))
       }
     (feed, math.max(sinceVersion, all.map(vOf).max))
+  }
+
+  private[graft] def appendFeed(spark: SparkSession, destPath: String,
+      sinceVersion: Long, untilVersion: Long = Long.MaxValue)
+      : (Seq[(Long, () => DataFrame)], Long) = {
+    val dest = new Path(destPath)
+    val (feed, head) =
+      appendFeedFiles(spark, destPath, sinceVersion, untilVersion)
+    (feed.map { case (v, targets) =>
+      (v, () => spark.read.option("mergeSchema", "true")
+        .option("basePath", destPath)
+        .parquet(targets.map(rel =>
+          new Path(dest, rel).toString): _*))
+    }, head)
   }
 
   /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF`): commit the

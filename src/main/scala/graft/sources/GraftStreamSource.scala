@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.ingest.ManifestSink
@@ -135,17 +135,46 @@ final class GraftStreamSource(spark: SparkSession, destPath: String,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema))
     }
-    val (feed, _) =
-      if (rowLevel) ManifestSink.changeFeed(spark, destPath, since, until)
-      else ManifestSink.appendFeed(spark, destPath, since, until)
-    val frames = feed.map { case (v, thunk) =>
-      val df = if (rowLevel) thunk()
-        else thunk().withColumn("_commit_version", lit(v))
-      conform(df)
-    }
-    println(s"METRIC graft.stream.batch versions=${feed.length} " +
-      s"since=$since until=$until feed=" +
-      s"${if (rowLevel) "changes" else "appends"} dest=$destPath")
+    val frames: Seq[DataFrame] =
+      if (rowLevel) {
+        val (feed, _) =
+          ManifestSink.changeFeed(spark, destPath, since, until)
+        println(s"METRIC graft.stream.batch versions=${feed.length} " +
+          s"since=$since until=$until feed=changes dest=$destPath")
+        feed.map { case (_, thunk) => conform(thunk()) }
+      } else {
+        // ONE scan for the whole admitted range: a per-version read
+        // pays a DataSource resolution (~100 ms of driver work) per
+        // version, which makes draining a deep backlog
+        // O(versions x resolution) — a cold tail of a year-old table
+        // spent seconds per micro-batch on planning alone. Instead
+        // the batch reads every admitted file in one relation and
+        // derives `_commit_version` from a broadcast
+        // (file name -> version) map; files are unique to their
+        // commit (write ids name them), so the mapping is exact.
+        val (feed, _) =
+          ManifestSink.appendFeedFiles(spark, destPath, since, until)
+        println(s"METRIC graft.stream.batch versions=${feed.length} " +
+          s"since=$since until=$until feed=appends dest=$destPath")
+        if (feed.isEmpty) Nil
+        else {
+          import spark.implicits._
+          val destHadoop = new org.apache.hadoop.fs.Path(destPath)
+          val nameToV = feed.flatMap { case (v, rels) =>
+            rels.map(rel => rel.substring(rel.lastIndexOf('/') + 1) -> v)
+          }
+          val files = feed.flatMap(_._2).map(rel =>
+            new org.apache.hadoop.fs.Path(destHadoop, rel).toString)
+          val vdf = nameToV.toDF("__graft_fn", "_commit_version")
+          val df = spark.read.option("mergeSchema", "true")
+            .option("basePath", destPath)
+            .parquet(files: _*)
+            .withColumn("__graft_fn", col("_metadata.file_name"))
+            .join(broadcast(vdf), Seq("__graft_fn"))
+            .drop("__graft_fn")
+          Seq(conform(df))
+        }
+      }
     // the v1 Source contract: the returned plan must carry
     // isStreaming = true (see [[org.apache.spark.sql.graft.StreamingFrame]])
     org.apache.spark.sql.graft.StreamingFrame.asStreaming(
