@@ -1425,6 +1425,28 @@ object ManifestSink extends Ingest.DestinationSink {
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
     val layoutCols = partitionField.map(partitionColsOf).getOrElse(Nil)
+    // the sync must keep the table's partition layout: a sync called
+    // without partitionField on a partitioned table would silently
+    // FLATTEN it (downstream partition-filtered reads change), and a
+    // day-spec sync of an hourly table would mix granularities
+    val tableParted =
+      targets.headOption.exists(_.startsWith(Ingest.PartitionCol + "="))
+    val tableHourly = targets.headOption.exists(_.split('/').init
+      .exists(_.startsWith(Ingest.PartitionHourCol + "=")))
+    if (targets.nonEmpty) {
+      require(tableParted == partitionField.isDefined,
+        s"[graft] mergeFullSync: the table is " +
+          (if (tableParted) "partitioned" else "unpartitioned") +
+          s" but partitionField is " +
+          (if (partitionField.isDefined) "set" else "not set") +
+          " — a full sync keeps the layout")
+      require(!tableParted || tableHourly ==
+          layoutCols.exists(_.equalsIgnoreCase(Ingest.PartitionHourCol)),
+        s"[graft] mergeFullSync: the table layout is " +
+          (if (tableHourly) "date/hour" else "day-only") +
+          s" but partitionField '${partitionField.getOrElse("")}' " +
+          "derives the other — a full sync keeps the layout")
+    }
     effectiveSchemaOf(fs, old).foreach { cur =>
       val incoming = StructType(src.schema.fields.filterNot(f =>
         layoutCols.exists(_.equalsIgnoreCase(f.name))))

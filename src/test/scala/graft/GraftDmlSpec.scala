@@ -864,6 +864,12 @@ class GraftDmlSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == (60L until 100L).toSet)
     assert(ch.select("_commit_version").distinct()
       .as[Long].collect().toSeq == Seq(1L))
+    // forgetting partitionField on a partitioned table refuses — a
+    // sync must not silently flatten the layout
+    val eLayout = intercept[IllegalArgumentException](
+      ManifestSink.mergeFullSync(spark, dest, src, "id"))
+    assert(eLayout.getMessage.contains("partitioned"),
+      eLayout.getMessage)
     // empty source = full truncate, counted as deletes
     val empty = spark.emptyDataset[(Long, String, java.sql.Date)]
       .toDF("id", "v", "day")
@@ -953,6 +959,32 @@ class GraftDmlSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $tbl")
       spark.catalog.dropTempView("dml_2lvl_src")
     }
+  }
+
+  test("mergeFullSync: a concurrent commit aborts the sync (staged " +
+      "files rolled back, Aborted status — never a silent absorb)") {
+    val dest = s"${tmpDir("fsync_occ_")}/t"
+    (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    val src = (5L until 25L).map(i => (i, s"n$i")).toDF("id", "v")
+    val intruder = Seq((99L, "w")).toDF("id", "v")
+    ManifestSink.onBeforeRewriteCommit = () =>
+      ManifestSink.statsAppend(intruder, dest, None, Seq("id"))
+    try {
+      val out = ManifestSink.mergeFullSync(spark, dest, src, "id")
+      assert(out == ManifestSink.MergeOutcome.Aborted)
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    // nothing synced, the intruder's row survived, no staged debris
+    val back = ManifestSink.readBack(spark, dest)
+    assert(back.count() == 21L)
+    assert(back.where("id = 99").count() == 1L)
+    val sroot = new java.io.File(
+      new java.io.File(dest).getParent, ".staging_t")
+    assert(!sroot.exists() || sroot.listFiles().isEmpty)
+    // the retry against the advanced log applies
+    assert(ManifestSink.mergeFullSync(spark, dest, src, "id") ==
+      ManifestSink.MergeOutcome.Merged(15L, 5L, 6L))
+    assert(ManifestSink.readBack(spark, dest).count() == 20L)
   }
 
   private implicit class Piper[A](a: A) {
