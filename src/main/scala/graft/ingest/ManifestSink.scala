@@ -5817,10 +5817,11 @@ object ManifestSink extends Ingest.DestinationSink {
       }
     }.sum
     val stats = fileStatsOf(fs, mfs)
+    // the full partition identity (every `k=v` directory segment) —
+    // both levels of a date/hour layout
     val partVals = targets.flatMap { t =>
-      val i = t.indexOf('=')
-      val j = t.indexOf('/')
-      if (i > 0 && j > i) Some(t.substring(0, j)) else None
+      val i = t.lastIndexOf('/')
+      if (i > 0 && t.contains('=')) Some(t.substring(0, i)) else None
     }.distinct.sorted
     val dvs = effectiveDvsOf(fs, mfs)
       .filter { case (t, _) => targets.contains(t) }
