@@ -140,10 +140,13 @@ object Ingest {
     */
   val PartitionCol = "p_date"
 
-  /** Second (optional) partition level: the zero-padded hour-of-day
-    * directory column of a `date/hour` layout — the routine shape for
-    * high-rate event streams. Zero-padding keeps lexicographic
-    * directory order chronological.
+  /** Second (optional) partition level: the hour-of-day directory
+    * column of a `date/hour` layout — the routine shape for high-rate
+    * event streams. An INTEGER column (directories render `p_hour=0`
+    * .. `p_hour=23`): Spark's partition-value inference types
+    * int-looking directory values as integers on every read path, so
+    * the int representation is the one that round-trips identically
+    * everywhere; ordering is TYPED (numeric), not lexicographic.
     */
   val PartitionHourCol = "p_hour"
 

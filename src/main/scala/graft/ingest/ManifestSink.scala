@@ -142,6 +142,21 @@ object ManifestSink extends Ingest.DestinationSink {
       Ingest.PartitionHourCol)
     else Seq(Ingest.PartitionCol)
 
+  /** Canonical hour rendering shared by every `date/hour` value
+    * parser: hour directories are written from the INT `p_hour`
+    * column (`p_hour=7`), so `"07"` and `"7"` name the same
+    * directory; non-numeric and out-of-range values refuse loudly.
+    */
+  private[graft] def canonPartitionHour(h: String, who: String): Int = {
+    val n = try h.trim.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"[graft] $who: cannot interpret '$h' as an hour")
+    }
+    require(n >= 0 && n <= 23, s"[graft] $who: hour '$h' out of range")
+    n
+  }
+
   private def logPath(destPath: String): Path =
     new Path(new Path(destPath), LogDir)
 
@@ -959,20 +974,37 @@ object ManifestSink extends Ingest.DestinationSink {
               (if (partitionField.isDefined) "partitioned"
                else "unpartitioned") +
               " — pass overwriteSchema = true to rebase the layout")
-        effectiveSchemaOf(fs, old).foreach { cur =>
-          // a partitioned stage strips the derived partition columns
-          // from the data files — compare what will actually land
-          val strip = partitionField.map(partitionColsOf).getOrElse(Nil)
-          val incoming =
-            if (strip.isEmpty) df.schema
-            else StructType(df.schema.fields.filterNot(f =>
-              strip.exists(_.equalsIgnoreCase(f.name))))
-          schemaMismatch(cur, incoming).foreach(why =>
-            throw new IllegalArgumentException(
-              s"[graft] overwrite: incoming schema does not match the " +
-                s"table schema ($why) — pass overwriteSchema = true to " +
-                "rebase the schema"))
-        }
+        // same-granularity check: a day-only spec on a date/hour
+        // table (or vice versa) would silently flatten/mix the layout
+        val wasHourly = existing.exists(_.split('/').init
+          .exists(_.startsWith(Ingest.PartitionHourCol + "=")))
+        val isHourly = partitionField.map(partitionColsOf).getOrElse(Nil)
+          .exists(_.equalsIgnoreCase(Ingest.PartitionHourCol))
+        if (wasPartitioned && wasHourly != isHourly)
+          throw new IllegalArgumentException(
+            s"[graft] overwrite: table $destPath is " +
+              (if (wasHourly) "date/hour" else "day-only") +
+              s" partitioned but partitionField derives the " +
+              (if (isHourly) "date/hour" else "day-only") +
+              " layout — pass overwriteSchema = true to rebase it")
+      }
+      // the schema check applies even to an EMPTY table: a truncating
+      // replace deliberately carries the schema forward (an empty
+      // table must not forget its shape), so a drifted overwrite must
+      // still refuse
+      effectiveSchemaOf(fs, old).foreach { cur =>
+        // a partitioned stage strips the derived partition columns
+        // from the data files — compare what will actually land
+        val strip = partitionField.map(partitionColsOf).getOrElse(Nil)
+        val incoming =
+          if (strip.isEmpty) df.schema
+          else StructType(df.schema.fields.filterNot(f =>
+            strip.exists(_.equalsIgnoreCase(f.name))))
+        schemaMismatch(cur, incoming).foreach(why =>
+          throw new IllegalArgumentException(
+            s"[graft] overwrite: incoming schema does not match the " +
+              s"table schema ($why) — pass overwriteSchema = true to " +
+              "rebase the schema"))
       }
     }
     val base = manifests(fs, destPath)
@@ -1054,7 +1086,14 @@ object ManifestSink extends Ingest.DestinationSink {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     val pcol = Ingest.PartitionCol
-    val (dfP, pcols) = withPartitionCols(df, partitionField)
+    // pin the incoming rows ONCE: the containment check, the dynamic
+    // value derivation, the change-feed images, and the staged write
+    // would otherwise each re-execute the source plan (3–4x the cost
+    // on the highest-frequency maintenance verb), and a
+    // nondeterministic source could diverge between the check and
+    // the write
+    val (dfP0, pcols) = withPartitionCols(df, partitionField)
+    val dfP = dfP0.localCheckpoint()
     val hourly = pcols.length == 2
     // value forms: "d" replaces a whole day (any layout); "d/h"
     // replaces one hour of a date/hour layout
@@ -1063,19 +1102,8 @@ object ManifestSink extends Ingest.DestinationSink {
           (hourly || !v.contains('/'))),
       s"[graft] overwritePartitions: values must be 'date' " +
         s"(or 'date/hour' on an hourly layout): ${values.mkString(",")}")
-    // canonical hour rendering: the directory is written from the INT
-    // p_hour column ("p_hour=7"), so "07" and "7" name the same hour
-    def canonHour(h: String): Int = {
-      val n = try h.trim.toInt catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"[graft] overwritePartitions: cannot interpret '$h' as " +
-              "an hour")
-      }
-      require(n >= 0 && n <= 23,
-        s"[graft] overwritePartitions: hour '$h' out of range")
-      n
-    }
+    def canonHour(h: String): Int =
+      canonPartitionHour(h, "overwritePartitions")
     def valuePred(v: String): org.apache.spark.sql.Column =
       v.split('/') match {
         case Array(d) => col(pcol).cast("string") === d
@@ -2423,14 +2451,18 @@ object ManifestSink extends Ingest.DestinationSink {
           case Array("stats2", tgt, c, kind, mn, mx, nulls, rows) =>
             // `~`-prefixed max = truncation marker; a legacy line's
             // `'￿'`-padded max (pre-marker format) reads back as
-            // truncated too — its pad proved nothing in the data order
+            // truncated too — its pad proved nothing in the data
+            // order. The legacy cut could SPLIT a surrogate pair at
+            // the cap, storing a `?` where the pair's first half was
+            // (not a true prefix of the data) — drop the final prefix
+            // char as well, which is always a valid shorter prefix
             val (mxV, mxT) =
               if (mx == "-") (None, false)
               else if (mx.startsWith("~")) (Some(unb64(mx.tail)), true)
               else {
                 val v = unb64(mx)
                 if (v.length > StatsStrCap && v.last == '￿')
-                  (Some(v.init), true)
+                  (Some(v.init.dropRight(1)), true)
                 else (Some(v), false)
               }
             Some((tgt, c) -> ColStats(kind,
@@ -5998,6 +6030,10 @@ object ManifestSink extends Ingest.DestinationSink {
         !v.contains("..") && v.split('/').length <= 2),
       s"[graft] dropPartitions: values must be 'date' or 'date/hour': " +
         values.mkString(","))
+    values.foreach(v => v.split('/') match {
+      case Array(_, h) => canonPartitionHour(h, "dropPartitions")
+      case _ => ()
+    })
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     if (!fs.exists(dest)) return 0L
@@ -6011,12 +6047,22 @@ object ManifestSink extends Ingest.DestinationSink {
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
+    // an hour-scoped value against a DAY-only layout would silently
+    // no-op (its prefix matches nothing) — refuse loudly instead
+    if (values.exists(_.contains('/'))) {
+      val hourly = targets.headOption.exists(_.split('/').init
+        .exists(_.startsWith(Ingest.PartitionHourCol + "=")))
+      require(hourly,
+        s"[graft] dropPartitions: 'date/hour' values need a " +
+          s"date/hour layout; $destPath is day-partitioned")
+    }
     val prefixes = values.map(v => v.split('/') match {
       case Array(d) => s"$partitionCol=$d/"
       case Array(d, h) =>
         // hour dirs are written from the INT p_hour column: "07" and
         // "7" name the same directory
-        s"$partitionCol=$d/${Ingest.PartitionHourCol}=${h.trim.toInt}/"
+        s"$partitionCol=$d/${Ingest.PartitionHourCol}=" +
+          s"${canonPartitionHour(h, "dropPartitions")}/"
     })
     val dropped = targets.filter(t => prefixes.exists(t.startsWith)).toSet
     if (dropped.isEmpty) return 0L

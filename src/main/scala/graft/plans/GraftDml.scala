@@ -914,17 +914,9 @@ case class GraftOverwritePartitionsCommand(dest: String,
             s"'$v' as a partition date")
       canon
     }
-    def canonHour(v: String): String = {
-      val h = try v.trim.toInt catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"[graft] INSERT OVERWRITE PARTITION: cannot interpret " +
-              s"'$v' as an hour")
-      }
-      require(h >= 0 && h <= 23,
-        s"[graft] INSERT OVERWRITE PARTITION: hour '$v' out of range")
-      h.toString
-    }
+    def canonHour(v: String): String =
+      ManifestSink.canonPartitionHour(v,
+        "INSERT OVERWRITE PARTITION").toString
     val values = staticValues match {
       case Seq()     => Nil
       case Seq(d)    => Seq(canonDate(d))

@@ -54,6 +54,11 @@ final class GraftStreamSink(destPath: String,
     bloomCols: Seq[String], mergeKey: Option[String], mor: Boolean,
     checkpointTag: Option[String]) extends Sink {
 
+  // true until this Sink INSTANCE delivers its first batch — a restart
+  // constructs a fresh sink, so "first batch after restart" is the
+  // only window a pre-upgrade checkpoint can replay into
+  @volatile private var firstBatch = true
+
   private def streamTag(spark: org.apache.spark.sql.SparkSession)
       : String = {
     // StreamExecution.QUERY_ID_KEY — stable across restarts from the
@@ -101,18 +106,30 @@ final class GraftStreamSink(destPath: String,
       case None =>
         // UPGRADE GUARD: r18 moved stream identity from the
         // checkpointLocation/destPath tag to the queryId. A stream
-        // restarted from a checkpoint written BEFORE that change
-        // replays its last in-flight batch under a DIFFERENT (new)
-        // writeId, so the idempotency lookup would miss and the batch
-        // would double-append ONCE. Check the legacy writeId form too
-        // and skip the batch if it already landed pre-upgrade.
-        val legacyId = writeIdFor(
-          checkpointTag.getOrElse(destPath), batchId)
-        if (ManifestSink.hasWriteId(spark, destPath, legacyId)) {
-          println(s"METRIC graft.sink.legacy_writeid_replay_skip=1 " +
-            s"batch=$batchId dest=$destPath")
-          return
+        // restarted from a PRE-UPGRADE checkpoint replays its last
+        // in-flight batch under a DIFFERENT (new) writeId, so the
+        // idempotency lookup would miss and the batch would
+        // double-append once. Scope matters: the replayed in-flight
+        // batch is exactly the FIRST batch a restarted query delivers
+        // and carries a batchId its earlier run already advanced past
+        // (> 0) — checking every batch would resurrect path identity
+        // wholesale and silently DROP every batch of a genuinely new
+        // stream whose ids collide with pre-upgrade history (the very
+        // bug the queryId move fixed). A pre-upgrade stream that
+        // crashed inside its first-ever batch (batchId 0) is
+        // unresolvable either way; it duplicates once — duplicates
+        // are visible and cleanable, silent loss is neither.
+        if (firstBatch && batchId > 0) {
+          val legacyId = writeIdFor(
+            checkpointTag.getOrElse(destPath), batchId)
+          if (ManifestSink.hasWriteId(spark, destPath, legacyId)) {
+            println(s"METRIC graft.sink.legacy_writeid_replay_skip=1 " +
+              s"batch=$batchId dest=$destPath")
+            firstBatch = false
+            return
+          }
         }
+        firstBatch = false
         val writeId = writeIdFor(streamTag(spark), batchId)
         if (statsCols.nonEmpty || bloomCols.nonEmpty)
           ManifestSink.statsAppend(batch, destPath, partitionField,

@@ -72,31 +72,43 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(ManifestSink.readBack(spark, dest).count() == 4L)
   }
 
-  test("pre-upgrade checkpoint replay: a batch committed under the " +
-      "legacy (checkpoint-path-keyed) writeId is not double-appended " +
-      "by the queryId-keyed sink") {
+  test("pre-upgrade checkpoint replay: the restart's FIRST redelivered " +
+      "batch is deduped against the legacy (path-keyed) writeId; a new " +
+      "stream's colliding batchIds are NOT falsely skipped") {
     val dest = s"${tmpDir("gsink_legacy_")}/t"
     val ckpt = "/ckpt/legacy-stream"
-    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
-    // what the pre-r18 sink committed for batch 0: the writeId keyed
-    // on the raw checkpointLocation (no qid:/tag: prefix)
-    val legacy = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"graft-sink:$ckpt:0".getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    ManifestSink.stagedAppend(df, dest, None, legacy, Seq.empty)
-    ManifestSink.finishCommit(spark, dest, legacy)
-    assert(ManifestSink.readBack(spark, dest).count() == 2L)
-    // the upgraded sink restarts from that checkpoint and Spark
-    // re-delivers the in-flight batch 0: the new writeId would miss
-    // the idempotency lookup — the legacy-form guard must skip it
+    def legacyId(b: Long): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"graft-sink:$ckpt:$b".getBytes("UTF-8"))
+        .take(8).map(x => f"$x%02x").mkString
+    // what the pre-r18 sink committed: batches 0 and 1 under the
+    // writeIds keyed on the raw checkpointLocation (no qid:/tag:)
+    val b0 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b1 = Seq((3L, "z")).toDF("id", "v")
+    ManifestSink.stagedAppend(b0, dest, None, legacyId(0), Seq.empty)
+    ManifestSink.finishCommit(spark, dest, legacyId(0))
+    ManifestSink.stagedAppend(b1, dest, None, legacyId(1), Seq.empty)
+    ManifestSink.finishCommit(spark, dest, legacyId(1))
+    assert(ManifestSink.readBack(spark, dest).count() == 3L)
+    // the upgraded sink restarts from that checkpoint: Spark
+    // re-delivers the in-flight batch 1 FIRST — the new writeId would
+    // miss the idempotency lookup, so the legacy-form guard skips it
     val sink = new GraftStreamSink(dest, None, Seq("id"), Nil, None,
       mor = false, checkpointTag = Some(ckpt))
-    sink.addBatch(0L, df)
-    assert(ManifestSink.readBack(spark, dest).count() == 2L,
+    sink.addBatch(1L, b1)
+    assert(ManifestSink.readBack(spark, dest).count() == 3L,
       "pre-upgrade batch replayed as a duplicate")
     // later batches land normally under the new identity
-    sink.addBatch(1L, Seq((3L, "z")).toDF("id", "v"))
-    assert(ManifestSink.readBack(spark, dest).count() == 3L)
+    sink.addBatch(2L, Seq((4L, "w")).toDF("id", "v"))
+    assert(ManifestSink.readBack(spark, dest).count() == 4L)
+    // a GENUINELY NEW stream (fresh sink, fresh checkpoint, batchIds
+    // restarting at 0) must NOT be skipped against the old stream's
+    // batch-0 writeId — path identity does not own the table
+    val fresh = new GraftStreamSink(dest, None, Seq("id"), Nil, None,
+      mor = false, checkpointTag = Some(ckpt))
+    fresh.addBatch(0L, Seq((5L, "n")).toDF("id", "v"))
+    assert(ManifestSink.readBack(spark, dest).count() == 5L,
+      "a new stream's batch 0 was silently dropped")
   }
 
   test("a wiped-and-reused checkpoint is a NEW logical stream: its " +
