@@ -105,10 +105,16 @@ object ManifestSink extends Ingest.DestinationSink {
     new Path(stagingRoot(destPath), writeId)
 
   /** Derived partition layout of a `partitionField` spec:
-    *  - `"f"`       → one level, `p_date = to_date(f)`;
-    *  - `"f/hour"`  → two levels, `p_hour` = zero-padded hour of `f`
-    *    (the date/hour layout routine for high-rate event streams);
-    *  - `"f/h"`     → two levels with `p_hour` normalized from column
+    *  - `"f"`        → one level, `p_date = to_date(f)`;
+    *  - `"f/hour()"` → two levels, `p_hour` = hour of `f` (the
+    *    date/hour layout routine for high-rate event streams);
+    *    `"f/hour"` keeps meaning the same DERIVED form, but refuses
+    *    when the frame carries a real column named `hour` — the two
+    *    readings produce silently different layouts, so the ambiguous
+    *    spelling is an error there (use `"f/hour()"` for the derived
+    *    hour; a data column literally named `hour` cannot be a
+    *    partition level under this spec — rename it first);
+    *  - `"f/h"`      → two levels with `p_hour` normalized from column
     *    `h`'s own values (the SQL face, where the relation already
     *    exposes both partition columns and `to_date(p_date)` is the
     *    identity).
@@ -125,15 +131,23 @@ object ManifestSink extends Ingest.DestinationSink {
       (df.withColumn(Ingest.PartitionCol, to_date(col(f))),
         Seq(Ingest.PartitionCol))
     case Array(f, h) =>
+      if (h.equalsIgnoreCase("hour") &&
+          df.columns.exists(_.equalsIgnoreCase("hour")))
+        throw new IllegalArgumentException(
+          s"[graft] partitionField '$field' is ambiguous: the frame " +
+            "has a column named 'hour' AND 'hour' is the derived-hour " +
+            "keyword — write \"" + f + "/hour()\" for hour(" + f +
+            "), or rename the column to partition by its values")
       val hc =
-        if (h.equalsIgnoreCase("hour")) hour(col(f))
+        if (h.equalsIgnoreCase("hour") || h.equalsIgnoreCase("hour()"))
+          hour(col(f))
         else col(h).cast("int")
       (df.withColumn(Ingest.PartitionCol, to_date(col(f)))
         .withColumn(Ingest.PartitionHourCol, hc.cast("int")),
         Seq(Ingest.PartitionCol, Ingest.PartitionHourCol))
     case _ => throw new IllegalArgumentException(
       s"[graft] partitionField '$field': at most two levels " +
-        "(\"f\", \"f/hour\", or \"f/<hour column>\")")
+        "(\"f\", \"f/hour()\", or \"f/<hour column>\")")
   }
 
   /** The directory column names a `partitionField` spec produces. */
@@ -1251,18 +1265,11 @@ object ManifestSink extends Ingest.DestinationSink {
           case Some(d) => d.unionByName(ins, allowMissingColumns = true)
           case None    => ins
         }
-        val cdfOut = new Path(staging, "cdf")
-        frame.coalesce(1).write.mode("overwrite")
-          .parquet(cdfOut.toString)
-        val nCdf = spark.read.parquet(cdfOut.toString).count()
-        val part = fs.listStatus(cdfOut).map(_.getPath)
-          .find(p => p.getName.startsWith("part-") &&
-            p.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"[graft] overwritePartitions: no cdf part under $cdfOut"))
-        val rel = s"$CdfDir/$writeId.parquet"
-        sideMoves += ((part, rel))
-        extraLines += s"cdf\t$rel\t$nCdf"
+        stageCdfParts(spark, fs, staging, frame, writeId,
+            "snapshot replace").foreach { case (part, rel, n) =>
+          sideMoves += ((part, rel))
+          extraLines += s"cdf\t$rel\t$n"
+        }
       }
       // stage the incoming rows in their partition layout
       val dataOut = new Path(staging, "data")
@@ -1426,7 +1433,9 @@ object ManifestSink extends Ingest.DestinationSink {
   def mergeFullSync(spark: SparkSession, destPath: String,
       source: DataFrame, keyCol: String,
       partitionField: Option[String] = None,
-      statsCols: Seq[String] = Nil): MergeOutcome = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): MergeOutcome = {
     require(source.columns.contains(keyCol),
       s"[graft] mergeFullSync: source lacks key column '$keyCol'")
     val dest = new Path(destPath)
@@ -1443,8 +1452,10 @@ object ManifestSink extends Ingest.DestinationSink {
     if (!fs.exists(dest) || manifests(fs, destPath).isEmpty) {
       // nothing to sync against: the whole source inserts
       if (nSrc == 0) return MergeOutcome.NoChange("empty source+table")
-      if (statsCols.nonEmpty)
-        statsAppend(src, destPath, partitionField, statsCols)
+      if (statsCols.nonEmpty || bloomCols.nonEmpty)
+        statsAppend(src, destPath, partitionField,
+          if (statsCols.nonEmpty) statsCols else bloomCols,
+          bloomCols = bloomCols, bloomBits = bloomBits)
       else append(src, destPath, partitionField)
       return MergeOutcome.Merged(0L, nSrc, 0L)
     }
@@ -1512,7 +1523,7 @@ object ManifestSink extends Ingest.DestinationSink {
     }
     replaceContentCommit(spark, destPath, dfP, pcols,
       replaced = targets.toSet, kept = Nil, old, baseVersion,
-      statsCols, Nil, DefaultBloomBits,
+      statsCols, bloomCols, bloomBits,
       canAbsorb = _ => false, containPrefixes = None, "fs") match {
       case Some(_) =>
         println(s"METRIC graft.merge_full_sync.updated=$updated " +
@@ -1917,6 +1928,42 @@ object ManifestSink extends Ingest.DestinationSink {
   /** `cdf\t<sidecar rel>\t<rows>` lines of one manifest. */
   private def cdfLinesOf(fs: FileSystem, mf: Path)
       : Seq[(String, Long)] = mfData(fs, mf).cdfLines
+
+  /** Stage a change-data frame as a DISTRIBUTED parquet write under
+    * `staging/cdf` and return one `(staged part, sidecar rel, rows)`
+    * per part file, rows from the part's FOOTER (no second scan).
+    * The change frame of a partition overwrite / full sync is on the
+    * order of the replaced partitions' rows — funnelling it through
+    * `coalesce(1)` would put the table's BIGGEST commits through one
+    * task and one file (hours at 100 TB scale, plus single-file size
+    * risk), where the manifest format is already line-oriented:
+    * readers ([[changeFeed]]) union every `cdf` line of a version, so
+    * a version simply carries one line per part. An EMPTY change
+    * frame still yields one (zero-row, schema-bearing) part — a
+    * feed-enabled snapshot commit without any `cdf` line would make
+    * [[changeFeed]] refuse the version as undecomposable.
+    */
+  private def stageCdfParts(spark: SparkSession, fs: FileSystem,
+      staging: Path, frame: DataFrame, writeId: String, who: String)
+      : Seq[(Path, String, Long)] = {
+    val cdfOut = new Path(staging, "cdf")
+    frame.write.mode("overwrite").parquet(cdfOut.toString)
+    val parts = fs.listStatus(cdfOut).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    require(parts.nonEmpty,
+      s"[graft] $who: no cdf part files under $cdfOut")
+    val conf = spark.sessionState.newHadoopConf()
+    val all = parts.zipWithIndex.map { case (p, i) =>
+      (p, s"$CdfDir/$writeId-$i.parquet", footerRowCount(conf, p))
+    }
+    // empty tasks write schema-only files — keep one (the feed needs a
+    // readable sidecar per version) and drop the rest; unmoved staged
+    // parts die with the staging-dir cleanup
+    val withRows = all.filter(_._3 > 0L)
+    if (withRows.nonEmpty) withRows else all.take(1)
+  }
 
   /** The dv lines of one manifest: `(target rel, dv rel, rows)`. */
   private def dvLinesOf(fs: FileSystem, mf: Path)
@@ -4690,17 +4737,11 @@ object ManifestSink extends Ingest.DestinationSink {
                 exprs.get(c).map(_.as(c)).getOrElse(col(c))): _*)
                 .withColumn("_change_type", lit("insert")))
         }
-        val cdfOut = new Path(staging, "cdf")
-        frame.coalesce(1).write.mode("overwrite").parquet(cdfOut.toString)
-        val part = fs.listStatus(cdfOut).map(_.getPath)
-          .find(p => p.getName.startsWith("part-") &&
-            p.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"[graft] rewriteWhere: no cdf part file under $cdfOut"))
-        val rel = s"$CdfDir/$writeId.parquet"
-        sideMoves += ((part, rel))
-        val n = if (set.isEmpty) totalMatched else 2 * totalMatched
-        cdfLine += s"cdf\t$rel\t$n"
+        stageCdfParts(spark, fs, staging, frame, writeId,
+            "rewriteWhere").foreach { case (part, rel, n) =>
+          sideMoves += ((part, rel))
+          cdfLine += s"cdf\t$rel\t$n"
+        }
       }
       rewrites.zipWithIndex.foreach { case (rel, k) =>
         val parent = {
@@ -4872,6 +4913,39 @@ object ManifestSink extends Ingest.DestinationSink {
       }
       case _ => None
     }
+  }
+
+  /** One parquet file's exact row count from its FOOTER — a
+    * metadata-only read (no data pages), the cheapest truthful row
+    * count a file can give.
+    */
+  private[graft] def footerRowCount(
+      conf: org.apache.hadoop.conf.Configuration, file: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    val footer = try reader.getFooter finally reader.close()
+    footer.getBlocks.asScala.map(_.getRowCount).sum
+  }
+
+  /** Total rows committed under `writeId`, from the committing
+    * manifest's target files' footers; None when no surviving manifest
+    * carries the id or any of its files is gone (compacted/vacuumed
+    * away) — the caller then cannot compare against it.
+    */
+  def rowsOfWriteId(spark: SparkSession, destPath: String,
+      writeId: String): Option[Long] = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    if (!fs.exists(dest)) return None
+    val mf = resolvedLog(fs, destPath)
+      .filter(_.getName.endsWith(".manifest"))
+      .find(m => writeIdOf(fs, m) == writeId)
+      .getOrElse(return None)
+    val conf = spark.sessionState.newHadoopConf()
+    try Some(mfData(fs, mf).targets
+      .map(t => footerRowCount(conf, new Path(dest, t))).sum)
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** One file's footer-derived per-column stats (kinds pre-gated from
@@ -5647,17 +5721,11 @@ object ManifestSink extends Ingest.DestinationSink {
         val frame = pre.unionByName(
           ups.withColumn("_change_type", lit("insert")),
           allowMissingColumns = true)
-        val cdfOut = new Path(staging, "cdf")
-        frame.coalesce(1).write.mode("overwrite")
-          .parquet(cdfOut.toString)
-        val part = fs.listStatus(cdfOut).map(_.getPath)
-          .find(p => p.getName.startsWith("part-") &&
-            p.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"[graft] mergeInto: no cdf part file under $cdfOut"))
-        val rel = s"$CdfDir/$writeId.parquet"
-        sideMoves += ((part, rel))
-        cdfLine += s"cdf\t$rel\t${replacedRows + nUps}"
+        stageCdfParts(spark, fs, staging, frame, writeId,
+            "mergeInto").foreach { case (part, rel, n) =>
+          sideMoves += ((part, rel))
+          cdfLine += s"cdf\t$rel\t$n"
+        }
       }
       // matched files: keep only rows whose key is absent from source
       // (LIVE rows — existing tombstones materialize in the rewrite)
@@ -6094,22 +6162,18 @@ object ManifestSink extends Ingest.DestinationSink {
           .parquet(dropped.toSeq.sorted
             .map(rel => new Path(dest, rel).toString): _*)
           .withColumn("_change_type", lit("delete"))
-        val nPre = pre.count()
-        val cdfOut = new Path(staging, "cdf")
-        pre.coalesce(1).write.mode("overwrite").parquet(cdfOut.toString)
-        val part = fs.listStatus(cdfOut).map(_.getPath)
-          .find(p => p.getName.startsWith("part-") &&
-            p.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"[graft] dropPartitions: no cdf part file under $cdfOut"))
-        val rel = s"$CdfDir/$writeId.parquet"
-        writeFile(fs, new Path(staging, WaManifest), s"target\t$rel")
-        val tgt = new Path(dest, rel)
-        fs.mkdirs(tgt.getParent)
-        require(fs.rename(part, tgt),
-          s"[graft] dropPartitions cdf move failed: $tgt")
-        sideMoves += ((part, rel))
-        cdfLine += s"cdf\t$rel\t$nPre"
+        val staged = stageCdfParts(spark, fs, staging, pre, writeId,
+          "dropPartitions")
+        writeFile(fs, new Path(staging, WaManifest),
+          staged.map(s => s"target\t${s._2}").mkString("\n"))
+        staged.foreach { case (part, rel, n) =>
+          val tgt = new Path(dest, rel)
+          fs.mkdirs(tgt.getParent)
+          require(fs.rename(part, tgt),
+            s"[graft] dropPartitions cdf move failed: $tgt")
+          sideMoves += ((part, rel))
+          cdfLine += s"cdf\t$rel\t$n"
+        }
       } catch {
         case e: Throwable =>
           sideMoves.foreach { case (_, t) =>

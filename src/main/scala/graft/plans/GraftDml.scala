@@ -295,22 +295,32 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         fail("INSERT OVERWRITE ... PARTITION needs a day- or " +
           "date/hour-partitioned graft table")
       // the spec must name a PREFIX of the layout columns (p_date, or
-      // p_date + p_hour), all-static or all-dynamic
-      val specCols = spec.keys.toSeq
-      val okPrefix = specCols.length <= g.partitionCols.length &&
-        specCols.zip(g.partitionCols).forall { case (s, p) =>
-          conf.resolver(s, p) }
-      if (!okPrefix)
-        fail(s"INSERT OVERWRITE PARTITION: the partition columns are " +
-          s"(${g.partitionCols.mkString(", ")}) — the spec must name " +
-          s"a prefix of them, got (${specCols.mkString(",")})")
-      val staticVals = spec.values.toSeq
+      // p_date + p_hour) — in ANY order; it is normalized to layout
+      // order here, so PARTITION (p_hour='3', p_date='d') and
+      // PARTITION (p_date='d', p_hour='3') name the same partition
+      val matched = spec.keys.toSeq.map { s =>
+        val i = g.partitionCols.indexWhere(p => conf.resolver(s, p))
+        if (i < 0)
+          fail(s"INSERT OVERWRITE PARTITION: '$s' is not a partition " +
+            s"column of this table — the partition columns are " +
+            s"(${g.partitionCols.mkString(", ")})")
+        i -> s
+      }
+      if (matched.map(_._1).toSet != matched.indices.toSet)
+        fail(s"INSERT OVERWRITE PARTITION: the spec must name a " +
+          s"prefix of the layout columns, in any order — accepted " +
+          s"forms: PARTITION (${g.partitionCols.head}[='v']) or " +
+          s"PARTITION (${g.partitionCols.mkString(", ")}); got " +
+          s"(${spec.keys.mkString(", ")})")
+      val ordered: Seq[(String, Option[String])] =
+        matched.sortBy(_._1).map { case (_, s) => s -> spec(s) }
+      val staticVals = ordered.map(_._2)
       if (staticVals.exists(_.isDefined) && staticVals.exists(_.isEmpty))
         fail("INSERT OVERWRITE PARTITION: mixed static/dynamic specs " +
           "are not supported — give every named column a value, or " +
           "none")
       return planOverwritePartition(t, g,
-        spec.collect { case (k, Some(v)) => (k, v) }.toSeq,
+        ordered.collect { case (k, Some(v)) => (k, v) },
         userCols, query, byName)
     }
     if (g.partitionCols.length > 2)
@@ -867,10 +877,10 @@ case class GraftMergeFullSyncCommand(dest: String, source: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val srcDf = Bridge.dataFrame(spark, source)
       .select(targetCols.map(org.apache.spark.sql.functions.col): _*)
-    val statsCols =
-      ManifestSink.snapshotHandle(spark, dest).statsColumns
+    val handle = ManifestSink.snapshotHandle(spark, dest)
     val outcome = ManifestSink.mergeFullSync(spark, dest, srcDf,
-      keyCol, partitionField, statsCols)
+      keyCol, partitionField, handle.statsColumns,
+      bloomCols = handle.bloomColumns)
     if (!outcome.applied)
       throw new IllegalStateException(
         s"[graft] MERGE INTO $dest (full sync) did not apply: " +

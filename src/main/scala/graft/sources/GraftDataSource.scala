@@ -288,15 +288,21 @@ final class GraftFileIndex(spark: SparkSession,
       val vals = entries.flatMap(_._3.get(c))
         .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
       // type like Spark's own partition-value inference: int before
-      // date before string — so the p_hour level (and shard dirs) read
-      // the SAME type through this index and through plain
-      // spark.read.parquet
+      // long before date before string — so the p_hour level (and
+      // shard dirs) read the SAME type through this index and through
+      // plain spark.read.parquet, and an int-range overflow (a shard
+      // value beyond 2^31) widens to long instead of failing at
+      // lookup time
       val isInt = vals.nonEmpty && vals.forall(v =>
         scala.util.Try(v.toInt).isSuccess)
-      val isDate = !isInt && vals.nonEmpty && vals.forall(v =>
-        scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)
+      val isLong = !isInt && vals.nonEmpty && vals.forall(v =>
+        scala.util.Try(v.toLong).isSuccess)
+      val isDate = !isInt && !isLong && vals.nonEmpty &&
+        vals.forall(v =>
+          scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)
       StructField(c,
         if (isInt) IntegerType
+        else if (isLong) LongType
         else if (isDate) DateType else StringType,
         nullable = true)
     })
@@ -310,6 +316,7 @@ final class GraftFileIndex(spark: SparkSession,
           case DateType =>
             java.time.LocalDate.parse(v).toEpochDay.toInt
           case IntegerType => v.toInt
+          case LongType    => v.toLong
           case _ => UTF8String.fromString(v)
         }
       }

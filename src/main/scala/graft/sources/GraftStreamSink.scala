@@ -123,10 +123,27 @@ final class GraftStreamSink(destPath: String,
           val legacyId = writeIdFor(
             checkpointTag.getOrElse(destPath), batchId)
           if (ManifestSink.hasWriteId(spark, destPath, legacyId)) {
-            println(s"METRIC graft.sink.legacy_writeid_replay_skip=1 " +
-              s"batch=$batchId dest=$destPath")
-            firstBatch = false
-            return
+            // a TRUE replay redelivers byte-identical content, so the
+            // committed batch's row count (a footer-only read) must
+            // equal this one's. A GENUINELY NEW stream on a reused
+            // checkpoint path whose batchId collides with pre-upgrade
+            // history almost surely differs — appending then is the
+            // difference between one visible duplicate and silent
+            // loss. Count-unresolvable ids (the committing manifest
+            // was compacted away) keep the conservative skip: that is
+            // a long-retired pre-upgrade checkpoint, not a fresh
+            // stream's first commit.
+            val committed =
+              ManifestSink.rowsOfWriteId(spark, destPath, legacyId)
+            if (committed.forall(_ == batch.count())) {
+              println(s"METRIC graft.sink.legacy_writeid_replay_skip=1 " +
+                s"batch=$batchId dest=$destPath")
+              firstBatch = false
+              return
+            }
+            println(s"METRIC graft.sink.legacy_writeid_collision=1 " +
+              s"batch=$batchId committed_rows=${committed.get} " +
+              s"dest=$destPath")
           }
         }
         firstBatch = false

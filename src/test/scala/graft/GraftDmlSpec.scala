@@ -658,6 +658,54 @@ class GraftDmlSpec extends SparkSpec {
     assert(ins == (3000L until 3003L).toSet)
   }
 
+  test("change-data sidecars write DISTRIBUTED: a partition overwrite " +
+      "commits one cdf line per part file, the feed unions the parts " +
+      "(rows identical to the single-part layout), vacuum keeps every " +
+      "part, and replay reconstructs the table") {
+    val dest = s"${tmpDir("owp_cdfparts_")}/t"
+    ManifestSink.enableChangeFeed(spark, dest)
+    dayTable(dest) // v0: 90 rows, 3 days, 6 files per day
+    val repl = (5000L until 5012L).map(i =>
+        (i, s"n$i", java.sql.Date.valueOf("2026-01-01")))
+      .toDF("id", "v", "day").repartition(4)
+    ManifestSink.overwritePartitions(repl, dest, "day",
+      statsCols = Seq("id"))
+    // the commit carries MULTIPLE cdf lines — the change frame (30
+    // pre-images + 12 inserts across 10 input partitions) never
+    // funnels through one task/file
+    val mf = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dest/_log/000000000001.manifest"))
+    val cdfLines = mf.linesIterator.filter(_.startsWith("cdf\t")).toSeq
+    assert(cdfLines.size > 1, s"expected multi-part cdf, got:\n$mf")
+    // per-line footer row counts sum to the full change frame
+    assert(cdfLines.map(_.split('\t')(2).toLong).sum == 42L)
+    val ch = ManifestSink.readChangesBetween(spark, dest, 0)
+    assert(ch.select("_commit_version").distinct()
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(ch.where("_change_type = 'delete'")
+      .select("id").as[Long].collect().toSet ==
+      (0L until 90L).filter(_ % 3 == 0).toSet)
+    assert(ch.where("_change_type = 'insert'")
+      .select("id").as[Long].collect().toSet ==
+      (5000L until 5012L).toSet)
+    // vacuum keeps every referenced part; the feed still reads
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dest)).foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - 120000))
+    ManifestSink.vacuum(spark, dest, retentionMs = 60000)
+    assert(ManifestSink.readChangesBetween(spark, dest, 0).count() == 42L)
+    // replay the feed over the v0 state == the live table
+    var state = ManifestSink.readVersion(spark, dest, 0)
+      .select("id").as[Long].collect().toSet
+    val rows = ch.select("_change_type", "id")
+      .as[(String, Long)].collect().toSeq
+    state = state -- rows.filter(_._1 == "delete").map(_._2) ++
+      rows.filter(_._1 == "insert").map(_._2)
+    assert(state == ManifestSink.readBack(spark, dest)
+      .select("id").as[Long].collect().toSet)
+  }
+
   test("INSERT OVERWRITE ... PARTITION: static spec replaces exactly " +
       "one day (value canonicalized), dynamic spec replaces touched " +
       "days, INSERT INTO ... PARTITION still refuses") {
@@ -950,6 +998,21 @@ class GraftDmlSpec extends SparkSpec {
       assert(spark.sql(
           s"SELECT count(*) FROM $tbl WHERE p_date = '2026-03-02'")
         .head.getLong(0) == 1L)
+      // the spec accepts the layout columns in ANY order — normalized
+      // to layout order, so (p_hour, p_date) names the same partition
+      spark.sql(s"""INSERT OVERWRITE $tbl
+          PARTITION (p_hour = '6', p_date = '2026-03-01')
+          SELECT id + 100000, v, ts FROM $tbl VERSION AS OF 0
+          WHERE p_hour = 6 AND p_date = '2026-03-01' AND id % 100 = 0""")
+      assert(spark.sql(s"""SELECT count(*) FROM $tbl
+          WHERE p_date = '2026-03-01' AND p_hour = 6""")
+        .head.getLong(0) == 1L)
+      // an hour-only spec is NOT a layout prefix — the refusal names
+      // the accepted forms
+      val ePfx = intercept[AnalysisException](spark.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (p_hour = '6')
+            SELECT id, v, ts, p_date FROM $tbl WHERE id < 0"""))
+      assert(ePfx.getMessage.contains("accepted forms"), ePfx.getMessage)
       // out-of-range hour refuses
       val e = intercept[Exception](spark.sql(
         s"""INSERT OVERWRITE $tbl PARTITION (p_date = '2026-03-01',
@@ -958,6 +1021,41 @@ class GraftDmlSpec extends SparkSpec {
     } finally {
       spark.sql(s"DROP TABLE $tbl")
       spark.catalog.dropTempView("dml_2lvl_src")
+    }
+  }
+
+  test("a full sync KEEPS the table's bloom index: the SQL route " +
+      "threads the snapshot's bloom columns through, so point-lookup " +
+      "skipping survives the sync") {
+    val (dest, tbl) = freshTable("fsync_bloom_")
+    (0L until 200L).map(i => (i, s"k$i")).toDF("id", "key")
+      .repartitionByRange(4, col("id"))
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id"),
+        bloomCols = Seq("key")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    (0L until 200L).map(i => (i, if (i == 7) "SYNCED" else s"k$i"))
+      .toDF("id", "key").repartitionByRange(4, col("id"))
+      .createOrReplaceTempView("fsync_bloom_src")
+    try {
+      spark.sql(
+        s"""MERGE INTO $tbl t USING fsync_bloom_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      // the post-sync snapshot still records the bloom column and a
+      // point lookup prunes to a strict file subset
+      val h = ManifestSink.snapshotHandle(spark, dest)
+      assert(h.bloomColumns == Seq("key"),
+        s"bloom index lost by the sync: ${h.bloomColumns}")
+      val pruned = h.prune(h.targets,
+        ManifestSink.SkipPredicate.StrEq("key", "SYNCED"))
+      assert(pruned.size < h.targets.size,
+        s"bloom pruning inert: ${pruned.size}/${h.targets.size}")
+      assert(ManifestSink.readBackWherePred(spark, dest,
+        ManifestSink.SkipPredicate.StrEq("key", "SYNCED")).count() == 1L)
+    } finally {
+      spark.sql(s"DROP TABLE $tbl")
+      spark.catalog.dropTempView("fsync_bloom_src")
     }
   }
 
