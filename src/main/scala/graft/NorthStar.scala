@@ -1442,6 +1442,62 @@ object NorthStar {
       out
     }),
 
+    // CORRELATED subquery DML — the erasure shape users actually
+    // write: `DELETE FROM t WHERE EXISTS (SELECT 1 FROM deny d WHERE
+    // d.user_id = t.user_id AND d.action = 'erase')`. The deny list
+    // carries a user_id column of its OWN plus a mixed action column,
+    // so a decorrelating rename (t.user_id -> bare user_id) would
+    // silently erase rows the list never named, and the follow-up
+    // correlated UPDATE zeroes the kept users' values. Spark's own
+    // decorrelation plans both as semi joins inside the dv pass — no
+    // driver key collect. The oracle replays the same EXISTS logic in
+    // DuckDB over the raw rows.
+    "q159_correlated_dml" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q159_").toString
+      ManifestSink.statsAppend(ev.repartitionByRange(8, col("event_id")),
+        tmp, None, Seq("event_id"))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q159_$sfx"
+      val deny = s"graft_q159_deny_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(
+        s"""CREATE OR REPLACE TEMP VIEW $deny AS
+            SELECT user_id,
+              CASE WHEN user_id % 34 = 0 THEN 'erase' ELSE 'keep' END
+                AS action
+            FROM (SELECT DISTINCT user_id FROM $tbl
+                  WHERE user_id % 17 = 0)""")
+      val nDel = s.sql(
+        s"""DELETE FROM $tbl t WHERE EXISTS
+            (SELECT 1 FROM $deny d
+             WHERE d.user_id = t.user_id AND d.action = 'erase')""")
+        .head.getLong(0)
+      val nUpd = s.sql(
+        s"""UPDATE $tbl t SET value = 0.0 WHERE EXISTS
+            (SELECT 1 FROM $deny d
+             WHERE d.user_id = t.user_id AND d.action = 'keep')""")
+        .head.getLong(0)
+      val out = s.sql(
+        s"""SELECT 'dml_counts' AS phase, 'all' AS event_type,
+              CAST($nDel AS BIGINT) AS n, CAST($nUpd AS BIGINT) AS sum_id,
+              CAST(0.0 AS DOUBLE) AS sum_val
+            UNION ALL
+            SELECT 'final' AS phase, event_type, count(*) AS n,
+              CAST(sum(event_id) AS BIGINT) AS sum_id,
+              round(sum(value), 4) AS sum_val
+            FROM $tbl GROUP BY event_type
+            ORDER BY phase, event_type""")
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(deny)
+      out
+    }),
+
     // SQL DML capstone — the table MAINTAINED through `spark.sql`:
     // `DELETE FROM` (mor dv commit), `UPDATE ... SET` (sidecar
     // rewrite), and a CDC-form `MERGE INTO` (conditional DELETE +
@@ -4085,6 +4141,45 @@ object NorthStar {
            FROM base WHERE p_hour = 3 AND event_id % 2 = 0
            GROUP BY p_hour)
          SELECT * FROM fin ORDER BY p_hour""",
+    "q159_correlated_dml" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, value FROM events),
+         deny AS (
+           SELECT user_id,
+             CASE WHEN user_id % 34 = 0 THEN 'erase' ELSE 'keep' END
+               AS action
+           FROM (SELECT DISTINCT user_id FROM e WHERE user_id % 17 = 0)),
+         erased AS (
+           SELECT * FROM e
+           WHERE EXISTS (SELECT 1 FROM deny d
+                         WHERE d.user_id = e.user_id
+                           AND d.action = 'erase')),
+         kept AS (
+           SELECT event_id, user_id, event_type,
+             CASE WHEN EXISTS (SELECT 1 FROM deny d
+                               WHERE d.user_id = e.user_id
+                                 AND d.action = 'keep')
+                  THEN 0.0 ELSE value END AS value,
+             CASE WHEN EXISTS (SELECT 1 FROM deny d
+                               WHERE d.user_id = e.user_id
+                                 AND d.action = 'keep')
+                  THEN 1 ELSE 0 END AS updated
+           FROM e
+           WHERE NOT EXISTS (SELECT 1 FROM deny d
+                             WHERE d.user_id = e.user_id
+                               AND d.action = 'erase')),
+         c AS (
+           SELECT 'dml_counts' AS phase, 'all' AS event_type,
+             (SELECT count(*) FROM erased) AS n,
+             (SELECT CAST(sum(updated) AS BIGINT) FROM kept) AS sum_id,
+             CAST(0.0 AS DOUBLE) AS sum_val),
+         f AS (
+           SELECT 'final' AS phase, event_type, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_id,
+             round(sum(value), 4) AS sum_val
+           FROM kept GROUP BY event_type)
+         SELECT * FROM c UNION ALL SELECT * FROM f
+         ORDER BY phase, event_type""",
     "q149_sql_dml" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),
          d1 AS (SELECT * FROM base WHERE event_id % 9 <> 0),

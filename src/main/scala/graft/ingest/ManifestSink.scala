@@ -1537,6 +1537,305 @@ object ManifestSink extends Ingest.DestinationSink {
     }
   }
 
+  /** INCREMENTAL full sync — the same `WHEN MATCHED THEN UPDATE SET *
+    * / WHEN NOT MATCHED THEN INSERT * / WHEN NOT MATCHED BY SOURCE
+    * ...` outcome as [[mergeFullSync]], committed as dv tombstones +
+    * appends instead of a whole-table snapshot replace: ONE full-outer
+    * join of the live table against the source on `keyCol` classifies
+    * every row, only the rows that actually CHANGED are materialized
+    * (value-identical matches — the overwhelming majority of a
+    * periodic re-sync — are never tombstoned, rewritten, or fed to the
+    * change feed; replaying the feed still reconstructs the table
+    * exactly, because an unchanged row needs no feed entry), and the
+    * commit is a plain INCREMENTAL manifest, so every untouched data
+    * file stays byte-identical on disk. Write cost is O(changed rows)
+    * where [[mergeFullSync]] pays O(table); a re-sync of an identical
+    * source commits NOTHING ([[MergeOutcome.NoChange]]). Delta rewrites
+    * whole files containing changes; the dv form is strictly narrower.
+    *
+    * The NOT-MATCHED-BY-SOURCE action generalizes Delta's clause
+    * forms: `bySourceCond` restricts which vanished-key rows are
+    * affected (`AND <cond> THEN ...` — rows failing it are KEPT), and
+    * `bySourceSet` switches the action from DELETE to `UPDATE SET ...`
+    * (the soft-delete flagging shape); the SET expressions evaluate
+    * against the OLD target row and may not touch the key or a
+    * partition column. Counts follow Delta: `updated` = matched source
+    * keys (even value-identical ones — the skip is physical, not
+    * semantic) plus by-source UPDATE rows; `deleted` counts by-source
+    * DELETE rows only.
+    *
+    * Same contracts as [[mergeInto]]: key-unique source, schema
+    * compatibility, layout preservation (`partitionField` must match
+    * the table's layout; appended rows land in their derived
+    * partitions), pending-attempt skip, and OCC abort if the log
+    * advanced — but unlike the snapshot replace, the commit here is
+    * incremental and could in principle absorb concurrent appends;
+    * it still aborts, because a concurrent append may add keys the
+    * source lacks, which this sync would have deleted.
+    */
+  def mergeSync(spark: SparkSession, destPath: String,
+      source: DataFrame, keyCol: String,
+      partitionField: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      bySourceCond: Option[Column] = None,
+      bySourceSet: Option[Map[String, Column]] = None): MergeOutcome = {
+    require(source.columns.contains(keyCol),
+      s"[graft] mergeSync: source lacks key column '$keyCol'")
+    bySourceSet.foreach(_.keys.foreach { k =>
+      require(!k.equalsIgnoreCase(keyCol),
+        s"[graft] mergeSync: NOT MATCHED BY SOURCE UPDATE cannot SET " +
+          s"the merge key '$k'")
+    })
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    val src = source.localCheckpoint()
+    val nSrc = src.count()
+    val nKeys = src.select(col(keyCol)).distinct().count()
+    require(nKeys == nSrc,
+      s"[graft] mergeSync: source keys must be unique — " +
+        s"$nSrc rows over $nKeys distinct '$keyCol' values")
+    val sroot = stagingRoot(destPath)
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty) {
+      println(s"METRIC graft.merge_sync.skipped_pending_attempts=1 " +
+        s"dest=$destPath")
+      return MergeOutcome.Skipped
+    }
+    if (!fs.exists(dest) || manifests(fs, destPath).isEmpty) {
+      if (nSrc == 0) return MergeOutcome.NoChange("empty source+table")
+      if (statsCols.nonEmpty)
+        statsAppend(src, destPath, partitionField, statsCols)
+      else append(src, destPath, partitionField)
+      return MergeOutcome.Merged(0L, nSrc, 0L)
+    }
+    val old = resolvedLog(fs, destPath)
+    val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
+      .maxOption.getOrElse(-1L)
+    val targets = effectiveTargetsOf(fs, old)
+    val layoutCols = partitionField.map(partitionColsOf).getOrElse(Nil)
+    val tableParted =
+      targets.headOption.exists(_.startsWith(Ingest.PartitionCol + "="))
+    val tableHourly = targets.headOption.exists(_.split('/').init
+      .exists(_.startsWith(Ingest.PartitionHourCol + "=")))
+    if (targets.nonEmpty) {
+      require(tableParted == partitionField.isDefined,
+        s"[graft] mergeSync: the table is " +
+          (if (tableParted) "partitioned" else "unpartitioned") +
+          s" but partitionField is " +
+          (if (partitionField.isDefined) "set" else "not set") +
+          " — a sync keeps the layout")
+      require(!tableParted || tableHourly ==
+          layoutCols.exists(_.equalsIgnoreCase(Ingest.PartitionHourCol)),
+        s"[graft] mergeSync: the table layout is " +
+          (if (tableHourly) "date/hour" else "day-only") +
+          s" but partitionField '${partitionField.getOrElse("")}' " +
+          "derives the other — a sync keeps the layout")
+    }
+    effectiveSchemaOf(fs, old).foreach { cur =>
+      val incoming = StructType(src.schema.fields.filterNot(f =>
+        layoutCols.exists(_.equalsIgnoreCase(f.name))))
+      schemaMismatch(cur, incoming).foreach(why =>
+        throw new IllegalArgumentException(
+          s"[graft] mergeSync: source schema does not match the " +
+            s"table schema ($why) — a sync cannot fork the schema"))
+    }
+    if (targets.isEmpty) {
+      if (nSrc == 0) return MergeOutcome.NoChange("empty source+table")
+      if (statsCols.nonEmpty)
+        statsAppend(src, destPath, partitionField, statsCols)
+      else append(src, destPath, partitionField)
+      return MergeOutcome.Merged(0L, nSrc, 0L)
+    }
+    val stats = fileStatsOf(fs, old)
+    val dvs = effectiveDvsOf(fs, old)
+
+    // ONE wide pass: full-outer join of the LIVE table (existing dvs
+    // applied) against the source on the key, keeping ONLY the rows
+    // that require physical work — value-identical matches and
+    // condition-failing vanished keys drop out before the checkpoint,
+    // so the materialized frame is O(changed rows), not O(table)
+    val t = readFilesDvMeta(spark, destPath, targets, dvs,
+      withBase = false)
+    val dataCols = t.columns
+      .filterNot(c => c == "__graft_fn" || c == "__graft_pos").toSeq
+    bySourceSet.foreach(_.keys.foreach { k =>
+      require(dataCols.exists(_.equalsIgnoreCase(k)),
+        s"[graft] mergeSync: NOT MATCHED BY SOURCE SET column '$k' " +
+          s"not in the file schema (${dataCols.mkString(", ")})")
+    })
+    val s2 = src
+      .select(dataCols.map(c => col(c).as(s"__s_$c")) :+
+        lit(1).as("__s"): _*)
+    val j = t.join(s2, col(keyCol) === col(s"__s_$keyCol"),
+      "full_outer")
+    val tOnly = col("__s").isNull && col("__graft_fn").isNotNull
+    val sOnly = col("__graft_fn").isNull
+    val matched = col("__s").isNotNull && col("__graft_fn").isNotNull
+    val same = dataCols.map(c => col(c) <=> col(s"__s_$c"))
+      .reduce(_ && _)
+    val bySrcHit = tOnly &&
+      bySourceCond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+    val changed = j
+      .where(sOnly || (matched && !same) || bySrcHit)
+      .localCheckpoint()
+    val cnt = changed.agg(
+      sum(when(sOnly, 1L).otherwise(0L)).as("ins"),
+      sum(when(col("__s").isNull, 1L).otherwise(0L)).as("bysrc"),
+      count(lit(1)).as("total")).head
+    def agg0(i: Int): Long = if (cnt.isNullAt(i)) 0L else cnt.getLong(i)
+    val inserted = agg0(0)
+    val bySrcRows = agg0(1)
+    val total = agg0(2)
+    if (total == 0L) {
+      println(s"METRIC graft.merge_sync.no_change=1 " +
+        s"src_rows=$nSrc dest=$destPath")
+      return MergeOutcome.NoChange("source identical to table")
+    }
+    val updated = (nSrc - inserted) +
+      (if (bySourceSet.isDefined) bySrcRows else 0L)
+    val deleted = if (bySourceSet.isDefined) 0L else bySrcRows
+
+    // appends: source values for matched-diff and new keys, plus —
+    // under the UPDATE action — the vanished-key rows with SET
+    // applied against their OLD values
+    val srcRows = changed.where(col("__s").isNotNull)
+      .select(dataCols.map(c => col(s"__s_$c").as(c)): _*)
+    val appends = bySourceSet match {
+      case Some(set) =>
+        srcRows.unionByName(changed.where(tOnly)
+          .select(dataCols.map(c =>
+            set.get(c).orElse(
+                set.find(_._1.equalsIgnoreCase(c)).map(_._2))
+              .map(_.as(c)).getOrElse(col(c))): _*))
+      case None => srcRows
+    }
+    val tombstones = changed.where(col("__graft_fn").isNotNull)
+      .select(col("__graft_fn").as("name"), col("__graft_pos").as("pos"))
+
+    val writeId = "ms" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(14)
+    val staging = stagingDir(destPath, writeId)
+    fs.mkdirs(staging)
+    val dvRel = s"$DvDir/$writeId.parquet"
+    val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+    val newStats = scala.collection.mutable.ArrayBuffer[String]()
+    var dvLines = Seq.empty[String]
+    try {
+      val relOfName: Map[String, String] =
+        targets.map(rel => fileNameOf(rel) -> rel).toMap
+      val dvOut = new Path(staging, "dv")
+      tombstones.orderBy(col("name"), col("pos"))
+        .coalesce(1).write.mode("overwrite").parquet(dvOut.toString)
+      val dvPart = fs.listStatus(dvOut).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"[graft] mergeSync: no part file under $dvOut"))
+      // per-file tombstone counts from the (already slim) staged
+      // sidecar — O(changed rows) read, files bound by the table
+      val perName = spark.read.parquet(dvOut.toString)
+        .groupBy(col("name")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perName.nonEmpty) {
+        moves += ((dvPart, dvRel))
+        dvLines = perName.toSeq.sortBy(_._1).map { case (n, c) =>
+          s"dv\t${relOfName(n)}\t$dvRel\t$c"
+        }
+      }
+      val insOut = new Path(staging, "ins")
+      val writer = partitionField match {
+        case Some(f) =>
+          val (appP, appCols) = withPartitionCols(appends, f)
+          appP.write.mode("overwrite").partitionBy(appCols: _*)
+        case None => appends.write.mode("overwrite")
+      }
+      writer.parquet(insOut.toString)
+      val insQ = fs.makeQualified(insOut).toString
+      val insStaged = listFilesRec(fs, insOut).map(_._1)
+        .filter(p => !p.getName.startsWith("_") &&
+          !p.getName.startsWith("."))
+        .map(p => fs.makeQualified(p).toString.stripPrefix(insQ + "/"))
+        .sorted
+      val conf = spark.sessionState.newHadoopConf()
+      val insTargets = insStaged.flatMap { rel =>
+        val dir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case k  => rel.substring(0, k + 1)
+        }
+        // empty writer tasks leave zero-row parts — skip them (a
+        // no-append sync must not commit an empty file per layout dir)
+        if (footerRowCount(conf, new Path(insOut, rel)) == 0L) None
+        else Some((rel, s"$dir$writeId-${moves.length}-" +
+          s"${insStaged.indexOf(rel)}.parquet"))
+      }
+      if (statsCols.nonEmpty && insTargets.nonEmpty)
+        newStats ++= statsLinesFor(spark, fs, insOut,
+          insTargets.toMap, statsCols)
+      insTargets.foreach { case (rel, target) =>
+        moves += ((new Path(insOut, rel), target))
+      }
+      require(moves.nonEmpty, // changed rows imply at least one side
+        s"[graft] mergeSync: changed=$total but nothing staged")
+      writeFile(fs, new Path(staging, WaManifest),
+        moves.map("target\t" + _._2).mkString("\n"))
+      moves.foreach { case (part, target) =>
+        val tgt = new Path(dest, target)
+        fs.mkdirs(tgt.getParent)
+        require(fs.rename(part, tgt),
+          s"[graft] mergeSync move failed: $tgt")
+      }
+    } catch {
+      case e: Throwable =>
+        moves.foreach { case (_, tg) =>
+          fs.delete(new Path(dest, tg), false) }
+        fs.delete(staging, true)
+        if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+          fs.delete(sroot, true)
+        throw e
+    }
+    val newTgts = moves.map(_._2).filterNot(_ == dvRel).toSeq
+    val schemaLn = newTgts.headOption.flatMap { tg =>
+      try Some(schemaLineOf(
+        parquetFooterSchema(fs, new Path(dest, tg))))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.toSeq
+    val body = (Seq(s"writeid\t$writeId") ++
+      newTgts.map("target\t" + _) ++ newStats ++
+      fsizeLinesForNew(fs, dest, newTgts) ++ schemaLn ++
+      dvLines).mkString("\n")
+    val lp = logPath(destPath)
+    fs.mkdirs(lp)
+    val tmp = new Path(lp, s".tmp_$writeId")
+    writeFile(fs, tmp, body)
+    val version = baseVersion + 1
+    val fin = new Path(lp, f"$version%012d.manifest")
+    onBeforeRewriteCommit()
+    val committed = commitLock(fs, destPath).synchronized {
+      val nowMax = manifests(fs, destPath)
+        .map(_.getName.takeWhile(_.isDigit).toLong)
+        .maxOption.getOrElse(-1L)
+      nowMax == baseVersion && coordinator.putIfAbsent(fs, tmp, fin)
+    }
+    if (!committed) {
+      fs.delete(tmp, false)
+      moves.foreach { case (_, tg) =>
+        fs.delete(new Path(dest, tg), false) }
+      fs.delete(staging, true)
+      if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+        fs.delete(sroot, true)
+      println(s"METRIC graft.merge_sync.aborted_log_advanced=1 " +
+        s"base_version=$baseVersion dest=$destPath")
+      return MergeOutcome.Aborted
+    }
+    fs.delete(staging, true)
+    if (fs.exists(sroot) && fs.listStatus(sroot).isEmpty)
+      fs.delete(sroot, true)
+    println(s"METRIC graft.merge_sync.updated=$updated " +
+      s"inserted=$inserted deleted=$deleted changed_rows=$total " +
+      s"files_marked=${dvLines.length} rewritten=0 " +
+      s"version=$version dest=$destPath")
+    MergeOutcome.Merged(updated, inserted, deleted)
+  }
+
   /** CDC-style incremental read (the append-only half of Delta's change
     * data feed): the rows ADDED in versions `(sinceVersion, untilVersion]`
     * — a pure METADATA decision (the union of those incremental
@@ -2025,6 +2324,60 @@ object ManifestSink extends Ingest.DestinationSink {
         if (totalDv <= 2000000L) broadcast(dvDf) else dvDf
       base.join(dvSide, Seq("__graft_fn", "__graft_pos"), "left_anti")
     }
+  }
+
+  /** Does a DML predicate carry a subquery (IN/NOT IN/EXISTS/scalar)?
+    * The write paths use this to pick the filter-only plan shapes —
+    * Spark plans predicate subqueries in FILTER position (semi/anti/
+    * existence joins), not inside projections.
+    */
+  private[graft] def condHasSubquery(cond: Column): Boolean =
+    org.apache.spark.sql.graftbridge.Bridge.expression(cond).exists(
+      _.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+
+  /** Rebind a CORRELATED subquery's outer references to `df`'s own
+    * attribute ids, matched by case-insensitive name. A correlated DML
+    * predicate (`DELETE FROM t WHERE EXISTS (SELECT 1 FROM d WHERE
+    * d.id = t.id)`) was analyzed against the STATEMENT's target
+    * relation; the write machinery re-applies it to fresh scans of the
+    * candidate files, whose attribute ids differ — without the rebind
+    * the analyzer refuses the orphaned ids. Renaming to bare
+    * `UnresolvedAttribute`s instead would be wrong: inside the
+    * subquery a bare `id` resolves against the INNER relation first,
+    * silently decorrelating `d.id = t.id` into `d.id = d.id`. Spark's
+    * own optimizer then decorrelates the rebound predicate into a
+    * (broadcastable) semi/anti join per pass — no driver-side key
+    * collect, no size cap. Uncorrelated subqueries and plain
+    * predicates pass through untouched.
+    */
+  private def bindOuter(df: DataFrame, cond: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute,
+      AttributeReference, OuterReference, SubqueryExpression}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val e = Bridge.expression(cond)
+    val correlated = e.exists {
+      case s: SubqueryExpression => s.isCorrelated
+      case _ => false
+    }
+    if (!correlated) return cond
+    val out = df.queryExecution.analyzed.output
+    def attrFor(a: Attribute): Attribute =
+      out.find(o => o.name.equalsIgnoreCase(a.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"[graft] DML subquery references outer column '${a.name}' " +
+            s"not in the file schema (${out.map(_.name).mkString(", ")})"))
+    Bridge.column(e.transform {
+      case s: SubqueryExpression if s.isCorrelated =>
+        val np = s.plan.transformAllExpressions {
+          case OuterReference(a: AttributeReference) =>
+            OuterReference(attrFor(a))
+        }
+        s.withNewPlan(np).withNewOuterAttrs(s.getOuterAttrs.map {
+          case a: AttributeReference => attrFor(a)
+          case o => o
+        })
+    })
   }
 
   /** DV-aware file read with the reader-facing schema (metadata key
@@ -4069,8 +4422,9 @@ object ManifestSink extends Ingest.DestinationSink {
 
     // ONE distributed pass: live matching positions (existing dvs
     // anti-joined away), materialized before any commit decision
-    val newDv = readFilesDvMeta(spark, destPath, candidates, dvs)
-      .where(coalesce(m, lit(false)))
+    val delFrame = readFilesDvMeta(spark, destPath, candidates, dvs)
+    val newDv = delFrame
+      .where(coalesce(bindOuter(delFrame, m), lit(false)))
       .select(col("__graft_fn").as("name"), col("__graft_pos").as("pos"))
       .localCheckpoint()
     // per-file tombstone counts: bounded by the candidate file count
@@ -4269,10 +4623,11 @@ object ManifestSink extends Ingest.DestinationSink {
     // ONE distributed pass: live matching rows WITH their positions —
     // the positions become tombstones, the data columns (SET exprs
     // applied against the old values) become the appended rows
-    val matched =
+    val updFrame =
       readFilesDvMeta(spark, destPath, candidates, dvs, withBase = false)
-        .where(coalesce(m, lit(false)))
-        .localCheckpoint()
+    val matched = updFrame
+      .where(coalesce(bindOuter(updFrame, m), lit(false)))
+      .localCheckpoint()
     val perName: Map[String, Long] = matched
       .groupBy(col("__graft_fn")).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -4681,13 +5036,33 @@ object ManifestSink extends Ingest.DestinationSink {
     val dvs = effectiveDvsOf(fs, old)
     val relOfName: Map[String, String] =
       candidates.map(rel => fileNameOf(rel) -> rel).toMap
-    val countRows =
+    val hasSub = condHasSubquery(m)
+    val countFrame =
       readFilesDvMeta(spark, destPath, candidates, dvs, withBase = false)
-      .select(col("__graft_fn").as("__f"), m.as("__m"))
-      .groupBy(col("__f"))
-      .agg(sum(when(col("__m"), 1L).otherwise(0L)).as("matched"),
-        count(lit(1)).as("rows"))
-      .collect()
+    val countRows =
+      if (!hasSub)
+        countFrame
+          .select(col("__graft_fn").as("__f"), m.as("__m"))
+          .groupBy(col("__f"))
+          .agg(sum(when(col("__m"), 1L).otherwise(0L)).as("matched"),
+            count(lit(1)).as("rows"))
+          .collect()
+      else {
+        // subquery predicates only plan in FILTER position (Spark
+        // rewrites them to semi/anti/existence joins there): per-file
+        // totals and matched counts come from two filter-shaped
+        // aggregations instead of one projection-shaped pass
+        val tot = countFrame.groupBy(col("__graft_fn").as("__f"))
+          .agg(count(lit(1)).as("rows"))
+        val mat = countFrame
+          .where(coalesce(bindOuter(countFrame, m), lit(false)))
+          .groupBy(col("__graft_fn").as("__f"))
+          .agg(count(lit(1)).as("matched"))
+        tot.join(mat, Seq("__f"), "left")
+          .select(col("__f"), coalesce(col("matched"), lit(0L)),
+            col("rows"))
+          .collect()
+      }
     val matchedOf: Map[String, (Long, Long)] = countRows.map { r =>
       relOfName(r.getString(0)) -> (r.getLong(1), r.getLong(2))
     }.toMap
@@ -4723,10 +5098,11 @@ object ManifestSink extends Ingest.DestinationSink {
       // sidecar BEFORE the rewrite — pre-images as deletes, updated
       // rows additionally as inserts (SET against the OLD row)
       if (changeFeedEnabled(fs, dest)) {
-        val live =
+        val liveFrame =
           readFilesDvMeta(spark, destPath, touched, dvs,
             withBase = false)
-          .where(coalesce(m, lit(false)))
+        val live = liveFrame
+          .where(coalesce(bindOuter(liveFrame, m), lit(false)))
           .drop("__graft_fn", "__graft_pos")
         val frame = set match {
           case None =>
@@ -4752,24 +5128,35 @@ object ManifestSink extends Ingest.DestinationSink {
         // rows only, and the new file's dv lines are simply not carried
         val src = readFilesDv(spark, destPath, Seq(rel), dvs,
           withBase = false)
+        val mB = bindOuter(src, m)
         val out = set match {
           // null predicate values are NOT matches: a three-valued
           // where(!m) would silently delete null-column rows
-          case None => src.where(!coalesce(m, lit(false)))
+          case None => src.where(!coalesce(mB, lit(false)))
           case Some(exprs) =>
             exprs.foreach { case (c, _) =>
               require(src.columns.contains(c),
                 s"[graft] updateWhere: SET column '$c' not in $rel " +
                   s"(columns: ${src.columns.mkString(",")})")
             }
-            // all new values evaluate against the OLD row: select, not
-            // sequential withColumn, so a swap is well-defined
-            src.select(src.columns.map { c =>
-              exprs.get(c) match {
-                case Some(nv) => when(m, nv).otherwise(col(c)).as(c)
-                case None     => col(c)
-              }
-            }: _*)
+            if (!hasSub)
+              // all new values evaluate against the OLD row: select,
+              // not sequential withColumn, so a swap is well-defined
+              src.select(src.columns.map { c =>
+                exprs.get(c) match {
+                  case Some(nv) => when(mB, nv).otherwise(col(c)).as(c)
+                  case None     => col(c)
+                }
+              }: _*)
+            else
+              // filter-only shape for subquery predicates: matched
+              // rows (SET applied against the OLD values) unioned with
+              // kept rows — row order within a rewritten file is not
+              // part of the contract
+              src.where(coalesce(mB, lit(false)))
+                .select(src.columns.map(c =>
+                  exprs.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+                .unionByName(src.where(!coalesce(mB, lit(false))))
         }
         val rwOut = new Path(staging, s"rw_$k")
         out.coalesce(1).write.mode("overwrite").parquet(rwOut.toString)

@@ -44,12 +44,13 @@ import graft.sources.{GraftDataSource, GraftFileIndex}
   *
   * Unsupported (loud `AnalysisException`, never silent): predicates on
   * directory-derived partition columns (the data files do not carry
-  * them — use `dropPartitions` or the Scala API), CORRELATED subqueries
-  * in DML predicates (uncorrelated `IN`/`NOT IN`/`EXISTS` are
-  * supported; SET/MERGE expressions still refuse any subquery), MERGE
-  * on multi-level partitioned layouts, and MERGE shapes beyond the CDC
-  * canon forms (upsert star, upsert star + `WHEN MATCHED AND f THEN
-  * DELETE`, delete-only).
+  * them — use `dropPartitions` or the Scala API; a CORRELATED
+  * subquery's outer references count), subqueries in SET/MERGE
+  * expressions (`WHERE` predicates take both uncorrelated and
+  * correlated `IN`/`NOT IN`/`EXISTS`), MERGE on multi-level
+  * partitioned layouts, and MERGE shapes beyond the CDC canon forms
+  * (upsert star, upsert star + `WHEN MATCHED AND f THEN DELETE`,
+  * delete-only).
   */
 /** Graft catalog-table RESOLUTION, riding the HINT batch (which runs
   * before Spark's relation resolution). Two jobs:
@@ -214,7 +215,6 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       graftTarget(t) match {
         case None => plan
         case Some(g) =>
-          noCorrelatedSubquery(cond, "DELETE")
           noPartitionRefs(cond.references.toSeq, g, "DELETE predicate")
           GraftDeleteCommand(g.dest, byName(cond), cond.sql,
             g.refreshTable)
@@ -226,7 +226,6 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       graftTarget(t) match {
         case None => plan
         case Some(g) =>
-          cond.foreach(noCorrelatedSubquery(_, "UPDATE"))
           assignments.foreach(a => noSubquery(a.value, "UPDATE SET"))
           noPartitionRefs(cond.toSeq.flatMap(_.references) ++
             assignments.flatMap(_.value.references), g, "UPDATE")
@@ -438,12 +437,20 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         "ManifestSink.mergeInto/mergeCdc for anything richer")
     if (m.withSchemaEvolution)
       unsupported("WITH SCHEMA EVOLUTION is not supported")
-    val fullSync = m.notMatchedBySourceActions match {
-      case Seq() => false
-      case Seq(DeleteAction(None)) => true
-      case _ => unsupported("WHEN NOT MATCHED BY SOURCE supports only " +
-        "the unconditional THEN DELETE (the full-sync form)")
-    }
+    // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE / UPDATE SET
+    // ... — the sync forms, routed to the INCREMENTAL engine
+    // ([[ManifestSink.mergeSync]]): (condition, Some(assignments) for
+    // UPDATE | None for DELETE)
+    val bySource: Option[(Option[Expression], Option[Seq[Assignment]])] =
+      m.notMatchedBySourceActions match {
+        case Seq() => None
+        case Seq(DeleteAction(cond)) => Some((cond, None))
+        case Seq(UpdateAction(cond, assigns, _)) =>
+          Some((cond, Some(assigns)))
+        case _ => unsupported("WHEN NOT MATCHED BY SOURCE supports one " +
+          "[AND <cond>] THEN DELETE or THEN UPDATE SET ... clause")
+      }
+    val fullSync = bySource.isDefined
     // partitioned targets merge natively: the source must carry the
     // partition column(s) (INSERT * requires them anyway) and the
     // merge machinery routes inserted rows into their partitions —
@@ -512,11 +519,40 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           unsupported("UPDATE SET * without INSERT * (mergeInto always " +
             "inserts unmatched source rows; add WHEN NOT MATCHED THEN " +
             "INSERT *)")
-        if (fullSync)
-          GraftMergeFullSyncCommand(g.dest, m.sourceTable, keyCol,
+        if (fullSync) {
+          val (bsCond, bsAssigns) = bySource.get
+          // the BY SOURCE branch acts on target rows that have NO
+          // source counterpart — its condition and SET expressions
+          // may reference target columns only
+          (bsCond.toSeq ++ bsAssigns.toSeq.flatten.map(_.value))
+            .foreach { e =>
+              noSubquery(e, "WHEN NOT MATCHED BY SOURCE")
+              if (!e.references.subsetOf(tgtOut))
+                unsupported("WHEN NOT MATCHED BY SOURCE expressions " +
+                  "must reference only target columns (there is no " +
+                  "source row for them)")
+              noPartitionRefs(e.references.toSeq, g,
+                "WHEN NOT MATCHED BY SOURCE")
+            }
+          val bsSet = bsAssigns.map(_.map { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case other => fail("WHEN NOT MATCHED BY SOURCE UPDATE " +
+                s"SET target must be a column, got ${other.sql}")
+            }
+            if (g.partitionCols.exists(p => conf.resolver(p, name)))
+              fail(s"WHEN NOT MATCHED BY SOURCE UPDATE of partition " +
+                s"column '$name' — partition values live in the " +
+                "directory layout")
+            if (conf.resolver(keyCol, name))
+              fail("WHEN NOT MATCHED BY SOURCE UPDATE cannot SET the " +
+                s"merge key '$name'")
+            name -> byName(a.value)
+          }.toMap)
+          GraftMergeSyncCommand(g.dest, m.sourceTable, keyCol,
             m.targetTable.output.map(_.name), g.refreshTable,
-            mergePartition)
-        else
+            mergePartition, bsCond.map(byName), bsSet)
+        } else
           GraftMergeCommand(g.dest, m.sourceTable, keyCol, None,
             m.targetTable.output.map(_.name), g.refreshTable,
             mergePartition)
@@ -550,33 +586,28 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def byName(e: Expression): Column = Bridge.column(e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-  })
+  /** Re-expresses a resolved predicate so it can re-resolve against
+    * the DML machinery's own fresh file scans: top-level attribute
+    * references become name-based lookups, while SUBQUERY subtrees are
+    * kept verbatim — their inner plans are self-containedly resolved,
+    * and a CORRELATED subquery's `OuterReference`s are rebound to the
+    * applying scan's attribute ids at apply time
+    * ([[ManifestSink.bindOuter]]), not renamed here (a bare name would
+    * wrongly resolve against the INNER relation first when both sides
+    * share the column name — the `d.id = t.id` shape).
+    */
+  private def byName(e: Expression): Column = {
+    def go(x: Expression): Expression = x match {
+      case s: SubqueryExpression => s
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      case other => other.mapChildren(go)
+    }
+    Bridge.column(go(e))
+  }
 
   private def noSubquery(e: Expression, stmt: String): Unit =
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       fail(s"$stmt with a subquery is not supported on graft tables")
-
-  /** DELETE/UPDATE `WHERE` predicates may carry UNCORRELATED
-    * subqueries (`id IN (SELECT ...)` — the GDPR-erasure shape, `NOT
-    * IN` with its exact three-valued null semantics, constant
-    * `EXISTS`): the resolved subquery plan rides the predicate Column
-    * into the COW/MOR machinery verbatim, where Spark's own
-    * RewritePredicateSubquery turns it into a (broadcastable) semi
-    * join inside each pass — no driver-side key collect, no cap, the
-    * join strategy picked by size like any other join. Correlated
-    * subqueries would capture OUTER attribute ids that cannot resolve
-    * against the rewrite's own scan and refuse loudly instead.
-    */
-  private def noCorrelatedSubquery(e: Expression, stmt: String): Unit =
-    e.foreach {
-      case s: SubqueryExpression if s.isCorrelated =>
-        fail(s"$stmt with a CORRELATED subquery is not supported on " +
-          "graft tables — rewrite it as an uncorrelated IN/EXISTS " +
-          "(join the driving columns inside the subquery)")
-      case _ => ()
-    }
 
   private def noPartitionRefs(refs: Seq[Attribute], g: GraftTarget,
       where: String): Unit =
@@ -866,9 +897,20 @@ case class GraftInsertCommand(dest: String, child: LogicalPlan,
   * content IS the source, in one atomic snapshot; rows whose key
   * vanished upstream delete. Returns (updated, inserted, deleted).
   */
-case class GraftMergeFullSyncCommand(dest: String, source: LogicalPlan,
+/** `MERGE ... WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE |
+  * UPDATE SET ...` → the INCREMENTAL sync engine
+  * ([[ManifestSink.mergeSync]]): value-identical matched rows are
+  * never rewritten, vanished-key rows become dv tombstones (plus
+  * SET-applied appends under the UPDATE action), every untouched data
+  * file stays byte-identical, and a re-sync of an identical source
+  * commits nothing. The whole-table snapshot replace remains available
+  * through the Scala API ([[ManifestSink.mergeFullSync]]) for callers
+  * that want the physical re-layout.
+  */
+case class GraftMergeSyncCommand(dest: String, source: LogicalPlan,
     keyCol: String, targetCols: Seq[String],
-    refreshTable: Option[String], partitionField: Option[String])
+    refreshTable: Option[String], partitionField: Option[String],
+    bySourceCond: Option[Column], bySourceSet: Option[Map[String, Column]])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("updated_rows", LongType, nullable = false)(),
@@ -878,12 +920,12 @@ case class GraftMergeFullSyncCommand(dest: String, source: LogicalPlan,
     val srcDf = Bridge.dataFrame(spark, source)
       .select(targetCols.map(org.apache.spark.sql.functions.col): _*)
     val handle = ManifestSink.snapshotHandle(spark, dest)
-    val outcome = ManifestSink.mergeFullSync(spark, dest, srcDf,
+    val outcome = ManifestSink.mergeSync(spark, dest, srcDf,
       keyCol, partitionField, handle.statsColumns,
-      bloomCols = handle.bloomColumns)
+      bySourceCond = bySourceCond, bySourceSet = bySourceSet)
     if (!outcome.applied)
       throw new IllegalStateException(
-        s"[graft] MERGE INTO $dest (full sync) did not apply: " +
+        s"[graft] MERGE INTO $dest (sync) did not apply: " +
           s"$outcome — retry after the concurrent commit / pending " +
           "attempt clears")
     GraftDml.refreshAfterDml(spark, refreshTable)
@@ -891,7 +933,7 @@ case class GraftMergeFullSyncCommand(dest: String, source: LogicalPlan,
     Seq(Row(u, i, d))
   }
   override def simpleString(maxFields: Int): String =
-    s"GraftMergeFullSync $dest ON $keyCol"
+    s"GraftMergeSync $dest ON $keyCol"
 }
 
 /** `INSERT OVERWRITE t PARTITION (p [= 'v'])` → the partial snapshot

@@ -153,14 +153,14 @@ class GraftDmlSpec extends SparkSpec {
         spark.sql(
           s"UPDATE $tbl SET p_date = DATE '2026-02-01' WHERE id = 1"))
       assert(e2.getMessage.contains("partition"), e2.getMessage)
-      // UNCORRELATED subquery predicates are supported now (the
-      // GDPR-erasure shape) — only CORRELATED ones refuse
+      // subquery predicates are supported — uncorrelated AND
+      // correlated (incl. a correlated SELF-subquery, which reads the
+      // statement's pinned pre-delete snapshot)
       assert(spark.sql(s"DELETE FROM $tbl WHERE id IN (SELECT 1)")
         .head.getLong(0) == 1L)
-      val e3 = intercept[AnalysisException](
-        spark.sql(s"""DELETE FROM $tbl t WHERE EXISTS
-            (SELECT 1 FROM $tbl u WHERE u.id = t.id AND u.id = 2)"""))
-      assert(e3.getMessage.contains("CORRELATED"), e3.getMessage)
+      assert(spark.sql(s"""DELETE FROM $tbl t WHERE EXISTS
+            (SELECT 1 FROM $tbl u WHERE u.id = t.id AND u.id = 2)""")
+        .head.getLong(0) == 1L)
       // merge keyed on the partition column: the key must live in the
       // data files, and directory-derived p_date does not
       Seq((1L, "2026-01-02", 0.0, java.sql.Date.valueOf("2026-01-02")))
@@ -822,11 +822,6 @@ class GraftDmlSpec extends SparkSpec {
             (SELECT 1 FROM dml_subq_deny WHERE action = 'erase')""")
       assert(del3.head.getLong(0) == 10L)
 
-      // correlated subquery refuses loudly
-      val e = intercept[AnalysisException](spark.sql(
-        s"""DELETE FROM $tbl t WHERE EXISTS
-            (SELECT 1 FROM dml_subq_deny d WHERE d.uid = t.uid)"""))
-      assert(e.getMessage.contains("CORRELATED"), e.getMessage)
       // SET with a subquery still refuses
       val e2 = intercept[AnalysisException](spark.sql(
         s"""UPDATE $tbl SET v =
@@ -836,6 +831,129 @@ class GraftDmlSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $tbl")
       spark.catalog.dropTempView("dml_subq_deny")
       spark.catalog.dropTempView("dml_subq_nulls")
+    }
+  }
+
+  test("DELETE/UPDATE with CORRELATED subquery predicates: EXISTS " +
+      "with an inner condition (the natural erasure shape), NOT " +
+      "EXISTS, correlated IN, correlated UPDATE, same-name inner/" +
+      "outer columns stay correlated, cow path agrees with mor") {
+    val (dest, tbl) = freshTable("dml_corr_")
+    (0L until 100L).map(i => (i, i % 10, s"v$i"))
+      .toDF("id", "uid", "v").coalesce(2)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    // deny list carries a uid column of ITS OWN — a decorrelating
+    // rename (t.uid -> bare uid) would silently turn d.uid = t.uid
+    // into d.uid = d.uid (always true on non-null) and erase rows the
+    // list never named
+    Seq((3L, "erase"), (7L, "erase"), (4L, "keep"), (7L, "keep"))
+      .toDF("uid", "action").createOrReplaceTempView("dml_corr_deny")
+    try {
+      // correlated EXISTS with an inner condition, mor: dv commit
+      val del = spark.sql(
+        s"""DELETE FROM $tbl t WHERE EXISTS
+            (SELECT 1 FROM dml_corr_deny d
+             WHERE d.uid = t.uid AND d.action = 'erase')""")
+      assert(del.head.getLong(0) == 20L)
+      assert(ManifestSink.history(spark, dest)
+        .where(col("version") === 1).head.getAs[String]("kind") == "mor")
+      assert(spark.table(tbl).where("uid IN (3, 7)").count() == 0L)
+      assert(spark.table(tbl).count() == 80L)
+
+      // correlated UPDATE (EXISTS against the keep rows)
+      val up = spark.sql(
+        s"""UPDATE $tbl t SET v = 'kept' WHERE EXISTS
+            (SELECT 1 FROM dml_corr_deny d
+             WHERE d.uid = t.uid AND d.action = 'keep')""")
+      assert(up.head.getLong(0) == 10L) // uid 4 (7 already deleted)
+      assert(spark.table(tbl).where("v = 'kept'")
+        .select("uid").distinct().as[Long].collect().toSeq == Seq(4L))
+
+      // correlated IN: delete ids the deny list names via correlation
+      // on uid — only (uid 4) rows whose id is also in 0..9
+      val del2 = spark.sql(
+        s"""DELETE FROM $tbl t WHERE t.id IN
+            (SELECT t.uid FROM dml_corr_deny d WHERE d.uid = t.uid)""")
+      assert(del2.head.getLong(0) == 1L) // id 4 (uid 4)
+      assert(spark.table(tbl).where("id = 4").count() == 0L)
+
+      // NOT EXISTS (anti shape): count only — uids 0,1,2,5,6,8,9 stay
+      assert(spark.table(tbl)
+        .where("uid NOT IN (4)").count() == 70L)
+      val del3 = spark.sql(
+        s"""DELETE FROM $tbl t WHERE NOT EXISTS
+            (SELECT 1 FROM dml_corr_deny d WHERE d.uid = t.uid)""")
+      assert(del3.head.getLong(0) == 70L)
+      assert(spark.table(tbl).count() == 9L) // uid 4 minus id 4
+
+      // cow path: same semantics through the rewrite machinery
+      spark.conf.set("spark.graft.dml.mor", "false")
+      try {
+        val delC = spark.sql(
+          s"""DELETE FROM $tbl t WHERE EXISTS
+              (SELECT 1 FROM dml_corr_deny d
+               WHERE d.uid = t.uid AND d.action = 'keep')""")
+        assert(delC.head.getLong(0) == 9L)
+        assert(spark.table(tbl).count() == 0L)
+      } finally spark.conf.unset("spark.graft.dml.mor")
+    } finally {
+      spark.sql(s"DROP TABLE $tbl")
+      spark.catalog.dropTempView("dml_corr_deny")
+    }
+  }
+
+  test("correlated subquery DML: cow UPDATE (filter-union rewrite) " +
+      "and uncorrelated cow delete/update agree with expectations; " +
+      "outer references to partition columns refuse") {
+    val (dest, tbl) = freshTable("dml_corrcow_")
+    (0L until 60L).map(i => (i, i % 6, s"v$i"))
+      .toDF("id", "uid", "v").coalesce(2)
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    Seq(1L, 4L).toDF("uid").createOrReplaceTempView("dml_corrcow_ids")
+    spark.conf.set("spark.graft.dml.mor", "false")
+    try {
+      // cow correlated UPDATE: matched rows rewritten, others kept
+      val up = spark.sql(
+        s"""UPDATE $tbl t SET v = concat(v, '!') WHERE EXISTS
+            (SELECT 1 FROM dml_corrcow_ids d WHERE d.uid = t.uid)""")
+      assert(up.head.getLong(0) == 20L)
+      assert(spark.table(tbl).where("v LIKE '%!'").count() == 20L)
+      assert(spark.table(tbl).where("uid IN (1,4) AND v NOT LIKE '%!'")
+        .count() == 0L)
+      assert(spark.table(tbl).count() == 60L)
+      // uncorrelated subquery through the cow count pass (the
+      // filter-only shape): exact rows
+      val del = spark.sql(
+        s"DELETE FROM $tbl WHERE uid IN (SELECT uid FROM dml_corrcow_ids)")
+      assert(del.head.getLong(0) == 20L)
+      assert(spark.table(tbl).count() == 40L)
+    } finally {
+      spark.conf.unset("spark.graft.dml.mor")
+      spark.sql(s"DROP TABLE $tbl")
+      spark.catalog.dropTempView("dml_corrcow_ids")
+    }
+
+    // partitioned table: a correlated outer reference to the partition
+    // column refuses (directory-derived values are not in the files)
+    val (destP, tblP) = freshTable("dml_corrpart_")
+    (0L until 9L).map(i =>
+        (i, s"v$i", java.sql.Date.valueOf(s"2026-03-0${i % 3 + 1}")))
+      .toDF("id", "v", "day").coalesce(1)
+      .pipe(df => ManifestSink.statsAppend(df, destP, Some("day"),
+        Seq("id")))
+    spark.sql(s"CREATE TABLE $tblP USING graft LOCATION '$destP'")
+    Seq("2026-03-01").toDF("d").createOrReplaceTempView("dml_corrpart_d")
+    try {
+      val e = intercept[AnalysisException](spark.sql(
+        s"""DELETE FROM $tblP t WHERE EXISTS
+            (SELECT 1 FROM dml_corrpart_d x
+             WHERE x.d = cast(t.p_date AS string))"""))
+      assert(e.getMessage.contains("partition column"), e.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE $tblP")
+      spark.catalog.dropTempView("dml_corrpart_d")
     }
   }
 
@@ -867,21 +985,126 @@ class GraftDmlSpec extends SparkSpec {
       assert(ManifestSink.readVersion(spark, dest, 0)
         .where("v = 'old0'").count() == 1L)
 
-      // BY SOURCE UPDATE refuses; BY SOURCE + delete-only refuses
-      val e1 = intercept[AnalysisException](spark.sql(
-        s"""MERGE INTO $tbl t USING dml_fsync_src s ON t.id = s.id
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
-            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'gone'"""))
-      assert(e1.getMessage.contains("full-sync"), e1.getMessage)
+      // BY SOURCE + delete-only matched action refuses
       val e2 = intercept[AnalysisException](spark.sql(
         s"""MERGE INTO $tbl t USING dml_fsync_src s ON t.id = s.id
             WHEN MATCHED THEN DELETE
             WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
       assert(e2.getMessage.contains("UPDATE SET *"), e2.getMessage)
+      // BY SOURCE expressions referencing SOURCE columns refuse —
+      // Spark's own analyzer scopes the clause to target columns
+      // (there is no source row for a vanished key); the routing
+      // keeps a target-only guard as defense in depth
+      val e3 = intercept[AnalysisException](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_fsync_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND s.v = 'x' THEN DELETE"""))
+      assert(e3.getMessage.contains("cannot be resolved"), e3.getMessage)
     } finally {
       spark.sql(s"DROP TABLE $tbl")
       spark.catalog.dropTempView("dml_fsync_src")
+    }
+  }
+
+  test("incremental full sync: a 1%-delta source leaves every data " +
+      "file byte-identical (dv + appends only), an identical source " +
+      "commits NOTHING, conditional BY SOURCE delete keeps protected " +
+      "rows, BY SOURCE UPDATE soft-deletes, feed replay reconstructs") {
+    val (dest, tbl) = freshTable("dml_isync_")
+    ManifestSink.enableChangeFeed(spark, dest)
+    (0L until 1000L).map(i => (i, s"v$i", "live"))
+      .toDF("id", "v", "state")
+      .repartitionByRange(8, col("id"))
+      .pipe(df => ManifestSink.statsAppend(df, dest, None, Seq("id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    val filesBefore = ManifestSink.readBack(spark, dest)
+      .inputFiles.toSet
+    val sizesBefore = new java.io.File(dest).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    // 1%-delta source: 5 keys changed, 5 vanished, 5 new
+    (0L until 1005L).filterNot(i => i >= 500 && i < 505).map(i =>
+        (i, if (i >= 100 && i < 105) s"CHANGED$i" else s"v$i", "live"))
+      .toDF("id", "v", "state")
+      .createOrReplaceTempView("dml_isync_src")
+    try {
+      val r = spark.sql(
+        s"""MERGE INTO $tbl t USING dml_isync_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(r.head == org.apache.spark.sql.Row(995L, 5L, 5L))
+      // every pre-sync data file is still on disk, byte-identical,
+      // and still part of the live snapshot (tombstones ride dvs)
+      val after = new java.io.File(dest).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+      sizesBefore.foreach { case (n, sm) =>
+        assert(after.get(n).contains(sm), s"file $n changed: $sm") }
+      assert(filesBefore.subsetOf(ManifestSink.readBack(spark, dest)
+        .inputFiles.toSet))
+      // the table is exactly the source
+      assert(spark.table(tbl).count() == 1000L)
+      assert(spark.table(tbl).where("v LIKE 'CHANGED%'").count() == 5L)
+      assert(spark.table(tbl).where("id >= 500 AND id < 505")
+        .count() == 0L)
+      assert(spark.table(tbl).where("id >= 1000").count() == 5L)
+      // the feed carries ONLY the changes: 5+5 deletes, 5+5 inserts
+      val ch = ManifestSink.readChangesBetween(spark, dest, 0L)
+      assert(ch.where("_change_type = 'delete'").count() == 10L)
+      assert(ch.where("_change_type = 'insert'").count() == 10L)
+      // an identical re-sync commits NOTHING (no new version)
+      val v1 = ManifestSink.history(spark, dest).count()
+      spark.table(tbl).createOrReplaceTempView("dml_isync_same")
+      val r2 = spark.sql(
+        s"""MERGE INTO $tbl t USING dml_isync_same s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(r2.head == org.apache.spark.sql.Row(0L, 0L, 0L))
+      assert(ManifestSink.history(spark, dest).count() == v1)
+
+      // conditional BY SOURCE: protected rows survive a partial feed
+      (0L until 100L).map(i => (i, s"v$i", "live"))
+        .toDF("id", "v", "state")
+        .createOrReplaceTempView("dml_isync_part")
+      val r3 = spark.sql(
+        s"""MERGE INTO $tbl t USING dml_isync_part s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.id < 200 THEN DELETE""")
+      // matched 0..99 (all value-identical — no physical change),
+      // vanished-but-protected id >= 200 kept, 100..199 deleted
+      assert(r3.head.getLong(0) == 100L)  // updated
+      assert(r3.head.getLong(2) == 100L)  // deleted: 100..199
+      assert(spark.table(tbl).count() == 900L)
+      assert(spark.table(tbl).where("id >= 200").count() == 800L)
+
+      // BY SOURCE UPDATE: soft-delete flagging instead of removal
+      val r4 = spark.sql(
+        s"""MERGE INTO $tbl t USING dml_isync_part s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.state = 'live'
+              THEN UPDATE SET state = 'gone'""")
+      assert(r4.head.getLong(0) == 100L + 800L) // matched + soft-deleted
+      assert(r4.head.getLong(2) == 0L)
+      assert(spark.table(tbl).count() == 900L) // nothing removed
+      assert(spark.table(tbl).where("state = 'gone'").count() == 800L)
+      assert(spark.table(tbl).where("id < 100 AND state = 'live'")
+        .count() == 100L)
+      // key/partition SET targets refuse
+      val e = intercept[AnalysisException](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_isync_part s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = -1"""))
+      assert(e.getMessage.contains("merge key"), e.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE $tbl")
+      Seq("dml_isync_src", "dml_isync_same", "dml_isync_part")
+        .foreach(spark.catalog.dropTempView)
     }
   }
 

@@ -3038,6 +3038,73 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readBack(spark, destP).count() == 1)
   }
 
+  test("change data feed multi-part sidecar: a wide partition " +
+      "overwrite's change frame writes distributed — several cdf " +
+      "parts per version, each its own manifest line — the feed " +
+      "unions parts, replay reconstructs, vacuum keeps every " +
+      "referenced part, and single-part versions coexist") {
+    val root = tmpDir("msinkcdfmp_")
+    val dest = s"$root/wh/t"
+    // three days, six range files per day — the replaced day's
+    // pre-image read alone spans several files (several tasks)
+    val base = (0L until 300L).map(i =>
+        (i, s"v$i", java.sql.Date.valueOf(s"2026-02-0${i % 3 + 1}")))
+      .toDF("id", "v", "day")
+      .repartitionByRange(6, col("id"))
+    ManifestSink.statsAppend(base, dest, Some("day"), Seq("id")) // v0
+    ManifestSink.enableChangeFeed(spark, dest)
+    // v1: replace day 2 — change frame = 100 pre-images (distributed
+    // read of ~6 files) + 100 inserts across 4 input partitions
+    val repl = (1000L until 1100L).map(i =>
+        (i, s"n$i", java.sql.Date.valueOf("2026-02-02")))
+      .toDF("id", "v", "day").repartition(4)
+    assert(ManifestSink.overwritePartitions(repl, dest, "day",
+      statsCols = Seq("id")) > 0L)
+    // the sidecar is SEVERAL part files (one per write task), every
+    // one referenced from v1's manifest by its own cdf line
+    val cdfParts = new java.io.File(s"$dest/_cdf").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(cdfParts.length > 1,
+      s"expected a multi-part sidecar, got $cdfParts")
+    val mfLines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$dest/_log/000000000001.manifest"))
+      .toArray.map(_.toString).filter(_.startsWith("cdf\t"))
+    assert(mfLines.length == cdfParts.length)
+    // the feed unions the parts into exactly the commit's changes
+    val rows = ManifestSink.readChangesBetween(spark, dest, 0L)
+      .select(col("_commit_version"), col("_change_type"),
+        col("id"), col("v"))
+      .as[(Long, String, Long, String)].collect().toSeq
+    assert(rows.forall(_._1 == 1L))
+    assert(rows.filter(_._2 == "delete").map(r => (r._3, r._4)).toSet ==
+      (0L until 300L).filter(_ % 3 == 1).map(i => (i, s"v$i")).toSet)
+    assert(rows.filter(_._2 == "insert").map(r => (r._3, r._4)).toSet ==
+      (1000L until 1100L).map(i => (i, s"n$i")).toSet)
+    // replaying the feed over v0 reconstructs the live table
+    var state = base.as[(Long, String, java.sql.Date)].collect()
+      .map(t => (t._1, t._2)).toSet
+    state = state -- rows.filter(_._2 == "delete").map(r => (r._3, r._4))
+    state = state ++ rows.filter(_._2 == "insert").map(r => (r._3, r._4))
+    assert(state == ManifestSink.readBack(spark, dest)
+      .select("id", "v").as[(Long, String)].collect().toSet)
+    // vacuum keeps every referenced part: the feed still reads whole
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dest)).foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - 120000))
+    ManifestSink.vacuum(spark, dest, retentionMs = 60000)
+    assert(ManifestSink.readChangesBetween(spark, dest, 0L)
+      .count() == rows.size.toLong)
+    // a narrow COW delete after it lands a small sidecar of its own;
+    // the feed reads both layouts in one range
+    assert(ManifestSink.deleteWhere(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("id", 1000, 1004)) == 5L) // v2
+    val both = ManifestSink.readChangesBetween(spark, dest, 0L)
+    assert(both.where(col("_commit_version") === 2L &&
+      col("_change_type") === "delete").count() == 5L)
+    assert(both.count() == rows.size.toLong + 5L)
+  }
+
   test("bloom file index: equality lookups prune files min/max cannot " +
       "touch, the OR-merge survives optimize, carry survives compact " +
       "and restore, rewrites drop their filters conservatively") {
