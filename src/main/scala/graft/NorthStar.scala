@@ -1498,6 +1498,45 @@ object NorthStar {
       out
     }),
 
+    // TYPE WIDENING — `ALTER TABLE ... ALTER COLUMN ... TYPE`: the
+    // table starts with INT ids and FLOAT values in the files'
+    // physical footers, widens both in two metadata-only commits, then
+    // INSERTs rows only the widened types can hold (an id beyond
+    // int range) and DELETEs rows living in pre-widen files. The final
+    // aggregate scans pre- AND post-widen files in one read — upcast
+    // at scan time from the log-resolved schema, no file rewritten.
+    // The oracle replays the same arithmetic in DuckDB (value passes
+    // through REAL to replicate the float round-trip).
+    "q160_type_widening" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val ev = SparkEntry.events(s, dir)
+        .select(col("event_id").cast("int").as("id"),
+          col("value").cast("float").as("val"),
+          col("event_type"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q160_").toString
+      ManifestSink.statsAppend(ev.repartitionByRange(8, col("id")),
+        tmp, None, Seq("id"))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q160_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE BIGINT")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN val TYPE DOUBLE")
+      s.sql(
+        s"""INSERT INTO $tbl
+            SELECT id + ${1L << 40}, val * 2, event_type
+            FROM $tbl VERSION AS OF 0 WHERE id % 50 = 0""")
+      s.sql(s"DELETE FROM $tbl WHERE id % 97 = 0 AND id < ${1L << 40}")
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS n,
+              CAST(sum(id) AS BIGINT) AS sum_id,
+              round(sum(val), 2) AS sum_val
+            FROM $tbl GROUP BY event_type ORDER BY event_type""")
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }),
+
     // SQL DML capstone — the table MAINTAINED through `spark.sql`:
     // `DELETE FROM` (mor dv commit), `UPDATE ... SET` (sidecar
     // rewrite), and a CDC-form `MERGE INTO` (conditional DELETE +
@@ -4180,6 +4219,25 @@ object NorthStar {
            FROM kept GROUP BY event_type)
          SELECT * FROM c UNION ALL SELECT * FROM f
          ORDER BY phase, event_type""",
+    "q160_type_widening" ->
+      """WITH base AS (
+           SELECT CAST(event_id AS INTEGER) AS id,
+             CAST(CAST(value AS REAL) AS DOUBLE) AS val,
+             event_type
+           FROM events),
+         widened AS (
+           SELECT CAST(id AS BIGINT) AS id, val, event_type FROM base
+           UNION ALL
+           SELECT CAST(id AS BIGINT) + (CAST(1 AS BIGINT) << 40),
+             val * 2, event_type
+           FROM base WHERE id % 50 = 0),
+         kept AS (
+           SELECT * FROM widened
+           WHERE NOT (id % 97 = 0 AND id < (CAST(1 AS BIGINT) << 40)))
+         SELECT event_type, count(*) AS n,
+           CAST(sum(id) AS BIGINT) AS sum_id,
+           round(sum(val), 2) AS sum_val
+         FROM kept GROUP BY event_type ORDER BY event_type""",
     "q149_sql_dml" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),
          d1 AS (SELECT * FROM base WHERE event_id % 9 <> 0),

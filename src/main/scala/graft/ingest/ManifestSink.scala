@@ -575,9 +575,11 @@ object ManifestSink extends Ingest.DestinationSink {
       .distinct
     if (rels.isEmpty) spark.emptyDataFrame
     // deletion vectors committed at or before `version` apply; later
-    // ones must not (time travel sees the pre-delete rows)
+    // ones must not (time travel sees the pre-delete rows) — and the
+    // READ SCHEMA is the one resolved AS OF the cut, so a version
+    // below an ALTER COLUMN TYPE widen reads at the pre-widen type
     else readFilesDv(spark, destPath, rels,
-      effectiveDvsOf(fs, eligibleMfs))
+      effectiveDvsOf(fs, eligibleMfs), schemaCut = Some(eligibleMfs))
   }
 
   /** DESCRIBE HISTORY: one row per surviving log version —
@@ -814,11 +816,20 @@ object ManifestSink extends Ingest.DestinationSink {
     val dest = new Path(destPath)
     val (feed, head) =
       appendFeedFiles(spark, destPath, sinceVersion, untilVersion)
+    // per-version frames read under the CURRENT log schema so a
+    // consumer unioning across an ALTER COLUMN TYPE widen sees one
+    // type per column (legacy logs keep the footer union)
+    lazy val rdSchema = logReadSchema(spark, destPath, None)
     (feed.map { case (v, targets) =>
-      (v, () => spark.read.option("mergeSchema", "true")
-        .option("basePath", destPath)
-        .parquet(targets.map(rel =>
-          new Path(dest, rel).toString): _*))
+      (v, () => {
+        val rd = rdSchema match {
+          case Some(s) => spark.read.schema(s)
+          case None    => spark.read.option("mergeSchema", "true")
+        }
+        rd.option("basePath", destPath)
+          .parquet(targets.map(rel =>
+            new Path(dest, rel).toString): _*)
+      })
     }, head)
   }
 
@@ -1886,8 +1897,13 @@ object ManifestSink extends Ingest.DestinationSink {
       .filterNot(prior)
       .map(rel => new Path(dest, rel).toString)
     if (files.isEmpty) return spark.emptyDataFrame
-    spark.read.option("mergeSchema", "true")
-      .option("basePath", destPath).parquet(files: _*)
+    // a range spanning an ALTER COLUMN TYPE widen mixes physical
+    // types — read under the log-resolved schema (upcasts per file)
+    val rd = logReadSchema(spark, destPath, None) match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read.option("mergeSchema", "true")
+    }
+    rd.option("basePath", destPath).parquet(files: _*)
   }
 
   /** ROW-LEVEL CHANGE DATA FEED (Delta's `table_changes`): every
@@ -1944,6 +1960,22 @@ object ManifestSink extends Ingest.DestinationSink {
     val inRange = all
       .filter(p => vOf(p) > sinceVersion && vOf(p) <= untilVersion)
       .sortBy(vOf)
+    // a feed range spanning an ALTER COLUMN TYPE widen mixes physical
+    // types across versions — every version's frame casts to the
+    // CURRENT resolved schema, so the union (and the consumer) sees
+    // one type per column (the widen itself is feed-invisible: a
+    // schemaevo commit carries no content change)
+    val harmonizeTo = effectiveSchemaOf(fs, all)
+    def harmonize(df: DataFrame): DataFrame = harmonizeTo match {
+      case None => df
+      case Some(s) => df.select(df.columns.map { c =>
+        s.find(_.name.equalsIgnoreCase(c)) match {
+          case Some(f) if f.dataType != df.schema(c).dataType =>
+            col(c).cast(f.dataType).as(c)
+          case _ => col(c)
+        }
+      }.toSeq: _*)
+    }
     val feed = inRange.flatMap { mf =>
       val v = vOf(mf)
       val (_, targets, snap) = readManifest(fs, mf)
@@ -1954,9 +1986,9 @@ object ManifestSink extends Ingest.DestinationSink {
           // a COW commit on a feed-enabled table: its change-data
           // sidecar IS the decomposition (rows pre-tagged with
           // `_change_type` at write time — Delta's CDF design)
-          Some((v, () => spark.read
+          Some((v, () => harmonize(spark.read
             .parquet(cdfL.map(c =>
-              new Path(dest, c._1).toString): _*)
+              new Path(dest, c._1).toString): _*))
             .withColumn("_commit_version", lit(v))))
         else {
           require(hasLayoutLine(mf) && !isRestoreManifest(fs, mf),
@@ -1970,6 +2002,13 @@ object ManifestSink extends Ingest.DestinationSink {
         }
       } else if (targets.isEmpty && dvL.isEmpty) None
       else Some((v, () => {
+        // data-file reads resolve through the CURRENT log schema when
+        // the log has one: a post-widen dv can tombstone rows in files
+        // of BOTH eras, whose footers a mergeSchema union would refuse
+        def rdFiles = harmonizeTo match {
+          case Some(s) => spark.read.schema(s)
+          case None    => spark.read.option("mergeSchema", "true")
+        }
         val deletes =
           if (dvL.isEmpty) None
           else {
@@ -1982,7 +2021,7 @@ object ManifestSink extends Ingest.DestinationSink {
                 col("pos").as("__graft_pos"))
             val dvSide =
               if (totalDv <= 2000000L) broadcast(dvDf) else dvDf
-            Some(spark.read.option("mergeSchema", "true")
+            Some(rdFiles
               .option("basePath", destPath)
               .parquet(files.map(rel =>
                 new Path(dest, rel).toString): _*)
@@ -1995,7 +2034,7 @@ object ManifestSink extends Ingest.DestinationSink {
           }
         val inserts =
           if (targets.isEmpty) None
-          else Some(spark.read.option("mergeSchema", "true")
+          else Some(rdFiles
             .option("basePath", destPath)
             .parquet(targets.map(rel =>
               new Path(dest, rel).toString): _*)
@@ -2293,19 +2332,44 @@ object ManifestSink extends Ingest.DestinationSink {
     if (i < 0) rel else rel.substring(i + 1)
   }
 
+  /** The READ schema for a set of committed files, resolved from the
+    * LOG (`schemaevo` commits rebase it — the type-widening contract:
+    * a file written before `ALTER COLUMN ... TYPE` upcasts to the
+    * widened type at scan time, where a footer `mergeSchema` union
+    * would refuse the int-vs-long conflict outright). `cut` scopes the
+    * resolution for time travel (the schema AS OF that version's
+    * manifests); None resolves the current log. A None RESULT (legacy
+    * logs without schema lines) falls back to the footer union — those
+    * tables cannot have widened (the widen verb itself establishes the
+    * log schema), so `mergeSchema` remains sound there.
+    */
+  private def logReadSchema(spark: SparkSession, destPath: String,
+      cut: Option[Seq[Path]]): Option[StructType] = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    effectiveSchemaOf(fs, cut.getOrElse(resolvedLog(fs, destPath)))
+  }
+
   /** DV-aware file read KEEPING the metadata key columns
     * (`__graft_fn`, `__graft_pos`) — the write paths use them to
     * compute new tombstone positions. Applies every dv in `dvs` via an
     * anti-join on `(file name, row position)`: broadcast when the
     * total tombstone count is small (the manifest knows it without
     * opening a sidecar), shuffle+AQE otherwise. With no dvs the frame
-    * still carries the key columns but pays no join.
+    * still carries the key columns but pays no join. Reads under the
+    * LOG-resolved schema ([[logReadSchema]]): widened column types
+    * upcast per file, files missing an evolved column read it null,
+    * dropped columns stay dropped.
     */
   private def readFilesDvMeta(spark: SparkSession, destPath: String,
       rels: Seq[String], dvs: Map[String, Seq[(String, Long)]],
-      withBase: Boolean = true): DataFrame = {
+      withBase: Boolean = true,
+      schemaCut: Option[Seq[Path]] = None): DataFrame = {
     val dest = new Path(destPath)
-    val rd = spark.read.option("mergeSchema", "true")
+    val rd = logReadSchema(spark, destPath, schemaCut) match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read.option("mergeSchema", "true")
+    }
     val base = (if (withBase) rd.option("basePath", destPath) else rd)
       .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
       .withColumn("__graft_fn", col("_metadata.file_name"))
@@ -2386,15 +2450,19 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   private def readFilesDv(spark: SparkSession, destPath: String,
       rels: Seq[String], dvs: Map[String, Seq[(String, Long)]],
-      withBase: Boolean = true): DataFrame = {
+      withBase: Boolean = true,
+      schemaCut: Option[Seq[Path]] = None): DataFrame = {
     val dest = new Path(destPath)
     val relSet = rels.toSet
     if (!dvs.exists { case (t, _) => relSet.contains(t) }) {
-      val rd = spark.read.option("mergeSchema", "true")
+      val rd = logReadSchema(spark, destPath, schemaCut) match {
+        case Some(s) => spark.read.schema(s)
+        case None    => spark.read.option("mergeSchema", "true")
+      }
       (if (withBase) rd.option("basePath", destPath) else rd)
         .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
-    } else readFilesDvMeta(spark, destPath, rels, dvs, withBase)
-      .drop("__graft_fn", "__graft_pos")
+    } else readFilesDvMeta(spark, destPath, rels, dvs, withBase,
+      schemaCut).drop("__graft_fn", "__graft_pos")
   }
 
   /** Rebuild the raw `dv` manifest lines for the given SURVIVING
@@ -2788,6 +2856,62 @@ object ManifestSink extends Ingest.DestinationSink {
     throw new IllegalStateException(
       s"[graft] alterSchema: lost the version slot 8 times — " +
         s"concurrent writer storm on $destPath")
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN <c> TYPE <t>` — TYPE WIDENING as a
+    * metadata-only `schemaevo` commit (Delta's type-widening feature):
+    * the log records the widened type, every reader resolves its scan
+    * schema from the LOG (not file footers), and parquet's readers
+    * upcast each older file's narrower physical type at scan time
+    * (capability pinned by WidenProbeSpec), so no data file is
+    * rewritten — the int id column that outgrew its type widens in one
+    * O(1) commit at any table size. Admitted promotions are the SAFE
+    * (lossless) ones: the integral chain byte→short→int→long,
+    * float→double, integral→double, and decimal growth where neither
+    * the scale nor the integer capacity (precision − scale) shrinks.
+    * Anything else refuses loudly — a narrowing or a cross-kind cast
+    * silently corrupts persisted values. Time travel below the commit
+    * reads at the PRE-widen type ([[readVersion]] resolves the schema
+    * as of its cut), and RESTORE below it restores the old schema with
+    * the old file set. Writes after the widen must carry the widened
+    * type (the schema guard's usual contract). Returns the new schema.
+    */
+  def alterColumnType(spark: SparkSession, destPath: String,
+      colName: String, newType: org.apache.spark.sql.types.DataType)
+      : StructType =
+    alterSchema(spark, destPath, cur => {
+      val i = cur.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+      require(i >= 0, s"[graft] alterColumnType: column '$colName' " +
+        s"does not exist (columns: ${cur.fieldNames.mkString(", ")})")
+      val from = cur.fields(i).dataType
+      require(canWiden(from, newType),
+        s"[graft] alterColumnType: ${from.simpleString} -> " +
+          s"${newType.simpleString} is not a safe widening (allowed: " +
+          "byte->short->int->long, float->double, integral->double, " +
+          "decimal(p,s) growth with scale and p-s non-decreasing)")
+      StructType(cur.fields.updated(i,
+        cur.fields(i).copy(dataType = newType)))
+    })
+
+  /** Lossless type promotions [[alterColumnType]] admits — each one
+    * verified against the parquet readers by WidenProbeSpec.
+    */
+  private def canWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false // a no-op ALTER is a user mistake
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale &&
+          (d2.scale > d1.scale || d2.precision > d1.precision)
+      case _ => false
+    }
   }
 
   /** Field-union of file schemas in first-appearance order, all
@@ -6247,9 +6371,14 @@ object ManifestSink extends Ingest.DestinationSink {
       if (!fs.exists(dest)) Seq.empty
       else effectiveTargets(fs, destPath)
     if (targets.nonEmpty) {
-      val existing = spark.read.option("mergeSchema", "true")
-        .parquet(targets.map(t => new Path(dest, t).toString): _*)
-        .schema.fieldNames.toSeq.filterNot(_ == Ingest.PartitionCol)
+      // the committed schema resolves from the LOG when present (the
+      // footer union refuses int-vs-long after a type widen); the
+      // footer sweep remains the legacy fallback
+      val existing = effectiveSchemaOf(fs, resolvedLog(fs, destPath))
+        .getOrElse(spark.read.option("mergeSchema", "true")
+          .parquet(targets.map(t => new Path(dest, t).toString): _*)
+          .schema)
+        .fieldNames.toSeq.filterNot(_ == Ingest.PartitionCol)
       val incoming = df.schema.fieldNames.toSeq
       if (!graft.schema.SchemaEvolution.prefixCompatible(existing,
           incoming))
@@ -6544,7 +6673,11 @@ object ManifestSink extends Ingest.DestinationSink {
     val sideMoves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
     if (changeFeedEnabled(fs, dest)) {
       try {
-        val pre = spark.read.option("mergeSchema", "true")
+        val rdPre = logReadSchema(spark, destPath, None) match {
+          case Some(s) => spark.read.schema(s)
+          case None    => spark.read.option("mergeSchema", "true")
+        }
+        val pre = rdPre
           .option("basePath", destPath)
           .parquet(dropped.toSeq.sorted
             .map(rel => new Path(dest, rel).toString): _*)

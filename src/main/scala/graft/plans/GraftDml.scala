@@ -157,6 +157,34 @@ class GraftTimeTravelRule(session: SparkSession)
               ifExists = ifExists, meta.identifier)
         }
 
+      // ALTER TABLE ALTER COLUMN ... TYPE — v2-only in Spark's
+      // session catalog; on a graft table it routes to the
+      // metadata-only TYPE WIDENING commit
+      // (ManifestSink.alterColumnType: readers resolve scan schemas
+      // from the log and upcast older files at scan time, so no data
+      // file is rewritten; unsafe promotions refuse there)
+      case a @ AlterColumns(ut: UnresolvedTable, specs) =>
+        graftCatalogMeta(session, ut.multipartIdentifier) match {
+          case None => a
+          case Some((meta, dest)) =>
+            val widens = specs.map { sp =>
+              val name = sp.column match {
+                case UnresolvedFieldName(Seq(n)) => n
+                case other => fail("ALTER TABLE ALTER COLUMN: nested " +
+                  s"column paths are not supported, got ${other.sql}")
+              }
+              if (sp.newDataType.isEmpty ||
+                  sp.newNullability.isDefined || sp.newComment.isDefined ||
+                  sp.newPosition.isDefined ||
+                  sp.newDefaultExpression.isDefined)
+                fail("ALTER TABLE ALTER COLUMN supports only TYPE " +
+                  "widening on graft tables (no nullability/comment/" +
+                  "position/default changes)")
+              name -> sp.newDataType.get
+            }
+            GraftAlterColumnTypeCommand(dest, widens, meta.identifier)
+        }
+
       // ALTER TABLE RENAME COLUMN — v2-only in Spark's session
       // catalog; on a graft table it routes to the atomic REWRITE
       // (ManifestSink.renameColumn: a metadata-only rename would
@@ -841,6 +869,38 @@ case class GraftAlterSchemaCommand(dest: String,
     GraftDml.refreshAfterDml(spark, Some(ident.quotedString))
     Seq.empty
   }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <t>` → the metadata-only TYPE
+  * WIDENING commit ([[ManifestSink.alterColumnType]]): the log records
+  * the widened type, scans upcast older files at read time, no data
+  * file is rewritten, unsafe promotions refuse. The catalog's stored
+  * schema syncs so DESCRIBE TABLE agrees.
+  */
+case class GraftAlterColumnTypeCommand(dest: String,
+    widens: Seq[(String, org.apache.spark.sql.types.DataType)],
+    ident: TableIdentifier)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    var next: org.apache.spark.sql.types.StructType = null
+    widens.foreach { case (name, t) =>
+      try next = ManifestSink.alterColumnType(spark, dest, name, t)
+      catch {
+        case e: IllegalArgumentException => GraftDml.fail(
+          e.getMessage.stripPrefix("requirement failed: ")
+            .stripPrefix("[graft] "))
+      }
+    }
+    try spark.sessionState.catalog.alterTableDataSchema(ident, next)
+    catch { case scala.util.control.NonFatal(_) => () }
+    GraftDml.refreshAfterDml(spark, Some(ident.quotedString))
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftAlterColumnType $dest " +
+      widens.map { case (n, t) => s"$n TYPE ${t.simpleString}" }
+        .mkString(", ")
 }
 
 /** `INSERT INTO t ...` → the staged atomic append ([[ManifestSink

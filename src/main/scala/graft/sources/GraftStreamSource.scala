@@ -166,7 +166,15 @@ final class GraftStreamSource(spark: SparkSession, destPath: String,
           val files = feed.flatMap(_._2).map(rel =>
             new org.apache.hadoop.fs.Path(destHadoop, rel).toString)
           val vdf = nameToV.toDF("__graft_fn", "_commit_version")
-          val df = spark.read.option("mergeSchema", "true")
+          // read under the stream's OWN data schema (minus the feed
+          // columns): an admitted window spanning an ALTER COLUMN
+          // TYPE widen mixes physical types across its files, which
+          // a footer mergeSchema union would refuse — the explicit
+          // schema upcasts per file instead
+          val dataSchema = org.apache.spark.sql.types.StructType(
+            schema.fields.filterNot(f =>
+              f.name == "_commit_version" || f.name == "_change_type"))
+          val df = spark.read.schema(dataSchema)
             .option("basePath", destPath)
             .parquet(files: _*)
             .withColumn("__graft_fn", col("_metadata.file_name"))

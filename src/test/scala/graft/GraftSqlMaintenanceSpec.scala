@@ -166,6 +166,99 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("ALTER TABLE ALTER COLUMN TYPE (widening): a metadata-only " +
+      "commit — old int files read as long, INSERT at the new type, " +
+      "DML and OPTIMIZE cross the boundary, time travel and RESTORE " +
+      "reach the pre-widen type, unsafe promotions refuse") {
+    val dest = s"${tmpDir("sqlwiden_")}/t"
+    val tbl = "sqlwiden_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    // v0: INT ids and FLOAT score in the files' physical footers
+    ManifestSink.statsAppend(
+      (0 until 100).map(i => (i, i.toFloat / 2, s"v$i"))
+        .toDF("id", "score", "v")
+        .repartitionByRange(2, col("id")),
+      dest, None, Seq("id"))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      assert(spark.table(tbl).schema("id").dataType.simpleString == "int")
+      val before = spark.table(tbl).inputFiles.toSet
+
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE BIGINT") // v1
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN score TYPE DOUBLE") // v2
+      // metadata-only: same files, widened read schema, values intact
+      assert(spark.table(tbl).inputFiles.toSet == before)
+      assert(spark.table(tbl).schema("id").dataType.simpleString
+        == "bigint")
+      assert(spark.table(tbl).schema("score").dataType.simpleString
+        == "double")
+      assert(spark.table(tbl).agg(sum("id")).head.getLong(0) == 4950L)
+      assert(spark.sql(s"DESCRIBE TABLE $tbl")
+        .where("col_name = 'id' AND data_type = 'bigint'").count() == 1L)
+
+      // INSERT at the widened type: a value beyond int range lands
+      spark.sql(s"INSERT INTO $tbl VALUES (${1L << 40}, 1.0, 'wide')")
+      assert(spark.table(tbl).where(s"id = ${1L << 40}").count() == 1L)
+      // aggregate ACROSS pre- and post-widen files in one scan
+      assert(spark.table(tbl).agg(sum("id")).head.getLong(0) ==
+        4950L + (1L << 40))
+      // skipping stats still prune across the boundary
+      assert(ManifestSink.countWhere(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("id", 0, 9)) == 10L)
+
+      // DML across the boundary: delete rows living in pre-widen files
+      assert(spark.sql(s"DELETE FROM $tbl WHERE id < 10")
+        .head.getLong(0) == 10L)
+      assert(spark.table(tbl).count() == 91L)
+      // OPTIMIZE materializes the widen per file and stays readable
+      assert(ManifestSink.optimize(spark, dest,
+        targetBytes = 1L << 30) > 0L)
+      assert(spark.table(tbl).agg(sum("id")).head.getLong(0) ==
+        4950L - 45L + (1L << 40))
+
+      // time travel below the widen reads the PRE-widen type
+      assert(ManifestSink.readVersion(spark, dest, 0)
+        .schema("id").dataType.simpleString == "int")
+      assert(ManifestSink.readVersion(spark, dest, 0).count() == 100L)
+
+      // unsafe promotions refuse loudly
+      val e1 = intercept[AnalysisException](spark.sql(
+        s"ALTER TABLE $tbl ALTER COLUMN id TYPE INT"))
+      assert(e1.getMessage.contains("not a safe widening"),
+        e1.getMessage)
+      val e2 = intercept[AnalysisException](spark.sql(
+        s"ALTER TABLE $tbl ALTER COLUMN v TYPE BIGINT"))
+      assert(e2.getMessage.contains("not a safe widening"),
+        e2.getMessage)
+      val e3 = intercept[AnalysisException](spark.sql(
+        s"ALTER TABLE $tbl ALTER COLUMN nope TYPE BIGINT"))
+      assert(e3.getMessage.contains("does not exist"), e3.getMessage)
+    } finally spark.sql(s"DROP TABLE $tbl")
+
+    // RESTORE below the widen: pre-widen schema AND rows come back
+    val dest2 = s"${tmpDir("sqlwiden2_")}/t"
+    val tbl2 = "sqlwiden2_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    ManifestSink.statsAppend(
+      (0 until 10).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dest2, None, Seq("id"))
+    spark.sql(s"CREATE TABLE $tbl2 USING graft LOCATION '$dest2'")
+    try {
+      spark.sql(s"ALTER TABLE $tbl2 ALTER COLUMN id TYPE BIGINT")
+      spark.sql(s"INSERT INTO $tbl2 VALUES (${1L << 40}, 'w')")
+      assert(spark.table(tbl2).count() == 11L)
+      spark.sql(s"RESTORE TABLE $tbl2 TO VERSION AS OF 0")
+      assert(spark.table(tbl2).schema("id").dataType.simpleString
+        == "int")
+      assert(spark.table(tbl2).count() == 10L)
+      // a RE-widen after the restore works (the log rebases forward)
+      spark.sql(s"ALTER TABLE $tbl2 ALTER COLUMN id TYPE BIGINT")
+      assert(spark.table(tbl2).schema("id").dataType.simpleString
+        == "bigint")
+      assert(spark.table(tbl2).agg(sum("id")).head.getLong(0) == 45L)
+    } finally spark.sql(s"DROP TABLE $tbl2")
+  }
+
   test("DESCRIBE DETAIL and SHOW PARTITIONS: the log-resolved health " +
       "card and partition listing through SQL") {
     val dest = s"${tmpDir("sqlmaint_det_")}/t"

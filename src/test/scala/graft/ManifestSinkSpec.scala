@@ -1030,8 +1030,10 @@ class ManifestSinkSpec extends SparkSpec {
         targetBytes = 1L << 20) == 0L,
         "a schemaevo commit in the window must abort the snapshot")
     } finally ManifestSink.onBeforeOptimizeCommit = () => ()
-    // the log-RESOLVED schema honors the ALTER (plain readBack is a
-    // footer merge by contract — dropped bytes stay in place)
+    // the log-RESOLVED schema honors the ALTER — every reader
+    // (format("graft") AND maintenance readBack) resolves its scan
+    // schema from the log, which is also what lets ALTER COLUMN TYPE
+    // widen without rewriting files; dropped bytes stay in place
     def resolvedCols() = spark.read.format("graft").load(dest)
       .columns.toSeq
     assert(resolvedCols() == Seq("id"),
