@@ -1498,6 +1498,48 @@ object NorthStar {
       out
     }),
 
+    // GENERIC PARTITION COLUMNS — the LLM-curation layout: the
+    // documents corpus lands partitioned by its OWN lang column
+    // (`lang=en/` directories, Delta-style arbitrary partition
+    // columns), then gets curated with partition-native verbs: DROP
+    // one language, INSERT OVERWRITE another with a filtered reload,
+    // UPDATE rows in place (each keeps its language directory), and
+    // read back per-language aggregates whose scans partition-prune.
+    // The oracle replays every step from the raw documents rows.
+    "q161_generic_partitions" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q161_").toString
+      ManifestSink.statsAppend(docs.repartition(4), tmp,
+        Some("val(lang)"), Seq("doc_id"))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q161_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      // drop the zh partition (decontamination shape)
+      ManifestSink.dropPartitions(s, tmp, Seq("zh"))
+      // reload en keeping only the longer documents
+      s.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (lang = 'en')
+            SELECT doc_id, source, n_chars FROM $tbl VERSION AS OF 0
+            WHERE lang = 'en' AND n_chars >= 500""")
+      // redact one source's rows in place (rows keep their language)
+      s.sql(
+        s"""UPDATE $tbl SET source = 'redacted'
+            WHERE doc_id % 13 = 0""")
+      val out = s.sql(
+        s"""SELECT lang, count(*) AS n,
+              CAST(sum(doc_id) AS BIGINT) AS sum_id,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              count(DISTINCT source) AS n_sources
+            FROM $tbl GROUP BY lang ORDER BY lang""")
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }),
+
     // TYPE WIDENING — `ALTER TABLE ... ALTER COLUMN ... TYPE`: the
     // table starts with INT ids and FLOAT values in the files'
     // physical footers, widens both in two metadata-only commits, then
@@ -4219,6 +4261,24 @@ object NorthStar {
            FROM kept GROUP BY event_type)
          SELECT * FROM c UNION ALL SELECT * FROM f
          ORDER BY phase, event_type""",
+    "q161_generic_partitions" ->
+      """WITH base AS (
+           SELECT doc_id, lang, source, n_chars
+           FROM documents WHERE lang <> 'zh'),
+         curated AS (
+           SELECT * FROM base
+           WHERE lang <> 'en' OR n_chars >= 500),
+         redacted AS (
+           SELECT doc_id, lang,
+             CASE WHEN doc_id % 13 = 0 THEN 'redacted' ELSE source END
+               AS source,
+             n_chars
+           FROM curated)
+         SELECT lang, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT source) AS n_sources
+         FROM redacted GROUP BY lang ORDER BY lang""",
     "q160_type_widening" ->
       """WITH base AS (
            SELECT CAST(event_id AS INTEGER) AS id,

@@ -1518,6 +1518,100 @@ object Stress {
       // explicitly asked for (SPARK_GRAFT_STRESS_ONLY=draindepth)
       if (only.nonEmpty) drain(nForged + 1, "uncapped")
     }
+    // PARTITION-OVERWRITE-AT-DEPTH rung (r20): replacing one day of a
+    // YEAR-deep daily layout must cost O(replaced partition), not
+    // O(table) — the same day-replace against a 73-day and a 365-day
+    // table (same per-day rows) should take the same time and touch
+    // the same bytes; the 5x-deeper table must not be ~5x slower.
+    if (enabled("partdepth")) {
+      def buildAndReplace(nDays: Int): (Double, Long, Long) = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"stress_pd${nDays}_").toString
+        val dest = s"$root/t"
+        val rowsPerDay = 200L
+        val base = spark.range(nDays * rowsPerDay).select(
+          col("id"),
+          (col("id") % 1000).cast("double").as("v"),
+          date_add(lit(java.sql.Date.valueOf("2025-01-01")),
+            (col("id") % nDays).cast("int")).as("day"))
+        ManifestSink.statsAppend(base.repartition(32), dest,
+          Some("day"), Seq("id"))
+        val repl = spark.range(500).select(
+          (col("id") + 10000000L).as("id"),
+          lit(1.0).as("v"),
+          lit(java.sql.Date.valueOf("2025-01-15")).as("day"))
+        def treeBytes(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(treeBytes).sum
+          else f.length()
+        val preBytes = treeBytes(new java.io.File(dest))
+        val preMtimes = new java.io.File(dest).listFiles()
+          .filter(_.getName.startsWith("p_date="))
+          .flatMap(_.listFiles()).map(f =>
+            f.getAbsolutePath -> f.lastModified()).toMap
+        val t0 = System.nanoTime()
+        val nReplaced = ManifestSink.overwritePartitions(repl, dest,
+          "day", values = Seq("2025-01-15"), statsCols = Seq("id"))
+        val dt = (System.nanoTime() - t0) / 1e9
+        // bytes touched = new bytes on disk + replaced files' bytes;
+        // every untouched partition file is byte-identical (mtime)
+        val untouched = new java.io.File(dest).listFiles()
+          .filter(_.getName.startsWith("p_date="))
+          .flatMap(_.listFiles())
+          .filter(f => preMtimes.get(f.getAbsolutePath)
+            .contains(f.lastModified()))
+        require(untouched.size >= (nDays - 1),
+          s"expected >=${nDays - 1} untouched files, ${untouched.size}")
+        val touchedBytes =
+          treeBytes(new java.io.File(dest)) - preBytes
+        (dt, nReplaced, touchedBytes.max(1L))
+      }
+      val (tShallow, nS, bS) = buildAndReplace(73)
+      val (tDeep, nD, bD) = buildAndReplace(365)
+      println(f"STRESS partdepth_73d    $tShallow%8.2f s  " +
+        f"replaced=$nS bytes_delta=$bS")
+      println(f"STRESS partdepth_365d   $tDeep%8.2f s  " +
+        f"replaced=$nD bytes_delta=$bD " +
+        f"(deep/shallow=${tDeep / tShallow}%.2f, table 5x)")
+      require(tDeep < tShallow * 3.0,
+        s"day-replace latency grew with table depth: $tShallow " +
+          s"-> $tDeep")
+    }
+    // CDF-WIDE-OVERWRITE rung (r20): with the change feed on, a
+    // partition overwrite captures pre-images + inserts as a
+    // DISTRIBUTED sidecar — more than one part file (= more than one
+    // write task), where the old coalesce(1) funneled the biggest
+    // commits through a single task.
+    if (enabled("cdfwide")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_cdfw_").toString
+      val dest = s"$root/t"
+      ManifestSink.enableChangeFeed(spark, dest)
+      val rows = 2000000L
+      val base = spark.range(rows).select(
+        col("id"), (col("id") % 9973).cast("double").as("v"),
+        lit(java.sql.Date.valueOf("2025-06-01")).as("day"))
+      ManifestSink.statsAppend(base.repartition(32), dest,
+        Some("day"), Seq("id"))
+      val repl = spark.range(rows).select(
+        (col("id") + rows).as("id"),
+        (col("id") % 7919).cast("double").as("v"),
+        lit(java.sql.Date.valueOf("2025-06-01")).as("day"))
+        .repartition(32)
+      val t0 = System.nanoTime()
+      ManifestSink.overwritePartitions(repl, dest, "day",
+        values = Seq("2025-06-01"), statsCols = Seq("id"))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val parts = new java.io.File(s"$dest/_cdf").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(parts > 1,
+        s"cdf sidecar funneled through one task: $parts part file(s)")
+      val feedRows = ManifestSink.readChangesBetween(spark, dest, 0L)
+        .count()
+      require(feedRows == rows * 2, s"feed rows: $feedRows")
+      println(f"STRESS cdfwide          $dt%8.2f s  " +
+        f"sidecar_parts=$parts feed_rows=$feedRows " +
+        "(pre-images + inserts, distributed write)")
+    }
     spark.stop()
   }
 }

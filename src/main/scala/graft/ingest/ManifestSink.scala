@@ -104,20 +104,75 @@ object ManifestSink extends Ingest.DestinationSink {
   private def stagingDir(destPath: String, writeId: String): Path =
     new Path(stagingRoot(destPath), writeId)
 
+  /** Pin a frame once for a multi-pass maintenance verb: executor
+    * block storage by default (fast, but a lost executor restarts the
+    * whole verb — never corrupts, the commit is atomic), or RELIABLE
+    * storage when `checkpointDir` is given (preemption-safe on lossy
+    * clusters, the same option [[graft.operators.Dedup.dupClusters]]
+    * grew for the same reason).
+    */
+  private def pinFrame(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame = checkpointDir match {
+    case Some(dir) =>
+      df.sparkSession.sparkContext.setCheckpointDir(dir)
+      df.checkpoint()
+    case None => df.localCheckpoint()
+  }
+
+  /** The explicit GENERIC partition spec form: `val(c)` partitions by
+    * column `c`'s own values (the `lang=en/`, `source=web/` LLM
+    * curation layouts — Delta-style arbitrary partition columns),
+    * hive-escaped by the writer. Returns the wrapped column name.
+    */
+  private[graft] def genericSpecCol(level: String): Option[String] = {
+    val l = level.trim
+    if (l.length > 5 && l.substring(0, 4).equalsIgnoreCase("val(") &&
+        l.endsWith(")"))
+      Some(l.substring(4, l.length - 1).trim)
+    else None
+  }
+
+  /** Is `f` (by the FRAME's schema) a time-flavored column — the kind
+    * whose bare-name partitionField spec derives the `p_date[/p_hour]`
+    * layout? Timestamps, dates, AND strings derive (a string date
+    * column through `to_date` is the long-standing contract); any
+    * other type partitions GENERICALLY by its own values, as does the
+    * explicit `val(c)` form for any type. A name absent from the
+    * frame is time-flavored for compatibility (the SQL faces pass the
+    * already-derived `p_date`, which IS in the frame).
+    */
+  private def timeFlavored(df: DataFrame, f: String): Boolean =
+    df.schema.find(_.name.equalsIgnoreCase(f)) match {
+      case Some(fd) => fd.dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.StringType => true
+        case _ => false
+      }
+      case None => true
+    }
+
   /** Derived partition layout of a `partitionField` spec:
-    *  - `"f"`        → one level, `p_date = to_date(f)`;
+    *  - `"f"` where `f` is a timestamp/date column → one level,
+    *    `p_date = to_date(f)`;
+    *  - `"f"` where `f` is ANY OTHER column → one GENERIC level: the
+    *    column's own values are the directory values and the column
+    *    name is the directory key (`lang=en/` — the Delta-style
+    *    arbitrary partition column; the column moves from the data
+    *    files into the layout, exactly like `p_date`);
     *  - `"f/hour()"` → two levels, `p_hour` = hour of `f` (the
     *    date/hour layout routine for high-rate event streams);
     *    `"f/hour"` keeps meaning the same DERIVED form, but refuses
     *    when the frame carries a real column named `hour` — the two
     *    readings produce silently different layouts, so the ambiguous
     *    spelling is an error there (use `"f/hour()"` for the derived
-    *    hour; a data column literally named `hour` cannot be a
-    *    partition level under this spec — rename it first);
+    *    hour);
     *  - `"f/h"`      → two levels with `p_hour` normalized from column
     *    `h`'s own values (the SQL face, where the relation already
     *    exposes both partition columns and `to_date(p_date)` is the
-    *    identity).
+    *    identity). Two-level GENERIC layouts are not supported — the
+    *    second level is always the hour.
     * Returns the frame with the directory columns appended plus their
     * names in layout order. The hour level is an INTEGER column
     * (`p_hour=0..23`) — Spark's partition-value inference types
@@ -127,10 +182,26 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   private[graft] def withPartitionCols(df: DataFrame, field: String)
       : (DataFrame, Seq[String]) = field.split('/') match {
+    case Array(f) if genericSpecCol(f).isDefined ||
+        !timeFlavored(df, f) =>
+      val name = genericSpecCol(f).getOrElse(f)
+      val actual = df.schema.fields
+        .find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"[graft] partitionField '$field': column '$name' is not " +
+            s"in the frame (columns: ${df.columns.mkString(", ")})"))
+        .name
+      (df, Seq(actual))
     case Array(f) =>
       (df.withColumn(Ingest.PartitionCol, to_date(col(f))),
         Seq(Ingest.PartitionCol))
     case Array(f, h) =>
+      if (genericSpecCol(f).isDefined || genericSpecCol(h).isDefined ||
+          !timeFlavored(df, f))
+        throw new IllegalArgumentException(
+          s"[graft] partitionField '$field': two-level layouts " +
+            "require a timestamp/date first level (date/hour); a " +
+            "generic (val(...)) column partitions single-level")
       if (h.equalsIgnoreCase("hour") &&
           df.columns.exists(_.equalsIgnoreCase("hour")))
         throw new IllegalArgumentException(
@@ -150,11 +221,43 @@ object ManifestSink extends Ingest.DestinationSink {
         "(\"f\", \"f/hour()\", or \"f/<hour column>\")")
   }
 
-  /** The directory column names a `partitionField` spec produces. */
+  /** The directory column names a `partitionField` spec produces
+    * against a frame (the generic-vs-derived split needs the column's
+    * type). The schema-less overload keeps the legacy derived answer
+    * for callers that only see the spec string.
+    */
+  private[graft] def partitionColsOf(field: String, df: DataFrame)
+      : Seq[String] = field.split('/') match {
+    case Array(f) if genericSpecCol(f).isDefined ||
+        !timeFlavored(df, f) =>
+      val name = genericSpecCol(f).getOrElse(f)
+      Seq(df.schema.fields.find(_.name.equalsIgnoreCase(name))
+        .map(_.name).getOrElse(name))
+    case _ => partitionColsOf(field)
+  }
+
+  /** The directory column names a `partitionField` spec produces,
+    * without a frame: `val(c)` → `c`; bare specs → the derived
+    * `p_date[/p_hour]`.
+    */
   private[graft] def partitionColsOf(field: String): Seq[String] =
-    if (field.contains('/')) Seq(Ingest.PartitionCol,
-      Ingest.PartitionHourCol)
-    else Seq(Ingest.PartitionCol)
+    field.split('/') match {
+      case Array(f) if genericSpecCol(f).isDefined =>
+        Seq(genericSpecCol(f).get)
+      case _ =>
+        if (field.contains('/')) Seq(Ingest.PartitionCol,
+          Ingest.PartitionHourCol)
+        else Seq(Ingest.PartitionCol)
+    }
+
+  /** The directory keys of a committed layout, in level order, from
+    * the first target's path segments (`lang=en/part.parquet` →
+    * `Seq("lang")`; unpartitioned → empty). One file is enough: the
+    * sink writes one consistent layout per table.
+    */
+  private def layoutKeysOf(targets: Seq[String]): Seq[String] =
+    targets.headOption.toSeq.flatMap(_.split('/').init.toSeq
+      .filter(_.contains('=')).map(s => s.substring(0, s.indexOf('='))))
 
   /** Canonical hour rendering shared by every `date/hour` value
     * parser: hour directories are written from the INT `p_hour`
@@ -989,29 +1092,27 @@ object ManifestSink extends Ingest.DestinationSink {
       val old = resolvedLog(fs, destPath)
       val existing = effectiveTargetsOf(fs, old)
       if (existing.nonEmpty) {
-        val wasPartitioned =
-          existing.exists(_.startsWith(Ingest.PartitionCol + "="))
-        if (wasPartitioned != partitionField.isDefined)
+        val wasKeys = layoutKeysOf(existing)
+        if (wasKeys.nonEmpty != partitionField.isDefined)
           throw new IllegalArgumentException(
             s"[graft] overwrite: table $destPath is " +
-              (if (wasPartitioned) "partitioned" else "unpartitioned") +
+              (if (wasKeys.nonEmpty) "partitioned" else "unpartitioned") +
               s" but the overwrite is " +
               (if (partitionField.isDefined) "partitioned"
                else "unpartitioned") +
               " — pass overwriteSchema = true to rebase the layout")
-        // same-granularity check: a day-only spec on a date/hour
-        // table (or vice versa) would silently flatten/mix the layout
-        val wasHourly = existing.exists(_.split('/').init
-          .exists(_.startsWith(Ingest.PartitionHourCol + "=")))
-        val isHourly = partitionField.map(partitionColsOf).getOrElse(Nil)
-          .exists(_.equalsIgnoreCase(Ingest.PartitionHourCol))
-        if (wasPartitioned && wasHourly != isHourly)
+        // same-layout check: a day-only spec on a date/hour table, a
+        // generic spec on a date table (or any mismatch) would
+        // silently flatten/mix the layout
+        val isKeys = partitionField
+          .map(f => partitionColsOf(f, df)).getOrElse(Nil)
+        if (wasKeys.nonEmpty &&
+            wasKeys.map(_.toLowerCase) != isKeys.map(_.toLowerCase))
           throw new IllegalArgumentException(
-            s"[graft] overwrite: table $destPath is " +
-              (if (wasHourly) "date/hour" else "day-only") +
-              s" partitioned but partitionField derives the " +
-              (if (isHourly) "date/hour" else "day-only") +
-              " layout — pass overwriteSchema = true to rebase it")
+            s"[graft] overwrite: table $destPath is partitioned by " +
+              s"(${wasKeys.mkString("/")}) but partitionField derives " +
+              s"(${isKeys.mkString("/")}) — pass overwriteSchema = " +
+              "true to rebase it")
       }
       // the schema check applies even to an EMPTY table: a truncating
       // replace deliberately carries the schema forward (an empty
@@ -1106,11 +1207,11 @@ object ManifestSink extends Ingest.DestinationSink {
   def overwritePartitions(df: DataFrame, destPath: String,
       partitionField: String, values: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits): Long = {
+      bloomBits: Int = DefaultBloomBits,
+      checkpointDir: Option[String] = None): Long = {
     val spark = df.sparkSession
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val pcol = Ingest.PartitionCol
     // pin the incoming rows ONCE: the containment check, the dynamic
     // value derivation, the change-feed images, and the staged write
     // would otherwise each re-execute the source plan (3–4x the cost
@@ -1118,14 +1219,16 @@ object ManifestSink extends Ingest.DestinationSink {
     // nondeterministic source could diverge between the check and
     // the write
     val (dfP0, pcols) = withPartitionCols(df, partitionField)
-    val dfP = dfP0.localCheckpoint()
+    val dfP = pinFrame(dfP0, checkpointDir)
+    val pcol = pcols.head // p_date, or the generic partition column
     val hourly = pcols.length == 2
-    // value forms: "d" replaces a whole day (any layout); "d/h"
-    // replaces one hour of a date/hour layout
+    // value forms: "d" replaces a whole day — or, on a GENERIC layout,
+    // one partition value ("en" of lang=en/); "d/h" replaces one hour
+    // of a date/hour layout
     require(values.forall(v =>
         !v.contains("..") && v.split('/').length <= 2 &&
           (hourly || !v.contains('/'))),
-      s"[graft] overwritePartitions: values must be 'date' " +
+      s"[graft] overwritePartitions: values must be '<value>' " +
         s"(or 'date/hour' on an hourly layout): ${values.mkString(",")}")
     def canonHour(h: String): Int =
       canonPartitionHour(h, "overwritePartitions")
@@ -1173,16 +1276,14 @@ object ManifestSink extends Ingest.DestinationSink {
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
-    require(targets.isEmpty || targets.forall(_.startsWith(pcol + "=")),
-      s"[graft] overwritePartitions: $destPath is not a " +
-        s"$pcol-partitioned layout")
-    val tableHourly = targets.headOption.exists(_.split('/').init
-      .exists(_.startsWith(Ingest.PartitionHourCol + "=")))
-    require(targets.isEmpty || tableHourly == hourly,
-      s"[graft] overwritePartitions: the table layout is " +
-        (if (tableHourly) "date/hour" else "day-only") +
+    val tableKeys = layoutKeysOf(targets)
+    require(targets.isEmpty ||
+        tableKeys.map(_.toLowerCase) == pcols.map(_.toLowerCase),
+      s"[graft] overwritePartitions: the table is " +
+        (if (tableKeys.isEmpty) "not partitioned"
+         else s"partitioned by (${tableKeys.mkString("/")})") +
         s" but partitionField '$partitionField' derives the " +
-        (if (hourly) "date/hour" else "day-only") + " layout")
+        s"(${pcols.mkString("/")}) layout")
     effectiveSchemaOf(fs, old).foreach { cur =>
       // the staged files carry df's columns minus the derived
       // partition directory columns
@@ -1194,10 +1295,14 @@ object ManifestSink extends Ingest.DestinationSink {
             s"match the table schema ($why) — a partition-scoped " +
             "overwrite cannot change the schema"))
     }
+    // prefixes must match the writer's hive-ESCAPED directory names
+    // (a generic value like "a b" lands as "a%20b")
+    def esc(v: String): String = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(v)
     val prefixes = replacedValues.map(v => v.split('/') match {
-      case Array(d) => s"$pcol=$d/"
+      case Array(d) => s"$pcol=${esc(d)}/"
       case Array(d, h) =>
-        s"$pcol=$d/${Ingest.PartitionHourCol}=${canonHour(h)}/"
+        s"$pcol=${esc(d)}/${Ingest.PartitionHourCol}=${canonHour(h)}/"
     })
     val replaced = targets.filter(t => prefixes.exists(t.startsWith)).toSet
     val kept = targets.filterNot(replaced)
@@ -1413,12 +1518,15 @@ object ManifestSink extends Ingest.DestinationSink {
       cols.map(c => if (c.equalsIgnoreCase(from)) to else c)
     val sc = mv(handle.statsColumns)
     val bc = mv(handle.bloomColumns)
+    // the rewrite keeps the layout: p_date[/p_hour] specs re-derive
+    // through the identity; a generic layout column passes through
+    // by value (readBack surfaces it from the directories)
     val spec: Option[String] =
       if (layoutCols.isEmpty) None
-      else if (layoutCols.exists(
-          _.equalsIgnoreCase(Ingest.PartitionHourCol)))
-        Some(s"${Ingest.PartitionCol}/${Ingest.PartitionHourCol}")
-      else Some(Ingest.PartitionCol)
+      else if (layoutCols.length == 1 &&
+          !layoutCols.head.equalsIgnoreCase(Ingest.PartitionCol))
+        Some(s"val(${layoutCols.head})")
+      else Some(layoutCols.mkString("/"))
     overwrite(renamed, destPath, spec,
       if (sc.nonEmpty) sc else bc, bc, overwriteSchema = true)
     println(s"METRIC graft.rename_column.from=$from to=$to " +
@@ -1446,12 +1554,13 @@ object ManifestSink extends Ingest.DestinationSink {
       partitionField: Option[String] = None,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits): MergeOutcome = {
+      bloomBits: Int = DefaultBloomBits,
+      checkpointDir: Option[String] = None): MergeOutcome = {
     require(source.columns.contains(keyCol),
       s"[graft] mergeFullSync: source lacks key column '$keyCol'")
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val src = source.localCheckpoint()
+    val src = pinFrame(source, checkpointDir)
     val nSrc = src.count()
     val nKeys = src.select(col(keyCol)).distinct().count()
     require(nKeys == nSrc,
@@ -1474,28 +1583,28 @@ object ManifestSink extends Ingest.DestinationSink {
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
-    val layoutCols = partitionField.map(partitionColsOf).getOrElse(Nil)
+    val layoutCols = partitionField
+      .map(f => partitionColsOf(f, src)).getOrElse(Nil)
     // the sync must keep the table's partition layout: a sync called
     // without partitionField on a partitioned table would silently
-    // FLATTEN it (downstream partition-filtered reads change), and a
-    // day-spec sync of an hourly table would mix granularities
-    val tableParted =
-      targets.headOption.exists(_.startsWith(Ingest.PartitionCol + "="))
-    val tableHourly = targets.headOption.exists(_.split('/').init
-      .exists(_.startsWith(Ingest.PartitionHourCol + "=")))
+    // FLATTEN it (downstream partition-filtered reads change), a
+    // day-spec sync of an hourly table would mix granularities, and a
+    // generic-layout sync must name the SAME partition column
+    val tableKeys = layoutKeysOf(targets)
     if (targets.nonEmpty) {
-      require(tableParted == partitionField.isDefined,
+      require(tableKeys.nonEmpty == partitionField.isDefined,
         s"[graft] mergeFullSync: the table is " +
-          (if (tableParted) "partitioned" else "unpartitioned") +
+          (if (tableKeys.nonEmpty) "partitioned" else "unpartitioned") +
           s" but partitionField is " +
           (if (partitionField.isDefined) "set" else "not set") +
           " — a full sync keeps the layout")
-      require(!tableParted || tableHourly ==
-          layoutCols.exists(_.equalsIgnoreCase(Ingest.PartitionHourCol)),
+      require(tableKeys.isEmpty ||
+          layoutCols.map(_.toLowerCase) == tableKeys.map(_.toLowerCase),
         s"[graft] mergeFullSync: the table layout is " +
-          (if (tableHourly) "date/hour" else "day-only") +
-          s" but partitionField '${partitionField.getOrElse("")}' " +
-          "derives the other — a full sync keeps the layout")
+          s"(${tableKeys.mkString("/")}) but partitionField " +
+          s"'${partitionField.getOrElse("")}' derives " +
+          s"(${layoutCols.mkString("/")}) — a full sync keeps the " +
+          "layout")
     }
     effectiveSchemaOf(fs, old).foreach { cur =>
       val incoming = StructType(src.schema.fields.filterNot(f =>
@@ -1589,7 +1698,8 @@ object ManifestSink extends Ingest.DestinationSink {
       partitionField: Option[String] = None,
       statsCols: Seq[String] = Nil,
       bySourceCond: Option[Column] = None,
-      bySourceSet: Option[Map[String, Column]] = None): MergeOutcome = {
+      bySourceSet: Option[Map[String, Column]] = None,
+      checkpointDir: Option[String] = None): MergeOutcome = {
     require(source.columns.contains(keyCol),
       s"[graft] mergeSync: source lacks key column '$keyCol'")
     bySourceSet.foreach(_.keys.foreach { k =>
@@ -1599,7 +1709,7 @@ object ManifestSink extends Ingest.DestinationSink {
     })
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val src = source.localCheckpoint()
+    val src = pinFrame(source, checkpointDir)
     val nSrc = src.count()
     val nKeys = src.select(col(keyCol)).distinct().count()
     require(nKeys == nSrc,
@@ -1622,24 +1732,22 @@ object ManifestSink extends Ingest.DestinationSink {
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
       .maxOption.getOrElse(-1L)
     val targets = effectiveTargetsOf(fs, old)
-    val layoutCols = partitionField.map(partitionColsOf).getOrElse(Nil)
-    val tableParted =
-      targets.headOption.exists(_.startsWith(Ingest.PartitionCol + "="))
-    val tableHourly = targets.headOption.exists(_.split('/').init
-      .exists(_.startsWith(Ingest.PartitionHourCol + "=")))
+    val layoutCols = partitionField
+      .map(f => partitionColsOf(f, src)).getOrElse(Nil)
+    val tableKeys = layoutKeysOf(targets)
     if (targets.nonEmpty) {
-      require(tableParted == partitionField.isDefined,
+      require(tableKeys.nonEmpty == partitionField.isDefined,
         s"[graft] mergeSync: the table is " +
-          (if (tableParted) "partitioned" else "unpartitioned") +
+          (if (tableKeys.nonEmpty) "partitioned" else "unpartitioned") +
           s" but partitionField is " +
           (if (partitionField.isDefined) "set" else "not set") +
           " — a sync keeps the layout")
-      require(!tableParted || tableHourly ==
-          layoutCols.exists(_.equalsIgnoreCase(Ingest.PartitionHourCol)),
+      require(tableKeys.isEmpty ||
+          layoutCols.map(_.toLowerCase) == tableKeys.map(_.toLowerCase),
         s"[graft] mergeSync: the table layout is " +
-          (if (tableHourly) "date/hour" else "day-only") +
-          s" but partitionField '${partitionField.getOrElse("")}' " +
-          "derives the other — a sync keeps the layout")
+          s"(${tableKeys.mkString("/")}) but partitionField " +
+          s"'${partitionField.getOrElse("")}' derives " +
+          s"(${layoutCols.mkString("/")}) — a sync keeps the layout")
     }
     effectiveSchemaOf(fs, old).foreach { cur =>
       val incoming = StructType(src.schema.fields.filterNot(f =>
@@ -1660,34 +1768,44 @@ object ManifestSink extends Ingest.DestinationSink {
     val dvs = effectiveDvsOf(fs, old)
 
     // ONE wide pass: full-outer join of the LIVE table (existing dvs
-    // applied) against the source on the key, keeping ONLY the rows
-    // that require physical work — value-identical matches and
-    // condition-failing vanished keys drop out before the checkpoint,
-    // so the materialized frame is O(changed rows), not O(table)
+    // applied — read WITH the partition directory columns, so layout
+    // values join the identity test: a row whose key kept its data
+    // but MOVED partitions is a change) against the source on the
+    // key, keeping ONLY the rows that require physical work —
+    // value-identical matches and condition-failing vanished keys
+    // drop out before the checkpoint, so the materialized frame is
+    // O(changed rows), not O(table)
     val t = readFilesDvMeta(spark, destPath, targets, dvs,
-      withBase = false)
-    val dataCols = t.columns
+      withBase = true)
+    // the source derives its layout columns exactly like a write
+    // (p_date from the timestamp, or the generic column as-is)
+    val (srcP, pcols) = partitionField match {
+      case Some(f) => withPartitionCols(src, f)
+      case None    => (src, Seq.empty[String])
+    }
+    val allCols = t.columns
       .filterNot(c => c == "__graft_fn" || c == "__graft_pos").toSeq
+    val dataCols = allCols.filterNot(c =>
+      pcols.exists(_.equalsIgnoreCase(c)))
     bySourceSet.foreach(_.keys.foreach { k =>
       require(dataCols.exists(_.equalsIgnoreCase(k)),
         s"[graft] mergeSync: NOT MATCHED BY SOURCE SET column '$k' " +
           s"not in the file schema (${dataCols.mkString(", ")})")
     })
-    val s2 = src
-      .select(dataCols.map(c => col(c).as(s"__s_$c")) :+
+    val s2 = srcP
+      .select(allCols.map(c => col(c).as(s"__s_$c")) :+
         lit(1).as("__s"): _*)
     val j = t.join(s2, col(keyCol) === col(s"__s_$keyCol"),
       "full_outer")
     val tOnly = col("__s").isNull && col("__graft_fn").isNotNull
     val sOnly = col("__graft_fn").isNull
     val matched = col("__s").isNotNull && col("__graft_fn").isNotNull
-    val same = dataCols.map(c => col(c) <=> col(s"__s_$c"))
+    val same = allCols.map(c => col(c) <=> col(s"__s_$c"))
       .reduce(_ && _)
     val bySrcHit = tOnly &&
       bySourceCond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
-    val changed = j
-      .where(sOnly || (matched && !same) || bySrcHit)
-      .localCheckpoint()
+    val changed = pinFrame(j
+      .where(sOnly || (matched && !same) || bySrcHit), checkpointDir)
     val cnt = changed.agg(
       sum(when(sOnly, 1L).otherwise(0L)).as("ins"),
       sum(when(col("__s").isNull, 1L).otherwise(0L)).as("bysrc"),
@@ -1705,15 +1823,15 @@ object ManifestSink extends Ingest.DestinationSink {
       (if (bySourceSet.isDefined) bySrcRows else 0L)
     val deleted = if (bySourceSet.isDefined) 0L else bySrcRows
 
-    // appends: source values for matched-diff and new keys, plus —
-    // under the UPDATE action — the vanished-key rows with SET
-    // applied against their OLD values
+    // appends: source values for matched-diff and new keys (layout
+    // columns carried through), plus — under the UPDATE action — the
+    // vanished-key rows with SET applied against their OLD values
     val srcRows = changed.where(col("__s").isNotNull)
-      .select(dataCols.map(c => col(s"__s_$c").as(c)): _*)
+      .select(allCols.map(c => col(s"__s_$c").as(c)): _*)
     val appends = bySourceSet match {
       case Some(set) =>
         srcRows.unionByName(changed.where(tOnly)
-          .select(dataCols.map(c =>
+          .select(allCols.map(c =>
             set.get(c).orElse(
                 set.find(_._1.equalsIgnoreCase(c)).map(_._2))
               .map(_.as(c)).getOrElse(col(c))): _*))
@@ -1753,12 +1871,10 @@ object ManifestSink extends Ingest.DestinationSink {
         }
       }
       val insOut = new Path(staging, "ins")
-      val writer = partitionField match {
-        case Some(f) =>
-          val (appP, appCols) = withPartitionCols(appends, f)
-          appP.write.mode("overwrite").partitionBy(appCols: _*)
-        case None => appends.write.mode("overwrite")
-      }
+      val writer =
+        if (pcols.nonEmpty)
+          appends.write.mode("overwrite").partitionBy(pcols: _*)
+        else appends.write.mode("overwrite")
       writer.parquet(insOut.toString)
       val insQ = fs.makeQualified(insOut).toString
       val insStaged = listFilesRec(fs, insOut).map(_._1)
@@ -4699,24 +4815,37 @@ object ManifestSink extends Ingest.DestinationSink {
     // natural SQL UPDATE semantics, where the partition column is not
     // assignable. A partition layout this sink did not write (a
     // foreign `col=` name) still refuses loudly.
+    // generic single-column layouts (lang=en/) carry like the derived
+    // ones: the key name is recorded so the write-back can rebuild
+    // the directory column
+    val autoKeys = layoutKeysOf(targets)
+    val autoGeneric = autoKeys.length == 1 &&
+      !autoKeys.head.equalsIgnoreCase(Ingest.PartitionCol)
+    require(autoKeys.length <= 2 && (!autoGeneric ||
+        partitionField.nonEmpty || autoKeys.length == 1),
+      s"[graft] updateWhereMor: unsupported partition layout " +
+        s"(${autoKeys.mkString("/")}) — pass partitionField")
     val autoPdate: Map[String, (String, Option[String])] =
       if (partitionField.nonEmpty) Map.empty
       else {
+        val expectFirst =
+          if (autoGeneric) autoKeys.headOption.getOrElse("")
+          else Ingest.PartitionCol
         val foreign = targets.find(_.split('/').init.exists(seg =>
           seg.contains('=') &&
-            !seg.startsWith(Ingest.PartitionCol + "=") &&
+            !seg.startsWith(expectFirst + "=") &&
             !seg.startsWith(Ingest.PartitionHourCol + "=")))
         require(foreign.isEmpty,
-          s"[graft] updateWhereMor: $destPath has a partition layout " +
-            s"this engine did not write (e.g. '${foreign.get}') — " +
+          s"[graft] updateWhereMor: $destPath mixes partition " +
+            s"layouts (e.g. '${foreign.getOrElse("")}') — " +
             "pass partitionField so updated rows keep their partition " +
             "values")
         targets.flatMap { rel =>
           val segs = rel.split('/').init
-          segs.find(_.startsWith(Ingest.PartitionCol + "="))
+          segs.find(_.startsWith(expectFirst + "="))
             .map { seg =>
               fileNameOf(rel) ->
-                (seg.substring(Ingest.PartitionCol.length + 1),
+                (seg.substring(expectFirst.length + 1),
                   segs.find(_.startsWith(Ingest.PartitionHourCol + "="))
                     .map(_.substring(
                       Ingest.PartitionHourCol.length + 1)))
@@ -4804,21 +4933,32 @@ object ManifestSink extends Ingest.DestinationSink {
           // carry each updated row's SOURCE partition: file name →
           // directory-parsed value(s), joined back (broadcast —
           // bounded by the candidate file count); a date/hour layout
-          // carries both levels
+          // carries both levels; a generic layout carries the raw
+          // (hive-UNESCAPED — the writer re-escapes) string value
           val hourly = autoPdate.values.exists(_._2.isDefined)
           val pdf = spark.createDataFrame(autoPdate.toSeq.map {
               case (fn, (d, h)) => (fn, d, h.orNull) })
             .toDF("__graft_fn", "__graft_pd", "__graft_ph")
-          val joined = ups
+          val joined0 = ups
             .join(broadcast(pdf), Seq("__graft_fn"), "left")
-            .withColumn(Ingest.PartitionCol,
-              expr("try_to_date(__graft_pd)"))
           val (laid, pcols) =
-            if (hourly)
-              (joined.withColumn(Ingest.PartitionHourCol,
-                col("__graft_ph")),
-                Seq(Ingest.PartitionCol, Ingest.PartitionHourCol))
-            else (joined, Seq(Ingest.PartitionCol))
+            if (autoGeneric) {
+              val k = autoKeys.head
+              val unesc = udf((s: String) =>
+                if (s == null ||
+                    s == "__HIVE_DEFAULT_PARTITION__") null
+                else org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.unescapePathName(s))
+              (joined0.withColumn(k, unesc(col("__graft_pd"))), Seq(k))
+            } else {
+              val joined = joined0.withColumn(Ingest.PartitionCol,
+                expr("try_to_date(__graft_pd)"))
+              if (hourly)
+                (joined.withColumn(Ingest.PartitionHourCol,
+                  col("__graft_ph")),
+                  Seq(Ingest.PartitionCol, Ingest.PartitionHourCol))
+              else (joined, Seq(Ingest.PartitionCol))
+            }
           laid.drop("__graft_fn", "__graft_pd", "__graft_ph")
             .write.mode("overwrite").partitionBy(pcols: _*)
         case None => ups.write.mode("overwrite")
@@ -6378,7 +6518,8 @@ object ManifestSink extends Ingest.DestinationSink {
         .getOrElse(spark.read.option("mergeSchema", "true")
           .parquet(targets.map(t => new Path(dest, t).toString): _*)
           .schema)
-        .fieldNames.toSeq.filterNot(_ == Ingest.PartitionCol)
+        .fieldNames.toSeq.filterNot(n =>
+          layoutKeysOf(targets).exists(_.equalsIgnoreCase(n)))
       val incoming = df.schema.fieldNames.toSeq
       if (!graft.schema.SchemaEvolution.prefixCompatible(existing,
           incoming))
@@ -6640,12 +6781,21 @@ object ManifestSink extends Ingest.DestinationSink {
         s"[graft] dropPartitions: 'date/hour' values need a " +
           s"date/hour layout; $destPath is day-partitioned")
     }
+    // a GENERIC layout (lang=en/) resolves the directory key from the
+    // committed targets when the caller left the default; values are
+    // hive-escaped to match the writer's directory names
+    val pc =
+      if (partitionCol == Ingest.PartitionCol)
+        layoutKeysOf(targets).headOption.getOrElse(partitionCol)
+      else partitionCol
+    def esc(v: String): String = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(v)
     val prefixes = values.map(v => v.split('/') match {
-      case Array(d) => s"$partitionCol=$d/"
+      case Array(d) => s"$pc=${esc(d)}/"
       case Array(d, h) =>
         // hour dirs are written from the INT p_hour column: "07" and
         // "7" name the same directory
-        s"$partitionCol=$d/${Ingest.PartitionHourCol}=" +
+        s"$pc=${esc(d)}/${Ingest.PartitionHourCol}=" +
           s"${canonPartitionHour(h, "dropPartitions")}/"
     })
     val dropped = targets.filter(t => prefixes.exists(t.startsWith)).toSet

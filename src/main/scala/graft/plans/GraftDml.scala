@@ -319,8 +319,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           "column itself; INSERT OVERWRITE ... PARTITION replaces a " +
           "partition")
       if (g.partitionCols.isEmpty || g.partitionCols.length > 2)
-        fail("INSERT OVERWRITE ... PARTITION needs a day- or " +
-          "date/hour-partitioned graft table")
+        fail("INSERT OVERWRITE ... PARTITION needs a partitioned " +
+          "graft table (day, date/hour, or a generic partition column)")
       // the spec must name a PREFIX of the layout columns (p_date, or
       // p_date + p_hour) — in ANY order; it is normalized to layout
       // order here, so PARTITION (p_hour='3', p_date='d') and
@@ -389,7 +389,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
     GraftInsertCommand(g.dest, Project(aligned, query),
       if (g.partitionCols.isEmpty) None
-      else Some(g.partitionCols.mkString("/")),
+      else Some(GraftDml.specOf(g.partitionCols)),
       g.statsCols, g.bloomCols, g.refreshTable, overwrite)
   }
 
@@ -452,7 +452,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         Alias(Cast(Literal(v), pa.dataType), pa.name)()
     }
     GraftOverwritePartitionsCommand(g.dest,
-      Project(withP, query), g.partitionCols.mkString("/"),
+      Project(withP, query), GraftDml.specOf(g.partitionCols),
       staticSpec.map(_._2), g.statsCols, g.bloomCols, g.refreshTable)
   }
 
@@ -488,7 +488,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         "are supported")
     val mergePartition =
       if (g.partitionCols.isEmpty) None
-      else Some(g.partitionCols.mkString("/"))
+      else Some(GraftDml.specOf(g.partitionCols))
     noSubquery(m.mergeCondition, "MERGE")
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
@@ -649,6 +649,18 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object GraftDml {
+
+  /** A Scala-API `partitionField` spec for a relation's directory
+    * layout columns: the derived `p_date[/p_hour]` pass bare (the
+    * identity derivation); a single GENERIC column wraps in the
+    * explicit `val(...)` form so a string partition value is never
+    * mistaken for a date to derive from.
+    */
+  private[plans] def specOf(pcols: Seq[String]): String =
+    if (pcols.length == 1 &&
+        !pcols.head.equalsIgnoreCase(graft.ingest.Ingest.PartitionCol))
+      s"val(${pcols.head})"
+    else pcols.mkString("/")
 
   private[plans] def fail(msg: String): Nothing =
     throw new AnalysisException(
@@ -1011,7 +1023,7 @@ case class GraftOverwritePartitionsCommand(dest: String,
     AttributeReference("replaced_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val df = Bridge.dataFrame(spark, child)
-    val layoutCols = partitionField.split('/').toSeq
+    val layoutCols = ManifestSink.partitionColsOf(partitionField)
     val dataCols = df.columns.toSeq
       .filterNot(c => layoutCols.exists(_.equalsIgnoreCase(c)))
     val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
@@ -1029,9 +1041,13 @@ case class GraftOverwritePartitionsCommand(dest: String,
     def canonHour(v: String): String =
       ManifestSink.canonPartitionHour(v,
         "INSERT OVERWRITE PARTITION").toString
+    // date canonicalization applies to the DERIVED p_date layout only
+    // — a generic partition value ('en' of lang=en/) passes verbatim
+    val dateLayout = layoutCols.headOption
+      .exists(_.equalsIgnoreCase(graft.ingest.Ingest.PartitionCol))
     val values = staticValues match {
       case Seq()     => Nil
-      case Seq(d)    => Seq(canonDate(d))
+      case Seq(d)    => Seq(if (dateLayout) canonDate(d) else d)
       case Seq(d, h) => Seq(s"${canonDate(d)}/${canonHour(h)}")
       case other => throw new IllegalArgumentException(
         s"[graft] INSERT OVERWRITE PARTITION: too many static " +

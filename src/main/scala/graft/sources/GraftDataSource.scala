@@ -269,10 +269,16 @@ final class GraftFileIndex(spark: SparkSession,
           new FileStatus(len, false, 1, blockSize, mtime, p)
         case None => listed.getOrElse(rel, fs.getFileStatus(p))
       }
+      // hive-UNESCAPE the directory value (a generic partition value
+      // like "a:b" lands as "a%3Ab"; the derived date/hour values
+      // never escape, so this is the identity for them) — Spark's own
+      // partition discovery does the same
       val parts = rel.split('/').init.collect {
         case seg if seg.contains('=') =>
           val i = seg.indexOf('=')
-          seg.substring(0, i) -> seg.substring(i + 1)
+          seg.substring(0, i) ->
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.substring(i + 1))
       }.toMap
       (rel, st, parts)
     }

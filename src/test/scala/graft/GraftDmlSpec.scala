@@ -1247,6 +1247,73 @@ class GraftDmlSpec extends SparkSpec {
     }
   }
 
+  test("generic partition columns through SQL: a lang-partitioned " +
+      "table reads/prunes, INSERT INTO routes values to their dirs, " +
+      "INSERT OVERWRITE PARTITION (lang='en') replaces one language, " +
+      "UPDATE keeps the partition, MERGE full sync keeps the layout, " +
+      "DML on the partition column refuses") {
+    val (dest, tbl) = freshTable("dml_gen_")
+    Seq((1L, "en", "hello"), (2L, "en", "world"),
+        (3L, "de", "hallo"), (4L, "fr", "salut"))
+      .toDF("doc_id", "lang", "text")
+      .pipe(df => ManifestSink.statsAppend(df.coalesce(1), dest,
+        Some("val(lang)"), Seq("doc_id")))
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
+    try {
+      assert(spark.table(tbl).columns.contains("lang"))
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE lang = 'en'")
+        .head.getLong(0) == 2L)
+      // INSERT INTO routes each row into its language directory (the
+      // relation orders data columns first, the partition column last)
+      assert(spark.table(tbl).columns.toSeq ==
+        Seq("doc_id", "text", "lang"))
+      spark.sql(s"INSERT INTO $tbl VALUES (5, 'hola', 'es')")
+      assert(new java.io.File(s"$dest/lang=es").exists)
+      assert(spark.table(tbl).count() == 5L)
+      // INSERT OVERWRITE PARTITION replaces exactly one language
+      val r = spark.sql(s"""INSERT OVERWRITE $tbl
+          PARTITION (lang = 'en') SELECT 10, 'rewritten'""")
+      assert(r.head.getLong(0) >= 1L)
+      assert(spark.sql(s"SELECT doc_id FROM $tbl WHERE lang = 'en'")
+        .as[Long].collect().toSeq == Seq(10L))
+      assert(spark.table(tbl).count() == 4L)
+      // UPDATE keeps the row's partition
+      spark.sql(s"UPDATE $tbl SET text = 'patched' WHERE doc_id = 3")
+      assert(spark.sql(
+          s"SELECT lang FROM $tbl WHERE text = 'patched'")
+        .as[String].collect().toSeq == Seq("de"))
+      // MERGE full sync keeps the generic layout
+      Seq((10L, "en", "rewritten"), (3L, "de", "patched"),
+          (6L, "pt", "ola"))
+        .toDF("doc_id", "lang", "text")
+        .createOrReplaceTempView("dml_gen_src")
+      val m = spark.sql(
+        s"""MERGE INTO $tbl t USING dml_gen_src s ON t.doc_id = s.doc_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(m.head == org.apache.spark.sql.Row(2L, 1L, 2L))
+      assert(spark.table(tbl).orderBy("doc_id")
+        .select("doc_id", "lang").as[(Long, String)].collect().toSeq ==
+        Seq((3L, "de"), (6L, "pt"), (10L, "en")))
+      assert(new java.io.File(s"$dest/lang=pt").exists)
+      // SHOW PARTITIONS lists the language identities
+      assert(spark.sql(s"SHOW PARTITIONS $tbl")
+        .select("partition").as[String].collect().toSet
+        .contains("lang=pt"))
+      // predicates/SET on the partition column refuse
+      val e1 = intercept[AnalysisException](
+        spark.sql(s"DELETE FROM $tbl WHERE lang = 'de'"))
+      assert(e1.getMessage.contains("partition column"), e1.getMessage)
+      val e2 = intercept[AnalysisException](
+        spark.sql(s"UPDATE $tbl SET lang = 'xx' WHERE doc_id = 3"))
+      assert(e2.getMessage.contains("partition"), e2.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE $tbl")
+      spark.catalog.dropTempView("dml_gen_src")
+    }
+  }
+
   test("a full sync KEEPS the table's bloom index: the SQL route " +
       "threads the snapshot's bloom columns through, so point-lookup " +
       "skipping survives the sync") {
@@ -1280,6 +1347,49 @@ class GraftDmlSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $tbl")
       spark.catalog.dropTempView("fsync_bloom_src")
     }
+  }
+
+  test("checkpointDir on maintenance verbs: overwritePartitions and " +
+      "mergeSync pin through RELIABLE storage when given a directory " +
+      "(checkpoint files on disk), with commits identical to the " +
+      "local-blocks default") {
+    val root = tmpDir("dml_ckpt_")
+    val destA = s"$root/wh/a"
+    val destB = s"$root/wh/b"
+    val ckpt = s"$root/ckpt"
+    def seed(d: String): Unit =
+      (0L until 60L).map(i =>
+          (i, s"v$i", java.sql.Date.valueOf(s"2026-01-0${i % 3 + 1}")))
+        .toDF("id", "v", "day").repartitionByRange(3, col("id"))
+        .pipe(df => ManifestSink.statsAppend(df, d, Some("day"),
+          Seq("id")))
+    seed(destA); seed(destB)
+    val repl = (100L until 110L).map(i =>
+        (i, s"n$i", java.sql.Date.valueOf("2026-01-02")))
+      .toDF("id", "v", "day").coalesce(1)
+    // same verb, reliable vs local pinning: same result
+    assert(ManifestSink.overwritePartitions(repl, destA, "day",
+      statsCols = Seq("id"), checkpointDir = Some(ckpt)) ==
+      ManifestSink.overwritePartitions(repl, destB, "day",
+        statsCols = Seq("id")))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(ckpt)).nonEmpty,
+      "no reliable checkpoint files written")
+    def state(d: String) = ManifestSink.readBack(spark, d)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(state(destA) == state(destB))
+    // mergeSync with reliable pinning: identical outcome + state
+    val src = (0L until 50L).map(i =>
+        (i, if (i == 7) "CHANGED" else s"v$i",
+          java.sql.Date.valueOf(s"2026-01-0${i % 3 + 1}")))
+      .toDF("id", "v", "day")
+    val oA = ManifestSink.mergeSync(spark, destA, src, "id",
+      Some("day"), Seq("id"), checkpointDir = Some(ckpt))
+    val oB = ManifestSink.mergeSync(spark, destB, src, "id",
+      Some("day"), Seq("id"))
+    assert(oA == oB && oA.applied)
+    assert(state(destA) == state(destB))
   }
 
   test("mergeFullSync: a concurrent commit aborts the sync (staged " +

@@ -3107,6 +3107,132 @@ class ManifestSinkSpec extends SparkSpec {
     assert(both.count() == rows.size.toLong + 5L)
   }
 
+  test("generic partition columns: partitionField names an arbitrary " +
+      "column (lang) — values become directories, reads surface and " +
+      "prune on it, overwrite/drop/update/sync keep the layout, " +
+      "special characters hive-escape and round-trip") {
+    val root = tmpDir("msinkgen_")
+    val dest = s"$root/wh/t"
+    val docs = Seq(
+      (1L, "en", "hello world"), (2L, "en", "more english"),
+      (3L, "de", "hallo welt"), (4L, "fr", "bonjour"),
+      (5L, "pt br", "ola")) // a value with a space: escaping case
+      .toDF("doc_id", "lang", "text")
+    ManifestSink.statsAppend(docs.repartition(2), dest,
+      Some("val(lang)"), Seq("doc_id")) // v0
+    // directory layout is lang=<value> (a space needs no hive escape)
+    val dirs = new java.io.File(dest).listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_"))
+      .sorted.toSeq
+    assert(dirs == Seq("lang=de", "lang=en", "lang=fr", "lang=pt br"))
+    // a RESERVED character hive-escapes on disk and unescapes on read
+    ManifestSink.statsAppend(
+      Seq((9L, "a:b", "colon")).toDF("doc_id", "lang", "text"),
+      dest, Some("val(lang)"), Seq("doc_id"))
+    assert(new java.io.File(dest).listFiles()
+      .exists(_.getName == "lang=a%3Ab"))
+    assert(ManifestSink.readBack(spark, dest).where("lang = 'a:b'")
+      .select("doc_id").as[Long].collect().toSeq == Seq(9L))
+    assert(ManifestSink.dropPartitions(spark, dest, Seq("a:b")) >= 1L)
+    // reads surface the column (unescaped) and partition-prune
+    val back = ManifestSink.readBack(spark, dest)
+    assert(back.columns.contains("lang"))
+    assert(back.where("lang = 'pt br'")
+      .select("doc_id").as[Long].collect().toSeq == Seq(5L))
+    // partition pruning through the SQL relation (inputFiles ignores
+    // pruning, so read the scan's numFiles metric)
+    val en = spark.read.format("graft").load(dest)
+      .where(col("lang") === "en")
+    en.collect()
+    val enScan = en.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    val enFiles = back.inputFiles.count(_.contains("lang=en/"))
+    assert(en.count() == 2L)
+    assert(enScan.metrics("numFiles").value == enFiles.toLong,
+      s"generic partition pruning inert: scanned " +
+        s"${enScan.metrics("numFiles").value} of $enFiles")
+
+    // partition-scoped overwrite: replace just lang=en
+    val repl = Seq((10L, "en", "rewritten")).toDF("doc_id", "lang", "text")
+    assert(ManifestSink.overwritePartitions(repl, dest, "val(lang)",
+      values = Seq("en"), statsCols = Seq("doc_id")) > 0L) // v1
+    val after = ManifestSink.readBack(spark, dest)
+    assert(after.where("lang = 'en'")
+      .select("doc_id").as[Long].collect().toSeq == Seq(10L))
+    assert(after.count() == 4L)
+    // untouched partitions carry byte-identical files
+    assert(after.inputFiles.filter(_.contains("lang=de/")).toSet ==
+      back.inputFiles.filter(_.contains("lang=de/")).toSet)
+    // a mismatched layout spec refuses
+    val eLayout = intercept[IllegalArgumentException](
+      ManifestSink.overwritePartitions(repl, dest, "val(text)"))
+    assert(eLayout.getMessage.contains("partitioned by"),
+      eLayout.getMessage)
+
+    // SHOW PARTITIONS / DESCRIBE DETAIL carry the generic identity
+    assert(ManifestSink.partitions(spark, dest)
+      .select("partition").as[String].collect().toSet ==
+      Set("lang=de", "lang=en", "lang=fr", "lang=pt br"))
+    assert(ManifestSink.detail(spark, dest).head()
+      .getSeq[String](4).toSet ==
+      Set("lang=de", "lang=en", "lang=fr", "lang=pt br"))
+
+    // UPDATE keeps each row's partition (generic carry)
+    assert(ManifestSink.updateWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("doc_id", 10, 10),
+      Map("text" -> lit("patched"))) == 1L) // v2
+    val upd = ManifestSink.readBack(spark, dest)
+      .where("text = 'patched'")
+    assert(upd.select("lang").as[String].collect().toSeq == Seq("en"))
+    // the update's appended file landed inside its source partition
+    // (mor update writeIds prefix "mu")
+    assert(new java.io.File(s"$dest/lang=en").listFiles()
+      .exists(_.getName.startsWith("mu")))
+    // the escaped-space partition round-trips through an update too
+    assert(ManifestSink.updateWhereMor(spark, dest,
+      ManifestSink.SkipPredicate.NumRange("doc_id", 5, 5),
+      Map("text" -> lit("oi"))) == 1L) // v3
+    assert(ManifestSink.readBack(spark, dest).where("text = 'oi'")
+      .select("lang").as[String].collect().toSeq == Seq("pt br"))
+
+    // incremental sync keeps the generic layout
+    val src = Seq((10L, "en", "patched"), (3L, "de", "hallo welt"),
+        (4L, "fr", "bonjour v2"), (5L, "pt br", "oi"),
+        (6L, "es", "hola"))
+      .toDF("doc_id", "lang", "text")
+    val out = ManifestSink.mergeSync(spark, dest, src, "doc_id",
+      Some("val(lang)"), Seq("doc_id"))
+    assert(out == ManifestSink.MergeOutcome.Merged(4L, 1L, 0L)) // v4
+    val synced = ManifestSink.readBack(spark, dest)
+    assert(synced.count() == 5L)
+    assert(synced.where("lang = 'es'").count() == 1L)
+    // forgetting the layout on a sync refuses
+    val eSync = intercept[IllegalArgumentException](
+      ManifestSink.mergeSync(spark, dest, src, "doc_id"))
+    assert(eSync.getMessage.contains("layout"), eSync.getMessage)
+
+    // dropPartitions resolves the generic key and escapes the value
+    assert(ManifestSink.dropPartitions(spark, dest,
+      Seq("pt br")) >= 1L) // v5
+    assert(ManifestSink.readBack(spark, dest)
+      .where("lang = 'pt br'").count() == 0L)
+    assert(ManifestSink.readBack(spark, dest).count() == 4L)
+
+    // two-level generic refuses; generic values with '/' refuse
+    val e2 = intercept[IllegalArgumentException](
+      ManifestSink.statsAppend(docs, s"$root/wh/t2",
+        Some("val(lang)/text"), Seq("doc_id")))
+    assert(e2.getMessage.contains("timestamp/date"), e2.getMessage)
+    // a bare STRING partitionField keeps the legacy date derivation
+    // (to_date over the values, ANSI-loud on non-dates) — generic
+    // needs the explicit val(...)
+    intercept[Exception](
+      ManifestSink.append(docs, s"$root/wh/t3", Some("lang")))
+    assert(!new java.io.File(s"$root/wh/t3/lang=en").exists)
+  }
+
   test("bloom file index: equality lookups prune files min/max cannot " +
       "touch, the OR-merge survives optimize, carry survives compact " +
       "and restore, rewrites drop their filters conservatively") {
@@ -3561,25 +3687,41 @@ class ManifestSinkSpec extends SparkSpec {
     assert(pcol.nonEmpty)
     assert(back.where(col(graft.ingest.Ingest.PartitionCol).isNull)
       .count() == 0)
-    // a partition layout this sink did not write refuses
-    val dest2 = s"$root/wh/foreign"
-    Seq((1L, "x")).toDF("id", "v").write
-      .parquet(s"$dest2/region=emea")
+    // a GENERIC single-column layout (region=emea) is self-writable
+    // now: the update keeps the row's source partition
+    val dest2 = s"$root/wh/generic"
     ManifestSink.append(
-      spark.read.parquet(s"$dest2/region=emea"), dest2, None)
-    // plant a foreign-layout target line
+      Seq((1L, "x", "emea"), (2L, "y", "apac"))
+        .toDF("id", "v", "region"),
+      dest2, Some("val(region)"))
+    assert(ManifestSink.updateWhereMor(spark, dest2,
+      ManifestSink.SkipPredicate.NumRange("id", 1, 1),
+      Map("v" -> lit("patched"))) == 1L)
+    val g = ManifestSink.readBack(spark, dest2)
+    assert(g.where("v = 'patched'").select("region")
+      .as[String].collect().toSeq == Seq("emea"))
+    assert(new java.io.File(s"$dest2/region=emea").listFiles()
+      .exists(_.getName.startsWith("mu")))
+    // a MIXED layout (two different keys across files) still refuses
     val lf = new java.io.File(s"$dest2/_log")
-    val mf = lf.listFiles().filter(_.getName.endsWith(".manifest")).head
+    val mf = lf.listFiles().filter(_.getName.endsWith(".manifest"))
+      .sorted.head
+    val extra = s"$dest2/zone=x"
+    Seq((9L, "z", "emea")).toDF("id", "v", "region")
+      .drop("region").coalesce(1).write.parquet(extra)
+    val part = new java.io.File(extra).listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
     java.nio.file.Files.writeString(mf.toPath,
-      "writeid\tforeign\ntarget\tregion=emea/" +
-        new java.io.File(s"$dest2/region=emea").listFiles()
-          .map(_.getName).find(_.endsWith(".parquet")).get)
+      java.nio.file.Files.readString(mf.toPath) +
+        s"\ntarget\tzone=x/$part")
     val ex = intercept[IllegalArgumentException] {
       ManifestSink.updateWhereMor(spark, dest2,
-        ManifestSink.SkipPredicate.NumRange("id", 1, 1),
-        Map("v" -> lit("y")))
+        ManifestSink.SkipPredicate.NumRange("id", 1, 9),
+        Map("v" -> lit("w")))
     }
-    assert(ex.getMessage.contains("did not write"), ex.getMessage)
+    assert(ex.getMessage.contains("mixes partition layouts") ||
+      ex.getMessage.contains("unsupported partition layout"),
+      ex.getMessage)
   }
 
   test("purge: only files below the live-fraction threshold rewrite — " +
