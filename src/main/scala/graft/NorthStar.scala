@@ -1498,6 +1498,54 @@ object NorthStar {
       out
     }),
 
+    // COLUMN MAPPING — metadata-only `ALTER TABLE ... RENAME COLUMN`
+    // (Delta's column-mapping name mode): two columns rename in O(1)
+    // commits (zero files rewritten — data files keep their stable
+    // physical names), then SQL INSERT/DELETE/UPDATE and the final
+    // aggregate all speak the NEW names across pre- and post-rename
+    // files in one scan. The DELETE's predicate on the renamed column
+    // exercises the skipping-stats translation (pre-rename stats key
+    // on the physical name); the oracle replays every step from the
+    // raw documents rows, so a nulled pre-rename column, a missed
+    // rename in any write path, or a mistranslated prune breaks the
+    // hash.
+    "q162_column_mapping" -> ((s, dir) => {
+      import graft.ingest.ManifestSink
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q162_").toString
+      ManifestSink.statsAppend(
+        docs.repartitionByRange(8, col("doc_id")), tmp, None,
+        Seq("doc_id", "n_chars"), bloomCols = Seq("lang"))
+      val sfx = java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      val tbl = s"graft_q162_$sfx"
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$tmp'")
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN n_chars TO char_count")
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN source TO origin")
+      // post-rename INSERT speaks the new names; VERSION AS OF 0
+      // reads the PRE-rename schema (positional insert)
+      s.sql(
+        s"""INSERT INTO $tbl
+            SELECT doc_id + 1000000, lang, source, n_chars + 7
+            FROM $tbl VERSION AS OF 0 WHERE doc_id % 37 = 0""")
+      // DELETE on the renamed column: the prune consults pre-rename
+      // stats through the mapping
+      s.sql(s"DELETE FROM $tbl WHERE char_count < 120")
+      s.sql(
+        s"UPDATE $tbl SET origin = 'redacted' WHERE doc_id % 13 = 0")
+      val out = s.sql(
+        s"""SELECT lang, count(*) AS n,
+              CAST(sum(doc_id) AS BIGINT) AS sum_id,
+              CAST(sum(char_count) AS BIGINT) AS sum_chars,
+              count(DISTINCT origin) AS n_origins
+            FROM $tbl GROUP BY lang ORDER BY lang""")
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }),
+
     // GENERIC PARTITION COLUMNS — the LLM-curation layout: the
     // documents corpus lands partitioned by its OWN lang column
     // (`lang=en/` directories, Delta-style arbitrary partition
@@ -4261,6 +4309,26 @@ object NorthStar {
            FROM kept GROUP BY event_type)
          SELECT * FROM c UNION ALL SELECT * FROM f
          ORDER BY phase, event_type""",
+    "q162_column_mapping" ->
+      """WITH base AS (
+           SELECT doc_id, lang, source, n_chars FROM documents),
+         ins AS (
+           SELECT * FROM base
+           UNION ALL
+           SELECT doc_id + 1000000, lang, source, n_chars + 7
+           FROM base WHERE doc_id % 37 = 0),
+         kept AS (SELECT * FROM ins WHERE n_chars >= 120),
+         red AS (
+           SELECT doc_id, lang,
+             CASE WHEN doc_id % 13 = 0 THEN 'redacted' ELSE source END
+               AS origin,
+             n_chars
+           FROM kept)
+         SELECT lang, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT origin) AS n_origins
+         FROM red GROUP BY lang ORDER BY lang""",
     "q161_generic_partitions" ->
       """WITH base AS (
            SELECT doc_id, lang, source, n_chars

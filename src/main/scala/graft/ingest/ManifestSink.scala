@@ -3,7 +3,7 @@ package graft.ingest
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Table-format destination sink: a minimal atomic manifest log (the core
   * mechanism of Delta/Iceberg, hand-rolled because no table-format jars
@@ -779,9 +779,12 @@ object ManifestSink extends Ingest.DestinationSink {
       * the manifest stats and bloom filters — the [[readBackWherePred]]
       * decision, exposed for filter-pushdown listing.
       */
-    def prune(from: Seq[String], pred: SkipPredicate): Seq[String] =
-      from.filter(t => mayMatchFile(stats, t, pred) &&
-        bloomMayMatchFile(blooms, posC, t, pred))
+    def prune(from: Seq[String], pred: SkipPredicate): Seq[String] = {
+      // stats/bloom keys are PHYSICAL; SQL filters arrive logical
+      val pPhys = mapPredCols(pred, mappingOf(schemaOpt))
+      from.filter(t => mayMatchFile(stats, t, pPhys) &&
+        bloomMayMatchFile(blooms, posC, t, pPhys))
+    }
     /** Columns the snapshot records skipping stats for — what a SQL
       * DML rewrite passes as `statsCols` to keep coverage.
       */
@@ -926,12 +929,13 @@ object ManifestSink extends Ingest.DestinationSink {
     (feed.map { case (v, targets) =>
       (v, () => {
         val rd = rdSchema match {
-          case Some(s) => spark.read.schema(s)
+          case Some(s) => spark.read.schema(physSchemaOf(s))
           case None    => spark.read.option("mergeSchema", "true")
         }
-        rd.option("basePath", destPath)
+        val df = rd.option("basePath", destPath)
           .parquet(targets.map(rel =>
             new Path(dest, rel).toString): _*)
+        rdSchema.map(toLogicalDf(df, _)).getOrElse(df)
       })
     }, head)
   }
@@ -1357,6 +1361,10 @@ object ManifestSink extends Ingest.DestinationSink {
       stats.keys.groupBy(_._1).map { case (t, ks) =>
         t -> ks.map(_._2).toSeq.sorted }
     val dvs = effectiveDvsOf(fs, old)
+    // COLUMN MAPPING: staged data files and the change-data sidecar
+    // carry PHYSICAL names (like every committed file); derived
+    // partition columns are never mapped
+    val cmap = mappingFor(fs, old)
     val writeId = widPrefix +
       java.util.UUID.randomUUID().toString.replace("-", "").take(14)
     val staging = stagingDir(destPath, writeId)
@@ -1381,17 +1389,18 @@ object ManifestSink extends Ingest.DestinationSink {
           case Some(d) => d.unionByName(ins, allowMissingColumns = true)
           case None    => ins
         }
-        stageCdfParts(spark, fs, staging, frame, writeId,
-            "snapshot replace").foreach { case (part, rel, n) =>
+        stageCdfParts(spark, fs, staging, toPhysicalDf(frame, cmap),
+            writeId, "snapshot replace").foreach { case (part, rel, n) =>
           sideMoves += ((part, rel))
           extraLines += s"cdf\t$rel\t$n"
         }
       }
       // stage the incoming rows in their partition layout
       val dataOut = new Path(staging, "data")
+      val dfW = toPhysicalDf(dfP, cmap)
       val writer =
-        if (pcols.nonEmpty) dfP.write.partitionBy(pcols: _*)
-        else dfP.write
+        if (pcols.nonEmpty) dfW.write.partitionBy(pcols: _*)
+        else dfW.write
       writer.mode("overwrite").parquet(dataOut.toString)
       val stagedRels = listFilesRec(fs, dataOut)
         .map(_._1)
@@ -1419,8 +1428,16 @@ object ManifestSink extends Ingest.DestinationSink {
             s"the replaced partitions")))
       val dataCols = dfP.columns.toSeq
         .filterNot(c => pcols.exists(_.equalsIgnoreCase(c)))
-      val sc = statsCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
-      val bc = bloomCols.filter(c => dataCols.exists(_.equalsIgnoreCase(c)))
+      // stats/bloom columns arrive LOGICAL (Scala callers) or
+      // PHYSICAL (threaded from SnapshotHandle.statsColumns):
+      // normalize to logical for the frame filter, hand the staged
+      // (physical) readers physical names
+      val p2l = cmap.map(_.swap)
+      def normCols(cols: Seq[String]): Seq[String] = physColsOf(
+        cols.map(c => p2l.getOrElse(c, c)).filter(c =>
+          dataCols.exists(_.equalsIgnoreCase(c))), cmap)
+      val sc = normCols(statsCols)
+      val bc = normCols(bloomCols)
       val effSc = if (sc.nonEmpty) sc else bc
       if (effSc.nonEmpty && relToTarget.nonEmpty)
         extraLines ++= statsLinesFor(spark, fs, dataOut, relToTarget,
@@ -1476,21 +1493,81 @@ object ManifestSink extends Ingest.DestinationSink {
     else Some(moves.length.toLong)
   }
 
-  /** RENAME COLUMN as a REWRITE commit. Parquet (and this engine's
-    * log-resolved schema) binds columns BY NAME, so a metadata-only
-    * rename would read every pre-rename file's rows as NULL under the
-    * new name — silent data loss (Delta refuses renames without its
-    * column-mapping mode for exactly this reason). The honest
-    * operation on a plain-parquet lakehouse is a rewrite: ONE atomic
-    * snapshot-replace of the table content with the column renamed,
-    * skipping stats and bloom filters rebuilt under the new name, and
-    * history retained (RESTORE reaches the pre-rename state, whose
-    * files are untouched). O(table) by design — at large scale prefer
-    * ADD + backfill + DROP, or schedule the rename as maintenance.
-    * Partition-layout columns refuse (their values live in directory
-    * names). Returns the number of files rewritten.
+  /** RENAME COLUMN as a METADATA-ONLY commit (Delta's column-mapping
+    * "name mode"): one `schemaevo` commit changes the column's LOGICAL
+    * name and records its stable PHYSICAL name (the name its bytes
+    * live under in every data file — its name at first write) in the
+    * field's `graft.physical` metadata. No data file is rewritten at
+    * any table size; readers scan under the physical schema and
+    * surface the logical name; writers map logical frames back to
+    * physical before staging; skipping stats and bloom filters keep
+    * their as-written (physical) keys with predicates translated at
+    * the prune boundary. Chained renames keep the ORIGINAL physical
+    * name; renaming back to it drops the mapping. Time travel below
+    * the commit reads the old name; RESTORE below it restores the old
+    * schema. Partition-layout columns refuse (their values live in
+    * directory names). Returns 0 (files rewritten) — use
+    * [[renameColumnRewrite]] to physically rewrite instead.
     */
   def renameColumn(spark: SparkSession, destPath: String,
+      from: String, to: String): Long = {
+    val dest = new Path(destPath)
+    val fs = fsOf(spark, dest)
+    require(fs.exists(dest) && manifests(fs, destPath).nonEmpty,
+      s"[graft] renameColumn: $destPath has no committed versions")
+    val targets = effectiveTargetsOf(fs, resolvedLog(fs, destPath))
+    val layoutCols: Seq[String] = targets.headOption.map { t =>
+      t.split('/').init.filter(_.contains('=')).map(s =>
+        s.substring(0, s.indexOf('='))).toSeq
+    }.getOrElse(Nil)
+    require(!layoutCols.exists(_.equalsIgnoreCase(from)),
+      s"[graft] renameColumn: '$from' is a partition-layout column — " +
+        "its values live in directory names; repartition the table " +
+        "instead")
+    alterSchema(spark, destPath, cur => {
+      val i = cur.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+      require(i >= 0,
+        s"[graft] renameColumn: column '$from' does not exist " +
+          s"(columns: ${cur.fieldNames.mkString(", ")})")
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"[graft] renameColumn: column '$to' already exists")
+      val f = cur.fields(i)
+      val phys = physNameOf(f)
+      // `to` must not shadow ANOTHER column's physical name: data
+      // files and stats lines key on physical names, and an aliased
+      // pair would be indistinguishable at scan time
+      cur.fields.zipWithIndex.foreach { case (o, j) =>
+        require(j == i || !physNameOf(o).equalsIgnoreCase(to),
+          s"[graft] renameColumn: '$to' is the physical (file) name " +
+            s"of column '${o.name}' — pick a different name")
+      }
+      val md =
+        if (to == phys)
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(PhysicalKey).build()
+        else
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysicalKey, phys)
+            .build()
+      StructType(cur.fields.updated(i,
+        f.copy(name = to, metadata = md)))
+    })
+    println(s"METRIC graft.rename_column.from=$from to=$to " +
+      s"files=0 dest=$destPath")
+    0L
+  }
+
+  /** RENAME COLUMN as a physical REWRITE commit — the pre-mapping
+    * behavior, kept for layout hygiene (a table whose files should
+    * carry the new name physically, e.g. before handing the directory
+    * to a non-graft reader that resolves columns from footers alone):
+    * ONE atomic snapshot-replace of the table content with the column
+    * renamed, skipping stats and bloom filters rebuilt under the new
+    * name, and history retained (RESTORE reaches the pre-rename
+    * state). O(table) by design. Returns the number of files
+    * rewritten.
+    */
+  def renameColumnRewrite(spark: SparkSession, destPath: String,
       from: String, to: String): Long = {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
@@ -1516,8 +1593,13 @@ object ManifestSink extends Ingest.DestinationSink {
     val renamed = back.withColumnRenamed(actualFrom, to)
     def mv(cols: Seq[String]): Seq[String] =
       cols.map(c => if (c.equalsIgnoreCase(from)) to else c)
-    val sc = mv(handle.statsColumns)
-    val bc = mv(handle.bloomColumns)
+    // stats/bloom columns surface as-written (physical) — a mapped
+    // table's rewrite rebuilds them under the frame's LOGICAL names
+    val p2l = mappingOf(handle.schemaOpt).map(_.swap)
+    def logi(cols: Seq[String]): Seq[String] =
+      cols.map(c => p2l.getOrElse(c, c))
+    val sc = mv(logi(handle.statsColumns))
+    val bc = mv(logi(handle.bloomColumns))
     // the rewrite keeps the layout: p_date[/p_hour] specs re-derive
     // through the identity; a generic layout column passes through
     // by value (readBack surfaces it from the directories)
@@ -1871,10 +1953,11 @@ object ManifestSink extends Ingest.DestinationSink {
         }
       }
       val insOut = new Path(staging, "ins")
+      val appendsW = toPhysicalDf(appends, mappingFor(fs, old))
       val writer =
         if (pcols.nonEmpty)
-          appends.write.mode("overwrite").partitionBy(pcols: _*)
-        else appends.write.mode("overwrite")
+          appendsW.write.mode("overwrite").partitionBy(pcols: _*)
+        else appendsW.write.mode("overwrite")
       writer.parquet(insOut.toString)
       val insQ = fs.makeQualified(insOut).toString
       val insStaged = listFilesRec(fs, insOut).map(_._1)
@@ -1896,7 +1979,7 @@ object ManifestSink extends Ingest.DestinationSink {
       }
       if (statsCols.nonEmpty && insTargets.nonEmpty)
         newStats ++= statsLinesFor(spark, fs, insOut,
-          insTargets.toMap, statsCols)
+          insTargets.toMap, physColsOf(statsCols, mappingFor(fs, old)))
       insTargets.foreach { case (rel, target) =>
         moves += ((new Path(insOut, rel), target))
       }
@@ -2014,12 +2097,15 @@ object ManifestSink extends Ingest.DestinationSink {
       .map(rel => new Path(dest, rel).toString)
     if (files.isEmpty) return spark.emptyDataFrame
     // a range spanning an ALTER COLUMN TYPE widen mixes physical
-    // types — read under the log-resolved schema (upcasts per file)
-    val rd = logReadSchema(spark, destPath, None) match {
-      case Some(s) => spark.read.schema(s)
+    // types — read under the log-resolved schema (upcasts per file);
+    // renamed columns scan physical and surface logical
+    val logSchema = logReadSchema(spark, destPath, None)
+    val rd = logSchema match {
+      case Some(s) => spark.read.schema(physSchemaOf(s))
       case None    => spark.read.option("mergeSchema", "true")
     }
-    rd.option("basePath", destPath).parquet(files: _*)
+    val df = rd.option("basePath", destPath).parquet(files: _*)
+    logSchema.map(toLogicalDf(df, _)).getOrElse(df)
   }
 
   /** ROW-LEVEL CHANGE DATA FEED (Delta's `table_changes`): every
@@ -2082,15 +2168,18 @@ object ManifestSink extends Ingest.DestinationSink {
     // one type per column (the widen itself is feed-invisible: a
     // schemaevo commit carries no content change)
     val harmonizeTo = effectiveSchemaOf(fs, all)
-    def harmonize(df: DataFrame): DataFrame = harmonizeTo match {
-      case None => df
-      case Some(s) => df.select(df.columns.map { c =>
-        s.find(_.name.equalsIgnoreCase(c)) match {
-          case Some(f) if f.dataType != df.schema(c).dataType =>
-            col(c).cast(f.dataType).as(c)
-          case _ => col(c)
-        }
-      }.toSeq: _*)
+    def harmonize(df0: DataFrame): DataFrame = harmonizeTo match {
+      case None => df0
+      case Some(s) =>
+        // sidecars/files carry PHYSICAL names — surface logical first
+        val df = toLogicalDf(df0, s)
+        df.select(df.columns.map { c =>
+          s.find(_.name.equalsIgnoreCase(c)) match {
+            case Some(f) if f.dataType != df.schema(c).dataType =>
+              col(c).cast(f.dataType).as(c)
+            case _ => col(c)
+          }
+        }.toSeq: _*)
     }
     val feed = inRange.flatMap { mf =>
       val v = vOf(mf)
@@ -2122,7 +2211,7 @@ object ManifestSink extends Ingest.DestinationSink {
         // the log has one: a post-widen dv can tombstone rows in files
         // of BOTH eras, whose footers a mergeSchema union would refuse
         def rdFiles = harmonizeTo match {
-          case Some(s) => spark.read.schema(s)
+          case Some(s) => spark.read.schema(physSchemaOf(s))
           case None    => spark.read.option("mergeSchema", "true")
         }
         val deletes =
@@ -2156,8 +2245,9 @@ object ManifestSink extends Ingest.DestinationSink {
               new Path(dest, rel).toString): _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
-        Seq(deletes, inserts).flatten
+        val joined = Seq(deletes, inserts).flatten
           .reduce(_.unionByName(_, allowMissingColumns = true))
+        harmonizeTo.map(toLogicalDf(joined, _)).getOrElse(joined)
       }))
     }
     (feed, math.max(sinceVersion, all.map(vOf).max))
@@ -2482,14 +2572,18 @@ object ManifestSink extends Ingest.DestinationSink {
       withBase: Boolean = true,
       schemaCut: Option[Seq[Path]] = None): DataFrame = {
     val dest = new Path(destPath)
-    val rd = logReadSchema(spark, destPath, schemaCut) match {
-      case Some(s) => spark.read.schema(s)
+    val logSchema = logReadSchema(spark, destPath, schemaCut)
+    val rd = logSchema match {
+      // scan under PHYSICAL names (what the files carry); renamed
+      // columns surface under their logical names after the read
+      case Some(s) => spark.read.schema(physSchemaOf(s))
       case None    => spark.read.option("mergeSchema", "true")
     }
-    val base = (if (withBase) rd.option("basePath", destPath) else rd)
+    val base0 = (if (withBase) rd.option("basePath", destPath) else rd)
       .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
       .withColumn("__graft_fn", col("_metadata.file_name"))
       .withColumn("__graft_pos", col("_metadata.row_index"))
+    val base = logSchema.map(toLogicalDf(base0, _)).getOrElse(base0)
     val relSet = rels.toSet
     val relevant = dvs.filter { case (t, _) => relSet.contains(t) }
     if (relevant.isEmpty) base
@@ -2571,12 +2665,14 @@ object ManifestSink extends Ingest.DestinationSink {
     val dest = new Path(destPath)
     val relSet = rels.toSet
     if (!dvs.exists { case (t, _) => relSet.contains(t) }) {
-      val rd = logReadSchema(spark, destPath, schemaCut) match {
-        case Some(s) => spark.read.schema(s)
+      val logSchema = logReadSchema(spark, destPath, schemaCut)
+      val rd = logSchema match {
+        case Some(s) => spark.read.schema(physSchemaOf(s))
         case None    => spark.read.option("mergeSchema", "true")
       }
-      (if (withBase) rd.option("basePath", destPath) else rd)
+      val df = (if (withBase) rd.option("basePath", destPath) else rd)
         .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
+      logSchema.map(toLogicalDf(df, _)).getOrElse(df)
     } else readFilesDvMeta(spark, destPath, rels, dvs, withBase,
       schemaCut).drop("__graft_fn", "__graft_pos")
   }
@@ -2946,6 +3042,27 @@ object ManifestSink extends Ingest.DestinationSink {
     val next = transform(current)
     require(next.nonEmpty,
       "[graft] alterSchema: the resulting schema is empty")
+    // COLUMN-MAPPING invariants: logical names unique, physical names
+    // unique, and no logical name shadowing another field's physical
+    // name — data files and stats lines key on physical names, so an
+    // aliased pair (e.g. ADDing a column named like a renamed
+    // column's file name) would silently read the old bytes
+    val lnames = next.fields.map(_.name.toLowerCase)
+    require(lnames.distinct.length == lnames.length,
+      s"[graft] alterSchema: duplicate column names in " +
+        s"(${next.fieldNames.mkString(", ")})")
+    val pnames = next.fields.map(f => physNameOf(f).toLowerCase)
+    require(pnames.distinct.length == pnames.length,
+      "[graft] alterSchema: two columns share a physical (file) name")
+    next.fields.foreach { f =>
+      next.fields.foreach { o =>
+        require((f.name == o.name) ||
+            !f.name.equalsIgnoreCase(physNameOf(o)),
+          s"[graft] alterSchema: column '${f.name}' shadows the " +
+            s"physical (file) name of renamed column '${o.name}' — " +
+            "pick a different name")
+      }
+    }
     val body = Seq("writeid\talter", "schemaevo\t1",
       schemaLineOf(next)).mkString("\n")
     val lp = logPath(destPath)
@@ -3032,6 +3149,12 @@ object ManifestSink extends Ingest.DestinationSink {
 
   /** Field-union of file schemas in first-appearance order, all
     * nullable; None on an empty input or a same-name type conflict.
+    * COLUMN-MAPPING aware: a field whose name equals an
+    * already-unioned field's PHYSICAL name (`graft.physical`
+    * metadata) is the SAME column — per-commit schema lines record
+    * what the data files carry (physical names), while the rebasing
+    * evo/snapshot line (always first in resolution order) carries the
+    * logical names and the mapping.
     */
   private def unionSchemas(schemas: Seq[StructType])
       : Option[StructType] = {
@@ -3040,7 +3163,13 @@ object ManifestSink extends Ingest.DestinationSink {
       org.apache.spark.sql.types.StructField]()
     schemas.foreach(_.fields.foreach { f =>
       out.get(f.name) match {
-        case None => out += f.name -> f.copy(nullable = true)
+        case None =>
+          out.values.find(ex =>
+            physNameOf(ex) != ex.name && physNameOf(ex) == f.name) match {
+            case Some(ex) =>
+              if (ex.dataType != f.dataType) return None
+            case None => out += f.name -> f.copy(nullable = true)
+          }
         case Some(prev) =>
           if (prev.dataType != f.dataType) return None
       }
@@ -3050,6 +3179,137 @@ object ManifestSink extends Ingest.DestinationSink {
 
   private def schemaLineOf(st: StructType): String =
     "schemaj\t" + b64(st.json)
+
+  // ===================== column mapping ============================
+  //
+  // METADATA-ONLY COLUMN RENAME (Delta's column-mapping "name mode",
+  // re-expressed for this log): every column has a stable PHYSICAL
+  // name — the name it was FIRST written under — and data files,
+  // stats lines, and bloom lines key on it forever. A rename is one
+  // `schemaevo` commit that changes the LOGICAL name and records the
+  // physical one in the field's metadata (`graft.physical`), so no
+  // data file is rewritten at any table size. The translation layer
+  // is thin because physical names are original names: a table that
+  // never renamed has an EMPTY mapping and every path below is the
+  // identity.
+  //
+  //  - reads: scan under the PHYSICAL schema, rename to logical after
+  //    ([[readFilesDvMeta]], the feeds, the SQL scan's FileFormat).
+  //  - writes: rename logical frames to physical before staging, so
+  //    all files stay physically consistent ([[toPhysicalDf]]).
+  //  - skipping: stats/bloom lines key on as-written (physical) names;
+  //    predicates arrive logical and translate at the prune boundary
+  //    ([[mapPredCols]]), while the residual row filter stays logical.
+
+  /** StructField metadata key carrying a renamed column's stable
+    * physical name (the name its bytes live under in data files).
+    */
+  private[graft] val PhysicalKey = "graft.physical"
+
+  /** The field's physical (file) name: its recorded mapping, or its
+    * own name when never renamed.
+    */
+  private[graft] def physNameOf(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** logical → physical for the fields whose names differ; empty for
+    * tables that never renamed (the no-op fast path everywhere).
+    */
+  private[graft] def mappingOf(st: StructType): Map[String, String] =
+    st.fields.iterator
+      .map(f => f.name -> physNameOf(f))
+      .filter { case (l, p) => l != p }
+      .toMap
+
+  private[graft] def mappingOf(st: Option[StructType])
+      : Map[String, String] = st.map(mappingOf).getOrElse(Map.empty)
+
+  /** The schema with every field under its PHYSICAL name — what the
+    * parquet scan requests. Mapping metadata is kept (harmless to the
+    * reader, and it keeps the rename round-trippable).
+    */
+  private[graft] def physSchemaOf(st: StructType): StructType =
+    StructType(st.fields.map(f => f.copy(name = physNameOf(f))))
+
+  /** Rename a frame's PHYSICAL columns back to their logical names
+    * (post-scan). Only mapped columns present in the frame rename;
+    * metadata/partition columns pass through.
+    */
+  private def toLogicalDf(df: DataFrame, logical: StructType): DataFrame = {
+    val m = mappingOf(logical).map(_.swap) // physical -> logical
+    if (m.isEmpty) df
+    else {
+      val present = m.filter { case (p, _) => df.columns.contains(p) }
+      if (present.isEmpty) df else df.withColumnsRenamed(present)
+    }
+  }
+
+  /** Rename a LOGICAL frame's mapped columns to their physical names
+    * (pre-write). Partition-layout columns are never mapped (rename
+    * refuses them), so `partitionBy` names are unaffected.
+    */
+  private def toPhysicalDf(df: DataFrame,
+      mapping: Map[String, String]): DataFrame = {
+    if (mapping.isEmpty) return df
+    // a frame column named like a mapped column's PHYSICAL name would
+    // silently alias the renamed column's bytes at read time — refuse
+    // loudly (write it under the logical name, or rename the column
+    // back first)
+    mapping.foreach { case (l, p) =>
+      if (df.columns.exists(_.equalsIgnoreCase(p)))
+        throw new IllegalArgumentException(
+          s"[graft] write: frame carries column '$p' — the physical " +
+            s"(file) name of renamed column '$l'; write it as '$l', " +
+            "or pick a different name for the new column")
+    }
+    val present = df.columns.flatMap { c =>
+      mapping.collectFirst {
+        case (l, p) if l.equalsIgnoreCase(c) => c -> p }
+    }.toMap
+    if (present.isEmpty) df else df.withColumnsRenamed(present)
+  }
+
+  /** Translate a column-name list logical → physical. Idempotent:
+    * already-physical names (never keys of the mapping) pass through,
+    * so a caller echoing [[SnapshotHandle.statsColumns]] (as-written =
+    * physical) is safe.
+    */
+  private def physColsOf(cols: Seq[String],
+      mapping: Map[String, String]): Seq[String] =
+    if (mapping.isEmpty) cols
+    else cols.map(c => mapping.collectFirst {
+      case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c))
+
+  /** Translate a [[SkipPredicate]]'s column names logical → physical
+    * for the stats/bloom consult. The caller keeps the ORIGINAL
+    * (logical) predicate for the residual row filter.
+    */
+  private def mapPredCols(p: SkipPredicate,
+      mapping: Map[String, String]): SkipPredicate = {
+    if (mapping.isEmpty) return p
+    def f(c: String): String = mapping.collectFirst {
+      case (l, ph) if l.equalsIgnoreCase(c) => ph }.getOrElse(c)
+    def go(q: SkipPredicate): SkipPredicate = q match {
+      case SkipPredicate.And(ps) => SkipPredicate.And(ps.map(go))
+      case SkipPredicate.Or(ps)  => SkipPredicate.Or(ps.map(go))
+      case SkipPredicate.NumRange(c, lo, hi) =>
+        SkipPredicate.NumRange(f(c), lo, hi)
+      case SkipPredicate.StrRange(c, lo, hi) =>
+        SkipPredicate.StrRange(f(c), lo, hi)
+      case SkipPredicate.StrEq(c, v) => SkipPredicate.StrEq(f(c), v)
+      case SkipPredicate.IsNull(c)   => SkipPredicate.IsNull(f(c))
+      case SkipPredicate.IsNotNull(c) => SkipPredicate.IsNotNull(f(c))
+    }
+    go(p)
+  }
+
+  /** The current logical → physical mapping of a table, resolved from
+    * the log; empty when the table never renamed (or has no log
+    * schema — pre-schema-line tables cannot have renamed).
+    */
+  private def mappingFor(fs: FileSystem, mfs: Seq[Path])
+      : Map[String, String] = mappingOf(effectiveSchemaOf(fs, mfs))
 
   /** Schema of one parquet file via a direct parquet-mr footer read —
     * ~5 ms against `spark.read.parquet(...).schema`'s ~100 ms
@@ -3444,16 +3704,17 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   private def bloomRefineCandidates(spark: SparkSession,
       destPath: String, blooms: BloomIndex, src: DataFrame,
-      keyCol: String, rangeCandidates: Seq[String], nKeys: Long)
+      keyCol: String, keyColPhys: String,
+      rangeCandidates: Seq[String], nKeys: Long)
       : Seq[String] = {
     val inline = blooms.inlineFilters
     val refs = blooms.sidecarRefs
     val inlineBacked = rangeCandidates
-      .filter(t => inline.contains((t, keyCol)))
+      .filter(t => inline.contains((t, keyColPhys)))
     val scBacked = rangeCandidates.filter(t =>
-      !inline.contains((t, keyCol)) && refs.contains((t, keyCol)))
+      !inline.contains((t, keyColPhys)) && refs.contains((t, keyColPhys)))
     val unbacked = rangeCandidates.filterNot(t =>
-      inline.contains((t, keyCol)) || refs.contains((t, keyCol)))
+      inline.contains((t, keyColPhys)) || refs.contains((t, keyColPhys)))
     val keptInline: Seq[String] =
       if (inlineBacked.isEmpty) Nil
       else if (nKeys > 100000L) inlineBacked // cap: skip, keep all
@@ -3463,7 +3724,7 @@ object ManifestSink extends Ingest.DestinationSink {
           .collect().map(_.getString(0))
         val posC = bloomPosCache()
         inlineBacked.filter { t =>
-          val bf = inline((t, keyCol))
+          val bf = inline((t, keyColPhys))
           keys.exists(k => bf.mightContain(
             posC.getOrElseUpdate((k, bf.m, bf.k),
               BloomF.positions(k, bf.m, bf.k))))
@@ -3474,7 +3735,7 @@ object ManifestSink extends Ingest.DestinationSink {
       else {
         import spark.implicits._
         val meta = scBacked.map { t =>
-          val r = refs((t, keyCol)); (t, r.m, r.k, r.rel)
+          val r = refs((t, keyColPhys)); (t, r.m, r.k, r.rel)
         }
         val dest = new Path(destPath)
         val rels = meta.map(_._4).distinct
@@ -3494,7 +3755,7 @@ object ManifestSink extends Ingest.DestinationSink {
             expr("CAST(shiftright(__p, 6) AS INT)").as("w"),
             expr("CAST(__p % 64 AS INT)").as("__b"))
         val words = spark.read.parquet(rels: _*)
-          .where(col("col") === keyCol)
+          .where(col("col") === keyColPhys)
           .select(col("tgt"), col("w"), col("bits"))
         probes.join(words, Seq("tgt", "w"))
           .where(expr("(shiftrightunsigned(bits, __b) & 1) = 1"))
@@ -4016,14 +4277,22 @@ object ManifestSink extends Ingest.DestinationSink {
     // checkpoint commits nothing the second time
     val id = writeId.getOrElse(
       java.util.UUID.randomUUID().toString.replace("-", "").take(16))
-    stageMoveCommit(df.sparkSession, destPath, id, Seq.empty, statsCols,
-      bloomCols, bloomBits) {
+    // COLUMN MAPPING: staged files (and their stats/bloom keys) carry
+    // PHYSICAL names; no-op for never-renamed tables. Partition
+    // columns derive from the LOGICAL frame first (the spec names
+    // logical columns), then the data columns map to physical.
+    val fs0 = fsOf(df.sparkSession, new Path(destPath))
+    val cmap = mappingFor(fs0, resolvedLog(fs0, destPath))
+    stageMoveCommit(df.sparkSession, destPath, id, Seq.empty,
+      physColsOf(statsCols, cmap),
+      physColsOf(bloomCols, cmap), bloomBits) {
       staging =>
         val writer = partitionField match {
           case Some(f) =>
             val (dfp, pcols) = withPartitionCols(df, f)
-            dfp.write.mode("overwrite").partitionBy(pcols: _*)
-          case None => df.write.mode("overwrite")
+            toPhysicalDf(dfp, cmap).write.mode("overwrite")
+              .partitionBy(pcols: _*)
+          case None => toPhysicalDf(df, cmap).write.mode("overwrite")
         }
         writer.parquet(staging.toString)
     }
@@ -4061,8 +4330,11 @@ object ManifestSink extends Ingest.DestinationSink {
     val stats = fileStatsOf(fs, mfs)
     val blooms = bloomIndexOf(spark, destPath, fs, mfs)
     val posC = bloomPosCache()
-    val keep = targets.filter(t => mayMatchFile(stats, t, pred) &&
-      bloomMayMatchFile(blooms, posC, t, pred))
+    // COLUMN MAPPING: stats/bloom keys are physical; the residual row
+    // filter below stays logical
+    val pPhys = mapPredCols(pred, mappingFor(fs, mfs))
+    val keep = targets.filter(t => mayMatchFile(stats, t, pPhys) &&
+      bloomMayMatchFile(blooms, posC, t, pPhys))
     println(s"METRIC graft.skipping.files_total=${targets.length} " +
       s"files_read=${keep.length} col=${pred.column} dest=$destPath")
     if (keep.isEmpty)
@@ -4104,14 +4376,15 @@ object ManifestSink extends Ingest.DestinationSink {
     var skipped = 0
     val blooms = bloomIndexOf(spark, destPath, fs, mfs)
     val posC = bloomPosCache()
+    val pPhys = mapPredCols(pred, mappingFor(fs, mfs))
     targets.foreach { t =>
       // a file with deletion vectors can still SKIP (pruned = no rows
       // either way) but cannot take metadata credit: its recorded row
       // count includes tombstoned rows
-      if (!mayMatchFile(stats, t, pred) ||
-          !bloomMayMatchFile(blooms, posC, t, pred)) skipped += 1
+      if (!mayMatchFile(stats, t, pPhys) ||
+          !bloomMayMatchFile(blooms, posC, t, pPhys)) skipped += 1
       else rowsOf(t) match {
-        case Some(r) if mustMatchFile(stats, t, pred) &&
+        case Some(r) if mustMatchFile(stats, t, pPhys) &&
             !dvs.contains(t) => credited += r
         case _ => scanList += t
       }
@@ -4204,6 +4477,9 @@ object ManifestSink extends Ingest.DestinationSink {
     // tombstones of repacked inputs MATERIALIZE here: the packed file is
     // written from live rows only and carries no dv lines
     val dvs = effectiveDvsOf(fs, old)
+    // COLUMN MAPPING: repacked/re-sorted files go back into the table —
+    // write them under PHYSICAL names like every committed file
+    val cmap = mappingFor(fs, old)
 
     def dirOf(rel: String): String = {
       val i = rel.lastIndexOf('/')
@@ -4281,7 +4557,9 @@ object ManifestSink extends Ingest.DestinationSink {
           // no basePath: partition values live in the directory name, not
           // the file, and the packed file goes back into the SAME dir;
           // dv-aware read = tombstone materialization
-          readFilesDv(spark, destPath, bin, dvs, withBase = false)
+          toPhysicalDf(
+            readFilesDv(spark, destPath, bin, dvs, withBase = false),
+            cmap)
             .coalesce(1).write.mode("overwrite").parquet(binOut.toString)
           if (bin.exists(dvs.contains)) {
             val perFile =
@@ -4429,20 +4707,27 @@ object ManifestSink extends Ingest.DestinationSink {
               union
                 .repartitionByRange(nOut, clusterBy.map(col): _*)
                 .sortWithinPartitions(clusterBy.map(col): _*)
-          sorted.write.mode("overwrite").parquet(unitOut.toString)
+          toPhysicalDf(sorted, cmap).write.mode("overwrite")
+            .parquet(unitOut.toString)
           phase("sort_write")
           val parts = fs.listStatus(unitOut).map(_.getPath)
             .filter(p => p.getName.startsWith("part-") &&
               p.getName.endsWith(".parquet"))
             .sortBy(_.getName).toSeq
           // re-derive stats for every column any input had stats for,
-          // plus the cluster key(s) themselves
+          // plus the cluster key(s) themselves. Stats keys are
+          // PHYSICAL; union surfaces LOGICAL — compare through the
+          // mapping and hand the staged (physical) reader physical
+          // names
+          val p2l = cmap.map(_.swap)
           val statCols = (rels.flatMap(r =>
-            statsByTgt.getOrElse(r, Map.empty).keys) ++ sortKeys)
+            statsByTgt.getOrElse(r, Map.empty).keys)
+              .map(c => p2l.getOrElse(c, c)) ++ sortKeys)
             .distinct.sorted.filter(union.columns.contains)
           val perFile: Map[String, Seq[(String, ColStats)]] =
             if (statCols.isEmpty) Map.empty
-            else fileStatsOfParquet(spark, unitOut.toString, statCols)
+            else fileStatsOfParquet(spark, unitOut.toString,
+              physColsOf(statCols, cmap))
               .groupBy { case ((f, _), _) =>
                 new Path(new java.net.URI(f)).toUri.getPath }
               .map { case (p, m) =>
@@ -4462,7 +4747,9 @@ object ManifestSink extends Ingest.DestinationSink {
           // commit's sidecar
           val unitBloomCols = rels.flatMap(r =>
             bloomsOld.keys.filter(_._1 == r).map(_._2))
+            .map(c => p2l.getOrElse(c, c))
             .distinct.sorted.filter(union.columns.contains)
+            .map(c => cmap.getOrElse(c, c))
           val (unitInline, unitBlooms)
               : (Seq[String],
                 Option[(Seq[(String, String, Int, Int)], DataFrame)]) =
@@ -4651,8 +4938,11 @@ object ManifestSink extends Ingest.DestinationSink {
       case Left(p) =>
         val blooms = bloomIndexOf(spark, destPath, fs, old)
         val posC = bloomPosCache()
-        (targets.filter(t => mayMatchFile(stats, t, p) &&
-          bloomMayMatchFile(blooms, posC, t, p)), residual(p),
+        // COLUMN MAPPING: prune with a physically-named copy; the
+        // residual row filter stays logical
+        val pPhys = mapPredCols(p, mappingFor(fs, old))
+        (targets.filter(t => mayMatchFile(stats, t, pPhys) &&
+          bloomMayMatchFile(blooms, posC, t, pPhys)), residual(p),
           p.column)
       case Right(c) => (targets, c, "<expr>")
     }
@@ -4860,12 +5150,17 @@ object ManifestSink extends Ingest.DestinationSink {
         "date/hour partition dirs — repair the layout first")
     val stats = fileStatsOf(fs, old)
     val dvs = effectiveDvsOf(fs, old)
+    // COLUMN MAPPING: prune with a physically-named copy of the
+    // predicate; appended rows stage under physical names
+    val cmap = mappingFor(fs, old)
+    val p2l = cmap.map(_.swap)
     val (candidates, m, colLabel) = pred match {
       case Left(p) =>
         val blooms = bloomIndexOf(spark, destPath, fs, old)
         val posC = bloomPosCache()
-        (targets.filter(t => mayMatchFile(stats, t, p) &&
-          bloomMayMatchFile(blooms, posC, t, p)), residual(p),
+        val pPhys = mapPredCols(p, cmap)
+        (targets.filter(t => mayMatchFile(stats, t, pPhys) &&
+          bloomMayMatchFile(blooms, posC, t, pPhys)), residual(p),
           p.column)
       case Right(c) => (targets, c, "<expr>")
     }
@@ -4899,9 +5194,12 @@ object ManifestSink extends Ingest.DestinationSink {
         (if (autoPdate.nonEmpty) Seq(col("__graft_fn")) else Nil))
         .toSeq: _*)
     // updated rows keep skipping coverage: stats for every column the
-    // table already records (restricted to columns the rows carry)
+    // table already records (restricted to columns the rows carry).
+    // Keys are PHYSICAL; the frame is logical — compare through the
+    // mapping, keep the PHYSICAL list (the staged files it reads are
+    // physical)
     val tableStatsCols = stats.keys.map(_._2).toSeq.distinct.sorted
-      .filter(dataCols.contains)
+      .filter(c => dataCols.contains(p2l.getOrElse(c, c)))
     val relOfName: Map[String, String] =
       candidates.map(rel => fileNameOf(rel) -> rel).toMap
 
@@ -4928,7 +5226,8 @@ object ManifestSink extends Ingest.DestinationSink {
       val writer = partitionField match {
         case Some(f) =>
           val (upsP, upsCols) = withPartitionCols(ups, f)
-          upsP.write.mode("overwrite").partitionBy(upsCols: _*)
+          toPhysicalDf(upsP, cmap).write.mode("overwrite")
+            .partitionBy(upsCols: _*)
         case None if autoPdate.nonEmpty =>
           // carry each updated row's SOURCE partition: file name →
           // directory-parsed value(s), joined back (broadcast —
@@ -4959,9 +5258,10 @@ object ManifestSink extends Ingest.DestinationSink {
                   Seq(Ingest.PartitionCol, Ingest.PartitionHourCol))
               else (joined, Seq(Ingest.PartitionCol))
             }
-          laid.drop("__graft_fn", "__graft_pd", "__graft_ph")
+          toPhysicalDf(
+            laid.drop("__graft_fn", "__graft_pd", "__graft_ph"), cmap)
             .write.mode("overwrite").partitionBy(pcols: _*)
-        case None => ups.write.mode("overwrite")
+        case None => toPhysicalDf(ups, cmap).write.mode("overwrite")
       }
       writer.parquet(insOut.toString)
       val insQ = fs.makeQualified(insOut).toString
@@ -5279,12 +5579,17 @@ object ManifestSink extends Ingest.DestinationSink {
     val statsByTgt: Map[String, Seq[String]] =
       stats.keys.groupBy(_._1).map { case (t, ks) =>
         t -> ks.map(_._2).toSeq.sorted }
+    // COLUMN MAPPING: stats/bloom keys are physical — the PRUNE
+    // consults a translated copy; the residual row filter stays
+    // logical (the frames surface logical names)
+    val cmap = mappingFor(fs, old)
     val (candidates, m, colLabel) = pred match {
       case Left(p) =>
         val blooms = bloomIndexOf(spark, destPath, fs, old)
         val posC = bloomPosCache()
-        (targets.filter(t => mayMatchFile(stats, t, p) &&
-          bloomMayMatchFile(blooms, posC, t, p)), residual(p),
+        val pPhys = mapPredCols(p, cmap)
+        (targets.filter(t => mayMatchFile(stats, t, pPhys) &&
+          bloomMayMatchFile(blooms, posC, t, pPhys)), residual(p),
           p.column)
       case Right(c) => (targets, c, "<expr>")
     }
@@ -5377,8 +5682,8 @@ object ManifestSink extends Ingest.DestinationSink {
                 exprs.get(c).map(_.as(c)).getOrElse(col(c))): _*)
                 .withColumn("_change_type", lit("insert")))
         }
-        stageCdfParts(spark, fs, staging, frame, writeId,
-            "rewriteWhere").foreach { case (part, rel, n) =>
+        stageCdfParts(spark, fs, staging, toPhysicalDf(frame, cmap),
+            writeId, "rewriteWhere").foreach { case (part, rel, n) =>
           sideMoves += ((part, rel))
           cdfLine += s"cdf\t$rel\t$n"
         }
@@ -5423,7 +5728,8 @@ object ManifestSink extends Ingest.DestinationSink {
                 .unionByName(src.where(!coalesce(mB, lit(false))))
         }
         val rwOut = new Path(staging, s"rw_$k")
-        out.coalesce(1).write.mode("overwrite").parquet(rwOut.toString)
+        toPhysicalDf(out, cmap).coalesce(1).write.mode("overwrite")
+          .parquet(rwOut.toString)
         val part = fs.listStatus(rwOut).map(_.getPath)
           .find(p => p.getName.startsWith("part-") &&
             p.getName.endsWith(".parquet"))
@@ -5474,8 +5780,9 @@ object ManifestSink extends Ingest.DestinationSink {
     val absorbOk: Seq[Path] => Boolean = pred match {
       case Left(p) => newMfs => {
         val absorbStats = fileStatsOf(fs, newMfs)
+        val pPhys = mapPredCols(p, cmap)
         newMfs.flatMap(readManifest(fs, _)._2)
-          .forall(t => !mayMatchFile(absorbStats, t, p))
+          .forall(t => !mayMatchFile(absorbStats, t, pPhys))
       }
       case Right(_) => _ => false
     }
@@ -6124,6 +6431,11 @@ object ManifestSink extends Ingest.DestinationSink {
       .maxOption.getOrElse(-1L)
     val stats = fileStatsOf(fs, old)
     val dvs = effectiveDvsOf(fs, old)
+    // COLUMN MAPPING: stats/bloom keys are physical; source frames and
+    // key columns are logical
+    val cmap = mappingFor(fs, old)
+    val keyColPhys = cmap.collectFirst {
+      case (l, p) if l.equalsIgnoreCase(keyCol) => p }.getOrElse(keyCol)
     val statsByTgt: Map[String, Seq[String]] =
       stats.keys.groupBy(_._1).map { case (t, ks) =>
         t -> ks.map(_._2).toSeq.sorted }
@@ -6154,7 +6466,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val rangeCandidates = keyPred match {
       case None => Seq.empty[String]
       case Some(kp) => targets.filter { t =>
-        stats.get((t, keyCol)) match {
+        stats.get((t, keyColPhys)) match {
           case Some(st) => mayMatch(kp, st)
           case None     => true
         }
@@ -6171,10 +6483,10 @@ object ManifestSink extends Ingest.DestinationSink {
     val blooms = bloomIndexOf(spark, destPath, fs, old)
     val candidates =
       if (rangeCandidates.isEmpty ||
-          !rangeCandidates.exists(t => blooms.contains((t, keyCol))))
+          !rangeCandidates.exists(t => blooms.contains((t, keyColPhys))))
         rangeCandidates
       else bloomRefineCandidates(spark, destPath, blooms, src, keyCol,
-        rangeCandidates, nKeys)
+        keyColPhys, rangeCandidates, nKeys)
     println(s"METRIC graft.merge.files_total=${targets.length} " +
       s"candidates=${candidates.length} " +
       s"range_candidates=${rangeCandidates.length} key=$keyCol " +
@@ -6264,8 +6576,9 @@ object ManifestSink extends Ingest.DestinationSink {
           val writer = partitionField match {
             case Some(f) =>
               val (upsP, upsCols) = withPartitionCols(ups, f)
-              upsP.write.mode("overwrite").partitionBy(upsCols: _*)
-            case None => ups.write.mode("overwrite")
+              toPhysicalDf(upsP, cmap).write.mode("overwrite")
+                .partitionBy(upsCols: _*)
+            case None => toPhysicalDf(ups, cmap).write.mode("overwrite")
           }
           writer.parquet(insOut.toString)
           val insQ = fs.makeQualified(insOut).toString
@@ -6283,7 +6596,7 @@ object ManifestSink extends Ingest.DestinationSink {
           }
           if (statsCols.nonEmpty)
             newStats ++= statsLinesFor(spark, fs, insOut,
-              insTargets.toMap, statsCols)
+              insTargets.toMap, physColsOf(statsCols, cmap))
           insTargets.foreach { case (rel, target) =>
             moves += ((new Path(insOut, rel), target))
           }
@@ -6372,8 +6685,8 @@ object ManifestSink extends Ingest.DestinationSink {
         val frame = pre.unionByName(
           ups.withColumn("_change_type", lit("insert")),
           allowMissingColumns = true)
-        stageCdfParts(spark, fs, staging, frame, writeId,
-            "mergeInto").foreach { case (part, rel, n) =>
+        stageCdfParts(spark, fs, staging, toPhysicalDf(frame, cmap),
+            writeId, "mergeInto").foreach { case (part, rel, n) =>
           sideMoves += ((part, rel))
           cdfLine += s"cdf\t$rel\t$n"
         }
@@ -6386,8 +6699,9 @@ object ManifestSink extends Ingest.DestinationSink {
           if (i < 0) "" else rel.substring(0, i + 1)
         }
         val rwOut = new Path(staging, s"rw_$k")
-        readFilesDv(spark, destPath, Seq(rel), dvs, withBase = false)
-          .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
+        toPhysicalDf(
+          readFilesDv(spark, destPath, Seq(rel), dvs, withBase = false)
+            .join(broadcast(srcKeys), Seq(keyCol), "left_anti"), cmap)
           .coalesce(1).write.mode("overwrite").parquet(rwOut.toString)
         val part = fs.listStatus(rwOut).map(_.getPath)
           .find(p => p.getName.startsWith("part-") &&
@@ -6407,8 +6721,9 @@ object ManifestSink extends Ingest.DestinationSink {
       val writer = partitionField match {
         case Some(f) =>
           val (upsP, upsCols) = withPartitionCols(ups, f)
-          upsP.write.mode("overwrite").partitionBy(upsCols: _*)
-        case None => ups.write.mode("overwrite")
+          toPhysicalDf(upsP, cmap).write.mode("overwrite")
+            .partitionBy(upsCols: _*)
+        case None => toPhysicalDf(ups, cmap).write.mode("overwrite")
       }
       writer.parquet(insOut.toString)
       val insQ = fs.makeQualified(insOut).toString
@@ -6426,7 +6741,7 @@ object ManifestSink extends Ingest.DestinationSink {
       }
       if (statsCols.nonEmpty)
         newStats ++= statsLinesFor(spark, fs, insOut,
-          insTargets.toMap, statsCols)
+          insTargets.toMap, physColsOf(statsCols, cmap))
       insTargets.foreach { case (rel, target) =>
         moves += ((new Path(insOut, rel), target))
       }
@@ -6463,8 +6778,9 @@ object ManifestSink extends Ingest.DestinationSink {
     // row sharing a merge key must not survive the upsert
     val absorbOk: Seq[Path] => Boolean = newMfs => keyPred.exists { kp =>
       val absorbStats = fileStatsOf(fs, newMfs)
+      val kpPhys = mapPredCols(kp, cmap)
       newMfs.flatMap(readManifest(fs, _)._2)
-        .forall(t => !mayMatchFile(absorbStats, t, kp))
+        .forall(t => !mayMatchFile(absorbStats, t, kpPhys))
     }
     onBeforeRewriteCommit()
     if (!commitSnapshot(spark, destPath, writeId, staging, baseVersion,
@@ -6582,11 +6898,16 @@ object ManifestSink extends Ingest.DestinationSink {
     }.distinct.sorted
     val dvs = effectiveDvsOf(fs, mfs)
       .filter { case (t, _) => targets.contains(t) }
+    // stats/bloom keys are as-written (physical) — DESCRIBE speaks
+    // the LOGICAL names a user can actually query by
+    val p2l = mappingFor(fs, mfs).map(_.swap)
+    def logi(cols: Iterable[String]): Seq[String] =
+      cols.map(c => p2l.getOrElse(c, c)).toSeq.distinct.sorted
     Seq((version, targets.size.toLong, bytes,
       metadataCount(spark, destPath),
       partVals,
-      stats.keys.map(_._2).toSeq.distinct.sorted,
-      bloomIndexOf(spark, destPath, fs, mfs).keys.map(_._2).toSeq.distinct.sorted,
+      logi(stats.keys.map(_._2)),
+      logi(bloomIndexOf(spark, destPath, fs, mfs).keys.map(_._2)),
       dvs.size.toLong,
       changeFeedEnabled(fs, dest)))
       .toDF("version", "num_files", "size_bytes", "num_rows",
@@ -6670,7 +6991,10 @@ object ManifestSink extends Ingest.DestinationSink {
     // have held the min or max — fall back to a scan
     if (effectiveDvsOf(fs, mfs).nonEmpty) return None
     val stats = fileStatsOf(fs, mfs)
-    val per = targets.map(t => stats.get((t, column)))
+    // stats key on PHYSICAL names; the caller asks in logical
+    val colPhys = mappingFor(fs, mfs).collectFirst {
+      case (l, p) if l.equalsIgnoreCase(column) => p }.getOrElse(column)
+    val per = targets.map(t => stats.get((t, colPhys)))
     if (per.exists(_.isEmpty)) return None // a file without the stat
     val sts = per.flatten
     if (sts.exists(_.kind != "num")) return None
@@ -6700,7 +7024,9 @@ object ManifestSink extends Ingest.DestinationSink {
     // deletion vector anywhere voids the metadata answer
     if (effectiveDvsOf(fs, mfs).nonEmpty) return None
     val stats = fileStatsOf(fs, mfs)
-    val per = targets.map(t => stats.get((t, column)).map(_.nulls))
+    val colPhys = mappingFor(fs, mfs).collectFirst {
+      case (l, p) if l.equalsIgnoreCase(column) => p }.getOrElse(column)
+    val per = targets.map(t => stats.get((t, colPhys)).map(_.nulls))
     if (per.exists(p => p.isEmpty || p.get < 0)) None
     else Some(per.flatten.sum)
   }
@@ -6823,8 +7149,10 @@ object ManifestSink extends Ingest.DestinationSink {
     val sideMoves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
     if (changeFeedEnabled(fs, dest)) {
       try {
+        // the sidecar stays under PHYSICAL names (like data files);
+        // the feed reader surfaces logical
         val rdPre = logReadSchema(spark, destPath, None) match {
-          case Some(s) => spark.read.schema(s)
+          case Some(s) => spark.read.schema(physSchemaOf(s))
           case None    => spark.read.option("mergeSchema", "true")
         }
         val pre = rdPre
@@ -6876,7 +7204,9 @@ object ManifestSink extends Ingest.DestinationSink {
 
   override def stagedAppend(df: DataFrame, destPath: String,
       partitionField: Option[String], writeId: String,
-      sourceUris: Seq[String]): Unit =
+      sourceUris: Seq[String]): Unit = {
+    val fs0 = fsOf(df.sparkSession, new Path(destPath))
+    val cmap = mappingFor(fs0, resolvedLog(fs0, destPath))
     stageMoveCommit(df.sparkSession, destPath, writeId, sourceUris) {
       staging =>
         // 1. stage, overwrite mode: a partial dir from a crashed earlier
@@ -6884,11 +7214,13 @@ object ManifestSink extends Ingest.DestinationSink {
         val writer = partitionField match {
           case Some(f) =>
             val (dfp, pcols) = withPartitionCols(df, f)
-            dfp.write.mode("overwrite").partitionBy(pcols: _*)
-          case None => df.write.mode("overwrite")
+            toPhysicalDf(dfp, cmap).write.mode("overwrite")
+              .partitionBy(pcols: _*)
+          case None => toPhysicalDf(df, cmap).write.mode("overwrite")
         }
         writer.parquet(staging.toString)
     }
+  }
 
   /** TRAINING-SHARD WRITE, made ATOMIC (the trait default writes plain
     * parquet straight into destPath — dirty-read-exposed and invisible to
@@ -6916,10 +7248,12 @@ object ManifestSink extends Ingest.DestinationSink {
       else Seq(col(Ingest.ShardCol), col(orderCol))
     val writeId =
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val fs0 = fsOf(spark, new Path(destPath))
+    val cmap = mappingFor(fs0, resolvedLog(fs0, destPath))
     stageMoveCommit(spark, destPath, writeId, Seq.empty) { staging =>
-      sharded
+      toPhysicalDf(sharded
         .repartition(col(Ingest.ShardCol))
-        .sortWithinPartitions(fileOrder: _*)
+        .sortWithinPartitions(fileOrder: _*), cmap)
         .write.mode("overwrite").partitionBy(Ingest.ShardCol)
         .parquet(staging.toString)
     }

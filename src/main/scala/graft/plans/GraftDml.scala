@@ -186,9 +186,10 @@ class GraftTimeTravelRule(session: SparkSession)
         }
 
       // ALTER TABLE RENAME COLUMN — v2-only in Spark's session
-      // catalog; on a graft table it routes to the atomic REWRITE
-      // (ManifestSink.renameColumn: a metadata-only rename would
-      // silently null pre-rename rows under by-name resolution)
+      // catalog; on a graft table it routes to the METADATA-ONLY
+      // column-mapping commit (ManifestSink.renameColumn: the log
+      // records logical name + stable physical file name; readers and
+      // writers translate at the scan/stage boundary)
       case r @ RenameColumn(ut: UnresolvedTable, colName, newName) =>
         graftCatalogMeta(session, ut.multipartIdentifier) match {
           case None => r

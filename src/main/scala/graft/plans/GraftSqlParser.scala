@@ -257,9 +257,13 @@ case class GraftShowPartitionsSql(target: GraftSqlParser.Target)
 }
 
 /** `ALTER TABLE t RENAME COLUMN a TO b` →
-  * [[ManifestSink.renameColumn]] (an atomic REWRITE — see its scaladoc
-  * for why a metadata-only rename would silently null pre-rename
-  * rows). Syncs the catalog's stored schema afterwards.
+  * [[ManifestSink.renameColumn]]: a METADATA-ONLY commit (column
+  * mapping — the log records the logical name and the stable physical
+  * file name; no data file is rewritten at any table size; reads and
+  * writes translate at the scan/stage boundary). Returns 0 in
+  * `files_rewritten`; [[ManifestSink.renameColumnRewrite]] is the
+  * explicit physical-rewrite alternative. Syncs the catalog's stored
+  * schema afterwards.
   */
 case class GraftRenameColumnCommand(dest: String, from: String,
     to: String, ident: TableIdentifier) extends LeafRunnableCommand {
@@ -267,13 +271,16 @@ case class GraftRenameColumnCommand(dest: String, from: String,
     AttributeReference("files_rewritten", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val n = ManifestSink.renameColumn(spark, dest, from, to)
-    // cosmetic catalog sync (DESCRIBE TABLE); resolution reads the log
+    // REQUIRED catalog sync: `FindDataSourceTable` hands the stored
+    // schema to the DataSource as user-specified, and a stale name
+    // fails INSERT resolution with a schema mismatch.
+    // `alterTableDataSchema` refuses renames (it reads them as a
+    // drop), so go through `alterTable` with the renamed full schema.
     try {
-      val cur = spark.sessionState.catalog
-        .getTableMetadata(ident).dataSchema
-      val next = StructType(cur.fields.map(f =>
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      val next = StructType(meta.schema.fields.map(f =>
         if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
-      spark.sessionState.catalog.alterTableDataSchema(ident, next)
+      spark.sessionState.catalog.alterTable(meta.copy(schema = next))
     } catch { case scala.util.control.NonFatal(_) => () }
     GraftDml.refreshAfterDml(spark, Some(ident.quotedString))
     Seq(Row(n))

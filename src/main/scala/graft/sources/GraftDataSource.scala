@@ -197,10 +197,19 @@ object GraftDataSource {
       else handle.schemaOpt.getOrElse(
         spark.read.option("mergeSchema", "true")
           .parquet(index.inputFiles.toIndexedSeq: _*).schema)
+    // COLUMN MAPPING: the relation surfaces LOGICAL names; the
+    // FileFormat requests the PHYSICAL (file) names per column and
+    // translates pushed-down filters (GraftParquetFileFormat.toPhys /
+    // mapFilter). Never-renamed tables have an empty map and take the
+    // plain ParquetFileFormat path unchanged.
+    val renameMap: Map[String, String] =
+      handle.schemaOpt.map(ManifestSink.mappingOf).getOrElse(Map.empty)
     val fileFormat =
-      if (handle.dvs.isEmpty) new ParquetFileFormat
+      if (handle.dvs.isEmpty && renameMap.isEmpty) new ParquetFileFormat
       else new GraftParquetFileFormat(
-        GraftParquetFileFormat.dvPositions(spark, handle))
+        if (handle.dvs.isEmpty) GraftParquetFileFormat.NoDv
+        else GraftParquetFileFormat.dvPositions(spark, handle),
+        renameMap)
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
@@ -492,7 +501,8 @@ private[graft] object GraftFilterConversion {
   * driver funnel, the way Delta tasks read their dv bitmaps.
   */
 final class GraftParquetFileFormat(
-    private[graft] val dv: GraftParquetFileFormat.DvTransport)
+    private[graft] val dv: GraftParquetFileFormat.DvTransport,
+    private[graft] val renameMap: Map[String, String] = Map.empty)
     extends ParquetFileFormat {
 
   /** The task-side tombstone resolver, memoized so repeated analyses of
@@ -507,18 +517,86 @@ final class GraftParquetFileFormat(
   }
 
   override def supportBatch(sparkSession: SparkSession,
-      schema: StructType): Boolean = false
+      schema: StructType): Boolean =
+    // a mapping-only format (no dv'd files) keeps the vectorized
+    // reader — the rename is a pure schema-name translation and rows
+    // are positional either way
+    if (dv.fileNames.isEmpty) super.supportBatch(sparkSession, schema)
+    else false
 
   override def isSplitable(sparkSession: SparkSession,
       options: Map[String, String], path: Path): Boolean =
     !dv.fileNames.contains(path.getName)
 
+  /** Swap logical for PHYSICAL names (column-mapping read side): the
+    * parquet reader resolves columns by name, so the request must use
+    * the name the file carries; rows come back positional, so no
+    * value-level work happens. Only names in `renameMap` change.
+    */
+  private def toPhys(st: StructType): StructType =
+    if (renameMap.isEmpty) st
+    else StructType(st.fields.map { f =>
+      renameMap.collectFirst {
+        case (l, p) if l.equalsIgnoreCase(f.name) => f.copy(name = p)
+      }.getOrElse(f)
+    })
+
+  /** Rename filter attribute names logical → physical; a filter shape
+    * we cannot rewrite that touches a renamed column is DROPPED —
+    * parquet pushdown is advisory (Spark re-applies data filters above
+    * the scan), so dropping is correct, just less pruned.
+    */
+  private def mapFilter(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    if (renameMap.isEmpty) return Some(f)
+    def nm(a: String): String = renameMap.collectFirst {
+      case (l, p) if l.equalsIgnoreCase(a) => p }.getOrElse(a)
+    def untouched(x: Filter): Boolean = x.references.forall(r =>
+      !renameMap.keys.exists(_.equalsIgnoreCase(r)))
+    f match {
+      case EqualTo(a, v)            => Some(EqualTo(nm(a), v))
+      case EqualNullSafe(a, v)      => Some(EqualNullSafe(nm(a), v))
+      case GreaterThan(a, v)        => Some(GreaterThan(nm(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(nm(a), v))
+      case LessThan(a, v)           => Some(LessThan(nm(a), v))
+      case LessThanOrEqual(a, v)    => Some(LessThanOrEqual(nm(a), v))
+      case In(a, vs)                => Some(In(nm(a), vs))
+      case IsNull(a)                => Some(IsNull(nm(a)))
+      case IsNotNull(a)             => Some(IsNotNull(nm(a)))
+      case StringStartsWith(a, v)   => Some(StringStartsWith(nm(a), v))
+      case StringEndsWith(a, v)     => Some(StringEndsWith(nm(a), v))
+      case StringContains(a, v)     => Some(StringContains(nm(a), v))
+      case And(l, r) => (mapFilter(l), mapFilter(r)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (Some(a), None)    => Some(a) // conjunct drop keeps a bound
+        case (None, Some(b))    => Some(b)
+        case _                  => None
+      }
+      case Or(l, r) => (mapFilter(l), mapFilter(r)) match {
+        // both must survive EXACTLY translated; a weakened disjunct
+        // under OR is still sound only because mapFilter never
+        // STRENGTHENS — but a dropped one is not, so require both
+        case (Some(a), Some(b)) => Some(Or(a, b))
+        case _                  => None
+      }
+      case Not(c) =>
+        // only keep NOT over a child that needed no translation — a
+        // weakened child under NOT would prune rows it must not
+        if (untouched(c)) Some(Not(c)) else None
+      case other => if (untouched(other)) Some(other) else None
+    }
+  }
+
   override def buildReaderWithPartitionValues(
-      sparkSession: SparkSession, dataSchema: StructType,
-      partitionSchema: StructType, requiredSchema: StructType,
-      filters: Seq[org.apache.spark.sql.sources.Filter],
+      sparkSession: SparkSession, dataSchema0: StructType,
+      partitionSchema: StructType, requiredSchema0: StructType,
+      filters0: Seq[org.apache.spark.sql.sources.Filter],
       options: Map[String, String], hadoopConf: Configuration)
       : PartitionedFile => Iterator[InternalRow] = {
+    val dataSchema = toPhys(dataSchema0)
+    val requiredSchema = toPhys(requiredSchema0)
+    val filters = filters0.flatMap(mapFilter)
     val withFilters = super.buildReaderWithPartitionValues(sparkSession,
       dataSchema, partitionSchema, requiredSchema, filters, options,
       hadoopConf)
@@ -575,6 +653,11 @@ object GraftParquetFileFormat {
     * small tables.
     */
   @volatile private[graft] var BroadcastDvCap = 2000000L
+
+  /** The empty transport — a mapping-only format with no dv'd files
+    * (the [[GraftDvScanRule]] rewrite target for mapped tables).
+    */
+  private[graft] lazy val NoDv: DvTransport = BroadcastDv(Map.empty)
 
   /** How tombstone positions reach read tasks. */
   sealed trait DvTransport extends Serializable {

@@ -93,7 +93,13 @@ final class GraftDvScanRule(session: SparkSession)
 
   private def rewrite(lr: LogicalRelation, fs: HadoopFsRelation,
       gf: GraftParquetFileFormat): LogicalPlan = {
-    val stock = fs.copy(fileFormat = new ParquetFileFormat)(session)
+    // a mapped table keeps the name-translating format (minus the dv
+    // transport — the Filter below applies the dvs); the translation
+    // is schema-only, so the vectorized reader stays on
+    val stock = fs.copy(fileFormat =
+      if (gf.renameMap.isEmpty) new ParquetFileFormat
+      else new GraftParquetFileFormat(GraftParquetFileFormat.NoDv,
+        gf.renameMap))(session)
     val withMeta = lr.copy(relation = stock).withMetadataColumns()
     // a data column literally named `_metadata` suppresses the
     // metadata output (Spark's conflict rule) — keep the slow-but-

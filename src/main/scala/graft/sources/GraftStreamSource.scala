@@ -65,6 +65,16 @@ final class GraftStreamSource(spark: SparkSession, destPath: String,
   override val schema: StructType = declaredSchema.getOrElse(
     GraftStreamSource.schemaFor(spark, destPath, rowLevel))
 
+  /** COLUMN MAPPING (logical → physical), resolved from the LOG once
+    * at source creation — same lifetime as `schema`. A rename
+    * committed mid-stream changes the schema contract and needs a
+    * restart, exactly like ADD/DROP.
+    */
+  private val renameMap: Map[String, String] =
+    graft.ingest.ManifestSink.mappingOf(
+      graft.ingest.ManifestSink.snapshotHandle(spark, destPath)
+        .schemaOpt)
+
   // Trigger.AvailableNow: the drain's end is the head at query START —
   // versions committed while draining wait for the next run
   @volatile private var availableNowEnd: Option[Long] = None
@@ -170,16 +180,27 @@ final class GraftStreamSource(spark: SparkSession, destPath: String,
           // columns): an admitted window spanning an ALTER COLUMN
           // TYPE widen mixes physical types across its files, which
           // a footer mergeSchema union would refuse — the explicit
-          // schema upcasts per file instead
+          // schema upcasts per file instead. COLUMN MAPPING: files
+          // carry PHYSICAL names — request those, surface logical
+          // (renameMap is pinned at source creation, like the schema)
           val dataSchema = org.apache.spark.sql.types.StructType(
             schema.fields.filterNot(f =>
-              f.name == "_commit_version" || f.name == "_change_type"))
-          val df = spark.read.schema(dataSchema)
+              f.name == "_commit_version" || f.name == "_change_type")
+              .map(f => renameMap.collectFirst {
+                case (l, p) if l.equalsIgnoreCase(f.name) =>
+                  f.copy(name = p)
+              }.getOrElse(f)))
+          val df0 = spark.read.schema(dataSchema)
             .option("basePath", destPath)
             .parquet(files: _*)
             .withColumn("__graft_fn", col("_metadata.file_name"))
             .join(broadcast(vdf), Seq("__graft_fn"))
             .drop("__graft_fn")
+          val p2l = renameMap.map(_.swap)
+          val df =
+            if (renameMap.isEmpty) df0
+            else df0.withColumnsRenamed(
+              p2l.filter { case (p, _) => df0.columns.contains(p) })
           Seq(conform(df))
         }
       }

@@ -1,0 +1,323 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.ManifestSink
+import graft.ingest.ManifestSink.SkipPredicate
+
+/** COLUMN MAPPING (metadata-only RENAME COLUMN — Delta's column-mapping
+  * "name mode" re-expressed for the manifest log): a rename is one
+  * `schemaevo` commit; data files keep the column's stable PHYSICAL
+  * name (its name at first write) forever, readers scan physical and
+  * surface logical, writers map logical frames back to physical, and
+  * skipping stats / bloom filters keep their as-written keys with
+  * predicates translated at the prune boundary.
+  */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def footerFields(dir: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def rec(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) {
+          // data dirs only: the log and the dv/cdf/bloom sidecar trees
+          // have their own schemas
+          val n = st.getPath.getName
+          if (n == "_log" || n == "_dv" || n == "_cdf" ||
+              n == "_bloom" || n.startsWith(".")) Nil
+          else rec(st.getPath)
+        } else if (st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.toString.contains("_graft_")) Seq(st.getPath)
+        else Nil
+      }
+    rec(new org.apache.hadoop.fs.Path(dir)).flatMap { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName)
+      } finally r.close()
+    }.toSet
+  }
+
+  test("rename is metadata-only: files keep the physical name, " +
+      "reads surface the logical one, appends translate back") {
+    val dir = tmpDir("cmap_basic_")
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("id", "body")
+    ManifestSink.statsAppend(df, dir, None, Seq("id", "body"),
+      bloomCols = Seq("body"))
+    val filesBefore = ManifestSink.snapshotHandle(spark, dir).targets
+
+    val rewritten = ManifestSink.renameColumn(spark, dir, "body", "text")
+    assert(rewritten === 0L)
+    // zero data files touched: same target list, same bytes
+    assert(ManifestSink.snapshotHandle(spark, dir).targets ===
+      filesBefore)
+    assert(footerFields(dir).contains("body") &&
+      !footerFields(dir).contains("text"))
+
+    val back = ManifestSink.readBack(spark, dir)
+    assert(back.columns.toSeq === Seq("id", "text"))
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+
+    // an append AFTER the rename writes the logical frame, lands
+    // physical — all files stay physically consistent
+    ManifestSink.statsAppend(Seq((4L, "delta")).toDF("id", "text"),
+      dir, None, Seq("id", "text"), bloomCols = Seq("text"))
+    assert(footerFields(dir) === Set("id", "body"))
+    val all = ManifestSink.readBack(spark, dir)
+    assert(all.count() === 4L)
+    assert(all.where(col("text") === "delta").count() === 1L)
+  }
+
+  test("skipping prunes on the renamed column across both eras " +
+      "(stats + bloom), and countWhere credit still works") {
+    val dir = tmpDir("cmap_skip_")
+    // two pre-rename files with disjoint ranges
+    ManifestSink.statsAppend(
+      Seq((1L, "a1"), (2L, "a2")).toDF("id", "k"),
+      dir, None, Seq("id", "k"), bloomCols = Seq("k"))
+    ManifestSink.statsAppend(
+      Seq((100L, "b1"), (200L, "b2")).toDF("id", "k"),
+      dir, None, Seq("id", "k"), bloomCols = Seq("k"))
+    ManifestSink.renameColumn(spark, dir, "k", "key")
+    // one post-rename file
+    ManifestSink.statsAppend(
+      Seq((1000L, "c1"), (2000L, "c2")).toDF("id", "key"),
+      dir, None, Seq("id", "key"), bloomCols = Seq("key"))
+
+    // range predicate over the LOGICAL numeric column: correct rows
+    val lo = ManifestSink.readBackWherePred(spark, dir,
+      SkipPredicate.NumRange("id", 0, 10))
+    assert(lo.as[(Long, String)].collect().toSet ===
+      Set((1L, "a1"), (2L, "a2")))
+    // string equality over the RENAMED column probes pre- and
+    // post-rename blooms
+    assert(ManifestSink.readBackWherePred(spark, dir,
+      SkipPredicate.StrEq("key", "b2")).count() === 1L)
+    assert(ManifestSink.readBackWherePred(spark, dir,
+      SkipPredicate.StrEq("key", "c1")).count() === 1L)
+    assert(ManifestSink.readBackWherePred(spark, dir,
+      SkipPredicate.StrEq("key", "zz")).count() === 0L)
+    // metadata count credit across eras
+    assert(ManifestSink.countWhere(spark, dir,
+      SkipPredicate.NumRange("id", 0, 5000)) === 6L)
+    assert(ManifestSink.countWhere(spark, dir,
+      SkipPredicate.IsNotNull("key")) === 6L)
+  }
+
+  test("refusals: partition-layout column, existing name, physical " +
+      "shadowing on rename/ADD/append") {
+    val dir = tmpDir("cmap_refuse_")
+    val df = Seq(("2026-01-02T03:04:05", 1L, "x"))
+      .toDF("ts", "id", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    ManifestSink.statsAppend(df, dir, Some("ts"), Seq("id"))
+    // layout column refuses
+    intercept[IllegalArgumentException] {
+      ManifestSink.renameColumn(spark, dir, "p_date", "day")
+    }
+    // existing target name refuses
+    intercept[IllegalArgumentException] {
+      ManifestSink.renameColumn(spark, dir, "v", "id")
+    }
+    ManifestSink.renameColumn(spark, dir, "v", "val2")
+    // renaming ANOTHER column onto v's physical name refuses
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestSink.renameColumn(spark, dir, "id", "v")
+    }
+    assert(e1.getMessage.contains("physical"))
+    // ADD COLUMN named like the physical name refuses
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestSink.alterSchema(spark, dir, cur =>
+        cur.add(StructField("v", StringType)))
+    }
+    assert(e2.getMessage.contains("physical") ||
+      e2.getMessage.contains("shadows"))
+    // a frame carrying the physical name refuses at write
+    val e3 = intercept[Exception] {
+      ManifestSink.statsAppend(
+        Seq(("2026-01-02T03:04:05", 2L, "y"))
+          .toDF("ts", "id", "v")
+          .withColumn("ts", col("ts").cast("timestamp")),
+        dir, Some("ts"), Seq("id"))
+    }
+    assert(e3.getMessage.contains("physical"))
+  }
+
+  test("chained rename keeps the original physical name; renaming " +
+      "back drops the mapping") {
+    val dir = tmpDir("cmap_chain_")
+    ManifestSink.statsAppend(Seq((1L, "x")).toDF("id", "a"), dir,
+      None, Seq("id"))
+    ManifestSink.renameColumn(spark, dir, "a", "b")
+    ManifestSink.renameColumn(spark, dir, "b", "c")
+    assert(footerFields(dir) === Set("id", "a"))
+    assert(ManifestSink.readBack(spark, dir).columns.toSeq ===
+      Seq("id", "c"))
+    // rename back to the physical name: identity mapping removed
+    ManifestSink.renameColumn(spark, dir, "c", "a")
+    val schema = ManifestSink.snapshotHandle(spark, dir).schemaOpt.get
+    assert(!schema.fields.exists(_.metadata.contains("graft.physical")))
+    assert(ManifestSink.readBack(spark, dir)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "x")))
+  }
+
+  test("DML after a rename: COW delete, MOR update, MERGE on the " +
+      "renamed key — values correct, files stay physical") {
+    val dir = tmpDir("cmap_dml_")
+    ManifestSink.statsAppend(
+      (1L to 10L).map(i => (i, s"doc$i", i * 10)).toDF("id", "name", "n"),
+      dir, None, Seq("id", "n"))
+    ManifestSink.renameColumn(spark, dir, "n", "score")
+    // COW delete on the renamed column
+    val del = ManifestSink.deleteWhere(spark, dir,
+      SkipPredicate.NumRange("score", 0, 25))
+    assert(del === 2L) // rows 1, 2
+    assert(ManifestSink.readBack(spark, dir).count() === 8L)
+    // MOR update of the renamed column
+    ManifestSink.updateWhereMor(spark, dir,
+      SkipPredicate.NumRange("score", 95, 105),
+      Map("score" -> lit(999L)))
+    val updated = ManifestSink.readBack(spark, dir)
+      .where(col("id") === 10L).select("score").as[Long].head()
+    assert(updated === 999L)
+    // MERGE keyed on a renamed column: rename id too
+    ManifestSink.renameColumn(spark, dir, "id", "doc_id")
+    val (u, i2) = ManifestSink.mergeInto(spark, dir,
+      Seq((3L, "doc3-v2", 33L), (42L, "doc42", 420L))
+        .toDF("doc_id", "name", "score"),
+      "doc_id")
+    assert((u, i2) === (1L, 1L))
+    val m = ManifestSink.readBack(spark, dir)
+    assert(m.count() === 9L)
+    assert(m.where(col("doc_id") === 3L).select("score")
+      .as[Long].head() === 33L)
+    assert(footerFields(dir) === Set("id", "name", "n"))
+  }
+
+  test("change feed spans a rename: all versions surface the CURRENT " +
+      "logical names") {
+    val dir = tmpDir("cmap_cdf_")
+    ManifestSink.statsAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      dir, None, Seq("id"))
+    ManifestSink.enableChangeFeed(spark, dir)
+    ManifestSink.renameColumn(spark, dir, "v", "val2")
+    ManifestSink.statsAppend(Seq((3L, "c")).toDF("id", "val2"),
+      dir, None, Seq("id"))
+    ManifestSink.deleteWhere(spark, dir,
+      SkipPredicate.NumRange("id", 2, 2))
+    val feed = ManifestSink.readChangesBetween(spark, dir, 0L)
+    assert(feed.columns.contains("val2") && !feed.columns.contains("v"))
+    val rows = feed.select("id", "val2", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows === Set((3L, "c", "insert"), (2L, "b", "delete")))
+  }
+
+  test("time travel reads the name AS OF the version; RESTORE " +
+      "restores the pre-rename schema") {
+    val dir = tmpDir("cmap_tt_")
+    ManifestSink.statsAppend(Seq((1L, "x")).toDF("id", "orig"), dir,
+      None, Seq("id"))
+    val v0 = ManifestSink.snapshotHandle(spark, dir).version
+    ManifestSink.renameColumn(spark, dir, "orig", "renamed")
+    ManifestSink.statsAppend(Seq((2L, "y")).toDF("id", "renamed"), dir,
+      None, Seq("id"))
+    assert(ManifestSink.readVersion(spark, dir, v0).columns.toSeq ===
+      Seq("id", "orig"))
+    assert(ManifestSink.readBack(spark, dir).columns.toSeq ===
+      Seq("id", "renamed"))
+    ManifestSink.restore(spark, dir, v0)
+    val back = ManifestSink.readBack(spark, dir)
+    assert(back.columns.toSeq === Seq("id", "orig"))
+    assert(back.as[(Long, String)].collect().toSeq === Seq((1L, "x")))
+  }
+
+  test("SQL face: ALTER TABLE RENAME COLUMN is metadata-only; SELECT, " +
+      "WHERE pruning, INSERT, and DESCRIBE speak the logical name") {
+    val dir = tmpDir("cmap_sql_")
+    spark.sql("DROP TABLE IF EXISTS cmap_t")
+    ManifestSink.statsAppend(
+      (1L to 6L).map(i => (i, s"w$i")).toDF("id", "w"),
+      dir, None, Seq("id", "w"))
+    spark.sql(s"CREATE TABLE cmap_t USING graft LOCATION '$dir'")
+    val n = spark.sql(
+      "ALTER TABLE cmap_t RENAME COLUMN w TO word")
+      .collect().head.getLong(0)
+    assert(n === 0L)
+    assert(footerFields(dir).contains("w"))
+    checkAnswer(spark.sql(
+      "SELECT word FROM cmap_t WHERE id = 3"), Seq("w3"))
+    // filter on the RENAMED column — the scan translates the pushed
+    // filter and the FileIndex prunes through the mapping
+    checkAnswer(spark.sql(
+      "SELECT id FROM cmap_t WHERE word = 'w5'"), Seq(5L))
+    spark.sql("INSERT INTO cmap_t VALUES (7, 'w7')")
+    checkAnswer(spark.sql(
+      "SELECT word FROM cmap_t WHERE id = 7"), Seq("w7"))
+    assert(footerFields(dir) === Set("id", "w"))
+    // vectorized path intact: no dv files, whole scan columnar
+    val plan = spark.sql("SELECT word FROM cmap_t WHERE id > 0")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow") ||
+      plan.contains("WholeStageCodegen"))
+    // DESCRIBE DETAIL speaks logical names for the skipping columns
+    val det = spark.sql("DESCRIBE DETAIL cmap_t").head()
+    assert(det.getSeq[String](det.fieldIndex("stats_columns")) ===
+      Seq("id", "word"))
+    spark.sql("DROP TABLE cmap_t")
+  }
+
+  test("optimize repacks a mapped table: values and physical names " +
+      "survive, stats stay prunable") {
+    val dir = tmpDir("cmap_opt_")
+    (1 to 4).foreach { k =>
+      ManifestSink.statsAppend(
+        Seq((k.toLong, s"v$k")).toDF("id", "c"),
+        dir, None, Seq("id", "c"))
+    }
+    ManifestSink.renameColumn(spark, dir, "c", "content")
+    val packed = ManifestSink.optimize(spark, dir, minFiles = 2)
+    assert(packed > 0L)
+    assert(footerFields(dir) === Set("id", "c"))
+    val back = ManifestSink.readBack(spark, dir)
+    assert(back.columns.toSeq === Seq("id", "content"))
+    assert(back.count() === 4L)
+    assert(ManifestSink.readBackWherePred(spark, dir,
+      SkipPredicate.StrEq("content", "v2")).count() === 1L)
+  }
+
+  test("streaming tail across a rename surfaces the logical name") {
+    val dir = tmpDir("cmap_stream_")
+    ManifestSink.statsAppend(Seq((1L, "a")).toDF("id", "t"), dir,
+      None, Seq("id"))
+    ManifestSink.renameColumn(spark, dir, "t", "txt")
+    ManifestSink.statsAppend(Seq((2L, "b")).toDF("id", "txt"), dir,
+      None, Seq("id"))
+    val out = tmpDir("cmap_stream_out_")
+    val ck = tmpDir("cmap_stream_ck_")
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+    assert(got.columns.contains("txt"))
+    assert(got.select("id", "txt").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+  }
+
+  private def checkAnswer(df: org.apache.spark.sql.DataFrame,
+      expect: Seq[Any]): Unit = {
+    val got = df.collect().map(_.get(0)).toSeq
+    assert(got === expect, s"got $got, expected $expect")
+  }
+}

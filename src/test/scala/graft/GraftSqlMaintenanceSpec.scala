@@ -293,9 +293,10 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
-  test("ALTER TABLE RENAME COLUMN: an atomic rewrite — pre-rename " +
-      "rows KEEP their values under the new name, skipping stats " +
-      "migrate, RESTORE reaches the pre-rename state, partition and " +
+  test("ALTER TABLE RENAME COLUMN: a METADATA-ONLY column-mapping " +
+      "commit — zero files rewritten, pre-rename rows KEEP their " +
+      "values under the new name, skipping answers through the " +
+      "mapping, RESTORE reaches the pre-rename state, partition and " +
       "duplicate names refuse") {
     val dest = s"${tmpDir("sqlmaint_ren_")}/t"
     val tbl = "sqlmaint_ren_" + java.util.UUID.randomUUID().toString
@@ -307,9 +308,13 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
         Seq("id")))
     spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dest'")
     try {
+      val filesBefore =
+        ManifestSink.snapshotHandle(spark, dest).targets.toSet
       val r = spark.sql(s"ALTER TABLE $tbl RENAME COLUMN id TO doc_id")
       assert(r.columns.toSeq == Seq("files_rewritten"))
-      assert(r.head.getLong(0) >= 2L)
+      assert(r.head.getLong(0) == 0L) // metadata-only: nothing rewritten
+      assert(ManifestSink.snapshotHandle(spark, dest).targets.toSet ==
+        filesBefore)
       // THE anti-null contract: every pre-rename row keeps its value
       // under the new name (a metadata-only rename would null them)
       val back = spark.table(tbl)
