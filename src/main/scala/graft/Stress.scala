@@ -1612,6 +1612,63 @@ object Stress {
         f"sidecar_parts=$parts feed_rows=$feedRows " +
         "(pre-images + inserts, distributed write)")
     }
+    // COLUMN-MAPPING rung (r20): RENAME COLUMN must be O(1) in table
+    // size (zero data files touched) and the read-side name
+    // translation must be free — a full-scan aggregate over the
+    // renamed column costs the same as before the rename, and
+    // metadata pruning still answers exactly through the mapping.
+    if (enabled("cmaprung")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_cmap_").toString
+      val dest = s"$root/t"
+      val rows = 2000000L
+      val base = spark.range(rows).select(
+        col("id"), (col("id") % 9973).cast("double").as("v"),
+        date_add(lit(java.sql.Date.valueOf("2025-01-01")),
+          (col("id") % 365).cast("int")).as("day"))
+      // range-partitioned by id: each task's ids are contiguous, so
+      // every (task, day) file carries a DISJOINT id range — the
+      // skipping check below prunes to ~1/32 of the files
+      ManifestSink.statsAppend(
+        base.repartitionByRange(32, col("id")), dest,
+        Some("day"), Seq("id"))
+      def dataFiles(): Seq[java.io.File] =
+        new java.io.File(dest).listFiles()
+          .filter(_.getName.startsWith("p_date="))
+          .flatMap(_.listFiles()).toSeq
+      val preMtimes = dataFiles()
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+      val nFiles = preMtimes.size
+      def scanSum(c: String): (Double, Long) = {
+        def once(): Long = ManifestSink.readBack(spark, dest)
+          .agg(sum(col(c))).head.getLong(0)
+        once() // warm (codegen + page cache)
+        val t0 = System.nanoTime()
+        val s = once()
+        ((System.nanoTime() - t0) / 1e9, s)
+      }
+      val (tPre, sumPre) = scanSum("id")
+      val tr0 = System.nanoTime()
+      ManifestSink.renameColumn(spark, dest, "id", "doc_id")
+      val trename = (System.nanoTime() - tr0) / 1e9
+      val untouched = dataFiles().count(f =>
+        preMtimes.get(f.getAbsolutePath).contains(f.lastModified()))
+      require(untouched == nFiles,
+        s"rename touched data files: $untouched/$nFiles untouched")
+      val (tPost, sumPost) = scanSum("doc_id")
+      require(sumPost == sumPre, s"values drifted: $sumPre -> $sumPost")
+      // metadata pruning answers through the mapping: stats key on the
+      // physical name 'id', the predicate speaks 'doc_id'
+      val credit = ManifestSink.countWhere(spark, dest,
+        ManifestSink.SkipPredicate.NumRange("doc_id", 0, 49999))
+      require(credit == 50000L, s"pruned count: $credit")
+      require(tPost < tPre * 2.0 + 0.5,
+        s"renamed-column scan slowed: $tPre -> $tPost")
+      println(f"STRESS cmaprung         $trename%8.2f s rename " +
+        f"(files=$nFiles untouched=$untouched) " +
+        f"scan_pre=$tPre%.2f s scan_post=$tPost%.2f s " +
+        f"(ratio=${tPost / tPre}%.2f), pruned count exact")
+    }
     spark.stop()
   }
 }

@@ -23,12 +23,20 @@ import sys
 
 
 def load(path):
+    # a committed (pretty-printed) ref is a whole-file JSON document;
+    # a raw capture is one bench line, possibly "[info] "-prefixed
     with open(path) as f:
-        for line in f:
-            # tolerate sbt's "[info] " prefix on the bench line
-            brace = line.find("{")
-            if brace >= 0 and '"queries"' in line:
-                return json.loads(line[brace:])
+        body = f.read()
+    try:
+        doc = json.loads(body)
+        if "queries" in doc:
+            return doc
+    except json.JSONDecodeError:
+        pass
+    for line in body.splitlines():
+        brace = line.find("{")
+        if brace >= 0 and '"queries"' in line:
+            return json.loads(line[brace:])
     raise SystemExit(f"no bench JSON line found in {path}")
 
 
