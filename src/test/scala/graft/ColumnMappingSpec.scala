@@ -320,4 +320,112 @@ class ColumnMappingSpec extends SparkSpec {
     val got = df.collect().map(_.get(0)).toSeq
     assert(got === expect, s"got $got, expected $expect")
   }
+
+  test("whole-table overwrite RESETS the mapping: new files carry the " +
+      "logical name physically and the log forgets the old one") {
+    val dir = tmpDir("cmap_ow_")
+    ManifestSink.statsAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      dir, None, Seq("id"))
+    ManifestSink.renameColumn(spark, dir, "v", "val2")
+    // an overwrite replaces ALL content — the frame's own (logical)
+    // names become the new physical reality (the superseded pre-rename
+    // file stays on disk until vacuum, so check COMMITTED footers)
+    ManifestSink.overwrite(
+      Seq((10L, "x"), (20L, "y")).toDF("id", "val2"),
+      dir, None, Seq("id"))
+    val committed = ManifestSink.snapshotHandle(spark, dir).targets
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val committedFields = committed.flatMap { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dir + "/" + rel), fs.getConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName)
+      } finally r.close()
+    }.toSet
+    assert(committedFields === Set("id", "val2"))
+    val schema = ManifestSink.snapshotHandle(spark, dir).schemaOpt.get
+    assert(!schema.fields.exists(_.metadata.contains("graft.physical")))
+    assert(ManifestSink.readBack(spark, dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((10L, "x"), (20L, "y")))
+    // and a post-overwrite append under the (now-physical) name works
+    ManifestSink.statsAppend(Seq((30L, "z")).toDF("id", "val2"), dir,
+      None, Seq("id"))
+    assert(ManifestSink.readBack(spark, dir).count() === 3L)
+  }
+
+  test("compact and checkpoint carry the mapping: resolution from the " +
+      "collapsed log still translates") {
+    val dir = tmpDir("cmap_compact_")
+    ManifestSink.statsAppend(Seq((1L, "a")).toDF("id", "t"), dir,
+      None, Seq("id", "t"))
+    ManifestSink.renameColumn(spark, dir, "t", "txt")
+    ManifestSink.statsAppend(Seq((2L, "b")).toDF("id", "txt"), dir,
+      None, Seq("id", "txt"))
+    ManifestSink.compact(spark, dir)
+    val back = ManifestSink.readBack(spark, dir)
+    assert(back.columns.toSeq === Seq("id", "txt"))
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // post-compact skipping still prunes through the carried mapping
+    assert(ManifestSink.readBackWherePred(spark, dir,
+      SkipPredicate.StrEq("txt", "a")).count() === 1L)
+    // checkpoint path: force one and resolve through it
+    ManifestSink.statsAppend(Seq((3L, "c")).toDF("id", "txt"), dir,
+      None, Seq("id", "txt"))
+    ManifestSink.checkpoint(spark, dir)
+    ManifestSink.statsAppend(Seq((4L, "d")).toDF("id", "txt"), dir,
+      None, Seq("id", "txt"))
+    assert(ManifestSink.readBack(spark, dir).count() === 4L)
+    assert(ManifestSink.readBackWherePred(spark, dir,
+      SkipPredicate.StrEq("txt", "d")).count() === 1L)
+  }
+
+  test("MERGE keyed on a renamed bloom-backed column: the key-envelope " +
+      "and bloom candidate pruning consult the physical stats") {
+    val dir = tmpDir("cmap_mergekey_")
+    ManifestSink.statsAppend(
+      (1L to 50L).map(i => (s"k$i", i)).toDF("key", "n"),
+      dir, None, Seq("key"), bloomCols = Seq("key"))
+    ManifestSink.statsAppend(
+      (51L to 100L).map(i => (s"k$i", i)).toDF("key", "n"),
+      dir, None, Seq("key"), bloomCols = Seq("key"))
+    ManifestSink.renameColumn(spark, dir, "key", "doc_key")
+    val (u, ins) = ManifestSink.mergeInto(spark, dir,
+      Seq(("k7", 700L), ("k77", 7700L), ("k999", 999L))
+        .toDF("doc_key", "n"),
+      "doc_key")
+    assert((u, ins) === (2L, 1L))
+    val m = ManifestSink.readBack(spark, dir)
+    assert(m.count() === 101L)
+    assert(m.where(col("doc_key") === "k7").select("n")
+      .as[Long].head() === 700L)
+    assert(m.where(col("doc_key") === "k999").count() === 1L)
+  }
+
+  test("schema evolution around a rename: a narrower (prefix) batch " +
+      "null-fills, a superset batch adds a fresh column, and both " +
+      "translate") {
+    val dir = tmpDir("cmap_evo_")
+    ManifestSink.statsAppend(
+      Seq((1L, "a", 1.0)).toDF("id", "v", "w"), dir, None, Seq("id"))
+    ManifestSink.renameColumn(spark, dir, "v", "val2")
+    // prefix batch: misses the renamed column entirely
+    ManifestSink.statsAppend(Seq(Tuple1(2L)).toDF("id"), dir, None,
+      Seq("id"))
+    // superset batch: carries a NEW trailing column
+    ManifestSink.statsAppend(
+      Seq((3L, "c", 3.0, true)).toDF("id", "val2", "w", "flag"),
+      dir, None, Seq("id"))
+    val back = ManifestSink.readBack(spark, dir).orderBy("id")
+    assert(back.columns.toSeq === Seq("id", "val2", "w", "flag"))
+    assert(back.select("id", "val2")
+      .as[(Long, Option[String])].collect().toSeq ===
+      Seq((1L, Some("a")), (2L, None), (3L, Some("c"))))
+    assert(back.where(col("flag")).count() === 1L)
+  }
 }
