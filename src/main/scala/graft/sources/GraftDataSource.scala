@@ -574,9 +574,8 @@ final class GraftParquetFileFormat(
         case _                  => None
       }
       case Or(l, r) => (mapFilter(l), mapFilter(r)) match {
-        // both must survive EXACTLY translated; a weakened disjunct
-        // under OR is still sound only because mapFilter never
-        // STRENGTHENS — but a dropped one is not, so require both
+        // weakened (never strengthened) children keep OR sound, but a
+        // DROPPED disjunct narrows it — require both to survive
         case (Some(a), Some(b)) => Some(Or(a, b))
         case _                  => None
       }
