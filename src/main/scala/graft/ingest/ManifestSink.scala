@@ -3225,18 +3225,37 @@ object ManifestSink extends Ingest.DestinationSink {
   private[graft] def mappingOf(st: Option[StructType])
       : Map[String, String] = st.map(mappingOf).getOrElse(Map.empty)
 
+  /** Drop the mapping metadata from every field. The mapping LIVES in
+    * the log's evo/snapshot schema lines; everywhere else it must NOT
+    * travel — a surfaced frame whose fields still carry
+    * `graft.physical` would write it into a NEW table's parquet
+    * footers, and the footer-derived schema line would adopt a bogus
+    * mapping (the renamed column then reads NULL there).
+    */
+  private[graft] def stripPhysical(st: StructType): StructType =
+    if (!st.fields.exists(_.metadata.contains(PhysicalKey))) st
+    else StructType(st.fields.map { f =>
+      if (!f.metadata.contains(PhysicalKey)) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(PhysicalKey).build())
+    })
+
   /** The schema with every field under its PHYSICAL name — what the
-    * parquet scan requests. Mapping metadata is kept (harmless to the
-    * reader, and it keeps the rename round-trippable).
+    * parquet scan requests. Mapping metadata is STRIPPED: the names
+    * are already swapped, and surfaced frames must not carry it (see
+    * [[stripPhysical]]).
     */
   private[graft] def physSchemaOf(st: StructType): StructType =
-    StructType(st.fields.map(f => f.copy(name = physNameOf(f))))
+    stripPhysical(StructType(st.fields.map(f =>
+      f.copy(name = physNameOf(f)))))
 
   /** Rename a frame's PHYSICAL columns back to their logical names
     * (post-scan). Only mapped columns present in the frame rename;
     * metadata/partition columns pass through.
     */
-  private def toLogicalDf(df: DataFrame, logical: StructType): DataFrame = {
+  private[graft] def toLogicalDf(df: DataFrame,
+      logical: StructType): DataFrame = {
     val m = mappingOf(logical).map(_.swap) // physical -> logical
     if (m.isEmpty) df
     else {
@@ -3327,8 +3346,13 @@ object ManifestSink extends Ingest.DestinationSink {
       Option(md.getKeyValueMetaData
           .get("org.apache.spark.sql.parquet.row.metadata"))
         .flatMap { json =>
-          try Some(org.apache.spark.sql.types.DataType.fromJson(json)
-            .asInstanceOf[StructType])
+          // defense in depth for the column-mapping metadata: a footer
+          // NEVER legitimately records `graft.physical` (the mapping
+          // lives only in the log's evo/snapshot lines) — a frame that
+          // smuggled it in must not poison this commit's schema line
+          try Some(stripPhysical(
+            org.apache.spark.sql.types.DataType.fromJson(json)
+              .asInstanceOf[StructType]))
           catch { case scala.util.control.NonFatal(_) => None }
         }
         .getOrElse(

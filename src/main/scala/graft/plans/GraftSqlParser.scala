@@ -281,7 +281,15 @@ case class GraftRenameColumnCommand(dest: String, from: String,
       val next = StructType(meta.schema.fields.map(f =>
         if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
       spark.sessionState.catalog.alterTable(meta.copy(schema = next))
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      // path-form targets have no catalog entry (expected); anything
+      // else must be LOUD — the rename itself committed, but INSERTs
+      // through this catalog entry will fail analysis until the
+      // stored schema is repaired
+      case scala.util.control.NonFatal(e) =>
+        println(s"METRIC graft.rename_column.catalog_sync_failed=1 " +
+          s"table=${ident.quotedString} err=${e.getClass.getSimpleName}")
+    }
     GraftDml.refreshAfterDml(spark, Some(ident.quotedString))
     Seq(Row(n))
   }

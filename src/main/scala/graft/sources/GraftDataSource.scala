@@ -201,7 +201,11 @@ object GraftDataSource {
     // FileFormat requests the PHYSICAL (file) names per column and
     // translates pushed-down filters (GraftParquetFileFormat.toPhys /
     // mapFilter). Never-renamed tables have an empty map and take the
-    // plain ParquetFileFormat path unchanged.
+    // plain ParquetFileFormat path unchanged. The surfaced schema is
+    // STRIPPED of the mapping metadata — a CTAS-style copy of this
+    // relation into a new table must not smuggle a bogus mapping into
+    // the new table's footers (the renamed column would read NULL
+    // there).
     val renameMap: Map[String, String] =
       handle.schemaOpt.map(ManifestSink.mappingOf).getOrElse(Map.empty)
     val fileFormat =
@@ -213,7 +217,7 @@ object GraftDataSource {
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
-      dataSchema = dataSchema,
+      dataSchema = ManifestSink.stripPhysical(dataSchema),
       bucketSpec = None,
       fileFormat = fileFormat,
       options = Map("mergeSchema" -> "true"))(spark)

@@ -93,6 +93,11 @@ final class GraftDvScanRule(session: SparkSession)
 
   private def rewrite(lr: LogicalRelation, fs: HadoopFsRelation,
       gf: GraftParquetFileFormat): LogicalPlan = {
+    // a MAPPED table with no dv'd files keeps its scan as-is: the
+    // format is there purely for the name translation, there are no
+    // tombstones to filter, and the rewrite's _metadata + dv-hit
+    // filter would be pure per-row overhead on every scan forever
+    if (gf.dv.fileNames.isEmpty) return lr
     // a mapped table keeps the name-translating format (minus the dv
     // transport — the Filter below applies the dvs); the translation
     // is schema-only, so the vectorized reader stays on

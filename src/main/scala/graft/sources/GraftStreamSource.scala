@@ -267,14 +267,18 @@ object GraftStreamSource {
       s"[graft] readStream.format(\"graft\"): $destPath has no " +
         "committed data to resolve a schema from — pass .schema(...) " +
         "explicitly or commit a first batch")
-    val base = handle.schemaOpt.getOrElse {
+    // STRIPPED of the column-mapping metadata: this schema surfaces to
+    // the user and rides into whatever sink the stream writes — a
+    // graft sink downstream must not inherit a bogus mapping (the
+    // source keeps its own renameMap for the physical read)
+    val base = ManifestSink.stripPhysical(handle.schemaOpt.getOrElse {
       val dest = new Path(destPath)
       spark.read.option("mergeSchema", "true")
         .option("basePath", destPath)
         .parquet(handle.targets.map(rel =>
           new Path(dest, rel).toString): _*)
         .schema
-    }
+    })
     val extras =
       (if (rowLevel) Seq(StructField("_change_type", StringType))
        else Seq.empty) :+ StructField("_commit_version", LongType)

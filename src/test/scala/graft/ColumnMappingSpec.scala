@@ -407,6 +407,85 @@ class ColumnMappingSpec extends SparkSpec {
     assert(m.where(col("doc_key") === "k999").count() === 1L)
   }
 
+  test("the mapping metadata never leaks: readBack of a mapped table " +
+      "copied into a NEW table reads intact (no bogus mapping in the " +
+      "copy's schema line)") {
+    val a = tmpDir("cmap_leak_a_")
+    val b = tmpDir("cmap_leak_b_")
+    ManifestSink.statsAppend(Seq((1L, "x"), (2L, "y")).toDF("id", "v"),
+      a, None, Seq("id"))
+    ManifestSink.renameColumn(spark, a, "v", "val2")
+    val copy = ManifestSink.readBack(spark, a)
+    // the surfaced frame carries NO mapping metadata
+    assert(!copy.schema.fields.exists(
+      _.metadata.contains("graft.physical")))
+    ManifestSink.statsAppend(copy, b, None, Seq("id"))
+    // the copy's own schema resolution has no mapping, and the column
+    // reads back with its values (a leaked mapping would request the
+    // nonexistent physical name 'v' and read NULL)
+    val sb = ManifestSink.snapshotHandle(spark, b).schemaOpt.get
+    assert(!sb.fields.exists(_.metadata.contains("graft.physical")))
+    assert(ManifestSink.readBack(spark, b)
+      .orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+    // the SQL relation is equally clean (CTAS-style copies)
+    spark.sql("DROP TABLE IF EXISTS cmap_leak_t")
+    spark.sql(s"CREATE TABLE cmap_leak_t USING graft LOCATION '$a'")
+    assert(!spark.table("cmap_leak_t").schema.fields.exists(
+      _.metadata.contains("graft.physical")))
+    spark.sql("DROP TABLE cmap_leak_t")
+  }
+
+  test("renameColumnRewrite on a MAPPED table: the rewrite lands the " +
+      "logical names physically and the values survive") {
+    val dir = tmpDir("cmap_rwren_")
+    ManifestSink.statsAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      dir, None, Seq("id"))
+    ManifestSink.renameColumn(spark, dir, "v", "val2")
+    // physical rewrite of a DIFFERENT column on the mapped table
+    val n = ManifestSink.renameColumnRewrite(spark, dir, "val2", "txt")
+    assert(n > 0L)
+    val back = ManifestSink.readBack(spark, dir)
+    assert(back.columns.toSeq === Seq("id", "txt"))
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // committed files now physically carry the new name and the
+    // mapping is gone
+    val committed = ManifestSink.snapshotHandle(spark, dir)
+    assert(!committed.schemaOpt.get.fields.exists(
+      _.metadata.contains("graft.physical")))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fields = committed.targets.flatMap { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dir + "/" + rel), fs.getConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName)
+      } finally r.close()
+    }.toSet
+    assert(fields === Set("id", "txt"))
+  }
+
+  test("dv-less scans of a mapped table keep the PLAIN scan shape: no " +
+      "dv filter, no _metadata materialization") {
+    val dir = tmpDir("cmap_planshape_")
+    ManifestSink.statsAppend(Seq((1L, "a")).toDF("id", "v"), dir,
+      None, Seq("id"))
+    ManifestSink.renameColumn(spark, dir, "v", "val2")
+    spark.sql("DROP TABLE IF EXISTS cmap_ps_t")
+    spark.sql(s"CREATE TABLE cmap_ps_t USING graft LOCATION '$dir'")
+    val plan = spark.sql("SELECT val2 FROM cmap_ps_t WHERE id = 1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_dv_hit"),
+      s"dv filter on a dv-less mapped scan:\n$plan")
+    assert(spark.sql("SELECT val2 FROM cmap_ps_t WHERE id = 1")
+      .head().getString(0) === "a")
+    spark.sql("DROP TABLE cmap_ps_t")
+  }
+
   test("schema evolution around a rename: a narrower (prefix) batch " +
       "null-fills, a superset batch adds a fresh column, and both " +
       "translate") {
