@@ -33,6 +33,10 @@ object Stress {
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nDocs0 = docs0.count()
+    // actual count, not an sf0.1-specific constant: replica vec_id
+    // ranges must be disjoint at ANY corpus size or the similarity
+    // joins being timed silently join duplicate ids
+    val nEmb0 = emb0.count()
 
     val docs = (0 until repl).map { i =>
       docs0.select(
@@ -42,7 +46,7 @@ object Stress {
     }.reduce(_ unionByName _)
     val emb = (0 until repl).map { i =>
       emb0.select(
-        (col("vec_id") + lit(i.toLong * 2000)).as("vec_id"),
+        (col("vec_id") + lit(i.toLong * nEmb0)).as("vec_id"),
         (if (i == 0) col("embedding")
          else transform(col("embedding"),
            x => x + lit(i * 0.001f))).as("embedding"),
@@ -84,7 +88,7 @@ object Stress {
       col("o_orderkey") + lit(i.toLong * 10000000L))).reduce(_ unionByName _)
 
     println(s"STRESS corpus: ${repl}x -> ${nDocs0 * repl} docs, " +
-      s"${2000 * repl} vectors, ~${600000L * repl} lineitem rows")
+      s"${nEmb0 * repl} vectors, ~${600000L * repl} lineitem rows")
     timeCount("q1_agg")(
       li.filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")

@@ -111,12 +111,29 @@ object ManifestSink extends Ingest.DestinationSink {
     * clusters, the same option [[graft.operators.Dedup.dupClusters]]
     * grew for the same reason).
     */
-  private def pinFrame(df: DataFrame,
-      checkpointDir: Option[String]): DataFrame = checkpointDir match {
+  /** Pin a frame's rows before a multi-pass maintenance operation.
+    * `checkpointDir` = RELIABLE pinning: the frame materializes as
+    * parquet under `dir/pin_<uuid>` (preemption-safe — an executor
+    * loss re-reads files instead of recomputing the source plan) and
+    * the SECOND element is the cleanup thunk the caller runs after
+    * the commit settles — `RDD.checkpoint` files are never deleted by
+    * Spark under default confs and the old implementation leaked one
+    * full frame copy per maintenance run (it also mutated the global
+    * SparkContext checkpoint dir). None = executor-block
+    * `localCheckpoint` (fast, not preemption-safe), nothing to clean.
+    */
+  private def pinFrame(df: DataFrame, checkpointDir: Option[String])
+      : (DataFrame, () => Unit) = checkpointDir match {
     case Some(dir) =>
-      df.sparkSession.sparkContext.setCheckpointDir(dir)
-      df.checkpoint()
-    case None => df.localCheckpoint()
+      val spark = df.sparkSession
+      val out = new Path(dir, "pin_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(16))
+      df.write.mode("overwrite").parquet(out.toString)
+      val fs = fsOf(spark, out)
+      (spark.read.parquet(out.toString),
+        () => try { fs.delete(out, true); () }
+          catch { case scala.util.control.NonFatal(_) => () })
+    case None => (df.localCheckpoint(), () => ())
   }
 
   /** The explicit GENERIC partition spec form: `val(c)` partitions by
@@ -928,10 +945,7 @@ object ManifestSink extends Ingest.DestinationSink {
     lazy val rdSchema = logReadSchema(spark, destPath, None)
     (feed.map { case (v, targets) =>
       (v, () => {
-        val rd = rdSchema match {
-          case Some(s) => spark.read.schema(physSchemaOf(s))
-          case None    => spark.read.option("mergeSchema", "true")
-        }
+        val rd = logSchemaReader(spark, rdSchema)
         val df = rd.option("basePath", destPath)
           .parquet(targets.map(rel =>
             new Path(dest, rel).toString): _*)
@@ -1124,8 +1138,12 @@ object ManifestSink extends Ingest.DestinationSink {
       // still refuse
       effectiveSchemaOf(fs, old).foreach { cur =>
         // a partitioned stage strips the derived partition columns
-        // from the data files — compare what will actually land
-        val strip = partitionField.map(partitionColsOf).getOrElse(Nil)
+        // from the data files — compare what will actually land. The
+        // FRAME-AWARE overload: a bare generic spec ("shard") derives
+        // the column itself, not p_date (the schema-less overload
+        // would strip the wrong column and falsely refuse)
+        val strip = partitionField
+          .map(f => partitionColsOf(f, df)).getOrElse(Nil)
         val incoming =
           if (strip.isEmpty) df.schema
           else StructType(df.schema.fields.filterNot(f =>
@@ -1223,7 +1241,8 @@ object ManifestSink extends Ingest.DestinationSink {
     // nondeterministic source could diverge between the check and
     // the write
     val (dfP0, pcols) = withPartitionCols(df, partitionField)
-    val dfP = pinFrame(dfP0, checkpointDir)
+    val (dfP, unpin) = pinFrame(dfP0, checkpointDir)
+    try {
     val pcol = pcols.head // p_date, or the generic partition column
     val hourly = pcols.length == 2
     // value forms: "d" replaces a whole day — or, on a GENERIC layout,
@@ -1275,6 +1294,14 @@ object ManifestSink extends Ingest.DestinationSink {
           pcols.map(c => col(c).cast("string")): _*))
         .distinct().collect().map(_.getString(0)).toSeq.sorted
     if (replacedValues.isEmpty) return 0L // dynamic + empty df: no-op
+    // the dynamic path derives values from DATA — hold them to the
+    // same guard as static specs ('..' must never reach a directory
+    // name; date/hour values are to_date/hour-derived and never
+    // carry either, so this only ever bites generic layouts)
+    require(replacedValues.forall(v => !v.contains("..")),
+      s"[graft] overwritePartitions: a derived partition value " +
+        s"contains '..': ${replacedValues.filter(_.contains(".."))
+          .mkString(",")}")
     // capture the log ONCE (the optimize/rewrite protocol)
     val old = resolvedLog(fs, destPath)
     val baseVersion = old.map(_.getName.takeWhile(_.isDigit).toLong)
@@ -1300,14 +1327,22 @@ object ManifestSink extends Ingest.DestinationSink {
             "overwrite cannot change the schema"))
     }
     // prefixes must match the writer's hive-ESCAPED directory names
-    // (a generic value like "a b" lands as "a%20b")
+    // (a generic value like "a b" lands as "a%20b"). Branch on the
+    // LAYOUT, never on the value's shape: a single-level generic
+    // value containing '/' (lang = "a/4") must stay ONE value — the
+    // old value-shape split misparsed it as a date/hour pair, matched
+    // no target, and committed the new rows WITHOUT replacing the
+    // partition (silent duplicates)
     def esc(v: String): String = org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.escapePathName(v)
-    val prefixes = replacedValues.map(v => v.split('/') match {
-      case Array(d) => s"$pcol=${esc(d)}/"
-      case Array(d, h) =>
-        s"$pcol=${esc(d)}/${Ingest.PartitionHourCol}=${canonHour(h)}/"
-    })
+    val prefixes = replacedValues.map { v =>
+      if (!hourly) s"$pcol=${esc(v)}/"
+      else v.split('/') match {
+        case Array(d) => s"$pcol=${esc(d)}/"
+        case Array(d, h) =>
+          s"$pcol=${esc(d)}/${Ingest.PartitionHourCol}=${canonHour(h)}/"
+      }
+    }
     val replaced = targets.filter(t => prefixes.exists(t.startsWith)).toSet
     val kept = targets.filterNot(replaced)
     // a concurrent pure append absorbs iff it lands OUTSIDE the
@@ -1332,6 +1367,7 @@ object ManifestSink extends Ingest.DestinationSink {
             s"$destPath (base v$baseVersion) — staged files rolled " +
             "back; retry against the advanced log")
     }
+    } finally unpin() // reliable-pin parquet swept after the commit
   }
 
   /** Shared snapshot-replace core for [[overwritePartitions]] and
@@ -1426,6 +1462,13 @@ object ManifestSink extends Ingest.DestinationSink {
           ps.exists(t.startsWith),
           s"[graft] snapshot replace: staged file $t falls outside " +
             s"the replaced partitions")))
+      assertDirValuesRoundTrip(relToTarget.values,
+        (kept ++ replaced).map { t =>
+          t.lastIndexOf('/') match {
+            case -1 => ""
+            case k  => t.substring(0, k)
+          }
+        }.toSet, "snapshot replace")
       val dataCols = dfP.columns.toSeq
         .filterNot(c => pcols.exists(_.equalsIgnoreCase(c)))
       // stats/bloom columns arrive LOGICAL (Scala callers) or
@@ -1642,7 +1685,8 @@ object ManifestSink extends Ingest.DestinationSink {
       s"[graft] mergeFullSync: source lacks key column '$keyCol'")
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val src = pinFrame(source, checkpointDir)
+    val (src, unpin) = pinFrame(source, checkpointDir)
+    try {
     val nSrc = src.count()
     val nKeys = src.select(col(keyCol)).distinct().count()
     require(nKeys == nSrc,
@@ -1737,6 +1781,7 @@ object ManifestSink extends Ingest.DestinationSink {
           s"base_version=$baseVersion dest=$destPath")
         MergeOutcome.Aborted
     }
+    } finally unpin() // reliable-pin parquet swept after the commit
   }
 
   /** INCREMENTAL full sync — the same `WHEN MATCHED THEN UPDATE SET *
@@ -1781,7 +1826,9 @@ object ManifestSink extends Ingest.DestinationSink {
       statsCols: Seq[String] = Nil,
       bySourceCond: Option[Column] = None,
       bySourceSet: Option[Map[String, Column]] = None,
-      checkpointDir: Option[String] = None): MergeOutcome = {
+      checkpointDir: Option[String] = None,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): MergeOutcome = {
     require(source.columns.contains(keyCol),
       s"[graft] mergeSync: source lacks key column '$keyCol'")
     bySourceSet.foreach(_.keys.foreach { k =>
@@ -1791,7 +1838,12 @@ object ManifestSink extends Ingest.DestinationSink {
     })
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val src = pinFrame(source, checkpointDir)
+    val unpins = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    def pin(df: DataFrame): DataFrame = {
+      val (p, u) = pinFrame(df, checkpointDir); unpins += u; p
+    }
+    val src = pin(source)
+    try {
     val nSrc = src.count()
     val nKeys = src.select(col(keyCol)).distinct().count()
     require(nKeys == nSrc,
@@ -1886,8 +1938,8 @@ object ManifestSink extends Ingest.DestinationSink {
       .reduce(_ && _)
     val bySrcHit = tOnly &&
       bySourceCond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
-    val changed = pinFrame(j
-      .where(sOnly || (matched && !same) || bySrcHit), checkpointDir)
+    val changed = pin(j
+      .where(sOnly || (matched && !same) || bySrcHit))
     val cnt = changed.agg(
       sum(when(sOnly, 1L).otherwise(0L)).as("ins"),
       sum(when(col("__s").isNull, 1L).otherwise(0L)).as("bysrc"),
@@ -1927,8 +1979,10 @@ object ManifestSink extends Ingest.DestinationSink {
     val staging = stagingDir(destPath, writeId)
     fs.mkdirs(staging)
     val dvRel = s"$DvDir/$writeId.parquet"
+    val bloomRel = s"$BloomDir/$writeId.parquet"
     val moves = scala.collection.mutable.ArrayBuffer[(Path, String)]()
     val newStats = scala.collection.mutable.ArrayBuffer[String]()
+    val newBlooms = scala.collection.mutable.ArrayBuffer[String]()
     var dvLines = Seq.empty[String]
     try {
       val relOfName: Map[String, String] =
@@ -1980,6 +2034,33 @@ object ManifestSink extends Ingest.DestinationSink {
       if (statsCols.nonEmpty && insTargets.nonEmpty)
         newStats ++= statsLinesFor(spark, fs, insOut,
           insTargets.toMap, physColsOf(statsCols, mappingFor(fs, old)))
+      // bloom coverage survives a sync: the appended files get
+      // filters for the same columns the table already indexes (the
+      // SQL route threads the snapshot's bloomColumns), so equality
+      // pruning does not decay as the table churns
+      if (bloomCols.nonEmpty && insTargets.nonEmpty) {
+        val (inline, metas, wordsOpt) = bloomWordsFor(spark, fs,
+          insOut, insTargets.toMap,
+          physColsOf(bloomCols, mappingFor(fs, old)), bloomBits)
+        newBlooms ++= inline
+        newBlooms ++= metas.map { case (tgt, c, m, k) =>
+          bloomScLine(tgt, c, m, k, bloomRel) }
+        wordsOpt.foreach { w =>
+          val part = w match {
+            case Left(rows) => writeBloomSidecarDriver(fs, staging, rows)
+            case Right(wdf) => writeBloomSidecar(fs, staging, wdf)
+          }
+          moves += ((part, bloomRel))
+          newBlooms += s"sidecar\t$bloomRel"
+        }
+      }
+      assertDirValuesRoundTrip(insTargets.map(_._2),
+        targets.map { t =>
+          t.lastIndexOf('/') match {
+            case -1 => ""
+            case k  => t.substring(0, k)
+          }
+        }.toSet, "mergeSync")
       insTargets.foreach { case (rel, target) =>
         moves += ((new Path(insOut, rel), target))
       }
@@ -2002,7 +2083,8 @@ object ManifestSink extends Ingest.DestinationSink {
           fs.delete(sroot, true)
         throw e
     }
-    val newTgts = moves.map(_._2).filterNot(_ == dvRel).toSeq
+    val newTgts = moves.map(_._2)
+      .filterNot(t => t == dvRel || t == bloomRel).toSeq
     val schemaLn = newTgts.headOption.flatMap { tg =>
       try Some(schemaLineOf(
         parquetFooterSchema(fs, new Path(dest, tg))))
@@ -2011,7 +2093,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val body = (Seq(s"writeid\t$writeId") ++
       newTgts.map("target\t" + _) ++ newStats ++
       fsizeLinesForNew(fs, dest, newTgts) ++ schemaLn ++
-      dvLines).mkString("\n")
+      newBlooms.toSeq ++ dvLines).mkString("\n")
     val lp = logPath(destPath)
     fs.mkdirs(lp)
     val tmp = new Path(lp, s".tmp_$writeId")
@@ -2044,6 +2126,7 @@ object ManifestSink extends Ingest.DestinationSink {
       s"files_marked=${dvLines.length} rewritten=0 " +
       s"version=$version dest=$destPath")
     MergeOutcome.Merged(updated, inserted, deleted)
+    } finally unpins.foreach(u => u()) // reliable-pin parquet swept
   }
 
   /** CDC-style incremental read (the append-only half of Delta's change
@@ -2100,10 +2183,7 @@ object ManifestSink extends Ingest.DestinationSink {
     // types — read under the log-resolved schema (upcasts per file);
     // renamed columns scan physical and surface logical
     val logSchema = logReadSchema(spark, destPath, None)
-    val rd = logSchema match {
-      case Some(s) => spark.read.schema(physSchemaOf(s))
-      case None    => spark.read.option("mergeSchema", "true")
-    }
+    val rd = logSchemaReader(spark, logSchema)
     val df = rd.option("basePath", destPath).parquet(files: _*)
     logSchema.map(toLogicalDf(df, _)).getOrElse(df)
   }
@@ -2210,10 +2290,7 @@ object ManifestSink extends Ingest.DestinationSink {
         // data-file reads resolve through the CURRENT log schema when
         // the log has one: a post-widen dv can tombstone rows in files
         // of BOTH eras, whose footers a mergeSchema union would refuse
-        def rdFiles = harmonizeTo match {
-          case Some(s) => spark.read.schema(physSchemaOf(s))
-          case None    => spark.read.option("mergeSchema", "true")
-        }
+        def rdFiles = logSchemaReader(spark, harmonizeTo)
         val deletes =
           if (dvL.isEmpty) None
           else {
@@ -2332,6 +2409,14 @@ object ManifestSink extends Ingest.DestinationSink {
     * the commit). Delta's default cadence. 0 disables.
     */
   @volatile var checkpointInterval: Int = 10
+
+  /** Most distinct partition directories ONE staged commit may create
+    * ([[stageMoveCommit]]'s partition-explosion guard): a bare
+    * partitionField over a high-cardinality column (epoch millis, raw
+    * ids) would otherwise commit a directory per distinct value.
+    * Raise for deliberate wide backfills.
+    */
+  @volatile var MaxStagedDirs: Int = 10000
 
   /** Write a CHECKPOINT summary of the log at its current head —
     * `_log/<head>.checkpoint`, the full effective table state (file
@@ -2556,6 +2641,59 @@ object ManifestSink extends Ingest.DestinationSink {
     effectiveSchemaOf(fs, cut.getOrElse(resolvedLog(fs, destPath)))
   }
 
+  /** Refuse NEW partition directories whose value does not ROUND-TRIP
+    * partition-type inference: a zero-padded numeric string ("01",
+    * "+5") written as a generic partition value reads back as the
+    * integer 1/5 through Spark's own partition discovery AND this
+    * engine's FileIndex — silent value corruption, and a later write
+    * of the canonical form splits the partition (store=01/ next to
+    * store=1/). Integral ambiguity is the trap worth a write-time
+    * guard; existing committed directories are grandfathered so a
+    * legacy table stays maintainable. Derived layouts always pass
+    * (ISO dates are not integral; p_hour/shard values are written
+    * canonically from INT/LONG columns).
+    */
+  private def assertDirValuesRoundTrip(newRels: Iterable[String],
+      existingDirs: Set[String], op: String): Unit = {
+    newRels.iterator.map { rel =>
+      rel.lastIndexOf('/') match {
+        case -1 => ""
+        case k  => rel.substring(0, k)
+      }
+    }.filter(_.nonEmpty).filterNot(existingDirs).toSet
+      .flatMap((d: String) => d.split('/').toSeq)
+      .filter(_.contains('='))
+      .foreach { seg =>
+        val i = seg.indexOf('=')
+        val v = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+        if (v != "__HIVE_DEFAULT_PARTITION__")
+          scala.util.Try(v.toLong).toOption.foreach { n =>
+            require(n.toString == v,
+              s"[graft] $op: partition value '$v' " +
+                s"(${seg.substring(0, i)}) would read back as $n " +
+                "under partition-type inference — zero-padded/signed " +
+                "numeric strings do not round-trip; prefix the value " +
+                s"(e.g. 'k$v') or use its canonical form '$n'")
+          }
+      }
+  }
+
+  /** Reader for committed data files under the LOG-resolved schema:
+    * PHYSICAL column names (column mapping), widened types upcast per
+    * file, evolved columns null-fill — with the footer `mergeSchema`
+    * union as the legacy fallback (pre-schema-line logs cannot have
+    * widened or renamed). EVERY maintenance/feed read goes through
+    * this one seam; callers surface logical names via [[toLogicalDf]]
+    * where the frame leaves the engine.
+    */
+  private def logSchemaReader(spark: SparkSession,
+      logSchema: Option[StructType])
+      : org.apache.spark.sql.DataFrameReader = logSchema match {
+    case Some(s) => spark.read.schema(physSchemaOf(s))
+    case None    => spark.read.option("mergeSchema", "true")
+  }
+
   /** DV-aware file read KEEPING the metadata key columns
     * (`__graft_fn`, `__graft_pos`) — the write paths use them to
     * compute new tombstone positions. Applies every dv in `dvs` via an
@@ -2573,12 +2711,9 @@ object ManifestSink extends Ingest.DestinationSink {
       schemaCut: Option[Seq[Path]] = None): DataFrame = {
     val dest = new Path(destPath)
     val logSchema = logReadSchema(spark, destPath, schemaCut)
-    val rd = logSchema match {
-      // scan under PHYSICAL names (what the files carry); renamed
-      // columns surface under their logical names after the read
-      case Some(s) => spark.read.schema(physSchemaOf(s))
-      case None    => spark.read.option("mergeSchema", "true")
-    }
+    // scan under PHYSICAL names (what the files carry); renamed
+    // columns surface under their logical names after the read
+    val rd = logSchemaReader(spark, logSchema)
     val base0 = (if (withBase) rd.option("basePath", destPath) else rd)
       .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
       .withColumn("__graft_fn", col("_metadata.file_name"))
@@ -2666,10 +2801,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val relSet = rels.toSet
     if (!dvs.exists { case (t, _) => relSet.contains(t) }) {
       val logSchema = logReadSchema(spark, destPath, schemaCut)
-      val rd = logSchema match {
-        case Some(s) => spark.read.schema(physSchemaOf(s))
-        case None    => spark.read.option("mergeSchema", "true")
-      }
+      val rd = logSchemaReader(spark, logSchema)
       val df = (if (withBase) rd.option("basePath", destPath) else rd)
         .parquet(rels.map(rel => new Path(dest, rel).toString): _*)
       logSchema.map(toLogicalDf(df, _)).getOrElse(df)
@@ -3112,19 +3244,33 @@ object ManifestSink extends Ingest.DestinationSink {
   def alterColumnType(spark: SparkSession, destPath: String,
       colName: String, newType: org.apache.spark.sql.types.DataType)
       : StructType =
+    alterColumnTypes(spark, destPath, Seq(colName -> newType))
+
+  /** [[alterColumnType]] for several columns in ONE atomic `schemaevo`
+    * commit — a multi-column `ALTER TABLE ... ALTER COLUMN a TYPE ...,
+    * b TYPE ...` must not leave the first widen committed when a later
+    * spec refuses (every spec validates before anything lands).
+    */
+  def alterColumnTypes(spark: SparkSession, destPath: String,
+      widens: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : StructType = {
+    require(widens.nonEmpty, "[graft] alterColumnType: empty spec list")
     alterSchema(spark, destPath, cur => {
-      val i = cur.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
-      require(i >= 0, s"[graft] alterColumnType: column '$colName' " +
-        s"does not exist (columns: ${cur.fieldNames.mkString(", ")})")
-      val from = cur.fields(i).dataType
-      require(canWiden(from, newType),
-        s"[graft] alterColumnType: ${from.simpleString} -> " +
-          s"${newType.simpleString} is not a safe widening (allowed: " +
-          "byte->short->int->long, float->double, integral->double, " +
-          "decimal(p,s) growth with scale and p-s non-decreasing)")
-      StructType(cur.fields.updated(i,
-        cur.fields(i).copy(dataType = newType)))
+      widens.foldLeft(cur) { case (acc, (colName, newType)) =>
+        val i = acc.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+        require(i >= 0, s"[graft] alterColumnType: column '$colName' " +
+          s"does not exist (columns: ${acc.fieldNames.mkString(", ")})")
+        val from = acc.fields(i).dataType
+        require(canWiden(from, newType),
+          s"[graft] alterColumnType: ${from.simpleString} -> " +
+            s"${newType.simpleString} is not a safe widening (allowed: " +
+            "byte->short->int->long, float->double, integral->double, " +
+            "decimal(p,s) growth with scale and p-s non-decreasing)")
+        StructType(acc.fields.updated(i,
+          acc.fields(i).copy(dataType = newType)))
+      }
     })
+  }
 
   /** Lossless type promotions [[alterColumnType]] admits — each one
     * verified against the parquet readers by WidenProbeSpec.
@@ -5135,8 +5281,9 @@ object ManifestSink extends Ingest.DestinationSink {
     val autoKeys = layoutKeysOf(targets)
     val autoGeneric = autoKeys.length == 1 &&
       !autoKeys.head.equalsIgnoreCase(Ingest.PartitionCol)
-    require(autoKeys.length <= 2 && (!autoGeneric ||
-        partitionField.nonEmpty || autoKeys.length == 1),
+    // (autoGeneric implies length == 1, so the depth cap is the whole
+    // guard; the mixed/foreign-layout refusal happens below)
+    require(autoKeys.length <= 2,
       s"[graft] updateWhereMor: unsupported partition layout " +
         s"(${autoKeys.mkString("/")}) — pass partitionField")
     val autoPdate: Map[String, (String, Option[String])] =
@@ -7175,10 +7322,8 @@ object ManifestSink extends Ingest.DestinationSink {
       try {
         // the sidecar stays under PHYSICAL names (like data files);
         // the feed reader surfaces logical
-        val rdPre = logReadSchema(spark, destPath, None) match {
-          case Some(s) => spark.read.schema(physSchemaOf(s))
-          case None    => spark.read.option("mergeSchema", "true")
-        }
+        val rdPre =
+          logSchemaReader(spark, logReadSchema(spark, destPath, None))
         val pre = rdPre
           .option("basePath", destPath)
           .parquet(dropped.toSeq.sorted
@@ -7365,6 +7510,47 @@ object ManifestSink extends Ingest.DestinationSink {
         case k  => rel.substring(0, k + 1)
       }
       (rel, s"$dir$writeId-$i.parquet")
+    }
+    // PARTITION-EXPLOSION guard: one batch staging more distinct
+    // directories than [[MaxStagedDirs]] is almost always a layout
+    // mistake — a bare partitionField naming an epoch-millis column
+    // (one directory per distinct millisecond) or a timestamp-derived
+    // layout fed corrupt dates — and committing it cripples the table
+    // (manifest size, listing cost, file-per-row). Refuse BEFORE
+    // anything moves; the staged attempt sweeps clean. Deliberate
+    // wide backfills raise the knob.
+    val stagedDirs = targets.iterator.map { case (rel, _) =>
+      rel.lastIndexOf('/') match {
+        case -1 => ""
+        case k  => rel.substring(0, k)
+      }
+    }.toSet.size
+    if (stagedDirs > MaxStagedDirs) {
+      fs.delete(staging, true)
+      val sr = stagingRoot(destPath)
+      if (fs.exists(sr) && fs.listStatus(sr).isEmpty)
+        fs.delete(sr, true)
+      throw new IllegalArgumentException(
+        s"[graft] commit refused: one batch staged $stagedDirs " +
+          s"distinct partition directories (cap $MaxStagedDirs) — " +
+          "check the partitionField spec (a bare high-cardinality " +
+          "column partitions by its raw values); raise " +
+          "ManifestSink.MaxStagedDirs for a deliberate wide backfill")
+    }
+    try assertDirValuesRoundTrip(targets.map(_._2),
+      effectiveTargetsOf(fs, resolvedLog(fs, destPath)).map { t =>
+        t.lastIndexOf('/') match {
+          case -1 => ""
+          case k  => t.substring(0, k)
+        }
+      }.toSet, "append")
+    catch {
+      case e: IllegalArgumentException =>
+        fs.delete(staging, true)
+        val sr = stagingRoot(destPath)
+        if (fs.exists(sr) && fs.listStatus(sr).isEmpty)
+          fs.delete(sr, true)
+        throw e
     }
     // per-file byte sizes ride the manifest (the move preserves them)
     // so readers build the snapshot's FileIndex without ever statting

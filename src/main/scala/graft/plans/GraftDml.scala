@@ -896,15 +896,16 @@ case class GraftAlterColumnTypeCommand(dest: String,
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
-    var next: org.apache.spark.sql.types.StructType = null
-    widens.foreach { case (name, t) =>
-      try next = ManifestSink.alterColumnType(spark, dest, name, t)
+    // ONE schemaevo commit for the whole spec list: every column
+    // validates before anything lands, so a refused later spec cannot
+    // leave an earlier widen committed with the catalog out of sync
+    val next =
+      try ManifestSink.alterColumnTypes(spark, dest, widens)
       catch {
         case e: IllegalArgumentException => GraftDml.fail(
           e.getMessage.stripPrefix("requirement failed: ")
             .stripPrefix("[graft] "))
       }
-    }
     try spark.sessionState.catalog.alterTableDataSchema(ident, next)
     catch { case scala.util.control.NonFatal(_) => () }
     GraftDml.refreshAfterDml(spark, Some(ident.quotedString))
@@ -995,7 +996,8 @@ case class GraftMergeSyncCommand(dest: String, source: LogicalPlan,
     val handle = ManifestSink.snapshotHandle(spark, dest)
     val outcome = ManifestSink.mergeSync(spark, dest, srcDf,
       keyCol, partitionField, handle.statsColumns,
-      bySourceCond = bySourceCond, bySourceSet = bySourceSet)
+      bySourceCond = bySourceCond, bySourceSet = bySourceSet,
+      bloomCols = handle.bloomColumns)
     if (!outcome.applied)
       throw new IllegalStateException(
         s"[graft] MERGE INTO $dest (sync) did not apply: " +

@@ -1367,15 +1367,25 @@ class GraftDmlSpec extends SparkSpec {
     val repl = (100L until 110L).map(i =>
         (i, s"n$i", java.sql.Date.valueOf("2026-01-02")))
       .toDF("id", "v", "day").coalesce(1)
-    // same verb, reliable vs local pinning: same result
-    assert(ManifestSink.overwritePartitions(repl, destA, "day",
-      statsCols = Seq("id"), checkpointDir = Some(ckpt)) ==
-      ManifestSink.overwritePartitions(repl, destB, "day",
-        statsCols = Seq("id")))
+    // same verb, reliable vs local pinning: same result. The pin
+    // parquet must EXIST at commit time (preemption safety) and be
+    // SWEPT afterwards (no per-run debris accumulation)
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    assert(walk(new java.io.File(ckpt)).nonEmpty,
-      "no reliable checkpoint files written")
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    var sawPin = false
+    ManifestSink.onBeforeRewriteCommit = () =>
+      sawPin = sawPin || walk(new java.io.File(ckpt)).nonEmpty
+    try {
+      assert(ManifestSink.overwritePartitions(repl, destA, "day",
+        statsCols = Seq("id"), checkpointDir = Some(ckpt)) ==
+        ManifestSink.overwritePartitions(repl, destB, "day",
+          statsCols = Seq("id")))
+    } finally ManifestSink.onBeforeRewriteCommit = () => ()
+    assert(sawPin, "no reliable pin files existed at commit time")
+    assert(walk(new java.io.File(ckpt)).isEmpty,
+      "reliable pin files not swept after the commit")
     def state(d: String) = ManifestSink.readBack(spark, d)
       .select("id", "v").as[(Long, String)].collect().toSet
     assert(state(destA) == state(destB))
