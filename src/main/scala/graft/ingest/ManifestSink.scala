@@ -1463,12 +1463,7 @@ object ManifestSink extends Ingest.DestinationSink {
           s"[graft] snapshot replace: staged file $t falls outside " +
             s"the replaced partitions")))
       assertDirValuesRoundTrip(relToTarget.values,
-        (kept ++ replaced).map { t =>
-          t.lastIndexOf('/') match {
-            case -1 => ""
-            case k  => t.substring(0, k)
-          }
-        }.toSet, "snapshot replace")
+        kept ++ replaced, "snapshot replace")
       val dataCols = dfP.columns.toSeq
         .filterNot(c => pcols.exists(_.equalsIgnoreCase(c)))
       // stats/bloom columns arrive LOGICAL (Scala callers) or
@@ -1857,8 +1852,10 @@ object ManifestSink extends Ingest.DestinationSink {
     }
     if (!fs.exists(dest) || manifests(fs, destPath).isEmpty) {
       if (nSrc == 0) return MergeOutcome.NoChange("empty source+table")
-      if (statsCols.nonEmpty)
-        statsAppend(src, destPath, partitionField, statsCols)
+      if (statsCols.nonEmpty || bloomCols.nonEmpty)
+        statsAppend(src, destPath, partitionField,
+          if (statsCols.nonEmpty) statsCols else bloomCols,
+          bloomCols = bloomCols, bloomBits = bloomBits)
       else append(src, destPath, partitionField)
       return MergeOutcome.Merged(0L, nSrc, 0L)
     }
@@ -1893,8 +1890,10 @@ object ManifestSink extends Ingest.DestinationSink {
     }
     if (targets.isEmpty) {
       if (nSrc == 0) return MergeOutcome.NoChange("empty source+table")
-      if (statsCols.nonEmpty)
-        statsAppend(src, destPath, partitionField, statsCols)
+      if (statsCols.nonEmpty || bloomCols.nonEmpty)
+        statsAppend(src, destPath, partitionField,
+          if (statsCols.nonEmpty) statsCols else bloomCols,
+          bloomCols = bloomCols, bloomBits = bloomBits)
       else append(src, destPath, partitionField)
       return MergeOutcome.Merged(0L, nSrc, 0L)
     }
@@ -2054,13 +2053,8 @@ object ManifestSink extends Ingest.DestinationSink {
           newBlooms += s"sidecar\t$bloomRel"
         }
       }
-      assertDirValuesRoundTrip(insTargets.map(_._2),
-        targets.map { t =>
-          t.lastIndexOf('/') match {
-            case -1 => ""
-            case k  => t.substring(0, k)
-          }
-        }.toSet, "mergeSync")
+      assertDirValuesRoundTrip(insTargets.map(_._2), targets,
+        "mergeSync")
       insTargets.foreach { case (rel, target) =>
         moves += ((new Path(insOut, rel), target))
       }
@@ -2653,30 +2647,58 @@ object ManifestSink extends Ingest.DestinationSink {
     * (ISO dates are not integral; p_hour/shard values are written
     * canonically from INT/LONG columns).
     */
+  private def dirOfRel(rel: String): String =
+    rel.lastIndexOf('/') match {
+      case -1 => ""
+      case k  => rel.substring(0, k)
+    }
+
+  /** The canonical form partition-type inference would read `v` back
+    * as, when it differs from `v` itself: the integral ladder ("01",
+    * "+5" → 1, 5), scale<=0 decimals ("1e3" → 1000 — Spark's
+    * inference accepts them), and lenient dates ("2026-1-1" →
+    * 2026-01-01). None = `v` round-trips (canonical numerics,
+    * positive-scale decimals, ISO dates, plain strings).
+    */
+  private def inferenceCanonical(v: String): Option[String] = {
+    import scala.util.Try
+    Try(v.toLong).toOption.map(_.toString)
+      .orElse(Try(new java.math.BigDecimal(v)).toOption
+        .filter(_.scale <= 0).map(_.toBigIntegerExact.toString))
+      .orElse(
+        if (v.matches("""\d{4}-\d{1,2}-\d{1,2}"""))
+          Try(java.sql.Date.valueOf(v)).toOption.map(_.toString)
+        else None)
+      .filter(_ != v)
+  }
+
   private def assertDirValuesRoundTrip(newRels: Iterable[String],
-      existingDirs: Set[String], op: String): Unit = {
-    newRels.iterator.map { rel =>
-      rel.lastIndexOf('/') match {
-        case -1 => ""
-        case k  => rel.substring(0, k)
-      }
-    }.filter(_.nonEmpty).filterNot(existingDirs).toSet
-      .flatMap((d: String) => d.split('/').toSeq)
-      .filter(_.contains('='))
-      .foreach { seg =>
+      existingRels: => Iterable[String], op: String): Unit = {
+    val newDirs = newRels.iterator.map(dirOfRel)
+      .filter(_.nonEmpty).toSet
+    // suspects first (pure string work): the log is consulted ONLY
+    // when a non-canonical value actually appears — the common date
+    // layouts never pay the existing-dir materialization
+    val suspects = newDirs.iterator.map { d =>
+      d -> d.split('/').toSeq.filter(_.contains('=')).flatMap { seg =>
         val i = seg.indexOf('=')
         val v = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
-        if (v != "__HIVE_DEFAULT_PARTITION__")
-          scala.util.Try(v.toLong).toOption.foreach { n =>
-            require(n.toString == v,
-              s"[graft] $op: partition value '$v' " +
-                s"(${seg.substring(0, i)}) would read back as $n " +
-                "under partition-type inference — zero-padded/signed " +
-                "numeric strings do not round-trip; prefix the value " +
-                s"(e.g. 'k$v') or use its canonical form '$n'")
-          }
+        if (v == "__HIVE_DEFAULT_PARTITION__") None
+        else inferenceCanonical(v).map(c => (seg.substring(0, i), v, c))
       }
+    }.filter(_._2.nonEmpty).toMap
+    if (suspects.isEmpty) return
+    val existingDirs = existingRels.iterator.map(dirOfRel).toSet
+    suspects.foreach { case (d, bad) =>
+      if (!existingDirs.contains(d)) bad.foreach { case (k, v, c) =>
+        throw new IllegalArgumentException(
+          s"[graft] $op: partition value '$v' ($k) would read back " +
+            s"as $c under partition-type inference — it does not " +
+            "round-trip; prefix the value (e.g. 'k" + v + "') or " +
+            s"use its canonical form '$c'")
+      }
+    }
   }
 
   /** Reader for committed data files under the LOG-resolved schema:
@@ -7538,12 +7560,7 @@ object ManifestSink extends Ingest.DestinationSink {
           "ManifestSink.MaxStagedDirs for a deliberate wide backfill")
     }
     try assertDirValuesRoundTrip(targets.map(_._2),
-      effectiveTargetsOf(fs, resolvedLog(fs, destPath)).map { t =>
-        t.lastIndexOf('/') match {
-          case -1 => ""
-          case k  => t.substring(0, k)
-        }
-      }.toSet, "append")
+      effectiveTargetsOf(fs, resolvedLog(fs, destPath)), "append")
     catch {
       case e: IllegalArgumentException =>
         fs.delete(staging, true)

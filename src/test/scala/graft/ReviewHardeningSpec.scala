@@ -110,6 +110,14 @@ class ReviewHardeningSpec extends SparkSpec {
       .select("n").as[Long].head() === 8L)
     spark.sql("DROP TABLE rh_bs_t")
     spark.catalog.dropTempView("rh_bs_src")
+    // the FIRST sync of a fresh table threads bloom too (the early
+    // statsAppend path used to drop it)
+    val fresh = tmpDir("rh_bloomsync_fresh_")
+    ManifestSink.mergeSync(spark, fresh,
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), "k",
+      statsCols = Seq("n"), bloomCols = Seq("k"))
+    assert(ManifestSink.snapshotHandle(spark, fresh).bloomColumns ===
+      Seq("k"))
   }
 
   test("partition-explosion guard: a batch staging more directories " +
@@ -151,11 +159,23 @@ class ReviewHardeningSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("round"))
     assert(ManifestSink.snapshotHandle(spark, dir).targets.isEmpty)
-    // canonical numerics and non-numeric strings pass
+    // scale<=0 decimals and lenient dates coerce under inference too
+    intercept[IllegalArgumentException] {
+      ManifestSink.statsAppend(Seq(("1e3", 1L)).toDF("store", "id"),
+        dir, Some("val(store)"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSink.statsAppend(
+        Seq(("2026-1-1", 1L)).toDF("store", "id"),
+        dir, Some("val(store)"), Seq("id"))
+    }
+    // canonical numerics, ISO dates, positive-scale decimals, and
+    // non-numeric strings all pass
     ManifestSink.statsAppend(
-      Seq(("7", 1L), ("en", 2L)).toDF("store", "id"),
+      Seq(("7", 1L), ("en", 2L), ("2026-01-01", 3L), ("1.50", 4L))
+        .toDF("store", "id"),
       dir, Some("val(store)"), Seq("id"))
-    assert(ManifestSink.readBack(spark, dir).count() === 2L)
+    assert(ManifestSink.readBack(spark, dir).count() === 4L)
     // grandfathering: hand-create a legacy-style zero-padded dir via
     // a pre-guard layout, then verify maintenance over it still runs
     val dir2 = tmpDir("rh_roundtrip2_")
