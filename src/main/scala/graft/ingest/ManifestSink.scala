@@ -5881,15 +5881,22 @@ object ManifestSink extends Ingest.DestinationSink {
           cdfLine += s"cdf\t$rel\t$n"
         }
       }
-      rewrites.zipWithIndex.foreach { case (rel, k) =>
-        val parent = {
-          val i = rel.lastIndexOf('/')
-          if (i < 0) "" else rel.substring(0, i + 1)
-        }
-        // the rewrite MATERIALIZES the file's tombstones: read live
-        // rows only, and the new file's dv lines are simply not carried
-        val src = readFilesDv(spark, destPath, Seq(rel), dvs,
-          withBase = false)
+      // ONE distributed rewrite job for EVERY touched file — not a
+      // sequential per-file loop (an UPDATE touching 10k files must
+      // not run 10k back-to-back single-task jobs from the driver):
+      // read all touched files with their source-file name, apply the
+      // delete/update transform once, hash-repartition on the source
+      // file so every output directory holds exactly one part, and
+      // write partitioned by it (the same shape as [[purge]]'s victim
+      // rewrite). File granularity is preserved — each source file
+      // maps to exactly one rewritten file, keeping per-file stats
+      // lines and partition parents as before.
+      if (rewrites.nonEmpty) {
+        // the rewrite MATERIALIZES each file's tombstones: read live
+        // rows only, and the new files' dv lines are simply not carried
+        val src = readFilesDvMeta(spark, destPath, rewrites, dvs,
+          withBase = false).drop("__graft_pos")
+        val dataCols = src.columns.filterNot(_ == "__graft_fn")
         val mB = bindOuter(src, m)
         val out = set match {
           // null predicate values are NOT matches: a three-valued
@@ -5897,13 +5904,14 @@ object ManifestSink extends Ingest.DestinationSink {
           case None => src.where(!coalesce(mB, lit(false)))
           case Some(exprs) =>
             exprs.foreach { case (c, _) =>
-              require(src.columns.contains(c),
-                s"[graft] updateWhere: SET column '$c' not in $rel " +
-                  s"(columns: ${src.columns.mkString(",")})")
+              require(dataCols.contains(c),
+                s"[graft] updateWhere: SET column '$c' not in the " +
+                  s"table (columns: ${dataCols.mkString(",")})")
             }
             if (!hasSub)
               // all new values evaluate against the OLD row: select,
               // not sequential withColumn, so a swap is well-defined
+              // (__graft_fn passes through unmapped: SET never names it)
               src.select(src.columns.map { c =>
                 exprs.get(c) match {
                   case Some(nv) => when(mB, nv).otherwise(col(c)).as(c)
@@ -5920,22 +5928,45 @@ object ManifestSink extends Ingest.DestinationSink {
                   exprs.get(c).map(_.as(c)).getOrElse(col(c))): _*)
                 .unionByName(src.where(!coalesce(mB, lit(false))))
         }
-        val rwOut = new Path(staging, s"rw_$k")
-        toPhysicalDf(out, cmap).coalesce(1).write.mode("overwrite")
-          .parquet(rwOut.toString)
-        val part = fs.listStatus(rwOut).map(_.getPath)
-          .find(p => p.getName.startsWith("part-") &&
-            p.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"[graft] rewriteWhere: no part file under $rwOut"))
-        val target = s"$parent$writeId-$k.parquet"
-        moves += ((part, target))
-        val statCols = statsByTgt.getOrElse(rel, Nil)
-        if (statCols.nonEmpty)
-          fileStatsOfParquet(spark, rwOut.toString, statCols)
-            .toSeq.sortBy(_._1._2)
-            .foreach { case ((_, c), st) =>
-              newStats += statsLine(target, c, st) }
+        val rwOut = new Path(staging, "rw")
+        toPhysicalDf(out, cmap)
+          .repartition(col("__graft_fn"))
+          .write.partitionBy("__graft_fn")
+          .mode("overwrite").parquet(rwOut.toString)
+        // per-source bookkeeping: the directory for every rewritten
+        // file MUST exist (a delete that empties a file was already
+        // dropped above; an update keeps every live row), and holds
+        // exactly one part (hash partitioning puts one source file in
+        // one task)
+        val stagedOf: Seq[(String, String, String)] =
+          rewrites.zipWithIndex.map { case (rel, k) =>
+            val parent = {
+              val i = rel.lastIndexOf('/')
+              if (i < 0) "" else rel.substring(0, i + 1)
+            }
+            val dir = s"__graft_fn=${fileNameOf(rel)}"
+            val part = fs.listStatus(new Path(rwOut, dir))
+              .map(_.getPath)
+              .find(p => p.getName.startsWith("part-") &&
+                p.getName.endsWith(".parquet"))
+              .getOrElse(throw new IllegalStateException(
+                s"[graft] rewriteWhere: no part file under $rwOut/$dir"))
+            val target = s"$parent$writeId-$k.parquet"
+            moves += ((part, target))
+            (rel, s"$dir/${part.getName}", target)
+          }
+        // per-file stats, grouped by each file's recorded column set
+        // (one footer pass per distinct set — normally exactly one)
+        stagedOf.groupBy { case (rel, _, _) =>
+          statsByTgt.getOrElse(rel, Nil) }
+          .toSeq.sortBy(_._2.head._3)
+          .foreach { case (statCols, group) =>
+            if (statCols.nonEmpty)
+              newStats ++= statsLinesFor(spark, fs, rwOut,
+                group.map { case (_, staged, tgt) => staged -> tgt }
+                  .toMap,
+                statCols)
+          }
       }
       // write-ahead manifest, then move — recover() sweeps exactly these
       // names if the commit below never lands
@@ -6885,28 +6916,52 @@ object ManifestSink extends Ingest.DestinationSink {
         }
       }
       // matched files: keep only rows whose key is absent from source
-      // (LIVE rows — existing tombstones materialize in the rewrite)
-      touched.zipWithIndex.foreach { case (rel, k) =>
-        val parent = {
-          val i = rel.lastIndexOf('/')
-          if (i < 0) "" else rel.substring(0, i + 1)
-        }
-        val rwOut = new Path(staging, s"rw_$k")
+      // (LIVE rows — existing tombstones materialize in the rewrite).
+      // ONE distributed job over every matched file — the same
+      // [[purge]]-shaped rewrite as rewriteWhere: hash-repartition on
+      // the source-file name so each output directory holds exactly
+      // one part; a file whose every live row matched a source key
+      // writes nothing and is simply replaced by the upsert half (no
+      // empty survivor file).
+      if (touched.nonEmpty) {
+        val rwOut = new Path(staging, "rw")
         toPhysicalDf(
-          readFilesDv(spark, destPath, Seq(rel), dvs, withBase = false)
+          readFilesDvMeta(spark, destPath, touched, dvs,
+              withBase = false)
+            .drop("__graft_pos")
             .join(broadcast(srcKeys), Seq(keyCol), "left_anti"), cmap)
-          .coalesce(1).write.mode("overwrite").parquet(rwOut.toString)
-        val part = fs.listStatus(rwOut).map(_.getPath)
-          .find(p => p.getName.startsWith("part-") &&
-            p.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"[graft] mergeInto: no part file under $rwOut"))
-        val target = s"$parent$writeId-$k.parquet"
-        moves += ((part, target))
-        val cols = statsByTgt.getOrElse(rel, Nil)
-        if (cols.nonEmpty)
-          newStats ++= statsLinesFor(spark, fs, rwOut,
-            Map(part.getName -> target), cols)
+          .repartition(col("__graft_fn"))
+          .write.partitionBy("__graft_fn")
+          .mode("overwrite").parquet(rwOut.toString)
+        val stagedOf: Seq[(String, String, String)] =
+          touched.zipWithIndex.flatMap { case (rel, k) =>
+            val parent = {
+              val i = rel.lastIndexOf('/')
+              if (i < 0) "" else rel.substring(0, i + 1)
+            }
+            val dir = s"__graft_fn=${fileNameOf(rel)}"
+            val dirP = new Path(rwOut, dir)
+            val part =
+              if (!fs.exists(dirP)) None
+              else fs.listStatus(dirP).map(_.getPath)
+                .find(p => p.getName.startsWith("part-") &&
+                  p.getName.endsWith(".parquet"))
+            part.map { p =>
+              val target = s"$parent$writeId-$k.parquet"
+              moves += ((p, target))
+              (rel, s"$dir/${p.getName}", target)
+            }
+          }
+        stagedOf.groupBy { case (rel, _, _) =>
+          statsByTgt.getOrElse(rel, Nil) }
+          .toSeq.sortBy(_._2.head._3)
+          .foreach { case (cols, group) =>
+            if (cols.nonEmpty)
+              newStats ++= statsLinesFor(spark, fs, rwOut,
+                group.map { case (_, staged, tgt) => staged -> tgt }
+                  .toMap,
+                cols)
+          }
       }
       // the upsert half of the source appends as fresh files
       // (replacements + inserts); delete directives write nothing
