@@ -19,6 +19,10 @@ object SparkSpec {
       // the production GraftSession.builder sets the same: functions +
       // the SQL DML router inject at session build only
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // ... and the fork-free local fs (chmod via java.nio, not a
+      // `chmod` subprocess per created file) — production parity
+      .config("spark.hadoop.fs.file.impl",
+        "graft.ingest.NioLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
