@@ -1682,8 +1682,13 @@ object ManifestSink extends Ingest.DestinationSink {
     val fs = fsOf(spark, dest)
     val (src, unpin) = pinFrame(source, checkpointDir)
     try {
-    val nSrc = src.count()
-    val nKeys = src.select(col(keyCol)).distinct().count()
+    // one source-profile job (count + distinct keys), as in mergeSync
+    val prof = src.agg(count(lit(1)),
+      countDistinct(col(keyCol)) +
+        coalesce(max(when(col(keyCol).isNull, 1L).otherwise(0L)),
+          lit(0L))).head
+    val nSrc = prof.getLong(0)
+    val nKeys = prof.getLong(1)
     require(nKeys == nSrc,
       s"[graft] mergeFullSync: source keys must be unique — " +
         s"$nSrc rows over $nKeys distinct '$keyCol' values")
@@ -1839,8 +1844,15 @@ object ManifestSink extends Ingest.DestinationSink {
     }
     val src = pin(source)
     try {
-    val nSrc = src.count()
-    val nKeys = src.select(col(keyCol)).distinct().count()
+    // one source-profile job (count + distinct keys) — not two
+    // driver-paced actions; the any-null indicator restores
+    // distinct()'s null-counts-once semantics under countDistinct
+    val prof = src.agg(count(lit(1)),
+      countDistinct(col(keyCol)) +
+        coalesce(max(when(col(keyCol).isNull, 1L).otherwise(0L)),
+          lit(0L))).head
+    val nSrc = prof.getLong(0)
+    val nKeys = prof.getLong(1)
     require(nKeys == nSrc,
       s"[graft] mergeSync: source keys must be unique — " +
         s"$nSrc rows over $nKeys distinct '$keyCol' values")
@@ -6620,21 +6632,43 @@ object ManifestSink extends Ingest.DestinationSink {
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
     val src = source.localCheckpoint()
-    val nSrc = src.count()
-    if (nSrc == 0) return MergeOutcome.NoChange("empty source")
-    val nKeys = src.select(col(keyCol)).distinct().count()
-    require(nKeys == nSrc,
-      s"[graft] mergeInto: source has $nSrc rows but only $nKeys " +
-        s"distinct '$keyCol' keys — two source rows for one key have " +
-        "no deterministic winner; dedupe upstream")
     // delete directives never insert; a NULL delete-condition value is
     // "not a delete" (SQL WHEN MATCHED AND <cond> semantics)
     val delFlag = deleteFilter
       .map(f => coalesce(f.cast("boolean"), lit(false)))
       .getOrElse(lit(false))
+    val keyIsNum = {
+      import org.apache.spark.sql.types._
+      src.schema(keyCol).dataType match {
+        case _: NumericType | BooleanType => true
+        case _                            => false
+      }
+    }
+    // ONE source-profile job instead of four driver-paced actions
+    // (count, distinct-count, upsert count, key envelope): a merge's
+    // fixed latency is mostly job count at the commit cadence CDC
+    // pipelines run at. `countDistinct` skips nulls, so an any-null
+    // indicator restores distinct()'s null-counts-once semantics.
+    val keyCast =
+      if (keyIsNum) col(keyCol).cast("double")
+      else col(keyCol).cast("string")
+    val prof = src.agg(
+      count(lit(1)),
+      countDistinct(col(keyCol)) +
+        coalesce(max(when(col(keyCol).isNull, 1L).otherwise(0L)),
+          lit(0L)),
+      sum(when(!delFlag, 1L).otherwise(0L)),
+      min(keyCast), max(keyCast)).head
+    val nSrc = prof.getLong(0)
+    if (nSrc == 0) return MergeOutcome.NoChange("empty source")
+    val nKeys = prof.getLong(1)
+    require(nKeys == nSrc,
+      s"[graft] mergeInto: source has $nSrc rows but only $nKeys " +
+        s"distinct '$keyCol' keys — two source rows for one key have " +
+        "no deterministic winner; dedupe upstream")
     val ups = deleteFilter.map(_ => src.where(!delFlag))
       .getOrElse(src).drop(directiveCols: _*)
-    val nUps = deleteFilter.map(_ => ups.count()).getOrElse(nSrc)
+    val nUps = prof.getLong(2)
     val old = resolvedLog(fs, destPath)
     val targets = effectiveTargetsOf(fs, old)
     if (targets.isEmpty) {
@@ -6665,27 +6699,16 @@ object ManifestSink extends Ingest.DestinationSink {
         t -> ks.map(_._2).toSeq.sorted }
     // candidate pruning: the source's key envelope as a range predicate
     // against each file's stats (numeric or string kind, built from the
-    // source schema) — reuses mayMatch, so truncation/all-null rules hold
-    val keyIsNum = {
-      import org.apache.spark.sql.types._
-      src.schema(keyCol).dataType match {
-        case _: NumericType | BooleanType => true
-        case _                            => false
-      }
-    }
+    // source schema) — reuses mayMatch, so truncation/all-null rules
+    // hold; the bounds rode the single source-profile job above
     val keyPred: Option[SkipPredicate] = {
-      val r =
-        if (keyIsNum) src.agg(min(col(keyCol).cast("double")),
-          max(col(keyCol).cast("double"))).head
-        else src.agg(min(col(keyCol).cast("string")),
-          max(col(keyCol).cast("string"))).head
-      if (r.isNullAt(0)) None // all-null source keys: nothing can match
+      if (prof.isNullAt(3)) None // all-null source keys: nothing can match
       else if (keyIsNum)
-        Some(SkipPredicate.NumRange(keyCol, r.getDouble(0),
-          r.getDouble(1)))
+        Some(SkipPredicate.NumRange(keyCol, prof.getDouble(3),
+          prof.getDouble(4)))
       else
-        Some(SkipPredicate.StrRange(keyCol, r.getString(0),
-          r.getString(1)))
+        Some(SkipPredicate.StrRange(keyCol, prof.getString(3),
+          prof.getString(4)))
     }
     val rangeCandidates = keyPred match {
       case None => Seq.empty[String]
