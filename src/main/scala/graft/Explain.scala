@@ -98,6 +98,32 @@ object Explain {
         println(s"FINAL $q scans=${n("FileScan parquet")} " +
           s"reused=${n("ReusedExchange")} exch=${n("Exchange")} " +
           s"stages=${n("ShuffleQueryStage")}")
+      case Some("dump") =>
+        // batch plan capture: write <outdir>/<query>_<suffix>.txt with
+        // the formatted plan for every named query, one session — the
+        // per-round plans/ deliverable without one JVM per query
+        val outDir = args.lift(1).getOrElse {
+          System.err.println(
+            "usage: graft.Explain dump <outdir> <suffix> <q1,q2,...>")
+          spark.stop(); return
+        }
+        val suffix = args.lift(2).getOrElse("plan")
+        val qs = args.lift(3).map(_.split(',').toSeq)
+          .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(outDir))
+        qs.foreach { q =>
+          val full = SparkEntry.queries.keys
+            .find(_.startsWith(q)).getOrElse(q)
+          val plan =
+            try SparkEntry.queries(full)(spark, dir)
+              .queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode)
+            catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(outDir, s"${full}_$suffix.txt"), plan)
+          println(s"DUMPED $full")
+        }
       case Some(q) =>
         SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

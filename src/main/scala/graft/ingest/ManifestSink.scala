@@ -5813,7 +5813,7 @@ object ManifestSink extends Ingest.DestinationSink {
     val hasSub = condHasSubquery(m)
     val countFrame =
       readFilesDvMeta(spark, destPath, candidates, dvs, withBase = false)
-    val countRows =
+    val matchedOf: Map[String, (Long, Long)] =
       if (!hasSub)
         countFrame
           .select(col("__graft_fn").as("__f"), m.as("__m"))
@@ -5821,25 +5821,39 @@ object ManifestSink extends Ingest.DestinationSink {
           .agg(sum(when(col("__m"), 1L).otherwise(0L)).as("matched"),
             count(lit(1)).as("rows"))
           .collect()
+          .map(r => relOfName(r.getString(0)) ->
+            (r.getLong(1), r.getLong(2)))
+          .toMap
       else {
         // subquery predicates only plan in FILTER position (Spark
-        // rewrites them to semi/anti/existence joins there): per-file
-        // totals and matched counts come from two filter-shaped
-        // aggregations instead of one projection-shaped pass
-        val tot = countFrame.groupBy(col("__graft_fn").as("__f"))
-          .agg(count(lit(1)).as("rows"))
-        val mat = countFrame
+        // rewrites them to semi/anti/existence joins there): matched
+        // counts come from one filter-shaped aggregation; per-file
+        // LIVE totals come from the manifest row counts minus dv
+        // tombstones when every candidate records them (the same
+        // metadata purge/countWhere already trust), so the second
+        // counting scan only runs for stats-less legacy files
+        val mat: Map[String, Long] = countFrame
           .where(coalesce(bindOuter(countFrame, m), lit(false)))
           .groupBy(col("__graft_fn").as("__f"))
           .agg(count(lit(1)).as("matched"))
-        tot.join(mat, Seq("__f"), "left")
-          .select(col("__f"), coalesce(col("matched"), lit(0L)),
-            col("rows"))
           .collect()
+          .map(r => relOfName(r.getString(0)) -> r.getLong(1)).toMap
+        val rowsByTgt: Map[String, Long] = stats.toSeq.groupBy(_._1._1)
+          .flatMap { case (t, es) =>
+            es.map(_._2.rows).find(_ >= 0).map(t -> _) }
+        val live: Map[String, Long] =
+          if (candidates.forall(rowsByTgt.contains)) {
+            val dvDead = dvs.map { case (t, es) =>
+              t -> es.map(_._2).sum }
+            candidates.map(t =>
+              t -> (rowsByTgt(t) - dvDead.getOrElse(t, 0L))).toMap
+          } else countFrame.groupBy(col("__graft_fn").as("__f"))
+            .agg(count(lit(1)).as("rows"))
+            .collect()
+            .map(r => relOfName(r.getString(0)) -> r.getLong(1)).toMap
+        candidates.map(t =>
+          t -> (mat.getOrElse(t, 0L), live.getOrElse(t, 0L))).toMap
       }
-    val matchedOf: Map[String, (Long, Long)] = countRows.map { r =>
-      relOfName(r.getString(0)) -> (r.getLong(1), r.getLong(2))
-    }.toMap
     val touched = candidates.filter(t => matchedOf.get(t).exists(_._1 > 0))
     val totalMatched = touched.map(t => matchedOf(t)._1).sum
     if (touched.isEmpty) {
