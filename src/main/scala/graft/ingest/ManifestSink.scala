@@ -5665,53 +5665,53 @@ object ManifestSink extends Ingest.DestinationSink {
         // count. (Victims read under mergeSchema, so a pre-evolution
         // narrow file rewrites at the union width — null columns cost
         // ~nothing in parquet and read identically.)
-        val relOfName: Map[String, String] =
-          rewrites.map(rel => fileNameOf(rel) -> rel).toMap
         val pgOut = new Path(staging, "pg")
-        readFilesDvMeta(spark, destPath, rewrites, dvs,
-            withBase = false)
-          .drop("__graft_pos")
+        // COLUMN MAPPING: the surfaced frame carries LOGICAL names —
+        // rewritten victims must land under the PHYSICAL names every
+        // later scan resolves by
+        val cmap = mappingFor(fs, old)
+        toPhysicalDf(
+          readFilesDvMeta(spark, destPath, rewrites, dvs,
+              withBase = false)
+            .drop("__graft_pos"), cmap)
           .repartition(col("__graft_fn"))
           .write.partitionBy("__graft_fn")
           .mode("overwrite").parquet(pgOut.toString)
-        val statCols = rewrites.flatMap(statsByTgt.getOrElse(_, Nil))
-          .distinct.sorted
-        val stByFile: Map[(String, String), ColStats] =
-          if (statCols.isEmpty) Map.empty
-          else fileStatsOfParquet(spark, pgOut.toString, statCols)
-        def srcOf(uri: String): String = {
-          // .../pg/__graft_fn=<source file name>/part-*.parquet
-          val p = new Path(new java.net.URI(uri)).toUri.getPath
-          val seg = p.split('/').find(_.startsWith("__graft_fn="))
-            .getOrElse(throw new IllegalStateException(
-              s"[graft] purge: no partition segment in $p"))
-          seg.substring("__graft_fn=".length)
-        }
-        val statsBySrc = stByFile.groupBy { case ((f, _), _) => srcOf(f) }
-        rewrites.zipWithIndex.foreach { case (rel, k) =>
-          val dir = new Path(pgOut, s"__graft_fn=${fileNameOf(rel)}")
-          val part =
-            if (!fs.exists(dir)) None
-            else fs.listStatus(dir).map(_.getPath)
-              .find(p => p.getName.startsWith("part-") &&
-                p.getName.endsWith(".parquet"))
-          part match {
-            case None => emptied += rel // no live rows survived
-            case Some(p) =>
-              val parent = {
-                val i = rel.lastIndexOf('/')
-                if (i < 0) "" else rel.substring(0, i + 1)
-              }
-              val target = s"$parent$writeId-$k.parquet"
-              moves += ((p, target))
-              val keepCols = statsByTgt.getOrElse(rel, Nil).toSet
-              statsBySrc.getOrElse(fileNameOf(rel), Map.empty)
-                .toSeq.sortBy(_._1._2)
-                .foreach { case ((_, c), st) =>
-                  if (keepCols.contains(c))
-                    newStats += statsLine(target, c, st) }
+        val stagedOf: Seq[(String, String, String)] =
+          rewrites.zipWithIndex.flatMap { case (rel, k) =>
+            val dir = s"__graft_fn=${fileNameOf(rel)}"
+            val dirP = new Path(pgOut, dir)
+            val part =
+              if (!fs.exists(dirP)) None
+              else fs.listStatus(dirP).map(_.getPath)
+                .find(p => p.getName.startsWith("part-") &&
+                  p.getName.endsWith(".parquet"))
+            part match {
+              case None =>
+                emptied += rel // no live rows survived
+                None
+              case Some(p) =>
+                val parent = {
+                  val i = rel.lastIndexOf('/')
+                  if (i < 0) "" else rel.substring(0, i + 1)
+                }
+                val target = s"$parent$writeId-$k.parquet"
+                moves += ((p, target))
+                Some((rel, s"$dir/${p.getName}", target))
+            }
           }
-        }
+        // per-file stats, one footer pass per distinct recorded-column
+        // set (the rewriteWhere/mergeInto shape — no data re-read)
+        stagedOf.groupBy { case (rel, _, _) =>
+          statsByTgt.getOrElse(rel, Nil) }
+          .toSeq.sortBy(_._2.head._3)
+          .foreach { case (cols, group) =>
+            if (cols.nonEmpty)
+              newStats ++= statsLinesFor(spark, fs, pgOut,
+                group.map { case (_, staged, tgt) => staged -> tgt }
+                  .toMap,
+                cols)
+          }
       }
       writeFile(fs, new Path(staging, WaManifest),
         moves.map("target\t" + _._2).mkString("\n"))

@@ -507,4 +507,29 @@ class ColumnMappingSpec extends SparkSpec {
       Seq((1L, Some("a")), (2L, None), (3L, Some("c"))))
     assert(back.where(col("flag")).count() === 1L)
   }
+
+  test("purge after a rename writes PHYSICAL names: rewritten " +
+      "victims read back intact") {
+    val dir = tmpDir("cmap_purge_")
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "body")
+    ManifestSink.statsAppend(df.coalesce(1), dir, None,
+      Seq("id", "body"))
+    // tombstone 15 of 20 rows — live fraction 0.25 < 0.9 → victim
+    assert(ManifestSink.deleteWhereMor(spark, dir,
+      SkipPredicate.NumRange("id", 1, 15)) === 15L)
+    ManifestSink.renameColumn(spark, dir, "body", "text")
+    assert(ManifestSink.purge(spark, dir, minLiveFraction = 0.9) === 1L)
+    // the rewritten file must carry the PHYSICAL name — a purge that
+    // writes the logical name leaves a file the physical-schema scan
+    // reads as all-null
+    assert(footerFields(dir) === Set("id", "body"))
+    val back = ManifestSink.readBack(spark, dir).orderBy("id")
+    assert(back.columns.toSeq === Seq("id", "text"))
+    assert(back.as[(Long, String)].collect().toSeq ===
+      (16L to 20L).map(i => (i, s"v$i")))
+    // skipping on the renamed column still prunes through the
+    // re-derived stats of the purged file
+    assert(ManifestSink.readBackWherePred(spark, dir,
+      SkipPredicate.StrEq("text", "v18")).count() === 1L)
+  }
 }
