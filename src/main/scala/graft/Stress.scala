@@ -1673,6 +1673,71 @@ object Stress {
         f"scan_pre=$tPre%.2f s scan_post=$tPost%.2f s " +
         f"(ratio=${tPost / tPre}%.2f), pruned count exact")
     }
+    // DML-WIDTH rung (r21): a COW UPDATE's Spark-job count must be
+    // INDEPENDENT of how many files the predicate touches (one
+    // distributed rewrite job, not one job per file), and the wide
+    // update's wall time must sit far below the narrow update x
+    // file-ratio line a serial per-file loop would pay. Result
+    // parity is asserted row-for-row against the equivalent
+    // expression over the base frame.
+    if (enabled("dmlwide")) {
+      import ManifestSink.SkipPredicate
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_dmlw_").toString
+      val dest = s"$root/t"
+      val rows = 2000000L
+      val base = spark.range(rows).select(
+        col("id"), (col("id") % 9973).cast("double").as("v"))
+      // 200 range-disjoint files: stats prune a 10% id slab to ~20
+      ManifestSink.statsAppend(
+        base.repartitionByRange(200, col("id")), dest, None, Seq("id"))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart)
+              : Unit = { jobs.incrementAndGet(); () }
+        })
+      def upd(hi: Long): (Double, Int, Long) = {
+        Thread.sleep(500); jobs.set(0)
+        val t0 = System.nanoTime()
+        val n = ManifestSink.updateWhere(spark, dest,
+          SkipPredicate.NumRange("id", 0, hi.toDouble),
+          Map("v" -> -col("v")))
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        (dt, jobs.get(), n)
+      }
+      val (tNarrow, jNarrow, nNarrow) = upd(rows / 10 - 1) // ~20 files
+      val (tWide, jWide, nWide) = upd(rows - 1)            // all ~200
+      require(nNarrow == rows / 10 && nWide == rows,
+        s"dmlwide matched counts: $nNarrow/$nWide")
+      require(jWide <= jNarrow + 3,
+        s"dmlwide job count grew with touched files: " +
+          s"$jNarrow -> $jWide (the per-file-loop signature)")
+      require(tWide < tNarrow * 5.0 + 1.0,
+        f"dmlwide wall time not flat: $tNarrow%.2f s (~20 files) -> " +
+          f"$tWide%.2f s (~200 files)")
+      // one rewritten file per touched file (granularity preserved;
+      // superseded files stay on disk for time travel — count the
+      // live snapshot, not the directory)
+      val nFiles = ManifestSink.snapshotHandle(spark, dest)
+        .targets.length
+      require(nFiles == 200, s"dmlwide file granularity: $nFiles")
+      // value parity: [0, rows/10) negated twice = original; the rest
+      // negated once
+      val expect = base.select(col("id"),
+        when(col("id") < rows / 10, col("v"))
+          .otherwise(-col("v")).as("v"))
+      require(ManifestSink.readBack(spark, dest)
+        .except(expect).isEmpty &&
+        expect.except(ManifestSink.readBack(spark, dest)).isEmpty,
+        "dmlwide rows drifted from the expression-equivalent result")
+      println(f"STRESS dmlwide          $tWide%8.2f s wide " +
+        f"(~200 files, jobs=$jWide) vs $tNarrow%.2f s narrow " +
+        f"(~20 files, jobs=$jNarrow) — job count flat, " +
+        "one distributed rewrite")
+    }
     spark.stop()
   }
 }
