@@ -138,8 +138,12 @@ object Stress {
       Similarity.nearDupPairs(emb, 0.9, nPlanes = 12, nTables = 4,
         maxBucketSize = 1000))
     // round-5 operators at the same scale
+    // maxDriverEdges = 0: this ladder measures the DISTRIBUTED star
+    // iteration's scale posture — the bounded-driver fast path would
+    // shortcut it at this corpus' edge count
     timeCount("dup_clusters")(Dedup.dupClusters(
-      Dedup.jaccardDupPairs(docs, 0.8, maxBucketSize = 1000)))
+      Dedup.jaccardDupPairs(docs, 0.8, maxBucketSize = 1000),
+      maxDriverEdges = 0L))
     timeCount("shared_spans")(Dedup.sharedSpans(docs, w = 8))
     timeCount("simhash_wide_pairs")(
       Dedup.simhashWideDupPairs(docs, 3, maxBucketSize = 1000))

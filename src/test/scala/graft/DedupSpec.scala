@@ -253,7 +253,10 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("dupcc").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("a_id", "b_id")
-    val got = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
+    // maxDriverEdges = 0 forces the distributed star iteration — the
+    // checkpoint barrier is what this case tests
+    val got = Dedup.dupClusters(pairs, checkpointDir = Some(dir),
+        maxDriverEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
@@ -295,9 +298,16 @@ class DedupSpec extends SparkSpec {
       // permute order, flip direction randomly, duplicate some edges
       val mangled = rnd.shuffle(edges ++ edges.take(8))
         .map(e => if (rnd.nextBoolean()) e.swap else e)
-      val got = Dedup.dupClusters(mangled.toDF("a_id", "b_id"))
+      // both execution paths must agree with union-find: the bounded
+      // driver fast path (default cap) and the distributed star
+      // iteration (cap 0)
+      val gotFast = Dedup.dupClusters(mangled.toDF("a_id", "b_id"))
         .as[(Long, Long)].collect().toMap
-      assert(got == expected, s"seed=$seed")
+      assert(gotFast == expected, s"seed=$seed (driver path)")
+      val gotDist = Dedup.dupClusters(mangled.toDF("a_id", "b_id"),
+          maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDist == expected, s"seed=$seed (distributed path)")
     }
   }
 
