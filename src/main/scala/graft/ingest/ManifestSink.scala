@@ -6261,10 +6261,27 @@ object ManifestSink extends Ingest.DestinationSink {
         }
       }
       val perFile: Seq[(String, Option[Seq[(String, ColStats)]])] =
-        if (rels.length <= FooterStatsMaxFiles)
-          rels.map(rel =>
-            rel -> footerStatsOfFile(conf, new Path(staged, rel), kinds))
-        else {
+        if (rels.length <= FooterStatsMaxFiles) {
+          // driver mode, but not SEQUENTIAL: a 250-file commit pays
+          // ~1 ms/footer serially — a small pool overlaps the reads
+          // (same pattern as optimize's rewrite units)
+          if (rels.length <= 8)
+            rels.map(rel =>
+              rel -> footerStatsOfFile(conf, new Path(staged, rel),
+                kinds))
+          else {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors
+              .newFixedThreadPool(8)
+            implicit val ec: ExecutionContext =
+              ExecutionContext.fromExecutor(pool)
+            try Await.result(Future.traverse(rels)(rel => Future(
+              rel -> footerStatsOfFile(conf, new Path(staged, rel),
+                kinds))), Duration.Inf)
+            finally pool.shutdown()
+          }
+        } else {
           // large commit: fan the FOOTER reads out as one tiny job
           // over the file list — still zero data bytes re-read
           val stagedStr = fs.makeQualified(staged).toString
