@@ -190,8 +190,12 @@ object NorthStar {
       val d = docs(s, dir)
       val pairs = Dedup.jaccardDupPairs(d, JaccardDupThreshold,
         maxBucketSize = DedupBucketCap)
-      val involved = pairs.select(col("a_id").as("doc_id"))
-        .unionByName(pairs.select(col("b_id").as("doc_id")))
+      // ONE pass over the pair pipeline: exploding [a_id, b_id] yields the
+      // same multiset as the old unionByName of the two projections (so
+      // the same set after distinct), but plans the expensive
+      // LSH+Jaccard subtree ONCE instead of twice (r21 verdict item 3)
+      val involved = pairs
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct()
       d.join(involved.withColumn("dup", lit(1)), Seq("doc_id"), "left")
         .groupBy(col("lang"))
@@ -263,8 +267,10 @@ object NorthStar {
       // per-corpus percentile calibration. Exact rank semantics make the
       // threshold a data value both engines agree on bit-for-bit.
       // localCheckpoint: calibration's two actions + the gate would
-      // otherwise run the scoring DAG 3x.
-      val scored = LmFilter.scoreDocs(d).localCheckpoint()
+      // otherwise run the scoring DAG 3x. LAZY (r22): calibration's
+      // count is the first action and materializes it — one fewer
+      // driver-paced job, same work.
+      val scored = LmFilter.scoreDocs(d).localCheckpoint(false)
       val thr = LmFilter.calibrateThreshold(scored, LmKeepPct)
       val lmKeep = scored
         .filter(col("log_ppl") <= thr)
@@ -317,11 +323,14 @@ object NorthStar {
       // localCheckpoint (the curateDocBatch pattern): calibration's
       // build-time actions plus the final gate would otherwise re-execute
       // the segment-dedup and scoring DAGs 3-4x (measured 7.8 -> 2.4 s)
+      // LAZY pins (r22): calibration's count triggers BOTH — the
+      // segment-dedup materializes into `cleaned` and the scoring DAG
+      // into `scored` in one cascade, two fewer driver-paced jobs
       val cleaned = Dedup.removeDuplicateSegments(docs(s, dir),
         segTokens = 4, emitCleaned = true)
         .select(col("doc_id"), col("n_removed"), col("cleaned").as("text"))
-        .localCheckpoint()
-      val scored = LmFilter.scoreDocs(cleaned).localCheckpoint()
+        .localCheckpoint(false)
+      val scored = LmFilter.scoreDocs(cleaned).localCheckpoint(false)
       val thr = LmFilter.calibrateThreshold(scored, LmKeepPct)
       scored.filter(col("log_ppl") <= thr)
         .join(cleaned.select(col("doc_id"), col("n_removed")),
@@ -548,11 +557,26 @@ object NorthStar {
     "q117_mixture_recipe" -> ((s, dir) => {
       val sampled = Corpus.temperatureSample(docs(s, dir), alpha = 0.5,
         strataCol = "source")
-      val replicated = Corpus.epochReplicate(sampled,
+      // tokenize+hash each sampled doc ONCE, before replication: every
+      // epoch copy has identical token ids, so hashing after the
+      // explode (the old shape) paid the md5 pass once per copy —
+      // 2–3x the work under this mixture (r22; bit-identical results,
+      // the empty-text filter is the one materializeContexts applies)
+      val sampledIds = sampled
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"),
+          graft.plans.TextHashExprs.md5Prefix60Array(
+            TA.tokens(col("text"))).as("ids"))
+      val replicated = Corpus.epochReplicate(sampledIds,
         Map("en" -> 2.5, "fr" -> 1.25, "zh" -> 0.5))
         .withColumn("cid", col("doc_id") * lit(128L) + col("epoch"))
-      val contexts = Corpus.materializeContexts(replicated,
-        contextLen = 256, idCol = "cid")
+      // pin the packed contexts: assignShards runs two bounded
+      // aggregates over them and the final write reads them again —
+      // without the pin the explode+pack pipeline runs three times
+      // (the q71/q77 localCheckpoint pattern)
+      val contexts = Corpus.materializeContextsIds(
+        replicated.select(col("cid").as("doc_id"), col("ids")),
+        contextLen = 256).localCheckpoint()
       graft.ingest.Ingest.assignShards(contexts, "n_tokens", "context_id",
         tokenBudget = 2048L)
         .select(col("context_id"), col("n_tokens"), col("ids_csv"),

@@ -133,7 +133,9 @@ object ManifestSink extends Ingest.DestinationSink {
       (spark.read.parquet(out.toString),
         () => try { fs.delete(out, true); () }
           catch { case scala.util.control.NonFatal(_) => () })
-    case None => (df.localCheckpoint(), () => ())
+    // LAZY local checkpoint: the verb's first aggregate over the pinned
+    // frame materializes it — one fewer driver-paced action per verb
+    case None => (df.localCheckpoint(false), () => ())
   }
 
   /** The explicit GENERIC partition spec form: `val(c)` partitions by
@@ -1951,14 +1953,30 @@ object ManifestSink extends Ingest.DestinationSink {
       bySourceCond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
     val changed = pin(j
       .where(sOnly || (matched && !same) || bySrcHit))
-    val cnt = changed.agg(
-      sum(when(sOnly, 1L).otherwise(0L)).as("ins"),
-      sum(when(col("__s").isNull, 1L).otherwise(0L)).as("bysrc"),
-      count(lit(1)).as("total")).head
+    // ONE action over the pinned frame: the global change counts AND
+    // the per-file tombstone counts (the dv manifest lines) ride one
+    // union — the old shape ran the global aggregate, wrote the dv
+    // sidecar, then READ IT BACK for the per-file counts (two extra
+    // driver-paced jobs at every sync)
+    val cntRows = changed.where(col("__graft_fn").isNotNull)
+      .groupBy(col("__graft_fn"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("__graft_fn").as("__f"), col("n"),
+        lit(-1L).as("n2"), lit(-1L).as("n3"))
+      .unionByName(changed.agg(
+          sum(when(sOnly, 1L).otherwise(0L)).as("n"),
+          sum(when(col("__s").isNull, 1L).otherwise(0L)).as("n2"),
+          count(lit(1)).as("n3"))
+        .select(lit(null).cast("string").as("__f"), col("n"),
+          col("n2"), col("n3")))
+      .collect()
+    val cnt = cntRows.find(_.isNullAt(0)).get
+    val perName: Map[String, Long] = cntRows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     def agg0(i: Int): Long = if (cnt.isNullAt(i)) 0L else cnt.getLong(i)
-    val inserted = agg0(0)
-    val bySrcRows = agg0(1)
-    val total = agg0(2)
+    val inserted = agg0(1)
+    val bySrcRows = agg0(2)
+    val total = agg0(3)
     if (total == 0L) {
       println(s"METRIC graft.merge_sync.no_change=1 " +
         s"src_rows=$nSrc dest=$destPath")
@@ -1998,20 +2016,17 @@ object ManifestSink extends Ingest.DestinationSink {
     try {
       val relOfName: Map[String, String] =
         targets.map(rel => fileNameOf(rel) -> rel).toMap
-      val dvOut = new Path(staging, "dv")
-      tombstones.orderBy(col("name"), col("pos"))
-        .coalesce(1).write.mode("overwrite").parquet(dvOut.toString)
-      val dvPart = fs.listStatus(dvOut).map(_.getPath)
-        .find(p => p.getName.startsWith("part-") &&
-          p.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(
-          s"[graft] mergeSync: no part file under $dvOut"))
-      // per-file tombstone counts from the (already slim) staged
-      // sidecar — O(changed rows) read, files bound by the table
-      val perName = spark.read.parquet(dvOut.toString)
-        .groupBy(col("name")).agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // per-file tombstone counts rode the change-count action above —
+      // an insert-only sync (no tombstones) skips the dv write outright
       if (perName.nonEmpty) {
+        val dvOut = new Path(staging, "dv")
+        tombstones.orderBy(col("name"), col("pos"))
+          .coalesce(1).write.mode("overwrite").parquet(dvOut.toString)
+        val dvPart = fs.listStatus(dvOut).map(_.getPath)
+          .find(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"[graft] mergeSync: no part file under $dvOut"))
         moves += ((dvPart, dvRel))
         dvLines = perName.toSeq.sortBy(_._1).map { case (n, c) =>
           s"dv\t${relOfName(n)}\t$dvRel\t$c"
@@ -6071,6 +6086,18 @@ object ManifestSink extends Ingest.DestinationSink {
     */
   @volatile private[graft] var FooterStatsMaxFiles = 256
 
+  /** Candidate-set live-row threshold above which the merge match-count
+    * pass inserts a repartition barrier so its two aggregates share one
+    * scan of the candidate files (see mergeImpl). Below it — or when
+    * any candidate lacks recorded row counts — the two aggregates scan
+    * in parallel instead: at small scale an extra exchange's fixed
+    * latency costs more than the second (concurrent) scan. The default
+    * is sized so that a barrier only engages when a second scan would
+    * move substantially more bytes than the slim matched-row shuffle;
+    * production deployments tune it to cluster scan bandwidth.
+    */
+  @volatile private[graft] var MergeProfileBarrierRows: Long = 4L << 20
+
   /** Footer-derived per-file stats — the write path's fast lane: for a
     * small commit the staged parquet FOOTERS already carry true
     * per-column bounds and null counts, so reading them (driver-side
@@ -6662,7 +6689,10 @@ object ManifestSink extends Ingest.DestinationSink {
       s"[graft] mergeInto: source lacks key column '$keyCol'")
     val dest = new Path(destPath)
     val fs = fsOf(spark, dest)
-    val src = source.localCheckpoint()
+    // LAZY pin: the source-profile aggregate below is the first action
+    // and materializes the checkpoint as a side effect — one driver-paced
+    // job instead of two at every merge (the commit-cadence fixed cost)
+    val src = source.localCheckpoint(false)
     // delete directives never insert; a NULL delete-condition value is
     // "not a delete" (SQL WHEN MATCHED AND <cond> semantics)
     val delFlag = deleteFilter
@@ -6770,12 +6800,37 @@ object ManifestSink extends Ingest.DestinationSink {
       s"range_candidates=${rangeCandidates.length} key=$keyCol " +
       s"dest=$destPath")
     val srcKeys = src.select(col(keyCol))
-    // ONE distributed pass: per-candidate matched-row counts plus the
-    // exact matched-KEY counts split by directive kind (insert count =
-    // nUps - matched upsert keys; unmatched deletes are no-ops)
+    // ONE distributed pass AND one action: per-candidate matched-row
+    // counts plus the exact matched-KEY counts split by directive kind
+    // (insert count = nUps - matched upsert keys; unmatched deletes are
+    // no-ops). The old shape ran TWO actions (a semi-join key count and
+    // a per-file groupBy), each scanning every candidate file; the
+    // matched frame (candidate rows inner-joined to the broadcast
+    // source flags) now feeds both aggregates from one subtree — source
+    // keys are unique (enforced above), so the per-key directive flag
+    // is well-defined and `countDistinct(when(flag, key))` equals the
+    // old semi-join count exactly.
     val keyFlags = src.select(col(keyCol), delFlag.as("__del"))
     val relOfName: Map[String, String] =
       candidates.map(rel => fileNameOf(rel) -> rel).toMap
+    // union-tag trick: row __s null = the global key-count row, else a
+    // per-file row — both aggregates collected in ONE driver action
+    def matchedProfile(joined: DataFrame)
+        : (Map[String, Long], Long, Long) = {
+      val perFile = joined.groupBy(col("__graft_fn"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("__graft_fn").as("__s"), col("n"),
+          lit(-1L).as("n2"))
+      val byKey = joined.agg(
+        countDistinct(when(!col("__del"), col(keyCol))).as("n"),
+        countDistinct(when(col("__del"), col(keyCol))).as("n2"))
+        .select(lit(null).cast("string").as("__s"), col("n"), col("n2"))
+      val rows = perFile.unionByName(byKey).collect()
+      val pf = rows.filter(!_.isNullAt(0))
+        .map(r => relOfName(r.getString(0)) -> r.getLong(1)).toMap
+      val k = rows.find(_.isNullAt(0)).get
+      (pf, k.getLong(1), k.getLong(2))
+    }
     // cand is the LIVE candidate content: existing deletion vectors
     // applied, so a tombstoned row neither matches nor counts — a
     // replayed CDC delete stays a no-op under mor exactly as under COW
@@ -6785,32 +6840,47 @@ object ManifestSink extends Ingest.DestinationSink {
       else {
         val cand = readFilesDvMeta(spark, destPath, candidates, dvs,
           withBase = false)
-        val mk = keyFlags
-          .join(cand.select(col(keyCol)), Seq(keyCol), "left_semi")
-          .agg(count(when(!col("__del"), 1)).as("u"),
-            count(when(col("__del"), 1)).as("d")).head
         if (mor) {
           // mor needs the matched POSITIONS, not just counts: one pass
-          // materializes them, counts derive from the checkpointed frame
+          // materializes them (keys and flags ride along — LAZY pin,
+          // the profile action below materializes it), both counts
+          // derive from the pinned frame in the same action
           val posDf = cand
-            .select(col("__graft_fn").as("name"),
+            .select(col("__graft_fn"),
               col("__graft_pos").as("pos"), col(keyCol))
-            .join(broadcast(srcKeys), Seq(keyCol))
-            .select(col("name"), col("pos"))
-            .localCheckpoint()
-          val perFile = posDf.groupBy(col("name"))
-            .agg(count(lit(1)).as("matched"))
-            .collect()
-            .map(r => relOfName(r.getString(0)) -> r.getLong(1)).toMap
-          (perFile, mk.getLong(0), mk.getLong(1), Some(posDf))
+            .join(broadcast(keyFlags), Seq(keyCol))
+            .localCheckpoint(false)
+          val (perFile, u, d) = matchedProfile(posDf)
+          (perFile, u, d,
+            Some(posDf.select(col("__graft_fn").as("name"), col("pos"))))
         } else {
-          val perFile = cand
-            .select(col("__graft_fn").as("__f"), col(keyCol))
-            .join(broadcast(srcKeys), Seq(keyCol))
-            .groupBy(col("__f")).agg(count(lit(1)).as("matched"))
-            .collect()
-            .map(r => relOfName(r.getString(0)) -> r.getLong(1)).toMap
-          (perFile, mk.getLong(0), mk.getLong(1), None)
+          // SIZE-ADAPTIVE scan strategy (both are ONE action):
+          //  - large candidate sets (known live rows above the barrier
+          //    threshold) insert a repartition barrier so both union
+          //    branches consume the SAME exchange (ReusedExchange) —
+          //    the candidate files are scanned ONCE and only the slim
+          //    matched (file, key, flag) rows shuffle, the 100 TB
+          //    shape;
+          //  - small or unknown-size candidate sets skip the barrier —
+          //    the two aggregate branches scan the candidates twice IN
+          //    PARALLEL (independent stages of one job), which beats
+          //    paying an extra exchange's latency when the scan is
+          //    cheap (measured at sf0.1: the barrier costs ~0.3 s per
+          //    statement there).
+          val rowsKnown: Map[String, Long] = stats.toSeq
+            .groupBy(_._1._1)
+            .flatMap { case (t, es) =>
+              es.map(_._2.rows).find(_ >= 0).map(t -> _) }
+          val bigCand = candidates.forall(rowsKnown.contains) &&
+            candidates.map(rowsKnown).sum > MergeProfileBarrierRows
+          val joinedBase = cand
+            .select(col("__graft_fn"), col(keyCol))
+            .join(broadcast(keyFlags), Seq(keyCol))
+          val joined =
+            if (bigCand) joinedBase.repartition(col(keyCol))
+            else joinedBase
+          val (perFile, u, d) = matchedProfile(joined)
+          (perFile, u, d, None)
         }
       }
     val touched = candidates.filter(t => matchedOf.getOrElse(t, 0L) > 0)
@@ -6977,16 +7047,25 @@ object ManifestSink extends Ingest.DestinationSink {
       // one part; a file whose every live row matched a source key
       // writes nothing and is simply replaced by the upsert half (no
       // empty survivor file).
-      if (touched.nonEmpty) {
-        val rwOut = new Path(staging, "rw")
-        toPhysicalDf(
-          readFilesDvMeta(spark, destPath, touched, dvs,
-              withBase = false)
-            .drop("__graft_pos")
-            .join(broadcast(srcKeys), Seq(keyCol), "left_anti"), cmap)
+      val rwOut = new Path(staging, "rw")
+      val insOut = new Path(staging, "ins")
+      val rwFrame =
+        if (touched.isEmpty) None
+        else Some(readFilesDvMeta(spark, destPath, touched, dvs,
+            withBase = false)
+          .drop("__graft_pos")
+          .join(broadcast(srcKeys), Seq(keyCol), "left_anti"))
+      // NOT folded into one write with the upsert half (tried, measured
+      // WORSE): riding the upsert rows on this partitionBy write would
+      // shuffle the upsert batch — the separate write below is
+      // exchange-free — for one saved action
+      rwFrame.foreach { rw =>
+        toPhysicalDf(rw, cmap)
           .repartition(col("__graft_fn"))
           .write.partitionBy("__graft_fn")
           .mode("overwrite").parquet(rwOut.toString)
+      }
+      if (rwFrame.nonEmpty) {
         val stagedOf: Seq[(String, String, String)] =
           touched.zipWithIndex.flatMap { case (rel, k) =>
             val parent = {
@@ -7019,21 +7098,23 @@ object ManifestSink extends Ingest.DestinationSink {
       }
       // the upsert half of the source appends as fresh files
       // (replacements + inserts); delete directives write nothing
-      val insOut = new Path(staging, "ins")
-      val writer = partitionField match {
-        case Some(f) =>
-          val (upsP, upsCols) = withPartitionCols(ups, f)
-          toPhysicalDf(upsP, cmap).write.mode("overwrite")
-            .partitionBy(upsCols: _*)
-        case None => toPhysicalDf(ups, cmap).write.mode("overwrite")
+      val (insRoot, insStaged): (Path, Seq[String]) = {
+        val writer = partitionField match {
+          case Some(f) =>
+            val (upsP, upsCols) = withPartitionCols(ups, f)
+            toPhysicalDf(upsP, cmap).write.mode("overwrite")
+              .partitionBy(upsCols: _*)
+          case None => toPhysicalDf(ups, cmap).write.mode("overwrite")
+        }
+        writer.parquet(insOut.toString)
+        val insQ = fs.makeQualified(insOut).toString
+        (insOut, listFilesRec(fs, insOut).map(_._1)
+          .filter(p => !p.getName.startsWith("_") &&
+            !p.getName.startsWith("."))
+          .map(p => fs.makeQualified(p).toString
+            .stripPrefix(insQ + "/"))
+          .sorted)
       }
-      writer.parquet(insOut.toString)
-      val insQ = fs.makeQualified(insOut).toString
-      val insStaged = listFilesRec(fs, insOut).map(_._1)
-        .filter(p => !p.getName.startsWith("_") &&
-          !p.getName.startsWith("."))
-        .map(p => fs.makeQualified(p).toString.stripPrefix(insQ + "/"))
-        .sorted
       val insTargets = insStaged.zipWithIndex.map { case (rel, i) =>
         val dir = rel.lastIndexOf('/') match {
           case -1 => ""
@@ -7042,10 +7123,10 @@ object ManifestSink extends Ingest.DestinationSink {
         (rel, s"$dir$writeId-ins-$i.parquet")
       }
       if (statsCols.nonEmpty)
-        newStats ++= statsLinesFor(spark, fs, insOut,
+        newStats ++= statsLinesFor(spark, fs, insRoot,
           insTargets.toMap, physColsOf(statsCols, cmap))
       insTargets.foreach { case (rel, target) =>
-        moves += ((new Path(insOut, rel), target))
+        moves += ((new Path(insRoot, rel), target))
       }
       writeFile(fs, new Path(staging, WaManifest),
         (moves ++ sideMoves).map("target\t" + _._2).mkString("\n"))

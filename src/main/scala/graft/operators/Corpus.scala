@@ -36,13 +36,15 @@ object Corpus {
     val spark = docs.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // LAZY pin: the per-partition totals collect right below is the
+    // first action and materializes it — one driver-paced job, not two
     val ranged = docs
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
       .where(col("n") > 0)
       .repartitionByRange(p, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false)
     val perPid = ranged.groupBy(col("pid"))
       .agg(sum(col("n")).as("pn"))
       .as[(Int, Long)].collect().sortBy(_._1)
@@ -83,20 +85,36 @@ object Corpus {
     * totals.
     */
   def materializeContexts(docs: DataFrame, contextLen: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    materializeContextsIds(
+      docs.where(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("doc_id"),
+          graft.plans.TextHashExprs.md5Prefix60Array(
+            TextAnalysis.tokens(col(textCol))).as("ids")),
+      contextLen)
+
+  /** [[materializeContexts]] over PRE-TOKENIZED documents: `withIds`
+    * carries `(doc_id, ids)` where `ids` is the 60-bit token-hash array
+    * the text form derives internally. The seam exists for REPLICATED
+    * streams (epoch mixtures, q117's shape): every copy of a document
+    * has identical ids, so the caller hashes each document ONCE before
+    * replication instead of once per epoch copy — at a 2–3× mixture
+    * that is 2–3× less md5 work, the dominant cost of the tokenize
+    * pass. Bit-identical to hashing after replication by construction.
+    */
+  def materializeContextsIds(withIds: DataFrame, contextLen: Int)
+      : DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
-    val spark = docs.sparkSession
+    val spark = withIds.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = docs
-      .where(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"),
-        graft.plans.TextHashExprs.md5Prefix60Array(
-          TextAnalysis.tokens(col(textCol))).as("ids"))
+    // LAZY pin, as in [[packContexts]]: the totals collect materializes
+    val ranged = withIds
+      .select(col("doc_id"), col("ids"))
       .withColumn("n", size(col("ids")).cast("long"))
       .repartitionByRange(p, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false)
     val perPid = ranged.groupBy(col("pid"))
       .agg(sum(col("n")).as("pn"))
       .as[(Int, Long)].collect().sortBy(_._1)

@@ -80,18 +80,22 @@ object Graph {
       s"[graft] pageRank iters must be in [0, 200], got $iters")
     require(damping > 0 && damping < 1,
       s"[graft] pageRank damping must be in (0, 1), got $damping")
+    // LAZY checkpoints (r22): the node-count action below materializes
+    // the edge list and node set; the out-degree table materializes
+    // inside round 1's single action — setup costs ONE driver-paced
+    // action (plus the seed count when personalized), not five
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val n = nodes.count()
     if (n == 0) return (nodes.withColumn("rank", lit(0.0)), 0)
     // out-degree shares edges' src partitioning: the per-round join to
     // ranks never reshuffles the edge side
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // teleport support: seed flag joined per round (node-keyed, same
     // partitioning as ranks), seed count a driver scalar
     val tele: Option[(DataFrame, Long)] = seeds.map { s =>
@@ -99,7 +103,7 @@ object Graph {
         .distinct()
         .join(nodes, Seq("node"), "left_semi")
         .withColumn("__seed", lit(1))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val ns = sd.count()
       require(ns > 0,
         "[graft] personalizedPageRank: no seed appears in the graph")
@@ -112,14 +116,22 @@ object Graph {
           .select(col("node"),
             when(col("__seed").isNotNull, lit(1.0 / ns))
               .otherwise(lit(0.0)).as("rank"))
-    }).localCheckpoint()
+    }).localCheckpoint(false)
     var rounds = 0
     var converged = false
     var i = 1
     while (i <= iters && !converged) {
-      val dangling = ranks
+      // dangling mass IN-PLAN (r22): the old shape ran one driver
+      // scalar action per round just to embed the mass as a literal —
+      // the 1-row aggregate now broadcast-joins on a constant key (a
+      // BroadcastHashJoin, built inside the round's single action), so
+      // a round costs exactly ONE action. The arithmetic applies the
+      // same operations in the same order to the same double, so ranks
+      // are bit-identical to the literal form.
+      val danglingDf = broadcast(ranks
         .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
+        .withColumn("__k", lit(1)))
       val contribs = e
         .join(outDeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -127,20 +139,25 @@ object Graph {
         .agg(sum(col("rank") / col("deg")).as("inflow"))
       val next = tele match {
         case None =>
-          nodes.join(contribs, Seq("node"), "left")
+          nodes.withColumn("__k", lit(1))
+            .join(contribs, Seq("node"), "left")
+            .join(danglingDf, Seq("__k"))
             .select(col("node"),
               (lit((1.0 - damping) / n) +
                 lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
-                  lit(dangling / n))).as("rank"))
+                  col("__dangling") / lit(n.toDouble))).as("rank"))
         case Some((sd, ns)) =>
           // teleported restart AND dangling mass both land on the seed
           // distribution — the personalized stochastic fix; a non-seed
           // node with no in-flow stays exactly zero
-          val base = ((1.0 - damping) + damping * dangling) / ns
-          nodes.join(contribs, Seq("node"), "left")
+          val base = (lit(1.0 - damping) +
+            lit(damping) * col("__dangling")) / lit(ns.toDouble)
+          nodes.withColumn("__k", lit(1))
+            .join(contribs, Seq("node"), "left")
             .join(sd, Seq("node"), "left")
+            .join(danglingDf, Seq("__k"))
             .select(col("node"),
-              (when(col("__seed").isNotNull, lit(base))
+              (when(col("__seed").isNotNull, base)
                 .otherwise(lit(0.0)) +
                 lit(damping) * coalesce(col("inflow"), lit(0.0)))
                 .as("rank"))
