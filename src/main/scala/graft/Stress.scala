@@ -1742,6 +1742,57 @@ object Stress {
         f"(~20 files, jobs=$jNarrow) — job count flat, " +
         "one distributed rewrite")
     }
+    // merge job budget: a steady-state CDC merge must run a BOUNDED
+    // number of Spark jobs (incl. AQE stage jobs) — the per-commit
+    // driver action floor the r21 verdict flagged. The r22 folds put a
+    // COW merge at ~10 jobs (lazy source pin + one matched-profile
+    // action + rewrite + upsert writes) and a MOR merge at ~9 (lazy
+    // position pin + profile + dv + insert writes); the bounds leave
+    // ~30% slack for AQE stage-count drift, and trip on any return of
+    // the per-action shapes (4-action source profile, separate
+    // matched-count passes, dv-sidecar read-back).
+    if (enabled("mergejobs")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("stress_mjob_").toString
+      val rows = 1000000L
+      val base = spark.range(rows).select(
+        col("id"), (col("id") % 9973).cast("double").as("v"))
+      Seq(s"$root/cow", s"$root/mor").foreach(d =>
+        ManifestSink.statsAppend(
+          base.repartitionByRange(8, col("id")), d, None, Seq("id")))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart)
+              : Unit = { jobs.incrementAndGet(); () }
+        })
+      def oneMerge(dest: String, m: Boolean): (Int, Double) = {
+        val src = spark.range(rows)
+          .where(pmod(col("id"), lit(101L)) === 0)
+          .select(col("id"), lit(-1.0).as("v"),
+            when(pmod(col("id"), lit(202L)) === 0, "d")
+              .otherwise("u").as("op"))
+        Thread.sleep(500); jobs.set(0)
+        val t0 = System.nanoTime()
+        ManifestSink.mergeCdc(spark, dest, src, "id",
+          col("op") === "d", directiveCols = Seq("op"),
+          statsCols = Seq("id"), mor = m)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        (jobs.get(), dt)
+      }
+      val (jCow, tCow) = oneMerge(s"$root/cow", m = false)
+      val (jMor, tMor) = oneMerge(s"$root/mor", m = true)
+      require(jCow <= 14,
+        s"mergejobs: a steady-state COW merge ran $jCow jobs (> 14) — " +
+          "per-commit action count regressed")
+      require(jMor <= 13,
+        s"mergejobs: a steady-state MOR merge ran $jMor jobs (> 13) — " +
+          "per-commit action count regressed")
+      println(f"STRESS mergejobs        $tCow%8.2f s cow (jobs=$jCow" +
+        f" <= 14), $tMor%.2f s mor (jobs=$jMor <= 13)")
+    }
     spark.stop()
   }
 }

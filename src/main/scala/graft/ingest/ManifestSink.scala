@@ -4780,22 +4780,23 @@ object ManifestSink extends Ingest.DestinationSink {
             readFilesDv(spark, destPath, bin, dvs, withBase = false),
             cmap)
             .coalesce(1).write.mode("overwrite").parquet(binOut.toString)
-          if (bin.exists(dvs.contains)) {
-            val perFile =
-              bin.map(b => statsByTgt.getOrElse(b, Map.empty))
-            val derivable = perFile.flatMap(_.keys).distinct.sorted
-              .filter(c => perFile.forall(_.contains(c)))
-            if (derivable.nonEmpty)
-              derivedStats ++= fileStatsOfParquet(spark,
-                binOut.toString, derivable)
-                .toSeq.sortBy(_._1._2)
-                .map { case ((_, c), st) => statsLine(target, c, st) }
-          }
           val part = fs.listStatus(binOut).map(_.getPath)
             .find(p => p.getName.startsWith("part-") &&
               p.getName.endsWith(".parquet"))
             .getOrElse(throw new IllegalStateException(
               s"[graft] optimize: no part file under $binOut"))
+          if (bin.exists(dvs.contains)) {
+            val perFile =
+              bin.map(b => statsByTgt.getOrElse(b, Map.empty))
+            val derivable = perFile.flatMap(_.keys).distinct.sorted
+              .filter(c => perFile.forall(_.contains(c)))
+            // footer pass (statsLinesFor) instead of a data re-read of
+            // the staged bin — the same fast lane every other rewrite
+            // path uses; the legacy scan remains its internal fallback
+            if (derivable.nonEmpty)
+              derivedStats ++= statsLinesFor(spark, fs, binOut,
+                Map(part.getName -> target), derivable)
+          }
           val tgt = new Path(dest, target)
           fs.mkdirs(tgt.getParent)
           require(fs.rename(part, tgt),
@@ -4943,23 +4944,18 @@ object ManifestSink extends Ingest.DestinationSink {
             statsByTgt.getOrElse(r, Map.empty).keys)
               .map(c => p2l.getOrElse(c, c)) ++ sortKeys)
             .distinct.sorted.filter(union.columns.contains)
-          val perFile: Map[String, Seq[(String, ColStats)]] =
-            if (statCols.isEmpty) Map.empty
-            else fileStatsOfParquet(spark, unitOut.toString,
-              physColsOf(statCols, cmap))
-              .groupBy { case ((f, _), _) =>
-                new Path(new java.net.URI(f)).toUri.getPath }
-              .map { case (p, m) =>
-                p -> m.toSeq.map { case ((_, c), st) => (c, st) } }
           val unitMoves = parts.zipWithIndex.map { case (part, k) =>
             (part, s"$parent$writeId-$u-$k.parquet")
           }
-          val unitStats = unitMoves.flatMap { case (part, target) =>
-            perFile
-              .getOrElse(fs.makeQualified(part).toUri.getPath, Nil)
-              .sortBy(_._1)
-              .map { case (c, st) => statsLine(target, c, st) }
-          }
+          // footer pass (statsLinesFor) instead of a distributed data
+          // re-read of every staged byte — the same fast lane the
+          // rewrite/merge/purge paths use; its internal fallback IS
+          // the old scan, so the lines match exactly either way
+          val unitStats =
+            if (statCols.isEmpty) Seq.empty[String]
+            else statsLinesFor(spark, fs, unitOut,
+              unitMoves.map { case (p, t) => p.getName -> t }.toMap,
+              physColsOf(statCols, cmap))
           // point-lookup pruning survives the re-sort: rebuild blooms
           // from the STAGED data for every column any input indexed
           // (a fresh build is exact for the new row layout), into the
