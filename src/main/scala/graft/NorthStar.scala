@@ -473,8 +473,8 @@ object NorthStar {
         .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
         .toDF("query_id", "token")
       TextRank.bm25BatchFromIndex(
-        TextRank.termIndex(d).localCheckpoint(),
-        TextRank.docLengths(d).localCheckpoint(), queries, topK = 10)
+        TextRank.termIndex(d).localCheckpoint(false),
+        TextRank.docLengths(d).localCheckpoint(false), queries, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -576,7 +576,7 @@ object NorthStar {
       // (the q71/q77 localCheckpoint pattern)
       val contexts = Corpus.materializeContextsIds(
         replicated.select(col("cid").as("doc_id"), col("ids")),
-        contextLen = 256).localCheckpoint()
+        contextLen = 256).localCheckpoint(false)
       graft.ingest.Ingest.assignShards(contexts, "n_tokens", "context_id",
         tokenBudget = 2048L)
         .select(col("context_id"), col("n_tokens"), col("ids_csv"),

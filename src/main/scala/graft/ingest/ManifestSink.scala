@@ -5166,12 +5166,13 @@ object ManifestSink extends Ingest.DestinationSink {
     if (candidates.isEmpty) return 0L
 
     // ONE distributed pass: live matching positions (existing dvs
-    // anti-joined away), materialized before any commit decision
+    // anti-joined away), materialized before any commit decision —
+    // LAZY pin, the per-file count action right below materializes it
     val delFrame = readFilesDvMeta(spark, destPath, candidates, dvs)
     val newDv = delFrame
       .where(coalesce(bindOuter(delFrame, m), lit(false)))
       .select(col("__graft_fn").as("name"), col("__graft_pos").as("pos"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // per-file tombstone counts: bounded by the candidate file count
     val perName: Map[String, Long] = newDv.groupBy(col("name"))
       .agg(count(lit(1)).as("n")).collect()
@@ -5391,7 +5392,7 @@ object ManifestSink extends Ingest.DestinationSink {
       readFilesDvMeta(spark, destPath, candidates, dvs, withBase = false)
     val matched = updFrame
       .where(coalesce(bindOuter(updFrame, m), lit(false)))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it
     val perName: Map[String, Long] = matched
       .groupBy(col("__graft_fn")).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -7426,7 +7427,7 @@ object ManifestSink extends Ingest.DestinationSink {
       statsCols: Seq[String] = Nil): Unit = {
     require(checks.nonEmpty, "[graft] checkedAppend: no checks — use " +
       "append()")
-    val batch = df.localCheckpoint()
+    val batch = df.localCheckpoint(false)
     val aggs = checks.map { case (_, c) =>
       sum(when(not(coalesce(c, lit(true))), 1L).otherwise(0L)) }
     val r = batch.agg(aggs.head, aggs.tail: _*).head

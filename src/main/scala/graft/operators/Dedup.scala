@@ -274,7 +274,7 @@ object Dedup {
       .filter(col("a_new") || col("b_new"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-      .localCheckpoint() // consumed twice (touched-id semi + verify join)
+      .localCheckpoint(false) // consumed twice (touched-id semi + verify join)
     // exact-Jaccard verify: shingles from the batch side are already in
     // hand; the corpus side re-derives them ONLY for candidate partners
     val touched = pairs.select(col("a_id").as("doc_id"))
@@ -440,7 +440,7 @@ object Dedup {
     */
   def contaminationFraction(corpus: DataFrame, probes: DataFrame, w: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val corpusSpans = docSpans(corpus, w, textCol, idCol).localCheckpoint()
+    val corpusSpans = docSpans(corpus, w, textCol, idCol).localCheckpoint(false)
     val probeSpans = docSpans(probes, w, textCol, idCol)
       .select(col("span_hash")).distinct()
     val totals = corpusSpans.groupBy(col("doc_id"))
@@ -555,7 +555,7 @@ object Dedup {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      case None => df => df.localCheckpoint(false)
     }
     // one-job convergence fingerprint: (count, order-independent XOR of
     // per-edge hashes — xor, not sum, which overflows under ANSI). A

@@ -71,7 +71,7 @@ object HeavyHitters {
     val toks = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val candidates = toks.as[String]
       .mapPartitions(it => misraGries(it, k))
       .toDF("token").distinct()

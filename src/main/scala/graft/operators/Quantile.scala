@@ -68,7 +68,7 @@ object Quantile {
     // once per pass. The frame is one long per row — slim at any scale.
     val base = df.select(col(valueCol).cast("long").as("v"))
       .where(col("v").isNotNull)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val h = base.agg(count(lit(1)), min(col("v")), max(col("v")),
       count(when(col("v") < 0, lit(1)))).head()
     val n = h.getLong(0)
@@ -258,7 +258,7 @@ object Quantile {
       .select(col(groupCol).cast("string").as("gs"), col(groupCol).as("g"),
         col(valueCol).cast("long").as("v"))
       .where(col("gs").isNotNull && col("v").isNotNull)
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     val stats = base.groupBy(col("gs"))
       .agg(first(col("g")).as("g"), count(lit(1)).as("n"),

@@ -242,7 +242,7 @@ object StreamingIngest {
     // sampling). A gate that read mutable external state would break
     // replay; don't.
     val fresh = gate.map(freshAll.where(_)).getOrElse(freshAll)
-      .localCheckpoint()
+      .localCheckpoint(false)
     if (fresh.isEmpty) return
     val pairs = (indexDir match {
       case Some(d) =>
@@ -253,11 +253,11 @@ object StreamingIngest {
       case None =>
         graft.operators.Dedup
           .incrementalJaccardDupPairs(fresh, corpus, threshold, maxBucketSize)
-    }).localCheckpoint()
+    }).localCheckpoint(false)
     val victims = pairs.select(col("b_id").as("doc_id")).distinct()
     victimLogDir.foreach(d => append(pairs, d))
     val survivors = fresh.join(victims, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // INDEX BEFORE CORPUS: a crash in between leaves index rows for docs
     // not yet in the corpus; the replay re-adjudicates those docs (they
     // are not in adjudicatedIds), reaches the same survivor verdict under
@@ -321,7 +321,7 @@ object StreamingIngest {
     val fresh = batch
       .join(adjudicatedIds(spark, corpus, victimLogDir, "vec_id", sink),
         Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     if (fresh.isEmpty) return
     val pairs = (indexDir match {
       case Some(d) =>
@@ -332,11 +332,11 @@ object StreamingIngest {
       case None =>
         graft.operators.Similarity.incrementalNearDupPairs(
           fresh, corpus, threshold, nPlanes, nTables, maxBucketSize)
-    }).localCheckpoint()
+    }).localCheckpoint(false)
     val victims = pairs.select(col("b_id").as("vec_id")).distinct()
     victimLogDir.foreach(d => append(pairs, d))
     val survivors = fresh.join(victims, Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // same victims -> index -> corpus ordering + anti-join as the doc path
     indexDir.foreach { d =>
       val existing =
@@ -385,11 +385,11 @@ object StreamingIngest {
     val corpus = (sink match {
       case Some(s) => readVia(spark, s, corpusDir, corpusSchema)
       case None    => readCorpus(spark, corpusDir, corpusSchema)
-    }).localCheckpoint()
+    }).localCheckpoint(false)
     val fresh = batch
       .join(adjudicatedIds(spark, corpus, victimLogDir, "media_id", sink),
         Seq("media_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     if (fresh.isEmpty) return
     // hash once per batch payload; the corpus side reuses stored hashes
     val freshHashed = fresh.join(
@@ -397,13 +397,13 @@ object StreamingIngest {
         fresh.select(col("media_id"), col("kind"), col("payload"))
           .as[graft.multimodal.Multimodal.MediaRow]),
       Seq("media_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val pairs = graft.operators.Dedup.incrementalHammingDupPairs(
       freshHashed.select(col("media_id"), col("dhash")),
       corpus.select(col("media_id"), col("dhash")),
       maxHamming, idCol = "media_id", hashCol = "dhash",
       maxBucketSize = maxBucketSize)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val victims = pairs.select(col("b_id").as("media_id")).distinct()
     victimLogDir.foreach(d => append(pairs, d))
     append(freshHashed.join(victims, Seq("media_id"), "left_anti"),
@@ -541,7 +541,7 @@ object StreamingIngest {
     }
     val adjudicated = read(dlDir, dlSchema).select(col("doc_id")).distinct()
     val fresh = batch.join(adjudicated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     if (fresh.isEmpty) return
     val idxExisting = read(indexDir, idxSchema)
       .select(col("doc_id")).distinct()
@@ -596,7 +596,7 @@ object StreamingIngest {
     }
     val adjudicated = read(adjDir, adjSchema).select(col("vec_id")).distinct()
     val fresh = batch.join(adjudicated, Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     if (fresh.isEmpty) return
     val codesExisting = read(codesDir, codesSchema)
       .select(col("vec_id")).distinct()
@@ -636,7 +636,7 @@ object StreamingIngest {
     }
     val adjudicated = read(adjDir, adjSchema).select(col("doc_id")).distinct()
     val fresh = batch.join(adjudicated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     if (fresh.isEmpty) return
     val existing = read(contribsDir, contribsSchema)
       .select(col("doc_id")).distinct()
