@@ -39,6 +39,16 @@ object GraftSession {
       .config("spark.hadoop.fs.file.impl",
         "graft.ingest.NioLocalFileSystem")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // file listing: above this many input paths Spark runs a CLUSTER
+      // JOB just to list them (default 32 — tuned for slow object
+      // stores). The manifest engine passes explicit file lists per
+      // read, routinely 100s of paths on a local/HDFS-class fs where a
+      // driver listing is ~µs/path; a listing job costs a full
+      // scheduling round-trip per read at commit cadence. 1024 keeps
+      // the distributed listing for genuinely huge tables; tune down
+      // for high-latency object stores (SPARK_GRAFT_LIST_JOB_THRESHOLD)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_JOB_THRESHOLD", "1024"))
       // legacy testdata generations carry parquet TIMESTAMP(NANOS); the
       // conf is a no-op for non-nanos files and SparkEntry.events
       // schema-dispatches either way. Part of session CONSTRUCTION so

@@ -347,8 +347,11 @@ object NorthStar {
     "q75_lm_lang_calibrated" -> ((s, dir) => {
       import graft.operators.LmFilter
       val d = docs(s, dir)
+      // lazy pin (the q71/q77 pattern): the per-language calibration
+      // and the gate would otherwise each re-run the scoring DAG
       val scored = LmFilter.scoreDocs(d)
         .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint(false)
       val thr = LmFilter.calibrateThresholds(scored, LmKeepPct, "lang")
       scored.join(broadcast(thr), Seq("lang"))
         .filter(col("log_ppl") <= col("threshold"))
@@ -473,8 +476,8 @@ object NorthStar {
         .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
         .toDF("query_id", "token")
       TextRank.bm25BatchFromIndex(
-        TextRank.termIndex(d).localCheckpoint(false),
-        TextRank.docLengths(d).localCheckpoint(false), queries, topK = 10)
+        TextRank.termIndex(d).localCheckpoint(),
+        TextRank.docLengths(d).localCheckpoint(), queries, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -2319,6 +2319,8 @@ object ManifestSink extends Ingest.DestinationSink {
             val dvRels = dvL.map(_._2).distinct
             val totalDv = dvL.map(_._3).sum
             val dvDf = spark.read
+              .schema("name STRING, pos BIGINT") // fixed sidecar schema:
+              // skips the per-read footer-inference job
               .parquet(dvRels.map(r => new Path(dest, r).toString): _*)
               .select(col("name").as("__graft_fn"),
                 col("pos").as("__graft_pos"))
@@ -2775,6 +2777,8 @@ object ManifestSink extends Ingest.DestinationSink {
       val dvRels = relevant.values.flatten.map(_._1).toSeq.distinct
       val totalDv = relevant.values.flatten.map(_._2).sum
       val dvDf = spark.read
+        .schema("name STRING, pos BIGINT") // fixed sidecar schema: skips
+        // the per-read footer-inference job
         .parquet(dvRels.map(r => new Path(dest, r).toString): _*)
         .select(col("name").as("__graft_fn"),
           col("pos").as("__graft_pos"))

@@ -274,7 +274,7 @@ object Dedup {
       .filter(col("a_new") || col("b_new"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-      .localCheckpoint(false) // consumed twice (touched-id semi + verify join)
+      .localCheckpoint() // EAGER: both consumers sit in ONE action — a lazy pin lets the two stages race-compute the same partitions
     // exact-Jaccard verify: shingles from the batch side are already in
     // hand; the corpus side re-derives them ONLY for candidate partners
     val touched = pairs.select(col("a_id").as("doc_id"))
@@ -440,7 +440,7 @@ object Dedup {
     */
   def contaminationFraction(corpus: DataFrame, probes: DataFrame, w: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val corpusSpans = docSpans(corpus, w, textCol, idCol).localCheckpoint(false)
+    val corpusSpans = docSpans(corpus, w, textCol, idCol).localCheckpoint() // EAGER: consumed twice within one action
     val probeSpans = docSpans(probes, w, textCol, idCol)
       .select(col("span_hash")).distinct()
     val totals = corpusSpans.groupBy(col("doc_id"))

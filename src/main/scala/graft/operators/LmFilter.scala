@@ -89,17 +89,24 @@ object LmFilter {
   def scoreDocs(docs: DataFrame, trainDocs: DataFrame = null,
       nBuckets: Int = DefaultBuckets): DataFrame = {
     val train = Option(trainDocs).getOrElse(docs)
-    // Exchange barrier (q61 pattern): tokenize+hash is the expensive pass
-    // and has THREE consumers (two model groupBys + the scoring side);
-    // the explicit repartition materializes the slim (doc_id, bgb, ctb)
-    // rows once and ReuseExchange feeds all three from it — measured 3x
-    // on the bench without it. Partitioning by doc_id also pre-positions
-    // the final per-doc aggregate.
+    // Materialization barrier: tokenize+hash is the expensive pass and
+    // has THREE consumers (two model groupBys + the scoring side). The
+    // r21 shape relied on ReuseExchange over an explicit repartition —
+    // but the scoring side's final per-doc join pushes IsNotNull(doc_id)
+    // into ITS branch only, breaking canonical equality, and the
+    // final-plan dump (r22, plans/r22/q75 'before') shows THREE separate
+    // scans + md5 pipelines actually running. A lazy localCheckpoint
+    // pins the slim (doc_id, bgb, ctb) rows once — every consumer reads
+    // the same blocks, the tokenize pass runs exactly once, results
+    // bit-identical. Partitioning by doc_id still pre-positions the
+    // final per-doc aggregate.
     val bgTrain = docBigramBuckets(train, nBuckets)
       .repartition(col("doc_id"))
+      .localCheckpoint(false)
     val bg =
       if (train eq docs) bgTrain
       else docBigramBuckets(docs, nBuckets).repartition(col("doc_id"))
+        .localCheckpoint(false)
     // LEFT joins: bigrams/contexts unseen in training coalesce to count 0
     // (the add-one floor). Under self-scoring every bucket is present, so
     // this is exactly the oracle's inner `JOIN USING`.

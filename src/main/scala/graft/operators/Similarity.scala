@@ -512,7 +512,7 @@ object Similarity {
       .filter(col("a_new") || col("b_new"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-      .localCheckpoint(false) // consumed twice (touched-id semi + verify join)
+      .localCheckpoint() // EAGER: both consumers sit in ONE action — a lazy pin lets the two stages race-compute the same partitions
     val touched = pairs.select(col("a_id").as(idCol))
       .unionByName(pairs.select(col("b_id").as(idCol))).distinct()
     val payload = newVectors.unionByName(

@@ -753,7 +753,10 @@ object GraftParquetFileFormat {
         val i = rel.lastIndexOf('/')
         if (i < 0) rel else rel.substring(i + 1)
       }
-      val byFile = spark.read.parquet(sidecars: _*)
+      val byFile = spark.read
+        .schema("name STRING, pos BIGINT") // fixed sidecar schema: skips
+        // the per-read footer-inference job
+        .parquet(sidecars: _*)
         .select("name", "pos")
         .where(org.apache.spark.sql.functions.col("name")
           .isin(wanted.toSeq: _*)) // sidecars can carry other files'
