@@ -3618,10 +3618,14 @@ class ManifestSinkSpec extends SparkSpec {
       ManifestSink.FooterStatsMaxFiles = 0 // force the scan path
       ManifestSink.statsAppend(df, destS, None,
         Seq("id", "v", "flag", "s"))
-      // 3 files over a cap of 1: the DISTRIBUTED footer job
+      // 3 files over a cap of 1: the DISTRIBUTED footer job (the
+      // local-scheme driver widening must be pinned down too)
       ManifestSink.FooterStatsMaxFiles = 1
-      ManifestSink.statsAppend(df, destD, None,
+      val lcap = ManifestSink.FooterStatsLocalCap
+      ManifestSink.FooterStatsLocalCap = 1
+      try ManifestSink.statsAppend(df, destD, None,
         Seq("id", "v", "flag", "s"))
+      finally ManifestSink.FooterStatsLocalCap = lcap
     } finally ManifestSink.FooterStatsMaxFiles = cap
     assert(statsLines(destF) == statsLines(destS),
       s"footer stats diverged:\n${statsLines(destF)}\nvs\n" +
