@@ -259,9 +259,19 @@ object NorthStar {
     "q71_curated_lm" -> ((s, dir) => {
       import graft.operators.LmFilter
       val d = docs(s, dir)
-      val drop = Dedup.jaccardDupPairs(d, JaccardDupThreshold,
-        maxBucketSize = DedupBucketCap)
-        .select(col("b_id").as("doc_id")).distinct()
+      // OVERLAP independent phases (guide §2.6): the near-dup pair
+      // pipeline has no dependency on the LM side, but the calibrated
+      // threshold must exist before the final plan can even be BUILT —
+      // so the pair pin runs on a driver thread while calibration's
+      // jobs run on this one, and Spark backfills both job sets onto
+      // the same executors. Deterministic either way; the pin is the
+      // same frame the final anti-join consumed before.
+      val dropF = scala.concurrent.Future {
+        Dedup.jaccardDupPairs(d, JaccardDupThreshold,
+            maxBucketSize = DedupBucketCap)
+          .select(col("b_id").as("doc_id")).distinct()
+          .localCheckpoint() // eager: materializes on this thread
+      }(scala.concurrent.ExecutionContext.global)
       // CALIBRATED gate (r8): the cutoff is the corpus' own LmKeepPct
       // rank score, not a hardcoded constant — exactly CCNet's
       // per-corpus percentile calibration. Exact rank semantics make the
@@ -272,6 +282,8 @@ object NorthStar {
       // driver-paced job, same work.
       val scored = LmFilter.scoreDocs(d).localCheckpoint(false)
       val thr = LmFilter.calibrateThreshold(scored, LmKeepPct)
+      val drop = scala.concurrent.Await.result(dropF,
+        scala.concurrent.duration.Duration.Inf)
       val lmKeep = scored
         .filter(col("log_ppl") <= thr)
         .select(col("doc_id"))
