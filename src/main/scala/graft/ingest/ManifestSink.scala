@@ -1744,11 +1744,18 @@ object ManifestSink extends Ingest.DestinationSink {
     }
     // counts from key frames only: updated = keys in both, deleted =
     // live target ROWS whose key vanished, inserted = source rows
-    // whose key is new
+    // whose key is new. OVERLAPPED (guide §2.6): the count aggregate
+    // scans the whole live table but decides nothing — only the
+    // returned outcome carries it — while the snapshot-replace write
+    // below scans the pinned SOURCE; the two job sets share no data
+    // dependency, so the counts run on a driver thread and backfill
+    // the same executors. Old data files are never deleted by the
+    // commit (the retained-manifest model), so the concurrent read is
+    // safe; an aborted commit just discards the counted result.
     val dvsForKeys = effectiveDvsOf(fs, old)
-    val (updated, deleted) =
-      if (targets.isEmpty) (0L, 0L)
-      else {
+    val countsF: scala.concurrent.Future[(Long, Long)] =
+      if (targets.isEmpty) scala.concurrent.Future.successful((0L, 0L))
+      else scala.concurrent.Future {
         val tKeys = readFilesDv(spark, destPath, targets, dvsForKeys,
           withBase = false).select(col(keyCol).as("__k"))
         val sKeys = src.select(col(keyCol).as("__k")).distinct()
@@ -1761,24 +1768,36 @@ object ManifestSink extends Ingest.DestinationSink {
               .as("deleted"))
           .head
         (j.getLong(0), if (j.isNullAt(1)) 0L else j.getLong(1))
-      }
-    val inserted = nSrc - updated
+      }(scala.concurrent.ExecutionContext.global)
+    def counts(): (Long, Long) = scala.concurrent.Await.result(countsF,
+      scala.concurrent.duration.Duration.Inf)
     if (nSrc == 0 && targets.isEmpty)
       return MergeOutcome.NoChange("empty source+table")
     val (dfP, pcols) = partitionField match {
       case Some(f) => withPartitionCols(src, f)
       case None    => (src, Nil)
     }
-    replaceContentCommit(spark, destPath, dfP, pcols,
-      replaced = targets.toSet, kept = Nil, old, baseVersion,
-      statsCols, bloomCols, bloomBits,
-      canAbsorb = _ => false, containPrefixes = None, "fs") match {
+    val commitRes =
+      try replaceContentCommit(spark, destPath, dfP, pcols,
+        replaced = targets.toSet, kept = Nil, old, baseVersion,
+        statsCols, bloomCols, bloomBits,
+        canAbsorb = _ => false, containPrefixes = None, "fs")
+      catch {
+        case e: Throwable =>
+          // drain before the finally-unpin sweeps the pinned source
+          try counts() catch { case _: Throwable => () }
+          throw e
+      }
+    commitRes match {
       case Some(_) =>
+        val (updated, deleted) = counts()
+        val inserted = nSrc - updated
         println(s"METRIC graft.merge_full_sync.updated=$updated " +
           s"inserted=$inserted deleted=$deleted " +
           s"snapshot_version=${baseVersion + 1} dest=$destPath")
         MergeOutcome.Merged(updated, inserted, deleted)
       case None =>
+        counts() // drain the background job before returning
         println(s"METRIC graft.merge_full_sync.aborted_log_advanced=1 " +
           s"base_version=$baseVersion dest=$destPath")
         MergeOutcome.Aborted
